@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.Abi
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generated per-event decode views — the reference's query API
+  * surface (`init.sql:213-222`; views are produced from contract ABIs
+  * by its sibling ethereum-sql tool, `README.md:181-206`).
+  *
+  * Each view = `filter(topic0 == sigHash)` + decode-projection +
+  * the metadata quad. Indexed ABI params decode from topic1..topic3
+  * in declaration order; non-indexed params decode from `data` at
+  * word positions 2, 66, 130, … (`init.sql:215` Deposit uses
+  * `to_uint256(2,…)`/`to_uint256(66,…)`).
+  *
+  * Because decode expressions are Column compositions, Catalyst
+  * inlines the view, prunes to the referenced topics/data columns and
+  * pushes the topic0 equality into the Parquet scan — the Spark
+  * equivalent of Postgres inlining the immutable SQL functions and
+  * using the `logs(topic0)` index (`schema.sql:57`).
+  */
+object EventViews {
+
+  sealed trait DecodeMode
+  /** Mathematically correct ABI decode (default). */
+  case object Native extends DecodeMode
+  /** Bug-for-bug reference decode ([[Abi.Ref]]): clipped last byte on
+    * prefixed payloads, multi-word positions decode to 0. */
+  case object RefCompat extends DecodeMode
+
+  /** One ABI input: `{"name":…,"type":…,"indexed":…}` (README.md:181-206). */
+  case class AbiField(name: String, abiType: String, indexed: Boolean)
+
+  case class EventDef(viewName: String, sigHash: String, fields: Seq[AbiField])
+
+  /** Decode one field given its source column and word position. */
+  private def decodeCol(pos: Int, data: Column, abiType: String, mode: DecodeMode): Column =
+    (mode, abiType) match {
+      case (RefCompat, "uint256") => Abi.Ref.toUint256(pos, data)
+      case (RefCompat, "uint128") => Abi.Ref.toUint128(pos, data)
+      case (RefCompat, "uint64")  => Abi.Ref.toUint64(pos, data)
+      case (RefCompat, "int64")   => Abi.Ref.toInt64(pos, data)
+      case (RefCompat, "uint32")  => Abi.Ref.toUint32(pos, data)
+      case (RefCompat, "int32")   => Abi.Ref.toInt32(pos, data)
+      case _                      => Abi.element(lit(pos), data, abiType)
+    }
+
+  /** The decode-projection for one event over a `logs`-shaped frame. */
+  def project(logs: DataFrame, e: EventDef, mode: DecodeMode = Native): DataFrame = {
+    val (indexed, unindexed) = e.fields.partition(_.indexed)
+    val topicCols = indexed.zipWithIndex.map { case (f, i) =>
+      decodeCol(2, col(s"topic${i + 1}"), f.abiType, mode).as(f.name)
+    }
+    val dataCols = unindexed.zipWithIndex.map { case (f, i) =>
+      decodeCol(2 + 64 * i, col("data"), f.abiType, mode).as(f.name)
+    }
+    val meta = Seq(
+      col("address").as("contract_address"),
+      col("transaction_hash").as("evt_tx_hash"),
+      col("log_index").as("evt_index"),
+      col("block_timestamp").as("evt_block_time"),
+      col("block_number").as("evt_block_number"))
+    logs
+      .filter(col("topic0") === lit(e.sigHash))
+      .select(topicCols ++ dataCols ++ meta: _*)
+  }
+
+  /** Register every event as a temp view over `logs`. */
+  def registerAll(
+      spark: SparkSession,
+      logs: DataFrame,
+      defs: Seq[EventDef] = referenceViews,
+      mode: DecodeMode = Native): Unit =
+    defs.foreach(e => project(logs, e, mode).createOrReplaceTempView(e.viewName))
+
+  private def f(name: String, abiType: String, indexed: Boolean = false) =
+    AbiField(name, abiType, indexed)
+
+  /** The reference's 10 generated views, names and signature hashes
+    * verbatim (`init.sql:213-222`). */
+  val referenceViews: Seq[EventDef] = Seq(
+    EventDef(
+      "Approval_address_owner_address_spender_uint256_amount_d",
+      "0x8c5be1e5ebec7d5bd14f71427d1e84f3dd0314c0f7b2291e5b200ac8c7c3b925",
+      Seq(f("owner", "address", indexed = true), f("spender", "address", indexed = true),
+        f("amount", "uint256"))),
+    EventDef(
+      "AuthorityUpdated_address_user_address_newAuthority",
+      "0xa3396fd7f6e0a21b50e5089d2da70d5ac0a3bbbd1f617a93f134b76389980198",
+      Seq(f("user", "address", indexed = true), f("newAuthority", "address", indexed = true))),
+    EventDef(
+      "Deposit_address_caller_address_owner_uint256_assets_d_uint256_shares_d",
+      "0xdcbc1c05240f31ff3ad067ef1ee35ce4997762752e3a095284754544f4c709d7",
+      Seq(f("caller", "address", indexed = true), f("owner", "address", indexed = true),
+        f("assets", "uint256"), f("shares", "uint256"))),
+    EventDef(
+      "FeePercentUpdated_address_user_uint256_newFeePercent_d",
+      "0xec370615cc81fb334e5566fbc80664d9082377bf59288d64a79f3fbecf4323a9",
+      Seq(f("user", "address", indexed = true), f("newFeePercent", "uint256"))),
+    EventDef(
+      "OwnershipTransferred_address_user_address_newOwner",
+      "0x8be0079c531659141344cd1fd0a4f28419497f9722a3daafe3b4186f6b6457e0",
+      Seq(f("user", "address", indexed = true), f("newOwner", "address", indexed = true))),
+    EventDef(
+      "StrategyDeposit_address_user_uint256_underlyingAmount_d",
+      "0xc6f6f91a48277d76f232cc08a9a30f6b05b3fd9b92c3180c25936e17a22a1025",
+      Seq(f("user", "address", indexed = true), f("underlyingAmount", "uint256"))),
+    EventDef(
+      "StrategyWithdrawal_address_user_uint256_underlyingAmount_d",
+      "0xd5ad0f046bd35f48b421a3e575435de38cea1980177b1c6da935d2f26049f3fa",
+      Seq(f("user", "address", indexed = true), f("underlyingAmount", "uint256"))),
+    EventDef(
+      "TargetFloatPercentUpdated_address_user_uint256_newTargetFloatPercent_d",
+      "0x95bc4480b51f4860106d42850bcae222cf3303fb2b7d433e896205e0ebefe369",
+      Seq(f("user", "address", indexed = true), f("newTargetFloatPercent", "uint256"))),
+    EventDef(
+      "Transfer_address_from_address_to_uint256_amount_d",
+      "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef",
+      Seq(f("from", "address", indexed = true), f("to", "address", indexed = true),
+        f("amount", "uint256"))),
+    EventDef(
+      "Withdraw_address_caller_address_receiver_address_owner_uint256_assets_d_uint256_shares_d",
+      "0xfbde797d201c681b91056529119e0b02407c7bb96a4a2c75c01fc9667232c8db",
+      Seq(f("caller", "address", indexed = true), f("receiver", "address", indexed = true),
+        f("owner", "address", indexed = true),
+        f("assets", "uint256"), f("shares", "uint256")))
+  )
+}
