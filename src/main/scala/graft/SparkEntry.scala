@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.Abi
-import graft.operators.{AsOfJoin, EventViews}
+import graft.functions.{Abi, Text}
+import graft.operators.{AsOfJoin, Dedup, EventViews, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -212,6 +212,119 @@ object SparkEntry {
         .groupBy(col("chain"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("chain"), col("event_type"))
+    },
+
+    // exact dedup via content hashing (hash-groupBy)
+    "q15_dedup_exact_stats" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"),
+          countDistinct(Text.fingerprint(col("text"))).as("n_unique_normalized"))
+        .orderBy(col("source"))
+    },
+
+    // token counting + punctuation/digit profile
+    "q16_text_stats" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.bpeishTokenCount(col("text")).as("n_bpeish"),
+          Text.punctCount(col("text")).as("n_punct"),
+          Text.markerCount(col("text"), Text.EnglishStopwords).as("n_stopwords"),
+          Text.punctRatio(col("text")).as("punct_ratio"),
+          Text.avgTokenLen(col("text")).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // language-ID heuristic vs the labeled lang column
+    "q17_langid" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          Text.langId(col("text")).as("lang_guess"))
+        .withColumn("agree", (col("lang") === col("lang_guess")).cast(IntegerType))
+        .orderBy(col("doc_id"))
+    },
+
+    // document fingerprinting (whole-doc + rolling-hash winnow band)
+    "q18_fingerprints" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.fingerprint(col("text")).as("fp"),
+          Text.rollingFingerprint(col("text"), 16).as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // composite quality score
+    "q19_quality_score" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // exact n-gram Jaccard similarity over a bounded pair set
+    "q20_ngram_jaccard" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 40)
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("text_a"), col("text_b"), 2).as("jaccard"))
+        .filter(col("jaccard") > 0.02)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // brute-force exact top-k by dot product against a stored query vec
+    "q21_embedding_dot_topk" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Similarity.dot(col("embedding"), col("qvec")).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(20)
+    },
+
+    // cosine threshold set (exact, deterministic double pipeline)
+    "q22_embedding_cosine" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qvec")).as("score"))
+        .filter(col("score") >= 0.15)
+        .orderBy(col("vec_id"))
+    },
+
+    // MinHash+LSH near-dup candidates (xxhash64-based — rows-only
+    // check; recall/precision asserted in DedupSpec instead)
+    "q23_minhash_near_dup" -> { (s, dir) =>
+      Dedup.minhashCandidates(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          numHashes = 32, bands = 16, shingleK = 2, minEstimate = 0.05)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dup pairs (rows-only; semantics in DedupSpec).
+    // bands=8 → 8-bit chunks → full recall for distance ≤ 7
+    "q24_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashCandidates(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          maxDistance = 7, bands = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    // asserted in SimilaritySpec)
+    "q25_lsh_topk" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val query = e.filter(col("vec_id") === 1).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      Similarity.lshTopK(e, "vec_id", "embedding", query, k = 10,
+        bits = 8, probeRadius = 3)
     }
   )
 
@@ -332,6 +445,127 @@ object SparkEntry {
         |  event_type, count(*) as n
         |from events
         |group by chain, event_type
-        |order by chain, event_type""".stripMargin
+        |order by chain, event_type""".stripMargin,
+
+    "q15_dedup_exact_stats" ->
+      s"""select source, count(*) as n_docs,
+        |  count(distinct md5(text)) as n_unique_texts,
+        |  count(distinct md5($OracleNorm)) as n_unique_normalized
+        |from documents
+        |group by source
+        |order by source""".stripMargin,
+
+    "q16_text_stats" ->
+      s"""select doc_id,
+        |  $OracleNTokens as n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) as n_bpeish,
+        |  len(regexp_extract_all(text, '[.,!?;:]')) as n_punct,
+        |  len(list_filter($OracleTokens, t -> t in ($OracleStop))) as n_stopwords,
+        |  cast(len(regexp_extract_all(text, '[.,!?;:]')) as double)
+        |    / cast(greatest(length(text), 1) as double) as punct_ratio,
+        |  cast(length(text) as double)
+        |    / cast(greatest($OracleNTokens, 1) as double) as avg_token_len
+        |from documents
+        |order by doc_id""".stripMargin,
+
+    "q17_langid" ->
+      s"""with scored as (
+        |  select doc_id, lang, text,
+        |    len(list_filter($OracleTokens, t -> t in ('the','and','of','to','is','in','that','it'))) as s_en,
+        |    len(list_filter($OracleTokens, t -> t in ('el','la','de','que','y','en','los','una'))) as s_es,
+        |    len(list_filter($OracleTokens, t -> t in ('der','die','und','das','ist','nicht','ein','mit'))) as s_de,
+        |    len(list_filter($OracleTokens, t -> t in ('le','la','les','de','et','est','un','une'))) as s_fr,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) as cjk
+        |  from documents)
+        |select doc_id, lang,
+        |  case when cjk * 4 > length(text) then 'zh'
+        |       when s_en = greatest(s_en,s_es,s_de,s_fr) and s_en > 0 then 'en'
+        |       when s_es = greatest(s_en,s_es,s_de,s_fr) and s_es > 0 then 'es'
+        |       when s_de = greatest(s_en,s_es,s_de,s_fr) and s_de > 0 then 'de'
+        |       when s_fr = greatest(s_en,s_es,s_de,s_fr) and s_fr > 0 then 'fr'
+        |       else 'und' end as lang_guess,
+        |  cast(lang = (case when cjk * 4 > length(text) then 'zh'
+        |       when s_en = greatest(s_en,s_es,s_de,s_fr) and s_en > 0 then 'en'
+        |       when s_es = greatest(s_en,s_es,s_de,s_fr) and s_es > 0 then 'es'
+        |       when s_de = greatest(s_en,s_es,s_de,s_fr) and s_de > 0 then 'de'
+        |       when s_fr = greatest(s_en,s_es,s_de,s_fr) and s_fr > 0 then 'fr'
+        |       else 'und' end) as int) as agree
+        |from scored
+        |order by doc_id""".stripMargin,
+
+    "q18_fingerprints" ->
+      s"""with n as (select doc_id, $OracleNorm as norm from documents)
+        |select doc_id, md5(norm) as fp,
+        |  list_aggregate(
+        |    list_transform(range(1, greatest(len(norm)-16+1, 0)+1),
+        |                   i -> md5(substr(norm, i, 16))), 'min') as rolling_fp
+        |from n
+        |order by doc_id""".stripMargin,
+
+    "q19_quality_score" ->
+      s"""with m as (
+        |  select doc_id,
+        |    $OracleNTokens as n_tokens,
+        |    len(list_filter($OracleTokens, t -> t in ($OracleStop))) as n_stop,
+        |    cast(len(regexp_extract_all(text, '[.,!?;:]')) as double)
+        |      / cast(greatest(length(text),1) as double) as punct_ratio,
+        |    cast(len(regexp_extract_all(text, '[0-9]')) as double)
+        |      / cast(greatest(length(text),1) as double) as digit_ratio
+        |  from documents)
+        |select doc_id,
+        |  0.4 * least(cast(n_tokens as double) / 50.0, 1.0)
+        |  + 0.3 * least(cast(n_stop as double) / cast(greatest(n_tokens,1) as double) * 4.0, 1.0)
+        |  + 0.15 * (1.0 - least(punct_ratio * 5.0, 1.0))
+        |  + 0.15 * (1.0 - least(digit_ratio * 5.0, 1.0)) as quality
+        |from m
+        |order by doc_id""".stripMargin,
+
+    "q20_ngram_jaccard" ->
+      s"""with d as (select doc_id, string_split($OracleNorm, ' ') as w from documents where doc_id < 40),
+        |sh as (select doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(w)-2+1, 0)+1),
+        |    i -> array_to_string(list_slice(w, i, i+1), ' '))) as s
+        |  from d)
+        |select a.doc_id as id_a, b.doc_id as id_b,
+        |  cast(len(list_intersect(a.s, b.s)) as double)
+        |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) as jaccard
+        |from sh a join sh b on a.doc_id < b.doc_id
+        |where cast(len(list_intersect(a.s, b.s)) as double)
+        |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) > 0.02
+        |order by id_a, id_b""".stripMargin,
+
+    "q21_embedding_dot_topk" ->
+      """select vec_id,
+        |  list_sum(list_transform(
+        |    list_zip(embedding, (select embedding from embeddings where vec_id = 0)),
+        |    p -> cast(p[1] as double) * cast(p[2] as double))) as score
+        |from embeddings
+        |order by score desc, vec_id
+        |limit 20""".stripMargin,
+
+    "q22_embedding_cosine" ->
+      """with q as (select embedding as qv from embeddings where vec_id = 0),
+        |s as (select vec_id,
+        |  list_sum(list_transform(list_zip(embedding, (select qv from q)),
+        |    p -> cast(p[1] as double) * cast(p[2] as double)))
+        |  / (sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+        |      p -> cast(p[1] as double) * cast(p[2] as double))))
+        |    * sqrt((select list_sum(list_transform(list_zip(qv, qv),
+        |      p -> cast(p[1] as double) * cast(p[2] as double))) from q))) as score
+        |from embeddings)
+        |select vec_id, score from s
+        |where score >= 0.15
+        |order by vec_id""".stripMargin
   )
+
+  /** DuckDB fragments shared across oracle queries (kept identical to
+    * the Text.* expression semantics). */
+  private val OracleNorm =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
+  private val OracleTokens =
+    """case when length(trim(text)) = 0 then [] else string_split_regex(trim(text), '\s+') end"""
+  private val OracleNTokens =
+    s"""len($OracleTokens)"""
+  private val OracleStop =
+    Text.EnglishStopwords.map(w => s"'$w'").mkString(",")
 }

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis expression library for large-scale training-data
+  * pipelines: tokenization, quality scoring, language ID, document
+  * fingerprinting. All pure Column compositions (codegen'd, no UDFs) —
+  * designed to run inside one WholeStageCodegen span over a 100 TB
+  * `documents` scan.
+  *
+  * Oracle-parity notes: counting uses occurrence semantics
+  * (`filter`+`size`, not distinct intersection) and md5-based
+  * fingerprints, both of which DuckDB reproduces exactly.
+  */
+object Text {
+
+  /** Whitespace tokens of the trimmed text (empty text → [""] guard:
+    * size(...)=0 for blank input). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword proxy: letter runs, single digits, or single
+    * punctuation marks — a deterministic stand-in for a real BPE
+    * vocabulary with the same scaling shape (regex over the text). */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(c: Column): Column = length(c)
+
+  private val PunctClass = "[.,!?;:]"
+
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(PunctClass), lit(0)))
+
+  def punctRatio(c: Column): Column =
+    punctCount(c).cast(DoubleType) / greatest(length(c), lit(1)).cast(DoubleType)
+
+  def digitRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("[0-9]"), lit(0))).cast(DoubleType) /
+      greatest(length(c), lit(1)).cast(DoubleType)
+
+  def upperRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Z]"), lit(0))).cast(DoubleType) /
+      greatest(length(c), lit(1)).cast(DoubleType)
+
+  def avgTokenLen(c: Column): Column =
+    length(c).cast(DoubleType) / greatest(tokenCount(c), lit(1)).cast(DoubleType)
+
+  /** Occurrence count of `words` among the text's tokens. */
+  def markerCount(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words.map(lit(_)): _*)))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with")
+
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    markerCount(c, stopwords).cast(DoubleType) /
+      greatest(tokenCount(c), lit(1)).cast(DoubleType)
+
+  /** Composite quality score in [0,1]: length sweet-spot, low
+    * punctuation/digit noise, healthy stopword density. Weights are
+    * heuristic; the shape (bounded monotone pieces) is what matters. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast(DoubleType) / lit(50.0), lit(1.0))
+    val punctPenalty = least(punctRatio(c) * lit(5.0), lit(1.0))
+    val digitPenalty = least(digitRatio(c) * lit(5.0), lit(1.0))
+    val stopScore = least(stopwordRatio(c) * lit(4.0), lit(1.0))
+    // no rounding: the raw double from this exact expression tree is
+    // bit-reproducible across engines; rounding would reintroduce
+    // half-way-tie divergence
+    lit(0.4) * lenScore + lit(0.3) * stopScore +
+      lit(0.15) * (lit(1.0) - punctPenalty) + lit(0.15) * (lit(1.0) - digitPenalty)
+  }
+
+  /** CJK characters per character — the zh signal. */
+  def cjkCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[\\u4e00-\\u9fff]"), lit(0)))
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic (latin scripts); zh is detected by CJK char density. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une"))
+
+  /** Language-ID: argmax of marker-word hits, zh when CJK chars
+    * dominate, "und" (undetermined) when nothing scores. Ties break by
+    * the fixed language order above (deterministic). */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> markerCount(c, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+    when(cjkCount(c) * 4 > length(c), lit("zh")).otherwise(pick)
+  }
+
+  /** Normalized form used for fingerprinting: lowercase, collapse
+    * whitespace, strip punctuation noise. */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Whole-document fingerprint (md5 of the normalized text — robust
+    * to case/punct/whitespace edits). */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Character k-grams of the normalized text. */
+  def charNgrams(c: Column, k: Int): Column = {
+    val n = normalized(c)
+    val cnt = greatest(length(n) - lit(k - 1), lit(0))
+    slice(
+      transform(sequence(lit(1), greatest(cnt, lit(1))), i => n.substr(i, lit(k))),
+      lit(1), cnt)
+  }
+
+  /** Rolling-hash fingerprint: the minimum k-gram hash (one winnowing
+    * band) — equal fingerprints ⇒ shared k-gram after normalization.
+    * md5-based so the oracle can reproduce it. */
+  def rollingFingerprint(c: Column, k: Int = 16): Column =
+    array_min(transform(charNgrams(c, k), g => md5(g)))
+}

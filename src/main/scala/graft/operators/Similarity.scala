@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * - [[bruteForceTopK]] — exact top-k: one scan, per-partition heaps
+  *   via TakeOrderedAndProject (no full sort, no shuffle of the data;
+  *   only k rows per partition reach the driver-side merge). The
+  *   correct baseline at any scale where a full scan is affordable.
+  * - [[lshTopK]] / [[similarityJoin]] — random-hyperplane LSH: each
+  *   vector gets a `bits`-bit signature; only same-bucket (or
+  *   neighboring-bucket) candidates get exact scoring. Trades recall
+  *   for a ~2^bits scan-reduction — the scale path for repeated
+  *   queries / all-pairs search.
+  *
+  * Dot/norm/cosine are expression compositions (`zip_with` +
+  * `aggregate`, left-to-right double accumulation — deterministic and
+  * oracle-reproducible).
+  */
+object Similarity {
+
+  /** Exact double dot product: products of float pairs are exact in
+    * double; summation is left-to-right (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def litVec(v: Array[Float]): Column =
+    array(v.map(x => lit(x)): _*)
+
+  /** Exact top-k nearest to `query` by the given measure. */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      measure: String = "cosine"): DataFrame = {
+    val q = litVec(query)
+    val score = measure match {
+      case "dot"    => dot(col(vecCol), q)
+      case "cosine" => cosine(col(vecCol), q)
+      case m        => throw new IllegalArgumentException(s"measure $m")
+    }
+    embeddings
+      .select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded; same planes on every
+    * executor — generated on the driver, shipped as literals). */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Pack sign bits of plane dot products into one long bucket id. */
+  def signature(vec: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, litVec(p)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: score only vectors whose signature is within
+    * `probeRadius` bits of the query's signature (multi-probe LSH).
+    * probeRadius=bits degenerates to exact brute force. */
+  def lshTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      bits: Int = 12,
+      probeRadius: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(dim, bits, seed)
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (d > 0) 1L << i else 0L
+    }.reduce(_ | _)
+    embeddings
+      .withColumn("_sig", signature(col(vecCol), planes))
+      .filter(bit_count(col("_sig").bitwiseXOR(lit(qSig))) <= probeRadius)
+      .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs similarity join: bucket by LSH signature, score only
+    * same-bucket pairs, keep those above `threshold`. */
+  def similarityJoin(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val dim = 64 // embeddings fixture dim; parameterize when needed
+    val planes = hyperplanes(dim, bits, seed)
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", signature(col("vec"), planes))
+    val l = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** IVF-style coarse quantization: assign each vector to its nearest
+    * of `centroids`, search only the query's cell (+`nprobe`-1 next
+    * cells). Centroids come from a driver-side sample — the classic
+    * IVF trade: tiny training cost, big scan reduction. */
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: Array[Array[Float]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(col(vecCol), litVec(c)).as("s"), lit(i).as("cell"))
+    }
+    df.withColumn("_cell", greatest(dists: _*).getField("cell"))
+  }
+
+  def ivfTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      centroids: Array[Array[Float]],
+      nprobe: Int = 1): DataFrame = {
+    val qScores = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum, i) }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+    ivfAssign(embeddings, vecCol, centroids)
+      .filter(col("_cell").isin(qScores.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}
