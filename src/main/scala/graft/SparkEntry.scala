@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Abi, Text}
-import graft.operators.{AsOfJoin, Dedup, EventViews, Similarity}
+import graft.operators.{AsOfJoin, Dedup, EventViews, Multimodal, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -325,6 +325,14 @@ object SparkEntry {
         .collect()(0).getSeq[Float](0).toArray
       Similarity.lshTopK(e, "vec_id", "embedding", query, k = 10,
         bits = 8, probeRadius = 3)
+    },
+
+    // multimodal binary columns: synthesize → partition-wise decode →
+    // typed metadata (codec stubbed, plumbing real; Multimodal.scala)
+    "q26_multimodal_meta" -> { (s, dir) =>
+      Multimodal.decodeMeta(Multimodal.syntheticMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -555,7 +563,18 @@ object SparkEntry {
         |from embeddings)
         |select vec_id, score from s
         |where score >= 0.15
-        |order by vec_id""".stripMargin
+        |order by vec_id""".stripMargin,
+
+    "q26_multimodal_meta" ->
+      """select doc_id,
+        |  case cast(doc_id % 3 as int) when 0 then 'image' when 1 then 'audio' else 'video' end as media_type,
+        |  cast((doc_id % 64 + 1) * 16 as int) as width,
+        |  cast((doc_id % 48 + 1) * 16 as int) as height,
+        |  cast(case when doc_id % 3 = 2 then doc_id % 30 + 1 else 1 end as int) as n_frames,
+        |  80 as byte_size,
+        |  true as valid
+        |from documents
+        |order by doc_id""".stripMargin
   )
 
   /** DuckDB fragments shared across oracle queries (kept identical to
