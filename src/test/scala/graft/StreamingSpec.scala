@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.Logs
+import graft.streaming.LogStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(blockNum: Long, logIdx: Long): String =
+    s"""{"address":"0xaaa","topics":["0xsig"],"data":"0x01",""" +
+      s""""blockHash":"0xb$blockNum","blockNumber":"0x${blockNum.toHexString}",""" +
+      s""""transactionHash":"0xtx$blockNum","transactionIndex":"0x0",""" +
+      s""""logIndex":"0x${logIdx.toHexString}","removed":false}"""
+
+  test("streaming ingest: catch-up, checkpoint resume, idempotent sink") {
+    val in = Files.createTempDirectory("stream_in").toString
+    val table = Files.createTempDirectory("stream_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+
+    Files.writeString(java.nio.file.Paths.get(s"$in/w1.ndjson"),
+      Seq(row(1, 0), row(2, 0)).mkString("\n"))
+    val q1 = LogStream.ingest(spark, in, table, ckpt)
+    q1.awaitTermination() // AvailableNow terminates at catch-up (T5 bounded)
+    assert(Logs.read(spark, table).count() === 2)
+
+    // second window lands: one new file, one row overlapping w1
+    Files.writeString(java.nio.file.Paths.get(s"$in/w2.ndjson"),
+      Seq(row(2, 0), row(3, 0)).mkString("\n"))
+    val q2 = LogStream.ingest(spark, in, table, ckpt)
+    q2.awaitTermination()
+    val rows = Logs.read(spark, table)
+    assert(rows.count() === 3) // checkpoint skipped w1; PK dedup ate the overlap
+    assert(Logs.highWaterMark(spark, table) === 3L)
+
+    // full replay from a fresh checkpoint: table unchanged (idempotence)
+    val q3 = LogStream.ingest(spark, in, table,
+      Files.createTempDirectory("stream_ckpt2").toString)
+    q3.awaitTermination()
+    assert(Logs.read(spark, table).count() === 3)
+  }
+
+  test("watermarked tumbling windows over a bounded event stream") {
+    val in = Files.createTempDirectory("ev_in").toString
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .parquet(in)
+    val out = LogStream.windowedCounts(stream)
+    val q = out.writeStream
+      .format("memory").queryName("win_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("win_out")
+    // append mode emits only watermark-closed windows; all but the last
+    // window close on a bounded stream
+    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() >= batch.count() - 10)
+    // spot-check one closed window against the batch computation
+    val sample = got.orderBy("win_start", "event_type").limit(1).collect()(0)
+    val expect = batch
+      .filter($"window.start" === sample.getTimestamp(0) &&
+        $"event_type" === sample.getString(1))
+      .collect()(0).getLong(2)
+    assert(sample.getLong(2) === expect)
+  }
+
+  test("streaming dedup removes cross-batch duplicates inside watermark") {
+    val in = Files.createTempDirectory("dedup_in").toString
+    def write(name: String, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("id", "v", "ts").write.mode("overwrite")
+        .parquet(s"$in/$name")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    write("b1", Seq((1L, "a", t0), (2L, "b", t0)))
+    write("b2", Seq((2L, "b", t0), (3L, "c", t0))) // 2 duplicates across files
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+    val q = LogStream.dedupStream(stream, Seq("id"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_out").select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+  }
+}
