@@ -251,9 +251,10 @@ object SparkEntry {
     // document fingerprinting (whole-doc + rolling-hash winnow band)
     "q18_fingerprints" -> { (s, dir) =>
       Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.normalized(col("text")).as("_n"))
         .select(col("doc_id"),
-          Text.fingerprint(col("text")).as("fp"),
-          Text.rollingFingerprint(col("text"), 16).as("rolling_fp"))
+          md5(col("_n")).as("fp"),
+          Text.rollingFingerprintFromNormalized(col("_n"), 16).as("rolling_fp"))
         .orderBy(col("doc_id"))
     },
 
@@ -266,13 +267,9 @@ object SparkEntry {
 
     // exact n-gram Jaccard similarity over a bounded pair set
     "q20_ngram_jaccard" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents").filter(col("doc_id") < 40)
-      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
-      a.crossJoin(b)
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Dedup.jaccard(col("text_a"), col("text_b"), 2).as("jaccard"))
+      Dedup.jaccardPairs(
+          Tables(s, dir, "documents").filter(col("doc_id") < 40),
+          "doc_id", "text", k = 2)
         .filter(col("jaccard") > 0.02)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -301,10 +298,14 @@ object SparkEntry {
 
     // MinHash+LSH near-dup candidates (xxhash64-based — rows-only
     // check; recall/precision asserted in DedupSpec instead)
+    // bands of 4 rows: band-collision probability ≈ jaccard^4, so the
+    // shared-vocabulary corpus doesn't flood the pair join (2-row bands
+    // at est≥0.05 generated ~10^6 candidate pairs at sf0.1)
     "q23_minhash_near_dup" -> { (s, dir) =>
       Dedup.minhashCandidates(
           Tables(s, dir, "documents"), "doc_id", "text",
-          numHashes = 32, bands = 16, shingleK = 2, minEstimate = 0.05)
+          numHashes = 32, bands = 8, shingleK = 2, minEstimate = 0.15,
+          maxBucket = 500)
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -110,18 +110,30 @@ object Text {
     * to case/punct/whitespace edits). */
   def fingerprint(c: Column): Column = md5(normalized(c))
 
-  /** Character k-grams of the normalized text. */
-  def charNgrams(c: Column, k: Int): Column = {
-    val n = normalized(c)
+  /** Character k-grams of an ALREADY-MATERIALIZED normalized column.
+    * Inside the transform lambda `n` re-evaluates per element; a raw
+    * `normalized(text)` tree there would re-run its regexes for every
+    * gram (see Dedup.shinglesFromTokens performance contract) — stage
+    * the normalized text as a named column first. */
+  def charNgramsFromNormalized(n: Column, k: Int): Column = {
     val cnt = greatest(length(n) - lit(k - 1), lit(0))
     slice(
       transform(sequence(lit(1), greatest(cnt, lit(1))), i => n.substr(i, lit(k))),
       lit(1), cnt)
   }
 
-  /** Rolling-hash fingerprint: the minimum k-gram hash (one winnowing
-    * band) — equal fingerprints ⇒ shared k-gram after normalization.
-    * md5-based so the oracle can reproduce it. */
+  /** Character k-grams of the normalized text (one-shot convenience). */
+  def charNgrams(c: Column, k: Int): Column =
+    charNgramsFromNormalized(normalized(c), k)
+
+  /** Rolling-hash fingerprint from a materialized normalized column:
+    * the minimum k-gram hash (one winnowing band) — equal fingerprints
+    * ⇒ shared k-gram after normalization. md5-based so the oracle can
+    * reproduce it. */
+  def rollingFingerprintFromNormalized(n: Column, k: Int = 16): Column =
+    array_min(transform(charNgramsFromNormalized(n, k), g => md5(g)))
+
+  /** One-shot convenience; stage [[normalized]] first in hot paths. */
   def rollingFingerprint(c: Column, k: Int = 16): Column =
-    array_min(transform(charNgrams(c, k), g => md5(g)))
+    rollingFingerprintFromNormalized(normalized(c), k)
 }

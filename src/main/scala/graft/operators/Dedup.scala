@@ -28,9 +28,16 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"))
 
-  /** Word k-shingles of the normalized text. */
-  def shingles(c: Column, k: Int): Column = {
-    val toks = Text.tokens(Text.normalized(c))
+  /** Word k-shingles from an ALREADY-MATERIALIZED tokens column.
+    *
+    * Performance contract: expressions inside higher-order-function
+    * lambdas are interpreted per element with no common-subexpression
+    * elimination — if `toks` were the raw
+    * `split(regexp_replace(...))` tree, the regexes would re-run for
+    * every shingle (measured: ~700 s for MinHash over 5000 docs at
+    * sf0.1, vs seconds when staged). Heavy operators must stage
+    * normalize→tokenize→shingle as named columns across projections. */
+  def shinglesFromTokens(toks: Column, k: Int): Column = {
     val cnt = greatest(size(toks) - lit(k - 1), lit(0))
     slice(
       transform(sequence(lit(1), greatest(cnt, lit(1))),
@@ -38,14 +45,31 @@ object Dedup {
       lit(1), cnt)
   }
 
-  /** MinHash signature: H independent permutation-minima, hash i =
-    * min over shingles of xxhash64(shingle, i). One expression — no
-    * explode, no shuffle; H·|shingles| hashes per row, codegen'd. */
-  def minhashSignature(c: Column, numHashes: Int, shingleK: Int): Column = {
-    val sh = shingles(c, shingleK)
+  /** Word k-shingles of the normalized text (convenience for one-shot
+    * Column use; see [[shinglesFromTokens]] for the staged form). */
+  def shingles(c: Column, k: Int): Column =
+    shinglesFromTokens(Text.tokens(Text.normalized(c)), k)
+
+  /** MinHash signature from a materialized shingles column. */
+  def signatureFromShingles(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
       array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
-  }
+
+  /** Stage text → normalized → tokens → shingles → signature, one
+    * projection per step so each evaluates once per row. */
+  private def stagedSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"), Text.tokens(Text.normalized(col(textCol))).as("_toks"))
+      .select(col("id"), shinglesFromTokens(col("_toks"), shingleK).as("_sh"))
+      .select(col("id"), signatureFromShingles(col("_sh"), numHashes).as("sig"))
+
+  /** MinHash signature: H independent permutation-minima, hash i =
+    * min over shingles of xxhash64(shingle, i). Convenience Column
+    * form — heavy operators use the staged pipeline instead (see
+    * [[shinglesFromTokens]] performance contract). */
+  def minhashSignature(c: Column, numHashes: Int, shingleK: Int): Column =
+    signatureFromShingles(shingles(c, shingleK), numHashes)
 
   /** MinHash-estimated Jaccard = fraction of agreeing signature slots. */
   def minhashEstimate(sigA: Column, sigB: Column, numHashes: Int): Column =
@@ -77,11 +101,12 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+    val sigs = stagedSignatures(df, idCol, textCol, numHashes, shingleK)
 
+    // bucket membership only — signatures stay out of the pair join
+    // (they'd otherwise be shuffled once per colliding band)
     val banded = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws("_", (0 until rows).map(r =>
           element_at(col("sig"), b * rows + r + 1)): _*))): _*))
@@ -93,26 +118,48 @@ object Dedup {
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
       .drop("_n")
 
-    val l = pruned.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = pruned.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    val l = pruned.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = pruned.select(col("band"), col("band_hash"), col("id").as("id_b"))
 
-    l.join(r, Seq("band", "band_hash"))
+    // distinct pairs FIRST (a pair colliding in k bands appears k
+    // times), then one estimate per unique pair with signatures
+    // re-attached by id
+    val pairs = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         minhashEstimate(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstimate)
   }
 
-  /** Exact Jaccard similarity between the distinct shingle sets. */
-  def jaccard(a: Column, b: Column, k: Int): Column = {
-    val sa = array_distinct(shingles(a, k))
-    val sb = array_distinct(shingles(b, k))
+  /** Exact Jaccard similarity between the distinct shingle sets
+    * (convenience form — computes shingles per call; for pair
+    * enumeration use [[jaccardPairs]], which stages per-doc sets). */
+  def jaccard(a: Column, b: Column, k: Int): Column =
+    jaccardOfSets(array_distinct(shingles(a, k)), array_distinct(shingles(b, k)))
+
+  /** Jaccard of two materialized distinct-shingle arrays. */
+  def jaccardOfSets(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)).cast(DoubleType) /
       greatest(size(array_union(sa, sb)), lit(1)).cast(DoubleType)
+
+  /** All-pairs exact n-gram Jaccard: shingle sets are computed ONCE
+    * per document (staged projections), then only the materialized
+    * arrays flow through the pair join. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sets = df
+      .select(col(idCol).as("id"), Text.tokens(Text.normalized(col(textCol))).as("_toks"))
+      .select(col("id"), array_distinct(shinglesFromTokens(col("_toks"), k)).as("s"))
+    val a = sets.select(col("id").as("id_a"), col("s").as("_sa"))
+    val b = sets.select(col("id").as("id_b"), col("s").as("_sb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardOfSets(col("_sa"), col("_sb")).as("jaccard"))
   }
 
   /** Per-bit vote sums of the 64-bit SimHash: each token hashes once
