@@ -334,6 +334,50 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.syntheticMedia(Tables(s, dir, "documents")))
         .toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // J1 proper: decoded Transfer events valued by the latest token
+    // price at-or-before the event's block (logs × price, the
+    // reference's implied schema.sql:68-81 contract)
+    "q27_price_asof_valuation" -> { (s, dir) =>
+      val transferDef = EventViews.referenceViews
+        .find(_.viewName.startsWith("Transfer")).get
+      val transfers = EventViews.project(syntheticTransferLogs(s, dir), transferDef)
+      // synthetic price series: every token gets a price point each
+      // 100 blocks: (address, block_number, price)
+      val price = Tables(s, dir, "nation").select(
+        format_string("0x%040x", col("n_nationkey")).as("address"),
+        explode(sequence(lit(0L), lit(1400L), lit(100L))).as("block_number"))
+        .withColumn("price", (col("block_number") * 3 + length(col("address"))).cast(DecimalType(38, 0)))
+      AsOfJoin.asOf(
+          transfers.withColumnRenamed("contract_address", "address"),
+          price, Seq("address"), "evt_block_number", "block_number",
+          valueCols = Seq("price"))
+        .select(col("address"), col("evt_block_number"), col("amount"),
+          col("price"), (col("amount") * col("price")).cast(DecimalType(38, 0)).as("value_usd"))
+        .orderBy(col("address"), col("evt_block_number"))
+    },
+
+    // F10-F15 dynamic ABI decode round-trip over MULTI-WORD payloads:
+    // ABI-encode each document text (offset word | length word |
+    // padded payload, up to ~18 words — all-ASCII corpus, so char
+    // length == byte length) in Spark expressions, decode with the
+    // library; oracle passes the text through untouched
+    "q28_abi_dynamic_roundtrip" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          lower(hex(col("text"))).as("_h"))
+        .select(col("doc_id"), col("text"),
+          concat(
+            lit("0x"),
+            lit("0" * 62 + "20"),
+            format_string("%064x", length(col("text"))),
+            expr("rpad(_h, ((length(_h) + 63) div 64) * 64, '0')")).as("_data"))
+        .select(col("doc_id"),
+          Abi.toString(2, col("_data")).as("decoded_text"),
+          Abi.toSize(2, col("_data")).as("decoded_len"),
+          (Abi.toBytes(2, col("_data")) === concat(lit("0x"), lower(hex(col("text"))))).as("bytes_ok"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -565,6 +609,30 @@ object SparkEntry {
         |select vec_id, score from s
         |where score >= 0.15
         |order by vec_id""".stripMargin,
+
+    "q27_price_asof_valuation" ->
+      """with t as (
+        |  select printf('0x%040x', c_nationkey) as address,
+        |         c_custkey as evt_block_number,
+        |         c_custkey * 31 as amount
+        |  from customer),
+        |p as (
+        |  select printf('0x%040x', n_nationkey) as address,
+        |         unnest(generate_series(0, 1400, 100)) as block_number
+        |  from nation),
+        |pr as (select address, block_number,
+        |         block_number * 3 + length(address) as price from p)
+        |select t.address, t.evt_block_number, t.amount, pr.price,
+        |  cast(t.amount * pr.price as decimal(38,0)) as value_usd
+        |from t asof left join pr
+        |  on t.address = pr.address and pr.block_number <= t.evt_block_number
+        |order by t.address, t.evt_block_number""".stripMargin,
+
+    "q28_abi_dynamic_roundtrip" ->
+      """select doc_id, text as decoded_text,
+        |  length(text) as decoded_len, true as bytes_ok
+        |from documents
+        |order by doc_id""".stripMargin,
 
     "q26_multimodal_meta" ->
       """select doc_id,
