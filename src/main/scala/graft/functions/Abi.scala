@@ -264,6 +264,53 @@ object Abi {
   def longToHex(c: Column): Column =
     format_string("0x%x", c)
 
+  /** Exact uint256 decode (full 32-byte range) as a decimal STRING —
+    * the [[Uint256Exact]] custom expression; see its scaladoc for why
+    * this exists next to the parity-truncated [[toUint256]]. */
+  def toUint256Exact(pos: Column, data: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Uint256Exact(
+      ColumnBridge.expression(pos.cast(IntegerType)),
+      ColumnBridge.expression(data)))
+  }
+  def toUint256Exact(pos: Int, data: Column): Column =
+    toUint256Exact(lit(pos), data)
+
+  /** Register the decode library as SQL temp functions, making the
+    * reference's SQL surface (`select to_address(2, topic1) …`,
+    * `init.sql:213-222`) runnable verbatim-modulo-`::text` through
+    * `spark.sql`. Column-builder macros compose at parse time, so
+    * Catalyst still sees plain expressions (inlining + codegen). */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fr = spark.sessionState.functionRegistry
+    def reg(name: String, arity: Int, f: Seq[Column] => Column): Unit =
+      fr.createOrReplaceTempFunction(
+        name,
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (exprs.length != arity)
+            throw new IllegalArgumentException(
+              s"$name expects $arity argument(s) (pos, data convention per init.sql), got ${exprs.length}")
+          ColumnBridge.expression(f(exprs.map(ColumnBridge.column)))
+        },
+        "scala_udf")
+    reg("to_int64", 2, a => toInt64(a(0), a(1)))
+    reg("to_uint64", 2, a => toUint64(a(0), a(1)))
+    reg("to_uint32", 2, a => toUint32(a(0), a(1)))
+    reg("to_int32", 2, a => toInt32(a(0), a(1)))
+    reg("to_uint128", 2, a => toUint128(a(0), a(1)))
+    reg("to_uint256", 2, a => toUint256(a(0), a(1)))
+    reg("to_uint256_exact", 2, a => toUint256Exact(a(0), a(1)))
+    reg("to_address", 2, a => toAddress(a(0), a(1)))
+    reg("to_bool", 2, a => toBool(a(0), a(1)))
+    reg("to_location", 2, a => toLocation(a(0), a(1)))
+    reg("to_size", 2, a => toSize(a(0), a(1)))
+    reg("to_raw_bytes", 2, a => toRawBytes(a(0), a(1)))
+    reg("to_bytes", 2, a => toBytes(a(0), a(1)))
+    reg("to_string", 2, a => toString(a(0), a(1)))
+    reg("from_hex", 1, a => fromHex(a(0)))
+  }
+
   // ---- Reference-exact mode --------------------------------------------
 
   /** Bug-for-bug parity with the shipped SQL (see object Scaladoc):
