@@ -36,6 +36,17 @@ object LogStream {
     * @param pollInterval       None → bounded catch-up (AvailableNow);
     *                           Some(d) → tail-follow with that trigger
     */
+  /** The transformed wire stream: NDJSON captures → analytic rows. */
+  def wireStream(
+      spark: SparkSession,
+      inputDir: String,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    Logs.fromWire(
+      spark.readStream
+        .schema(Logs.wireSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .json(inputDir))
+
   def ingest(
       spark: SparkSession,
       inputDir: String,
@@ -43,14 +54,10 @@ object LogStream {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 100,
       pollInterval: Option[String] = None): StreamingQuery = {
-    val raw = spark.readStream
-      .schema(Logs.wireSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(inputDir)
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
-    Logs.fromWire(raw).writeStream
+    wireStream(spark, inputDir, maxFilesPerTrigger).writeStream
       .queryName("graft_logs_ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -85,4 +92,66 @@ object LogStream {
       tsCol: String,
       watermark: String): DataFrame =
     stream.withWatermark(tsCol, watermark).dropDuplicates(keys)
+
+  // ---- stateful operators (T6) -----------------------------------------
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** T6: gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`): events of one user separated by more
+    * than `gapMillis` belong to different sessions. Closed sessions
+    * emit when the event-time watermark passes their gap horizon
+    * (EventTimeTimeout), so state per key is O(1) — the stateful-op
+    * shape that survives unbounded streams. */
+  def sessionize(
+      events: org.apache.spark.sql.Dataset[UserEvent],
+      gapMillis: Long): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[UserEvent],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      def toSession(s: SessionState) = Session(
+        userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+        s.n, s.total)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession).iterator
+        state.remove()
+        out
+      } else {
+        val evs = batch.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        val closed = Seq.newBuilder[Session]
+        evs.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMillis =>
+              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed += toSession(s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // a timeout below the current watermark is illegal; if late
+          // batches already pushed the watermark past this session's
+          // gap horizon, close it at the next opportunity instead
+          state.setTimeoutTimestamp(
+            math.max(s.last + gapMillis, state.getCurrentWatermarkMs() + 1))
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -70,6 +70,39 @@ class StreamingSpec extends SparkSpec {
     assert(sample.getLong(2) === expect)
   }
 
+  test("stateful sessionization: gap splits, cross-batch state, timeout emit") {
+    import graft.streaming.LogStream.{Session, UserEvent}
+    val in = Files.createTempDirectory("sess_in").toString
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // user 1: two sessions split by a 20-min gap; user 2: one session
+    // one file per batch (coalesce) with distinct mod times so the
+    // file source processes them in event-time order deterministically
+    Seq(UserEvent(1, ts(0), 1.0), UserEvent(1, ts(2), 2.0), UserEvent(2, ts(1), 5.0))
+      .toDF().coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(1100)
+    // second file: continues u1's 2nd session and pushes the watermark
+    // far ahead so earlier sessions time out and emit
+    Seq(UserEvent(1, ts(30), 3.0), UserEvent(1, ts(31), 4.0), UserEvent(2, ts(500), 0.0))
+      .toDF().coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+      .as[UserEvent]
+    val q = LogStream.sessionize(stream, gapMillis = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_out").as[Session].collect()
+      .map(s => (s.user_id, s.session_start.toString, s.n_events, s.total_value)).toSet
+    // u1 session A: min 0-2 (2 events, 3.0); u1 session B: min 30-31
+    // (2 events, 7.0, emitted via timeout when u2's far event advances
+    // the watermark); u2 session: min 1 (1 event, 5.0)
+    assert(got.contains((1L, "2024-01-01 00:00:00.0", 2L, 3.0)))
+    assert(got.contains((1L, "2024-01-01 00:30:00.0", 2L, 7.0)))
+    assert(got.contains((2L, "2024-01-01 00:01:00.0", 1L, 5.0)))
+  }
+
   test("streaming dedup removes cross-batch duplicates inside watermark") {
     val in = Files.createTempDirectory("dedup_in").toString
     def write(name: String, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
