@@ -170,11 +170,17 @@ object SparkEntry {
     // decode with the library; oracle passes the keys through.
     "q11_abi_roundtrip" -> { (s, dir) =>
       val word = (c: Column) => concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
+      // sign-extended int64 word: top 48 hex chars follow the sign
+      val signedWord = (c: Column) => concat(
+        lit("0x"),
+        when(c < 0, lit("f" * 48)).otherwise(lit("0" * 48)),
+        format_string("%016x", c))
       Tables(s, dir, "orders")
         .select(
           col("o_orderkey"),
           Abi.toUint64(2, word(col("o_orderkey"))).cast(LongType).as("decoded_key"),
           Abi.toUint32(2, word(col("o_custkey"))).as("decoded_cust"),
+          Abi.toInt64(2, signedWord(col("o_custkey") - 700)).as("decoded_signed"),
           Abi.toAddress(2, word(col("o_custkey"))).as("cust_addr"),
           Abi.toBool(2, word(col("o_custkey") % 2)).as("odd_cust"))
         .orderBy(col("o_orderkey"))
@@ -471,6 +477,7 @@ object SparkEntry {
       """select o_orderkey,
         |  o_orderkey as decoded_key,
         |  o_custkey as decoded_cust,
+        |  o_custkey - 700 as decoded_signed,
         |  printf('0x%040x', o_custkey) as cust_addr,
         |  (o_custkey % 2 <> 0) as odd_cust
         |from orders
