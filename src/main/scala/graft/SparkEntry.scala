@@ -557,7 +557,7 @@ object SparkEntry {
       s"""with n as (select doc_id, $OracleNorm as norm from documents)
         |select doc_id, md5(norm) as fp,
         |  list_aggregate(
-        |    list_transform(range(1, greatest(len(norm)-16+1, 0)+1),
+        |    list_transform(range(1, greatest(len(norm)-16+1, 0)+1, 4),
         |                   i -> md5(substr(norm, i, 16))), 'min') as rolling_fp
         |from n
         |order by doc_id""".stripMargin,

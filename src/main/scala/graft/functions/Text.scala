@@ -126,12 +126,22 @@ object Text {
   def charNgrams(c: Column, k: Int): Column =
     charNgramsFromNormalized(normalized(c), k)
 
+  /** Character k-grams at every `stride`-th position (winnowing
+    * sample; stride=1 = all grams). */
+  def stridedNgramsFromNormalized(n: Column, k: Int, stride: Int): Column = {
+    val cnt = greatest(length(n) - lit(k - 1), lit(0))
+    filter(
+      transform(sequence(lit(1), greatest(cnt, lit(1)), lit(stride)),
+        i => n.substr(i, lit(k))),
+      g => length(g) === k)
+  }
+
   /** Rolling-hash fingerprint from a materialized normalized column:
-    * the minimum k-gram hash (one winnowing band) — equal fingerprints
-    * ⇒ shared k-gram after normalization. md5-based so the oracle can
-    * reproduce it. */
-  def rollingFingerprintFromNormalized(n: Column, k: Int = 16): Column =
-    array_min(transform(charNgramsFromNormalized(n, k), g => md5(g)))
+    * the minimum sampled k-gram hash (one winnowing band with a
+    * position stride) — equal fingerprints ⇒ shared k-gram after
+    * normalization. md5-based so the oracle can reproduce it. */
+  def rollingFingerprintFromNormalized(n: Column, k: Int = 16, stride: Int = 4): Column =
+    array_min(transform(stridedNgramsFromNormalized(n, k, stride), g => md5(g)))
 
   /** One-shot convenience; stage [[normalized]] first in hot paths. */
   def rollingFingerprint(c: Column, k: Int = 16): Column =

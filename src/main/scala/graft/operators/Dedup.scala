@@ -150,16 +150,28 @@ object Dedup {
 
   /** All-pairs exact n-gram Jaccard: shingle sets are computed ONCE
     * per document (staged projections), then only the materialized
-    * arrays flow through the pair join. */
+    * arrays flow through the pair join. The intersection is staged too
+    * and the union size derived as |A|+|B|−|A∩B| — one set operation
+    * per pair instead of two. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // set ops run over 64-bit shingle hashes, not strings: same
+    // jaccard values (collision odds ~|s|²/2^65 per pair) at a
+    // fraction of the intersect cost
     val sets = df
       .select(col(idCol).as("id"), Text.tokens(Text.normalized(col(textCol))).as("_toks"))
-      .select(col("id"), array_distinct(shinglesFromTokens(col("_toks"), k)).as("s"))
+      .select(col("id"), shinglesFromTokens(col("_toks"), k).as("_sh"))
+      .select(col("id"), array_distinct(transform(col("_sh"), s => xxhash64(s))).as("s"))
     val a = sets.select(col("id").as("id_a"), col("s").as("_sa"))
     val b = sets.select(col("id").as("id_b"), col("s").as("_sb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccardOfSets(col("_sa"), col("_sb")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sa"), col("_sb"))).as("_i"),
+        size(col("_sa")).as("_na"), size(col("_sb")).as("_nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("_i").cast(DoubleType) /
+          greatest(col("_na") + col("_nb") - col("_i"), lit(1)).cast(DoubleType))
+          .as("jaccard"))
   }
 
   /** Per-bit vote sums of the 64-bit SimHash: each token hashes once
@@ -186,6 +198,27 @@ object Dedup {
   /** 64-bit SimHash of the token multiset. */
   def simhash(c: Column): Column = packVotes(simhashVotes(c))
 
+  /** DataFrame-level SimHash: explode tokens → hash once → 64 vote
+    * sums in a codegen'd HashAggregate → pack. Faster than the
+    * per-row lambda (which is interpreted per token) and still
+    * map-side-mostly at scale: partial aggregation collapses each
+    * partition to one row per doc before any shuffle. Docs with zero
+    * tokens drop out (explode of empty array). */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"),
+        explode(Text.tokens(Text.normalized(col(textCol)))).as("_w"))
+      .select(col("id"), xxhash64(col("_w")).as("_h"))
+    val votes = (0 until 64).map(i =>
+      sum(shiftright(col("_h"), i).bitwiseAND(1L) * 2 - 1).as(s"_v$i"))
+    hashed.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
   /** Hamming distance between two SimHash values. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -200,9 +233,7 @@ object Dedup {
       maxDistance: Int = 3,
       bands: Int = 4): DataFrame = {
     val bits = 64 / bands
-    val sigs = df
-      .select(col(idCol).as("id"), simhashVotes(col(textCol)).as("_votes"))
-      .select(col("id"), packVotes(col("_votes")).as("sh"))
+    val sigs = simhashDf(df, idCol, textCol)
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
