@@ -384,6 +384,26 @@ object SparkEntry {
           Abi.toSize(2, col("_data")).as("decoded_len"),
           (Abi.toBytes(2, col("_data")) === concat(lit("0x"), lower(hex(col("text"))))).as("bytes_ok"))
         .orderBy(col("doc_id"))
+    },
+
+    // A2 cube: all grouping-set combinations over two dimensions
+    "q29_cube_status_priority" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+
+    // A2 sketch aggregation: approx_count_distinct (HLL++). No SQL
+    // oracle — HLL estimates aren't cross-engine reproducible; the
+    // ±5%-of-exact contract is asserted in QuerySpec instead.
+    "q30_approx_distinct" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -640,6 +660,13 @@ object SparkEntry {
         |  length(text) as decoded_len, true as bytes_ok
         |from documents
         |order by doc_id""".stripMargin,
+
+    "q29_cube_status_priority" ->
+      """select o_orderstatus, o_orderpriority, count(*) as n,
+        |  sum(cast(o_totalprice as decimal(18,2))) as total
+        |from orders
+        |group by cube(o_orderstatus, o_orderpriority)
+        |order by o_orderstatus nulls first, o_orderpriority nulls first""".stripMargin,
 
     "q26_multimodal_meta" ->
       """select doc_id,

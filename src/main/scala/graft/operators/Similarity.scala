@@ -72,7 +72,10 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Approximate top-k: score only vectors whose signature is within
-    * `probeRadius` bits of the query's signature (multi-probe LSH).
+    * `probeRadius` bits of the query's signature (multi-probe LSH),
+    * in ANY of `numTables` independent hash tables. More tables buy
+    * recall linearly in scan fraction — the standard knob when a
+    * single table's recall is too low (weak-neighbor-structure data).
     * probeRadius=bits degenerates to exact brute force. */
   def lshTopK(
       embeddings: DataFrame,
@@ -82,16 +85,19 @@ object Similarity {
       k: Int,
       bits: Int = 12,
       probeRadius: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      numTables: Int = 1): DataFrame = {
     val dim = query.length
-    val planes = hyperplanes(dim, bits, seed)
-    val qSig = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
-      if (d > 0) 1L << i else 0L
-    }.reduce(_ | _)
+    val candidate = (0 until numTables).map { t =>
+      val planes = hyperplanes(dim, bits, seed + t)
+      val qSig = planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        if (d > 0) 1L << i else 0L
+      }.reduce(_ | _)
+      bit_count(signature(col(vecCol), planes).bitwiseXOR(lit(qSig))) <= probeRadius
+    }.reduce((a, b) => a || b)
     embeddings
-      .withColumn("_sig", signature(col(vecCol), planes))
-      .filter(bit_count(col("_sig").bitwiseXOR(lit(qSig))) <= probeRadius)
+      .filter(candidate)
       .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -90,8 +90,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     // random gaussian vectors have weak neighbor structure — a single
     // hash table at ~36% scan fraction keeping ≥40% of true top-10 is
-    // the expected trade, not a bug (multi-table LSH raises recall)
+    // the expected trade, not a bug
     assert(recall >= 0.4, s"recall=$recall")
+    // more tables monotonically add candidates → recall can only rise
+    val multi = Similarity.lshTopK(e, "vec_id", "embedding", q, 10,
+      bits = 8, probeRadius = 3, numTables = 4).collect().map(_.getLong(0)).toSet
+    val recallMulti = (exact & multi).size.toDouble / exact.size
+    assert(recallMulti >= recall, s"multi=$recallMulti single=$recall")
+    assert(recallMulti >= 0.7, s"recallMulti=$recallMulti")
     // scan reduction actually happened: candidate set << table
     val planes = Similarity.hyperplanes(64, 8)
     val qSig = planes.zipWithIndex.map { case (p, i) =>
