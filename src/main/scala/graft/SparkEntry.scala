@@ -233,13 +233,15 @@ object SparkEntry {
 
     // token counting + punctuation/digit profile
     "q16_text_stats" -> { (s, dir) =>
+      // counts cast to long: Spark size() is int32, DuckDB len() is
+      // int64 — align dtypes, not just values
       Tables(s, dir, "documents")
         .select(
           col("doc_id"),
-          Text.tokenCount(col("text")).as("n_tokens"),
-          Text.bpeishTokenCount(col("text")).as("n_bpeish"),
-          Text.punctCount(col("text")).as("n_punct"),
-          Text.markerCount(col("text"), Text.EnglishStopwords).as("n_stopwords"),
+          Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          Text.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"),
+          Text.punctCount(col("text")).cast(LongType).as("n_punct"),
+          Text.markerCount(col("text"), Text.EnglishStopwords).cast(LongType).as("n_stopwords"),
           Text.punctRatio(col("text")).as("punct_ratio"),
           Text.avgTokenLen(col("text")).as("avg_token_len"))
         .orderBy(col("doc_id"))
@@ -393,6 +395,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+
+    // F14/F19 oracle: fixed-bytes slice (with the reference's
+    // rtrim-'0' quirk) and a real dynamic-array decode to ArrayType
+    "q31_abi_fixed_and_array" -> { (s, dir) =>
+      val w = (c: Column) => format_string("%064x", c)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          // bytes8 value left-aligned in the word
+          concat(lit("0x"), rpad(lower(hex(col("o_custkey"))), 64, "0")).as("_fb"),
+          // dynamic uint array [k, 2k, 3k]: offset | len | elements
+          concat(lit("0x"), lit("0" * 62 + "20"), lit("0" * 63 + "3"),
+            w(col("o_custkey")), w(col("o_custkey") * 2), w(col("o_custkey") * 3)).as("_arr"))
+        .select(col("o_orderkey"),
+          Abi.toFixedBytes(2, col("_fb"), 8).as("fixed_bytes"),
+          transform(Abi.toArray(2, col("_arr"), "uint64"), e => e.cast(LongType))
+            .as("decoded_array"))
+        .orderBy(col("o_orderkey"))
     },
 
     // A2 sketch aggregation: approx_count_distinct (HLL++). No SQL
@@ -648,8 +668,9 @@ object SparkEntry {
         |         unnest(generate_series(0, 1400, 100)) as block_number
         |  from nation),
         |pr as (select address, block_number,
-        |         block_number * 3 + length(address) as price from p)
-        |select t.address, t.evt_block_number, t.amount, pr.price,
+        |         cast(block_number * 3 + length(address) as decimal(38,0)) as price from p)
+        |select t.address, t.evt_block_number,
+        |  cast(t.amount as decimal(38,0)) as amount, pr.price,
         |  cast(t.amount * pr.price as decimal(38,0)) as value_usd
         |from t asof left join pr
         |  on t.address = pr.address and pr.block_number <= t.evt_block_number
@@ -660,6 +681,13 @@ object SparkEntry {
         |  length(text) as decoded_len, true as bytes_ok
         |from documents
         |order by doc_id""".stripMargin,
+
+    "q31_abi_fixed_and_array" ->
+      """select o_orderkey,
+        |  '0x' || rtrim(substr(rpad(printf('%x', o_custkey), 64, '0'), 1, 16), '0') as fixed_bytes,
+        |  [o_custkey, o_custkey * 2, o_custkey * 3] as decoded_array
+        |from orders
+        |order by o_orderkey""".stripMargin,
 
     "q29_cube_status_priority" ->
       """select o_orderstatus, o_orderpriority, count(*) as n,
