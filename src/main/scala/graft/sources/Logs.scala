@@ -141,6 +141,36 @@ object Logs {
   def read(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath).select(schema.fieldNames.map(col): _*)
 
+  /** Compact the small files a micro-batch ingest accumulates: rewrite
+    * the given block-range partitions (default: all) as one sorted file
+    * set each, restoring the (address, topic0) clustering that gives
+    * parquet min/max skipping its power. Run periodically beside a
+    * streaming ingest; correctness is unaffected (same rows, PK-deduped
+    * again in passing). The rewrite is partition-local — cost tracks
+    * the compacted ranges, not the table. Single-writer assumption:
+    * the per-partition overwrite is not atomic for concurrent readers
+    * (a transactional table format is the upgrade path). */
+  def compact(spark: SparkSession, tablePath: String, ranges: Option[Seq[Long]] = None): Unit = {
+    val all = spark.read.parquet(tablePath)
+    // partition-dir values read back as int when they fit (directory
+    // type inference), so widen defensively
+    val targetRanges = ranges.getOrElse(
+      all.select("block_range").distinct().collect()
+        .map(_.getAs[Number](0).longValue()).toSeq)
+    targetRanges.foreach { r =>
+      val part = all.filter(col("block_range") === r)
+        .drop("block_range") // the partition dir path carries the value
+        .dropDuplicates(pk)
+        .repartition(1)
+        .sortWithinPartitions("address", "topic0")
+        .cache()
+      part.count() // materialize before overwriting the source files
+      part.write.mode("overwrite")
+        .parquet(s"$tablePath/block_range=$r")
+      part.unpersist()
+    }
+  }
+
   /** T4: canonical (reorg-resolved) view — latest write per PK wins,
     * `removed=true` tombstones drop out. The window shuffles only on
     * the PK hash; at scale this runs per block-range partition.

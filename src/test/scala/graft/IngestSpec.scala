@@ -71,6 +71,25 @@ class IngestSpec extends SparkSpec {
     assert(canon.select("block_number").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("compaction merges micro-batch files, preserves rows and layout") {
+    val table = Files.createTempDirectory("logs_tbl").toString + "/t"
+    // 5 tiny appends → many small files in one partition
+    (1 to 5).foreach { i =>
+      Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(i, 0)))), table)
+    }
+    def dataFiles() = new java.io.File(s"$table/block_range=0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFiles() >= 5)
+    Logs.compact(spark, table)
+    assert(dataFiles() === 1)
+    val rows = Logs.read(spark, table)
+    assert(rows.count() === 5)
+    assert(Logs.highWaterMark(spark, table) === 5L)
+    // still idempotent afterwards
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(3, 0)))), table)
+    assert(Logs.read(spark, table).count() === 5)
+  }
+
   test("partition layout: block_range partitions exist and prune") {
     val table = Files.createTempDirectory("logs_tbl").toString + "/t"
     val far = Logs.blocksPerPartition * 3 + 7
