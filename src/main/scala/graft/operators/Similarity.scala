@@ -111,8 +111,8 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       bits: Int = 12,
-      seed: Long = 42L): DataFrame = {
-    val dim = 64 // embeddings fixture dim; parameterize when needed
+      seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, bits, seed)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("sig", signature(col("vec"), planes))

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.functions.Abi
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,6 +23,43 @@ object Price {
     StructField("price", DecimalType(38, 0))))
 
   val pk: Seq[String] = Seq("address", "block_number")
+
+  /** Wire record of one `eth_call` price probe: the Chainlink
+    * `latestAnswer` response is a single ABI word (`get_price.go:46`
+    * selector `0x50d25bcd`; worked capture
+    * `curl-call-chainlink-price.sh`). `token` identifies the asset the
+    * probe priced, `blockNumber` the as-of block (`main.go:102-104`). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("token", StringType),
+    StructField("blockNumber", StringType),
+    StructField("result", StringType)))
+
+  /** Wire → analytic rows: hex block, ABI-word price (USD×1e8 integral,
+    * `schema.sql:78-81`). */
+  def fromWire(raw: DataFrame): DataFrame = raw.select(
+    col("token").as("address"),
+    Abi.hexToLong(col("blockNumber")).as("block_number"),
+    Abi.toUint256(2, col("result")).as("price"))
+
+  /** Batch replay of an NDJSON price-probe capture. */
+  def readNdjson(spark: SparkSession, path: String): DataFrame =
+    fromWire(spark.read.schema(wireSchema).json(path))
+
+  /** Streaming ingest of price probes with the same checkpoint +
+    * idempotent-sink contract as the logs stream. */
+  def ingest(
+      spark: SparkSession,
+      inputDir: String,
+      tablePath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    fromWire(spark.readStream.schema(wireSchema).json(inputDir))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        appendIdempotent(b.sparkSession, b, tablePath)
+      }
+      .start()
 
   /** S6: idempotent append, PK DO-NOTHING semantics
     * (`get_price.go:96`). Dimension-sized table — plain anti-join. */

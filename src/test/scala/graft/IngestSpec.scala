@@ -90,6 +90,31 @@ class IngestSpec extends SparkSpec {
     assert(Logs.read(spark, table).count() === 5)
   }
 
+  test("price probe ingest: wire decode, streaming idempotence, as-of ready") {
+    import graft.sources.Price
+    val in = Files.createTempDirectory("price_in").toString
+    val table = Files.createTempDirectory("price_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("price_ckpt").toString
+    def probe(block: Long, priceUsd8: Long) =
+      s"""{"token":"0xtok1","blockNumber":"0x${block.toHexString}",""" +
+        s""""result":"0x${"%064x".format(priceUsd8)}"}"""
+    Files.writeString(java.nio.file.Paths.get(s"$in/p1.ndjson"),
+      Seq(probe(100, 4215000000L), probe(200, 4301000000L)).mkString("\n"))
+    val q = Price.ingest(spark, in, table, ckpt)
+    q.awaitTermination()
+    val rows = spark.read.parquet(table).orderBy("block_number").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("address") === "0xtok1")
+    assert(rows(0).getAs[Long]("block_number") === 100L)
+    assert(rows(0).getAs[java.math.BigDecimal]("price").longValue === 4215000000L)
+    // replay window (overlap) → PK DO-NOTHING
+    Files.writeString(java.nio.file.Paths.get(s"$in/p2.ndjson"),
+      Seq(probe(200, 4301000000L), probe(300, 4350000000L)).mkString("\n"))
+    val q2 = Price.ingest(spark, in, table, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(table).count() === 3)
+  }
+
   test("partition layout: block_range partitions exist and prune") {
     val table = Files.createTempDirectory("logs_tbl").toString + "/t"
     val far = Logs.blocksPerPartition * 3 + 7
