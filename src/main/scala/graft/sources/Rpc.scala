@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Live JSON-RPC ingestion — the reference's E1 loop over a real HTTP
+  * boundary (`main.go:200-242`): resume from the table's high-water
+  * mark, probe the head (`eth_blockNumber`), pull tumbling
+  * `blockStep` windows of `eth_getLogs` with the contract-address
+  * filter pushed INTO the request (`get_logs.go:69-79` — source-side
+  * predicate pushdown), transform, and append idempotently.
+  *
+  * Retry state machine per the reference (`main.go:93-160`):
+  * - transport errors and HTTP 429/503/504 → sleep `retryMillis`,
+  *   retry the same window indefinitely;
+  * - RPC error -32602 (window too large / bad params) → skip the
+  *   window without aborting (`main.go:141-146`);
+  * - any other RPC error → fatal.
+  *
+  * The RPC exchange happens on the driver (windows are small by
+  * design — the node is the bottleneck, `README.md:100-103`); Spark
+  * parses/transforms/appends, so the analytic side scales exactly
+  * like batch replay. Envelope parsing uses Spark's own from_json —
+  * no JSON library dependency.
+  */
+object Rpc {
+
+  case class Config(
+      endpoint: String,
+      contracts: Seq[String] = Seq.empty,
+      fromBlock: Option[Long] = None,
+      toBlock: Option[Long] = None, // None = follow the head forever (T5)
+      blockStep: Long = 100,
+      sleepMillis: Long = 5000,
+      retryMillis: Long = 10000)
+
+  private val envelopeSchema = StructType(Seq(
+    StructField("result", StringType),
+    StructField("error", StructType(Seq(
+      StructField("code", LongType),
+      StructField("message", StringType))))))
+
+  private lazy val http = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+
+  private def post(endpoint: String, body: String): HttpResponse[String] =
+    http.send(
+      HttpRequest.newBuilder(URI.create(endpoint))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def quote(ss: Seq[String]): String =
+    ss.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+
+  /** One RPC call with the reference's retry semantics; returns the
+    * raw response body, or None when the window should be skipped. */
+  private def call(endpoint: String, body: String, retryMillis: Long,
+      sleeper: Long => Unit): Option[String] = {
+    while (true) {
+      val resp =
+        try Some(post(endpoint, body))
+        catch { case _: java.io.IOException => None } // transport error
+      resp match {
+        case Some(r) if r.statusCode() == 200 => return Some(r.body())
+        case Some(r) if Set(429, 503, 504)(r.statusCode()) => sleeper(retryMillis)
+        case Some(r) => throw new RuntimeException(s"RPC HTTP ${r.statusCode()}: ${r.body().take(200)}")
+        case None => sleeper(retryMillis)
+      }
+    }
+    None // unreachable
+  }
+
+  /** Parse the envelope via Spark; `resultIsArray` keeps the result as
+    * raw JSON text for a second-stage parse. */
+  private def envelope(spark: SparkSession, body: String): (Option[String], Option[(Long, String)]) = {
+    import spark.implicits._
+    // result can be a scalar or array; capture it as raw text
+    val row = Seq(body).toDF("b")
+      .select(from_json(col("b"),
+        StructType(Seq(
+          StructField("error", envelopeSchema("error").dataType))),
+        Map.empty[String, String]).as("e"),
+        get_json_object(col("b"), "$.result").as("result"))
+      .select(col("result"), col("e.error.code"), col("e.error.message"))
+      .collect()(0)
+    val err = if (!row.isNullAt(1)) Some((row.getLong(1), row.getString(2))) else None
+    (Option(row.getString(0)), err)
+  }
+
+  /** S2: `eth_blockNumber` head probe (`get_block_number.go:3-27`). */
+  def blockNumber(spark: SparkSession, endpoint: String,
+      retryMillis: Long = 10000, sleeper: Long => Unit = Thread.sleep): Long = {
+    val body = call(endpoint,
+      """{"jsonrpc":"2.0","id":1,"method":"eth_blockNumber","params":[]}""",
+      retryMillis, sleeper).get
+    val (result, err) = envelope(spark, body)
+    err.foreach { case (c, m) => throw new RuntimeException(s"eth_blockNumber error $c: $m") }
+    java.lang.Long.parseLong(result.get.stripPrefix("0x"), 16)
+  }
+
+  /** S1: one `eth_getLogs` window as an analytic DataFrame; None = the
+    * node refused the window (-32602) and it should be skipped. */
+  def getLogs(spark: SparkSession, cfg: Config, from: Long, to: Long,
+      sleeper: Long => Unit = Thread.sleep): Option[DataFrame] = {
+    val addrFilter =
+      if (cfg.contracts.nonEmpty) s""""address":${quote(cfg.contracts)},""" else ""
+    val req =
+      s"""{"jsonrpc":"2.0","id":1,"method":"eth_getLogs","params":[{$addrFilter"fromBlock":"0x${from.toHexString}","toBlock":"0x${to.toHexString}"}]}"""
+    val body = call(cfg.endpoint, req, cfg.retryMillis, sleeper).get
+    val (result, err) = envelope(spark, body)
+    err match {
+      case Some((-32602, _)) => None // skip window (main.go:141-146)
+      case Some((c, m)) => throw new RuntimeException(s"eth_getLogs error $c: $m")
+      case None =>
+        import spark.implicits._
+        val wire = Seq(result.getOrElse("[]")).toDF("j")
+          .select(explode(from_json(col("j"), ArrayType(Logs.wireSchema))).as("r"))
+          .select(col("r.*"))
+        Some(Logs.fromWire(wire))
+    }
+  }
+
+  /** E1: the bounded-or-infinite poll loop. Returns the last ingested
+    * block. `maxIterations` guards tests; production tail-follow runs
+    * with `toBlock=None` until stopped. */
+  def ingestLoop(
+      spark: SparkSession,
+      cfg: Config,
+      tablePath: String,
+      sleeper: Long => Unit = Thread.sleep,
+      maxIterations: Int = Int.MaxValue): Long = {
+    var from = cfg.fromBlock.getOrElse(math.max(Logs.highWaterMark(spark, tablePath), 0L) + 1)
+    val target = cfg.toBlock.getOrElse(Long.MaxValue) // T5: unset = infinity (main.go:60-68)
+    var iter = 0
+    var last = from - 1
+    while (from <= target && iter < maxIterations) {
+      iter += 1
+      val head = blockNumber(spark, cfg.endpoint, cfg.retryMillis, sleeper)
+      if (from > math.min(head, target)) {
+        if (from > target) return last
+        sleeper(cfg.sleepMillis) // caught up to head: back off (T2, main.go:221-226)
+      } else {
+        val to = math.min(math.min(from + cfg.blockStep - 1, head), target)
+        getLogs(spark, cfg, from, to, sleeper) match {
+          case Some(batch) => Logs.appendIdempotent(spark, batch, tablePath)
+          case None => // window refused; advance anyway, as the reference does
+        }
+        last = to
+        from = to + 1
+      }
+    }
+    last
+  }
+}

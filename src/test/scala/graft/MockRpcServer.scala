@@ -1,0 +1,59 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** In-JVM mock EVM node: serves `eth_blockNumber` and `eth_getLogs`
+  * (with fromBlock/toBlock/address filtering) from an in-memory log
+  * fixture, with injectable failure modes for the retry/skip paths. */
+class MockRpcServer {
+
+  case class MockLog(block: Long, address: String, idx: Long) {
+    def json: String =
+      s"""{"address":"$address","topics":["0xsig","0x${"%064x".format(block)}"],""" +
+        s""""data":"0x${"%064x".format(block * 3)}","blockHash":"0xb${block.toHexString}",""" +
+        s""""blockNumber":"0x${block.toHexString}","transactionHash":"0xt$block","transactionIndex":"0x0",""" +
+        s""""logIndex":"0x${idx.toHexString}","removed":false}"""
+  }
+
+  @volatile var logs: Seq[MockLog] = Seq.empty
+  @volatile var head: Long = 0L
+  @volatile var failNext: Int = 0           // respond 503 this many times
+  @volatile var refuse: Set[(Long, Long)] = Set.empty // -32602 windows
+  @volatile var requests: Vector[String] = Vector.empty
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    synchronized { requests :+= body }
+    val resp =
+      if (failNext > 0) { failNext -= 1; (503, """{"error":"busy"}""") }
+      else if (body.contains("eth_blockNumber"))
+        (200, s"""{"jsonrpc":"2.0","id":1,"result":"0x${head.toHexString}"}""")
+      else if (body.contains("eth_getLogs")) {
+        val from = java.lang.Long.parseLong(
+          "\"fromBlock\":\"0x([0-9a-f]+)\"".r.findFirstMatchIn(body).get.group(1), 16)
+        val to = java.lang.Long.parseLong(
+          "\"toBlock\":\"0x([0-9a-f]+)\"".r.findFirstMatchIn(body).get.group(1), 16)
+        if (refuse((from, to)))
+          (200, """{"jsonrpc":"2.0","id":1,"error":{"code":-32602,"message":"window too large"}}""")
+        else {
+          val addrs = "\"address\":\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
+            .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet)
+          val hits = logs.filter(l => l.block >= from && l.block <= to &&
+            addrs.forall(_.contains(l.address)))
+          (200, s"""{"jsonrpc":"2.0","id":1,"result":[${hits.map(_.json).mkString(",")}]}""")
+        }
+      } else (200, """{"jsonrpc":"2.0","id":1,"error":{"code":-32601,"message":"no such method"}}""")
+    val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(resp._1, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  })
+  server.start()
+
+  val endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}/"
+  def stop(): Unit = server.stop(0)
+}

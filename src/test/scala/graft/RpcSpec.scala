@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.{Logs, Rpc}
+import java.nio.file.Files
+
+/** The live E1 loop against the mock node: windowing, resume, retry,
+  * window-skip, and source-side address pushdown. */
+class RpcSpec extends SparkSpec {
+
+  private def newServer(maxBlock: Long): MockRpcServer = {
+    val s = new MockRpcServer
+    s.logs = (1L to maxBlock).map(b => s.MockLog(b, if (b % 2 == 0) "0xeven" else "0xodd", 0))
+    s.head = maxBlock
+    s
+  }
+  private val noSleep: Long => Unit = _ => ()
+
+  test("bounded poll loop ingests all windows and resumes from hwm") {
+    val s = newServer(25)
+    try {
+      val table = Files.createTempDirectory("rpc_tbl").toString + "/t"
+      val cfg = Rpc.Config(s.endpoint, blockStep = 10, toBlock = Some(25))
+      val last = Rpc.ingestLoop(spark, cfg, table, noSleep)
+      assert(last === 25)
+      assert(Logs.read(spark, table).count() === 25)
+      assert(Logs.highWaterMark(spark, table) === 25)
+      // chain advances; re-run with no explicit fromBlock → hwm+1 resume
+      s.logs = s.logs ++ (26L to 30L).map(b => s.MockLog(b, "0xodd", 0))
+      s.head = 30
+      Rpc.ingestLoop(spark, Rpc.Config(s.endpoint, blockStep = 10, toBlock = Some(30)), table, noSleep)
+      assert(Logs.read(spark, table).count() === 30)
+      // windows requested were step-bounded and resumed past 25
+      val windows = s.requests.filter(_.contains("eth_getLogs"))
+      assert(windows.exists(_.contains("\"fromBlock\":\"0x1a\""))) // 26
+    } finally s.stop()
+  }
+
+  test("retry on 503 (reference backoff path) then success") {
+    val s = newServer(5)
+    try {
+      val table = Files.createTempDirectory("rpc_tbl").toString + "/t"
+      var slept = 0
+      s.failNext = 2
+      Rpc.ingestLoop(spark, Rpc.Config(s.endpoint, blockStep = 10, toBlock = Some(5), retryMillis = 7),
+        table, l => { assert(l === 7); slept += 1 })
+      assert(slept >= 2)
+      assert(Logs.read(spark, table).count() === 5)
+    } finally s.stop()
+  }
+
+  test("-32602 skips the window without aborting (main.go:141-146)") {
+    val s = newServer(20)
+    try {
+      val table = Files.createTempDirectory("rpc_tbl").toString + "/t"
+      s.refuse = Set((11L, 20L))
+      Rpc.ingestLoop(spark, Rpc.Config(s.endpoint, blockStep = 10, toBlock = Some(20)), table, noSleep)
+      val blocks = Logs.read(spark, table)
+        .select("block_number").collect().map(_.getLong(0)).sorted
+      assert(blocks.toSeq === (1L to 10L)) // refused window absent, loop completed
+    } finally s.stop()
+  }
+
+  test("contract-address filter pushes into the RPC request (get_logs.go:69-79)") {
+    val s = newServer(10)
+    try {
+      val table = Files.createTempDirectory("rpc_tbl").toString + "/t"
+      Rpc.ingestLoop(spark,
+        Rpc.Config(s.endpoint, contracts = Seq("0xeven"), blockStep = 20, toBlock = Some(10)),
+        table, noSleep)
+      val rows = Logs.read(spark, table)
+      assert(rows.count() === 5)
+      assert(rows.select("address").distinct().collect().map(_.getString(0)).toSeq === Seq("0xeven"))
+      // pushdown really happened server-side: the request carried the filter
+      assert(s.requests.exists(r => r.contains("eth_getLogs") && r.contains("\"address\":[\"0xeven\"]")))
+    } finally s.stop()
+  }
+}
