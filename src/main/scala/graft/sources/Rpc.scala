@@ -36,7 +36,14 @@ object Rpc {
       toBlock: Option[Long] = None, // None = follow the head forever (T5)
       blockStep: Long = 100,
       sleepMillis: Long = 5000,
-      retryMillis: Long = 10000)
+      retryMillis: Long = 10000,
+      /** T4: re-pull this many blocks below the high-water mark on
+        * resume — the confirmation-depth window where reorgs happen.
+        * Idempotence makes re-pulls free (duplicates DO-NOTHING);
+        * replaced blocks arrive under their NEW hashes (new PKs) and
+        * [[Logs.canonical]] resolves the versions at read. The
+        * reference leaves this as a todo (`get_logs.go:107`). */
+      rescanDepth: Long = 0)
 
   private val envelopeSchema = StructType(Seq(
     StructField("result", StringType),
@@ -134,7 +141,8 @@ object Rpc {
       tablePath: String,
       sleeper: Long => Unit = Thread.sleep,
       maxIterations: Int = Int.MaxValue): Long = {
-    var from = cfg.fromBlock.getOrElse(math.max(Logs.highWaterMark(spark, tablePath), 0L) + 1)
+    var from = cfg.fromBlock.getOrElse(
+      math.max(math.max(Logs.highWaterMark(spark, tablePath), 0L) + 1 - cfg.rescanDepth, 1L))
     val target = cfg.toBlock.getOrElse(Long.MaxValue) // T5: unset = infinity (main.go:60-68)
     var iter = 0
     var last = from - 1

