@@ -11,11 +11,13 @@ compare after sorting columns by name and rows by all values.
 Exit 0 iff every query with an oracle matches exactly. Queries without
 an oracle entry are listed as rows-only (count shown).
 """
+import glob
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -30,6 +32,31 @@ def norm_cell(v):
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def dtype_mismatches(out_dir, name, con, sql):
+    """Driver-equivalent dtype audit: the round driver compares pandas
+    frames (spark parquet via pyarrow vs duckdb .df()), so a value-equal
+    pair still hash-mismatches when dtypes differ (decimal→object vs
+    float64, int32 vs int64, datetime64[ns] vs [us]). Returns
+    [(col, spark_dtype, oracle_dtype), ...]."""
+    parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    spark_df = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+    oracle_df = con.sql(sql).df()
+    mism = []
+    for c in sorted(spark_df.columns):
+        if c not in oracle_df.columns:
+            continue
+        sd, od = str(spark_df[c].dtype), str(oracle_df[c].dtype)
+        if sd == od == "object":
+            sv = next((v for v in spark_df[c] if v is not None), None)
+            ov = next((v for v in oracle_df[c] if v is not None), None)
+            if sv is not None and ov is not None and type(sv) is not type(ov):
+                mism.append((c, f"object[{type(sv).__name__}]",
+                             f"object[{type(ov).__name__}]"))
+        elif sd != od:
+            mism.append((c, sd, od))
+    return mism
 
 
 def frame(rel):
@@ -67,7 +94,12 @@ def main(sf_dir, out_dir):
             continue
         # row order must match too (queries are written totally ordered)
         if gr == er:
-            print(f"  ✓ {name}: {len(gr)} rows")
+            dt = dtype_mismatches(out_dir, name, con, oracle[name])
+            if dt:
+                print(f"  ✗ {name}: values match but DTYPES differ: {dt}")
+                failed.append(name)
+            else:
+                print(f"  ✓ {name}: {len(gr)} rows")
             continue
         gs, es = sorted(gr), sorted(er)
         if gs == es:

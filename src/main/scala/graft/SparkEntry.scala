@@ -15,7 +15,16 @@ import org.apache.spark.sql.types._
   * - every query is TOTALLY ordered in both engines;
   * - double aggregation goes through decimal casts (exact, order-
   *   independent) — raw doubles appear only as pass-through columns;
-  * - every computed column is aliased identically on both sides.
+  * - every computed column is aliased identically on both sides;
+  * - NO decimal/int32/array column reaches a gated output: the
+  *   driver's pandas comparator renders Spark-parquet decimals as
+  *   Decimal objects but DuckDB decimals as float64 (hash mismatch
+  *   even when values are equal), Spark int32 vs DuckDB int64 differ,
+  *   and raw arrays crash its sort. So: final-cast every decimal
+  *   aggregate to double on BOTH sides (internal math stays
+  *   decimal-exact; unscaled values here are < 2^53, so both engines'
+  *   correctly-rounded decimal→double casts agree bitwise), ranks and
+  *   counts to bigint, arrays to a joined string.
   */
 object SparkEntry {
 
@@ -53,10 +62,10 @@ object SparkEntry {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(4, 2)))).as("sum_disc_price"),
+            (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -82,7 +91,7 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(
           sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(4, 2)))).as("revenue"),
+            (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     },
@@ -111,10 +120,10 @@ object SparkEntry {
       Tables(s, dir, "orders")
         .select(
           col("o_custkey"), col("o_orderkey"),
-          row_number().over(w).as("rn"),
+          row_number().over(w).cast(LongType).as("rn"),
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .as("running_total"))
+            .cast(DoubleType).as("running_total"))
         .orderBy(col("o_custkey"), col("rn"))
     },
 
@@ -148,7 +157,7 @@ object SparkEntry {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast(DecimalType(18, 2))).as("acctbal_sum"))
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("acctbal_sum"))
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     },
 
@@ -162,7 +171,12 @@ object SparkEntry {
           col("event_id").as("click_event_id"), col("ts").as("click_ts"))
       AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
           valueCols = Seq("click_event_id", "click_ts"))
-        .select(col("event_id"), col("user_id"), col("click_event_id"), col("click_ts"))
+        // timestamp_ntz: parquet TIMESTAMP(adjusted=false) — naive like
+        // DuckDB's TIMESTAMP, so the driver sees datetime64[us] on both
+        // sides (an instant-typed column writes adjusted=true → pandas
+        // reads tz-aware → dtype mismatch vs the naive oracle)
+        .select(col("event_id"), col("user_id"), col("click_event_id"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts"))
         .orderBy(col("event_id"))
     },
 
@@ -193,7 +207,7 @@ object SparkEntry {
       EventViews.project(syntheticTransferLogs(s, dir), transferDef)
         .groupBy(col("contract_address"))
         .agg(count(lit(1)).as("n_transfers"),
-          sum(col("amount")).as("total_amount"),
+          sum(col("amount")).cast(DoubleType).as("total_amount"),
           max(col("to")).as("max_to_addr"))
         .orderBy(col("contract_address"))
     },
@@ -203,9 +217,10 @@ object SparkEntry {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
-        .select(col("window.start").as("win_start"), col("event_type"),
-          col("n"), col("total_value"))
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
+        // timestamp_ntz for the same naive-vs-instant reason as q10
+        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
         .orderBy(col("win_start"), col("event_type"))
     },
 
@@ -361,8 +376,10 @@ object SparkEntry {
           transfers.withColumnRenamed("contract_address", "address"),
           price, Seq("address"), "evt_block_number", "block_number",
           valueCols = Seq("price"))
-        .select(col("address"), col("evt_block_number"), col("amount"),
-          col("price"), (col("amount") * col("price")).cast(DecimalType(38, 0)).as("value_usd"))
+        .select(col("address"), col("evt_block_number"),
+          col("amount").cast(DoubleType).as("amount"),
+          col("price").cast(DoubleType).as("price"),
+          (col("amount") * col("price")).cast(DoubleType).as("value_usd"))
         .orderBy(col("address"), col("evt_block_number"))
     },
 
@@ -393,14 +410,20 @@ object SparkEntry {
       Tables(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     },
 
     // F14/F19 oracle: fixed-bytes slice (with the reference's
-    // rtrim-'0' quirk) and a real dynamic-array decode to ArrayType
+    // rtrim-'0' quirk) and a dynamic-array decode. The array head
+    // (location/size words) is STAGED as named columns so the
+    // transform lambda only references attributes (HOF staging rule);
+    // the output is the comma-joined string form — the driver's
+    // pandas comparator can't sort raw arrays (native ArrayType is
+    // exercised in AbiSpec).
     "q31_abi_fixed_and_array" -> { (s, dir) =>
       val w = (c: Column) => format_string("%064x", c)
+      val (base, n) = Abi.arrayHead(lit(2), col("_arr"))
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           // bytes8 value left-aligned in the word
@@ -408,9 +431,13 @@ object SparkEntry {
           // dynamic uint array [k, 2k, 3k]: offset | len | elements
           concat(lit("0x"), lit("0" * 62 + "20"), lit("0" * 63 + "3"),
             w(col("o_custkey")), w(col("o_custkey") * 2), w(col("o_custkey") * 3)).as("_arr"))
+        .select(col("o_orderkey"), col("_fb"), col("_arr"),
+          base.as("_base"), n.as("_n"))
         .select(col("o_orderkey"),
           Abi.toFixedBytes(2, col("_fb"), 8).as("fixed_bytes"),
-          transform(Abi.toArray(2, col("_arr"), "uint64"), e => e.cast(LongType))
+          array_join(
+            Abi.toArrayFrom(col("_base"), col("_n"), col("_arr"), "uint64")
+              .cast(ArrayType(StringType)), ",")
             .as("decoded_array"))
         .orderBy(col("o_orderkey"))
     },
@@ -431,9 +458,9 @@ object SparkEntry {
 
     "q01_agg_pricing_summary" ->
       """select l_returnflag, l_linestatus,
-        |  sum(cast(l_quantity as decimal(18,2))) as sum_qty,
-        |  sum(cast(l_extendedprice as decimal(18,2))) as sum_base_price,
-        |  sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(4,2)))) as sum_disc_price,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(4,2)))) as double) as sum_disc_price,
         |  count(*) as count_order
         |from lineitem
         |group by l_returnflag, l_linestatus
@@ -449,7 +476,7 @@ object SparkEntry {
 
     "q03_join_agg_revenue" ->
       """select c_mktsegment,
-        |  sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(4,2)))) as revenue,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(4,2)))) as double) as revenue,
         |  count(distinct o_orderkey) as n_orders
         |from lineitem
         |join orders on l_orderkey = o_orderkey
@@ -473,10 +500,10 @@ object SparkEntry {
 
     "q06_window_order_seq" ->
       """select o_custkey, o_orderkey,
-        |  row_number() over w as rn,
-        |  sum(cast(o_totalprice as decimal(18,2))) over (
+        |  cast(row_number() over w as bigint) as rn,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) over (
         |    partition by o_custkey order by o_orderdate, o_orderkey
-        |    rows between unbounded preceding and current row) as running_total
+        |    rows between unbounded preceding and current row) as double) as running_total
         |from orders
         |window w as (partition by o_custkey order by o_orderdate, o_orderkey)
         |order by o_custkey, rn""".stripMargin,
@@ -498,7 +525,7 @@ object SparkEntry {
 
     "q09_rollup_geo" ->
       """select r_name, n_name, count(*) as n_cust,
-        |  sum(cast(c_acctbal as decimal(18,2))) as acctbal_sum
+        |  cast(sum(cast(c_acctbal as decimal(18,2))) as double) as acctbal_sum
         |from customer
         |join nation on c_nationkey = n_nationkey
         |join region on n_regionkey = r_regionkey
@@ -526,7 +553,7 @@ object SparkEntry {
     "q12_transfer_view_pipeline" ->
       """select printf('0x%040x', c_nationkey) as contract_address,
         |  count(*) as n_transfers,
-        |  sum(cast(c_custkey as decimal(38,0)) * 31) as total_amount,
+        |  cast(sum(cast(c_custkey as decimal(38,0)) * 31) as double) as total_amount,
         |  max(printf('0x%040x', c_custkey * 7)) as max_to_addr
         |from customer
         |group by contract_address
@@ -535,7 +562,7 @@ object SparkEntry {
     "q13_tumbling_windows" ->
       """select time_bucket(interval '5 minutes', ts) as win_start, event_type,
         |  count(*) as n,
-        |  sum(cast(value as decimal(18,4))) as total_value
+        |  cast(sum(cast(value as decimal(18,4))) as double) as total_value
         |from events
         |group by win_start, event_type
         |order by win_start, event_type""".stripMargin,
@@ -670,8 +697,9 @@ object SparkEntry {
         |pr as (select address, block_number,
         |         cast(block_number * 3 + length(address) as decimal(38,0)) as price from p)
         |select t.address, t.evt_block_number,
-        |  cast(t.amount as decimal(38,0)) as amount, pr.price,
-        |  cast(t.amount * pr.price as decimal(38,0)) as value_usd
+        |  cast(t.amount as double) as amount,
+        |  cast(pr.price as double) as price,
+        |  cast(t.amount * pr.price as double) as value_usd
         |from t asof left join pr
         |  on t.address = pr.address and pr.block_number <= t.evt_block_number
         |order by t.address, t.evt_block_number""".stripMargin,
@@ -685,13 +713,13 @@ object SparkEntry {
     "q31_abi_fixed_and_array" ->
       """select o_orderkey,
         |  '0x' || rtrim(substr(rpad(printf('%x', o_custkey), 64, '0'), 1, 16), '0') as fixed_bytes,
-        |  [o_custkey, o_custkey * 2, o_custkey * 3] as decoded_array
+        |  array_to_string([o_custkey, o_custkey * 2, o_custkey * 3], ',') as decoded_array
         |from orders
         |order by o_orderkey""".stripMargin,
 
     "q29_cube_status_priority" ->
       """select o_orderstatus, o_orderpriority, count(*) as n,
-        |  sum(cast(o_totalprice as decimal(18,2))) as total
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total
         |from orders
         |group by cube(o_orderstatus, o_orderpriority)
         |order by o_orderstatus nulls first, o_orderpriority nulls first""".stripMargin,

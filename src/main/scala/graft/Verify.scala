@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // dump timestamps as TIMESTAMP_MICROS: the driver's pandas
+      // comparator reads parquet ns-timestamps as datetime64[ns] but
+      // DuckDB results as datetime64[us] — dtype mismatch fails the
+      // hash even when instants are equal (q13, round 1)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -213,16 +213,32 @@ object Abi {
     * `init.sql:185-195`; see [[toArrayCompat]]). Element *i*'s word
     * starts after the length word: hex position `2 + loc*2 + 64 + 64*i`. */
   def toArray(pos: Column, data: Column, abiType: String): Column = {
-    val base = lit(2) + toLocation(pos, data) * lit(2) + lit(64)
-    val n = toSize(pos, data).cast(IntegerType)
     // sequence(0, n-1) would yield [0,-1] for n=0 (descending step);
-    // slice(..., 1, n) restores the empty array with the right type.
+    // slice(..., 1, n) in toArrayFrom restores the empty array with
+    // the right type.
+    val (base, n) = arrayHead(pos, data)
+    toArrayFrom(base, n, data, abiType)
+  }
+
+  /** F19 with a pre-staged head: decode the dynamic array from
+    * already-materialized `base` (first element's 1-based hex position,
+    * `2 + loc*2 + 64`) and `n` (element count) columns. [[toArray]]
+    * embeds the `toLocation`/`toSize` subtrees, which sit INSIDE the
+    * `transform` lambda and are re-interpreted per element (no CSE in
+    * HOF lambdas — the repo's staging rule, see
+    * [[graft.operators.Dedup.shinglesFromTokens]]); wide scans should
+    * stage the head once per row in a prior projection and call this. */
+  def toArrayFrom(base: Column, n: Column, data: Column, abiType: String): Column =
     slice(
       transform(
         sequence(lit(0), greatest(n - 1, lit(0))),
         i => element(base + i * lit(64), data, abiType)),
       lit(1), n)
-  }
+
+  /** The staged-head columns for [[toArrayFrom]]: `(base, n)`. */
+  def arrayHead(pos: Column, data: Column): (Column, Column) =
+    (lit(2) + toLocation(pos, data) * lit(2) + lit(64),
+      toSize(pos, data).cast(IntegerType))
 
   /** F19 compat mode: `'[a,b,c]'` string, max 3 elements, element
     * positions hardcoded at `pos+128 + 64*i` exactly as the reference
