@@ -107,8 +107,14 @@ object Logs {
   def appendIdempotent(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
     val deduped = batch.dropDuplicates(pk)
     val incoming = withBlockRange(deduped)
+    val exists = tableExists(spark, tablePath)
+    // never CREATE the table from an empty batch: a parquet dir with
+    // only _SUCCESS has no footer to infer a schema from and poisons
+    // every later read (first live window with zero logs). Appending
+    // an empty `fresh` to an existing table is harmless.
+    if (!exists && incoming.isEmpty) return
     val fresh =
-      if (tableExists(spark, tablePath)) {
+      if (exists) {
         val ranges = incoming.select("block_range").distinct()
           .collect().map(_.getLong(0))
         val existing = spark.read.parquet(tablePath)

@@ -65,8 +65,12 @@ object Price {
     * (`get_price.go:96`). Dimension-sized table — plain anti-join. */
   def appendIdempotent(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
     val deduped = batch.dropDuplicates(pk)
+    val exists = Logs.tableExists(spark, tablePath)
+    // same empty-first-write guard as Logs.appendIdempotent: a table
+    // created with no rows has no readable schema
+    if (!exists && deduped.isEmpty) return
     val fresh =
-      if (Logs.tableExists(spark, tablePath))
+      if (exists)
         deduped.join(spark.read.parquet(tablePath).select(pk.map(col): _*), pk, "left_anti")
       else deduped
     fresh.write.mode("append").parquet(tablePath)

@@ -17,6 +17,8 @@ import java.time.Duration
   * Retry state machine per the reference (`main.go:93-160`):
   * - transport errors and HTTP 429/503/504 → sleep `retryMillis`,
   *   retry the same window indefinitely;
+  * - any other HTTP status → retry immediately, no sleep
+  *   (`main.go:130-132`);
   * - RPC error -32602 (window too large / bad params) → skip the
   *   window without aborting (`main.go:141-146`);
   * - any other RPC error → fatal.
@@ -37,6 +39,14 @@ object Rpc {
       blockStep: Long = 100,
       sleepMillis: Long = 5000,
       retryMillis: Long = 10000,
+      /** S3: (token, its Chainlink oracle) pairs probed via `eth_call`
+        * once per window, like the reference's paired TOKENS/ORACLES
+        * env CSVs (`main.go:39-48`, `main.go:191-198`). */
+      tokens: Seq[String] = Seq.empty,
+      oracles: Seq[String] = Seq.empty,
+      /** Where the per-window price probes land; None disables the
+        * price sweep even when token pairs are configured. */
+      priceTable: Option[String] = None,
       /** T4: re-pull this many blocks below the high-water mark on
         * resume — the confirmation-depth window where reorgs happen.
         * Idempotence makes re-pulls free (duplicates DO-NOTHING);
@@ -75,7 +85,9 @@ object Rpc {
       resp match {
         case Some(r) if r.statusCode() == 200 => return Some(r.body())
         case Some(r) if Set(429, 503, 504)(r.statusCode()) => sleeper(retryMillis)
-        case Some(r) => throw new RuntimeException(s"RPC HTTP ${r.statusCode()}: ${r.body().take(200)}")
+        // any other HTTP status: retry immediately, like the reference
+        // (`main.go:130-132` — only 429/503/504 sleep first)
+        case Some(_) => ()
         case None => sleeper(retryMillis)
       }
     }
@@ -108,6 +120,50 @@ object Rpc {
     val (result, err) = envelope(spark, body)
     err.foreach { case (c, m) => throw new RuntimeException(s"eth_blockNumber error $c: $m") }
     java.lang.Long.parseLong(result.get.stripPrefix("0x"), 16)
+  }
+
+  /** Chainlink `latestAnswer()` function selector (`get_price.go:46`,
+    * `curl-call-chainlink-price.sh:5`). */
+  val PriceSelector = "0x50d25bcd"
+
+  /** S3: one live `eth_call` price probe (`get_price.go:31-50`):
+    * `latestAnswer()` on `oracle` as of `block`. Returns the raw
+    * ABI-word result, or None when the node refused the call (-32602
+    * window-skip semantics, same as getLogs). */
+  def ethCallPrice(spark: SparkSession, cfg: Config, oracle: String, block: Long,
+      sleeper: Long => Unit = Thread.sleep): Option[String] = {
+    val req =
+      s"""{"jsonrpc":"2.0","id":1,"method":"eth_call","params":[{"to":"$oracle","data":"$PriceSelector"},"0x${block.toHexString}"]}"""
+    val body = call(cfg.endpoint, req, cfg.retryMillis, sleeper).get
+    val (result, err) = envelope(spark, body)
+    err match {
+      case Some((-32602, _)) => None
+      case Some((c, m)) => throw new RuntimeException(s"eth_call error $c: $m")
+      case None => result
+    }
+  }
+
+  /** E1: the per-window price sweep (`getPrices`, `main.go:191-198`):
+    * one probe per (token, oracle) pair as of the window's fromBlock,
+    * decoded by [[Price.fromWire]] and appended idempotently in ONE
+    * batch (the reference saves per pair; batching is the Spark-shaped
+    * equivalent — same rows, same PK DO-NOTHING). Responses that are
+    * not a single ABI word are dropped, the reference's `Len()==0`
+    * guard (`get_price.go:60-66,73-77`). */
+  def getPrices(spark: SparkSession, cfg: Config, fromBlock: Long, tablePath: String,
+      sleeper: Long => Unit = Thread.sleep): Unit = {
+    require(cfg.tokens.length == cfg.oracles.length,
+      s"tokens (${cfg.tokens.length}) and oracles (${cfg.oracles.length}) must pair up (main.go:39-48)")
+    val rows = cfg.tokens.zip(cfg.oracles).flatMap { case (token, oracle) =>
+      ethCallPrice(spark, cfg, oracle, fromBlock, sleeper)
+        .filter(_.length == 66)
+        .map(r => (token, "0x" + fromBlock.toHexString, r))
+    }
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      Price.appendIdempotent(spark,
+        Price.fromWire(rows.toDF("token", "blockNumber", "result")), tablePath)
+    }
   }
 
   /** S1: one `eth_getLogs` window as an analytic DataFrame; None = the
@@ -158,6 +214,10 @@ object Rpc {
           case Some(batch) => Logs.appendIdempotent(spark, batch, tablePath)
           case None => // window refused; advance anyway, as the reference does
         }
+        // price sweep after the logs window, as of fromBlock — the
+        // reference's loop order (`main.go:235-237`)
+        if (cfg.tokens.nonEmpty)
+          cfg.priceTable.foreach(getPrices(spark, cfg, from, _, sleeper))
         last = to
         from = to + 1
       }

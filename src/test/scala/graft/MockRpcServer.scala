@@ -4,9 +4,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
-/** In-JVM mock EVM node: serves `eth_blockNumber` and `eth_getLogs`
-  * (with fromBlock/toBlock/address filtering) from an in-memory log
-  * fixture, with injectable failure modes for the retry/skip paths. */
+/** In-JVM mock EVM node: serves `eth_blockNumber`, `eth_getLogs`
+  * (with fromBlock/toBlock/address filtering) and `eth_call` (price
+  * probe) from an in-memory fixture, with injectable failure modes
+  * for the retry/skip paths. */
 class MockRpcServer {
 
   case class MockLog(block: Long, address: String, idx: Long) {
@@ -22,6 +23,8 @@ class MockRpcServer {
   @volatile var failNext: Int = 0           // respond 503 this many times
   @volatile var refuse: Set[(Long, Long)] = Set.empty // -32602 windows
   @volatile var requests: Vector[String] = Vector.empty
+  /** Deterministic `eth_call` price: f(oracle address, as-of block). */
+  @volatile var priceFn: (String, Long) => Long = (to, blk) => blk * 5 + to.length
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => {
@@ -45,6 +48,11 @@ class MockRpcServer {
             addrs.forall(_.contains(l.address)))
           (200, s"""{"jsonrpc":"2.0","id":1,"result":[${hits.map(_.json).mkString(",")}]}""")
         }
+      } else if (body.contains("eth_call")) {
+        val to = "\"to\":\"([^\"]+)\"".r.findFirstMatchIn(body).get.group(1)
+        val blk = java.lang.Long.parseLong(
+          "\\},\\s*\"0x([0-9a-f]+)\"".r.findFirstMatchIn(body).get.group(1), 16)
+        (200, s"""{"jsonrpc":"2.0","id":1,"result":"0x${"%064x".format(priceFn(to, blk))}"}""")
       } else (200, """{"jsonrpc":"2.0","id":1,"error":{"code":-32601,"message":"no such method"}}""")
     val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")

@@ -81,6 +81,30 @@ class RpcSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("per-window eth_call price probes populate the price table (main.go:191-198)") {
+    val s = newServer(25)
+    try {
+      val dir = Files.createTempDirectory("rpc_tbl").toString
+      val cfg = Rpc.Config(s.endpoint, blockStep = 10, toBlock = Some(25),
+        tokens = Seq("0xtokA", "0xtokB"), oracles = Seq("0xorcA", "0xorcB"),
+        priceTable = Some(dir + "/price"))
+      Rpc.ingestLoop(spark, cfg, dir + "/logs", noSleep)
+      val price = spark.read.parquet(dir + "/price")
+      assert(price.count() === 6) // 3 windows (from=1,11,21) × 2 pairs
+      val rows = price.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).longValue())).toSet
+      // mock priceFn = block*5 + oracle.length ("0xorcA".length == 6)
+      val expected = (for { b <- Seq(1L, 11L, 21L); t <- Seq("0xtokA", "0xtokB") }
+        yield (t, b, b * 5 + 6)).toSet
+      assert(rows === expected)
+      // the probe went over the wire with the latestAnswer selector
+      assert(s.requests.exists(r => r.contains("eth_call") && r.contains("0x50d25bcd")))
+      // idempotent: replaying the same bounded loop adds no price rows
+      Rpc.ingestLoop(spark, cfg.copy(fromBlock = Some(1)), dir + "/logs", noSleep)
+      assert(spark.read.parquet(dir + "/price").count() === 6)
+    } finally s.stop()
+  }
+
   test("contract-address filter pushes into the RPC request (get_logs.go:69-79)") {
     val s = newServer(10)
     try {
