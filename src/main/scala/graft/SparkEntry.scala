@@ -442,6 +442,54 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     },
 
+    // Corpus-scale near-dup path under the gate: LSH candidates →
+    // exact jaccard on candidates only (no all-pairs join in the
+    // plan). The DuckDB twin IS all-pairs — tractable at oracle scale
+    // — so the gate also proves the banding (32 hashes × 16 bands)
+    // loses no pair at jaccard ≥ 0.6 on this corpus: 1−(1−j²)^16
+    // ≈ 0.9999 per pair, and xxhash64 is deterministic, so the
+    // comparison is stable, not probabilistic.
+    "q33_near_dup_bucketed" -> { (s, dir) =>
+      Dedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2,
+          minEstimate = 0.1, maxBucket = 1000)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // S1/S5/P1-P3/T3 end-to-end under the gate: synthesize a wire
+    // NDJSON capture (fixture format per curl-get-logs-moonbeam-loop
+    // .sh) deterministically from `orders`, replay it through
+    // readNdjson → fromWire → appendIdempotent TWICE (the second
+    // append must be a PK DO-NOTHING no-op or row counts diverge from
+    // the oracle), read the stored table back. The DuckDB twin derives
+    // the same analytic rows from `orders` in pure SQL.
+    "q32_ingest_roundtrip" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q32").toString
+      Tables(s, dir, "orders").select(
+        to_json(struct(
+          format_string("0x%040x", col("o_custkey")).as("address"),
+          array(lit(TransferSig), format_string("0x%064x", col("o_custkey"))).as("topics"),
+          // every 10th record carries the empty "0x" payload → must
+          // land as NULL (get_logs.go:44-46)
+          when(col("o_orderkey") % 10 === 0, lit("0x"))
+            .otherwise(format_string("0x%064x", col("o_orderkey") * 3)).as("data"),
+          format_string("0xb%x", col("o_orderkey")).as("blockHash"),
+          format_string("0x%x", col("o_orderkey")).as("blockNumber"),
+          format_string("0xt%x", col("o_orderkey")).as("transactionHash"),
+          lit("0x0").as("transactionIndex"),
+          format_string("0x%x", col("o_orderkey") % 7).as("logIndex"),
+          lit(false).as("removed"))).as("j"))
+        .write.mode("overwrite").text(s"$work/wire")
+      val batch = graft.sources.Logs.readNdjson(s, s"$work/wire")
+      graft.sources.Logs.appendIdempotent(s, batch, s"$work/logs")
+      graft.sources.Logs.appendIdempotent(s, batch, s"$work/logs")
+      graft.sources.Logs.read(s, s"$work/logs")
+        .select(col("address"), col("topic0"), col("topic1"), col("data"),
+          col("block_number"), col("transaction_hash"),
+          col("transaction_index"), col("log_index"), col("removed"))
+        .orderBy(col("block_number"))
+    },
+
     // A2 sketch aggregation: approx_count_distinct (HLL++). No SQL
     // oracle — HLL estimates aren't cross-engine reproducible; the
     // ±5%-of-exact contract is asserted in QuerySpec instead.
@@ -723,6 +771,34 @@ object SparkEntry {
         |from orders
         |group by cube(o_orderstatus, o_orderpriority)
         |order by o_orderstatus nulls first, o_orderpriority nulls first""".stripMargin,
+
+    "q33_near_dup_bucketed" ->
+      s"""with d as (select doc_id, string_split($OracleNorm, ' ') as w from documents),
+        |sh as (select doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(w)-2+1, 0)+1),
+        |    i -> array_to_string(list_slice(w, i, i+1), ' '))) as s
+        |  from d)
+        |select a.doc_id as id_a, b.doc_id as id_b,
+        |  cast(len(list_intersect(a.s, b.s)) as double)
+        |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) as jaccard
+        |from sh a join sh b on a.doc_id < b.doc_id
+        |where cast(len(list_intersect(a.s, b.s)) as double)
+        |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) >= 0.6
+        |order by id_a, id_b""".stripMargin,
+
+    "q32_ingest_roundtrip" ->
+      (s"""select printf('0x%040x', o_custkey) as address,
+        |  '$TransferSig' as topic0,
+        |  printf('0x%064x', o_custkey) as topic1,
+        |  case when o_orderkey % 10 = 0 then null
+        |       else printf('0x%064x', o_orderkey * 3) end as data,
+        |  o_orderkey as block_number,
+        |  printf('0xt%x', o_orderkey) as transaction_hash,
+        |  cast(0 as bigint) as transaction_index,
+        |  o_orderkey % 7 as log_index,
+        |  false as removed
+        |from orders
+        |order by block_number""".stripMargin),
 
     "q26_multimodal_meta" ->
       """select doc_id,

@@ -148,23 +148,23 @@ object Dedup {
     size(array_intersect(sa, sb)).cast(DoubleType) /
       greatest(size(array_union(sa, sb)), lit(1)).cast(DoubleType)
 
-  /** All-pairs exact n-gram Jaccard: shingle sets are computed ONCE
-    * per document (staged projections), then only the materialized
-    * arrays flow through the pair join. The intersection is staged too
-    * and the union size derived as |A|+|B|−|A∩B| — one set operation
-    * per pair instead of two. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    // set ops run over 64-bit shingle hashes, not strings: same
-    // jaccard values (collision odds ~|s|²/2^65 per pair) at a
-    // fraction of the intersect cost
-    val sets = df
-      .select(col(idCol).as("id"), Text.tokens(Text.normalized(col(textCol))).as("_toks"))
+  /** Staged per-doc distinct shingle-hash sets: `(id, s)`. Set ops run
+    * over 64-bit shingle hashes, not strings — same jaccard values
+    * (collision odds ~|s|²/2^65 per pair) at a fraction of the
+    * intersect cost. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), Text.tokens(Text.normalized(col(textCol))).as("_toks"))
       .select(col("id"), shinglesFromTokens(col("_toks"), k).as("_sh"))
       .select(col("id"), array_distinct(transform(col("_sh"), s => xxhash64(s))).as("s"))
-    val a = sets.select(col("id").as("id_a"), col("s").as("_sa"))
-    val b = sets.select(col("id").as("id_b"), col("s").as("_sb"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
+
+  /** Exact jaccard of the given `(id_a, id_b)` pairs: shingle sets
+    * computed once per doc, re-attached by id (two hash joins — the
+    * sets never flow through a pair blow-up), intersection staged,
+    * union size derived as |A|+|B|−|A∩B|. */
+  private def jaccardOfPairs(pairs: DataFrame, sets: DataFrame): DataFrame =
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("s").as("_sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("s").as("_sb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("_sa"), col("_sb"))).as("_i"),
         size(col("_sa")).as("_na"), size(col("_sb")).as("_nb"))
@@ -172,6 +172,51 @@ object Dedup {
         (col("_i").cast(DoubleType) /
           greatest(col("_na") + col("_nb") - col("_i"), lit(1)).cast(DoubleType))
           .as("jaccard"))
+
+  /** All-pairs exact n-gram Jaccard — the exact VERIFIER, O(n²) by
+    * contract. Only ever run it on a bounded set (a sample, one LSH
+    * bucket, a q20-style id-bounded slice); the corpus-scale entry
+    * point is [[nearDuplicates]], which feeds this same exact math
+    * with LSH candidates instead of a cross join. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, k)
+    val pairs = sets.select(col("id").as("id_a"))
+      .crossJoin(sets.select(col("id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    jaccardOfPairs(pairs, sets)
+  }
+
+  /** Corpus-scale near-duplicate pairs: banded-LSH candidate
+    * generation ([[minhashCandidates]]) → exact jaccard verification
+    * on the candidates ONLY. The all-pairs cross join never
+    * materializes — pair count tracks true-duplicate density, not n².
+    *
+    * Recall is bounded by the banding: a pair at jaccard *j* collides
+    * in some band with p = 1−(1−j^r)^b (r = numHashes/bands). The
+    * defaults (32 hashes × 16 bands → r=2) give p ≈ 1−(1−j²)^16,
+    * ≈ 0.9999 at j = 0.6 — tighten bands for lower thresholds.
+    *
+    * @param minJaccard   exact-jaccard acceptance threshold
+    * @param minEstimate  cheap signature-agreement pre-filter on
+    *                     candidates (keep well below minJaccard; the
+    *                     exact pass does the real filtering)
+    */
+  def nearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      minEstimate: Double = 0.1,
+      maxBucket: Int = 1000): DataFrame = {
+    val candidates = minhashCandidates(df, idCol, textCol,
+        numHashes, bands, shingleK, minEstimate, maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val sets = shingleSets(df, idCol, textCol, shingleK)
+    jaccardOfPairs(candidates, sets)
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Per-bit vote sums of the 64-bit SimHash: each token hashes once

@@ -46,6 +46,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(exact - est) < 0.15, s"exact=$exact est=$est")
   }
 
+  test("nearDuplicates = LSH candidates + exact verify; no all-pairs join in the plan") {
+    val documents = Tables(spark, sf, "documents")
+    val near = Dedup.nearDuplicates(documents, "doc_id", "text",
+      minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2)
+    // the bucketed path must never fall back to a cartesian/NL join
+    val physical = near.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical)
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    // exact-verifier agreement: same pairs and same jaccard values as
+    // the (bounded) all-pairs ground truth — i.e. the banding loses
+    // nothing at this threshold on this corpus
+    val got = near.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val truth = Dedup.jaccardPairs(documents, "doc_id", "text", k = 2)
+      .filter($"jaccard" >= 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === truth)
+    assert(truth.nonEmpty) // the corpus genuinely contains near-dups
+  }
+
   test("simhash: near-dups land within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashVotes($"text").as("_v"))
       .select($"doc_id", Dedup.packVotes($"_v").as("sh"))
