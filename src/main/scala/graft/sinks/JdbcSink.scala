@@ -17,17 +17,42 @@ import java.util.Properties
   *   `batchSize` rows (the Spark rendering of the reference's single
   *   NamedExec per window, `get_logs.go:118-126`).
   * - [[appendIdempotent]] — dialect-generic: anti-join the batch
-  *   against existing PKs (optionally range-pruned on `rangeCol`, the
-  *   JDBC analog of the parquet sink's partition pruning), then plain
-  *   batched append. Works on any JDBC database (integration-tested
-  *   against embedded Derby).
+  *   against existing PKs (range-pruned on `rangeCol`, the JDBC analog
+  *   of the parquet sink's partition pruning), then plain batched
+  *   append. Works on any JDBC database (integration-tested against
+  *   embedded Derby).
   *
   * At scale the writes parallelize per partition; `rangeCol` keeps the
-  * existing-keys read O(batch window), not O(table).
+  * existing-keys read O(batch window), not O(table): the bound is
+  * baked into the pushed-down SQL itself ([[boundedKeysQuery]]), so a
+  * micro-batch never rescans the whole target table. The streaming
+  * path ([[streamTo]]) therefore REQUIRES a range column; only the
+  * one-shot batch form may omit it (explicit full-table compare).
   */
 object JdbcSink {
 
-  /** Generic idempotent append (any JDBC dialect). */
+  /** The DB-side existing-keys probe: PK columns of the rows whose
+    * `rangeCol` falls inside the batch's [lo, hi]. Sent as a derived
+    * table, so the range predicate executes in the database by
+    * construction (no reliance on filter pushdown) and only PK columns
+    * cross the wire. */
+  def boundedKeysQuery(table: String, pk: Seq[String], rangeCol: String,
+      lo: Any, hi: Any): String =
+    s"(select ${pk.mkString(", ")} from $table " +
+      s"where $rangeCol between ${sqlLiteral(lo)} and ${sqlLiteral(hi)}) graft_existing_keys"
+
+  private def sqlLiteral(v: Any): String = v match {
+    case n @ (_: Long | _: Int | _: Short | _: Byte | _: Double | _: Float) => n.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case t: java.sql.Timestamp => s"timestamp '${t.toString}'"
+    case d: java.sql.Date => s"date '${d.toString}'"
+    case other => "'" + other.toString.replace("'", "''") + "'"
+  }
+
+  /** Generic idempotent append (any JDBC dialect). `rangeCol = None`
+    * compares against the FULL target PK set — O(table) per call, for
+    * one-shot batch loads only; every recurring path must pass the
+    * range column. */
   def appendIdempotent(
       batch: DataFrame,
       url: String,
@@ -38,13 +63,13 @@ object JdbcSink {
     val spark = batch.sparkSession
     val deduped = batch.dropDuplicates(pk).cache()
     try {
-      val existingAll = spark.read.jdbc(url, table, props)
       val existing = rangeCol match {
         case Some(c) =>
           val r = deduped.agg(min(col(c)), max(col(c))).collect()(0)
-          if (r.isNullAt(0)) existingAll.limit(0)
-          else existingAll.filter(col(c).between(r.get(0), r.get(1)))
-        case None => existingAll
+          if (r.isNullAt(0)) spark.read.jdbc(url, table, props).select(pk.map(col): _*).limit(0)
+          else spark.read.jdbc(url, boundedKeysQuery(table, pk, c, r.get(0), r.get(1)), props)
+        case None =>
+          spark.read.jdbc(url, s"(select ${pk.mkString(", ")} from $table) graft_existing_keys", props)
       }
       deduped
         .join(existing.select(pk.map(col): _*), pk, "left_anti")
@@ -91,15 +116,18 @@ object JdbcSink {
 
   /** Streaming variant: checkpointed micro-batches into the JDBC
     * table — the full reference loop with Postgres as the sink
-    * (BASELINE.json's "Structured Streaming + Postgres sink"). */
+    * (BASELINE.json's "Structured Streaming + Postgres sink").
+    * `rangeCol` is REQUIRED here: a micro-batch loop doing a
+    * full-table existing-keys read per batch degrades O(table²) over
+    * the stream's lifetime. */
   def streamTo(
       stream: DataFrame,
       url: String,
       table: String,
       pk: Seq[String],
       checkpointDir: String,
+      rangeCol: String,
       props: Properties = new Properties(),
-      rangeCol: Option[String] = None,
       pollInterval: Option[String] = None): StreamingQuery = {
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
@@ -108,7 +136,7 @@ object JdbcSink {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        appendIdempotent(b, url, table, pk, props, rangeCol)
+        appendIdempotent(b, url, table, pk, props, Some(rangeCol))
       }
       .start()
   }

@@ -23,7 +23,7 @@ object StreamLogs {
       if (table.startsWith("jdbc:"))
         graft.sinks.JdbcSink.streamTo(
           LogStream.wireStream(spark, in), table, "logs", Logs.pk, ckpt,
-          rangeCol = Some("block_number"), pollInterval = poll)
+          rangeCol = "block_number", pollInterval = poll)
       else LogStream.ingest(spark, in, table, ckpt, pollInterval = poll)
     println(s"[stream] mode=${poll.map(p => s"tail-follow/$p").getOrElse("catch-up")} " +
       s"table=$table checkpoint=$ckpt")

@@ -72,7 +72,7 @@ class JdbcSinkSpec extends SparkSpec {
       Seq(row(10, 0), row(11, 0)).mkString("\n"))
     val stream = spark.readStream.schema(Logs.wireSchema).json(in)
     val q1 = JdbcSink.streamTo(Logs.fromWire(stream), url, "logs", Logs.pk,
-      ckpt, rangeCol = Some("block_number"))
+      ckpt, rangeCol = "block_number")
     q1.awaitTermination()
     val after1 = countRows()
     // second window, one overlap; resume skips w1 entirely
@@ -80,9 +80,31 @@ class JdbcSinkSpec extends SparkSpec {
       Seq(row(11, 0), row(12, 0)).mkString("\n"))
     val q2 = JdbcSink.streamTo(Logs.fromWire(
         spark.readStream.schema(Logs.wireSchema).json(in)),
-      url, "logs", Logs.pk, ckpt, rangeCol = Some("block_number"))
+      url, "logs", Logs.pk, ckpt, rangeCol = "block_number")
     q2.awaitTermination()
     assert(countRows() === after1 + 1)
+  }
+
+  test("existing-keys probe is bounded in the SQL itself, not post-hoc") {
+    val q = JdbcSink.boundedKeysQuery("logs", Logs.pk, "block_number", 100L, 199L)
+    // the derived table carries the range predicate and ONLY pk columns
+    assert(q.contains("where block_number between 100 and 199"), q)
+    assert(q.contains("select block_hash, transaction_hash, log_index from logs"), q)
+    // string bounds get quoted/escaped
+    assert(JdbcSink.boundedKeysQuery("t", Seq("k"), "c", "a'b", "z")
+      .contains("between 'a''b' and 'z'"))
+  }
+
+  test("bounded probe stays correct with out-of-range rows present") {
+    initTable
+    // preload rows far outside the batch window (the O(table) hazard)
+    val far = Logs.readNdjson(spark, fixture(Seq(row(90001, 0), row(90002, 0))))
+    JdbcSink.appendIdempotent(far, url, "logs", Logs.pk, rangeCol = Some("block_number"))
+    val before = countRows()
+    val batch = Logs.readNdjson(spark, fixture(Seq(row(500, 0), row(501, 0))))
+    JdbcSink.appendIdempotent(batch, url, "logs", Logs.pk, rangeCol = Some("block_number"))
+    JdbcSink.appendIdempotent(batch, url, "logs", Logs.pk, rangeCol = Some("block_number"))
+    assert(countRows() === before + 2) // idempotent, untouched far rows intact
   }
 
   test("ON CONFLICT SQL shape matches the reference contract") {
