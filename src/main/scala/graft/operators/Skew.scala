@@ -25,6 +25,13 @@ object Skew {
       salts: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // the small side is replicated once per salt, so any join type that
+    // preserves UNMATCHED small-side rows (right/full outer) would emit
+    // each of them `salts` times — refuse instead of silently duplicating
+    val jt = joinType.toLowerCase.replace("_", "").stripSuffix("outer")
+    require(Set("inner", "left", "leftsemi", "leftanti", "semi", "anti", "cross")(jt),
+      s"saltedJoin: join type '$joinType' preserves unmatched small-side rows, " +
+        "which salting replicates; use an unsalted join for right/full outer")
     val saltCol = "_graft_salt"
     val bigS = big.withColumn(
       saltCol,

@@ -104,10 +104,12 @@ object Logs {
     * block-range partitions the batch overlaps (partition pruning keeps
     * this O(batch), not O(table)), then appended partitioned by
     * block_range and sorted by (address, topic0) within files. */
-  def appendIdempotent(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
+  def appendIdempotent(spark: SparkSession, batch: DataFrame, tablePath: String,
+      canonicalize: Boolean = false): Unit = {
+    if (canonicalize) return appendCanonical(spark, batch, tablePath)
     val deduped = batch.dropDuplicates(pk)
     val incoming = withBlockRange(deduped)
-    val exists = tableExists(spark, tablePath)
+    val exists = hasCommittedData(spark, tablePath)
     // never CREATE the table from an empty batch: a parquet dir with
     // only _SUCCESS has no footer to infer a schema from and poisons
     // every later read (first live window with zero logs). Appending
@@ -134,47 +136,150 @@ object Logs {
     fs.exists(p)
   }
 
+  /** True once at least one data file is COMMITTED. A table dir that
+    * exists but holds only `_temporary`/`_SUCCESS` (mid-first-write, or
+    * after a crash before any job commit) has no parquet footer to
+    * infer a schema from — reading it throws. Every read path below
+    * treats that state as "empty table", so a status probe or resume
+    * racing the first micro-batch sees 0 rows instead of an
+    * AnalysisException (observed live: the StreamLogs stats loop
+    * killed the stream mid-first-batch). */
+  private def hasCommittedData(spark: SparkSession, tablePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val entries = fs.listStatus(p).toSeq
+      entries.exists(e => e.isDirectory && e.getPath.getName.startsWith("block_range=")) ||
+        entries.exists(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
+  /** The table's `block_range=N` partition values, straight from the
+    * directory listing (no Spark job, no footer reads). */
+  private def listRanges(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("block_range="))
+      .map(_.stripPrefix("block_range=").toLong)
+  }
+
   /** S4: resume point — `select max(block_number) from logs`
     * (`main.go:169`); 0 when the table is empty, matching
-    * `getDatabaseBlockNumber`'s COALESCE-to-0 contract (`main.go:171`). */
+    * `getDatabaseBlockNumber`'s COALESCE-to-0 contract (`main.go:171`).
+    *
+    * Pruned to the lexically-max `block_range` partition: block_number
+    * and block_range are monotone together, so the global max lives in
+    * the max partition. One directory listing + one partition's footer
+    * stats instead of O(#partitions) — on every resume of a table with
+    * 10^5 ranges that's the difference between listing one directory
+    * and all of them. */
   def highWaterMark(spark: SparkSession, tablePath: String): Long =
-    if (!tableExists(spark, tablePath)) 0L
-    else spark.read.parquet(tablePath)
-      .agg(coalesce(max("block_number"), lit(0L))).collect()(0).getLong(0)
+    if (!hasCommittedData(spark, tablePath)) 0L
+    else {
+      val ranges = listRanges(spark, tablePath)
+      val scan =
+        if (ranges.isEmpty) spark.read.parquet(tablePath) // unpartitioned layout
+        else spark.read.parquet(s"$tablePath/block_range=${ranges.max}")
+      scan.agg(coalesce(max("block_number"), lit(0L))).collect()(0).getLong(0)
+    }
 
   /** Read the stored table in analytic column order (drops the
-    * physical block_range partition column). */
+    * physical block_range partition column); empty before the first
+    * commit lands. */
   def read(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.parquet(tablePath).select(schema.fieldNames.map(col): _*)
+    if (!hasCommittedData(spark, tablePath))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.parquet(tablePath).select(schema.fieldNames.map(col): _*)
 
   /** Compact the small files a micro-batch ingest accumulates: rewrite
-    * the given block-range partitions (default: all) as one sorted file
-    * set each, restoring the (address, topic0) clustering that gives
-    * parquet min/max skipping its power. Run periodically beside a
-    * streaming ingest; correctness is unaffected (same rows, PK-deduped
-    * again in passing). The rewrite is partition-local — cost tracks
-    * the compacted ranges, not the table. Single-writer assumption:
-    * the per-partition overwrite is not atomic for concurrent readers
-    * (a transactional table format is the upgrade path). */
-  def compact(spark: SparkSession, tablePath: String, ranges: Option[Seq[Long]] = None): Unit = {
-    val all = spark.read.parquet(tablePath)
-    // partition-dir values read back as int when they fit (directory
-    // type inference), so widen defensively
-    val targetRanges = ranges.getOrElse(
-      all.select("block_range").distinct().collect()
-        .map(_.getAs[Number](0).longValue()).toSeq)
-    targetRanges.foreach { r =>
-      val part = all.filter(col("block_range") === r)
-        .drop("block_range") // the partition dir path carries the value
-        .dropDuplicates(pk)
-        .repartition(1)
-        .sortWithinPartitions("address", "topic0")
-        .cache()
-      part.count() // materialize before overwriting the source files
-      part.write.mode("overwrite")
-        .parquet(s"$tablePath/block_range=$r")
-      part.unpersist()
+    * the given block-range partitions (default: all) as a sorted,
+    * size-targeted file set each, restoring the (address, topic0)
+    * clustering that gives parquet min/max skipping its power. Run
+    * periodically beside a streaming ingest; correctness is unaffected
+    * (same rows, PK-deduped again in passing).
+    *
+    * Crash/read safety: each partition is compacted into a hidden
+    * sibling directory (`.graft_compact_tmp`, invisible to partition
+    * discovery) and swapped in with two renames, with the originals
+    * parked in a backup dir until the swap lands — the input files are
+    * never deleted before the replacement is fully written, so a
+    * failure mid-compact leaves the partition either untouched or
+    * fully replaced (the earlier cache()+overwrite scheme deleted the
+    * partition before the write job committed). Restored on failure.
+    *
+    * Scale shape: partitions compact CONCURRENTLY (`parallelism` Spark
+    * jobs at a time — at 100 TB a serial per-range loop is the
+    * bottleneck, not the rewrites), and the output file count targets
+    * `targetFileBytes` from the partition's actual on-disk size
+    * instead of forcing one file per range (a hot range stays
+    * parallel-readable). Single-writer vs concurrent INGEST still
+    * assumed (a transactional table format is the upgrade path). */
+  def compact(spark: SparkSession, tablePath: String,
+      ranges: Option[Seq[Long]] = None,
+      targetFileBytes: Long = 512L << 20,
+      parallelism: Int = 4): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val targetRanges = ranges.getOrElse(listRanges(spark, tablePath))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, targetRanges.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    val jobs = targetRanges.map { r => Future {
+      val partDir = new org.apache.hadoop.fs.Path(s"$tablePath/block_range=$r")
+      val bytes = fs.getContentSummary(partDir).getLength
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      swapInPartition(fs, tablePath, r) { tmp =>
+        spark.read.parquet(partDir.toString) // partition-local read; no block_range col
+          .dropDuplicates(pk)
+          .repartition(nFiles)
+          .sortWithinPartitions("address", "topic0")
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }}
+    // wait for EVERY job before any cleanup — a parked partition must
+    // never be deleted while its swap is still in flight
+    val results = jobs.map(f =>
+      scala.util.Try(Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    pool.shutdown()
+    if (results.forall(_.isSuccess)) clearSwapDirs(fs, tablePath)
+    // on failure: leave tmp/bak on disk — recovery evidence, and
+    // possibly a parked partition whose restore itself failed
+    results.collect { case scala.util.Failure(e) => throw e }
+  }
+
+  /** Crash-safe partition rewrite: `write` lands the replacement in a
+    * hidden tmp dir (invisible to partition discovery), the originals
+    * are parked, and two renames swap the replacement in — the live
+    * partition is either untouched or fully replaced at every instant,
+    * and `write` may freely READ the live partition it replaces. */
+  private def swapInPartition(fs: org.apache.hadoop.fs.FileSystem, tablePath: String,
+      r: Long)(write: String => Unit): Unit = {
+    val partDir = new org.apache.hadoop.fs.Path(s"$tablePath/block_range=$r")
+    val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.graft_compact_tmp/block_range=$r")
+    val bak = new org.apache.hadoop.fs.Path(s"$tablePath/.graft_compact_bak/block_range=$r")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(bak, true)
+    fs.mkdirs(bak.getParent)
+    if (!fs.rename(partDir, bak))
+      throw new java.io.IOException(s"partition swap: cannot park $partDir")
+    if (!fs.rename(tmp, partDir)) {
+      if (!fs.rename(bak, partDir)) // restore, nothing lost
+        throw new java.io.IOException(
+          s"partition swap AND restore failed for $partDir — originals parked at $bak")
+      throw new java.io.IOException(s"partition swap failed for $partDir, originals restored")
     }
+    fs.delete(bak, true)
+  }
+
+  private def clearSwapDirs(fs: org.apache.hadoop.fs.FileSystem, tablePath: String): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.graft_compact_tmp"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.graft_compact_bak"), true)
   }
 
   /** T4: canonical (reorg-resolved) view — latest write per PK wins,
@@ -188,12 +293,64 @@ object Logs {
     * the replacement rows land as new PKs and this view resolves them;
     * to honor same-PK tombstones, feed the raw batch through
     * [[canonical]] (union of stored + batch) before writing. */
-  def canonical(logs: DataFrame): DataFrame = {
-    // tombstone-first ordering: a removed=true version shadows the
-    // original insert for the same PK
+  def canonical(logs: DataFrame): DataFrame =
+    latestPerPk(logs).filter(!col("removed"))
+
+  /** One row per PK, tombstone-first: a removed=true version shadows
+    * the original insert for the same PK (the winning tombstone row is
+    * KEPT — callers that want it gone filter `removed`). */
+  private def latestPerPk(logs: DataFrame): DataFrame = {
     val w = Window.partitionBy(pk.map(col): _*).orderBy(col("removed").desc)
     logs.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col("removed"))
+      .filter(col("_rn") === 1)
       .drop("_rn")
+  }
+
+  /** Same-PK tombstone write path — closes the DO-NOTHING blind spot
+    * the reference leaves as a todo (`get_logs.go:107`): a
+    * `removed=true` row that REUSES a stored PK is dropped by
+    * [[appendIdempotent]]'s anti-join, so the tombstone never lands.
+    * Here the touched partitions are unioned with the batch, ONE
+    * version per PK survives with tombstones winning, and the
+    * partitions are swap-rewritten in place.
+    *
+    * The winning tombstone row is stored, not deleted: it keeps
+    * shadowing later at-least-once replays of the original insert
+    * (no resurrection), and [[canonical]] drops it at read time.
+    * Cost is O(touched partitions) — stored ranges the batch does not
+    * overlap are never read or rewritten — so a micro-batch pays for
+    * its own block window, not the table. */
+  def appendCanonical(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
+    val incoming = withBlockRange(latestPerPk(batch))
+    def writeFresh(rows: DataFrame): Unit = rows
+      .repartition(col("block_range"))
+      .sortWithinPartitions("address", "topic0")
+      .write.mode("append").partitionBy("block_range").parquet(tablePath)
+    if (!hasCommittedData(spark, tablePath)) {
+      if (!incoming.isEmpty) writeFresh(incoming)
+      return
+    }
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored = listRanges(spark, tablePath).toSet
+    val touched = incoming.select("block_range").distinct().collect()
+      .map(_.getAs[Number](0).longValue())
+    val (overlapping, fresh) = touched.partition(stored)
+    if (fresh.nonEmpty)
+      writeFresh(incoming.filter(col("block_range").isin(fresh.toIndexedSeq: _*)))
+    overlapping.foreach { r =>
+      val partDir = new org.apache.hadoop.fs.Path(s"$tablePath/block_range=$r")
+      val nFiles = math.max(1L,
+        (fs.getContentSummary(partDir).getLength + (512L << 20) - 1) / (512L << 20)).toInt
+      val merged = latestPerPk(
+        spark.read.parquet(partDir.toString)
+          .unionByName(incoming.filter(col("block_range") === r).drop("block_range")))
+      swapInPartition(fs, tablePath, r) { tmp =>
+        merged.repartition(nFiles)
+          .sortWithinPartitions("address", "topic0")
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    clearSwapDirs(fs, tablePath)
   }
 }

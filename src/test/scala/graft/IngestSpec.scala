@@ -90,6 +90,76 @@ class IngestSpec extends SparkSpec {
     assert(Logs.read(spark, table).count() === 5)
   }
 
+  test("canonicalizing append: same-PK tombstone actually deletes (get_logs.go:107)") {
+    val table = Files.createTempDirectory("logs_tbl").toString + "/t"
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0), row(2, 0)))), table)
+    // a tombstone reusing block 2's stored PK — plain append DO-NOTHINGs it
+    val tomb = Logs.readNdjson(spark, fixture(Seq(row(2, 0, removed = true))))
+    Logs.appendIdempotent(spark, tomb, table)
+    assert(Logs.canonical(Logs.read(spark, table)).count() === 2) // blind spot
+    // canonicalizing write path lands it
+    Logs.appendIdempotent(spark, tomb, table, canonicalize = true)
+    val stored = Logs.read(spark, table)
+    assert(stored.count() === 2) // one version per PK, tombstone kept
+    assert(stored.filter(col("removed")).count() === 1)
+    assert(Logs.canonical(stored).select("block_number").as[Long].collect().toSeq === Seq(1L))
+    // an at-least-once replay of the ORIGINAL insert cannot resurrect it
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(2, 0)))), table,
+      canonicalize = true)
+    assert(Logs.canonical(Logs.read(spark, table)).count() === 1)
+    // and a batch spanning a stored + a brand-new partition works
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark,
+      fixture(Seq(row(3, 0), row(100001L, 0)))), table, canonicalize = true)
+    assert(Logs.canonical(Logs.read(spark, table)).count() === 3)
+    assert(Logs.highWaterMark(spark, table) === 100001L)
+  }
+
+  test("compaction handles many ranges concurrently with a size target") {
+    val table = Files.createTempDirectory("logs_tbl").toString + "/t"
+    // three block_range partitions (100k blocks each), several files per range
+    val blocks = Seq(1L, 2L, 100001L, 100002L, 200001L, 200002L, 200003L)
+    blocks.foreach { b =>
+      Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(b, 0)))), table)
+    }
+    def dataFiles(r: Long) = new java.io.File(s"$table/block_range=$r")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFiles(0) >= 2 && dataFiles(1) >= 2 && dataFiles(2) >= 3)
+    // stale tmp from a hypothetical crashed run must not break anything
+    val staleTmp = new java.io.File(s"$table/.graft_compact_tmp/block_range=0")
+    staleTmp.mkdirs()
+    Files.writeString(staleTmp.toPath.resolve("garbage"), "not parquet")
+    Logs.compact(spark, table, parallelism = 3)
+    assert(dataFiles(0) === 1 && dataFiles(1) === 1 && dataFiles(2) === 1)
+    assert(!new java.io.File(s"$table/.graft_compact_tmp").exists())
+    assert(!new java.io.File(s"$table/.graft_compact_bak").exists())
+    assert(Logs.read(spark, table).count() === blocks.size)
+    // a tiny file-size target splits a range into multiple output files
+    Logs.compact(spark, table, ranges = Some(Seq(2L)), targetFileBytes = 1024L)
+    assert(dataFiles(2) >= 2)
+    assert(Logs.read(spark, table).count() === blocks.size)
+  }
+
+  test("reads race-safe against a table dir with no committed files") {
+    // a status probe (StreamLogs stats loop) or crash-resume can hit the
+    // table dir while only _temporary exists — must read as empty, not throw
+    val table = Files.createTempDirectory("logs_tbl").toString + "/t"
+    new java.io.File(s"$table/_temporary/0").mkdirs()
+    assert(Logs.highWaterMark(spark, table) === 0L)
+    assert(Logs.read(spark, table).count() === 0L)
+    assert(Logs.read(spark, table).schema === Logs.schema)
+    // and the first append still works on the half-created dir
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0)))), table)
+    assert(Logs.read(spark, table).count() === 1L)
+  }
+
+  test("high-water mark prunes to the max block_range partition") {
+    val table = Files.createTempDirectory("logs_tbl").toString + "/t"
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark,
+      fixture(Seq(row(7, 0), row(100005L, 0), row(250007L, 0)))), table)
+    // global max (250007) lives in block_range=2; the pruned scan must find it
+    assert(Logs.highWaterMark(spark, table) === 250007L)
+  }
+
   test("price probe ingest: wire decode, streaming idempotence, as-of ready") {
     import graft.sources.Price
     val in = Files.createTempDirectory("price_in").toString

@@ -34,4 +34,19 @@ class SkewSpec extends SparkSpec {
     assert(out(0).getInt(2) === 10)
     assert(out(1).isNullAt(2) && out(2).isNullAt(2))
   }
+
+  test("small-side-preserving join types are refused, not silently duplicated") {
+    val big = Seq(("a", 1)).toDF("k", "v")
+    val small = Seq(("a", 10), ("z", 99)).toDF("k", "w")
+    // right/full outer would emit small's unmatched ("z", 99) once per salt
+    for (jt <- Seq("right", "right_outer", "full", "full_outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(big, small, Seq("k"), salts = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("unmatched small-side rows"), jt)
+    }
+    // left_semi stays legal and correct under salting
+    assert(Skew.saltedJoin(big, small, Seq("k"), salts = 4,
+      joinType = "left_semi").collect().length === 1)
+  }
 }
