@@ -490,14 +490,26 @@ object SparkEntry {
         .orderBy(col("block_number"))
     },
 
-    // A2 sketch aggregation: approx_count_distinct (HLL++). No SQL
-    // oracle — HLL estimates aren't cross-engine reproducible; the
-    // ±5%-of-exact contract is asserted in QuerySpec instead.
+    // A2 sketch aggregation: approx_count_distinct (HLL++). The sketch
+    // value isn't cross-engine reproducible, but the ±5% accuracy
+    // CONTRACT is gate-able: project the exact counts plus a
+    // within-tolerance boolean; the oracle computes the same exact
+    // counts and literal `true` — sketch drift past 5% flips the hash
     "q30_approx_distinct" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("_ap"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("_ao"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"),
+          col("exact_parts"),
+          (abs(col("_ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+            .as("parts_within_tol"),
+          col("exact_orders"),
+          (abs(col("_ao") - col("exact_orders")) <= col("exact_orders") * 0.05)
+            .as("orders_within_tol"))
         .orderBy(col("l_returnflag"))
     }
   )
@@ -799,6 +811,18 @@ object SparkEntry {
         |  false as removed
         |from orders
         |order by block_number""".stripMargin),
+
+    // the sketch itself is engine-specific; the gated contract is the
+    // ±5% HLL accuracy bound (booleans true on both sides iff honored)
+    "q30_approx_distinct" ->
+      """select l_returnflag,
+        |  count(distinct l_partkey) as exact_parts,
+        |  true as parts_within_tol,
+        |  count(distinct l_orderkey) as exact_orders,
+        |  true as orders_within_tol
+        |from lineitem
+        |group by l_returnflag
+        |order by l_returnflag""".stripMargin,
 
     "q26_multimodal_meta" ->
       """select doc_id,

@@ -112,11 +112,15 @@ object Dedup {
           element_at(col("sig"), b * rows + r + 1)): _*))): _*))
         .as(Seq("band", "band_hash")))
 
-    val pruned = banded.withColumn("_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
+    // bucket-size guard as groupBy-count (map-side combinable, no
+    // WindowExec sort of the full banded set) + join back on the same
+    // (band, band_hash) key the pair join shuffles on; AQE broadcasts
+    // the count side when small
+    val keepBuckets = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
-      .drop("_n")
+      .select(col("band"), col("band_hash"))
+    val pruned = banded.join(keepBuckets, Seq("band", "band_hash"))
 
     val l = pruned.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = pruned.select(col("band"), col("band_hash"), col("id").as("id_b"))
