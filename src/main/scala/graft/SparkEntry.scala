@@ -495,21 +495,23 @@ object SparkEntry {
     // CONTRACT is gate-able: project the exact counts plus a
     // within-tolerance boolean; the oracle computes the same exact
     // counts and literal `true` — sketch drift past 5% flips the hash
+    // Plan note: two countDistinct + two approx in ONE aggregate forces
+    // an Expand (input ×5) — measured 16.6 s at sf0.1. Instead each key
+    // pre-distincts independently (map-side combinable) and the sketch
+    // runs over the distinct values — HLL is duplicate-insensitive, so
+    // the estimate is identical — then a 6-row join reassembles. ~3×.
     "q30_approx_distinct" -> { (s, dir) =>
-      Tables(s, dir, "lineitem")
+      val li = Tables(s, dir, "lineitem")
+      def side(key: String, exact: String, tol: String) = li
+        .select(col("l_returnflag"), col(key)).distinct()
         .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("_ap"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("_ao"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
-        .select(col("l_returnflag"),
-          col("exact_parts"),
-          (abs(col("_ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
-            .as("parts_within_tol"),
-          col("exact_orders"),
-          (abs(col("_ao") - col("exact_orders")) <= col("exact_orders") * 0.05)
-            .as("orders_within_tol"))
+        .agg(count(lit(1)).as(exact),
+          approx_count_distinct(col(key), 0.02).as("_a"))
+        .select(col("l_returnflag"), col(exact),
+          (abs(col("_a") - col(exact)) <= col(exact) * 0.05).as(tol))
+      side("l_partkey", "exact_parts", "parts_within_tol")
+        .join(side("l_orderkey", "exact_orders", "orders_within_tol"),
+          Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
     }
   )

@@ -26,8 +26,9 @@ import java.time.Duration
   * The RPC exchange happens on the driver (windows are small by
   * design — the node is the bottleneck, `README.md:100-103`); Spark
   * parses/transforms/appends, so the analytic side scales exactly
-  * like batch replay. Envelope parsing uses Spark's own from_json —
-  * no JSON library dependency.
+  * like batch replay. Envelope parsing is a driver-side Jackson parse
+  * (Jackson ships with Spark) — a Spark job per RPC call would cost
+  * more scheduler time than the parse itself.
   */
 object Rpc {
 
@@ -53,13 +54,11 @@ object Rpc {
         * replaced blocks arrive under their NEW hashes (new PKs) and
         * [[Logs.canonical]] resolves the versions at read. The
         * reference leaves this as a todo (`get_logs.go:107`). */
-      rescanDepth: Long = 0)
-
-  private val envelopeSchema = StructType(Seq(
-    StructField("result", StringType),
-    StructField("error", StructType(Seq(
-      StructField("code", LongType),
-      StructField("message", StringType))))))
+      rescanDepth: Long = 0,
+      /** T4: honor same-PK `removed=true` tombstones on re-pulled
+        * windows via [[Logs.appendCanonical]] (swap-rewrites the
+        * touched partitions) instead of plain DO-NOTHING. */
+      canonicalTombstones: Boolean = false)
 
   private lazy val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
@@ -94,22 +93,27 @@ object Rpc {
     None // unreachable
   }
 
-  /** Parse the envelope via Spark; `resultIsArray` keeps the result as
-    * raw JSON text for a second-stage parse. */
-  private def envelope(spark: SparkSession, body: String): (Option[String], Option[(Long, String)]) = {
-    import spark.implicits._
-    // result can be a scalar or array; capture it as raw text
-    val row = Seq(body).toDF("b")
-      .select(from_json(col("b"),
-        StructType(Seq(
-          StructField("error", envelopeSchema("error").dataType))),
-        Map.empty[String, String]).as("e"),
-        get_json_object(col("b"), "$.result").as("result"))
-      .select(col("result"), col("e.error.code"), col("e.error.message"))
-      .collect()(0)
-    val err = if (!row.isNullAt(1)) Some((row.getLong(1), row.getString(2))) else None
-    (Option(row.getString(0)), err)
-  }
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse the JSON-RPC envelope on the driver (plain Jackson — a
+    * 1-row Spark job per RPC call costs 10-100 ms of scheduler
+    * overhead per window, pure waste on the live path). `result`
+    * comes back as the unquoted string for scalars and as raw JSON
+    * text for arrays (second-stage `from_json` parses those in the
+    * actual Spark plan). */
+  private def envelope(body: String): (Option[String], Option[(Long, String)]) =
+    try {
+      val root = mapper.readTree(body)
+      val err = Option(root.get("error")).filterNot(_.isNull).map { e =>
+        (Option(e.get("code")).map(_.asLong).getOrElse(0L),
+          Option(e.get("message")).map(_.asText).getOrElse(""))
+      }
+      val res = Option(root.get("result")).filterNot(_.isNull)
+        .map(r => if (r.isTextual) r.asText else r.toString)
+      (res, err)
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => (None, None)
+    }
 
   /** S2: `eth_blockNumber` head probe (`get_block_number.go:3-27`). */
   def blockNumber(spark: SparkSession, endpoint: String,
@@ -117,7 +121,7 @@ object Rpc {
     val body = call(endpoint,
       """{"jsonrpc":"2.0","id":1,"method":"eth_blockNumber","params":[]}""",
       retryMillis, sleeper).get
-    val (result, err) = envelope(spark, body)
+    val (result, err) = envelope(body)
     err.foreach { case (c, m) => throw new RuntimeException(s"eth_blockNumber error $c: $m") }
     java.lang.Long.parseLong(result.get.stripPrefix("0x"), 16)
   }
@@ -135,7 +139,7 @@ object Rpc {
     val req =
       s"""{"jsonrpc":"2.0","id":1,"method":"eth_call","params":[{"to":"$oracle","data":"$PriceSelector"},"0x${block.toHexString}"]}"""
     val body = call(cfg.endpoint, req, cfg.retryMillis, sleeper).get
-    val (result, err) = envelope(spark, body)
+    val (result, err) = envelope(body)
     err match {
       case Some((-32602, _)) => None
       case Some((c, m)) => throw new RuntimeException(s"eth_call error $c: $m")
@@ -175,7 +179,7 @@ object Rpc {
     val req =
       s"""{"jsonrpc":"2.0","id":1,"method":"eth_getLogs","params":[{$addrFilter"fromBlock":"0x${from.toHexString}","toBlock":"0x${to.toHexString}"}]}"""
     val body = call(cfg.endpoint, req, cfg.retryMillis, sleeper).get
-    val (result, err) = envelope(spark, body)
+    val (result, err) = envelope(body)
     err match {
       case Some((-32602, _)) => None // skip window (main.go:141-146)
       case Some((c, m)) => throw new RuntimeException(s"eth_getLogs error $c: $m")
@@ -211,7 +215,8 @@ object Rpc {
       } else {
         val to = math.min(math.min(from + cfg.blockStep - 1, head), target)
         getLogs(spark, cfg, from, to, sleeper) match {
-          case Some(batch) => Logs.appendIdempotent(spark, batch, tablePath)
+          case Some(batch) =>
+            Logs.appendIdempotent(spark, batch, tablePath, cfg.canonicalTombstones)
           case None => // window refused; advance anyway, as the reference does
         }
         // price sweep after the logs window, as of fromBlock — the

@@ -47,13 +47,18 @@ object LogStream {
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .json(inputDir))
 
+  /** @param canonicalize honor same-PK `removed=true` tombstones by
+    *                      swap-rewriting the touched partitions
+    *                      ([[Logs.appendCanonical]]) instead of the
+    *                      plain DO-NOTHING append */
   def ingest(
       spark: SparkSession,
       inputDir: String,
       tablePath: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 100,
-      pollInterval: Option[String] = None): StreamingQuery = {
+      pollInterval: Option[String] = None,
+      canonicalize: Boolean = false): StreamingQuery = {
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
@@ -64,7 +69,7 @@ object LogStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // replayed batches re-run on failure → the PK anti-join makes
         // the append idempotent (exactly-once effect)
-        Logs.appendIdempotent(batch.sparkSession, batch, tablePath)
+        Logs.appendIdempotent(batch.sparkSession, batch, tablePath, canonicalize)
       }
       .start()
   }

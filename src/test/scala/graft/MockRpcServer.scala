@@ -10,12 +10,12 @@ import java.nio.charset.StandardCharsets
   * for the retry/skip paths. */
 class MockRpcServer {
 
-  case class MockLog(block: Long, address: String, idx: Long) {
+  case class MockLog(block: Long, address: String, idx: Long, removed: Boolean = false) {
     def json: String =
       s"""{"address":"$address","topics":["0xsig","0x${"%064x".format(block)}"],""" +
         s""""data":"0x${"%064x".format(block * 3)}","blockHash":"0xb${block.toHexString}",""" +
         s""""blockNumber":"0x${block.toHexString}","transactionHash":"0xt$block","transactionIndex":"0x0",""" +
-        s""""logIndex":"0x${idx.toHexString}","removed":false}"""
+        s""""logIndex":"0x${idx.toHexString}","removed":$removed}"""
   }
 
   @volatile var logs: Seq[MockLog] = Seq.empty

@@ -56,6 +56,27 @@ class RpcSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("same-PK tombstone on a re-pulled window deletes via canonicalTombstones") {
+    val s = newServer(10)
+    try {
+      val table = Files.createTempDirectory("rpc_tbl").toString + "/t"
+      Rpc.ingestLoop(spark, Rpc.Config(s.endpoint, blockStep = 20, toBlock = Some(10)), table, noSleep)
+      assert(Logs.read(spark, table).count() === 10)
+      // the node now reports block 10's log removed under the SAME PK
+      // (blockHash/txHash/logIndex unchanged, removed=true) — the case
+      // plain DO-NOTHING drops (get_logs.go:107)
+      s.logs = s.logs.map(l => if (l.block == 10) l.copy(removed = true) else l)
+      Rpc.ingestLoop(spark,
+        Rpc.Config(s.endpoint, blockStep = 20, toBlock = Some(10), rescanDepth = 3,
+          canonicalTombstones = true),
+        table, noSleep)
+      val all = Logs.read(spark, table)
+      assert(all.count() === 10) // one version per PK, tombstone stored
+      assert(all.filter(org.apache.spark.sql.functions.col("removed")).count() === 1)
+      assert(Logs.canonical(all).count() === 9) // block 10 gone at read
+    } finally s.stop()
+  }
+
   test("retry on 503 (reference backoff path) then success") {
     val s = newServer(5)
     try {
