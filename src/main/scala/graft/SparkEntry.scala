@@ -490,6 +490,58 @@ object SparkEntry {
         .orderBy(col("block_number"))
     },
 
+    // F7/F8/F9/F20-compat under the gate: strtol, from_hex round-trip,
+    // from_varbyte text decode, and the reference's 3-element fixed-
+    // array text render, each against a pure-SQL DuckDB twin
+    "q34_scalar_decode_batch" -> { (s, dir) =>
+      val bare = (c: Column) => lpad(lower(hex(c)), 64, "0")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          bare(col("o_orderkey")).as("_bw"),
+          concat(lit("0x"), bare(col("o_orderkey"))).as("_w"),
+          concat(lit("0x"), bare(col("o_orderkey")), bare(col("o_orderkey") + 1),
+            bare(col("o_orderkey") + 2)).as("_arr3"),
+          concat(lit("0x"), lower(hex(col("o_orderpriority")))).as("_txthex"))
+        .select(col("o_orderkey"),
+          Abi.strtol(col("_bw"), 64).as("strtol_key"),
+          hex(Abi.fromHex(col("_w"))).as("hex_roundtrip"),
+          Abi.fromVarbyte(Abi.fromHex(col("_txthex")), "UTF-8").as("prio_text"),
+          Abi.toFixedArrayCompat(2, col("_arr3"), "uint64", 3).as("fixed3"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // T4 write path under the gate: ingest a wire capture, land
+    // same-PK tombstones via the canonicalizing append, replay the
+    // ORIGINAL inserts (must not resurrect), read the canonical view.
+    // The DuckDB twin derives the surviving rows in pure SQL.
+    "q35_tombstone_roundtrip" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q35").toString
+      val base = Tables(s, dir, "orders").filter(col("o_orderkey") % 10 === 1)
+      def wire(rows: org.apache.spark.sql.DataFrame, removed: Boolean) =
+        rows.select(to_json(struct(
+          format_string("0x%040x", col("o_custkey")).as("address"),
+          array(lit(TransferSig), format_string("0x%064x", col("o_custkey"))).as("topics"),
+          format_string("0x%064x", col("o_orderkey") * 3).as("data"),
+          format_string("0xb%x", col("o_orderkey")).as("blockHash"),
+          format_string("0x%x", col("o_orderkey")).as("blockNumber"),
+          format_string("0xt%x", col("o_orderkey")).as("transactionHash"),
+          lit("0x0").as("transactionIndex"),
+          format_string("0x%x", col("o_orderkey") % 7).as("logIndex"),
+          lit(removed).as("removed"))).as("j"))
+      wire(base, removed = false).write.mode("overwrite").text(s"$work/w1")
+      wire(base.filter(col("o_orderkey") % 50 === 1), removed = true)
+        .write.mode("overwrite").text(s"$work/w2")
+      val t = s"$work/logs"
+      graft.sources.Logs.appendIdempotent(s, graft.sources.Logs.readNdjson(s, s"$work/w1"), t)
+      graft.sources.Logs.appendIdempotent(s, graft.sources.Logs.readNdjson(s, s"$work/w2"), t,
+        canonicalize = true)
+      graft.sources.Logs.appendIdempotent(s, graft.sources.Logs.readNdjson(s, s"$work/w1"), t,
+        canonicalize = true)
+      graft.sources.Logs.canonical(graft.sources.Logs.read(s, t))
+        .select(col("address"), col("block_number"), col("log_index"), col("removed"))
+        .orderBy(col("block_number"))
+    },
+
     // A2 sketch aggregation: approx_count_distinct (HLL++). The sketch
     // value isn't cross-engine reproducible, but the ±5% accuracy
     // CONTRACT is gate-able: project the exact counts plus a
@@ -813,6 +865,24 @@ object SparkEntry {
         |  false as removed
         |from orders
         |order by block_number""".stripMargin),
+
+    "q34_scalar_decode_batch" ->
+      """select o_orderkey,
+        |  o_orderkey as strtol_key,
+        |  upper(printf('%064x', o_orderkey)) as hex_roundtrip,
+        |  o_orderpriority as prio_text,
+        |  '[' || o_orderkey || ',' || (o_orderkey + 1) || ',' || (o_orderkey + 2) || ']' as fixed3
+        |from orders
+        |order by o_orderkey""".stripMargin,
+
+    "q35_tombstone_roundtrip" ->
+      """select printf('0x%040x', o_custkey) as address,
+        |  o_orderkey as block_number,
+        |  o_orderkey % 7 as log_index,
+        |  false as removed
+        |from orders
+        |where o_orderkey % 10 = 1 and o_orderkey % 50 <> 1
+        |order by block_number""".stripMargin,
 
     // the sketch itself is engine-specific; the gated contract is the
     // ±5% HLL accuracy bound (booleans true on both sides iff honored)
