@@ -98,10 +98,21 @@ object Dedup {
       bands: Int = 8,
       shingleK: Int = 3,
       minEstimate: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    candidatesFromSignatures(
+      stagedSignatures(df, idCol, textCol, numHashes, shingleK),
+      numHashes, bands, minEstimate, maxBucket)
+
+  /** The banding/pairing back half of [[minhashCandidates]], reusable
+    * with signatures derived from any staged source (`(id, sig)`). */
+  private def candidatesFromSignatures(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      minEstimate: Double,
+      maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = stagedSignatures(df, idCol, textCol, numHashes, shingleK)
 
     // bucket membership only — signatures stay out of the pair join
     // (they'd otherwise be shuffled once per colliding band)
@@ -204,6 +215,15 @@ object Dedup {
     * @param minEstimate  cheap signature-agreement pre-filter on
     *                     candidates (keep well below minJaccard; the
     *                     exact pass does the real filtering)
+    *
+    * The normalize→tokenize→shingle pipeline runs ONCE: the per-doc
+    * hashed shingle sets are persisted and serve both the minhash
+    * signatures (min over `xxhash64(shingle_hash, i)` — an equally
+    * valid permutation family over the 64-bit shingle hashes) and the
+    * exact-jaccard verification. The candidate generation and the
+    * verifier branch many times over this table; without the persist
+    * the text pipeline re-runs per branch. ~20 MB per 5k docs — at
+    * corpus scale this is the table you'd checkpoint to storage.
     */
   def nearDuplicates(
       df: DataFrame,
@@ -215,10 +235,14 @@ object Dedup {
       shingleK: Int = 3,
       minEstimate: Double = 0.1,
       maxBucket: Int = 1000): DataFrame = {
-    val candidates = minhashCandidates(df, idCol, textCol,
-        numHashes, bands, shingleK, minEstimate, maxBucket)
-      .select(col("id_a"), col("id_b"))
     val sets = shingleSets(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sets.select(col("id"),
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("s"), h => xxhash64(h, lit(i))))): _*).as("sig"))
+    val candidates =
+      candidatesFromSignatures(sigs, numHashes, bands, minEstimate, maxBucket)
+        .select(col("id_a"), col("id_b"))
     jaccardOfPairs(candidates, sets)
       .filter(col("jaccard") >= minJaccard)
   }
