@@ -490,6 +490,17 @@ object SparkEntry {
         .orderBy(col("block_number"))
     },
 
+    // REAL container-format probing under the gate: minimal valid
+    // PNG/JPEG/GIF/WAV files synthesized per doc, headers parsed back
+    // by FormatProbe (signature dispatch, SOF walk, RIFF fields); the
+    // DuckDB twin derives the expected metadata from doc_id arithmetic
+    // — an endianness or offset bug anywhere flips the hash red
+    "q36_media_probe" -> { (s, dir) =>
+      Multimodal.probeMeta(Multimodal.syntheticRealMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // F7/F8/F9/F20-compat under the gate: strtol, from_hex round-trip,
     // from_varbyte text decode, and the reference's 3-element fixed-
     // array text render, each against a pure-SQL DuckDB twin
@@ -865,6 +876,30 @@ object SparkEntry {
         |  false as removed
         |from orders
         |order by block_number""".stripMargin),
+
+    "q36_media_probe" ->
+      """select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown'
+        |       when doc_id % 4 = 0 then 'png'
+        |       when doc_id % 4 = 1 then 'jpeg'
+        |       when doc_id % 4 = 2 then 'gif'
+        |       else 'wav' end as format,
+        |  cast(case when doc_id % 25 = 0 or doc_id % 4 = 3 then 0
+        |       else (doc_id % 64 + 1) * 4 end as int) as width,
+        |  cast(case when doc_id % 25 = 0 or doc_id % 4 = 3 then 0
+        |       else (doc_id % 48 + 1) * 4 end as int) as height,
+        |  cast(case when doc_id % 25 <> 0 and doc_id % 4 = 3
+        |       then 8000 + (doc_id % 5) * 8000 else 0 end as int) as sample_rate,
+        |  cast(case when doc_id % 25 <> 0 and doc_id % 4 = 3
+        |       then (doc_id % 2) + 1 else 0 end as int) as channels,
+        |  cast(case when doc_id % 25 = 0 then 6
+        |       when doc_id % 4 = 0 then 33
+        |       when doc_id % 4 = 1 then 35
+        |       when doc_id % 4 = 2 then 14
+        |       else 44 + ((doc_id % 2) + 1) * 8 end as int) as byte_size,
+        |  (doc_id % 25 <> 0) as valid
+        |from documents
+        |order by doc_id""".stripMargin,
 
     "q34_scalar_decode_batch" ->
       """select o_orderkey,
