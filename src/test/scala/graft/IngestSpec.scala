@@ -114,6 +114,24 @@ class IngestSpec extends SparkSpec {
     assert(Logs.highWaterMark(spark, table) === 100001L)
   }
 
+  test("canonicalizing append rewrites ONLY the partitions the batch touches") {
+    val table = Files.createTempDirectory("logs_tbl").toString + "/t"
+    // two ranges: block 5 → range 0, block 100005 → range 1
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark,
+      fixture(Seq(row(5, 0), row(100005L, 0)))), table)
+    def fileState(r: Long) = new java.io.File(s"$table/block_range=$r")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+    val range1Before = fileState(1)
+    // tombstone touches range 0 only — range 1's files must be byte-identical
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark,
+      fixture(Seq(row(5, 0, removed = true)))), table, canonicalize = true)
+    assert(fileState(1) === range1Before) // untouched partition not rewritten
+    assert(fileState(0) !== Seq.empty)
+    assert(Logs.canonical(Logs.read(spark, table)).select("block_number")
+      .as[Long].collect().toSeq === Seq(100005L))
+  }
+
   test("compaction handles many ranges concurrently with a size target") {
     val table = Files.createTempDirectory("logs_tbl").toString + "/t"
     // three block_range partitions (100k blocks each), several files per range
