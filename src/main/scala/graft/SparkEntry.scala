@@ -490,6 +490,28 @@ object SparkEntry {
         .orderBy(col("block_number"))
     },
 
+    // §2.11 under the gate: the reference's Transfer view SQL TEXT
+    // (init.sql:221 body, modulo ::text casts) parsed by spark.sql
+    // through the registered no-UDF function surface, then aggregated —
+    // same values as the Column-API path (q12), but through the
+    // analyst-facing SQL entry point
+    "q37_sql_surface_view" -> { (s, dir) =>
+      graft.functions.Abi.registerSqlFunctions(s)
+      syntheticTransferLogs(s, dir).createOrReplaceTempView("graft_q37_logs")
+      s.sql(
+        s"""select to_address(2, topic1) as from_addr,
+           |       to_address(2, topic2) as to_addr,
+           |       to_uint256(2, data) as amount,
+           |       address as contract_address
+           |from graft_q37_logs
+           |where topic0 = '$TransferSig'""".stripMargin)
+        .groupBy(col("contract_address"))
+        .agg(count(lit(1)).as("n_transfers"),
+          sum(col("amount")).cast(DoubleType).as("total_amount"),
+          max(col("to_addr")).as("to_max"))
+        .orderBy(col("contract_address"))
+    },
+
     // REAL container-format probing under the gate: minimal valid
     // PNG/JPEG/GIF/WAV files synthesized per doc, headers parsed back
     // by FormatProbe (signature dispatch, SOF walk, RIFF fields); the
@@ -876,6 +898,15 @@ object SparkEntry {
         |  false as removed
         |from orders
         |order by block_number""".stripMargin),
+
+    "q37_sql_surface_view" ->
+      """select printf('0x%040x', c_nationkey) as contract_address,
+        |  count(*) as n_transfers,
+        |  cast(sum(cast(c_custkey as decimal(38,0)) * 31) as double) as total_amount,
+        |  max(printf('0x%040x', c_custkey * 7)) as to_max
+        |from customer
+        |group by contract_address
+        |order by contract_address""".stripMargin,
 
     "q36_media_probe" ->
       """select doc_id,
