@@ -490,6 +490,52 @@ object SparkEntry {
         .orderBy(col("block_number"))
     },
 
+    // S5-JDBC under the gate: the idempotent JDBC sink against a real
+    // embedded database (Derby, in /opt/spark/jars) — wire rows derive
+    // from orders, append TWICE through the range-bounded anti-join
+    // (the second must DO-NOTHING), read back over JDBC. The DuckDB
+    // twin derives the same rows in SQL; a duplicate or a dropped row
+    // anywhere in the sink path breaks the row count or the hash.
+    "q38_jdbc_roundtrip" -> { (s, dir) =>
+      val url = "jdbc:derby:memory:graftq38;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().execute(
+        """create table logs (
+          |  address clob, topic0 clob, topic1 clob,
+          |  topic2 clob, topic3 clob, data clob,
+          |  block_hash varchar(66) not null, block_number bigint,
+          |  transaction_hash varchar(66) not null, transaction_index bigint,
+          |  log_index bigint not null, removed boolean, block_timestamp timestamp,
+          |  primary key (block_hash, transaction_hash, log_index))""".stripMargin)
+      catch { // X0Y32 = table exists (same-JVM rerun): reset contents
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
+          conn.createStatement().execute("delete from logs")
+      } finally conn.close()
+      val batch = Tables(s, dir, "orders").filter(col("o_orderkey") % 5 === 2).select(
+        format_string("0x%040x", col("o_custkey")).as("address"),
+        lit(TransferSig).as("topic0"),
+        format_string("0x%064x", col("o_custkey")).as("topic1"),
+        lit(null).cast(StringType).as("topic2"),
+        lit(null).cast(StringType).as("topic3"),
+        format_string("0x%064x", col("o_orderkey") * 3).as("data"),
+        format_string("0xb%x", col("o_orderkey")).as("block_hash"),
+        col("o_orderkey").as("block_number"),
+        format_string("0xt%x", col("o_orderkey")).as("transaction_hash"),
+        lit(0L).as("transaction_index"),
+        (col("o_orderkey") % 7).as("log_index"),
+        lit(false).as("removed"),
+        lit(null).cast(TimestampType).as("block_timestamp"))
+      graft.sinks.JdbcSink.appendIdempotent(batch, url, "logs",
+        graft.sources.Logs.pk, rangeCol = Some("block_number"))
+      graft.sinks.JdbcSink.appendIdempotent(batch, url, "logs",
+        graft.sources.Logs.pk, rangeCol = Some("block_number"))
+      s.read.jdbc(url, "logs", new java.util.Properties())
+        .select(col("address"), col("topic0"), col("topic1"), col("data"),
+          col("block_number"), col("transaction_hash"),
+          col("transaction_index"), col("log_index"), col("removed"))
+        .orderBy(col("block_number"))
+    },
+
     // §2.11 under the gate: the reference's Transfer view SQL TEXT
     // (init.sql:221 body, modulo ::text casts) parsed by spark.sql
     // through the registered no-UDF function surface, then aggregated —
@@ -897,6 +943,20 @@ object SparkEntry {
         |  o_orderkey % 7 as log_index,
         |  false as removed
         |from orders
+        |order by block_number""".stripMargin),
+
+    "q38_jdbc_roundtrip" ->
+      (s"""select printf('0x%040x', o_custkey) as address,
+        |  '$TransferSig' as topic0,
+        |  printf('0x%064x', o_custkey) as topic1,
+        |  printf('0x%064x', o_orderkey * 3) as data,
+        |  o_orderkey as block_number,
+        |  printf('0xt%x', o_orderkey) as transaction_hash,
+        |  cast(0 as bigint) as transaction_index,
+        |  o_orderkey % 7 as log_index,
+        |  false as removed
+        |from orders
+        |where o_orderkey % 5 = 2
         |order by block_number""".stripMargin),
 
     "q37_sql_surface_view" ->
