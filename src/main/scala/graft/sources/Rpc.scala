@@ -75,7 +75,7 @@ object Rpc {
 
   /** One RPC call with the reference's retry semantics; returns the
     * raw response body, or None when the window should be skipped. */
-  private def call(endpoint: String, body: String, retryMillis: Long,
+  private[sources] def call(endpoint: String, body: String, retryMillis: Long,
       sleeper: Long => Unit): Option[String] = {
     while (true) {
       val resp =
@@ -114,6 +114,11 @@ object Rpc {
     } catch {
       case _: com.fasterxml.jackson.core.JacksonException => (None, None)
     }
+
+  /** S2 head probe, session-free form (envelope parse is driver-side
+    * Jackson — no Spark needed). */
+  def blockNumber(endpoint: String, retryMillis: Long): Long =
+    blockNumber(null, endpoint, retryMillis)
 
   /** S2: `eth_blockNumber` head probe (`get_block_number.go:3-27`). */
   def blockNumber(spark: SparkSession, endpoint: String,

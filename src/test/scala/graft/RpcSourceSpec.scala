@@ -1,0 +1,91 @@
+package graft
+
+import graft.sources.{Logs, RpcSource}
+import org.apache.spark.sql.functions._
+
+/** The DataSource V2 live-RPC source against the mock node: schema,
+  * wire transform, per-window partitioning, and BOTH pushdown axes —
+  * address filters into the JSON-RPC request, block_number bounds
+  * pruning whole windows before any request is issued. */
+class RpcSourceSpec extends SparkSpec {
+
+  private def newServer(maxBlock: Long): MockRpcServer = {
+    val s = new MockRpcServer
+    s.logs = (1L to maxBlock).map(b => s.MockLog(b, if (b % 2 == 0) "0xeven" else "0xodd", 0))
+    s.head = maxBlock
+    s
+  }
+
+  private def read(s: MockRpcServer, extra: (String, String)*) = {
+    var r = spark.read.format(RpcSource.Format)
+      .option("endpoint", s.endpoint)
+      .option("blockStep", "10")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("batch read: schema, wire transform, one partition per window") {
+    val s = newServer(40)
+    try {
+      val df = read(s, "fromBlock" -> "1", "toBlock" -> "40")
+      assert(df.schema === Logs.schema)
+      val rows = df.collect()
+      assert(rows.length === 40)
+      assert(df.rdd.getNumPartitions === 4) // 40 blocks / step 10
+      val r5 = rows.find(_.getAs[Long]("block_number") === 5L).get
+      assert(r5.getAs[String]("address") === "0xodd")
+      assert(r5.getAs[String]("topic0") === "0xsig")
+      assert(r5.getAs[String]("topic2") === null) // short topics → null
+      assert(r5.getAs[String]("block_hash") === "0xb5")
+      assert(!r5.getAs[Boolean]("removed"))
+      assert(s.requests.count(_.contains("eth_getLogs")) === 4)
+    } finally s.stop()
+  }
+
+  test("head probe supplies toBlock when absent") {
+    val s = newServer(25)
+    try {
+      assert(read(s).count() === 25)
+      assert(s.requests.exists(_.contains("eth_blockNumber")))
+    } finally s.stop()
+  }
+
+  test("address equality pushes into the JSON-RPC request") {
+    val s = newServer(20)
+    try {
+      val df = read(s, "fromBlock" -> "1", "toBlock" -> "20")
+        .filter(col("address") === "0xeven")
+      assert(df.count() === 10)
+      // server saw the filter (source-side pushdown, get_logs.go:69-79)
+      val getLogs = s.requests.filter(_.contains("eth_getLogs"))
+      assert(getLogs.nonEmpty && getLogs.forall(_.contains("\"address\":[\"0xeven\"]")), getLogs)
+      // and the plan reports it (the scan's description carries the
+      // pushed request narrowing — DSv2's analog of PushedFilters)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("addresses=0xeven"), plan)
+    } finally s.stop()
+  }
+
+  test("block_number bounds prune whole windows before any request") {
+    val s = newServer(100)
+    try {
+      val df = read(s, "fromBlock" -> "1", "toBlock" -> "100")
+        .filter(col("block_number") > 60L && col("block_number") <= 80L)
+      assert(df.count() === 20)
+      val windows = s.requests.filter(_.contains("eth_getLogs"))
+      assert(windows.length === 2) // [61,70] [71,80] only — not 10 windows
+      assert(windows.forall(w => w.contains("\"fromBlock\":\"0x3d\"") || // 61
+        w.contains("\"fromBlock\":\"0x47\"")), windows)                  // 71
+    } finally s.stop()
+  }
+
+  test("refused window (-32602) skips, matching the reference") {
+    val s = newServer(20)
+    try {
+      s.refuse = Set((11L, 20L))
+      val df = read(s, "fromBlock" -> "1", "toBlock" -> "20")
+      assert(df.count() === 10) // first window only
+    } finally s.stop()
+  }
+}
