@@ -53,7 +53,7 @@ object RpcSource {
     override def name(): String = s"evmrpc(${props.getOrElse("endpoint", "?")})"
     override def schema(): StructType = Logs.schema
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new RpcScanBuilder(props ++ options.asScala)
   }
@@ -116,10 +116,62 @@ object RpcSource {
     override def description(): String =
       s"evmrpc [$from, $to] step=$step addresses=${addresses.mkString(",")}"
     override def planInputPartitions(): Array[InputPartition] =
-      Iterator.iterate(from)(_ + step).takeWhile(_ <= to)
-        .map(w => RpcWindow(w, math.min(w + step - 1, to)): InputPartition).toArray
+      windows(from, to, step)
     override def createReaderFactory(): PartitionReaderFactory =
       new RpcReaderFactory(endpoint, addresses, retryMillis)
+    override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+      new RpcMicroBatchStream(endpoint, from, to, step, addresses, retryMillis)
+  }
+
+  private def windows(from: Long, to: Long, step: Long): Array[InputPartition] =
+    Iterator.iterate(from)(_ + step).takeWhile(_ <= to)
+      .map(w => RpcWindow(w, math.min(w + step - 1, to)): InputPartition).toArray
+
+  /** Offset = highest block already ingested; checkpointed by the
+    * engine, so restart resumes exactly where the stream stopped —
+    * the DB high-water mark of the reference loop (`main.go:162-175`)
+    * as a genuine Structured Streaming offset. */
+  private[sources] case class BlockOffset(block: Long) extends streaming.Offset {
+    override def json(): String = block.toString
+  }
+
+  /** `spark.readStream` tail-follow: each micro-batch covers
+    * (lastOffset, head] bounded to `step·maxWindowsPerBatch` blocks
+    * via admission control (the cap must narrow the OFFSET, not the
+    * planned partitions — a partition-side cap would silently skip the
+    * overflow when the engine commits `end`). Windows plan as one
+    * InputPartition each — the same parallel readers as the batch
+    * path. The head probe runs once per trigger, the reference loop's
+    * `eth_blockNumber` poll (`main.go:221-226`); no new blocks → no
+    * batch. */
+  private[sources] class RpcMicroBatchStream(endpoint: String, from: Long, to: Long,
+      step: Long, addresses: Seq[String], retryMillis: Long,
+      maxWindowsPerBatch: Int = 10)
+      extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
+    override def initialOffset(): streaming.Offset = BlockOffset(from - 1)
+    override def latestOffset(): streaming.Offset =
+      throw new UnsupportedOperationException(
+        "admission-controlled source: engine calls latestOffset(start, limit)")
+    override def latestOffset(start: streaming.Offset,
+        limit: streaming.ReadLimit): streaming.Offset = {
+      val head = math.min(Rpc.blockNumber(endpoint, retryMillis), to)
+      val lo = start.asInstanceOf[BlockOffset].block
+      BlockOffset(math.max(lo, math.min(head, lo + step * maxWindowsPerBatch)))
+    }
+    override def reportLatestOffset(): streaming.Offset =
+      BlockOffset(math.min(Rpc.blockNumber(endpoint, retryMillis), to))
+    override def deserializeOffset(json: String): streaming.Offset =
+      BlockOffset(json.toLong)
+    override def planInputPartitions(start: streaming.Offset,
+        end: streaming.Offset): Array[InputPartition] = {
+      val lo = start.asInstanceOf[BlockOffset].block + 1
+      val hi = end.asInstanceOf[BlockOffset].block
+      if (lo > hi) Array.empty else windows(lo, hi, step)
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new RpcReaderFactory(endpoint, addresses, retryMillis)
+    override def commit(end: streaming.Offset): Unit = ()
+    override def stop(): Unit = ()
   }
 
   private[sources] class RpcReaderFactory(endpoint: String, addresses: Seq[String],

@@ -80,6 +80,46 @@ class RpcSourceSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("readStream tail-follow: checkpointed block offsets, exactly-once effect") {
+    val s = newServer(20)
+    try {
+      val table = java.nio.file.Files.createTempDirectory("rpcsrc_tbl").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("rpcsrc_ckpt").toString
+      def drain(): Unit = {
+        val q = spark.readStream.format(RpcSource.Format)
+          .option("endpoint", s.endpoint)
+          .option("fromBlock", "1").option("blockStep", "5")
+          .option("toBlock", "1000000") // follow the head
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            Logs.appendIdempotent(b.sparkSession, b, table)
+          }
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      assert(Logs.read(spark, table).count() === 20)
+      assert(Logs.highWaterMark(spark, table) === 20L)
+      // chain advances; restart on the SAME checkpoint resumes from
+      // the committed block offset — the reference's DB high-water
+      // mark as a genuine streaming offset (main.go:162-175)
+      s.logs = s.logs ++ (21L to 30L).map(b => s.MockLog(b, "0xodd", 0))
+      s.head = 30
+      drain()
+      assert(Logs.read(spark, table).count() === 30) // no duplicates
+      assert(Logs.highWaterMark(spark, table) === 30L)
+      // the resumed run never re-requested the already-committed range
+      val secondRunWindows = s.requests.filter(_.contains("eth_getLogs"))
+        .filter(_.contains("\"fromBlock\":\"0x15\"")) // 21
+      assert(secondRunWindows.nonEmpty)
+      assert(!s.requests.exists(r => r.contains("eth_getLogs") &&
+        r.contains("\"fromBlock\":\"0x1\"") && s.requests.indexOf(r) > s.requests.length / 2))
+    } finally s.stop()
+  }
+
   test("refused window (-32602) skips, matching the reference") {
     val s = newServer(20)
     try {
