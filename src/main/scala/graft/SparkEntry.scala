@@ -490,6 +490,23 @@ object SparkEntry {
         .orderBy(col("block_number"))
     },
 
+    // Training-sequence prep under the gate: token-window chunking
+    // with overlap (64-token chunks every 48 — trailing chunk short,
+    // empty docs vanish) against a DuckDB list-slice twin
+    "q39_doc_chunking" -> { (s, dir) =>
+      operators.Chunking.chunkDocuments(Tables(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_index"))
+    },
+
+    // Offset packing: docs assigned to fixed-token training sequences
+    // by cumulative-offset bin — window cumsum both engines can
+    // express exactly
+    "q40_sequence_packing" -> { (s, dir) =>
+      operators.Chunking.packSummary(Tables(s, dir, "documents"),
+        "doc_id", "text", seqTokens = 2048L)
+    },
+
     // S5-JDBC under the gate: the idempotent JDBC sink against a real
     // embedded database (Derby, in /opt/spark/jars) — wire rows derive
     // from orders, append TWICE through the range-bounded anti-join
@@ -944,6 +961,34 @@ object SparkEntry {
         |  false as removed
         |from orders
         |order by block_number""".stripMargin),
+
+    "q39_doc_chunking" ->
+      (s"""with t as (select doc_id, $OracleTokens as toks from documents),
+        | c as (select doc_id,
+        |   list_filter(list_transform(range(1, greatest(len(toks),1)+1, 48),
+        |     st -> array_to_string(toks[st:st+63], ' ')), x -> length(x) > 0) as chunks
+        |  from t),
+        | e as (select doc_id, generate_subscripts(chunks, 1) - 1 as chunk_index,
+        |   unnest(chunks) as chunk_text from c)
+        |select doc_id, chunk_index, chunk_text,
+        |  case when length(trim(chunk_text)) = 0 then 0
+        |       else len(string_split_regex(trim(chunk_text), '\\s+')) end as chunk_tokens
+        |from e
+        |order by doc_id, chunk_index""".stripMargin),
+
+    "q40_sequence_packing" ->
+      (s"""with n as (select doc_id, $OracleNTokens as n from documents),
+        | o as (select doc_id, n,
+        |   coalesce(sum(n) over (order by doc_id
+        |     rows between unbounded preceding and 1 preceding), 0) as off from n)
+        |select cast(floor(off / 2048.0) as bigint) as seq_id,
+        |  count(*) as n_docs,
+        |  cast(sum(n) as bigint) as sum_tokens,
+        |  min(doc_id) as first_doc,
+        |  max(doc_id) as last_doc
+        |from o
+        |group by seq_id
+        |order by seq_id""".stripMargin),
 
     "q38_jdbc_roundtrip" ->
       (s"""select printf('0x%040x', o_custkey) as address,

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Chunking
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking: windows, overlap, short tail, empty doc") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "only three words"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val chunks = Chunking.chunkDocuments(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect().groupBy(_.getLong(0))
+    val d1 = chunks(1L).sortBy(_.getLong(1)).map(_.getString(2))
+    assert(d1.toSeq === Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10")) // overlap 1, short tail
+    assert(chunks(2L).map(_.getString(2)).toSeq === Seq("only three words"))
+    assert(!chunks.contains(3L)) // whitespace-only doc → no chunks
+    // every token is covered by at least one chunk
+    val covered = d1.flatMap(_.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"w$i").toSet)
+  }
+
+  test("packing: offset bins are contiguous and budget-sized") {
+    val docs = (1L to 100L).map(i => (i, Seq.fill(10)("t").mkString(" "))).toDF("doc_id", "text")
+    val packed = Chunking.packSummary(docs, "doc_id", "text", seqTokens = 100L).collect()
+    // 100 docs × 10 tokens / 100-token budget = 10 full sequences
+    assert(packed.length === 10)
+    packed.foreach { r => assert(r.getLong(1) === 10L && r.getLong(2) === 100L) }
+    // contiguous doc ranges, no gaps
+    val bounds = packed.sortBy(_.getLong(0)).map(r => (r.getLong(3), r.getLong(4)))
+    assert(bounds.head._1 === 1L && bounds.last._2 === 100L)
+    bounds.sliding(2).foreach { case Array((_, hi), (lo2, _)) => assert(lo2 === hi + 1) }
+  }
+
+  test("a straddling doc spills into its start bin") {
+    // 3 docs of 7 tokens, budget 10: offsets 0,7,14 → bins 0,0,1
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val bins = Chunking.packOffsets(docs, "doc_id", "text", 10L)
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+}
