@@ -507,6 +507,36 @@ object SparkEntry {
         "doc_id", "text", seqTokens = 2048L)
     },
 
+    // Capstone: the whole curation pipeline composed in ONE plan —
+    // quality filter (bit-exact doubles, so the 0.5 threshold
+    // classifies identically cross-engine) → exact dedup (lowest
+    // doc_id per content fingerprint) → chunking — aggregated per
+    // source. Each stage is individually oracled (q19/q15/q39); this
+    // gates their composition.
+    "q41_curation_pipeline" -> { (s, dir) =>
+      val kept = Tables(s, dir, "documents")
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .withColumn("_fp", Text.fingerprint(col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_fp")).orderBy(col("doc_id"))
+      val deduped = kept.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+      deduped
+        .select(col("source"), Text.tokens(col("text")).as("_toks"))
+        .select(col("source"),
+          operators.Chunking.chunksFromTokens(col("_toks"), 64, 48).as("_chunks"))
+        .select(col("source"),
+          size(col("_chunks")).cast(LongType).as("_nc"),
+          aggregate(transform(col("_chunks"), c => size(split(c, " "))),
+            lit(0), (a, b) => a + b).cast(LongType).as("_ct"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nc")).as("n_chunks"),
+          sum(col("_ct")).as("sum_chunk_tokens"))
+        .orderBy(col("source"))
+    },
+
     // S5-JDBC under the gate: the idempotent JDBC sink against a real
     // embedded database (Derby, in /opt/spark/jars) — wire rows derive
     // from orders, append TWICE through the range-bounded anti-join
@@ -961,6 +991,35 @@ object SparkEntry {
         |  false as removed
         |from orders
         |order by block_number""".stripMargin),
+
+    "q41_curation_pipeline" ->
+      (s"""with q as (
+        |  select doc_id, source, text,
+        |    0.4 * least(cast($OracleNTokens as double) / 50.0, 1.0)
+        |    + 0.3 * least(cast(len(list_filter($OracleTokens, t -> t in ($OracleStop))) as double)
+        |        / cast(greatest($OracleNTokens, 1) as double) * 4.0, 1.0)
+        |    + 0.15 * (1.0 - least(cast(len(regexp_extract_all(text, '[.,!?;:]')) as double)
+        |        / cast(greatest(length(text),1) as double) * 5.0, 1.0))
+        |    + 0.15 * (1.0 - least(cast(len(regexp_extract_all(text, '[0-9]')) as double)
+        |        / cast(greatest(length(text),1) as double) * 5.0, 1.0)) as quality
+        |  from documents),
+        | f as (select doc_id, source, text, md5($OracleNorm) as fp
+        |   from q where quality >= 0.5),
+        | d as (select doc_id, source, text from f
+        |   qualify row_number() over (partition by fp order by doc_id) = 1),
+        | t as (select doc_id, source, $OracleTokens as toks from d),
+        | c as (select source,
+        |   list_filter(list_transform(range(1, greatest(len(toks),1)+1, 48),
+        |     st -> array_to_string(toks[st:st+63], ' ')), x -> length(x) > 0) as chunks
+        |  from t)
+        |select source,
+        |  count(*) as n_docs,
+        |  cast(sum(len(chunks)) as bigint) as n_chunks,
+        |  cast(sum(coalesce(list_sum(list_transform(chunks,
+        |    x -> len(string_split(x, ' ')))), 0)) as bigint) as sum_chunk_tokens
+        |from c
+        |group by source
+        |order by source""".stripMargin),
 
     "q39_doc_chunking" ->
       (s"""with t as (select doc_id, $OracleTokens as toks from documents),
