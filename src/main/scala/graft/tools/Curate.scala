@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.functions.Text
+import graft.operators.Chunking
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CLI: the training-data curation pipeline end-to-end — quality
+  * filter → exact dedup → token-window chunking → sequence packing —
+  * from a documents parquet to training-ready parquet outputs
+  * (`<out>/chunks`: one row per chunk with its packed seq_id;
+  * `<out>/sequences`: per-sequence summary). The same composition the
+  * driver gates as q41/q40.
+  *
+  * Usage: runMain graft.tools.Curate <documentsParquet> <outDir> [minQuality] [chunkTokens] [stride] [seqTokens]
+  */
+object Curate {
+  def main(args: Array[String]): Unit = {
+    val Array(in, out) = args.take(2)
+    val minQuality = args.lift(2).map(_.toDouble).getOrElse(0.5)
+    val chunkTokens = args.lift(3).map(_.toInt).getOrElse(256)
+    val stride = args.lift(4).map(_.toInt).getOrElse(192)
+    val seqTokens = args.lift(5).map(_.toLong).getOrElse(2048L)
+    val spark = GraftSession.get()
+
+    val docs = spark.read.parquet(in)
+    val kept = docs
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("_fp", Text.fingerprint(col("text")))
+    val w = Window.partitionBy(col("_fp")).orderBy(col("doc_id"))
+    val deduped = kept.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_fp")
+
+    val chunks = Chunking.chunkDocuments(deduped, "doc_id", "text", chunkTokens, stride)
+    val packed = chunks
+      .withColumnRenamed("chunk_tokens", "n_tokens")
+      .withColumn("_off", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id"), col("chunk_index"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", floor(col("_off") / seqTokens.toDouble).cast("long"))
+      .drop("_off")
+    packed.write.mode("overwrite").parquet(s"$out/chunks")
+
+    val seqs = packed.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("seq_id"))
+    seqs.write.mode("overwrite").parquet(s"$out/sequences")
+
+    val (nd, nc, ns) = (deduped.count(), packed.count(), seqs.count())
+    println(s"[curate] in=${docs.count()} kept=$nd chunks=$nc sequences=$ns " +
+      s"minQuality=$minQuality chunk=$chunkTokens/$stride seq=$seqTokens → $out")
+    spark.stop()
+  }
+}
