@@ -87,8 +87,11 @@ object RpcSource {
       val step = opts.getOrElse("blockstep", "100").toLong
       val retryMillis = opts.getOrElse("retrymillis", "10000").toLong
       var from = opts.get("fromblock").map(_.toLong).getOrElse(1L)
-      var to = opts.get("toblock").map(_.toLong)
-        .getOrElse(Rpc.blockNumber(endpoint, retryMillis))
+      // toBlock absent = "the head": resolved lazily per mode — batch
+      // probes once at partition planning; streaming keeps following
+      // the head per trigger (a probe HERE would silently freeze an
+      // unbounded readStream at the query-start head)
+      var to = opts.get("toblock").map(_.toLong).getOrElse(Long.MaxValue)
       // window pruning from pushed block_number bounds
       pushed.foreach {
         case GreaterThan("block_number", v: Long) => from = math.max(from, v + 1)
@@ -116,7 +119,9 @@ object RpcSource {
     override def description(): String =
       s"evmrpc [$from, $to] step=$step addresses=${addresses.mkString(",")}"
     override def planInputPartitions(): Array[InputPartition] =
-      windows(from, to, step)
+      windows(from,
+        if (to == Long.MaxValue) Rpc.blockNumber(endpoint, retryMillis) else to,
+        step)
     override def createReaderFactory(): PartitionReaderFactory =
       new RpcReaderFactory(endpoint, addresses, retryMillis)
     override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
