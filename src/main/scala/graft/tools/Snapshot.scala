@@ -1,0 +1,30 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.sources.Snapshots
+
+/** CLI: manifest snapshots over a logs table — commit a version, list
+  * them, or count a pinned version (consistent under live ingest).
+  *
+  * Usage: runMain graft.tools.Snapshot <tablePath> commit
+  *        runMain graft.tools.Snapshot <tablePath> read [version]
+  */
+object Snapshot {
+  def main(args: Array[String]): Unit = {
+    val Array(table, cmd) = args.take(2)
+    val spark = GraftSession.get()
+    cmd match {
+      case "commit" =>
+        val v = Snapshots.commit(spark, table)
+        println(s"[snapshot] committed v$v table=$table")
+      case "read" =>
+        val v = args.lift(2).map(_.toLong)
+          .orElse(Snapshots.latestVersion(spark, table))
+          .getOrElse(sys.error(s"no snapshots at $table"))
+        val df = Snapshots.read(spark, table, Some(v))
+        println(s"[snapshot] v$v rows=${df.count()} valid=${Snapshots.isValid(spark, table, v)}")
+      case other => sys.error(s"unknown command '$other' (commit|read)")
+    }
+    spark.stop()
+  }
+}
