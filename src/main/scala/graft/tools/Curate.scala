@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   * from a documents parquet to training-ready parquet outputs
   * (`<out>/chunks`: one row per chunk with its packed seq_id;
   * `<out>/sequences`: per-sequence summary). The same composition the
-  * driver gates as q41/q40.
+  * driver gates as q41/q40/q42.
   *
-  * Usage: runMain graft.tools.Curate <documentsParquet> <outDir> [minQuality] [chunkTokens] [stride] [seqTokens]
+  * Packing runs PER SHARD (`shardCol`, default `source`): the
+  * cumulative-offset window partitions on it, so no task ever sorts
+  * the whole corpus (the unpartitioned-window scale hazard). Pass `-`
+  * to pack globally — small inputs only. Sequence identity is then
+  * (shard, seq_id).
+  *
+  * Usage: runMain graft.tools.Curate <documentsParquet> <outDir> [minQuality] [chunkTokens] [stride] [seqTokens] [shardCol|-]
   */
 object Curate {
   def main(args: Array[String]): Unit = {
@@ -22,9 +28,11 @@ object Curate {
     val chunkTokens = args.lift(3).map(_.toInt).getOrElse(256)
     val stride = args.lift(4).map(_.toInt).getOrElse(192)
     val seqTokens = args.lift(5).map(_.toLong).getOrElse(2048L)
+    val shardArg = args.lift(6).getOrElse("source")
     val spark = GraftSession.get()
 
     val docs = spark.read.parquet(in)
+    val shardCol = Some(shardArg).filter(c => c != "-" && docs.columns.contains(c))
     val kept = docs
       .withColumn("quality", Text.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
@@ -33,24 +41,23 @@ object Curate {
     val deduped = kept.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "_fp")
 
-    val chunks = Chunking.chunkDocuments(deduped, "doc_id", "text", chunkTokens, stride)
-    val packed = chunks
-      .withColumnRenamed("chunk_tokens", "n_tokens")
-      .withColumn("_off", coalesce(sum(col("n_tokens")).over(
-        Window.orderBy(col("doc_id"), col("chunk_index"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("seq_id", floor(col("_off") / seqTokens.toDouble).cast("long"))
-      .drop("_off")
+    val chunks = Chunking.chunkDocuments(deduped, "doc_id", "text",
+      chunkTokens, stride, carryCols = shardCol.toSeq)
+    val packed = Chunking.packChunks(
+      chunks.withColumnRenamed("chunk_tokens", "n_tokens"),
+      "n_tokens", seqTokens, shardCol, Seq("doc_id", "chunk_index"))
     packed.write.mode("overwrite").parquet(s"$out/chunks")
 
-    val seqs = packed.groupBy(col("seq_id"))
+    val seqKey = shardCol.map(col).toSeq :+ col("seq_id")
+    val seqs = packed.groupBy(seqKey: _*)
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy(col("seq_id"))
+      .orderBy(seqKey: _*)
     seqs.write.mode("overwrite").parquet(s"$out/sequences")
 
     val (nd, nc, ns) = (deduped.count(), packed.count(), seqs.count())
     println(s"[curate] in=${docs.count()} kept=$nd chunks=$nc sequences=$ns " +
-      s"minQuality=$minQuality chunk=$chunkTokens/$stride seq=$seqTokens → $out")
+      s"minQuality=$minQuality chunk=$chunkTokens/$stride seq=$seqTokens " +
+      s"shard=${shardCol.getOrElse("(global)")} → $out")
     spark.stop()
   }
 }

@@ -35,6 +35,30 @@ class ChunkingSpec extends SparkSpec {
     bounds.sliding(2).foreach { case Array((_, hi), (lo2, _)) => assert(lo2 === hi + 1) }
   }
 
+  test("shard-partitioned packing: seq_id restarts per shard, window is partitioned") {
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "even" else "odd", Seq.fill(10)("t").mkString(" ")))
+      .toDF("doc_id", "shard", "text")
+    val packed = Chunking.packOffsets(docs, "doc_id", "text", 50L, shardCol = Some("shard"))
+    // the 100 TB contract: the cumsum window must carry a partition
+    // spec (an unpartitioned Window.orderBy sorts the corpus on ONE
+    // task — the WindowExec "No Partition Defined" hazard)
+    assert(packed.queryExecution.executedPlan.toString.contains("windowspecdefinition(shard"))
+    val rows = packed.collect().map(r =>
+      (r.getAs[String]("shard"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("seq_id")).toMap
+    // per shard: 20 docs × 10 tokens / 50-token budget → 4 sequences of 5
+    Seq("even", "odd").foreach { sh =>
+      val ids = rows.keys.filter(_._1 == sh).map(_._2).toSeq.sorted
+      assert(ids.size === 20)
+      ids.zipWithIndex.foreach { case (id, idx) => assert(rows((sh, id)) === idx / 5) }
+    }
+    val summary = Chunking.packSummary(docs, "doc_id", "text", 50L, shardCol = Some("shard"))
+      .collect()
+    assert(summary.length === 8) // 4 sequences × 2 shards
+    summary.foreach(r => assert(r.getAs[Long]("n_docs") === 5L &&
+      r.getAs[Long]("sum_tokens") === 50L))
+  }
+
   test("a straddling doc spills into its start bin") {
     // 3 docs of 7 tokens, budget 10: offsets 0,7,14 → bins 0,0,1
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "a b c d e f g"))
