@@ -51,9 +51,14 @@ object Text {
   def avgTokenLen(c: Column): Column =
     length(c).cast(DoubleType) / greatest(tokenCount(c), lit(1)).cast(DoubleType)
 
+  /** Occurrence count of `words` over an ALREADY-MATERIALIZED tokens
+    * column (staging contract — see [[Dedup.shinglesFromTokens]]). */
+  def markerCountFromTokens(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
   /** Occurrence count of `words` among the text's tokens. */
   def markerCount(c: Column, words: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isin(words.map(lit(_)): _*)))
+    markerCountFromTokens(tokens(c), words)
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with")
@@ -89,17 +94,47 @@ object Text {
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
     "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une"))
 
-  /** Language-ID: argmax of marker-word hits, zh when CJK chars
-    * dominate, "und" (undetermined) when nothing scores. Ties break by
-    * the fixed language order above (deterministic). */
-  def langId(c: Column): Column = {
-    val scores = LangMarkers.map { case (lang, words) => lang -> markerCount(c, words) }
+  /** The argmax/tie-break over ALREADY-NAMED per-language score
+    * columns: zh when CJK chars dominate, "und" when nothing scores,
+    * ties break by [[LangMarkers]] order (deterministic). Feed
+    * attribute references, not raw marker-count trees — each score is
+    * referenced ~2× per language branch here, and HOF lambdas get no
+    * CSE (the [[Dedup.shinglesFromTokens]] staging contract). */
+  def langIdFromScores(scores: Seq[(String, Column)], cjkCnt: Column, len: Column): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scores.foldRight(lit("und")) { case ((lang, s), els) =>
       when(s === best && s > 0, lit(lang)).otherwise(els)
     }
-    when(cjkCount(c) * 4 > length(c), lit("zh")).otherwise(pick)
+    when(cjkCnt * 4 > len, lit("zh")).otherwise(pick)
   }
+
+  /** Staged DataFrame-level language ID — the hot-path form: tokens
+    * materialize once, the four marker counts become named columns,
+    * and the argmax runs over attribute references. The one-shot
+    * Column form ([[langId]]) embeds the token split ~20× across its
+    * branches (no CSE inside HOF lambdas), which melts on a 100 TB
+    * `documents` scan; this form evaluates it once per row. */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String = "lang_guess"): org.apache.spark.sql.DataFrame = {
+    val scoreCols = LangMarkers.map { case (lang, _) => lang -> s"_langid_$lang" }
+    val staged = df.withColumn("_langid_toks", tokens(col(textCol)))
+    val scored = LangMarkers.foldLeft(staged) { case (d, (lang, words)) =>
+      d.withColumn(s"_langid_$lang", markerCountFromTokens(col("_langid_toks"), words))
+    }
+    scored
+      .withColumn(outCol, langIdFromScores(
+        scoreCols.map { case (lang, c) => lang -> col(c) },
+        cjkCount(col(textCol)), length(col(textCol))))
+      .drop("_langid_toks" +: scoreCols.map(_._2): _*)
+  }
+
+  /** Language-ID, one-shot Column form (convenience; argmax of
+    * marker-word hits). Hot paths use [[withLangId]] — this tree
+    * re-evaluates the token split per branch. */
+  def langId(c: Column): Column =
+    langIdFromScores(
+      LangMarkers.map { case (lang, words) => lang -> markerCount(c, words) },
+      cjkCount(c), length(c))
 
   /** Normalized form used for fingerprinting: lowercase, collapse
     * whitespace, strip punctuation noise. */
