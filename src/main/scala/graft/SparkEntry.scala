@@ -262,11 +262,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // language-ID heuristic vs the labeled lang column
+    // language-ID heuristic vs the labeled lang column (staged form:
+    // tokens + marker counts materialize once per row; the one-shot
+    // Column tree re-ran the token split ~20× across argmax branches)
     "q17_langid" -> { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          Text.langId(col("text")).as("lang_guess"))
+      Text.withLangId(
+          Tables(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "text")
+        .select(col("doc_id"), col("lang"), col("lang_guess"))
         .withColumn("agree", (col("lang") === col("lang_guess")).cast(IntegerType))
         .orderBy(col("doc_id"))
     },
@@ -501,10 +504,22 @@ object SparkEntry {
 
     // Offset packing: docs assigned to fixed-token training sequences
     // by cumulative-offset bin — window cumsum both engines can
-    // express exactly
+    // express exactly. Packed PER SHARD (source): the window
+    // partitions on it, so no single task ever sorts the corpus (the
+    // r2 global-window scale hazard; the unsharded form survives in
+    // ChunkingSpec for small inputs).
     "q40_sequence_packing" -> { (s, dir) =>
       operators.Chunking.packSummary(Tables(s, dir, "documents"),
-        "doc_id", "text", seqTokens = 2048L)
+        "doc_id", "text", seqTokens = 2048L, shardCol = Some("source"))
+    },
+
+    // The doc-level packing output (per-doc seq assignment) under the
+    // same per-shard window — gates packOffsets itself, not just the
+    // summary rollup
+    "q42_packing_offsets" -> { (s, dir) =>
+      operators.Chunking.packOffsets(Tables(s, dir, "documents"),
+          "doc_id", "text", seqTokens = 2048L, shardCol = Some("source"))
+        .orderBy(col("source"), col("doc_id"))
     },
 
     // Capstone: the whole curation pipeline composed in ONE plan —
@@ -1036,18 +1051,29 @@ object SparkEntry {
         |order by doc_id, chunk_index""".stripMargin),
 
     "q40_sequence_packing" ->
-      (s"""with n as (select doc_id, $OracleNTokens as n from documents),
-        | o as (select doc_id, n,
-        |   coalesce(sum(n) over (order by doc_id
+      (s"""with n as (select source, doc_id, $OracleNTokens as n from documents),
+        | o as (select source, doc_id, n,
+        |   coalesce(sum(n) over (partition by source order by doc_id
         |     rows between unbounded preceding and 1 preceding), 0) as off from n)
-        |select cast(floor(off / 2048.0) as bigint) as seq_id,
+        |select source,
+        |  cast(floor(off / 2048.0) as bigint) as seq_id,
         |  count(*) as n_docs,
         |  cast(sum(n) as bigint) as sum_tokens,
         |  min(doc_id) as first_doc,
         |  max(doc_id) as last_doc
         |from o
-        |group by seq_id
-        |order by seq_id""".stripMargin),
+        |group by source, seq_id
+        |order by source, seq_id""".stripMargin),
+
+    "q42_packing_offsets" ->
+      (s"""with n as (select source, doc_id, $OracleNTokens as n from documents),
+        | o as (select source, doc_id, n,
+        |   coalesce(sum(n) over (partition by source order by doc_id
+        |     rows between unbounded preceding and 1 preceding), 0) as off from n)
+        |select source, doc_id, cast(n as bigint) as n_tokens,
+        |  cast(floor(off / 2048.0) as bigint) as seq_id
+        |from o
+        |order by source, doc_id""".stripMargin),
 
     "q38_jdbc_roundtrip" ->
       (s"""select printf('0x%040x', o_custkey) as address,

@@ -217,13 +217,19 @@ object Dedup {
     *                     exact pass does the real filtering)
     *
     * The normalize→tokenize→shingle pipeline runs ONCE: the per-doc
-    * hashed shingle sets are persisted and serve both the minhash
-    * signatures (min over `xxhash64(shingle_hash, i)` — an equally
-    * valid permutation family over the 64-bit shingle hashes) and the
-    * exact-jaccard verification. The candidate generation and the
-    * verifier branch many times over this table; without the persist
-    * the text pipeline re-runs per branch. ~20 MB per 5k docs — at
-    * corpus scale this is the table you'd checkpoint to storage.
+    * hashed shingle sets are staged behind a `repartition(id)`
+    * exchange, and every consumer — the minhash signatures (min over
+    * `xxhash64(shingle_hash, i)`, an equally valid permutation family
+    * over the 64-bit shingle hashes), both exact-jaccard set
+    * re-attachments — hangs off that ONE exchange, which Spark's
+    * ReuseExchange dedupes: the text pipeline runs once and the
+    * branches replay its shuffle files. No persist, so nothing leaks
+    * into the session cache (the r2 form cached the sets table and
+    * never released it — a long-lived session accumulated dead
+    * blocks), and shuffle files don't silently evict under memory
+    * pressure the way cached blocks do — the scale-safe sharing
+    * primitive. At corpus scale this is the table you'd checkpoint to
+    * storage between reruns.
     */
   def nearDuplicates(
       df: DataFrame,
@@ -235,8 +241,7 @@ object Dedup {
       shingleK: Int = 3,
       minEstimate: Double = 0.1,
       maxBucket: Int = 1000): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = shingleSets(df, idCol, textCol, shingleK).repartition(col("id"))
     val sigs = sets.select(col("id"),
       array((0 until numHashes).map(i =>
         array_min(transform(col("s"), h => xxhash64(h, lit(i))))): _*).as("sig"))

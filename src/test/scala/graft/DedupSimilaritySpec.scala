@@ -66,6 +66,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.nonEmpty) // the corpus genuinely contains near-dups
   }
 
+  test("nearDuplicates leaves nothing in the session cache") {
+    val documents = Tables(spark, sf, "documents")
+    val near = Dedup.nearDuplicates(documents, "doc_id", "text",
+      minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2)
+    assert(near.count() > 0) // fully materialized
+    // the r2 form persisted the shingle-set table and never released
+    // it — long-lived sessions (ServeSql, notebooks, the bench JVM)
+    // accumulated dead cached blocks; sharing now rides ReuseExchange
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("simhash: near-dups land within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashVotes($"text").as("_v"))
       .select($"doc_id", Dedup.packVotes($"_v").as("sh"))
