@@ -522,6 +522,51 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     },
 
+    // S4/A1 under the gate: ingest an orders-derived batch, then BOTH
+    // resume probes — highWaterMark (pruned to the max block_range
+    // directory, main.go:169 semantics) and the full-table
+    // agg(max(block_number)) — must equal the oracle's max
+    "q43_hwm_resume" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q43").toString
+      val batch = Tables(s, dir, "orders").filter(col("o_orderkey") % 3 === 1).select(
+        format_string("0x%040x", col("o_custkey")).as("address"),
+        lit(TransferSig).as("topic0"),
+        format_string("0x%064x", col("o_custkey")).as("topic1"),
+        lit(null).cast(StringType).as("topic2"),
+        lit(null).cast(StringType).as("topic3"),
+        format_string("0x%064x", col("o_orderkey") * 3).as("data"),
+        format_string("0xb%x", col("o_orderkey")).as("block_hash"),
+        col("o_orderkey").as("block_number"),
+        format_string("0xt%x", col("o_orderkey")).as("transaction_hash"),
+        lit(0L).as("transaction_index"),
+        (col("o_orderkey") % 7).as("log_index"),
+        lit(false).as("removed"),
+        lit(null).cast(TimestampType).as("block_timestamp"))
+      graft.sources.Logs.appendIdempotent(s, batch, s"$work/logs")
+      val hwm = graft.sources.Logs.highWaterMark(s, s"$work/logs")
+      graft.sources.Logs.read(s, s"$work/logs")
+        .agg(max(col("block_number")).as("max_block"))
+        .select(lit(hwm).as("hwm"), col("max_block"))
+    },
+
+    // S6 under the gate: price-probe wire capture → fromWire →
+    // idempotent append TWICE (the second must DO-NOTHING) → read
+    // back; the oracle derives the same rows from orders in SQL
+    "q44_price_roundtrip" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q44").toString
+      val wire = Tables(s, dir, "orders").select(
+        format_string("0x%040x", col("o_custkey")).as("token"),
+        format_string("0x%x", col("o_orderkey")).as("blockNumber"),
+        format_string("0x%064x", col("o_orderkey") * 5).as("result"))
+      val batch = graft.sources.Price.fromWire(wire)
+      graft.sources.Price.appendIdempotent(s, batch, s"$work/price")
+      graft.sources.Price.appendIdempotent(s, batch, s"$work/price")
+      s.read.parquet(s"$work/price")
+        .select(col("address"), col("block_number"),
+          col("price").cast(DoubleType).as("price"))
+        .orderBy(col("block_number"))
+    },
+
     // Capstone: the whole curation pipeline composed in ONE plan —
     // quality filter (bit-exact doubles, so the 0.5 threshold
     // classifies identically cross-engine) → exact dedup (lowest
@@ -1074,6 +1119,19 @@ object SparkEntry {
         |  cast(floor(off / 2048.0) as bigint) as seq_id
         |from o
         |order by source, doc_id""".stripMargin),
+
+    "q43_hwm_resume" ->
+      """select cast(max(o_orderkey) as bigint) as hwm,
+        |  cast(max(o_orderkey) as bigint) as max_block
+        |from orders
+        |where o_orderkey % 3 = 1""".stripMargin,
+
+    "q44_price_roundtrip" ->
+      """select printf('0x%040x', o_custkey) as address,
+        |  o_orderkey as block_number,
+        |  cast(o_orderkey * 5 as double) as price
+        |from orders
+        |order by block_number""".stripMargin,
 
     "q38_jdbc_roundtrip" ->
       (s"""select printf('0x%040x', o_custkey) as address,
