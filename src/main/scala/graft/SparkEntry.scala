@@ -567,6 +567,28 @@ object SparkEntry {
         .orderBy(col("block_number"))
     },
 
+    // The block_timestamp backfill extension under the gate: header
+    // timestamps (12 s/block from a fixed genesis — what the mock
+    // node serves and the oracle derives) joined onto Transfer logs
+    // via withBlockTimestamps, then THE analyst query the reference
+    // can't answer (its loader never fills the column,
+    // get_logs.go:118-119): transfers grouped by block-hour
+    "q45_block_time_rollup" -> { (s, dir) =>
+      val blocks = Tables(s, dir, "customer").select(
+        col("c_custkey").as("block_number"),
+        timestamp_seconds(lit(1600000000L) + col("c_custkey") * 12).as("block_timestamp"))
+      val enriched = graft.sources.Logs.withBlockTimestamps(
+        syntheticTransferLogs(s, dir), blocks)
+      val transferDef = EventViews.referenceViews
+        .find(_.viewName.startsWith("Transfer")).get
+      EventViews.project(enriched, transferDef)
+        .groupBy(date_trunc("hour", col("evt_block_time"))
+          .cast("timestamp_ntz").as("block_hour"))
+        .agg(count(lit(1)).as("n_transfers"),
+          sum(col("amount")).cast(DoubleType).as("total_amount"))
+        .orderBy(col("block_hour"))
+    },
+
     // Capstone: the whole curation pipeline composed in ONE plan —
     // quality filter (bit-exact doubles, so the 0.5 threshold
     // classifies identically cross-engine) → exact dedup (lowest
@@ -1132,6 +1154,15 @@ object SparkEntry {
         |  cast(o_orderkey * 5 as double) as price
         |from orders
         |order by block_number""".stripMargin,
+
+    "q45_block_time_rollup" ->
+      """select date_trunc('hour',
+        |    make_timestamp((1600000000 + c_custkey * 12) * 1000000)) as block_hour,
+        |  count(*) as n_transfers,
+        |  cast(sum(cast(c_custkey as decimal(38,0)) * 31) as double) as total_amount
+        |from customer
+        |group by block_hour
+        |order by block_hour""".stripMargin,
 
     "q38_jdbc_roundtrip" ->
       (s"""select printf('0x%040x', o_custkey) as address,

@@ -96,6 +96,22 @@ object Logs {
   def readNdjson(spark: SparkSession, path: String): DataFrame =
     fromWire(spark.read.schema(wireSchema).json(path))
 
+  /** `block_timestamp` backfill (extension beyond the reference,
+    * SURVEY §7.4 — the reference declares the column and projects
+    * `evt_block_time` in every view but never fills it,
+    * `get_logs.go:118-119`): left-join block-header timestamps onto a
+    * batch by block_number. The header side is per-window bounded
+    * (one row per distinct block), so it broadcasts — no shuffle of
+    * the log rows. Blocks absent from `blocks` keep a null
+    * timestamp. */
+  def withBlockTimestamps(batch: DataFrame, blocks: DataFrame): DataFrame =
+    batch.drop("block_timestamp")
+      .join(broadcast(blocks.select(col("block_number").as("_bn"),
+        col("block_timestamp").as("_bts"))),
+        col("block_number") === col("_bn"), "left")
+      .withColumn("block_timestamp", col("_bts"))
+      .select(schema.fieldNames.map(col): _*)
+
   private def withBlockRange(df: DataFrame): DataFrame =
     df.withColumn("block_range", (col("block_number") / blocksPerPartition).cast(LongType))
 

@@ -58,7 +58,16 @@ object Rpc {
       /** T4: honor same-PK `removed=true` tombstones on re-pulled
         * windows via [[Logs.appendCanonical]] (swap-rewrites the
         * touched partitions) instead of plain DO-NOTHING. */
-      canonicalTombstones: Boolean = false)
+      canonicalTombstones: Boolean = false,
+      /** Extension beyond the reference (SURVEY §7.4): fill
+        * `block_timestamp` from `eth_getBlockByNumber` header probes.
+        * The reference declares the column and projects
+        * `evt_block_time` in every view (`init.sql:213-222`) but its
+        * loader never populates it (`get_logs.go:118-119`) — any
+        * time-series grouping gets nulls. One probe per DISTINCT
+        * block present in the window's batch (bounded by blockStep),
+        * joined on before the append. */
+      backfillTimestamps: Boolean = false)
 
   private lazy val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
@@ -175,6 +184,43 @@ object Rpc {
     }
   }
 
+  /** Block-header timestamp probe (`eth_getBlockByNumber`, header
+    * only): epoch seconds from the header's hex `timestamp`. None on
+    * a refused call (-32602) or an unknown/pending block — callers
+    * leave `block_timestamp` null for those rows, the reference's
+    * permanent state for ALL rows (`get_logs.go:118-119`). */
+  def getBlockTimestamp(endpoint: String, block: Long, retryMillis: Long = 10000,
+      sleeper: Long => Unit = Thread.sleep): Option[Long] = {
+    val req =
+      s"""{"jsonrpc":"2.0","id":1,"method":"eth_getBlockByNumber","params":["0x${block.toHexString}",false]}"""
+    val body = call(endpoint, req, retryMillis, sleeper).get
+    val (result, err) = envelope(body)
+    err match {
+      case Some((-32602, _)) => None
+      case Some((c, m)) => throw new RuntimeException(s"eth_getBlockByNumber error $c: $m")
+      case None => result.flatMap { json =>
+        val node = mapper.readTree(json)
+        Option(node.get("timestamp")).filterNot(_.isNull)
+          .map(t => java.lang.Long.parseLong(t.asText.stripPrefix("0x"), 16))
+      }
+    }
+  }
+
+  /** The per-window backfill: probe each DISTINCT block the batch
+    * touches (≤ blockStep probes — the collect is bounded by the
+    * window, not the table) and join the timestamps on. Blocks whose
+    * probe returns None keep a null timestamp. */
+  private def backfillWindow(spark: SparkSession, cfg: Config, batch: DataFrame,
+      sleeper: Long => Unit): DataFrame = {
+    import spark.implicits._
+    val present = batch.select("block_number").distinct().collect().map(_.getLong(0))
+    val headers = present.toSeq.flatMap(b =>
+      getBlockTimestamp(cfg.endpoint, b, cfg.retryMillis, sleeper).map(ts => (b, ts)))
+    val blocks = headers.toDF("block_number", "_epoch")
+      .select(col("block_number"), timestamp_seconds(col("_epoch")).as("block_timestamp"))
+    Logs.withBlockTimestamps(batch, blocks)
+  }
+
   /** S1: one `eth_getLogs` window as an analytic DataFrame; None = the
     * node refused the window (-32602) and it should be skipped. */
   def getLogs(spark: SparkSession, cfg: Config, from: Long, to: Long,
@@ -221,7 +267,10 @@ object Rpc {
         val to = math.min(math.min(from + cfg.blockStep - 1, head), target)
         getLogs(spark, cfg, from, to, sleeper) match {
           case Some(batch) =>
-            Logs.appendIdempotent(spark, batch, tablePath, cfg.canonicalTombstones)
+            val enriched =
+              if (cfg.backfillTimestamps) backfillWindow(spark, cfg, batch, sleeper)
+              else batch
+            Logs.appendIdempotent(spark, enriched, tablePath, cfg.canonicalTombstones)
           case None => // window refused; advance anyway, as the reference does
         }
         // price sweep after the logs window, as of fromBlock — the

@@ -10,7 +10,7 @@ import graft.sources.{Logs, Rpc}
   * resume, idempotent append.
   *
   * Usage: runMain graft.tools.PollLogs <endpoint> <table> [toBlock]
-  *   [blockStep] [contractsCsv] [rescanDepth] [tokensCsv] [oraclesCsv] [priceTable]
+  *   [blockStep] [contractsCsv] [rescanDepth] [tokensCsv] [oraclesCsv] [priceTable] [backfillTs]
   * (tokensCsv/oraclesCsv pair up positionally — the reference's
   * TOKENS/ORACLES env contract, `main.go:39-48`.)
   */
@@ -33,7 +33,8 @@ object PollLogs {
       rescanDepth = args.lift(5).map(_.toLong).getOrElse(0L),
       tokens = csv(args.lift(6)),
       oracles = csv(args.lift(7)),
-      priceTable = args.lift(8).filter(_.nonEmpty))
+      priceTable = args.lift(8).filter(s => s.nonEmpty && s != "-"),
+      backfillTimestamps = args.lift(9).contains("true"))
     val spark = GraftSession.get()
     println(s"[poll] endpoint=$endpoint resume=${Logs.highWaterMark(spark, table)} " +
       s"toBlock=${cfg.toBlock.getOrElse("∞")} step=${cfg.blockStep} rescan=${cfg.rescanDepth} " +

@@ -25,6 +25,8 @@ class MockRpcServer {
   @volatile var requests: Vector[String] = Vector.empty
   /** Deterministic `eth_call` price: f(oracle address, as-of block). */
   @volatile var priceFn: (String, Long) => Long = (to, blk) => blk * 5 + to.length
+  /** `eth_getBlockByNumber` header timestamps: genesis + 12 s/block. */
+  @volatile var genesisTs: Long = 1600000000L
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => {
@@ -48,6 +50,12 @@ class MockRpcServer {
             addrs.forall(_.contains(l.address)))
           (200, s"""{"jsonrpc":"2.0","id":1,"result":[${hits.map(_.json).mkString(",")}]}""")
         }
+      } else if (body.contains("eth_getBlockByNumber")) {
+        val blk = java.lang.Long.parseLong(
+          "\"params\":\\[\"0x([0-9a-f]+)\"".r.findFirstMatchIn(body).get.group(1), 16)
+        if (blk > head) (200, """{"jsonrpc":"2.0","id":1,"result":null}""") // unknown block
+        else (200, s"""{"jsonrpc":"2.0","id":1,"result":{"number":"0x${blk.toHexString}",""" +
+          s""""timestamp":"0x${(genesisTs + blk * 12).toHexString}"}}""")
       } else if (body.contains("eth_call")) {
         val to = "\"to\":\"([^\"]+)\"".r.findFirstMatchIn(body).get.group(1)
         val blk = java.lang.Long.parseLong(

@@ -35,6 +35,35 @@ class RpcSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("backfillTimestamps fills block_timestamp from header probes; views see it") {
+    val s = newServer(20)
+    try {
+      val table = Files.createTempDirectory("rpc_ts").toString + "/t"
+      Rpc.ingestLoop(spark,
+        Rpc.Config(s.endpoint, blockStep = 10, toBlock = Some(20), backfillTimestamps = true),
+        table, noSleep)
+      val rows = Logs.read(spark, table)
+        .select("block_number", "block_timestamp").collect()
+      assert(rows.length === 20)
+      rows.foreach { r =>
+        val ts = r.getTimestamp(1)
+        assert(ts != null, s"block ${r.getLong(0)} has null block_timestamp")
+        assert(ts.getTime / 1000 === 1600000000L + r.getLong(0) * 12)
+      }
+      // one header probe per distinct block, not per row or per window
+      val probes = s.requests.filter(_.contains("eth_getBlockByNumber"))
+      assert(probes.length === 20)
+      // the analyst surface: evt_block_time is finally non-null
+      import org.apache.spark.sql.functions.col
+      val viewDef = graft.operators.EventViews.referenceViews.head
+      val evt = graft.operators.EventViews.project(
+        Logs.read(spark, table)
+          .withColumn("topic0", org.apache.spark.sql.functions.lit(viewDef.sigHash)),
+        viewDef)
+      assert(evt.filter(col("evt_block_time").isNull).count() === 0)
+    } finally s.stop()
+  }
+
   test("rescanDepth re-pulls the tip; a reorged block resolves via canonical") {
     val s = newServer(10)
     try {
