@@ -262,11 +262,25 @@ object Logs {
     val results = jobs.map(f =>
       scala.util.Try(Await.result(f, scala.concurrent.duration.Duration.Inf)))
     pool.shutdown()
-    if (results.forall(_.isSuccess)) clearSwapDirs(fs, tablePath)
+    if (results.forall(_.isSuccess)) {
+      clearSwapDirs(fs, tablePath)
+      recommitSnapshots(spark, tablePath)
+    }
     // on failure: leave tmp/bak on disk — recovery evidence, and
     // possibly a parked partition whose restore itself failed
     results.collect { case scala.util.Failure(e) => throw e }
   }
+
+  /** Re-pin snapshots after an in-place rewrite: compaction and
+    * canonical swap-rewrites replace the very files older manifests
+    * pin, so when the table is snapshot-tracked a fresh version is
+    * published IN THE SAME OPERATION — the quiesce→rewrite→recommit
+    * ordering is enforced by code, not by operators reading scaladoc.
+    * Readers pinned to older versions still detect staleness via
+    * [[Snapshots.isValid]]; new readers immediately get a valid pin. */
+  private def recommitSnapshots(spark: SparkSession, tablePath: String): Unit =
+    if (Snapshots.latestVersion(spark, tablePath).nonEmpty)
+      Snapshots.commit(spark, tablePath)
 
   /** Crash-safe partition rewrite: `write` lands the replacement in a
     * hidden tmp dir (invisible to partition discovery), the originals
@@ -368,5 +382,6 @@ object Logs {
       }
     }
     clearSwapDirs(fs, tablePath)
+    if (overlapping.nonEmpty) recommitSnapshots(spark, tablePath)
   }
 }

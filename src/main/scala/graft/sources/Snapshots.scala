@@ -59,11 +59,27 @@ object Snapshots {
   }
 
   /** Snapshot the table's CURRENT committed files as the next version;
-    * returns it. Atomic: written to a tmp name, renamed in. */
+    * returns it. Atomic: written to a tmp name, renamed in. Single
+    * committer per table assumed (like [[Logs.compact]]); a concurrent
+    * committer racing to the same version number is DETECTED — the
+    * final manifest path is checked before the rename and the rename
+    * result after it, so a lost manifest fails loudly instead of
+    * silently (fs.rename-onto-existing behavior is
+    * filesystem-dependent). */
   def commit(spark: SparkSession, tablePath: String): Long = {
     val fs = fsOf(spark, tablePath)
     val version = latestVersion(spark, tablePath).getOrElse(-1L) + 1
-    val files = listDataFiles(fs, tablePath)
+    publish(fs, tablePath, version, listDataFiles(fs, tablePath))
+    version
+  }
+
+  /** The write-tmp-then-rename publish step, conflict-checked: if the
+    * final manifest path appeared between version computation and
+    * here (a concurrent committer), fail loudly rather than let
+    * filesystem-dependent rename-onto-existing behavior silently drop
+    * one manifest. */
+  private[graft] def publish(fs: FileSystem, tablePath: String, version: Long,
+      files: Seq[String]): Unit = {
     val node = mapper.createObjectNode()
     node.put("version", version)
     val arr = node.putArray("files")
@@ -74,9 +90,11 @@ object Snapshots {
     out.write(mapper.writeValueAsBytes(node))
     out.close()
     val fin = new Path(manifestDir(tablePath), f"v$version%09d.json")
+    if (fs.exists(fin))
+      throw new java.io.IOException(
+        s"snapshot commit conflict: $fin already exists (concurrent committer?)")
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"snapshot commit: cannot publish $fin")
-    version
   }
 
   def files(spark: SparkSession, tablePath: String, version: Long): Seq[String] = {

@@ -39,7 +39,7 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, table, Some(v0)).schema === Logs.schema)
   }
 
-  test("in-place rewrite invalidates older snapshots; re-commit re-pins") {
+  test("compact invalidates older snapshots AND auto-commits a fresh valid one") {
     val table = Files.createTempDirectory("snap_tbl").toString + "/t"
     (1 to 4).foreach { i =>
       Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(i, 0)))), table)
@@ -48,8 +48,42 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.isValid(spark, table, v0))
     Logs.compact(spark, table) // rewrites partition files in place
     assert(!Snapshots.isValid(spark, table, v0)) // detectably stale
-    val v1 = Snapshots.commit(spark, table)
+    // the rewrite published the next version itself — zero manual steps
+    val v1 = Snapshots.latestVersion(spark, table).get
+    assert(v1 === v0 + 1)
     assert(Snapshots.isValid(spark, table, v1))
     assert(Snapshots.read(spark, table, Some(v1)).count() === 4)
+  }
+
+  test("canonical swap-rewrite re-pins; untracked tables stay manifest-free") {
+    val table = Files.createTempDirectory("snap_tbl").toString + "/t"
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0), row(2, 0)))), table)
+    val v0 = Snapshots.commit(spark, table)
+    // tombstone an existing PK → appendCanonical swap-rewrites the partition
+    val tomb = Logs.readNdjson(spark, fixture(Seq(
+      row(2, 0).replace("\"removed\":false", "\"removed\":true"))))
+    Logs.appendCanonical(spark, tomb, table)
+    assert(!Snapshots.isValid(spark, table, v0))
+    val v1 = Snapshots.latestVersion(spark, table).get
+    assert(v1 === v0 + 1 && Snapshots.isValid(spark, table, v1))
+    // a table that never committed a snapshot gets none forced on it
+    val bare = Files.createTempDirectory("snap_bare").toString + "/t"
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0)))), bare)
+    Logs.compact(spark, bare)
+    assert(Snapshots.latestVersion(spark, bare).isEmpty)
+  }
+
+  test("commit detects a concurrent committer racing to the same version") {
+    val table = Files.createTempDirectory("snap_tbl").toString + "/t"
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0)))), table)
+    val v0 = Snapshots.commit(spark, table)
+    // simulate the race at the only window it can happen: the other
+    // committer's manifest lands AFTER this one computed its version
+    // but BEFORE its rename — publish directly with the stale number
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = intercept[java.io.IOException](
+      Snapshots.publish(fs, table, v0, Seq.empty))
+    assert(e.getMessage.contains("conflict"))
   }
 }
