@@ -148,20 +148,47 @@ object RpcSource {
     * InputPartition each — the same parallel readers as the batch
     * path. The head probe runs once per trigger, the reference loop's
     * `eth_blockNumber` poll (`main.go:221-226`); no new blocks → no
-    * batch. */
+    * batch.
+    *
+    * ReadLimit contract, honored both ways:
+    * - [[getDefaultReadLimit]] DECLARES the cap (maxRows in units of
+    *   blocks — the source's row proxy), so a capped batch is the
+    *   engine-negotiated limit, not a silent override of
+    *   allAvailable; an explicit `ReadAllAvailable` returns the full
+    *   head uncapped.
+    * - Under `Trigger.AvailableNow` the source implements
+    *   [[streaming.SupportsTriggerAvailableNow]]: the drain target is
+    *   frozen ONCE at `prepareForTriggerAvailableNow` and the engine
+    *   keeps running capped batches until offsets reach it. Without
+    *   this, Spark's wrapper snapshotted the target from
+    *   `initialOffset`, so a backfill beyond `step·maxWindowsPerBatch`
+    *   blocks stopped early while printing "caught up", and restarts
+    *   recomputed the same truncated target — permanently stuck. */
   private[sources] class RpcMicroBatchStream(endpoint: String, from: Long, to: Long,
       step: Long, addresses: Seq[String], retryMillis: Long,
       maxWindowsPerBatch: Int = 10)
-      extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
+      extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl
+      with streaming.SupportsTriggerAvailableNow {
+    @volatile private var drainTarget: Option[Long] = None
+    private def liveHead(): Long = math.min(Rpc.blockNumber(endpoint, retryMillis), to)
+    override def prepareForTriggerAvailableNow(): Unit =
+      drainTarget = Some(liveHead())
+    override def getDefaultReadLimit: streaming.ReadLimit =
+      streaming.ReadLimit.maxRows(step * maxWindowsPerBatch)
     override def initialOffset(): streaming.Offset = BlockOffset(from - 1)
     override def latestOffset(): streaming.Offset =
       throw new UnsupportedOperationException(
         "admission-controlled source: engine calls latestOffset(start, limit)")
     override def latestOffset(start: streaming.Offset,
         limit: streaming.ReadLimit): streaming.Offset = {
-      val head = math.min(Rpc.blockNumber(endpoint, retryMillis), to)
+      val head = drainTarget.getOrElse(liveHead())
       val lo = start.asInstanceOf[BlockOffset].block
-      BlockOffset(math.max(lo, math.min(head, lo + step * maxWindowsPerBatch)))
+      val capped = limit match {
+        case r: streaming.ReadMaxRows => math.min(head, lo + r.maxRows())
+        case _: streaming.ReadAllAvailable => head
+        case _ => math.min(head, lo + step * maxWindowsPerBatch)
+      }
+      BlockOffset(math.max(lo, capped))
     }
     override def reportLatestOffset(): streaming.Offset =
       BlockOffset(math.min(Rpc.blockNumber(endpoint, retryMillis), to))

@@ -120,6 +120,34 @@ class RpcSourceSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("AvailableNow drains a backlog deeper than one admission-capped batch") {
+    // step=5 × maxWindowsPerBatch=10 → 50-block batches; a 120-block
+    // backlog needs 3 batches. Before SupportsTriggerAvailableNow the
+    // wrapper froze the drain target from the FIRST latestOffset, so
+    // the stream stopped at block 50 while reporting "caught up" —
+    // and restarts recomputed the same truncated target.
+    val s = newServer(120)
+    try {
+      val table = java.nio.file.Files.createTempDirectory("rpcsrc_deep").toString + "/t"
+      val ckpt = java.nio.file.Files.createTempDirectory("rpcsrc_deep_ckpt").toString
+      val q = spark.readStream.format(RpcSource.Format)
+        .option("endpoint", s.endpoint)
+        .option("fromBlock", "1").option("blockStep", "5")
+        .option("toBlock", "1000000")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Logs.appendIdempotent(b.sparkSession, b, table)
+        }
+        .start()
+      q.awaitTermination()
+      assert(Logs.read(spark, table).count() === 120) // the FULL backlog
+      assert(Logs.highWaterMark(spark, table) === 120L)
+    } finally s.stop()
+  }
+
   test("refused window (-32602) skips, matching the reference") {
     val s = newServer(20)
     try {
