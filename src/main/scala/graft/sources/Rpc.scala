@@ -82,21 +82,54 @@ object Rpc {
   private def quote(ss: Seq[String]): String =
     ss.map(s => "\"" + s + "\"").mkString("[", ",", "]")
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Immediate (sleep-free) retries allowed for HTTP statuses outside
+    * the reference's 429/503/504 backoff set before escalating to the
+    * `retryMillis` sleep — keeps the reference's retry-immediately
+    * behavior for one-off oddities without turning a permanently
+    * misconfigured endpoint into a silent busy loop. */
+  private val MaxImmediateRetries = 3
+
+  /** Client errors (4xx except 429) never heal by retrying; give up
+    * after this many attempts. The reference busy-loops forever here
+    * (`main.go:130-132`) — that's its unbounded-retry gap, not
+    * semantics worth preserving: on executors (RpcWindowReader) an
+    * eternal retry means a job that can never fail on a bad endpoint. */
+  private val MaxClientErrorRetries = 50
+
   /** One RPC call with the reference's retry semantics; returns the
-    * raw response body, or None when the window should be skipped. */
+    * raw response body, or None when the window should be skipped.
+    * Every retry is logged (the reference logs its loop errors too). */
   private[sources] def call(endpoint: String, body: String, retryMillis: Long,
       sleeper: Long => Unit): Option[String] = {
+    var oddStatusRetries = 0
     while (true) {
       val resp =
         try Some(post(endpoint, body))
         catch { case _: java.io.IOException => None } // transport error
       resp match {
         case Some(r) if r.statusCode() == 200 => return Some(r.body())
-        case Some(r) if Set(429, 503, 504)(r.statusCode()) => sleeper(retryMillis)
-        // any other HTTP status: retry immediately, like the reference
-        // (`main.go:130-132` — only 429/503/504 sleep first)
-        case Some(_) => ()
-        case None => sleeper(retryMillis)
+        case Some(r) if Set(429, 503, 504)(r.statusCode()) =>
+          log.warn(s"rpc: HTTP ${r.statusCode()} from $endpoint, backing off ${retryMillis}ms")
+          sleeper(retryMillis)
+        // any other HTTP status: the reference retries immediately
+        // (`main.go:130-132` — only 429/503/504 sleep first); after a
+        // few immediate attempts, throttle with the same backoff, and
+        // fail outright on persistent client errors
+        case Some(r) =>
+          oddStatusRetries += 1
+          log.warn(s"rpc: HTTP ${r.statusCode()} from $endpoint, " +
+            s"retry $oddStatusRetries")
+          val clientError = r.statusCode() >= 400 && r.statusCode() < 500
+          if (clientError && oddStatusRetries >= MaxClientErrorRetries)
+            throw new RuntimeException(
+              s"rpc: giving up after $oddStatusRetries HTTP ${r.statusCode()} " +
+                s"responses from $endpoint")
+          if (oddStatusRetries > MaxImmediateRetries) sleeper(retryMillis)
+        case None =>
+          log.warn(s"rpc: transport error to $endpoint, backing off ${retryMillis}ms")
+          sleeper(retryMillis)
       }
     }
     None // unreachable

@@ -20,7 +20,8 @@ class MockRpcServer {
 
   @volatile var logs: Seq[MockLog] = Seq.empty
   @volatile var head: Long = 0L
-  @volatile var failNext: Int = 0           // respond 503 this many times
+  @volatile var failNext: Int = 0           // respond failStatus this many times
+  @volatile var failStatus: Int = 503
   @volatile var refuse: Set[(Long, Long)] = Set.empty // -32602 windows
   @volatile var requests: Vector[String] = Vector.empty
   /** Deterministic `eth_call` price: f(oracle address, as-of block). */
@@ -33,7 +34,7 @@ class MockRpcServer {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     synchronized { requests :+= body }
     val resp =
-      if (failNext > 0) { failNext -= 1; (503, """{"error":"busy"}""") }
+      if (failNext > 0) { failNext -= 1; (failStatus, """{"error":"busy"}""") }
       else if (body.contains("eth_blockNumber"))
         (200, s"""{"jsonrpc":"2.0","id":1,"result":"0x${head.toHexString}"}""")
       else if (body.contains("eth_getLogs")) {

@@ -119,6 +119,31 @@ class RpcSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("non-backoff HTTP statuses: a few immediate retries, then throttled, then bounded") {
+    val s = newServer(5)
+    try {
+      val table = Files.createTempDirectory("rpc_tbl").toString + "/t"
+      var slept = 0
+      s.failStatus = 400
+      s.failNext = 5
+      // 5× HTTP 400 then success: first 3 retries immediate
+      // (reference semantics), the rest throttled by retryMillis
+      Rpc.ingestLoop(spark,
+        Rpc.Config(s.endpoint, blockStep = 10, toBlock = Some(5), retryMillis = 7),
+        table, l => { assert(l === 7); slept += 1 })
+      assert(slept === 2) // attempts 4 and 5 slept; 1-3 were immediate
+      assert(Logs.read(spark, table).count() === 5)
+      // a PERSISTENT client error fails the job instead of looping forever
+      s.failStatus = 404
+      s.failNext = Int.MaxValue
+      val e = intercept[RuntimeException] {
+        Rpc.blockNumber(spark, s.endpoint, retryMillis = 1, _ => ())
+      }
+      assert(e.getMessage.contains("giving up"))
+      s.failNext = 0
+    } finally s.stop()
+  }
+
   test("-32602 skips the window without aborting (main.go:141-146)") {
     val s = newServer(20)
     try {
