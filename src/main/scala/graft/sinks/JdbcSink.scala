@@ -46,7 +46,25 @@ object JdbcSink {
     case d: java.math.BigDecimal => d.toPlainString
     case t: java.sql.Timestamp => s"timestamp '${t.toString}'"
     case d: java.sql.Date => s"date '${d.toString}'"
-    case other => "'" + other.toString.replace("'", "''") + "'"
+    case other => throw new IllegalArgumentException(
+      s"rangeCol literal of unsupported type ${other.getClass.getName}")
+  }
+
+  /** `rangeCol` values are spliced into the pushed-down SQL as
+    * literals ([[boundedKeysQuery]]), so only types whose rendering
+    * cannot smuggle SQL are allowed: numerics, decimal, timestamp,
+    * date. A string range column is rejected up front — quote-doubling
+    * does not cover backslash-escaping dialects, so data-derived
+    * string bounds would be an injection surface. */
+  private def requireSpliceSafe(batch: DataFrame, rangeCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = batch.schema(rangeCol).dataType
+    val ok = dt match {
+      case _: NumericType | TimestampType | DateType => true
+      case _ => false
+    }
+    require(ok, s"rangeCol '$rangeCol' must be numeric, timestamp or date " +
+      s"(got $dt): string bounds would splice data into SQL text")
   }
 
   /** Generic idempotent append (any JDBC dialect). `rangeCol = None`
@@ -61,6 +79,7 @@ object JdbcSink {
       props: Properties = new Properties(),
       rangeCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    rangeCol.foreach(requireSpliceSafe(batch, _))
     val deduped = batch.dropDuplicates(pk).cache()
     try {
       val existing = rangeCol match {

@@ -90,9 +90,23 @@ class JdbcSinkSpec extends SparkSpec {
     // the derived table carries the range predicate and ONLY pk columns
     assert(q.contains("where block_number between 100 and 199"), q)
     assert(q.contains("select block_hash, transaction_hash, log_index from logs"), q)
-    // string bounds get quoted/escaped
-    assert(JdbcSink.boundedKeysQuery("t", Seq("k"), "c", "a'b", "z")
-      .contains("between 'a''b' and 'z'"))
+    // timestamp/date bounds render as typed literals
+    assert(JdbcSink.boundedKeysQuery("t", Seq("k"), "c",
+        java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2020-01-02 00:00:00"))
+      .contains("between timestamp '2020-01-01 00:00:00"))
+    // string bounds are REFUSED, not escaped: quote-doubling doesn't
+    // cover backslash-escaping dialects, so data-derived string bounds
+    // would be an injection surface
+    intercept[IllegalArgumentException] {
+      JdbcSink.boundedKeysQuery("t", Seq("k"), "c", "a'b", "z")
+    }
+    val strBatch = Logs.readNdjson(spark, fixture(Seq(row(1, 0))))
+    val e = intercept[IllegalArgumentException] {
+      JdbcSink.appendIdempotent(strBatch, url, "logs", Logs.pk,
+        rangeCol = Some("block_hash"))
+    }
+    assert(e.getMessage.contains("block_hash"))
   }
 
   test("bounded probe stays correct with out-of-range rows present") {
