@@ -589,6 +589,20 @@ object SparkEntry {
         .orderBy(col("block_hour"))
     },
 
+    // REAL pixel decode under the gate: gradient rasters written as
+    // actual PNG (all five scanline filters in rotation, zlib
+    // inflate) and 24bpp BMP (bottom-up, stride-padded), decoded back
+    // to pixels per partition; the oracle recomputes the per-image
+    // pixel statistics from the generating formula v=(x+y+id)%256.
+    // A wrong filter reversal, inflate bug or stride error shifts
+    // sum/min/max and breaks the hash.
+    "q46_pixel_decode" -> { (s, dir) =>
+      Multimodal.decodePixels(
+          Multimodal.syntheticPixelMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // Capstone: the whole curation pipeline composed in ONE plan —
     // quality filter (bit-exact doubles, so the 0.5 threshold
     // classifies identically cross-engine) → exact dedup (lowest
@@ -1163,6 +1177,30 @@ object SparkEntry {
         |from customer
         |group by block_hour
         |order by block_hour""".stripMargin,
+
+    "q46_pixel_decode" ->
+      """with d as (select doc_id,
+        |    (doc_id % 16 + 1) * 2 as w, (doc_id % 12 + 1) * 2 as h
+        |  from documents),
+        | px as (select d.doc_id, d.w, d.h,
+        |    (x.range + y.range + d.doc_id) % 256 as v
+        |  from d cross join range(0, 32) x cross join range(0, 24) y
+        |  where x.range < d.w and y.range < d.h),
+        | agg as (select doc_id, w, h,
+        |    count(*) as n, sum(v) as s, min(v) as mn, max(v) as mx
+        |  from px group by doc_id, w, h)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown'
+        |       when doc_id % 2 = 0 then 'png' else 'bmp' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else w end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else h end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else n end as bigint) as n_pixels,
+        |  cast(case when doc_id % 25 = 0 then 0 else s end as bigint) as pixel_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else mn end as int) as pixel_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else mx end as int) as pixel_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
 
     "q38_jdbc_roundtrip" ->
       (s"""select printf('0x%040x', o_custkey) as address,

@@ -67,6 +67,67 @@ class MultimodalSpec extends SparkSpec {
     assert(FormatProbe.probe(null) === None)
   }
 
+  test("PixelCodec decodes its own PNG/BMP and ImageIO's, bit-for-bit") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    def v(x: Int, y: Int): Int = (x * 7 + y * 3 + 5) % 256
+    // h=11 ≥ 5 rows → every scanline filter type (None/Sub/Up/Average/
+    // Paeth) is exercised by the encoder's rotation and reversed here
+    val Some((pw, ph, ppx)) = PixelCodec.decodePng(MiniEncoder.pngGray(17, 11, v))
+    assert((pw, ph) === (17, 11))
+    for (y <- 0 until 11; x <- 0 until 17)
+      assert((ppx(y * 17 + x) & 0xff) === v(x, y), s"png pixel ($x,$y)")
+    val Some((bw, bh, bpx)) = PixelCodec.decodeBmp(MiniEncoder.bmp24(17, 11, v))
+    assert((bw, bh) === (17, 11))
+    for (y <- 0 until 11; x <- 0 until 17)
+      assert((bpx(y * 17 + x) & 0xff) === v(x, y), s"bmp pixel ($x,$y)")
+    // cross-validation against the JDK's own codecs, both directions:
+    // (a) ImageIO decodes OUR png to the same raster
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MiniEncoder.pngGray(17, 11, v)))
+    for (y <- 0 until 11; x <- 0 until 17)
+      assert((img.getRaster.getSample(x, y, 0)) === v(x, y), s"ImageIO png ($x,$y)")
+    // (b) WE decode an ImageIO-written grayscale PNG / 24bpp BMP
+    val gray = new java.awt.image.BufferedImage(9, 6, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 6; x <- 0 until 9) gray.getRaster.setSample(x, y, 0, v(x, y))
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", pngOut)
+    val Some((jw, jh, jpx)) = PixelCodec.decodePng(pngOut.toByteArray)
+    assert((jw, jh) === (9, 6))
+    for (y <- 0 until 6; x <- 0 until 9)
+      assert((jpx(y * 9 + x) & 0xff) === v(x, y), s"jdk png ($x,$y)")
+    val rgb = new java.awt.image.BufferedImage(9, 6, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 6; x <- 0 until 9)
+      rgb.setRGB(x, y, (v(x, y) << 16) | (v(x, y) << 8) | v(x, y))
+    val bmpOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "bmp", bmpOut)
+    val Some((kw, kh, kpx)) = PixelCodec.decodeBmp(bmpOut.toByteArray)
+    assert((kw, kh) === (9, 6))
+    for (y <- 0 until 6; x <- 0 until 9)
+      assert((kpx(y * 9 + x) & 0xff) === v(x, y), s"jdk bmp ($x,$y)")
+    // truncation/garbage → None, never a throw
+    assert(PixelCodec.decodePng(MiniEncoder.pngGray(17, 11, v).take(40)) === None)
+    assert(PixelCodec.decodeBmp(MiniEncoder.bmp24(17, 11, v).take(40)) === None)
+    assert(PixelCodec.decode(Array.fill[Byte](64)(0x41)) === None)
+    assert(PixelCodec.decode(null) === None)
+  }
+
+  test("decodePixels over synthetic pixel media: stats match the formula") {
+    val metas = Multimodal.decodePixels(Multimodal.syntheticPixelMedia(docs.limit(60)))
+      .collect().map(m => m.doc_id -> m).toMap
+    metas.values.foreach { m =>
+      if (m.doc_id % 25 == 0) assert(!m.valid && m.format === "unknown" && m.n_pixels === 0L)
+      else {
+        val (w, h) = ((m.doc_id % 16 + 1).toInt * 2, (m.doc_id % 12 + 1).toInt * 2)
+        assert(m.valid && (m.width, m.height) === (w, h))
+        assert(m.format === (if (m.doc_id % 2 == 0) "png" else "bmp"))
+        val vs = for (y <- 0 until h; x <- 0 until w) yield ((x + y + m.doc_id) % 256).toInt
+        assert(m.n_pixels === w.toLong * h)
+        assert(m.pixel_sum === vs.map(_.toLong).sum)
+        assert(m.pixel_min === vs.min && m.pixel_max === vs.max)
+      }
+    }
+  }
+
   test("probeMeta over synthetic real media: per-partition probe, corrupt rows invalid") {
     val meta = Multimodal.probeMeta(Multimodal.syntheticRealMedia(docs)).collect()
     assert(meta.length === docs.count())
