@@ -1,0 +1,286 @@
+package graft.serving
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.SparkSession
+
+/** GraphQL query surface over the registered tables/views — the
+  * reference's E3 Postgraphile layer (`docker-compose.yaml:46-72`:
+  * Postgres views auto-exposed as GraphQL) re-expressed over Spark.
+  *
+  * Postgraphile generates, per view, a root field taking `condition`
+  * (field equality), `first`/`offset` (pagination) and an order; this
+  * implements exactly that shape over the session catalog:
+  *
+  * {{{
+  * { Transfer_address_from_address_to_uint256_amount_d(
+  *     condition: {contract_address: "0x…"}, first: 10,
+  *     orderBy: "evt_block_number", desc: true)
+  *   { from to amount evt_block_number } }
+  * }}}
+  *
+  * Compilation target is ONE Spark SQL statement per root field —
+  * selection list → projection (column pruning), condition → WHERE
+  * (predicate pushdown into the parquet scan, since the views are
+  * expression projections Catalyst inlines), first/offset → LIMIT.
+  * The GraphQL layer adds no execution machinery of its own, exactly
+  * like Postgraphile compiling to SQL for Postgres.
+  *
+  * Hand-rolled recursive-descent parser for the subset (no GraphQL
+  * library in the dependency budget); identifiers are validated
+  * against the actual view schema and values are rendered as escaped
+  * SQL literals, so neither field names nor values can smuggle SQL.
+  */
+object GraphQL {
+
+  case class FieldQuery(
+      view: String,
+      condition: Seq[(String, Any)],
+      first: Option[Long],
+      offset: Option[Long],
+      orderBy: Option[String],
+      desc: Boolean,
+      selections: Seq[String])
+
+  case class ParseError(msg: String) extends RuntimeException(msg)
+
+  // ---- tokenizer -----------------------------------------------------
+
+  private sealed trait Tok
+  private case class Ident(s: String) extends Tok
+  private case class Str(s: String) extends Tok
+  private case class Num(s: String) extends Tok
+  private case class Punct(c: Char) extends Tok
+
+  private def tokenize(q: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c.isWhitespace || c == ',') i += 1
+      else if (c == '#') { while (i < q.length && q(i) != '\n') i += 1 } // comment
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        out += Ident(q.substring(start, i))
+      } else if (c.isDigit || (c == '-' && i + 1 < q.length && q(i + 1).isDigit)) {
+        val start = i
+        i += 1
+        while (i < q.length && (q(i).isDigit || q(i) == '.')) i += 1
+        out += Num(q.substring(start, i))
+      } else if (c == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < q.length && q(i) != '"') {
+          if (q(i) == '\\' && i + 1 < q.length) { sb.append(q(i + 1)); i += 2 }
+          else { sb.append(q(i)); i += 1 }
+        }
+        if (i >= q.length) throw ParseError("unterminated string")
+        i += 1
+        out += Str(sb.toString)
+      } else if ("{}():".contains(c)) { out += Punct(c); i += 1 }
+      else throw ParseError(s"unexpected character '$c'")
+    }
+    out.toList
+  }
+
+  // ---- parser --------------------------------------------------------
+
+  private class Parser(var toks: List[Tok]) {
+    def expect(c: Char): Unit = toks match {
+      case Punct(`c`) :: rest => toks = rest
+      case t => throw ParseError(s"expected '$c', got $t")
+    }
+    def ident(): String = toks match {
+      case Ident(s) :: rest => toks = rest; s
+      case t => throw ParseError(s"expected identifier, got $t")
+    }
+    def peekIs(c: Char): Boolean = toks.headOption.contains(Punct(c))
+
+    def value(): Any = toks match {
+      case Str(s) :: rest => toks = rest; s
+      case Num(s) :: rest =>
+        toks = rest
+        if (s.contains('.')) s.toDouble else s.toLong
+      case Ident("true") :: rest => toks = rest; true
+      case Ident("false") :: rest => toks = rest; false
+      case Ident("null") :: rest => toks = rest; null
+      case t => throw ParseError(s"expected value, got $t")
+    }
+
+    def objectArg(): Seq[(String, Any)] = {
+      expect('{')
+      val pairs = scala.collection.mutable.ListBuffer[(String, Any)]()
+      while (!peekIs('}')) {
+        val k = ident(); expect(':'); pairs += k -> value()
+      }
+      expect('}')
+      pairs.toSeq
+    }
+
+    def field(): FieldQuery = {
+      val view = ident()
+      var condition = Seq.empty[(String, Any)]
+      var first, offset = Option.empty[Long]
+      var orderBy = Option.empty[String]
+      var desc = false
+      if (peekIs('(')) {
+        expect('(')
+        while (!peekIs(')')) {
+          val arg = ident(); expect(':')
+          arg match {
+            case "condition" => condition = objectArg()
+            case "first" => first = Some(value() match {
+              case l: Long => l; case o => throw ParseError(s"first: expected int, got $o") })
+            case "offset" => offset = Some(value() match {
+              case l: Long => l; case o => throw ParseError(s"offset: expected int, got $o") })
+            case "orderBy" => orderBy = Some(value() match {
+              case s: String => s; case o => throw ParseError(s"orderBy: expected string, got $o") })
+            case "desc" => desc = value() match {
+              case b: Boolean => b; case o => throw ParseError(s"desc: expected boolean, got $o") }
+            case other => throw ParseError(s"unknown argument '$other'")
+          }
+        }
+        expect(')')
+      }
+      expect('{')
+      val sels = scala.collection.mutable.ListBuffer[String]()
+      while (!peekIs('}')) sels += ident()
+      expect('}')
+      if (sels.isEmpty) throw ParseError(s"$view: empty selection set")
+      FieldQuery(view, condition, first, offset, orderBy, desc, sels.toSeq)
+    }
+
+    def query(): Seq[FieldQuery] = {
+      // optional `query` / `query Name` operation header
+      toks match {
+        case Ident("query") :: rest =>
+          toks = rest
+          toks match { case Ident(_) :: r2 => toks = r2; case _ => () }
+        case _ => ()
+      }
+      expect('{')
+      val fields = scala.collection.mutable.ListBuffer[FieldQuery]()
+      while (!peekIs('}')) fields += field()
+      expect('}')
+      if (toks.nonEmpty) throw ParseError(s"trailing input: ${toks.head}")
+      if (fields.isEmpty) throw ParseError("empty query")
+      fields.toSeq
+    }
+  }
+
+  def parse(q: String): Seq[FieldQuery] = new Parser(tokenize(q)).query()
+
+  // ---- compilation ---------------------------------------------------
+
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "null"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case l: Long => l.toString
+    case d: Double => d.toString
+    case b: Boolean => b.toString
+    case other => throw ParseError(s"unsupported literal $other")
+  }
+
+  /** Compile one root field to a single Spark SQL statement. Every
+    * identifier is checked against the view's actual schema — unknown
+    * views and fields fail here, and names never reach the SQL text
+    * unvalidated. */
+  def compile(spark: SparkSession, f: FieldQuery): String = {
+    val schema =
+      try spark.table(f.view).schema
+      catch { case _: Exception => throw ParseError(s"unknown table or view '${f.view}'") }
+    val cols = schema.fieldNames.toSet
+    def checkCol(c: String): String =
+      if (cols(c)) s"`$c`"
+      else throw ParseError(s"'${f.view}' has no field '$c' (has: ${schema.fieldNames.mkString(", ")})")
+    val select = f.selections.map(checkCol).mkString(", ")
+    val where =
+      if (f.condition.isEmpty) ""
+      else " where " + f.condition.map { case (k, v) =>
+        if (v == null) s"${checkCol(k)} is null" else s"${checkCol(k)} = ${sqlLiteral(v)}"
+      }.mkString(" and ")
+    val order = f.orderBy.map(c => s" order by ${checkCol(c)}" + (if (f.desc) " desc" else "")).getOrElse("")
+    val limit = f.first.map(n => s" limit $n").getOrElse("")
+    val offset = f.offset.map(n => s" offset $n").getOrElse("")
+    s"select $select from `${f.view}`$where$order$limit$offset"
+  }
+
+  // ---- execution -----------------------------------------------------
+
+  private val mapper = new ObjectMapper()
+
+  private def putValue(node: ObjectNode, name: String, v: Any): Unit = v match {
+    case null => node.putNull(name)
+    case s: String => node.put(name, s)
+    case l: Long => node.put(name, l)
+    case i: Int => node.put(name, i)
+    case d: Double => node.put(name, d)
+    case f: Float => node.put(name, f.toDouble)
+    case b: Boolean => node.put(name, b)
+    case d: java.math.BigDecimal => node.put(name, d)
+    case d: scala.math.BigDecimal => node.put(name, d.bigDecimal)
+    case other => node.put(name, other.toString) // timestamp/date/binary render as text
+  }
+
+  /** Execute a GraphQL document against the session catalog; returns
+    * the response JSON (`{"data": …}` or `{"errors": [{"message": …}]}`
+    * — the GraphQL wire contract). Each root field yields
+    * `{"nodes": [...], "totalCount": N}`, Postgraphile's connection
+    * shape. */
+  def execute(spark: SparkSession, query: String): String = {
+    val root = mapper.createObjectNode()
+    try {
+      val fields = parse(query)
+      val data = root.putObject("data")
+      fields.foreach { f =>
+        val df = spark.sql(compile(spark, f))
+        val rows = df.collect()
+        val conn = data.putObject(f.view)
+        val nodes: ArrayNode = conn.putArray("nodes")
+        rows.foreach { r =>
+          val o = nodes.addObject()
+          f.selections.zipWithIndex.foreach { case (name, i) =>
+            putValue(o, name, r.get(i))
+          }
+        }
+        conn.put("totalCount", rows.length)
+      }
+    } catch {
+      case e: ParseError =>
+        root.removeAll()
+        root.putArray("errors").addObject().put("message", e.msg)
+      case e: Exception =>
+        root.removeAll()
+        root.putArray("errors").addObject().put("message", e.toString)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  // ---- HTTP endpoint -------------------------------------------------
+
+  /** Serve `POST /graphql` (body = raw query text, or JSON
+    * `{"query": "..."}` — the standard GraphQL HTTP convention) from
+    * the given session. Returns the bound port. */
+  def serve(spark: SparkSession, port: Int): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/graphql", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val query =
+        if (body.trim.startsWith("{\"") || body.trim.startsWith("{ \"")) {
+          val node = mapper.readTree(body)
+          Option(node.get("query")).map(_.asText).getOrElse("")
+        } else body
+      val resp = execute(spark, query)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    server
+  }
+}

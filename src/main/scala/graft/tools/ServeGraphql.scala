@@ -1,0 +1,44 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.functions.Abi
+import graft.operators.EventViews
+import graft.serving.GraphQL
+import graft.sources.Logs
+
+/** CLI: the GraphQL serving surface — the reference's E3 Postgraphile
+  * layer (`docker-compose.yaml:46-72`) over Spark. Registers the same
+  * tables and generated views as [[ServeSql]], then serves
+  * `POST /graphql` compiling Postgraphile-style queries (condition /
+  * first / offset / orderBy, connection-shaped responses) to single
+  * Spark SQL statements.
+  *
+  * Usage: runMain graft.tools.ServeGraphql <logsPath> [pricePath|-] [port]
+  *
+  * Probe:
+  *   curl -s localhost:<port>/graphql -d '{ logs_canonical(first: 5)
+  *     { address block_number } }'
+  */
+object ServeGraphql {
+  def main(args: Array[String]): Unit = {
+    val logsPath = args(0)
+    val pricePath = args.lift(1).filterNot(_ == "-")
+    val port = args.lift(2).map(_.toInt).getOrElse(8080)
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("WARN")
+    val logs =
+      if (logsPath.endsWith(".ndjson") || logsPath.endsWith(".json"))
+        Logs.readNdjson(spark, logsPath)
+      else Logs.read(spark, logsPath)
+    logs.createOrReplaceTempView("logs")
+    Logs.canonical(logs).createOrReplaceTempView("logs_canonical")
+    pricePath.foreach(p => spark.read.parquet(p).createOrReplaceTempView("price"))
+    Abi.registerSqlFunctions(spark)
+    EventViews.registerAll(spark, Logs.canonical(logs))
+    GraphQL.serve(spark, port)
+    println(s"[graphql] http://localhost:$port/graphql ready — tables: logs, " +
+      s"logs_canonical${pricePath.map(_ => ", price").getOrElse("")}; " +
+      s"${EventViews.referenceViews.size} views")
+    Thread.sleep(Long.MaxValue) // serve until externally stopped
+  }
+}
