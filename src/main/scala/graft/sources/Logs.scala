@@ -304,6 +304,31 @@ object Logs {
           s"partition swap AND restore failed for $partDir — originals parked at $bak")
       throw new java.io.IOException(s"partition swap failed for $partDir, originals restored")
     }
+    retainOrDelete(fs, tablePath, r, bak)
+  }
+
+  /** MVCC retention: on a snapshot-tracked table, files a swap
+    * replaced move to `_graft_retained/block_range=N/` instead of
+    * being deleted — manifests pinned BEFORE the rewrite keep
+    * resolving every file they reference ([[Snapshots.read]] falls
+    * back to the retained area), so compaction/canonicalization no
+    * longer invalidates pinned readers at all. [[Snapshots.vacuum]]
+    * is the GC: it deletes retained files once no kept manifest
+    * references them. Untracked tables keep the plain delete. */
+  private def retainOrDelete(fs: org.apache.hadoop.fs.FileSystem, tablePath: String,
+      r: Long, bak: org.apache.hadoop.fs.Path): Unit = {
+    val tracked = fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/_graft_manifest"))
+    if (tracked) {
+      val dest = new org.apache.hadoop.fs.Path(s"$tablePath/_graft_retained/block_range=$r")
+      fs.mkdirs(dest)
+      fs.listStatus(bak).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val d = new org.apache.hadoop.fs.Path(dest, st.getPath.getName)
+          if (!fs.rename(st.getPath, d))
+            throw new java.io.IOException(s"retention: cannot park ${st.getPath} at $d")
+        }
+    }
     fs.delete(bak, true)
   }
 

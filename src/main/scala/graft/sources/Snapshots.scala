@@ -13,15 +13,17 @@ import scala.jdk.CollectionConverters._
   * and older versions stay queryable (time travel across the ingest
   * history).
   *
-  * Consistency contract — append-level MVCC, honestly scoped:
+  * Consistency contract — MVCC reads, honestly scoped:
   * - concurrent APPENDS never disturb a pinned read (appends only add
   *   files; the manifest ignores them);
-  * - COMPACTION/canonicalization rewrite files in place, which
-  *   invalidates manifests taken before the rewrite — [[isValid]]
-  *   detects it, and the operational order is: quiesce readers of old
-  *   versions, compact, [[commit]] a fresh version. A full
-  *   transactional table format (deletion vectors, retained
-  *   tombstoned files) remains the documented upgrade path.
+  * - COMPACTION/canonicalization PARK the files they replace in
+  *   `_graft_retained/` (on snapshot-tracked tables) and auto-commit
+  *   the next version, so pinned readers keep resolving every file
+  *   they reference — rewrites never invalidate a pin. [[vacuum]]
+  *   bounds the history: it drops old manifests and GCs retained
+  *   files nothing references. What remains out of scope of a full
+  *   transactional format is exactly one thing: CONCURRENT WRITERS
+  *   (single ingest writer assumed, as `Logs.compact` documents).
   *
   * Scale shape: a manifest is one listing + one small JSON write per
   * commit; reads plan from the manifest's file list (no directory
@@ -106,23 +108,83 @@ object Snapshots {
     mapper.readTree(bytes).get("files").elements().asScala.map(_.asText).toSeq
   }
 
-  /** Every pinned file still present (false after an in-place rewrite
-    * such as compaction — re-[[commit]] to re-pin). */
+  private def retainedDir(tablePath: String) = s"$tablePath/_graft_retained"
+
+  /** Resolve a manifest-relative file: live location first, then the
+    * MVCC retention area an in-place rewrite parked it in
+    * (`Logs.retainOrDelete`). */
+  private def resolve(fs: FileSystem, tablePath: String, f: String): Option[String] =
+    if (fs.exists(new Path(s"$tablePath/$f"))) Some(s"$tablePath/$f")
+    else if (fs.exists(new Path(s"${retainedDir(tablePath)}/$f")))
+      Some(s"${retainedDir(tablePath)}/$f")
+    else None
+
+  /** Every pinned file still resolvable — live or retained. On a
+    * snapshot-tracked table, compaction/canonicalization PARK the
+    * files they replace instead of deleting them, so older versions
+    * stay valid and readable until [[vacuum]] garbage-collects them. */
   def isValid(spark: SparkSession, tablePath: String, version: Long): Boolean = {
     val fs = fsOf(spark, tablePath)
-    files(spark, tablePath, version).forall(f => fs.exists(new Path(s"$tablePath/$f")))
+    files(spark, tablePath, version).forall(f => resolve(fs, tablePath, f).isDefined)
   }
 
-  /** Read exactly one version's file set (default: latest). `basePath`
-    * keeps the `block_range` partition column derivable, so pruning
-    * and the analytic column order behave like a live read. */
+  /** Read exactly one version's file set (default: latest). Pinned
+    * files resolve to their live location or, after an in-place
+    * rewrite, the retention area — each group read with its own
+    * `basePath` (keeps `block_range` derivable) and unioned. */
   def read(spark: SparkSession, tablePath: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, tablePath))
       .getOrElse(throw new IllegalStateException(s"no snapshots at $tablePath"))
-    val paths = files(spark, tablePath, v).map(f => s"$tablePath/$f")
-    if (paths.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), Logs.schema)
-    else spark.read.option("basePath", tablePath).parquet(paths: _*)
-      .select(Logs.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val fs = fsOf(spark, tablePath)
+    val resolved = files(spark, tablePath, v).map { f =>
+      resolve(fs, tablePath, f).getOrElse(
+        throw new IllegalStateException(
+          s"snapshot v$v of $tablePath references vacuumed/missing file $f"))
+    }
+    val (retained, live) = resolved.partition(_.startsWith(retainedDir(tablePath)))
+    val analytic = Logs.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+    def group(paths: Seq[String], base: String): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", base).parquet(paths: _*).select(analytic: _*))
+    (group(live, tablePath), group(retained, retainedDir(tablePath))) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), Logs.schema)
+    }
+  }
+
+  /** Retention GC: drop all but the newest `keepVersions` manifests,
+    * then delete every retained file no kept manifest references.
+    * Returns (manifests dropped, retained files deleted). Run beside
+    * periodic compaction; readers pinned to a dropped version fail
+    * loudly on read ([[read]] throws), which is the retention
+    * contract — bounded history, not unbounded MVCC. */
+  def vacuum(spark: SparkSession, tablePath: String, keepVersions: Int = 2): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val fs = fsOf(spark, tablePath)
+    val dir = manifestDir(tablePath)
+    if (!fs.exists(dir)) return (0, 0)
+    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced = keep.flatMap(v => files(spark, tablePath, v)).toSet
+    drop.foreach(v => fs.delete(new Path(dir, f"v$v%09d.json"), false))
+    val retRoot = new Path(retainedDir(tablePath))
+    var deleted = 0
+    if (fs.exists(retRoot)) {
+      fs.listStatus(retRoot).toSeq.filter(_.isDirectory).foreach { d =>
+        fs.listStatus(d.getPath).toSeq.filter(_.isFile).foreach { f =>
+          val rel = s"${d.getPath.getName}/${f.getPath.getName}"
+          if (!referenced(rel)) { fs.delete(f.getPath, false); deleted += 1 }
+        }
+        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
+      }
+      if (fs.listStatus(retRoot).isEmpty) fs.delete(retRoot, false)
+    }
+    (drop.size, deleted)
   }
 }

@@ -3,11 +3,13 @@ package graft.tools
 import graft.GraftSession
 import graft.sources.Snapshots
 
-/** CLI: manifest snapshots over a logs table — commit a version, list
-  * them, or count a pinned version (consistent under live ingest).
+/** CLI: manifest snapshots over a logs table — commit a version, read
+  * a pinned version (consistent under live ingest AND across
+  * compaction, via MVCC retention), or vacuum bounded history.
   *
   * Usage: runMain graft.tools.Snapshot <tablePath> commit
   *        runMain graft.tools.Snapshot <tablePath> read [version]
+  *        runMain graft.tools.Snapshot <tablePath> vacuum [keepVersions]
   */
 object Snapshot {
   def main(args: Array[String]): Unit = {
@@ -23,7 +25,11 @@ object Snapshot {
           .getOrElse(sys.error(s"no snapshots at $table"))
         val df = Snapshots.read(spark, table, Some(v))
         println(s"[snapshot] v$v rows=${df.count()} valid=${Snapshots.isValid(spark, table, v)}")
-      case other => sys.error(s"unknown command '$other' (commit|read)")
+      case "vacuum" =>
+        val keep = args.lift(2).map(_.toInt).getOrElse(2)
+        val (manifests, files) = Snapshots.vacuum(spark, table, keep)
+        println(s"[snapshot] vacuum keep=$keep droppedManifests=$manifests deletedFiles=$files")
+      case other => sys.error(s"unknown command '$other' (commit|read|vacuum)")
     }
     spark.stop()
   }

@@ -39,7 +39,7 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, table, Some(v0)).schema === Logs.schema)
   }
 
-  test("compact invalidates older snapshots AND auto-commits a fresh valid one") {
+  test("compact retains replaced files: pinned readers survive, next version auto-commits") {
     val table = Files.createTempDirectory("snap_tbl").toString + "/t"
     (1 to 4).foreach { i =>
       Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(i, 0)))), table)
@@ -47,15 +47,20 @@ class SnapshotsSpec extends SparkSpec {
     val v0 = Snapshots.commit(spark, table)
     assert(Snapshots.isValid(spark, table, v0))
     Logs.compact(spark, table) // rewrites partition files in place
-    assert(!Snapshots.isValid(spark, table, v0)) // detectably stale
-    // the rewrite published the next version itself — zero manual steps
+    // MVCC: the rewrite PARKED the replaced files — the pinned version
+    // is still valid and still reads its exact pre-compact state
+    assert(Snapshots.isValid(spark, table, v0))
+    assert(Snapshots.read(spark, table, Some(v0)).count() === 4)
+    assert(Snapshots.read(spark, table, Some(v0))
+      .select("block_number").collect().map(_.getLong(0)).sorted.toSeq === (1L to 4L))
+    // and the rewrite published the next version itself — zero manual steps
     val v1 = Snapshots.latestVersion(spark, table).get
     assert(v1 === v0 + 1)
     assert(Snapshots.isValid(spark, table, v1))
     assert(Snapshots.read(spark, table, Some(v1)).count() === 4)
   }
 
-  test("canonical swap-rewrite re-pins; untracked tables stay manifest-free") {
+  test("canonical swap-rewrite: pinned version reads PRE-tombstone state; untracked tables unaffected") {
     val table = Files.createTempDirectory("snap_tbl").toString + "/t"
     Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0), row(2, 0)))), table)
     val v0 = Snapshots.commit(spark, table)
@@ -63,14 +68,42 @@ class SnapshotsSpec extends SparkSpec {
     val tomb = Logs.readNdjson(spark, fixture(Seq(
       row(2, 0).replace("\"removed\":false", "\"removed\":true"))))
     Logs.appendCanonical(spark, tomb, table)
-    assert(!Snapshots.isValid(spark, table, v0))
     val v1 = Snapshots.latestVersion(spark, table).get
     assert(v1 === v0 + 1 && Snapshots.isValid(spark, table, v1))
+    // time travel across the reorg: v0 still shows block 2 un-tombstoned
+    assert(Snapshots.isValid(spark, table, v0))
+    val v0rows = Snapshots.read(spark, table, Some(v0))
+      .select("block_number", "removed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v0rows === Map(1L -> false, 2L -> false))
+    assert(Logs.canonical(Snapshots.read(spark, table, Some(v1))).count() === 1)
     // a table that never committed a snapshot gets none forced on it
     val bare = Files.createTempDirectory("snap_bare").toString + "/t"
     Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0)))), bare)
     Logs.compact(spark, bare)
     assert(Snapshots.latestVersion(spark, bare).isEmpty)
+    // and no retention area appears on untracked tables
+    assert(!new java.io.File(s"$bare/_graft_retained").exists())
+  }
+
+  test("vacuum drops old manifests and unreferenced retained files") {
+    val table = Files.createTempDirectory("snap_tbl").toString + "/t"
+    (1 to 3).foreach { i =>
+      Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(i, 0)))), table)
+    }
+    val v0 = Snapshots.commit(spark, table)
+    Logs.compact(spark, table) // auto-commits v1; originals parked
+    val v1 = Snapshots.latestVersion(spark, table).get
+    assert(new java.io.File(s"$table/_graft_retained").exists())
+    val (droppedManifests, deletedFiles) = Snapshots.vacuum(spark, table, keepVersions = 1)
+    assert(droppedManifests === 1 && deletedFiles > 0)
+    // the vacuumed version is gone; the kept one still reads fine
+    intercept[IllegalArgumentException](Snapshots.files(spark, table, v0))
+    assert(Snapshots.read(spark, table, Some(v1)).count() === 3)
+    // retained area fully GC'd (nothing still references it)
+    assert(!new java.io.File(s"$table/_graft_retained").exists())
+    // idempotent: a second vacuum is a no-op
+    assert(Snapshots.vacuum(spark, table, keepVersions = 1) === ((0, 0)))
   }
 
   test("commit detects a concurrent committer racing to the same version") {
