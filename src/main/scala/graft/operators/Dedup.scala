@@ -106,13 +106,20 @@ object Dedup {
   /** The banding/pairing back half of [[minhashCandidates]], reusable
     * with signatures derived from any staged source (`(id, sig)`). */
   private def candidatesFromSignatures(
-      sigs: DataFrame,
+      sigs0: DataFrame,
       numHashes: Int,
       bands: Int,
       minEstimate: Double,
       maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // `sigs` feeds THREE branches (banding, sig_a re-attach, sig_b
+    // re-attach); when it carries the whole staged text→signature
+    // pipeline (minhashCandidates), each branch would recompute it.
+    // Stage it behind one repartition(id) exchange — ReuseExchange
+    // dedupes, the pipeline runs once, the branches replay shuffle
+    // files (same contract as nearDuplicates' shingle sets).
+    val sigs = sigs0.repartition(col("id"))
 
     // bucket membership only — signatures stay out of the pair join
     // (they'd otherwise be shuffled once per colliding band)
