@@ -66,7 +66,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.nonEmpty) // the corpus genuinely contains near-dups
   }
 
-  test("nearDuplicates leaves nothing in the session cache") {
+  test("nearDuplicates leaves nothing in the session cache; sharing rides ReuseExchange") {
     val documents = Tables(spark, sf, "documents")
     val near = Dedup.nearDuplicates(documents, "doc_id", "text",
       minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2)
@@ -76,6 +76,11 @@ class DedupSimilaritySpec extends SparkSpec {
     // accumulated dead cached blocks; sharing now rides ReuseExchange
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+    // and the sharing genuinely happened: the staged-sets exchange is
+    // reused across branches in the FINAL adaptive plan (pre-execution
+    // explain can't show this — AQE reuses stages at runtime)
+    val finalPlan = near.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(2000))
   }
 
   test("simhash: near-dups land within small hamming distance") {
