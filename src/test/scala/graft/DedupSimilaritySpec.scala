@@ -70,7 +70,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val documents = Tables(spark, sf, "documents")
     val near = Dedup.nearDuplicates(documents, "doc_id", "text",
       minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2)
-    assert(near.count() > 0) // fully materialized
+    assert(near.collect().length > 0) // fully materialized (THIS plan, not a count() twin)
     // the r2 form persisted the shingle-set table and never released
     // it — long-lived sessions (ServeSql, notebooks, the bench JVM)
     // accumulated dead cached blocks; sharing now rides ReuseExchange
