@@ -603,6 +603,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Embedding-cosine near-dup at corpus scale: banded hyperplane-
+    // LSH candidates → exact cosine verify on candidates only
+    // (Similarity.cosineNearDuplicates). Near-copies are PLANTED
+    // deterministically (id+100000, elementwise (1+((id+i)%7)*0.005)
+    // scaling → cosine ≈ 0.9996) because the raw corpus holds no pair
+    // above 0.52; the DuckDB twin is all-pairs brute force over the
+    // same union, so the gate also proves the banding loses no pair
+    // at this threshold (per-pair miss prob ≈ 7e-11)
+    "q47_embedding_near_dup" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // the base id is staged under an unambiguous name: aliasing the
+      // shifted id to "vec_id" in the SAME select would make Spark's
+      // lateral-column-alias resolution bind the lambda's vec_id to
+      // the NEW alias while DuckDB's lambda sees the input column —
+      // a 1e-5 score divergence that cost one gate round-trip
+      val planted = e.filter(col("vec_id") % 17 === 3)
+        .select(col("vec_id").as("_bid"), col("embedding"))
+        .select(
+          (col("_bid") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast(DoubleType) *
+              (lit(1.0) + ((col("_bid") + i) % 7).cast(DoubleType) * lit(0.005))).as("v"))
+      Similarity.cosineNearDuplicates(base.unionByName(planted), "vec_id", "v",
+          minCosine = 0.9, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Capstone: the whole curation pipeline composed in ONE plan —
     // quality filter (bit-exact doubles, so the 0.5 threshold
     // classifies identically cross-engine) → exact dedup (lowest
@@ -1178,6 +1206,8 @@ object SparkEntry {
         |group by block_hour
         |order by block_hour""".stripMargin,
 
+    "q47_embedding_near_dup" -> Q47Sql,
+
     "q46_pixel_decode" ->
       """with d as (select doc_id,
         |    (doc_id % 16 + 1) * 2 as w, (doc_id % 12 + 1) * 2 as h
@@ -1290,6 +1320,28 @@ object SparkEntry {
         |from documents
         |order by doc_id""".stripMargin
   )
+
+  /** q47 twin: brute-force all-pairs cosine over the same
+    * base-plus-planted union (0.005 cast to double — a DuckDB decimal
+    * literal would perturb the factor vs Spark's double arithmetic). */
+  private val Q47Sql =
+    """with base as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      | planted as (
+      |  select vec_id + 100000 as vec_id,
+      |    list_transform(list_zip(embedding, range(0, len(embedding))),
+      |      t -> cast(t[1] as double) * (1 + ((vec_id + t[2]) % 7) * 0.005::DOUBLE)) as v
+      |  from embeddings where vec_id % 17 = 3),
+      | u as (select * from base union all select * from planted),
+      | p as (select a.vec_id as id_a, b.vec_id as id_b,
+      |    list_sum(list_transform(list_zip(a.v, b.v),
+      |      t -> cast(t[1] as double) * cast(t[2] as double)))
+      |    / (sqrt(list_sum(list_transform(list_zip(a.v, a.v),
+      |        t -> cast(t[1] as double) * cast(t[2] as double))))
+      |     * sqrt(list_sum(list_transform(list_zip(b.v, b.v),
+      |        t -> cast(t[1] as double) * cast(t[2] as double))))) as score
+      |  from u a join u b on a.vec_id < b.vec_id)
+      |select id_a, id_b, score from p where score >= 0.9
+      |order by id_a, id_b""".stripMargin
 
   /** DuckDB fragments shared across oracle queries (kept identical to
     * the Text.* expression semantics). */

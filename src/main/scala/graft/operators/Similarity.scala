@@ -103,8 +103,62 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs similarity join: bucket by LSH signature, score only
-    * same-bucket pairs, keep those above `threshold`. */
+  /** Corpus-scale embedding near-duplicates: banded hyperplane-LSH
+    * candidates → exact cosine verify on candidates ONLY — the
+    * embedding analog of [[Dedup.nearDuplicates]], same scale
+    * discipline: the `bits`-bit signature splits into `bands` chunks
+    * (collide in ANY band ⇒ candidate), the pair join carries ids
+    * only, degenerate buckets are capped, and the vector table is
+    * staged behind one `repartition(id)` exchange that ReuseExchange
+    * shares across signature computation and both verify re-attaches.
+    *
+    * Recall per pair at angle θ: a bit agrees with p = 1−θ/π, a
+    * band of r bits with p^r, any of b bands with 1−(1−p^r)^b — the
+    * defaults (64 bits, 16 bands of 4) give ≈ 1−7e-11 at cos 0.98
+    * and ≈ 0.97 at cos 0.8; widen bands for lower thresholds. */
+  def cosineNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      dim: Int,
+      bits: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val rows = bits / bands
+    val planes = hyperplanes(dim, bits, seed)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val sigs = vecs.select(col("id"), signature(col("vec"), planes).as("sig"))
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
+        .as(Seq("band", "chunk")))
+    val keep = banded.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("band"), col("chunk"))
+    val pruned = banded.join(keep, Seq("band", "chunk"))
+    val l = pruned.select(col("band"), col("chunk"), col("id").as("id_a"))
+    val r = pruned.select(col("band"), col("chunk"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("_va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("_vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("_va"), col("_vb")).as("score"))
+      .filter(col("score") >= minCosine)
+  }
+
+  /** All-pairs similarity join: bucket by the FULL LSH signature,
+    * score only identical-signature pairs, keep those above
+    * `threshold`. Small-scale convenience (exact-signature match has
+    * poor recall at modest thresholds); the corpus entry point is
+    * [[cosineNearDuplicates]]. */
   def similarityJoin(
       df: DataFrame,
       idCol: String,

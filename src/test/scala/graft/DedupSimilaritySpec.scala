@@ -83,6 +83,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(finalPlan.contains("ReusedExchange"), finalPlan.take(2000))
   }
 
+  test("cosineNearDuplicates: planted near-copies found, no all-pairs join") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    val baseVecs = (0L until 50L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+    val planted = baseVecs.filter(_._1 % 10 == 3)
+      .map { case (i, v) => (i + 1000L, v.map(_ * 1.01)) } // cosine 1.0 exactly (pure scaling)
+    val df = spark.createDataFrame((baseVecs ++ planted).map { case (i, v) => (i, v.toSeq) })
+      .toDF("id", "v")
+    val near = Similarity.cosineNearDuplicates(df, "id", "v",
+      minCosine = 0.95, dim = 16, bits = 64, bands = 16)
+    val plan = near.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = near.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = planted.map { case (pid, _) => (pid - 1000L, pid) }.toSet
+    assert(got.keySet === expected) // every planted pair, nothing else
+    got.values.foreach(s => assert(s > 0.999))
+  }
+
   test("simhash: near-dups land within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashVotes($"text").as("_v"))
       .select($"doc_id", Dedup.packVotes($"_v").as("sh"))
