@@ -603,6 +603,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // REAL resize under the gate: decode the actual PNG/BMP rasters,
+    // nearest-neighbor to 8×8 (source pixel (x·w/8, y·h/8), integer
+    // floor), pixel statistics of the thumbnail. The twin recomputes
+    // them from the generating formula with the same floor sampling —
+    // a wrong sample coordinate or stride shifts the stats.
+    "q48_pixel_resize" -> { (s, dir) =>
+      Multimodal.resizePixels(
+          Multimodal.syntheticPixelMedia(Tables(s, dir, "documents")), 8, 8)
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding-cosine near-dup at corpus scale: banded hyperplane-
     // LSH candidates → exact cosine verify on candidates only
     // (Similarity.cosineNearDuplicates). Near-copies are PLANTED
@@ -1207,6 +1219,30 @@ object SparkEntry {
         |order by block_hour""".stripMargin,
 
     "q47_embedding_near_dup" -> Q47Sql,
+
+    "q48_pixel_resize" ->
+      """with d as (select doc_id,
+        |    (doc_id % 16 + 1) * 2 as w, (doc_id % 12 + 1) * 2 as h
+        |  from documents),
+        | px as (select d.doc_id, d.w, d.h,
+        |    ((x.range * d.w) // 8 + (y.range * d.h) // 8 + d.doc_id) % 256 as v
+        |  from d cross join range(0, 8) x cross join range(0, 8) y),
+        | agg as (select doc_id, w, h,
+        |    sum(v) as s, min(v) as mn, max(v) as mx
+        |  from px group by doc_id, w, h)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown'
+        |       when doc_id % 2 = 0 then 'png' else 'bmp' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else w end as int) as src_width,
+        |  cast(case when doc_id % 25 = 0 then 0 else h end as int) as src_height,
+        |  cast(case when doc_id % 25 = 0 then 0 else 8 end as int) as out_width,
+        |  cast(case when doc_id % 25 = 0 then 0 else 8 end as int) as out_height,
+        |  cast(case when doc_id % 25 = 0 then 0 else s end as bigint) as pixel_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else mn end as int) as pixel_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else mx end as int) as pixel_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
 
     "q46_pixel_decode" ->
       """with d as (select doc_id,

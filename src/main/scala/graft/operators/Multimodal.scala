@@ -477,6 +477,42 @@ object Multimodal {
       }
     }(pixelEnc)
 
+  case class ResizedMeta(doc_id: Long, format: String, src_width: Int, src_height: Int,
+      out_width: Int, out_height: Int, pixel_sum: Long, pixel_min: Int, pixel_max: Int,
+      valid: Boolean)
+  implicit val resizedEnc: Encoder[ResizedMeta] = Encoders.product[ResizedMeta]
+
+  /** REAL resize over the decoded raster: nearest-neighbor to a fixed
+    * `outW×outH` (source pixel = `(x·srcW/outW, y·srcH/outH)`, integer
+    * floor — the deterministic choice an oracle can reproduce), then
+    * the same compact pixel statistics as [[decodePixels]]. Map-side
+    * per partition, corrupt rows mark invalid. The thumbnail/training
+    * path: decode → resize → feature-extract without the raster ever
+    * leaving the task. */
+  def resizePixels(media: Dataset[MediaFile], outW: Int, outH: Int): Dataset[ResizedMeta] =
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        PixelCodec.decode(m.content) match {
+          case Some((fmt, w, h, px)) =>
+            var sum = 0L; var mn = 255; var mx = 0
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) {
+                val v = px(sy * w + x * w / outW) & 0xff
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            ResizedMeta(m.doc_id, fmt, w, h, outW, outH, sum, mn, mx, valid = true)
+          case None =>
+            ResizedMeta(m.doc_id, "unknown", 0, 0, 0, 0, 0L, 0, 0, valid = false)
+        }
+      }
+    }(resizedEnc)
+
   /** Deterministic real-pixel media: gradient rasters
     * `v(x,y) = (x + y + doc_id) mod 256` written as actual PNG (even
     * ids — every scanline filter type exercised in rotation) or BMP

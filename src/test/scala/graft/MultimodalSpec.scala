@@ -128,6 +128,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizePixels: nearest-neighbor thumbnail stats match the formula") {
+    val metas = Multimodal.resizePixels(
+      Multimodal.syntheticPixelMedia(docs.limit(40)), 8, 8)
+      .collect()
+    metas.foreach { m =>
+      if (m.doc_id % 25 == 0) assert(!m.valid && m.out_width === 0)
+      else {
+        val (w, h) = ((m.doc_id % 16 + 1).toInt * 2, (m.doc_id % 12 + 1).toInt * 2)
+        assert((m.src_width, m.src_height, m.out_width, m.out_height) === (w, h, 8, 8))
+        val vs = for (y <- 0 until 8; x <- 0 until 8)
+          yield ((x * w / 8 + y * h / 8 + m.doc_id) % 256).toInt
+        assert(m.pixel_sum === vs.map(_.toLong).sum)
+        assert(m.pixel_min === vs.min && m.pixel_max === vs.max)
+      }
+    }
+  }
+
   test("probeMeta over synthetic real media: per-partition probe, corrupt rows invalid") {
     val meta = Multimodal.probeMeta(Multimodal.syntheticRealMedia(docs)).collect()
     assert(meta.length === docs.count())
