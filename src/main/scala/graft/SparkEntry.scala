@@ -615,6 +615,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Persisted IVF index under the gate: build the cell-partitioned
+    // parquet index, then query it with nprobe = all cells — which
+    // degenerates to exact brute force, so the DuckDB twin is plain
+    // all-rows cosine top-k and the gate proves the index write/read
+    // path (assignment, partition layout, pruned scan, scoring)
+    // end-to-end. nprobe < cells is the ANN path (recall spec'd).
+    "q49_ivf_index_topk" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q49").toString
+      val e = Tables(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val query = e.filter(col("vec_id") === 2)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      Similarity.ivfWriteIndex(e, "vec_id", "embedding", centroids, s"$work/ivf")
+      Similarity.ivfTopKFromIndex(s, s"$work/ivf", "vec_id", "embedding",
+        query, k = 15, centroids, nprobe = centroids.length)
+    },
+
     // Embedding-cosine near-dup at corpus scale: banded hyperplane-
     // LSH candidates → exact cosine verify on candidates only
     // (Similarity.cosineNearDuplicates). Near-copies are PLANTED
@@ -1219,6 +1237,20 @@ object SparkEntry {
         |order by block_hour""".stripMargin,
 
     "q47_embedding_near_dup" -> Q47Sql,
+
+    "q49_ivf_index_topk" ->
+      """with q as (select embedding as qv from embeddings where vec_id = 2),
+        |s as (select vec_id,
+        |  list_sum(list_transform(list_zip(embedding, (select qv from q)),
+        |    p -> cast(p[1] as double) * cast(p[2] as double)))
+        |  / (sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+        |      p -> cast(p[1] as double) * cast(p[2] as double))))
+        |    * sqrt((select list_sum(list_transform(list_zip(qv, qv),
+        |      p -> cast(p[1] as double) * cast(p[2] as double))) from q))) as score
+        |from embeddings)
+        |select vec_id, score from s
+        |order by score desc, vec_id
+        |limit 15""".stripMargin,
 
     "q48_pixel_resize" ->
       """with d as (select doc_id,

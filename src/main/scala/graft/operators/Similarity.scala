@@ -190,6 +190,14 @@ object Similarity {
     df.withColumn("_cell", greatest(dists: _*).getField("cell"))
   }
 
+  /** The query's `nprobe` best cells (driver-side — centroid count is
+    * tiny by construction). */
+  private def probeCells(query: Array[Float], centroids: Array[Array[Float]],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum, i) }
+      .sortBy(-_._1).take(nprobe).map(_._2).toSeq
+
   def ivfTopK(
       embeddings: DataFrame,
       idCol: String,
@@ -197,14 +205,48 @@ object Similarity {
       query: Array[Float],
       k: Int,
       centroids: Array[Array[Float]],
-      nprobe: Int = 1): DataFrame = {
-    val qScores = centroids.zipWithIndex
-      .map { case (c, i) => (c.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum, i) }
-      .sortBy(-_._1).take(nprobe).map(_._2)
+      nprobe: Int = 1): DataFrame =
     ivfAssign(embeddings, vecCol, centroids)
-      .filter(col("_cell").isin(qScores.toIndexedSeq: _*))
+      .filter(col("_cell").isin(probeCells(query, centroids, nprobe): _*))
       .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
-  }
+
+  /** PERSISTED IVF index: cell assignments written once as parquet
+    * PARTITIONED BY the cell id. Queries then read only their probed
+    * cells via partition pruning — the assignment scan (the expensive
+    * part: |centroids| dot products per vector) is paid once at build
+    * time instead of per query, and the storage layout IS the index.
+    * The repeated-query ANN path at scale; [[ivfTopK]] remains the
+    * one-shot form. */
+  def ivfWriteIndex(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]],
+      path: String): Unit =
+    ivfAssign(embeddings, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("_cell"))
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell").parquet(path)
+
+  /** Top-k over a persisted index: scan ONLY the probed cell
+    * partitions (`PartitionFilters` in the plan — no data outside
+    * them is listed or read). `nprobe = centroids.length` degenerates
+    * to exact brute force, which is how the driver gate oracles the
+    * whole index write/read path. */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      centroids: Array[Array[Float]],
+      nprobe: Int = 1): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("_cell").isin(probeCells(query, centroids, nprobe): _*))
+      .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
 }

@@ -101,6 +101,35 @@ class DedupSimilaritySpec extends SparkSpec {
     got.values.foreach(s => assert(s > 0.999))
   }
 
+  test("persisted IVF index: partition-pruned reads, brute-force-exact on full probe") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sf, "embeddings")
+    val centroids = e.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val query = e.filter($"vec_id" === 2)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/ivf"
+    Similarity.ivfWriteIndex(e, "vec_id", "embedding", centroids, idx)
+    // probing one cell reads ONLY that partition: the cell filter is a
+    // PartitionFilter on the scan, not a post-scan predicate
+    val one = Similarity.ivfTopKFromIndex(spark, idx, "vec_id", "embedding",
+      query, k = 5, centroids, nprobe = 1)
+    assert("PartitionFilters: \\[[^\\]]*_cell".r
+        .findFirstIn(one.queryExecution.executedPlan.toString).isDefined,
+      one.queryExecution.executedPlan.toString.take(1500))
+    // nprobe=1 over the index ≡ the one-shot ivfTopK (same cells, same scoring)
+    val oneShot = Similarity.ivfTopK(e, "vec_id", "embedding", query, 5, centroids, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(one.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === oneShot)
+    // full probe degenerates to exact brute force
+    val full = Similarity.ivfTopKFromIndex(spark, idx, "vec_id", "embedding",
+      query, k = 10, centroids, nprobe = centroids.length)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute)
+  }
+
   test("simhash: near-dups land within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashVotes($"text").as("_v"))
       .select($"doc_id", Dedup.packVotes($"_v").as("sh"))
