@@ -656,8 +656,13 @@ object SparkEntry {
           transform(col("embedding"), (x, i) =>
             x.cast(DoubleType) *
               (lit(1.0) + ((col("_bid") + i) % 7).cast(DoubleType) * lit(0.005))).as("v"))
+      // bands=8 (8-bit chunks): at this 0.9 threshold the planted
+      // pairs (cos ≈ 0.9996) still collide with prob ≈ 1−1e-10, while
+      // chance collisions among the near-orthogonal base corpus drop
+      // from ~64% of all pairs (4-bit chunks — made the exact verify
+      // effectively all-pairs, 50 s at sf0.1) to ~3%
       Similarity.cosineNearDuplicates(base.unionByName(planted), "vec_id", "v",
-          minCosine = 0.9, dim = 64)
+          minCosine = 0.9, dim = 64, bands = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -115,7 +115,16 @@ object Similarity {
     * Recall per pair at angle θ: a bit agrees with p = 1−θ/π, a
     * band of r bits with p^r, any of b bands with 1−(1−p^r)^b — the
     * defaults (64 bits, 16 bands of 4) give ≈ 1−7e-11 at cos 0.98
-    * and ≈ 0.97 at cos 0.8; widen bands for lower thresholds. */
+    * and ≈ 0.97 at cos 0.8.
+    *
+    * Tune bands to the threshold, BOTH ways: narrow bands buy recall
+    * at low thresholds but admit chance collisions — for a
+    * near-orthogonal corpus (p ≈ 0.5 per bit) a 4-bit band collides
+    * 1/16 of the time, so 16 bands make ~64% of ALL pairs candidates
+    * and the exact verify degenerates toward all-pairs (measured:
+    * 50 s at 5.3k vectors). At thresholds ≥0.9 use wider bands
+    * (bands=8 → rows=8: chance collisions ≈ 3%, recall at cos 0.99
+    * still ≈ 1−1e-10). */
   def cosineNearDuplicates(
       df: DataFrame,
       idCol: String,
