@@ -20,23 +20,34 @@ import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
   * fanning queries out over the executors — the Spark answer to the
   * reference's single-node Postgres.
   *
-  * Usage: runMain graft.tools.ServeSql <logsPath> [pricePath|-] [port]
+  * Usage: runMain graft.tools.ServeSql <logsPath> [pricePath|-] [port] [snapshot|-]
+  *
+  * `snapshot` = `latest` or a version number: the `logs` table (and
+  * everything derived — canonical view, all 10 event views) serves a
+  * PINNED snapshot instead of the live table, so every analyst query
+  * sees one consistent state while ingest/compaction keep running
+  * (MVCC retention makes the pin durable across rewrites).
   */
 object ServeSql {
   def main(args: Array[String]): Unit = {
     val logsPath = args(0)
     val pricePath = args.lift(1).filterNot(_ == "-")
     val port = args.lift(2).getOrElse("10000")
+    val snapshot = args.lift(3).filterNot(_ == "-")
     val spark = GraftSession.builder()
       .config("hive.server2.thrift.port", port)
       .config("hive.server2.thrift.bind.host", "localhost")
       .config("spark.sql.hive.thriftServer.singleSession", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val logs =
-      if (logsPath.endsWith(".ndjson") || logsPath.endsWith(".json"))
-        Logs.readNdjson(spark, logsPath)
-      else Logs.read(spark, logsPath)
+    val logs = snapshot match {
+      case Some("latest") => graft.sources.Snapshots.read(spark, logsPath)
+      case Some(v) => graft.sources.Snapshots.read(spark, logsPath, Some(v.toLong))
+      case None =>
+        if (logsPath.endsWith(".ndjson") || logsPath.endsWith(".json"))
+          Logs.readNdjson(spark, logsPath)
+        else Logs.read(spark, logsPath)
+    }
     logs.createOrReplaceTempView("logs")
     Logs.canonical(logs).createOrReplaceTempView("logs_canonical")
     pricePath.foreach(p => spark.read.parquet(p).createOrReplaceTempView("price"))
@@ -44,7 +55,7 @@ object ServeSql {
     EventViews.registerAll(spark, Logs.canonical(logs))
     HiveThriftServer2.startWithContext(spark.sqlContext)
     val views = EventViews.referenceViews.map(_.viewName)
-    println(s"[serve] jdbc:hive2://localhost:$port ready — tables: logs, logs_canonical" +
+    println(s"[serve] jdbc:hive2://localhost:$port ready${snapshot.map(v => s" (pinned snapshot $v)").getOrElse("")} — tables: logs, logs_canonical" +
       pricePath.map(_ => ", price").getOrElse("") +
       s"; ${views.size} views: ${views.take(3).mkString(", ")}, ...")
     Thread.sleep(Long.MaxValue) // serve until externally stopped
