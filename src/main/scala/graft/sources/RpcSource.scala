@@ -86,6 +86,7 @@ object RpcSource {
         throw new IllegalArgumentException("evmrpc source requires option 'endpoint'"))
       val step = opts.getOrElse("blockstep", "100").toLong
       val retryMillis = opts.getOrElse("retrymillis", "10000").toLong
+      val backfillTs = opts.getOrElse("backfilltimestamps", "false").toBoolean
       var from = opts.get("fromblock").map(_.toLong).getOrElse(1L)
       // toBlock absent = "the head": resolved lazily per mode — batch
       // probes once at partition planning; streaming keeps following
@@ -106,14 +107,15 @@ object RpcSource {
           case In("address", vs) => vs.toSeq.map(_.asInstanceOf[String])
           case _ => Seq.empty[String]
         }
-      new RpcScan(endpoint, from, to, step, addrs.distinct, retryMillis)
+      new RpcScan(endpoint, from, to, step, addrs.distinct, retryMillis, backfillTs)
     }
   }
 
   private[sources] case class RpcWindow(from: Long, to: Long) extends InputPartition
 
   private[sources] class RpcScan(endpoint: String, from: Long, to: Long, step: Long,
-      addresses: Seq[String], retryMillis: Long) extends Scan with Batch {
+      addresses: Seq[String], retryMillis: Long,
+      backfillTs: Boolean = false) extends Scan with Batch {
     override def readSchema(): StructType = Logs.schema
     override def toBatch: Batch = this
     override def description(): String =
@@ -123,9 +125,10 @@ object RpcSource {
         if (to == Long.MaxValue) Rpc.blockNumber(endpoint, retryMillis) else to,
         step)
     override def createReaderFactory(): PartitionReaderFactory =
-      new RpcReaderFactory(endpoint, addresses, retryMillis)
+      new RpcReaderFactory(endpoint, addresses, retryMillis, backfillTs)
     override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-      new RpcMicroBatchStream(endpoint, from, to, step, addresses, retryMillis)
+      new RpcMicroBatchStream(endpoint, from, to, step, addresses, retryMillis,
+        backfillTs = backfillTs)
   }
 
   private def windows(from: Long, to: Long, step: Long): Array[InputPartition] =
@@ -166,7 +169,7 @@ object RpcSource {
     *   recomputed the same truncated target — permanently stuck. */
   private[sources] class RpcMicroBatchStream(endpoint: String, from: Long, to: Long,
       step: Long, addresses: Seq[String], retryMillis: Long,
-      maxWindowsPerBatch: Int = 10)
+      maxWindowsPerBatch: Int = 10, backfillTs: Boolean = false)
       extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl
       with streaming.SupportsTriggerAvailableNow {
     @volatile private var drainTarget: Option[Long] = None
@@ -201,16 +204,16 @@ object RpcSource {
       if (lo > hi) Array.empty else windows(lo, hi, step)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new RpcReaderFactory(endpoint, addresses, retryMillis)
+      new RpcReaderFactory(endpoint, addresses, retryMillis, backfillTs)
     override def commit(end: streaming.Offset): Unit = ()
     override def stop(): Unit = ()
   }
 
   private[sources] class RpcReaderFactory(endpoint: String, addresses: Seq[String],
-      retryMillis: Long) extends PartitionReaderFactory {
+      retryMillis: Long, backfillTs: Boolean = false) extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val w = partition.asInstanceOf[RpcWindow]
-      new RpcWindowReader(endpoint, addresses, retryMillis, w.from, w.to)
+      new RpcWindowReader(endpoint, addresses, retryMillis, w.from, w.to, backfillTs)
     }
   }
 
@@ -218,7 +221,8 @@ object RpcSource {
     * wire→analytic transform inline (`get_logs.go:38-55`). A refused
     * window (-32602) yields zero rows, the reference's skip semantics. */
   private[sources] class RpcWindowReader(endpoint: String, addresses: Seq[String],
-      retryMillis: Long, from: Long, to: Long) extends PartitionReader[InternalRow] {
+      retryMillis: Long, from: Long, to: Long,
+      backfillTs: Boolean = false) extends PartitionReader[InternalRow] {
     private val mapper = new ObjectMapper()
     private lazy val logs: Iterator[InternalRow] = {
       val addrFilter =
@@ -235,31 +239,46 @@ object RpcSource {
       } else {
         val result = root.get("result")
         if (result == null || result.isNull) Iterator.empty
-        else result.elements().asScala.map { log =>
-          def s(f: String): UTF8String = {
-            val n = log.get(f)
-            if (n == null || n.isNull) null else UTF8String.fromString(n.asText)
-          }
-          def hexLong(f: String): Long = {
+        else {
+          val entries = result.elements().asScala.toSeq
+          def hexLongOf(log: com.fasterxml.jackson.databind.JsonNode, f: String): Long = {
             val n = log.get(f)
             if (n == null || n.isNull) 0L
             else java.lang.Long.parseLong(n.asText.stripPrefix("0x"), 16)
           }
-          val topics = log.get("topics")
-          def topic(i: Int): UTF8String =
-            if (topics != null && topics.size > i) UTF8String.fromString(topics.get(i).asText)
-            else null
-          val dataRaw = log.get("data")
-          val data =
-            if (dataRaw == null || dataRaw.isNull) null
-            else if (dataRaw.asText == "0x" || dataRaw.asText.isEmpty) null // get_logs.go:44-46
-            else UTF8String.fromString(dataRaw.asText)
-          InternalRow(
-            s("address"), topic(0), topic(1), topic(2), topic(3), data,
-            s("blockHash"), hexLong("blockNumber"), s("transactionHash"),
-            hexLong("transactionIndex"), hexLong("logIndex"),
-            log.get("removed") != null && log.get("removed").asBoolean(false),
-            null) // block_timestamp: never populated (get_logs.go:118-119)
+          // backfill extension (get_logs.go:118-119 leaves the column
+          // forever null): one header probe per DISTINCT block in THIS
+          // window, executed executor-side — a 1000-executor backfill
+          // spreads the probes exactly like the log pulls themselves
+          val tsMicros: Map[Long, Long] =
+            if (!backfillTs) Map.empty
+            else entries.map(hexLongOf(_, "blockNumber")).distinct.flatMap(b =>
+              Rpc.getBlockTimestamp(endpoint, b, retryMillis)
+                .map(sec => b -> sec * 1000000L)).toMap
+          entries.iterator.map { log =>
+            def s(f: String): UTF8String = {
+              val n = log.get(f)
+              if (n == null || n.isNull) null else UTF8String.fromString(n.asText)
+            }
+            def hexLong(f: String): Long = hexLongOf(log, f)
+            val topics = log.get("topics")
+            def topic(i: Int): UTF8String =
+              if (topics != null && topics.size > i) UTF8String.fromString(topics.get(i).asText)
+              else null
+            val dataRaw = log.get("data")
+            val data =
+              if (dataRaw == null || dataRaw.isNull) null
+              else if (dataRaw.asText == "0x" || dataRaw.asText.isEmpty) null // get_logs.go:44-46
+              else UTF8String.fromString(dataRaw.asText)
+            InternalRow(
+              s("address"), topic(0), topic(1), topic(2), topic(3), data,
+              s("blockHash"), hexLong("blockNumber"), s("transactionHash"),
+              hexLong("transactionIndex"), hexLong("logIndex"),
+              log.get("removed") != null && log.get("removed").asBoolean(false),
+              // TimestampType internal value = epoch micros; stays null
+              // unless the backfill option is on (reference parity)
+              tsMicros.get(hexLong("blockNumber")).map(Long.box).orNull)
+          }
         }
       }
     }

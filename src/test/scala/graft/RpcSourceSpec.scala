@@ -148,6 +148,25 @@ class RpcSourceSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("backfilltimestamps option fills block_timestamp executor-side") {
+    val s = newServer(20)
+    try {
+      val df = read(s, "fromBlock" -> "1", "toBlock" -> "20",
+        "blockStep" -> "10", "backfilltimestamps" -> "true")
+      val rows = df.select("block_number", "block_timestamp").collect()
+      assert(rows.length === 20)
+      rows.foreach { r =>
+        assert(r.getTimestamp(1) != null)
+        assert(r.getTimestamp(1).getTime / 1000 === 1600000000L + r.getLong(0) * 12)
+      }
+      // one probe per distinct block, issued from the window readers
+      assert(s.requests.count(_.contains("eth_getBlockByNumber")) === 20)
+      // and the default stays reference-parity null
+      val plain = read(s, "fromBlock" -> "1", "toBlock" -> "5")
+      assert(plain.filter("block_timestamp is not null").count() === 0)
+    } finally s.stop()
+  }
+
   test("refused window (-32602) skips, matching the reference") {
     val s = newServer(20)
     try {
