@@ -10,21 +10,24 @@ import org.apache.spark.sql.streaming.Trigger
   * Structured Streaming: checkpointed block offsets, per-window
   * parallel pulls, idempotent sink.
   *
-  * Usage: runMain graft.tools.StreamRpc <endpoint> <tablePath> <checkpointDir> [blockStep] [pollSeconds]
+  * Usage: runMain graft.tools.StreamRpc <endpoint> <tablePath> <checkpointDir> [blockStep] [pollSeconds] [backfillTs]
   * No pollSeconds → bounded catch-up (AvailableNow): drain to the
   * current head and exit; re-run resumes from the committed offset.
+  * `backfillTs` = `true` fills block_timestamp from executor-side
+  * `eth_getBlockByNumber` probes (§7.4 extension).
   */
 object StreamRpc {
   def main(args: Array[String]): Unit = {
     val Array(endpoint, table, ckpt) = args.take(3)
     val step = args.lift(3).getOrElse("100")
-    val poll = args.lift(4).map(s => Trigger.ProcessingTime(s"$s seconds"))
+    val poll = args.lift(4).filterNot(_ == "-").map(s => Trigger.ProcessingTime(s"$s seconds"))
     val spark = GraftSession.get()
     val q = spark.readStream.format(RpcSource.Format)
       .option("endpoint", endpoint)
       .option("fromBlock", "1")
       .option("toBlock", Long.MaxValue.toString)
       .option("blockStep", step)
+      .option("backfilltimestamps", args.lift(5).getOrElse("false"))
       .load()
       .writeStream
       .option("checkpointLocation", ckpt)
