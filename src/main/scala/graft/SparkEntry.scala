@@ -615,6 +615,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // REAL feature extraction under the gate: grayscale histograms of
+    // the actually-decoded rasters (8 bins over 0..255), long format —
+    // the oracle recomputes per-bin counts from the generating
+    // formula; a decode or binning bug shifts counts between bins
+    "q50_pixel_histogram" -> { (s, dir) =>
+      Multimodal.pixelHistogram(
+          Multimodal.syntheticPixelMedia(Tables(s, dir, "documents")), bins = 8)
+        .toDF()
+        .orderBy(col("doc_id"), col("bin"))
+    },
+
     // Persisted IVF index under the gate: build the cell-partitioned
     // parquet index, then query it with nprobe = all cells — which
     // degenerates to exact brute force, so the DuckDB twin is plain
@@ -1256,6 +1267,20 @@ object SparkEntry {
         |select vec_id, score from s
         |order by score desc, vec_id
         |limit 15""".stripMargin,
+
+    "q50_pixel_histogram" ->
+      """with d as (select doc_id,
+        |    (doc_id % 16 + 1) * 2 as w, (doc_id % 12 + 1) * 2 as h
+        |  from documents
+        |  where doc_id % 25 <> 0),
+        | px as (select d.doc_id,
+        |    (x.range + y.range + d.doc_id) % 256 as v
+        |  from d cross join range(0, 32) x cross join range(0, 24) y
+        |  where x.range < d.w and y.range < d.h)
+        |select doc_id, cast(v // 32 as int) as bin, count(*) as n
+        |from px
+        |group by doc_id, bin
+        |order by doc_id, bin""".stripMargin,
 
     "q48_pixel_resize" ->
       """with d as (select doc_id,

@@ -513,6 +513,36 @@ object Multimodal {
       }
     }(resizedEnc)
 
+  case class PixelFeature(doc_id: Long, bin: Int, n: Long)
+  implicit val pixelFeatureEnc: Encoder[PixelFeature] = Encoders.product[PixelFeature]
+
+  /** REAL feature extraction from the decoded raster: the normalized
+    * grayscale histogram (`bins` equal-width buckets over 0..255) —
+    * the classic cheap visual descriptor, joinable to the embedding
+    * operators ([[graft.operators.Similarity]]) once pivoted to a
+    * vector. Long format (doc_id, bin, n), one row per NON-EMPTY bin,
+    * map-side per partition; corrupt rows yield no bins. Upgrades the
+    * [[features]] stub to real pixels for the PNG/BMP tier. */
+  def pixelHistogram(media: Dataset[MediaFile], bins: Int = 8): Dataset[PixelFeature] =
+    media.mapPartitions { iter =>
+      val width = 256 / bins
+      iter.flatMap { m =>
+        PixelCodec.decode(m.content) match {
+          case Some((_, _, _, px)) =>
+            val counts = new Array[Long](bins)
+            var i = 0
+            while (i < px.length) {
+              val b = math.min((px(i) & 0xff) / width, bins - 1)
+              counts(b) += 1
+              i += 1
+            }
+            (0 until bins).filter(counts(_) > 0)
+              .map(b => PixelFeature(m.doc_id, b, counts(b)))
+          case None => Seq.empty
+        }
+      }
+    }(pixelFeatureEnc)
+
   /** Deterministic real-pixel media: gradient rasters
     * `v(x,y) = (x + y + doc_id) mod 256` written as actual PNG (even
     * ids — every scanline filter type exercised in rotation) or BMP

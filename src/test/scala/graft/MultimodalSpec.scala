@@ -145,6 +145,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pixelHistogram: real-raster bin counts sum to n_pixels, match the formula") {
+    val feats = Multimodal.pixelHistogram(
+      Multimodal.syntheticPixelMedia(docs.limit(30)), bins = 8)
+      .collect().groupBy(_.doc_id)
+    feats.foreach { case (id, rows) =>
+      assert(id % 25 != 0) // corrupt rows yield no bins
+      val (w, h) = ((id % 16 + 1).toInt * 2, (id % 12 + 1).toInt * 2)
+      assert(rows.map(_.n).sum === w.toLong * h)
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield ((x + y + id) % 256).toInt / 32)
+        .groupBy(identity).map { case (b, vs) => b -> vs.size.toLong }
+      assert(rows.map(r => r.bin -> r.n).toMap === expected)
+    }
+  }
+
   test("probeMeta over synthetic real media: per-partition probe, corrupt rows invalid") {
     val meta = Multimodal.probeMeta(Multimodal.syntheticRealMedia(docs)).collect()
     assert(meta.length === docs.count())
