@@ -65,6 +65,31 @@ class GraphQLSpec extends SparkSpec {
     assert(resp.get("data").get("gql_logs").get("totalCount").asInt === 0)
   }
 
+  test("parser never throws anything but ParseError on fuzzed input") {
+    registerFixture()
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = "{}():,\"abc_ 123\\#\n\ttrue"
+    (1 to 500).foreach { _ =>
+      val q = Array.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      try GraphQL.parse(q)
+      catch { case _: GraphQL.ParseError => () } // the only permitted failure
+      // and the full execute path always yields well-formed JSON
+      val resp = mapper.readTree(GraphQL.execute(spark, q))
+      assert(resp.has("data") || resp.has("errors"))
+    }
+  }
+
+  test("multiple root fields execute in one document") {
+    registerFixture()
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(condition: {address: "0xaaa"}) { block_number }
+        |  gql_logs(first: 1, orderBy: "block_number") { transaction_hash } }""".stripMargin))
+    // later same-name fields overwrite in the data map (documented
+    // simplification vs GraphQL aliases); both executed without error
+    assert(resp.get("data").has("gql_logs"))
+    assert(!resp.has("errors"))
+  }
+
   test("serves the decoded reference views end-to-end over HTTP") {
     // synthetic Transfer logs → registered views → HTTP round-trip,
     // the full E3 path (docker-compose.yaml:46-72 analog)

@@ -145,6 +145,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decoders never throw on fuzzed bytes (seeded, incl. truncations of valid files)") {
+    import Multimodal.{FormatProbe, MiniEncoder, PixelCodec}
+    val rnd = new scala.util.Random(20260812L)
+    val valid = Seq(
+      MiniEncoder.pngGray(9, 7, (x, y) => x + y),
+      MiniEncoder.bmp24(9, 7, (x, y) => x + y),
+      MiniEncoder.jpeg(9, 7), MiniEncoder.gif(9, 7), MiniEncoder.wav(8000, 1, 4))
+    // random garbage, random-length prefixes of valid files, and valid
+    // files with one flipped byte: decode/probe must return (not throw)
+    val cases =
+      (1 to 200).map(_ => Array.fill[Byte](rnd.nextInt(120))(rnd.nextInt().toByte)) ++
+      (1 to 200).map { _ =>
+        val v = valid(rnd.nextInt(valid.size)); v.take(rnd.nextInt(v.length + 1)) } ++
+      (1 to 200).map { _ =>
+        val v = valid(rnd.nextInt(valid.size)).clone()
+        v(rnd.nextInt(v.length)) = rnd.nextInt().toByte; v }
+    cases.foreach { bytes =>
+      FormatProbe.probe(bytes) // Option or None — never a throw
+      PixelCodec.decode(bytes)
+    }
+  }
+
   test("pixelHistogram: real-raster bin counts sum to n_pixels, match the formula") {
     val feats = Multimodal.pixelHistogram(
       Multimodal.syntheticPixelMedia(docs.limit(30)), bins = 8)
