@@ -104,13 +104,18 @@ object Dedup {
       numHashes, bands, minEstimate, maxBucket)
 
   /** The banding/pairing back half of [[minhashCandidates]], reusable
-    * with signatures derived from any staged source (`(id, sig)`). */
+    * with signatures derived from any staged source (`(id, sig)`).
+    * `alreadyStaged = true` when the caller's signatures hang off an
+    * existing `repartition(id)` exchange (nearDuplicates' shingle
+    * sets) — stacking a second full shuffle of the signature table on
+    * top of the shared one would double the exchange for nothing. */
   private def candidatesFromSignatures(
       sigs0: DataFrame,
       numHashes: Int,
       bands: Int,
       minEstimate: Double,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int,
+      alreadyStaged: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // `sigs` feeds THREE branches (banding, sig_a re-attach, sig_b
@@ -119,7 +124,7 @@ object Dedup {
     // Stage it behind one repartition(id) exchange — ReuseExchange
     // dedupes, the pipeline runs once, the branches replay shuffle
     // files (same contract as nearDuplicates' shingle sets).
-    val sigs = sigs0.repartition(col("id"))
+    val sigs = if (alreadyStaged) sigs0 else sigs0.repartition(col("id"))
 
     // bucket membership only — signatures stay out of the pair join
     // (they'd otherwise be shuffled once per colliding band)
@@ -253,7 +258,8 @@ object Dedup {
       array((0 until numHashes).map(i =>
         array_min(transform(col("s"), h => xxhash64(h, lit(i))))): _*).as("sig"))
     val candidates =
-      candidatesFromSignatures(sigs, numHashes, bands, minEstimate, maxBucket)
+      candidatesFromSignatures(sigs, numHashes, bands, minEstimate, maxBucket,
+        alreadyStaged = true) // sigs projects off sets' repartition(id)
         .select(col("id_a"), col("id_b"))
     jaccardOfPairs(candidates, sets)
       .filter(col("jaccard") >= minJaccard)

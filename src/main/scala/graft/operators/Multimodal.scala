@@ -338,6 +338,16 @@ object Multimodal {
     * (declared — entropy coders need real libraries). Output is
     * row-major top-down grayscale bytes. */
   object PixelCodec {
+    /** Cap on any decoded raster (pixels and per-side). IHDR is
+      * untrusted and IDAT is compressed, so unlike BMP the payload
+      * length does NOT bound w×h — a 100-byte PNG claiming
+      * 30000×30000 would otherwise force a ~900 MB allocation, and
+      * the resulting OutOfMemoryError is an Error the row-level
+      * `catch Exception` never sees (the task dies instead of the
+      * row marking valid=false). 64 M pixels ≈ 8K×8K gray. */
+    val MaxPixels: Long = 64L * 1024 * 1024
+    val MaxDim: Int = 1 << 16
+
     private def u32be(b: Array[Byte], i: Int) =
       ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
     private def u16le(b: Array[Byte], i: Int) =
@@ -378,6 +388,7 @@ object Multimodal {
         i += 12 + len
       }
       if (!ok || !done || w <= 0 || h <= 0) return None
+      if (w > MaxDim || h > MaxDim || (w + 1L) * h > MaxPixels) return None
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       val raw = new Array[Byte]((w + 1) * h)
@@ -424,6 +435,8 @@ object Multimodal {
       val w = u32le(b, 18)
       val h = u32le(b, 22)
       if (w <= 0 || h <= 0 || u16le(b, 28) != 24 || u32le(b, 30) != 0) return None
+      // same untrusted-header guard as PNG; also keeps w*3 / w*h in Int range
+      if (w > MaxDim || h > MaxDim || w.toLong * h > MaxPixels) return None
       val stride = ((w * 3 + 3) / 4) * 4
       if (off + stride.toLong * h > b.length) return None // truncated
       val out = new Array[Byte](w * h)

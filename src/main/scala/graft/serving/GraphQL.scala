@@ -72,8 +72,31 @@ object GraphQL {
         val sb = new StringBuilder
         i += 1
         while (i < q.length && q(i) != '"') {
-          if (q(i) == '\\' && i + 1 < q.length) { sb.append(q(i + 1)); i += 2 }
-          else { sb.append(q(i)); i += 1 }
+          if (q(i) == '\\') {
+            if (i + 1 >= q.length) throw ParseError("unterminated escape")
+            // the GraphQL spec escape set; anything else is an error, not
+            // a silent pass-through (a verbatim copy would turn \n into
+            // the letter n and match the wrong literal against the data)
+            q(i + 1) match {
+              case '"' => sb.append('"'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case '/' => sb.append('/'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'u' =>
+                if (i + 6 > q.length) throw ParseError("truncated \\u escape")
+                val hex = q.substring(i + 2, i + 6)
+                val cp =
+                  try Integer.parseInt(hex, 16)
+                  catch { case _: NumberFormatException =>
+                    throw ParseError(s"invalid \\u escape '\\u$hex'") }
+                sb.append(cp.toChar); i += 6
+              case other => throw ParseError(s"unknown escape '\\$other'")
+            }
+          } else { sb.append(q(i)); i += 1 }
         }
         if (i >= q.length) throw ParseError("unterminated string")
         i += 1
@@ -182,28 +205,57 @@ object GraphQL {
     case other => throw ParseError(s"unsupported literal $other")
   }
 
-  /** Compile one root field to a single Spark SQL statement. Every
-    * identifier is checked against the view's actual schema — unknown
-    * views and fields fail here, and names never reach the SQL text
-    * unvalidated. */
-  def compile(spark: SparkSession, f: FieldQuery): String = {
+  /** Page-size policy: a query that omits `first` gets `defaultFirst`
+    * rows, and no query can ask for more than `maxFirst` — the serving
+    * driver must never `collect()` an unbounded result (one curl
+    * without `first` against a 100 TB view would otherwise OOM it;
+    * Postgraphile survives the same query by cursor-streaming from
+    * Postgres, an executor we don't have under `collect`). */
+  val DefaultPageSize = 100L
+  val MaxPageSize = 10000L
+
+  private def whereClause(f: FieldQuery, checkCol: String => String): String =
+    if (f.condition.isEmpty) ""
+    else " where " + f.condition.map { case (k, v) =>
+      if (v == null) s"${checkCol(k)} is null" else s"${checkCol(k)} = ${sqlLiteral(v)}"
+    }.mkString(" and ")
+
+  private def colChecker(spark: SparkSession, f: FieldQuery): String => String = {
     val schema =
       try spark.table(f.view).schema
       catch { case _: Exception => throw ParseError(s"unknown table or view '${f.view}'") }
     val cols = schema.fieldNames.toSet
-    def checkCol(c: String): String =
+    (c: String) =>
       if (cols(c)) s"`$c`"
       else throw ParseError(s"'${f.view}' has no field '$c' (has: ${schema.fieldNames.mkString(", ")})")
+  }
+
+  /** Compile one root field to a single Spark SQL statement. Every
+    * identifier is checked against the view's actual schema — unknown
+    * views and fields fail here, and names never reach the SQL text
+    * unvalidated. The LIMIT is always present: `first` defaults to
+    * `defaultFirst` and is clamped to `maxFirst` (negative is an
+    * error), so the compiled statement is bounded by construction. */
+  def compile(spark: SparkSession, f: FieldQuery,
+              defaultFirst: Long = DefaultPageSize,
+              maxFirst: Long = MaxPageSize): String = {
+    val checkCol = colChecker(spark, f)
     val select = f.selections.map(checkCol).mkString(", ")
-    val where =
-      if (f.condition.isEmpty) ""
-      else " where " + f.condition.map { case (k, v) =>
-        if (v == null) s"${checkCol(k)} is null" else s"${checkCol(k)} = ${sqlLiteral(v)}"
-      }.mkString(" and ")
     val order = f.orderBy.map(c => s" order by ${checkCol(c)}" + (if (f.desc) " desc" else "")).getOrElse("")
-    val limit = f.first.map(n => s" limit $n").getOrElse("")
+    f.first.foreach(n => if (n < 0) throw ParseError(s"first: must be non-negative, got $n"))
+    f.offset.foreach(n => if (n < 0) throw ParseError(s"offset: must be non-negative, got $n"))
+    val effectiveFirst = math.min(f.first.getOrElse(defaultFirst), maxFirst)
     val offset = f.offset.map(n => s" offset $n").getOrElse("")
-    s"select $select from `${f.view}`$where$order$limit$offset"
+    s"select $select from `${f.view}`${whereClause(f, checkCol)}$order limit $effectiveFirst$offset"
+  }
+
+  /** The `totalCount` twin of [[compile]]: same view, same WHERE, no
+    * page window — Postgraphile's connection semantics, where
+    * `totalCount` is the number of rows matching the condition, not
+    * the page length. */
+  def compileCount(spark: SparkSession, f: FieldQuery): String = {
+    val checkCol = colChecker(spark, f)
+    s"select count(*) from `${f.view}`${whereClause(f, checkCol)}"
   }
 
   // ---- execution -----------------------------------------------------
@@ -227,15 +279,20 @@ object GraphQL {
     * the response JSON (`{"data": …}` or `{"errors": [{"message": …}]}`
     * — the GraphQL wire contract). Each root field yields
     * `{"nodes": [...], "totalCount": N}`, Postgraphile's connection
-    * shape. */
-  def execute(spark: SparkSession, query: String): String = {
+    * shape: `nodes` is the (always-bounded) page, `totalCount` is the
+    * full match count from a separate count(*) with the same WHERE —
+    * an aggregate, so it collects one row no matter the view size. */
+  def execute(spark: SparkSession, query: String,
+              defaultFirst: Long = DefaultPageSize,
+              maxFirst: Long = MaxPageSize): String = {
     val root = mapper.createObjectNode()
     try {
       val fields = parse(query)
       val data = root.putObject("data")
       fields.foreach { f =>
-        val df = spark.sql(compile(spark, f))
+        val df = spark.sql(compile(spark, f, defaultFirst, maxFirst))
         val rows = df.collect()
+        val total = spark.sql(compileCount(spark, f)).head().getLong(0)
         val conn = data.putObject(f.view)
         val nodes: ArrayNode = conn.putArray("nodes")
         rows.foreach { r =>
@@ -244,7 +301,7 @@ object GraphQL {
             putValue(o, name, r.get(i))
           }
         }
-        conn.put("totalCount", rows.length)
+        conn.put("totalCount", total)
       }
     } catch {
       case e: ParseError =>
@@ -259,6 +316,26 @@ object GraphQL {
 
   // ---- HTTP endpoint -------------------------------------------------
 
+  /** Extract the GraphQL document from a POST body, dispatching on
+    * Content-Type per the GraphQL-over-HTTP convention:
+    * `application/json` → `{"query": "..."}` envelope,
+    * `application/graphql` → raw document. With no (or another)
+    * Content-Type, try the JSON envelope first and fall back to raw
+    * text — prefix-sniffing would misread pretty-printed JSON (a
+    * newline after `{`) as a raw document. */
+  private[graft] def extractQuery(contentType: Option[String], body: String): String = {
+    val ct = contentType.getOrElse("").toLowerCase
+    def fromJson: Option[String] =
+      try {
+        val node = mapper.readTree(body)
+        if (node != null && node.isObject && node.has("query")) Some(node.get("query").asText)
+        else None
+      } catch { case _: Exception => None }
+    if (ct.contains("application/json")) fromJson.getOrElse("")
+    else if (ct.contains("application/graphql")) body
+    else fromJson.getOrElse(body)
+  }
+
   /** Serve `POST /graphql` (body = raw query text, or JSON
     * `{"query": "..."}` — the standard GraphQL HTTP convention) from
     * the given session. Returns the bound port. */
@@ -268,11 +345,8 @@ object GraphQL {
     server.createContext("/graphql", (ex: com.sun.net.httpserver.HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
-      val query =
-        if (body.trim.startsWith("{\"") || body.trim.startsWith("{ \"")) {
-          val node = mapper.readTree(body)
-          Option(node.get("query")).map(_.asText).getOrElse("")
-        } else body
+      val query = extractQuery(
+        Option(ex.getRequestHeaders.getFirst("Content-Type")), body)
       val resp = execute(spark, query)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")

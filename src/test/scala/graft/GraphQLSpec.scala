@@ -79,6 +79,68 @@ class GraphQLSpec extends SparkSpec {
     }
   }
 
+  test("page size is bounded: default first, max clamp, real totalCount") {
+    // 500-row view; a query that omits `first` must NOT collect it all
+    spark.range(500).selectExpr("id", "id % 7 as grp")
+      .createOrReplaceTempView("gql_big")
+    // no `first` → defaultFirst page, totalCount still the full count
+    val r1 = mapper.readTree(GraphQL.execute(spark,
+      "{ gql_big(orderBy: \"id\") { id } }", defaultFirst = 25, maxFirst = 50))
+    val c1 = r1.get("data").get("gql_big")
+    assert(c1.get("nodes").size === 25)
+    assert(c1.get("totalCount").asLong === 500L)
+    // over-cap `first` is clamped to maxFirst
+    val r2 = mapper.readTree(GraphQL.execute(spark,
+      "{ gql_big(first: 100000) { id } }", defaultFirst = 25, maxFirst = 50))
+    val c2 = r2.get("data").get("gql_big")
+    assert(c2.get("nodes").size === 50)
+    assert(c2.get("totalCount").asLong === 500L)
+    // the compiled SQL always carries a LIMIT, even with no `first`
+    val Seq(f) = GraphQL.parse("{ gql_big { id } }")
+    assert(GraphQL.compile(spark, f).endsWith(s"limit ${GraphQL.DefaultPageSize}"))
+    // negative first/offset are parse errors, not SQL
+    val err = mapper.readTree(GraphQL.execute(spark, "{ gql_big(first: -1) { id } }"))
+    assert(err.get("errors").get(0).get("message").asText.contains("non-negative"))
+    // totalCount respects the condition's WHERE, not the whole table
+    val r3 = mapper.readTree(GraphQL.execute(spark,
+      "{ gql_big(condition: {grp: 3}, first: 5) { id } }"))
+    val c3 = r3.get("data").get("gql_big")
+    assert(c3.get("nodes").size === 5)
+    assert(c3.get("totalCount").asLong === 71L) // ids 3,10,…,493 → 71 matches
+  }
+
+  test("string escapes decode per the GraphQL spec; unknown escapes error") {
+    Seq(("a\nb", 1L), ("a\tb", 2L), ("aßb", 3L))
+      .toDF("k", "v").createOrReplaceTempView("gql_esc")
+    def one(cond: String): Long = {
+      val resp = mapper.readTree(GraphQL.execute(spark,
+        s"""{ gql_esc(condition: {k: "$cond"}) { v } }"""))
+      val nodes = resp.get("data").get("gql_esc").get("nodes")
+      assert(nodes.size === 1, s"for $cond: $resp")
+      nodes.get(0).get("v").asLong
+    }
+    assert(one("a\\nb") === 1L)     // \n is a newline, not the letter n
+    assert(one("a\\tb") === 2L)
+    assert(one("a\\u00dfb") === 3L) // \uXXXX decodes
+    intercept[GraphQL.ParseError](GraphQL.parse("""{ v(condition: {k: "\q"}) { v } }"""))
+    // (concat dodges Scala's own pre-lexer \u processing)
+    val badU = """{ v(condition: {k: "\""" + """uZZZZ"}) { v } }"""
+    intercept[GraphQL.ParseError](GraphQL.parse(badU))
+  }
+
+  test("request body dispatch honors Content-Type; pretty JSON parses") {
+    val pretty = "{\n  \"query\": \"{ x { y } }\"\n}"
+    assert(GraphQL.extractQuery(Some("application/json"), pretty) === "{ x { y } }")
+    // no header: JSON envelope detected even pretty-printed
+    assert(GraphQL.extractQuery(None, pretty) === "{ x { y } }")
+    // application/graphql: body IS the document, even if it looks like JSON
+    assert(GraphQL.extractQuery(Some("application/graphql"), "{ x { y } }") === "{ x { y } }")
+    // raw document with no header falls through unchanged
+    assert(GraphQL.extractQuery(None, "query { x { y } }") === "query { x { y } }")
+    // json header with charset parameter still dispatches as json
+    assert(GraphQL.extractQuery(Some("application/json; charset=utf-8"), pretty) === "{ x { y } }")
+  }
+
   test("multiple root fields execute in one document") {
     registerFixture()
     val resp = mapper.readTree(GraphQL.execute(spark,
@@ -122,7 +184,10 @@ class GraphQLSpec extends SparkSpec {
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(q)).build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       val conn = mapper.readTree(resp.body()).get("data").get(view)
-      assert(conn.get("totalCount").asInt === 2)
+      // totalCount is the FULL match count (ids 1,4,…,19 → 7 rows),
+      // not the page length — Postgraphile connection semantics
+      assert(conn.get("totalCount").asInt === 7)
+      assert(conn.get("nodes").size === 2)
       // ids 1,4,7,… have address 0x…1; first two by block: 1 and 4
       assert(conn.get("nodes").get(0).get("evt_block_number").asLong === 1L)
       assert(conn.get("nodes").get(0).get("amount").asText === "31")

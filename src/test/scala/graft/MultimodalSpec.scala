@@ -111,6 +111,34 @@ class MultimodalSpec extends SparkSpec {
     assert(PixelCodec.decode(null) === None)
   }
 
+  test("crafted giant-dimension headers are rejected before allocation") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    // take a tiny valid PNG and rewrite IHDR to claim 30000×30000 —
+    // the raster cap must return None instead of attempting a ~900 MB
+    // allocation (an OutOfMemoryError would kill the task, not the row)
+    val png = MiniEncoder.pngGray(4, 4, (x, y) => x + y)
+    def wr32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+      b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+    }
+    val evil = png.clone()
+    wr32(evil, 16, 30000) // IHDR width at offset 8(sig)+8(len,type)
+    wr32(evil, 20, 30000) // IHDR height
+    assert(PixelCodec.decodePng(evil) === None)
+    // same guard on BMP, incl. the Int-overflow corner (w*3 wraps)
+    val bmp = MiniEncoder.bmp24(4, 4, (x, y) => x + y)
+    def wl32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+      b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    val evilBmp = bmp.clone()
+    wl32(evilBmp, 18, 0x40000000) // width: 2^30 → w*3 overflows Int
+    wl32(evilBmp, 22, 4)
+    assert(PixelCodec.decodeBmp(evilBmp) === None)
+    // at-cap small dims still decode (the guard is a cap, not a shrink)
+    assert(PixelCodec.decodePng(png).isDefined)
+  }
+
   test("decodePixels over synthetic pixel media: stats match the formula") {
     val metas = Multimodal.decodePixels(Multimodal.syntheticPixelMedia(docs.limit(60)))
       .collect().map(m => m.doc_id -> m).toMap
