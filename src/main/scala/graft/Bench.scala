@@ -8,12 +8,23 @@ import org.apache.spark.sql.SparkSession
   * MEDIAN — a one-off GC/JIT spike in a single run can no longer
   * masquerade as a plan regression in the round artifact (r2's q17
   * "6× regression" was exactly that). `value` = sum of medians;
-  * `wall` = actual wall-clock spent, all runs. */
+  * `wall` = actual wall-clock spent, all runs.
+  *
+  * Between query sets (never inside the timed region) the session
+  * cache is dropped and a GC is hinted: 50 queries share one JVM, so
+  * without the barrier a query's median partly measures its hash-map
+  * predecessor's garbage — adding queries in r3 reshuffled the Map's
+  * iteration order and moved q11/q34 behind allocation-heavy
+  * neighbors, which read as a 1.5–1.7× "regression" with byte-for-
+  * byte identical plans. SPARK_GRAFT_BENCH_ONLY=q11…,q34… restricts
+  * the run for exactly this kind of A/B attribution. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,7 +36,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
+      // isolation barrier, outside the timed region: drop whatever the
+      // previous query cached and hint a GC so this query's median
+      // doesn't pay its predecessor's allocation debt
+      spark.catalog.clearCache()
+      System.gc()
       val times = (1 to runs).map { _ =>
         val s0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
