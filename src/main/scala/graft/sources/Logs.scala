@@ -119,9 +119,22 @@ object Logs {
     * NOTHING`. New rows are anti-joined against ONLY the existing
     * block-range partitions the batch overlaps (partition pruning keeps
     * this O(batch), not O(table)), then appended partitioned by
-    * block_range and sorted by (address, topic0) within files. */
+    * block_range and sorted by (address, topic0) within files.
+    *
+    * `staged = true` is the CONCURRENT-WRITER form (the reference runs
+    * any number of parallel archivers against Postgres; per-chain
+    * deploys encourage it): the batch is written to a private
+    * `_graft_stage/<uuid>` directory — so concurrent jobs never share
+    * a `_temporary` tree, the classic lost-files hazard of parallel
+    * FileOutputCommitter appends — and the finished files are then
+    * renamed into the live partition dirs under stage-unique names
+    * (metadata-only on HDFS/local). Two writers racing the SAME PK can
+    * both land it (each one's anti-join probe predates the other's
+    * rename); that duplicate is exactly what the canonical read path
+    * and compaction dedup by PK, same as re-delivered batches. Pair
+    * with [[Snapshots.commitWithRetry]] for the snapshot step. */
   def appendIdempotent(spark: SparkSession, batch: DataFrame, tablePath: String,
-      canonicalize: Boolean = false): Unit = {
+      canonicalize: Boolean = false, staged: Boolean = false): Unit = {
     if (canonicalize) return appendCanonical(spark, batch, tablePath)
     val deduped = batch.dropDuplicates(pk)
     val incoming = withBlockRange(deduped)
@@ -140,10 +153,38 @@ object Logs {
           .select(pk.map(col): _*)
         incoming.join(existing, pk, "left_anti")
       } else incoming
-    fresh
+    val writer = fresh
       .repartition(col("block_range"))
       .sortWithinPartitions("address", "topic0")
-      .write.mode("append").partitionBy("block_range").parquet(tablePath)
+      .write.partitionBy("block_range")
+    if (!staged) { writer.mode("append").parquet(tablePath); return }
+
+    val stageId = java.util.UUID.randomUUID().toString
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stageDir = new org.apache.hadoop.fs.Path(s"$tablePath/_graft_stage/$stageId")
+    writer.mode("overwrite").parquet(stageDir.toString)
+    try {
+      fs.listStatus(stageDir).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("block_range="))
+        .foreach { d =>
+          val dest = new org.apache.hadoop.fs.Path(tablePath, d.getPath.getName)
+          fs.mkdirs(dest)
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .foreach { f =>
+              val to = new org.apache.hadoop.fs.Path(dest,
+                s"stage-$stageId-${f.getPath.getName}")
+              if (!fs.rename(f.getPath, to))
+                throw new java.io.IOException(s"staged append: cannot publish $to")
+            }
+        }
+    } finally {
+      fs.delete(stageDir, true)
+      // drop the _graft_stage root when this was the last stage in it
+      val root = stageDir.getParent
+      if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, false)
+    }
   }
 
   def tableExists(spark: SparkSession, tablePath: String): Boolean = {

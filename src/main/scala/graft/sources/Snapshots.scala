@@ -21,9 +21,14 @@ import scala.jdk.CollectionConverters._
   *   the next version, so pinned readers keep resolving every file
   *   they reference — rewrites never invalidate a pin. [[vacuum]]
   *   bounds the history: it drops old manifests and GCs retained
-  *   files nothing references. What remains out of scope of a full
-  *   transactional format is exactly one thing: CONCURRENT WRITERS
-  *   (single ingest writer assumed, as `Logs.compact` documents).
+  *   files nothing references.
+  * - CONCURRENT APPEND-ONLY WRITERS are supported via
+  *   [[commitWithRetry]] (optimistic CAS on the version number:
+  *   lose the race → re-list, retry at the next version — the
+  *   re-listing IS the merge, since appends only add files). What
+  *   remains single-writer is in-place REWRITES (`Logs.compact`,
+  *   canonicalization), where a raced commit could resurrect
+  *   replaced files.
   *
   * Scale shape: a manifest is one listing + one small JSON write per
   * commit; reads plan from the manifest's file list (no directory
@@ -64,10 +69,12 @@ object Snapshots {
     * returns it. Atomic: written to a tmp name, renamed in. Single
     * committer per table assumed (like [[Logs.compact]]); a concurrent
     * committer racing to the same version number is DETECTED — the
-    * final manifest path is checked before the rename and the rename
-    * result after it, so a lost manifest fails loudly instead of
-    * silently (fs.rename-onto-existing behavior is
-    * filesystem-dependent). */
+    * final manifest path is checked before the rename and the manifest
+    * content read back after it, so a lost manifest fails loudly
+    * instead of silently (fs.rename-onto-existing behavior is
+    * filesystem-dependent). Multi-writer ingest should use
+    * [[commitWithRetry]], which turns that loud failure into an
+    * optimistic-CAS retry. */
   def commit(spark: SparkSession, tablePath: String): Long = {
     val fs = fsOf(spark, tablePath)
     val version = latestVersion(spark, tablePath).getOrElse(-1L) + 1
@@ -75,28 +82,78 @@ object Snapshots {
     version
   }
 
-  /** The write-tmp-then-rename publish step, conflict-checked: if the
-    * final manifest path appeared between version computation and
-    * here (a concurrent committer), fail loudly rather than let
-    * filesystem-dependent rename-onto-existing behavior silently drop
-    * one manifest. */
+  /** Concurrent APPEND-ONLY writers' commit — the reference gets
+    * multi-writer for free from Postgres (any number of archivers
+    * `INSERT … ON CONFLICT DO NOTHING`, and the per-chain deploy
+    * pattern encourages parallel processes); this is the parquet
+    * table's analog for the snapshot step. Safe for append-only
+    * workloads because a commit snapshots the CURRENT full listing:
+    * losing the CAS means someone else advanced the version, so we
+    * re-read the new latest, RE-LIST (the merge — the fresh listing
+    * contains both writers' files), and retry at version+1. Every
+    * writer's appended files land in whichever manifest commits last,
+    * and pinned readers are never disturbed (appends only add files).
+    * In-place rewrites ([[Logs.compact]]/canonicalize) remain
+    * single-writer — retrying a commit whose listing raced a file
+    * REPLACEMENT could resurrect replaced files.
+    *
+    * Returns the committed version. Backoff is linear+jittered; after
+    * `maxAttempts` lost races the last conflict propagates. */
+  def commitWithRetry(spark: SparkSession, tablePath: String, maxAttempts: Int = 8): Long = {
+    val fs = fsOf(spark, tablePath)
+    var attempt = 0
+    var lastConflict: java.io.IOException = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val version = latestVersion(spark, tablePath).getOrElse(-1L) + 1
+      try {
+        publish(fs, tablePath, version, listDataFiles(fs, tablePath))
+        return version
+      } catch {
+        case e: java.io.IOException =>
+          lastConflict = e
+          // lost the race; brief jittered backoff, then re-read latest
+          Thread.sleep(5L * attempt + scala.util.Random.nextInt(10))
+      }
+    }
+    throw new java.io.IOException(
+      s"snapshot commit: lost $maxAttempts CAS races at $tablePath", lastConflict)
+  }
+
+  /** The write-tmp-then-rename publish step, conflict-checked twice:
+    * (1) if the final manifest path appeared between version
+    * computation and the rename, fail rather than rename onto it;
+    * (2) after the rename, read the manifest back and compare a
+    * per-publish nonce — on filesystems where rename silently
+    * overwrites (local fs), the writer whose manifest was clobbered
+    * sees a foreign nonce and fails loudly, making the CAS outcome
+    * well-defined everywhere: exactly one writer wins a version. */
   private[graft] def publish(fs: FileSystem, tablePath: String, version: Long,
       files: Seq[String]): Unit = {
+    val nonce = java.util.UUID.randomUUID().toString
     val node = mapper.createObjectNode()
     node.put("version", version)
+    node.put("nonce", nonce)
     val arr = node.putArray("files")
     files.foreach(arr.add)
     fs.mkdirs(manifestDir(tablePath))
-    val tmp = new Path(manifestDir(tablePath), s".v$version.json.tmp")
+    val tmp = new Path(manifestDir(tablePath), s".v$version.$nonce.json.tmp")
     val out = fs.create(tmp, true)
     out.write(mapper.writeValueAsBytes(node))
     out.close()
     val fin = new Path(manifestDir(tablePath), f"v$version%09d.json")
-    if (fs.exists(fin))
+    if (fs.exists(fin)) {
+      fs.delete(tmp, false)
       throw new java.io.IOException(
         s"snapshot commit conflict: $fin already exists (concurrent committer?)")
+    }
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"snapshot commit: cannot publish $fin")
+    val in = fs.open(fin)
+    val won = try mapper.readTree(in.readAllBytes()) finally in.close()
+    if (Option(won.get("nonce")).map(_.asText).getOrElse("") != nonce)
+      throw new java.io.IOException(
+        s"snapshot commit conflict: $fin overwritten by a concurrent committer")
   }
 
   def files(spark: SparkSession, tablePath: String, version: Long): Seq[String] = {

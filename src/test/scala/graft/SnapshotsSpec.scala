@@ -119,4 +119,64 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.publish(fs, table, v0, Seq.empty))
     assert(e.getMessage.contains("conflict"))
   }
+
+  test("commitWithRetry: a lost CAS race retries at the next version with a fresh listing") {
+    val table = Files.createTempDirectory("snap_tbl").toString + "/t"
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0)))), table)
+    val v0 = Snapshots.commit(spark, table)
+    // plant a manifest at the version the retrying writer will try
+    // first — the simulated concurrent committer that wins the race
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.publish(fs, table, v0 + 1, Snapshots.files(spark, table, v0))
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(2, 0)))), table)
+    val v = Snapshots.commitWithRetry(spark, table)
+    assert(v === v0 + 2) // first attempt at v0+1 lost, retried
+    assert(Snapshots.read(spark, table, Some(v)).count() === 2)
+    // pinned history is intact across the contested commit
+    assert(Snapshots.read(spark, table, Some(v0)).count() === 1)
+  }
+
+  test("two parallel append-only writers both commit; history holds both appends") {
+    val table = Files.createTempDirectory("snap_tbl").toString + "/t"
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0)))), table)
+    val v0 = Snapshots.commit(spark, table)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    // two writers: disjoint block ranges (far apart → different
+    // block_range partitions), append then commit simultaneously.
+    // staged=true is the concurrent form — each writer stages in a
+    // private dir, so neither can clobber the other's _temporary tree
+    def writer(blocks: Seq[Long]) = pool.submit(
+      new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await(10, TimeUnit.SECONDS)
+          Logs.appendIdempotent(spark,
+            Logs.readNdjson(spark, fixture(blocks.map(row(_, 0)))), table,
+            staged = true)
+          Snapshots.commitWithRetry(spark, table)
+        }
+      })
+    val (fa, fb) = (writer(Seq(10L, 11L)), writer(Seq(500000L, 500001L)))
+    gate.countDown()
+    val (va, vb) = (fa.get(120, TimeUnit.SECONDS), fb.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // both writers succeeded, on DISTINCT versions (the CAS contract)
+    assert(va !== vb)
+    // the later committed version sees every row from both appends
+    // (its listing ran after both writers' data landed or after its
+    // own; the FINAL version always has both — commit re-lists)
+    val vLast = Snapshots.latestVersion(spark, table).get
+    val vFinal = Snapshots.commit(spark, table) // quiescent re-snapshot
+    assert(Snapshots.read(spark, table, Some(vFinal)).count() === 5)
+    assert(vLast === math.max(va, vb))
+    // every version in the contested history is valid and readable
+    (v0 to vFinal).foreach { v =>
+      assert(Snapshots.isValid(spark, table, v), s"v$v invalid")
+      assert(Snapshots.read(spark, table, Some(v)).count() >= 1)
+    }
+    // pinned pre-contest read is undisturbed
+    assert(Snapshots.read(spark, table, Some(v0)).count() === 1)
+  }
 }
