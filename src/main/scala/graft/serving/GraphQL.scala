@@ -175,9 +175,11 @@ object GraphQL {
     }
 
     def query(): Seq[FieldQuery] = {
-      // optional `query` / `query Name` operation header
+      // optional `query` / `subscription` (+ optional name) header —
+      // subscriptions share the grammar; [[Subscriptions]] enforces
+      // the single-root-field rule
       toks match {
-        case Ident("query") :: rest =>
+        case Ident("query" | "subscription") :: rest =>
           toks = rest
           toks match { case Ident(_) :: r2 => toks = r2; case _ => () }
         case _ => ()
@@ -261,6 +263,10 @@ object GraphQL {
   // ---- execution -----------------------------------------------------
 
   private val mapper = new ObjectMapper()
+
+  /** Row-value → JSON field, shared with [[Subscriptions]]' renderer. */
+  private[serving] def putValueOn(node: ObjectNode, name: String, v: Any): Unit =
+    putValue(node, name, v)
 
   private def putValue(node: ObjectNode, name: String, v: Any): Unit = v match {
     case null => node.putNull(name)

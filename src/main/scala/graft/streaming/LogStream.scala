@@ -50,7 +50,14 @@ object LogStream {
   /** @param canonicalize honor same-PK `removed=true` tombstones by
     *                      swap-rewriting the touched partitions
     *                      ([[Logs.appendCanonical]]) instead of the
-    *                      plain DO-NOTHING append */
+    *                      plain DO-NOTHING append
+    * @param onBatch post-append hook per micro-batch — the
+    *                subscriptions fan-out point
+    *                ([[graft.serving.Subscriptions.Hub.publish]]);
+    *                runs AFTER the idempotent sink append, so a
+    *                replayed batch re-notifies (at-least-once, pg
+    *                NOTIFY semantics) but never skips rows the sink
+    *                kept */
   def ingest(
       spark: SparkSession,
       inputDir: String,
@@ -58,7 +65,8 @@ object LogStream {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 100,
       pollInterval: Option[String] = None,
-      canonicalize: Boolean = false): StreamingQuery = {
+      canonicalize: Boolean = false,
+      onBatch: DataFrame => Unit = _ => ()): StreamingQuery = {
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
@@ -70,6 +78,7 @@ object LogStream {
         // replayed batches re-run on failure → the PK anti-join makes
         // the append idempotent (exactly-once effect)
         Logs.appendIdempotent(batch.sparkSession, batch, tablePath, canonicalize)
+        onBatch(batch)
       }
       .start()
   }
