@@ -626,6 +626,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bin"))
     },
 
+    // REAL GIF LZW decode under the gate: the same gradient rasters
+    // written as genuinely LZW-compressed GIF89a (variable-width
+    // codes, clear-code resets, grayscale palette) and decoded back —
+    // the twin recomputes the statistics from the generating formula.
+    // A wrong code-width transition, mis-rebuilt table entry or
+    // palette mapping shifts sum/min/max and breaks the hash.
+    "q51_gif_pixel_decode" -> { (s, dir) =>
+      Multimodal.decodePixels(
+          Multimodal.syntheticGifMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // Persisted IVF index under the gate: build the cell-partitioned
     // parquet index, then query it with nprobe = all cells — which
     // degenerates to exact brute force, so the DuckDB twin is plain
@@ -1267,6 +1280,29 @@ object SparkEntry {
         |select vec_id, score from s
         |order by score desc, vec_id
         |limit 15""".stripMargin,
+
+    "q51_gif_pixel_decode" ->
+      """with d as (select doc_id,
+        |    (doc_id % 16 + 1) * 2 as w, (doc_id % 12 + 1) * 2 as h
+        |  from documents),
+        | px as (select d.doc_id, d.w, d.h,
+        |    (x.range + y.range + d.doc_id) % 256 as v
+        |  from d cross join range(0, 32) x cross join range(0, 24) y
+        |  where x.range < d.w and y.range < d.h),
+        | agg as (select doc_id, w, h,
+        |    count(*) as n, sum(v) as s, min(v) as mn, max(v) as mx
+        |  from px group by doc_id, w, h)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'gif' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else w end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else h end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else n end as bigint) as n_pixels,
+        |  cast(case when doc_id % 25 = 0 then 0 else s end as bigint) as pixel_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else mn end as int) as pixel_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else mx end as int) as pixel_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
 
     "q50_pixel_histogram" ->
       """with d as (select doc_id,

@@ -276,6 +276,90 @@ object Multimodal {
       buf.array()
     }
 
+    /** COMPLETE GIF89a with real pixel data: 256-entry grayscale
+      * global color table (index i = rgb(i,i,i)) and a genuinely
+      * LZW-compressed index stream — variable-width codes growing
+      * 9→12 bits, clear-code reset at table overflow — so
+      * [[PixelCodec.decodeGif]]'s table rebuild is exercised by real
+      * compression, not a literal-only stream. Any standard GIF
+      * reader decodes it (ImageIO cross-checked in the spec). */
+    def gifGray(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      // logical screen descriptor: GCT present, 8 bpp, 256 entries
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0xf7); out.write(0); out.write(0)
+      (0 until 256).foreach { i => out.write(i); out.write(i); out.write(i) }
+      out.write(0x2c) // image descriptor: full frame, no LCT, sequential
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0)
+      out.write(8) // LZW minimum code size
+      val idx = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) idx(y * w + x) = (v(x, y) & 0xff).toByte
+      val lzw = lzwEncode(idx, 8)
+      var off = 0
+      while (off < lzw.length) { // 255-byte sub-blocks
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0)    // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** GIF-flavor LZW: variable-width codes LSB-first, clear emitted
+      * at start and on table overflow, EOI last. Width sync with the
+      * decoder is the subtle part: the decoder's table lags the
+      * encoder's by one code (it defines an entry only on the NEXT
+      * read), so the encoder grows at `next == (1<<width)+1` where
+      * the decoder grows at `next == 1<<width`. */
+    private def lzwEncode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0; var width = minCodeSize + 1
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += width
+        while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      val dict = new java.util.HashMap[Integer, Integer]() // prefix<<8|byte → code
+      var next = eoi + 1
+      emit(clear)
+      var prefix = -1
+      var i = 0
+      while (i < data.length) {
+        val b = data(i) & 0xff
+        if (prefix < 0) prefix = b
+        else {
+          val key: Integer = (prefix << 8) | b
+          val hit = dict.get(key)
+          if (hit != null) prefix = hit.intValue()
+          else {
+            emit(prefix)
+            if (next < 4096) {
+              dict.put(key, next)
+              next += 1
+              if (next == (1 << width) + 1 && width < 12) width += 1
+            } else {
+              emit(clear)
+              dict.clear()
+              next = eoi + 1
+              width = minCodeSize + 1
+            }
+            prefix = b
+          }
+        }
+        i += 1
+      }
+      if (prefix >= 0) emit(prefix)
+      emit(eoi)
+      if (nbits > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+
     def wav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
       val dataLen = nSamples * channels * 2
       val buf = ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -456,6 +540,151 @@ object Multimodal {
       Some((w, h, out))
     } catch { case _: Exception => None }
 
+    /** Decode the first image of a GIF87a/89a to grayscale: global or
+      * local color table, genuine LZW (variable-width codes, clear
+      * and end-of-information handling, the KwKwK just-defined-code
+      * case, 12-bit table cap with deferred-clear tolerance), optional
+      * interlace reorder; palette entries collapse by channel average
+      * (exact when the palette is gray). Extensions are skipped, so
+      * real-world single-frame GIFs with graphic-control blocks
+      * decode too. */
+    def decodeGif(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+      if (b == null || b.length < 13) return None
+      if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+      var i = 6
+      val flags = b(i + 4) & 0xff
+      i += 7 // logical screen descriptor (frame carries its own dims)
+      var palette: Array[Byte] = null
+      if ((flags & 0x80) != 0) {
+        val n = 2 << (flags & 7)
+        if (i + 3 * n > b.length) return None
+        palette = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+        i += 3 * n
+      }
+      while (i < b.length) {
+        (b(i) & 0xff) match {
+          case 0x3b => return None // trailer before any image
+          case 0x21 => // extension: label byte + data sub-blocks
+            i += 2
+            while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+            i += 1
+          case 0x2c =>
+            if (i + 10 > b.length) return None
+            val w = u16le(b, i + 5); val h = u16le(b, i + 7)
+            val iflags = b(i + 9) & 0xff
+            i += 10
+            var pal = palette
+            if ((iflags & 0x80) != 0) { // local color table wins
+              val n = 2 << (iflags & 7)
+              if (i + 3 * n > b.length) return None
+              pal = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+              i += 3 * n
+            }
+            if (pal == null || w <= 0 || h <= 0) return None
+            if (w > MaxDim || h > MaxDim || w.toLong * h > MaxPixels) return None
+            if (i >= b.length) return None
+            val minCode = b(i) & 0xff; i += 1
+            if (minCode < 2 || minCode > 8) return None
+            val data = new java.io.ByteArrayOutputStream()
+            while (i < b.length && (b(i) & 0xff) != 0) {
+              val n = b(i) & 0xff
+              if (i + 1 + n > b.length) return None // truncated sub-block
+              data.write(b, i + 1, n); i += 1 + n
+            }
+            if (i >= b.length) return None // missing block terminator
+            val idx = lzwDecode(data.toByteArray, minCode, w * h) match {
+              case Some(v) => v
+              case None => return None
+            }
+            val ordered =
+              if ((iflags & 0x40) == 0) idx
+              else { // 4-pass interlace: rows 0/8…, 4/8…, 2/4…, 1/2…
+                val o = new Array[Byte](w * h)
+                var src = 0
+                Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+                  var y = start
+                  while (y < h) {
+                    System.arraycopy(idx, src * w, o, y * w, w)
+                    src += 1; y += step
+                  }
+                }
+                o
+              }
+            val nPal = pal.length / 3
+            val out = new Array[Byte](w * h)
+            var j = 0
+            while (j < w * h) {
+              val p = ordered(j) & 0xff
+              if (p >= nPal) return None
+              out(j) = (((pal(3 * p) & 0xff) + (pal(3 * p + 1) & 0xff) +
+                (pal(3 * p + 2) & 0xff)) / 3).toByte
+              j += 1
+            }
+            return Some((w, h, out))
+          case _ => return None
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+
+    /** GIF LZW decode to exactly `maxOut` indices (one per pixel).
+      * Mirrors [[MiniEncoder.lzwEncode]]'s width discipline from the
+      * decoder side: grow at `next == 1<<width` (the decoder's table
+      * lags the encoder's by one code). */
+    private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+        maxOut: Int): Option[Array[Byte]] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      var c = 0
+      while (c < clear) { suffix(c) = c.toByte; c += 1 }
+      val out = new java.io.ByteArrayOutputStream(maxOut)
+      val stack = new Array[Byte](4097)
+      var width = minCodeSize + 1
+      var next = eoi + 1
+      var prev = -1
+      var bitpos = 0L
+      val totalBits = data.length.toLong * 8
+      while (true) {
+        if (bitpos + width > totalBits) return None // truncated stream
+        var v = 0; var k = 0
+        while (k < width) {
+          val bp = bitpos + k
+          if (((data((bp >> 3).toInt) >> (bp & 7).toInt) & 1) != 0) v |= 1 << k
+          k += 1
+        }
+        bitpos += width
+        if (v == clear) { next = eoi + 1; width = minCodeSize + 1; prev = -1 }
+        else if (v == eoi)
+          return if (out.size == maxOut) Some(out.toByteArray) else None
+        else if (prev < 0) {
+          if (v >= clear) return None // first code must be a literal
+          out.write(v)
+          prev = v
+        } else {
+          if (v > next || v >= 4096) return None // undefined code
+          val base = if (v == next) prev else v // KwKwK: expand prev
+          var cc = base; var n = 0
+          while (cc >= clear) { stack(n) = suffix(cc); n += 1; cc = prefix(cc) }
+          stack(n) = suffix(cc); n += 1
+          val first = stack(n - 1)
+          var t = n - 1
+          while (t >= 0) { out.write(stack(t)); t -= 1 }
+          if (v == next) out.write(first)
+          if (out.size > maxOut) return None // more pixels than the frame
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = first
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prev = v
+        }
+      }
+      None
+    }
+
     /** Signature-dispatched decode. */
     def decode(b: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
       if (b != null && b.length >= 8 &&
@@ -463,6 +692,8 @@ object Multimodal {
         decodePng(b).map { case (w, h, px) => ("png", w, h, px) }
       else if (b != null && b.length >= 2 && b(0) == 'B' && b(1) == 'M')
         decodeBmp(b).map { case (w, h, px) => ("bmp", w, h, px) }
+      else if (b != null && b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+        decodeGif(b).map { case (w, h, px) => ("gif", w, h, px) }
       else None
   }
 
@@ -569,6 +800,22 @@ object Multimodal {
       val bytes =
         if (id % 2 == 0) MiniEncoder.pngGray(w, h, v)
         else MiniEncoder.bmp24(w, h, v)
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(6) else bytes)
+    }(mediaEnc)
+
+  /** Deterministic GIF media, the [[syntheticPixelMedia]] analog for
+    * the LZW tier: the same gradient `v(x,y) = (x + y + doc_id) mod
+    * 256` written as a REAL LZW-compressed GIF89a
+    * ([[MiniEncoder.gifGray]] — grayscale palette, so index = gray
+    * value); every 25th payload truncated for the corrupt path (6
+    * bytes = exactly the "GIF89a" signature, which the decoder must
+    * still reject). */
+  def syntheticGifMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 16 + 1).toInt * 2
+      val h = (id % 12 + 1).toInt * 2
+      def v(x: Int, y: Int): Int = ((x + y + id) % 256).toInt
+      val bytes = MiniEncoder.gifGray(w, h, v)
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(6) else bytes)
     }(mediaEnc)
 

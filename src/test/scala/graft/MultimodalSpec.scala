@@ -111,6 +111,81 @@ class MultimodalSpec extends SparkSpec {
     assert(PixelCodec.decode(null) === None)
   }
 
+  test("GIF LZW: own round-trip incl. table overflow, ImageIO both directions, interlace") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    def v(x: Int, y: Int): Int = (x * 7 + y * 3 + 5) % 256
+    // (a) round-trip our own encoder→decoder on a small gradient
+    val Some((gw, gh, gpx)) = PixelCodec.decodeGif(MiniEncoder.gifGray(17, 11, v))
+    assert((gw, gh) === (17, 11))
+    for (y <- 0 until 11; x <- 0 until 17)
+      assert((gpx(y * 17 + x) & 0xff) === v(x, y), s"gif pixel ($x,$y)")
+    // (b) a noisy 160×120 raster forces >4096 table entries → the
+    // encoder's clear-code reset and the full 9→12-bit width ladder
+    // are genuinely exercised, not just the literal path
+    def noisy(x: Int, y: Int): Int = (x * 31 + y * 17 + x * y + 7) % 256
+    val big = MiniEncoder.gifGray(160, 120, noisy)
+    val Some((nw, nh, npx)) = PixelCodec.decodeGif(big)
+    assert((nw, nh) === (160, 120))
+    for (y <- 0 until 120; x <- 0 until 160)
+      assert((npx(y * 160 + x) & 0xff) === noisy(x, y), s"noisy gif ($x,$y)")
+    // (c) ImageIO decodes OUR gif to the same raster (palette is
+    // gray i→(i,i,i), so any channel equals the index)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MiniEncoder.gifGray(17, 11, v)))
+    for (y <- 0 until 11; x <- 0 until 17)
+      assert((img.getRGB(x, y) & 0xff) === v(x, y), s"ImageIO gif ($x,$y)")
+    // (d) WE decode an ImageIO-written GIF (foreign encoder): indexed
+    // image with an exact gray palette so no quantization noise
+    val cmap = (0 until 256).map(i => ((0xff << 24) | (i << 16) | (i << 8) | i)).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val idxImg = new java.awt.image.BufferedImage(23, 9,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 9; x <- 0 until 23) idxImg.getRaster.setSample(x, y, 0, v(x, y))
+    val gifOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(idxImg, "gif", gifOut)
+    val Some((jw, jh, jpx)) = PixelCodec.decodeGif(gifOut.toByteArray)
+    assert((jw, jh) === (23, 9))
+    for (y <- 0 until 9; x <- 0 until 23)
+      assert((jpx(y * 23 + x) & 0xff) === v(x, y), s"jdk gif ($x,$y)")
+    // (e) INTERLACED foreign gif: ImageIO's writer in progressive mode
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val ilOut = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(ilOut)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(idxImg, null, null), param)
+    ios.close(); writer.dispose()
+    val il = ilOut.toByteArray
+    // confirm the interlace bit is really set (walk to the image
+    // descriptor: header+LSD, skip GCT, skip 0x21 extensions)
+    var p = 13 + (if ((il(10) & 0x80) != 0) 3 * (2 << (il(10) & 7)) else 0)
+    while ((il(p) & 0xff) == 0x21) {
+      p += 2
+      while ((il(p) & 0xff) != 0) p += 1 + (il(p) & 0xff)
+      p += 1
+    }
+    assert((il(p) & 0xff) === 0x2c)
+    assert((il(p + 9) & 0x40) !== 0, "ImageIO did not write interlaced")
+    val Some((iw, ih, ipx)) = PixelCodec.decodeGif(il)
+    assert((iw, ih) === (23, 9))
+    for (y <- 0 until 9; x <- 0 until 23)
+      assert((ipx(y * 23 + x) & 0xff) === v(x, y), s"interlaced gif ($x,$y)")
+    // (f) truncation/garbage → None, never a throw; giant dims capped
+    val own = MiniEncoder.gifGray(17, 11, v)
+    assert(PixelCodec.decodeGif(own.take(6)) === None)
+    assert(PixelCodec.decodeGif(own.take(40)) === None)
+    assert(PixelCodec.decodeGif(own.take(own.length - 2)) === None)
+    val evil = own.clone() // claim 30000×30000 in the image descriptor
+    def wl16(b: Array[Byte], i: Int, value: Int): Unit = {
+      b(i) = (value & 0xff).toByte; b(i + 1) = ((value >> 8) & 0xff).toByte
+    }
+    val desc = 13 + 768 // header+LSD, 256-entry GCT
+    wl16(evil, desc + 5, 30000); wl16(evil, desc + 7, 30000)
+    assert(PixelCodec.decodeGif(evil) === None)
+  }
+
   test("crafted giant-dimension headers are rejected before allocation") {
     import Multimodal.{MiniEncoder, PixelCodec}
     // take a tiny valid PNG and rewrite IHDR to claim 30000×30000 —
@@ -179,6 +254,7 @@ class MultimodalSpec extends SparkSpec {
     val valid = Seq(
       MiniEncoder.pngGray(9, 7, (x, y) => x + y),
       MiniEncoder.bmp24(9, 7, (x, y) => x + y),
+      MiniEncoder.gifGray(9, 7, (x, y) => x + y),
       MiniEncoder.jpeg(9, 7), MiniEncoder.gif(9, 7), MiniEncoder.wav(8000, 1, 4))
     // random garbage, random-length prefixes of valid files, and valid
     // files with one flipped byte: decode/probe must return (not throw)
