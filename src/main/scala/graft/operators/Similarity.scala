@@ -86,22 +86,33 @@ object Similarity {
       bits: Int = 12,
       probeRadius: Int = 1,
       seed: Long = 42L,
-      numTables: Int = 1): DataFrame = {
-    val dim = query.length
-    val candidate = (0 until numTables).map { t =>
-      val planes = hyperplanes(dim, bits, seed + t)
+      numTables: Int = 1): DataFrame =
+    embeddings
+      .filter(multiProbePredicate(col(vecCol), query, bits, probeRadius, seed, numTables))
+      .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** The candidate predicate behind [[lshTopK]], exposed so callers
+    * (and the recall spec) can measure the SCAN FRACTION of a knob
+    * setting with exactly the production predicate: a row is a
+    * candidate if its signature is within `probeRadius` bits of the
+    * query's in ANY of the `numTables` independent tables. */
+  def multiProbePredicate(
+      vec: Column,
+      query: Array[Float],
+      bits: Int,
+      probeRadius: Int,
+      seed: Long = 42L,
+      numTables: Int = 1): Column =
+    (0 until numTables).map { t =>
+      val planes = hyperplanes(query.length, bits, seed + t)
       val qSig = planes.zipWithIndex.map { case (p, i) =>
         val d = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
         if (d > 0) 1L << i else 0L
       }.reduce(_ | _)
-      bit_count(signature(col(vecCol), planes).bitwiseXOR(lit(qSig))) <= probeRadius
+      bit_count(signature(vec, planes).bitwiseXOR(lit(qSig))) <= probeRadius
     }.reduce((a, b) => a || b)
-    embeddings
-      .filter(candidate)
-      .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
-  }
 
   /** Corpus-scale embedding near-duplicates: banded hyperplane-LSH
     * candidates → exact cosine verify on candidates ONLY — the
@@ -220,6 +231,48 @@ object Similarity {
       .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  /** Spherical k-means for IVF centroids, trained IN Spark — the
+    * driver never holds more than k×dim doubles. Init is the k
+    * lowest-id vectors (deterministic); each Lloyd round assigns by
+    * max dot (the same measure [[ivfAssign]] queries with — training
+    * and probing must agree or cell boundaries lie), recomputes each
+    * cell's elementwise mean via `posexplode` + per-(cell,pos)
+    * aggregation (map-side partials; the shuffle carries k×dim
+    * partial sums, never vectors), and L2-normalizes. Empty cells
+    * keep their previous centroid.
+    *
+    * Scale shape: one scan + one tiny shuffle per round. At corpus
+    * scale pass a sample (`df.sample(…)`) — k-means quality needs
+    * only ~100× k points, not the corpus. */
+  def trainCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 3): Array[Array[Float]] = {
+    var centroids = df.orderBy(col(idCol)).limit(k)
+      .select(vecCol).collect().map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(df, vecCol, centroids)
+        .select(col("_cell"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+        .groupBy(col("_cell"), col("_pos"))
+        .agg(avg(col("_v").cast(DoubleType)).as("_m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val m = new Array[Double](old.length)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n == 0.0) old else m.map(x => (x / n).toFloat)
+          case None => old
+        }
+      }
+    }
+    centroids
+  }
 
   /** PERSISTED IVF index: cell assignments written once as parquet
     * PARTITIONED BY the cell id. Queries then read only their probed
