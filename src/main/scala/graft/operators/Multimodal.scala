@@ -360,8 +360,16 @@ object Multimodal {
       out.toByteArray
     }
 
-    def wav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
-      val dataLen = nSamples * channels * 2
+    def wav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] =
+      wavPcm(sampleRate, channels, nSamples, (_, _) => 0)
+
+    /** COMPLETE 16-bit PCM WAV with real interleaved sample data:
+      * frame i, channel c carries `v(i, c)` (clamped to int16). Any
+      * standard reader decodes it (javax.sound cross-checked in the
+      * spec). */
+    def wavPcm(sampleRate: Int, channels: Int, nFrames: Int,
+        v: (Int, Int) => Int): Array[Byte] = {
+      val dataLen = nFrames * channels * 2
       val buf = ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
         .put("WAVE".getBytes("US-ASCII"))
@@ -370,7 +378,43 @@ object Multimodal {
         .putInt(sampleRate).putInt(sampleRate * channels * 2)
         .putShort((channels * 2).toShort).putShort(16.toShort)
         .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      for (i <- 0 until nFrames; c <- 0 until channels)
+        buf.putShort(math.max(-32768, math.min(32767, v(i, c))).toShort)
       buf.array()
+    }
+
+    /** COMPLETE multi-frame (animated) GIF89a: every frame is a
+      * full-dimension image block with its own LZW-compressed index
+      * stream over the shared grayscale GCT — frame f, pixel (x,y)
+      * carries `v(x, y, f)`. The video-tier stand-in whose frame
+      * payloads are REAL pixels ([[PixelCodec.decodeGifFrames]]). */
+    def gifAnimGray(w: Int, h: Int, nFrames: Int,
+        v: (Int, Int, Int) => Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0xf7); out.write(0); out.write(0)
+      (0 until 256).foreach { i => out.write(i); out.write(i); out.write(i) }
+      for (f <- 0 until nFrames) {
+        out.write(0x2c)
+        out.write(0); out.write(0); out.write(0); out.write(0)
+        out.write(w & 0xff); out.write((w >> 8) & 0xff)
+        out.write(h & 0xff); out.write((h >> 8) & 0xff)
+        out.write(0)
+        out.write(8)
+        val idx = new Array[Byte](w * h)
+        for (y <- 0 until h; x <- 0 until w) idx(y * w + x) = (v(x, y, f) & 0xff).toByte
+        val lzw = lzwEncode(idx, 8)
+        var off = 0
+        while (off < lzw.length) {
+          val n = math.min(255, lzw.length - off)
+          out.write(n); out.write(lzw, off, n); off += n
+        }
+        out.write(0)
+      }
+      out.write(0x3b)
+      out.toByteArray
     }
   }
 
@@ -548,13 +592,25 @@ object Multimodal {
       * (exact when the palette is gray). Extensions are skipped, so
       * real-world single-frame GIFs with graphic-control blocks
       * decode too. */
-    def decodeGif(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    def decodeGif(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      gifFrames(b, maxFrames = 1).map { case (w, h, fs) => (w, h, fs.head) }
+
+    /** ALL frames of a (possibly animated) GIF — the video tier with
+      * REAL pixel payloads. Full-frame animations only: a frame at a
+      * nonzero offset or with different dimensions (partial-update
+      * compositing with disposal methods) returns None rather than a
+      * silently wrong composite. */
+    def decodeGifFrames(b: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
+      gifFrames(b, maxFrames = Int.MaxValue)
+
+    private def gifFrames(b: Array[Byte],
+        maxFrames: Int): Option[(Int, Int, Vector[Array[Byte]])] = try {
       if (b == null || b.length < 13) return None
       if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
           (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
       var i = 6
       val flags = b(i + 4) & 0xff
-      i += 7 // logical screen descriptor (frame carries its own dims)
+      i += 7 // logical screen descriptor (frames carry their own dims)
       var palette: Array[Byte] = null
       if ((flags & 0x80) != 0) {
         val n = 2 << (flags & 7)
@@ -562,15 +618,19 @@ object Multimodal {
         palette = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
         i += 3 * n
       }
+      var fw = -1; var fh = -1
+      var frames = Vector.empty[Array[Byte]]
       while (i < b.length) {
         (b(i) & 0xff) match {
-          case 0x3b => return None // trailer before any image
+          case 0x3b => // trailer
+            return if (frames.nonEmpty) Some((fw, fh, frames)) else None
           case 0x21 => // extension: label byte + data sub-blocks
             i += 2
             while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
             i += 1
           case 0x2c =>
             if (i + 10 > b.length) return None
+            val left = u16le(b, i + 1); val top = u16le(b, i + 3)
             val w = u16le(b, i + 5); val h = u16le(b, i + 7)
             val iflags = b(i + 9) & 0xff
             i += 10
@@ -582,6 +642,8 @@ object Multimodal {
               i += 3 * n
             }
             if (pal == null || w <= 0 || h <= 0) return None
+            if (left != 0 || top != 0) return None // partial-frame compositing unsupported
+            if (fw >= 0 && (w != fw || h != fh)) return None
             if (w > MaxDim || h > MaxDim || w.toLong * h > MaxPixels) return None
             if (i >= b.length) return None
             val minCode = b(i) & 0xff; i += 1
@@ -593,6 +655,7 @@ object Multimodal {
               data.write(b, i + 1, n); i += 1 + n
             }
             if (i >= b.length) return None // missing block terminator
+            i += 1 // past the terminator, on to the next block
             val idx = lzwDecode(data.toByteArray, minCode, w * h) match {
               case Some(v) => v
               case None => return None
@@ -621,11 +684,13 @@ object Multimodal {
                 (pal(3 * p + 2) & 0xff)) / 3).toByte
               j += 1
             }
-            return Some((w, h, out))
+            fw = w; fh = h
+            frames :+= out
+            if (frames.length >= maxFrames) return Some((fw, fh, frames))
           case _ => return None
         }
       }
-      None
+      None // ran off the end without a trailer
     } catch { case _: Exception => None }
 
     /** GIF LZW decode to exactly `maxOut` indices (one per pixel).
@@ -696,6 +761,112 @@ object Multimodal {
         decodeGif(b).map { case (w, h, px) => ("gif", w, h, px) }
       else None
   }
+
+  /** REAL 16-bit PCM WAV sample decode, pure JVM: a proper RIFF chunk
+    * walk (unknown chunks skipped, word-aligned) to `fmt ` + `data`,
+    * PCM format 1 / 16-bit only, little-endian int16 samples,
+    * interleaved channels. The audio analog of [[PixelCodec]] — with
+    * it, every synthetic media format's SAMPLE tier is real except
+    * JPEG (entropy decode needs a codec library; declared). */
+  object WavCodec {
+    private def u16le(b: Array[Byte], i: Int) =
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    private def u32le(b: Array[Byte], i: Int) =
+      ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    private def tag(b: Array[Byte], i: Int, s: String) =
+      b.length >= i + 4 && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+
+    /** (sampleRate, channels, interleaved samples); None on anything
+      * that isn't complete 16-bit PCM. */
+    def decode(b: Array[Byte]): Option[(Int, Int, Array[Short])] = try {
+      if (b == null || b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+        return None
+      var i = 12
+      var rate = 0; var channels = 0; var bps = 0
+      var samples: Array[Short] = null
+      while (i + 8 <= b.length) {
+        val size = u32le(b, i + 4)
+        if (size < 0 || i + 8 + size > b.length) return None // truncated chunk
+        if (tag(b, i, "fmt ")) {
+          if (size < 16) return None
+          if (u16le(b, i + 8) != 1) return None // PCM only
+          channels = u16le(b, i + 10)
+          rate = u32le(b, i + 12)
+          bps = u16le(b, i + 22)
+        } else if (tag(b, i, "data")) {
+          if (bps != 16 || channels <= 0) return None // fmt must precede data
+          if (size % 2 != 0) return None
+          samples = new Array[Short](size / 2)
+          var j = 0
+          while (j < samples.length) {
+            samples(j) = u16le(b, i + 8 + 2 * j).toShort
+            j += 1
+          }
+        }
+        i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      if (samples == null) None else Some((rate, channels, samples))
+    } catch { case _: Exception => None }
+  }
+
+  case class SampleMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, sample_sum: Long, sample_min: Int, sample_max: Int,
+      valid: Boolean)
+  implicit val sampleEnc: Encoder[SampleMeta] = Encoders.product[SampleMeta]
+
+  /** Per-partition REAL sample decode → per-file sample statistics
+    * (the audio twin of [[decodePixels]]); corrupt rows mark invalid,
+    * never fail the stage. */
+  def decodeSamples(media: Dataset[MediaFile]): Dataset[SampleMeta] =
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        WavCodec.decode(m.content) match {
+          case Some((rate, ch, xs)) =>
+            var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < xs.length) {
+              val v = xs(i).toInt
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            SampleMeta(m.doc_id, rate, ch, xs.length.toLong, sum,
+              if (xs.isEmpty) 0 else mn, if (xs.isEmpty) 0 else mx, valid = true)
+          case None =>
+            SampleMeta(m.doc_id, 0, 0, 0L, 0L, 0, 0, valid = false)
+        }
+      }
+    }(sampleEnc)
+
+  case class FrameStat(doc_id: Long, frame_index: Int, width: Int, height: Int,
+      pixel_sum: Long, pixel_min: Int, pixel_max: Int)
+  implicit val frameStatEnc: Encoder[FrameStat] = Encoders.product[FrameStat]
+
+  /** REAL frame sampling: decode the animated-GIF frames and emit
+    * every `stride`-th one's statistics — [[sampleFrames]] with the
+    * stub payload replaced by actually-decoded rasters. Fan-out stays
+    * bounded by n_frames/stride and runs map-side; corrupt or
+    * partial-frame files yield no rows. */
+  def frameStats(media: Dataset[MediaFile], stride: Int): Dataset[FrameStat] =
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        PixelCodec.decodeGifFrames(m.content) match {
+          case Some((w, h, frames)) =>
+            (0 until frames.length by stride).map { f =>
+              val px = frames(f)
+              var sum = 0L; var mn = 255; var mx = 0
+              var i = 0
+              while (i < px.length) {
+                val v = px(i) & 0xff
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                i += 1
+              }
+              FrameStat(m.doc_id, f, w, h, sum,
+                if (px.isEmpty) 0 else mn, if (px.isEmpty) 0 else mx)
+            }
+          case None => Seq.empty
+        }
+      }
+    }(frameStatEnc)
 
   /** Per-partition REAL pixel decode → per-image pixel statistics
     * (sum/min/max over the decoded grayscale raster — the compact,
@@ -817,6 +988,36 @@ object Multimodal {
       def v(x: Int, y: Int): Int = ((x + y + id) % 256).toInt
       val bytes = MiniEncoder.gifGray(w, h, v)
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(6) else bytes)
+    }(mediaEnc)
+
+  /** Deterministic 16-bit PCM WAV media: frame i, channel c carries
+    * `((i*31 + c*17 + doc_id*7) mod 65536) - 32768`; rate/channels
+    * keyed on doc_id like [[syntheticRealMedia]]'s WAV tier; every
+    * 25th payload truncated. The oracle reproduces the statistics
+    * from the formula. */
+  def syntheticWavMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val rate = 8000 + (id % 5).toInt * 8000
+      val channels = (id % 2).toInt + 1
+      val nFrames = (id % 50).toInt + 10
+      def v(i: Int, c: Int): Int =
+        (((i * 31 + c * 17 + id * 7) % 65536) - 32768).toInt
+      val bytes = MiniEncoder.wavPcm(rate, channels, nFrames, v)
+      MediaFile(id, "audio", if (id % 25 == 0) bytes.take(20) else bytes)
+    }(mediaEnc)
+
+  /** Deterministic animated-GIF "video" media: `(doc_id % 12) + 2`
+    * full frames, frame f pixel (x,y) = `(x + y + 7*f + doc_id) mod
+    * 256`; every 25th payload truncated. The real-payload counterpart
+    * of [[syntheticMedia]]'s video tier. */
+  def syntheticVideoMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 8 + 1).toInt * 2
+      val h = (id % 6 + 1).toInt * 2
+      val nFrames = (id % 12).toInt + 2
+      def v(x: Int, y: Int, f: Int): Int = ((x + y + 7L * f + id) % 256).toInt
+      val bytes = MiniEncoder.gifAnimGray(w, h, nFrames, v)
+      MediaFile(id, "video", if (id % 25 == 0) bytes.take(6) else bytes)
     }(mediaEnc)
 
   /** Stub feature extraction: bytes → fixed-dim Float vector (the

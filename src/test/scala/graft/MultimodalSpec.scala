@@ -186,6 +186,86 @@ class MultimodalSpec extends SparkSpec {
     assert(PixelCodec.decodeGif(evil) === None)
   }
 
+  test("WAV PCM samples: own round-trip, javax.sound both directions, chunk-walk") {
+    import Multimodal.{MiniEncoder, WavCodec}
+    def v(i: Int, c: Int): Int = ((i * 31 + c * 17) % 65536) - 32768
+    val own = MiniEncoder.wavPcm(16000, 2, 40, v)
+    val Some((rate, ch, xs)) = WavCodec.decode(own)
+    assert((rate, ch, xs.length) === (16000, 2, 80))
+    for (i <- 0 until 40; c <- 0 until 2)
+      assert(xs(i * 2 + c).toInt === v(i, c), s"sample ($i,$c)")
+    // (a) javax.sound decodes OUR wav to the same bytes
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(own))
+    val fmt = ais.getFormat
+    assert((fmt.getSampleRate.toInt, fmt.getChannels, fmt.getSampleSizeInBits) === (16000, 2, 16))
+    val raw = ais.readAllBytes()
+    assert(raw.length === 160)
+    for (j <- 0 until 80) {
+      val jdkv = (((raw(2 * j + 1) & 0xff) << 8) | (raw(2 * j) & 0xff)).toShort.toInt
+      assert(jdkv === xs(j).toInt, s"jdk sample $j")
+    }
+    // (b) WE decode a javax.sound-written wav (foreign encoder, and a
+    // foreign chunk layout)
+    val buf = new Array[Byte](60)
+    for (j <- 0 until 30) {
+      val s = v(j, 0)
+      buf(2 * j) = (s & 0xff).toByte; buf(2 * j + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val srcFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(buf), srcFmt, 30),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val Some((jr, jc, jxs)) = WavCodec.decode(out.toByteArray)
+    assert((jr, jc, jxs.length) === (8000, 1, 30))
+    for (j <- 0 until 30) assert(jxs(j).toInt === v(j, 0), s"foreign sample $j")
+    // (c) truncation/garbage → None, never a throw
+    assert(WavCodec.decode(own.take(20)) === None)
+    assert(WavCodec.decode(own.take(own.length - 3)) === None)
+    assert(WavCodec.decode(null) === None)
+    // non-PCM format tag refused
+    val nonPcm = own.clone(); nonPcm(20) = 3 // IEEE float
+    assert(WavCodec.decode(nonPcm) === None)
+  }
+
+  test("animated GIF frames: full decode, ImageIO per-frame cross-check, stride stats") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    def v(x: Int, y: Int, f: Int): Int = (x + y + 7 * f + 3) % 256
+    val anim = MiniEncoder.gifAnimGray(10, 6, 5, v)
+    val Some((w, h, frames)) = PixelCodec.decodeGifFrames(anim)
+    assert((w, h, frames.length) === (10, 6, 5))
+    for (f <- 0 until 5; y <- 0 until 6; x <- 0 until 10)
+      assert((frames(f)(y * 10 + x) & 0xff) === v(x, y, f), s"frame $f ($x,$y)")
+    // ImageIO reads the same five frames with the same pixels
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(anim)))
+    assert(reader.getNumImages(true) === 5)
+    for (f <- 0 until 5) {
+      val img = reader.read(f)
+      for (y <- 0 until 6; x <- 0 until 10)
+        assert((img.getRGB(x, y) & 0xff) === v(x, y, f), s"ImageIO frame $f ($x,$y)")
+    }
+    reader.dispose()
+    // single-frame decode = frame 0 (decodeGif stops at maxFrames=1)
+    val Some((_, _, first)) = PixelCodec.decodeGif(anim)
+    assert(first.sameElements(frames(0)))
+    // frameStats: stride honored, stats match the rasters
+    val media = Seq(Multimodal.MediaFile(3L, "video", anim)).toDS()
+    val stats = Multimodal.frameStats(media, stride = 2).collect().sortBy(_.frame_index)
+    assert(stats.map(_.frame_index).toSeq === Seq(0, 2, 4))
+    stats.foreach { st =>
+      val expected = for (y <- 0 until 6; x <- 0 until 10) yield v(x, y, st.frame_index)
+      assert(st.pixel_sum === expected.map(_.toLong).sum)
+      assert(st.pixel_min === expected.min && st.pixel_max === expected.max)
+    }
+    // truncated animation → no rows, not a throw
+    assert(Multimodal.frameStats(
+      Seq(Multimodal.MediaFile(4L, "video", anim.take(30))).toDS(), 1).count() === 0)
+  }
+
   test("crafted giant-dimension headers are rejected before allocation") {
     import Multimodal.{MiniEncoder, PixelCodec}
     // take a tiny valid PNG and rewrite IHDR to claim 30000×30000 —
