@@ -662,6 +662,20 @@ object SparkEntry {
         .orderBy(col("window_from"))
     },
 
+    // REAL JPEG decode under the gate, despite JPEG being lossy: the
+    // synthetic tiles are per-8×8-block EVEN constants, which survive
+    // the DC-only encode bit-exactly (quant step 16 ⇒ DC=(c−128)/2 is
+    // integral; the IDCT of a DC-only block is an exact constant), so
+    // the DuckDB twin recomputes the statistics from the tile formula.
+    // The decoder is a full baseline decoder (huffman, dequant, IDCT);
+    // its AC path is ImageIO-cross-checked in the spec.
+    "q55_jpeg_pixel_decode" -> { (s, dir) =>
+      Multimodal.decodePixels(
+          Multimodal.syntheticJpegMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // REAL WAV sample decode under the gate: 16-bit PCM data written
     // by the mini encoder (RIFF chunk walk, interleaved int16), sample
     // statistics vs the formula twin — a chunk-walk, endianness or
@@ -1326,6 +1340,29 @@ object SparkEntry {
         |select vec_id, score from s
         |order by score desc, vec_id
         |limit 15""".stripMargin,
+
+    "q55_jpeg_pixel_decode" ->
+      """with d as (select doc_id,
+        |    doc_id % 4 + 1 as bw, doc_id % 3 + 1 as bh
+        |  from documents),
+        | t as (select d.doc_id, d.bw, d.bh,
+        |    2 * ((x.range + 3 * y.range + d.doc_id) % 128) as v
+        |  from d cross join range(0, 4) x cross join range(0, 3) y
+        |  where x.range < d.bw and y.range < d.bh),
+        | agg as (select doc_id, bw, bh,
+        |    sum(v) as s, min(v) as mn, max(v) as mx
+        |  from t group by doc_id, bw, bh)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'jpeg' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * 8 end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else bh * 8 end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * bh * 64 end as bigint) as n_pixels,
+        |  cast(case when doc_id % 25 = 0 then 0 else s * 64 end as bigint) as pixel_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else mn end as int) as pixel_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else mx end as int) as pixel_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
 
     "q53_wav_sample_decode" ->
       """with d as (select doc_id,

@@ -1,0 +1,376 @@
+package graft.operators
+
+/** Baseline-sequential JPEG, pure JVM, grayscale (single-component)
+  * only — the last media tier whose sample decode was a declared stub.
+  *
+  * DECODER ([[decodeGray]]): full marker parse (DQT/DHT/SOF0/SOS/DRI,
+  * APPn/COM skipped), canonical Huffman tables (JPEG spec F.2.2.3
+  * mincode/maxcode/valptr), byte-unstuffed entropy reader, restart
+  * markers, DC prediction, run/size AC decode with EOB/ZRL,
+  * dequantize + de-zigzag, exact double-precision 8×8 IDCT, level
+  * shift + clamp, partial edge blocks cropped. Multi-component
+  * (color) frames are refused, not mis-decoded.
+  *
+  * ENCODER ([[encodeDcOnlyGray]]): a real baseline encoder restricted
+  * to per-8×8-block CONSTANT tiles — each block carries only a DC
+  * coefficient (difference-coded through the standard Annex K DC
+  * table) and an EOB. The point of the restriction: a constant block
+  * with an EVEN value and a flat quant table of 16 reconstructs
+  * BIT-EXACTLY (DC = 8·(c−128)/16 = (c−128)/2 is integral, so
+  * quantization loses nothing and the IDCT of a DC-only block is an
+  * exact constant) — which gives lossy JPEG a deterministic
+  * formula-twin gate. The AC/entropy paths the restriction skips are
+  * covered by the ImageIO cross-check specs (foreign full-AC
+  * gradients, tolerance ±1 per the spec's IDCT accuracy allowance).
+  *
+  * Tables: the DC/AC luminance Huffman tables are the public ones
+  * from the JPEG standard (ITU T.81 Annex K.3.3).
+  */
+object JpegCodec {
+
+  // ---- canonical Huffman (T.81 F.2.2.3) -------------------------------
+
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    val maxcode = Array.fill(17)(-1)
+    val mincode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var l = 1
+      var code = br.bit()
+      while (l <= 16 && (maxcode(l) < 0 || code > maxcode(l))) {
+        code = (code << 1) | br.bit(); l += 1
+      }
+      if (l > 16) throw new IllegalArgumentException("bad huffman code")
+      vals(valptr(l) + code - mincode(l))
+    }
+  }
+
+  /** Entropy-segment bit reader: FF00 unstuffed; a real marker mid-read
+    * raises (callers treat any throw as corrupt). Restart markers are
+    * consumed explicitly via [[restart]]. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) throw new IllegalArgumentException("entropy underrun")
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) throw new IllegalArgumentException("entropy underrun")
+          val m = b(pos) & 0xff
+          if (m == 0x00) pos += 1
+          else throw new IllegalArgumentException(f"marker ff$m%02x inside entropy data")
+        }
+        cur = v; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(): Unit = {
+      nbits = 0
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+        ((b(pos + 1) & 0xff) & 0xf8) != 0xd0)
+        throw new IllegalArgumentException("expected restart marker")
+      pos += 2
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Zig-zag index → (row-major) position. */
+  private val Zigzag: Array[Int] = {
+    val z = new Array[Int](64)
+    var x = 0; var y = 0
+    for (i <- 0 until 64) {
+      z(i) = y * 8 + x
+      if ((x + y) % 2 == 0) { // moving up-right
+        if (x == 7) y += 1 else if (y == 0) x += 1 else { x += 1; y -= 1 }
+      } else { // moving down-left
+        if (y == 7) x += 1 else if (x == 0) y += 1 else { x -= 1; y += 1 }
+      }
+    }
+    z
+  }
+
+  private val CosTable: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val C: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Exact double-precision 8×8 IDCT (T.81 A.3.3), output unshifted. */
+  private def idct(coef: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            s += C(u) * C(v) * coef(v * 8 + u) * CosTable(x)(u) * CosTable(y)(v)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = s / 4.0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a baseline-sequential GRAYSCALE JPEG to (w, h, row-major
+    * 8-bit pixels). None for anything else — color frames,
+    * progressive scans, truncation, entropy corruption. */
+  def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    val qt = scala.collection.mutable.Map[Int, Array[Int]]()
+    val hDC = scala.collection.mutable.Map[Int, Huff]()
+    val hAC = scala.collection.mutable.Map[Int, Huff]()
+    var w = 0; var h = 0
+    var compQ = -1 // frame component's quant-table id
+    var dri = 0
+    def u16(j: Int) = ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // SOI/RSTn: bare
+      else if (m == 0xd9) return None                       // EOI before scan
+      else {
+        val len = u16(i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        m match {
+          case 0xdb => // DQT: one or more (precision|id, 64 values)
+            var j = seg
+            while (j < i + 2 + len) {
+              val pq = (b(j) & 0xff) >> 4; val id = b(j) & 0x0f
+              if (pq != 0) return None // 8-bit tables only
+              if (j + 65 > i + 2 + len) return None
+              qt(id) = Array.tabulate(64)(k => b(j + 1 + k) & 0xff)
+              j += 65
+            }
+          case 0xc4 => // DHT: one or more tables
+            var j = seg
+            while (j < i + 2 + len) {
+              val tc = (b(j) & 0xff) >> 4; val th = b(j) & 0x0f
+              if (j + 17 > i + 2 + len) return None
+              val bits = Array.tabulate(16)(k => b(j + 1 + k) & 0xff)
+              val n = bits.sum
+              if (j + 17 + n > i + 2 + len) return None
+              val vals = Array.tabulate(n)(k => b(j + 17 + k) & 0xff)
+              val huff = new Huff(bits, vals)
+              if (tc == 0) hDC(th) = huff else hAC(th) = huff
+              j += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            if (b(seg) != 8) return None // 8-bit precision only
+            h = u16(seg + 1); w = u16(seg + 3)
+            val nComp = b(seg + 5) & 0xff
+            if (nComp != 1) return None // grayscale only — refuse color
+            if ((b(seg + 7) & 0xff) != 0x11) return None // 1x1 sampling
+            compQ = b(seg + 8) & 0xff
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // non-baseline frame types
+          case 0xdd => // DRI
+            dri = u16(seg)
+          case 0xda => // SOS — entropy data follows
+            if (w <= 0 || h <= 0 || compQ < 0) return None
+            if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
+              w.toLong * h > Multimodal.PixelCodec.MaxPixels) return None
+            val ns = b(seg) & 0xff
+            if (ns != 1) return None
+            val dcId = (b(seg + 2) & 0xff) >> 4
+            val acId = b(seg + 2) & 0x0f
+            val q = qt.getOrElse(compQ, return None)
+            val dc = hDC.getOrElse(dcId, return None)
+            val ac = hAC.getOrElse(acId, return None)
+            val br = new BitReader(b, i + 2 + len)
+            val bw = (w + 7) / 8; val bh = (h + 7) / 8
+            val out = new Array[Byte](w * h)
+            var pred = 0
+            var mcu = 0
+            var by = 0
+            while (by < bh) {
+              var bx = 0
+              while (bx < bw) {
+                if (dri > 0 && mcu > 0 && mcu % dri == 0) { br.restart(); pred = 0 }
+                val coef = new Array[Double](64)
+                // DC
+                val s = dc.decode(br)
+                if (s > 11) throw new IllegalArgumentException("bad DC size")
+                pred += extend(br.receive(s), s)
+                coef(0) = pred.toDouble * q(0)
+                // AC
+                var k = 1
+                while (k < 64) {
+                  val rs = ac.decode(br)
+                  val r = rs >> 4; val sz = rs & 0x0f
+                  if (sz == 0) {
+                    if (r == 15) k += 16 // ZRL
+                    else k = 64          // EOB
+                  } else {
+                    k += r
+                    if (k > 63) throw new IllegalArgumentException("AC overrun")
+                    coef(Zigzag(k)) = extend(br.receive(sz), sz).toDouble * q(k)
+                    k += 1
+                  }
+                }
+                val px = idct(coef)
+                var yy = 0
+                while (yy < 8) {
+                  val oy = by * 8 + yy
+                  if (oy < h) {
+                    var xx = 0
+                    while (xx < 8) {
+                      val ox = bx * 8 + xx
+                      if (ox < w) {
+                        val v = math.round(px(yy * 8 + xx) + 128.0).toInt
+                        out(oy * w + ox) =
+                          (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                      }
+                      xx += 1
+                    }
+                  }
+                  yy += 1
+                }
+                mcu += 1
+                bx += 1
+              }
+              by += 1
+            }
+            return Some((w, h, out))
+          case _ => () // APPn / COM / anything else: skip
+        }
+        i += 2 + len
+      }
+    }
+    None // no SOS reached
+  } catch { case _: Exception => None }
+
+  // ---- DC-only encoder ------------------------------------------------
+
+  /** T.81 Annex K.3.3.1 luminance DC table. */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+
+  /** T.81 Annex K.3.3.2 luminance AC table. */
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** (code, length) per symbol from a canonical (bits, vals) pair. */
+  private def codesOf(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+    for (l <- 1 to 16) {
+      for (_ <- 0 until bits(l - 1)) { m(vals(k)) = (code, l); code += 1; k += 1 }
+      code <<= 1
+    }
+    m.toMap
+  }
+  private lazy val dcCodes = codesOf(DcBits, DcVals)
+  private lazy val acCodes = codesOf(AcBits, AcVals)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var cur = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(cur)
+          if (cur == 0xff) out.write(0x00) // byte stuffing
+          cur = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flushWithOnes(): Unit = if (n > 0) put(0xff, 8 - n)
+  }
+
+  /** Flat quant table — DC step 16 makes even constants lossless. */
+  val QuantStep = 16
+
+  /** Encode a REAL baseline grayscale JPEG whose pixels are constant
+    * per 8×8 tile: tile (bx, by) carries `v(bx, by)`. `w`/`h` must be
+    * multiples of 8. Even tile values reconstruct exactly (see object
+    * scaladoc); odd values round to the nearest even. */
+  def encodeDcOnlyGray(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(67); b(0) // DQT, table 0, 8-bit
+    (0 until 64).foreach(_ => b(QuantStep))
+    b(0xff); b(0xc0); u16(11) // SOF0
+    b(8); u16(h); u16(w); b(1) // precision, dims, 1 component
+    b(1); b(0x11); b(0)        // comp id 1, 1x1 sampling, qtable 0
+    b(0xff); b(0xc4); u16(19 + DcVals.length); b(0x00) // DHT DC class 0 id 0
+    DcBits.foreach(b); DcVals.foreach(b)
+    b(0xff); b(0xc4); u16(19 + AcVals.length); b(0x10) // DHT AC class 1 id 0
+    AcBits.foreach(b); AcVals.foreach(b)
+    b(0xff); b(0xda); u16(8) // SOS
+    b(1); b(1); b(0x00)      // 1 comp; comp 1 uses DC 0 / AC 0
+    b(0); b(63); b(0)        // spectral selection (baseline fixed)
+    val bw = new BitWriter(out)
+    val (ebCode, ebLen) = acCodes(0x00) // EOB
+    var pred = 0
+    for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+      val c = v(bx, by) & 0xff
+      val coef = Math.round(8.0 * (c - 128) / QuantStep).toInt
+      val diff = coef - pred
+      pred = coef
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(s)
+      bw.put(code, len)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      bw.put(ebCode, ebLen)
+    }
+    bw.flushWithOnes()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+}

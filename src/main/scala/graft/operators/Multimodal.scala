@@ -12,16 +12,23 @@ import java.nio.ByteBuffer
   * per partition with a per-partition decoder instance (the Scala
   * analog of `mapInPandas` batches).
   *
-  * Two codec tiers:
-  * - [[FormatProbe]] is REAL: PNG/JPEG/GIF/BMP/WAV container headers
-  *   parsed from the actual file bytes (signature dispatch, JPEG SOF
-  *   marker walk, RIFF chunk fields) — pure JVM, no media libraries,
-  *   driver-gated against minimal VALID files ([[MiniEncoder]]).
-  * - Pixel/sample DECODE is STUBBED ([[FakeCodec]], deterministic
-  *   16-byte header): this container has no libjpeg/ffmpeg. Every seam
-  *   a real decoder needs — partition-wise batching, schema, failure
-  *   marking (corrupt rows yield invalid metadata, they don't kill the
-  *   job), frame fan-out — is real and tested.
+  * Codec tiers (all pure JVM, no media libraries):
+  * - [[FormatProbe]]: REAL container-header parsing for
+  *   PNG/JPEG/GIF/BMP/WAV (signature dispatch, JPEG SOF marker walk,
+  *   RIFF chunk fields), driver-gated against minimal VALID files
+  *   ([[MiniEncoder]]).
+  * - [[PixelCodec]]: REAL pixel decode — grayscale PNG (inflate + all
+  *   five scanline filters), 24bpp BMP, GIF incl. animated (genuine
+  *   LZW, interlace, per-frame payloads), and baseline grayscale JPEG
+  *   ([[JpegCodec]]: huffman + dequant + IDCT). [[WavCodec]]: REAL
+  *   16-bit PCM sample decode. Each tier is ImageIO/javax.sound
+  *   cross-checked and formula-twin gated.
+  * - [[FakeCodec]] remains only as the original plumbing-demo tier
+  *   (q26): the partition-wise batching, schema, failure-marking and
+  *   fan-out seams it demonstrated are now exercised by the real
+  *   codecs above. Color JPEG / compressed audio stay out of scope
+  *   (entropy/psychoacoustic codecs belong to real codec libraries;
+  *   the decoders REFUSE rather than mis-decode them).
   */
 object Multimodal {
 
@@ -759,15 +766,15 @@ object Multimodal {
         decodeBmp(b).map { case (w, h, px) => ("bmp", w, h, px) }
       else if (b != null && b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
         decodeGif(b).map { case (w, h, px) => ("gif", w, h, px) }
+      else if (b != null && b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        JpegCodec.decodeGray(b).map { case (w, h, px) => ("jpeg", w, h, px) }
       else None
   }
 
   /** REAL 16-bit PCM WAV sample decode, pure JVM: a proper RIFF chunk
     * walk (unknown chunks skipped, word-aligned) to `fmt ` + `data`,
     * PCM format 1 / 16-bit only, little-endian int16 samples,
-    * interleaved channels. The audio analog of [[PixelCodec]] — with
-    * it, every synthetic media format's SAMPLE tier is real except
-    * JPEG (entropy decode needs a codec library; declared). */
+    * interleaved channels. The audio analog of [[PixelCodec]]. */
   object WavCodec {
     private def u16le(b: Array[Byte], i: Int) =
       ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
@@ -988,6 +995,20 @@ object Multimodal {
       def v(x: Int, y: Int): Int = ((x + y + id) % 256).toInt
       val bytes = MiniEncoder.gifGray(w, h, v)
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(6) else bytes)
+    }(mediaEnc)
+
+  /** Deterministic JPEG media with an EXACT reconstruction contract:
+    * per-8×8-tile constants, tile (bx,by) = `2·((bx + 3·by + doc_id)
+    * mod 128)` — even values survive the DC-only encode bit-exactly
+    * ([[JpegCodec]] scaladoc has the arithmetic), so lossy JPEG gets
+    * a deterministic formula twin; every 25th payload truncated. */
+  def syntheticJpegMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 4 + 1).toInt * 8
+      val h = (id % 3 + 1).toInt * 8
+      def v(bx: Int, by: Int): Int = (2L * ((bx + 3L * by + id) % 128)).toInt
+      val bytes = JpegCodec.encodeDcOnlyGray(w, h, v)
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
     }(mediaEnc)
 
   /** Deterministic 16-bit PCM WAV media: frame i, channel c carries

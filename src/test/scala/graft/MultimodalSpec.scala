@@ -266,6 +266,60 @@ class MultimodalSpec extends SparkSpec {
       Seq(Multimodal.MediaFile(4L, "video", anim.take(30))).toDS(), 1).count() === 0)
   }
 
+  test("JPEG baseline decode: exact DC-only round-trip, ImageIO both directions ±1, refusals") {
+    import Multimodal.PixelCodec
+    import graft.operators.JpegCodec
+    // (a) even constant tiles reconstruct BIT-EXACTLY (the q55 contract)
+    def tv(bx: Int, by: Int): Int = 2 * ((bx + 3 * by + 5) % 128)
+    val own = JpegCodec.encodeDcOnlyGray(32, 24, tv)
+    val Some((w, h, px)) = JpegCodec.decodeGray(own)
+    assert((w, h) === (32, 24))
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert((px(y * 32 + x) & 0xff) === tv(x / 8, y / 8), s"tile pixel ($x,$y)")
+    // (b) ImageIO agrees on our DC-only file (also exact: DC-only IDCT
+    // is a constant in any conformant IDCT)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(own))
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert((img.getRaster.getSample(x, y, 0)) === tv(x / 8, y / 8), s"ImageIO ($x,$y)")
+    // (c) odd tile values round deterministically to the nearest
+    // representable constant (round-half-up on the DC coefficient)
+    val odd = JpegCodec.encodeDcOnlyGray(8, 8, (_, _) => 129)
+    val Some((_, _, oddPx)) = JpegCodec.decodeGray(odd)
+    assert((oddPx(0) & 0xff) === 130)
+    // (d) full-AC foreign file: ImageIO WRITES a gradient (21×13 —
+    // partial edge blocks), we decode it within the JPEG spec's IDCT
+    // allowance (±1) of ImageIO's own decode of the same bytes
+    val gray = new java.awt.image.BufferedImage(21, 13,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 13; x <- 0 until 21)
+      gray.getRaster.setSample(x, y, 0, (x * 11 + y * 7) % 256)
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "jpg", jout)
+    val foreign = jout.toByteArray
+    val Some((fw, fh, fpx)) = JpegCodec.decodeGray(foreign)
+    assert((fw, fh) === (21, 13))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(foreign))
+    var maxDiff = 0
+    for (y <- 0 until 13; x <- 0 until 21) {
+      val d = math.abs((fpx(y * 21 + x) & 0xff) - ref.getRaster.getSample(x, y, 0))
+      if (d > maxDiff) maxDiff = d
+    }
+    assert(maxDiff <= 1, s"maxDiff=$maxDiff vs ImageIO")
+    // (e) refusals, never throws: truncation, color frames, scanless
+    // header-only files, garbage
+    assert(JpegCodec.decodeGray(own.take(8)) === None)
+    assert(JpegCodec.decodeGray(own.take(own.length - 3)) === None)
+    assert(JpegCodec.decodeGray(Multimodal.MiniEncoder.jpeg(9, 7)) === None)
+    val rgb = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val cout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "jpg", cout)
+    assert(JpegCodec.decodeGray(cout.toByteArray) === None) // color refused
+    assert(JpegCodec.decodeGray(null) === None)
+    // (f) the dispatcher routes ffd8 to the jpeg tier
+    assert(PixelCodec.decode(own).map(_._1) === Some("jpeg"))
+  }
+
   test("crafted giant-dimension headers are rejected before allocation") {
     import Multimodal.{MiniEncoder, PixelCodec}
     // take a tiny valid PNG and rewrite IHDR to claim 30000×30000 —
