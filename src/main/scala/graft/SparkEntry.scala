@@ -662,6 +662,20 @@ object SparkEntry {
         .orderBy(col("window_from"))
     },
 
+    // The multimodal→similarity pipeline under one gate: decode real
+    // rasters → normalized-histogram feature vectors → cosine top-k
+    // against doc 7's vector (Similarity.bruteForceTopK over REAL
+    // image features, not synthetic embeddings). The twin recomputes
+    // histograms from the pixel formula, normalizes through the same
+    // float cast, and ranks with the same double math.
+    "q56_pixel_feature_topk" -> { (s, dir) =>
+      val feats = Multimodal.pixelFeatureVectors(
+        Multimodal.syntheticPixelMedia(Tables(s, dir, "documents")), bins = 16)
+      val query = feats.filter(col("doc_id") === 7)
+        .select("feature").collect()(0).getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(feats, "doc_id", "feature", query, k = 15)
+    },
+
     // REAL JPEG decode under the gate, despite JPEG being lossy: the
     // synthetic tiles are per-8×8-block EVEN constants, which survive
     // the DC-only encode bit-exactly (quant step 16 ⇒ DC=(c−128)/2 is
@@ -1339,6 +1353,33 @@ object SparkEntry {
         |from embeddings)
         |select vec_id, score from s
         |order by score desc, vec_id
+        |limit 15""".stripMargin,
+
+    "q56_pixel_feature_topk" ->
+      """with d as (select doc_id, (doc_id % 16 + 1) * 2 as w, (doc_id % 12 + 1) * 2 as h
+        |  from documents where doc_id % 25 <> 0),
+        | px as (select d.doc_id, (x.range + y.range + d.doc_id) % 256 as v
+        |  from d cross join range(0, 32) x cross join range(0, 24) y
+        |  where x.range < d.w and y.range < d.h),
+        | hist as (select doc_id, v // 16 as bin, count(*) as c
+        |  from px group by doc_id, bin),
+        | tot as (select doc_id, cast(sum(c) as double) as n from hist group by doc_id),
+        | dense as (select t.doc_id, b.range as bin,
+        |    cast(coalesce(h.c, 0) / t.n as float) as f
+        |  from tot t cross join range(0, 16) b
+        |  left join hist h on h.doc_id = t.doc_id and h.bin = b.range),
+        | vecs as (select doc_id, list(f order by bin) as fv from dense group by doc_id),
+        | q as (select fv as qv from vecs where doc_id = 7),
+        | s as (select v.doc_id,
+        |    list_sum(list_transform(list_zip(v.fv, (select qv from q)),
+        |      p -> cast(p[1] as double) * cast(p[2] as double)))
+        |    / (sqrt(list_sum(list_transform(list_zip(v.fv, v.fv),
+        |        p -> cast(p[1] as double) * cast(p[2] as double))))
+        |      * sqrt((select list_sum(list_transform(list_zip(qv, qv),
+        |        p -> cast(p[1] as double) * cast(p[2] as double))) from q))) as score
+        |  from vecs v)
+        |select doc_id, score from s
+        |order by score desc, doc_id
         |limit 15""".stripMargin,
 
     "q55_jpeg_pixel_decode" ->

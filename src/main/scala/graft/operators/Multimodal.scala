@@ -965,6 +965,32 @@ object Multimodal {
       }
     }(pixelFeatureEnc)
 
+  /** REAL image-feature vectors: the normalized grayscale histogram
+    * of the actually-decoded raster as a fixed-dim float vector — the
+    * decoded-raster replacement for the [[features]] stub, shaped to
+    * join every [[Similarity]] operator (brute-force/LSH/IVF top-k,
+    * cosine near-dup) so the multimodal tier feeds the embedding
+    * pipeline end-to-end. Map-side; corrupt rows yield no vector. */
+  def pixelFeatureVectors(media: Dataset[MediaFile], bins: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      val width = 256 / bins
+      iter.flatMap { m =>
+        PixelCodec.decode(m.content).map { case (_, _, _, px) =>
+          val counts = new Array[Long](bins)
+          var i = 0
+          while (i < px.length) {
+            counts(math.min((px(i) & 0xff) / width, bins - 1)) += 1
+            i += 1
+          }
+          val n = px.length.toDouble
+          (m.doc_id, counts.map(c => (c / n).toFloat))
+        }
+      }
+    }.toDF("doc_id", "feature")
+  }
+
   /** Deterministic real-pixel media: gradient rasters
     * `v(x,y) = (x + y + doc_id) mod 256` written as actual PNG (even
     * ids — every scanline filter type exercised in rotation) or BMP

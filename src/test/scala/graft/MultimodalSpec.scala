@@ -437,6 +437,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pixelFeatureVectors: dense normalized histograms from real rasters feed Similarity") {
+    import graft.operators.Similarity
+    val media = Multimodal.syntheticPixelMedia(docs.limit(40))
+    val feats = Multimodal.pixelFeatureVectors(media, bins = 16).cache()
+    try {
+      val rows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      assert(!rows.contains(0L) && !rows.contains(25L)) // corrupt rows dropped
+      rows.foreach { case (id, v) =>
+        assert(v.length === 16, s"doc $id dim")
+        assert(math.abs(v.map(_.toDouble).sum - 1.0) < 1e-5, s"doc $id not normalized")
+        // matches the long-format histogram operator on the same media
+        val (w, h) = ((id % 16 + 1).toInt * 2, (id % 12 + 1).toInt * 2)
+        val expected = (for (y <- 0 until h; x <- 0 until w)
+          yield ((x + y + id) % 256).toInt / 16)
+          .groupBy(identity).map { case (b, vs) => b -> vs.size }
+        (0 until 16).foreach { b =>
+          val e = (expected.getOrElse(b, 0) / (w.toDouble * h)).toFloat
+          assert(v(b) === e, s"doc $id bin $b")
+        }
+      }
+      // the vectors drop straight into the similarity stack: self is
+      // the top hit of a top-k over the feature column
+      val q = rows(7L).toArray
+      val top = Similarity.bruteForceTopK(feats, "doc_id", "feature", q, 3).collect()
+      assert(top(0).getLong(0) === 7L)
+      assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-9)
+    } finally feats.unpersist()
+  }
+
   test("feature extraction yields fixed-dim vectors joinable to embeddings") {
     val feats = Multimodal.features(Multimodal.syntheticMedia(docs), dim = 16)
     assert(feats.columns.toSeq === Seq("doc_id", "media_embedding"))
