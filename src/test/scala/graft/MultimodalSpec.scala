@@ -389,6 +389,9 @@ class MultimodalSpec extends SparkSpec {
       MiniEncoder.pngGray(9, 7, (x, y) => x + y),
       MiniEncoder.bmp24(9, 7, (x, y) => x + y),
       MiniEncoder.gifGray(9, 7, (x, y) => x + y),
+      MiniEncoder.gifAnimGray(6, 4, 3, (x, y, f) => x + y + f),
+      MiniEncoder.wavPcm(8000, 2, 12, (i, c) => i * 100 - c * 7),
+      graft.operators.JpegCodec.encodeDcOnlyGray(16, 8, (bx, by) => 2 * (bx + by + 9)),
       MiniEncoder.jpeg(9, 7), MiniEncoder.gif(9, 7), MiniEncoder.wav(8000, 1, 4))
     // random garbage, random-length prefixes of valid files, and valid
     // files with one flipped byte: decode/probe must return (not throw)
@@ -401,7 +404,27 @@ class MultimodalSpec extends SparkSpec {
         v(rnd.nextInt(v.length)) = rnd.nextInt().toByte; v }
     cases.foreach { bytes =>
       FormatProbe.probe(bytes) // Option or None — never a throw
-      PixelCodec.decode(bytes)
+      PixelCodec.decode(bytes) // dispatches png/bmp/gif/jpeg
+      PixelCodec.decodeGifFrames(bytes)
+      Multimodal.WavCodec.decode(bytes)
+    }
+  }
+
+  test("GIF LZW property round-trip: random rasters of odd sizes survive encode→decode") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 0 until 8) {
+      val w = rnd.nextInt(40) + 1
+      val h = rnd.nextInt(30) + 1
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      def v(x: Int, y: Int): Int = px(y * w + x)
+      val Some((dw, dh, out)) = PixelCodec.decodeGif(MiniEncoder.gifGray(w, h, v))
+      assert((dw, dh) === (w, h), s"trial $trial dims")
+      var i = 0
+      while (i < w * h) {
+        assert((out(i) & 0xff) === px(i), s"trial $trial ($w x $h) px $i")
+        i += 1
+      }
     }
   }
 
