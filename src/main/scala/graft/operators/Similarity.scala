@@ -23,12 +23,18 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   /** Exact double dot product: products of float pairs are exact in
-    * double; summation is left-to-right (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, v) => acc + v)
+    * double; summation is left-to-right (deterministic). A native
+    * codegen Expression ([[graft.functions.VecDot]]) — the composed
+    * `aggregate(zip_with(…))` form is semantically identical but
+    * CodegenFallback (interpreted lambda per element, intermediate
+    * array per row) and it broke every embedding query's
+    * WholeStageCodegen span. Same arithmetic order, same null
+    * semantics → every oracle hash is unchanged. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
