@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -23,6 +23,55 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * interpreter.
   */
 object VecRuntime {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** MinHash signature in one pass — bit-identical to the composed
+    * `array((0 until H).map(i => array_min(transform(arr, e =>
+    * xxhash64(e, lit(i))))))`: Spark's xxhash64 folds its arguments
+    * (seed 42 → hash(e) → hashInt(i, ·)), so the element's base hash
+    * is computable ONCE and the i-loop is one `hashInt` per slot —
+    * H× less hashing than the composed form on top of dropping the
+    * per-element interpreted dispatch. Empty input → all-null slots
+    * (what array_min of an empty array yields); a null element
+    * contributes seed 42 as its base (xxhash64 skips null args). */
+  def minhashSig(arr: ArrayData, isString: Boolean, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base =
+        if (arr.isNullAt(i)) 42L
+        else if (isString) XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        else XXH64.hashLong(arr.getLong(i), 42L)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashInt(j, base)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Count of slots where both signatures are non-null and equal —
+    * what `aggregate(zip_with(a, b, (x,y) => when(x===y,1).otherwise(0)),
+    * 0, +)` computes (null-padded and null-slot comparisons fall to
+    * the otherwise-0 branch). */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Left-to-right double-accumulated dot product; null boxes the
     * zip_with/aggregate null semantics. */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
@@ -39,6 +88,61 @@ object VecRuntime {
     }
     java.lang.Double.valueOf(acc)
   }
+}
+
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  private def isString = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<long|string>, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecRuntime.minhashSig(v.asInstanceOf[ArrayData], isString, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecRuntime.minhashSig($a, $isString, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SigAgree(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_agree expects (array<long>, array<long>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecRuntime.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecRuntime.sigAgree($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {

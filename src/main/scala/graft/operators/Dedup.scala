@@ -50,10 +50,16 @@ object Dedup {
   def shingles(c: Column, k: Int): Column =
     shinglesFromTokens(Text.tokens(Text.normalized(c)), k)
 
-  /** MinHash signature from a materialized shingles column. */
-  def signatureFromShingles(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+  /** MinHash signature from a materialized shingles column. Native
+    * one-pass expression ([[graft.functions.MinHashSig]]) — the
+    * composed `array(array_min(transform(…, xxhash64(…, i))))` form
+    * is bit-identical but CodegenFallback AND re-hashes each element
+    * once per slot; the native kernel hashes each element once and
+    * derives all slots from the base. */
+  def signatureFromShingles(sh: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.MinHashSig(ColumnBridge.expression(sh), numHashes))
+  }
 
   /** Stage text → normalized → tokens → shingles → signature, one
     * projection per step so each evaluates once per row. */
@@ -71,12 +77,15 @@ object Dedup {
   def minhashSignature(c: Column, numHashes: Int, shingleK: Int): Column =
     signatureFromShingles(shingles(c, shingleK), numHashes)
 
-  /** MinHash-estimated Jaccard = fraction of agreeing signature slots. */
-  def minhashEstimate(sigA: Column, sigB: Column, numHashes: Int): Column =
-    aggregate(
-      zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0),
-      (acc, v) => acc + v).cast(DoubleType) / lit(numHashes.toDouble)
+  /** MinHash-estimated Jaccard = fraction of agreeing signature slots
+    * (native slot-count kernel; same null semantics as the composed
+    * zip_with/aggregate form it replaced). */
+  def minhashEstimate(sigA: Column, sigB: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SigAgree(
+        ColumnBridge.expression(sigA), ColumnBridge.expression(sigB)))
+      .cast(DoubleType) / lit(numHashes.toDouble)
+  }
 
   /** LSH near-dup candidate pairs.
     *
@@ -255,8 +264,7 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingleK).repartition(col("id"))
     val sigs = sets.select(col("id"),
-      array((0 until numHashes).map(i =>
-        array_min(transform(col("s"), h => xxhash64(h, lit(i))))): _*).as("sig"))
+      signatureFromShingles(col("s"), numHashes).as("sig"))
     val candidates =
       candidatesFromSignatures(sigs, numHashes, bands, minEstimate, maxBucket,
         alreadyStaged = true) // sigs projects off sets' repartition(id)

@@ -208,6 +208,45 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("native minhash kernels are bit-identical to the composed HOF forms") {
+    // MinHashSig/SigAgree replaced aggregate/zip_with/transform trees
+    // for speed; candidate selection depends on the VALUES, so the
+    // replacement must be exact — including empty-set null slots and
+    // the xxhash64 argument-fold composition (seed 42 → element →
+    // slot index)
+    val e = docs.select($"doc_id",
+      Dedup.shinglesFromTokens(
+        graft.functions.Text.tokens(graft.functions.Text.normalized($"text")), 2).as("sh"))
+      .withColumn("shl", array_distinct(transform($"sh", s => xxhash64(s))))
+      .withColumn("empty", array().cast("array<string>"))
+    val composedStr = (i: Int) => array_min(transform($"sh", s => xxhash64(s, lit(i))))
+    val composedLong = (i: Int) => array_min(transform($"shl", h => xxhash64(h, lit(i))))
+    val rows = e.select(
+      Dedup.signatureFromShingles($"sh", 8).as("native_s"),
+      array((0 until 8).map(composedStr): _*).as("composed_s"),
+      Dedup.signatureFromShingles($"shl", 8).as("native_l"),
+      array((0 until 8).map(composedLong): _*).as("composed_l"),
+      Dedup.signatureFromShingles($"empty", 4).as("native_e")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](0) === r.getSeq[Any](1), "string-shingle signatures")
+      assert(r.getSeq[Any](2) === r.getSeq[Any](3), "long-shingle signatures")
+      assert(r.getSeq[Any](4) === Seq(null, null, null, null), "empty set → null slots")
+    }
+    // agreement count vs the composed estimate on every pair
+    val sigs = e.select(Dedup.signatureFromShingles($"sh", 16).as("sig")).collect()
+      .map(_.getSeq[Long](0))
+    val est = docs.sparkSession.range(1).select(
+      (for (a <- sigs.indices; b <- sigs.indices) yield {
+        val ca = array(sigs(a).map(lit): _*)
+        val cb = array(sigs(b).map(lit): _*)
+        val composed = aggregate(
+          zip_with(ca, cb, (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(16.0)
+        (Dedup.minhashEstimate(ca, cb, 16) - composed).as(s"d_${a}_$b")
+      }): _*).collect()(0)
+    (0 until est.length).foreach(i => assert(est.getDouble(i) === 0.0, s"pair $i"))
+  }
+
   test("simhash: near-dups land within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashVotes($"text").as("_v"))
       .select($"doc_id", Dedup.packVotes($"_v").as("sh"))
