@@ -72,6 +72,36 @@ object VecRuntime {
     c
   }
 
+  /** 64-bit SimHash of a token array in one pass: each token hashes
+    * once (`xxhash64` semantics: hashUTF8String with seed 42; null
+    * tokens contribute the bare seed), votes ±1 on every bit, sign
+    * packs. Bit-identical to the explode → 64-sum HashAggregate →
+    * pack pipeline it replaces — minus the explode row blow-up and
+    * the groupBy shuffle (the signature becomes purely map-side). */
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** Left-to-right double-accumulated dot product; null boxes the
     * zip_with/aggregate null semantics. */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
@@ -114,6 +144,28 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.VecRuntime.minhashSig($a, $isString, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $dt")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecRuntime.simhash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecRuntime.simhash64($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

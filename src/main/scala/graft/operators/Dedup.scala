@@ -297,25 +297,22 @@ object Dedup {
   /** 64-bit SimHash of the token multiset. */
   def simhash(c: Column): Column = packVotes(simhashVotes(c))
 
-  /** DataFrame-level SimHash: explode tokens → hash once → 64 vote
-    * sums in a codegen'd HashAggregate → pack. Faster than the
-    * per-row lambda (which is interpreted per token) and still
-    * map-side-mostly at scale: partial aggregation collapses each
-    * partition to one row per doc before any shuffle. Docs with zero
-    * tokens drop out (explode of empty array). */
+  /** DataFrame-level SimHash: one native expression per row
+    * ([[graft.functions.SimHash64]] — hash each token once, 64 vote
+    * counters in a local array, sign-pack), PURELY map-side: no
+    * explode row blow-up, no groupBy shuffle. The previous
+    * explode → 64-sum HashAggregate pipeline was bit-identical but
+    * paid a |tokens|× row explosion and a per-doc shuffle for what is
+    * per-row arithmetic. Docs with zero tokens drop out (contract
+    * unchanged). */
   def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"),
-        explode(Text.tokens(Text.normalized(col(textCol)))).as("_w"))
-      .select(col("id"), xxhash64(col("_w")).as("_h"))
-    val votes = (0 until 64).map(i =>
-      sum(shiftright(col("_h"), i).bitwiseAND(1L) * 2 - 1).as(s"_v$i"))
-    hashed.groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.select(col(idCol).as("id"),
+        Text.tokens(Text.normalized(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) > 0)
       .select(col("id"),
-        (0 until 64).map(i =>
-          when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+        ColumnBridge.column(graft.functions.SimHash64(
+          ColumnBridge.expression(col("_toks")))).as("sh"))
   }
 
   /** Hamming distance between two SimHash values. */

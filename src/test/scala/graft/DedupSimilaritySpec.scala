@@ -247,6 +247,24 @@ class DedupSimilaritySpec extends SparkSpec {
     (0 until est.length).foreach(i => assert(est.getDouble(i) === 0.0, s"pair $i"))
   }
 
+  test("native SimHash64 is bit-identical to the lambda vote pipeline") {
+    // simhashDf switched from explode+HashAggregate to the native
+    // per-row kernel; the lambda form (simhashVotes→packVotes) is an
+    // independent third implementation of the same spec — all must
+    // agree on real text, and zero-token docs must still drop out
+    val lambda = docs.select($"doc_id",
+      Dedup.simhashVotes($"text").as("_v"))
+      .select($"doc_id", Dedup.packVotes($"_v").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhashDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.keySet === lambda.keySet)
+    native.foreach { case (id, sh) => assert(sh === lambda(id), s"doc $id") }
+    val empty = Seq((9L, ""), (10L, "real words here")).toDF("doc_id", "text")
+    assert(Dedup.simhashDf(empty, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L))
+  }
+
   test("simhash: near-dups land within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashVotes($"text").as("_v"))
       .select($"doc_id", Dedup.packVotes($"_v").as("sh"))
