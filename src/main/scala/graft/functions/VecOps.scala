@@ -57,6 +57,36 @@ object VecRuntime {
     new GenericArrayData(mins)
   }
 
+  /** `size(array_intersect(a, b))` for long arrays without
+    * materializing the intersection array: distinct-common count,
+    * with array_intersect's exact semantics (result is distinct;
+    * null is a value that can match null). */
+  def setOverlap(a: ArrayData, b: ArrayData): Int = {
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var aNull = false
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i)) aNull = true else seen.add(a.getLong(i))
+      i += 1
+    }
+    val seenB = new java.util.HashSet[java.lang.Long]()
+    var bNull = false
+    var inter = 0
+    var j = 0
+    val nb = b.numElements()
+    while (j < nb) {
+      if (b.isNullAt(j)) {
+        if (!bNull) { bNull = true; if (aNull) inter += 1 }
+      } else {
+        val e = b.getLong(j)
+        if (seenB.add(e) && seen.contains(e)) inter += 1
+      }
+      j += 1
+    }
+    inter
+  }
+
   /** Count of slots where both signatures are non-null and equal —
     * what `aggregate(zip_with(a, b, (x,y) => when(x===y,1).otherwise(0)),
     * 0, +)` computes (null-padded and null-slot comparisons fall to
@@ -191,6 +221,32 @@ case class SigAgree(left: Expression, right: Expression) extends BinaryExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VecRuntime.sigAgree($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SetOverlap(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"set_overlap expects (array<long>, array<long>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "set_overlap"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecRuntime.setOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecRuntime.setOverlap($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

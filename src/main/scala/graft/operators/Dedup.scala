@@ -195,19 +195,26 @@ object Dedup {
 
   /** Exact jaccard of the given `(id_a, id_b)` pairs: shingle sets
     * computed once per doc, re-attached by id (two hash joins — the
-    * sets never flow through a pair blow-up), intersection staged,
-    * union size derived as |A|+|B|−|A∩B|. */
-  private def jaccardOfPairs(pairs: DataFrame, sets: DataFrame): DataFrame =
+    * sets never flow through a pair blow-up), union size derived as
+    * |A|+|B|−|A∩B|. The overlap count is the native
+    * [[graft.functions.SetOverlap]] kernel — same distinct-common
+    * count as `size(array_intersect(…))` without materializing the
+    * intersection ARRAY per pair just to take its length. */
+  private def jaccardOfPairs(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     pairs
       .join(sets.select(col("id").as("id_a"), col("s").as("_sa")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("s").as("_sb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("_sa"), col("_sb"))).as("_i"),
+        ColumnBridge.column(graft.functions.SetOverlap(
+          ColumnBridge.expression(col("_sa")),
+          ColumnBridge.expression(col("_sb")))).as("_i"),
         size(col("_sa")).as("_na"), size(col("_sb")).as("_nb"))
       .select(col("id_a"), col("id_b"),
         (col("_i").cast(DoubleType) /
           greatest(col("_na") + col("_nb") - col("_i"), lit(1)).cast(DoubleType))
           .as("jaccard"))
+  }
 
   /** All-pairs exact n-gram Jaccard — the exact VERIFIER, O(n²) by
     * contract. Only ever run it on a bounded set (a sample, one LSH

@@ -232,6 +232,20 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getSeq[Any](2) === r.getSeq[Any](3), "long-shingle signatures")
       assert(r.getSeq[Any](4) === Seq(null, null, null, null), "empty set → null slots")
     }
+    // SetOverlap vs size(array_intersect) on every shingle-set pair
+    // (plus empty and overlap-free cases)
+    val sets = e.select($"shl").collect().map(_.getSeq[Long](0))
+    val ov = docs.sparkSession.range(1).select(
+      (for (a <- sets.indices; b <- sets.indices) yield {
+        val ca = array(sets(a).map(lit): _*)
+        val cb = array(sets(b).map(lit): _*)
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        (ColumnBridge.column(graft.functions.SetOverlap(
+          ColumnBridge.expression(ca), ColumnBridge.expression(cb)))
+          - size(array_intersect(ca, cb))).as(s"o_${a}_$b")
+      }): _*).collect()(0)
+    (0 until ov.length).foreach(i => assert(ov.getInt(i) === 0, s"overlap pair $i"))
+
     // agreement count vs the composed estimate on every pair
     val sigs = e.select(Dedup.signatureFromShingles($"sh", 16).as("sig")).collect()
       .map(_.getSeq[Long](0))
