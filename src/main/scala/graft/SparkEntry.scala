@@ -712,6 +712,28 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_index"))
     },
 
+    // Duplicate CLUSTERS under the gate: q33's near-dup pairs →
+    // connected components (min-label propagation + pointer jumping),
+    // every doc labelled with its cluster's minimum id, singletons
+    // keeping their own id. The DuckDB twin computes the same
+    // transitive closure with a recursive CTE — closure semantics,
+    // not just pair semantics, are what a curation pipeline consumes
+    // ("keep one doc per cluster" = filter(id = cluster)).
+    "q57_dup_clusters" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+          minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2,
+          minEstimate = 0.1, maxBucket = 1000)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.duplicateClusters(pairs)
+      docs.select(col("doc_id").as("id"))
+        .join(clusters, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy(col("id"))
+    },
+
     // Persisted IVF index under the gate: k-means-train the centroids
     // in Spark (2 Lloyd rounds), build the cell-partitioned parquet
     // index, then query it with nprobe = all cells — which degenerates
@@ -1234,6 +1256,30 @@ object SparkEntry {
         |where cast(len(list_intersect(a.s, b.s)) as double)
         |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) >= 0.6
         |order by id_a, id_b""".stripMargin,
+
+    "q57_dup_clusters" ->
+      s"""with recursive d as (select doc_id, string_split($OracleNorm, ' ') as w from documents),
+        |sh as (select doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(w)-2+1, 0)+1),
+        |    i -> array_to_string(list_slice(w, i, i+1), ' '))) as s
+        |  from d),
+        |p as (select a.doc_id as id_a, b.doc_id as id_b
+        |  from sh a join sh b on a.doc_id < b.doc_id
+        |  where cast(len(list_intersect(a.s, b.s)) as double)
+        |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) >= 0.6),
+        |e as (select id_a as src, id_b as dst from p
+        |      union select id_b, id_a from p),
+        |reach(src, dst) as (
+        |  select src, dst from e
+        |  union
+        |  select r.src, e2.dst from reach r join e e2 on r.dst = e2.src),
+        |lab as (select src as doc_id, min(dst) as mn from reach group by src),
+        |assigned as (select doc.doc_id as id,
+        |    least(doc.doc_id, coalesce(l.mn, doc.doc_id)) as cluster
+        |  from documents doc left join lab l on doc.doc_id = l.doc_id)
+        |select id, cluster, count(*) over (partition by cluster) as n_members
+        |from assigned
+        |order by id""".stripMargin,
 
     "q32_ingest_roundtrip" ->
       (s"""select printf('0x%040x', o_custkey) as address,

@@ -280,6 +280,72 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over near-duplicate pairs: every document in
+    * a duplicate cluster gets the cluster's minimum id as its label, so
+    * "keep one doc per cluster" becomes `filter(id === cluster)` and
+    * "cluster size" becomes a groupBy — the step a curation pipeline
+    * needs between pair detection ([[nearDuplicates]]) and canonical
+    * selection. Returns `(id, cluster)` for every id that appears in a
+    * pair; callers give singletons their own id with a left join +
+    * coalesce.
+    *
+    * Scale shape: iterative min-label propagation. Each round is one
+    * shuffle join of the label table against the symmetrized edge
+    * table + a map-side-combinable min aggregate, followed by a
+    * pointer-jumping join (label := label-of-label) that halves the
+    * remaining path length — convergence in O(log diameter) rounds,
+    * not O(diameter), so a 10k-long chain of near-dups (the
+    * boilerplate-drift worst case) converges in ~14 rounds instead of
+    * 10k. Both tables are candidate-pair-sized — they track duplicate
+    * density, not corpus size. Labels are `localCheckpoint`ed each
+    * round to truncate the iterative lineage (the same discipline
+    * GraphX/GraphFrames apply; at 100 TB you would checkpoint to
+    * reliable storage instead so a lost executor does not replay the
+    * whole iteration history). The per-round `count` of changed labels
+    * is a scalar aggregate — metadata-scale driver traffic, not a
+    * collect of rows.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 30): DataFrame = {
+    val e0 = pairs.select(col(idA).cast(LongType).as("src"), col(idB).cast(LongType).as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // min over neighbours' labels, then keep the smaller of own/nbr
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("_nc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("_nc")).as("_nmin"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      // pointer jumping: labels are themselves ids, so one more join
+      // rewrites each label to its label's label (path halving)
+      val jumped = stepped
+        .join(stepped.select(col("id").as("cluster"), col("cluster").as("_cc")),
+          Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("_cc"), col("cluster")).as("cluster"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.select(col("id"), col("cluster").as("_old")), Seq("id"))
+        .filter(col("cluster") =!= col("_old"))
+        .count()
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
   /** Per-bit vote sums of the 64-bit SimHash: each token hashes once
     * (`transform` then `aggregate`), its hash votes +1/-1 on every
     * bit. Shift amounts must be literals, so the 64 bits unroll into

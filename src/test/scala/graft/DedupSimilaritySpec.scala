@@ -355,6 +355,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(narrow.count() === 5)
   }
 
+  test("duplicateClusters labels every member with the component minimum") {
+    // two triangles {1,2,3} {10,11,12}, a bridge-free chain {20..24}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+
+  test("duplicateClusters converges on a long chain (pointer jumping)") {
+    // path 0-1-2-…-60: diameter 60, must converge well inside maxIter
+    // 30 — only possible because label(label) jumps halve the path
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 61)
+    assert(got.forall(_._2 === 0L))
+  }
+
+  test("duplicateClusters matches BFS components on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // reference components via union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+  }
+
+  test("duplicateClusters on empty pairs returns empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(empty).count() === 0L)
+  }
+
   test("text functions: langId sane on clear inputs") {
     val df = Seq(
       ("the cat and the dog is in the house", "en"),
