@@ -3,14 +3,15 @@ package graft.serving
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
 
 /** GraphQL query surface over the registered tables/views — the
   * reference's E3 Postgraphile layer (`docker-compose.yaml:46-72`:
   * Postgres views auto-exposed as GraphQL) re-expressed over Spark.
   *
   * Postgraphile generates, per view, a root field taking `condition`
-  * (field equality), `first`/`offset` (pagination) and an order; this
-  * implements exactly that shape over the session catalog:
+  * (field equality), `first`/`offset`/`after` (pagination) and an
+  * order; this implements exactly that shape over the session catalog:
   *
   * {{{
   * { Transfer_address_from_address_to_uint256_amount_d(
@@ -22,9 +23,28 @@ import org.apache.spark.sql.SparkSession
   * Compilation target is ONE Spark SQL statement per root field —
   * selection list → projection (column pruning), condition → WHERE
   * (predicate pushdown into the parquet scan, since the views are
-  * expression projections Catalyst inlines), first/offset → LIMIT.
-  * The GraphQL layer adds no execution machinery of its own, exactly
-  * like Postgraphile compiling to SQL for Postgres.
+  * expression projections Catalyst inlines), first/offset/after →
+  * LIMIT/OFFSET. The GraphQL layer adds no execution machinery of its
+  * own, exactly like Postgraphile compiling to SQL for Postgres.
+  *
+  * Spec-depth boundary (a deliberate Postgraphile subset, stated here
+  * so the edge is explicit):
+  * - connections: `nodes`, `edges { cursor node }`, `pageInfo
+  *   { hasNextPage hasPreviousPage startCursor endCursor }`,
+  *   `totalCount`, and opaque `after` cursors (offset-encoded, the
+  *   relay-connection contract for an offset-paginated backend);
+  * - introspection: `__schema { queryType types { name kind fields
+  *   { name type { name kind } } } }` and `__type(name:)` over the
+  *   session catalog — enough for a client to discover views and
+  *   column types, not the full meta-schema (no directives, no
+  *   interfaces, no ofType chains);
+  * - relations: one level of nesting through an EXPLICIT registry
+  *   ([[Relation]]) — Postgraphile derives these from foreign keys,
+  *   which parquet tables don't carry, so the serving layer declares
+  *   them (e.g. logs → price on address). Each selected relation
+  *   compiles to ONE bounded child query for the whole page (key
+  *   IN-list + per-parent row_number cap), never a query per parent
+  *   row.
   *
   * Hand-rolled recursive-descent parser for the subset (no GraphQL
   * library in the dependency budget); identifiers are validated
@@ -33,6 +53,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraphQL {
 
+  /** A nested relation selection: `field(args) { cols }` inside a root
+    * field's selection set, resolved against the [[Relation]] registry
+    * at execution. */
+  case class NestedQuery(
+      field: String,
+      condition: Seq[(String, Any)],
+      first: Option[Long],
+      orderBy: Option[String],
+      desc: Boolean,
+      selections: Seq[String])
+
   case class FieldQuery(
       view: String,
       condition: Seq[(String, Any)],
@@ -40,7 +71,18 @@ object GraphQL {
       offset: Option[Long],
       orderBy: Option[String],
       desc: Boolean,
-      selections: Seq[String])
+      selections: Seq[String],
+      after: Option[String] = None,
+      wantEdges: Boolean = false,
+      pageInfo: Seq[String] = Nil,
+      nested: Seq[NestedQuery] = Nil)
+
+  /** One declared parent→child relation: selecting `fieldName` under
+    * `parentView` joins `childView` on parentKey = childKey. */
+  case class Relation(childView: String, parentKey: String, childKey: String)
+
+  /** parentView → (relation field name → relation). */
+  type Relations = Map[String, Map[String, Relation]]
 
   case class ParseError(msg: String) extends RuntimeException(msg)
 
@@ -109,6 +151,11 @@ object GraphQL {
 
   // ---- parser --------------------------------------------------------
 
+  /** Generic selection-tree node; roots become [[FieldQuery]]s (or
+    * introspection fields), nested levels become columns, connection
+    * fields, or [[NestedQuery]]s. */
+  private case class Sel(name: String, args: Seq[(String, Any)], children: Seq[Sel])
+
   private class Parser(var toks: List[Tok]) {
     def expect(c: Char): Unit = toks match {
       case Punct(`c`) :: rest => toks = rest
@@ -128,6 +175,7 @@ object GraphQL {
       case Ident("true") :: rest => toks = rest; true
       case Ident("false") :: rest => toks = rest; false
       case Ident("null") :: rest => toks = rest; null
+      case Punct('{') :: _ => objectArg()
       case t => throw ParseError(s"expected value, got $t")
     }
 
@@ -141,40 +189,24 @@ object GraphQL {
       pairs.toSeq
     }
 
-    def field(): FieldQuery = {
-      val view = ident()
-      var condition = Seq.empty[(String, Any)]
-      var first, offset = Option.empty[Long]
-      var orderBy = Option.empty[String]
-      var desc = false
+    def sel(): Sel = {
+      val name = ident()
+      val args = scala.collection.mutable.ListBuffer[(String, Any)]()
       if (peekIs('(')) {
         expect('(')
-        while (!peekIs(')')) {
-          val arg = ident(); expect(':')
-          arg match {
-            case "condition" => condition = objectArg()
-            case "first" => first = Some(value() match {
-              case l: Long => l; case o => throw ParseError(s"first: expected int, got $o") })
-            case "offset" => offset = Some(value() match {
-              case l: Long => l; case o => throw ParseError(s"offset: expected int, got $o") })
-            case "orderBy" => orderBy = Some(value() match {
-              case s: String => s; case o => throw ParseError(s"orderBy: expected string, got $o") })
-            case "desc" => desc = value() match {
-              case b: Boolean => b; case o => throw ParseError(s"desc: expected boolean, got $o") }
-            case other => throw ParseError(s"unknown argument '$other'")
-          }
-        }
+        while (!peekIs(')')) { val k = ident(); expect(':'); args += k -> value() }
         expect(')')
       }
-      expect('{')
-      val sels = scala.collection.mutable.ListBuffer[String]()
-      while (!peekIs('}')) sels += ident()
-      expect('}')
-      if (sels.isEmpty) throw ParseError(s"$view: empty selection set")
-      FieldQuery(view, condition, first, offset, orderBy, desc, sels.toSeq)
+      val children = scala.collection.mutable.ListBuffer[Sel]()
+      if (peekIs('{')) {
+        expect('{')
+        while (!peekIs('}')) children += sel()
+        expect('}')
+      }
+      Sel(name, args.toSeq, children.toSeq)
     }
 
-    def query(): Seq[FieldQuery] = {
+    def document(): Seq[Sel] = {
       // optional `query` / `subscription` (+ optional name) header —
       // subscriptions share the grammar; [[Subscriptions]] enforces
       // the single-root-field rule
@@ -185,16 +217,103 @@ object GraphQL {
         case _ => ()
       }
       expect('{')
-      val fields = scala.collection.mutable.ListBuffer[FieldQuery]()
-      while (!peekIs('}')) fields += field()
+      val roots = scala.collection.mutable.ListBuffer[Sel]()
+      while (!peekIs('}')) roots += sel()
       expect('}')
       if (toks.nonEmpty) throw ParseError(s"trailing input: ${toks.head}")
-      if (fields.isEmpty) throw ParseError("empty query")
-      fields.toSeq
+      if (roots.isEmpty) throw ParseError("empty query")
+      roots.toSeq
     }
   }
 
-  def parse(q: String): Seq[FieldQuery] = new Parser(tokenize(q)).query()
+  // ---- selection-tree interpretation ---------------------------------
+
+  private val PageInfoFields =
+    Seq("hasNextPage", "hasPreviousPage", "startCursor", "endCursor")
+
+  private def argStr(args: Seq[(String, Any)], name: String): Option[String] =
+    args.collectFirst { case (`name`, v) => v match {
+      case s: String => s
+      case o => throw ParseError(s"$name: expected string, got $o") } }
+
+  private def argLong(args: Seq[(String, Any)], name: String): Option[Long] =
+    args.collectFirst { case (`name`, v) => v match {
+      case l: Long => l
+      case o => throw ParseError(s"$name: expected int, got $o") } }
+
+  private def argBool(args: Seq[(String, Any)], name: String): Boolean =
+    args.collectFirst { case (`name`, v) => v match {
+      case b: Boolean => b
+      case o => throw ParseError(s"$name: expected boolean, got $o") } }.getOrElse(false)
+
+  private def argCondition(args: Seq[(String, Any)]): Seq[(String, Any)] =
+    args.collectFirst { case ("condition", v) => v match {
+      case s: Seq[_] => s.asInstanceOf[Seq[(String, Any)]]
+      case o => throw ParseError(s"condition: expected object, got $o") } }
+      .getOrElse(Seq.empty)
+
+  private def checkArgNames(s: Sel, allowed: Set[String]): Unit =
+    s.args.foreach { case (k, _) =>
+      if (!allowed(k)) throw ParseError(s"${s.name}: unknown argument '$k'") }
+
+  private def toNested(s: Sel): NestedQuery = {
+    checkArgNames(s, Set("condition", "first", "orderBy", "desc"))
+    val sels = s.children.map { c =>
+      if (c.children.nonEmpty)
+        throw ParseError(s"${s.name}.${c.name}: relations nest one level only")
+      c.name
+    }
+    if (sels.isEmpty) throw ParseError(s"${s.name}: empty selection set")
+    NestedQuery(s.name, argCondition(s.args), argLong(s.args, "first"),
+      argStr(s.args, "orderBy"), argBool(s.args, "desc"), sels.distinct)
+  }
+
+  private def toFieldQuery(s: Sel): FieldQuery = {
+    checkArgNames(s, Set("condition", "first", "offset", "orderBy", "desc", "after"))
+    val cols = scala.collection.mutable.ListBuffer[String]()
+    val nested = scala.collection.mutable.ListBuffer[NestedQuery]()
+    var wantEdges = false
+    var pageInfo = Seq.empty[String]
+    def addCols(cs: Seq[Sel], ctx: String): Unit = cs.foreach { c =>
+      if (c.children.nonEmpty) throw ParseError(s"$ctx.${c.name}: expected a scalar field")
+      if (!cols.contains(c.name)) cols += c.name
+    }
+    s.children.foreach {
+      case Sel("totalCount", _, Nil) => () // always emitted
+      case Sel("nodes", _, kids) if kids.nonEmpty => addCols(kids, "nodes")
+      case Sel("edges", _, kids) if kids.nonEmpty =>
+        wantEdges = true
+        kids.foreach {
+          case Sel("cursor", _, Nil) => ()
+          case Sel("node", _, nodeKids) if nodeKids.nonEmpty => addCols(nodeKids, "node")
+          case other => throw ParseError(
+            s"edges.${other.name}: expected 'cursor' or 'node { … }'")
+        }
+      case Sel("pageInfo", _, kids) if kids.nonEmpty =>
+        kids.foreach { k =>
+          if (k.children.nonEmpty || !PageInfoFields.contains(k.name))
+            throw ParseError(s"pageInfo.${k.name}: expected one of ${PageInfoFields.mkString(", ")}")
+        }
+        pageInfo = kids.map(_.name)
+      case c if c.children.nonEmpty => nested += toNested(c)
+      case c => if (!cols.contains(c.name)) cols += c.name
+    }
+    if (cols.isEmpty && nested.isEmpty)
+      throw ParseError(s"${s.name}: empty selection set")
+    FieldQuery(s.name, argCondition(s.args), argLong(s.args, "first"),
+      argLong(s.args, "offset"), argStr(s.args, "orderBy"), argBool(s.args, "desc"),
+      cols.toSeq, argStr(s.args, "after"), wantEdges, pageInfo, nested.toSeq)
+  }
+
+  /** Parse a document into root field queries. Introspection roots
+    * (`__schema`/`__type`) are rejected here — [[execute]] handles them
+    * before this interpretation. */
+  def parse(q: String): Seq[FieldQuery] =
+    new Parser(tokenize(q)).document().map { s =>
+      if (s.name.startsWith("__"))
+        throw ParseError(s"${s.name}: introspection is only served over execute()")
+      toFieldQuery(s)
+    }
 
   // ---- compilation ---------------------------------------------------
 
@@ -216,20 +335,48 @@ object GraphQL {
   val DefaultPageSize = 100L
   val MaxPageSize = 10000L
 
-  private def whereClause(f: FieldQuery, checkCol: String => String): String =
-    if (f.condition.isEmpty) ""
-    else " where " + f.condition.map { case (k, v) =>
+  /** Opaque relay-style cursor: base64 of the row's absolute offset in
+    * the field's total order. `after` resumes one past it — for an
+    * offset-paginated backend the cursor IS the offset, the opacity is
+    * the API contract (clients must not fabricate cursors). */
+  private[serving] def encodeCursor(pos: Long): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s"o:$pos".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[serving] def decodeCursor(s: String): Long = {
+    val decoded =
+      try new String(java.util.Base64.getDecoder.decode(s),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: IllegalArgumentException => throw ParseError(s"malformed cursor '$s'") }
+    if (!decoded.startsWith("o:")) throw ParseError(s"malformed cursor '$s'")
+    try decoded.stripPrefix("o:").toLong
+    catch { case _: NumberFormatException => throw ParseError(s"malformed cursor '$s'") }
+  }
+
+  /** Resolve the page window: (limit, absolute offset). `after` is the
+    * cursor base, explicit `offset` stacks on top of it. */
+  private def pageWindow(f: FieldQuery, defaultFirst: Long, maxFirst: Long): (Long, Long) = {
+    f.first.foreach(n => if (n < 0) throw ParseError(s"first: must be non-negative, got $n"))
+    f.offset.foreach(n => if (n < 0) throw ParseError(s"offset: must be non-negative, got $n"))
+    val cursorBase = f.after.map(c => decodeCursor(c) + 1).getOrElse(0L)
+    (math.min(f.first.getOrElse(defaultFirst), maxFirst),
+      cursorBase + f.offset.getOrElse(0L))
+  }
+
+  private def whereClause(conds: Seq[(String, Any)], checkCol: String => String): String =
+    if (conds.isEmpty) ""
+    else " where " + conds.map { case (k, v) =>
       if (v == null) s"${checkCol(k)} is null" else s"${checkCol(k)} = ${sqlLiteral(v)}"
     }.mkString(" and ")
 
-  private def colChecker(spark: SparkSession, f: FieldQuery): String => String = {
+  private def colChecker(spark: SparkSession, view: String): String => String = {
     val schema =
-      try spark.table(f.view).schema
-      catch { case _: Exception => throw ParseError(s"unknown table or view '${f.view}'") }
+      try spark.table(view).schema
+      catch { case _: Exception => throw ParseError(s"unknown table or view '$view'") }
     val cols = schema.fieldNames.toSet
     (c: String) =>
       if (cols(c)) s"`$c`"
-      else throw ParseError(s"'${f.view}' has no field '$c' (has: ${schema.fieldNames.mkString(", ")})")
+      else throw ParseError(s"'$view' has no field '$c' (has: ${schema.fieldNames.mkString(", ")})")
   }
 
   /** Compile one root field to a single Spark SQL statement. Every
@@ -237,18 +384,20 @@ object GraphQL {
     * views and fields fail here, and names never reach the SQL text
     * unvalidated. The LIMIT is always present: `first` defaults to
     * `defaultFirst` and is clamped to `maxFirst` (negative is an
-    * error), so the compiled statement is bounded by construction. */
+    * error), so the compiled statement is bounded by construction.
+    * `extraCols` are appended AFTER the visible selections (relation
+    * parent keys the response renderer needs but the client didn't
+    * select). */
   def compile(spark: SparkSession, f: FieldQuery,
               defaultFirst: Long = DefaultPageSize,
-              maxFirst: Long = MaxPageSize): String = {
-    val checkCol = colChecker(spark, f)
-    val select = f.selections.map(checkCol).mkString(", ")
+              maxFirst: Long = MaxPageSize,
+              extraCols: Seq[String] = Nil): String = {
+    val checkCol = colChecker(spark, f.view)
+    val select = (f.selections ++ extraCols).map(checkCol).mkString(", ")
     val order = f.orderBy.map(c => s" order by ${checkCol(c)}" + (if (f.desc) " desc" else "")).getOrElse("")
-    f.first.foreach(n => if (n < 0) throw ParseError(s"first: must be non-negative, got $n"))
-    f.offset.foreach(n => if (n < 0) throw ParseError(s"offset: must be non-negative, got $n"))
-    val effectiveFirst = math.min(f.first.getOrElse(defaultFirst), maxFirst)
-    val offset = f.offset.map(n => s" offset $n").getOrElse("")
-    s"select $select from `${f.view}`${whereClause(f, checkCol)}$order limit $effectiveFirst$offset"
+    val (limit, offset) = pageWindow(f, defaultFirst, maxFirst)
+    val offsetSql = if (offset > 0) s" offset $offset" else ""
+    s"select $select from `${f.view}`${whereClause(f.condition, checkCol)}$order limit $limit$offsetSql"
   }
 
   /** The `totalCount` twin of [[compile]]: same view, same WHERE, no
@@ -256,9 +405,119 @@ object GraphQL {
     * `totalCount` is the number of rows matching the condition, not
     * the page length. */
   def compileCount(spark: SparkSession, f: FieldQuery): String = {
-    val checkCol = colChecker(spark, f)
-    s"select count(*) from `${f.view}`${whereClause(f, checkCol)}"
+    val checkCol = colChecker(spark, f.view)
+    s"select count(*) from `${f.view}`${whereClause(f.condition, checkCol)}"
   }
+
+  /** Compile a relation's child query for one parent page: key IN-list
+    * (the page's ≤ maxFirst distinct parent keys) + per-parent
+    * `row_number` cap — ONE bounded statement for the whole page, the
+    * compiled form of the dataloader pattern. Default per-parent order
+    * is the child key (stable paging needs an explicit orderBy, same
+    * contract as the root field). */
+  def compileNested(spark: SparkSession, n: NestedQuery, rel: Relation,
+                    parentKeys: Seq[Any],
+                    defaultFirst: Long = DefaultPageSize,
+                    maxFirst: Long = MaxPageSize): String = {
+    val checkCol = colChecker(spark, rel.childView)
+    n.first.foreach(x => if (x < 0) throw ParseError(s"first: must be non-negative, got $x"))
+    val childFirst = math.min(n.first.getOrElse(defaultFirst), maxFirst)
+    val key = checkCol(rel.childKey)
+    val sels = n.selections.map(checkCol).mkString(", ")
+    val ord = n.orderBy.map(c => checkCol(c) + (if (n.desc) " desc" else "")).getOrElse(key)
+    val inList = parentKeys.map(sqlLiteral).mkString(", ")
+    val keyFilter = s" where $key in ($inList)"
+    val conds = whereClause(n.condition, checkCol)
+      .replaceFirst("^ where ", " and ") // appended after the IN-list filter
+    s"""select __k, $sels from (
+       |  select $key as __k, $sels,
+       |    row_number() over (partition by $key order by $ord) as __rn
+       |  from `${rel.childView}`$keyFilter$conds
+       |) where __rn <= $childFirst""".stripMargin
+  }
+
+  // ---- introspection -------------------------------------------------
+
+  /** Spark type → GraphQL (type name, kind), Postgraphile's scalar
+    * naming where one exists. */
+  private def gqlType(dt: DataType): (String, String) = dt match {
+    case LongType => ("BigInt", "SCALAR")
+    case IntegerType | ShortType | ByteType => ("Int", "SCALAR")
+    case DoubleType | FloatType => ("Float", "SCALAR")
+    case StringType => ("String", "SCALAR")
+    case BooleanType => ("Boolean", "SCALAR")
+    case TimestampType | TimestampNTZType => ("Datetime", "SCALAR")
+    case DateType => ("Date", "SCALAR")
+    case _: DecimalType => ("BigFloat", "SCALAR")
+    case BinaryType => ("Base64EncodedBinary", "SCALAR")
+    case _: ArrayType => ("List", "LIST")
+    case _: StructType => ("Struct", "OBJECT")
+    case _ => ("String", "SCALAR")
+  }
+
+  private def renderTypeRef(node: ObjectNode, sels: Seq[Sel], dt: DataType): Unit = {
+    val (name, kind) = gqlType(dt)
+    sels.foreach {
+      case Sel("name", _, Nil) => node.put("name", name)
+      case Sel("kind", _, Nil) => node.put("kind", kind)
+      case other => throw ParseError(s"type.${other.name}: unsupported introspection field")
+    }
+  }
+
+  private def renderObjectType(node: ObjectNode, sels: Seq[Sel],
+                               typeName: String, schema: Option[StructType]): Unit =
+    sels.foreach {
+      case Sel("name", _, Nil) => node.put("name", typeName)
+      case Sel("kind", _, Nil) => node.put("kind", "OBJECT")
+      case Sel("fields", _, kids) =>
+        schema match {
+          case None => node.putNull("fields")
+          case Some(st) =>
+            val arr = node.putArray("fields")
+            st.fields.foreach { sf =>
+              val fo = arr.addObject()
+              kids.foreach {
+                case Sel("name", _, Nil) => fo.put("name", sf.name)
+                case Sel("type", _, tKids) => renderTypeRef(fo.putObject("type"), tKids, sf.dataType)
+                case other => throw ParseError(s"fields.${other.name}: unsupported introspection field")
+              }
+            }
+        }
+      case other => throw ParseError(s"${other.name}: unsupported introspection field")
+    }
+
+  private def catalogTypes(spark: SparkSession): Seq[(String, StructType)] =
+    spark.catalog.listTables().collect().toSeq
+      .map(t => t.name -> spark.table(t.name).schema)
+
+  private def renderIntrospection(spark: SparkSession, data: ObjectNode, s: Sel): Unit =
+    s.name match {
+      case "__schema" =>
+        val out = data.putObject("__schema")
+        s.children.foreach {
+          case Sel("queryType", _, kids) =>
+            val qt = out.putObject("queryType")
+            kids.foreach {
+              case Sel("name", _, Nil) => qt.put("name", "Query")
+              case other => throw ParseError(s"queryType.${other.name}: unsupported introspection field")
+            }
+          case Sel("types", _, kids) =>
+            val arr = out.putArray("types")
+            catalogTypes(spark).foreach { case (name, schema) =>
+              renderObjectType(arr.addObject(), kids, name, Some(schema))
+            }
+          case other => throw ParseError(s"__schema.${other.name}: unsupported introspection field")
+        }
+      case "__type" =>
+        val name = argStr(s.args, "name")
+          .getOrElse(throw ParseError("__type: missing name argument"))
+        catalogTypes(spark).find(_._1 == name) match {
+          case None => data.putNull("__type")
+          case Some((n, schema)) =>
+            renderObjectType(data.putObject("__type"), s.children, n, Some(schema))
+        }
+      case other => throw ParseError(s"$other: unknown introspection field")
+    }
 
   // ---- execution -----------------------------------------------------
 
@@ -284,30 +543,22 @@ object GraphQL {
   /** Execute a GraphQL document against the session catalog; returns
     * the response JSON (`{"data": …}` or `{"errors": [{"message": …}]}`
     * — the GraphQL wire contract). Each root field yields
-    * `{"nodes": [...], "totalCount": N}`, Postgraphile's connection
-    * shape: `nodes` is the (always-bounded) page, `totalCount` is the
-    * full match count from a separate count(*) with the same WHERE —
-    * an aggregate, so it collects one row no matter the view size. */
+    * Postgraphile's connection shape: `nodes` (the always-bounded
+    * page), `totalCount` (full match count from a separate count(*) —
+    * an aggregate, so it collects one row no matter the view size),
+    * plus `edges`/`pageInfo` when selected. Selected relations run as
+    * one additional bounded query each (see [[compileNested]]). */
   def execute(spark: SparkSession, query: String,
               defaultFirst: Long = DefaultPageSize,
-              maxFirst: Long = MaxPageSize): String = {
+              maxFirst: Long = MaxPageSize,
+              relations: Relations = Map.empty): String = {
     val root = mapper.createObjectNode()
     try {
-      val fields = parse(query)
+      val roots = new Parser(tokenize(query)).document()
       val data = root.putObject("data")
-      fields.foreach { f =>
-        val df = spark.sql(compile(spark, f, defaultFirst, maxFirst))
-        val rows = df.collect()
-        val total = spark.sql(compileCount(spark, f)).head().getLong(0)
-        val conn = data.putObject(f.view)
-        val nodes: ArrayNode = conn.putArray("nodes")
-        rows.foreach { r =>
-          val o = nodes.addObject()
-          f.selections.zipWithIndex.foreach { case (name, i) =>
-            putValue(o, name, r.get(i))
-          }
-        }
-        conn.put("totalCount", total)
+      roots.foreach { s =>
+        if (s.name.startsWith("__")) renderIntrospection(spark, data, s)
+        else executeField(spark, data, toFieldQuery(s), defaultFirst, maxFirst, relations)
       }
     } catch {
       case e: ParseError =>
@@ -318,6 +569,81 @@ object GraphQL {
         root.putArray("errors").addObject().put("message", e.toString)
     }
     mapper.writeValueAsString(root)
+  }
+
+  private def executeField(spark: SparkSession, data: ObjectNode, f: FieldQuery,
+                           defaultFirst: Long, maxFirst: Long,
+                           relations: Relations): Unit = {
+    // resolve selected relations against the registry up front
+    val viewRels = relations.getOrElse(f.view, Map.empty)
+    val resolved: Seq[(NestedQuery, Relation)] = f.nested.map { n =>
+      viewRels.get(n.field) match {
+        case Some(rel) => (n, rel)
+        case None => throw ParseError(
+          s"'${f.view}' has no relation '${n.field}'" +
+            (if (viewRels.isEmpty) "" else s" (has: ${viewRels.keys.mkString(", ")})"))
+      }
+    }
+    // parent keys ride along as hidden trailing columns
+    val hiddenKeys = resolved.map(_._2.parentKey).distinct.filterNot(f.selections.contains)
+    val df = spark.sql(compile(spark, f, defaultFirst, maxFirst, hiddenKeys))
+    val rows = df.collect()
+    val total = spark.sql(compileCount(spark, f)).head().getLong(0)
+    val (_, pageOffset) = pageWindow(f, defaultFirst, maxFirst)
+
+    // one bounded child query per selected relation, for the whole page
+    def keyIdx(k: String): Int = {
+      val i = f.selections.indexOf(k)
+      if (i >= 0) i else f.selections.length + hiddenKeys.indexOf(k)
+    }
+    val childRows: Seq[(NestedQuery, Relation, Map[Any, Seq[org.apache.spark.sql.Row]])] =
+      resolved.map { case (n, rel) =>
+        val keys = rows.map(_.get(keyIdx(rel.parentKey))).filter(_ != null).distinct.toSeq
+        if (keys.isEmpty) (n, rel, Map.empty[Any, Seq[org.apache.spark.sql.Row]])
+        else {
+          val grouped = spark.sql(
+              compileNested(spark, n, rel, keys, defaultFirst, maxFirst))
+            .collect().toSeq.groupBy(_.get(0))
+          (n, rel, grouped)
+        }
+      }
+
+    val conn = data.putObject(f.view)
+    val nodes: ArrayNode = conn.putArray("nodes")
+    def renderNode(o: ObjectNode, r: org.apache.spark.sql.Row): Unit = {
+      f.selections.zipWithIndex.foreach { case (name, i) => putValue(o, name, r.get(i)) }
+      childRows.foreach { case (n, rel, grouped) =>
+        val arr = o.putArray(n.field)
+        grouped.getOrElse(r.get(keyIdx(rel.parentKey)), Seq.empty).foreach { cr =>
+          val co = arr.addObject()
+          // child row layout: __k at 0, selections from 1
+          n.selections.zipWithIndex.foreach { case (name, i) => putValue(co, name, cr.get(i + 1)) }
+        }
+      }
+    }
+    rows.foreach(r => renderNode(nodes.addObject(), r))
+    conn.put("totalCount", total)
+    if (f.wantEdges) {
+      val edges = conn.putArray("edges")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val e = edges.addObject()
+        e.put("cursor", encodeCursor(pageOffset + i))
+        renderNode(e.putObject("node"), r)
+      }
+    }
+    if (f.pageInfo.nonEmpty) {
+      val pi = conn.putObject("pageInfo")
+      f.pageInfo.foreach {
+        case "hasNextPage" => pi.put("hasNextPage", pageOffset + rows.length < total)
+        case "hasPreviousPage" => pi.put("hasPreviousPage", pageOffset > 0)
+        case "startCursor" =>
+          if (rows.isEmpty) pi.putNull("startCursor")
+          else pi.put("startCursor", encodeCursor(pageOffset))
+        case "endCursor" =>
+          if (rows.isEmpty) pi.putNull("endCursor")
+          else pi.put("endCursor", encodeCursor(pageOffset + rows.length - 1))
+      }
+    }
   }
 
   // ---- HTTP endpoint -------------------------------------------------
@@ -345,7 +671,8 @@ object GraphQL {
   /** Serve `POST /graphql` (body = raw query text, or JSON
     * `{"query": "..."}` — the standard GraphQL HTTP convention) from
     * the given session. Returns the bound port. */
-  def serve(spark: SparkSession, port: Int): com.sun.net.httpserver.HttpServer = {
+  def serve(spark: SparkSession, port: Int,
+            relations: Relations = Map.empty): com.sun.net.httpserver.HttpServer = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/graphql", (ex: com.sun.net.httpserver.HttpExchange) => {
@@ -353,7 +680,7 @@ object GraphQL {
         java.nio.charset.StandardCharsets.UTF_8)
       val query = extractQuery(
         Option(ex.getRequestHeaders.getFirst("Content-Type")), body)
-      val resp = execute(spark, query)
+      val resp = execute(spark, query, relations = relations)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, resp.length)

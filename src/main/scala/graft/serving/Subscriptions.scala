@@ -61,6 +61,9 @@ object Subscriptions {
       val f = fields.head
       if (!knownView(f.view))
         throw ParseError(s"unknown subscribable view '${f.view}'")
+      if (f.nested.nonEmpty || f.wantEdges || f.pageInfo.nonEmpty || f.after.nonEmpty)
+        throw ParseError(
+          "subscriptions deliver flat node rows — relations, edges, pageInfo and cursors are query-only")
       val sub = new Sub(nextId.incrementAndGet(), f)
       subs.put(sub.id, sub)
       sub

@@ -35,10 +35,22 @@ object ServeGraphql {
     pricePath.foreach(p => spark.read.parquet(p).createOrReplaceTempView("price"))
     Abi.registerSqlFunctions(spark)
     EventViews.registerAll(spark, Logs.canonical(logs))
-    GraphQL.serve(spark, port)
+    // declared relations (Postgraphile derives these from FKs; parquet
+    // has none, so the serving layer states them): every log-shaped
+    // view exposes its price rows by address
+    val relations: GraphQL.Relations =
+      if (pricePath.isEmpty) Map.empty
+      else {
+        val priceRel = Map("prices" -> GraphQL.Relation("price", "address", "address"))
+        val viewRels = EventViews.referenceViews.map(e =>
+          e.viewName -> Map("prices" -> GraphQL.Relation("price", "contract_address", "address"))).toMap
+        viewRels ++ Map("logs" -> priceRel, "logs_canonical" -> priceRel)
+      }
+    GraphQL.serve(spark, port, relations)
     println(s"[graphql] http://localhost:$port/graphql ready — tables: logs, " +
       s"logs_canonical${pricePath.map(_ => ", price").getOrElse("")}; " +
-      s"${EventViews.referenceViews.size} views")
+      s"${EventViews.referenceViews.size} views" +
+      (if (relations.nonEmpty) "; relation: prices (by address)" else ""))
     Thread.sleep(Long.MaxValue) // serve until externally stopped
   }
 }

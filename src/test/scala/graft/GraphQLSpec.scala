@@ -152,6 +152,133 @@ class GraphQLSpec extends SparkSpec {
     assert(!resp.has("errors"))
   }
 
+  test("cursor pagination: edges + pageInfo walk the whole view without overlap") {
+    spark.range(95).selectExpr("id").createOrReplaceTempView("gql_walk")
+    var after = ""
+    val seen = scala.collection.mutable.ListBuffer[Long]()
+    var hasNext = true
+    var pages = 0
+    while (hasNext && pages < 20) {
+      val afterArg = if (after.isEmpty) "" else s""", after: "$after""""
+      val resp = mapper.readTree(GraphQL.execute(spark,
+        s"""{ gql_walk(first: 30, orderBy: "id"$afterArg)
+          |  { edges { cursor node { id } }
+          |    pageInfo { hasNextPage hasPreviousPage startCursor endCursor } } }""".stripMargin))
+      assert(!resp.has("errors"), resp.toString)
+      val conn = resp.get("data").get("gql_walk")
+      val edges = conn.get("edges")
+      (0 until edges.size).foreach(i => seen += edges.get(i).get("node").get("id").asLong)
+      val pi = conn.get("pageInfo")
+      assert(pi.get("hasPreviousPage").asBoolean === (pages > 0))
+      // the last edge's cursor IS pageInfo.endCursor
+      if (edges.size > 0)
+        assert(edges.get(edges.size - 1).get("cursor").asText === pi.get("endCursor").asText)
+      hasNext = pi.get("hasNextPage").asBoolean
+      after = pi.get("endCursor").asText
+      pages += 1
+    }
+    // 95 rows at page size 30 → 4 pages, every id exactly once, in order
+    assert(pages === 4)
+    assert(seen.toSeq === (0L until 95L))
+    // cursors are opaque: a fabricated one errors instead of guessing
+    val bad = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_walk(after: "garbage!") { id } }"""))
+    assert(bad.get("errors").get(0).get("message").asText.contains("malformed cursor"))
+  }
+
+  test("nodes-explicit connection form selects the same columns") {
+    registerFixture()
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(condition: {address: "0xaaa"}, orderBy: "block_number")
+        |  { nodes { block_number amount } totalCount } }""".stripMargin))
+    val conn = resp.get("data").get("gql_logs")
+    assert(conn.get("totalCount").asInt === 2)
+    assert(conn.get("nodes").get(0).get("amount").asLong === 3L)
+  }
+
+  test("introspection: __schema lists catalog types, __type resolves one") {
+    registerFixture()
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ __schema { queryType { name }
+        |    types { name kind fields { name type { name kind } } } } }""".stripMargin))
+    assert(!resp.has("errors"), resp.toString)
+    val schema = resp.get("data").get("__schema")
+    assert(schema.get("queryType").get("name").asText === "Query")
+    val types = schema.get("types")
+    val names = (0 until types.size).map(i => types.get(i).get("name").asText)
+    assert(names.contains("gql_logs"))
+    val t = types.get(names.indexOf("gql_logs"))
+    assert(t.get("kind").asText === "OBJECT")
+    val fields = t.get("fields")
+    val fnames = (0 until fields.size).map(i => fields.get(i).get("name").asText)
+    assert(fnames === Seq("address", "block_number", "amount", "transaction_hash", "removed"))
+    assert(fields.get(1).get("type").get("name").asText === "BigInt")
+    assert(fields.get(0).get("type").get("name").asText === "String")
+    assert(fields.get(4).get("type").get("name").asText === "Boolean")
+
+    val one = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "gql_logs") { name fields { name type { name } } } }"""))
+    val tt = one.get("data").get("__type")
+    assert(tt.get("name").asText === "gql_logs")
+    assert(tt.get("fields").size === 5)
+    // unknown type name resolves to null, per the GraphQL contract
+    val none = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "nope") { name } }"""))
+    assert(none.get("data").get("__type").isNull)
+  }
+
+  test("nested relations: one bounded child query per page, grouped per parent") {
+    registerFixture()
+    Seq(("0xaaa", 5L, 1.0), ("0xaaa", 6L, 2.0), ("0xaaa", 7L, 3.0),
+        ("0xbbb", 5L, 9.0))
+      .toDF("address", "pblock", "price_usd").createOrReplaceTempView("gql_price")
+    val rels: GraphQL.Relations = Map(
+      "gql_logs" -> Map("prices" -> GraphQL.Relation("gql_price", "address", "address")))
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(orderBy: "block_number")
+        |  { block_number address
+        |    prices(orderBy: "pblock", desc: true, first: 2) { pblock price_usd } } }""".stripMargin,
+      relations = rels))
+    assert(!resp.has("errors"), resp.toString)
+    val nodes = resp.get("data").get("gql_logs").get("nodes")
+    assert(nodes.size === 4)
+    // 0xaaa parents carry the TOP-2 prices by pblock desc (7, 6) — the
+    // per-parent row_number cap, not a truncation of the whole child set
+    val aaa = nodes.get(0).get("prices")
+    assert(aaa.size === 2)
+    assert(aaa.get(0).get("pblock").asLong === 7L)
+    assert(aaa.get(1).get("pblock").asLong === 6L)
+    // 0xbbb parent gets ONLY its own row
+    val bbb = nodes.get(2).get("prices")
+    assert(bbb.size === 1)
+    assert(bbb.get(0).get("price_usd").asDouble === 9.0)
+    // child condition narrows inside the relation
+    val cond = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(condition: {address: "0xaaa"}, first: 1, orderBy: "block_number")
+        |  { block_number prices(condition: {pblock: 6}) { price_usd } } }""".stripMargin,
+      relations = rels))
+    val p = cond.get("data").get("gql_logs").get("nodes").get(0).get("prices")
+    assert(p.size === 1 && p.get(0).get("price_usd").asDouble === 2.0)
+    // unknown relation name is an error naming the known ones
+    val err = mapper.readTree(GraphQL.execute(spark,
+      "{ gql_logs { block_number nope { x } } }", relations = rels))
+    assert(err.get("errors").get(0).get("message").asText.contains("no relation"))
+    // relations are never selectable without a registry entry
+    val bare = mapper.readTree(GraphQL.execute(spark,
+      "{ gql_logs { block_number prices { pblock } } }"))
+    assert(bare.get("errors").get(0).get("message").asText.contains("no relation"))
+  }
+
+  test("subscriptions reject query-only connection features") {
+    val hub = new graft.serving.Subscriptions.Hub()
+    intercept[GraphQL.ParseError](
+      hub.subscribe("subscription { logs { address prices { x } } }"))
+    intercept[GraphQL.ParseError](
+      hub.subscribe("subscription { logs { edges { node { address } } } }"))
+    intercept[GraphQL.ParseError](
+      hub.subscribe("""subscription { logs(after: "x") { address } }"""))
+  }
+
   test("serves the decoded reference views end-to-end over HTTP") {
     // synthetic Transfer logs → registered views → HTTP round-trip,
     // the full E3 path (docker-compose.yaml:46-72 analog)
