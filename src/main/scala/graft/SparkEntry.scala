@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Abi, Text}
-import graft.operators.{AsOfJoin, Dedup, EventViews, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Corpus, Dedup, EventViews, Multimodal, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -734,6 +734,37 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // Corpus TF-IDF under the gate: termFrequencies → df join → top-3
+    // terms per doc. Scored with the exact linear ratio tf*N/df (IEEE
+    // +,*,/ are correctly rounded → bitwise-identical across engines;
+    // log is not — the log form is spec'd instead, Corpus.tfidf).
+    "q58_tfidf_topterms" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val tf = Corpus.termFrequencies(docs, "doc_id", "text")
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, Seq("term"))
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast(DoubleType) *
+            (lit(n).cast(DoubleType) / col("df").cast(DoubleType))).as("score"))
+      scored.withColumn("_rn",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("term"))))
+        .filter(col("_rn") <= 3)
+        .drop("_rn")
+        .orderBy(col("doc_id"), col("term"))
+    },
+
+    // Deterministic stratified sampling under the gate: every 7th doc
+    // per language in doc_id order (Corpus.systematicSample — the
+    // SQL-expressible variant; the shuffle-free hashSample is spec'd).
+    "q59_stratified_sample" -> { (s, dir) =>
+      Corpus.systematicSample(
+          Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", every = 7)
+        .orderBy(col("doc_id"))
+    },
+
     // Persisted IVF index under the gate: k-means-train the centroids
     // in Spark (2 Lloyd rounds), build the cell-partitioned parquet
     // index, then query it with nprobe = all cells — which degenerates
@@ -1256,6 +1287,29 @@ object SparkEntry {
         |where cast(len(list_intersect(a.s, b.s)) as double)
         |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) >= 0.6
         |order by id_a, id_b""".stripMargin,
+
+    "q58_tfidf_topterms" ->
+      s"""with d as (select doc_id, $OracleNorm as norm from documents),
+        |t as (select doc_id, unnest(string_split(norm, ' ')) as term from d),
+        |tf as (select doc_id, term, count(*) as tf from t
+        |  where term <> '' group by doc_id, term),
+        |dfreq as (select term, count(*) as df from tf group by term),
+        |n as (select count(*) as n from documents),
+        |s as (select tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    cast(tf.tf as double) * (cast(n.n as double) / cast(dfreq.df as double)) as score
+        |  from tf join dfreq using (term) cross join n),
+        |r as (select *, row_number() over (partition by doc_id
+        |    order by score desc, term) as rn from s)
+        |select doc_id, term, cast(tf as bigint) as tf, cast(df as bigint) as df, score
+        |from r where rn <= 3
+        |order by doc_id, term""".stripMargin,
+
+    "q59_stratified_sample" ->
+      """with r as (select doc_id, lang,
+        |    row_number() over (partition by lang order by doc_id) as rn
+        |  from documents)
+        |select doc_id, lang from r where (rn - 1) % 7 = 0
+        |order by doc_id""".stripMargin,
 
     "q57_dup_clusters" ->
       s"""with recursive d as (select doc_id, string_split($OracleNorm, ' ') as w from documents),
