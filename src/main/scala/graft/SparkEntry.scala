@@ -765,6 +765,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Int8-quantized similarity under the gate: symmetric per-vector
+    // quantization (scale = max|x|/127), integer code dot × scales.
+    // Integer-valued double accumulation is order-independent-EXACT,
+    // so the quantized top-k hash-matches the DuckDB twin — the
+    // memory-quartering ANN variant gated as hard as the exact one.
+    "q60_int8_quantized_topk" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val staged = e.select(col("vec_id"), col("embedding"))
+        .withColumn("scale", Similarity.int8Scale(col("embedding")))
+        .withColumn("codes", Similarity.int8Codes(col("embedding"), col("scale")))
+      val q = staged.filter(col("vec_id") === 0)
+        .select(col("codes").as("qcodes"), col("scale").as("qscale"))
+      staged.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Similarity.int8Dot(col("codes"), col("scale"),
+            col("qcodes"), col("qscale")).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(20)
+    },
+
     // Persisted IVF index under the gate: k-means-train the centroids
     // in Spark (2 Lloyd rounds), build the cell-partitioned parquet
     // index, then query it with nprobe = all cells — which degenerates
@@ -1287,6 +1307,21 @@ object SparkEntry {
         |where cast(len(list_intersect(a.s, b.s)) as double)
         |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) >= 0.6
         |order by id_a, id_b""".stripMargin,
+
+    "q60_int8_quantized_topk" ->
+      """with s as (select vec_id,
+        |    greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-30) / 127.0 as scale,
+        |    embedding from embeddings),
+        |c as (select vec_id, scale,
+        |    list_transform(embedding, x -> cast(round(cast(x as double) / scale) as int)) as codes
+        |  from s),
+        |q as (select codes as qcodes, scale as qscale from c where vec_id = 0)
+        |select c.vec_id,
+        |  list_sum(list_transform(list_zip(c.codes, q.qcodes),
+        |    p -> cast(p[1] as double) * cast(p[2] as double))) * c.scale * q.qscale as score
+        |from c cross join q
+        |order by score desc, vec_id
+        |limit 20""".stripMargin,
 
     "q58_tfidf_topterms" ->
       s"""with d as (select doc_id, $OracleNorm as norm from documents),

@@ -44,6 +44,35 @@ object Similarity {
   private def litVec(v: Array[Float]): Column =
     array(v.map(x => lit(x)): _*)
 
+  /** Symmetric per-vector int8 quantization scale: `max|x| / 127`
+    * (a tiny floor guards the zero vector — its codes quantize to 0
+    * instead of NaN). Float max promotes to double exactly; the
+    * division is one correctly-rounded op — engine-reproducible. */
+  def int8Scale(vec: Column): Column =
+    greatest(array_max(transform(vec, x => abs(x))), lit(1e-30))
+      .cast(DoubleType) / lit(127.0)
+
+  /** Int8 codes `round(x / scale)` for a STAGED scale column (stage
+    * both as named columns — the HOF-staging contract; the lambda body
+    * here is one divide + round per element). Codes live in [-127,127]
+    * so a 4-byte-per-dim float column ships as 1 byte + one scale —
+    * the memory/IO quarter that makes billion-vector ANN fit. */
+  def int8Codes(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast(DoubleType) / scale).cast(IntegerType))
+
+  /** Approximate dot product from staged codes + scales:
+    * `(codesA · codesB) * scaleA * scaleB`. The code dot runs through
+    * the native [[dot]] kernel over integer-VALUED doubles — every
+    * product and partial sum is an exact integer (|sum| ≤ 127²·dim ≪
+    * 2^53), so the accumulation is order-independent-exact and the
+    * result matches any engine's integer math bit-for-bit; the two
+    * scale multiplies are correctly-rounded IEEE ops. That exactness
+    * is what lets a *quantized* similarity be hash-gated (q60), not
+    * just spec'd approximately. */
+  def int8Dot(codesA: Column, scaleA: Column, codesB: Column, scaleB: Column): Column =
+    dot(codesA.cast(ArrayType(DoubleType)), codesB.cast(ArrayType(DoubleType))) *
+      scaleA * scaleB
+
   /** Exact top-k nearest to `query` by the given measure. */
   def bruteForceTopK(
       embeddings: DataFrame,

@@ -355,6 +355,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(narrow.count() === 5)
   }
 
+  test("int8 quantization: bounded codes, zero-vector safe, tracks exact cosine") {
+    val e = Tables(spark, sf, "embeddings")
+    val staged = e.select($"vec_id", $"embedding")
+      .withColumn("scale", Similarity.int8Scale($"embedding"))
+      .withColumn("codes", Similarity.int8Codes($"embedding", $"scale"))
+    // codes live in [-127, 127]
+    val outOfRange = staged
+      .filter(exists($"codes", c => abs(c) > 127)).count()
+    assert(outOfRange === 0L)
+    // zero vector: scale floor keeps codes at 0, no NaN/null
+    val z = Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+      .withColumn("scale", Similarity.int8Scale($"embedding"))
+      .withColumn("codes", Similarity.int8Codes($"embedding", $"scale"))
+      .select($"codes").collect()(0).getSeq[Int](0)
+    assert(z.forall(_ == 0))
+    // quantized dot approximates the exact dot within the rounding
+    // error bound: |err| <= scaleA*scaleB*(127*dim/2 + dim/4) roughly;
+    // empirically relative error on real vectors stays small
+    val q = staged.filter($"vec_id" === 5)
+      .select($"codes".as("qc"), $"scale".as("qs"), $"embedding".as("qv"))
+    val cmp = staged.crossJoin(broadcast(q))
+      .select($"vec_id",
+        Similarity.int8Dot($"codes", $"scale", $"qc", $"qs").as("approx"),
+        Similarity.dot($"embedding", $"qv").as("exact"))
+      .collect()
+    val maxAbsExact = cmp.map(r => math.abs(r.getDouble(2))).max
+    cmp.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 0.02 * maxAbsExact + 1e-6,
+        s"vec ${r.getLong(0)}: approx ${r.getDouble(1)} vs exact ${r.getDouble(2)}")
+    }
+    // and the quantized top-10 mostly agrees with the exact top-10
+    val exactTop = cmp.sortBy(r => (-r.getDouble(2), r.getLong(0))).take(10).map(_.getLong(0)).toSet
+    val qTop = cmp.sortBy(r => (-r.getDouble(1), r.getLong(0))).take(10).map(_.getLong(0)).toSet
+    assert((exactTop & qTop).size >= 8, s"overlap ${(exactTop & qTop).size}")
+  }
+
   test("duplicateClusters labels every member with the component minimum") {
     // two triangles {1,2,3} {10,11,12}, a bridge-free chain {20..24}
     val pairs = Seq(
