@@ -58,8 +58,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","runs":$runs,"wall":$wall}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","runs":$runs,"wall":$wall}"""
+    println(json)
+    // ALSO write the line to a file: the driver captures a bounded tail
+    // of stdout, and with 60 queries the single JSON line exceeded it —
+    // BENCH_r04/r05 each lost five queries (q33 included) to clipping.
+    // A file survives any tail window.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     spark.stop()
   }
 }

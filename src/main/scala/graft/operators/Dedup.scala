@@ -297,26 +297,41 @@ object Dedup {
     * not O(diameter), so a 10k-long chain of near-dups (the
     * boilerplate-drift worst case) converges in ~14 rounds instead of
     * 10k. Both tables are candidate-pair-sized — they track duplicate
-    * density, not corpus size. Labels are `localCheckpoint`ed each
-    * round to truncate the iterative lineage (the same discipline
-    * GraphX/GraphFrames apply; at 100 TB you would checkpoint to
-    * reliable storage instead so a lost executor does not replay the
-    * whole iteration history). The per-round `count` of changed labels
-    * is a scalar aggregate — metadata-scale driver traffic, not a
-    * collect of rows.
+    * density, not corpus size. Labels are checkpointed each round to
+    * truncate the iterative lineage (the same discipline
+    * GraphX/GraphFrames apply). With no `checkpointDir` the truncation
+    * is `localCheckpoint` — blocks live on executors, so a lost
+    * executor mid-iteration kills the job (acceptable in one-JVM/local
+    * runs). At 100 TB pass `checkpointDir`: each round then writes to
+    * reliable storage via `Dataset.checkpoint`, and executor loss
+    * replays at most one round instead of the whole iteration history.
+    * The per-round `count` of changed labels is a scalar aggregate —
+    * metadata-scale driver traffic, not a collect of rows.
+    *
+    * @param checkpointDir reliable-checkpoint directory (HDFS/S3/...);
+    *                      set once on the SparkContext for the session.
+    *                      None → `localCheckpoint` (fast, fragile).
     */
   def duplicateClusters(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach { dir =>
+      // idempotent: setting the same dir twice is a no-op; a session
+      // already pointed elsewhere keeps its configured dir
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(dir)
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e0 = pairs.select(col(idA).cast(LongType).as("src"), col(idB).cast(LongType).as("dst"))
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint()
+    val edges = ckpt(e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -325,17 +340,15 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster").as("_nc")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("_nc")).as("_nmin"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster")))
       // pointer jumping: labels are themselves ids, so one more join
       // rewrites each label to its label's label (path halving)
-      val jumped = stepped
+      val jumped = ckpt(stepped
         .join(stepped.select(col("id").as("cluster"), col("cluster").as("_cc")),
           Seq("cluster"), "left")
-        .select(col("id"), coalesce(col("_cc"), col("cluster")).as("cluster"))
-        .localCheckpoint()
+        .select(col("id"), coalesce(col("_cc"), col("cluster")).as("cluster")))
       changed = jumped
         .join(labels.select(col("id"), col("cluster").as("_old")), Seq("id"))
         .filter(col("cluster") =!= col("_old"))
@@ -394,26 +407,50 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into `bands` chunks
     * (pigeonhole: distance ≤ bands-1 ⇒ some chunk equal), equi-join on
-    * chunks, verify with exact hamming distance. */
+    * chunks, verify with exact hamming distance.
+    *
+    * @param maxBucket drop degenerate `(band, chunk)` buckets larger
+    *                  than this before pairing — the same skew guard as
+    *                  [[minhashCandidates]]. Templated/short-doc corpora
+    *                  produce near-constant simhashes, and one popular
+    *                  chunk value hands a single reducer an n² pair
+    *                  blow-up; true near-dups dropped from a degenerate
+    *                  chunk still collide in their other bands. The
+    *                  groupBy-count is map-side combinable and joins
+    *                  back on the same (band, chunk) key the pair join
+    *                  shuffles on, so the guard adds no extra exchange
+    *                  of the banded table.
+    */
   def simhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDistance: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
     val bits = 64 / bands
     val sigs = simhashDf(df, idCol, textCol)
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
         .as(Seq("band", "chunk")))
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // bucket-size guard, shape-identical to the minhash path: keep only
+    // buckets that can pair (≥2) and aren't degenerate (≤maxBucket)
+    val keepBuckets = banded.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("band"), col("chunk"))
+    val pruned = banded.join(keepBuckets, Seq("band", "chunk"))
+    val l = pruned.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = pruned.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
+      // dedup multi-band collisions on the raw pair (sh is functionally
+      // dependent on id), then compute the distance once per unique pair
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sh_a"), col("sh_b")).as("distance"))
-      .distinct()
       .filter(col("distance") <= maxDistance)
   }
 }

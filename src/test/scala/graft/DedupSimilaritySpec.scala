@@ -304,6 +304,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(coarse.contains((1L, 4L)))
   }
 
+  test("simhashCandidates caps degenerate buckets: identical-doc flood stays bounded") {
+    // 3000 template copies all hash to ONE simhash → every (band, chunk)
+    // bucket holds all 3000 ids; uncapped, the banding self-join hands a
+    // single reducer ~4.5M pairs per band. The cap drops those buckets
+    // wholesale, and the genuine near-dup pair living OUTSIDE the
+    // degenerate hash value keeps its (size-2) buckets and is still found.
+    val flood = spark.range(100L, 3100L)
+      .select($"id".as("doc_id"), lit("buy now limited offer click here").as("text"))
+    val corpus = flood.union(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text"))
+    val capped = Dedup.simhashCandidates(corpus, "doc_id", "text",
+        maxDistance = 12, bands = 16, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L))) // survivor pair unharmed
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      "flood pairs must be dropped by the bucket cap")
+    // and with the cap above the flood size, flood pairs DO appear —
+    // proving the guard (not banding luck) is what bounds the output
+    val unc = Dedup.simhashCandidates(
+        flood.limit(50).union(corpus.filter($"doc_id" < 100L)),
+        "doc_id", "text", maxDistance = 12, bands = 16, maxBucket = 10000)
+    assert(unc.filter($"id_a" >= 100L && $"id_b" >= 100L).count() === 50L * 49 / 2)
+  }
+
   test("brute-force topk: self is most similar, order deterministic") {
     val e = Tables(spark, sf, "embeddings")
     val q = e.filter($"vec_id" === 7).select("embedding").collect()(0).getSeq[Float](0).toArray
@@ -435,6 +461,27 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === want)
+  }
+
+  test("duplicateClusters with a reliable checkpoint dir: same labels, files on disk") {
+    // the 100 TB mode: Dataset.checkpoint to storage instead of
+    // localCheckpoint on executor blocks — identical results, and the
+    // configured dir actually receives per-round RDD checkpoint files
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    assert(got(3L) === 1L && got(12L) === 10L && got(24L) === 20L)
+    def countFiles(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles.map(countFiles).sum else 1
+    assert(countFiles(new java.io.File(dir)) > 0,
+      "reliable checkpoint dir received no files")
   }
 
   test("duplicateClusters on empty pairs returns empty") {
