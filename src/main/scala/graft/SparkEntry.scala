@@ -690,6 +690,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // COLOR JPEG decode under the gate: the DC-lattice contract
+    // extended per channel — exact even Y/Cb/Cr tile constants (4:4:4
+    // on even ids, 4:2:0 on odd; replication upsampling reconstructs
+    // per-MCU chroma exactly) through the full interleaved-MCU decode
+    // and the JFIF YCbCr→RGB formula, per-channel stats vs the DuckDB
+    // twin computing the same floor(x+0.5)-rounded double arithmetic.
+    "q61_jpeg_color_decode" -> { (s, dir) =>
+      Multimodal.decodeColorPixels(
+          Multimodal.syntheticJpegColorMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // REAL WAV sample decode under the gate: 16-bit PCM data written
     // by the mini encoder (RIFF chunk walk, interleaved int16), sample
     // statistics vs the formula twin — a chunk-walk, endianness or
@@ -708,6 +721,18 @@ object SparkEntry {
     "q54_video_frame_stats" -> { (s, dir) =>
       Multimodal.frameStats(
           Multimodal.syntheticVideoMedia(Tables(s, dir, "documents")), stride = 2)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_index"))
+    },
+
+    // COMPOSITED animation under the gate: partial-update rects at
+    // real offsets through the GIF89a canvas model (GCE parse, rect
+    // placement, disposal), every emitted frame the full composited
+    // screen. The twin evaluates the closed form of "latest update
+    // covering quadrant q at frame f" — see syntheticCompositeGifMedia.
+    "q62_gif_composite_frames" -> { (s, dir) =>
+      Multimodal.frameStats(
+          Multimodal.syntheticCompositeGifMedia(Tables(s, dir, "documents")), stride = 1)
         .toDF()
         .orderBy(col("doc_id"), col("frame_index"))
     },
@@ -1540,6 +1565,58 @@ object SparkEntry {
         |from agg
         |order by doc_id""".stripMargin,
 
+    // Per-channel twin of q55's lattice: tile Y/Cb/Cr constants from
+    // the doc_id formulas (4:4:4 per tile on even ids; 4:2:0 per-MCU
+    // chroma on odd ids, so chroma indexes are luma-tile // 2), RGB =
+    // the same JFIF double arithmetic as the decoder (e-notation
+    // literals keep DuckDB in DOUBLE, not DECIMAL; floor(x+0.5) is the
+    // decoder's rounding — exact in both engines). Every tile is a
+    // 64-pixel constant, so sums scale by 64.
+    "q61_jpeg_color_decode" ->
+      """with d as (select doc_id,
+        |    doc_id % 2 = 0 as s444,
+        |    cast(case when doc_id % 2 = 0 then doc_id % 4 + 1
+        |              else 2 * (doc_id % 3 + 1) end as bigint) as bw,
+        |    cast(case when doc_id % 2 = 0 then doc_id % 3 + 1
+        |              else 2 * (doc_id % 2 + 1) end as bigint) as bh
+        |  from documents),
+        | t as (select d.doc_id, d.bw, d.bh,
+        |    2 * ((x.range + 3 * y.range + d.doc_id) % 128) as yv,
+        |    case when d.s444 then 2 * ((2 * x.range + y.range + d.doc_id) % 128)
+        |         else 2 * ((x.range // 2 + 2 * (y.range // 2) + d.doc_id) % 128) end as cbv,
+        |    case when d.s444 then 2 * ((x.range + 2 * y.range + 3 * d.doc_id) % 128)
+        |         else 2 * ((3 * (x.range // 2) + y.range // 2 + d.doc_id) % 128) end as crv
+        |  from d cross join range(0, 6) x cross join range(0, 4) y
+        |  where x.range < d.bw and y.range < d.bh),
+        | rgb as (select doc_id, bw, bh,
+        |    least(255, greatest(0, floor(yv + 1.402e0 * (crv - 128) + 0.5e0))) as r,
+        |    least(255, greatest(0, floor(yv - 0.344136e0 * (cbv - 128)
+        |      - 0.714136e0 * (crv - 128) + 0.5e0))) as g,
+        |    least(255, greatest(0, floor(yv + 1.772e0 * (cbv - 128) + 0.5e0))) as b
+        |  from t),
+        | agg as (select doc_id, bw, bh,
+        |    sum(r) * 64 as rs, sum(g) * 64 as gs, sum(b) * 64 as bs,
+        |    min(r) as rmn, max(r) as rmx, min(g) as gmn, max(g) as gmx,
+        |    min(b) as bmn, max(b) as bmx
+        |  from rgb group by doc_id, bw, bh)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'jpeg' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * 8 end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else bh * 8 end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * bh * 64 end as bigint) as n_pixels,
+        |  cast(case when doc_id % 25 = 0 then 0 else rs end as bigint) as r_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else gs end as bigint) as g_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else bs end as bigint) as b_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else rmn end as int) as r_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else rmx end as int) as r_max,
+        |  cast(case when doc_id % 25 = 0 then 0 else gmn end as int) as g_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else gmx end as int) as g_max,
+        |  cast(case when doc_id % 25 = 0 then 0 else bmn end as int) as b_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else bmx end as int) as b_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
+
     "q53_wav_sample_decode" ->
       """with d as (select doc_id,
         |    8000 + (doc_id % 5) * 8000 as rate,
@@ -1586,6 +1663,35 @@ object SparkEntry {
         |  cast(max(v) as int) as pixel_max
         |from px
         |group by doc_id, fi, w, h
+        |order by doc_id, frame_index""".stripMargin,
+
+    // Closed-form composite: emitted frame fi's quadrant q (4 per
+    // 16×16 screen, 64 px each) shows the latest update frame
+    // fi − ((fi−1−q) mod 4) when fi ≥ q+1, else the frame-0 base —
+    // the mod never sees a negative because the case shields it
+    "q62_gif_composite_frames" ->
+      """with d as (select doc_id,
+        |    doc_id % 8 + 2 as nf,
+        |    (3 * doc_id) % 256 as base
+        |  from documents
+        |  where doc_id % 25 <> 0),
+        | fr as (select d.doc_id, d.base, f.range as fi
+        |  from d cross join range(0, 11) f
+        |  where f.range <= d.nf),
+        | qv as (select fr.doc_id, fr.fi,
+        |    case when fr.fi < q.range + 1 then fr.base
+        |         else (7 * (fr.fi - ((fr.fi - 1 - q.range) % 4)) + fr.doc_id) % 256
+        |    end as v
+        |  from fr cross join range(0, 4) q)
+        |select doc_id,
+        |  cast(fi as int) as frame_index,
+        |  cast(16 as int) as width,
+        |  cast(16 as int) as height,
+        |  cast(sum(v) * 64 as bigint) as pixel_sum,
+        |  cast(min(v) as int) as pixel_min,
+        |  cast(max(v) as int) as pixel_max
+        |from qv
+        |group by doc_id, fi
         |order by doc_id, frame_index""".stripMargin,
 
     // DuckDB's generate_series refuses lateral column bounds, so the

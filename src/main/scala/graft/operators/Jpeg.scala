@@ -1,27 +1,42 @@
 package graft.operators
 
-/** Baseline-sequential JPEG, pure JVM, grayscale (single-component)
-  * only — the last media tier whose sample decode was a declared stub.
+/** Baseline-sequential JPEG, pure JVM — grayscale AND YCbCr color
+  * (1 or 3 components, sampling factors 1–2 per axis: 4:4:4, 4:2:2,
+  * 4:2:0). The last media tier whose sample decode was a declared
+  * stub, now a real decoder on both the luma and chroma paths.
   *
-  * DECODER ([[decodeGray]]): full marker parse (DQT/DHT/SOF0/SOS/DRI,
+  * DECODER ([[decodeImage]]): full marker parse (DQT/DHT/SOF0/SOS/DRI,
   * APPn/COM skipped), canonical Huffman tables (JPEG spec F.2.2.3
   * mincode/maxcode/valptr), byte-unstuffed entropy reader, restart
-  * markers, DC prediction, run/size AC decode with EOB/ZRL,
-  * dequantize + de-zigzag, exact double-precision 8×8 IDCT, level
-  * shift + clamp, partial edge blocks cropped. Multi-component
-  * (color) frames are refused, not mis-decoded.
+  * markers, per-component DC prediction, run/size AC decode with
+  * EOB/ZRL, dequantize + de-zigzag, exact double-precision 8×8 IDCT,
+  * level shift + clamp, interleaved-MCU component planes, chroma
+  * upsampled by sample replication (nearest — the deterministic
+  * choice an oracle can reproduce; libjpeg's "fancy" triangle filter
+  * differs only on non-constant chroma, which the specs account for),
+  * JFIF YCbCr→RGB (R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128)
+  * − 0.714136·(Cr−128), B = Y + 1.772·(Cb−128), floor(x+0.5) then
+  * clamp), partial edge blocks cropped. Progressive scans, 12-bit
+  * precision, 2- or 4-component (CMYK) frames and sampling factors
+  * above 2 are refused, not mis-decoded. [[decodeGray]] keeps its
+  * original contract: single-component files only, color → None.
   *
-  * ENCODER ([[encodeDcOnlyGray]]): a real baseline encoder restricted
-  * to per-8×8-block CONSTANT tiles — each block carries only a DC
-  * coefficient (difference-coded through the standard Annex K DC
-  * table) and an EOB. The point of the restriction: a constant block
-  * with an EVEN value and a flat quant table of 16 reconstructs
-  * BIT-EXACTLY (DC = 8·(c−128)/16 = (c−128)/2 is integral, so
-  * quantization loses nothing and the IDCT of a DC-only block is an
-  * exact constant) — which gives lossy JPEG a deterministic
-  * formula-twin gate. The AC/entropy paths the restriction skips are
-  * covered by the ImageIO cross-check specs (foreign full-AC
-  * gradients, tolerance ±1 per the spec's IDCT accuracy allowance).
+  * ENCODER ([[encodeDcOnlyGray]], [[encodeDcOnlyColor]]): a real
+  * baseline encoder restricted to per-8×8-block CONSTANT tiles — each
+  * block carries only a DC coefficient (difference-coded through the
+  * standard Annex K DC table) and an EOB. The point of the
+  * restriction: a constant block with an EVEN value and a flat quant
+  * table of 16 reconstructs BIT-EXACTLY (DC = 8·(c−128)/16 = (c−128)/2
+  * is integral, so quantization loses nothing and the IDCT of a
+  * DC-only block is an exact constant) — which gives lossy JPEG a
+  * deterministic formula-twin gate, per channel in the color case
+  * (exact Y/Cb/Cr constants feed the exact-double RGB formulas above).
+  * The color encoder writes 4:4:4 (one block per component per MCU)
+  * or 4:2:0 (four Y blocks + one Cb + one Cr per 16×16 MCU, chroma
+  * constant per MCU — which sample replication reconstructs exactly).
+  * The AC/entropy paths the restriction skips are covered by the
+  * ImageIO cross-check specs (foreign full-AC gradients, tolerance ±1
+  * per the spec's IDCT accuracy allowance).
   *
   * Tables: the DC/AC luminance Huffman tables are the public ones
   * from the JPEG standard (ITU T.81 Annex K.3.3).
@@ -144,9 +159,32 @@ object JpegCodec {
   }
 
   /** Decode a baseline-sequential GRAYSCALE JPEG to (w, h, row-major
-    * 8-bit pixels). None for anything else — color frames,
-    * progressive scans, truncation, entropy corruption. */
-  def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    * 8-bit pixels). None for anything else — color frames (use
+    * [[decodeImage]]), progressive scans, truncation, entropy
+    * corruption. */
+  def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeImage(b) match {
+      case Some((w, h, 1, px)) => Some((w, h, px))
+      case _ => None
+    }
+
+  /** Per-frame component state: sampling factors, table ids, and the
+    * decoded plane at the component's natural resolution (padded to
+    * whole blocks). */
+  private final class Comp(val id: Int, val hs: Int, val vs: Int, val tq: Int) {
+    var dcId = 0; var acId = 0
+    var plane: Array[Byte] = null
+    var pw = 0 // plane row stride (blocksAcross * 8)
+    var pred = 0
+  }
+
+  /** Decode a baseline-sequential JPEG to (w, h, channels, pixels):
+    * channels = 1 (grayscale, w·h bytes) or 3 (color, w·h·3
+    * interleaved RGB). Sampling factors 1–2 per axis (4:4:4 / 4:2:2 /
+    * 4:2:0 and transposes); single interleaved scan. None for
+    * progressive/extended frames, 2- or 4-component frames, sampling
+    * factors > 2, truncation, entropy corruption. */
+  def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var i = 2
@@ -154,7 +192,7 @@ object JpegCodec {
     val hDC = scala.collection.mutable.Map[Int, Huff]()
     val hAC = scala.collection.mutable.Map[Int, Huff]()
     var w = 0; var h = 0
-    var compQ = -1 // frame component's quant-table id
+    var comps: Array[Comp] = null
     var dri = 0
     def u16(j: Int) = ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)
     while (i + 4 <= b.length) {
@@ -193,80 +231,149 @@ object JpegCodec {
             if (b(seg) != 8) return None // 8-bit precision only
             h = u16(seg + 1); w = u16(seg + 3)
             val nComp = b(seg + 5) & 0xff
-            if (nComp != 1) return None // grayscale only — refuse color
-            if ((b(seg + 7) & 0xff) != 0x11) return None // 1x1 sampling
-            compQ = b(seg + 8) & 0xff
+            if (nComp != 1 && nComp != 3) return None // gray or YCbCr only
+            if (i + 2 + len < seg + 6 + 3 * nComp) return None
+            comps = Array.tabulate(nComp) { c =>
+              val o = seg + 6 + 3 * c
+              val hv = b(o + 1) & 0xff
+              new Comp(b(o) & 0xff, hv >> 4, hv & 0x0f, b(o + 2) & 0xff)
+            }
+            if (comps.exists(c => c.hs < 1 || c.hs > 2 || c.vs < 1 || c.vs > 2))
+              return None // sampling factors 1–2 only
+            if (nComp == 1 && (comps(0).hs != 1 || comps(0).vs != 1))
+              return None // single-component frames are 1x1 by contract
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // non-baseline frame types
           case 0xdd => // DRI
             dri = u16(seg)
           case 0xda => // SOS — entropy data follows
-            if (w <= 0 || h <= 0 || compQ < 0) return None
+            if (w <= 0 || h <= 0 || comps == null) return None
+            // cap BEFORE allocation: dims are untrusted and the output
+            // is w·h·channels bytes plus same-order component planes
             if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
-              w.toLong * h > Multimodal.PixelCodec.MaxPixels) return None
+              w.toLong * h * comps.length > Multimodal.PixelCodec.MaxPixels) return None
             val ns = b(seg) & 0xff
-            if (ns != 1) return None
-            val dcId = (b(seg + 2) & 0xff) >> 4
-            val acId = b(seg + 2) & 0x0f
-            val q = qt.getOrElse(compQ, return None)
-            val dc = hDC.getOrElse(dcId, return None)
-            val ac = hAC.getOrElse(acId, return None)
+            if (ns != comps.length) return None // one interleaved scan
+            var j = seg + 1
+            var si = 0
+            while (si < ns) {
+              val cid = b(j) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.dcId = (b(j + 1) & 0xff) >> 4
+              c.acId = b(j + 1) & 0x0f
+              j += 2; si += 1
+            }
+            val hmax = comps.map(_.hs).max
+            val vmax = comps.map(_.vs).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            comps.foreach { c =>
+              c.pw = mcusX * c.hs * 8
+              c.plane = new Array[Byte](c.pw * mcusY * c.vs * 8)
+            }
             val br = new BitReader(b, i + 2 + len)
-            val bw = (w + 7) / 8; val bh = (h + 7) / 8
-            val out = new Array[Byte](w * h)
-            var pred = 0
             var mcu = 0
-            var by = 0
-            while (by < bh) {
-              var bx = 0
-              while (bx < bw) {
-                if (dri > 0 && mcu > 0 && mcu % dri == 0) { br.restart(); pred = 0 }
-                val coef = new Array[Double](64)
-                // DC
-                val s = dc.decode(br)
-                if (s > 11) throw new IllegalArgumentException("bad DC size")
-                pred += extend(br.receive(s), s)
-                coef(0) = pred.toDouble * q(0)
-                // AC
-                var k = 1
-                while (k < 64) {
-                  val rs = ac.decode(br)
-                  val r = rs >> 4; val sz = rs & 0x0f
-                  if (sz == 0) {
-                    if (r == 15) k += 16 // ZRL
-                    else k = 64          // EOB
-                  } else {
-                    k += r
-                    if (k > 63) throw new IllegalArgumentException("AC overrun")
-                    coef(Zigzag(k)) = extend(br.receive(sz), sz).toDouble * q(k)
-                    k += 1
-                  }
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+                  br.restart(); comps.foreach(_.pred = 0)
                 }
-                val px = idct(coef)
-                var yy = 0
-                while (yy < 8) {
-                  val oy = by * 8 + yy
-                  if (oy < h) {
-                    var xx = 0
-                    while (xx < 8) {
-                      val ox = bx * 8 + xx
-                      if (ox < w) {
-                        val v = math.round(px(yy * 8 + xx) + 128.0).toInt
-                        out(oy * w + ox) =
-                          (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                var ci = 0
+                while (ci < comps.length) {
+                  val c = comps(ci)
+                  val q = qt.getOrElse(c.tq, return None)
+                  val dc = hDC.getOrElse(c.dcId, return None)
+                  val ac = hAC.getOrElse(c.acId, return None)
+                  var v2 = 0
+                  while (v2 < c.vs) {
+                    var h2 = 0
+                    while (h2 < c.hs) {
+                      val coef = new Array[Double](64)
+                      // DC
+                      val s = dc.decode(br)
+                      if (s > 11) throw new IllegalArgumentException("bad DC size")
+                      c.pred += extend(br.receive(s), s)
+                      coef(0) = c.pred.toDouble * q(0)
+                      // AC
+                      var k = 1
+                      while (k < 64) {
+                        val rs = ac.decode(br)
+                        val r = rs >> 4; val sz = rs & 0x0f
+                        if (sz == 0) {
+                          if (r == 15) k += 16 // ZRL
+                          else k = 64          // EOB
+                        } else {
+                          k += r
+                          if (k > 63) throw new IllegalArgumentException("AC overrun")
+                          coef(Zigzag(k)) = extend(br.receive(sz), sz).toDouble * q(k)
+                          k += 1
+                        }
                       }
-                      xx += 1
+                      val px = idct(coef)
+                      val ox0 = (mx * c.hs + h2) * 8
+                      val oy0 = (my * c.vs + v2) * 8
+                      var yy = 0
+                      while (yy < 8) {
+                        var xx = 0
+                        while (xx < 8) {
+                          val v = math.round(px(yy * 8 + xx) + 128.0).toInt
+                          c.plane((oy0 + yy) * c.pw + ox0 + xx) =
+                            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                          xx += 1
+                        }
+                        yy += 1
+                      }
+                      h2 += 1
                     }
+                    v2 += 1
                   }
-                  yy += 1
+                  ci += 1
                 }
                 mcu += 1
-                bx += 1
+                mx += 1
               }
-              by += 1
+              my += 1
             }
-            return Some((w, h, out))
+            if (comps.length == 1) {
+              val c = comps(0)
+              val out = new Array[Byte](w * h)
+              var y = 0
+              while (y < h) {
+                System.arraycopy(c.plane, y * c.pw, out, y * w, w)
+                y += 1
+              }
+              return Some((w, h, 1, out))
+            } else {
+              // chroma upsampled by sample replication (integer-floor
+              // source coordinate), then JFIF YCbCr→RGB with
+              // floor(x+0.5) rounding — both choices deterministic and
+              // reproducible in plain SQL by the oracle twin
+              val cy = comps(0); val cb = comps(1); val cr = comps(2)
+              val out = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val lum = cy.plane((y * cy.vs / vmax) * cy.pw + (x * cy.hs / hmax)) & 0xff
+                  val pb = (cb.plane((y * cb.vs / vmax) * cb.pw + (x * cb.hs / hmax)) & 0xff) - 128
+                  val pr = (cr.plane((y * cr.vs / vmax) * cr.pw + (x * cr.hs / hmax)) & 0xff) - 128
+                  def clamp8(d: Double): Byte = {
+                    val v = math.floor(d + 0.5).toInt
+                    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                  }
+                  val o = (y * w + x) * 3
+                  out(o) = clamp8(lum + 1.402 * pr)
+                  out(o + 1) = clamp8(lum - 0.344136 * pb - 0.714136 * pr)
+                  out(o + 2) = clamp8(lum + 1.772 * pb)
+                  x += 1
+                }
+                y += 1
+              }
+              return Some((w, h, 3, out))
+            }
           case _ => () // APPn / COM / anything else: skip
         }
         i += 2 + len
@@ -356,18 +463,81 @@ object JpegCodec {
     b(1); b(1); b(0x00)      // 1 comp; comp 1 uses DC 0 / AC 0
     b(0); b(63); b(0)        // spectral selection (baseline fixed)
     val bw = new BitWriter(out)
-    val (ebCode, ebLen) = acCodes(0x00) // EOB
     var pred = 0
-    for (by <- 0 until h / 8; bx <- 0 until w / 8) {
-      val c = v(bx, by) & 0xff
-      val coef = Math.round(8.0 * (c - 128) / QuantStep).toInt
-      val diff = coef - pred
-      pred = coef
-      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-      val (code, len) = dcCodes(s)
-      bw.put(code, len)
-      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
-      bw.put(ebCode, ebLen)
+    for (by <- 0 until h / 8; bx <- 0 until w / 8)
+      pred = putDcOnlyBlock(bw, v(bx, by), pred)
+    bw.flushWithOnes()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Write one DC-only block (diff-coded DC + EOB) for constant value
+    * `c`; returns the new predictor. */
+  private def putDcOnlyBlock(bw: BitWriter, c0: Int, pred: Int): Int = {
+    val c = c0 & 0xff
+    val coef = Math.round(8.0 * (c - 128) / QuantStep).toInt
+    val diff = coef - pred
+    val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+    val (code, len) = dcCodes(s)
+    bw.put(code, len)
+    if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    val (ebCode, ebLen) = acCodes(0x00) // EOB
+    bw.put(ebCode, ebLen)
+    coef
+  }
+
+  /** Encode a REAL baseline YCbCr COLOR JPEG whose component planes
+    * are constant per block — the color extension of
+    * [[encodeDcOnlyGray]]'s exact-reconstruction contract (even
+    * values survive bit-exactly; see object scaladoc).
+    *
+    * `subsample` = 444: all components 1×1; one Y + Cb + Cr block per
+    * 8×8 MCU; `yv`/`cbv`/`crv` are per-8×8-tile `(bx, by)` constants;
+    * `w`/`h` multiples of 8.
+    *
+    * `subsample` = 420: Y at 2×2, chroma 1×1; each 16×16 MCU carries
+    * four Y blocks + one Cb + one Cr; `yv` stays per-8×8-tile
+    * `(bx, by)`, `cbv`/`crv` are per-MCU `(mx, my)` constants (chroma
+    * constant per MCU is exactly what sample-replication upsampling
+    * reconstructs losslessly); `w`/`h` multiples of 16. */
+  def encodeDcOnlyColor(w: Int, h: Int, subsample: Int,
+      yv: (Int, Int) => Int, cbv: (Int, Int) => Int,
+      crv: (Int, Int) => Int): Array[Byte] = {
+    require(subsample == 444 || subsample == 420, "subsample must be 444 or 420")
+    val s420 = subsample == 420
+    if (s420) require(w % 16 == 0 && h % 16 == 0, "4:2:0 tile encoder needs multiple-of-16 dims")
+    else require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(67); b(0) // DQT, table 0, 8-bit, shared by all comps
+    (0 until 64).foreach(_ => b(QuantStep))
+    b(0xff); b(0xc0); u16(17) // SOF0: 3 components
+    b(8); u16(h); u16(w); b(3)
+    b(1); b(if (s420) 0x22 else 0x11); b(0) // Y
+    b(2); b(0x11); b(0)                     // Cb
+    b(3); b(0x11); b(0)                     // Cr
+    b(0xff); b(0xc4); u16(19 + DcVals.length); b(0x00) // DHT DC class 0 id 0
+    DcBits.foreach(b); DcVals.foreach(b)
+    b(0xff); b(0xc4); u16(19 + AcVals.length); b(0x10) // DHT AC class 1 id 0
+    AcBits.foreach(b); AcVals.foreach(b)
+    b(0xff); b(0xda); u16(12) // SOS: 3 components
+    b(3); b(1); b(0x00); b(2); b(0x00); b(3); b(0x00)
+    b(0); b(63); b(0) // spectral selection (baseline fixed)
+    val bw = new BitWriter(out)
+    val mcuPx = if (s420) 16 else 8
+    var predY = 0; var predCb = 0; var predCr = 0
+    for (my <- 0 until h / mcuPx; mx <- 0 until w / mcuPx) {
+      if (s420) {
+        // T.81 interleave order: Y blocks left-to-right, top-to-bottom
+        for (v2 <- 0 until 2; h2 <- 0 until 2)
+          predY = putDcOnlyBlock(bw, yv(2 * mx + h2, 2 * my + v2), predY)
+      } else {
+        predY = putDcOnlyBlock(bw, yv(mx, my), predY)
+      }
+      predCb = putDcOnlyBlock(bw, cbv(mx, my), predCb)
+      predCr = putDcOnlyBlock(bw, crv(mx, my), predCr)
     }
     bw.flushWithOnes()
     b(0xff); b(0xd9) // EOI

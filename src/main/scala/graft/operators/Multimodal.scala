@@ -18,17 +18,20 @@ import java.nio.ByteBuffer
   *   RIFF chunk fields), driver-gated against minimal VALID files
   *   ([[MiniEncoder]]).
   * - [[PixelCodec]]: REAL pixel decode — grayscale PNG (inflate + all
-  *   five scanline filters), 24bpp BMP, GIF incl. animated (genuine
-  *   LZW, interlace, per-frame payloads), and baseline grayscale JPEG
-  *   ([[JpegCodec]]: huffman + dequant + IDCT). [[WavCodec]]: REAL
-  *   16-bit PCM sample decode. Each tier is ImageIO/javax.sound
-  *   cross-checked and formula-twin gated.
+  *   five scanline filters), 24bpp BMP, GIF incl. animated with
+  *   partial-update COMPOSITING (genuine LZW, interlace, GCE
+  *   transparency, disposal methods 1/2/3 over the logical-screen
+  *   canvas), and baseline JPEG both grayscale and YCbCr COLOR
+  *   ([[JpegCodec]]: huffman + dequant + IDCT + 4:4:4/4:2:2/4:2:0
+  *   chroma upsample + RGB). [[WavCodec]]: REAL 16-bit PCM sample
+  *   decode. Each tier is ImageIO/javax.sound cross-checked and
+  *   formula-twin gated.
   * - [[FakeCodec]] remains only as the original plumbing-demo tier
   *   (q26): the partition-wise batching, schema, failure-marking and
   *   fan-out seams it demonstrated are now exercised by the real
-  *   codecs above. Color JPEG / compressed audio stay out of scope
-  *   (entropy/psychoacoustic codecs belong to real codec libraries;
-  *   the decoders REFUSE rather than mis-decode them).
+  *   codecs above. Progressive JPEG / compressed audio stay out of
+  *   scope (those codecs belong to real media libraries; the decoders
+  *   REFUSE rather than mis-decode them).
   */
 object Multimodal {
 
@@ -423,6 +426,59 @@ object Multimodal {
       out.write(0x3b)
       out.toByteArray
     }
+
+    /** One composited-animation frame spec for [[gifAnimComposite]]:
+      * an update rect at (left, top), its disposal method for AFTER
+      * display (0/1 leave, 2 restore-to-background, 3
+      * restore-to-previous), an optional transparent index (-1 =
+      * none), and the rect's index values. */
+    case class GifFrame(left: Int, top: Int, w: Int, h: Int,
+        disposal: Int, transIdx: Int, v: (Int, Int) => Int)
+
+    /** COMPLETE GIF89a animation with PARTIAL-UPDATE frames: a
+      * logical screen of `sw`×`sh` with background index `bg`, each
+      * frame preceded by a real graphic-control extension carrying its
+      * disposal method and transparency, image blocks at their own
+      * (left, top, w, h) rects, each LZW-compressed over the shared
+      * grayscale GCT. The composited-rendering counterpart of
+      * [[gifAnimGray]] — exercises [[PixelCodec.decodeGifFrames]]'s
+      * canvas model instead of the full-frame fast path. */
+    def gifAnimComposite(sw: Int, sh: Int, bg: Int,
+        frames: Seq[GifFrame]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(sw & 0xff); out.write((sw >> 8) & 0xff)
+      out.write(sh & 0xff); out.write((sh >> 8) & 0xff)
+      out.write(0xf7); out.write(bg & 0xff); out.write(0)
+      (0 until 256).foreach { i => out.write(i); out.write(i); out.write(i) }
+      frames.foreach { f =>
+        require(f.left + f.w <= sw && f.top + f.h <= sh, "rect escapes screen")
+        out.write(0x21); out.write(0xf9); out.write(4) // GCE
+        out.write(((f.disposal & 7) << 2) | (if (f.transIdx >= 0) 1 else 0))
+        out.write(0); out.write(0) // delay
+        out.write(if (f.transIdx >= 0) f.transIdx & 0xff else 0)
+        out.write(0) // GCE terminator
+        out.write(0x2c)
+        out.write(f.left & 0xff); out.write((f.left >> 8) & 0xff)
+        out.write(f.top & 0xff); out.write((f.top >> 8) & 0xff)
+        out.write(f.w & 0xff); out.write((f.w >> 8) & 0xff)
+        out.write(f.h & 0xff); out.write((f.h >> 8) & 0xff)
+        out.write(0)
+        out.write(8)
+        val idx = new Array[Byte](f.w * f.h)
+        for (y <- 0 until f.h; x <- 0 until f.w)
+          idx(y * f.w + x) = (f.v(x, y) & 0xff).toByte
+        val lzw = lzwEncode(idx, 8)
+        var off = 0
+        while (off < lzw.length) {
+          val n = math.min(255, lzw.length - off)
+          out.write(n); out.write(lzw, off, n); off += n
+        }
+        out.write(0)
+      }
+      out.write(0x3b)
+      out.toByteArray
+    }
   }
 
   /** Deterministic REAL-format media over the documents table: each
@@ -465,13 +521,13 @@ object Multimodal {
   implicit val pixelEnc: Encoder[PixelMeta] = Encoders.product[PixelMeta]
 
   /** REAL pixel decode, pure JVM: 8-bit grayscale PNG (zlib inflate +
-    * all five scanline filters reversed — None/Sub/Up/Average/Paeth)
-    * and uncompressed bottom-up 24bpp BMP (stride padding honored,
-    * channels averaged to gray). These two formats need no codec
-    * library, so the decode tier stops being a stub for them;
-    * JPEG/GIF/WAV sample decode remains [[FakeCodec]]-stubbed
-    * (declared — entropy coders need real libraries). Output is
-    * row-major top-down grayscale bytes. */
+    * all five scanline filters reversed — None/Sub/Up/Average/Paeth),
+    * uncompressed bottom-up 24bpp BMP (stride padding honored,
+    * channels averaged to gray), GIF with full GIF89a compositing
+    * (LZW, interlace, transparency, disposal), and baseline JPEG via
+    * [[JpegCodec]] (gray direct; color decodes via
+    * [[JpegCodec.decodeImage]] — this dispatcher stays grayscale by
+    * contract). Output is row-major top-down grayscale bytes. */
   object PixelCodec {
     /** Cap on any decoded raster (pixels and per-side). IHDR is
       * untrusted and IDAT is compressed, so unlike BMP the payload
@@ -596,17 +652,22 @@ object Multimodal {
       * and end-of-information handling, the KwKwK just-defined-code
       * case, 12-bit table cap with deferred-clear tolerance), optional
       * interlace reorder; palette entries collapse by channel average
-      * (exact when the palette is gray). Extensions are skipped, so
-      * real-world single-frame GIFs with graphic-control blocks
-      * decode too. */
+      * (exact when the palette is gray). Graphic-control transparency
+      * is honored (transparent pixels keep the background), other
+      * extensions are skipped. */
     def decodeGif(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
       gifFrames(b, maxFrames = 1).map { case (w, h, fs) => (w, h, fs.head) }
 
-    /** ALL frames of a (possibly animated) GIF — the video tier with
-      * REAL pixel payloads. Full-frame animations only: a frame at a
-      * nonzero offset or with different dimensions (partial-update
-      * compositing with disposal methods) returns None rather than a
-      * silently wrong composite. */
+    /** ALL frames of a (possibly animated) GIF, COMPOSITED per the
+      * GIF89a rendering model — the video tier with REAL pixel
+      * payloads. Each emitted frame is the full logical-screen canvas
+      * after drawing that image block: partial-update rects land at
+      * their (left, top) offsets, graphic-control transparency leaves
+      * the underlying canvas visible, and disposal methods are applied
+      * between frames — 0/1 leave the canvas, 2 restores the frame's
+      * rect to the background color, 3 restores the canvas to its
+      * pre-frame state. Out-of-bounds rects and palette overruns
+      * return None rather than a silently wrong composite. */
     def decodeGifFrames(b: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
       gifFrames(b, maxFrames = Int.MaxValue)
 
@@ -616,8 +677,12 @@ object Multimodal {
       if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
           (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
       var i = 6
+      val sw = u16le(b, i); val sh = u16le(b, i + 2) // logical screen
       val flags = b(i + 4) & 0xff
-      i += 7 // logical screen descriptor (frames carry their own dims)
+      val bgIndex = b(i + 5) & 0xff
+      i += 7
+      if (sw <= 0 || sh <= 0) return None
+      if (sw > MaxDim || sh > MaxDim || sw.toLong * sh > MaxPixels) return None
       var palette: Array[Byte] = null
       if ((flags & 0x80) != 0) {
         val n = 2 << (flags & 7)
@@ -625,13 +690,33 @@ object Multimodal {
         palette = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
         i += 3 * n
       }
-      var fw = -1; var fh = -1
+      def grayOf(pal: Array[Byte], p: Int): Byte =
+        (((pal(3 * p) & 0xff) + (pal(3 * p + 1) & 0xff) +
+          (pal(3 * p + 2) & 0xff)) / 3).toByte
+      // canvas = logical screen, initialized to the background color
+      // (bg index through the GCT; 0 when absent or out of range)
+      val bgGray: Byte =
+        if (palette != null && bgIndex < palette.length / 3) grayOf(palette, bgIndex)
+        else 0
+      val canvas = new Array[Byte](sw * sh)
+      java.util.Arrays.fill(canvas, bgGray)
+      // graphic-control state for the NEXT image block (then reset)
+      var disposal = 0
+      var transIdx = -1
       var frames = Vector.empty[Array[Byte]]
       while (i < b.length) {
         (b(i) & 0xff) match {
           case 0x3b => // trailer
-            return if (frames.nonEmpty) Some((fw, fh, frames)) else None
+            return if (frames.nonEmpty) Some((sw, sh, frames)) else None
           case 0x21 => // extension: label byte + data sub-blocks
+            val label = if (i + 1 < b.length) b(i + 1) & 0xff else -1
+            if (label == 0xf9 && i + 7 < b.length && (b(i + 2) & 0xff) >= 4) {
+              // graphic control: packed(disposal bits 2-4, transparent
+              // flag bit 0), delay(2), transparent index
+              val packed = b(i + 3) & 0xff
+              disposal = (packed >> 2) & 0x07
+              transIdx = if ((packed & 1) != 0) b(i + 6) & 0xff else -1
+            }
             i += 2
             while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
             i += 1
@@ -649,9 +734,7 @@ object Multimodal {
               i += 3 * n
             }
             if (pal == null || w <= 0 || h <= 0) return None
-            if (left != 0 || top != 0) return None // partial-frame compositing unsupported
-            if (fw >= 0 && (w != fw || h != fh)) return None
-            if (w > MaxDim || h > MaxDim || w.toLong * h > MaxPixels) return None
+            if (left + w > sw || top + h > sh) return None // rect escapes screen
             if (i >= b.length) return None
             val minCode = b(i) & 0xff; i += 1
             if (minCode < 2 || minCode > 8) return None
@@ -682,18 +765,35 @@ object Multimodal {
                 o
               }
             val nPal = pal.length / 3
-            val out = new Array[Byte](w * h)
-            var j = 0
-            while (j < w * h) {
-              val p = ordered(j) & 0xff
-              if (p >= nPal) return None
-              out(j) = (((pal(3 * p) & 0xff) + (pal(3 * p + 1) & 0xff) +
-                (pal(3 * p + 2) & 0xff)) / 3).toByte
-              j += 1
+            // disposal 3 needs the pre-frame canvas back afterwards
+            val saved = if (disposal == 3) canvas.clone() else null
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = ordered(y * w + x) & 0xff
+                if (p >= nPal) return None
+                if (p != transIdx) // transparent pixels keep the canvas
+                  canvas((top + y) * sw + left + x) = grayOf(pal, p)
+                x += 1
+              }
+              y += 1
             }
-            fw = w; fh = h
-            frames :+= out
-            if (frames.length >= maxFrames) return Some((fw, fh, frames))
+            frames :+= canvas.clone()
+            if (frames.length >= maxFrames) return Some((sw, sh, frames))
+            disposal match {
+              case 2 => // restore the frame's rect to background
+                var yy = 0
+                while (yy < h) {
+                  java.util.Arrays.fill(canvas, (top + yy) * sw + left,
+                    (top + yy) * sw + left + w, bgGray)
+                  yy += 1
+                }
+              case 3 => // restore to the pre-frame canvas
+                System.arraycopy(saved, 0, canvas, 0, canvas.length)
+              case _ => () // 0/1: leave as drawn
+            }
+            disposal = 0; transIdx = -1 // GCE applies to one image only
           case _ => return None
         }
       }
@@ -899,6 +999,48 @@ object Multimodal {
       }
     }(pixelEnc)
 
+  case class ColorPixelMeta(doc_id: Long, format: String, width: Int, height: Int,
+      n_pixels: Long, r_sum: Long, g_sum: Long, b_sum: Long,
+      r_min: Int, r_max: Int, g_min: Int, g_max: Int, b_min: Int, b_max: Int,
+      valid: Boolean)
+  implicit val colorPixelEnc: Encoder[ColorPixelMeta] = Encoders.product[ColorPixelMeta]
+
+  /** Per-partition REAL color decode → per-channel pixel statistics
+    * (sum/min/max per R/G/B — the per-channel analog of
+    * [[decodePixels]]'s compact proof). JPEG only for now (the one
+    * color-capable codec: [[JpegCodec.decodeImage]]); a grayscale JPEG
+    * contributes its luma to all three channels (r = g = b). Map-side,
+    * corrupt rows mark invalid. */
+  def decodeColorPixels(media: Dataset[MediaFile]): Dataset[ColorPixelMeta] =
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        JpegCodec.decodeImage(m.content) match {
+          case Some((w, h, ch, px)) =>
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var rmn = 255; var rmx = 0; var gmn = 255; var gmx = 0
+            var bmn = 255; var bmx = 0
+            val n = w * h
+            var i = 0
+            while (i < n) {
+              val (r, g, b2) =
+                if (ch == 3) (px(3 * i) & 0xff, px(3 * i + 1) & 0xff, px(3 * i + 2) & 0xff)
+                else { val v = px(i) & 0xff; (v, v, v) }
+              rs += r; if (r < rmn) rmn = r; if (r > rmx) rmx = r
+              gs += g; if (g < gmn) gmn = g; if (g > gmx) gmx = g
+              bs += b2; if (b2 < bmn) bmn = b2; if (b2 > bmx) bmx = b2
+              i += 1
+            }
+            ColorPixelMeta(m.doc_id, "jpeg", w, h, n.toLong, rs, gs, bs,
+              if (n == 0) 0 else rmn, if (n == 0) 0 else rmx,
+              if (n == 0) 0 else gmn, if (n == 0) 0 else gmx,
+              if (n == 0) 0 else bmn, if (n == 0) 0 else bmx, valid = true)
+          case None =>
+            ColorPixelMeta(m.doc_id, "unknown", 0, 0, 0L, 0L, 0L, 0L,
+              0, 0, 0, 0, 0, 0, valid = false)
+        }
+      }
+    }(colorPixelEnc)
+
   case class ResizedMeta(doc_id: Long, format: String, src_width: Int, src_height: Int,
       out_width: Int, out_height: Int, pixel_sum: Long, pixel_min: Int, pixel_max: Int,
       valid: Boolean)
@@ -1037,6 +1179,35 @@ object Multimodal {
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
     }(mediaEnc)
 
+  /** Deterministic COLOR JPEG media with the same exact-reconstruction
+    * contract as [[syntheticJpegMedia]], extended per channel: Y/Cb/Cr
+    * are per-tile EVEN constants (exact through the DC-only encode —
+    * [[JpegCodec]] scaladoc), so the decoded RGB is the deterministic
+    * double-precision JFIF formula of exact inputs and the DuckDB twin
+    * reproduces it with the same arithmetic. Even doc_ids are 4:4:4
+    * (per-8×8-tile chroma); odd are 4:2:0 (per-16×16-MCU chroma, which
+    * sample-replication upsampling reconstructs exactly); every 25th
+    * payload truncated for the corrupt path. */
+  def syntheticJpegColorMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      def yv(bx: Int, by: Int): Int = (2L * ((bx + 3L * by + id) % 128)).toInt
+      val bytes =
+        if (id % 2 == 0) {
+          val w = (id % 4 + 1).toInt * 8
+          val h = (id % 3 + 1).toInt * 8
+          def cbv(bx: Int, by: Int): Int = (2L * ((2L * bx + by + id) % 128)).toInt
+          def crv(bx: Int, by: Int): Int = (2L * ((bx + 2L * by + 3L * id) % 128)).toInt
+          JpegCodec.encodeDcOnlyColor(w, h, 444, yv, cbv, crv)
+        } else {
+          val w = (id % 3 + 1).toInt * 16
+          val h = (id % 2 + 1).toInt * 16
+          def cbv(mx: Int, my: Int): Int = (2L * ((mx + 2L * my + id) % 128)).toInt
+          def crv(mx: Int, my: Int): Int = (2L * ((3L * mx + my + id) % 128)).toInt
+          JpegCodec.encodeDcOnlyColor(w, h, 420, yv, cbv, crv)
+        }
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
+    }(mediaEnc)
+
   /** Deterministic 16-bit PCM WAV media: frame i, channel c carries
     * `((i*31 + c*17 + doc_id*7) mod 65536) - 32768`; rate/channels
     * keyed on doc_id like [[syntheticRealMedia]]'s WAV tier; every
@@ -1064,6 +1235,30 @@ object Multimodal {
       val nFrames = (id % 12).toInt + 2
       def v(x: Int, y: Int, f: Int): Int = ((x + y + 7L * f + id) % 256).toInt
       val bytes = MiniEncoder.gifAnimGray(w, h, nFrames, v)
+      MediaFile(id, "video", if (id % 25 == 0) bytes.take(6) else bytes)
+    }(mediaEnc)
+
+  /** Deterministic COMPOSITED animated-GIF media: a 16×16 logical
+    * screen; frame 0 paints the whole screen with `base = (3·doc_id)
+    * mod 256`; update frame f (1 ≤ f ≤ (doc_id mod 8)+2) is an 8×8
+    * PARTIAL rect over quadrant `q = (f−1) mod 4` (left = (q mod 2)·8,
+    * top = (q÷2)·8) carrying the constant `(7·f + doc_id) mod 256`,
+    * disposal "leave". The composite at frame f is therefore four
+    * quadrant constants with a closed form — quadrant q shows the
+    * latest update `f − ((f−1−q) mod 4)` if one exists, else `base` —
+    * which is what the q62 oracle computes. Every 25th payload
+    * truncated. */
+  def syntheticCompositeGifMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val n = (id % 8).toInt + 2
+      val base = ((3L * id) % 256).toInt
+      val frames = MiniEncoder.GifFrame(0, 0, 16, 16, 1, -1, (_, _) => base) +:
+        (1 to n).map { f =>
+          val q = (f - 1) % 4
+          val c = ((7L * f + id) % 256).toInt
+          MiniEncoder.GifFrame((q % 2) * 8, (q / 2) * 8, 8, 8, 1, -1, (_, _) => c)
+        }
+      val bytes = MiniEncoder.gifAnimComposite(16, 16, 0, frames)
       MediaFile(id, "video", if (id % 25 == 0) bytes.take(6) else bytes)
     }(mediaEnc)
 

@@ -266,6 +266,115 @@ class MultimodalSpec extends SparkSpec {
       Seq(Multimodal.MediaFile(4L, "video", anim.take(30))).toDS(), 1).count() === 0)
   }
 
+  test("GIF compositing: partial rects, transparency, disposal 1/2/3, ImageIO container check") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    import MiniEncoder.GifFrame
+    // 8×4 screen, bg index 50. Frame 0: full base 10. Frame 1: 4×2
+    // rect at (2,1) of 200, disposal 2 (rect → bg afterwards).
+    // Frame 2: 2×2 rect at (0,0) of 99 with transIdx 99 on half its
+    // pixels (checker: transparent pixels keep the canvas), disposal 3
+    // (canvas reverts afterwards). Frame 3: full-screen 30 with
+    // transIdx 30 everywhere EXCEPT one pixel of 77 — shows the
+    // post-disposal canvas through the transparency.
+    val anim = MiniEncoder.gifAnimComposite(8, 4, 50, Seq(
+      GifFrame(0, 0, 8, 4, 1, -1, (_, _) => 10),
+      GifFrame(2, 1, 4, 2, 2, -1, (_, _) => 200),
+      GifFrame(0, 0, 2, 2, 3, 99, (x, y) => if ((x + y) % 2 == 0) 99 else 130),
+      GifFrame(0, 0, 8, 4, 1, 30, (x, y) => if ((x, y) == (5, 3)) 77 else 30)
+    ))
+    val Some((w, h, frames)) = PixelCodec.decodeGifFrames(anim)
+    assert((w, h, frames.length) === (8, 4, 4))
+    def px(f: Int, x: Int, y: Int) = frames(f)(y * 8 + x) & 0xff
+    // frame 0: all base
+    for (y <- 0 until 4; x <- 0 until 8) assert(px(0, x, y) === 10, s"f0 ($x,$y)")
+    // frame 1: rect of 200 at (2..5, 1..2), rest still 10
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val want = if (x >= 2 && x < 6 && y >= 1 && y < 3) 200 else 10
+      assert(px(1, x, y) === want, s"f1 ($x,$y)")
+    }
+    // frame 2 draws AFTER frame 1's disposal-2 (its rect reverted to
+    // bg gray 50): checker 130s land, checker 99s are transparent and
+    // keep the canvas (10 at (0,0)-quadrant positions)
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val afterDisposal2 = if (x >= 2 && x < 6 && y >= 1 && y < 3) 50 else 10
+      val want =
+        if (x < 2 && y < 2) { if ((x + y) % 2 == 0) afterDisposal2 else 130 }
+        else afterDisposal2
+      assert(px(2, x, y) === want, s"f2 ($x,$y)")
+    }
+    // frame 3 draws AFTER frame 2's disposal-3 (canvas reverted to the
+    // post-frame-1-disposal state): everything transparent except 77
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val reverted = if (x >= 2 && x < 6 && y >= 1 && y < 3) 50 else 10
+      val want = if ((x, y) == (5, 3)) 77 else reverted
+      assert(px(3, x, y) === want, s"f3 ($x,$y)")
+    }
+    // ImageIO reads OUR container: same frame count, and each frame's
+    // raw rect, offsets, and disposal metadata match what we encoded —
+    // the foreign-reader agreement that the encoder is conformant
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(anim)))
+    assert(reader.getNumImages(true) === 4)
+    val wantMeta = Seq((0, 0, 8, 4, "doNotDispose"), (2, 1, 4, 2, "restoreToBackgroundColor"),
+      (0, 0, 2, 2, "restoreToPrevious"), (0, 0, 8, 4, "doNotDispose"))
+    for (f <- 0 until 4) {
+      val md = reader.getImageMetadata(f)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val gce = md.getElementsByTagName("GraphicControlExtension").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+      val desc = md.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+      val got = (desc.getAttribute("imageLeftPosition").toInt,
+        desc.getAttribute("imageTopPosition").toInt,
+        desc.getAttribute("imageWidth").toInt,
+        desc.getAttribute("imageHeight").toInt,
+        gce.getAttribute("disposalMethod"))
+      assert(got === wantMeta(f), s"frame $f metadata")
+    }
+    // raw rect pixels: frame 1's 4×2 rect is all 200
+    val img1 = reader.read(1)
+    assert((img1.getWidth, img1.getHeight) === (4, 2))
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((img1.getRGB(x, y) & 0xff) === 200, s"ImageIO rect ($x,$y)")
+    reader.dispose()
+    // out-of-bounds rect refused, not mis-composited
+    val oob = MiniEncoder.gifAnimComposite(8, 4, 0, Seq(
+      GifFrame(0, 0, 8, 4, 1, -1, (_, _) => 10)))
+    // hand-patch the descriptor's left to 6 so 6+8 > 8
+    val patched = oob.clone()
+    val descAt = patched.indexOfSlice(Array[Byte](0x2c, 0, 0, 0, 0))
+    patched(descAt + 1) = 6
+    assert(PixelCodec.decodeGifFrames(patched) === None)
+    // the q62 closed form: quadrant constants through frameStats
+    def quadAnim(id: Long) = {
+      val n = (id % 8).toInt + 2
+      val base = ((3L * id) % 256).toInt
+      MiniEncoder.gifAnimComposite(16, 16, 0,
+        GifFrame(0, 0, 16, 16, 1, -1, (_, _) => base) +:
+          (1 to n).map { f =>
+            val q = (f - 1) % 4
+            GifFrame((q % 2) * 8, (q / 2) * 8, 8, 8, 1, -1,
+              (_, _) => ((7L * f + id) % 256).toInt)
+          })
+    }
+    val id = 11L
+    val stats = Multimodal.frameStats(
+      Seq(Multimodal.MediaFile(id, "video", quadAnim(id))).toDS(), stride = 1)
+      .collect().sortBy(_.frame_index)
+    assert(stats.length === (id % 8).toInt + 3)
+    stats.foreach { st =>
+      val fi = st.frame_index
+      val vals = (0 until 4).map { q =>
+        if (fi < q + 1) ((3L * id) % 256).toInt
+        else ((7L * (fi - ((fi - 1 - q) % 4)) + id) % 256).toInt
+      }
+      assert(st.pixel_sum === vals.map(_.toLong).sum * 64, s"frame $fi sum")
+      assert(st.pixel_min === vals.min && st.pixel_max === vals.max, s"frame $fi minmax")
+    }
+  }
+
   test("JPEG baseline decode: exact DC-only round-trip, ImageIO both directions ±1, refusals") {
     import Multimodal.PixelCodec
     import graft.operators.JpegCodec
@@ -318,6 +427,100 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decodeGray(null) === None)
     // (f) the dispatcher routes ffd8 to the jpeg tier
     assert(PixelCodec.decode(own).map(_._1) === Some("jpeg"))
+  }
+
+  test("JPEG color decode: 4:4:4/4:2:0 DC-lattice exact, ImageIO both directions, refusals") {
+    import graft.operators.JpegCodec
+    // the decoder's published RGB contract: JFIF double formula,
+    // floor(x+0.5), clamp — the same arithmetic the q61 oracle runs
+    def rgbOf(yv: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+      def c(d: Double) = math.max(0, math.min(255, math.floor(d + 0.5).toInt))
+      (c(yv + 1.402 * (cr - 128)),
+        c(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        c(yv + 1.772 * (cb - 128)))
+    }
+    // (a) 4:4:4 even lattice reconstructs EXACTLY per channel
+    def yv(bx: Int, by: Int) = 2 * ((bx + 3 * by + 5) % 128)
+    def cbv(bx: Int, by: Int) = 2 * ((2 * bx + by + 5) % 128)
+    def crv(bx: Int, by: Int) = 2 * ((bx + 2 * by + 15) % 128)
+    val own444 = JpegCodec.encodeDcOnlyColor(32, 24, 444, yv, cbv, crv)
+    val Some((w4, h4, 3, px4)) = JpegCodec.decodeImage(own444)
+    assert((w4, h4) === (32, 24))
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val want = rgbOf(yv(x / 8, y / 8), cbv(x / 8, y / 8), crv(x / 8, y / 8))
+      val o = (y * 32 + x) * 3
+      val got = (px4(o) & 0xff, px4(o + 1) & 0xff, px4(o + 2) & 0xff)
+      assert(got === want, s"4:4:4 ($x,$y)")
+    }
+    // (b) 4:2:0: per-MCU chroma constants reconstruct EXACTLY through
+    // the interleaved-MCU scan + replication upsampling
+    def cb20(mx: Int, my: Int) = 2 * ((mx + 2 * my + 5) % 128)
+    def cr20(mx: Int, my: Int) = 2 * ((3 * mx + my + 5) % 128)
+    val own420 = JpegCodec.encodeDcOnlyColor(48, 32, 420, yv, cb20, cr20)
+    val Some((w2, h2, 3, px2)) = JpegCodec.decodeImage(own420)
+    assert((w2, h2) === (48, 32))
+    for (y <- 0 until 32; x <- 0 until 48) {
+      val want = rgbOf(yv(x / 8, y / 8), cb20(x / 16, y / 16), cr20(x / 16, y / 16))
+      val o = (y * 48 + x) * 3
+      val got = (px2(o) & 0xff, px2(o + 1) & 0xff, px2(o + 2) & 0xff)
+      assert(got === want, s"4:2:0 ($x,$y)")
+    }
+    // (c) ImageIO reads OUR 4:4:4 within ±1 per channel (its
+    // fixed-point YCbCr→RGB vs our exact doubles)
+    val img4 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(own444))
+    for (y <- 0 until 24; x <- 0 until 32; c <- 0 until 3) {
+      val want = rgbOf(yv(x / 8, y / 8), cbv(x / 8, y / 8), crv(x / 8, y / 8))
+      val wantC = c match { case 0 => want._1; case 1 => want._2; case 2 => want._3 }
+      assert(math.abs(img4.getRaster.getSample(x, y, c) - wantC) <= 1,
+        s"ImageIO 4:4:4 ($x,$y,$c)")
+    }
+    // (d) ImageIO reads OUR 4:2:0 — GLOBALLY constant chroma so
+    // libjpeg's fancy (triangle) upsampler and our replication agree
+    val flat420 = JpegCodec.encodeDcOnlyColor(32, 16, 420, yv, (_, _) => 100, (_, _) => 160)
+    val Some((_, _, 3, fpx)) = JpegCodec.decodeImage(flat420)
+    val imgF = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(flat420))
+    for (y <- 0 until 16; x <- 0 until 32; c <- 0 until 3)
+      assert(math.abs(imgF.getRaster.getSample(x, y, c) - (fpx((y * 32 + x) * 3 + c) & 0xff)) <= 1,
+        s"ImageIO 4:2:0 ($x,$y,$c)")
+    // (e) foreign full-AC color: ImageIO WRITES a luma gradient with
+    // constant chroma (R=G=B ⇒ Cb=Cr=128); we decode within ±2 of
+    // ImageIO's own read-back (two lossy steps + upsampler choice on
+    // near-constant chroma)
+    val rgbImg = new java.awt.image.BufferedImage(21, 13,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 13; x <- 0 until 21) {
+      val v = (x * 11 + y * 7) % 256
+      rgbImg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val fout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgbImg, "jpg", fout)
+    val foreign = fout.toByteArray
+    val Some((fw, fh, 3, ffpx)) = JpegCodec.decodeImage(foreign)
+    assert((fw, fh) === (21, 13))
+    val refImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(foreign))
+    var maxDiff = 0
+    for (y <- 0 until 13; x <- 0 until 21; c <- 0 until 3) {
+      val d = math.abs((ffpx((y * 21 + x) * 3 + c) & 0xff) - refImg.getRaster.getSample(x, y, c))
+      if (d > maxDiff) maxDiff = d
+    }
+    assert(maxDiff <= 2, s"foreign color maxDiff=$maxDiff vs ImageIO")
+    // (f) contracts kept: decodeGray still refuses color; gray files
+    // flow through decodeImage with channels=1; truncation refused;
+    // progressive color refused, not mis-decoded
+    assert(JpegCodec.decodeGray(own444) === None)
+    val gray = JpegCodec.encodeDcOnlyGray(16, 8, (bx, by) => 2 * (bx + by + 9))
+    assert(JpegCodec.decodeImage(gray).map(t => (t._1, t._2, t._3)) === Some((16, 8, 1)))
+    assert(JpegCodec.decodeImage(own444.take(own444.length - 3)) === None)
+    assert(JpegCodec.decodeImage(own444.take(8)) === None)
+    val pw = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val pp = pw.getDefaultWriteParam
+    pp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val pout = new java.io.ByteArrayOutputStream()
+    val pios = javax.imageio.ImageIO.createImageOutputStream(pout)
+    pw.setOutput(pios)
+    pw.write(null, new javax.imageio.IIOImage(rgbImg, null, null), pp)
+    pios.close(); pw.dispose()
+    assert(JpegCodec.decodeImage(pout.toByteArray) === None) // progressive refused
   }
 
   test("crafted giant-dimension headers are rejected before allocation") {
