@@ -22,9 +22,10 @@ import scala.jdk.CollectionConverters._
   * - per-batch row delivery is capped (`maxEventsPerBatch`) — a
   *   subscription matching a huge backfill batch gets a bounded
   *   prefix + a `truncated` marker, not an unbounded collect;
-  * - each distinct VIEW projects the batch once per publish; the
-  *   per-subscriber work is a filter + bounded collect on that
-  *   projection.
+  * - each distinct VIEW projects the batch once per publish, and the
+  *   filter + bounded collect runs once per DISTINCT (condition,
+  *   selections, cap) — N subscribers sharing a predicate cost one
+  *   Spark job, not N (the rendered event string is shared).
   */
 object Subscriptions {
   import GraphQL.{FieldQuery, ParseError}
@@ -91,17 +92,28 @@ object Subscriptions {
             .find(_.viewName == view)
             .map(e => graft.operators.EventViews.project(batch, e))
             .getOrElse(batch.limit(0))
-        viewSubs.foreach { sub =>
-          try {
-            val ev = render(projected, sub.field, view)
-            ev.foreach(sub.offer)
-          } catch {
-            case e: Exception => sub.offer(
-              s"""{"errors":[{"message":${mapper.writeValueAsString(e.toString)}}]}""")
+        // one render (one Spark job) per DISTINCT predicate: condition,
+        // selections and effective cap fully determine the event, so
+        // subscribers sharing them share the rendered string
+        viewSubs.groupBy(s =>
+            (s.field.condition, s.field.selections, effectiveCap(s.field)))
+          .foreach { case (_, group) =>
+            try {
+              val ev = render(projected, group.head.field, view)
+              ev.foreach(e => group.foreach(_.offer(e)))
+            } catch {
+              case e: Exception =>
+                val err =
+                  s"""{"errors":[{"message":${mapper.writeValueAsString(e.toString)}}]}"""
+                group.foreach(_.offer(err))
+            }
           }
-        }
       }
     }
+
+    private def effectiveCap(f: FieldQuery): Int =
+      math.min(f.first.getOrElse(maxEventsPerBatch.toLong),
+        maxEventsPerBatch.toLong).toInt
 
     /** Condition→filter, selections→projection, cap→limit; None when
       * the batch has no matching rows (no event — SSE stays quiet). */
@@ -114,8 +126,7 @@ object Subscriptions {
         if (v == null) d.filter(col(check(k)).isNull)
         else d.filter(col(check(k)) === lit(v))
       }
-      val cap = math.min(f.first.getOrElse(maxEventsPerBatch.toLong),
-        maxEventsPerBatch.toLong).toInt
+      val cap = effectiveCap(f)
       val rows = conditioned
         .select(f.selections.map(c => col(check(c))): _*)
         .limit(cap + 1)

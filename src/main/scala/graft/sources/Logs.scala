@@ -317,11 +317,16 @@ object Logs {
     * pin, so when the table is snapshot-tracked a fresh version is
     * published IN THE SAME OPERATION — the quiesce→rewrite→recommit
     * ordering is enforced by code, not by operators reading scaladoc.
-    * Readers pinned to older versions still detect staleness via
+    * Committed WITH retry: an appender publishing concurrently costs
+    * the rewriter only a lost CAS (its retry re-lists the same
+    * post-rewrite state), and an appender whose stale listing raced
+    * this rewrite self-revokes via the publish liveness diff — either
+    * way the surviving latest manifest reflects the rewrite. Readers
+    * pinned to older versions still detect staleness via
     * [[Snapshots.isValid]]; new readers immediately get a valid pin. */
   private def recommitSnapshots(spark: SparkSession, tablePath: String): Unit =
     if (Snapshots.latestVersion(spark, tablePath).nonEmpty)
-      Snapshots.commit(spark, tablePath)
+      Snapshots.commitWithRetry(spark, tablePath)
 
   /** Crash-safe partition rewrite: `write` lands the replacement in a
     * hidden tmp dir (invisible to partition discovery), the originals

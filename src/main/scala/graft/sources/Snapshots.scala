@@ -25,10 +25,16 @@ import scala.jdk.CollectionConverters._
   * - CONCURRENT APPEND-ONLY WRITERS are supported via
   *   [[commitWithRetry]] (optimistic CAS on the version number:
   *   lose the race → re-list, retry at the next version — the
-  *   re-listing IS the merge, since appends only add files). What
-  *   remains single-writer is in-place REWRITES (`Logs.compact`,
-  *   canonicalization), where a raced commit could resurrect
-  *   replaced files.
+  *   re-listing IS the merge, since appends only add files).
+  * - REWRITES (`Logs.compact`, canonicalization) may run CONCURRENTLY
+  *   with appenders' commits: a committed manifest is validated by
+  *   LIVENESS DIFF — every file it references must still be live in
+  *   the table dir (not parked in `_graft_retained/`) after the
+  *   publish; a commit whose listing raced a file replacement is
+  *   self-revoked and retried against a fresh listing, so a stale
+  *   manifest can never resurrect replaced files as latest. Two
+  *   rewriters on the SAME partition remain single-writer (the
+  *   partition swap fails loudly for the loser).
   *
   * Scale shape: a manifest is one listing + one small JSON write per
   * commit; reads plan from the manifest's file list (no directory
@@ -93,9 +99,12 @@ object Snapshots {
     * contains both writers' files), and retry at version+1. Every
     * writer's appended files land in whichever manifest commits last,
     * and pinned readers are never disturbed (appends only add files).
-    * In-place rewrites ([[Logs.compact]]/canonicalize) remain
-    * single-writer — retrying a commit whose listing raced a file
-    * REPLACEMENT could resurrect replaced files.
+    * A commit that raced an in-place REWRITE
+    * ([[Logs.compact]]/canonicalize) is caught by [[publish]]'s
+    * post-rename liveness diff (the stale listing references files the
+    * rewrite parked) — the manifest is self-revoked and the retry's
+    * fresh listing sees the post-rewrite state, so replaced files are
+    * never resurrected as latest.
     *
     * Returns the committed version. Backoff is linear+jittered; after
     * `maxAttempts` lost races the last conflict propagates. */
@@ -120,14 +129,25 @@ object Snapshots {
       s"snapshot commit: lost $maxAttempts CAS races at $tablePath", lastConflict)
   }
 
-  /** The write-tmp-then-rename publish step, conflict-checked twice:
+  /** The write-tmp-then-rename publish step, conflict-checked three
+    * ways:
     * (1) if the final manifest path appeared between version
     * computation and the rename, fail rather than rename onto it;
     * (2) after the rename, read the manifest back and compare a
     * per-publish nonce — on filesystems where rename silently
     * overwrites (local fs), the writer whose manifest was clobbered
     * sees a foreign nonce and fails loudly, making the CAS outcome
-    * well-defined everywhere: exactly one writer wins a version. */
+    * well-defined everywhere: exactly one writer wins a version;
+    * (3) LIVENESS DIFF after winning: every manifest file must still
+    * be live in the table dir — a file that is now only in
+    * `_graft_retained/` was REPLACED by a rewrite between this
+    * writer's listing and its rename, and committing the stale listing
+    * would resurrect replaced data as latest (and miss the rewrite's
+    * output). The manifest is deleted (self-revoke — we own it, the
+    * nonce said so) and the publish fails with the same retryable
+    * conflict as a lost CAS, so [[commitWithRetry]] re-lists and
+    * commits the post-rewrite state. Pinned readers are unaffected
+    * either way: replaced files are parked, not deleted. */
   private[graft] def publish(fs: FileSystem, tablePath: String, version: Long,
       files: Seq[String]): Unit = {
     val nonce = java.util.UUID.randomUUID().toString
@@ -154,6 +174,15 @@ object Snapshots {
     if (Option(won.get("nonce")).map(_.asText).getOrElse("") != nonce)
       throw new java.io.IOException(
         s"snapshot commit conflict: $fin overwritten by a concurrent committer")
+    // (3) liveness diff: a rewrite that parked any of these files
+    // between our listing and the rename makes this manifest stale
+    val replaced = files.filterNot(f => fs.exists(new Path(s"$tablePath/$f")))
+    if (replaced.nonEmpty) {
+      fs.delete(fin, false) // self-revoke: we verified ownership above
+      throw new java.io.IOException(
+        s"snapshot commit conflict: listing raced a rewrite — " +
+          s"${replaced.size} file(s) replaced (e.g. ${replaced.head}); retry with a fresh listing")
+    }
   }
 
   def files(spark: SparkSession, tablePath: String, version: Long): Seq[String] = {

@@ -137,6 +137,85 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, table, Some(v0)).count() === 1)
   }
 
+  test("a stale listing that raced a rewrite self-revokes instead of resurrecting replaced files") {
+    val table = Files.createTempDirectory("snap_tbl").toString + "/t"
+    (1 to 3).foreach { i =>
+      Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(i, 0)))), table)
+    }
+    val v0 = Snapshots.commit(spark, table)
+    val staleListing = Snapshots.files(spark, table, v0) // pre-rewrite file set
+    Logs.compact(spark, table) // parks the originals, auto-commits v1
+    val v1 = Snapshots.latestVersion(spark, table).get
+    assert(v1 === v0 + 1)
+    // the appender whose listing predated the rewrite publishes now:
+    // the liveness diff must revoke the manifest, not leave the parked
+    // files as latest
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = intercept[java.io.IOException](
+      Snapshots.publish(fs, table, v1 + 1, staleListing))
+    assert(e.getMessage.contains("raced a rewrite"))
+    // self-revoked: the stale manifest is GONE, latest is still the
+    // rewrite's version, and both histories read intact
+    assert(Snapshots.latestVersion(spark, table).get === v1)
+    assert(Snapshots.read(spark, table).count() === 3)
+    assert(Snapshots.isValid(spark, table, v0))
+    assert(Snapshots.read(spark, table, Some(v0)).count() === 3)
+    // and a RE-LISTED commit (what commitWithRetry's next attempt does)
+    // succeeds with the post-rewrite file set — all live
+    val v2 = Snapshots.commitWithRetry(spark, table)
+    assert(Snapshots.files(spark, table, v2).forall(f =>
+      new java.io.File(s"$table/$f").exists()), "latest manifest must reference only live files")
+  }
+
+  test("racing compactor and appender: no resurrection, pinned reads intact") {
+    val table = Files.createTempDirectory("snap_tbl").toString + "/t"
+    (1 to 4).foreach { i =>
+      Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(i, 0)))), table)
+    }
+    val v0 = Snapshots.commit(spark, table)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    // appender: staged appends to a FAR block range + snapshot commits,
+    // racing the compactor's partition swaps and its recommit
+    val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = {
+        gate.await(10, TimeUnit.SECONDS)
+        (1 to 3).foreach { i =>
+          Logs.appendIdempotent(spark,
+            Logs.readNdjson(spark, fixture(Seq(row(700000L + i, 0)))), table,
+            staged = true)
+          Snapshots.commitWithRetry(spark, table)
+        }
+      }
+    })
+    val compactor = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = {
+        gate.await(10, TimeUnit.SECONDS)
+        Logs.compact(spark, table) // parks originals + recommits with retry
+      }
+    })
+    gate.countDown()
+    appender.get(180, TimeUnit.SECONDS)
+    compactor.get(180, TimeUnit.SECONDS)
+    pool.shutdown()
+    // no resurrection: every file the surviving latest manifest
+    // references is LIVE (none resolve through the retention area)
+    val vLast = Snapshots.latestVersion(spark, table).get
+    assert(Snapshots.files(spark, table, vLast).forall(f =>
+      new java.io.File(s"$table/$f").exists()),
+      "latest manifest references parked files — a stale listing won")
+    // a quiescent re-snapshot sees all 7 rows exactly once
+    val vFinal = Snapshots.commit(spark, table)
+    val rows = Snapshots.read(spark, table, Some(vFinal))
+      .select("block_number").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === Seq(1L, 2L, 3L, 4L, 700001L, 700002L, 700003L))
+    // pinned pre-contest version: intact through park + swap
+    assert(Snapshots.isValid(spark, table, v0))
+    assert(Snapshots.read(spark, table, Some(v0)).count() === 4)
+  }
+
   test("two parallel append-only writers both commit; history holds both appends") {
     val table = Files.createTempDirectory("snap_tbl").toString + "/t"
     Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0)))), table)

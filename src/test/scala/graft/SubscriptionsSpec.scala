@@ -75,6 +75,57 @@ class SubscriptionsSpec extends SparkSpec {
       .get("errors").get(0).get("message").asText.contains("no field"))
   }
 
+  test("publish runs ONE render per distinct predicate, not per subscriber") {
+    // hubDup: five subscribers over THREE distinct (condition,
+    // selections, cap) keys; hubDistinct: one subscriber per key. The
+    // Spark job count of a publish must be IDENTICAL — sharers ride
+    // the same render (collectLimit may run >1 internal job per
+    // render, so compare against the one-per-key baseline instead of
+    // asserting an absolute count)
+    val sharedDoc =
+      """subscription { logs(condition: {address: "0x0000000000000000000000000000000000000001"})
+        |  { block_number } }""".stripMargin
+    val otherDoc = "subscription { logs { block_number } }"
+    val viewDoc = s"subscription { $transferView { amount } }"
+    val hubDup = new Subscriptions.Hub()
+    val shared = (1 to 3).map(_ => hubDup.subscribe(sharedDoc))
+    val other = hubDup.subscribe(otherDoc)
+    val viewSub = hubDup.subscribe(viewDoc)
+    val hubDistinct = new Subscriptions.Hub()
+    Seq(sharedDoc, otherDoc, viewDoc).foreach(hubDistinct.subscribe)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def measure(f: => Unit): Int = {
+      jobs.set(0)
+      f
+      // listener delivery is async — wait for the count to stabilize
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var last = -1
+      while (System.nanoTime() < deadline && jobs.get != last) {
+        last = jobs.get; Thread.sleep(200)
+      }
+      jobs.get
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val b = batch(9).cache()
+      b.count() // materialize outside the measured window
+      val withDuplicates = measure(hubDup.publish(b))
+      val baseline = measure(hubDistinct.publish(b))
+      assert(withDuplicates === baseline,
+        s"5 subscribers over 3 predicates cost $withDuplicates jobs vs $baseline for 3 distinct")
+      b.unpersist()
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and all three sharers got the SAME event
+    val evs = shared.map(_.next(5000).get)
+    assert(evs.distinct.size === 1)
+    assert(mapper.readTree(evs.head).get("data").get("logs").get("nodes").size === 3)
+    assert(other.next(5000).nonEmpty && viewSub.next(5000).nonEmpty)
+  }
+
   test("SSE end-to-end: curl-shaped client sees decoded events arrive") {
     val hub = new Subscriptions.Hub()
     val server = Subscriptions.serve(hub, 0, keepaliveMs = 200)
