@@ -703,6 +703,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // The LOSSLESS color tier under one gate: truecolor PNG (bpp-aware
+    // filter reversal), 24bpp BMP (BGR flip), palette GIF (palette
+    // kept as RGB) — bit-exact containers, so the twin recomputes the
+    // per-channel statistics straight from the pixel formulas.
+    "q63_color_raster_decode" -> { (s, dir) =>
+      Multimodal.decodeColorPixels(
+          Multimodal.syntheticColorRasterMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // REAL WAV sample decode under the gate: 16-bit PCM data written
     // by the mini encoder (RIFF chunk walk, interleaved int16), sample
     // statistics vs the formula twin — a chunk-walk, endianness or
@@ -1664,6 +1675,48 @@ object SparkEntry {
         |from px
         |group by doc_id, fi, w, h
         |order by doc_id, frame_index""".stripMargin,
+
+    // Per-channel twin over the lossless color containers: channel
+    // values straight from the generator formulas (PNG/BMP carry the
+    // rgb formulas; GIF goes index → palette i→(i, 2i mod 256, 255−i))
+    "q63_color_raster_decode" ->
+      """with d as (select doc_id,
+        |    (doc_id % 8 + 1) * 2 as w, (doc_id % 6 + 1) * 2 as h,
+        |    doc_id % 3 as fmt
+        |  from documents),
+        | px as (select d.doc_id, d.w, d.h, d.fmt,
+        |    case when d.fmt = 2 then (x.range + y.range + d.doc_id) % 256
+        |         else (3 * x.range + y.range + d.doc_id) % 256 end as r,
+        |    case when d.fmt = 2 then (2 * ((x.range + y.range + d.doc_id) % 256)) % 256
+        |         else (x.range + 2 * y.range + 3 * d.doc_id) % 256 end as g,
+        |    case when d.fmt = 2 then 255 - ((x.range + y.range + d.doc_id) % 256)
+        |         else (2 * x.range + y.range + 7 * d.doc_id) % 256 end as b
+        |  from d cross join range(0, 16) x cross join range(0, 12) y
+        |  where x.range < d.w and y.range < d.h),
+        | agg as (select doc_id, w, h, fmt, count(*) as n,
+        |    sum(r) as rs, sum(g) as gs, sum(b) as bs,
+        |    min(r) as rmn, max(r) as rmx, min(g) as gmn, max(g) as gmx,
+        |    min(b) as bmn, max(b) as bmx
+        |  from px group by doc_id, w, h, fmt)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown'
+        |       when fmt = 0 then 'png' when fmt = 1 then 'bmp'
+        |       else 'gif' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else w end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else h end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else n end as bigint) as n_pixels,
+        |  cast(case when doc_id % 25 = 0 then 0 else rs end as bigint) as r_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else gs end as bigint) as g_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else bs end as bigint) as b_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else rmn end as int) as r_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else rmx end as int) as r_max,
+        |  cast(case when doc_id % 25 = 0 then 0 else gmn end as int) as g_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else gmx end as int) as g_max,
+        |  cast(case when doc_id % 25 = 0 then 0 else bmn end as int) as b_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else bmx end as int) as b_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
 
     // Closed-form composite: emitted frame fi's quadrant q (4 per
     // 16×16 screen, 64 px each) shows the latest update frame

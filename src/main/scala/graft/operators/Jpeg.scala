@@ -495,6 +495,11 @@ object JpegCodec {
     * 8×8 MCU; `yv`/`cbv`/`crv` are per-8×8-tile `(bx, by)` constants;
     * `w`/`h` multiples of 8.
     *
+    * `subsample` = 422: Y at 2×1, chroma 1×1; each 16×8 MCU carries
+    * two Y blocks side by side + one Cb + one Cr; `yv` per-8×8-tile,
+    * `cbv`/`crv` per-MCU `(mx, my)` constants; `w` multiple of 16,
+    * `h` multiple of 8.
+    *
     * `subsample` = 420: Y at 2×2, chroma 1×1; each 16×16 MCU carries
     * four Y blocks + one Cb + one Cr; `yv` stays per-8×8-tile
     * `(bx, by)`, `cbv`/`crv` are per-MCU `(mx, my)` constants (chroma
@@ -503,9 +508,12 @@ object JpegCodec {
   def encodeDcOnlyColor(w: Int, h: Int, subsample: Int,
       yv: (Int, Int) => Int, cbv: (Int, Int) => Int,
       crv: (Int, Int) => Int): Array[Byte] = {
-    require(subsample == 444 || subsample == 420, "subsample must be 444 or 420")
+    require(subsample == 444 || subsample == 422 || subsample == 420,
+      "subsample must be 444, 422 or 420")
     val s420 = subsample == 420
+    val s422 = subsample == 422
     if (s420) require(w % 16 == 0 && h % 16 == 0, "4:2:0 tile encoder needs multiple-of-16 dims")
+    else if (s422) require(w % 16 == 0 && h % 8 == 0, "4:2:2 tile encoder needs 16x8-multiple dims")
     else require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
     val out = new java.io.ByteArrayOutputStream()
     def b(x: Int): Unit = out.write(x & 0xff)
@@ -515,9 +523,9 @@ object JpegCodec {
     (0 until 64).foreach(_ => b(QuantStep))
     b(0xff); b(0xc0); u16(17) // SOF0: 3 components
     b(8); u16(h); u16(w); b(3)
-    b(1); b(if (s420) 0x22 else 0x11); b(0) // Y
-    b(2); b(0x11); b(0)                     // Cb
-    b(3); b(0x11); b(0)                     // Cr
+    b(1); b(if (s420) 0x22 else if (s422) 0x21 else 0x11); b(0) // Y
+    b(2); b(0x11); b(0)                                         // Cb
+    b(3); b(0x11); b(0)                                         // Cr
     b(0xff); b(0xc4); u16(19 + DcVals.length); b(0x00) // DHT DC class 0 id 0
     DcBits.foreach(b); DcVals.foreach(b)
     b(0xff); b(0xc4); u16(19 + AcVals.length); b(0x10) // DHT AC class 1 id 0
@@ -526,13 +534,17 @@ object JpegCodec {
     b(3); b(1); b(0x00); b(2); b(0x00); b(3); b(0x00)
     b(0); b(63); b(0) // spectral selection (baseline fixed)
     val bw = new BitWriter(out)
-    val mcuPx = if (s420) 16 else 8
+    val mcuW = if (s420 || s422) 16 else 8
+    val mcuH = if (s420) 16 else 8
     var predY = 0; var predCb = 0; var predCr = 0
-    for (my <- 0 until h / mcuPx; mx <- 0 until w / mcuPx) {
+    for (my <- 0 until h / mcuH; mx <- 0 until w / mcuW) {
       if (s420) {
         // T.81 interleave order: Y blocks left-to-right, top-to-bottom
         for (v2 <- 0 until 2; h2 <- 0 until 2)
           predY = putDcOnlyBlock(bw, yv(2 * mx + h2, 2 * my + v2), predY)
+      } else if (s422) {
+        for (h2 <- 0 until 2)
+          predY = putDcOnlyBlock(bw, yv(2 * mx + h2, my), predY)
       } else {
         predY = putDcOnlyBlock(bw, yv(mx, my), predY)
       }

@@ -266,6 +266,123 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** COMPLETE 8-bit PNG with real COLOR pixel data — color type 2
+      * (truecolor RGB) or, with `palette`, color type 3 (indexed).
+      * Scanline filters rotate through all five with bpp-aware
+      * neighbors (bpp=3 for truecolor, 1 for indexed), zlib-deflated.
+      * For type 3, `rgb` returns the palette INDEX in its first slot
+      * and the palette array supplies the colors. */
+    def pngRgb(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+      pngEncode(w, h, 2, 3,
+        (x, y) => { val (r, g, b) = rgb(x, y); Array(r, g, b) }, null)
+
+    /** COMPLETE 8-bit palette PNG (color type 3): pixel (x,y) carries
+      * index `idx(x,y)` into the 256-entry `palette` (r,g,b) triples. */
+    def pngPal(w: Int, h: Int, idx: (Int, Int) => Int,
+        palette: Array[(Int, Int, Int)]): Array[Byte] =
+      pngEncode(w, h, 3, 1, (x, y) => Array(idx(x, y)), palette)
+
+    private def pngEncode(w: Int, h: Int, colorType: Int, bpp: Int,
+        px: (Int, Int) => Array[Int], palette: Array[(Int, Int, Int)]): Array[Byte] = {
+      val rowBytes = w * bpp
+      val raw = new Array[Byte]((rowBytes + 1) * h)
+      val cur = new Array[Int](rowBytes)
+      val prev = new Array[Int](rowBytes)
+      for (y <- 0 until h) {
+        for (x <- 0 until w; c <- 0 until bpp) cur(x * bpp + c) = px(x, y)(c) & 0xff
+        val f = y % 5
+        raw(y * (rowBytes + 1)) = f.toByte
+        for (k <- 0 until rowBytes) {
+          val a = if (k >= bpp) cur(k - bpp) else 0
+          val b = if (y > 0) prev(k) else 0
+          val c = if (k >= bpp && y > 0) prev(k - bpp) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(y * (rowBytes + 1) + 1 + k) = ((cur(k) - pred) & 0xff).toByte
+        }
+        System.arraycopy(cur, 0, prev, 0, rowBytes)
+      }
+      val def_ = new java.util.zip.Deflater()
+      def_.setInput(raw); def_.finish()
+      val zbuf = new Array[Byte](raw.length * 2 + 64)
+      val zlen = def_.deflate(zbuf)
+      def_.end()
+      val ihdr = ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      out.write(chunk("IHDR", ihdr.array()))
+      if (colorType == 3) {
+        val plte = new Array[Byte](palette.length * 3)
+        palette.zipWithIndex.foreach { case ((r, g, b), i) =>
+          plte(3 * i) = r.toByte; plte(3 * i + 1) = g.toByte; plte(3 * i + 2) = b.toByte
+        }
+        out.write(chunk("PLTE", plte))
+      }
+      out.write(chunk("IDAT", zbuf.take(zlen)))
+      out.write(chunk("IEND", Array.empty))
+      out.toByteArray
+    }
+
+    /** COMPLETE uncompressed 24bpp bottom-up BMP with real COLOR
+      * pixels (stored BGR, stride padded to 4 bytes). */
+    def bmp24Rgb(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val size = 54 + stride * h
+      val buf = ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(size)
+        .putShort(0.toShort).putShort(0.toShort).putInt(54)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+        .putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- (h - 1) to 0 by -1) { // bottom-up row order
+        for (x <- 0 until w) {
+          val (r, g, b) = rgb(x, y)
+          buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        }
+        (w * 3 until stride).foreach(_ => buf.put(0.toByte))
+      }
+      buf.array()
+    }
+
+    /** COMPLETE GIF89a over an arbitrary 256-entry COLOR palette —
+      * [[gifGray]] with the palette as a parameter; pixel (x,y)
+      * carries index `idx(x,y)`. */
+    def gifPal(w: Int, h: Int, idx: (Int, Int) => Int,
+        palette: Array[(Int, Int, Int)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0xf7); out.write(0); out.write(0)
+      palette.foreach { case (r, g, b) => out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff) }
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0)
+      out.write(8)
+      val ind = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) ind(y * w + x) = (idx(x, y) & 0xff).toByte
+      val lzw = lzwEncode(ind, 8)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0)
+      out.write(0x3b)
+      out.toByteArray
+    }
+
     /** COMPLETE uncompressed 24bpp bottom-up BMP (r=g=b=v — gray
       * payload in an RGB container), stride padded to 4 bytes. */
     def bmp24(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
@@ -553,14 +670,30 @@ object Multimodal {
     }
 
     /** Decode an 8-bit grayscale non-interlaced PNG (the format
-      * [[MiniEncoder.pngGray]] writes and any standard tool reads). */
-    def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+      * [[MiniEncoder.pngGray]] writes and any standard tool reads).
+      * Gray ONLY by contract — color PNGs decode via
+      * [[decodePngImage]]. */
+    def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      decodePngImage(b) match {
+        case Some((w, h, 1, px)) => Some((w, h, px))
+        case _ => None
+      }
+
+    /** Decode an 8-bit non-interlaced PNG of color type 0 (gray,
+      * channels=1), 2 (truecolor RGB, channels=3) or 3 (palette →
+      * expanded to RGB, channels=3) to (w, h, channels, pixels).
+      * Filter reversal is bytes-per-pixel aware (the `a`/`c`
+      * neighbors step by bpp, per the PNG spec). Alpha, 16-bit and
+      * interlaced variants are refused, not mis-decoded. */
+    def decodePngImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
       if (b == null || b.length < 33 ||
         !b.take(8).sameElements(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
         return None
       var i = 8
       var w, h = 0
+      var colorType = -1
       var ok = false
+      var plte: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
       var done = false
       while (!done && i + 8 <= b.length) {
@@ -570,8 +703,14 @@ object Multimodal {
         typ match {
           case "IHDR" =>
             w = u32be(b, i + 8); h = u32be(b, i + 12)
-            // bit depth 8, color type 0 (gray), no interlace
-            ok = b(i + 16) == 8 && b(i + 17) == 0 && b(i + 20) == 0
+            colorType = b(i + 17) & 0xff
+            // bit depth 8, color type 0/2/3, no interlace
+            ok = b(i + 16) == 8 &&
+              (colorType == 0 || colorType == 2 || colorType == 3) &&
+              b(i + 20) == 0
+          case "PLTE" =>
+            if (len % 3 != 0 || len > 768) return None
+            plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
           case "IDAT" => idat.write(b, i + 8, len)
           case "IEND" => done = true
           case _ => ()
@@ -579,10 +718,14 @@ object Multimodal {
         i += 12 + len
       }
       if (!ok || !done || w <= 0 || h <= 0) return None
-      if (w > MaxDim || h > MaxDim || (w + 1L) * h > MaxPixels) return None
+      val bpp = if (colorType == 2) 3 else 1 // filter bytes per pixel
+      val outCh = if (colorType == 0) 1 else 3
+      if (w > MaxDim || h > MaxDim || w.toLong * h * outCh > MaxPixels) return None
+      if (colorType == 3 && plte == null) return None
+      val rowBytes = w * bpp
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
-      val raw = new Array[Byte]((w + 1) * h)
+      val raw = new Array[Byte]((rowBytes + 1) * h)
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
@@ -591,17 +734,17 @@ object Multimodal {
       }
       inf.end()
       if (off != raw.length) return None
-      // reverse per-scanline filters; bpp = 1 for 8-bit gray
-      val out = new Array[Byte](w * h)
+      // reverse per-scanline filters over raw bytes (neighbors at -bpp)
+      val un = new Array[Byte](rowBytes * h)
       var y = 0
       while (y < h) {
-        val f = raw(y * (w + 1)) & 0xff
-        var x = 0
-        while (x < w) {
-          val v = raw(y * (w + 1) + 1 + x) & 0xff
-          val a = if (x > 0) out(y * w + x - 1) & 0xff else 0
-          val up = if (y > 0) out((y - 1) * w + x) & 0xff else 0
-          val c = if (x > 0 && y > 0) out((y - 1) * w + x - 1) & 0xff else 0
+        val f = raw(y * (rowBytes + 1)) & 0xff
+        var k = 0
+        while (k < rowBytes) {
+          val v = raw(y * (rowBytes + 1) + 1 + k) & 0xff
+          val a = if (k >= bpp) un(y * rowBytes + k - bpp) & 0xff else 0
+          val up = if (y > 0) un((y - 1) * rowBytes + k) & 0xff else 0
+          val c = if (k >= bpp && y > 0) un((y - 1) * rowBytes + k - bpp) & 0xff else 0
           val recon = f match {
             case 0 => v
             case 1 => v + a
@@ -610,41 +753,71 @@ object Multimodal {
             case 4 => v + paeth(a, up, c)
             case _ => return None
           }
-          out(y * w + x) = (recon & 0xff).toByte
-          x += 1
+          un(y * rowBytes + k) = (recon & 0xff).toByte
+          k += 1
         }
         y += 1
       }
-      Some((w, h, out))
+      colorType match {
+        case 0 => Some((w, h, 1, un))
+        case 2 => Some((w, h, 3, un))
+        case 3 => // palette indices → RGB
+          val nPal = plte.length / 3
+          val out = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < w * h) {
+            val p = un(j) & 0xff
+            if (p >= nPal) return None
+            out(3 * j) = plte(3 * p)
+            out(3 * j + 1) = plte(3 * p + 1)
+            out(3 * j + 2) = plte(3 * p + 2)
+            j += 1
+          }
+          Some((w, h, 3, out))
+      }
     } catch { case _: Exception => None }
 
     /** Decode an uncompressed bottom-up 24bpp BMP to grayscale
       * (channel average — exact when r=g=b). */
-    def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      decodeBmpImage(b).map { case (w, h, _, px) =>
+        val out = new Array[Byte](w * h)
+        var j = 0
+        while (j < w * h) {
+          out(j) = (((px(3 * j) & 0xff) + (px(3 * j + 1) & 0xff) +
+            (px(3 * j + 2) & 0xff)) / 3).toByte
+          j += 1
+        }
+        (w, h, out)
+      }
+
+    /** Decode an uncompressed bottom-up 24bpp BMP to (w, h, 3,
+      * interleaved RGB) — the stored BGR is flipped to RGB. */
+    def decodeBmpImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
       if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
       val off = u32le(b, 10)
       val w = u32le(b, 18)
       val h = u32le(b, 22)
       if (w <= 0 || h <= 0 || u16le(b, 28) != 24 || u32le(b, 30) != 0) return None
       // same untrusted-header guard as PNG; also keeps w*3 / w*h in Int range
-      if (w > MaxDim || h > MaxDim || w.toLong * h > MaxPixels) return None
+      if (w > MaxDim || h > MaxDim || w.toLong * h * 3 > MaxPixels) return None
       val stride = ((w * 3 + 3) / 4) * 4
       if (off + stride.toLong * h > b.length) return None // truncated
-      val out = new Array[Byte](w * h)
+      val out = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
         val src = off + (h - 1 - y) * stride // bottom-up storage
         var x = 0
         while (x < w) {
-          val bb = b(src + x * 3) & 0xff
-          val g = b(src + x * 3 + 1) & 0xff
-          val r = b(src + x * 3 + 2) & 0xff
-          out(y * w + x) = ((r + g + bb) / 3).toByte
+          val o = (y * w + x) * 3
+          out(o) = b(src + x * 3 + 2)     // R
+          out(o + 1) = b(src + x * 3 + 1) // G
+          out(o + 2) = b(src + x * 3)     // B
           x += 1
         }
         y += 1
       }
-      Some((w, h, out))
+      Some((w, h, 3, out))
     } catch { case _: Exception => None }
 
     /** Decode the first image of a GIF87a/89a to grayscale: global or
@@ -671,8 +844,15 @@ object Multimodal {
     def decodeGifFrames(b: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
       gifFrames(b, maxFrames = Int.MaxValue)
 
+    /** First composited GIF frame in RGB — palette entries kept as
+      * their actual (r, g, b) triples instead of the gray average.
+      * Same canvas model as [[decodeGifFrames]]. */
+    def decodeGifImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+      gifFrames(b, maxFrames = 1, rgb = true)
+        .map { case (w, h, fs) => (w, h, 3, fs.head) }
+
     private def gifFrames(b: Array[Byte],
-        maxFrames: Int): Option[(Int, Int, Vector[Array[Byte]])] = try {
+        maxFrames: Int, rgb: Boolean = false): Option[(Int, Int, Vector[Array[Byte]])] = try {
       if (b == null || b.length < 13) return None
       if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
           (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
@@ -690,16 +870,31 @@ object Multimodal {
         palette = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
         i += 3 * n
       }
+      val ch = if (rgb) 3 else 1
       def grayOf(pal: Array[Byte], p: Int): Byte =
         (((pal(3 * p) & 0xff) + (pal(3 * p + 1) & 0xff) +
           (pal(3 * p + 2) & 0xff)) / 3).toByte
+      // write palette entry p at pixel offset o (gray average or RGB)
+      def putPixel(canvas: Array[Byte], o: Int, pal: Array[Byte], p: Int): Unit =
+        if (rgb) {
+          canvas(3 * o) = pal(3 * p)
+          canvas(3 * o + 1) = pal(3 * p + 1)
+          canvas(3 * o + 2) = pal(3 * p + 2)
+        } else canvas(o) = grayOf(pal, p)
       // canvas = logical screen, initialized to the background color
-      // (bg index through the GCT; 0 when absent or out of range)
-      val bgGray: Byte =
-        if (palette != null && bgIndex < palette.length / 3) grayOf(palette, bgIndex)
-        else 0
-      val canvas = new Array[Byte](sw * sh)
-      java.util.Arrays.fill(canvas, bgGray)
+      // (bg index through the GCT; black when absent or out of range)
+      val bgPix: Array[Byte] =
+        if (palette != null && bgIndex < palette.length / 3) {
+          if (rgb) Array(palette(3 * bgIndex), palette(3 * bgIndex + 1), palette(3 * bgIndex + 2))
+          else Array(grayOf(palette, bgIndex))
+        } else new Array[Byte](ch)
+      val canvas = new Array[Byte](sw * sh * ch)
+      var bi = 0
+      while (bi < sw * sh) {
+        var bc = 0
+        while (bc < ch) { canvas(bi * ch + bc) = bgPix(bc); bc += 1 }
+        bi += 1
+      }
       // graphic-control state for the NEXT image block (then reset)
       var disposal = 0
       var transIdx = -1
@@ -774,7 +969,7 @@ object Multimodal {
                 val p = ordered(y * w + x) & 0xff
                 if (p >= nPal) return None
                 if (p != transIdx) // transparent pixels keep the canvas
-                  canvas((top + y) * sw + left + x) = grayOf(pal, p)
+                  putPixel(canvas, (top + y) * sw + left + x, pal, p)
                 x += 1
               }
               y += 1
@@ -785,8 +980,13 @@ object Multimodal {
               case 2 => // restore the frame's rect to background
                 var yy = 0
                 while (yy < h) {
-                  java.util.Arrays.fill(canvas, (top + yy) * sw + left,
-                    (top + yy) * sw + left + w, bgGray)
+                  var xx = 0
+                  while (xx < w) {
+                    val o = ((top + yy) * sw + left + xx) * ch
+                    var bc = 0
+                    while (bc < ch) { canvas(o + bc) = bgPix(bc); bc += 1 }
+                    xx += 1
+                  }
                   yy += 1
                 }
               case 3 => // restore to the pre-frame canvas
@@ -857,7 +1057,9 @@ object Multimodal {
       None
     }
 
-    /** Signature-dispatched decode. */
+    /** Signature-dispatched GRAYSCALE decode (the original tier
+      * contract — color payloads that can't collapse to gray, like
+      * color JPEG, return None here; use [[decodeImage]]). */
     def decode(b: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
       if (b != null && b.length >= 8 &&
         b.take(8).sameElements(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
@@ -868,6 +1070,25 @@ object Multimodal {
         decodeGif(b).map { case (w, h, px) => ("gif", w, h, px) }
       else if (b != null && b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
         JpegCodec.decodeGray(b).map { case (w, h, px) => ("jpeg", w, h, px) }
+      else None
+
+    /** Signature-dispatched COLOR-AWARE decode: (format, w, h,
+      * channels, pixels) with channels 1 (gray) or 3 (interleaved
+      * RGB). PNG truecolor/palette, BMP RGB, GIF palette-RGB
+      * (composited first frame) and JPEG gray/YCbCr all decode;
+      * grayscale payloads keep channels=1 where the container says so
+      * (gray PNG, 1-component JPEG) — GIF and BMP are palette/RGB
+      * containers and always emit 3. */
+    def decodeImage(b: Array[Byte]): Option[(String, Int, Int, Int, Array[Byte])] =
+      if (b != null && b.length >= 8 &&
+        b.take(8).sameElements(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
+        decodePngImage(b).map { case (w, h, ch, px) => ("png", w, h, ch, px) }
+      else if (b != null && b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+        decodeBmpImage(b).map { case (w, h, ch, px) => ("bmp", w, h, ch, px) }
+      else if (b != null && b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+        decodeGifImage(b).map { case (w, h, ch, px) => ("gif", w, h, ch, px) }
+      else if (b != null && b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        JpegCodec.decodeImage(b).map { case (w, h, ch, px) => ("jpeg", w, h, ch, px) }
       else None
   }
 
@@ -1007,15 +1228,16 @@ object Multimodal {
 
   /** Per-partition REAL color decode → per-channel pixel statistics
     * (sum/min/max per R/G/B — the per-channel analog of
-    * [[decodePixels]]'s compact proof). JPEG only for now (the one
-    * color-capable codec: [[JpegCodec.decodeImage]]); a grayscale JPEG
-    * contributes its luma to all three channels (r = g = b). Map-side,
-    * corrupt rows mark invalid. */
+    * [[decodePixels]]'s compact proof). Dispatches across every
+    * color-capable codec ([[PixelCodec.decodeImage]]: PNG truecolor/
+    * palette, BMP RGB, GIF palette-RGB, JPEG gray/YCbCr); a grayscale
+    * payload contributes its luma to all three channels (r = g = b).
+    * Map-side, corrupt rows mark invalid. */
   def decodeColorPixels(media: Dataset[MediaFile]): Dataset[ColorPixelMeta] =
     media.mapPartitions { iter =>
       iter.map { m =>
-        JpegCodec.decodeImage(m.content) match {
-          case Some((w, h, ch, px)) =>
+        PixelCodec.decodeImage(m.content) match {
+          case Some((fmt, w, h, ch, px)) =>
             var rs = 0L; var gs = 0L; var bs = 0L
             var rmn = 255; var rmx = 0; var gmn = 255; var gmx = 0
             var bmn = 255; var bmx = 0
@@ -1030,7 +1252,7 @@ object Multimodal {
               bs += b2; if (b2 < bmn) bmn = b2; if (b2 > bmx) bmx = b2
               i += 1
             }
-            ColorPixelMeta(m.doc_id, "jpeg", w, h, n.toLong, rs, gs, bs,
+            ColorPixelMeta(m.doc_id, fmt, w, h, n.toLong, rs, gs, bs,
               if (n == 0) 0 else rmn, if (n == 0) 0 else rmx,
               if (n == 0) 0 else gmn, if (n == 0) 0 else gmx,
               if (n == 0) 0 else bmn, if (n == 0) 0 else bmx, valid = true)
@@ -1177,6 +1399,32 @@ object Multimodal {
       def v(bx: Int, by: Int): Int = (2L * ((bx + 3L * by + id) % 128)).toInt
       val bytes = JpegCodec.encodeDcOnlyGray(w, h, v)
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
+    }(mediaEnc)
+
+  /** Deterministic COLOR raster media over the LOSSLESS formats —
+    * doc_id mod 3 picks the container: 0 = truecolor PNG, 1 = 24bpp
+    * BMP, 2 = palette GIF. PNG/BMP carry the per-pixel channel
+    * formulas r=(3x+y+id)%256, g=(x+2y+3id)%256, b=(2x+y+7id)%256;
+    * GIF carries index (x+y+id)%256 through the palette
+    * i→(i, 2i mod 256, 255−i). All three decode bit-exactly (no lossy
+    * step), so the q63 twin recomputes per-channel statistics from
+    * the formulas directly. Every 25th payload truncated. */
+  def syntheticColorRasterMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 8 + 1).toInt * 2
+      val h = (id % 6 + 1).toInt * 2
+      def rgb(x: Int, y: Int): (Int, Int, Int) = (
+        ((3L * x + y + id) % 256).toInt,
+        ((x + 2L * y + 3L * id) % 256).toInt,
+        ((2L * x + y + 7L * id) % 256).toInt)
+      val bytes = (id % 3) match {
+        case 0 => MiniEncoder.pngRgb(w, h, rgb)
+        case 1 => MiniEncoder.bmp24Rgb(w, h, rgb)
+        case _ =>
+          MiniEncoder.gifPal(w, h, (x, y) => ((x + y + id) % 256).toInt,
+            Array.tabulate(256)(i => (i, (2 * i) % 256, 255 - i)))
+      }
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(6) else bytes)
     }(mediaEnc)
 
   /** Deterministic COLOR JPEG media with the same exact-reconstruction

@@ -429,7 +429,7 @@ class MultimodalSpec extends SparkSpec {
     assert(PixelCodec.decode(own).map(_._1) === Some("jpeg"))
   }
 
-  test("JPEG color decode: 4:4:4/4:2:0 DC-lattice exact, ImageIO both directions, refusals") {
+  test("JPEG color decode: 4:4:4/4:2:2/4:2:0 DC-lattice exact, ImageIO both directions, refusals") {
     import graft.operators.JpegCodec
     // the decoder's published RGB contract: JFIF double formula,
     // floor(x+0.5), clamp — the same arithmetic the q61 oracle runs
@@ -464,6 +464,19 @@ class MultimodalSpec extends SparkSpec {
       val o = (y * 48 + x) * 3
       val got = (px2(o) & 0xff, px2(o + 1) & 0xff, px2(o + 2) & 0xff)
       assert(got === want, s"4:2:0 ($x,$y)")
+    }
+    // (b2) 4:2:2: two Y blocks + chroma per 16×8 MCU, horizontal-only
+    // replication — exact for per-MCU chroma constants
+    def cb22(mx: Int, my: Int) = 2 * ((mx + 3 * my + 1) % 128)
+    def cr22(mx: Int, my: Int) = 2 * ((2 * mx + my + 9) % 128)
+    val own422 = JpegCodec.encodeDcOnlyColor(32, 16, 422, yv, cb22, cr22)
+    val Some((w22, h22, 3, px22)) = JpegCodec.decodeImage(own422)
+    assert((w22, h22) === (32, 16))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want = rgbOf(yv(x / 8, y / 8), cb22(x / 16, y / 8), cr22(x / 16, y / 8))
+      val o = (y * 32 + x) * 3
+      val got = (px22(o) & 0xff, px22(o + 1) & 0xff, px22(o + 2) & 0xff)
+      assert(got === want, s"4:2:2 ($x,$y)")
     }
     // (c) ImageIO reads OUR 4:4:4 within ±1 per channel (its
     // fixed-point YCbCr→RGB vs our exact doubles)
@@ -521,6 +534,89 @@ class MultimodalSpec extends SparkSpec {
     pw.write(null, new javax.imageio.IIOImage(rgbImg, null, null), pp)
     pios.close(); pw.dispose()
     assert(JpegCodec.decodeImage(pout.toByteArray) === None) // progressive refused
+  }
+
+  test("color raster decode: PNG truecolor/palette, BMP RGB, GIF palette-RGB, ImageIO both ways") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    def rgb(x: Int, y: Int) = ((3 * x + y + 5) % 256, (x + 2 * y + 15) % 256, (2 * x + y + 35) % 256)
+    def checkTriples(px: Array[Byte], w: Int, h: Int,
+        want: (Int, Int) => (Int, Int, Int), what: String): Unit =
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        assert(((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff)) === want(x, y), s"$what ($x,$y)")
+      }
+    def checkImageIO(bytes: Array[Byte], w: Int, h: Int,
+        want: (Int, Int) => (Int, Int, Int), what: String): Unit = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = img.getRGB(x, y)
+        assert((((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)) === want(x, y), s"$what ($x,$y)")
+      }
+    }
+    // (a) truecolor PNG: odd dims exercise all five bpp-aware filters
+    val png = MiniEncoder.pngRgb(13, 9, rgb)
+    val Some(("png", 13, 9, 3, ppx)) = PixelCodec.decodeImage(png)
+    checkTriples(ppx, 13, 9, rgb, "own png")
+    checkImageIO(png, 13, 9, rgb, "ImageIO reads our png")
+    // foreign truecolor png (ImageIO writer) decodes bit-exactly
+    val fimg = new java.awt.image.BufferedImage(13, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 13) {
+      val (r, g, b) = rgb(x, y); fimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val fout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(fimg, "png", fout)
+    val Some(("png", _, _, 3, fpx)) = PixelCodec.decodeImage(fout.toByteArray)
+    checkTriples(fpx, 13, 9, rgb, "foreign png")
+    // (b) palette PNG: indices through a non-gray palette
+    val pal = Array.tabulate(256)(i => (i, (2 * i) % 256, 255 - i))
+    def idx(x: Int, y: Int) = (x * 3 + y * 5 + 7) % 256
+    def palRgb(x: Int, y: Int) = pal(idx(x, y))
+    val pp = MiniEncoder.pngPal(11, 7, idx, pal)
+    val Some(("png", 11, 7, 3, pppx)) = PixelCodec.decodeImage(pp)
+    checkTriples(pppx, 11, 7, palRgb, "own palette png")
+    checkImageIO(pp, 11, 7, palRgb, "ImageIO reads our palette png")
+    // foreign palette png: ImageIO writes color type 3 from an indexed image
+    val icm = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate(256)(i => pal(i)._1.toByte),
+      Array.tabulate(256)(i => pal(i)._2.toByte),
+      Array.tabulate(256)(i => pal(i)._3.toByte))
+    val pimg = new java.awt.image.BufferedImage(11, 7,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 7; x <- 0 until 11) pimg.getRaster.setSample(x, y, 0, idx(x, y))
+    val pout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(pimg, "png", pout)
+    val Some(("png", _, _, 3, fppx)) = PixelCodec.decodeImage(pout.toByteArray)
+    checkTriples(fppx, 11, 7, palRgb, "foreign palette png")
+    // (c) BMP RGB both directions (BGR flip + stride)
+    val bmp = MiniEncoder.bmp24Rgb(13, 9, rgb)
+    val Some(("bmp", 13, 9, 3, bpx)) = PixelCodec.decodeImage(bmp)
+    checkTriples(bpx, 13, 9, rgb, "own bmp")
+    checkImageIO(bmp, 13, 9, rgb, "ImageIO reads our bmp")
+    val bout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(fimg, "bmp", bout)
+    val Some(("bmp", _, _, 3, fbpx)) = PixelCodec.decodeImage(bout.toByteArray)
+    checkTriples(fbpx, 13, 9, rgb, "foreign bmp")
+    // (d) GIF palette-RGB both directions
+    val gif = MiniEncoder.gifPal(13, 9, idx, pal)
+    val Some(("gif", 13, 9, 3, gpx)) = PixelCodec.decodeImage(gif)
+    checkTriples(gpx, 13, 9, palRgb, "own gif")
+    checkImageIO(gif, 13, 9, palRgb, "ImageIO reads our gif")
+    val gout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(pimg, "gif", gout)
+    val Some(("gif", _, _, 3, fgpx)) = PixelCodec.decodeImage(gout.toByteArray)
+    checkTriples(fgpx, 11, 7, palRgb, "foreign gif")
+    // (e) gray containers keep channels=1 where the format says gray
+    val grayPng = MiniEncoder.pngGray(6, 4, (x, y) => (x + y) % 256)
+    assert(PixelCodec.decodeImage(grayPng).map(t => (t._1, t._4)) === Some(("png", 1)))
+    // and the GRAY dispatcher keeps refusing truecolor PNG (gray-only
+    // contract — color flows through decodeImage)
+    assert(PixelCodec.decode(png) === None)
+    // (f) truncation/garbage → None through the color dispatcher too
+    assert(PixelCodec.decodeImage(png.take(6)) === None)
+    assert(PixelCodec.decodeImage(bmp.take(6)) === None)
+    assert(PixelCodec.decodeImage(gif.take(6)) === None)
+    assert(PixelCodec.decodeImage(null) === None)
   }
 
   test("crafted giant-dimension headers are rejected before allocation") {
@@ -595,6 +691,15 @@ class MultimodalSpec extends SparkSpec {
       MiniEncoder.gifAnimGray(6, 4, 3, (x, y, f) => x + y + f),
       MiniEncoder.wavPcm(8000, 2, 12, (i, c) => i * 100 - c * 7),
       graft.operators.JpegCodec.encodeDcOnlyGray(16, 8, (bx, by) => 2 * (bx + by + 9)),
+      graft.operators.JpegCodec.encodeDcOnlyColor(16, 16, 420,
+        (bx, by) => 2 * (bx + by), (mx, my) => 2 * mx, (mx, my) => 2 * my),
+      MiniEncoder.pngRgb(9, 7, (x, y) => (x, y, x + y)),
+      MiniEncoder.pngPal(9, 7, (x, y) => x + y, Array.tabulate(256)(i => (i, i, i))),
+      MiniEncoder.bmp24Rgb(9, 7, (x, y) => (x, y, x + y)),
+      MiniEncoder.gifPal(9, 7, (x, y) => x + y, Array.tabulate(256)(i => (i, (2 * i) % 256, 255 - i))),
+      MiniEncoder.gifAnimComposite(8, 4, 0, Seq(
+        MiniEncoder.GifFrame(0, 0, 8, 4, 1, -1, (_, _) => 10),
+        MiniEncoder.GifFrame(2, 1, 4, 2, 2, 99, (x, y) => x + y))),
       MiniEncoder.jpeg(9, 7), MiniEncoder.gif(9, 7), MiniEncoder.wav(8000, 1, 4))
     // random garbage, random-length prefixes of valid files, and valid
     // files with one flipped byte: decode/probe must return (not throw)
@@ -608,6 +713,7 @@ class MultimodalSpec extends SparkSpec {
     cases.foreach { bytes =>
       FormatProbe.probe(bytes) // Option or None — never a throw
       PixelCodec.decode(bytes) // dispatches png/bmp/gif/jpeg
+      PixelCodec.decodeImage(bytes) // color-aware dispatch
       PixelCodec.decodeGifFrames(bytes)
       Multimodal.WavCodec.decode(bytes)
     }
