@@ -703,6 +703,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // PROGRESSIVE JPEG under the gate: the DC-lattice invariant
+    // through SOF2 multi-scan decoding (cross-scan coefficient
+    // accumulation, DC successive approximation on even ids, per-band
+    // AC EOB runs), reconstructed at EOI — same stats shape as q55,
+    // different lattice formula and scan structure.
+    "q64_progressive_jpeg_decode" -> { (s, dir) =>
+      Multimodal.decodePixels(
+          Multimodal.syntheticProgressiveJpegMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // The LOSSLESS color tier under one gate: truecolor PNG (bpp-aware
     // filter reversal), 24bpp BMP (BGR flip), palette GIF (palette
     // kept as RGB) — bit-exact containers, so the twin recomputes the
@@ -1675,6 +1687,32 @@ object SparkEntry {
         |from px
         |group by doc_id, fi, w, h
         |order by doc_id, frame_index""".stripMargin,
+
+    // q55's lattice twin with the q64 formula: per-tile constants, so
+    // sums scale by 64 — the progressive transport changes nothing
+    // about the reconstructed values (that's the invariant under test)
+    "q64_progressive_jpeg_decode" ->
+      """with d as (select doc_id,
+        |    doc_id % 5 + 1 as bw, doc_id % 2 + 1 as bh
+        |  from documents),
+        | t as (select d.doc_id, d.bw, d.bh,
+        |    2 * ((2 * x.range + y.range + d.doc_id) % 128) as v
+        |  from d cross join range(0, 5) x cross join range(0, 2) y
+        |  where x.range < d.bw and y.range < d.bh),
+        | agg as (select doc_id, bw, bh,
+        |    sum(v) as s, min(v) as mn, max(v) as mx
+        |  from t group by doc_id, bw, bh)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'jpeg' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * 8 end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else bh * 8 end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * bh * 64 end as bigint) as n_pixels,
+        |  cast(case when doc_id % 25 = 0 then 0 else s * 64 end as bigint) as pixel_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else mn end as int) as pixel_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else mx end as int) as pixel_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
 
     // Per-channel twin over the lossless color containers: channel
     // values straight from the generator formulas (PNG/BMP carry the

@@ -158,10 +158,9 @@ object JpegCodec {
     out
   }
 
-  /** Decode a baseline-sequential GRAYSCALE JPEG to (w, h, row-major
-    * 8-bit pixels). None for anything else — color frames (use
-    * [[decodeImage]]), progressive scans, truncation, entropy
-    * corruption. */
+  /** Decode a baseline-sequential or progressive GRAYSCALE JPEG to
+    * (w, h, row-major 8-bit pixels). None for anything else — color
+    * frames (use [[decodeImage]]), truncation, entropy corruption. */
   def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodeImage(b) match {
       case Some((w, h, 1, px)) => Some((w, h, px))
@@ -170,20 +169,72 @@ object JpegCodec {
 
   /** Per-frame component state: sampling factors, table ids, and the
     * decoded plane at the component's natural resolution (padded to
-    * whole blocks). */
+    * whole blocks). Progressive frames also carry the cross-scan
+    * coefficient accumulator (`coef`, zigzag order per block) and the
+    * padded block-grid dims. */
   private final class Comp(val id: Int, val hs: Int, val vs: Int, val tq: Int) {
     var dcId = 0; var acId = 0
     var plane: Array[Byte] = null
     var pw = 0 // plane row stride (blocksAcross * 8)
     var pred = 0
+    var bw = 0; var bh = 0 // padded block-grid dims (MCU multiples)
+    var coef: Array[Int] = null
   }
 
-  /** Decode a baseline-sequential JPEG to (w, h, channels, pixels):
-    * channels = 1 (grayscale, w·h bytes) or 3 (color, w·h·3
-    * interleaved RGB). Sampling factors 1–2 per axis (4:4:4 / 4:2:2 /
-    * 4:2:0 and transposes); single interleaved scan. None for
-    * progressive/extended frames, 2- or 4-component frames, sampling
-    * factors > 2, truncation, entropy corruption. */
+  /** Assemble the decoded component planes into the output raster:
+    * gray crop for 1 component, chroma upsample (sample replication) +
+    * JFIF YCbCr→RGB for 3. Shared by the baseline and progressive
+    * paths. */
+  private def emitImage(comps: Array[Comp], w: Int, h: Int,
+      hmax: Int, vmax: Int): Option[(Int, Int, Int, Array[Byte])] =
+    if (comps.length == 1) {
+      val c = comps(0)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(c.plane, y * c.pw, out, y * w, w)
+        y += 1
+      }
+      Some((w, h, 1, out))
+    } else {
+      // chroma upsampled by sample replication (integer-floor source
+      // coordinate), then JFIF YCbCr→RGB with floor(x+0.5) rounding —
+      // both choices deterministic and reproducible in plain SQL by
+      // the oracle twin
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum = cy.plane((y * cy.vs / vmax) * cy.pw + (x * cy.hs / hmax)) & 0xff
+          val pb = (cb.plane((y * cb.vs / vmax) * cb.pw + (x * cb.hs / hmax)) & 0xff) - 128
+          val pr = (cr.plane((y * cr.vs / vmax) * cr.pw + (x * cr.hs / hmax)) & 0xff) - 128
+          def clamp8(d: Double): Byte = {
+            val v = math.floor(d + 0.5).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val o = (y * w + x) * 3
+          out(o) = clamp8(lum + 1.402 * pr)
+          out(o + 1) = clamp8(lum - 0.344136 * pb - 0.714136 * pr)
+          out(o + 2) = clamp8(lum + 1.772 * pb)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, 3, out))
+    }
+
+  /** Decode a baseline-sequential OR progressive (SOF2) JPEG to
+    * (w, h, channels, pixels): channels = 1 (grayscale, w·h bytes) or
+    * 3 (color, w·h·3 interleaved RGB). Sampling factors 1–2 per axis
+    * (4:4:4 / 4:2:2 / 4:2:0 and transposes). Baseline takes a single
+    * interleaved scan; progressive accumulates coefficients across
+    * scans (DC first + refinement, per-band AC first with EOB runs,
+    * AC successive-approximation refinement) and reconstructs at EOI.
+    * Extended-sequential/lossless/arithmetic frames, 2- or 4-component
+    * frames, sampling factors > 2, truncation and entropy corruption
+    * all return None, never a mis-decode. */
   def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -194,16 +245,60 @@ object JpegCodec {
     var w = 0; var h = 0
     var comps: Array[Comp] = null
     var dri = 0
+    var progressive = false
+    var scansDone = 0
     def u16(j: Int) = ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)
-    while (i + 4 <= b.length) {
+    while (i + 2 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
       val m = b(i + 1) & 0xff
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // SOI/RSTn: bare
-      else if (m == 0xd9) return None                       // EOI before scan
+      else if (m == 0xd9) {                                 // EOI
+        if (!progressive || scansDone == 0) return None
+        // progressive reconstruction: dequantize + de-zigzag + IDCT
+        // every accumulated block, then the shared plane assembly
+        val hmax = comps.map(_.hs).max
+        val vmax = comps.map(_.vs).max
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val q = qt.getOrElse(c.tq, return None)
+          c.pw = c.bw * 8
+          c.plane = new Array[Byte](c.pw * c.bh * 8)
+          var blk = 0
+          while (blk < c.bw * c.bh) {
+            val off = blk * 64
+            val d = new Array[Double](64)
+            var zz = 0
+            while (zz < 64) {
+              d(Zigzag(zz)) = c.coef(off + zz).toDouble * q(zz)
+              zz += 1
+            }
+            val px = idct(d)
+            val ox0 = (blk % c.bw) * 8
+            val oy0 = (blk / c.bw) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                val v = math.round(px(yy * 8 + xx) + 128.0).toInt
+                c.plane((oy0 + yy) * c.pw + ox0 + xx) =
+                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            blk += 1
+          }
+          ci += 1
+        }
+        return emitImage(comps, w, h, hmax, vmax)
+      }
+      else if (i + 4 > b.length) return None
       else {
         val len = u16(i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
         val seg = i + 4
+        var jump = -1 // progressive scans set this past their entropy data
         m match {
           case 0xdb => // DQT: one or more (precision|id, 64 values)
             var j = seg
@@ -227,7 +322,8 @@ object JpegCodec {
               if (tc == 0) hDC(th) = huff else hAC(th) = huff
               j += 17 + n
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            progressive = m == 0xc2
             if (b(seg) != 8) return None // 8-bit precision only
             h = u16(seg + 1); w = u16(seg + 3)
             val nComp = b(seg + 5) & 0xff
@@ -242,12 +338,206 @@ object JpegCodec {
               return None // sampling factors 1–2 only
             if (nComp == 1 && (comps(0).hs != 1 || comps(0).vs != 1))
               return None // single-component frames are 1x1 by contract
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // non-baseline frame types
+            return None // extended/lossless/arithmetic frame types
           case 0xdd => // DRI
             dri = u16(seg)
-          case 0xda => // SOS — entropy data follows
+          case 0xda if progressive => // progressive scan: accumulate
+            if (w <= 0 || h <= 0 || comps == null) return None
+            // tighter cap than baseline: the cross-scan coefficient
+            // accumulator holds 4 bytes per sample per component
+            if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
+              w.toLong * h * comps.length > Multimodal.PixelCodec.MaxPixels / 4) return None
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > comps.length) return None
+            val hmax = comps.map(_.hs).max
+            val vmax = comps.map(_.vs).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            if (comps(0).coef == null) comps.foreach { c =>
+              c.bw = mcusX * c.hs
+              c.bh = mcusY * c.vs
+              c.coef = new Array[Int](c.bw * c.bh * 64)
+            }
+            val scanComps = new Array[Comp](ns)
+            var j = seg + 1
+            var si = 0
+            while (si < ns) {
+              val cid = b(j) & 0xff
+              scanComps(si) = comps.find(_.id == cid).getOrElse(return None)
+              scanComps(si).dcId = (b(j + 1) & 0xff) >> 4
+              scanComps(si).acId = b(j + 1) & 0x0f
+              j += 2; si += 1
+            }
+            val ss = b(j) & 0xff
+            val se = b(j + 1) & 0xff
+            val ah = (b(j + 2) & 0xff) >> 4
+            val al = b(j + 2) & 0x0f
+            if (ss > se || se > 63 || al > 13 || ah > 14) return None
+            if (ss == 0 && se != 0) return None // DC scans are band [0,0]
+            if (ss > 0 && ns != 1) return None  // AC scans: one component
+            if (ah != 0 && ah != al + 1) return None // successive approx steps by 1 bit
+            val br = new BitReader(b, i + 2 + len)
+            scanComps.foreach(_.pred = 0)
+            // EOB-run state. Conventions differ by scan type (and never
+            // mix — the type is fixed per scan): in AC FIRST scans the
+            // value counts blocks remaining AFTER the one that read the
+            // EOBn symbol; in AC REFINEMENT scans it counts blocks still
+            // owed a correction pass INCLUDING the current one.
+            var eobrun = 0
+
+            def dcBlock(c: Comp, off: Int, dc: Huff): Unit =
+              if (ah == 0) { // first DC scan: sequential diffs << Al
+                val s = dc.decode(br)
+                if (s > 11) throw new IllegalArgumentException("bad DC size")
+                c.pred += extend(br.receive(s), s)
+                c.coef(off) = c.pred << al
+              } else { // refinement: one raw bit per block
+                if (br.bit() == 1) c.coef(off) |= 1 << al
+              }
+
+            def acFirstBlock(c: Comp, off: Int, ac: Huff): Unit = {
+              if (eobrun > 0) { eobrun -= 1; return }
+              var k = ss
+              while (k <= se) {
+                val rs = ac.decode(br)
+                val r = rs >> 4; val s = rs & 0x0f
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.receive(r)
+                    return
+                  }
+                } else {
+                  k += r
+                  if (k > se) throw new IllegalArgumentException("AC overrun")
+                  c.coef(off + k) = extend(br.receive(s), s) << al
+                  k += 1
+                }
+              }
+            }
+
+            def acRefineBlock(c: Comp, off: Int, ac: Huff): Unit = {
+              val p1 = 1 << al
+              var k = ss
+              if (eobrun == 0) {
+                var toEob = false
+                while (k <= se && !toEob) {
+                  val rs = ac.decode(br)
+                  var r = rs >> 4; val s = rs & 0x0f
+                  var newVal = 0
+                  if (s != 0) {
+                    if (s != 1) throw new IllegalArgumentException("bad refine size")
+                    newVal = if (br.bit() == 1) p1 else -p1
+                  } else if (r != 15) { // EOBn: current block still gets
+                    eobrun = (1 << r)   // its correction pass below
+                    if (r > 0) eobrun += br.receive(r)
+                    toEob = true
+                  }
+                  if (!toEob) {
+                    // advance past r zero-history positions, appending a
+                    // correction bit to every nonzero coefficient passed
+                    var placed = false
+                    while (k <= se && !placed) {
+                      val idx = off + k
+                      if (c.coef(idx) != 0) {
+                        if (br.bit() == 1 && (math.abs(c.coef(idx)) & p1) == 0)
+                          c.coef(idx) += (if (c.coef(idx) > 0) p1 else -p1)
+                      } else if (r == 0) {
+                        if (newVal != 0) c.coef(idx) = newVal
+                        placed = true
+                      } else r -= 1
+                      k += 1
+                    }
+                    if (!placed && newVal != 0)
+                      throw new IllegalArgumentException("refine overrun")
+                  }
+                }
+              }
+              if (eobrun > 0) { // correction-only pass for this block
+                while (k <= se) {
+                  val idx = off + k
+                  if (c.coef(idx) != 0) {
+                    if (br.bit() == 1 && (math.abs(c.coef(idx)) & p1) == 0)
+                      c.coef(idx) += (if (c.coef(idx) > 0) p1 else -p1)
+                  }
+                  k += 1
+                }
+                eobrun -= 1
+              }
+            }
+
+            if (ns > 1) { // interleaved scan (DC band only, per above)
+              val dcs: Array[Huff] =
+                if (ah == 0) {
+                  val arr = new Array[Huff](ns)
+                  var k2 = 0
+                  while (k2 < ns) {
+                    arr(k2) = hDC.getOrElse(scanComps(k2).dcId, return None)
+                    k2 += 1
+                  }
+                  arr
+                } else new Array[Huff](ns) // refinement reads raw bits
+              var mcu = 0
+              var my = 0
+              while (my < mcusY) {
+                var mx = 0
+                while (mx < mcusX) {
+                  if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+                    br.restart(); scanComps.foreach(_.pred = 0); eobrun = 0
+                  }
+                  var ci = 0
+                  while (ci < ns) {
+                    val c = scanComps(ci)
+                    var v2 = 0
+                    while (v2 < c.vs) {
+                      var h2 = 0
+                      while (h2 < c.hs) {
+                        val blk = (my * c.vs + v2) * c.bw + mx * c.hs + h2
+                        dcBlock(c, blk * 64, dcs(ci))
+                        h2 += 1
+                      }
+                      v2 += 1
+                    }
+                    ci += 1
+                  }
+                  mcu += 1
+                  mx += 1
+                }
+                my += 1
+              }
+            } else { // non-interleaved: the component's own block grid
+              val c = scanComps(0)
+              val cw = (w * c.hs + hmax - 1) / hmax
+              val chgt = (h * c.vs + vmax - 1) / vmax
+              val nbx = (cw + 7) / 8
+              val nby = (chgt + 7) / 8
+              val dc = if (ss == 0 && ah == 0) hDC.getOrElse(c.dcId, return None) else null
+              val ac = if (ss > 0) hAC.getOrElse(c.acId, return None) else null
+              var mcu = 0
+              var by = 0
+              while (by < nby) {
+                var bx = 0
+                while (bx < nbx) {
+                  if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+                    br.restart(); c.pred = 0; eobrun = 0
+                  }
+                  val off = (by * c.bw + bx) * 64
+                  if (ss == 0) dcBlock(c, off, dc)
+                  else if (ah == 0) acFirstBlock(c, off, ac)
+                  else acRefineBlock(c, off, ac)
+                  mcu += 1
+                  bx += 1
+                }
+                by += 1
+              }
+            }
+            scansDone += 1
+            jump = br.pos // resume marker parsing after the entropy data
+
+          case 0xda => // SOS — baseline entropy data follows
             if (w <= 0 || h <= 0 || comps == null) return None
             // cap BEFORE allocation: dims are untrusted and the output
             // is w·h·channels bytes plus same-order component planes
@@ -337,46 +627,10 @@ object JpegCodec {
               }
               my += 1
             }
-            if (comps.length == 1) {
-              val c = comps(0)
-              val out = new Array[Byte](w * h)
-              var y = 0
-              while (y < h) {
-                System.arraycopy(c.plane, y * c.pw, out, y * w, w)
-                y += 1
-              }
-              return Some((w, h, 1, out))
-            } else {
-              // chroma upsampled by sample replication (integer-floor
-              // source coordinate), then JFIF YCbCr→RGB with
-              // floor(x+0.5) rounding — both choices deterministic and
-              // reproducible in plain SQL by the oracle twin
-              val cy = comps(0); val cb = comps(1); val cr = comps(2)
-              val out = new Array[Byte](w * h * 3)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val lum = cy.plane((y * cy.vs / vmax) * cy.pw + (x * cy.hs / hmax)) & 0xff
-                  val pb = (cb.plane((y * cb.vs / vmax) * cb.pw + (x * cb.hs / hmax)) & 0xff) - 128
-                  val pr = (cr.plane((y * cr.vs / vmax) * cr.pw + (x * cr.hs / hmax)) & 0xff) - 128
-                  def clamp8(d: Double): Byte = {
-                    val v = math.floor(d + 0.5).toInt
-                    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-                  }
-                  val o = (y * w + x) * 3
-                  out(o) = clamp8(lum + 1.402 * pr)
-                  out(o + 1) = clamp8(lum - 0.344136 * pb - 0.714136 * pr)
-                  out(o + 2) = clamp8(lum + 1.772 * pb)
-                  x += 1
-                }
-                y += 1
-              }
-              return Some((w, h, 3, out))
-            }
+            return emitImage(comps, w, h, hmax, vmax)
           case _ => () // APPn / COM / anything else: skip
         }
-        i += 2 + len
+        i = if (jump >= 0) jump else i + 2 + len
       }
     }
     None // no SOS reached
@@ -484,6 +738,72 @@ object JpegCodec {
     val (ebCode, ebLen) = acCodes(0x00) // EOB
     bw.put(ebCode, ebLen)
     coef
+  }
+
+  /** Encode a REAL PROGRESSIVE (SOF2) grayscale JPEG of per-8×8-tile
+    * constants — the [[encodeDcOnlyGray]] exact-reconstruction
+    * contract transmitted progressively. Scans: (1) DC first scan
+    * (with successive-approximation point transform Al=1 when
+    * `split`), (2) when `split`, a DC refinement scan carrying each
+    * block's low bit as one raw bit, (3) an AC first scan for band
+    * 1–63 that is one EOB symbol per block (all ACs are zero by
+    * construction). Even tile values reconstruct BIT-EXACTLY, so the
+    * progressive path gets the same deterministic formula twin as the
+    * sequential one. */
+  def encodeDcOnlyProgressiveGray(w: Int, h: Int, v: (Int, Int) => Int,
+      split: Boolean = true): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(67); b(0) // DQT, table 0
+    (0 until 64).foreach(_ => b(QuantStep))
+    b(0xff); b(0xc2); u16(11) // SOF2 progressive
+    b(8); u16(h); u16(w); b(1)
+    b(1); b(0x11); b(0)
+    b(0xff); b(0xc4); u16(19 + DcVals.length); b(0x00) // DHT DC class 0 id 0
+    DcBits.foreach(b); DcVals.foreach(b)
+    b(0xff); b(0xc4); u16(19 + AcVals.length); b(0x10) // DHT AC class 1 id 0
+    AcBits.foreach(b); AcVals.foreach(b)
+    val bw8 = w / 8; val bh8 = h / 8
+    def coefOf(bx: Int, by: Int): Int =
+      Math.round(8.0 * ((v(bx, by) & 0xff) - 128) / QuantStep).toInt
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      b(0xff); b(0xda); u16(8)
+      b(1); b(1); b(0x00) // 1 comp; DC table 0 / AC table 0
+      b(ss); b(se); b((ah << 4) | al)
+    }
+    val al0 = if (split) 1 else 0
+    // scan 1: DC first, diffs of (coef >> Al)
+    sos(0, 0, 0, al0)
+    var bw = new BitWriter(out)
+    var pred = 0
+    for (by <- 0 until bh8; bx <- 0 until bw8) {
+      val coded = coefOf(bx, by) >> al0 // point transform (arithmetic)
+      val diff = coded - pred
+      pred = coded
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(s)
+      bw.put(code, len)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    bw.flushWithOnes()
+    if (split) { // scan 2: DC refinement — each block's low bit, raw
+      sos(0, 0, 1, 0)
+      bw = new BitWriter(out)
+      for (by <- 0 until bh8; bx <- 0 until bw8)
+        bw.put(coefOf(bx, by) & 1, 1)
+      bw.flushWithOnes()
+    }
+    // scan 3: AC band 1–63 — all zero, one EOB per block
+    sos(1, 63, 0, 0)
+    bw = new BitWriter(out)
+    val (ebCode, ebLen) = acCodes(0x00)
+    for (_ <- 0 until bw8 * bh8) bw.put(ebCode, ebLen)
+    bw.flushWithOnes()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Encode a REAL baseline YCbCr COLOR JPEG whose component planes

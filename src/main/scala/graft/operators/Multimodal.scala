@@ -1456,6 +1456,21 @@ object Multimodal {
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
     }(mediaEnc)
 
+  /** Deterministic PROGRESSIVE JPEG media: the [[syntheticJpegMedia]]
+    * DC-lattice contract transmitted as SOF2 multi-scan files — tile
+    * (bx,by) = `2·((2bx + by + doc_id) mod 128)`, even doc_ids with
+    * the DC successive-approximation split (Al=1 first scan + a
+    * refinement-bit scan), odd without; both reconstruct bit-exactly.
+    * Every 25th payload truncated. */
+  def syntheticProgressiveJpegMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 5 + 1).toInt * 8
+      val h = (id % 2 + 1).toInt * 8
+      def v(bx: Int, by: Int): Int = (2L * ((2L * bx + by + id) % 128)).toInt
+      val bytes = JpegCodec.encodeDcOnlyProgressiveGray(w, h, v, split = id % 2 == 0)
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
+    }(mediaEnc)
+
   /** Deterministic 16-bit PCM WAV media: frame i, channel c carries
     * `((i*31 + c*17 + doc_id*7) mod 65536) - 32768`; rate/channels
     * keyed on doc_id like [[syntheticRealMedia]]'s WAV tier; every

@@ -525,15 +525,75 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decodeImage(gray).map(t => (t._1, t._2, t._3)) === Some((16, 8, 1)))
     assert(JpegCodec.decodeImage(own444.take(own444.length - 3)) === None)
     assert(JpegCodec.decodeImage(own444.take(8)) === None)
-    val pw = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-    val pp = pw.getDefaultWriteParam
-    pp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-    val pout = new java.io.ByteArrayOutputStream()
-    val pios = javax.imageio.ImageIO.createImageOutputStream(pout)
-    pw.setOutput(pios)
-    pw.write(null, new javax.imageio.IIOImage(rgbImg, null, null), pp)
-    pios.close(); pw.dispose()
-    assert(JpegCodec.decodeImage(pout.toByteArray) === None) // progressive refused
+  }
+
+  test("progressive JPEG: DC-lattice exact (incl. successive approximation), foreign scans ±2") {
+    import graft.operators.JpegCodec
+    def tv(bx: Int, by: Int): Int = 2 * ((bx + 3 * by + 5) % 128)
+    // (a) 2-scan progressive (DC first Al=0 + AC EOB band): decodes to
+    // the EXACT tile lattice, byte-identical to the sequential decode
+    val seq = JpegCodec.decodeGray(JpegCodec.encodeDcOnlyGray(32, 24, tv)).get._3
+    val prog = JpegCodec.encodeDcOnlyProgressiveGray(32, 24, tv, split = false)
+    val Some((32, 24, ppx)) = JpegCodec.decodeGray(prog)
+    assert(ppx.sameElements(seq), "progressive != sequential")
+    // (b) 3-scan with DC successive approximation (Al=1 first scan +
+    // refinement bit scan): still bit-exact — the refine path works
+    val prog2 = JpegCodec.encodeDcOnlyProgressiveGray(32, 24, tv, split = true)
+    val Some((_, _, ppx2)) = JpegCodec.decodeGray(prog2)
+    assert(ppx2.sameElements(seq), "split progressive != sequential")
+    // ImageIO agrees on our progressive file (DC-only: exact)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog2))
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert(ref.getRaster.getSample(x, y, 0) === tv(x / 8, y / 8), s"ImageIO ($x,$y)")
+    // (c) FOREIGN progressive gray: ImageIO writes a full multi-scan
+    // gradient (spectral bands + AC successive approximation); we
+    // decode within ±1 of its own read-back
+    def writeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); wr.dispose()
+      bos.toByteArray
+    }
+    val gray = new java.awt.image.BufferedImage(21, 13,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 13; x <- 0 until 21)
+      gray.getRaster.setSample(x, y, 0, (x * 11 + y * 7) % 256)
+    val fgray = writeProgressive(gray)
+    val Some((21, 13, fpx)) = JpegCodec.decodeGray(fgray)
+    val fref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fgray))
+    var maxDiff = 0
+    for (y <- 0 until 13; x <- 0 until 21) {
+      val d = math.abs((fpx(y * 21 + x) & 0xff) - fref.getRaster.getSample(x, y, 0))
+      if (d > maxDiff) maxDiff = d
+    }
+    assert(maxDiff <= 1, s"foreign progressive gray maxDiff=$maxDiff")
+    // (d) FOREIGN progressive COLOR (interleaved DC scan + per-
+    // component AC bands + refinements), constant chroma: ±2
+    val rgbImg = new java.awt.image.BufferedImage(21, 13,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 13; x <- 0 until 21) {
+      val v = (x * 11 + y * 7) % 256
+      rgbImg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val fcolor = writeProgressive(rgbImg)
+    val Some((21, 13, 3, cpx)) = JpegCodec.decodeImage(fcolor)
+    val cref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fcolor))
+    var cMaxDiff = 0
+    for (y <- 0 until 13; x <- 0 until 21; c <- 0 until 3) {
+      val d = math.abs((cpx((y * 21 + x) * 3 + c) & 0xff) - cref.getRaster.getSample(x, y, c))
+      if (d > cMaxDiff) cMaxDiff = d
+    }
+    assert(cMaxDiff <= 2, s"foreign progressive color maxDiff=$cMaxDiff")
+    // (e) truncation mid-scan / before EOI → None, never a mis-decode
+    assert(JpegCodec.decodeImage(prog2.take(prog2.length - 3)) === None)
+    assert(JpegCodec.decodeImage(prog2.take(60)) === None)
+    // and the gray-tier dispatcher handles progressive transparently
+    assert(Multimodal.PixelCodec.decode(prog).map(_._1) === Some("jpeg"))
   }
 
   test("color raster decode: PNG truecolor/palette, BMP RGB, GIF palette-RGB, ImageIO both ways") {
