@@ -703,6 +703,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Audio features under the gate: RMS energy (exact-integer
+    // sum-of-squares → deterministic double), per-channel
+    // zero-crossing counts, peak amplitude — over the same 16-bit PCM
+    // corpus q53 gates, so the formula twin reuses its generator.
+    "q65_audio_features" -> { (s, dir) =>
+      Multimodal.audioFeatures(
+          Multimodal.syntheticWavMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // PROGRESSIVE JPEG under the gate: the DC-lattice invariant
     // through SOF2 multi-scan decoding (cross-scan coefficient
     // accumulation, DC successive approximation on even ids, per-band
@@ -1687,6 +1698,42 @@ object SparkEntry {
         |from px
         |group by doc_id, fi, w, h
         |order by doc_id, frame_index""".stripMargin,
+
+    // q53's generator feeding the feature math: sum-of-squares is an
+    // exact integer on both sides, so sqrt(ssq/n) is the same IEEE
+    // double; zero crossings via lag() per (doc, channel) on frame
+    // order; peak = max(abs(v))
+    "q65_audio_features" ->
+      """with d as (select doc_id,
+        |    8000 + (doc_id % 5) * 8000 as rate,
+        |    doc_id % 2 + 1 as ch,
+        |    doc_id % 50 + 10 as n
+        |  from documents),
+        | sv as (select d.doc_id, d.rate, d.ch, i.range as i, c.range as c,
+        |    ((i.range * 31 + c.range * 17 + d.doc_id * 7) % 65536) - 32768 as v
+        |  from d cross join range(0, 60) i cross join range(0, 2) c
+        |  where i.range < d.n and c.range < d.ch),
+        | zc as (select doc_id, count(*) as z from (
+        |    select doc_id, c, v,
+        |      lag(v) over (partition by doc_id, c order by i) as pv
+        |    from sv) t
+        |  where pv is not null and ((v >= 0) <> (pv >= 0))
+        |  group by doc_id),
+        | agg as (select doc_id, rate, ch, count(*) as cnt,
+        |    sum(v * v) as ssq, max(abs(v)) as pk
+        |  from sv group by doc_id, rate, ch)
+        |select a.doc_id,
+        |  cast(case when a.doc_id % 25 = 0 then 0 else a.rate end as int) as sample_rate,
+        |  cast(case when a.doc_id % 25 = 0 then 0 else a.ch end as int) as channels,
+        |  cast(case when a.doc_id % 25 = 0 then 0 else a.cnt end as bigint) as n_samples,
+        |  case when a.doc_id % 25 = 0 then cast(0 as double)
+        |       else sqrt(cast(a.ssq as double) / a.cnt) end as rms,
+        |  cast(case when a.doc_id % 25 = 0 then 0
+        |       else coalesce(z.z, 0) end as bigint) as zero_crossings,
+        |  cast(case when a.doc_id % 25 = 0 then 0 else a.pk end as int) as peak,
+        |  (a.doc_id % 25 <> 0) as valid
+        |from agg a left join zc z on a.doc_id = z.doc_id
+        |order by a.doc_id""".stripMargin,
 
     // q55's lattice twin with the q64 formula: per-tile constants, so
     // sums scale by 64 — the progressive transport changes nothing

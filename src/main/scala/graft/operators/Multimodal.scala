@@ -510,6 +510,31 @@ object Multimodal {
       buf.array()
     }
 
+    /** COMPLETE PCM WAV at an arbitrary sample width (8/16/24/32
+      * bits): frame i, channel c stores the RAW width-native value
+      * `v(i, c)` little-endian (8-bit: unsigned 0–255; wider: signed).
+      * Exercises [[WavCodec]]'s width normalization from the format
+      * side. */
+    def wavPcmN(sampleRate: Int, channels: Int, nFrames: Int, bps: Int,
+        v: (Int, Int) => Int): Array[Byte] = {
+      val bytesPer = bps / 8
+      val dataLen = nFrames * channels * bytesPer
+      val buf = ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(channels.toShort)
+        .putInt(sampleRate).putInt(sampleRate * channels * bytesPer)
+        .putShort((channels * bytesPer).toShort).putShort(bps.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      for (i <- 0 until nFrames; c <- 0 until channels) {
+        val raw = v(i, c)
+        var k = 0
+        while (k < bytesPer) { buf.put(((raw >> (8 * k)) & 0xff).toByte); k += 1 }
+      }
+      buf.array()
+    }
+
     /** COMPLETE multi-frame (animated) GIF89a: every frame is a
       * full-dimension image block with its own LZW-compressed index
       * stream over the shared grayscale GCT — frame f, pixel (x,y)
@@ -680,10 +705,14 @@ object Multimodal {
       }
 
     /** Decode an 8-bit non-interlaced PNG of color type 0 (gray,
-      * channels=1), 2 (truecolor RGB, channels=3) or 3 (palette →
-      * expanded to RGB, channels=3) to (w, h, channels, pixels).
+      * channels=1), 2 (truecolor RGB, channels=3), 3 (palette →
+      * expanded to RGB, channels=3), 4 (gray+alpha → alpha DROPPED,
+      * channels=1) or 6 (RGBA → alpha DROPPED, channels=3) to (w, h,
+      * channels, pixels). Alpha is discarded rather than composited —
+      * the deterministic choice for a training pipeline reading raw
+      * color values; callers that need matting composite downstream.
       * Filter reversal is bytes-per-pixel aware (the `a`/`c`
-      * neighbors step by bpp, per the PNG spec). Alpha, 16-bit and
+      * neighbors step by bpp, per the PNG spec). 16-bit and
       * interlaced variants are refused, not mis-decoded. */
     def decodePngImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
       if (b == null || b.length < 33 ||
@@ -704,9 +733,10 @@ object Multimodal {
           case "IHDR" =>
             w = u32be(b, i + 8); h = u32be(b, i + 12)
             colorType = b(i + 17) & 0xff
-            // bit depth 8, color type 0/2/3, no interlace
+            // bit depth 8, color type 0/2/3/4/6, no interlace
             ok = b(i + 16) == 8 &&
-              (colorType == 0 || colorType == 2 || colorType == 3) &&
+              (colorType == 0 || colorType == 2 || colorType == 3 ||
+                colorType == 4 || colorType == 6) &&
               b(i + 20) == 0
           case "PLTE" =>
             if (len % 3 != 0 || len > 768) return None
@@ -718,8 +748,13 @@ object Multimodal {
         i += 12 + len
       }
       if (!ok || !done || w <= 0 || h <= 0) return None
-      val bpp = if (colorType == 2) 3 else 1 // filter bytes per pixel
-      val outCh = if (colorType == 0) 1 else 3
+      val bpp = colorType match { // filter bytes per pixel
+        case 0 | 3 => 1
+        case 4 => 2
+        case 2 => 3
+        case 6 => 4
+      }
+      val outCh = if (colorType == 0 || colorType == 4) 1 else 3
       if (w > MaxDim || h > MaxDim || w.toLong * h * outCh > MaxPixels) return None
       if (colorType == 3 && plte == null) return None
       val rowBytes = w * bpp
@@ -774,6 +809,18 @@ object Multimodal {
             j += 1
           }
           Some((w, h, 3, out))
+        case 4 | 6 => // strip the alpha byte from each pixel
+          val out = new Array[Byte](w * h * outCh)
+          var j = 0
+          while (j < w * h) {
+            var c = 0
+            while (c < outCh) {
+              out(j * outCh + c) = un(j * bpp + c)
+              c += 1
+            }
+            j += 1
+          }
+          Some((w, h, outCh, out))
       }
     } catch { case _: Exception => None }
 
@@ -1092,10 +1139,14 @@ object Multimodal {
       else None
   }
 
-  /** REAL 16-bit PCM WAV sample decode, pure JVM: a proper RIFF chunk
-    * walk (unknown chunks skipped, word-aligned) to `fmt ` + `data`,
-    * PCM format 1 / 16-bit only, little-endian int16 samples,
-    * interleaved channels. The audio analog of [[PixelCodec]]. */
+  /** REAL PCM WAV sample decode, pure JVM: a proper RIFF chunk walk
+    * (unknown chunks skipped, word-aligned) to `fmt ` + `data`,
+    * PCM format 1 at 8/16/24/32 bits, interleaved channels,
+    * little-endian. Every width is normalized to int16 samples the
+    * deterministic way — 8-bit unsigned: `(v − 128) << 8`; 16-bit:
+    * exact; 24/32-bit signed: arithmetic shift keeping the top 16
+    * bits — so downstream statistics share one scale. The audio
+    * analog of [[PixelCodec]]. */
   object WavCodec {
     private def u16le(b: Array[Byte], i: Int) =
       ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
@@ -1122,12 +1173,23 @@ object Multimodal {
           rate = u32le(b, i + 12)
           bps = u16le(b, i + 22)
         } else if (tag(b, i, "data")) {
-          if (bps != 16 || channels <= 0) return None // fmt must precede data
-          if (size % 2 != 0) return None
-          samples = new Array[Short](size / 2)
+          if (channels <= 0) return None // fmt must precede data
+          val bytesPer = bps / 8
+          if (bps != 8 && bps != 16 && bps != 24 && bps != 32) return None
+          if (size % bytesPer != 0) return None
+          samples = new Array[Short](size / bytesPer)
           var j = 0
           while (j < samples.length) {
-            samples(j) = u16le(b, i + 8 + 2 * j).toShort
+            val o = i + 8 + bytesPer * j
+            samples(j) = bps match {
+              case 8 => (((b(o) & 0xff) - 128) << 8).toShort // unsigned
+              case 16 => u16le(b, o).toShort
+              case 24 => // signed 24-bit LE, keep top 16 bits
+                ((((b(o + 2) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) |
+                  (b(o) & 0xff)) << 8 >> 16).toShort
+              case 32 => // signed 32-bit LE, keep top 16 bits
+                (u32le(b, o) >> 16).toShort
+            }
             j += 1
           }
         }
@@ -1164,6 +1226,52 @@ object Multimodal {
         }
       }
     }(sampleEnc)
+
+  case class AudioFeat(doc_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, rms: Double, zero_crossings: Long, peak: Int,
+      valid: Boolean)
+  implicit val audioFeatEnc: Encoder[AudioFeat] = Encoders.product[AudioFeat]
+
+  /** Per-partition REAL audio feature extraction over the decoded PCM
+    * samples — the features a training-data pipeline filters on:
+    * RMS energy (`sqrt(Σv²/n)`, sum-of-squares carried exactly in a
+    * Long so the double math is deterministic), zero-crossing count
+    * (sign transitions between consecutive FRAMES per channel, summed
+    * over channels; sign treats 0 as positive), and peak amplitude
+    * (`max |v|`). Map-side, corrupt rows mark invalid. */
+  def audioFeatures(media: Dataset[MediaFile]): Dataset[AudioFeat] =
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        WavCodec.decode(m.content) match {
+          case Some((rate, ch, xs)) =>
+            var sumSq = 0L; var peak = 0; var zc = 0L
+            var i = 0
+            while (i < xs.length) {
+              val v = xs(i).toInt
+              sumSq += v.toLong * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            val frames = if (ch > 0) xs.length / ch else 0
+            var c = 0
+            while (c < ch) {
+              var f = 1
+              while (f < frames) {
+                val cur = xs(f * ch + c) >= 0
+                val prev = xs((f - 1) * ch + c) >= 0
+                if (cur != prev) zc += 1
+                f += 1
+              }
+              c += 1
+            }
+            val rms = if (xs.isEmpty) 0.0 else math.sqrt(sumSq.toDouble / xs.length)
+            AudioFeat(m.doc_id, rate, ch, xs.length.toLong, rms, zc, peak, valid = true)
+          case None =>
+            AudioFeat(m.doc_id, 0, 0, 0L, 0.0, 0L, 0, valid = false)
+        }
+      }
+    }(audioFeatEnc)
 
   case class FrameStat(doc_id: Long, frame_index: Int, width: Int, height: Int,
       pixel_sum: Long, pixel_min: Int, pixel_max: Int)

@@ -679,6 +679,106 @@ class MultimodalSpec extends SparkSpec {
     assert(PixelCodec.decodeImage(null) === None)
   }
 
+  test("alpha PNG: types 4/6 decode with alpha dropped, ImageIO-written files exact") {
+    import Multimodal.PixelCodec
+    // RGBA (type 6): ImageIO writes TYPE_INT_ARGB as color type 6
+    val argb = new java.awt.image.BufferedImage(11, 7,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    def rgb(x: Int, y: Int) = ((3 * x + y + 5) % 256, (x + 2 * y + 15) % 256, (2 * x + y + 35) % 256)
+    for (y <- 0 until 7; x <- 0 until 11) {
+      val (r, g, b) = rgb(x, y)
+      val a = (x * 37 + y * 11) % 256 // varying alpha — must be ignored
+      argb.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+    }
+    val aout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", aout)
+    val Some(("png", 11, 7, 3, apx)) = PixelCodec.decodeImage(aout.toByteArray)
+    for (y <- 0 until 7; x <- 0 until 11) {
+      val o = (y * 11 + x) * 3
+      assert(((apx(o) & 0xff, apx(o + 1) & 0xff, apx(o + 2) & 0xff)) === rgb(x, y),
+        s"RGBA ($x,$y)")
+    }
+    // gray+alpha (type 4): write via a 2-band gray+alpha raster
+    val ga = new java.awt.image.BufferedImage(9, 5,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 5; x <- 0 until 9) {
+      val v = (x * 13 + y * 29) % 256
+      ga.setRGB(x, y, (((x + y) * 19 % 256) << 24) | (v << 16) | (v << 8) | v)
+    }
+    // ImageIO keeps r=g=b ARGB as type 6; exercise type 4 with our own
+    // bytes instead: rebuild a type-4 stream from the type-6 one is
+    // overkill — craft it directly through the public pngEncode seam
+    // is private, so go through a known-good writer: ImageIO with a
+    // gray+alpha ColorModel
+    val gacm = new java.awt.image.ComponentColorModel(
+      java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY),
+      true, false, java.awt.Transparency.TRANSLUCENT,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val gar = gacm.createCompatibleWritableRaster(9, 5)
+    for (y <- 0 until 5; x <- 0 until 9) {
+      gar.setSample(x, y, 0, (x * 13 + y * 29) % 256) // luma
+      gar.setSample(x, y, 1, (x * 7 + y * 3) % 256)   // alpha — ignored
+    }
+    val gaImg = new java.awt.image.BufferedImage(gacm, gar, false, null)
+    val gout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gaImg, "png", gout)
+    val Some(("png", 9, 5, 1, gpx)) = PixelCodec.decodeImage(gout.toByteArray)
+    for (y <- 0 until 5; x <- 0 until 9)
+      assert((gpx(y * 9 + x) & 0xff) === (x * 13 + y * 29) % 256, s"gray+alpha ($x,$y)")
+  }
+
+  test("WAV 8/24/32-bit PCM normalize to int16; javax.sound cross-checks 8-bit") {
+    import Multimodal.{MiniEncoder, WavCodec}
+    // 8-bit unsigned: raw 0..255 → (v-128)<<8
+    def v8(i: Int, c: Int) = (i * 17 + c * 5) % 256
+    val w8 = MiniEncoder.wavPcmN(8000, 2, 20, 8, v8)
+    val Some((8000, 2, x8)) = WavCodec.decode(w8)
+    for (i <- 0 until 20; c <- 0 until 2)
+      assert(x8(i * 2 + c).toInt === ((v8(i, c) - 128) << 8), s"8-bit ($i,$c)")
+    // javax.sound agrees on the raw 8-bit bytes of OUR file
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(w8))
+    assert(ais.getFormat.getSampleSizeInBits === 8)
+    val raw = ais.readAllBytes()
+    for (j <- 0 until 40) assert((raw(j) & 0xff) === v8(j / 2, j % 2), s"jdk 8-bit $j")
+    // 24-bit signed: top 16 bits kept (arithmetic)
+    def v24(i: Int, c: Int) = ((i * 100001 + c * 77777) % 8388608) - 4194304
+    val w24 = MiniEncoder.wavPcmN(16000, 1, 15, 24, v24)
+    val Some((16000, 1, x24)) = WavCodec.decode(w24)
+    for (i <- 0 until 15)
+      assert(x24(i).toInt === (v24(i, 0) >> 8), s"24-bit $i")
+    // 32-bit signed: top 16 bits kept
+    def v32(i: Int, c: Int) = (i * 100000007 + c) * (if (i % 2 == 0) 1 else -1)
+    val w32 = MiniEncoder.wavPcmN(44100, 1, 12, 32, v32)
+    val Some((44100, 1, x32)) = WavCodec.decode(w32)
+    for (i <- 0 until 12)
+      assert(x32(i).toInt === (v32(i, 0) >> 16), s"32-bit $i")
+    // refusals intact: 12-bit nonsense width
+    val bad = w8.clone(); bad(34) = 12 // fmt bits-per-sample byte
+    assert(WavCodec.decode(bad) === None)
+  }
+
+  test("audioFeatures: RMS/zero-crossings/peak match hand math; corrupt rows invalid") {
+    import Multimodal.MiniEncoder
+    def v(i: Int, c: Int) = ((i * 31 + c * 17 + 21) % 65536) - 32768
+    val wav = MiniEncoder.wavPcm(8000, 2, 30, v)
+    val feats = Multimodal.audioFeatures(
+      Seq(Multimodal.MediaFile(3L, "audio", wav),
+        Multimodal.MediaFile(4L, "audio", wav.take(20))).toDS())
+      .collect().sortBy(_.doc_id)
+    val xs = for (i <- 0 until 30; c <- 0 until 2)
+      yield math.max(-32768, math.min(32767, v(i, c)))
+    val f = feats(0)
+    assert(f.valid && f.n_samples === 60L && f.channels === 2)
+    assert(f.rms === math.sqrt(xs.map(x => x.toLong * x).sum.toDouble / 60))
+    assert(f.peak === xs.map(math.abs).max)
+    val zcWant = (0 until 2).map { c =>
+      (1 until 30).count(i => (v(i, c) >= 0) != (v(i - 1, c) >= 0))
+    }.sum
+    assert(f.zero_crossings === zcWant.toLong)
+    assert(!feats(1).valid && feats(1).rms === 0.0)
+  }
+
   test("crafted giant-dimension headers are rejected before allocation") {
     import Multimodal.{MiniEncoder, PixelCodec}
     // take a tiny valid PNG and rewrite IHDR to claim 30000×30000 —
