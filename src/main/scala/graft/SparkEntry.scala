@@ -1080,6 +1080,96 @@ object SparkEntry {
         .join(side("l_orderkey", "exact_orders", "orders_within_tol"),
           Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Benchmark decontamination under the gate: src0 plays the eval
+    // benchmark, the other 19 sources the training corpus; token
+    // trigrams (production uses 13-grams — the fixture docs are ~30
+    // tokens). Broadcast benchmark gram set → map-side join; both
+    // per-doc aggregates partial-combinable. Fraction = one IEEE
+    // division of exact integers (hash-exact cross-engine).
+    "q66_decontamination" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Corpus.contamination(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_hits"),
+          col("contamination_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style repetition signals under the gate: per-doc top
+    // bigram coverage and duplicate-bigram occurrence fraction over
+    // the whole documents table, left-joined back so sub-bigram docs
+    // surface as zero repetition rather than vanishing.
+    "q67_repetition_signals" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val sig = Corpus.repetitionSignals(docs, "doc_id", "text", n = 2)
+      docs.select(col("doc_id"))
+        .join(sig.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("top_gram_frac"), lit(0.0)).as("top_gram_frac"),
+          coalesce(col("dup_gram_frac"), lit(0.0)).as("dup_gram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII detection/redaction under the gate. The fixture tables carry
+    // no real PII, so both engines deterministically CONSTRUCT the
+    // same prose (name + derived email/phone/IP) from `customer`, then
+    // the Spark side runs the real operator (Text.withPiiSignals) and
+    // the oracle re-expresses the same regexes in RE2 — gating match
+    // spans, class order, and the redacted string hash-exactly.
+    "q68_pii_redaction" -> { (s, dir) =>
+      val raw = concat(col("c_name"), lit(" contact user"),
+        col("c_custkey").cast(StringType), lit("@example.com or +1-"),
+        lpad(((col("c_custkey") * 7) % 900 + 100).cast(StringType), 3, "0"),
+        lit("-555-"),
+        lpad(((col("c_custkey") * 13) % 10000).cast(StringType), 4, "0"),
+        lit(" ip 10."), (col("c_custkey") % 256).cast(StringType),
+        lit(".0."), ((col("c_custkey") * 3) % 256).cast(StringType))
+      Text.withPiiSignals(
+          Tables(s, dir, "customer").select(col("c_custkey"), raw.as("text")),
+          "text")
+        .select(col("c_custkey"),
+          col("n_emails").cast(LongType).as("n_emails"),
+          col("n_ips").cast(LongType).as("n_ips"),
+          col("n_phones").cast(LongType).as("n_phones"),
+          col("redacted"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Product-quantization ADC under the gate, via the lossless
+    // degenerate codebook (every distinct sub-vector its own centroid
+    // — the q49 full-probe trick): encoding must pick each row's own
+    // sub-vectors and the ADC lookup sum then equals the
+    // subspace-grouped exact dot bit-for-bit, which DuckDB reproduces
+    // with nested list_sums in the same order. A wrong code, wrong
+    // slice boundary, or wrong LUT entry all flip the hash. The lossy
+    // trained path (k ≪ n) is spec'd for shortlist recall instead.
+    "q69_pq_adc_topk" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val cb = Similarity.pqCodebookExact(e, "embedding", m = 8)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      Similarity.pqAdcTopK(codes, "vec_id", q, cb, 20)
+    },
+
+    // Exact-substring dedup signal under the gate: corpus-wide trigram
+    // window census → duplicated-interval union per doc, left-joined
+    // so clean docs surface as zeros.
+    "q70_duplicated_spans" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val sig = Dedup.duplicatedSpans(docs, "doc_id", "text", w = 3)
+      docs.select(col("doc_id"))
+        .join(sig.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("dup_token_frac"), lit(0.0)).as("dup_token_frac"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2016,7 +2106,110 @@ object SparkEntry {
         |  80 as byte_size,
         |  true as valid
         |from documents
-        |order by doc_id""".stripMargin
+        |order by doc_id""".stripMargin,
+
+    "q66_decontamination" ->
+      s"""with d as (select doc_id, source, string_split($OracleNorm, ' ') as w from documents),
+        |g as (select doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w)-3+1, 0)+1),
+        |    i -> array_to_string(list_slice(w, i, i+2), ' ')))) as gram
+        |  from d),
+        |bg as (select distinct gram from g where source = 'src0')
+        |select g.doc_id, count(*) as n_grams,
+        |  cast(sum(case when bg.gram is not null then 1 else 0 end) as bigint) as n_hits,
+        |  cast(sum(case when bg.gram is not null then 1 else 0 end) as double)
+        |    / cast(greatest(count(*), 1) as double) as contamination_frac
+        |from g left join bg using (gram) where g.source <> 'src0'
+        |group by g.doc_id
+        |order by g.doc_id""".stripMargin,
+
+    "q67_repetition_signals" ->
+      s"""with d as (select doc_id, string_split($OracleNorm, ' ') as w from documents),
+        |g as (select doc_id, len(w) as n_tokens, unnest(list_transform(
+        |    range(1, greatest(len(w)-2+1, 0)+1),
+        |    i -> array_to_string(list_slice(w, i, i+1), ' '))) as gram
+        |  from d),
+        |cnt as (select doc_id, n_tokens, gram, count(*) as cnt from g
+        |  group by doc_id, n_tokens, gram),
+        |agg as (select doc_id, n_tokens, max(cnt) as top_cnt, sum(cnt) as n_grams,
+        |    sum(case when cnt > 1 then cnt else 0 end) as dup_occ
+        |  from cnt group by doc_id, n_tokens)
+        |select d.doc_id,
+        |  coalesce(agg.top_cnt, 0) as top_cnt,
+        |  cast(coalesce(agg.n_grams, 0) as bigint) as n_grams,
+        |  coalesce(cast(agg.top_cnt * 2 as double)
+        |    / cast(greatest(agg.n_tokens, 1) as double), 0.0) as top_gram_frac,
+        |  coalesce(cast(agg.dup_occ as double)
+        |    / cast(greatest(agg.n_grams, 1) as double), 0.0) as dup_gram_frac
+        |from d left join agg using (doc_id)
+        |order by d.doc_id""".stripMargin,
+
+    "q68_pii_redaction" ->
+      """with t as (select c_custkey,
+        |  c_name || ' contact user' || cast(c_custkey as varchar)
+        |    || '@example.com or +1-'
+        |    || lpad(cast((c_custkey*7) % 900 + 100 as varchar), 3, '0')
+        |    || '-555-'
+        |    || lpad(cast((c_custkey*13) % 10000 as varchar), 4, '0')
+        |    || ' ip 10.' || cast(c_custkey % 256 as varchar)
+        |    || '.0.' || cast((c_custkey*3) % 256 as varchar) as text
+        |  from customer),
+        |r as (select c_custkey, text,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as n_emails,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') as r1
+        |  from t),
+        |r2 as (select c_custkey, n_emails,
+        |    len(regexp_extract_all(r1,
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) as n_ips,
+        |    regexp_replace(r1,
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') as rr
+        |  from r),
+        |r3 as (select c_custkey, n_emails, n_ips,
+        |    len(regexp_extract_all(rr,
+        |      '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?')) as n_phones,
+        |    regexp_replace(rr,
+        |      '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?', '<PHONE>', 'g') as redacted
+        |  from r2)
+        |select c_custkey, cast(n_emails as bigint) as n_emails,
+        |  cast(n_ips as bigint) as n_ips, cast(n_phones as bigint) as n_phones, redacted
+        |from r3
+        |order by c_custkey""".stripMargin,
+
+    "q69_pq_adc_topk" ->
+      """with q as (select embedding from embeddings where vec_id = 0),
+        |s as (select e.vec_id,
+        |    list_sum(list_transform(range(0, 8), sb ->
+        |      list_sum(list_transform(range(1, 9), i ->
+        |        cast(e.embedding[sb*8 + i] as double)
+        |          * cast(q.embedding[sb*8 + i] as double))))) as score
+        |  from embeddings e cross join q)
+        |select vec_id, score from s
+        |order by score desc, vec_id
+        |limit 20""".stripMargin,
+
+    "q70_duplicated_spans" ->
+      s"""with d as (select doc_id, string_split($OracleNorm, ' ') as w from documents),
+        |x as (select doc_id, w, len(w) as n_tokens,
+        |    unnest(range(1, greatest(len(w)-3+1, 0)+1)) as i from d),
+        |g as (select doc_id, n_tokens, i - 1 as pos,
+        |    array_to_string(list_slice(w, i, i+2), ' ') as gram from x),
+        |census as (select gram from g group by gram having count(*) >= 2),
+        |dup as (select g.doc_id, g.n_tokens, g.pos from g join census using (gram)),
+        |lagd as (select doc_id, n_tokens, pos,
+        |    lag(pos) over (partition by doc_id order by pos) as prev from dup),
+        |agg as (select doc_id, count(*) as n_dup_windows,
+        |    sum(case when prev is null then 3 else least(3, pos - prev) end) as dup_tokens,
+        |    max(n_tokens) as nt
+        |  from lagd group by doc_id)
+        |select d2.doc_id,
+        |  cast(coalesce(agg.n_dup_windows, 0) as bigint) as n_dup_windows,
+        |  cast(coalesce(agg.dup_tokens, 0) as bigint) as dup_tokens,
+        |  coalesce(cast(agg.dup_tokens as double)
+        |    / cast(greatest(agg.nt, 1) as double), 0.0) as dup_token_frac
+        |from (select doc_id from documents) d2 left join agg using (doc_id)
+        |order by d2.doc_id""".stripMargin
   )
 
   /** q47 twin: brute-force all-pairs cosine over the same

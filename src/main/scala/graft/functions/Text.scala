@@ -136,6 +136,52 @@ object Text {
       LangMarkers.map { case (lang, words) => lang -> markerCount(c, words) },
       cjkCount(c), length(c))
 
+  // ---- PII detection / redaction -----------------------------------
+  //
+  // Patterns stay inside the syntax subset Java regex and RE2 (the
+  // oracle's engine) interpret identically: character classes, bounded
+  // repetition, optional groups — no lookaround, no backreferences.
+  // Both engines use leftmost-first matching with greedy quantifiers,
+  // so match spans (and thus redacted output strings) are identical.
+
+  /** RFC-casual email: local part @ dotted domain with a ≥2-letter TLD. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dashed phone number, optional country code: +C-NNN-NNN(-NNNN).
+    * Dash-separated only — digit runs inside prose/IDs don't match. */
+  val PhonePattern = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?"
+
+  /** Dotted-quad IPv4 (syntactic — no 0-255 range check, matching
+    * standard scrubber practice; range-checking needs alternations
+    * that RE2 and Java still share, but adds nothing for redaction). */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def redactEmails(c: Column): Column = regexp_replace(c, EmailPattern, "<EMAIL>")
+  def redactIpv4(c: Column): Column = regexp_replace(c, Ipv4Pattern, "<IP>")
+  def redactPhones(c: Column): Column = regexp_replace(c, PhonePattern, "<PHONE>")
+
+  /** Redact all PII classes. Order is load-bearing: emails first
+    * (their local parts/domains contain digit runs the other patterns
+    * could clip), then IPv4 (dotted digits), then phones (dashed
+    * digits, which neither earlier replacement reintroduces). */
+  def redactPii(c: Column): Column = redactPhones(redactIpv4(redactEmails(c)))
+
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Per-row PII counts + redacted text, staged so each intermediate
+    * redaction evaluates once (counts are defined over the
+    * progressively-redacted text, mirroring [[redactPii]]'s order, so
+    * a span never counts under two classes). */
+  def withPiiSignals(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("n_emails", piiCount(col(textCol), EmailPattern))
+      .withColumn("_r1", redactEmails(col(textCol)))
+      .withColumn("n_ips", piiCount(col("_r1"), Ipv4Pattern))
+      .withColumn("_r2", redactIpv4(col("_r1")))
+      .withColumn("n_phones", piiCount(col("_r2"), PhonePattern))
+      .withColumn("redacted", redactPhones(col("_r2")))
+      .drop("_r1", "_r2")
+
   /** Normalized form used for fingerprinting: lowercase, collapse
     * whitespace, strip punctuation noise. */
   def normalized(c: Column): Column =

@@ -78,4 +78,89 @@ object Corpus {
       .filter((col("_rn") - 1) % every === 0)
       .drop("_rn")
   }
+
+  /** Per-document token n-gram occurrence counts
+    * `(id, n_tokens, gram, cnt)` over the normalized text.
+    * Normalize→tokenize→shingle staged as named columns (the HOF
+    * staging contract), explode map-side, count a hash aggregate with
+    * partial combine. Documents shorter than `n` tokens emit no rows
+    * (explode of an empty gram array) — aggregating callers left-join
+    * the doc list back and coalesce. */
+  def ngramCounts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.select(col(idCol).as("id"), Text.normalized(col(textCol)).as("_n"))
+      .select(col("id"), Text.tokens(col("_n")).as("_toks"))
+      .select(col("id"), size(col("_toks")).as("n_tokens"),
+        explode(Dedup.shinglesFromTokens(col("_toks"), n)).as("gram"))
+      .groupBy(col("id"), col("n_tokens"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Gopher-style repetition quality signals per document (Rae et al.
+    * 2021 §A.1.1 re-expressed at token granularity):
+    * `top_gram_frac` = fraction of the document's tokens covered by
+    * occurrences of its single most frequent n-gram
+    * (`n * max(cnt) / n_tokens`), and `dup_gram_frac` = fraction of
+    * n-gram occurrences whose gram occurs more than once. High values
+    * of either flag boilerplate/templated text that per-document
+    * length or stopword signals miss.
+    *
+    * Scale shape: two chained hash aggregations (gram-level then
+    * doc-level), both map-side combinable — what crosses the shuffle
+    * is (id, gram, partial count), never token instances. Fractions
+    * are each one IEEE division of exact integers (correctly rounded,
+    * so bitwise-identical across engines — hash-gateable). Documents
+    * shorter than `n` tokens yield no grams and are dropped; callers
+    * needing them left-join and treat absent as zero repetition. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    ngramCounts(df, idCol, textCol, n)
+      .groupBy(col("id"), col("n_tokens"))
+      .agg(
+        max(col("cnt")).as("top_cnt"),
+        sum(col("cnt")).as("n_grams"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0))).as("dup_occ"))
+      .select(col("id"), col("n_tokens"), col("top_cnt"), col("n_grams"), col("dup_occ"),
+        ((col("top_cnt") * lit(n)).cast(DoubleType) /
+          greatest(col("n_tokens"), lit(1)).cast(DoubleType)).as("top_gram_frac"),
+        (col("dup_occ").cast(DoubleType) /
+          greatest(col("n_grams"), lit(1)).cast(DoubleType)).as("dup_gram_frac"))
+
+  /** Benchmark decontamination: per corpus document, how many of its
+    * DISTINCT token n-grams also occur anywhere in `bench` (the
+    * eval-benchmark corpus), the standard n-gram-collision test for
+    * train/test contamination (GPT-3 App. C / PaLM-style; production
+    * uses n≈13 over word tokens — `n` is a knob because the fixture
+    * corpus has ~30-token docs).
+    *
+    * Returns `(id, n_grams, n_hits, contamination_frac)`; documents
+    * shorter than `n` tokens emit no row (no grams to test).
+    *
+    * Scale shape: the benchmark side is distinct-reduced and
+    * broadcast — eval benchmarks are a few million grams against a
+    * 100 TB corpus, so the join is map-side (`broadcastBench=false`
+    * falls back to a shuffle hash join keyed on the gram for
+    * pathologically large benchmark sets). The corpus side's
+    * per-document distinct and the final per-document count are both
+    * partial-aggregable; nothing driver-side ever holds corpus data. */
+  def contamination(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 13,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(d: DataFrame, id: Column, text: Column): DataFrame =
+      d.select(id.as("id"), Text.normalized(text).as("_n"))
+        .select(col("id"), Text.tokens(col("_n")).as("_toks"))
+        .select(col("id"), explode(Dedup.shinglesFromTokens(col("_toks"), n)).as("gram"))
+    val bgrams = grams(bench, lit(0L), col(benchTextCol)).select(col("gram")).distinct()
+    val marked = grams(corpus, col(idCol), col(textCol))
+      .distinct() // distinct grams per doc; partial-aggregable on (id, gram)
+      .join((if (broadcastBench) broadcast(bgrams) else bgrams)
+        .withColumn("_hit", lit(1)), Seq("gram"), "left")
+    marked.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_hits"))
+      .select(col("id"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) /
+          greatest(col("n_grams"), lit(1)).cast(DoubleType)).as("contamination_frac"))
+  }
 }

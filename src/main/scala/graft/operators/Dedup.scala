@@ -453,4 +453,51 @@ object Dedup {
         hammingDistance(col("sh_a"), col("sh_b")).as("distance"))
       .filter(col("distance") <= maxDistance)
   }
+
+  /** Duplicated-span signal — exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better")
+    * re-expressed relationally: every `w`-token window of the
+    * normalized text is censused corpus-wide; windows whose text
+    * occurs ≥ `minCount` times (within- OR cross-document) mark their
+    * token span duplicated. Returns per-document
+    * `(id, n_tokens, n_dup_windows, dup_tokens, dup_token_frac)` where
+    * `dup_tokens` is the EXACT union length of the duplicated
+    * intervals — fixed-width intervals make the union a one-pass lag
+    * difference (contribution = min(w, pos − prev)), no per-doc
+    * interval list ever materializes. Documents with no duplicated
+    * window emit no row (callers left-join and coalesce to zero).
+    *
+    * Scale shape: the window fan-out is map-side (posexplode); the
+    * census is a combinable hash agg on the window text (at
+    * production w, census+join on `md5(gram)` instead — constant-width
+    * shuffle keys); the re-join shuffles on the same key; the
+    * interval-union lag window partitions by document. The census
+    * filter (`≥ minCount`) prunes the overwhelmingly-unique tail
+    * before the join, so what re-shuffles is duplicated windows only. */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, minCount: Long = 2L): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol).as("id"), Text.normalized(col(textCol)).as("_n"))
+      .select(col("id"), Text.tokens(col("_n")).as("_toks"))
+      .select(col("id"), size(col("_toks")).as("n_tokens"),
+        posexplode(shinglesFromTokens(col("_toks"), w)).as(Seq("pos", "gram")))
+    val census = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_gc"))
+      .filter(col("_gc") >= minCount)
+      .select(col("gram"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    grams.join(census, Seq("gram"))
+      .withColumn("_prev", lag(col("pos"), 1).over(win))
+      .withColumn("_cov", when(col("_prev").isNull, lit(w))
+        .otherwise(least(lit(w), col("pos") - col("_prev"))))
+      .groupBy(col("id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("_cov").cast(LongType)).as("dup_tokens"))
+      .select(col("id"), col("n_tokens"), col("n_dup_windows"), col("dup_tokens"),
+        (col("dup_tokens").cast(DoubleType) /
+          greatest(col("n_tokens"), lit(1)).cast(DoubleType)).as("dup_token_frac"))
+  }
 }

@@ -346,4 +346,174 @@ object Similarity {
       .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  // ---- Product quantization (PQ) ------------------------------------
+  //
+  // The billion-vector compression standard (Jégou et al. 2011,
+  // FAISS IVF-PQ): split each dim-D vector into `m` subspaces, k-means
+  // each subspace independently, store one centroid index per subspace
+  // — m bytes/vector at k ≤ 256 vs 4·D for floats (32× at D=64, m=8).
+  // Queries score codes with an Asymmetric Distance Computation (ADC)
+  // table: the m×k sub-dot products are computed ONCE driver-side,
+  // then every row's score is m array lookups + a sum — no vector
+  // arithmetic per row at all, which is what makes a 100 TB code
+  // table scannable. Codebook shape: codebook(s)(j) = centroid j of
+  // subspace s, each of length D/m.
+
+  /** The codebook as a broadcastable table `(_sub, _code, _cent,
+    * _half)` with `_half = ‖c‖²/2` precomputed — assignment under
+    * squared L2 is then argmax(x·c − ‖c‖²/2), the measure FAISS
+    * trains PQ with. Relational on purpose: an expression-tree argmin
+    * (a `greatest` over k struct branches) melts janino past a few
+    * dozen centroids, and k=256 is the PQ standard. */
+  private def codebookDf(df: DataFrame,
+      codebook: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    codebook.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, j) =>
+        (s, j, c.toSeq, c.map(x => x.toDouble * x.toDouble).sum / 2.0)
+      }
+    }.toSeq.toDF("_sub", "_code", "_cent", "_half")
+  }
+
+  /** Scored (row, subspace, centroid) tuples `(_pqid, _sub, _sv,
+    * _sc = struct(score, code))`: explode each vector into its m
+    * sub-vectors (map-side), broadcast-join all centroids of the
+    * matching subspace, score each — k·D multiplies per row in total,
+    * identical FLOPs to IVF assignment against k full centroids.
+    * Argmax happens downstream as `max(_sc)` (lexicographic on
+    * (score, code) — ties to the higher code, deterministic), which
+    * is partial-aggregable, so consumers combine map-side. */
+  private def pqScoredSubs(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Float]]]): DataFrame = {
+    val m = codebook.length
+    require(m > 0, "empty codebook")
+    val subDim = codebook(0)(0).length
+    val subs = df.select(col(idCol).as("_pqid"),
+      posexplode(array((0 until m).map(s =>
+        slice(col(vecCol), s * subDim + 1, subDim)): _*)).as(Seq("_sub", "_sv")))
+    subs.join(broadcast(codebookDf(df, codebook)), Seq("_sub"))
+      .select(col("_pqid"), col("_sub"), col("_sv"),
+        struct((dot(col("_sv"), col("_cent")) - col("_half")).as("_s"),
+          col("_code").as("_c")).as("_sc"))
+  }
+
+  /** Encode vectors to PQ codes `(idCol, codes: array<int>)`. One
+    * hash aggregation keyed on the row id with m `max(when(sub=s,
+    * scored))` argmax slots — map-side combine reduces each partition
+    * to one row per id BEFORE the shuffle, and what shuffles is m
+    * (double, int) structs per row, never sub-vectors. */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Float]]]): DataFrame = {
+    val m = codebook.length
+    val codeCols = (0 until m).map(s =>
+      max(when(col("_sub") === s, col("_sc"))).getField("_c").as(s"_c$s"))
+    pqScoredSubs(df, idCol, vecCol, codebook)
+      .groupBy(col("_pqid"))
+      .agg(codeCols.head, codeCols.tail: _*)
+      .select(col("_pqid").as(idCol),
+        array((0 until m).map(s => col(s"_c$s")): _*).as("codes"))
+  }
+
+  /** Train a PQ codebook: per-subspace Lloyd k-means under squared L2
+    * (init: the k lowest-id sub-vectors, deterministic — matching
+    * [[trainCentroids]]'s discipline). One scan per iteration covers
+    * ALL subspaces at once: assignment emits (subspace, cell, pos,
+    * value) and the shuffle carries m·k·subDim partial means, never
+    * vectors; the driver holds only the m·k·subDim codebook. Train on
+    * a sample at corpus scale — PQ quality needs ~100·k points per
+    * subspace, not the corpus. */
+  def pqTrainCodebook(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 3): Array[Array[Array[Float]]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    var codebook: Array[Array[Array[Float]]] =
+      df.orderBy(col(idCol)).limit(k).select(vecCol).collect()
+        .map(_.getSeq[Float](0).toArray) match {
+          case seeds =>
+            Array.tabulate(m)(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+        }
+    for (_ <- 0 until iters) {
+      // one scan covers all m subspaces (pqScoredSubs explodes each
+      // row into its m sub-vectors once); the per-(row, subspace)
+      // argmax is a combinable max(struct)
+      val means = pqScoredSubs(df, idCol, vecCol, codebook)
+        .groupBy(col("_pqid"), col("_sub"))
+        .agg(first(col("_sv")).as("_sv"), // constant within the group
+          max(col("_sc")).getField("_c").as("_cell"))
+        .select(col("_sub"), col("_cell"),
+          posexplode(col("_sv")).as(Seq("_pos", "_x")))
+        .groupBy(col("_sub"), col("_cell"), col("_pos"))
+        .agg(avg(col("_x").cast(DoubleType)).as("_m"))
+        .collect()
+      val bySub = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      codebook = Array.tabulate(m) { s =>
+        codebook(s).zipWithIndex.map { case (old, j) =>
+          bySub.get((s, j)) match {
+            case Some(rows) =>
+              val c = new Array[Float](subDim)
+              rows.foreach(r => c(r.getInt(2)) = r.getDouble(3).toFloat)
+              c
+            case None => old // empty cell keeps its previous centroid
+          }
+        }
+      }
+    }
+    codebook
+  }
+
+  /** Degenerate exact codebook: every distinct sub-vector is its own
+    * centroid, so encoding is lossless and ADC reproduces the grouped
+    * exact dot bit-for-bit — the oracle-gateable configuration (the
+    * same trick `ivfTopKFromIndex` uses with nprobe=all). Collects
+    * m × |distinct sub-vectors| floats — a GATE/TEST device for
+    * bounded sets, never the production path. */
+  def pqCodebookExact(df: DataFrame, vecCol: String, m: Int): Array[Array[Array[Float]]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    Array.tabulate(m) { s =>
+      df.select(slice(col(vecCol), s * subDim + 1, subDim).as("_s")).distinct()
+        .orderBy(col("_s").cast(ArrayType(DoubleType)).cast(StringType))
+        .collect().map(_.getSeq[Float](0).toArray)
+    }
+  }
+
+  /** ADC top-k over an encoded table: lookup table `t(s)(j) =
+    * q_s · c(s)(j)` built driver-side (m·k sub-dots in the same
+    * left-to-right double arithmetic as [[dot]]), per-row score =
+    * Σ_s t(s)(codes_s) summed in subspace order — m array lookups per
+    * row. The score equals the exact dot grouped by subspace when the
+    * codebook is lossless ([[pqCodebookExact]]), which is what the
+    * driver gate hashes against. */
+  def pqAdcTopK(
+      codes: DataFrame, idCol: String,
+      query: Array[Float], codebook: Array[Array[Array[Float]]],
+      k: Int): DataFrame = {
+    val m = codebook.length
+    val subDim = codebook(0)(0).length
+    require(query.length == m * subDim,
+      s"query dim ${query.length} != codebook dim ${m * subDim}")
+    val table: Array[Array[Double]] = Array.tabulate(m) { s =>
+      val qs = query.slice(s * subDim, (s + 1) * subDim)
+      codebook(s).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) { acc += qs(i).toDouble * c(i).toDouble; i += 1 }
+        acc
+      }
+    }
+    val lut = array(table.map(row => array(row.map(lit(_)): _*)): _*)
+    val score = (0 until m).map { s =>
+      element_at(element_at(lut, s + 1), col("codes").getItem(s) + 1)
+    }.reduce(_ + _)
+    codes.select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

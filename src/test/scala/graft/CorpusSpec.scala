@@ -58,6 +58,76 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.hashSample(ids, "id", 1.5))
   }
 
+  test("repetitionSignals: planted boilerplate scores high, varied text low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),          // one token repeated
+      (2L, "buy now buy now buy now buy now"),        // repeated bigram
+      (3L, "the quick brown fox jumps over dogs"),    // all bigrams unique
+      (4L, "solo")                                    // sub-bigram doc: no grams
+    ).toDF("doc_id", "text")
+    val got = Corpus.repetitionSignals(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 5 bigrams all "spam spam" → top covers 2*5/6 of tokens, all dup
+    assert(got(1L).getAs[Long]("top_cnt") === 5L)
+    assert(got(1L).getAs[Double]("top_gram_frac") === 10.0 / 6.0)
+    assert(got(1L).getAs[Double]("dup_gram_frac") === 1.0)
+    // doc 2: "buy now"×4, "now buy"×3 → top frac 8/8, dup frac 7/7
+    assert(got(2L).getAs[Long]("top_cnt") === 4L)
+    assert(got(2L).getAs[Double]("top_gram_frac") === 1.0)
+    assert(got(2L).getAs[Double]("dup_gram_frac") === 1.0)
+    // doc 3: every bigram unique
+    assert(got(3L).getAs[Long]("top_cnt") === 1L)
+    assert(got(3L).getAs[Double]("dup_gram_frac") === 0.0)
+    // doc 4: shorter than n → no row (callers left-join)
+    assert(!got.contains(4L))
+  }
+
+  test("contamination flags benchmark n-gram overlap, distinct-gram semantics") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),     // contains bench trigram "alpha beta gamma"
+      (2L, "alpha beta gamma alpha beta gamma"), // same gram twice → still distinct-counted once
+      (3L, "zeta eta theta iota")         // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "alpha beta gamma zeta")).toDF("bid", "btext")
+    val got = Corpus.contamination(corpus, "doc_id", "text", bench, "btext", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: grams {abg, bgd} → 1 hit of 2
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    // doc 2: distinct grams {abg, bga, gab} → abg hits once despite 2 occurrences
+    assert(got(2L)._2 === 1L)
+    assert(got(2L)._1 === 3L)
+    // doc 3: no overlap
+    assert(got(3L) === ((4L - 2, 0L, 0.0)))
+    // non-broadcast path agrees
+    val shuffled = Corpus.contamination(corpus, "doc_id", "text", bench, "btext",
+        n = 3, broadcastBench = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(shuffled === got)
+  }
+
+  test("PII redaction: classes, order, and counts over staged redactions") {
+    import graft.functions.Text
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.co.uk or call +1-800-555-0199 from 192.168.0.1"),
+      (2L, "two mails x@y.io and z@w.org; short phone 12-345 stays"),
+      (3L, "no pii here, just 1234 and 5.6")
+    ).toDF("id", "text")
+    val got = Text.withPiiSignals(df, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("n_emails") === 1)
+    assert(got(1L).getAs[Int]("n_ips") === 1)
+    assert(got(1L).getAs[Int]("n_phones") === 1)
+    assert(got(1L).getAs[String]("redacted") ===
+      "mail <EMAIL> or call <PHONE> from <IP>")
+    assert(got(2L).getAs[Int]("n_emails") === 2)
+    assert(got(2L).getAs[String]("redacted") ===
+      "two mails <EMAIL> and <EMAIL>; short phone 12-345 stays")
+    assert(got(3L).getAs[Int]("n_emails") === 0)
+    assert(got(3L).getAs[Int]("n_ips") === 0)
+    assert(got(3L).getAs[Int]("n_phones") === 0)
+    assert(got(3L).getAs[String]("redacted") === "no pii here, just 1234 and 5.6")
+  }
+
   test("systematicSample keeps every k-th row per stratum in order") {
     val df = spark.range(100).selectExpr("id", "case when id % 3 = 0 then 'a' else 'b' end as s")
     val got = Corpus.systematicSample(df, "s", "id", every = 5)

@@ -417,6 +417,67 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((exactTop & qTop).size >= 8, s"overlap ${(exactTop & qTop).size}")
   }
 
+  test("duplicatedSpans: exact interval union, census counts within-doc repeats") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),  // shares the "c d e f" run with doc 2
+      (2L, "x y c d e f q r"),
+      (3L, "m m m m m m"),      // internal repetition: every trigram is "m m m"
+      (4L, "p q r s t u")       // clean
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.duplicatedSpans(df, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // docs 1,2: windows at pos 2 ("c d e") and 3 ("d e f") → union
+    // covers 3 + min(3, 3-2) = 4 tokens of 8
+    assert(got(1L) === ((2L, 4L, 0.5)))
+    assert(got(2L) === ((2L, 4L, 0.5)))
+    // doc 3: 4 overlapping "m m m" windows tile all 6 tokens
+    assert(got(3L) === ((4L, 6L, 1.0)))
+    // doc 4: nothing duplicated → no row (callers left-join)
+    assert(!got.contains(4L))
+  }
+
+  test("PQ: codes bounded, trained ADC shortlists true neighbors, exact codebook bit-exact") {
+    val e = Tables(spark, sf, "embeddings").cache()
+    val q = e.filter($"vec_id" === 7).select("embedding").collect()(0).getSeq[Float](0).toArray
+    val n = e.count().toInt
+
+    // lossy path: m=8 subspaces × k=8 centroids = 3 bits/subspace
+    val cb = Similarity.pqTrainCodebook(e, "vec_id", "embedding", m = 8, k = 8, iters = 2)
+    assert(cb.length === 8 && cb.forall(_.length === 8) && cb.forall(_.forall(_.length === 8)))
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    assert(codes.filter(exists($"codes", c => c < 0 || c >= 8)).count() === 0L)
+
+    // ADC's job is the shortlist: its top-n/4 must catch most of the
+    // exact dot top-10 (re-rank then recovers exactness)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10, measure = "dot")
+      .collect().map(_.getLong(0)).toSet
+    val shortlist = Similarity.pqAdcTopK(codes, "vec_id", q, cb, n / 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & shortlist).size.toDouble / exact.size
+    assert(recall >= 0.6, s"shortlist recall=$recall")
+
+    // lossless (gate) path: every distinct sub-vector its own centroid
+    // → codes reconstruct exactly; ADC == subspace-grouped exact dot,
+    // checked BITWISE against driver-side double arithmetic
+    val cbx = Similarity.pqCodebookExact(e, "embedding", m = 8)
+    val codesx = Similarity.pqEncode(e, "vec_id", "embedding", cbx)
+    val adcx = Similarity.pqAdcTopK(codesx, "vec_id", q, cbx, n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = e.select($"vec_id", $"embedding").collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val s = (0 until 8).map { sb =>
+        var acc = 0.0
+        var i = 0
+        while (i < 8) { acc += q(sb * 8 + i).toDouble * v(sb * 8 + i).toDouble; i += 1 }
+        acc
+      }.sum
+      r.getLong(0) -> s
+    }.toMap
+    assert(adcx.size === n)
+    adcx.foreach { case (id, s) => assert(s === expected(id), s"vec $id") }
+  }
+
   test("duplicateClusters labels every member with the component minimum") {
     // two triangles {1,2,3} {10,11,12}, a bridge-free chain {20..24}
     val pairs = Seq(
