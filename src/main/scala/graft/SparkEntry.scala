@@ -1148,8 +1148,13 @@ object SparkEntry {
     // with nested list_sums in the same order. A wrong code, wrong
     // slice boundary, or wrong LUT entry all flip the hash. The lossy
     // trained path (k ≪ n) is spec'd for shortlist recall instead.
+    // The gate subset is bounded (vec_id < 500) because the lossless
+    // codebook is k=n: its assignment join is O(n²) FLOPs BY DESIGN —
+    // a gate device, not the production path (trained k ≪ n is
+    // linear). A fixed subset keeps the degenerate cost flat at every
+    // SF while still gating every moving part.
     "q69_pq_adc_topk" -> { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
+      val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 500)
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).toArray
       val cb = Similarity.pqCodebookExact(e, "embedding", m = 8)
@@ -1170,6 +1175,118 @@ object SparkEntry {
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
           coalesce(col("dup_token_frac"), lit(0.0)).as("dup_token_frac"))
         .orderBy(col("doc_id"))
+    },
+
+    // IVF-PQ persisted index under the gate (the FAISS composition,
+    // q49 × q69): trained coarse centroids partition the codes-only
+    // index; nprobe=all + the lossless codebook degenerate the ADC
+    // search to exact subspace-grouped dot — so the whole
+    // train→encode→write→prune→ADC path shares q69's DuckDB twin.
+    // Queries read codes partitions only; no vector column exists in
+    // the index at all.
+    "q71_ivfpq_index_topk" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q71").toString
+      // bounded like q69: the lossless codebook is the O(n²) gate device
+      val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val centroids = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = Similarity.pqCodebookExact(e, "embedding", m = 8)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Similarity.pqIvfWriteIndex(e, "vec_id", "embedding", centroids, cb, s"$work/ivfpq")
+      Similarity.pqIvfTopKFromIndex(s, s"$work/ivfpq", "vec_id", q,
+        centroids, cb, k = 20, nprobe = centroids.length)
+    },
+
+    // Compression-ratio quality signal (native DeflateRatio
+    // expression, map-side). Deflate output is zlib-build-specific,
+    // so this is a DECLARED rows-only gate (like the q23/q24/q25
+    // sketches) — the spec pins the semantics; the flag column uses a
+    // threshold robust to zlib variation on the fixture corpus.
+    "q72_compression_quality" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.compressionRatio(col("text")).as("deflate_ratio"))
+        .withColumn("is_degenerate", col("deflate_ratio") < 0.35)
+        .orderBy(col("doc_id"))
+    },
+
+    // URL canonicalization under the gate (the CommonCrawl dedup
+    // key). The fixture has no URL column, so both engines construct
+    // the same three URL shapes from `part` (http:80 + doubled
+    // slashes + trailing slash + utm/ref params + fragment; https:443
+    // + gclid; a non-URL passthrough) and canonicalize — every branch
+    // of the operator crosses the hash.
+    "q73_url_canonicalize" -> { (s, dir) =>
+      val pk = col("p_partkey").cast(StringType)
+      val raw = when(col("p_partkey") % 11 === 0, lit("not a url"))
+        .when(col("p_partkey") % 2 === 0, concat(
+          lit("HTTP://Shop.Example.COM:80//catalog//item/"), pk,
+          lit("/?utm_source=feed&id="), pk, lit("&ref=x&b=2&a=1#frag")))
+        .otherwise(concat(
+          lit("HTTPS://Shop.Example.COM:443/item/"), pk,
+          lit("?gclid=g&z=9&id="), pk, lit("#s")))
+      Text.withCanonicalUrl(
+          Tables(s, dir, "part").select(col("p_partkey"), raw.as("url")), "url")
+        .select(col("p_partkey"), col("canonical_url"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Incremental dedup under the gate: the corpus signatures persist
+    // to a parquet index, then a PLANTED batch (every doc_id≡3 mod 17,
+    // one appended token → jaccard ≈0.97 vs its source) dedups against
+    // index + itself — old-old pairs never enter the plan. The DuckDB
+    // twin is all-pairs exact jaccard over the union RESTRICTED to
+    // pairs touching the batch, so the gate also proves the banding
+    // loses no batch-touching pair at this threshold (q33's contract,
+    // incrementally).
+    "q74_incremental_dedup" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q74").toString
+      val docs = Tables(s, dir, "documents")
+      Dedup.minhashWriteIndex(docs, "doc_id", "text", s"$work/sigidx",
+        numHashes = 32, shingleK = 2)
+      val newBatch = docs.filter(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftnew")).as("text"))
+      Dedup.incrementalNearDuplicates(s, newBatch, "doc_id", "text",
+          s"$work/sigidx", docs.select(col("doc_id"), col("text")),
+          minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2,
+          minEstimate = 0.1, maxBucket = 1000)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Corpus profiling under the gate (the q41-style COMPOSITION
+    // check, for the signal stack): per-source doc/token counts,
+    // language-ID agreement, unique-fingerprint count, mean quality,
+    // mean bigram-duplication — one plan over langid + quality +
+    // fingerprints + repetition. Double means go through decimal
+    // sums (exact, order-independent) and ONE final division; counts
+    // stay integer end-to-end — the whole profile hash-matches.
+    "q75_corpus_profile" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val staged = Text.withLangId(docs, "text").select(
+        col("doc_id"), col("source"), col("lang"), col("lang_guess"),
+        Text.qualityScore(col("text")).as("q"),
+        Text.tokenCount(col("text")).cast(LongType).as("ntok"),
+        Text.fingerprint(col("text")).as("fp"))
+      val rep = Corpus.repetitionSignals(docs, "doc_id", "text", n = 2)
+        .select(col("id").as("doc_id"), col("dup_gram_frac"))
+      staged.join(rep, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          sum(when(col("lang_guess") === col("lang"), 1L).otherwise(0L))
+            .as("n_lang_match"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("q").cast(DecimalType(18, 12))).as("_qsum"),
+          sum(coalesce(col("dup_gram_frac"), lit(0.0)).cast(DecimalType(18, 12)))
+            .as("_dsum"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("n_lang_match"), col("n_unique"),
+          (col("_qsum").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("avg_quality"),
+          (col("_dsum").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("avg_dup_frac"))
+        .orderBy(col("source"))
     }
   )
 
@@ -2177,6 +2294,122 @@ object SparkEntry {
         |from r3
         |order by c_custkey""".stripMargin,
 
+    "q75_corpus_profile" ->
+      s"""with m as (
+        |  select doc_id, source, lang, text,
+        |    $OracleNTokens as n_tokens,
+        |    len(list_filter($OracleTokens, t -> t in ($OracleStop))) as n_stop,
+        |    cast(len(regexp_extract_all(text, '[.,!?;:]')) as double)
+        |      / cast(greatest(length(text),1) as double) as punct_ratio,
+        |    cast(len(regexp_extract_all(text, '[0-9]')) as double)
+        |      / cast(greatest(length(text),1) as double) as digit_ratio,
+        |    len(list_filter($OracleTokens, t -> t in ('the','and','of','to','is','in','that','it'))) as s_en,
+        |    len(list_filter($OracleTokens, t -> t in ('el','la','de','que','y','en','los','una'))) as s_es,
+        |    len(list_filter($OracleTokens, t -> t in ('der','die','und','das','ist','nicht','ein','mit'))) as s_de,
+        |    len(list_filter($OracleTokens, t -> t in ('le','la','les','de','et','est','un','une'))) as s_fr,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) as cjk,
+        |    md5($OracleNorm) as fp
+        |  from documents),
+        |e as (select doc_id, source, lang, n_tokens, fp,
+        |    case when cjk * 4 > length(text) then 'zh'
+        |      when s_en = greatest(s_en,s_es,s_de,s_fr) and s_en > 0 then 'en'
+        |      when s_es = greatest(s_en,s_es,s_de,s_fr) and s_es > 0 then 'es'
+        |      when s_de = greatest(s_en,s_es,s_de,s_fr) and s_de > 0 then 'de'
+        |      when s_fr = greatest(s_en,s_es,s_de,s_fr) and s_fr > 0 then 'fr'
+        |      else 'und' end as lang_guess,
+        |    0.4 * least(cast(n_tokens as double) / 50.0, 1.0)
+        |    + 0.3 * least(cast(n_stop as double) / cast(greatest(n_tokens,1) as double) * 4.0, 1.0)
+        |    + 0.15 * (1.0 - least(punct_ratio * 5.0, 1.0))
+        |    + 0.15 * (1.0 - least(digit_ratio * 5.0, 1.0)) as q
+        |  from m),
+        |gd as (select doc_id, len(w) as gtok, unnest(list_transform(
+        |    range(1, greatest(len(w)-2+1, 0)+1),
+        |    i -> array_to_string(list_slice(w, i, i+1), ' '))) as gram
+        |  from (select doc_id, string_split($OracleNorm, ' ') as w from documents)),
+        |cnt as (select doc_id, gram, count(*) as cnt from gd group by doc_id, gram),
+        |rep as (select doc_id,
+        |    cast(sum(case when cnt > 1 then cnt else 0 end) as double)
+        |      / cast(greatest(sum(cnt), 1) as double) as dup_gram_frac
+        |  from cnt group by doc_id),
+        |j as (select e.*, coalesce(rep.dup_gram_frac, 0.0) as dup_frac
+        |  from e left join rep using (doc_id))
+        |select source, count(*) as n_docs,
+        |  cast(sum(n_tokens) as bigint) as total_tokens,
+        |  cast(sum(case when lang_guess = lang then 1 else 0 end) as bigint) as n_lang_match,
+        |  cast(count(distinct fp) as bigint) as n_unique,
+        |  cast(sum(cast(q as decimal(18,12))) as double)
+        |    / cast(count(*) as double) as avg_quality,
+        |  cast(sum(cast(dup_frac as decimal(18,12))) as double)
+        |    / cast(count(*) as double) as avg_dup_frac
+        |from j group by source
+        |order by source""".stripMargin,
+
+    "q74_incremental_dedup" ->
+      s"""with nb as (select doc_id + 100000 as doc_id, text || ' graftnew' as text
+        |    from documents where doc_id % 17 = 3),
+        |u as (select doc_id, text, 0 as is_new from documents
+        |      union all select doc_id, text, 1 as is_new from nb),
+        |d as (select doc_id, is_new, string_split($OracleNorm, ' ') as w from u),
+        |sh as (select doc_id, is_new,
+        |  list_distinct(list_transform(range(1, greatest(len(w)-2+1, 0)+1),
+        |    i -> array_to_string(list_slice(w, i, i+1), ' '))) as s
+        |  from d)
+        |select a.doc_id as id_a, b.doc_id as id_b,
+        |  cast(len(list_intersect(a.s, b.s)) as double)
+        |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) as jaccard
+        |from sh a join sh b on a.doc_id < b.doc_id
+        |where (a.is_new = 1 or b.is_new = 1)
+        |  and cast(len(list_intersect(a.s, b.s)) as double)
+        |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) >= 0.6
+        |order by id_a, id_b""".stripMargin,
+
+    "q73_url_canonicalize" ->
+      """with t as (select p_partkey,
+        |    case when p_partkey % 11 = 0 then 'not a url'
+        |      when p_partkey % 2 = 0 then
+        |        'HTTP://Shop.Example.COM:80//catalog//item/' || cast(p_partkey as varchar)
+        |          || '/?utm_source=feed&id=' || cast(p_partkey as varchar)
+        |          || '&ref=x&b=2&a=1#frag'
+        |      else 'HTTPS://Shop.Example.COM:443/item/' || cast(p_partkey as varchar)
+        |          || '?gclid=g&z=9&id=' || cast(p_partkey as varchar) || '#s'
+        |    end as url from part),
+        |x as (select p_partkey, url,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$', 1) as scheme,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$', 1) as host,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*$', 1) as path,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*).*$', 1) as q
+        |  from t),
+        |y as (select p_partkey, url, lower(scheme) as lscheme,
+        |    case when lower(scheme) = 'http' then regexp_replace(lower(host), ':80$', '')
+        |      when lower(scheme) = 'https' then regexp_replace(lower(host), ':443$', '')
+        |      else lower(host) end as lhost,
+        |    case when length(rtrim(regexp_replace(path, '/{2,}', '/', 'g'), '/')) = 0 then '/'
+        |      else rtrim(regexp_replace(path, '/{2,}', '/', 'g'), '/') end as cpath,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      p -> not regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$')
+        |        and length(p) > 0)), '&') as cquery
+        |  from x)
+        |select p_partkey,
+        |  case when lscheme = '' then url
+        |    else lscheme || '://' || lhost || cpath ||
+        |      case when length(cquery) > 0 then '?' || cquery else '' end
+        |  end as canonical_url
+        |from y order by p_partkey""".stripMargin,
+
+    // q71 shares q69's twin: full probe + lossless codebook ≡ the
+    // subspace-grouped exact dot top-k, index plumbing notwithstanding
+    "q71_ivfpq_index_topk" ->
+      """with q as (select embedding from embeddings where vec_id = 0),
+        |s as (select e.vec_id,
+        |    list_sum(list_transform(range(0, 8), sb ->
+        |      list_sum(list_transform(range(1, 9), i ->
+        |        cast(e.embedding[sb*8 + i] as double)
+        |          * cast(q.embedding[sb*8 + i] as double))))) as score
+        |  from embeddings e cross join q where e.vec_id < 500)
+        |select vec_id, score from s
+        |order by score desc, vec_id
+        |limit 20""".stripMargin,
+
     "q69_pq_adc_topk" ->
       """with q as (select embedding from embeddings where vec_id = 0),
         |s as (select e.vec_id,
@@ -2184,7 +2417,7 @@ object SparkEntry {
         |      list_sum(list_transform(range(1, 9), i ->
         |        cast(e.embedding[sb*8 + i] as double)
         |          * cast(q.embedding[sb*8 + i] as double))))) as score
-        |  from embeddings e cross join q)
+        |  from embeddings e cross join q where e.vec_id < 500)
         |select vec_id, score from s
         |order by score desc, vec_id
         |limit 20""".stripMargin,

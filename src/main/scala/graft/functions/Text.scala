@@ -136,6 +136,75 @@ object Text {
       LangMarkers.map { case (lang, words) => lang -> markerCount(c, words) },
       cjkCount(c), length(c))
 
+  /** Compression-ratio quality signal: DEFLATE(text)/|text| via the
+    * native [[DeflateRatio]] expression (codegen'd static call,
+    * map-side, no UDF). Repetitive/templated text sinks below ~0.4;
+    * natural prose ≈ 0.5–0.7. Deterministic within a cluster (zlib of
+    * the shared JVM build) but not across engines — spec'd and gated
+    * rows-only, never hash-oracled. */
+  def compressionRatio(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(c)))
+  }
+
+  // ---- URL canonicalization ----------------------------------------
+  //
+  // The CommonCrawl-pipeline dedup key: two fetches of the same page
+  // differ in case, default ports, duplicate slashes, tracking params,
+  // param order, and fragments — canonicalize before grouping or URL
+  // dedup undercounts badly. Pattern syntax stays in the Java∩RE2
+  // subset; list ops (split/filter/sort/join) exist in both engines.
+
+  private val UrlSchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://.*$"
+  private val UrlHostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$"
+  private val UrlPathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*$"
+  private val UrlQueryRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*).*$"
+  private val TrackingParamRe = "^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$"
+
+  /** Canonical URL from STAGED component columns (see
+    * [[withCanonicalUrl]] for the staging): lowercase scheme and host,
+    * default ports stripped per scheme, duplicate slashes collapsed,
+    * trailing slashes trimmed (root stays "/"), tracking params
+    * dropped, surviving params sorted, fragment dropped. Non-URLs
+    * (no scheme) pass through unchanged. */
+  def canonicalUrlFromParts(url: Column, scheme: Column, host: Column,
+      path: Column, query: Column): Column = {
+    val lscheme = lower(scheme)
+    val lhost0 = lower(host)
+    val lhost = when(lscheme === "http", regexp_replace(lhost0, ":80$", ""))
+      .when(lscheme === "https", regexp_replace(lhost0, ":443$", ""))
+      .otherwise(lhost0)
+    val cpath0 = regexp_replace(path, "/{2,}", "/")
+    val cpath1 = rtrim(cpath0, "/")
+    val cpath = when(length(cpath1) === 0, lit("/")).otherwise(cpath1)
+    val params = filter(split(query, "&"),
+      p => !(p.rlike(TrackingParamRe)) && length(p) > 0)
+    val cquery = array_join(array_sort(params), "&")
+    when(length(scheme) === 0, url).otherwise(concat(
+      lscheme, lit("://"), lhost, cpath,
+      when(length(cquery) > 0, concat(lit("?"), cquery)).otherwise(lit(""))))
+  }
+
+  /** Stage URL components as named columns, then canonicalize —
+    * regexp_extract runs once per component per row instead of once
+    * per use inside the combined tree (the HOF-staging contract). */
+  def withCanonicalUrl(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      outCol: String = "canonical_url"): org.apache.spark.sql.DataFrame =
+    df.withColumn("_u_scheme", regexp_extract(col(urlCol), UrlSchemeRe, 1))
+      .withColumn("_u_host", regexp_extract(col(urlCol), UrlHostRe, 1))
+      .withColumn("_u_path", regexp_extract(col(urlCol), UrlPathRe, 1))
+      .withColumn("_u_query", regexp_extract(col(urlCol), UrlQueryRe, 1))
+      .withColumn(outCol, canonicalUrlFromParts(col(urlCol), col("_u_scheme"),
+        col("_u_host"), col("_u_path"), col("_u_query")))
+      .drop("_u_scheme", "_u_host", "_u_path", "_u_query")
+
+  /** One-shot Column form (stages nothing — hot paths use
+    * [[withCanonicalUrl]]). */
+  def canonicalUrl(c: Column): Column =
+    canonicalUrlFromParts(c,
+      regexp_extract(c, UrlSchemeRe, 1), regexp_extract(c, UrlHostRe, 1),
+      regexp_extract(c, UrlPathRe, 1), regexp_extract(c, UrlQueryRe, 1))
+
   // ---- PII detection / redaction -----------------------------------
   //
   // Patterns stay inside the syntax subset Java regex and RE2 (the

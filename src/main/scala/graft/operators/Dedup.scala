@@ -126,7 +126,6 @@ object Dedup {
       maxBucket: Int,
       alreadyStaged: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // `sigs` feeds THREE branches (banding, sig_a re-attach, sig_b
     // re-attach); when it carries the whole staged text→signature
     // pipeline (minhashCandidates), each branch would recompute it.
@@ -137,12 +136,7 @@ object Dedup {
 
     // bucket membership only — signatures stay out of the pair join
     // (they'd otherwise be shuffled once per colliding band)
-    val banded = sigs.select(
-      col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws("_", (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)): _*))): _*))
-        .as(Seq("band", "band_hash")))
+    val banded = bandedOf(sigs, numHashes, bands)
 
     // bucket-size guard as groupBy-count (map-side combinable, no
     // WindowExec sort of the full banded set) + join back on the same
@@ -277,6 +271,108 @@ object Dedup {
         alreadyStaged = true) // sigs projects off sets' repartition(id)
         .select(col("id_a"), col("id_b"))
     jaccardOfPairs(candidates, sets)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Banded bucket membership `(id, band, band_hash)` of a signature
+    * table — the LSH index representation shared by the batch
+    * ([[candidatesFromSignatures]]) and incremental paths. */
+  private def bandedOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(
+      col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws("_", (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*))): _*))
+        .as(Seq("band", "band_hash")))
+  }
+
+  /** Write (or append) the corpus MinHash signature index:
+    * `(id, sig)` parquet. The accumulation contract for incremental
+    * dedup: each accepted batch appends its signatures, so the next
+    * batch dedups against everything seen so far WITHOUT recomputing
+    * the corpus pipeline — at 100 TB the signature index is ~1/1000th
+    * of the text it summarizes (32×8 bytes vs multi-KB documents).
+    *
+    * Signature family contract: signatures are minima over
+    * `xxhash64(shingle_hash, i)` — the hashed-shingle family
+    * [[nearDuplicates]] and [[incrementalNearDuplicates]] use. Index
+    * and probe MUST share the family or bands never collide (the
+    * string-shingle family of [[minhashCandidates]] is a different,
+    * equally valid permutation family — not interchangeable). */
+  def minhashWriteIndex(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      numHashes: Int = 32, shingleK: Int = 3,
+      mode: String = "overwrite"): Unit =
+    shingleSets(df, idCol, textCol, shingleK)
+      .select(col("id"), signatureFromShingles(col("s"), numHashes).as("sig"))
+      .write.mode(mode).parquet(path)
+
+  /** Incremental near-duplicate pairs: a NEW batch against the
+    * persisted signature index plus itself — the arriving-crawl
+    * setting, where re-running [[nearDuplicates]] over the whole
+    * corpus per batch would be O(corpus) work for an O(batch) change.
+    *
+    * Only pairs touching the batch are generated: the batch's banded
+    * buckets join the UNION of index and batch bands, so old-old
+    * collisions never enter the plan. The bucket-size guard censuses
+    * the union side (a degenerate corpus bucket is degenerate no
+    * matter which side probes it). Exact verification re-derives
+    * shingle sets ONLY for candidate ids — the corpus text table is
+    * touched through a semi-join on candidates, not scanned for
+    * shingling (at scale: candidate ids ≪ corpus, and the fetch
+    * prunes like any id-keyed join).
+    *
+    * `corpus` supplies verification texts for old ids (the same table
+    * the index was built from); ids must be disjoint from the batch's.
+    * Returns `(id_a, id_b, jaccard)` with `jaccard >= minJaccard`,
+    * pairs ordered id_a < id_b. */
+  def incrementalNearDuplicates(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, corpus: DataFrame,
+      minJaccard: Double = 0.8, numHashes: Int = 32, bands: Int = 16,
+      shingleK: Int = 3, minEstimate: Double = 0.1,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newSets = shingleSets(newDocs, idCol, textCol, shingleK).repartition(col("id"))
+    val newSigs = newSets.select(col("id"),
+      signatureFromShingles(col("s"), numHashes).as("sig"))
+    val oldSigs = spark.read.parquet(indexPath)
+    val allSigs = oldSigs.unionByName(newSigs)
+
+    val newBanded = bandedOf(newSigs, numHashes, bands)
+    val allBanded = bandedOf(allSigs, numHashes, bands)
+    // degenerate-bucket guard over the UNION census (same contract as
+    // the batch path: dropped buckets still collide in other bands)
+    val keepBuckets = allBanded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("band"), col("band_hash"))
+    val pairs = newBanded.join(keepBuckets, Seq("band", "band_hash"))
+      .select(col("band"), col("band_hash"), col("id").as("_id_new"))
+      .join(allBanded.select(col("band"), col("band_hash"), col("id").as("_id_any")),
+        Seq("band", "band_hash"))
+      .filter(col("_id_new") =!= col("_id_any"))
+      .select(least(col("_id_new"), col("_id_any")).as("id_a"),
+        greatest(col("_id_new"), col("_id_any")).as("id_b"))
+      .distinct()
+
+    // cheap signature-agreement pre-filter, signatures by id
+    val estimated = pairs
+      .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(allSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(minhashEstimate(col("sig_a"), col("sig_b"), numHashes) >= minEstimate)
+      .select(col("id_a"), col("id_b"))
+
+    // exact verify: shingle sets ONLY for ids that appear in pairs
+    val candidateIds = estimated.select(col("id_a").as("id"))
+      .unionByName(estimated.select(col("id_b").as("id"))).distinct()
+    val texts = corpus.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .unionByName(newDocs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .join(candidateIds, Seq("id"), "left_semi")
+    val verifySets = shingleSets(texts, "id", "_t", shingleK)
+    jaccardOfPairs(estimated, verifySets)
       .filter(col("jaccard") >= minJaccard)
   }
 

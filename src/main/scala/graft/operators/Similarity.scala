@@ -484,6 +484,44 @@ object Similarity {
     }
   }
 
+  /** PERSISTED IVF-PQ index (the FAISS composition): coarse-quantize
+    * every vector to an IVF cell, PQ-encode it, and write ONLY
+    * `(id, codes)` partitioned by cell — m bytes of payload per
+    * vector instead of 4·D, and queries read just their probed cell
+    * partitions. The 100 TB serving shape: the index for 10^12
+    * vectors at m=8 is ~8 TB of codes vs 256 TB of floats, and a
+    * query touches nprobe/k of it via partition pruning. */
+  def pqIvfWriteIndex(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      codebook: Array[Array[Array[Float]]],
+      path: String): Unit =
+    ivfAssign(embeddings, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("_cell"))
+      .join(pqEncode(embeddings, idCol, vecCol, codebook), Seq(idCol))
+      .select(col(idCol), col("codes"), col("_cell"))
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell").parquet(path)
+
+  /** ADC top-k over a persisted IVF-PQ index: scan only the probed
+    * cell partitions (`PartitionFilters`), score codes against the
+    * driver-built lookup table — no vector arithmetic per row, no
+    * vector data read at all. `nprobe = centroids.length` plus a
+    * lossless codebook degenerates to exact subspace-grouped search,
+    * which is how the driver gate oracles the whole write/read/prune
+    * path. */
+  def pqIvfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String,
+      query: Array[Float],
+      centroids: Array[Array[Float]],
+      codebook: Array[Array[Array[Float]]],
+      k: Int, nprobe: Int = 1): DataFrame =
+    pqAdcTopK(
+      spark.read.parquet(indexPath)
+        .filter(col("_cell").isin(probeCells(query, centroids, nprobe): _*)),
+      idCol, query, codebook, k)
+
   /** ADC top-k over an encoded table: lookup table `t(s)(j) =
     * q_s · c(s)(j)` built driver-side (m·k sub-dots in the same
     * left-to-right double arithmetic as [[dot]]), per-row score =

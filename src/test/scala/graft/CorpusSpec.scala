@@ -128,6 +128,58 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L).getAs[String]("redacted") === "no pii here, just 1234 and 5.6")
   }
 
+  test("canonicalUrl: case, ports, slashes, params, fragments; non-URLs pass through") {
+    import graft.functions.Text
+    val df = Seq(
+      (1L, "HTTPS://Example.COM:443/a//b/c/?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://example.com:80/"),
+      (3L, "http://example.com:8080/keep/port"),     // non-default port kept
+      (4L, "https://h.io/p?utm_a=1&ref=r&fbclid=f"), // all params tracking → no '?'
+      (5L, "ftp://Files.EXAMPLE.com:21/x/"),         // other scheme: port kept
+      (6L, "not a url"),
+      (7L, "")
+    ).toDF("id", "url")
+    val got = Text.withCanonicalUrl(df, "url")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) === "https://example.com/a/b/c?a=1&b=2")
+    assert(got(2L) === "http://example.com/")
+    assert(got(3L) === "http://example.com:8080/keep/port")
+    assert(got(4L) === "https://h.io/p")
+    assert(got(5L) === "ftp://files.example.com:21/x")
+    assert(got(6L) === "not a url")
+    assert(got(7L) === "")
+    // canonicalization is idempotent
+    val twice = Text.withCanonicalUrl(
+      Text.withCanonicalUrl(df, "url").select($"id", $"canonical_url".as("url")), "url")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(twice === got)
+  }
+
+  test("compressionRatio separates repetitive text from prose; edge-safe") {
+    import graft.functions.Text
+    val prose = "The quick brown fox jumps over the lazy dog while seventeen " +
+      "violinists argued about quarterly budget allocations near the harbor. " +
+      "Meanwhile a cartographer sketched improbable coastlines, and two " +
+      "engineers debated whether the bridge tolerates resonance under wind."
+    val df = Seq(
+      (1L, "spam " * 200),          // heavy repetition
+      (2L, prose),                  // natural-ish prose, no repeats
+      (3L, ""),                     // empty → 0.0
+      (4L, "x")                     // tiny: overhead dominates, ratio > 1
+    ).toDF("id", "text")
+    val got = df.select($"id", Text.compressionRatio($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < 0.1, s"repetitive ratio ${got(1L)}")
+    assert(got(2L) > 0.3 && got(2L) < 0.9, s"prose ratio ${got(2L)}")
+    assert(got(3L) === 0.0)
+    assert(got(4L) > 1.0)
+    assert(got(1L) < got(2L))
+    // null-safe through the expression
+    val withNull = Seq((5L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(Text.compressionRatio($"text").as("r")).collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
   test("systematicSample keeps every k-th row per stratum in order") {
     val df = spark.range(100).selectExpr("id", "case when id % 3 = 0 then 'a' else 'b' end as s")
     val got = Corpus.systematicSample(df, "s", "id", every = 5)

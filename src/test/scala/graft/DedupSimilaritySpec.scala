@@ -130,6 +130,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("IVF-PQ index: codes-only storage, pruned reads, lossless full probe exact") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sf, "embeddings").cache()
+    val centroids = e.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val cb = Similarity.pqCodebookExact(e, "embedding", m = 8)
+    val q = e.filter($"vec_id" === 2)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/ivfpq"
+    Similarity.pqIvfWriteIndex(e, "vec_id", "embedding", centroids, cb, idx)
+    // the index holds ONLY (id, codes, cell) — the 4·D-bytes vector
+    // column never reaches storage
+    val stored = spark.read.parquet(idx)
+    assert(stored.schema.fieldNames.sorted === Array("_cell", "codes", "vec_id"))
+    // probing one cell is a PartitionFilter on the scan
+    val one = Similarity.pqIvfTopKFromIndex(spark, idx, "vec_id", q,
+      centroids, cb, k = 5, nprobe = 1)
+    assert("PartitionFilters: \\[[^\\]]*_cell".r
+        .findFirstIn(one.queryExecution.executedPlan.toString).isDefined,
+      one.queryExecution.executedPlan.toString.take(1500))
+    // full probe + lossless codebook ≡ exact subspace-grouped dot top-k
+    val full = Similarity.pqIvfTopKFromIndex(spark, idx, "vec_id", q,
+      centroids, cb, k = 10, nprobe = centroids.length)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10, measure = "dot")
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === brute)
+  }
+
   test("trainCentroids: k-means balances cells vs naive first-k seeds; q49 path exact") {
     val e = Tables(spark, sf, "embeddings").cache()
     try {
@@ -415,6 +444,36 @@ class DedupSimilaritySpec extends SparkSpec {
     val exactTop = cmp.sortBy(r => (-r.getDouble(2), r.getLong(0))).take(10).map(_.getLong(0)).toSet
     val qTop = cmp.sortBy(r => (-r.getDouble(1), r.getLong(0))).take(10).map(_.getLong(0)).toSet
     assert((exactTop & qTop).size >= 8, s"overlap ${(exactTop & qTop).size}")
+  }
+
+  test("incrementalNearDuplicates: batch vs index + itself; old-old pairs excluded") {
+    val work = java.nio.file.Files.createTempDirectory("inc_dedup").toString
+    Dedup.minhashWriteIndex(docs, "doc_id", "text", s"$work/idx", shingleK = 3)
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank this day"), // near-dup of doc 1
+      (101L, "entirely novel content nothing shared with anything else at all whatsoever"),
+      (102L, "the quick brown fox jumps over the lazy dog near the river bank this day")  // dup of 100 (batch-internal)
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDuplicates(spark, newBatch, "doc_id", "text",
+        s"$work/idx", docs, minJaccard = 0.5, bands = 16, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 100L)))   // batch vs index
+    assert(got.contains((100L, 102L))) // batch-internal
+    assert(!got.exists(p => p._1 == 101L || p._2 == 101L)) // novel doc clean
+    // docs 1,2,4 are near-dups of each other in the CORPUS — old-old
+    // pairs must not be recomputed by the incremental path
+    assert(!got.exists(p => p._1 <= 5L && p._2 <= 5L))
+    // appending the batch to the index makes the NEXT batch see it
+    Dedup.minhashWriteIndex(newBatch, "doc_id", "text", s"$work/idx",
+      shingleK = 3, mode = "append")
+    val batch2 = Seq(
+      (200L, "entirely novel content nothing shared with anything else at all whatsoever")
+    ).toDF("doc_id", "text") // dup of 101, which only exists in the appended index
+    val got2 = Dedup.incrementalNearDuplicates(spark, batch2, "doc_id", "text",
+        s"$work/idx", docs.unionByName(newBatch), minJaccard = 0.5,
+        bands = 16, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === Set((101L, 200L)))
   }
 
   test("duplicatedSpans: exact interval union, census counts within-doc repeats") {

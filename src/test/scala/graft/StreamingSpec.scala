@@ -122,4 +122,51 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").select("id").as[Long].collect().sorted.toSeq
       === Seq(1L, 2L, 3L))
   }
+
+  test("streaming doc curation: quality filter, cross-batch + cross-restart dedup") {
+    import graft.streaming.DocStream
+    val in = Files.createTempDirectory("docs_in").toString
+    val out = Files.createTempDirectory("docs_out").toString + "/curated"
+    val ckpt = Files.createTempDirectory("docs_ckpt").toString
+    val good1 = "the cat sat on the mat and the dog ran in the park with a ball"
+    val good2 = "a stream of documents arrives and the engine keeps the good ones for training"
+    val junk = "!!!!!!!!"
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    // two files, maxFilesPerTrigger=1 → two micro-batches; the dup of
+    // good1 sits in the SECOND batch (cross-batch state), junk in both
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(doc(1, good1), doc(2, junk)).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      Seq(doc(3, good1), doc(4, good2), doc(5, junk)).mkString("\n"))
+    val q = DocStream.curate(spark, in, out, ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.select("doc_id").as[Long].collect().toSet === Set(1L, 4L)) // 2,5 junk; 3 dup
+    assert(got.columns.contains("quality") && got.columns.contains("n_emails"))
+
+    // restart on the same checkpoint: an old text re-arrives in a new
+    // file — the state store still knows its fingerprint
+    Files.writeString(java.nio.file.Paths.get(s"$in/b3.json"),
+      Seq(doc(6, good2), doc(7, "the quick brown fox jumps over the lazy dog again and again")).mkString("\n"))
+    val q2 = DocStream.curate(spark, in, out, ckpt, maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 4L, 7L))
+
+    // watermarked variant: same-batch + in-delay dups still dedup
+    val schema2 = DocStream.docSchema.add("ts", org.apache.spark.sql.types.TimestampType)
+    val in2 = Files.createTempDirectory("docs_in2").toString
+    def docTs(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":1,"ts":"2024-01-01T00:0$id:00.000Z"}"""
+    Files.writeString(java.nio.file.Paths.get(s"$in2/b1.json"),
+      Seq(docTs(1, good1), docTs(2, good1), docTs(3, good2)).mkString("\n"))
+    val wq = DocStream.curatedStream(spark, in2, schema = schema2,
+        dedupWatermark = Some(("ts", "10 minutes")))
+      .writeStream.format("memory").queryName("doc_wm_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    wq.awaitTermination()
+    assert(spark.table("doc_wm_out").select("doc_id").as[Long].collect().toSet
+      === Set(1L, 3L))
+  }
 }
