@@ -115,6 +115,25 @@ object Logs {
   private def withBlockRange(df: DataFrame): DataFrame =
     df.withColumn("block_range", (col("block_number") / blocksPerPartition).cast(LongType))
 
+  /** Every logs write goes through this writer: parquet BLOOM FILTERS
+    * on `address` and `topic0` — the reference's btree-index analog
+    * for POINT predicates (`schema.sql:54-62` indexes exactly these).
+    * Min/max stats barely prune on high-cardinality hex strings
+    * (ranges overlap across row groups even sorted); a bloom filter
+    * answers "this row group has no rows for contract X" directly, so
+    * a per-contract scan at 100 TB skips row groups the sort order
+    * can't exclude. NDVs are per-ROW-GROUP expectations (addresses
+    * bounded by the 100k-block range partition, topic0 by the event-
+    * signature universe); ~10 bits/value at the default 1% fpp ≈
+    * 0.1% file overhead. Dictionary + sort stay as-is — blooms are
+    * additive. */
+  private def bloomWriter(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.write
+      .option("parquet.bloom.filter.enabled#address", "true")
+      .option("parquet.bloom.filter.expected.ndv#address", "100000")
+      .option("parquet.bloom.filter.enabled#topic0", "true")
+      .option("parquet.bloom.filter.expected.ndv#topic0", "10000")
+
   /** S5: idempotent append — the engine's `INSERT … ON CONFLICT DO
     * NOTHING`. New rows are anti-joined against ONLY the existing
     * block-range partitions the batch overlaps (partition pruning keeps
@@ -153,10 +172,10 @@ object Logs {
           .select(pk.map(col): _*)
         incoming.join(existing, pk, "left_anti")
       } else incoming
-    val writer = fresh
+    val writer = bloomWriter(fresh
       .repartition(col("block_range"))
-      .sortWithinPartitions("address", "topic0")
-      .write.partitionBy("block_range")
+      .sortWithinPartitions("address", "topic0"))
+      .partitionBy("block_range")
     if (!staged) { writer.mode("append").parquet(tablePath); return }
 
     val stageId = java.util.UUID.randomUUID().toString
@@ -291,11 +310,12 @@ object Logs {
       val bytes = fs.getContentSummary(partDir).getLength
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       swapInPartition(fs, tablePath, r) { tmp =>
-        spark.read.parquet(partDir.toString) // partition-local read; no block_range col
-          .dropDuplicates(pk)
-          .repartition(nFiles)
-          .sortWithinPartitions("address", "topic0")
-          .write.mode("overwrite").parquet(tmp)
+        bloomWriter(
+          spark.read.parquet(partDir.toString) // partition-local read; no block_range col
+            .dropDuplicates(pk)
+            .repartition(nFiles)
+            .sortWithinPartitions("address", "topic0"))
+          .mode("overwrite").parquet(tmp)
       }
     }}
     // wait for EVERY job before any cleanup — a parked partition must
@@ -423,10 +443,10 @@ object Logs {
     * its own block window, not the table. */
   def appendCanonical(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
     val incoming = withBlockRange(latestPerPk(batch))
-    def writeFresh(rows: DataFrame): Unit = rows
-      .repartition(col("block_range"))
-      .sortWithinPartitions("address", "topic0")
-      .write.mode("append").partitionBy("block_range").parquet(tablePath)
+    def writeFresh(rows: DataFrame): Unit = bloomWriter(rows
+        .repartition(col("block_range"))
+        .sortWithinPartitions("address", "topic0"))
+      .mode("append").partitionBy("block_range").parquet(tablePath)
     if (!hasCommittedData(spark, tablePath)) {
       if (!incoming.isEmpty) writeFresh(incoming)
       return
@@ -447,9 +467,9 @@ object Logs {
         spark.read.parquet(partDir.toString)
           .unionByName(incoming.filter(col("block_range") === r).drop("block_range")))
       swapInPartition(fs, tablePath, r) { tmp =>
-        merged.repartition(nFiles)
-          .sortWithinPartitions("address", "topic0")
-          .write.mode("overwrite").parquet(tmp)
+        bloomWriter(merged.repartition(nFiles)
+            .sortWithinPartitions("address", "topic0"))
+          .mode("overwrite").parquet(tmp)
       }
     }
     clearSwapDirs(fs, tablePath)

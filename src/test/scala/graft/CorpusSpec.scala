@@ -155,6 +155,34 @@ class CorpusSpec extends SparkSpec {
     assert(twice === got)
   }
 
+  test("canonicalUrl is idempotent and clean over generated URL space") {
+    import graft.functions.Text
+    val rnd = new scala.util.Random(42)
+    val schemes = Seq("http", "HTTP", "https", "HTTPS", "ftp")
+    val hosts = Seq("Example.COM", "a.b.io", "X.Y.Z.org:8080", "h.io:443", "w.net:80")
+    val paramPool = Seq("a=1", "utm_x=2", "ref=r", "b=3", "z=")
+    def gen(): String = {
+      val s = schemes(rnd.nextInt(schemes.length))
+      val h = hosts(rnd.nextInt(hosts.length))
+      val segs = (0 until rnd.nextInt(4)).map(_ => "s" + rnd.nextInt(10)).mkString("/")
+      val p = (if (rnd.nextBoolean()) "//" else "/") + segs +
+        (if (rnd.nextBoolean()) "/" else "")
+      val params = (0 until rnd.nextInt(4)).map(_ => paramPool(rnd.nextInt(paramPool.length)))
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      s"$s://$h$p$q" + (if (rnd.nextBoolean()) "#frag" else "")
+    }
+    val urls = (1 to 300).map(i => (i.toLong, gen())).toDF("id", "url")
+    val once = Text.withCanonicalUrl(urls, "url").select($"id", $"canonical_url".as("url"))
+    // fixed point after one pass
+    assert(Text.withCanonicalUrl(once, "url")
+      .filter($"url" =!= $"canonical_url").count() === 0L)
+    // canonical space is clean: no fragments, no tracking params, no
+    // doubled slashes inside the path
+    assert(once.filter($"url".contains("#")
+      || $"url".rlike("[?&](utm_|ref=)")
+      || $"url".rlike("://[^/]*/[^?]*//")).count() === 0L)
+  }
+
   test("compressionRatio separates repetitive text from prose; edge-safe") {
     import graft.functions.Text
     val prose = "The quick brown fox jumps over the lazy dog while seventeen " +

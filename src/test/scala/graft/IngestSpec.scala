@@ -3,6 +3,7 @@ package graft
 import graft.sources.Logs
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Pipeline invariants from FIXTURES.md §2: double-ingest leaves the
   * row count unchanged (PK idempotence, schema.sql:51); resume starts
@@ -49,6 +50,52 @@ class IngestSpec extends SparkSpec {
     val batch2 = Logs.readNdjson(spark, fixture(Seq(row(2, 0), row(3, 0))))
     Logs.appendIdempotent(spark, batch2, table)
     assert(Logs.read(spark, table).count() === 4)
+  }
+
+  test("appends write parquet bloom filters on address and topic0") {
+    val table = Files.createTempDirectory("blooms").toString + "/t"
+    // parquet only materializes a bloom once a column chunk stops being
+    // fully dictionary-encoded (the dictionary is already an exact
+    // membership filter). Real address cardinality overflows the 1 MB
+    // dictionary page at scale; emulate that with a tiny page budget
+    // and per-row distinct addresses.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prevDict = conf.get("parquet.dictionary.page.size")
+    conf.setInt("parquet.dictionary.page.size", 512)
+    try {
+      val wire = (1L to 400L).map { b =>
+        s"""{"address":"0xaddr$b","topics":["0xsig$b","0xt1"],"data":"0x01",""" +
+          s""""blockHash":"0xb$b","blockNumber":"0x${b.toHexString}",""" +
+          s""""transactionHash":"0xtx$b","transactionIndex":"0x0",""" +
+          s""""logIndex":"0x0","removed":false}"""
+      }
+      Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(wire)), table)
+    } finally {
+      if (prevDict == null) conf.unset("parquet.dictionary.page.size")
+      else conf.set("parquet.dictionary.page.size", prevDict)
+    }
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$table/block_range=0"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(files.head.getPath, conf))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val byCol = block.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      // bloom offset >= 0 means a filter was written for the column
+      assert(byCol("address").getBloomFilterOffset >= 0, "address bloom missing")
+      assert(byCol("topic0").getBloomFilterOffset >= 0, "topic0 bloom missing")
+      assert(byCol("data").getBloomFilterOffset < 0, "unexpected bloom on data")
+      // and it answers membership: present address hits, absent misses
+      val bloom = reader.getBloomFilterDataReader(block)
+        .readBloomFilter(byCol("address"))
+      def hit(s: String) = bloom.findHash(bloom.hash(
+        org.apache.parquet.io.api.Binary.fromString(s)))
+      assert(hit("0xaddr7"))
+      assert(!hit("0xdefinitely-not-present"))
+    } finally reader.close()
   }
 
   test("high-water mark resume (main.go:162-175)") {
