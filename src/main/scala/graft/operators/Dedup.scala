@@ -303,10 +303,16 @@ object Dedup {
   def minhashWriteIndex(
       df: DataFrame, idCol: String, textCol: String, path: String,
       numHashes: Int = 32, shingleK: Int = 3,
-      mode: String = "overwrite"): Unit =
+      mode: String = "overwrite"): Unit = {
     shingleSets(df, idCol, textCol, shingleK)
       .select(col("id"), signatureFromShingles(col("s"), numHashes).as("sig"))
       .write.mode(mode).parquet(path)
+    // a session that already READ this path holds its file listing in
+    // the FileStatusCache; without the refresh an append is invisible
+    // to that session's next read (bit the streaming curation loop:
+    // read-then-append-then-read within one session)
+    df.sparkSession.catalog.refreshByPath(path)
+  }
 
   /** Incremental near-duplicate pairs: a NEW batch against the
     * persisted signature index plus itself — the arriving-crawl

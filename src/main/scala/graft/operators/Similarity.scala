@@ -522,6 +522,30 @@ object Similarity {
         .filter(col("_cell").isin(probeCells(query, centroids, nprobe): _*)),
       idCol, query, codebook, k)
 
+  /** ADC shortlist → EXACT re-rank (the standard FAISS search shape):
+    * the codes-only index proposes `shortlist` candidates by ADC, the
+    * true vectors of ONLY those candidates are fetched (semi-join on
+    * id — candidates ≪ corpus, prunes like any id-keyed join) and
+    * re-scored with the exact dot, recovering exact ordering among
+    * the shortlist. Quantization error then only costs recall (a true
+    * neighbor missing the shortlist), never ranking error. */
+  def pqIvfTopKRerank(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float],
+      centroids: Array[Array[Float]],
+      codebook: Array[Array[Array[Float]]],
+      k: Int, shortlist: Int, nprobe: Int = 1): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val candidates = pqIvfTopKFromIndex(spark, indexPath, idCol, query,
+      centroids, codebook, shortlist, nprobe).select(col(idCol))
+    embeddings.join(candidates, Seq(idCol), "left_semi")
+      .select(col(idCol), dot(col(vecCol), litVec(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ADC top-k over an encoded table: lookup table `t(s)(j) =
     * q_s · c(s)(j)` built driver-side (m·k sub-dots in the same
     * left-to-right double arithmetic as [[dot]]), per-row score =

@@ -73,6 +73,112 @@ object DocStream {
     }
   }
 
+  /** Streaming NEAR-duplicate curation: each micro-batch is checked
+    * against the accumulated MinHash signature index AND itself
+    * ([[graft.operators.Dedup.incrementalNearDuplicates]]), surviving
+    * docs append to the curated corpus and their signatures to the
+    * index — so a near-copy (not just an exact copy) of anything seen
+    * in ANY earlier batch is dropped. The composition a crawl
+    * pipeline actually runs: exact dedup is a fingerprint lookup;
+    * near-dedup needs the LSH index, and this keeps it incremental.
+    *
+    * Within a batch, the KEPT doc of a near-dup pair is the lowest
+    * id (and corpus docs always beat batch docs). foreachBatch is the
+    * right tool: the dedup decision depends on state (corpus + index
+    * paths) that outlives the micro-batch, exactly what the
+    * checkpointed-side-effect pattern is for. Batch replay after a
+    * crash re-runs the same decision against the same-or-later state:
+    * already-accepted ids are dropped by an id anti-join BEFORE the
+    * LSH check (a doc's self-pair is excluded by id equality, so the
+    * pair check alone would re-admit a replay), and previously
+    * rejected docs re-lose to the same corpus partners — the corpus
+    * converges idempotently. Within-batch ties are resolved greedily
+    * (every pair's higher id dies), deterministic by construction. */
+  def curateNearDup(
+      spark: SparkSession,
+      inputDir: String,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      minQuality: Double = 0.2,
+      minJaccard: Double = 0.8,
+      maxFilesPerTrigger: Int = 100,
+      pollInterval: Option[String] = None): StreamingQuery = {
+    import graft.operators.Dedup
+    val trigger = pollInterval
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    val in = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+    in.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val indexExists = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/_SUCCESS"))
+        val kept =
+          if (!indexExists) {
+            // first batch: only batch-internal near-dups to resolve
+            val pairs = Dedup.nearDuplicates(batch, "doc_id", "text",
+              minJaccard = minJaccard)
+            batch.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          } else {
+            val corpus = spark.read.parquet(corpusDir)
+              .select(col("doc_id"), col("text"))
+            // crash-replay guard: a doc id already accepted into the
+            // corpus is a replay, not new work (its signature self-pair
+            // is excluded by id equality, so the LSH check alone would
+            // re-admit it)
+            val fresh = batch.join(corpus.select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+            val pairs = Dedup.incrementalNearDuplicates(spark, fresh,
+              "doc_id", "text", indexDir, corpus, minJaccard = minJaccard)
+            // pairs are (min, max)-normalized, so the batch doc can sit
+            // on either side: a batch doc dies when its pair partner is
+            // a corpus doc (either side), or a lower-id batch doc
+            val bIds = fresh.select(col("doc_id")).distinct()
+            val flagged = pairs
+              .join(bIds.select(col("doc_id").as("id_a"), lit(1).as("_ain")),
+                Seq("id_a"), "left")
+              .join(bIds.select(col("doc_id").as("id_b"), lit(1).as("_bin")),
+                Seq("id_b"), "left")
+            val drop = flagged.select(
+              when(col("_ain").isNotNull && col("_bin").isNotNull, col("id_b"))
+                .when(col("_ain").isNotNull, col("id_a"))
+                .otherwise(col("id_b")).as("doc_id")).distinct()
+            fresh.join(drop, Seq("doc_id"), "left_anti")
+          }
+        // PIN the decision before any side effect: the corpus append
+        // below invalidates every cached plan whose lineage reads
+        // corpusDir (the dedup check does) — a lazily-cached `kept`
+        // would silently RECOMPUTE against the post-append corpus and
+        // dedup the batch against itself (observed: empty index
+        // writes). localCheckpoint truncates the lineage eagerly, so
+        // both writes see the same decided rows.
+        val pinned = kept.localCheckpoint(true)
+        try {
+          val n = pinned.count()
+          println(s"[neardup] batch=$batchId kept=$n")
+          if (n > 0) {
+            pinned.write.mode("append").parquet(corpusDir)
+            // stale-listing hygiene: this session read corpusDir for
+            // the dedup check and reads it again next batch
+            spark.catalog.refreshByPath(corpusDir)
+            Dedup.minhashWriteIndex(pinned, "doc_id", "text", indexDir,
+              mode = if (indexExists) "append" else "overwrite")
+          }
+        } finally pinned.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Run the curation to parquet with checkpointed exactly-once file
     * output. `pollInterval` None → drain-and-stop (AvailableNow). */
   def curate(

@@ -159,6 +159,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("IVF-PQ rerank: exact ordering on the shortlist, recall >= plain ADC") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sf, "embeddings").cache()
+    val n = e.count().toInt
+    val centroids = e.filter($"vec_id" < 4).orderBy($"vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val cb = Similarity.pqTrainCodebook(e, "vec_id", "embedding", m = 8, k = 8, iters = 2)
+    val q = e.filter($"vec_id" === 7)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_rr").toString + "/idx"
+    Similarity.pqIvfWriteIndex(e, "vec_id", "embedding", centroids, cb, idx)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10, measure = "dot")
+      .collect().map(_.getLong(0)).toSeq
+    // full probe + wide shortlist: re-rank recovers the exact top-10
+    // even though the lossy codes alone cannot
+    val rr = Similarity.pqIvfTopKRerank(spark, idx, e, "vec_id", "embedding",
+        q, centroids, cb, k = 10, shortlist = n, nprobe = centroids.length)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rr === exact)
+    // narrow shortlist: still ranked exactly among what it saw, and at
+    // least as many true neighbors as the raw ADC top-10
+    val codes = spark.read.parquet(idx)
+    val adc10 = Similarity.pqAdcTopK(codes, "vec_id", q, cb, 10)
+      .collect().map(_.getLong(0)).toSet
+    val rr10 = Similarity.pqIvfTopKRerank(spark, idx, e, "vec_id", "embedding",
+        q, centroids, cb, k = 10, shortlist = n / 4, nprobe = centroids.length)
+      .collect().map(_.getLong(0)).toSet
+    val exactSet = exact.toSet
+    assert((rr10 & exactSet).size >= (adc10 & exactSet).size)
+  }
+
   test("trainCentroids: k-means balances cells vs naive first-k seeds; q49 path exact") {
     val e = Tables(spark, sf, "embeddings").cache()
     try {

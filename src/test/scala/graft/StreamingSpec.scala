@@ -169,4 +169,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("doc_wm_out").select("doc_id").as[Long].collect().toSet
       === Set(1L, 3L))
   }
+
+  test("streaming NEAR-dup curation: cross-batch LSH dedup, idempotent replay") {
+    import graft.streaming.DocStream
+    val in = Files.createTempDirectory("ndocs_in").toString
+    val corpus = Files.createTempDirectory("ndocs_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("ndocs_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("ndocs_ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = "the quick brown fox jumps over the lazy dog near the river bank" // NOT exact
+    val other = "completely different content about spark query engines and columnar execution"
+    val otherNear = "completely different content about spark query engines and columnar planning"
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    // batch 1: base + an internal near-dup of it; batch 2: a near-dup
+    // of batch 1's survivor (cross-batch, via the index) + a novel doc
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(doc(1, base), doc(2, nearDup)).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      Seq(doc(3, nearDup), doc(4, other)).mkString("\n"))
+    val q = DocStream.curateNearDup(spark, in, corpus, index, ckpt,
+      minJaccard = 0.5, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 4L)) // 2 in-batch near-dup; 3 cross-batch near-dup of 1
+    // restart: a near-dup of doc 4 and a replay-shaped duplicate id
+    Files.writeString(java.nio.file.Paths.get(s"$in/b3.json"),
+      Seq(doc(5, otherNear), doc(4, other)).mkString("\n"))
+    val q2 = DocStream.curateNearDup(spark, in, corpus, index, ckpt,
+      minJaccard = 0.5, maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 4L)) // 5 near-dups 4; replayed 4 dropped by the id guard
+  }
 }
