@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Abi, Text}
-import graft.operators.{AsOfJoin, Corpus, Dedup, EventViews, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Bpe, Corpus, Dedup, EventViews, Multimodal, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1287,8 +1287,42 @@ object SparkEntry {
           (col("_dsum").cast(DoubleType) / col("n_docs").cast(DoubleType))
             .as("avg_dup_frac"))
         .orderBy(col("source"))
+    },
+
+    // BPE encode under the gate, with a FIXED merge list hardcoded
+    // identically in both engines (training is iterative/driver-side,
+    // so the oracle can't re-derive merges — it CAN re-run the encode:
+    // spaced-symbol framing + chained literal replaces execute with
+    // identical left-to-right scans in Java and DuckDB, so symbol
+    // sequence and count hash-match). Training is spec'd against the
+    // canonical Sennrich example.
+    "q76_bpe_encode" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("|", Bpe.encode(col("text"), Q76Merges)).as("encoded"),
+          Bpe.tokenCount(col("text"), Q76Merges).cast(LongType).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Data mixing under the gate: per-source systematic rates (src0
+    // keeps 1/2, src1 1/3, src2 1/4, everything else 1/5) — the
+    // deterministic mixture-targeting sampler.
+    "q77_data_mixing" -> { (s, dir) =>
+      Corpus.mixSystematic(
+          Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Map("src0" -> 2, "src1" -> 3, "src2" -> 4), defaultEvery = 5)
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** q76's fixed merge list — chosen to fire on the fixture vocab
+    * (table/row/the/scan families); mirrored literally in the twin. */
+  private val Q76Merges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"), ("table", "</w>"),
+    ("r", "o"), ("ro", "w"), ("row", "</w>"),
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"), ("scan", "</w>"))
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2293,6 +2327,33 @@ object SparkEntry {
         |  cast(n_ips as bigint) as n_ips, cast(n_phones as bigint) as n_phones, redacted
         |from r3
         |order by c_custkey""".stripMargin,
+
+    "q76_bpe_encode" -> {
+      val chain = Q76Merges.foldLeft("sym") { case (acc, (a, b)) =>
+        s"replace($acc, ' $a $b ', ' $a$b ')"
+      }
+      s"""with n as (select doc_id, $OracleNorm as norm from documents),
+        |s as (select doc_id, case when length(norm) = 0 then ''
+        |    else ' ' || replace(regexp_replace(norm, '(.)', '\\1 ', 'g'), '   ', ' </w> ')
+        |      || '</w> ' end as sym
+        |  from n),
+        |m as (select doc_id, $chain as merged from s),
+        |t as (select doc_id,
+        |    list_filter(string_split(trim(merged), ' '), x -> length(x) > 0) as toks
+        |  from m)
+        |select doc_id, array_to_string(toks, '|') as encoded,
+        |  cast(len(list_filter(toks, x -> x <> '</w>')) as bigint) as n_bpe_tokens
+        |from t order by doc_id""".stripMargin
+    },
+
+    "q77_data_mixing" ->
+      """with r as (select doc_id, source,
+        |    row_number() over (partition by source order by doc_id) as rn,
+        |    case source when 'src0' then 2 when 'src1' then 3
+        |      when 'src2' then 4 else 5 end as k
+        |  from documents)
+        |select doc_id, source from r where (rn - 1) % k = 0
+        |order by doc_id""".stripMargin,
 
     "q75_corpus_profile" ->
       s"""with m as (

@@ -79,6 +79,28 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Data mixing by per-stratum rates: every `everyBy(stratum)`-th
+    * row of each stratum in `orderCol` order (strata absent from the
+    * map use `defaultEvery`) — the deterministic, SQL-expressible way
+    * to hit a target source mixture (keep 1/2 of wiki, 1/10 of crawl,
+    * …). Same shuffle shape as [[systematicSample]]: one window per
+    * stratum. For skewed strata at corpus scale, derive per-stratum
+    * fractions and use [[hashSample]] per stratum instead (zero
+    * shuffle, approximate rates). */
+  def mixSystematic(
+      df: DataFrame, strataCol: String, orderCol: String,
+      everyBy: Map[String, Int], defaultEvery: Int = 1): DataFrame = {
+    require((defaultEvery +: everyBy.values.toSeq).forall(_ >= 1),
+      "every values must be >= 1")
+    val every = everyBy.foldLeft(lit(defaultEvery)) { case (e, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(e)
+    }
+    df.withColumn("_rn",
+        row_number().over(Window.partitionBy(col(strataCol)).orderBy(col(orderCol))))
+      .filter((col("_rn") - 1) % every === 0)
+      .drop("_rn")
+  }
+
   /** Per-document token n-gram occurrence counts
     * `(id, n_tokens, gram, cnt)` over the normalized text.
     * Normalize→tokenize→shingle staged as named columns (the HOF

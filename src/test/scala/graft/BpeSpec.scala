@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** Trainable BPE tokenizer: training on the classic toy corpus,
+  * encode mechanics, and doc-level boundary safety. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainMerges learns the classic merges on the Sennrich toy corpus") {
+    // word frequencies: low×5, lower×2, newest×6, widest×3 (the
+    // canonical worked example — "es" then "est" merge first)
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = Bpe.trainMerges(df, "text", numMerges = 4)
+    // round 1: "e s" occurs 9× (newest + widest) — the canonical first merge
+    assert(merges.head === (("e", "s")))
+    // round 2: "es t" 9×
+    assert(merges(1) === (("es", "t")))
+    // round 3: "est </w>" 9×
+    assert(merges(2) === (("est", "</w>")))
+    // encode uses the learned merges
+    val enc = df.limit(1).select(
+      Bpe.encode(lit("newest widest lowest"), merges).as("e"))
+      .head().getSeq[String](0)
+    assert(enc.containsSlice(Seq("est</w>")))
+  }
+
+  test("encode: symbol framing, boundary safety, count excludes </w>") {
+    val merges = Seq(("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "b"))
+    val df = Seq((1L, "the theme ab"), (2L, ""), (3L, "a b")).toDF("id", "text")
+    val got = df.select($"id",
+        Bpe.encode($"text", merges).as("enc"),
+        Bpe.tokenCount($"text", merges).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getInt(2)))).toMap
+    // "the" fully merges incl. terminator; "theme" merges "the" but
+    // keeps going only within the word; "ab" merges from (a,b)
+    assert(got(1L)._1 === Seq("the</w>", "the", "m", "e", "</w>", "ab", "</w>"))
+    assert(got(1L)._2 === 5) // the</w> counts once, two bare </w> excluded
+    assert(got(2L)._1 === Seq.empty)
+    assert(got(2L)._2 === 0)
+    // "a b" as two WORDS must NOT merge across the </w> boundary
+    assert(got(3L)._1 === Seq("a", "</w>", "b", "</w>"))
+  }
+
+  test("doc-level application equals per-word application") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "</w>"))
+    val docs = Seq((1L, "low lower slow")).toDF("id", "text")
+    val whole = docs.select(Bpe.encode($"text", merges).as("e"))
+      .head().getSeq[String](0)
+    val perWord = Seq("low", "lower", "slow").flatMap { w =>
+      spark.range(1).select(Bpe.encode(lit(w), merges).as("e"))
+        .head().getSeq[String](0)
+    }
+    assert(whole === perWord)
+  }
+}

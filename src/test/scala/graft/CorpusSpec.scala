@@ -208,6 +208,19 @@ class CorpusSpec extends SparkSpec {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("mixSystematic applies per-stratum rates with a default") {
+    val df = spark.range(60).selectExpr("id", "case when id % 2 = 0 then 'a' else 'b' end as s")
+    val got = Corpus.mixSystematic(df, "s", "id", Map("a" -> 3), defaultEvery = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // stratum a = even ids (30 rows), every 3rd of them in order
+    assert(got("a") === (0 until 30 by 3).map(_ * 2L))
+    // stratum b = odd ids, default rate every 5th
+    assert(got("b") === (0 until 30 by 5).map(i => i * 2L + 1))
+    intercept[IllegalArgumentException](
+      Corpus.mixSystematic(df, "s", "id", Map("a" -> 0)))
+  }
+
   test("systematicSample keeps every k-th row per stratum in order") {
     val df = spark.range(100).selectExpr("id", "case when id % 3 = 0 then 'a' else 'b' end as s")
     val got = Corpus.systematicSample(df, "s", "id", every = 5)
