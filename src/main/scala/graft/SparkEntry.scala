@@ -1313,6 +1313,38 @@ object SparkEntry {
           "source", "doc_id",
           Map("src0" -> 2, "src1" -> 3, "src2" -> 4), defaultEvery = 5)
         .orderBy(col("doc_id"))
+    },
+
+    // Canonical selection under the gate: near-dup pairs → connected
+    // components (q57's machinery) → keep the highest-quality doc per
+    // cluster, ties to the lowest id. The DuckDB twin recomputes the
+    // closure with a recursive CTE and the winner with a rank window
+    // — per-doc cluster, quality AND the keep decision all hash.
+    "q78_canonical_selection" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"))
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+          minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2,
+          minEstimate = 0.1, maxBucket = 1000)
+        .select(col("id_a"), col("id_b"))
+      Dedup.canonicalPerCluster(scored, "doc_id", "quality", pairs)
+        .select(col("doc_id"), col("cluster"), col("quality"), col("is_kept"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token-budget selection under the gate: best-quality docs until
+    // the cumulative token count reaches 5000 (the crossing doc is
+    // included). The exact global-cumsum form — the scale path is a
+    // quantile threshold (see Corpus.selectByBudget scaladoc).
+    "q79_budget_selection" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Corpus.selectByBudget(
+          docs.select(col("doc_id"),
+            Text.qualityScore(col("text")).as("quality"),
+            Text.tokenCount(col("text")).cast(LongType).as("n_tokens")),
+          "quality", "n_tokens", "doc_id", budget = 5000L)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2345,6 +2377,64 @@ object SparkEntry {
         |  cast(len(list_filter(toks, x -> x <> '</w>')) as bigint) as n_bpe_tokens
         |from t order by doc_id""".stripMargin
     },
+
+    "q78_canonical_selection" ->
+      s"""with recursive d as (select doc_id, string_split($OracleNorm, ' ') as w from documents),
+        |sh as (select doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(w)-2+1, 0)+1),
+        |    i -> array_to_string(list_slice(w, i, i+1), ' '))) as s
+        |  from d),
+        |p as (select a.doc_id as id_a, b.doc_id as id_b
+        |  from sh a join sh b on a.doc_id < b.doc_id
+        |  where cast(len(list_intersect(a.s, b.s)) as double)
+        |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) >= 0.6),
+        |e as (select id_a as src, id_b as dst from p
+        |      union select id_b, id_a from p),
+        |reach(src, dst) as (
+        |  select src, dst from e
+        |  union
+        |  select r.src, e2.dst from reach r join e e2 on r.dst = e2.src),
+        |lab as (select src as doc_id, min(dst) as mn from reach group by src),
+        |q as (
+        |  select doc_id,
+        |    0.4 * least(cast($OracleNTokens as double) / 50.0, 1.0)
+        |    + 0.3 * least(cast(len(list_filter($OracleTokens, t -> t in ($OracleStop))) as double)
+        |        / cast(greatest($OracleNTokens, 1) as double) * 4.0, 1.0)
+        |    + 0.15 * (1.0 - least(cast(len(regexp_extract_all(text, '[.,!?;:]')) as double)
+        |        / cast(greatest(length(text),1) as double) * 5.0, 1.0))
+        |    + 0.15 * (1.0 - least(cast(len(regexp_extract_all(text, '[0-9]')) as double)
+        |        / cast(greatest(length(text),1) as double) * 5.0, 1.0)) as quality
+        |  from documents),
+        |assigned as (select doc.doc_id, q.quality,
+        |    least(doc.doc_id, coalesce(l.mn, doc.doc_id)) as cluster
+        |  from documents doc
+        |  join q on doc.doc_id = q.doc_id
+        |  left join lab l on doc.doc_id = l.doc_id),
+        |ranked as (select doc_id, cluster, quality,
+        |    row_number() over (partition by cluster
+        |      order by quality desc, doc_id) as rk
+        |  from assigned)
+        |select doc_id, cluster, quality, rk = 1 as is_kept
+        |from ranked
+        |order by doc_id""".stripMargin,
+
+    "q79_budget_selection" ->
+      s"""with q as (select doc_id,
+        |    0.4 * least(cast($OracleNTokens as double) / 50.0, 1.0)
+        |    + 0.3 * least(cast(len(list_filter($OracleTokens, t -> t in ($OracleStop))) as double)
+        |        / cast(greatest($OracleNTokens, 1) as double) * 4.0, 1.0)
+        |    + 0.15 * (1.0 - least(cast(len(regexp_extract_all(text, '[.,!?;:]')) as double)
+        |        / cast(greatest(length(text),1) as double) * 5.0, 1.0))
+        |    + 0.15 * (1.0 - least(cast(len(regexp_extract_all(text, '[0-9]')) as double)
+        |        / cast(greatest(length(text),1) as double) * 5.0, 1.0)) as quality,
+        |    cast($OracleNTokens as bigint) as n_tokens
+        |  from documents),
+        |c as (select doc_id, quality, n_tokens,
+        |    coalesce(sum(n_tokens) over (order by quality desc, doc_id
+        |      rows between unbounded preceding and 1 preceding), 0) as cum
+        |  from q)
+        |select doc_id, quality, n_tokens from c where cum < 5000
+        |order by doc_id""".stripMargin,
 
     "q77_data_mixing" ->
       """with r as (select doc_id, source,

@@ -79,6 +79,29 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Greedy token-budget selection: rank by `scoreCol` descending
+    * (ties: `orderCol` ascending), keep every doc whose cumulative
+    * token count BEFORE it is under `budget` — the doc that crosses
+    * the line is included, so the selection reaches the budget
+    * whenever the corpus can fill it. The "best N tokens" data-
+    * selection step of a training run.
+    *
+    * EXACT form = one GLOBAL cumulative window (a single task sorts
+    * the ranked stream) — correct for the gate and for corpora that
+    * fit a sort; at 100 TB select by a score THRESHOLD instead
+    * (approx quantile of the score at the budget fraction — one scan,
+    * no global window) and trim the boundary bucket exactly. */
+  def selectByBudget(
+      df: DataFrame, scoreCol: String, tokensCol: String, orderCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = Window.orderBy(col(scoreCol).desc, col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_cum", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("_cum") < budget)
+      .drop("_cum")
+  }
+
   /** Data mixing by per-stratum rates: every `everyBy(stratum)`-th
     * row of each stratum in `orderCol` order (strata absent from the
     * map use `defaultEvery`) — the deterministic, SQL-expressible way

@@ -556,6 +556,33 @@ object Dedup {
       .filter(col("distance") <= maxDistance)
   }
 
+  /** Canonical selection — the curation step BETWEEN pair detection
+    * and training: label every doc with its duplicate-cluster id
+    * ([[duplicateClusters]]; singletons label themselves) and keep
+    * the best-scoring doc per cluster (ties to the lowest id) —
+    * "dedup keeps the best copy", not an arbitrary one.
+    *
+    * Returns `docs` plus `(cluster, is_kept)`. Scale shape: the
+    * cluster tables are candidate-pair-sized; the winner argmax is a
+    * combinable `max(struct(score, -id))` per cluster; two id-keyed
+    * joins re-attach labels and winners — nothing scans beyond the
+    * docs projection handed in. */
+  def canonicalPerCluster(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = duplicateClusters(pairs, checkpointDir = checkpointDir)
+    val labeled = docs
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val winners = labeled.groupBy(col("cluster"))
+      .agg(max(struct(col(scoreCol).as("_s"), (-col(idCol)).as("_negid"))).as("_w"))
+      .select(col("cluster"), (-col("_w._negid")).as("_winner"))
+    labeled.join(winners, Seq("cluster"))
+      .withColumn("is_kept", col(idCol) === col("_winner"))
+      .drop("_winner")
+  }
+
   /** Duplicated-span signal — exact-substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better")
     * re-expressed relationally: every `w`-token window of the

@@ -208,6 +208,19 @@ class CorpusSpec extends SparkSpec {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("selectByBudget: greedy by score, crossing doc included, exact cutoff") {
+    val df = Seq(
+      (1L, 0.9, 100L), (2L, 0.8, 100L), (3L, 0.7, 100L), (4L, 0.6, 100L)
+    ).toDF("id", "score", "n_tokens")
+    def sel(b: Long) = Corpus.selectByBudget(df, "score", "n_tokens", "id", b)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel(250L) === Set(1L, 2L, 3L)) // doc 3 crosses the 250 line → included
+    assert(sel(200L) === Set(1L, 2L))     // exact boundary: cum before doc 3 is 200, not < 200
+    assert(sel(1L) === Set(1L))           // always at least the best doc
+    assert(sel(0L) === Set.empty)
+    intercept[IllegalArgumentException](sel(-1L))
+  }
+
   test("mixSystematic applies per-stratum rates with a default") {
     val df = spark.range(60).selectExpr("id", "case when id % 2 = 0 then 'a' else 'b' end as s")
     val got = Corpus.mixSystematic(df, "s", "id", Map("a" -> 3), defaultEvery = 5)

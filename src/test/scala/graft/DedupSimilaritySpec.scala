@@ -568,6 +568,27 @@ class DedupSimilaritySpec extends SparkSpec {
     adcx.foreach { case (id, s) => assert(s === expected(id), s"vec $id") }
   }
 
+  test("canonicalPerCluster keeps the best-scoring doc per cluster; singletons kept") {
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.1), (4L, 0.7), (5L, 0.2)
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b") // cluster {1,2,4}
+    val got = Dedup.canonicalPerCluster(scored, "doc_id", "score", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Boolean]("is_kept")))).toMap
+    assert(got(1L) === ((1L, false)))
+    assert(got(2L) === ((1L, true))) // highest score in the cluster
+    assert(got(4L) === ((1L, false)))
+    assert(got(3L) === ((3L, true))) // singleton keeps itself
+    assert(got(5L) === ((5L, true)))
+    // tie on score → lowest id wins
+    val tied = Seq((10L, 0.5), (11L, 0.5)).toDF("doc_id", "score")
+    val gotTie = Dedup.canonicalPerCluster(tied, "doc_id", "score",
+        Seq((10L, 11L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_kept")).toMap
+    assert(gotTie(10L) && !gotTie(11L))
+  }
+
   test("duplicateClusters labels every member with the component minimum") {
     // two triangles {1,2,3} {10,11,12}, a bridge-free chain {20..24}
     val pairs = Seq(
