@@ -512,16 +512,27 @@ object Dedup {
     * chunks, verify with exact hamming distance.
     *
     * @param maxBucket drop degenerate `(band, chunk)` buckets larger
-    *                  than this before pairing — the same skew guard as
-    *                  [[minhashCandidates]]. Templated/short-doc corpora
-    *                  produce near-constant simhashes, and one popular
-    *                  chunk value hands a single reducer an n² pair
-    *                  blow-up; true near-dups dropped from a degenerate
-    *                  chunk still collide in their other bands. The
-    *                  groupBy-count is map-side combinable and joins
-    *                  back on the same (band, chunk) key the pair join
-    *                  shuffles on, so the guard adds no extra exchange
-    *                  of the banded table.
+    *                  than this before pairing — the same skew SHAPE as
+    *                  [[minhashCandidates]]'s guard. Templated/short-doc
+    *                  corpora produce near-constant simhashes, and one
+    *                  popular chunk value hands a single reducer an n²
+    *                  pair blow-up. CONTRACT CHANGE under the cap: the
+    *                  pigeonhole guarantee only promises SOME equal
+    *                  chunk — a pair whose ONLY equal chunk sits in a
+    *                  dropped bucket is lost (unlike MinHash, whose
+    *                  recall was probabilistic to begin with, this
+    *                  trades the exact distance-≤-bands-1 completeness
+    *                  for skew safety; pairs also colliding in a
+    *                  non-degenerate chunk — the common case, since a
+    *                  degenerate chunk value means that part of the
+    *                  fingerprint carries no discriminating signal —
+    *                  are unaffected). `maxBucket = Int.MaxValue`
+    *                  restores exact pigeonhole completeness at the n²
+    *                  skew risk. The groupBy-count is map-side
+    *                  combinable and joins back on the same
+    *                  (band, chunk) key the pair join shuffles on, so
+    *                  the guard adds no extra exchange of the banded
+    *                  table.
     */
   def simhashCandidates(
       df: DataFrame,

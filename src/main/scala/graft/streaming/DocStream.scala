@@ -120,10 +120,28 @@ object DocStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val indexExists = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/_SUCCESS"))
+        def pathExists(d: String) =
+          fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))
+        // the corpus append and the index append are two writes with a
+        // crash window between them — the state pair must CONVERGE on
+        // replay, not be assumed atomic:
+        // 1. corpus exists but index doesn't (crash before batch 0's
+        //    index write): rebuild the index from the corpus wholesale;
+        // 2. index lags the corpus (crash between a later batch's two
+        //    writes): an ids-only anti-join finds the unindexed corpus
+        //    docs (normally zero) and this batch's index write repairs
+        //    them;
+        // 3. checkpoint lost / batch replayed after both writes: the
+        //    corpus-id anti-join empties `fresh`, both writes skip.
+        val corpusExists = pathExists(corpusDir)
+        if (corpusExists && !pathExists(indexDir))
+          Dedup.minhashWriteIndex(
+            spark.read.parquet(corpusDir).select(col("doc_id"), col("text")),
+            "doc_id", "text", indexDir, mode = "overwrite")
+        val indexExists = pathExists(indexDir)
         val kept =
-          if (!indexExists) {
-            // first batch: only batch-internal near-dups to resolve
+          if (!corpusExists) {
+            // virgin state: only batch-internal near-dups to resolve
             val pairs = Dedup.nearDuplicates(batch, "doc_id", "text",
               minJaccard = minJaccard)
             batch.join(pairs.select(col("id_b").as("doc_id")).distinct(),
@@ -131,9 +149,9 @@ object DocStream {
           } else {
             val corpus = spark.read.parquet(corpusDir)
               .select(col("doc_id"), col("text"))
-            // crash-replay guard: a doc id already accepted into the
-            // corpus is a replay, not new work (its signature self-pair
-            // is excluded by id equality, so the LSH check alone would
+            // replay guard: a doc id already accepted into the corpus
+            // is a replay, not new work (its signature self-pair is
+            // excluded by id equality, so the LSH check alone would
             // re-admit it)
             val fresh = batch.join(corpus.select(col("doc_id")),
               Seq("doc_id"), "left_anti")
@@ -164,15 +182,31 @@ object DocStream {
         val pinned = kept.localCheckpoint(true)
         try {
           val n = pinned.count()
-          println(s"[neardup] batch=$batchId kept=$n")
+          // index repair input (case 2): corpus docs whose signatures
+          // never landed — ids-only probe, normally empty
+          val unindexed =
+            if (corpusExists && indexExists)
+              spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
+                .join(spark.read.parquet(indexDir)
+                  .select(col("id").as("doc_id")).distinct(),
+                  Seq("doc_id"), "left_anti")
+                .localCheckpoint(true)
+            else spark.emptyDataFrame
+          val nRepair = if (corpusExists && indexExists) unindexed.count() else 0L
+          println(s"[neardup] batch=$batchId kept=$n repair=$nRepair")
           if (n > 0) {
             pinned.write.mode("append").parquet(corpusDir)
             // stale-listing hygiene: this session read corpusDir for
             // the dedup check and reads it again next batch
             spark.catalog.refreshByPath(corpusDir)
-            Dedup.minhashWriteIndex(pinned, "doc_id", "text", indexDir,
-              mode = if (indexExists) "append" else "overwrite")
           }
+          val toIndex =
+            if (nRepair > 0) pinned.select(col("doc_id"), col("text")).unionByName(unindexed)
+            else pinned.select(col("doc_id"), col("text"))
+          if (n + nRepair > 0)
+            Dedup.minhashWriteIndex(toIndex, "doc_id", "text", indexDir,
+              mode = if (indexExists) "append" else "overwrite")
+          if (nRepair > 0) unindexed.unpersist()
         } finally pinned.unpersist()
         ()
       }

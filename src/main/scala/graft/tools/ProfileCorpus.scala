@@ -54,9 +54,17 @@ object ProfileCorpus {
         avg(coalesce(col("dup_token_frac"), lit(0.0))).as("avg_dup_span_frac"))
       .orderBy(col("shard"))
 
-    profile.show(1000, truncate = false)
-    out.foreach(o => profile.write.mode("overwrite").parquet(o))
-    println(s"[profile] shards=${profile.count()} docs=${docs.count()} " +
+    // the profile is shard-sized (tiny) but its PLAN scans the corpus
+    // several times (langid/PII staging, repetition aggs, span census,
+    // deflate) — evaluate once, serve show/write/summary from the pin
+    val pinned = profile.localCheckpoint(true)
+    pinned.show(1000, truncate = false)
+    out.foreach(o => pinned.write.mode("overwrite").parquet(o))
+    val (nShards, nDocs) = pinned
+      .agg(count(lit(1)), sum(col("n_docs"))).collect()(0) match {
+        case r => (r.getLong(0), r.getLong(1))
+      }
+    println(s"[profile] shards=$nShards docs=$nDocs " +
       s"shardCol=$shard${out.map(o => s" → $o").getOrElse("")}")
     spark.stop()
   }

@@ -201,5 +201,20 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination()
     assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
       === Set(1L, 4L)) // 5 near-dups 4; replayed 4 dropped by the id guard
+
+    // crash-repair: a torn index write (no _SUCCESS) rebuilds the
+    // index from the corpus, and a near-dup of an EARLY corpus doc is
+    // still caught by the rebuilt index
+    Files.delete(java.nio.file.Paths.get(s"$index/_SUCCESS"))
+    Files.writeString(java.nio.file.Paths.get(s"$in/b4.json"),
+      Seq(doc(6, nearDup)).mkString("\n")) // near-dup of corpus doc 1
+    val q3 = DocStream.curateNearDup(spark, in, corpus, index, ckpt,
+      minJaccard = 0.5, maxFilesPerTrigger = 1)
+    q3.awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 4L))
+    // the rebuilt index covers the whole corpus again
+    assert(spark.read.parquet(index).select("id").as[Long].collect().toSet
+      === Set(1L, 4L))
   }
 }
