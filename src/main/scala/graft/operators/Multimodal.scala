@@ -266,6 +266,40 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Adam7-INTERLACED 8-bit grayscale PNG (filter 0 rows in every
+      * pass — the interlace plumbing is what's under test; the filter
+      * rotation is exercised by [[pngGray]]). Conformant per the PNG
+      * spec's pass table, so foreign readers reconstruct it too. */
+    def pngGrayInterlaced(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+      val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      val rawOut = new java.io.ByteArrayOutputStream()
+      passes.foreach { case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0)
+          for (py <- 0 until ph) {
+            rawOut.write(0) // filter None
+            for (px <- 0 until pw) rawOut.write(v(x0 + px * dx, y0 + py * dy) & 0xff)
+          }
+      }
+      val raw = rawOut.toByteArray
+      val def_ = new java.util.zip.Deflater()
+      def_.setInput(raw); def_.finish()
+      val zbuf = new Array[Byte](raw.length * 2 + 64)
+      val zlen = def_.deflate(zbuf)
+      def_.end()
+      val ihdr = ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(1.toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      out.write(chunk("IHDR", ihdr.array()))
+      out.write(chunk("IDAT", zbuf.take(zlen)))
+      out.write(chunk("IEND", Array.empty))
+      out.toByteArray
+    }
+
     /** COMPLETE 8-bit PNG with real COLOR pixel data — color type 2
       * (truecolor RGB) or, with `palette`, color type 3 (indexed).
       * Scanline filters rotate through all five with bpp-aware
@@ -712,8 +746,14 @@ object Multimodal {
       * the deterministic choice for a training pipeline reading raw
       * color values; callers that need matting composite downstream.
       * Filter reversal is bytes-per-pixel aware (the `a`/`c`
-      * neighbors step by bpp, per the PNG spec). 16-bit and
-      * interlaced variants are refused, not mis-decoded. */
+      * neighbors step by bpp, per the PNG spec). Adam7 interlace is
+      * reconstructed pass by pass (each pass is its own filtered
+      * sub-image; empty passes contribute nothing). 16-bit variants
+      * are refused, not mis-decoded. */
+    private val Adam7 = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
     def decodePngImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
       if (b == null || b.length < 33 ||
         !b.take(8).sameElements(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
@@ -721,6 +761,7 @@ object Multimodal {
       var i = 8
       var w, h = 0
       var colorType = -1
+      var interlaced = false
       var ok = false
       var plte: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
@@ -733,11 +774,12 @@ object Multimodal {
           case "IHDR" =>
             w = u32be(b, i + 8); h = u32be(b, i + 12)
             colorType = b(i + 17) & 0xff
-            // bit depth 8, color type 0/2/3/4/6, no interlace
+            interlaced = b(i + 20) == 1
+            // bit depth 8, color type 0/2/3/4/6, interlace none or Adam7
             ok = b(i + 16) == 8 &&
               (colorType == 0 || colorType == 2 || colorType == 3 ||
                 colorType == 4 || colorType == 6) &&
-              b(i + 20) == 0
+              (b(i + 20) == 0 || b(i + 20) == 1)
           case "PLTE" =>
             if (len % 3 != 0 || len > 768) return None
             plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
@@ -758,9 +800,52 @@ object Multimodal {
       if (w > MaxDim || h > MaxDim || w.toLong * h * outCh > MaxPixels) return None
       if (colorType == 3 && plte == null) return None
       val rowBytes = w * bpp
+      // reverse per-scanline filters of one (sub-)image at `base` in
+      // `raw` (neighbors at -bpp, per the PNG spec); null on a bad
+      // filter byte
+      def defilter(raw: Array[Byte], base: Int, wPx: Int, rows: Int): Array[Byte] = {
+        val rb = wPx * bpp
+        val un = new Array[Byte](rb * rows)
+        var y = 0
+        while (y < rows) {
+          val f = raw(base + y * (rb + 1)) & 0xff
+          var k = 0
+          while (k < rb) {
+            val v = raw(base + y * (rb + 1) + 1 + k) & 0xff
+            val a = if (k >= bpp) un(y * rb + k - bpp) & 0xff else 0
+            val up = if (y > 0) un((y - 1) * rb + k) & 0xff else 0
+            val c = if (k >= bpp && y > 0) un((y - 1) * rb + k - bpp) & 0xff else 0
+            val recon = f match {
+              case 0 => v
+              case 1 => v + a
+              case 2 => v + up
+              case 3 => v + (a + up) / 2
+              case 4 => v + paeth(a, up, c)
+              case _ => return null
+            }
+            un(y * rb + k) = (recon & 0xff).toByte
+            k += 1
+          }
+          y += 1
+        }
+        un
+      }
+      // Adam7: 7 independent sub-images, each with its own scanline
+      // filtering, concatenated in the inflated stream; empty passes
+      // contribute no bytes at all
+      def passDims = Adam7.map { case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        (pw, ph)
+      }
+      val expected =
+        if (!interlaced) (rowBytes + 1) * h
+        else passDims.map { case (pw, ph) =>
+          if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
+        }.sum
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
-      val raw = new Array[Byte]((rowBytes + 1) * h)
+      val raw = new Array[Byte](expected)
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
@@ -769,30 +854,42 @@ object Multimodal {
       }
       inf.end()
       if (off != raw.length) return None
-      // reverse per-scanline filters over raw bytes (neighbors at -bpp)
-      val un = new Array[Byte](rowBytes * h)
-      var y = 0
-      while (y < h) {
-        val f = raw(y * (rowBytes + 1)) & 0xff
-        var k = 0
-        while (k < rowBytes) {
-          val v = raw(y * (rowBytes + 1) + 1 + k) & 0xff
-          val a = if (k >= bpp) un(y * rowBytes + k - bpp) & 0xff else 0
-          val up = if (y > 0) un((y - 1) * rowBytes + k) & 0xff else 0
-          val c = if (k >= bpp && y > 0) un((y - 1) * rowBytes + k - bpp) & 0xff else 0
-          val recon = f match {
-            case 0 => v
-            case 1 => v + a
-            case 2 => v + up
-            case 3 => v + (a + up) / 2
-            case 4 => v + paeth(a, up, c)
-            case _ => return None
+      val un =
+        if (!interlaced) {
+          val u = defilter(raw, 0, w, h)
+          if (u == null) return None
+          u
+        } else {
+          val full = new Array[Byte](rowBytes * h)
+          var base = 0
+          var p = 0
+          val dims = passDims
+          while (p < 7) {
+            val (x0, y0, dx, dy) = Adam7(p)
+            val (pw, ph) = dims(p)
+            if (pw > 0 && ph > 0) {
+              val pu = defilter(raw, base, pw, ph)
+              if (pu == null) return None
+              base += (pw * bpp + 1) * ph
+              var py = 0
+              while (py < ph) {
+                var px = 0
+                while (px < pw) {
+                  val dest = ((y0 + py * dy) * w + (x0 + px * dx)) * bpp
+                  var ch = 0
+                  while (ch < bpp) {
+                    full(dest + ch) = pu((py * pw + px) * bpp + ch)
+                    ch += 1
+                  }
+                  px += 1
+                }
+                py += 1
+              }
+            }
+            p += 1
           }
-          un(y * rowBytes + k) = (recon & 0xff).toByte
-          k += 1
+          full
         }
-        y += 1
-      }
       colorType match {
         case 0 => Some((w, h, 1, un))
         case 2 => Some((w, h, 3, un))

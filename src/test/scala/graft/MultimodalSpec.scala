@@ -111,6 +111,42 @@ class MultimodalSpec extends SparkSpec {
     assert(PixelCodec.decode(null) === None)
   }
 
+  test("Adam7 interlaced PNG: own round-trip, ImageIO both directions") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    def v(x: Int, y: Int): Int = (x * 13 + y * 5 + 7) % 256
+    // odd dims exercise empty/ragged passes; 9x6 exercises pass skips
+    for ((w, h) <- Seq((17, 11), (9, 6), (8, 8), (1, 1), (2, 3))) {
+      val bytes = MiniEncoder.pngGrayInterlaced(w, h, v)
+      assert(bytes(28) === 1, "interlace flag in IHDR")
+      val Some((dw, dh, px)) = PixelCodec.decodePng(bytes)
+      assert((dw, dh) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xff) === v(x, y), s"($w x $h) pixel ($x,$y)")
+      // foreign read of OUR interlaced write
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) === v(x, y), s"ImageIO ($x,$y)")
+    }
+    // WE decode an ImageIO-written PROGRESSIVE (Adam7) png
+    val gray = new java.awt.image.BufferedImage(13, 7,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 7; x <- 0 until 13) gray.getRaster.setSample(x, y, 0, v(x, y))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(gray, null, null), params)
+    ios.close(); writer.dispose()
+    val foreign = bos.toByteArray
+    assert(foreign(28) === 1, "JDK writer produced an interlaced file")
+    val Some((jw, jh, jpx)) = PixelCodec.decodePng(foreign)
+    assert((jw, jh) === ((13, 7)))
+    for (y <- 0 until 7; x <- 0 until 13)
+      assert((jpx(y * 13 + x) & 0xff) === v(x, y), s"jdk progressive ($x,$y)")
+  }
+
   test("GIF LZW: own round-trip incl. table overflow, ImageIO both directions, interlace") {
     import Multimodal.{MiniEncoder, PixelCodec}
     def v(x: Int, y: Int): Int = (x * 7 + y * 3 + 5) % 256
