@@ -35,6 +35,22 @@ import java.nio.ByteBuffer
   */
 object Multimodal {
 
+  /** Adam7 pass origins/strides (x0, y0, dx, dy) in PNG spec order —
+    * ONE definition shared by the decoder and the test encoder so the
+    * two sides cannot drift. */
+  private[operators] val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Per-pass (width, height) of an Adam7-interlaced w×h image;
+    * empty passes are (0, 0). */
+  private[operators] def adam7Dims(w: Int, h: Int): Array[(Int, Int)] =
+    Adam7.map { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      (pw, ph)
+    }
+
   case class MediaFile(doc_id: Long, media_type: String, content: Array[Byte])
   case class MediaMeta(doc_id: Long, media_type: String, width: Int, height: Int,
       n_frames: Int, byte_size: Int, valid: Boolean)
@@ -271,12 +287,8 @@ object Multimodal {
       * rotation is exercised by [[pngGray]]). Conformant per the PNG
       * spec's pass table, so foreign readers reconstruct it too. */
     def pngGrayInterlaced(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
-      val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
       val rawOut = new java.io.ByteArrayOutputStream()
-      passes.foreach { case (x0, y0, dx, dy) =>
-        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
-        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      Adam7.zip(adam7Dims(w, h)).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
         if (pw > 0 && ph > 0)
           for (py <- 0 until ph) {
             rawOut.write(0) // filter None
@@ -728,17 +740,17 @@ object Multimodal {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
-    /** Decode an 8-bit grayscale non-interlaced PNG (the format
-      * [[MiniEncoder.pngGray]] writes and any standard tool reads).
-      * Gray ONLY by contract — color PNGs decode via
-      * [[decodePngImage]]. */
+    /** Decode an 8-bit grayscale PNG, interlaced or not (the format
+      * [[MiniEncoder.pngGray]]/[[MiniEncoder.pngGrayInterlaced]] write
+      * and any standard tool reads). Gray ONLY by contract — color
+      * PNGs decode via [[decodePngImage]]. */
     def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
       decodePngImage(b) match {
         case Some((w, h, 1, px)) => Some((w, h, px))
         case _ => None
       }
 
-    /** Decode an 8-bit non-interlaced PNG of color type 0 (gray,
+    /** Decode an 8-bit PNG of color type 0 (gray,
       * channels=1), 2 (truecolor RGB, channels=3), 3 (palette →
       * expanded to RGB, channels=3), 4 (gray+alpha → alpha DROPPED,
       * channels=1) or 6 (RGBA → alpha DROPPED, channels=3) to (w, h,
@@ -750,10 +762,6 @@ object Multimodal {
       * reconstructed pass by pass (each pass is its own filtered
       * sub-image; empty passes contribute nothing). 16-bit variants
       * are refused, not mis-decoded. */
-    private val Adam7 = Array(
-      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
-
     def decodePngImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
       if (b == null || b.length < 33 ||
         !b.take(8).sameElements(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
@@ -833,14 +841,10 @@ object Multimodal {
       // Adam7: 7 independent sub-images, each with its own scanline
       // filtering, concatenated in the inflated stream; empty passes
       // contribute no bytes at all
-      def passDims = Adam7.map { case (x0, y0, dx, dy) =>
-        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
-        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
-        (pw, ph)
-      }
+      val dims = adam7Dims(w, h)
       val expected =
         if (!interlaced) (rowBytes + 1) * h
-        else passDims.map { case (pw, ph) =>
+        else dims.map { case (pw, ph) =>
           if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
         }.sum
       val inf = new java.util.zip.Inflater()
@@ -863,7 +867,6 @@ object Multimodal {
           val full = new Array[Byte](rowBytes * h)
           var base = 0
           var p = 0
-          val dims = passDims
           while (p < 7) {
             val (x0, y0, dx, dy) = Adam7(p)
             val (pw, ph) = dims(p)

@@ -122,6 +122,15 @@ object DocStream {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         def pathExists(d: String) =
           fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))
+        // the corpus "exists" once ANY part file landed — a crash mid
+        // corpus-commit can leave part files without _SUCCESS, and
+        // keying the replay guard on _SUCCESS alone would re-append
+        // the whole batch on top of the partially committed rows
+        def hasParquet(d: String) = {
+          val path = new org.apache.hadoop.fs.Path(d)
+          fs.exists(path) && fs.listStatus(path)
+            .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        }
         // the corpus append and the index append are two writes with a
         // crash window between them — the state pair must CONVERGE on
         // replay, not be assumed atomic:
@@ -133,7 +142,7 @@ object DocStream {
         //    them;
         // 3. checkpoint lost / batch replayed after both writes: the
         //    corpus-id anti-join empties `fresh`, both writes skip.
-        val corpusExists = pathExists(corpusDir)
+        val corpusExists = hasParquet(corpusDir)
         if (corpusExists && !pathExists(indexDir))
           Dedup.minhashWriteIndex(
             spark.read.parquet(corpusDir).select(col("doc_id"), col("text")),
@@ -182,17 +191,25 @@ object DocStream {
         val pinned = kept.localCheckpoint(true)
         try {
           val n = pinned.count()
-          // index repair input (case 2): corpus docs whose signatures
-          // never landed — ids-only probe, normally empty
-          val unindexed =
+          // index repair probe (case 2): ids ONLY — doc_id vs id
+          // columns, no text column touched; texts are fetched just
+          // for the (normally zero) unindexed ids
+          val unindexedIds =
             if (corpusExists && indexExists)
-              spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
+              spark.read.parquet(corpusDir).select(col("doc_id"))
                 .join(spark.read.parquet(indexDir)
                   .select(col("id").as("doc_id")).distinct(),
                   Seq("doc_id"), "left_anti")
                 .localCheckpoint(true)
-            else spark.emptyDataFrame
-          val nRepair = if (corpusExists && indexExists) unindexed.count() else 0L
+            else null
+          val nRepair = if (unindexedIds != null) unindexedIds.count() else 0L
+          val unindexed =
+            if (nRepair > 0)
+              spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
+                .join(unindexedIds, Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+            else null
+          if (unindexedIds != null) unindexedIds.unpersist()
           println(s"[neardup] batch=$batchId kept=$n repair=$nRepair")
           if (n > 0) {
             pinned.write.mode("append").parquet(corpusDir)
@@ -201,12 +218,12 @@ object DocStream {
             spark.catalog.refreshByPath(corpusDir)
           }
           val toIndex =
-            if (nRepair > 0) pinned.select(col("doc_id"), col("text")).unionByName(unindexed)
+            if (unindexed != null) pinned.select(col("doc_id"), col("text")).unionByName(unindexed)
             else pinned.select(col("doc_id"), col("text"))
           if (n + nRepair > 0)
             Dedup.minhashWriteIndex(toIndex, "doc_id", "text", indexDir,
               mode = if (indexExists) "append" else "overwrite")
-          if (nRepair > 0) unindexed.unpersist()
+          if (unindexed != null) unindexed.unpersist()
         } finally pinned.unpersist()
         ()
       }

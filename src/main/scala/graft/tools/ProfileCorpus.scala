@@ -61,7 +61,7 @@ object ProfileCorpus {
     pinned.show(1000, truncate = false)
     out.foreach(o => pinned.write.mode("overwrite").parquet(o))
     val (nShards, nDocs) = pinned
-      .agg(count(lit(1)), sum(col("n_docs"))).collect()(0) match {
+      .agg(count(lit(1)), coalesce(sum(col("n_docs")), lit(0L))).collect()(0) match {
         case r => (r.getLong(0), r.getLong(1))
       }
     println(s"[profile] shards=$nShards docs=$nDocs " +
