@@ -312,6 +312,56 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** 16-bit grayscale PNG with the same filter-type rotation as
+      * [[pngGray]] — filters work BYTEwise with bpp=2 (the `a`/`c`
+      * neighbors two bytes back), exactly the spec's definition, so
+      * the decoder's doubled-step filter reversal is what's under
+      * test. `v` supplies 16-bit samples (0..65535), stored
+      * big-endian. */
+    def pngGray16(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+      val rb = w * 2
+      val samples = Array.tabulate(h, rb) { (y, k) =>
+        val s16 = v(k / 2, y) & 0xffff
+        (if (k % 2 == 0) s16 >> 8 else s16 & 0xff).toByte
+      }
+      val raw = new Array[Byte]((rb + 1) * h)
+      for (y <- 0 until h) {
+        val f = y % 5
+        raw(y * (rb + 1)) = f.toByte
+        for (k <- 0 until rb) {
+          val cur = samples(y)(k) & 0xff
+          val a = if (k >= 2) samples(y)(k - 2) & 0xff else 0
+          val b = if (y > 0) samples(y - 1)(k) & 0xff else 0
+          val c = if (k >= 2 && y > 0) samples(y - 1)(k - 2) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(y * (rb + 1) + 1 + k) = ((cur - pred) & 0xff).toByte
+        }
+      }
+      val def_ = new java.util.zip.Deflater()
+      def_.setInput(raw); def_.finish()
+      val zbuf = new Array[Byte](raw.length * 2 + 64)
+      val zlen = def_.deflate(zbuf)
+      def_.end()
+      val ihdr = ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(16.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      out.write(chunk("IHDR", ihdr.array()))
+      out.write(chunk("IDAT", zbuf.take(zlen)))
+      out.write(chunk("IEND", Array.empty))
+      out.toByteArray
+    }
+
     /** COMPLETE 8-bit PNG with real COLOR pixel data — color type 2
       * (truecolor RGB) or, with `palette`, color type 3 (indexed).
       * Scanline filters rotate through all five with bpp-aware
@@ -760,8 +810,11 @@ object Multimodal {
       * Filter reversal is bytes-per-pixel aware (the `a`/`c`
       * neighbors step by bpp, per the PNG spec). Adam7 interlace is
       * reconstructed pass by pass (each pass is its own filtered
-      * sub-image; empty passes contribute nothing). 16-bit variants
-      * are refused, not mis-decoded. */
+      * sub-image; empty passes contribute nothing). 16-bit samples
+      * decode and downconvert to their high byte (the standard 8-bit
+      * rendering; filters operate bytewise with the doubled bpp step
+      * exactly as the spec defines). Sub-8-bit depths are refused,
+      * not mis-decoded. */
     def decodePngImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
       if (b == null || b.length < 33 ||
         !b.take(8).sameElements(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
@@ -770,6 +823,7 @@ object Multimodal {
       var w, h = 0
       var colorType = -1
       var interlaced = false
+      var depth = 8
       var ok = false
       var plte: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
@@ -783,8 +837,11 @@ object Multimodal {
             w = u32be(b, i + 8); h = u32be(b, i + 12)
             colorType = b(i + 17) & 0xff
             interlaced = b(i + 20) == 1
-            // bit depth 8, color type 0/2/3/4/6, interlace none or Adam7
-            ok = b(i + 16) == 8 &&
+            depth = b(i + 16) & 0xff
+            // bit depth 8 (all types) or 16 (non-palette — the spec
+            // allows no 16-bit palette), color type 0/2/3/4/6,
+            // interlace none or Adam7
+            ok = (depth == 8 || (depth == 16 && colorType != 3)) &&
               (colorType == 0 || colorType == 2 || colorType == 3 ||
                 colorType == 4 || colorType == 6) &&
               (b(i + 20) == 0 || b(i + 20) == 1)
@@ -798,12 +855,13 @@ object Multimodal {
         i += 12 + len
       }
       if (!ok || !done || w <= 0 || h <= 0) return None
-      val bpp = colorType match { // filter bytes per pixel
+      val pixCh = colorType match { // channels per pixel
         case 0 | 3 => 1
         case 4 => 2
         case 2 => 3
         case 6 => 4
       }
+      val bpp = pixCh * (depth / 8) // filter bytes per pixel
       val outCh = if (colorType == 0 || colorType == 4) 1 else 3
       if (w > MaxDim || h > MaxDim || w.toLong * h * outCh > MaxPixels) return None
       if (colorType == 3 && plte == null) return None
@@ -893,15 +951,25 @@ object Multimodal {
           }
           full
         }
+      // 16-bit samples downconvert to their high byte (the standard
+      // 8-bit rendering; ImageIO's 16-bit raster >> 8 agrees, spec'd)
+      val un8 =
+        if (depth == 8) un
+        else {
+          val o = new Array[Byte](un.length / 2)
+          var j = 0
+          while (j < o.length) { o(j) = un(2 * j); j += 1 }
+          o
+        }
       colorType match {
-        case 0 => Some((w, h, 1, un))
-        case 2 => Some((w, h, 3, un))
+        case 0 => Some((w, h, 1, un8))
+        case 2 => Some((w, h, 3, un8))
         case 3 => // palette indices → RGB
           val nPal = plte.length / 3
           val out = new Array[Byte](w * h * 3)
           var j = 0
           while (j < w * h) {
-            val p = un(j) & 0xff
+            val p = un8(j) & 0xff
             if (p >= nPal) return None
             out(3 * j) = plte(3 * p)
             out(3 * j + 1) = plte(3 * p + 1)
@@ -909,13 +977,13 @@ object Multimodal {
             j += 1
           }
           Some((w, h, 3, out))
-        case 4 | 6 => // strip the alpha byte from each pixel
+        case 4 | 6 => // strip the alpha channel from each pixel
           val out = new Array[Byte](w * h * outCh)
           var j = 0
           while (j < w * h) {
             var c = 0
             while (c < outCh) {
-              out(j * outCh + c) = un(j * bpp + c)
+              out(j * outCh + c) = un8(j * pixCh + c)
               c += 1
             }
             j += 1

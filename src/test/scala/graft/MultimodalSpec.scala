@@ -111,6 +111,36 @@ class MultimodalSpec extends SparkSpec {
     assert(PixelCodec.decode(null) === None)
   }
 
+  test("16-bit PNG: high-byte downconversion, ImageIO both directions") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    def v16(x: Int, y: Int): Int = (x * 531 + y * 7717 + 13) % 65536
+    // h≥5 → every filter type runs with the doubled byte step
+    val bytes = MiniEncoder.pngGray16(13, 9, v16)
+    assert(bytes(24) === 16, "bit depth in IHDR")
+    val Some((dw, dh, px)) = PixelCodec.decodePng(bytes)
+    assert((dw, dh) === ((13, 9)))
+    for (y <- 0 until 9; x <- 0 until 13)
+      assert((px(y * 13 + x) & 0xff) === (v16(x, y) >> 8), s"16-bit ($x,$y)")
+    // ImageIO reads OUR 16-bit write to the full-depth samples
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 9; x <- 0 until 13)
+      assert(img.getRaster.getSample(x, y, 0) === v16(x, y), s"ImageIO 16 ($x,$y)")
+    // WE decode an ImageIO-written 16-bit gray PNG to its high bytes
+    val gray = new java.awt.image.BufferedImage(7, 6,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 6; x <- 0 until 7) gray.getRaster.setSample(x, y, 0, v16(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", bos)
+    val Some((jw, jh, jpx)) = PixelCodec.decodePng(bos.toByteArray)
+    assert((jw, jh) === ((7, 6)))
+    for (y <- 0 until 6; x <- 0 until 7)
+      assert((jpx(y * 7 + x) & 0xff) === (v16(x, y) >> 8), s"jdk 16 ($x,$y)")
+    // sub-8-bit depth still refused: flip the IHDR depth byte to 4
+    // (CRC is not validated by contract — decode guards, not checksums)
+    val bad = bytes.clone(); bad(24) = 4
+    assert(PixelCodec.decodePng(bad) === None)
+  }
+
   test("Adam7 interlaced PNG: own round-trip, ImageIO both directions") {
     import Multimodal.{MiniEncoder, PixelCodec}
     def v(x: Int, y: Int): Int = (x * 13 + y * 5 + 7) % 256
