@@ -1333,6 +1333,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // HTML boilerplate stripping under the gate: both engines build
+    // the same markup from `part` (tags, attributes, entities, script
+    // and conditional style elements with bodies) and strip it — tag
+    // spans, element-body drops, entity decode order and whitespace
+    // collapse all cross the hash.
+    "q80_html_strip" -> { (s, dir) =>
+      val raw = concat(
+        lit("<html><body><h1>"), col("p_name"),
+        lit("</h1><p class=\"x\">"), col("p_brand"),
+        lit(" &amp; "), col("p_type"),
+        lit("</p><script>var z = 1 < 2;</script>"),
+        when(col("p_partkey") % 7 === 0,
+          lit("<style>.a{color:red}</style>")).otherwise(lit("")),
+        lit("</body></html>"))
+      Tables(s, dir, "part")
+        .select(col("p_partkey"), Text.stripHtml(raw).as("text"))
+        .orderBy(col("p_partkey"))
+    },
+
     // Token-budget selection under the gate: best-quality docs until
     // the cumulative token count reaches 5000 (the crossing doc is
     // included). The exact global-cumsum form — the scale path is a
@@ -2417,6 +2436,26 @@ object SparkEntry {
         |select doc_id, cluster, quality, rk = 1 as is_kept
         |from ranked
         |order by doc_id""".stripMargin,
+
+    "q80_html_strip" ->
+      """with t as (select p_partkey,
+        |    '<html><body><h1>' || p_name || '</h1><p class="x">' || p_brand
+        |      || ' &amp; ' || p_type || '</p><script>var z = 1 < 2;</script>'
+        |      || case when p_partkey % 7 = 0 then '<style>.a{color:red}</style>' else '' end
+        |      || '</body></html>' as raw
+        |  from part),
+        |s1 as (select p_partkey,
+        |    regexp_replace(raw, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') as x
+        |  from t),
+        |s2 as (select p_partkey, regexp_replace(x, '<[^>]*>', ' ', 'g') as x from s1),
+        |s3 as (select p_partkey,
+        |    replace(replace(replace(replace(replace(replace(x,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') as x
+        |  from s2)
+        |select p_partkey, trim(regexp_replace(x, '\s+', ' ', 'g')) as text
+        |from s3
+        |order by p_partkey""".stripMargin,
 
     "q79_budget_selection" ->
       s"""with q as (select doc_id,

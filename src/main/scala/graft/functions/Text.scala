@@ -147,6 +147,26 @@ object Text {
     ColumnBridge.column(DeflateRatio(ColumnBridge.expression(c)))
   }
 
+  // ---- HTML stripping ----------------------------------------------
+
+  /** Crawl-to-text boilerplate stripping: drop script/style elements
+    * WITH their bodies (non-greedy, dot-matches-newline via inline
+    * (?s) — identical in Java and RE2), drop remaining tags, decode
+    * the common entities (&amp;amp; LAST, so &amp;amp;lt; yields the
+    * literal "&lt;" — single-pass decoding, the standard contract),
+    * collapse whitespace. Pure codegen'd projection; patterns stay in
+    * the Java∩RE2 subset so the oracle reproduces spans exactly. */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (k, v)) => replace(col0, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ---- URL canonicalization ----------------------------------------
   //
   // The CommonCrawl-pipeline dedup key: two fetches of the same page

@@ -128,6 +128,27 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L).getAs[String]("redacted") === "no pii here, just 1234 and 5.6")
   }
 
+  test("stripHtml: tags, script/style bodies, entity order, whitespace collapse") {
+    import graft.functions.Text
+    val df = Seq(
+      (1L, "<html><body><h1>Title</h1><p>Hello <b>world</b></p></body></html>"),
+      (2L, "<script>if (a < b) { alert('x'); }</script>kept<style>.c{}</style>"),
+      (3L, "a &amp;lt; b &amp; c &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;!"),
+      (4L, "plain text, no markup"),
+      (5L, "<p\nclass='multi\nline'>across</p><script>\nvar s = \"</p>\";\n</script>done")
+    ).toDF("id", "html")
+    val got = df.select($"id", Text.stripHtml($"html").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "Title Hello world")
+    assert(got(2L) === "kept") // script BODY dropped, not just the tags
+    // single-pass decode: &amp;lt; → literal "&lt;", never "<"
+    assert(got(3L) === "a &lt; b & c <tag> \"q\" 's' !")
+    assert(got(4L) === "plain text, no markup")
+    // dot-matches-newline spans multi-line elements; the "</p>" inside
+    // the script string dies with the script body
+    assert(got(5L) === "across done")
+  }
+
   test("canonicalUrl: case, ports, slashes, params, fragments; non-URLs pass through") {
     import graft.functions.Text
     val df = Seq(
