@@ -2445,7 +2445,9 @@ object SparkEntry {
         |      || '</body></html>' as raw
         |  from part),
         |s1 as (select p_partkey,
-        |    regexp_replace(raw, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') as x
+        |    regexp_replace(regexp_replace(raw,
+        |      '(?s)<script([ \t\n\x0B\f\r][^>]*)?>.*?</script>', ' ', 'g'),
+        |      '(?s)<style([ \t\n\x0B\f\r][^>]*)?>.*?</style>', ' ', 'g') as x
         |  from t),
         |s2 as (select p_partkey, regexp_replace(x, '<[^>]*>', ' ', 'g') as x from s1),
         |s3 as (select p_partkey,
@@ -2453,7 +2455,7 @@ object SparkEntry {
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') as x
         |  from s2)
-        |select p_partkey, trim(regexp_replace(x, '\s+', ' ', 'g')) as text
+        |select p_partkey, trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g')) as text
         |from s3
         |order by p_partkey""".stripMargin,
 

@@ -151,20 +151,27 @@ object Text {
 
   /** Crawl-to-text boilerplate stripping: drop script/style elements
     * WITH their bodies (non-greedy, dot-matches-newline via inline
-    * (?s) — identical in Java and RE2), drop remaining tags, decode
-    * the common entities (&amp;amp; LAST, so &amp;amp;lt; yields the
-    * literal "&lt;" — single-pass decoding, the standard contract),
-    * collapse whitespace. Pure codegen'd projection; patterns stay in
-    * the Java∩RE2 subset so the oracle reproduces spans exactly. */
+    * (?s) — identical in Java and RE2; one pass PER tag name, since
+    * RE2 has no backreferences and a combined alternation would let a
+    * stray `</style>` inside a script body close the script span
+    * early), drop remaining tags, decode the common entities
+    * (&amp;amp; LAST, so &amp;amp;lt; yields the literal "&lt;" —
+    * single-pass decoding, the standard contract), collapse
+    * whitespace via an explicit class (Java's \s includes \x0B,
+    * RE2's does not — the explicit class keeps both engines
+    * identical). Tag names are boundary-anchored so `<scriptlet>` is
+    * a tag, not a script opener. Pure codegen'd projection. */
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c,
-      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
-    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+      "(?s)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (col0, (k, v)) => replace(col0, lit(k), lit(v)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   // ---- URL canonicalization ----------------------------------------

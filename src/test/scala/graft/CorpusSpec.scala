@@ -147,6 +147,19 @@ class CorpusSpec extends SparkSpec {
     // dot-matches-newline spans multi-line elements; the "</p>" inside
     // the script string dies with the script body
     assert(got(5L) === "across done")
+    // adversarial cases from review: a stray </style> inside a script
+    // body must NOT close the script span (per-tag passes), and
+    // custom elements merely PREFIXED by script/style are plain tags
+    val adv = Seq(
+      (6L, "keep<script>document.write(\"</style>\")</script>after"),
+      (7L, "a<scriptlet>important</scriptlet>b"),
+      (8L, "x<styled-box>visible</styled-box>y")
+    ).toDF("id", "html")
+    val gotAdv = adv.select($"id", Text.stripHtml($"html").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotAdv(6L) === "keep after")
+    assert(gotAdv(7L) === "a important b")
+    assert(gotAdv(8L) === "x visible y")
   }
 
   test("canonicalUrl: case, ports, slashes, params, fragments; non-URLs pass through") {
