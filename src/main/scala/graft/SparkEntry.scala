@@ -1304,6 +1304,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // q76's encode via the PRODUCTION loop path (Bpe.encodeDocs:
+    // rank-greedy mapPartitions, merge-count-independent) — the gated
+    // proof that the loop encoder agrees with an independent engine
+    // under the same merge list.
+    "q82_bpe_encode_loop" -> { (s, dir) =>
+      Bpe.encodeDocs(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", Q76Merges, outCol = "toks")
+        .select(col("doc_id"),
+          concat_ws("|", col("toks")).as("encoded"),
+          size(filter(col("toks"), t => t =!= "</w>")).cast(LongType).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Data mixing under the gate: per-source systematic rates (src0
     // keeps 1/2, src1 1/3, src2 1/4, everything else 1/5) — the
     // deterministic mixture-targeting sampler.
@@ -1344,8 +1358,10 @@ object SparkEntry {
         lit("</h1><p class=\"x\">"), col("p_brand"),
         lit(" &amp; "), col("p_type"),
         lit("</p><script>var z = 1 < 2;</script>"),
+        when(col("p_partkey") % 5 === 0,
+          lit("<SCRIPT type=\"text/javascript\">leak();</SCRIPT>")).otherwise(lit("")),
         when(col("p_partkey") % 7 === 0,
-          lit("<style>.a{color:red}</style>")).otherwise(lit("")),
+          lit("<Style>.a{color:red}</STYLE>")).otherwise(lit("")),
         lit("</body></html>"))
       Tables(s, dir, "part")
         .select(col("p_partkey"), Text.stripHtml(raw).as("text"))
@@ -1363,6 +1379,22 @@ object SparkEntry {
             Text.qualityScore(col("text")).as("quality"),
             Text.tokenCount(col("text")).cast(LongType).as("n_tokens")),
           "quality", "n_tokens", "doc_id", budget = 5000L)
+        .orderBy(col("doc_id"))
+    },
+
+    // Same selection as q79 via the production threshold path — no
+    // global window; tiny bins/exactTrimRows force the histogram
+    // refinement to actually run (and recurse) at gate scale. The
+    // oracle is q79's exact cumulative-window SQL: identical rows is
+    // the equality proof.
+    "q81_budget_selection_threshold" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Corpus.selectByBudgetThreshold(
+          docs.select(col("doc_id"),
+            Text.qualityScore(col("text")).as("quality"),
+            Text.tokenCount(col("text")).cast(LongType).as("n_tokens")),
+          "quality", "n_tokens", "doc_id", budget = 5000L,
+          bins = 16, exactTrimRows = 8L, maxDepth = 8)
         .orderBy(col("doc_id"))
     }
   )
@@ -2370,9 +2402,9 @@ object SparkEntry {
         |  from r),
         |r3 as (select c_custkey, n_emails, n_ips,
         |    len(regexp_extract_all(rr,
-        |      '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?')) as n_phones,
+        |      '(\+?\b[0-9]{1,3}[-. ]|\([0-9]{3}\) ?)[0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?\b')) as n_phones,
         |    regexp_replace(rr,
-        |      '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?', '<PHONE>', 'g') as redacted
+        |      '(\+?\b[0-9]{1,3}[-. ]|\([0-9]{3}\) ?)[0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?\b', '<PHONE>', 'g') as redacted
         |  from r2)
         |select c_custkey, cast(n_emails as bigint) as n_emails,
         |  cast(n_ips as bigint) as n_ips, cast(n_phones as bigint) as n_phones, redacted
@@ -2382,6 +2414,30 @@ object SparkEntry {
     "q76_bpe_encode" -> {
       val chain = Q76Merges.foldLeft("sym") { case (acc, (a, b)) =>
         s"replace($acc, ' $a $b ', ' $a$b ')"
+      }
+      s"""with n as (select doc_id, $OracleNorm as norm from documents),
+        |s as (select doc_id, case when length(norm) = 0 then ''
+        |    else ' ' || replace(regexp_replace(norm, '(.)', '\\1 ', 'g'), '   ', ' </w> ')
+        |      || '</w> ' end as sym
+        |  from n),
+        |m as (select doc_id, $chain as merged from s),
+        |t as (select doc_id,
+        |    list_filter(string_split(trim(merged), ' '), x -> length(x) > 0) as toks
+        |  from m)
+        |select doc_id, array_to_string(toks, '|') as encoded,
+        |  cast(len(list_filter(toks, x -> x <> '</w>')) as bigint) as n_bpe_tokens
+        |from t order by doc_id""".stripMargin
+    },
+
+    "q82_bpe_encode_loop" -> {
+      // The loop encoder is list-order BPE with each merge run to
+      // FIXPOINT (rank-greedy ≡ that; see Bpe.encodeWord scaladoc), so
+      // the twin repeats each merge's literal replace until it can't
+      // fire again — 6 nestings: fixture tokens are ≤8 symbols, an
+      // adjacent-repeat chain halves per pass (3 passes), 6 is margin
+      // — IN MERGE ORDER, before the next merge's replaces.
+      val chain = Q76Merges.foldLeft("sym") { case (acc, (a, b)) =>
+        (1 to 6).foldLeft(acc) { case (e, _) => s"replace($e, ' $a $b ', ' $a$b ')" }
       }
       s"""with n as (select doc_id, $OracleNorm as norm from documents),
         |s as (select doc_id, case when length(norm) = 0 then ''
@@ -2441,13 +2497,14 @@ object SparkEntry {
       """with t as (select p_partkey,
         |    '<html><body><h1>' || p_name || '</h1><p class="x">' || p_brand
         |      || ' &amp; ' || p_type || '</p><script>var z = 1 < 2;</script>'
-        |      || case when p_partkey % 7 = 0 then '<style>.a{color:red}</style>' else '' end
+        |      || case when p_partkey % 5 = 0 then '<SCRIPT type="text/javascript">leak();</SCRIPT>' else '' end
+        |      || case when p_partkey % 7 = 0 then '<Style>.a{color:red}</STYLE>' else '' end
         |      || '</body></html>' as raw
         |  from part),
         |s1 as (select p_partkey,
         |    regexp_replace(regexp_replace(raw,
-        |      '(?s)<script([ \t\n\x0B\f\r][^>]*)?>.*?</script>', ' ', 'g'),
-        |      '(?s)<style([ \t\n\x0B\f\r][^>]*)?>.*?</style>', ' ', 'g') as x
+        |      '(?is)<script([ \t\n\x0B\f\r][^>]*)?>.*?</script>', ' ', 'g'),
+        |      '(?is)<style([ \t\n\x0B\f\r][^>]*)?>.*?</style>', ' ', 'g') as x
         |  from t),
         |s2 as (select p_partkey, regexp_replace(x, '<[^>]*>', ' ', 'g') as x from s1),
         |s3 as (select p_partkey,
@@ -2460,6 +2517,24 @@ object SparkEntry {
         |order by p_partkey""".stripMargin,
 
     "q79_budget_selection" ->
+      s"""with q as (select doc_id,
+        |    0.4 * least(cast($OracleNTokens as double) / 50.0, 1.0)
+        |    + 0.3 * least(cast(len(list_filter($OracleTokens, t -> t in ($OracleStop))) as double)
+        |        / cast(greatest($OracleNTokens, 1) as double) * 4.0, 1.0)
+        |    + 0.15 * (1.0 - least(cast(len(regexp_extract_all(text, '[.,!?;:]')) as double)
+        |        / cast(greatest(length(text),1) as double) * 5.0, 1.0))
+        |    + 0.15 * (1.0 - least(cast(len(regexp_extract_all(text, '[0-9]')) as double)
+        |        / cast(greatest(length(text),1) as double) * 5.0, 1.0)) as quality,
+        |    cast($OracleNTokens as bigint) as n_tokens
+        |  from documents),
+        |c as (select doc_id, quality, n_tokens,
+        |    coalesce(sum(n_tokens) over (order by quality desc, doc_id
+        |      rows between unbounded preceding and 1 preceding), 0) as cum
+        |  from q)
+        |select doc_id, quality, n_tokens from c where cum < 5000
+        |order by doc_id""".stripMargin,
+
+    "q81_budget_selection_threshold" ->
       s"""with q as (select doc_id,
         |    0.4 * least(cast($OracleNTokens as double) / 50.0, 1.0)
         |    + 0.3 * least(cast(len(list_filter($OracleTokens, t -> t in ($OracleStop))) as double)

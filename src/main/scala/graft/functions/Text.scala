@@ -160,12 +160,16 @@ object Text {
     * whitespace via an explicit class (Java's \s includes \x0B,
     * RE2's does not — the explicit class keeps both engines
     * identical). Tag names are boundary-anchored so `<scriptlet>` is
-    * a tag, not a script opener. Pure codegen'd projection. */
+    * a tag, not a script opener, and matched case-insensitively
+    * (inline (?i), identical in Java and RE2) — HTML tag names are
+    * case-insensitive, and a case-sensitive pattern would strip a
+    * `<SCRIPT>` element's tags in the generic pass while leaking its
+    * JS body into the text. Pure codegen'd projection. */
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c,
-      "(?s)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>", " ")
+      "(?is)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>", " ")
     val noStyle = regexp_replace(noScript,
-      "(?s)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>", " ")
+      "(?is)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -243,9 +247,21 @@ object Text {
   /** RFC-casual email: local part @ dotted domain with a ≥2-letter TLD. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** Dashed phone number, optional country code: +C-NNN-NNN(-NNNN).
-    * Dash-separated only — digit runs inside prose/IDs don't match. */
-  val PhonePattern = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?"
+  /** Separated phone number: +C<sep>NNN<sep>NNN(<sep>NNNN) with
+    * dash/dot/space separators, or a parenthesized area code
+    * ("(555) 123-4567"). At least three separated groups — bare
+    * 7-digit locals and digit ranges ("pages 123-456") don't match.
+    * `\b` guards (ASCII word boundary — identical in Java and RE2)
+    * keep matches out of longer digit runs, so "90210-555-123456"
+    * redacts nothing rather than a mid-ID slice; the flip side is
+    * that a trailing extension glued on without a separator
+    * ("...4567x99") suppresses the match. Space separators trade some
+    * precision for recall: space-grouped numerals ("1 234 567") are
+    * phone-shaped and get redacted — the safe direction for a
+    * scrubber. Non-separated internationals (+15551234567) are out of
+    * scope: a bare 10-11 digit run is indistinguishable from an ID. */
+  val PhonePattern =
+    "(\\+?\\b[0-9]{1,3}[-. ]|\\([0-9]{3}\\) ?)[0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?\\b"
 
   /** Dotted-quad IPv4 (syntactic — no 0-255 range check, matching
     * standard scrubber practice; range-checking needs alternations

@@ -50,16 +50,132 @@ object Bpe {
 
   /** Apply a merge list (training output, or any fixed vocabulary) to
     * a spaced-symbol column: one literal `replace` per merge, in list
-    * order. m merges = m chained codegen'd string ops per row. */
+    * order. m merges = m chained codegen'd string ops per row — a
+    * SMALL-LIST device: at a production vocabulary (~32k merges) the
+    * chained tree is 32k sequential string passes per row and melts
+    * janino long before that (the `Similarity.pqScoredSubs` failure
+    * class). Production encode is [[encodeDocs]]. */
   def applyMerges(sym: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(sym) { case (s, (a, b)) =>
       replace(s, lit(s" $a $b "), lit(s" $a$b "))
     }
 
-  /** Encoded symbol array of a text column under a merge list. */
+  /** Encoded symbol array of a text column under a merge list —
+    * expression form; see [[applyMerges]] for its merge-count ceiling
+    * and [[encodeDocs]] for the production path. */
   def encode(c: Column, merges: Seq[(String, String)]): Column = {
     val done = applyMerges(spacedSymbols(c), merges)
     filter(split(trim(done), " "), t => length(t) > 0)
+  }
+
+  private val EndOfWord = "</w>"
+
+  /** One word → merged symbol array under rank-greedy BPE: repeatedly
+    * merge ALL occurrences (left-to-right, non-overlapping) of the
+    * lowest-rank adjacent pair present, until no adjacent pair is in
+    * the table. O(len²) per word, INDEPENDENT of the merge count —
+    * the property that makes a 32k-merge vocabulary usable.
+    *
+    * Equivalence (why this is "the same BPE" as applying the list in
+    * order): merging pair r creates only pairs containing the new
+    * symbol `ab`, and any learned pair containing `ab` was learned
+    * AFTER r — so merging can never (re-)enable a lower-rank pair,
+    * and rank-greedy order equals list order, each merge run to
+    * fixpoint. One left-to-right pass with skip IS that fixpoint: a
+    * new occurrence of the same pair would need `ab == a` or
+    * `ab == b`, impossible for non-empty halves. This also means
+    * adjacent repeats merge Sennrich-style ("a a a a" → "aa aa"),
+    * where [[applyMerges]]' literal replace consumes the shared
+    * boundary space and merges alternate occurrences (" aa a a ") —
+    * the ONE documented divergence between the two forms. */
+  private[graft] def encodeWord(
+      word: String, rank: Map[(String, String), Int],
+      merges: IndexedSeq[(String, String)]): Array[String] = {
+    // split like the expression form's regexp "(.)": per code point
+    var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      cur += word.substring(i, i + n)
+      i += n
+    }
+    cur += EndOfWord
+    var done = false
+    while (!done && cur.length >= 2) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < cur.length - 1) {
+        val r = rank.getOrElse((cur(j), cur(j + 1)), Int.MaxValue)
+        if (r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(best)
+        val next = scala.collection.mutable.ArrayBuffer.empty[String]
+        var k = 0
+        while (k < cur.length) {
+          if (k < cur.length - 1 && cur(k) == a && cur(k + 1) == b) {
+            next += (a + b); k += 2
+          } else { next += cur(k); k += 1 }
+        }
+        cur = next
+      }
+    }
+    cur.toArray
+  }
+
+  /** Production encode: append `outCol` (array of merged symbols,
+    * `</w>`-terminated words, concatenated in document order) to `df`.
+    *
+    * This is the loop path for real vocabularies: the merge table is
+    * BROADCAST once (a 32k-pair map is a few MB), each partition
+    * encodes words with [[encodeWord]] through a per-partition word
+    * cache (corpora repeat words — each unique word pays its O(len²)
+    * once per partition; the cache is capped so a pathological
+    * high-cardinality partition degrades to per-occurrence work, not
+    * OOM), and no expression tree ever sees the merge count — the
+    * janino ceiling that bounds [[applyMerges]] does not exist here.
+    * `mapPartitions` is justified the same way as the codec paths: a
+    * data-dependent merge loop per row is genuinely inexpressible as
+    * a Catalyst expression at production merge counts.
+    *
+    * Normalization/tokenization is staged as a COLUMN
+    * (`Text.tokens(Text.normalized(...))`) before the partition map,
+    * so the split semantics are identical-by-construction to the
+    * expression form; output equals [[encode]] except the documented
+    * adjacent-repeat case (see [[encodeWord]]), where this form is
+    * the Sennrich-faithful one. Null text → null output. */
+  def encodeDocs(
+      df: DataFrame, textCol: String, merges: Seq[(String, String)],
+      outCol: String = "bpe_symbols", cacheCap: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val mergeArr = merges.toIndexedSeq
+    val bc = df.sparkSession.sparkContext.broadcast(
+      (mergeArr, mergeArr.zipWithIndex.toMap))
+    val pre = df.withColumn("_bpe_w",
+      when(col(textCol).isNull, lit(null).cast(ArrayType(StringType)))
+        .otherwise(Text.tokens(Text.normalized(col(textCol)))))
+    val outSchema = pre.schema.add(outCol, ArrayType(StringType))
+    val wIdx = pre.schema.fieldIndex("_bpe_w")
+    pre.mapPartitions { rows =>
+      val (ms, rank) = bc.value
+      val cache = new java.util.HashMap[String, Array[String]]()
+      rows.map { r =>
+        val out: Seq[String] =
+          if (r.isNullAt(wIdx)) null
+          else r.getSeq[String](wIdx).iterator.flatMap { w =>
+            var enc = cache.get(w)
+            if (enc == null) {
+              enc = encodeWord(w, rank, ms)
+              if (cache.size < cacheCap) cache.put(w, enc)
+            }
+            enc
+          }.toSeq
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(Encoders.row(outSchema))
+      .drop("_bpe_w")
   }
 
   /** Subword token count under a merge list (excludes `</w>`). */
@@ -99,14 +215,21 @@ object Bpe {
           val parts = row.getString(0).split(" ", 2)
           val (a, b) = (parts(0), parts(1))
           merges += ((a, b))
+          val prev = vocab
           vocab = vocab
             .select(replace(col("sym"), lit(s" $a $b "), lit(s" $a$b ")).as("sym"),
               col("cnt"))
             .localCheckpoint(true) // truncate the per-round lineage
+          // the new checkpoint is eager (materialized above), so the
+          // prior round's blocks are dead — free them, or a production
+          // merge count (~30k rounds) pins thousands of histogram
+          // copies in the block manager for the life of the session
+          prev.unpersist(false)
           round += 1
         case None => continue = false
       }
     }
+    vocab.unpersist(false) // release the final round's checkpoint too
     merges.toSeq
   }
 }

@@ -87,10 +87,9 @@ object Corpus {
     * selection step of a training run.
     *
     * EXACT form = one GLOBAL cumulative window (a single task sorts
-    * the ranked stream) — correct for the gate and for corpora that
-    * fit a sort; at 100 TB select by a score THRESHOLD instead
-    * (approx quantile of the score at the budget fraction — one scan,
-    * no global window) and trim the boundary bucket exactly. */
+    * the ranked stream) — a small-N device: correct for the gate and
+    * for corpora that fit a single-task sort. The production path is
+    * [[selectByBudgetThreshold]] (identical result, no global window). */
   def selectByBudget(
       df: DataFrame, scoreCol: String, tokensCol: String, orderCol: String,
       budget: Long): DataFrame = {
@@ -100,6 +99,98 @@ object Corpus {
     df.withColumn("_cum", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .filter(col("_cum") < budget)
       .drop("_cum")
+  }
+
+  /** Scale path for [[selectByBudget]]: the same selection (greedy by
+    * `scoreCol` desc, ties `orderCol` asc, crossing doc included)
+    * computed WITHOUT a global window. Result rows are identical to
+    * the exact form whenever the (score, order) total order is
+    * deterministic (`orderCol` distinct per row) and score/tokens are
+    * non-null; score is compared as double, so scores must order
+    * identically under the double cast (true for the double quality
+    * scores this selects on).
+    *
+    * How: iteratively refine a score interval `[lo, hi]` known to
+    * contain the budget-crossing point. Each refinement is ONE
+    * fixed-width histogram pass over the interval — a map-side-
+    * combinable hash aggregate whose `bins` rows come to the driver
+    * (metadata-sized, like `trainCentroids`' k×dim partials) — after
+    * which all bins strictly above the crossing bin are known KEPT
+    * (their token mass fits the budget) and all rows below are known
+    * DROPPED. Only the final boundary bucket (≤ `exactTrimRows` rows,
+    * or an irreducible tie group on one score value) is trimmed with
+    * the exact cumulative window, seeded with the token mass above it.
+    * At 100 TB with the default 4096 bins, two passes shrink the
+    * exact-sort region by ~16M× — the global window never sees the
+    * corpus. Each pass is an action (the histogram must materialize
+    * before the next filter is planned), so the plan is 2-4 scans plus
+    * one bounded window, vs one scan through one task for the exact
+    * form. */
+  def selectByBudgetThreshold(
+      df: DataFrame, scoreCol: String, tokensCol: String, orderCol: String,
+      budget: Long, bins: Int = 4096, exactTrimRows: Long = 1L << 16,
+      maxDepth: Int = 8): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    if (budget == 0) return df.filter(lit(false))
+    val score = col(scoreCol).cast(DoubleType)
+    val toks = col(tokensCol).cast(LongType)
+    val g = df.agg(sum(toks).as("t"), min(score).as("mn"), max(score).as("mx"),
+      count(lit(1)).as("c")).collect()(0)
+    if (g.isNullAt(0)) return df // empty input: nothing to select
+    val total = g.getLong(0)
+    // Every doc's preceding cumulative sum is <= total - own < budget.
+    if (total < budget) return df
+    // Invariants of the refinement loop: the crossing point lies at a
+    // score inside [lo, hi]; `above` == exact sum of tokens with
+    // score > hi (Long arithmetic — no drift); `cnt` == rows in [lo, hi].
+    var lo = g.getDouble(1); var hi = g.getDouble(2)
+    var above = 0L
+    var cnt = g.getLong(3)
+    var depth = 0
+    while (cnt > exactTrimRows && lo < hi && depth < maxDepth) {
+      val w = (hi - lo) / bins
+      if (w == 0.0) { depth = maxDepth } // subnormal interval: trim exactly
+      else {
+        // Equal scores share a bin (same floor); the top edge folds into
+        // the last bin, so bins partition [lo, hi] by score value.
+        val binCol = least(lit(bins - 1), floor((score - lit(lo)) / lit(w)))
+          .cast(IntegerType)
+        val hist = df.filter(score >= lit(lo) && score <= lit(hi))
+          .groupBy(binCol.as("_b"))
+          .agg(sum(toks).as("t"), count(lit(1)).as("c"),
+            min(score).as("mn"), max(score).as("mx"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+          .toMap
+        // Walk bins from the top score down; the first bin where the
+        // running token mass reaches the budget is the crossing bin.
+        var run = above
+        var j = bins - 1
+        var found = false
+        while (j >= 0 && !found) {
+          hist.get(j).foreach { case (t, c, mn, mx) =>
+            if (run + t >= budget) { above = run; lo = mn; hi = mx; cnt = c; found = true }
+            else run += t
+          }
+          j -= 1
+        }
+        // Unreachable while the invariant holds (above + interval mass
+        // >= budget); if it ever breaks, trim the current interval exactly.
+        if (!found) depth = maxDepth else depth += 1
+      }
+    }
+    // score > hi  → kept outright (token mass `above` < budget fits);
+    // score < lo  → dropped (cumulative before any such row >= budget);
+    // [lo, hi]    → exact trim with the remaining budget, same ordering.
+    val rest = budget - above
+    val wspec = Window.orderBy(score.desc, col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = df.filter(score >= lit(lo) && score <= lit(hi))
+      .withColumn("_cum", coalesce(sum(toks).over(wspec), lit(0L)))
+      .filter(col("_cum") < rest)
+      .drop("_cum")
+    df.filter(score > lit(hi)).unionByName(boundary)
   }
 
   /** Data mixing by per-stratum rates: every `everyBy(stratum)`-th

@@ -93,7 +93,17 @@ object DocStream {
     * pair check alone would re-admit a replay), and previously
     * rejected docs re-lose to the same corpus partners — the corpus
     * converges idempotently. Within-batch ties are resolved greedily
-    * (every pair's higher id dies), deterministic by construction. */
+    * (every pair's higher id dies), deterministic by construction.
+    *
+    * @param reliableCheckpointDir None → decision pins use
+    *        `localCheckpoint` (eager, executor-memory blocks — fast,
+    *        and executor loss mid-batch fails the batch for the
+    *        checkpoint to replay; acceptable in one-JVM/local runs).
+    *        Some(dir) → pins use reliable `Dataset.checkpoint` into
+    *        `dir` (HDFS/S3/...), the long-stream setting: a lost
+    *        executor no longer poisons the pinned decision mid-write.
+    *        Same tradeoff and mechanism as
+    *        [[graft.operators.Dedup.duplicateClusters]]. */
   def curateNearDup(
       spark: SparkSession,
       inputDir: String,
@@ -103,7 +113,8 @@ object DocStream {
       minQuality: Double = 0.2,
       minJaccard: Double = 0.8,
       maxFilesPerTrigger: Int = 100,
-      pollInterval: Option[String] = None): StreamingQuery = {
+      pollInterval: Option[String] = None,
+      reliableCheckpointDir: Option[String] = None): StreamingQuery = {
     import graft.operators.Dedup
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
@@ -138,16 +149,50 @@ object DocStream {
         //    index write): rebuild the index from the corpus wholesale;
         // 2. index lags the corpus (crash between a later batch's two
         //    writes): an ids-only anti-join finds the unindexed corpus
-        //    docs (normally zero) and this batch's index write repairs
-        //    them;
+        //    docs (normally zero) and repairs them BEFORE this batch's
+        //    dedup decision — repairing after would let a replayed
+        //    batch (checkpoint lost too) LSH-check new docs against
+        //    the stale index and admit a near-dup of an unindexed
+        //    corpus doc;
         // 3. checkpoint lost / batch replayed after both writes: the
         //    corpus-id anti-join empties `fresh`, both writes skip.
+        reliableCheckpointDir.foreach { dir =>
+          if (spark.sparkContext.getCheckpointDir.isEmpty)
+            spark.sparkContext.setCheckpointDir(dir)
+        }
+        def pin(df: DataFrame): DataFrame =
+          if (reliableCheckpointDir.isDefined) df.checkpoint(true)
+          else df.localCheckpoint(true)
         val corpusExists = hasParquet(corpusDir)
         if (corpusExists && !pathExists(indexDir))
           Dedup.minhashWriteIndex(
             spark.read.parquet(corpusDir).select(col("doc_id"), col("text")),
             "doc_id", "text", indexDir, mode = "overwrite")
         val indexExists = pathExists(indexDir)
+        // index repair probe (case 2), BEFORE the decision: ids ONLY —
+        // doc_id vs id columns, no text column touched; texts are
+        // fetched just for the (normally zero) unindexed ids. The id
+        // list derives from reading indexDir, which the repair is
+        // about to append to — pin it first (write-invalidation
+        // hazard, see the pinned-decision comment below).
+        var nRepair = 0L
+        if (corpusExists && indexExists) {
+          val unindexedIds = pin(
+            spark.read.parquet(corpusDir).select(col("doc_id"))
+              .join(spark.read.parquet(indexDir)
+                .select(col("id").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti"))
+          nRepair = unindexedIds.count()
+          if (nRepair > 0) {
+            val unindexed = pin(
+              spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
+                .join(unindexedIds, Seq("doc_id"), "left_semi"))
+            Dedup.minhashWriteIndex(unindexed, "doc_id", "text", indexDir,
+              mode = "append")
+            unindexed.unpersist()
+          }
+          unindexedIds.unpersist()
+        }
         val kept =
           if (!corpusExists) {
             // virgin state: only batch-internal near-dups to resolve
@@ -188,42 +233,19 @@ object DocStream {
         // dedup the batch against itself (observed: empty index
         // writes). localCheckpoint truncates the lineage eagerly, so
         // both writes see the same decided rows.
-        val pinned = kept.localCheckpoint(true)
+        val pinned = pin(kept)
         try {
           val n = pinned.count()
-          // index repair probe (case 2): ids ONLY — doc_id vs id
-          // columns, no text column touched; texts are fetched just
-          // for the (normally zero) unindexed ids
-          val unindexedIds =
-            if (corpusExists && indexExists)
-              spark.read.parquet(corpusDir).select(col("doc_id"))
-                .join(spark.read.parquet(indexDir)
-                  .select(col("id").as("doc_id")).distinct(),
-                  Seq("doc_id"), "left_anti")
-                .localCheckpoint(true)
-            else null
-          val nRepair = if (unindexedIds != null) unindexedIds.count() else 0L
-          val unindexed =
-            if (nRepair > 0)
-              spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
-                .join(unindexedIds, Seq("doc_id"), "left_semi")
-                .localCheckpoint(true)
-            else null
-          if (unindexedIds != null) unindexedIds.unpersist()
           println(s"[neardup] batch=$batchId kept=$n repair=$nRepair")
           if (n > 0) {
             pinned.write.mode("append").parquet(corpusDir)
             // stale-listing hygiene: this session read corpusDir for
             // the dedup check and reads it again next batch
             spark.catalog.refreshByPath(corpusDir)
-          }
-          val toIndex =
-            if (unindexed != null) pinned.select(col("doc_id"), col("text")).unionByName(unindexed)
-            else pinned.select(col("doc_id"), col("text"))
-          if (n + nRepair > 0)
-            Dedup.minhashWriteIndex(toIndex, "doc_id", "text", indexDir,
+            Dedup.minhashWriteIndex(pinned.select(col("doc_id"), col("text")),
+              "doc_id", "text", indexDir,
               mode = if (indexExists) "append" else "overwrite")
-          if (unindexed != null) unindexed.unpersist()
+          }
         } finally pinned.unpersist()
         ()
       }

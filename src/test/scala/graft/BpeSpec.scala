@@ -45,6 +45,63 @@ class BpeSpec extends SparkSpec {
     assert(got(3L)._1 === Seq("a", "</w>", "b", "</w>"))
   }
 
+  test("encodeDocs (loop path) is bit-identical to the expression encode " +
+      "away from adjacent repeats") {
+    val merges = Seq(
+      ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"), ("table", "</w>"),
+      ("r", "o"), ("ro", "w"), ("row", "</w>"),
+      ("t", "h"), ("th", "e"), ("the", "</w>"),
+      ("s", "c"), ("sc", "a"), ("sca", "n"), ("scan", "</w>"))
+    val df = Seq(
+      (1L, "the table row scan"),
+      (2L, "tables rows the scanner"),
+      (3L, "a stable throw chant"),
+      (4L, ""),
+      (5L, "  The   TABLE  row  "), // normalization shared by both paths
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val expr = df.select($"id", Bpe.encode($"text", merges).as("e"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    val loop = Bpe.encodeDocs(df, "text", merges, outCol = "e")
+      .select($"id", $"e")
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(loop === expr)
+    assert(loop(6L).isEmpty) // null text → null symbols on both paths
+  }
+
+  test("encodeDocs merges adjacent repeats Sennrich-style where the " +
+      "expression form consumes the boundary") {
+    val df = Seq((1L, "tata"), (2L, "aaaa")).toDF("id", "text")
+    val mTa = Seq(("t", "a"))
+    val mAa = Seq(("a", "a"))
+    // expression form: the shared boundary space is consumed — only
+    // alternate occurrences merge
+    assert(df.filter($"id" === 1L).select(Bpe.encode($"text", mTa))
+      .head().getSeq[String](0) === Seq("ta", "t", "a", "</w>"))
+    assert(df.filter($"id" === 2L).select(Bpe.encode($"text", mAa))
+      .head().getSeq[String](0) === Seq("aa", "a", "a", "</w>"))
+    // loop form: Sennrich's answer
+    assert(Bpe.encodeDocs(df.filter($"id" === 1L), "text", mTa, "e")
+      .select($"e").head().getSeq[String](0) === Seq("ta", "ta", "</w>"))
+    assert(Bpe.encodeDocs(df.filter($"id" === 2L), "text", mAa, "e")
+      .select($"e").head().getSeq[String](0) === Seq("aa", "aa", "</w>"))
+  }
+
+  test("encodeDocs handles a 10k-merge vocabulary (merge-count independent)") {
+    val active = Seq(("t", "h"), ("th", "e"), ("the", "</w>"))
+    // 10k merges: the applicable prefix plus inert filler pairs over
+    // symbols that never occur — the expression form would be a 10k-op
+    // codegen tree; the loop path's work is bounded by word length
+    val big = active ++ (0 until 9997).map(i => (s"zq$i", s"qz$i"))
+    assert(big.size === 10000)
+    val df = Seq((1L, "the theme thread"), (2L, "other text here")).toDF("id", "text")
+    def run(m: Seq[(String, String)]) =
+      Bpe.encodeDocs(df, "text", m, "e").select($"id", $"e")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(run(big) === run(active))
+    assert(run(big)(1L).head === "the</w>")
+  }
+
   test("doc-level application equals per-word application") {
     val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "</w>"))
     val docs = Seq((1L, "low lower slow")).toDF("id", "text")

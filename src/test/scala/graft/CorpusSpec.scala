@@ -126,6 +126,20 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L).getAs[Int]("n_ips") === 0)
     assert(got(3L).getAs[Int]("n_phones") === 0)
     assert(got(3L).getAs[String]("redacted") === "no pii here, just 1234 and 5.6")
+    // separator coverage (dot/space/parens), the \b mid-ID guard, and
+    // the documented space-separator recall tradeoff
+    val more = Seq(
+      (4L, "dial (555) 123-4567 or 555.123.4567 or 555 123 4567"),
+      (5L, "order id 90210-555-123456 is not a phone"),
+      (6L, "a population of 1 234 567 is phone-shaped (documented over-redaction)")
+    ).toDF("id", "text")
+    val got2 = Text.withPiiSignals(more, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got2(4L).getAs[Int]("n_phones") === 3)
+    assert(got2(4L).getAs[String]("redacted") === "dial <PHONE> or <PHONE> or <PHONE>")
+    assert(got2(5L).getAs[Int]("n_phones") === 0)
+    assert(got2(5L).getAs[String]("redacted") === "order id 90210-555-123456 is not a phone")
+    assert(got2(6L).getAs[Int]("n_phones") === 1)
   }
 
   test("stripHtml: tags, script/style bodies, entity order, whitespace collapse") {
@@ -160,6 +174,18 @@ class CorpusSpec extends SparkSpec {
     assert(gotAdv(6L) === "keep after")
     assert(gotAdv(7L) === "a important b")
     assert(gotAdv(8L) === "x visible y")
+    // HTML tag names are case-insensitive: a <SCRIPT>/<Style> element's
+    // BODY must die with it, not leak once the generic pass eats the tags
+    val cased = Seq(
+      (9L,  "a<SCRIPT>leak();</SCRIPT>b"),
+      (10L, "a<Style type=\"text/css\">.x{}</STYLE>b"),
+      (11L, "a<ScRiPt\nsrc='x'>var q = 1;</sCrIpT>b")
+    ).toDF("id", "html")
+    val gotCased = cased.select($"id", Text.stripHtml($"html").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotCased(9L) === "a b")
+    assert(gotCased(10L) === "a b")
+    assert(gotCased(11L) === "a b")
   }
 
   test("canonicalUrl: case, ports, slashes, params, fragments; non-URLs pass through") {
@@ -253,6 +279,41 @@ class CorpusSpec extends SparkSpec {
     assert(sel(1L) === Set(1L))           // always at least the best doc
     assert(sel(0L) === Set.empty)
     intercept[IllegalArgumentException](sel(-1L))
+  }
+
+  test("selectByBudgetThreshold equals the exact form across budgets, ties, and depths") {
+    // 500 rows, heavily tied scores (97 distinct values) and varied
+    // token weights — exercises tie groups inside and at the edge of
+    // the crossing bin. Deterministic synthetic data (no RNG in specs).
+    val rows = (1L to 500L).map { i =>
+      val score = ((i * 37) % 97).toDouble / 7.0
+      val tok = 1L + (i * 13) % 40
+      (i, score, tok)
+    }
+    val df = rows.toDF("id", "score", "n_tokens")
+    val total = rows.map(_._3).sum
+    def ids(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.getLong(0)).toSet
+    for (budget <- Seq(0L, 1L, 37L, 500L, total / 3, total / 2, total - 1, total, total + 1)) {
+      val exact = ids(Corpus.selectByBudget(df, "score", "n_tokens", "id", budget))
+      // tiny bins/exactTrimRows force multi-level refinement; also the
+      // degenerate no-refinement path (exactTrimRows >= n)
+      for ((b, etr) <- Seq((4, 4L), (16, 8L), (8, 1L), (4096, 1L << 16))) {
+        val got = ids(Corpus.selectByBudgetThreshold(
+          df, "score", "n_tokens", "id", budget, bins = b, exactTrimRows = etr))
+        assert(got === exact, s"budget=$budget bins=$b exactTrimRows=$etr")
+      }
+    }
+    // empty input
+    val empty = df.filter(lit(false))
+    assert(ids(Corpus.selectByBudgetThreshold(empty, "score", "n_tokens", "id", 10L)).isEmpty)
+    intercept[IllegalArgumentException](
+      Corpus.selectByBudgetThreshold(df, "score", "n_tokens", "id", -1L))
+    // all scores identical: the irreducible tie group goes to the exact
+    // trim in one step (lo == hi stops refinement immediately)
+    val tied = (1L to 100L).map(i => (i, 1.0, 10L)).toDF("id", "score", "n_tokens")
+    val exactTied = ids(Corpus.selectByBudget(tied, "score", "n_tokens", "id", 95L))
+    assert(ids(Corpus.selectByBudgetThreshold(
+      tied, "score", "n_tokens", "id", 95L, bins = 4, exactTrimRows = 1L)) === exactTied)
   }
 
   test("mixSystematic applies per-stratum rates with a default") {

@@ -217,4 +217,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(index).select("id").as[Long].collect().toSet
       === Set(1L, 4L))
   }
+
+  test("near-dup curation repairs a lagging index BEFORE the dedup decision") {
+    import graft.streaming.DocStream
+    val in = Files.createTempDirectory("rdocs_in").toString
+    val corpus = Files.createTempDirectory("rdocs_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("rdocs_idx").toString + "/idx"
+    val ckpt1 = Files.createTempDirectory("rdocs_ckpt1").toString
+    val reliable = Files.createTempDirectory("rdocs_rel").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different content about spark query engines and columnar execution"
+    val otherNear = "completely different content about spark query engines and columnar planning"
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(doc(1, base), doc(4, other)).mkString("\n"))
+    val q = DocStream.curateNearDup(spark, in, corpus, index, ckpt1, minJaccard = 0.5)
+    q.awaitTermination()
+    assert(spark.read.parquet(index).select("id").as[Long].collect().toSet === Set(1L, 4L))
+    // simulate the crash window: corpus has doc 4 but the index append
+    // for it was lost (_SUCCESS intact — this is case 2, not case 1)
+    val lagged = spark.read.parquet(index).filter(col("id") =!= 4L)
+      .localCheckpoint(true) // pin BEFORE overwriting the path it reads
+    lagged.write.mode("overwrite").parquet(index)
+    spark.catalog.refreshByPath(index)
+    assert(spark.read.parquet(index).select("id").as[Long].collect().toSet === Set(1L))
+    // checkpoint lost as well: a NEW checkpoint replays from scratch;
+    // doc 7 is a near-dup of the UNINDEXED corpus doc 4 — the repair
+    // must land before the LSH decision or 7 is wrongly admitted.
+    // Run this leg with the reliable-checkpoint pin variant.
+    val ckpt2 = Files.createTempDirectory("rdocs_ckpt2").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      Seq(doc(7, otherNear)).mkString("\n"))
+    val q2 = DocStream.curateNearDup(spark, in, corpus, index, ckpt2,
+      minJaccard = 0.5, reliableCheckpointDir = Some(reliable))
+    q2.awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 4L)) // 7 rejected against the repaired index
+    assert(spark.read.parquet(index).select("id").as[Long].collect().toSet
+      === Set(1L, 4L)) // and the repair itself landed
+  }
 }
