@@ -362,6 +362,81 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** 16-bit PNG across the full supported matrix — color types
+      * 0 (gray) / 2 (RGB) / 4 (gray+alpha) / 6 (RGBA), interlaced or
+      * not — with the same per-scanline filter-type rotation as
+      * [[pngGray16]] (filters run BYTEwise at the bpp = 2·channels
+      * step, per the spec). Adam7 passes are independently filtered
+      * sub-images; the rotation counter runs across passes so every
+      * pass sees non-trivial filters. `v(x, y, ch)` supplies 16-bit
+      * samples (0..65535), stored big-endian. Exists to close the
+      * "declared rather than claimed" 16-bit color/interlace decode
+      * cells with the same both-direction spec the 8-bit matrix has. */
+    def png16(w: Int, h: Int, colorType: Int, interlaced: Boolean,
+        v: (Int, Int, Int) => Int): Array[Byte] = {
+      val nCh = colorType match {
+        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case other => throw new IllegalArgumentException(s"colorType $other")
+      }
+      val bpp = nCh * 2
+      val rawOut = new java.io.ByteArrayOutputStream()
+      var rowCounter = 0
+      def writePass(pw: Int, ph: Int, sample: (Int, Int, Int) => Int): Unit = {
+        if (pw <= 0 || ph <= 0) return
+        val rb = pw * bpp
+        var prev: Array[Int] = null
+        for (py <- 0 until ph) {
+          val cur = new Array[Int](rb)
+          for (px <- 0 until pw; c <- 0 until nCh) {
+            val s = sample(px, py, c) & 0xffff
+            cur(px * bpp + 2 * c) = s >> 8
+            cur(px * bpp + 2 * c + 1) = s & 0xff
+          }
+          val f = rowCounter % 5
+          rowCounter += 1
+          rawOut.write(f)
+          for (k <- 0 until rb) {
+            val a = if (k >= bpp) cur(k - bpp) else 0
+            val b = if (prev != null) prev(k) else 0
+            val c0 = if (k >= bpp && prev != null) prev(k - bpp) else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case _ =>
+                val p = a + b - c0
+                val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c0))
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c0
+            }
+            rawOut.write((cur(k) - pred) & 0xff)
+          }
+          prev = cur
+        }
+      }
+      if (interlaced)
+        Adam7.zip(adam7Dims(w, h)).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+          writePass(pw, ph, (px, py, c) => v(x0 + px * dx, y0 + py * dy, c))
+        }
+      else writePass(w, h, v)
+      val raw = rawOut.toByteArray
+      val def_ = new java.util.zip.Deflater()
+      def_.setInput(raw); def_.finish()
+      val zbuf = new Array[Byte](raw.length * 2 + 64)
+      val zlen = def_.deflate(zbuf)
+      def_.end()
+      val ihdr = ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(16.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+        .put((if (interlaced) 1 else 0).toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      out.write(chunk("IHDR", ihdr.array()))
+      out.write(chunk("IDAT", zbuf.take(zlen)))
+      out.write(chunk("IEND", Array.empty))
+      out.toByteArray
+    }
+
     /** COMPLETE 8-bit PNG with real COLOR pixel data — color type 2
       * (truecolor RGB) or, with `palette`, color type 3 (indexed).
       * Scanline filters rotate through all five with bpp-aware

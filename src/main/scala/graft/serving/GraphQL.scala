@@ -33,11 +33,22 @@ import org.apache.spark.sql.types._
   *   { hasNextPage hasPreviousPage startCursor endCursor }`,
   *   `totalCount`, and opaque `after` cursors (offset-encoded, the
   *   relay-connection contract for an offset-paginated backend);
-  * - introspection: `__schema { queryType types { name kind fields
-  *   { name type { name kind } } } }` and `__type(name:)` over the
-  *   session catalog — enough for a client to discover views and
-  *   column types, not the full meta-schema (no directives, no
-  *   interfaces, no ofType chains);
+  * - introspection: `__schema { queryType types directives }` and
+  *   `__type(name:)` over the session catalog, with REAL type
+  *   references — NON_NULL/LIST wrappers with walkable `ofType`
+  *   chains down to the named scalar (r7) — enough for a generated
+  *   client to discover views, column types and nullability; still
+  *   not the full meta-schema (no interfaces, inputFields,
+  *   enumValues, possibleTypes);
+  * - directives: `@skip(if:)` / `@include(if:)` on any selection,
+  *   literal or `$variable` arguments; operation-header variable
+  *   declarations with defaults are honored (values arrive via the
+  *   standard JSON `variables` member; declared types are parsed but
+  *   not enforced). A selection set EMPTIED by directives is valid
+  *   GraphQL but has nothing to project — rejected with an explicit
+  *   error (stated boundary). Fragments (`...`) remain unsupported;
+  * - variables: usable anywhere a literal value sits, including
+  *   whole `condition:` objects;
   * - relations: one level of nesting through an EXPLICIT registry
   *   ([[Relation]]) — Postgraphile derives these from foreign keys,
   *   which parquet tables don't carry, so the serving layer declares
@@ -143,7 +154,7 @@ object GraphQL {
         if (i >= q.length) throw ParseError("unterminated string")
         i += 1
         out += Str(sb.toString)
-      } else if ("{}():".contains(c)) { out += Punct(c); i += 1 }
+      } else if ("{}():@$[]!=".contains(c)) { out += Punct(c); i += 1 }
       else throw ParseError(s"unexpected character '$c'")
     }
     out.toList
@@ -156,7 +167,11 @@ object GraphQL {
     * fields, or [[NestedQuery]]s. */
   private case class Sel(name: String, args: Seq[(String, Any)], children: Seq[Sel])
 
-  private class Parser(var toks: List[Tok]) {
+  private class Parser(var toks: List[Tok], provided: Map[String, Any] = Map.empty) {
+    // operation variables: caller-provided values, plus declaration
+    // defaults filled in by document()'s header pass
+    private var vars: Map[String, Any] = provided
+
     def expect(c: Char): Unit = toks match {
       case Punct(`c`) :: rest => toks = rest
       case t => throw ParseError(s"expected '$c', got $t")
@@ -176,6 +191,10 @@ object GraphQL {
       case Ident("false") :: rest => toks = rest; false
       case Ident("null") :: rest => toks = rest; null
       case Punct('{') :: _ => objectArg()
+      case Punct('$') :: Ident(n) :: rest =>
+        toks = rest
+        if (!vars.contains(n)) throw ParseError(s"undefined variable $$$n")
+        vars(n)
       case t => throw ParseError(s"expected value, got $t")
     }
 
@@ -189,7 +208,10 @@ object GraphQL {
       pairs.toSeq
     }
 
-    def sel(): Sel = {
+    /** One selection, directives applied: returns None when a
+      * @skip/@include directive removes the field (its tokens —
+      * including a nested selection set — are still consumed). */
+    def sel(): Option[Sel] = {
       val name = ident()
       val args = scala.collection.mutable.ListBuffer[(String, Any)]()
       if (peekIs('(')) {
@@ -197,31 +219,87 @@ object GraphQL {
         while (!peekIs(')')) { val k = ident(); expect(':'); args += k -> value() }
         expect(')')
       }
+      // directives sit between arguments and the selection set (the
+      // spec's grammar); @skip/@include evaluate HERE, so nothing
+      // downstream ever sees a skipped field
+      var skipped = false
+      while (peekIs('@')) {
+        expect('@')
+        val d = ident()
+        val dargs = scala.collection.mutable.ListBuffer[(String, Any)]()
+        if (peekIs('(')) {
+          expect('(')
+          while (!peekIs(')')) { val k = ident(); expect(':'); dargs += k -> value() }
+          expect(')')
+        }
+        d match {
+          case "skip" | "include" =>
+            val cond = dargs.collectFirst { case ("if", b: Boolean) => b }
+              .getOrElse(throw ParseError(s"@$d requires a Boolean if: argument"))
+            if (if (d == "skip") cond else !cond) skipped = true
+          case other => throw ParseError(s"unsupported directive @$other")
+        }
+      }
       val children = scala.collection.mutable.ListBuffer[Sel]()
       if (peekIs('{')) {
         expect('{')
-        while (!peekIs('}')) children += sel()
+        var parsed = 0
+        while (!peekIs('}')) { parsed += 1; sel().foreach(children += _) }
         expect('}')
+        // a selection set EMPTIED by directives is legal GraphQL
+        // (empty objects) but not compilable to a projection — stated
+        // subset boundary, rejected loudly rather than mis-served
+        if (parsed > 0 && children.isEmpty && !skipped)
+          throw ParseError(
+            s"$name: selection set empty after @skip/@include (unsupported: nothing to project)")
       }
-      Sel(name, args.toSeq, children.toSeq)
+      if (skipped) None else Some(Sel(name, args.toSeq, children.toSeq))
+    }
+
+    /** `($x: Type = default, …)` header declarations: types are
+      * parsed (wrappers included) and discarded — values are not
+      * type-checked against them — and defaults fill `vars` for
+      * variables the caller didn't provide. */
+    def varDefs(): Unit = {
+      def typeRef(): Unit = {
+        if (peekIs('[')) { expect('['); typeRef(); expect(']') }
+        else { ident(); () }
+        if (peekIs('!')) expect('!')
+      }
+      expect('(')
+      while (!peekIs(')')) {
+        expect('$')
+        val n = ident()
+        expect(':')
+        typeRef()
+        if (peekIs('=')) {
+          expect('=')
+          val d = value()
+          if (!vars.contains(n)) vars = vars + (n -> d)
+        }
+      }
+      expect(')')
     }
 
     def document(): Seq[Sel] = {
-      // optional `query` / `subscription` (+ optional name) header —
-      // subscriptions share the grammar; [[Subscriptions]] enforces
-      // the single-root-field rule
+      // optional `query` / `subscription` (+ optional name, + optional
+      // variable declarations) header — subscriptions share the
+      // grammar; [[Subscriptions]] enforces the single-root-field rule
       toks match {
         case Ident("query" | "subscription") :: rest =>
           toks = rest
           toks match { case Ident(_) :: r2 => toks = r2; case _ => () }
+          if (peekIs('(')) varDefs()
         case _ => ()
       }
       expect('{')
       val roots = scala.collection.mutable.ListBuffer[Sel]()
-      while (!peekIs('}')) roots += sel()
+      var parsed = 0
+      while (!peekIs('}')) { parsed += 1; sel().foreach(roots += _) }
       expect('}')
       if (toks.nonEmpty) throw ParseError(s"trailing input: ${toks.head}")
-      if (roots.isEmpty) throw ParseError("empty query")
+      if (parsed == 0) throw ParseError("empty query")
+      // roots may legitimately be empty after @skip/@include → {"data":{}}
       roots.toSeq
     }
   }
@@ -455,14 +533,37 @@ object GraphQL {
     case _ => ("String", "SCALAR")
   }
 
-  private def renderTypeRef(node: ObjectNode, sels: Seq[Sel], dt: DataType): Unit = {
-    val (name, kind) = gqlType(dt)
+  /** Introspection type reference: named scalar/object at the core,
+    * NON_NULL / LIST wrappers around it — the real meta-schema shape,
+    * so a generated client can walk `ofType` chains to the named
+    * type. Wrapper types are anonymous (`name: null`), named types
+    * terminate the chain (`ofType: null`), per the spec. */
+  private sealed trait TRef
+  private case class TNamed(name: String, kind: String) extends TRef
+  private case class TWrap(kind: String, of: TRef) extends TRef
+
+  private def typeRefOf(dt: DataType, nullable: Boolean): TRef = {
+    val base = dt match {
+      case ArrayType(et, containsNull) => TWrap("LIST", typeRefOf(et, containsNull))
+      case other => val (n, k) = gqlType(other); TNamed(n, k)
+    }
+    if (nullable) base else TWrap("NON_NULL", base)
+  }
+
+  private def renderTypeRef(node: ObjectNode, sels: Seq[Sel], t: TRef): Unit =
     sels.foreach {
-      case Sel("name", _, Nil) => node.put("name", name)
-      case Sel("kind", _, Nil) => node.put("kind", kind)
+      case Sel("name", _, Nil) => t match {
+        case TNamed(n, _) => node.put("name", n)
+        case _: TWrap => node.putNull("name")
+      }
+      case Sel("kind", _, Nil) =>
+        node.put("kind", t match { case TNamed(_, k) => k; case TWrap(k, _) => k })
+      case Sel("ofType", _, kids) => t match {
+        case TWrap(_, of) => renderTypeRef(node.putObject("ofType"), kids, of)
+        case _: TNamed => node.putNull("ofType")
+      }
       case other => throw ParseError(s"type.${other.name}: unsupported introspection field")
     }
-  }
 
   private def renderObjectType(node: ObjectNode, sels: Seq[Sel],
                                typeName: String, schema: Option[StructType]): Unit =
@@ -478,7 +579,9 @@ object GraphQL {
               val fo = arr.addObject()
               kids.foreach {
                 case Sel("name", _, Nil) => fo.put("name", sf.name)
-                case Sel("type", _, tKids) => renderTypeRef(fo.putObject("type"), tKids, sf.dataType)
+                case Sel("type", _, tKids) =>
+                  renderTypeRef(fo.putObject("type"), tKids,
+                    typeRefOf(sf.dataType, sf.nullable))
                 case other => throw ParseError(s"fields.${other.name}: unsupported introspection field")
               }
             }
@@ -505,6 +608,26 @@ object GraphQL {
             val arr = out.putArray("types")
             catalogTypes(spark).foreach { case (name, schema) =>
               renderObjectType(arr.addObject(), kids, name, Some(schema))
+            }
+          case Sel("directives", _, kids) =>
+            val arr = out.putArray("directives")
+            Seq("skip", "include").foreach { dn =>
+              val o = arr.addObject()
+              kids.foreach {
+                case Sel("name", _, Nil) => o.put("name", dn)
+                case Sel("locations", _, Nil) =>
+                  val la = o.putArray("locations")
+                  la.add("FIELD") // evaluated per selection; fragments are outside the subset
+                case Sel("args", _, akids) =>
+                  val ao = o.putArray("args").addObject()
+                  akids.foreach {
+                    case Sel("name", _, Nil) => ao.put("name", "if")
+                    case other => throw ParseError(
+                      s"directives.args.${other.name}: unsupported introspection field")
+                  }
+                case other => throw ParseError(
+                  s"directives.${other.name}: unsupported introspection field")
+              }
             }
           case other => throw ParseError(s"__schema.${other.name}: unsupported introspection field")
         }
@@ -551,10 +674,11 @@ object GraphQL {
   def execute(spark: SparkSession, query: String,
               defaultFirst: Long = DefaultPageSize,
               maxFirst: Long = MaxPageSize,
-              relations: Relations = Map.empty): String = {
+              relations: Relations = Map.empty,
+              variables: Map[String, Any] = Map.empty): String = {
     val root = mapper.createObjectNode()
     try {
-      val roots = new Parser(tokenize(query)).document()
+      val roots = new Parser(tokenize(query), variables).document()
       val data = root.putObject("data")
       roots.foreach { s =>
         if (s.name.startsWith("__")) renderIntrospection(spark, data, s)
@@ -655,17 +779,47 @@ object GraphQL {
     * Content-Type, try the JSON envelope first and fall back to raw
     * text — prefix-sniffing would misread pretty-printed JSON (a
     * newline after `{`) as a raw document. */
-  private[graft] def extractQuery(contentType: Option[String], body: String): String = {
+  private[graft] def extractQuery(contentType: Option[String], body: String): String =
+    extractQueryAndVars(contentType, body)._1
+
+  /** JSON scalar/object → the parser's value representation (objects
+    * become the same `Seq[(String, Any)]` shape `objectArg()` builds,
+    * so a variable can carry a `condition:` object). Arrays are
+    * outside the subset. */
+  private def jsonToScala(n: com.fasterxml.jackson.databind.JsonNode): Any =
+    if (n.isNull) null
+    else if (n.isTextual) n.asText
+    else if (n.isBoolean) n.asBoolean
+    else if (n.isIntegralNumber) n.asLong
+    else if (n.isFloatingPointNumber) n.asDouble
+    else if (n.isObject) {
+      val it = n.fields()
+      val buf = scala.collection.mutable.ListBuffer[(String, Any)]()
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> jsonToScala(e.getValue) }
+      buf.toSeq
+    }
+    else throw ParseError(s"unsupported variable value: ${n.getNodeType}")
+
+  private[graft] def extractQueryAndVars(
+      contentType: Option[String], body: String): (String, Map[String, Any]) = {
     val ct = contentType.getOrElse("").toLowerCase
-    def fromJson: Option[String] =
+    def fromJson: Option[(String, Map[String, Any])] =
       try {
         val node = mapper.readTree(body)
-        if (node != null && node.isObject && node.has("query")) Some(node.get("query").asText)
-        else None
+        if (node != null && node.isObject && node.has("query")) {
+          val vars =
+            if (node.has("variables") && node.get("variables").isObject) {
+              val it = node.get("variables").fields()
+              val buf = scala.collection.mutable.Map[String, Any]()
+              while (it.hasNext) { val e = it.next(); buf += e.getKey -> jsonToScala(e.getValue) }
+              buf.toMap
+            } else Map.empty[String, Any]
+          Some((node.get("query").asText, vars))
+        } else None
       } catch { case _: Exception => None }
-    if (ct.contains("application/json")) fromJson.getOrElse("")
-    else if (ct.contains("application/graphql")) body
-    else fromJson.getOrElse(body)
+    if (ct.contains("application/json")) fromJson.getOrElse(("", Map.empty))
+    else if (ct.contains("application/graphql")) (body, Map.empty)
+    else fromJson.getOrElse((body, Map.empty))
   }
 
   /** Serve `POST /graphql` (body = raw query text, or JSON
@@ -678,9 +832,9 @@ object GraphQL {
     server.createContext("/graphql", (ex: com.sun.net.httpserver.HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
-      val query = extractQuery(
+      val (query, vars) = extractQueryAndVars(
         Option(ex.getRequestHeaders.getFirst("Content-Type")), body)
-      val resp = execute(spark, query, relations = relations)
+      val resp = execute(spark, query, relations = relations, variables = vars)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, resp.length)

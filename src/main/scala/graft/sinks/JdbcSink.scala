@@ -10,12 +10,23 @@ import java.util.Properties
   * (`get_logs.go:95-137`): batched inserts with PK
   * `ON CONFLICT DO NOTHING` idempotence.
   *
-  * Two paths behind one interface:
+  * Three paths behind one interface:
   * - [[appendOnConflictDoNothing]] — the Postgres-exact contract:
   *   per-partition prepared statements,
   *   `INSERT … ON CONFLICT (pk) DO NOTHING`, executeBatch every
   *   `batchSize` rows (the Spark rendering of the reference's single
-  *   NamedExec per window, `get_logs.go:118-126`).
+  *   NamedExec per window, `get_logs.go:118-126`). Statement-text
+  *   verified only: the sandbox has no Postgres, and no pure-JVM
+  *   stand-in either — H2's pg-compat mode would accept the
+  *   statement, but no H2 jar exists in /opt/spark/jars or the
+  *   offline dependency cache, and the build's dependency set is
+  *   frozen; Derby rejects the syntax outright.
+  * - [[appendWhereNotExists]] — the database-side idempotent insert
+  *   in portable SQL (`INSERT … SELECT FROM (VALUES …) WHERE NOT
+  *   EXISTS`), integration-EXECUTED against embedded Derby: replays
+  *   and intra-batch duplicates are absorbed by the statement itself,
+  *   like the reference's ON CONFLICT, with the concurrent-writer
+  *   boundary documented on the method.
   * - [[appendIdempotent]] — dialect-generic: anti-join the batch
   *   against existing PKs (range-pruned on `rangeCol`, the JDBC analog
   *   of the parquet sink's partition pruning), then plain batched
@@ -123,6 +134,97 @@ object JdbcSink {
         var n = 0
         rows.foreach { r =>
           cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+          st.addBatch()
+          n += 1
+          if (n % batchSize == 0) st.executeBatch()
+        }
+        st.executeBatch()
+        conn.commit()
+      } finally conn.close()
+    }
+  }
+
+  /** Source-side SQL types for the cast-framed VALUES row of
+    * [[appendWhereNotExists]]: several dialects (Derby among them)
+    * reject untyped `?` parameters inside a VALUES derived table, so
+    * every placeholder is `cast(? as <type>)`. Strings are VARCHAR
+    * (not the dialect's CLOB default — CLOB can't sit in an equality
+    * predicate), sized to Derby's VARCHAR ceiling. */
+  private def castSqlType(dt: org.apache.spark.sql.types.DataType): (String, Int) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => ("varchar(32672)", java.sql.Types.VARCHAR)
+      case LongType => ("bigint", java.sql.Types.BIGINT)
+      case IntegerType => ("integer", java.sql.Types.INTEGER)
+      case ShortType | ByteType => ("smallint", java.sql.Types.SMALLINT)
+      case DoubleType => ("double", java.sql.Types.DOUBLE)
+      case FloatType => ("real", java.sql.Types.REAL)
+      case BooleanType => ("boolean", java.sql.Types.BOOLEAN)
+      case TimestampType => ("timestamp", java.sql.Types.TIMESTAMP)
+      case DateType => ("date", java.sql.Types.DATE)
+      case d: DecimalType => (s"decimal(${d.precision},${d.scale})", java.sql.Types.DECIMAL)
+      case other => throw new IllegalArgumentException(
+        s"unsupported column type for the WHERE NOT EXISTS path: $other")
+    }
+  }
+
+  /** Portable DATABASE-SIDE idempotent append:
+    * `INSERT INTO t SELECT … FROM (VALUES (…)) s WHERE NOT EXISTS
+    * (SELECT 1 FROM t WHERE t.pk = s.pk)`, prepared-statement batches
+    * per partition — the statement-level analog of the reference's
+    * `ON CONFLICT DO NOTHING` (`get_logs.go:118-126`) in the SQL
+    * subset every tested dialect executes (integration-run against
+    * embedded Derby, which accepts neither `ON CONFLICT` nor a
+    * MERGE-from-VALUES: its MERGE source must be a base table).
+    *
+    * Guarantee boundary, stated plainly: the NOT EXISTS probe and the
+    * insert are one statement but NOT one atomic unit under
+    * concurrent writers in read-committed isolation — two sessions
+    * racing the same key can both pass the probe, and the loser
+    * surfaces as a PK violation instead of being silently skipped
+    * (Postgres's ON CONFLICT is the only form that absorbs that race
+    * in-statement; [[appendOnConflictDoNothing]] keeps that contract
+    * for pg targets). Replays and intra-batch duplicates ARE absorbed:
+    * statements in a batch execute sequentially, so the second copy
+    * of a key sees the first. The reference runs a single-writer
+    * poller, where this distinction never fires. */
+  def appendWhereNotExists(
+      batch: DataFrame,
+      url: String,
+      table: String,
+      pk: Seq[String],
+      props: Properties = new Properties(),
+      batchSize: Int = 1000): Unit = {
+    val fields = batch.schema.fields.toSeq
+    val cols = fields.map(_.name)
+    require(pk.forall(cols.contains), s"pk ${pk.mkString(",")} ⊄ ${cols.mkString(",")}")
+    val casts = fields.map(f => castSqlType(f.dataType))
+    val valuesRow = casts.map { case (t, _) => s"cast(? as $t)" }.mkString(", ")
+    val sql =
+      s"""insert into $table (${cols.mkString(", ")})
+         |select ${cols.map(c => s"s.$c").mkString(", ")}
+         |from (values ($valuesRow)) s (${cols.mkString(", ")})
+         |where not exists (select 1 from $table t
+         |  where ${pk.map(k => s"t.$k = s.$k").mkString(" and ")})""".stripMargin
+    val types = casts.map(_._2).toArray
+    val propsMap = {
+      val m = new java.util.Properties()
+      m.putAll(props)
+      m
+    }
+    batch.dropDuplicates(pk).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val conn: Connection = DriverManager.getConnection(url, propsMap)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.prepareStatement(sql)
+        var n = 0
+        rows.foreach { r =>
+          var i = 0
+          while (i < types.length) {
+            val v = r.get(i)
+            if (v == null) st.setNull(i + 1, types(i)) else st.setObject(i + 1, v)
+            i += 1
+          }
           st.addBatch()
           n += 1
           if (n % batchSize == 0) st.executeBatch()

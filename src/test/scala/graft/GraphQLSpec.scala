@@ -200,7 +200,7 @@ class GraphQLSpec extends SparkSpec {
     registerFixture()
     val resp = mapper.readTree(GraphQL.execute(spark,
       """{ __schema { queryType { name }
-        |    types { name kind fields { name type { name kind } } } } }""".stripMargin))
+        |    types { name kind fields { name type { name kind ofType { name kind } } } } } }""".stripMargin))
     assert(!resp.has("errors"), resp.toString)
     val schema = resp.get("data").get("__schema")
     assert(schema.get("queryType").get("name").asText === "Query")
@@ -212,9 +212,17 @@ class GraphQLSpec extends SparkSpec {
     val fields = t.get("fields")
     val fnames = (0 until fields.size).map(i => fields.get(i).get("name").asText)
     assert(fnames === Seq("address", "block_number", "amount", "transaction_hash", "removed"))
-    assert(fields.get(1).get("type").get("name").asText === "BigInt")
+    // nullable column → named type directly (chain terminates: ofType null)
     assert(fields.get(0).get("type").get("name").asText === "String")
-    assert(fields.get(4).get("type").get("name").asText === "Boolean")
+    assert(fields.get(0).get("type").get("ofType").isNull)
+    // non-nullable primitive → anonymous NON_NULL wrapper, named inside
+    val bn = fields.get(1).get("type")
+    assert(bn.get("kind").asText === "NON_NULL")
+    assert(bn.get("name").isNull)
+    assert(bn.get("ofType").get("name").asText === "BigInt")
+    val rm = fields.get(4).get("type")
+    assert(rm.get("kind").asText === "NON_NULL")
+    assert(rm.get("ofType").get("name").asText === "Boolean")
 
     val one = mapper.readTree(GraphQL.execute(spark,
       """{ __type(name: "gql_logs") { name fields { name type { name } } } }"""))
@@ -225,6 +233,96 @@ class GraphQLSpec extends SparkSpec {
     val none = mapper.readTree(GraphQL.execute(spark,
       """{ __type(name: "nope") { name } }"""))
     assert(none.get("data").get("__type").isNull)
+  }
+
+  test("@skip/@include directives: literals, variables, and boundary errors") {
+    registerFixture()
+    // literal @skip removes a column from the projection
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(condition: {address: "0xaaa"}, orderBy: "block_number")
+        |  { block_number amount @skip(if: true) removed @include(if: true) } }""".stripMargin))
+    assert(!resp.has("errors"), resp.toString)
+    val n0 = resp.get("data").get("gql_logs").get("nodes").get(0)
+    assert(n0.has("block_number") && n0.has("removed") && !n0.has("amount"))
+    // variable-driven @include, declared with a default that the
+    // provided value overrides
+    def withVar(v: Boolean) = mapper.readTree(GraphQL.execute(spark,
+      """query Q($withAmount: Boolean! = false) {
+        |  gql_logs(first: 1, orderBy: "block_number")
+        |  { block_number amount @include(if: $withAmount) } }""".stripMargin,
+      variables = Map("withAmount" -> v)))
+    assert(withVar(true).get("data").get("gql_logs").get("nodes").get(0).has("amount"))
+    assert(!withVar(false).get("data").get("gql_logs").get("nodes").get(0).has("amount"))
+    // declaration default applies when the variable isn't provided
+    val dflt = mapper.readTree(GraphQL.execute(spark,
+      """query Q($withAmount: Boolean! = false) {
+        |  gql_logs(first: 1) { block_number amount @include(if: $withAmount) } }""".stripMargin))
+    assert(!dflt.get("data").get("gql_logs").get("nodes").get(0).has("amount"))
+    // a document whose only root is skipped is valid: data == {}
+    val root = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(first: 1) @skip(if: true) { block_number } }"""))
+    assert(!root.has("errors"), root.toString)
+    assert(root.get("data").size === 0)
+    // stated boundaries: emptied selection set, unknown directive,
+    // non-boolean/missing if:, undefined variable
+    def errOf(q: String): String = {
+      val r = mapper.readTree(GraphQL.execute(spark, q))
+      assert(r.has("errors"), s"expected error for $q")
+      r.get("errors").get(0).get("message").asText
+    }
+    assert(errOf("""{ gql_logs(first: 1) { block_number @skip(if: true) } }""")
+      .contains("selection set empty"))
+    assert(errOf("""{ gql_logs(first: 1) @wat(if: true) { block_number } }""")
+      .contains("unsupported directive"))
+    assert(errOf("""{ gql_logs(first: 1) { block_number @skip } }""")
+      .contains("Boolean if:"))
+    assert(errOf("""{ gql_logs(first: 1) { block_number @skip(if: 3) } }""")
+      .contains("Boolean if:"))
+    assert(errOf("""{ gql_logs(first: 1) { block_number @skip(if: $nope) } }""")
+      .contains("undefined variable"))
+  }
+
+  test("variables flow into arguments and condition objects") {
+    registerFixture()
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """query Q($addr: String, $n: Int, $cond: LogCondition) {
+        |  gql_logs(condition: {address: $addr}, first: $n, orderBy: "block_number")
+        |  { block_number } }""".stripMargin,
+      variables = Map("addr" -> "0xbbb", "n" -> 1L)))
+    assert(!resp.has("errors"), resp.toString)
+    val nodes = resp.get("data").get("gql_logs").get("nodes")
+    assert(nodes.size === 1)
+    assert(nodes.get(0).get("block_number").asLong === 12L)
+    // a whole condition object via one variable
+    val viaObj = mapper.readTree(GraphQL.execute(spark,
+      """query Q($c: LogCondition) {
+        |  gql_logs(condition: $c, orderBy: "block_number") { block_number } }""".stripMargin,
+      variables = Map("c" -> Seq("address" -> "0xaaa", "removed" -> false))))
+    assert(!viaObj.has("errors"), viaObj.toString)
+    assert(viaObj.get("data").get("gql_logs").get("totalCount").asInt === 2)
+  }
+
+  test("__schema directives listing and HTTP variables member") {
+    registerFixture()
+    val d = mapper.readTree(GraphQL.execute(spark,
+      """{ __schema { directives { name locations args { name } } } }"""))
+    assert(!d.has("errors"), d.toString)
+    val ds = d.get("data").get("__schema").get("directives")
+    val dnames = (0 until ds.size).map(i => ds.get(i).get("name").asText)
+    assert(dnames === Seq("skip", "include"))
+    assert(ds.get(0).get("locations").get(0).asText === "FIELD")
+    assert(ds.get(0).get("args").get(0).get("name").asText === "if")
+    // the standard JSON body shape: query + variables members
+    val (q, vars) = GraphQL.extractQueryAndVars(Some("application/json"),
+      """{"query": "query Q($a: String) { gql_logs(condition: {address: $a}) { block_number } }",
+        | "variables": {"a": "0xaaa", "obj": {"k": 1}, "none": null}}""".stripMargin)
+    assert(q.startsWith("query Q"))
+    assert(vars("a") === "0xaaa")
+    assert(vars("obj") === Seq("k" -> 1L))
+    assert(vars("none") === null)
+    val resp = mapper.readTree(GraphQL.execute(spark, q, variables = vars))
+    assert(!resp.has("errors"), resp.toString)
+    assert(resp.get("data").get("gql_logs").get("totalCount").asInt === 2)
   }
 
   test("nested relations: one bounded child query per page, grouped per parent") {

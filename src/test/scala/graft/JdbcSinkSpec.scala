@@ -121,6 +121,33 @@ class JdbcSinkSpec extends SparkSpec {
     assert(countRows() === before + 2) // idempotent, untouched far rows intact
   }
 
+  test("WHERE NOT EXISTS path: the idempotent statement EXECUTES in the database") {
+    initTable
+    // the upsert decision here is the database's, not Spark's: the
+    // statement itself skips existing PKs (vs appendIdempotent, where
+    // a Spark anti-join decides before plain inserts)
+    val before = countRows()
+    val batch = Logs.readNdjson(spark, fixture(Seq(row(100, 0), row(101, 0))))
+    JdbcSink.appendWhereNotExists(batch, url, "logs", Logs.pk)
+    assert(countRows() === before + 2)
+    // full replay → absorbed by the statement
+    JdbcSink.appendWhereNotExists(batch, url, "logs", Logs.pk)
+    assert(countRows() === before + 2)
+    // overlap + new in one call; intra-batch duplicate rows too
+    val batch2 = Logs.readNdjson(spark,
+      fixture(Seq(row(101, 0), row(102, 0), row(102, 0))))
+    JdbcSink.appendWhereNotExists(batch2, url, "logs", Logs.pk)
+    assert(countRows() === before + 3)
+    // null non-PK columns travel through the typed setNull path
+    val batch3 = Logs.readNdjson(spark, fixture(Seq(
+      s"""{"address":"0xaaa","topics":["0xsig"],"data":"0x",""" +
+        s""""blockHash":"0xb103","blockNumber":"0x67",""" +
+        s""""transactionHash":"0xtx103","transactionIndex":"0x0",""" +
+        s""""logIndex":"0x0","removed":false}""")))
+    JdbcSink.appendWhereNotExists(batch3, url, "logs", Logs.pk)
+    assert(countRows() === before + 4)
+  }
+
   test("ON CONFLICT SQL shape matches the reference contract") {
     // dialect path needs Postgres; assert the statement text verbatim
     val batch = Logs.readNdjson(spark, fixture(Seq(row(1, 0))))

@@ -141,6 +141,34 @@ class MultimodalSpec extends SparkSpec {
     assert(PixelCodec.decodePng(bad) === None)
   }
 
+  test("16-bit PNG matrix: color types 0/2/4/6 × Adam7, decode + ImageIO cross-read") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    def v(x: Int, y: Int, c: Int): Int = (x * 531 + y * 7717 + c * 911 + 13) % 65536
+    for {
+      colorType <- Seq(0, 2, 4, 6)
+      interlaced <- Seq(false, true)
+      (w, h) <- Seq((13, 9), (1, 1), (2, 3)) // ≥5 rows rotates all filters; tiny dims hit empty/ragged passes
+    } {
+      val label = s"ct=$colorType il=$interlaced ${w}x$h"
+      val bytes = MiniEncoder.png16(w, h, colorType, interlaced, v)
+      assert(bytes(24) === 16, s"$label depth")
+      assert(bytes(25) === colorType, s"$label colorType")
+      assert(bytes(28) === (if (interlaced) 1 else 0), s"$label interlace")
+      // our decode: high-byte downconversion, alpha dropped
+      val Some((dw, dh, ch, px)) = PixelCodec.decodePngImage(bytes)
+      val outCh = if (colorType == 0 || colorType == 4) 1 else 3
+      assert((dw, dh, ch) === ((w, h, outCh)), label)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until outCh)
+        assert((px((y * w + x) * outCh + c) & 0xff) === (v(x, y, c) >> 8),
+          s"$label ($x,$y,$c)")
+      // ImageIO cross-reads OUR write at full 16-bit depth, alpha included
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val nCh = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until nCh)
+        assert(img.getRaster.getSample(x, y, c) === v(x, y, c), s"$label ImageIO ($x,$y,$c)")
+    }
+  }
+
   test("Adam7 interlaced PNG: own round-trip, ImageIO both directions") {
     import Multimodal.{MiniEncoder, PixelCodec}
     def v(x: Int, y: Int): Int = (x * 13 + y * 5 + 7) % 256
