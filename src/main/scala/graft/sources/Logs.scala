@@ -324,7 +324,7 @@ object Logs {
       scala.util.Try(Await.result(f, scala.concurrent.duration.Duration.Inf)))
     pool.shutdown()
     if (results.forall(_.isSuccess)) {
-      clearSwapDirs(fs, tablePath)
+      clearSwapDirs(fs, tablePath, targetRanges)
       recommitSnapshots(spark, tablePath)
     }
     // on failure: leave tmp/bak on disk — recovery evidence, and
@@ -348,13 +348,80 @@ object Logs {
     if (Snapshots.latestVersion(spark, tablePath).nonEmpty)
       Snapshots.commitWithRetry(spark, tablePath)
 
+  /** Per-partition rewrite mutual exclusion — the rewrite-vs-rewrite
+    * writer gap (two compactors, two canonicalizers, or one of each,
+    * racing the SAME partition could interleave park/swap renames and
+    * double data; the reference gets this for free from Postgres MVCC
+    * + the PK, `schema.sql:51`). A lock file per block range is
+    * claimed with an atomic no-overwrite create before any swap work
+    * and released after the swap lands, so same-partition rewrites
+    * serialize: the loser fails loudly with a retryable conflict
+    * instead of corrupting the partition. DISJOINT ranges never
+    * contend — compaction and canonicalization of different block
+    * windows run concurrently by construction (each swap touches only
+    * its own `block_range=N` live/tmp/bak/lock paths).
+    *
+    * Crash recovery: a rewriter that dies mid-swap leaves its lock;
+    * locks older than `RewriteLockStaleMs` (1 h — far beyond any
+    * single-partition rewrite) are broken and re-claimed. The break
+    * (delete + re-create) is not itself atomic across breakers; the
+    * re-create race loser fails with the same retryable conflict, so
+    * at most one rewriter proceeds. Release deletes only a lock whose
+    * nonce this writer wrote — a broken-and-reclaimed lock is never
+    * deleted out from under its new owner. On object stores without
+    * atomic create-no-overwrite the lock is advisory-best-effort, the
+    * same boundary as every file-level CAS in this layer (documented
+    * at [[graft.sources.Snapshots.publish]]). */
+  private val RewriteLockStaleMs = 60L * 60 * 1000
+
+  private def withPartitionLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, r: Long)(body: => T): T = {
+    val dir = new org.apache.hadoop.fs.Path(s"$tablePath/.graft_rewrite_lock")
+    fs.mkdirs(dir)
+    val lock = new org.apache.hadoop.fs.Path(dir, s"block_range=$r.lock")
+    val nonce = java.util.UUID.randomUUID().toString
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false) // atomic no-overwrite create
+        out.write(s"""{"nonce":"$nonce","ts":${System.currentTimeMillis()}}"""
+          .getBytes("UTF-8"))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > RewriteLockStaleMs
+        catch { case _: java.io.IOException => true } // vanished: owner released
+      if (stale) {
+        try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+        acquired = tryAcquire()
+      }
+    }
+    if (!acquired)
+      throw new java.io.IOException(
+        s"rewrite conflict: block_range=$r at $tablePath is locked by a " +
+          s"concurrent rewrite (stale locks break after ${RewriteLockStaleMs / 1000}s)")
+    try body
+    finally {
+      try {
+        val in = fs.open(lock)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        if (txt.contains(nonce)) fs.delete(lock, false)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Crash-safe partition rewrite: `write` lands the replacement in a
     * hidden tmp dir (invisible to partition discovery), the originals
     * are parked, and two renames swap the replacement in — the live
     * partition is either untouched or fully replaced at every instant,
-    * and `write` may freely READ the live partition it replaces. */
+    * and `write` may freely READ the live partition it replaces.
+    * Guarded by [[withPartitionLock]]: same-partition rewrites
+    * serialize, disjoint-partition rewrites don't contend. */
   private def swapInPartition(fs: org.apache.hadoop.fs.FileSystem, tablePath: String,
-      r: Long)(write: String => Unit): Unit = {
+      r: Long)(write: String => Unit): Unit = withPartitionLock(fs, tablePath, r) {
     val partDir = new org.apache.hadoop.fs.Path(s"$tablePath/block_range=$r")
     val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.graft_compact_tmp/block_range=$r")
     val bak = new org.apache.hadoop.fs.Path(s"$tablePath/.graft_compact_bak/block_range=$r")
@@ -398,9 +465,27 @@ object Logs {
     fs.delete(bak, true)
   }
 
-  private def clearSwapDirs(fs: org.apache.hadoop.fs.FileSystem, tablePath: String): Unit = {
-    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.graft_compact_tmp"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.graft_compact_bak"), true)
+  /** Post-rewrite cleanup, scoped to the ranges THIS rewrite touched:
+    * deleting the whole swap tree recursively would race a concurrent
+    * rewrite of a DIFFERENT partition (its in-flight tmp lives under
+    * the same hidden parent), which the per-partition locks
+    * deliberately allow. The parents are then removed NON-recursively
+    * — that delete refuses a non-empty dir, so a concurrent rewrite's
+    * in-flight tmp survives; if it races the other way (parent
+    * deleted just before the concurrent writer's first file), the
+    * writer's own mkdirs recreates it. */
+  private def clearSwapDirs(fs: org.apache.hadoop.fs.FileSystem, tablePath: String,
+      ranges: Iterable[Long]): Unit = {
+    ranges.foreach { r =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$tablePath/.graft_compact_tmp/block_range=$r"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$tablePath/.graft_compact_bak/block_range=$r"), true)
+    }
+    Seq(".graft_compact_tmp", ".graft_compact_bak").foreach { d =>
+      try fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/$d"), false)
+      catch { case _: java.io.IOException => () } // non-empty: a concurrent rewrite owns it
+    }
   }
 
   /** T4: canonical (reorg-resolved) view — latest write per PK wins,
@@ -472,7 +557,7 @@ object Logs {
           .mode("overwrite").parquet(tmp)
       }
     }
-    clearSwapDirs(fs, tablePath)
+    clearSwapDirs(fs, tablePath, overlapping)
     if (overlapping.nonEmpty) recommitSnapshots(spark, tablePath)
   }
 }

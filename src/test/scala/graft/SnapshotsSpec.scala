@@ -216,6 +216,45 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, table, Some(v0)).count() === 4)
   }
 
+  test("rewrite-vs-rewrite: same-partition rewrites serialize via the lock") {
+    val table = Files.createTempDirectory("lock_tbl").toString + "/t"
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark,
+      fixture(Seq(row(1, 0), row(2, 0), row(100001L, 0)))), table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockDir = new org.apache.hadoop.fs.Path(s"$table/.graft_rewrite_lock")
+    // a concurrent rewriter holds range 0's lock → compacting range 0
+    // fails loudly with the retryable conflict, the partition untouched
+    fs.mkdirs(lockDir)
+    val lock = new org.apache.hadoop.fs.Path(lockDir, "block_range=0.lock")
+    val out = fs.create(lock, false)
+    out.write("""{"nonce":"foreign","ts":""".getBytes("UTF-8"))
+    out.write(s"${System.currentTimeMillis()}}".getBytes("UTF-8"))
+    out.close()
+    val before = Logs.read(spark, table).count()
+    val e = intercept[Exception](Logs.compact(spark, table, ranges = Some(Seq(0L))))
+    assert(e.getMessage.contains("rewrite conflict"), e.getMessage)
+    assert(Logs.read(spark, table).count() === before)
+    // DISJOINT ranges never contend: range 1 compacts fine under range 0's lock
+    Logs.compact(spark, table, ranges = Some(Seq(1L)))
+    assert(Logs.read(spark, table).count() === before)
+    // the foreign lock is NOT released by the failed/disjoint rewrites
+    assert(fs.exists(lock))
+    // owner releases → the same rewrite proceeds and releases its own lock
+    fs.delete(lock, false)
+    Logs.compact(spark, table, ranges = Some(Seq(0L)))
+    assert(Logs.read(spark, table).count() === before)
+    assert(!fs.exists(lock))
+    // a STALE lock (crashed rewriter) is broken and reclaimed
+    val out2 = fs.create(lock, false)
+    out2.write("""{"nonce":"dead","ts":0}""".getBytes("UTF-8"))
+    out2.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+    Logs.compact(spark, table, ranges = Some(Seq(0L))) // breaks, reclaims, releases
+    assert(Logs.read(spark, table).count() === before)
+    assert(!fs.exists(lock))
+  }
+
   test("two parallel append-only writers both commit; history holds both appends") {
     val table = Files.createTempDirectory("snap_tbl").toString + "/t"
     Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0)))), table)
