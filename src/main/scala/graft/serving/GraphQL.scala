@@ -46,9 +46,19 @@ import org.apache.spark.sql.types._
   *   standard JSON `variables` member; declared types are parsed but
   *   not enforced). A selection set EMPTIED by directives is valid
   *   GraphQL but has nothing to project — rejected with an explicit
-  *   error (stated boundary). Fragments (`...`) remain unsupported;
+  *   error (stated boundary);
   * - variables: usable anywhere a literal value sits, including
   *   whole `condition:` objects;
+  * - fragments (r7): named definitions (`fragment F on T { … }`,
+  *   before or after the operation, forward references fine) spread
+  *   with `...F`, inline fragments `... on T { … }`, @skip/@include
+  *   on spreads, fragments referencing fragments (cycles rejected).
+  *   Type conditions are parsed but not dispatched on — every view
+  *   is a single concrete type here, the honest reading;
+  * - aliases (r7): `key: field` on root fields (query one view twice
+  *   under different conditions), on columns (same column under two
+  *   response keys — the SQL projection just repeats it), and on
+  *   relation fields;
   * - relations: one level of nesting through an EXPLICIT registry
   *   ([[Relation]]) — Postgraphile derives these from foreign keys,
   *   which parquet tables don't carry, so the serving layer declares
@@ -73,7 +83,11 @@ object GraphQL {
       first: Option[Long],
       orderBy: Option[String],
       desc: Boolean,
-      selections: Seq[String])
+      selections: Seq[String],
+      outputName: String = "") {
+    /** Response key for the relation (alias when one was given). */
+    def outName: String = if (outputName.isEmpty) field else outputName
+  }
 
   case class FieldQuery(
       view: String,
@@ -86,7 +100,18 @@ object GraphQL {
       after: Option[String] = None,
       wantEdges: Boolean = false,
       pageInfo: Seq[String] = Nil,
-      nested: Seq[NestedQuery] = Nil)
+      nested: Seq[NestedQuery] = Nil,
+      outputName: String = "",
+      outputs: Seq[String] = Nil) {
+    /** Response key for the root field (alias when one was given) —
+      * aliases are what let one document query the same view twice
+      * under different conditions without the keys colliding. */
+    def outName: String = if (outputName.isEmpty) view else outputName
+    /** Per-column response keys, parallel to `selections` (which stays
+      * the SQL projection — possibly with a column repeated under two
+      * aliases; selecting a column twice is legal SQL). */
+    def outs: Seq[String] = if (outputs.isEmpty) selections else outputs
+  }
 
   /** One declared parent→child relation: selecting `fieldName` under
     * `parentView` joins `childView` on parentKey = childKey. */
@@ -104,6 +129,7 @@ object GraphQL {
   private case class Str(s: String) extends Tok
   private case class Num(s: String) extends Tok
   private case class Punct(c: Char) extends Tok
+  private case object Spread extends Tok // "..."
 
   private def tokenize(q: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer[Tok]()
@@ -154,6 +180,9 @@ object GraphQL {
         if (i >= q.length) throw ParseError("unterminated string")
         i += 1
         out += Str(sb.toString)
+      } else if (c == '.') {
+        if (i + 2 < q.length && q(i + 1) == '.' && q(i + 2) == '.') { out += Spread; i += 3 }
+        else throw ParseError("unexpected character '.' (did you mean '...'?)")
       } else if ("{}():@$[]!=".contains(c)) { out += Punct(c); i += 1 }
       else throw ParseError(s"unexpected character '$c'")
     }
@@ -165,9 +194,59 @@ object GraphQL {
   /** Generic selection-tree node; roots become [[FieldQuery]]s (or
     * introspection fields), nested levels become columns, connection
     * fields, or [[NestedQuery]]s. */
-  private case class Sel(name: String, args: Seq[(String, Any)], children: Seq[Sel])
+  /** Selection node. `alias` is the response key when present
+    * (`alias: field`); `out` is the key to render under. A hand-rolled
+    * companion keeps the 3-field `Sel(name, args, children)` extractor
+    * every interpretation site matches on — alias is opt-in surface. */
+  private final class Sel(val name: String, val args: Seq[(String, Any)],
+      val children: Seq[Sel], val alias: Option[String]) {
+    def out: String = alias.getOrElse(name)
+  }
+  private object Sel {
+    def apply(name: String, args: Seq[(String, Any)], children: Seq[Sel],
+        alias: Option[String] = None): Sel = new Sel(name, args, children, alias)
+    def unapply(s: Sel): Option[(String, Seq[(String, Any)], Seq[Sel])] =
+      Some((s.name, s.args, s.children))
+  }
 
-  private class Parser(var toks: List[Tok], provided: Map[String, Any] = Map.empty) {
+  /** Split top-level `fragment Name on Type { … }` definitions out of
+    * the token stream (GraphQL allows them before or after the
+    * operation; spreads may forward-reference). Bodies keep their
+    * braces and are re-parsed lazily at each spread site — that's
+    * what lets fragments reference other fragments, with a visited-set
+    * cycle guard. Depth tracking keeps a FIELD named "fragment"
+    * (inside the operation's braces) from being misread. */
+  private def splitFragments(
+      toks: List[Tok]): (List[Tok], Map[String, (String, List[Tok])]) = {
+    val frags = scala.collection.mutable.Map[String, (String, List[Tok])]()
+    val op = scala.collection.mutable.ListBuffer[Tok]()
+    var depth = 0
+    var rest = toks
+    while (rest.nonEmpty) rest match {
+      case Ident("fragment") :: Ident(fname) :: Ident("on") :: Ident(tname) :: Punct('{') :: tail
+          if depth == 0 =>
+        var d = 1
+        val body = scala.collection.mutable.ListBuffer[Tok](Punct('{'))
+        var t = tail
+        while (d > 0) t match {
+          case (p @ Punct('{')) :: tt => d += 1; body += p; t = tt
+          case (p @ Punct('}')) :: tt => d -= 1; body += p; t = tt
+          case x :: tt => body += x; t = tt
+          case Nil => throw ParseError(s"fragment $fname: unterminated body")
+        }
+        frags(fname) = (tname, body.toList)
+        rest = t
+      case (p @ Punct('{')) :: tail => depth += 1; op += p; rest = tail
+      case (p @ Punct('}')) :: tail => depth -= 1; op += p; rest = tail
+      case x :: tail => op += x; rest = tail
+      case Nil => ()
+    }
+    (op.toList, frags.toMap)
+  }
+
+  private class Parser(var toks: List[Tok], provided: Map[String, Any] = Map.empty,
+      frags: Map[String, (String, List[Tok])] = Map.empty,
+      visited: Set[String] = Set.empty) {
     // operation variables: caller-provided values, plus declaration
     // defaults filled in by document()'s header pass
     private var vars: Map[String, Any] = provided
@@ -208,20 +287,11 @@ object GraphQL {
       pairs.toSeq
     }
 
-    /** One selection, directives applied: returns None when a
-      * @skip/@include directive removes the field (its tokens —
-      * including a nested selection set — are still consumed). */
-    def sel(): Option[Sel] = {
-      val name = ident()
-      val args = scala.collection.mutable.ListBuffer[(String, Any)]()
-      if (peekIs('(')) {
-        expect('(')
-        while (!peekIs(')')) { val k = ident(); expect(':'); args += k -> value() }
-        expect(')')
-      }
-      // directives sit between arguments and the selection set (the
-      // spec's grammar); @skip/@include evaluate HERE, so nothing
-      // downstream ever sees a skipped field
+    /** `@skip(if:)`/`@include(if:)` runs, evaluated in place (the
+      * spec puts directives after arguments / the spread name, before
+      * any selection set). Returns true when the annotated selection
+      * must be dropped. */
+    def directivesSkip(): Boolean = {
       var skipped = false
       while (peekIs('@')) {
         expect('@')
@@ -240,20 +310,85 @@ object GraphQL {
           case other => throw ParseError(s"unsupported directive @$other")
         }
       }
-      val children = scala.collection.mutable.ListBuffer[Sel]()
-      if (peekIs('{')) {
-        expect('{')
-        var parsed = 0
-        while (!peekIs('}')) { parsed += 1; sel().foreach(children += _) }
-        expect('}')
-        // a selection set EMPTIED by directives is legal GraphQL
-        // (empty objects) but not compilable to a projection — stated
-        // subset boundary, rejected loudly rather than mis-served
-        if (parsed > 0 && children.isEmpty && !skipped)
-          throw ParseError(
-            s"$name: selection set empty after @skip/@include (unsupported: nothing to project)")
+      skipped
+    }
+
+    /** `{ selections }`, spreads expanded, directives applied. A
+      * selection set EMPTIED by directives is legal GraphQL (empty
+      * objects) but not compilable to a projection — stated subset
+      * boundary, rejected loudly rather than mis-served. The guard is
+      * waived under `tolerateEmpty` (a skipped parent consumes its
+      * braces without serving them). */
+    def braceBlock(ctx: String, tolerateEmpty: Boolean = false): Seq[Sel] = {
+      expect('{')
+      val out = scala.collection.mutable.ListBuffer[Sel]()
+      var syntactic = 0
+      while (!peekIs('}')) { syntactic += 1; out ++= selection() }
+      expect('}')
+      if (syntactic > 0 && out.isEmpty && !tolerateEmpty)
+        throw ParseError(
+          s"$ctx: selection set empty after @skip/@include (unsupported: nothing to project)")
+      out.toSeq
+    }
+
+    /** One selection-list entry: a field (possibly aliased), an
+      * inline fragment, or a named-fragment spread — returns the
+      * (possibly several, possibly zero) selections it contributes. */
+    def selection(): Seq[Sel] = toks match {
+      case Spread :: rest =>
+        toks = rest
+        toks match {
+          // inline fragment: `... on Type @dirs { … }` — every view is
+          // a single concrete type here, so the condition is shape-
+          // checked (an identifier) but not dispatched on
+          case Ident("on") :: Ident(_) :: _ =>
+            toks = toks.drop(2)
+            val skipped = directivesSkip()
+            val kids = braceBlock("inline fragment", tolerateEmpty = skipped)
+            if (skipped) Nil else kids
+          case Ident(fname) :: rest2 =>
+            toks = rest2
+            val skipped = directivesSkip()
+            if (skipped) Nil
+            else {
+              if (visited(fname))
+                throw ParseError(s"fragment cycle through '$fname'")
+              val (_, body) = frags.getOrElse(fname,
+                throw ParseError(s"unknown fragment '$fname'"))
+              // lazy re-parse of the stored body: same resolved vars
+              // (defaults included), the visited set guards cycles
+              new Parser(body, vars, frags, visited + fname)
+                .braceBlock(s"fragment $fname")
+            }
+          case t => throw ParseError(s"expected fragment name or 'on', got $t")
+        }
+      case _ => sel().toSeq
+    }
+
+    /** One field selection, directives applied: returns None when a
+      * @skip/@include directive removes the field (its tokens —
+      * including a nested selection set — are still consumed). */
+    def sel(): Option[Sel] = {
+      val first = ident()
+      // `alias: field` — in a selection list a colon after the first
+      // identifier can only be an alias (arguments live inside parens)
+      val (alias, name) =
+        if (peekIs(':')) { expect(':'); (Some(first), ident()) }
+        else (None, first)
+      val args = scala.collection.mutable.ListBuffer[(String, Any)]()
+      if (peekIs('(')) {
+        expect('(')
+        while (!peekIs(')')) { val k = ident(); expect(':'); args += k -> value() }
+        expect(')')
       }
-      if (skipped) None else Some(Sel(name, args.toSeq, children.toSeq))
+      // directives sit between arguments and the selection set;
+      // @skip/@include evaluate HERE, so nothing downstream ever sees
+      // a skipped field
+      val skipped = directivesSkip()
+      val children =
+        if (peekIs('{')) braceBlock(name, tolerateEmpty = skipped)
+        else Seq.empty
+      if (skipped) None else Some(Sel(name, args.toSeq, children, alias))
     }
 
     /** `($x: Type = default, …)` header declarations: types are
@@ -295,13 +430,19 @@ object GraphQL {
       expect('{')
       val roots = scala.collection.mutable.ListBuffer[Sel]()
       var parsed = 0
-      while (!peekIs('}')) { parsed += 1; sel().foreach(roots += _) }
+      while (!peekIs('}')) { parsed += 1; roots ++= selection() }
       expect('}')
       if (toks.nonEmpty) throw ParseError(s"trailing input: ${toks.head}")
       if (parsed == 0) throw ParseError("empty query")
       // roots may legitimately be empty after @skip/@include → {"data":{}}
       roots.toSeq
     }
+  }
+
+  /** Tokenize, split out fragment definitions, parse the operation. */
+  private def parseDocument(q: String, variables: Map[String, Any]): Seq[Sel] = {
+    val (opToks, frags) = splitFragments(tokenize(q))
+    new Parser(opToks, variables, frags).document()
   }
 
   // ---- selection-tree interpretation ---------------------------------
@@ -343,18 +484,21 @@ object GraphQL {
     }
     if (sels.isEmpty) throw ParseError(s"${s.name}: empty selection set")
     NestedQuery(s.name, argCondition(s.args), argLong(s.args, "first"),
-      argStr(s.args, "orderBy"), argBool(s.args, "desc"), sels.distinct)
+      argStr(s.args, "orderBy"), argBool(s.args, "desc"), sels.distinct,
+      outputName = s.out)
   }
 
   private def toFieldQuery(s: Sel): FieldQuery = {
     checkArgNames(s, Set("condition", "first", "offset", "orderBy", "desc", "after"))
-    val cols = scala.collection.mutable.ListBuffer[String]()
+    // (column, response key) pairs — the column list is the SQL
+    // projection, the keys are what the JSON renders under
+    val cols = scala.collection.mutable.ListBuffer[(String, String)]()
     val nested = scala.collection.mutable.ListBuffer[NestedQuery]()
     var wantEdges = false
     var pageInfo = Seq.empty[String]
     def addCols(cs: Seq[Sel], ctx: String): Unit = cs.foreach { c =>
       if (c.children.nonEmpty) throw ParseError(s"$ctx.${c.name}: expected a scalar field")
-      if (!cols.contains(c.name)) cols += c.name
+      if (!cols.contains((c.name, c.out))) cols += ((c.name, c.out))
     }
     s.children.foreach {
       case Sel("totalCount", _, Nil) => () // always emitted
@@ -374,20 +518,21 @@ object GraphQL {
         }
         pageInfo = kids.map(_.name)
       case c if c.children.nonEmpty => nested += toNested(c)
-      case c => if (!cols.contains(c.name)) cols += c.name
+      case c => if (!cols.contains((c.name, c.out))) cols += ((c.name, c.out))
     }
     if (cols.isEmpty && nested.isEmpty)
       throw ParseError(s"${s.name}: empty selection set")
     FieldQuery(s.name, argCondition(s.args), argLong(s.args, "first"),
       argLong(s.args, "offset"), argStr(s.args, "orderBy"), argBool(s.args, "desc"),
-      cols.toSeq, argStr(s.args, "after"), wantEdges, pageInfo, nested.toSeq)
+      cols.map(_._1).toSeq, argStr(s.args, "after"), wantEdges, pageInfo, nested.toSeq,
+      outputName = s.out, outputs = cols.map(_._2).toSeq)
   }
 
   /** Parse a document into root field queries. Introspection roots
     * (`__schema`/`__type`) are rejected here — [[execute]] handles them
     * before this interpretation. */
   def parse(q: String): Seq[FieldQuery] =
-    new Parser(tokenize(q)).document().map { s =>
+    parseDocument(q, Map.empty).map { s =>
       if (s.name.startsWith("__"))
         throw ParseError(s"${s.name}: introspection is only served over execute()")
       toFieldQuery(s)
@@ -596,7 +741,7 @@ object GraphQL {
   private def renderIntrospection(spark: SparkSession, data: ObjectNode, s: Sel): Unit =
     s.name match {
       case "__schema" =>
-        val out = data.putObject("__schema")
+        val out = data.putObject(s.out)
         s.children.foreach {
           case Sel("queryType", _, kids) =>
             val qt = out.putObject("queryType")
@@ -635,9 +780,9 @@ object GraphQL {
         val name = argStr(s.args, "name")
           .getOrElse(throw ParseError("__type: missing name argument"))
         catalogTypes(spark).find(_._1 == name) match {
-          case None => data.putNull("__type")
+          case None => data.putNull(s.out)
           case Some((n, schema)) =>
-            renderObjectType(data.putObject("__type"), s.children, n, Some(schema))
+            renderObjectType(data.putObject(s.out), s.children, n, Some(schema))
         }
       case other => throw ParseError(s"$other: unknown introspection field")
     }
@@ -678,7 +823,7 @@ object GraphQL {
               variables: Map[String, Any] = Map.empty): String = {
     val root = mapper.createObjectNode()
     try {
-      val roots = new Parser(tokenize(query), variables).document()
+      val roots = parseDocument(query, variables)
       val data = root.putObject("data")
       roots.foreach { s =>
         if (s.name.startsWith("__")) renderIntrospection(spark, data, s)
@@ -732,12 +877,12 @@ object GraphQL {
         }
       }
 
-    val conn = data.putObject(f.view)
+    val conn = data.putObject(f.outName)
     val nodes: ArrayNode = conn.putArray("nodes")
     def renderNode(o: ObjectNode, r: org.apache.spark.sql.Row): Unit = {
-      f.selections.zipWithIndex.foreach { case (name, i) => putValue(o, name, r.get(i)) }
+      f.outs.zipWithIndex.foreach { case (name, i) => putValue(o, name, r.get(i)) }
       childRows.foreach { case (n, rel, grouped) =>
-        val arr = o.putArray(n.field)
+        val arr = o.putArray(n.outName)
         grouped.getOrElse(r.get(keyIdx(rel.parentKey)), Seq.empty).foreach { cr =>
           val co = arr.addObject()
           // child row layout: __k at 0, selections from 1

@@ -325,6 +325,70 @@ class GraphQLSpec extends SparkSpec {
     assert(resp.get("data").get("gql_logs").get("totalCount").asInt === 2)
   }
 
+  test("aliases: same view twice at root, column re-keyed, introspection key") {
+    registerFixture()
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ aaa: gql_logs(condition: {address: "0xaaa"}) { bn: block_number amount }
+        |  bbb: gql_logs(condition: {address: "0xbbb"}) { block_number } }""".stripMargin))
+    assert(!resp.has("errors"), resp.toString)
+    val d = resp.get("data")
+    assert(d.get("aaa").get("totalCount").asInt === 2)
+    assert(d.get("bbb").get("totalCount").asInt === 2)
+    // column alias renders under the alias key, value from the column
+    assert(d.get("aaa").get("nodes").get(0).get("bn").asLong === 10L)
+    assert(!d.get("aaa").get("nodes").get(0).has("block_number"))
+    // the same column under TWO keys: projection repeats it
+    val two = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(first: 1, orderBy: "block_number") { a: amount b: amount } }"""))
+    assert(!two.has("errors"), two.toString)
+    val n0 = two.get("data").get("gql_logs").get("nodes").get(0)
+    assert(n0.get("a").asLong === n0.get("b").asLong)
+    // aliased introspection root
+    val intro = mapper.readTree(GraphQL.execute(spark,
+      """{ t: __type(name: "gql_logs") { name } }"""))
+    assert(intro.get("data").get("t").get("name").asText === "gql_logs")
+  }
+
+  test("fragments: named (forward ref, nested, on spreads), inline, cycles") {
+    registerFixture()
+    // named fragment defined AFTER the operation; referenced twice;
+    // fragment referencing another fragment
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """query Q {
+        |  gql_logs(condition: {address: "0xaaa"}, orderBy: "block_number")
+        |  { ...core removed }
+        |}
+        |fragment core on gql_logs { ...ids amount }
+        |fragment ids on gql_logs { block_number transaction_hash }""".stripMargin))
+    assert(!resp.has("errors"), resp.toString)
+    val n0 = resp.get("data").get("gql_logs").get("nodes").get(0)
+    assert(n0.has("block_number") && n0.has("transaction_hash") &&
+      n0.has("amount") && n0.has("removed"))
+    // inline fragment splices its selections
+    val inl = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(first: 1) { ... on gql_logs { block_number } amount } }"""))
+    assert(!inl.has("errors"), inl.toString)
+    assert(inl.get("data").get("gql_logs").get("nodes").get(0).has("block_number"))
+    // @skip on a spread drops the whole fragment's fields
+    val sk = mapper.readTree(GraphQL.execute(spark,
+      """query Q($s: Boolean!) { gql_logs(first: 1) { ...core @skip(if: $s) amount } }
+        |fragment core on gql_logs { block_number }""".stripMargin,
+      variables = Map("s" -> true)))
+    assert(!sk.has("errors"), sk.toString)
+    assert(!sk.get("data").get("gql_logs").get("nodes").get(0).has("block_number"))
+    // error surfaces: unknown fragment, cycle
+    def errOf(q: String): String = {
+      val r = mapper.readTree(GraphQL.execute(spark, q))
+      assert(r.has("errors"), s"expected error for $q")
+      r.get("errors").get(0).get("message").asText
+    }
+    assert(errOf("""{ gql_logs(first: 1) { ...nope } }""").contains("unknown fragment"))
+    assert(errOf(
+      """query Q { gql_logs(first: 1) { ...a } }
+        |fragment a on gql_logs { ...b }
+        |fragment b on gql_logs { ...a }""".stripMargin).contains("fragment cycle"))
+  }
+
   test("nested relations: one bounded child query per page, grouped per parent") {
     registerFixture()
     Seq(("0xaaa", 5L, 1.0), ("0xaaa", 6L, 2.0), ("0xaaa", 7L, 3.0),
