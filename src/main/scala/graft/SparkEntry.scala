@@ -1382,6 +1382,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-style corpus-wide line dedup under the gate: both engines
+    // build the same multi-line docs from `part` (a universal
+    // boilerplate header, a mostly-unique name line, brand/type lines
+    // repeating across rows, one empty line) — first occurrence wins,
+    // empties survive, rebuilt text + removal counts cross the hash.
+    "q83_line_dedup" -> { (s, dir) =>
+      val raw = concat_ws("\n",
+        lit("generated by crawler v1"), col("p_name"),
+        concat(lit("brand: "), col("p_brand")), lit(""), col("p_type"))
+      Corpus.dedupLines(
+          Tables(s, dir, "part").select(col("p_partkey"), raw.as("text")),
+          "p_partkey", "text")
+        .select(col("p_partkey"), col("text_deduped"),
+          col("n_lines").cast(LongType).as("n_lines"),
+          col("n_removed").cast(LongType).as("n_removed"))
+        .orderBy(col("p_partkey"))
+    },
+
     // Same selection as q79 via the production threshold path — no
     // global window; tiny bins/exactTrimRows force the histogram
     // refinement to actually run (and recurse) at gate scale. The
@@ -2533,6 +2551,28 @@ object SparkEntry {
         |  from q)
         |select doc_id, quality, n_tokens from c where cum < 5000
         |order by doc_id""".stripMargin,
+
+    "q83_line_dedup" ->
+      """with t as (select p_partkey,
+        |    'generated by crawler v1' || chr(10) || p_name || chr(10)
+        |      || 'brand: ' || p_brand || chr(10) || '' || chr(10) || p_type as text
+        |  from part),
+        |l as (select p_partkey, pos, split[pos] as line from
+        |  (select p_partkey, split, unnest(range(1, len(split)+1)) as pos
+        |   from (select p_partkey, string_split(text, chr(10)) as split from t))),
+        |w as (select md5(line) as k, min(p_partkey*1000000 + pos) as wk
+        |  from l where length(line) > 0 group by 1),
+        |kp as (select l.p_partkey, l.pos, l.line
+        |  from l left join w on md5(l.line) = w.k
+        |  where length(l.line) = 0 or l.p_partkey*1000000 + l.pos = w.wk),
+        |r as (select p_partkey, string_agg(line, chr(10) order by pos) as text_deduped,
+        |    count(*) as kept
+        |  from kp group by 1)
+        |select t.p_partkey, coalesce(r.text_deduped, '') as text_deduped,
+        |  cast(len(string_split(t.text, chr(10))) as bigint) as n_lines,
+        |  cast(len(string_split(t.text, chr(10))) - coalesce(r.kept, 0) as bigint) as n_removed
+        |from t left join r using (p_partkey)
+        |order by p_partkey""".stripMargin,
 
     "q81_budget_selection_threshold" ->
       s"""with q as (select doc_id,

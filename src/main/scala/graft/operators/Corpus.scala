@@ -193,6 +193,65 @@ object Corpus {
     df.filter(score > lit(hi)).unionByName(boundary)
   }
 
+  /** CCNet-style corpus-wide LINE dedup (Wenzek et al. 2020 §4.1:
+    * hash each paragraph/line, keep only first occurrences — removes
+    * boilerplate headers/footers/cookie banners that repeat across
+    * crawled pages BEFORE any doc-level dedup sees them). A line
+    * occurrence survives iff it is the corpus-wide FIRST occurrence
+    * of that line — "first" = minimum `(doc_id, position)`,
+    * deterministic — or an empty line (kept as document structure).
+    * Returns the input columns plus `outCol` (the rebuilt text,
+    * surviving lines joined in original order) and
+    * `n_lines`/`n_removed` counts.
+    *
+    * Scale shape: posexplode is map-side; the first-occurrence winner
+    * per line is ONE combinable hash aggregate (`min(struct(id,
+    * pos))` — struct min is partial-aggregable, so what shuffles is
+    * (line-key, partial winner), never occurrence lists); the
+    * keep-decision join and the per-doc reassembly shuffle on
+    * line-key and doc id respectively, both AQE-sized. Lines join on
+    * `md5(line)` — constant-width keys instead of arbitrary-length
+    * boilerplate strings crossing the shuffle (128-bit: collisions
+    * negligible at any corpus size, same contract as fingerprint
+    * dedup). Reassembly is `collect_list` per DOCUMENT — bounded by
+    * one document's line count, never corpus-scale. No windows. */
+  def dedupLines(
+      df: DataFrame, idCol: String, textCol: String,
+      outCol: String = "text_deduped"): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("_did"), col(textCol).as("_t"))
+      .filter(col("_t").isNotNull)
+      .select(col("_did"), posexplode(split(col("_t"), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_k", md5(col("_line")))
+    val winners = lines
+      .filter(length(col("_line")) > 0)
+      .groupBy(col("_k"))
+      .agg(min(struct(col("_did"), col("_pos"))).as("_w"))
+    val kept = lines
+      .join(winners, Seq("_k"), "left")
+      .filter(length(col("_line")) === 0 ||
+        (col("_w._did") === col("_did") && col("_w._pos") === col("_pos")))
+    val rebuilt = kept
+      .groupBy(col("_did"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            s => s.getField("_line")),
+          "\n").as(outCol),
+        count(lit(1)).as("_kept"))
+    df.join(rebuilt, col(idCol) === col("_did"), "left")
+      .withColumn("n_lines",
+        when(col(textCol).isNull, lit(null).cast(IntegerType))
+          .otherwise(size(split(col(textCol), "\n"))))
+      .withColumn("n_removed",
+        when(col(textCol).isNull, lit(null).cast(IntegerType))
+          .otherwise(col("n_lines") - coalesce(col("_kept"), lit(0L)).cast(IntegerType)))
+      .withColumn(outCol,
+        when(col(textCol).isNull, lit(null).cast(StringType))
+          .otherwise(coalesce(col(outCol), lit(""))))
+      .drop("_did", "_kept")
+  }
+
   /** Data mixing by per-stratum rates: every `everyBy(stratum)`-th
     * row of each stratum in `orderCol` order (strata absent from the
     * map use `defaultEvery`) — the deterministic, SQL-expressible way

@@ -316,6 +316,40 @@ class CorpusSpec extends SparkSpec {
       tied, "score", "n_tokens", "id", 95L, bins = 4, exactTrimRows = 1L)) === exactTied)
   }
 
+  test("dedupLines: corpus-wide first occurrence wins, empties survive, counts exact") {
+    val df = Seq(
+      (1L, "COOKIE BANNER\nunique first doc\n\nshared footer"),
+      (2L, "COOKIE BANNER\nunique second doc\n\nshared footer"),
+      (3L, "repeated inside\nrepeated inside\nown line"),
+      (4L, ""),                            // one empty line, kept
+      (5L, null.asInstanceOf[String]),
+      (6L, "COOKIE BANNER")                // nothing else left → empty doc
+    ).toDF("id", "text")
+    val got = Corpus.dedupLines(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("text_deduped")),
+          Option(r.getAs[Any]("n_lines")), Option(r.getAs[Any]("n_removed"))))).toMap
+    // doc 1 is first everywhere: intact
+    assert(got(1L)._1 === Some("COOKIE BANNER\nunique first doc\n\nshared footer"))
+    assert(got(1L)._3 === Some(0))
+    // doc 2 loses banner + footer, keeps its unique line and the empty
+    assert(got(2L)._1 === Some("unique second doc\n"))
+    assert(got(2L)._2 === Some(4))
+    assert(got(2L)._3 === Some(2))
+    // in-doc repetition: second copy removed
+    assert(got(3L)._1 === Some("repeated inside\nown line"))
+    assert(got(3L)._3 === Some(1))
+    // empty text = one empty line, untouched
+    assert(got(4L)._1 === Some(""))
+    assert(got(4L)._2 === Some(1))
+    assert(got(4L)._3 === Some(0))
+    // null text → null through
+    assert(got(5L)._1 === None && got(5L)._2 === None)
+    // all lines removed → empty string, not null
+    assert(got(6L)._1 === Some(""))
+    assert(got(6L)._3 === Some(1))
+  }
+
   test("mixSystematic applies per-stratum rates with a default") {
     val df = spark.range(60).selectExpr("id", "case when id % 2 = 0 then 'a' else 'b' end as s")
     val got = Corpus.mixSystematic(df, "s", "id", Map("a" -> 3), defaultEvery = 5)
