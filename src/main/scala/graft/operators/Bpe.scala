@@ -182,6 +182,28 @@ object Bpe {
   def tokenCount(c: Column, merges: Seq[(String, String)]): Column =
     size(filter(encode(c, merges), t => t =!= "</w>"))
 
+  /** Persist a trained merge list as a tiny parquet artifact
+    * `(rank, a, b)` — the vocabulary hand-off between the training
+    * job and every later encode job (the file a tokenizer release
+    * ships). Vocab-sized, not corpus-sized: a 32k-merge list is a few
+    * hundred KB. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge list saved by [[saveMerges]], application order
+    * restored from `rank`. The collect is vocab-sized by contract
+    * (same class as the PQ codebook / k-means centroid driver state). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Train `numMerges` BPE merges over a corpus column. Deterministic:
     * pair-count ties break lexicographically on the pair. Returns the
     * merge list in application order. Rounds run over the vocab

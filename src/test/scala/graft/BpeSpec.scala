@@ -102,6 +102,23 @@ class BpeSpec extends SparkSpec {
     assert(run(big)(1L).head === "the</w>")
   }
 
+  test("merge list round-trips through the parquet vocabulary artifact") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = Bpe.trainMerges(df, "text", numMerges = 4)
+    val path = java.nio.file.Files.createTempDirectory("bpe_vocab").toString + "/v"
+    Bpe.saveMerges(spark, merges, path)
+    val loaded = Bpe.loadMerges(spark, path)
+    assert(loaded === merges) // rank order restored exactly
+    // an encode job using the artifact matches one using the in-memory list
+    val docs = Seq((1L, "newest widest lowest")).toDF("id", "text")
+    val a = Bpe.encodeDocs(docs, "text", merges, "e").select($"e").head().getSeq[String](0)
+    val b = Bpe.encodeDocs(docs, "text", loaded, "e").select($"e").head().getSeq[String](0)
+    assert(a === b)
+    assert(a.contains("est</w>"))
+  }
+
   test("doc-level application equals per-word application") {
     val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "</w>"))
     val docs = Seq((1L, "low lower slow")).toDF("id", "text")
