@@ -1382,6 +1382,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // LM quality scoring under the gate: a bigram model trained on the
+    // EVEN documents scores the ODD ones (cross-split, so OOV bigrams
+    // actually occur). The integer columns — bigram/hit/OOV counts and
+    // summed training counts — cross the hash; the ln-based ll/ppl are
+    // spec'd against driver math (ln is not engine-identical, the q58
+    // lesson).
+    "q84_lm_score" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val model = Corpus.bigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+      Corpus.lmScore(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("n_hit"),
+          col("n_oov"), col("sum_c12"))
+        .orderBy(col("doc_id"))
+    },
+
     // CCNet-style corpus-wide line dedup under the gate: both engines
     // build the same multi-line docs from `part` (a universal
     // boilerplate header, a mostly-unique name line, brand/type lines
@@ -2551,6 +2566,25 @@ object SparkEntry {
         |  from q)
         |select doc_id, quality, n_tokens from c where cum < 5000
         |order by doc_id""".stripMargin,
+
+    "q84_lm_score" ->
+      s"""with n as (select doc_id, $OracleNorm as norm from documents),
+        |t as (select doc_id, string_split(norm, ' ') as w from n where length(norm) > 0),
+        |b as (select doc_id, w[i] as w1, w[i + 1] as w2
+        |  from (select doc_id, w, unnest(range(1, len(w))) as i from t)),
+        |m as (select w1, w2, count(*) as cnt from b where doc_id % 2 = 0 group by 1, 2),
+        |s as (select b.doc_id,
+        |    count(*) as n_bigrams,
+        |    sum(case when m.cnt is not null then 1 else 0 end) as n_hit,
+        |    sum(case when m.cnt is null then 1 else 0 end) as n_oov,
+        |    sum(coalesce(m.cnt, 0)) as sum_c12
+        |  from b left join m on b.w1 = m.w1 and b.w2 = m.w2
+        |  where b.doc_id % 2 = 1
+        |  group by 1)
+        |select doc_id, cast(n_bigrams as bigint) as n_bigrams,
+        |  cast(n_hit as bigint) as n_hit, cast(n_oov as bigint) as n_oov,
+        |  cast(sum_c12 as bigint) as sum_c12
+        |from s order by doc_id""".stripMargin,
 
     "q83_line_dedup" ->
       """with t as (select p_partkey,

@@ -193,6 +193,77 @@ object Corpus {
     df.filter(score > lit(hi)).unionByName(boundary)
   }
 
+  /** Bigram language-model counts `(w1, w2, cnt)` over consecutive
+    * token pairs of the normalized text — the trainable half of the
+    * CCNet-style LM quality filter (Wenzek et al. 2020 §4.3 scores
+    * documents with an LM trained on a clean corpus; an in-Spark
+    * bigram model with add-k smoothing is that signal's shape without
+    * shipping a pretrained artifact). One combinable hash aggregate
+    * over the exploded pairs; model size is vocab², in practice
+    * vocab-bounded like the TF table. */
+  def bigramModel(df: DataFrame, textCol: String): DataFrame =
+    df.select(Text.normalized(col(textCol)).as("_n"))
+      .select(Text.tokens(col("_n")).as("_toks"))
+      .select(explode(Dedup.shinglesFromTokens(col("_toks"), 2)).as("_g"))
+      .select(split(col("_g"), " ").as("_p"))
+      .select(col("_p").getItem(0).as("w1"), col("_p").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+
+  /** Score documents against a [[bigramModel]]: per doc the bigram
+    * hit/OOV counts, summed training counts, add-k log-likelihood and
+    * perplexity — P(w2|w1) = (c(w1,w2)+k)/(c(w1)+k·V), ppl =
+    * exp(−ll/n). High perplexity under a clean-corpus model flags the
+    * junk that length/stopword signals miss.
+    *
+    * Scale shape: doc bigrams explode map-side; the model (and its
+    * derived context totals) joins BROADCAST by default — a real
+    * vocabulary's bigram table fits executor memory; set
+    * `broadcastModel=false` to flip both joins to shuffle joins keyed
+    * on the tokens for pathologically large models. Per-doc results
+    * are one combinable aggregate. `V` (vocabulary size for
+    * smoothing) is one scalar action over the model unless supplied.
+    *
+    * Gate note: the integer columns (`n_bigrams`/`n_hit`/`n_oov`/
+    * `sum_c12`) are hash-gateable cross-engine; `ll`/`ppl` involve
+    * `ln`, which is NOT correctly rounded identically across engines
+    * (the q58 lesson) — they are spec'd against driver math instead.
+    * Documents with fewer than two tokens have no bigrams and emit no
+    * row (callers left-join and treat absent as unscoreable). */
+  def lmScore(
+      docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
+      k: Double = 1.0, vocabSize: Option[Long] = None,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(k > 0, s"smoothing k must be > 0, got $k")
+    val v = vocabSize.getOrElse(
+      model.select(col("w1").as("w")).union(model.select(col("w2").as("w")))
+        .distinct().count())
+    val contexts = model.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
+    val (m, u) =
+      if (broadcastModel) (broadcast(model), broadcast(contexts))
+      else (model, contexts)
+    val pairs = docs
+      .select(col(idCol).as("id"), Text.normalized(col(textCol)).as("_n"))
+      .select(col("id"), Text.tokens(col("_n")).as("_toks"))
+      .select(col("id"), explode(Dedup.shinglesFromTokens(col("_toks"), 2)).as("_g"))
+      .select(col("id"), split(col("_g"), " ").as("_p"))
+      .select(col("id"), col("_p").getItem(0).as("w1"), col("_p").getItem(1).as("w2"))
+    val scored = pairs
+      .join(m, Seq("w1", "w2"), "left")
+      .join(u, Seq("w1"), "left")
+      .select(col("id"), col("cnt"),
+        ((coalesce(col("cnt"), lit(0L)).cast(DoubleType) + lit(k)) /
+          (coalesce(col("c1"), lit(0L)).cast(DoubleType) + lit(k * v))).as("_p"))
+    scored.groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("cnt"), lit(0L))).as("sum_c12"),
+        sum(log(col("_p"))).as("ll"))
+      .withColumn("ppl",
+        exp(-col("ll") / col("n_bigrams").cast(DoubleType)))
+  }
+
   /** CCNet-style corpus-wide LINE dedup (Wenzek et al. 2020 §4.1:
     * hash each paragraph/line, keep only first occurrences — removes
     * boilerplate headers/footers/cookie banners that repeat across

@@ -316,6 +316,50 @@ class CorpusSpec extends SparkSpec {
       tied, "score", "n_tokens", "id", 95L, bins = 4, exactTrimRows = 1L)) === exactTied)
   }
 
+  test("bigram LM: counts exact, perplexity matches driver math, junk scores high") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat saw the dog")
+    ).toDF("id", "text")
+    val model = Corpus.bigramModel(train, "text")
+    val m = model.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("the", "cat")) === 2L)
+    assert(m(("sat", "on")) === 2L)
+    assert(m(("on", "the")) === 2L)
+    // score: one fluent doc, one word-salad doc, one single-token doc
+    val docs = Seq(
+      (10L, "the cat sat on the floor"),
+      (11L, "rug the on mat dog zzz"),
+      (12L, "the")
+    ).toDF("id", "text")
+    val got = Corpus.lmScore(docs, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // driver math for doc 10: V = distinct tokens in model
+    val vocab = m.keys.flatMap(p => Seq(p._1, p._2)).toSet
+    val v = vocab.size.toLong
+    val c1 = m.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val bi10 = Seq(("the", "cat"), ("cat", "sat"), ("sat", "on"), ("on", "the"), ("the", "floor"))
+    val ll10 = bi10.map { p =>
+      math.log((m.getOrElse(p, 0L) + 1.0) / (c1.getOrElse(p._1, 0L) + v.toDouble))
+    }.sum
+    assert(got(10L).getAs[Long]("n_bigrams") === 5L)
+    assert(got(10L).getAs[Long]("n_oov") === 1L) // (the, floor) unseen
+    assert(math.abs(got(10L).getAs[Double]("ll") - ll10) < 1e-12)
+    assert(math.abs(got(10L).getAs[Double]("ppl") - math.exp(-ll10 / 5)) < 1e-12)
+    // word salad: all-OOV, perplexity strictly higher
+    assert(got(11L).getAs[Long]("n_oov") === 5L)
+    assert(got(11L).getAs[Double]("ppl") > got(10L).getAs[Double]("ppl"))
+    // single-token doc: no bigrams → no row
+    assert(!got.contains(12L))
+    // the shuffle-join path agrees with the broadcast path
+    val shuffled = Corpus.lmScore(docs, "id", "text", model, broadcastModel = false)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    assert(math.abs(shuffled(10L) - got(10L).getAs[Double]("ppl")) < 1e-12)
+    intercept[IllegalArgumentException](
+      Corpus.lmScore(docs, "id", "text", model, k = 0.0))
+  }
+
   test("dedupLines: corpus-wide first occurrence wins, empties survive, counts exact") {
     val df = Seq(
       (1L, "COOKIE BANNER\nunique first doc\n\nshared footer"),
