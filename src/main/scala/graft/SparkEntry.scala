@@ -1382,6 +1382,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Exact-substring dedup as a transformation: cut every token
+    // covered by a duplicated 3-token window except the corpus-wide
+    // first occurrence of that window — rebuilt token stream and
+    // removal counts cross the hash.
+    "q85_span_removal" -> { (s, dir) =>
+      // the twin's token CTE can't express Spark's empty-text → []
+      // guard, so both sides restrict to docs with non-empty
+      // normalized text (all of them, in this fixture)
+      Dedup.removeDuplicatedSpans(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+            .filter(length(Text.normalized(col("text"))) > 0),
+          "doc_id", "text", w = 3)
+        .select(col("doc_id"), col("text_despanned"),
+          col("n_tokens").cast(LongType).as("n_tokens"),
+          col("n_removed_tokens").cast(LongType).as("n_removed_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // LM quality scoring under the gate: a bigram model trained on the
     // EVEN documents scores the ODD ones (cross-split, so OOV bigrams
     // actually occur). The integer columns — bigram/hit/OOV counts and
@@ -2566,6 +2584,32 @@ object SparkEntry {
         |  from q)
         |select doc_id, quality, n_tokens from c where cum < 5000
         |order by doc_id""".stripMargin,
+
+    "q85_span_removal" ->
+      s"""with d as (select doc_id, string_split($OracleNorm, ' ') as w,
+        |    len(string_split($OracleNorm, ' ')) as nt from documents
+        |  where length($OracleNorm) > 0),
+        |x as (select doc_id, w, nt,
+        |    unnest(range(1, greatest(nt-3+1, 0)+1)) as i from d),
+        |g as (select doc_id, i - 1 as pos,
+        |    array_to_string(list_slice(w, i, i+2), ' ') as gram from x),
+        |c as (select gram, min(doc_id*1000000 + pos) as wk
+        |  from g group by 1 having count(*) >= 2),
+        |nf as (select g.doc_id, g.pos from g join c using (gram)
+        |  where g.doc_id*1000000 + g.pos <> c.wk),
+        |cov as (select distinct doc_id, unnest(range(pos, pos+3)) as cp from nf),
+        |tk as (select doc_id, i - 1 as tp, w[i] as tok
+        |  from (select doc_id, w, unnest(range(1, len(w)+1)) as i from d)),
+        |kp as (select tk.doc_id, tk.tp, tk.tok from tk
+        |  left join cov on tk.doc_id = cov.doc_id and tk.tp = cov.cp
+        |  where cov.cp is null),
+        |r as (select doc_id, string_agg(tok, ' ' order by tp) as text_despanned,
+        |    count(*) as kept from kp group by 1)
+        |select d.doc_id, coalesce(r.text_despanned, '') as text_despanned,
+        |  cast(d.nt as bigint) as n_tokens,
+        |  cast(d.nt - coalesce(r.kept, 0) as bigint) as n_removed_tokens
+        |from d left join r using (doc_id)
+        |order by d.doc_id""".stripMargin,
 
     "q84_lm_score" ->
       s"""with n as (select doc_id, $OracleNorm as norm from documents),

@@ -640,4 +640,69 @@ object Dedup {
         (col("dup_tokens").cast(DoubleType) /
           greatest(col("n_tokens"), lit(1)).cast(DoubleType)).as("dup_token_frac"))
   }
+
+  /** Exact-substring dedup as a TRANSFORMATION (the removal step Lee
+    * et al. 2022 actually apply, completing [[duplicatedSpans]]'
+    * signal): every token covered by a duplicated w-token window is
+    * cut — EXCEPT the corpus-wide FIRST occurrence of each window
+    * (min `(doc, pos)`, the [[graft.operators.Corpus.dedupLines]]
+    * winner rule lifted to overlapping spans), so a copy of each
+    * repeated passage survives where it first appeared. Overlapping
+    * duplicated windows union their coverage — under SELF-overlapping
+    * runs ("m m m m m m") later windows' coverage clips the first
+    * copy's tail down to its uncovered prefix, the safe direction for
+    * dedup (over-removal of degenerate repetition, never
+    * under-removal). A doc that is entirely someone else's text
+    * empties. Output text is the SPACE-JOINED SURVIVING TOKENS of the
+    * normalized stream (the form training consumes) — not the raw
+    * original; counts report `n_tokens`/`n_removed_tokens`. Docs with
+    * null text pass null through.
+    *
+    * Scale shape, mirroring the signal operator: one census hash agg
+    * now also carries the first-occurrence winner (`min(struct)` —
+    * combinable) and its `HAVING ≥ minCount` prunes the unique tail
+    * before anything re-joins; coverage expansion is `sequence(pos,
+    * pos+w-1)` on duplicated NON-FIRST occurrences only (w-bounded,
+    * map-side) followed by a distinct and an anti-join keyed (id,
+    * position); reassembly is per-doc collect_list, bounded by one
+    * document. No global windows. */
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, minCount: Long = 2L, outCol: String = "text_despanned"): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val toks = df
+      .select(col(idCol).as("_did"), Text.normalized(col(textCol)).as("_n"))
+      .filter(col("_n").isNotNull)
+      .select(col("_did"), Text.tokens(col("_n")).as("_toks"))
+    val grams = toks
+      .select(col("_did"), posexplode(shinglesFromTokens(col("_toks"), w)).as(Seq("_pos", "_gram")))
+    val census = grams.groupBy(col("_gram"))
+      .agg(count(lit(1)).as("_gc"), min(struct(col("_did"), col("_pos"))).as("_w1"))
+      .filter(col("_gc") >= minCount)
+      .select(col("_gram"), col("_w1"))
+    val covered = grams.join(census, Seq("_gram"))
+      .filter(!(col("_w1._did") === col("_did") && col("_w1._pos") === col("_pos")))
+      .select(col("_did"), explode(sequence(col("_pos"), col("_pos") + lit(w - 1))).as("_cp"))
+      .distinct()
+    val kept = toks
+      .select(col("_did"), posexplode(col("_toks")).as(Seq("_tp", "_tok")))
+      .join(covered.withColumnRenamed("_did", "_cdid"),
+        col("_did") === col("_cdid") && col("_tp") === col("_cp"), "left_anti")
+    val rebuilt = kept.groupBy(col("_did"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_tp"), col("_tok")))),
+            s => s.getField("_tok")),
+          " ").as(outCol),
+        count(lit(1)).as("_kept"))
+    val counts = toks.select(col("_did"), size(col("_toks")).as("n_tokens"))
+    df.join(
+        counts.join(rebuilt, Seq("_did"), "left")
+          .select(col("_did"), col("n_tokens"),
+            coalesce(col(outCol), lit("")).as(outCol),
+            (col("n_tokens") - coalesce(col("_kept"), lit(0L)).cast(IntegerType))
+              .as("n_removed_tokens")),
+        col(idCol) === col("_did"), "left")
+      .drop("_did")
+  }
 }

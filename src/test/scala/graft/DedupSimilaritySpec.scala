@@ -527,6 +527,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("removeDuplicatedSpans: first copy survives, later copies cut, counts exact") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),  // owns the first "c d e"/"d e f" windows
+      (2L, "x y c d e f q r"),  // later copy: the shared run is cut
+      (3L, "m m m m m m"),      // self-overlapping run: clipped to its prefix
+      (4L, "p q r s t u"),      // clean: intact
+      (5L, ""),                 // empty: zero tokens, nothing removed
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.removeDuplicatedSpans(df, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("text_despanned")),
+          Option(r.getAs[Any]("n_tokens")), Option(r.getAs[Any]("n_removed_tokens"))))).toMap
+    assert(got(1L) === ((Some("a b c d e f g h"), Some(8), Some(0))))
+    assert(got(2L) === ((Some("x y q r"), Some(8), Some(4))))
+    // all 4 "m m m" windows duplicate; non-first cover positions 1..5
+    assert(got(3L) === ((Some("m"), Some(6), Some(5))))
+    assert(got(4L) === ((Some("p q r s t u"), Some(6), Some(0))))
+    assert(got(5L) === ((Some(""), Some(0), Some(0))))
+    assert(got(6L)._1 === None && got(6L)._2 === None)
+  }
+
   test("PQ: codes bounded, trained ADC shortlists true neighbors, exact codebook bit-exact") {
     val e = Tables(spark, sf, "embeddings").cache()
     val q = e.filter($"vec_id" === 7).select("embedding").collect()(0).getSeq[Float](0).toArray
