@@ -1382,6 +1382,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // SemDeDup under the gate: embeddings ∪ planted exact-scaled
+    // copies (×2 per element — float-exact, cosine exactly 1.0 with
+    // the original), clustered on the first four embedding vectors as
+    // fixed centroids (a gate device like q69's codebook — training
+    // is spec'd separately); every planted copy must land in its
+    // original's cluster and lose to the lower id. Cluster + keep
+    // decisions cross the hash.
+    "q86_semdedup" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val planted = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val union = e.select(col("vec_id"), col("embedding")).unionByName(planted)
+      val cents = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+      Similarity.semDedup(union, "vec_id", "embedding", cents, threshold = 0.999)
+        .orderBy(col("vec_id"))
+    },
+
     // Exact-substring dedup as a transformation: cut every token
     // covered by a duplicated 3-token window except the corpus-wide
     // first occurrence of that window — rebuilt token stream and
@@ -2584,6 +2603,35 @@ object SparkEntry {
         |  from q)
         |select doc_id, quality, n_tokens from c where cum < 5000
         |order by doc_id""".stripMargin,
+
+    "q86_semdedup" ->
+      """with u as (
+        |  select vec_id, embedding from embeddings
+        |  union all
+        |  select vec_id + 100000, list_transform(embedding, x -> cast(x * 2 as real))
+        |  from embeddings where vec_id < 50),
+        |c as (select vec_id as cell, embedding as cvec from embeddings where vec_id < 4),
+        |sc as (select u.vec_id, u.embedding, c.cell,
+        |    list_sum(list_transform(list_zip(u.embedding, c.cvec),
+        |      p -> cast(p[1] as double) * cast(p[2] as double))) as s
+        |  from u cross join c),
+        |asg as (select vec_id, embedding, cell from (
+        |    select vec_id, embedding, cell,
+        |      row_number() over (partition by vec_id order by s desc, cell asc) as rn
+        |    from sc) where rn = 1),
+        |p as (select b.vec_id as idb
+        |  from asg a join asg b on a.cell = b.cell and a.vec_id < b.vec_id
+        |  where list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> cast(p[1] as double) * cast(p[2] as double)))
+        |    / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+        |        p -> cast(p[1] as double) * cast(p[2] as double))))
+        |      * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+        |        p -> cast(p[1] as double) * cast(p[2] as double))))) >= 0.999),
+        |d as (select distinct idb from p)
+        |select asg.vec_id, cast(asg.cell as integer) as cell,
+        |  (d.idb is null) as is_kept
+        |from asg left join d on asg.vec_id = d.idb
+        |order by asg.vec_id""".stripMargin,
 
     "q85_span_removal" ->
       s"""with d as (select doc_id, string_split($OracleNorm, ' ') as w,

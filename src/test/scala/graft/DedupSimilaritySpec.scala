@@ -549,6 +549,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(6L)._1 === None && got(6L)._2 === None)
   }
 
+  test("semDedup: within-cluster prune keeps lowest id; guard trips; boundary blind spot stated") {
+    import graft.operators.Similarity
+    // two well-separated directions; c-vectors cluster with centroid 0,
+    // d-vectors with centroid 1
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val df = Seq(
+      (1L, Seq(10f, 1f, 0f, 0f)),   // cluster 0
+      (2L, Seq(20f, 2f, 0f, 0f)),   // exact multiple of 1 → cosine 1.0, dropped
+      (3L, Seq(9f, -1f, 0f, 0f)),   // cluster 0, not near-dup of 1
+      (4L, Seq(1f, 12f, 0f, 0f)),   // cluster 1
+      (5L, Seq(2f, 24f, 0f, 0f))    // multiple of 4 → dropped
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(df, "vec_id", "embedding", cents, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((0, true)))
+    assert(got(2L) === ((0, false)))
+    assert(got(3L)._2 === true)
+    assert(got(4L) === ((1, true)))
+    assert(got(5L) === ((1, false)))
+    // trained centroids compose: same decisions with learned clusters
+    val trained = Similarity.trainCentroids(df, "vec_id", "embedding", k = 2, iters = 3)
+    val got2 = Similarity.semDedup(df, "vec_id", "embedding", trained, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got2 === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> false))
+    // the documented blind spot: identical vectors ASSIGNED TO
+    // DIFFERENT clusters are never compared (SemDeDup's published
+    // limitation — the LSH path has no such boundary). A vector on the
+    // exact bisector tie-breaks to cluster 0; its copy nudged into
+    // cluster 1 survives despite cosine ≈ 1.
+    val split = Seq(
+      (10L, Seq(1f, 1f, 0f, 0f)),       // tie → cluster 0
+      (11L, Seq(0.999f, 1.001f, 0f, 0f)) // barely cluster 1, cosine ≈ 1 with 10
+    ).toDF("vec_id", "embedding")
+    val got3 = Similarity.semDedup(split, "vec_id", "embedding", cents, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got3(10L) === ((0, true)))
+    assert(got3(11L) === ((1, true))) // survives across the boundary
+    // quadratic-by-design guard: oversized cluster fails with the remedy
+    val e = intercept[IllegalArgumentException](
+      Similarity.semDedup(df, "vec_id", "embedding", cents,
+        threshold = 0.999, maxClusterSize = 2L).collect())
+    assert(e.getMessage.contains("raise the centroid count"))
+  }
+
   test("PQ: codes bounded, trained ADC shortlists true neighbors, exact codebook bit-exact") {
     val e = Tables(spark, sf, "embeddings").cache()
     val q = e.filter($"vec_id" === 7).select("embedding").collect()(0).getSeq[Float](0).toArray
