@@ -70,21 +70,34 @@ object Bench {
       name -> times(times.length / 2)
     }
     val wall = (System.nanoTime() - t0) / 1e9
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Full record (full query names, full float precision) goes to a
+    // file: the driver captures only a bounded 2000-char tail of
+    // stdout, and with 60+ queries the full JSON line exceeded it —
+    // every round artifact through r7 had `parsed: null` because the
+    // line's OPENING brace fell outside the tail window. A file
+    // survives any tail window.
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val ioFam = IoFamily.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","runs":$runs,"wall":$wall,"io_family":$ioFam}"""
-    println(json)
-    // ALSO write the line to a file: the driver captures a bounded tail
-    // of stdout, and with 60 queries the single JSON line exceeded it —
-    // BENCH_r04/r05 each lost five queries (q33 included) to clipping.
-    // A file survives any tail window.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+      s""""sf":"$sfDir","runs":$runs,"wall":$wall,"io_family":$ioFam}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+      (jsonFull + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
+    // Stdout gets a COMPACT line sized to fit the tail window: query
+    // names abbreviated to their unique qNN prefix, seconds rounded to
+    // 3 decimals (86 queries ≈ 1.4 KB < 2000-char tail minus sbt's
+    // trailing "[success]" line), plus a pointer to the full file.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    def r3(v: Double): String = f"$v%.3f"
+    val qsShort = results.map { case (k, v) => s"\"" + short(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val ioShort = IoFamily.toSeq.sorted.map(n => "\"" + short(n) + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,""" +
+      s""""sf":"$sfDir","runs":$runs,"wall":${r3(wall)},"io_family":$ioShort,"file":"$out"}""")
     spark.stop()
   }
 }

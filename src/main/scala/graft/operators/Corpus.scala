@@ -129,7 +129,7 @@ object Corpus {
   def selectByBudgetThreshold(
       df: DataFrame, scoreCol: String, tokensCol: String, orderCol: String,
       budget: Long, bins: Int = 4096, exactTrimRows: Long = 1L << 16,
-      maxDepth: Int = 8): DataFrame = {
+      maxDepth: Int = 8, maxBoundaryRows: Long = 1L << 22): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(bins >= 2, s"bins must be >= 2, got $bins")
     if (budget == 0) return df.filter(lit(false))
@@ -183,6 +183,18 @@ object Corpus {
     // score > hi  → kept outright (token mass `above` < budget fits);
     // score < lo  → dropped (cumulative before any such row >= budget);
     // [lo, hi]    → exact trim with the remaining budget, same ordering.
+    // The refinement can bottom out with an IRREDUCIBLE boundary — one
+    // tie-group score value, a subnormal interval, or maxDepth spent —
+    // and the cumulative window below runs UNPARTITIONED over exactly
+    // `cnt` rows. Fail loudly past the knob instead of silently handing
+    // one task an unbounded sort (the semDedup/maxClusterSize contract
+    // applied to the engine's last conditional window).
+    require(cnt <= maxBoundaryRows,
+      s"selectByBudgetThreshold: boundary score interval [$lo, $hi] still holds " +
+        s"$cnt rows (> maxBoundaryRows $maxBoundaryRows) after $depth refinement " +
+        "passes — a tie group or score coarseness the histogram cannot split. " +
+        "Add a finer-grained score (tiebreaker) or raise maxBoundaryRows only if " +
+        "one task can sort that many rows")
     val rest = budget - above
     val wspec = Window.orderBy(score.desc, col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)

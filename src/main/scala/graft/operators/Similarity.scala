@@ -598,26 +598,46 @@ object Similarity {
     * ~12k/cluster). `maxClusterSize` enforces that contract up
     * front: the size census is one combinable agg + a scalar action,
     * and an oversized cluster fails loudly with the remedy (raise k)
-    * instead of handing a reducer n² work. */
+    * instead of handing a reducer n² work.
+    *
+    * The assignment is PINNED (eager checkpoint) before the census:
+    * `assigned` feeds four downstream consumers (census, both sides
+    * of the quadratic self-join, the final keep-flag join), and
+    * without the pin Catalyst recomputes the rows × k argmax for each
+    * — 2–4× the dominant scan. `checkpointDir` selects reliable
+    * checkpointing for executor-loss-tolerant runs (the
+    * [[graft.operators.Dedup.duplicateClusters]] contract); None →
+    * `localCheckpoint` (fast, fragile). */
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], threshold: Double,
-      maxClusterSize: Long = 1L << 17): DataFrame = {
+      maxClusterSize: Long = 1L << 17,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val spark = df.sparkSession
     import spark.implicits._
+    checkpointDir.foreach { dir =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(dir)
+    }
     val cdf = broadcast(
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toSeq.toDF("_cell", "_cvec"))
-    val assigned = df.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
+    val assigned0 = df.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
       .join(cdf)
       .select(col("_id"), col("_vec"),
         struct(dot(col("_vec"), col("_cvec")).as("_s"), (-col("_cell")).as("_nc")).as("_sc"))
       .groupBy(col("_id"), col("_vec"))
       .agg(max(col("_sc")).as("_w"))
       .select(col("_id"), col("_vec"), (-col("_w._nc")).as("cell"))
+    val assigned =
+      if (checkpointDir.isDefined) assigned0.checkpoint()
+      else assigned0.localCheckpoint()
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
-    val maxSize = sizes.agg(max(col("_n"))).collect()(0).getLong(0)
+    val maxRow = sizes.agg(max(col("_n"))).collect()(0)
+    // empty input → max(_n) is NULL; treat as 0 so the result is empty
+    // rather than an NPE out of getLong
+    val maxSize = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     require(maxSize <= maxClusterSize,
       s"semDedup: largest cluster has $maxSize vectors (> $maxClusterSize); " +
         "raise the centroid count k — within-cluster comparison is quadratic by design")

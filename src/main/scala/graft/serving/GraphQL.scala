@@ -58,7 +58,10 @@ import org.apache.spark.sql.types._
   * - aliases (r7): `key: field` on root fields (query one view twice
   *   under different conditions), on columns (same column under two
   *   response keys — the SQL projection just repeats it), and on
-  *   relation fields;
+  *   relation fields; (r8) also on columns INSIDE relation
+  *   selections, while connection-shape keys (nodes/edges/node/
+  *   cursor/pageInfo/totalCount and pageInfo's fields) reject an
+  *   alias with a ParseError instead of silently dropping it;
   * - relations: one level of nesting through an EXPLICIT registry
   *   ([[Relation]]) — Postgraphile derives these from foreign keys,
   *   which parquet tables don't carry, so the serving layer declares
@@ -84,9 +87,14 @@ object GraphQL {
       orderBy: Option[String],
       desc: Boolean,
       selections: Seq[String],
-      outputName: String = "") {
+      outputName: String = "",
+      outputs: Seq[String] = Nil) {
     /** Response key for the relation (alias when one was given). */
     def outName: String = if (outputName.isEmpty) field else outputName
+    /** Per-column response keys, parallel to `selections` — same
+      * contract as [[FieldQuery.outs]] (a column may repeat under two
+      * aliases; the projection stays positional). */
+    def outs: Seq[String] = if (outputs.isEmpty) selections else outputs
   }
 
   case class FieldQuery(
@@ -477,15 +485,18 @@ object GraphQL {
 
   private def toNested(s: Sel): NestedQuery = {
     checkArgNames(s, Set("condition", "first", "orderBy", "desc"))
-    val sels = s.children.map { c =>
+    // (column, response key) pairs — r7 kept only names here, so an
+    // alias inside a relation was silently rendered under the COLUMN
+    // name; keys now thread through exactly like FieldQuery.outs
+    val pairs = s.children.map { c =>
       if (c.children.nonEmpty)
         throw ParseError(s"${s.name}.${c.name}: relations nest one level only")
-      c.name
-    }
-    if (sels.isEmpty) throw ParseError(s"${s.name}: empty selection set")
+      (c.name, c.out)
+    }.distinct
+    if (pairs.isEmpty) throw ParseError(s"${s.name}: empty selection set")
     NestedQuery(s.name, argCondition(s.args), argLong(s.args, "first"),
-      argStr(s.args, "orderBy"), argBool(s.args, "desc"), sels.distinct,
-      outputName = s.out)
+      argStr(s.args, "orderBy"), argBool(s.args, "desc"), pairs.map(_._1),
+      outputName = s.out, outputs = pairs.map(_._2))
   }
 
   private def toFieldQuery(s: Sel): FieldQuery = {
@@ -500,21 +511,33 @@ object GraphQL {
       if (c.children.nonEmpty) throw ParseError(s"$ctx.${c.name}: expected a scalar field")
       if (!cols.contains((c.name, c.out))) cols += ((c.name, c.out))
     }
+    // connection-shape fields render under fixed keys; an alias there
+    // would be silently dropped, so reject it loudly (r7 accepted and
+    // ignored it — wrong response keys with no error)
+    def noAlias(sel: Sel, ctx: String): Unit = sel.alias.foreach { a =>
+      throw ParseError(s"$ctx: alias '$a' is not supported here " +
+        "(aliases apply to data fields and relations)")
+    }
     s.children.foreach {
-      case Sel("totalCount", _, Nil) => () // always emitted
-      case Sel("nodes", _, kids) if kids.nonEmpty => addCols(kids, "nodes")
-      case Sel("edges", _, kids) if kids.nonEmpty =>
+      case c @ Sel("totalCount", _, Nil) => noAlias(c, "totalCount")
+      case c @ Sel("nodes", _, kids) if kids.nonEmpty =>
+        noAlias(c, "nodes"); addCols(kids, "nodes")
+      case c @ Sel("edges", _, kids) if kids.nonEmpty =>
+        noAlias(c, "edges")
         wantEdges = true
         kids.foreach {
-          case Sel("cursor", _, Nil) => ()
-          case Sel("node", _, nodeKids) if nodeKids.nonEmpty => addCols(nodeKids, "node")
+          case k @ Sel("cursor", _, Nil) => noAlias(k, "edges.cursor")
+          case k @ Sel("node", _, nodeKids) if nodeKids.nonEmpty =>
+            noAlias(k, "edges.node"); addCols(nodeKids, "node")
           case other => throw ParseError(
             s"edges.${other.name}: expected 'cursor' or 'node { … }'")
         }
-      case Sel("pageInfo", _, kids) if kids.nonEmpty =>
+      case c @ Sel("pageInfo", _, kids) if kids.nonEmpty =>
+        noAlias(c, "pageInfo")
         kids.foreach { k =>
           if (k.children.nonEmpty || !PageInfoFields.contains(k.name))
             throw ParseError(s"pageInfo.${k.name}: expected one of ${PageInfoFields.mkString(", ")}")
+          noAlias(k, s"pageInfo.${k.name}")
         }
         pageInfo = kids.map(_.name)
       case c if c.children.nonEmpty => nested += toNested(c)
@@ -646,14 +669,18 @@ object GraphQL {
     n.first.foreach(x => if (x < 0) throw ParseError(s"first: must be non-negative, got $x"))
     val childFirst = math.min(n.first.getOrElse(defaultFirst), maxFirst)
     val key = checkCol(rel.childKey)
-    val sels = n.selections.map(checkCol).mkString(", ")
+    // positional inner aliases: a column selected twice (two response
+    // aliases) would make the bare name ambiguous in the outer select
+    val selsInner = n.selections.zipWithIndex
+      .map { case (c, i) => s"${checkCol(c)} as __c$i" }.mkString(", ")
+    val selsOuter = n.selections.indices.map(i => s"__c$i").mkString(", ")
     val ord = n.orderBy.map(c => checkCol(c) + (if (n.desc) " desc" else "")).getOrElse(key)
     val inList = parentKeys.map(sqlLiteral).mkString(", ")
     val keyFilter = s" where $key in ($inList)"
     val conds = whereClause(n.condition, checkCol)
       .replaceFirst("^ where ", " and ") // appended after the IN-list filter
-    s"""select __k, $sels from (
-       |  select $key as __k, $sels,
+    s"""select __k, $selsOuter from (
+       |  select $key as __k, $selsInner,
        |    row_number() over (partition by $key order by $ord) as __rn
        |  from `${rel.childView}`$keyFilter$conds
        |) where __rn <= $childFirst""".stripMargin
@@ -885,8 +912,9 @@ object GraphQL {
         val arr = o.putArray(n.outName)
         grouped.getOrElse(r.get(keyIdx(rel.parentKey)), Seq.empty).foreach { cr =>
           val co = arr.addObject()
-          // child row layout: __k at 0, selections from 1
-          n.selections.zipWithIndex.foreach { case (name, i) => putValue(co, name, cr.get(i + 1)) }
+          // child row layout: __k at 0, selections from 1; keys are the
+          // response names (aliases when given), positions the columns
+          n.outs.zipWithIndex.foreach { case (name, i) => putValue(co, name, cr.get(i + 1)) }
         }
       }
     }

@@ -93,10 +93,13 @@ object Subscriptions {
             .map(e => graft.operators.EventViews.project(batch, e))
             .getOrElse(batch.limit(0))
         // one render (one Spark job) per DISTINCT predicate: condition,
-        // selections and effective cap fully determine the event, so
-        // subscribers sharing them share the rendered string
+        // selections, response keys and effective cap fully determine
+        // the event, so subscribers sharing them share the rendered
+        // string (aliases are part of the key — two subscribers
+        // differing only in response keys must not share a render)
         viewSubs.groupBy(s =>
-            (s.field.condition, s.field.selections, effectiveCap(s.field)))
+            (s.field.condition, s.field.selections, s.field.outs,
+              s.field.outName, effectiveCap(s.field)))
           .foreach { case (_, group) =>
             try {
               val ev = render(projected, group.head.field, view)
@@ -134,11 +137,13 @@ object Subscriptions {
       if (rows.isEmpty) return None
       val root = mapper.createObjectNode()
       val data = root.putObject("data")
-      val conn = data.putObject(view)
+      // response keys are alias-aware (outName/outs), positions map to
+      // the selections projection — same contract as the HTTP surface
+      val conn = data.putObject(f.outName)
       val nodes = conn.putArray("nodes")
       rows.take(cap).foreach { r =>
         val o = nodes.addObject()
-        f.selections.zipWithIndex.foreach { case (name, i) =>
+        f.outs.zipWithIndex.foreach { case (name, i) =>
           GraphQL.putValueOn(o, name, r.get(i))
         }
       }

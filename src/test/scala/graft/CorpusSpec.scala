@@ -316,6 +316,26 @@ class CorpusSpec extends SparkSpec {
       tied, "score", "n_tokens", "id", 95L, bins = 4, exactTrimRows = 1L)) === exactTied)
   }
 
+  test("selectByBudgetThreshold fails loudly when the boundary set exceeds maxBoundaryRows") {
+    // all-one-score corpus: the histogram cannot split the tie group
+    // (lo == hi immediately), so the boundary set is the whole input —
+    // with the knob below it, the guard must trip instead of silently
+    // running the unpartitioned cumulative window over all rows
+    val tied = (1L to 100L).map(i => (i, 1.0, 10L)).toDF("id", "score", "n_tokens")
+    val e = intercept[IllegalArgumentException](
+      Corpus.selectByBudgetThreshold(tied, "score", "n_tokens", "id", 95L,
+        bins = 4, exactTrimRows = 1L, maxBoundaryRows = 10L).collect())
+    assert(e.getMessage.contains("maxBoundaryRows"))
+    assert(e.getMessage.contains("tie group"))
+    // and a splittable corpus with the same knob refines below it fine
+    val spread = (1L to 100L).map(i => (i, i.toDouble, 10L)).toDF("id", "score", "n_tokens")
+    val got = Corpus.selectByBudgetThreshold(spread, "score", "n_tokens", "id", 95L,
+      bins = 16, exactTrimRows = 4L, maxBoundaryRows = 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Corpus.selectByBudget(spread, "score", "n_tokens", "id", 95L)
+      .collect().map(_.getLong(0)).toSet)
+  }
+
   test("bigram LM: counts exact, perplexity matches driver math, junk scores high") {
     val train = Seq(
       (1L, "the cat sat on the mat"),

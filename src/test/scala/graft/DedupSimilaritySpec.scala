@@ -593,6 +593,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("raise the centroid count"))
   }
 
+  test("semDedup: empty input returns empty; assignment pinned once; reliable dir writes files") {
+    import graft.operators.Similarity
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    // empty input: max(_n) aggregates to NULL — must come back empty,
+    // not NPE out of getLong (r7 advisor finding)
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(empty, "vec_id", "embedding", cents, 0.999).count() === 0L)
+    // the assignment is pinned before the census: every consumer plan
+    // reads the checkpointed RDD, so the rows × k argmax (the centroid
+    // join) appears NOWHERE in the result's optimized plan — without
+    // the pin it ran 2–4× (census + both self-join sides + keep join)
+    val df = Seq(
+      (1L, Seq(10f, 1f, 0f, 0f)), (2L, Seq(20f, 2f, 0f, 0f)),
+      (4L, Seq(1f, 12f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(df, "vec_id", "embedding", cents, 0.999)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("_cvec"), s"argmax re-planned downstream of the pin:\n${plan.take(2000)}")
+    assert(plan.contains("LogicalRDD"), plan.take(2000))
+    assert(got.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap ===
+      Map(1L -> true, 2L -> false, 4L -> true))
+    // reliable-checkpoint mode: same decisions, and the session's
+    // EFFECTIVE checkpoint dir (ours, or one a prior suite already
+    // claimed — the setter is first-wins on the shared session) gains
+    // files from this call (the duplicateClusters 100 TB contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-ckpt").toString
+    def countFiles(p: java.io.File): Int =
+      if (p.isDirectory) Option(p.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+      else 1
+    def effective: java.io.File = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.getOrElse(dir)).getPath)
+    val before = spark.sparkContext.getCheckpointDir.map(_ => countFiles(effective)).getOrElse(0)
+    val got2 = Similarity.semDedup(df, "vec_id", "embedding", cents, 0.999,
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got2 === Map(1L -> true, 2L -> false, 4L -> true))
+    assert(countFiles(effective) > before,
+      "reliable checkpoint dir received no files")
+  }
+
   test("PQ: codes bounded, trained ADC shortlists true neighbors, exact codebook bit-exact") {
     val e = Tables(spark, sf, "embeddings").cache()
     val q = e.filter($"vec_id" === 7).select("embedding").collect()(0).getSeq[Float](0).toArray
@@ -704,8 +744,16 @@ class DedupSimilaritySpec extends SparkSpec {
   test("duplicateClusters with a reliable checkpoint dir: same labels, files on disk") {
     // the 100 TB mode: Dataset.checkpoint to storage instead of
     // localCheckpoint on executor blocks — identical results, and the
-    // configured dir actually receives per-round RDD checkpoint files
+    // session's EFFECTIVE checkpoint dir (ours, or one an earlier test
+    // already claimed — the setter is first-wins on the shared session)
+    // gains per-round RDD checkpoint files from this call
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def countFiles(p: java.io.File): Int =
+      if (p.isDirectory) Option(p.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+      else 1
+    def effective: java.io.File = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.getOrElse(dir)).getPath)
+    val before = spark.sparkContext.getCheckpointDir.map(_ => countFiles(effective)).getOrElse(0)
     val pairs = Seq(
       (1L, 2L), (2L, 3L),
       (10L, 11L), (11L, 12L),
@@ -716,9 +764,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === Dedup.duplicateClusters(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
     assert(got(3L) === 1L && got(12L) === 10L && got(24L) === 20L)
-    def countFiles(p: java.io.File): Int =
-      if (p.isDirectory) p.listFiles.map(countFiles).sum else 1
-    assert(countFiles(new java.io.File(dir)) > 0,
+    assert(countFiles(effective) > before,
       "reliable checkpoint dir received no files")
   }
 

@@ -431,6 +431,43 @@ class GraphQLSpec extends SparkSpec {
     assert(bare.get("errors").get(0).get("message").asText.contains("no relation"))
   }
 
+  test("aliases inside relations render under the alias; connection keys reject aliases") {
+    registerFixture()
+    Seq(("0xaaa", 5L, 1.0), ("0xaaa", 6L, 2.0), ("0xbbb", 5L, 9.0))
+      .toDF("address", "pblock", "price_usd").createOrReplaceTempView("gql_price")
+    val rels: GraphQL.Relations = Map(
+      "gql_logs" -> Map("prices" -> GraphQL.Relation("gql_price", "address", "address")))
+    // r7 accepted `key: field` inside a relation but rendered under the
+    // COLUMN name — the alias must now be the response key, including
+    // the same column under TWO keys (positional projection)
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(condition: {address: "0xaaa"}, first: 1, orderBy: "block_number")
+        |  { block_number
+        |    px: prices(orderBy: "pblock", desc: true, first: 1)
+        |      { blk: pblock usd: price_usd usd2: price_usd } } }""".stripMargin,
+      relations = rels))
+    assert(!resp.has("errors"), resp.toString)
+    val p0 = resp.get("data").get("gql_logs").get("nodes").get(0).get("px").get(0)
+    assert(p0.get("blk").asLong === 6L)
+    assert(!p0.has("pblock") && !p0.has("price_usd"))
+    assert(p0.get("usd").asDouble === 2.0)
+    assert(p0.get("usd2").asDouble === 2.0)
+    // connection-shape keys reject aliases loudly (r7 dropped them)
+    def errOf(q: String): String = {
+      val r = mapper.readTree(GraphQL.execute(spark, q))
+      assert(r.has("errors"), s"expected error for $q")
+      r.get("errors").get(0).get("message").asText
+    }
+    assert(errOf("""{ gql_logs(first: 1) { pageInfo { hnp: hasNextPage } } }""")
+      .contains("alias"))
+    assert(errOf("""{ gql_logs(first: 1) { ns: nodes { block_number } } }""")
+      .contains("alias"))
+    assert(errOf("""{ gql_logs(first: 1) { tc: totalCount nodes { block_number } } }""")
+      .contains("alias"))
+    assert(errOf("""{ gql_logs(first: 1) { edges { c: cursor node { amount } } } }""")
+      .contains("alias"))
+  }
+
   test("subscriptions reject query-only connection features") {
     val hub = new graft.serving.Subscriptions.Hub()
     intercept[GraphQL.ParseError](

@@ -75,6 +75,22 @@ class SubscriptionsSpec extends SparkSpec {
       .get("errors").get(0).get("message").asText.contains("no field"))
   }
 
+  test("subscription aliases re-key the response; alias-only diff gets its own render") {
+    val hub = new Subscriptions.Hub()
+    // root and column aliases flow through to the event keys
+    val sub = hub.subscribe("subscription { l: logs(first: 2) { bn: block_number } }")
+    // same predicate, different keys: must NOT share sub's rendered string
+    val sub2 = hub.subscribe("subscription { logs(first: 2) { block_number } }")
+    hub.publish(batch(3))
+    val conn = mapper.readTree(sub.next(5000).get).get("data").get("l")
+    assert(conn !== null)
+    assert(conn.get("nodes").get(0).has("bn"))
+    assert(!conn.get("nodes").get(0).has("block_number"))
+    val conn2 = mapper.readTree(sub2.next(5000).get).get("data").get("logs")
+    assert(conn2.get("nodes").get(0).has("block_number"))
+    hub.unsubscribe(sub.id); hub.unsubscribe(sub2.id)
+  }
+
   test("publish runs ONE render per distinct predicate, not per subscriber") {
     // hubDup: five subscribers over THREE distinct (condition,
     // selections, cap) keys; hubDistinct: one subscriber per key. The
