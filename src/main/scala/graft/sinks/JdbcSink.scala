@@ -10,23 +10,25 @@ import java.util.Properties
   * (`get_logs.go:95-137`): batched inserts with PK
   * `ON CONFLICT DO NOTHING` idempotence.
   *
-  * Three paths behind one interface:
-  * - [[appendOnConflictDoNothing]] — the Postgres-exact contract:
-  *   per-partition prepared statements,
-  *   `INSERT … ON CONFLICT (pk) DO NOTHING`, executeBatch every
-  *   `batchSize` rows (the Spark rendering of the reference's single
-  *   NamedExec per window, `get_logs.go:118-126`). Statement-text
-  *   verified only: the sandbox has no Postgres, and no pure-JVM
-  *   stand-in either — H2's pg-compat mode would accept the
-  *   statement, but no H2 jar exists in /opt/spark/jars or the
-  *   offline dependency cache, and the build's dependency set is
-  *   frozen; Derby rejects the syntax outright.
-  * - [[appendWhereNotExists]] — the database-side idempotent insert
-  *   in portable SQL (`INSERT … SELECT FROM (VALUES …) WHERE NOT
+  * Statement-side idempotence is ONE executor ([[appendBatched]]:
+  * per-partition prepared statements, typed null binding, executeBatch
+  * every `batchSize` rows — the Spark rendering of the reference's
+  * single NamedExec per window, `get_logs.go:118-126`) parameterized
+  * by a pure statement-text [[InsertDialect]]:
+  * - [[OnConflictDoNothingDialect]] / [[appendOnConflictDoNothing]] —
+  *   the Postgres-exact contract, `INSERT … ON CONFLICT (pk) DO
+  *   NOTHING`. The sandbox has no Postgres and no pure-JVM stand-in
+  *   (no H2 jar in /opt/spark/jars or the offline cache; Derby
+  *   rejects the syntax), so exactly this dialect's SQL TEXT is
+  *   unexecuted — string-asserted against the reference statement —
+  *   while every line of its executor runs in the Derby integration
+  *   test through the portable dialect.
+  * - [[WhereNotExistsDialect]] / [[appendWhereNotExists]] — the
+  *   portable form (`INSERT … SELECT FROM (VALUES …) WHERE NOT
   *   EXISTS`), integration-EXECUTED against embedded Derby: replays
   *   and intra-batch duplicates are absorbed by the statement itself,
-  *   like the reference's ON CONFLICT, with the concurrent-writer
-  *   boundary documented on the method.
+  *   with the concurrent-writer boundary documented on the method.
+  * And one Spark-side decision path:
   * - [[appendIdempotent]] — dialect-generic: anti-join the batch
   *   against existing PKs (range-pruned on `rangeCol`, the JDBC analog
   *   of the parquet sink's partition pruning), then plain batched
@@ -107,20 +109,74 @@ object JdbcSink {
     } finally deduped.unpersist()
   }
 
-  /** Postgres-exact idempotent append: `ON CONFLICT (pk) DO NOTHING`
-    * executed as prepared-statement batches inside each partition. */
-  def appendOnConflictDoNothing(
+  /** A dialect is ONLY the statement text: a pure function from
+    * (table, schema, pk) to the per-row idempotent INSERT with `?`
+    * placeholders. Everything that can be integration-run without the
+    * target database — connection lifecycle, typed null binding,
+    * addBatch/executeBatch cadence, commit — lives in the ONE shared
+    * executor [[appendBatched]], which the Derby test drives through
+    * [[WhereNotExistsDialect]]; a dialect whose database isn't in the
+    * sandbox (Postgres) therefore has exactly its SQL text unexecuted,
+    * nothing more. */
+  trait InsertDialect extends Serializable {
+    def statement(table: String,
+        fields: Seq[org.apache.spark.sql.types.StructField],
+        pk: Seq[String]): String
+  }
+
+  /** The Postgres-exact contract: `INSERT … ON CONFLICT (pk) DO
+    * NOTHING` (the reference's own idempotence, `get_logs.go:118-126`).
+    * Absorbs concurrent same-key racers in-statement — the one form
+    * that does. */
+  object OnConflictDoNothingDialect extends InsertDialect {
+    def statement(table: String,
+        fields: Seq[org.apache.spark.sql.types.StructField],
+        pk: Seq[String]): String = {
+      val cols = fields.map(_.name)
+      s"""insert into $table (${cols.mkString(", ")})
+         |values (${cols.map(_ => "?").mkString(", ")})
+         |on conflict (${pk.mkString(", ")}) do nothing""".stripMargin
+    }
+  }
+
+  /** Portable `INSERT … SELECT FROM (VALUES …) WHERE NOT EXISTS` with
+    * cast-framed placeholders (Derby rejects untyped `?` in a VALUES
+    * derived table). Concurrency boundary documented at
+    * [[appendWhereNotExists]]. */
+  object WhereNotExistsDialect extends InsertDialect {
+    def statement(table: String,
+        fields: Seq[org.apache.spark.sql.types.StructField],
+        pk: Seq[String]): String = {
+      val cols = fields.map(_.name)
+      val valuesRow = fields.map(f => s"cast(? as ${castSqlType(f.dataType)._1})")
+        .mkString(", ")
+      s"""insert into $table (${cols.mkString(", ")})
+         |select ${cols.map(c => s"s.$c").mkString(", ")}
+         |from (values ($valuesRow)) s (${cols.mkString(", ")})
+         |where not exists (select 1 from $table t
+         |  where ${pk.map(k => s"t.$k = s.$k").mkString(" and ")})""".stripMargin
+    }
+  }
+
+  /** The shared per-partition executor: PK-dedup the batch, then in
+    * each partition one connection, one prepared statement (the
+    * dialect's), typed null binding, executeBatch every `batchSize`
+    * rows, one commit. Every dialect path runs THIS code — the Derby
+    * integration test (replays, intra-batch dups, typed nulls)
+    * certifies it for all of them. */
+  def appendBatched(
       batch: DataFrame,
       url: String,
       table: String,
       pk: Seq[String],
+      dialect: InsertDialect,
       props: Properties = new Properties(),
       batchSize: Int = 1000): Unit = {
-    val cols = batch.columns.toSeq
-    val sql =
-      s"""insert into $table (${cols.mkString(", ")})
-         |values (${cols.map(_ => "?").mkString(", ")})
-         |on conflict (${pk.mkString(", ")}) do nothing""".stripMargin
+    val fields = batch.schema.fields.toSeq
+    val cols = fields.map(_.name)
+    require(pk.forall(cols.contains), s"pk ${pk.mkString(",")} ⊄ ${cols.mkString(",")}")
+    val sql = dialect.statement(table, fields, pk)
+    val types = fields.map(f => castSqlType(f.dataType)._2).toArray
     val propsMap = {
       val m = new java.util.Properties()
       m.putAll(props)
@@ -133,7 +189,12 @@ object JdbcSink {
         val st = conn.prepareStatement(sql)
         var n = 0
         rows.foreach { r =>
-          cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+          var i = 0
+          while (i < types.length) {
+            val v = r.get(i)
+            if (v == null) st.setNull(i + 1, types(i)) else st.setObject(i + 1, v)
+            i += 1
+          }
           st.addBatch()
           n += 1
           if (n % batchSize == 0) st.executeBatch()
@@ -143,6 +204,19 @@ object JdbcSink {
       } finally conn.close()
     }
   }
+
+  /** Postgres-exact idempotent append: `ON CONFLICT (pk) DO NOTHING`
+    * through [[appendBatched]] — the executor is the Derby-certified
+    * one; only this dialect's literal SQL text has no in-sandbox
+    * database to run against. */
+  def appendOnConflictDoNothing(
+      batch: DataFrame,
+      url: String,
+      table: String,
+      pk: Seq[String],
+      props: Properties = new Properties(),
+      batchSize: Int = 1000): Unit =
+    appendBatched(batch, url, table, pk, OnConflictDoNothingDialect, props, batchSize)
 
   /** Source-side SQL types for the cast-framed VALUES row of
     * [[appendWhereNotExists]]: several dialects (Derby among them)
@@ -194,46 +268,8 @@ object JdbcSink {
       table: String,
       pk: Seq[String],
       props: Properties = new Properties(),
-      batchSize: Int = 1000): Unit = {
-    val fields = batch.schema.fields.toSeq
-    val cols = fields.map(_.name)
-    require(pk.forall(cols.contains), s"pk ${pk.mkString(",")} ⊄ ${cols.mkString(",")}")
-    val casts = fields.map(f => castSqlType(f.dataType))
-    val valuesRow = casts.map { case (t, _) => s"cast(? as $t)" }.mkString(", ")
-    val sql =
-      s"""insert into $table (${cols.mkString(", ")})
-         |select ${cols.map(c => s"s.$c").mkString(", ")}
-         |from (values ($valuesRow)) s (${cols.mkString(", ")})
-         |where not exists (select 1 from $table t
-         |  where ${pk.map(k => s"t.$k = s.$k").mkString(" and ")})""".stripMargin
-    val types = casts.map(_._2).toArray
-    val propsMap = {
-      val m = new java.util.Properties()
-      m.putAll(props)
-      m
-    }
-    batch.dropDuplicates(pk).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      val conn: Connection = DriverManager.getConnection(url, propsMap)
-      try {
-        conn.setAutoCommit(false)
-        val st = conn.prepareStatement(sql)
-        var n = 0
-        rows.foreach { r =>
-          var i = 0
-          while (i < types.length) {
-            val v = r.get(i)
-            if (v == null) st.setNull(i + 1, types(i)) else st.setObject(i + 1, v)
-            i += 1
-          }
-          st.addBatch()
-          n += 1
-          if (n % batchSize == 0) st.executeBatch()
-        }
-        st.executeBatch()
-        conn.commit()
-      } finally conn.close()
-    }
-  }
+      batchSize: Int = 1000): Unit =
+    appendBatched(batch, url, table, pk, WhereNotExistsDialect, props, batchSize)
 
   /** Streaming variant: checkpointed micro-batches into the JDBC
     * table — the full reference loop with Postgres as the sink

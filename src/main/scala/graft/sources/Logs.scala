@@ -364,14 +364,22 @@ object Logs {
     * Crash recovery: a rewriter that dies mid-swap leaves its lock;
     * locks older than `RewriteLockStaleMs` (1 h — far beyond any
     * single-partition rewrite) are broken and re-claimed. The break
-    * (delete + re-create) is not itself atomic across breakers; the
-    * re-create race loser fails with the same retryable conflict, so
-    * at most one rewriter proceeds. Release deletes only a lock whose
-    * nonce this writer wrote — a broken-and-reclaimed lock is never
-    * deleted out from under its new owner. On object stores without
-    * atomic create-no-overwrite the lock is advisory-best-effort, the
-    * same boundary as every file-level CAS in this layer (documented
-    * at [[graft.sources.Snapshots.publish]]). */
+    * protocol: re-judge staleness IMMEDIATELY before acting (a breaker
+    * that lost the race sees the winner's fresh re-claimed lock and
+    * backs off without touching it — r7's delete-then-recreate judged
+    * once and could delete that fresh lock, letting two rewriters
+    * proceed), then rename the lock to a breaker-unique tombstone
+    * (two breakers cannot both rename one instance away; rename
+    * preserves mtime) and re-check the tombstone — a fresh lock
+    * caught by a full owner cycle inside the microsecond re-judge→
+    * rename window is renamed straight back. Release deletes only a
+    * lock whose nonce this writer wrote — a broken-and-reclaimed lock
+    * is never deleted out from under its new owner. The rename-back
+    * residue makes this serializing-best-effort, not a proof-grade
+    * mutex; on object stores without atomic create-no-overwrite and
+    * mtime-preserving rename it degrades the same way as every
+    * file-level CAS in this layer (documented at
+    * [[graft.sources.Snapshots.publish]]). */
   private val RewriteLockStaleMs = 60L * 60 * 1000
 
   private def withPartitionLock[T](fs: org.apache.hadoop.fs.FileSystem,
@@ -395,8 +403,45 @@ object Logs {
           fs.getFileStatus(lock).getModificationTime > RewriteLockStaleMs
         catch { case _: java.io.IOException => true } // vanished: owner released
       if (stale) {
-        try fs.delete(lock, false) catch { case _: java.io.IOException => () }
-        acquired = tryAcquire()
+        // Re-judge IMMEDIATELY before touching the lock: a breaker
+        // that lost the break race reaches this point with the
+        // winner's FRESH re-claimed lock at the path, and must back
+        // off without touching it (the r7 hole: judging once, then
+        // deleting whatever sits there — two rewriters proceed).
+        val stillStale =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime > RewriteLockStaleMs
+          catch { case _: java.io.IOException => false } // vanished: plain acquire below
+        if (stillStale) {
+          // Break by renaming to a breaker-unique tombstone: of N
+          // concurrent breakers only one rename of this instance can
+          // succeed, and rename preserves mtime — so the tombstone
+          // re-check catches the residual full-owner-cycle-between-
+          // re-judge-and-rename case and hands a fresh lock straight
+          // back instead of claiming over it.
+          val tomb = new org.apache.hadoop.fs.Path(dir, s"block_range=$r.stale.$nonce")
+          val renamed =
+            try fs.rename(lock, tomb)
+            catch { case _: java.io.IOException => false }
+          if (renamed) {
+            val brokeFresh =
+              try System.currentTimeMillis() -
+                fs.getFileStatus(tomb).getModificationTime <= RewriteLockStaleMs
+              catch { case _: java.io.IOException => false } // gone: treat as broken stale
+            if (brokeFresh) {
+              try fs.rename(tomb, lock) catch { case _: java.io.IOException => () }
+            } else {
+              try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+              acquired = tryAcquire()
+            }
+          }
+          // rename lost: another breaker holds the instance — fall
+          // through unacquired to the retryable conflict
+        } else {
+          // vanished (owner released) or re-claimed fresh: one plain
+          // attempt, then the retryable conflict
+          acquired = tryAcquire()
+        }
       }
     }
     if (!acquired)

@@ -160,9 +160,24 @@ object DocStream {
           if (spark.sparkContext.getCheckpointDir.isEmpty)
             spark.sparkContext.setCheckpointDir(dir)
         }
+        // Reliable pins leave rdd-N checkpoint dirs behind: unpersist()
+        // never deletes them and Spark's ContextCleaner only does with
+        // referenceTracking.cleanCheckpoints=true AND GC pressure — a
+        // long-running stream (exactly what this option targets) would
+        // accumulate one dir per pin per batch, unboundedly. Each pin
+        // records its checkpoint dir; the batch deletes them all after
+        // its writes commit (nothing references pinned data across
+        // batches — the next batch re-reads corpusDir).
+        val pinDirs = scala.collection.mutable.ListBuffer[org.apache.hadoop.fs.Path]()
         def pin(df: DataFrame): DataFrame =
-          if (reliableCheckpointDir.isDefined) df.checkpoint(true)
-          else df.localCheckpoint(true)
+          if (reliableCheckpointDir.isDefined) {
+            val p = df.checkpoint(true)
+            p.queryExecution.analyzed.collect {
+              case l: org.apache.spark.sql.execution.LogicalRDD =>
+                l.rdd.getCheckpointFile
+            }.flatten.foreach(f => pinDirs += new org.apache.hadoop.fs.Path(f))
+            p
+          } else df.localCheckpoint(true)
         val corpusExists = hasParquet(corpusDir)
         if (corpusExists && !pathExists(indexDir))
           Dedup.minhashWriteIndex(
@@ -246,7 +261,13 @@ object DocStream {
               "doc_id", "text", indexDir,
               mode = if (indexExists) "append" else "overwrite")
           }
-        } finally pinned.unpersist()
+        } finally {
+          pinned.unpersist()
+          pinDirs.foreach { p =>
+            try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+            catch { case _: java.io.IOException => () }
+          }
+        }
         ()
       }
       .start()

@@ -253,6 +253,29 @@ class SnapshotsSpec extends SparkSpec {
     Logs.compact(spark, table, ranges = Some(Seq(0L))) // breaks, reclaims, releases
     assert(Logs.read(spark, table).count() === before)
     assert(!fs.exists(lock))
+    // N breakers race one stale lock: rename-based break means only one
+    // can tombstone the instance; the rest fail with the retryable
+    // conflict or acquire AFTER a release. Data intact, no lock or
+    // tombstone debris left behind.
+    val out3 = fs.create(lock, false)
+    out3.write("""{"nonce":"dead2","ts":0}""".getBytes("UTF-8"))
+    out3.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(4)
+    val outcomes = (1 to 4).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Option[String]] {
+        def call(): Option[String] =
+          try { Logs.compact(spark, table, ranges = Some(Seq(0L))); None }
+          catch { case e: Exception => Some(e.getMessage) }
+      })
+    }.map(_.get())
+    pool.shutdown()
+    assert(outcomes.exists(_.isEmpty), s"no breaker won: $outcomes")
+    outcomes.flatten.foreach(m => assert(m.contains("rewrite conflict"), m))
+    assert(Logs.read(spark, table).count() === before)
+    val debris = fs.listStatus(lockDir).map(_.getPath.getName).toSeq
+    assert(debris.isEmpty, s"lock dir debris: $debris")
   }
 
   test("two parallel append-only writers both commit; history holds both appends") {

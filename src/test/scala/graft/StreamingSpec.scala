@@ -249,6 +249,16 @@ class StreamingSpec extends SparkSpec {
     val ckpt2 = Files.createTempDirectory("rdocs_ckpt2").toString
     Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
       Seq(doc(7, otherNear)).mkString("\n"))
+    // the effective reliable dir may be one an earlier suite claimed
+    // (the setter is first-wins on the shared session) — measure the
+    // rdd-N population wherever it actually lands
+    def effective = new java.io.File(new java.net.URI(
+      spark.sparkContext.getCheckpointDir.getOrElse(reliable)).getPath)
+    def rddDirs(f: java.io.File): Seq[String] =
+      if (!f.isDirectory) Nil
+      else if (f.getName.startsWith("rdd-")) Seq(f.getAbsolutePath)
+      else Option(f.listFiles).map(_.toSeq.flatMap(rddDirs)).getOrElse(Nil)
+    val rddBefore = rddDirs(effective).toSet
     val q2 = DocStream.curateNearDup(spark, in, corpus, index, ckpt2,
       minJaccard = 0.5, reliableCheckpointDir = Some(reliable))
     q2.awaitTermination()
@@ -256,5 +266,11 @@ class StreamingSpec extends SparkSpec {
       === Set(1L, 4L)) // 7 rejected against the repaired index
     assert(spark.read.parquet(index).select("id").as[Long].collect().toSet
       === Set(1L, 4L)) // and the repair itself landed
+    // batch cleanup deleted its reliable pins: the batch ran (so pins
+    // were created) but no NEW rdd-N checkpoint dir survives it —
+    // they'd otherwise accumulate per pin per batch, unboundedly, on
+    // the long-running streams this option is for
+    val leaked = rddDirs(effective).toSet -- rddBefore
+    assert(leaked.isEmpty, s"leaked reliable checkpoint dirs: $leaked")
   }
 }
