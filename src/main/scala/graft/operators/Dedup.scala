@@ -608,12 +608,17 @@ object Dedup {
     * window emit no row (callers left-join and coalesce to zero).
     *
     * Scale shape: the window fan-out is map-side (posexplode); the
-    * census is a combinable hash agg on the window text (at
-    * production w, census+join on `md5(gram)` instead — constant-width
-    * shuffle keys); the re-join shuffles on the same key; the
-    * interval-union lag window partitions by document. The census
-    * filter (`≥ minCount`) prunes the overwhelmingly-unique tail
-    * before the join, so what re-shuffles is duplicated windows only. */
+    * census is a combinable hash agg on `md5(gram)` — the production-w
+    * form: a w=50 window is ~300 bytes of text, its key 32 chars, so
+    * CONSTANT-width keys cross the shuffle instead of window text
+    * (the [[graft.operators.Corpus.dedupLines]] pattern; 128-bit
+    * collisions negligible at any corpus size, same contract as
+    * fingerprint dedup — the gram text itself never reaches the
+    * output, so hashing the key is invisible to results); the re-join
+    * shuffles on the same key; the interval-union lag window
+    * partitions by document. The census filter (`≥ minCount`) prunes
+    * the overwhelmingly-unique tail before the join, so what
+    * re-shuffles is duplicated windows only. */
   def duplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       w: Int, minCount: Long = 2L): DataFrame = {
@@ -624,12 +629,13 @@ object Dedup {
       .select(col("id"), Text.tokens(col("_n")).as("_toks"))
       .select(col("id"), size(col("_toks")).as("n_tokens"),
         posexplode(shinglesFromTokens(col("_toks"), w)).as(Seq("pos", "gram")))
-    val census = grams.groupBy(col("gram"))
+      .select(col("id"), col("n_tokens"), col("pos"), md5(col("gram")).as("_k"))
+    val census = grams.groupBy(col("_k"))
       .agg(count(lit(1)).as("_gc"))
       .filter(col("_gc") >= minCount)
-      .select(col("gram"))
+      .select(col("_k"))
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    grams.join(census, Seq("gram"))
+    grams.join(census, Seq("_k"))
       .withColumn("_prev", lag(col("pos"), 1).over(win))
       .withColumn("_cov", when(col("_prev").isNull, lit(w))
         .otherwise(least(lit(w), col("pos") - col("_prev"))))
@@ -658,14 +664,17 @@ object Dedup {
     * original; counts report `n_tokens`/`n_removed_tokens`. Docs with
     * null text pass null through.
     *
-    * Scale shape, mirroring the signal operator: one census hash agg
-    * now also carries the first-occurrence winner (`min(struct)` —
-    * combinable) and its `HAVING ≥ minCount` prunes the unique tail
-    * before anything re-joins; coverage expansion is `sequence(pos,
-    * pos+w-1)` on duplicated NON-FIRST occurrences only (w-bounded,
-    * map-side) followed by a distinct and an anti-join keyed (id,
-    * position); reassembly is per-doc collect_list, bounded by one
-    * document. No global windows. */
+    * Scale shape, mirroring the signal operator: census and join run
+    * on `md5(gram)` — constant-width shuffle keys instead of w-token
+    * window text, the [[graft.operators.Corpus.dedupLines]] contract
+    * (output-invisible: the gram text never reaches results); the one
+    * census hash agg also carries the first-occurrence winner
+    * (`min(struct)` — combinable) and its `HAVING ≥ minCount` prunes
+    * the unique tail before anything re-joins; coverage expansion is
+    * `sequence(pos, pos+w-1)` on duplicated NON-FIRST occurrences
+    * only (w-bounded, map-side) followed by a distinct and an
+    * anti-join keyed (id, position); reassembly is per-doc
+    * collect_list, bounded by one document. No global windows. */
   def removeDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       w: Int, minCount: Long = 2L, outCol: String = "text_despanned"): DataFrame = {
@@ -676,11 +685,12 @@ object Dedup {
       .select(col("_did"), Text.tokens(col("_n")).as("_toks"))
     val grams = toks
       .select(col("_did"), posexplode(shinglesFromTokens(col("_toks"), w)).as(Seq("_pos", "_gram")))
-    val census = grams.groupBy(col("_gram"))
+      .select(col("_did"), col("_pos"), md5(col("_gram")).as("_k"))
+    val census = grams.groupBy(col("_k"))
       .agg(count(lit(1)).as("_gc"), min(struct(col("_did"), col("_pos"))).as("_w1"))
       .filter(col("_gc") >= minCount)
-      .select(col("_gram"), col("_w1"))
-    val covered = grams.join(census, Seq("_gram"))
+      .select(col("_k"), col("_w1"))
+    val covered = grams.join(census, Seq("_k"))
       .filter(!(col("_w1._did") === col("_did") && col("_w1._pos") === col("_pos")))
       .select(col("_did"), explode(sequence(col("_pos"), col("_pos") + lit(w - 1))).as("_cp"))
       .distinct()

@@ -527,6 +527,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("span operators at long window: md5-keyed census matches hand-computed spans") {
+    // the production-w shape: w = 12 windows over a 20-token passage
+    // shared verbatim by two docs — census/join run on md5(gram)
+    // (constant-width keys), which must be output-invisible
+    val share = (1 to 20).map(i => s"s$i").mkString(" ")
+    val da = (((1 to 9).map(i => s"a$i") :+ share) :+ "a30").mkString(" ") // 30 tokens
+    val db = ((1 to 5).map(i => s"b$i").mkString(" ")) + " " + share + " " +
+      (1 to 5).map(i => s"c$i").mkString(" ") // 30 tokens
+    val df = Seq((1L, da), (2L, db)).toDF("doc_id", "text")
+    val sig = graft.operators.Dedup.duplicatedSpans(df, "doc_id", "text", w = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // 9 duplicated windows tile the 20-token run: 12 + 8×1 = 20 covered
+    assert(sig(1L) === ((30, 9L, 20L)))
+    assert(sig(2L) === ((30, 9L, 20L)))
+    // removal: doc 1 holds every window's first occurrence → intact;
+    // doc 2 loses exactly the 20 shared tokens
+    val cut = graft.operators.Dedup.removeDuplicatedSpans(df, "doc_id", "text", w = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("text_despanned"), r.getAs[Int]("n_removed_tokens")))).toMap
+    assert(cut(1L) === ((da, 0)))
+    assert(cut(2L)._2 === 20)
+    assert(cut(2L)._1 ===
+      ((1 to 5).map(i => s"b$i") ++ (1 to 5).map(i => s"c$i")).mkString(" "))
+  }
+
   test("removeDuplicatedSpans: first copy survives, later copies cut, counts exact") {
     val df = Seq(
       (1L, "a b c d e f g h"),  // owns the first "c d e"/"d e f" windows
