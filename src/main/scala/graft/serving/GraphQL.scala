@@ -62,13 +62,16 @@ import org.apache.spark.sql.types._
   *   selections, while connection-shape keys (nodes/edges/node/
   *   cursor/pageInfo/totalCount and pageInfo's fields) reject an
   *   alias with a ParseError instead of silently dropping it;
-  * - relations: one level of nesting through an EXPLICIT registry
-  *   ([[Relation]]) — Postgraphile derives these from foreign keys,
-  *   which parquet tables don't carry, so the serving layer declares
-  *   them (e.g. logs → price on address). Each selected relation
-  *   compiles to ONE bounded child query for the whole page (key
-  *   IN-list + per-parent row_number cap), never a query per parent
-  *   row.
+  * - relations: one level of nesting through a [[Relation]] registry.
+  *   Postgraphile derives these from foreign keys, which parquet
+  *   tables don't carry; (r8) [[deriveRelations]] replaces the FK
+  *   read with the key-column convention — declare each child's key
+  *   once (`price` by `address`) and every catalog view carrying that
+  *   key (or its decode alias `contract_<key>`) gets the relation
+  *   field, no per-view enumeration; an explicit registry can still
+  *   be merged over the derived one. Each selected relation compiles
+  *   to ONE bounded child query for the whole page (key IN-list +
+  *   per-parent row_number cap), never a query per parent row.
   *
   * Hand-rolled recursive-descent parser for the subset (no GraphQL
   * library in the dependency budget); identifiers are validated
@@ -127,6 +130,46 @@ object GraphQL {
 
   /** parentView → (relation field name → relation). */
   type Relations = Map[String, Map[String, Relation]]
+
+  /** FK-style relation derivation — the Postgraphile move (it reads
+    * foreign keys from the catalog; parquet tables carry none, so the
+    * key-column CONVENTION is the declared schema): each `(child,
+    * key)` pair contributes relation field `<child>s` (naive plural,
+    * Postgraphile's default for unnamed FKs) to every OTHER registered
+    * view whose schema carries `key` itself or the decode alias
+    * `contract_<key>` — [[graft.operators.EventViews.project]] renames
+    * the raw log's `address` to `contract_address` in every generated
+    * view (`init.sql:53-207`'s views do the same), so the derivation
+    * follows that rename for free. Children missing from the catalog
+    * or missing their key column fail loudly. Merge explicit entries
+    * OVER the result (`derived ++ manual`) when a hand-declared
+    * relation should win. */
+  def deriveRelations(spark: SparkSession,
+      children: Seq[(String, String)]): Relations =
+    children.foldLeft(Map.empty: Relations) { case (acc, (child, key)) =>
+      val childCols =
+        try spark.table(child).schema.fieldNames.toSet
+        catch { case _: Exception =>
+          throw ParseError(s"deriveRelations: child view '$child' is not registered") }
+      if (!childCols(key))
+        throw ParseError(s"deriveRelations: '$child' has no key column '$key'")
+      val views = spark.catalog.listTables().collect().map(_.name)
+      views.filterNot(_ == child).flatMap { parent =>
+        // unresolvable catalog entries (e.g. a dropped-underneath or
+        // database-qualified view) just don't derive — the child-side
+        // checks above stay loud because those ARE the declaration
+        val cols =
+          try spark.table(parent).schema.fieldNames.toSet
+          catch { case _: Exception => Set.empty[String] }
+        val parentKey =
+          if (cols(key)) Some(key)
+          else if (cols(s"contract_$key")) Some(s"contract_$key")
+          else None
+        parentKey.map(pk => parent -> (s"${child}s" -> Relation(child, pk, key)))
+      }.foldLeft(acc) { case (m, (p, r)) =>
+        m + (p -> (m.getOrElse(p, Map.empty) + r))
+      }
+    }
 
   case class ParseError(msg: String) extends RuntimeException(msg)
 
@@ -870,8 +913,13 @@ object GraphQL {
   private def executeField(spark: SparkSession, data: ObjectNode, f: FieldQuery,
                            defaultFirst: Long, maxFirst: Long,
                            relations: Relations): Unit = {
-    // resolve selected relations against the registry up front
-    val viewRels = relations.getOrElse(f.view, Map.empty)
+    // resolve selected relations against the registry up front —
+    // case-insensitively, matching Spark's own view-name resolution
+    // (the catalog lowercases registered names, so a derived registry
+    // keys `transfer_…` while the user may type `Transfer_…`)
+    val viewRels = relations.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(f.view) => v
+    }.getOrElse(Map.empty)
     val resolved: Seq[(NestedQuery, Relation)] = f.nested.map { n =>
       viewRels.get(n.field) match {
         case Some(rel) => (n, rel)

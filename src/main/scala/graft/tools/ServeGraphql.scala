@@ -35,17 +35,15 @@ object ServeGraphql {
     pricePath.foreach(p => spark.read.parquet(p).createOrReplaceTempView("price"))
     Abi.registerSqlFunctions(spark)
     EventViews.registerAll(spark, Logs.canonical(logs))
-    // declared relations (Postgraphile derives these from FKs; parquet
-    // has none, so the serving layer states them): every log-shaped
-    // view exposes its price rows by address
+    // relations DERIVED from the key-column convention (Postgraphile
+    // reads FKs; parquet has none, so `price` keyed by `address` is
+    // the declaration): every registered view carrying `address` or
+    // the decode alias `contract_address` gets a `prices` field —
+    // logs, logs_canonical and all 10 generated views, with nothing
+    // enumerated by hand
     val relations: GraphQL.Relations =
       if (pricePath.isEmpty) Map.empty
-      else {
-        val priceRel = Map("prices" -> GraphQL.Relation("price", "address", "address"))
-        val viewRels = EventViews.referenceViews.map(e =>
-          e.viewName -> Map("prices" -> GraphQL.Relation("price", "contract_address", "address"))).toMap
-        viewRels ++ Map("logs" -> priceRel, "logs_canonical" -> priceRel)
-      }
+      else GraphQL.deriveRelations(spark, Seq(("price", "address")))
     GraphQL.serve(spark, port, relations)
     println(s"[graphql] http://localhost:$port/graphql ready — tables: logs, " +
       s"logs_canonical${pricePath.map(_ => ", price").getOrElse("")}; " +

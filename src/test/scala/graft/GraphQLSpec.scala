@@ -431,6 +431,46 @@ class GraphQLSpec extends SparkSpec {
     assert(bare.get("errors").get(0).get("message").asText.contains("no relation"))
   }
 
+  test("deriveRelations: key-column convention wires nested queries with no manual registry") {
+    registerFixture()
+    Seq(("0xaaa", 5L, 1.0), ("0xaaa", 6L, 2.0), ("0xbbb", 5L, 9.0))
+      .toDF("address", "pblock", "price_usd").createOrReplaceTempView("gql_price")
+    // decode-alias parent: carries contract_address, not address
+    Seq(("0xaaa", 10L, 77L))
+      .toDF("contract_address", "evt_block_number", "amount")
+      .createOrReplaceTempView("gql_decoded")
+    // one declaration — child gql_price keyed by address — and every
+    // catalog view carrying the key (or contract_<key>) gets the
+    // relation field `gql_prices`; nothing enumerated per view
+    val rels = GraphQL.deriveRelations(spark, Seq(("gql_price", "address")))
+    assert(rels.contains("gql_logs"))
+    assert(rels("gql_logs")("gql_prices") ===
+      GraphQL.Relation("gql_price", "address", "address"))
+    assert(rels("gql_decoded")("gql_prices") ===
+      GraphQL.Relation("gql_price", "contract_address", "address"))
+    assert(!rels.contains("gql_price")) // never its own parent
+    // and the derived registry actually serves a nested query
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(condition: {address: "0xaaa"}, first: 1, orderBy: "block_number")
+        |  { block_number gql_prices(orderBy: "pblock") { pblock price_usd } } }""".stripMargin,
+      relations = rels))
+    assert(!resp.has("errors"), resp.toString)
+    val p = resp.get("data").get("gql_logs").get("nodes").get(0).get("gql_prices")
+    assert(p.size === 2)
+    assert(p.get(0).get("pblock").asLong === 5L)
+    val dec = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_decoded { amount gql_prices(first: 1, orderBy: "pblock", desc: true) { price_usd } } }""",
+      relations = rels))
+    assert(!dec.has("errors"), dec.toString)
+    assert(dec.get("data").get("gql_decoded").get("nodes").get(0)
+      .get("gql_prices").get(0).get("price_usd").asDouble === 2.0)
+    // loud failures: unknown child, missing key column
+    intercept[GraphQL.ParseError](
+      GraphQL.deriveRelations(spark, Seq(("nosuch_view", "address"))))
+    intercept[GraphQL.ParseError](
+      GraphQL.deriveRelations(spark, Seq(("gql_price", "nosuch_key"))))
+  }
+
   test("aliases inside relations render under the alias; connection keys reject aliases") {
     registerFixture()
     Seq(("0xaaa", 5L, 1.0), ("0xaaa", 6L, 2.0), ("0xbbb", 5L, 9.0))
