@@ -737,6 +737,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // SUB-BYTE PNG decode under the gate (r8 — the last PNG depth
+    // row): 1/2/4-bit gray (bit-replication scaling) and palette
+    // (raw-index PLTE expansion), Adam7 every 5th id, packed-row
+    // filter reversal at the 1-byte step. Bit-exact containers, so
+    // the twin recomputes per-channel statistics from the sample and
+    // palette formulas. A packing, scaling or per-pass-unpack bug
+    // shifts sums and breaks the hash.
+    "q87_subbyte_png_decode" -> { (s, dir) =>
+      Multimodal.decodeColorPixels(
+          Multimodal.syntheticSubBytePngMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // REAL WAV sample decode under the gate: 16-bit PCM data written
     // by the mini encoder (RIFF chunk walk, interleaved int16), sample
     // statistics vs the formula twin — a chunk-walk, endianness or
@@ -2181,6 +2195,51 @@ object SparkEntry {
         |  case when doc_id % 25 = 0 then 'unknown'
         |       when fmt = 0 then 'png' when fmt = 1 then 'bmp'
         |       else 'gif' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else w end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else h end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else n end as bigint) as n_pixels,
+        |  cast(case when doc_id % 25 = 0 then 0 else rs end as bigint) as r_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else gs end as bigint) as g_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else bs end as bigint) as b_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else rmn end as int) as r_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else rmx end as int) as r_max,
+        |  cast(case when doc_id % 25 = 0 then 0 else gmn end as int) as g_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else gmx end as int) as g_max,
+        |  cast(case when doc_id % 25 = 0 then 0 else bmn end as int) as b_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else bmx end as int) as b_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
+
+    // Sub-byte twin: gray samples scale by bit replication
+    // (s · 255/max, exact integers — 255/85/17 for depths 1/2/4);
+    // palette rows run the index formulas. Interlace changes only the
+    // container layout, so the twin ignores it.
+    "q87_subbyte_png_decode" ->
+      """with d as (select doc_id,
+        |    (doc_id % 16 + 1) * 2 as w, (doc_id % 12 + 1) * 2 as h,
+        |    case doc_id % 3 when 0 then 1 when 1 then 3 else 15 end as mx,
+        |    case doc_id % 3 when 0 then 255 when 1 then 85 else 17 end as f
+        |  from documents),
+        | px as (select d.doc_id, d.w, d.h,
+        |    case when d.doc_id % 2 = 0
+        |         then ((x.range + y.range + d.doc_id) % (d.mx + 1)) * d.f
+        |         else (17 * ((x.range + y.range + d.doc_id) % (d.mx + 1)) + 9) % 256 end as r,
+        |    case when d.doc_id % 2 = 0
+        |         then ((x.range + y.range + d.doc_id) % (d.mx + 1)) * d.f
+        |         else (29 * ((x.range + y.range + d.doc_id) % (d.mx + 1)) + 5) % 256 end as g,
+        |    case when d.doc_id % 2 = 0
+        |         then ((x.range + y.range + d.doc_id) % (d.mx + 1)) * d.f
+        |         else (43 * ((x.range + y.range + d.doc_id) % (d.mx + 1)) + 2) % 256 end as b
+        |  from d cross join range(0, 32) x cross join range(0, 24) y
+        |  where x.range < d.w and y.range < d.h),
+        | agg as (select doc_id, w, h, count(*) as n,
+        |    sum(r) as rs, sum(g) as gs, sum(b) as bs,
+        |    min(r) as rmn, max(r) as rmx, min(g) as gmn, max(g) as gmx,
+        |    min(b) as bmn, max(b) as bmx
+        |  from px group by doc_id, w, h)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'png' end as format,
         |  cast(case when doc_id % 25 = 0 then 0 else w end as int) as width,
         |  cast(case when doc_id % 25 = 0 then 0 else h end as int) as height,
         |  cast(case when doc_id % 25 = 0 then 0 else n end as bigint) as n_pixels,

@@ -312,6 +312,91 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Sub-byte (depth 1/2/4) GRAYSCALE PNG: samples packed MSB-first
+      * into scanline bytes (spec §7.2), then forward-filtered with the
+      * same filter-type rotation as [[pngGray]] — sub-byte filters are
+      * defined BYTEwise with a 1-byte step, so the rotation exercises
+      * reversal over packed rows, not per-sample math. Adam7 packs
+      * each pass independently (filter 0 rows; the per-pass packing is
+      * what's under test there). `v` supplies raw samples in
+      * 0..2^depth-1. */
+    def pngGraySub(w: Int, h: Int, depth: Int, interlaced: Boolean,
+        v: (Int, Int) => Int): Array[Byte] =
+      pngSub(w, h, depth, 0, null, interlaced, v)
+
+    /** Sub-byte (depth 1/2/4) PALETTE PNG (color type 3): packed
+      * indices + a PLTE of `palette.length/3` RGB entries; same
+      * filter/interlace treatment as [[pngGraySub]]. */
+    def pngPaletteSub(w: Int, h: Int, depth: Int, palette: Array[Byte],
+        interlaced: Boolean, v: (Int, Int) => Int): Array[Byte] =
+      pngSub(w, h, depth, 3, palette, interlaced, v)
+
+    private def pngSub(w: Int, h: Int, depth: Int, colorType: Int,
+        plte: Array[Byte], interlaced: Boolean, v: (Int, Int) => Int): Array[Byte] = {
+      def rbOf(wPx: Int) = (wPx * depth + 7) / 8
+      def packRows(wPx: Int, rows: Int, s: (Int, Int) => Int): Array[Array[Byte]] =
+        Array.tabulate(rows) { y =>
+          val row = new Array[Byte](rbOf(wPx))
+          for (x <- 0 until wPx) {
+            val bit = x * depth
+            row(bit >> 3) = (row(bit >> 3) |
+              ((s(x, y) & ((1 << depth) - 1)) << (8 - depth - (bit & 7)))).toByte
+          }
+          row
+        }
+      val rawOut = new java.io.ByteArrayOutputStream()
+      if (!interlaced) {
+        val rows = packRows(w, h, (x, y) => v(x, y))
+        var prev: Array[Byte] = null
+        for (y <- 0 until h) {
+          val f = y % 5
+          rawOut.write(f)
+          val cur = rows(y)
+          for (k <- cur.indices) {
+            val a = if (k > 0) cur(k - 1) & 0xff else 0
+            val b = if (prev != null) prev(k) & 0xff else 0
+            val c = if (k > 0 && prev != null) prev(k - 1) & 0xff else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case 4 =>
+                val p = a + b - c
+                val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            }
+            rawOut.write(((cur(k) & 0xff) - pred) & 0xff)
+          }
+          prev = cur
+        }
+      } else {
+        Adam7.zip(adam7Dims(w, h)).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+          if (pw > 0 && ph > 0) {
+            val rows = packRows(pw, ph, (px, py) => v(x0 + px * dx, y0 + py * dy))
+            for (py <- 0 until ph) { rawOut.write(0); rawOut.write(rows(py)) }
+          }
+        }
+      }
+      val raw = rawOut.toByteArray
+      val def_ = new java.util.zip.Deflater()
+      def_.setInput(raw); def_.finish()
+      val zbuf = new Array[Byte](raw.length * 2 + 64)
+      val zlen = def_.deflate(zbuf)
+      def_.end()
+      val ihdr = ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(depth.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+        .put((if (interlaced) 1 else 0).toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      out.write(chunk("IHDR", ihdr.array()))
+      if (plte != null) out.write(chunk("PLTE", plte))
+      out.write(chunk("IDAT", zbuf.take(zlen)))
+      out.write(chunk("IEND", Array.empty))
+      out.toByteArray
+    }
+
     /** 16-bit grayscale PNG with the same filter-type rotation as
       * [[pngGray]] — filters work BYTEwise with bpp=2 (the `a`/`c`
       * neighbors two bytes back), exactly the spec's definition, so
@@ -888,8 +973,12 @@ object Multimodal {
       * sub-image; empty passes contribute nothing). 16-bit samples
       * decode and downconvert to their high byte (the standard 8-bit
       * rendering; filters operate bytewise with the doubled bpp step
-      * exactly as the spec defines). Sub-8-bit depths are refused,
-      * not mis-decoded. */
+      * exactly as the spec defines). Sub-8-bit depths (1/2/4 — legal
+      * for gray and palette only, spec §11.2.2) decode too (r8):
+      * filters reverse bytewise with a 1-byte step, samples unpack
+      * MSB-first per scanline (per pass under Adam7 — packing never
+      * aligns across passes), gray samples scale by bit replication
+      * (v·255/max), palette samples index the PLTE raw. */
     def decodePngImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
       if (b == null || b.length < 33 ||
         !b.take(8).sameElements(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
@@ -913,10 +1002,12 @@ object Multimodal {
             colorType = b(i + 17) & 0xff
             interlaced = b(i + 20) == 1
             depth = b(i + 16) & 0xff
-            // bit depth 8 (all types) or 16 (non-palette — the spec
-            // allows no 16-bit palette), color type 0/2/3/4/6,
-            // interlace none or Adam7
-            ok = (depth == 8 || (depth == 16 && colorType != 3)) &&
+            // bit depth per the spec's §11.2.2 legality table: 8 for
+            // all types, 16 for non-palette, and sub-byte 1/2/4 for
+            // gray and palette only; interlace none or Adam7
+            ok = (depth == 8 || (depth == 16 && colorType != 3) ||
+              ((depth == 1 || depth == 2 || depth == 4) &&
+                (colorType == 0 || colorType == 3))) &&
               (colorType == 0 || colorType == 2 || colorType == 3 ||
                 colorType == 4 || colorType == 6) &&
               (b(i + 20) == 0 || b(i + 20) == 1)
@@ -936,16 +1027,20 @@ object Multimodal {
         case 2 => 3
         case 6 => 4
       }
-      val bpp = pixCh * (depth / 8) // filter bytes per pixel
+      // filter byte step: sub-byte depths pack >1 pixel per byte and
+      // the spec defines their filters bytewise with a 1-byte step
+      val bpp = math.max(1, pixCh * depth / 8)
+      // scanline byte width of a wPx-pixel row (ceil for sub-byte)
+      def rbOf(wPx: Int): Int = (wPx * pixCh * depth + 7) / 8
       val outCh = if (colorType == 0 || colorType == 4) 1 else 3
       if (w > MaxDim || h > MaxDim || w.toLong * h * outCh > MaxPixels) return None
       if (colorType == 3 && plte == null) return None
-      val rowBytes = w * bpp
+      val rowBytes = rbOf(w)
       // reverse per-scanline filters of one (sub-)image at `base` in
       // `raw` (neighbors at -bpp, per the PNG spec); null on a bad
       // filter byte
       def defilter(raw: Array[Byte], base: Int, wPx: Int, rows: Int): Array[Byte] = {
-        val rb = wPx * bpp
+        val rb = rbOf(wPx)
         val un = new Array[Byte](rb * rows)
         var y = 0
         while (y < rows) {
@@ -978,7 +1073,7 @@ object Multimodal {
       val expected =
         if (!interlaced) (rowBytes + 1) * h
         else dims.map { case (pw, ph) =>
-          if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
+          if (pw > 0 && ph > 0) (rbOf(pw) + 1) * ph else 0
         }.sum
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
@@ -991,30 +1086,56 @@ object Multimodal {
       }
       inf.end()
       if (off != raw.length) return None
+      // unpack one (sub-)image's defiltered sub-byte rows to one byte
+      // per sample, MSB-first within each byte (spec §7.2); row
+      // padding bits are skipped by the per-row byte width
+      def unpack(u: Array[Byte], wPx: Int, rows: Int): Array[Byte] = {
+        val rb = rbOf(wPx)
+        val mask = (1 << depth) - 1
+        val out = new Array[Byte](wPx * rows)
+        var y = 0
+        while (y < rows) {
+          var x = 0
+          while (x < wPx) {
+            val bit = x * depth
+            out(y * wPx + x) =
+              ((u(y * rb + (bit >> 3)) >> (8 - depth - (bit & 7))) & mask).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
       val un =
         if (!interlaced) {
           val u = defilter(raw, 0, w, h)
           if (u == null) return None
-          u
+          if (depth < 8) unpack(u, w, h) else u
         } else {
-          val full = new Array[Byte](rowBytes * h)
+          // sub-byte passes are unpacked BEFORE the merge — bit
+          // packing never aligns across Adam7 passes, so the merged
+          // canvas is per-sample bytes (depth<8) or per-pixel byte
+          // groups (depth>=8)
+          val full = new Array[Byte]((if (depth < 8) w else rowBytes) * h)
           var base = 0
           var p = 0
           while (p < 7) {
             val (x0, y0, dx, dy) = Adam7(p)
             val (pw, ph) = dims(p)
             if (pw > 0 && ph > 0) {
-              val pu = defilter(raw, base, pw, ph)
-              if (pu == null) return None
-              base += (pw * bpp + 1) * ph
+              val pu0 = defilter(raw, base, pw, ph)
+              if (pu0 == null) return None
+              base += (rbOf(pw) + 1) * ph
+              val pu = if (depth < 8) unpack(pu0, pw, ph) else pu0
+              val step = if (depth < 8) 1 else bpp
               var py = 0
               while (py < ph) {
                 var px = 0
                 while (px < pw) {
-                  val dest = ((y0 + py * dy) * w + (x0 + px * dx)) * bpp
+                  val dest = ((y0 + py * dy) * w + (x0 + px * dx)) * step
                   var ch = 0
-                  while (ch < bpp) {
-                    full(dest + ch) = pu((py * pw + px) * bpp + ch)
+                  while (ch < step) {
+                    full(dest + ch) = pu((py * pw + px) * step + ch)
                     ch += 1
                   }
                   px += 1
@@ -1027,10 +1148,22 @@ object Multimodal {
           full
         }
       // 16-bit samples downconvert to their high byte (the standard
-      // 8-bit rendering; ImageIO's 16-bit raster >> 8 agrees, spec'd)
+      // 8-bit rendering; ImageIO's 16-bit raster >> 8 agrees, spec'd);
+      // sub-byte GRAY samples scale by bit replication (v·255/max —
+      // the spec's sample-depth scaling, what every renderer shows);
+      // sub-byte PALETTE samples are indices and stay raw
       val un8 =
         if (depth == 8) un
-        else {
+        else if (depth < 8) {
+          if (colorType != 0) un
+          else {
+            val factor = 255 / ((1 << depth) - 1)
+            val o = new Array[Byte](un.length)
+            var j = 0
+            while (j < o.length) { o(j) = ((un(j) & 0xff) * factor).toByte; j += 1 }
+            o
+          }
+        } else {
           val o = new Array[Byte](un.length / 2)
           var j = 0
           while (j < o.length) { o(j) = un(2 * j); j += 1 }
@@ -1719,6 +1852,37 @@ object Multimodal {
       val bytes =
         if (id % 2 == 0) MiniEncoder.pngGray(w, h, v)
         else MiniEncoder.bmp24(w, h, v)
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(6) else bytes)
+    }(mediaEnc)
+
+  /** Deterministic SUB-BYTE PNG media (r8): depth 1/2/4 by
+    * `doc_id mod 3`, GRAY (even ids — decode scales by bit
+    * replication, v·255/max) or PALETTE (odd ids — indices expand
+    * through the formula palette `i → ((17i+9)%256, (29i+5)%256,
+    * (43i+2)%256)`), Adam7-interlaced every 5th id (same pixels,
+    * different container layout — the twin doesn't care). Sample
+    * `s(x,y) = (x + y + doc_id) mod 2^depth`; every 25th payload
+    * truncated for the corrupt path. The q87 twin recomputes the
+    * per-channel statistics from these formulas. */
+  def syntheticSubBytePngMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 16 + 1).toInt * 2
+      val h = (id % 12 + 1).toInt * 2
+      val depth = (id % 3) match { case 0 => 1; case 1 => 2; case _ => 4 }
+      val max = (1 << depth) - 1
+      def s(x: Int, y: Int): Int = ((x + y + id) % (max + 1)).toInt
+      val interlaced = id % 5 == 0
+      val bytes =
+        if (id % 2 == 0) MiniEncoder.pngGraySub(w, h, depth, interlaced, s)
+        else MiniEncoder.pngPaletteSub(w, h, depth,
+          Array.tabulate((max + 1) * 3) { j =>
+            val i = j / 3
+            (j % 3 match {
+              case 0 => (17 * i + 9) % 256
+              case 1 => (29 * i + 5) % 256
+              case _ => (43 * i + 2) % 256
+            }).toByte
+          }, interlaced, s)
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(6) else bytes)
     }(mediaEnc)
 

@@ -135,10 +135,71 @@ class MultimodalSpec extends SparkSpec {
     assert((jw, jh) === ((7, 6)))
     for (y <- 0 until 6; x <- 0 until 7)
       assert((jpx(y * 7 + x) & 0xff) === (v16(x, y) >> 8), s"jdk 16 ($x,$y)")
-    // sub-8-bit depth still refused: flip the IHDR depth byte to 4
-    // (CRC is not validated by contract — decode guards, not checksums)
+    // a LYING depth byte (16-bit stream relabeled 4-bit) is refused
+    // by the byte-accounting guards, never mis-decoded (CRC is not
+    // validated by contract — decode guards, not checksums)
     val bad = bytes.clone(); bad(24) = 4
     assert(PixelCodec.decodePng(bad) === None)
+    // an ILLEGAL depth/type cell (sub-byte truecolor, spec §11.2.2)
+    // is refused outright
+    val rgbBytes = MiniEncoder.pngRgb(5, 5, (x, y) => (x, y, x + y))
+    val badRgb = rgbBytes.clone(); badRgb(24) = 4
+    assert(PixelCodec.decodePngImage(badRgb) === None)
+  }
+
+  test("sub-byte PNG matrix: depths 1/2/4 gray+palette × Adam7, decode + ImageIO cross-read") {
+    import Multimodal.{MiniEncoder, PixelCodec}
+    for {
+      depth <- Seq(1, 2, 4)
+      interlaced <- Seq(false, true)
+      (w, h) <- Seq((13, 9), (1, 1), (2, 3), (9, 6)) // ≥5 rows rotates all filters; tiny dims hit empty/ragged passes
+    } {
+      val max = (1 << depth) - 1
+      val factor = 255 / max
+      def v(x: Int, y: Int): Int = (x * 5 + y * 3 + 1) % (max + 1)
+      // gray: decode scales by bit replication (v·255/max)
+      val label = s"d=$depth il=$interlaced ${w}x$h"
+      val gray = MiniEncoder.pngGraySub(w, h, depth, interlaced, v)
+      assert(gray(24) === depth, s"$label depth")
+      val Some((gw, gh, gch, gpx)) = PixelCodec.decodePngImage(gray)
+      assert((gw, gh, gch) === ((w, h, 1)), label)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((gpx(y * w + x) & 0xff) === v(x, y) * factor, s"$label gray ($x,$y)")
+      // ImageIO cross-reads OUR write at the raw sample depth
+      val gimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gray))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(gimg.getRaster.getSample(x, y, 0) === v(x, y), s"$label ImageIO gray ($x,$y)")
+      // palette: indices expand through a PLTE of 2^depth distinct RGBs
+      val plte = Array.tabulate((max + 1) * 3)(i =>
+        ((i / 3) * 40 + i % 3 * 7 + 9).toByte)
+      val pal = MiniEncoder.pngPaletteSub(w, h, depth, plte, interlaced, v)
+      val Some((pw2, ph2, pch, ppx)) = PixelCodec.decodePngImage(pal)
+      assert((pw2, ph2, pch) === ((w, h, 3)), label)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(ppx((y * w + x) * 3 + c) === plte(v(x, y) * 3 + c), s"$label pal ($x,$y,$c)")
+      // ImageIO agrees on the expanded colors
+      val pimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pal))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = pimg.getRGB(x, y)
+        val exp = ((plte(v(x, y) * 3) & 0xff) << 16) |
+          ((plte(v(x, y) * 3 + 1) & 0xff) << 8) | (plte(v(x, y) * 3 + 2) & 0xff)
+        assert((rgb & 0xffffff) === exp, s"$label ImageIO pal ($x,$y)")
+      }
+    }
+    // WE decode a JDK-written 1-bit PNG (TYPE_BYTE_BINARY), whichever
+    // legal encoding (gray or 2-entry palette) the writer picks
+    def bit(x: Int, y: Int): Int = (x * 3 + y * 7 + 1) % 2
+    val bin = new java.awt.image.BufferedImage(11, 7,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 7; x <- 0 until 11) bin.getRaster.setSample(x, y, 0, bit(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bin, "png", bos)
+    val foreign = bos.toByteArray
+    assert(foreign(24) === 1, "JDK wrote a 1-bit file")
+    val Some((fw, fh, fch, fpx)) = PixelCodec.decodePngImage(foreign)
+    assert((fw, fh) === ((11, 7)))
+    for (y <- 0 until 7; x <- 0 until 11; c <- 0 until fch)
+      assert((fpx((y * 11 + x) * fch + c) & 0xff) === bit(x, y) * 255, s"jdk 1-bit ($x,$y)")
   }
 
   test("16-bit PNG matrix: color types 0/2/4/6 × Adam7, decode + ImageIO cross-read") {
