@@ -53,8 +53,14 @@ import org.apache.spark.sql.types._
   *   before or after the operation, forward references fine) spread
   *   with `...F`, inline fragments `... on T { … }`, @skip/@include
   *   on spreads, fragments referencing fragments (cycles rejected).
-  *   Type conditions are parsed but not dispatched on — every view
-  *   is a single concrete type here, the honest reading;
+  *   Type conditions DISPATCH (r8): every type here is concrete (one
+  *   per view, plus Query/PageInfo), so spec rule 5.5.2.3 degenerates
+  *   to equality — a condition naming the enclosing type
+  *   (case-insensitively, Spark's own resolution convention) applies,
+  *   any other can never apply and errors instead of silently
+  *   applying as r7 did. Relation selections check against the
+  *   relation's CHILD view; introspection subtrees are uncontexted
+  *   and stay shape-checked;
   * - aliases (r7): `key: field` on root fields (query one view twice
   *   under different conditions), on columns (same column under two
   *   response keys — the SQL projection just repeats it), and on
@@ -297,7 +303,11 @@ object GraphQL {
 
   private class Parser(var toks: List[Tok], provided: Map[String, Any] = Map.empty,
       frags: Map[String, (String, List[Tok])] = Map.empty,
-      visited: Set[String] = Set.empty) {
+      visited: Set[String] = Set.empty,
+      // (enclosing type, field name) → the field's selection-set type,
+      // None when unknown (introspection subtrees, relation-less
+      // parses) — fragments in a None context stay shape-checked only
+      childType: (Option[String], String) => Option[String] = (_, _) => None) {
     // operation variables: caller-provided values, plus declaration
     // defaults filled in by document()'s header pass
     private var vars: Map[String, Any] = provided
@@ -370,11 +380,12 @@ object GraphQL {
       * boundary, rejected loudly rather than mis-served. The guard is
       * waived under `tolerateEmpty` (a skipped parent consumes its
       * braces without serving them). */
-    def braceBlock(ctx: String, tolerateEmpty: Boolean = false): Seq[Sel] = {
+    def braceBlock(ctx: String, tolerateEmpty: Boolean = false,
+        ctxType: Option[String] = None): Seq[Sel] = {
       expect('{')
       val out = scala.collection.mutable.ListBuffer[Sel]()
       var syntactic = 0
-      while (!peekIs('}')) { syntactic += 1; out ++= selection() }
+      while (!peekIs('}')) { syntactic += 1; out ++= selection(ctxType) }
       expect('}')
       if (syntactic > 0 && out.isEmpty && !tolerateEmpty)
         throw ParseError(
@@ -385,17 +396,29 @@ object GraphQL {
     /** One selection-list entry: a field (possibly aliased), an
       * inline fragment, or a named-fragment spread — returns the
       * (possibly several, possibly zero) selections it contributes. */
-    def selection(): Seq[Sel] = toks match {
+    // every type here is CONCRETE (one per view, plus Query/PageInfo),
+    // so spec rule 5.5.2.3 ("fragment spread is possible") degenerates
+    // to equality: a condition naming the enclosing type applies, any
+    // other can never apply and is a validation error — r7 shape-
+    // checked the identifier and silently applied mismatches
+    private def checkCondition(onType: String, ctxType: Option[String],
+        what: String): Unit =
+      ctxType.foreach { c =>
+        if (!onType.equalsIgnoreCase(c)) throw ParseError(
+          s"$what on '$onType' can never apply to type '$c'")
+      }
+
+    def selection(ctxType: Option[String]): Seq[Sel] = toks match {
       case Spread :: rest =>
         toks = rest
         toks match {
-          // inline fragment: `... on Type @dirs { … }` — every view is
-          // a single concrete type here, so the condition is shape-
-          // checked (an identifier) but not dispatched on
-          case Ident("on") :: Ident(_) :: _ =>
+          // inline fragment: `... on Type @dirs { … }`
+          case Ident("on") :: Ident(onType) :: _ =>
             toks = toks.drop(2)
+            checkCondition(onType, ctxType, "inline fragment")
             val skipped = directivesSkip()
-            val kids = braceBlock("inline fragment", tolerateEmpty = skipped)
+            val kids = braceBlock("inline fragment", tolerateEmpty = skipped,
+              ctxType = ctxType)
             if (skipped) Nil else kids
           case Ident(fname) :: rest2 =>
             toks = rest2
@@ -404,22 +427,23 @@ object GraphQL {
             else {
               if (visited(fname))
                 throw ParseError(s"fragment cycle through '$fname'")
-              val (_, body) = frags.getOrElse(fname,
+              val (onType, body) = frags.getOrElse(fname,
                 throw ParseError(s"unknown fragment '$fname'"))
+              checkCondition(onType, ctxType, s"fragment '$fname'")
               // lazy re-parse of the stored body: same resolved vars
               // (defaults included), the visited set guards cycles
-              new Parser(body, vars, frags, visited + fname)
-                .braceBlock(s"fragment $fname")
+              new Parser(body, vars, frags, visited + fname, childType)
+                .braceBlock(s"fragment $fname", ctxType = ctxType)
             }
           case t => throw ParseError(s"expected fragment name or 'on', got $t")
         }
-      case _ => sel().toSeq
+      case _ => sel(ctxType).toSeq
     }
 
     /** One field selection, directives applied: returns None when a
       * @skip/@include directive removes the field (its tokens —
       * including a nested selection set — are still consumed). */
-    def sel(): Option[Sel] = {
+    def sel(ctxType: Option[String]): Option[Sel] = {
       val first = ident()
       // `alias: field` — in a selection list a colon after the first
       // identifier can only be an alias (arguments live inside parens)
@@ -437,7 +461,8 @@ object GraphQL {
       // a skipped field
       val skipped = directivesSkip()
       val children =
-        if (peekIs('{')) braceBlock(name, tolerateEmpty = skipped)
+        if (peekIs('{')) braceBlock(name, tolerateEmpty = skipped,
+          ctxType = childType(ctxType, name))
         else Seq.empty
       if (skipped) None else Some(Sel(name, args.toSeq, children, alias))
     }
@@ -481,7 +506,7 @@ object GraphQL {
       expect('{')
       val roots = scala.collection.mutable.ListBuffer[Sel]()
       var parsed = 0
-      while (!peekIs('}')) { parsed += 1; roots ++= selection() }
+      while (!peekIs('}')) { parsed += 1; roots ++= selection(Some("Query")) }
       expect('}')
       if (toks.nonEmpty) throw ParseError(s"trailing input: ${toks.head}")
       if (parsed == 0) throw ParseError("empty query")
@@ -490,10 +515,28 @@ object GraphQL {
     }
   }
 
-  /** Tokenize, split out fragment definitions, parse the operation. */
-  private def parseDocument(q: String, variables: Map[String, Any]): Seq[Sel] = {
+  /** Tokenize, split out fragment definitions, parse the operation.
+    * `relations` feeds the type-context map fragments dispatch
+    * against: root fields sit in `Query`, a view field's selections
+    * (and its nodes/edges/node connection shells) in the view's own
+    * type, `pageInfo` in `PageInfo`, a relation field's selections in
+    * the relation's CHILD view. Introspection subtrees and unknown
+    * fields get no context — fragments there stay shape-checked. */
+  private def parseDocument(q: String, variables: Map[String, Any],
+      relations: Relations = Map.empty): Seq[Sel] = {
     val (opToks, frags) = splitFragments(tokenize(q))
-    new Parser(opToks, variables, frags).document()
+    val childType: (Option[String], String) => Option[String] = {
+      case (Some("Query"), f) => if (f.startsWith("__")) None else Some(f)
+      case (Some("PageInfo"), _) => None
+      case (Some(v), f) =>
+        if (f == "nodes" || f == "edges" || f == "node") Some(v)
+        else if (f == "pageInfo") Some("PageInfo")
+        else relations.collectFirst {
+          case (k, m) if k.equalsIgnoreCase(v) => m
+        }.getOrElse(Map.empty).get(f).map(_.childView)
+      case _ => None
+    }
+    new Parser(opToks, variables, frags, childType = childType).document()
   }
 
   // ---- selection-tree interpretation ---------------------------------
@@ -893,7 +936,7 @@ object GraphQL {
               variables: Map[String, Any] = Map.empty): String = {
     val root = mapper.createObjectNode()
     try {
-      val roots = parseDocument(query, variables)
+      val roots = parseDocument(query, variables, relations)
       val data = root.putObject("data")
       roots.foreach { s =>
         if (s.name.startsWith("__")) renderIntrospection(spark, data, s)

@@ -389,6 +389,56 @@ class GraphQLSpec extends SparkSpec {
         |fragment b on gql_logs { ...a }""".stripMargin).contains("fragment cycle"))
   }
 
+  test("fragment type conditions dispatch: concrete-type equality, relation child types") {
+    registerFixture()
+    Seq(("0xaaa", 5L, 1.0), ("0xbbb", 5L, 9.0))
+      .toDF("address", "pblock", "price_usd").createOrReplaceTempView("gql_price")
+    val rels: GraphQL.Relations = Map(
+      "gql_logs" -> Map("prices" -> GraphQL.Relation("gql_price", "address", "address")))
+    def errOf(q: String): String = {
+      val r = mapper.readTree(GraphQL.execute(spark, q, relations = rels))
+      assert(r.has("errors"), s"expected error for $q")
+      r.get("errors").get(0).get("message").asText
+    }
+    // a condition naming a DIFFERENT concrete type can never apply —
+    // validation error (rule 5.5.2.3), not a silent splice (the r7 bug)
+    assert(errOf("""{ gql_logs(first: 1) { ... on gql_price { address } } }""")
+      .contains("can never apply"))
+    assert(errOf(
+      """query Q { gql_logs(first: 1) { ...f } }
+        |fragment f on gql_price { address }""".stripMargin)
+      .contains("can never apply"))
+    // matching conditions apply — case-insensitively (Spark's own
+    // view-name resolution convention), inside connection shells too
+    val ok = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(first: 1) {
+        |  ... on GQL_LOGS { amount }
+        |  nodes { ... on gql_logs { block_number } } } }""".stripMargin,
+      relations = rels))
+    assert(!ok.has("errors"), ok.toString)
+    assert(ok.get("data").get("gql_logs").get("nodes").get(0).has("block_number"))
+    // a relation selection's context is the CHILD view: its own name
+    // applies, the parent's errors
+    val rel = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(first: 1) { block_number
+        |    prices { ... on gql_price { pblock } } } }""".stripMargin,
+      relations = rels))
+    assert(!rel.has("errors"), rel.toString)
+    assert(rel.get("data").get("gql_logs").get("nodes").get(0)
+      .get("prices").get(0).has("pblock"))
+    assert(errOf(
+      """{ gql_logs(first: 1) { block_number
+        |    prices { ... on gql_logs { pblock } } } }""".stripMargin)
+      .contains("can never apply"))
+    // root-level spreads sit in Query
+    val q = mapper.readTree(GraphQL.execute(spark,
+      """{ ... on Query { gql_logs(first: 1) { amount } } }""",
+      relations = rels))
+    assert(!q.has("errors"), q.toString)
+    assert(errOf("""{ ... on gql_logs { gql_logs(first: 1) { amount } } }""")
+      .contains("can never apply"))
+  }
+
   test("nested relations: one bounded child query per page, grouped per parent") {
     registerFixture()
     Seq(("0xaaa", 5L, 1.0), ("0xaaa", 6L, 2.0), ("0xaaa", 7L, 3.0),
