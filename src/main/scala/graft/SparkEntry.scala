@@ -751,6 +751,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // CMYK/YCCK JPEG decode under the gate (r8 — the 4-component
+    // refusal closed): Adobe APP14 transform 0 (stored inverted CMYK)
+    // on even ids, 2 (YCCK) on odd, per-tile even constants exact
+    // through the DC-only encode; RGB = the documented conversion
+    // (YCbCr→R'G'B' for YCCK, then channel·K/255 over the stored
+    // Adobe-inverted values). The twin recomputes per-channel stats
+    // from those formulas; a transform-dispatch or inversion bug
+    // shifts sums and breaks the hash.
+    "q88_cmyk_jpeg_decode" -> { (s, dir) =>
+      Multimodal.decodeColorPixels(
+          Multimodal.syntheticCmykJpegMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // REAL WAV sample decode under the gate: 16-bit PCM data written
     // by the mini encoder (RIFF chunk walk, interleaved int16), sample
     // statistics vs the formula twin — a chunk-walk, endianness or
@@ -2198,6 +2213,59 @@ object SparkEntry {
         |  cast(case when doc_id % 25 = 0 then 0 else w end as int) as width,
         |  cast(case when doc_id % 25 = 0 then 0 else h end as int) as height,
         |  cast(case when doc_id % 25 = 0 then 0 else n end as bigint) as n_pixels,
+        |  cast(case when doc_id % 25 = 0 then 0 else rs end as bigint) as r_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else gs end as bigint) as g_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else bs end as bigint) as b_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else rmn end as int) as r_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else rmx end as int) as r_max,
+        |  cast(case when doc_id % 25 = 0 then 0 else gmn end as int) as g_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else gmx end as int) as g_max,
+        |  cast(case when doc_id % 25 = 0 then 0 else bmn end as int) as b_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else bmx end as int) as b_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
+
+    // CMYK twin: the stored-plane tile constants are exact, so RGB is
+    // pure formula — YCCK rows run the JFIF conversion first (the q61
+    // clamp idiom), then both transforms apply channel·K/255 with
+    // floor(x+0.5)
+    "q88_cmyk_jpeg_decode" ->
+      """with d as (select doc_id,
+        |    cast(doc_id % 4 + 1 as bigint) as bw,
+        |    cast(doc_id % 3 + 1 as bigint) as bh
+        |  from documents),
+        | t as (select d.doc_id, d.bw, d.bh, d.doc_id % 2 = 0 as plain,
+        |    2 * ((x.range + 3 * y.range + d.doc_id) % 128) as p0,
+        |    2 * ((2 * x.range + y.range + 3 * d.doc_id) % 128) as p1,
+        |    2 * ((x.range + 2 * y.range + 7 * d.doc_id) % 128) as p2,
+        |    2 * ((3 * x.range + y.range + 5 * d.doc_id) % 128) as p3
+        |  from d cross join range(0, 4) x cross join range(0, 3) y
+        |  where x.range < d.bw and y.range < d.bh),
+        | pre as (select doc_id, bw, bh, p3,
+        |    case when plain then p0
+        |         else least(255, greatest(0, floor(p0 + 1.402e0 * (p2 - 128) + 0.5e0))) end as av,
+        |    case when plain then p1
+        |         else least(255, greatest(0, floor(p0 - 0.344136e0 * (p1 - 128)
+        |           - 0.714136e0 * (p2 - 128) + 0.5e0))) end as bv,
+        |    case when plain then p2
+        |         else least(255, greatest(0, floor(p0 + 1.772e0 * (p1 - 128) + 0.5e0))) end as cv
+        |  from t),
+        | rgb as (select doc_id, bw, bh,
+        |    floor(av * p3 / 255e0 + 0.5e0) as r,
+        |    floor(bv * p3 / 255e0 + 0.5e0) as g,
+        |    floor(cv * p3 / 255e0 + 0.5e0) as b
+        |  from pre),
+        | agg as (select doc_id, bw, bh,
+        |    sum(r) * 64 as rs, sum(g) * 64 as gs, sum(b) * 64 as bs,
+        |    min(r) as rmn, max(r) as rmx, min(g) as gmn, max(g) as gmx,
+        |    min(b) as bmn, max(b) as bmx
+        |  from rgb group by doc_id, bw, bh)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'jpeg' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * 8 end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else bh * 8 end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * bh * 64 end as bigint) as n_pixels,
         |  cast(case when doc_id % 25 = 0 then 0 else rs end as bigint) as r_sum,
         |  cast(case when doc_id % 25 = 0 then 0 else gs end as bigint) as g_sum,
         |  cast(case when doc_id % 25 = 0 then 0 else bs end as bigint) as b_sum,

@@ -16,9 +16,19 @@ package graft.operators
   * differs only on non-constant chroma, which the specs account for),
   * JFIF YCbCr→RGB (R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128)
   * − 0.714136·(Cr−128), B = Y + 1.772·(Cb−128), floor(x+0.5) then
-  * clamp), partial edge blocks cropped. Progressive scans, 12-bit
-  * precision, 2- or 4-component (CMYK) frames and sampling factors
-  * above 2 are refused, not mis-decoded. [[decodeGray]] keeps its
+  * clamp), partial edge blocks cropped. (r8) 4-component Adobe
+  * CMYK/YCCK frames decode too: the APP14 transform tag picks the
+  * model (0/absent = stored inverted CMYK, 2 = YCCK — YCbCr over the
+  * inverted CMY; 3-component transform 0 = stored RGB), and RGB
+  * renders as channel·K/255 over the stored Adobe-inverted values,
+  * libjpeg's convention, floor(x+0.5) rounded. 12-bit precision,
+  * 2-component frames, arithmetic coding and sampling factors
+  * above 2 are refused, not mis-decoded. The CMYK specs gate the
+  * formulas against the tile encoder and cross-check the JDK at the
+  * RASTER level (its SimpleCMYKColorSpace raster independently
+  * confirms the inversion and the YCCK→R'G'B' transform; its final
+  * getRGB applies ICC/sRGB gamma and is not the comparison surface).
+  * [[decodeGray]] keeps its
   * original contract: single-component files only, color → None.
   *
   * ENCODER ([[encodeDcOnlyGray]], [[encodeDcOnlyColor]]): a real
@@ -186,7 +196,7 @@ object JpegCodec {
     * JFIF YCbCr→RGB for 3. Shared by the baseline and progressive
     * paths. */
   private def emitImage(comps: Array[Comp], w: Int, h: Int,
-      hmax: Int, vmax: Int): Option[(Int, Int, Int, Array[Byte])] =
+      hmax: Int, vmax: Int, transform: Int): Option[(Int, Int, Int, Array[Byte])] =
     if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Byte](w * h)
@@ -200,24 +210,48 @@ object JpegCodec {
       // chroma upsampled by sample replication (integer-floor source
       // coordinate), then JFIF YCbCr→RGB with floor(x+0.5) rounding —
       // both choices deterministic and reproducible in plain SQL by
-      // the oracle twin
-      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      // the oracle twin. The Adobe APP14 transform picks the color
+      // model: 3 comps are YCbCr unless transform 0 says stored RGB;
+      // 4 comps are Adobe-convention INVERTED CMYK (the only CMYK
+      // JPEGs that exist in practice are Adobe-written, which store
+      // 255−value), plain (transform 0/absent) or YCCK (transform 2 —
+      // the same YCbCr transform applied to the inverted CMY), and
+      // render to RGB as channel·K/255 on the stored (inverted)
+      // values — libjpeg's convention, floor(x+0.5) rounded.
+      val ycc = (comps.length == 3 && transform != 0) ||
+        (comps.length == 4 && transform == 2)
+      def samp(c: Comp, x: Int, y: Int): Int =
+        c.plane((y * c.vs / vmax) * c.pw + (x * c.hs / hmax)) & 0xff
+      def clamp8i(d: Double): Int = {
+        val v = math.floor(d + 0.5).toInt
+        if (v < 0) 0 else if (v > 255) 255 else v
+      }
       val out = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val lum = cy.plane((y * cy.vs / vmax) * cy.pw + (x * cy.hs / hmax)) & 0xff
-          val pb = (cb.plane((y * cb.vs / vmax) * cb.pw + (x * cb.hs / hmax)) & 0xff) - 128
-          val pr = (cr.plane((y * cr.vs / vmax) * cr.pw + (x * cr.hs / hmax)) & 0xff) - 128
-          def clamp8(d: Double): Byte = {
-            val v = math.floor(d + 0.5).toInt
-            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-          }
+          val (r, g, bl) =
+            if (ycc) {
+              val lum = samp(comps(0), x, y)
+              val pb = samp(comps(1), x, y) - 128
+              val pr = samp(comps(2), x, y) - 128
+              (clamp8i(lum + 1.402 * pr),
+                clamp8i(lum - 0.344136 * pb - 0.714136 * pr),
+                clamp8i(lum + 1.772 * pb))
+            } else
+              (samp(comps(0), x, y), samp(comps(1), x, y), samp(comps(2), x, y))
           val o = (y * w + x) * 3
-          out(o) = clamp8(lum + 1.402 * pr)
-          out(o + 1) = clamp8(lum - 0.344136 * pb - 0.714136 * pr)
-          out(o + 2) = clamp8(lum + 1.772 * pb)
+          if (comps.length == 4) {
+            val k = samp(comps(3), x, y)
+            out(o) = clamp8i(r * k / 255.0).toByte
+            out(o + 1) = clamp8i(g * k / 255.0).toByte
+            out(o + 2) = clamp8i(bl * k / 255.0).toByte
+          } else {
+            out(o) = r.toByte
+            out(o + 1) = g.toByte
+            out(o + 2) = bl.toByte
+          }
           x += 1
         }
         y += 1
@@ -232,7 +266,9 @@ object JpegCodec {
     * interleaved scan; progressive accumulates coefficients across
     * scans (DC first + refinement, per-band AC first with EOB runs,
     * AC successive-approximation refinement) and reconstructs at EOI.
-    * Extended-sequential/lossless/arithmetic frames, 2- or 4-component
+    * 4-component Adobe CMYK/YCCK frames render to RGB (channels = 3)
+    * per the object scaladoc's inverted-value convention.
+    * Extended-sequential/lossless/arithmetic frames, 2-component
     * frames, sampling factors > 2, truncation and entropy corruption
     * all return None, never a mis-decode. */
   def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
@@ -247,6 +283,7 @@ object JpegCodec {
     var dri = 0
     var progressive = false
     var scansDone = 0
+    var adobeTransform = -1 // APP14 color-transform tag; -1 = absent
     def u16(j: Int) = ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)
     while (i + 2 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
@@ -291,7 +328,7 @@ object JpegCodec {
           }
           ci += 1
         }
-        return emitImage(comps, w, h, hmax, vmax)
+        return emitImage(comps, w, h, hmax, vmax, adobeTransform)
       }
       else if (i + 4 > b.length) return None
       else {
@@ -327,7 +364,8 @@ object JpegCodec {
             if (b(seg) != 8) return None // 8-bit precision only
             h = u16(seg + 1); w = u16(seg + 3)
             val nComp = b(seg + 5) & 0xff
-            if (nComp != 1 && nComp != 3) return None // gray or YCbCr only
+            if (nComp != 1 && nComp != 3 && nComp != 4)
+              return None // gray, YCbCr/RGB, or (r8) Adobe CMYK/YCCK
             if (i + 2 + len < seg + 6 + 3 * nComp) return None
             comps = Array.tabulate(nComp) { c =>
               val o = seg + 6 + 3 * c
@@ -343,6 +381,10 @@ object JpegCodec {
             return None // extended/lossless/arithmetic frame types
           case 0xdd => // DRI
             dri = u16(seg)
+          case 0xee => // APP14 "Adobe": the color-transform tag
+            if (len >= 14 && b(seg) == 'A' && b(seg + 1) == 'd' &&
+              b(seg + 2) == 'o' && b(seg + 3) == 'b' && b(seg + 4) == 'e')
+              adobeTransform = b(seg + 11) & 0xff
           case 0xda if progressive => // progressive scan: accumulate
             if (w <= 0 || h <= 0 || comps == null) return None
             // tighter cap than baseline: the cross-scan coefficient
@@ -627,7 +669,7 @@ object JpegCodec {
               }
               my += 1
             }
-            return emitImage(comps, w, h, hmax, vmax)
+            return emitImage(comps, w, h, hmax, vmax, adobeTransform)
           case _ => () // APPn / COM / anything else: skip
         }
         i = if (jump >= 0) jump else i + 2 + len
@@ -871,6 +913,49 @@ object JpegCodec {
       predCb = putDcOnlyBlock(bw, cbv(mx, my), predCb)
       predCr = putDcOnlyBlock(bw, crv(mx, my), predCr)
     }
+    bw.flushWithOnes()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a REAL baseline 4-component Adobe JPEG (APP14 carries
+    * `transform`: 0 = stored inverted CMYK, 2 = YCCK) of per-8×8-tile
+    * STORED-plane constants — the CMYK extension of the
+    * exact-reconstruction contract (even values survive bit-exactly).
+    * All components 1×1; `w`/`h` multiples of 8; the four `(bx, by)`
+    * functions supply the stored byte for each plane — the spec/twin
+    * derives expected RGB through [[decodeImage]]'s documented
+    * conversion, so what's under test is the decode, not the
+    * generator. */
+  def encodeDcOnlyCmyk(w: Int, h: Int, transform: Int,
+      p0: (Int, Int) => Int, p1: (Int, Int) => Int,
+      p2: (Int, Int) => Int, p3: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    require(transform == 0 || transform == 2, "Adobe transform must be 0 or 2")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xee); u16(14) // APP14 "Adobe"
+    "Adobe".foreach(c => b(c.toInt))
+    u16(100); u16(0); u16(0); b(transform) // version, flags0/1, transform
+    b(0xff); b(0xdb); u16(67); b(0) // DQT, table 0, shared by all comps
+    (0 until 64).foreach(_ => b(QuantStep))
+    b(0xff); b(0xc0); u16(20) // SOF0: 4 components
+    b(8); u16(h); u16(w); b(4)
+    (1 to 4).foreach { c => b(c); b(0x11); b(0) }
+    b(0xff); b(0xc4); u16(19 + DcVals.length); b(0x00) // DHT DC class 0 id 0
+    DcBits.foreach(b); DcVals.foreach(b)
+    b(0xff); b(0xc4); u16(19 + AcVals.length); b(0x10) // DHT AC class 1 id 0
+    AcBits.foreach(b); AcVals.foreach(b)
+    b(0xff); b(0xda); u16(14) // SOS: 4 components
+    b(4); (1 to 4).foreach { c => b(c); b(0x00) }
+    b(0); b(63); b(0) // spectral selection (baseline fixed)
+    val bw = new BitWriter(out)
+    val preds = new Array[Int](4)
+    val ps = Array(p0, p1, p2, p3)
+    for (by <- 0 until h / 8; bx <- 0 until w / 8; c <- 0 until 4)
+      preds(c) = putDcOnlyBlock(bw, ps(c)(bx, by), preds(c))
     bw.flushWithOnes()
     b(0xff); b(0xd9) // EOI
     out.toByteArray

@@ -1942,6 +1942,27 @@ object Multimodal {
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(6) else bytes)
     }(mediaEnc)
 
+  /** Deterministic Adobe CMYK/YCCK JPEG media (r8): even ids carry
+    * APP14 transform 0 (stored inverted CMYK), odd transform 2
+    * (YCCK); per-8×8-tile EVEN stored-plane constants (exact through
+    * the DC-only encode), so the decoded RGB is the documented
+    * deterministic conversion ([[JpegCodec]] scaladoc — YCbCr→R'G'B'
+    * for YCCK, then channel·K/255 over the Adobe-inverted stored
+    * values) and the q88 twin reproduces it; every 25th payload
+    * truncated for the corrupt path. */
+  def syntheticCmykJpegMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 4 + 1).toInt * 8
+      val h = (id % 3 + 1).toInt * 8
+      def p0(bx: Int, by: Int) = (2L * ((bx + 3L * by + id) % 128)).toInt
+      def p1(bx: Int, by: Int) = (2L * ((2L * bx + by + 3L * id) % 128)).toInt
+      def p2(bx: Int, by: Int) = (2L * ((bx + 2L * by + 7L * id) % 128)).toInt
+      def p3(bx: Int, by: Int) = (2L * ((3L * bx + by + 5L * id) % 128)).toInt
+      val bytes = JpegCodec.encodeDcOnlyCmyk(w, h,
+        if (id % 2 == 0) 0 else 2, p0, p1, p2, p3)
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
+    }(mediaEnc)
+
   /** Deterministic COLOR JPEG media with the same exact-reconstruction
     * contract as [[syntheticJpegMedia]], extended per channel: Y/Cb/Cr
     * are per-tile EVEN constants (exact through the DC-only encode —

@@ -682,6 +682,87 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decodeImage(own444.take(8)) === None)
   }
 
+  test("CMYK/YCCK JPEG decode: Adobe APP14 transforms, formula-exact tiles") {
+    import graft.operators.JpegCodec
+    def c8(d: Double) = math.max(0, math.min(255, math.floor(d + 0.5).toInt))
+    // stored-plane even constants survive the DC-only encode bit-exactly
+    def p0(bx: Int, by: Int) = 2 * ((bx + 3 * by + 5) % 128)
+    def p1(bx: Int, by: Int) = 2 * ((2 * bx + by + 7) % 128)
+    def p2(bx: Int, by: Int) = 2 * ((bx + 2 * by + 11) % 128)
+    def p3(bx: Int, by: Int) = 2 * ((3 * bx + by + 13) % 128)
+    // (a) transform 0: stored inverted CMYK — RGB = stored·K/255
+    val cmyk = JpegCodec.encodeDcOnlyCmyk(32, 24, 0, p0, p1, p2, p3)
+    val Some((w, h, 3, px)) = JpegCodec.decodeImage(cmyk)
+    assert((w, h) === (32, 24))
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val (bx, by) = (x / 8, y / 8)
+      val k = p3(bx, by)
+      val want = (c8(p0(bx, by) * k / 255.0), c8(p1(bx, by) * k / 255.0),
+        c8(p2(bx, by) * k / 255.0))
+      val o = (y * 32 + x) * 3
+      assert(((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff)) === want,
+        s"cmyk ($x,$y)")
+    }
+    // (b) transform 2: YCCK — JFIF YCbCr→R'G'B' on planes 0-2, then ·K/255
+    val ycck = JpegCodec.encodeDcOnlyCmyk(16, 16, 2, p0, p1, p2, p3)
+    val Some((w2, h2, 3, px2)) = JpegCodec.decodeImage(ycck)
+    assert((w2, h2) === (16, 16))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val (bx, by) = (x / 8, y / 8)
+      val lum = p0(bx, by); val pb = p1(bx, by) - 128; val pr = p2(bx, by) - 128
+      val k = p3(bx, by)
+      val want = (c8(c8(lum + 1.402 * pr) * k / 255.0),
+        c8(c8(lum - 0.344136 * pb - 0.714136 * pr) * k / 255.0),
+        c8(c8(lum + 1.772 * pb) * k / 255.0))
+      val o = (y * 16 + x) * 3
+      assert(((px2(o) & 0xff, px2(o + 1) & 0xff, px2(o + 2) & 0xff)) === want,
+        s"ycck ($x,$y)")
+    }
+    // (c) ImageIO cross-check at the RASTER level (JDK 17 reads
+    // 4-component JPEGs via SimpleCMYKColorSpace; its final getRGB
+    // applies ICC/sRGB gamma, so the comparable surface is the
+    // raster): for transform 0 the JDK's true-CMYK raster is exactly
+    // 255−stored — independent confirmation that stored values are
+    // Adobe-INVERTED, the premise our RGB rendering builds on
+    val img0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cmyk))
+    assert(img0.getRaster.getNumBands === 4)
+    val ps = Array(p0 _, p1 _, p2 _, p3 _)
+    for (y <- 0 until 24; x <- 0 until 32; c <- 0 until 4)
+      assert(img0.getRaster.getSample(x, y, c) === 255 - ps(c)(x / 8, y / 8),
+        s"JDK cmyk raster ($x,$y,$c)")
+    // …and for YCCK the JDK's bands 0-2 are the same YCbCr→R'G'B'
+    // conversion we run (±1 for its fixed-point math), band 3 the
+    // inverted K — the transform-2 interpretation cross-validated
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ycck))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val (bx, by) = (x / 8, y / 8)
+      val lum = p0(bx, by); val pb = p1(bx, by) - 128; val pr = p2(bx, by) - 128
+      val want = Seq(c8(lum + 1.402 * pr),
+        c8(lum - 0.344136 * pb - 0.714136 * pr), c8(lum + 1.772 * pb))
+      for (c <- 0 until 3)
+        assert(math.abs(img2.getRaster.getSample(x, y, c) - want(c)) <= 1,
+          s"JDK ycck raster ($x,$y,$c)")
+      assert(img2.getRaster.getSample(x, y, 3) === 255 - p3(bx, by),
+        s"JDK ycck k ($x,$y)")
+    }
+    // (d) 3-component Adobe transform 0 = stored RGB: splice an APP14
+    // ahead of a YCbCr-shaped file and the planes decode untransformed
+    val base = JpegCodec.encodeDcOnlyColor(16, 8, 444, p0, p1, p2)
+    val app14 = (Array(0xff, 0xee, 0, 14) ++ "Adobe".map(_.toInt) ++
+      Array(0, 100, 0, 0, 0, 0, 0)).map(_.toByte)
+    val spliced = base.take(2) ++ app14 ++ base.drop(2)
+    val Some((_, _, 3, rpx)) = JpegCodec.decodeImage(spliced)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val (bx, by) = (x / 8, y / 8)
+      val o = (y * 16 + x) * 3
+      assert(((rpx(o) & 0xff, rpx(o + 1) & 0xff, rpx(o + 2) & 0xff)) ===
+        ((p0(bx, by), p1(bx, by), p2(bx, by))), s"adobe-rgb ($x,$y)")
+    }
+    // (e) truncation still refused, never a throw
+    assert(JpegCodec.decodeImage(cmyk.take(20)) === None)
+    assert(JpegCodec.decodeImage(cmyk.take(cmyk.length - 3)) === None)
+  }
+
   test("progressive JPEG: DC-lattice exact (incl. successive approximation), foreign scans ±2") {
     import graft.operators.JpegCodec
     def tv(bx: Int, by: Int): Int = 2 * ((bx + 3 * by + 5) % 128)
