@@ -822,6 +822,30 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // Leakage-safe splitting under the gate (r8): the q57 clustering
+    // pipeline (LSH candidates → exact verify → connected components)
+    // feeds Corpus.assignSplits, so every near-duplicate cluster is
+    // split-atomic — the Lee-2022 test-set-contamination failure made
+    // structurally impossible. The twin recomputes the closure
+    // (recursive CTE) AND the exact multiplicative-mix bucket
+    // arithmetic; a hash, threshold or cluster-label bug flips split
+    // labels and breaks the hash.
+    "q89_leakage_safe_split" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+          minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2,
+          minEstimate = 0.1, maxBucket = 1000)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.duplicateClusters(pairs)
+      Corpus.assignSplits(
+          docs.select(col("doc_id").as("id"))
+            .join(clusters, Seq("id"), "left")
+            .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")),
+          "cluster",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .orderBy(col("id"))
+    },
+
     // Corpus TF-IDF under the gate: termFrequencies → df join → top-3
     // terms per doc. Scored with the exact linear ratio tf*N/df (IEEE
     // +,*,/ are correctly rounded → bitwise-identical across engines;
@@ -1851,6 +1875,39 @@ object SparkEntry {
         |select id, cluster, count(*) over (partition by cluster) as n_members
         |from assigned
         |order by id""".stripMargin,
+
+    // q57's closure CTE + the exact split arithmetic: the pre-fold
+    // keeps the product in bigint range, so both engines compute the
+    // identical bucket and the labels hash-match
+    "q89_leakage_safe_split" ->
+      (s"""with recursive d as (select doc_id, string_split($OracleNorm, ' ') as w from documents),
+        |sh as (select doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(w)-2+1, 0)+1),
+        |    i -> array_to_string(list_slice(w, i, i+1), ' '))) as s
+        |  from d),
+        |p as (select a.doc_id as id_a, b.doc_id as id_b
+        |  from sh a join sh b on a.doc_id < b.doc_id
+        |  where cast(len(list_intersect(a.s, b.s)) as double)
+        |    / cast(greatest(len(list_distinct(list_concat(a.s, b.s))), 1) as double) >= 0.6),
+        |e as (select id_a as src, id_b as dst from p
+        |      union select id_b, id_a from p),
+        |reach(src, dst) as (
+        |  select src, dst from e
+        |  union
+        |  select r.src, e2.dst from reach r join e e2 on r.dst = e2.src),
+        |lab as (select src as doc_id, min(dst) as mn from reach group by src),
+        |assigned as (select doc.doc_id as id,
+        |    least(doc.doc_id, coalesce(l.mn, doc.doc_id)) as cluster
+        |  from documents doc left join lab l on doc.doc_id = l.doc_id),
+        |bk as (select id, cluster,
+        |    ((cluster % 1000000007) * 2654435761) % 1000000 as bucket
+        |  from assigned)
+        |select id, cluster,
+        |  case when bucket < 800000 then 'train'
+        |       when bucket < 900000 then 'val'
+        |       else 'test' end as split
+        |from bk
+        |order by id""".stripMargin),
 
     "q32_ingest_roundtrip" ->
       (s"""select printf('0x%040x', o_custkey) as address,

@@ -67,6 +67,48 @@ object Corpus {
       lit((fraction * buckets).toLong))
   }
 
+  /** Leakage-safe train/val/test split assignment (r8): map each
+    * row's near-duplicate CLUSTER label (from
+    * [[graft.operators.Dedup.duplicateClusters]]; singletons carry
+    * their own id) to a split name, so every member of a cluster
+    * lands in the SAME split by construction. Per-ROW hash splitting
+    * cannot give this property — two near-duplicate documents hash
+    * independently, and the near-dup of a training doc lands in the
+    * test set, the contamination Lee 2022 (§6.2) measured inflating
+    * eval scores. Cluster-atomic assignment makes that leak
+    * structurally impossible while staying fully deterministic.
+    *
+    * The bucket is a fixed multiplicative mix, EXACT in both Spark
+    * and a plain-SQL twin with no long overflow at any id scale:
+    * `bucket = ((cluster mod 1000000007) * 2654435761) mod 1000000`
+    * (Knuth's 2^32 golden-ratio constant; the pre-fold keeps the
+    * product under 2^63), compared against cumulative fraction
+    * thresholds in millionths — the last split absorbs the rounding
+    * tail so every bucket is owned.
+    *
+    * 100 TB shape: a pure per-row projection (long arithmetic +
+    * when-chain) over the cluster labels — no shuffle, no state; the
+    * cost center is the clustering it consumes, already paid. */
+  def assignSplits(df: DataFrame, clusterCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "assignSplits: fractions must be non-empty")
+    require(fractions.forall(_._2 >= 0.0), "assignSplits: negative fraction")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"assignSplits: duplicate split names in ${fractions.map(_._1)}")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"assignSplits: fractions must sum to 1, got $total")
+    val bucket = pmod(
+      pmod(col(clusterCol).cast(LongType), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000L))
+    val thresholds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => math.round(c * 1000000L))
+    var split: Column = lit(fractions.last._1) // owns the rounding tail
+    for (((name, _), thr) <- fractions.init.zip(thresholds.init).reverse)
+      split = when(bucket < lit(thr), lit(name)).otherwise(split)
+    df.withColumn("split", split)
+  }
+
   /** Systematic per-stratum sample: every `every`-th row of each
     * stratum in `orderCol` order. Exactly reproducible and plain-SQL
     * expressible (the oracled variant); costs one shuffle by stratum

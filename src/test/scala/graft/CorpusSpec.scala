@@ -427,6 +427,41 @@ class CorpusSpec extends SparkSpec {
       Corpus.mixSystematic(df, "s", "id", Map("a" -> 0)))
   }
 
+  test("assignSplits: cluster-atomic labels, deterministic, proportional, validated") {
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    // every member of a cluster gets the SAME split — the leakage guarantee
+    val clustered = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 77L),
+      (5L, 77L), (6L, 6L)).toDF("id", "cluster")
+    val out = Corpus.assignSplits(clustered, "cluster", fr)
+    val perCluster = out.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(perCluster.forall(_.getLong(1) === 1L))
+    // labels come from the declared set and the assignment is
+    // deterministic across evaluations
+    val a = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val b = Corpus.assignSplits(clustered, "cluster", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a === b)
+    // proportions hold over many singleton clusters (each its own id)
+    val singles = Corpus.assignSplits(
+      spark.range(20000).select(col("id").as("cluster")), "cluster", fr)
+    val counts = singles.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02, counts.toString)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.02, counts.toString)
+    assert(math.abs(counts("test") / 20000.0 - 0.1) < 0.02, counts.toString)
+    assert(counts.values.sum === 20000L)
+    // loud validation: empty, not summing to 1, duplicate names
+    intercept[IllegalArgumentException](
+      Corpus.assignSplits(clustered, "cluster", Seq.empty))
+    intercept[IllegalArgumentException](
+      Corpus.assignSplits(clustered, "cluster", Seq(("train", 0.5))))
+    intercept[IllegalArgumentException](
+      Corpus.assignSplits(clustered, "cluster",
+        Seq(("train", 0.5), ("train", 0.5))))
+  }
+
   test("systematicSample keeps every k-th row per stratum in order") {
     val df = spark.range(100).selectExpr("id", "case when id % 3 = 0 then 'a' else 'b' end as s")
     val got = Corpus.systematicSample(df, "s", "id", every = 5)
