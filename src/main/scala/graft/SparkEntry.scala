@@ -751,6 +751,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // ARITHMETIC-coded JPEG decode under the gate (r8 — the last
+    // JPEG entropy-coding refusal closed): q55's DC-lattice contract
+    // through the T.81 QM coder — adaptive state machine, conditional
+    // exchange, FF00 stuffing, Annex D termination — instead of
+    // Huffman. Validated byte-exactly against libjpeg in the spec;
+    // here the twin recomputes the tile formula. A state-machine,
+    // context-index or renormalization bug corrupts every value
+    // after the first mis-decoded decision and breaks the hash.
+    "q90_arith_jpeg_decode" -> { (s, dir) =>
+      Multimodal.decodePixels(
+          Multimodal.syntheticArithJpegMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // CMYK/YCCK JPEG decode under the gate (r8 — the 4-component
     // refusal closed): Adobe APP14 transform 0 (stored inverted CMYK)
     // on even ids, 2 (YCCK) on odd, per-tile even constants exact
@@ -2279,6 +2294,32 @@ object SparkEntry {
         |  cast(case when doc_id % 25 = 0 then 0 else gmx end as int) as g_max,
         |  cast(case when doc_id % 25 = 0 then 0 else bmn end as int) as b_min,
         |  cast(case when doc_id % 25 = 0 then 0 else bmx end as int) as b_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
+
+    // q55's lattice twin with the arithmetic formula (7·doc_id): the
+    // QM coder is lossless on the coefficients, so the closed form is
+    // identical in shape
+    "q90_arith_jpeg_decode" ->
+      """with d as (select doc_id,
+        |    doc_id % 4 + 1 as bw, doc_id % 3 + 1 as bh
+        |  from documents),
+        | t as (select d.doc_id, d.bw, d.bh,
+        |    2 * ((x.range + 3 * y.range + 7 * d.doc_id) % 128) as v
+        |  from d cross join range(0, 4) x cross join range(0, 3) y
+        |  where x.range < d.bw and y.range < d.bh),
+        | agg as (select doc_id, bw, bh,
+        |    sum(v) as s, min(v) as mn, max(v) as mx
+        |  from t group by doc_id, bw, bh)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'jpeg' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * 8 end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else bh * 8 end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * bh * 64 end as bigint) as n_pixels,
+        |  cast(case when doc_id % 25 = 0 then 0 else s * 64 end as bigint) as pixel_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else mn end as int) as pixel_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else mx end as int) as pixel_max,
         |  (doc_id % 25 <> 0) as valid
         |from agg
         |order by doc_id""".stripMargin,

@@ -284,6 +284,11 @@ object JpegCodec {
     var progressive = false
     var scansDone = 0
     var adobeTransform = -1 // APP14 color-transform tag; -1 = absent
+    var arith = false       // SOF9: sequential frame, arithmetic entropy
+    // DAC conditioning (T.81 defaults): DC L=0/U=1, AC Kx=5 per table
+    val dcCondL = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    val dcCondU = scala.collection.mutable.Map[Int, Int]().withDefaultValue(1)
+    val acCondK = scala.collection.mutable.Map[Int, Int]().withDefaultValue(5)
     def u16(j: Int) = ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)
     while (i + 2 <= b.length) {
       if ((b(i) & 0xff) != 0xff) return None
@@ -359,8 +364,9 @@ object JpegCodec {
               if (tc == 0) hDC(th) = huff else hAC(th) = huff
               j += 17 + n
             }
-          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          case 0xc0 | 0xc2 | 0xc9 => // SOF0 baseline / SOF2 progressive / SOF9 sequential arithmetic
             progressive = m == 0xc2
+            arith = m == 0xc9
             if (b(seg) != 8) return None // 8-bit precision only
             h = u16(seg + 1); w = u16(seg + 3)
             val nComp = b(seg + 5) & 0xff
@@ -377,14 +383,196 @@ object JpegCodec {
             if (nComp == 1 && (comps(0).hs != 1 || comps(0).vs != 1))
               return None // single-component frames are 1x1 by contract
           case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
-               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // extended/lossless/arithmetic frame types
+               0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // extended/lossless/progressive-arithmetic frame types
+          case 0xcc => // DAC: arithmetic conditioning per table
+            var j = seg
+            while (j + 1 < i + 2 + len) {
+              val tc = (b(j) & 0xff) >> 4; val tb = b(j) & 0x0f
+              val v = b(j + 1) & 0xff
+              if (tc == 0) { dcCondL(tb) = v & 0x0f; dcCondU(tb) = v >> 4 }
+              else acCondK(tb) = v
+              j += 2
+            }
           case 0xdd => // DRI
             dri = u16(seg)
           case 0xee => // APP14 "Adobe": the color-transform tag
             if (len >= 14 && b(seg) == 'A' && b(seg + 1) == 'd' &&
               b(seg + 2) == 'o' && b(seg + 3) == 'b' && b(seg + 4) == 'e')
               adobeTransform = b(seg + 11) & 0xff
+          case 0xda if arith => // SOF9: one interleaved arithmetic scan
+            if (w <= 0 || h <= 0 || comps == null) return None
+            if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
+              w.toLong * h * comps.length > Multimodal.PixelCodec.MaxPixels) return None
+            val ns = b(seg) & 0xff
+            if (ns != comps.length) return None // one interleaved scan
+            var j = seg + 1
+            var si = 0
+            while (si < ns) {
+              val cid = b(j) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.dcId = (b(j + 1) & 0xff) >> 4
+              c.acId = b(j + 1) & 0x0f
+              j += 2; si += 1
+            }
+            val hmax = comps.map(_.hs).max
+            val vmax = comps.map(_.vs).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            comps.foreach { c =>
+              c.pw = mcusX * c.hs * 8
+              c.plane = new Array[Byte](c.pw * mcusY * c.vs * 8)
+            }
+            var dec = new JpegArith.Decoder(b, i + 2 + len)
+            // per-table statistics areas + per-component DC state
+            var dcStats = comps.map(_.dcId).distinct.map(t => t -> new Array[Byte](64)).toMap
+            var acStats = comps.map(_.acId).distinct.map(t => t -> new Array[Byte](256)).toMap
+            var fixedBin = JpegArith.newFixedBin()
+            val lastDc = new Array[Int](comps.length)
+            val dcCtx = new Array[Int](comps.length)
+            var mcu = 0
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+                  // skip to the RSTn marker, then re-init EVERYTHING:
+                  // decoder registers, statistics, DC predictions and
+                  // conditioning contexts all reset at a restart
+                  var p = dec.pos
+                  while (p + 1 < b.length &&
+                    !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) >= 0xd0 && (b(p + 1) & 0xff) <= 0xd7))
+                    p += 1
+                  if (p + 1 >= b.length) return None
+                  dec = new JpegArith.Decoder(b, p + 2)
+                  dcStats = comps.map(_.dcId).distinct.map(t => t -> new Array[Byte](64)).toMap
+                  acStats = comps.map(_.acId).distinct.map(t => t -> new Array[Byte](256)).toMap
+                  fixedBin = JpegArith.newFixedBin()
+                  java.util.Arrays.fill(lastDc, 0)
+                  java.util.Arrays.fill(dcCtx, 0)
+                }
+                var ci = 0
+                while (ci < comps.length) {
+                  val c = comps(ci)
+                  val q = qt.getOrElse(c.tq, return None)
+                  val dst = dcStats(c.dcId)
+                  val ast = acStats(c.acId)
+                  var v2 = 0
+                  while (v2 < c.vs) {
+                    var h2 = 0
+                    while (h2 < c.hs) {
+                      val coef = new Array[Double](64)
+                      // DC (T.81 F.1.4.4.1, mirrored from the decode
+                      // flow validated against libjpeg)
+                      val ctx = dcCtx(ci)
+                      if (dec.decode(dst, ctx) == 0) dcCtx(ci) = 0
+                      else {
+                        val sign = dec.decode(dst, ctx + 1)
+                        var sti = ctx + 2 + sign
+                        var mcat = dec.decode(dst, sti)
+                        if (mcat != 0) {
+                          sti = 20 // X1
+                          mcat = 1
+                          while (dec.decode(dst, sti) != 0) {
+                            mcat <<= 1
+                            if (mcat == 0x8000) throw new IllegalArgumentException("DC cat overrun")
+                            sti += 1
+                          }
+                        }
+                        // conditioning category for the NEXT block
+                        dcCtx(ci) =
+                          if (mcat < ((1 << dcCondL(c.dcId)) >> 1)) 0
+                          else if (mcat > ((1 << dcCondU(c.dcId)) >> 1)) 12 + sign * 4
+                          else 4 + sign * 4
+                        var v = mcat
+                        sti += 14
+                        var mm = mcat
+                        while (mm > 1) {
+                          mm >>= 1
+                          if (dec.decode(dst, sti) != 0) v |= mm
+                        }
+                        v += 1
+                        if (sign != 0) v = -v
+                        lastDc(ci) += v
+                      }
+                      coef(0) = lastDc(ci).toDouble * q(0)
+                      // AC (T.81 F.1.4.4.2)
+                      var k = 1
+                      var eob = false
+                      while (k <= 63 && !eob) {
+                        var sti = 3 * (k - 1)
+                        if (dec.decode(ast, sti) != 0) eob = true // EOB
+                        else {
+                          while (dec.decode(ast, sti + 1) == 0) {
+                            sti += 3; k += 1
+                            if (k > 63) throw new IllegalArgumentException("AC overrun")
+                          }
+                          val sign = dec.decode(fixedBin, 0)
+                          sti += 2
+                          var mcat = dec.decode(ast, sti)
+                          if (mcat != 0) {
+                            if (dec.decode(ast, sti) != 0) {
+                              mcat = 2
+                              sti = if (k <= acCondK(c.acId)) 189 else 217
+                              while (dec.decode(ast, sti) != 0) {
+                                mcat <<= 1
+                                if (mcat == 0x8000) throw new IllegalArgumentException("AC cat overrun")
+                                sti += 1
+                              }
+                            }
+                          }
+                          var v = mcat
+                          sti += 14
+                          var mm = mcat
+                          while (mm > 1) {
+                            mm >>= 1
+                            if (dec.decode(ast, sti) != 0) v |= mm
+                          }
+                          v += 1
+                          if (sign != 0) v = -v
+                          coef(Zigzag(k)) = v.toDouble * q(k)
+                          k += 1
+                        }
+                      }
+                      val px = idct(coef)
+                      val ox0 = (mx * c.hs + h2) * 8
+                      val oy0 = (my * c.vs + v2) * 8
+                      var yy = 0
+                      while (yy < 8) {
+                        var xx = 0
+                        while (xx < 8) {
+                          val v = math.round(px(yy * 8 + xx) + 128.0).toInt
+                          c.plane((oy0 + yy) * c.pw + ox0 + xx) =
+                            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                          xx += 1
+                        }
+                        yy += 1
+                      }
+                      h2 += 1
+                    }
+                    v2 += 1
+                  }
+                  ci += 1
+                }
+                mcu += 1
+                mx += 1
+              }
+              my += 1
+            }
+            // structural integrity: zero bits past a REAL marker are
+            // the legitimate Annex D tail; the same bits past a
+            // truncation would mis-decode into plausible garbage, so
+            // refuse unless the stream still carries its EOI
+            if (dec.hitEnd) return None
+            var pe = dec.pos
+            var sawEoi = false
+            while (pe + 1 < b.length && !sawEoi) {
+              if ((b(pe) & 0xff) == 0xff && (b(pe + 1) & 0xff) == 0xd9) sawEoi = true
+              pe += 1
+            }
+            if (!sawEoi) return None
+            return emitImage(comps, w, h, hmax, vmax, adobeTransform)
+
           case 0xda if progressive => // progressive scan: accumulate
             if (w <= 0 || h <= 0 || comps == null) return None
             // tighter cap than baseline: the cross-scan coefficient
@@ -914,6 +1102,70 @@ object JpegCodec {
       predCr = putDcOnlyBlock(bw, crv(mx, my), predCr)
     }
     bw.flushWithOnes()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a REAL arithmetic-coded (SOF9) grayscale JPEG of
+    * per-8×8-tile constants — [[encodeDcOnlyGray]]'s
+    * exact-reconstruction contract carried by the T.81 Annex D QM
+    * coder instead of Huffman ([[JpegArith.Encoder]], byte-exact
+    * against libjpeg's arithmetic output on the golden fixtures).
+    * No DAC marker: the standard's conditioning defaults apply
+    * (L=0, U=1, Kx=5), which is also what the decoder assumes when
+    * the marker is absent. Even tile values reconstruct
+    * BIT-EXACTLY — the q90 gate device. */
+  def encodeDcOnlyArithGray(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(67); b(0) // DQT, table 0
+    (0 until 64).foreach(_ => b(QuantStep))
+    b(0xff); b(0xc9); u16(11) // SOF9: sequential, arithmetic
+    b(8); u16(h); u16(w); b(1)
+    b(1); b(0x11); b(0)
+    b(0xff); b(0xda); u16(8) // SOS
+    b(1); b(1); b(0x00)
+    b(0); b(63); b(0)
+    val enc = new JpegArith.Encoder
+    val dc = new Array[Byte](64)
+    val ac = new Array[Byte](256)
+    var last = 0
+    var ctx = 0
+    for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+      val coefv = Math.round(8.0 * ((v(bx, by) & 0xff) - 128) / QuantStep).toInt
+      val diff = coefv - last
+      last = coefv
+      if (diff == 0) { enc.encode(dc, ctx, 0); ctx = 0 }
+      else {
+        enc.encode(dc, ctx, 1)
+        val sign = if (diff < 0) 1 else 0
+        enc.encode(dc, ctx + 1, sign)
+        val m = math.abs(diff) - 1
+        var sti = ctx + 2 + sign
+        if (m == 0) enc.encode(dc, sti, 0)
+        else {
+          enc.encode(dc, sti, 1)
+          val msb = Integer.highestOneBit(m)
+          sti = 20 // X1
+          var bb = 1
+          while (bb < msb) { enc.encode(dc, sti, 1); sti += 1; bb <<= 1 }
+          enc.encode(dc, sti, 0)
+          sti += 14
+          bb = msb
+          while (bb > 1) {
+            bb >>= 1
+            enc.encode(dc, sti, if ((m & bb) != 0) 1 else 0)
+          }
+        }
+        val msb = if (m == 0) 0 else Integer.highestOneBit(m)
+        ctx = if (msb > 1) 12 + sign * 4 else 4 + sign * 4 // U=1 default
+      }
+      enc.encode(ac, 0, 1) // EOB: no AC coefficients in a constant tile
+    }
+    out.write(enc.finish())
     b(0xff); b(0xd9) // EOI
     out.toByteArray
   }

@@ -1942,6 +1942,22 @@ object Multimodal {
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(6) else bytes)
     }(mediaEnc)
 
+  /** Deterministic ARITHMETIC-coded JPEG media (r8): q55's exact
+    * DC-lattice contract carried by the T.81 Annex D QM coder (SOF9,
+    * [[JpegCodec.encodeDcOnlyArithGray]]) instead of Huffman — even
+    * per-tile constants survive bit-exactly, so the q90 twin is the
+    * same closed-form tile formula; every 25th payload truncated for
+    * the corrupt path (which the arithmetic decoder must REFUSE, not
+    * zero-fill into plausible garbage). */
+  def syntheticArithJpegMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 4 + 1).toInt * 8
+      val h = (id % 3 + 1).toInt * 8
+      def v(bx: Int, by: Int): Int = (2L * ((bx + 3L * by + 7L * id) % 128)).toInt
+      val bytes = JpegCodec.encodeDcOnlyArithGray(w, h, v)
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
+    }(mediaEnc)
+
   /** Deterministic Adobe CMYK/YCCK JPEG media (r8): even ids carry
     * APP14 transform 0 (stored inverted CMYK), odd transform 2
     * (YCCK); per-8×8-tile EVEN stored-plane constants (exact through

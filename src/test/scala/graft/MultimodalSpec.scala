@@ -763,6 +763,81 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decodeImage(cmyk.take(cmyk.length - 3)) === None)
   }
 
+  test("arithmetic-coded JPEG (SOF9): libjpeg goldens decode, own encoder round-trips exactly") {
+    import graft.operators.JpegCodec
+    // golden fixtures: written by the system libjpeg (arith_code=TRUE,
+    // src/test/resources/arith/gen_arith.c) with libjpeg's own decode
+    // as ground truth — a REAL foreign implementation on both sides
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/arith/$name")
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close(); out.toByteArray
+    }
+    def golden(name: String): (Int, Int, Int, Array[Byte]) = {
+      val raw = res(name)
+      val nl = raw.indexOf('\n'.toByte)
+      val Array(w, h, nc) = new String(raw, 0, nl, "US-ASCII").trim.split(" ").map(_.toInt)
+      (w, h, nc, java.util.Arrays.copyOfRange(raw, nl + 1, raw.length))
+    }
+    // gray goldens: flat/DC-only decode EXACTLY; full-AC within the
+    // spec's IDCT allowance (our exact doubles vs libjpeg's islow);
+    // rst16 exercises restart-marker re-initialization
+    for ((name, tol) <- Seq(("flat8", 0), ("dc2", 0), ("ac1", 0),
+        ("grad16", 1), ("noisy64", 1), ("rst16", 1))) {
+      val bytes = res(s"$name.jpg")
+      assert((bytes(3) & 0xff) === 0xc9 || bytes.containsSlice(Array(0xff.toByte, 0xc9.toByte)),
+        s"$name is SOF9")
+      val Some((w, h, ch, px)) = JpegCodec.decodeImage(bytes)
+      val (gw, gh, gn, want) = golden(s"$name.dec")
+      assert((w, h, ch, gn) === ((gw, gh, 1, 1)), name)
+      var maxDiff = 0
+      for (k <- 0 until w * h) {
+        val d = math.abs((px(k) & 0xff) - (want(k) & 0xff))
+        if (d > maxDiff) maxDiff = d
+      }
+      assert(maxDiff <= tol, s"$name maxDiff=$maxDiff vs libjpeg")
+    }
+    // color goldens (4:4:4 and 4:2:0-with-constant-chroma): libjpeg's
+    // fixed-point YCbCr vs our exact doubles → ±2
+    for (name <- Seq("rgb444", "rgb420")) {
+      val Some((w, h, 3, px)) = JpegCodec.decodeImage(res(s"$name.jpg"))
+      val (gw, gh, gn, want) = golden(s"$name.dec")
+      assert((w, h, gn) === ((gw, gh, 3)), name)
+      var maxDiff = 0
+      for (k <- 0 until w * h * 3) {
+        val d = math.abs((px(k) & 0xff) - (want(k) & 0xff))
+        if (d > maxDiff) maxDiff = d
+      }
+      assert(maxDiff <= 2, s"$name maxDiff=$maxDiff vs libjpeg")
+    }
+    // own DC-only arithmetic encoder: even tiles round-trip BIT-EXACTLY
+    // through our decoder (the q90 contract)
+    def tv(bx: Int, by: Int): Int = 2 * ((bx + 3 * by + 5) % 128)
+    val own = JpegCodec.encodeDcOnlyArithGray(32, 24, tv)
+    val Some((ow, oh, 1, opx)) = JpegCodec.decodeImage(own)
+    assert((ow, oh) === ((32, 24)))
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert((opx(y * 32 + x) & 0xff) === tv(x / 8, y / 8), s"own arith tile ($x,$y)")
+    // this JDK reads arithmetic JPEGs (newer ImageIO) — a SECOND
+    // foreign implementation cross-checks our encoder's output:
+    // DC-only constants are exact in any conformant IDCT
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(own))
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert(jdk.getRaster.getSample(x, y, 0) === tv(x / 8, y / 8),
+        s"JDK reads our arith write ($x,$y)")
+    // refusals intact: progressive-arithmetic (SOF10), truncation
+    assert(JpegCodec.decodeImage(own.take(own.length - 3)) === None)
+    assert(JpegCodec.decodeImage(own.take(20)) === None)
+    val sof10 = own.clone()
+    val sofAt = (0 until sof10.length - 1).find(k =>
+      (sof10(k) & 0xff) == 0xff && (sof10(k + 1) & 0xff) == 0xc9).get
+    sof10(sofAt + 1) = 0xca.toByte
+    assert(JpegCodec.decodeImage(sof10) === None)
+  }
+
   test("progressive JPEG: DC-lattice exact (incl. successive approximation), foreign scans ±2") {
     import graft.operators.JpegCodec
     def tv(bx: Int, by: Int): Int = 2 * ((bx + 3 * by + 5) % 128)
