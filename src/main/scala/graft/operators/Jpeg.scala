@@ -21,9 +21,14 @@ package graft.operators
   * model (0/absent = stored inverted CMYK, 2 = YCCK — YCbCr over the
   * inverted CMY; 3-component transform 0 = stored RGB), and RGB
   * renders as channel·K/255 over the stored Adobe-inverted values,
-  * libjpeg's convention, floor(x+0.5) rounded. 12-bit precision,
-  * 2-component frames, arithmetic coding and sampling factors
-  * above 2 are refused, not mis-decoded. The CMYK specs gate the
+  * libjpeg's convention, floor(x+0.5) rounded. (r8) ARITHMETIC
+  * entropy coding decodes too — SOF9 sequential and SOF10
+  * progressive frames through the T.81 Annex D QM coder
+  * ([[JpegArith]], validated byte-exactly against the system
+  * libjpeg via the golden corpus in test resources; all four
+  * progressive arithmetic scan types, restart markers, DAC
+  * conditioning). 12-bit precision, 2-component frames and sampling
+  * factors above 2 are refused, not mis-decoded. The CMYK specs gate the
   * formulas against the tile encoder and cross-check the JDK at the
   * RASTER level (its SimpleCMYKColorSpace raster independently
   * confirms the inversion and the YCCK→R'G'B' transform; its final
@@ -267,9 +272,10 @@ object JpegCodec {
     * scans (DC first + refinement, per-band AC first with EOB runs,
     * AC successive-approximation refinement) and reconstructs at EOI.
     * 4-component Adobe CMYK/YCCK frames render to RGB (channels = 3)
-    * per the object scaladoc's inverted-value convention.
-    * Extended-sequential/lossless/arithmetic frames, 2-component
-    * frames, sampling factors > 2, truncation and entropy corruption
+    * per the object scaladoc's inverted-value convention; SOF9/SOF10
+    * arithmetic frames decode via [[JpegArith]].
+    * Extended-sequential/lossless frames, 2-component frames,
+    * sampling factors > 2, truncation and entropy corruption
     * all return None, never a mis-decode. */
   def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
     if (b == null || b.length < 4 ||
@@ -364,9 +370,9 @@ object JpegCodec {
               if (tc == 0) hDC(th) = huff else hAC(th) = huff
               j += 17 + n
             }
-          case 0xc0 | 0xc2 | 0xc9 => // SOF0 baseline / SOF2 progressive / SOF9 sequential arithmetic
-            progressive = m == 0xc2
-            arith = m == 0xc9
+          case 0xc0 | 0xc2 | 0xc9 | 0xca => // SOF0 / SOF2 progressive / SOF9-SOF10 arithmetic
+            progressive = m == 0xc2 || m == 0xca
+            arith = m == 0xc9 || m == 0xca
             if (b(seg) != 8) return None // 8-bit precision only
             h = u16(seg + 1); w = u16(seg + 3)
             val nComp = b(seg + 5) & 0xff
@@ -383,8 +389,8 @@ object JpegCodec {
             if (nComp == 1 && (comps(0).hs != 1 || comps(0).vs != 1))
               return None // single-component frames are 1x1 by contract
           case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
-               0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // extended/lossless/progressive-arithmetic frame types
+               0xcb | 0xcd | 0xce | 0xcf =>
+            return None // extended/lossless/differential frame types
           case 0xcc => // DAC: arithmetic conditioning per table
             var j = seg
             while (j + 1 < i + 2 + len) {
@@ -400,7 +406,7 @@ object JpegCodec {
             if (len >= 14 && b(seg) == 'A' && b(seg + 1) == 'd' &&
               b(seg + 2) == 'o' && b(seg + 3) == 'b' && b(seg + 4) == 'e')
               adobeTransform = b(seg + 11) & 0xff
-          case 0xda if arith => // SOF9: one interleaved arithmetic scan
+          case 0xda if arith && !progressive => // SOF9: one interleaved arithmetic scan
             if (w <= 0 || h <= 0 || comps == null) return None
             if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
               w.toLong * h * comps.length > Multimodal.PixelCodec.MaxPixels) return None
@@ -572,6 +578,229 @@ object JpegCodec {
             }
             if (!sawEoi) return None
             return emitImage(comps, w, h, hmax, vmax, adobeTransform)
+
+          case 0xda if progressive && arith => // SOF10: progressive arithmetic scan
+            if (w <= 0 || h <= 0 || comps == null) return None
+            if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
+              w.toLong * h * comps.length > Multimodal.PixelCodec.MaxPixels / 4) return None
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > comps.length) return None
+            val hmax = comps.map(_.hs).max
+            val vmax = comps.map(_.vs).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            if (comps(0).coef == null) comps.foreach { c =>
+              c.bw = mcusX * c.hs
+              c.bh = mcusY * c.vs
+              c.coef = new Array[Int](c.bw * c.bh * 64)
+            }
+            val scanComps = new Array[Comp](ns)
+            var j = seg + 1
+            var si = 0
+            while (si < ns) {
+              val cid = b(j) & 0xff
+              scanComps(si) = comps.find(_.id == cid).getOrElse(return None)
+              scanComps(si).dcId = (b(j + 1) & 0xff) >> 4
+              scanComps(si).acId = b(j + 1) & 0x0f
+              j += 2; si += 1
+            }
+            val ss = b(j) & 0xff
+            val se = b(j + 1) & 0xff
+            val ah = (b(j + 2) & 0xff) >> 4
+            val al = b(j + 2) & 0x0f
+            if (ss > se || se > 63 || al > 13 || ah > 14) return None
+            if (ss == 0 && se != 0) return None // DC scans are band [0,0]
+            if (ss > 0 && ns != 1) return None  // AC scans: one component
+            if (ah != 0 && ah != al + 1) return None
+            // per-scan state: T.81 resets the statistics, the decoder
+            // registers, and the DC prediction/conditioning at every
+            // scan (and at every restart inside one)
+            var dec = new JpegArith.Decoder(b, i + 2 + len)
+            var dcStats = scanComps.map(_.dcId).distinct.map(t => t -> new Array[Byte](64)).toMap
+            var acStats = scanComps.map(_.acId).distinct.map(t => t -> new Array[Byte](256)).toMap
+            var fixedBin = JpegArith.newFixedBin()
+            val lastDc = new Array[Int](ns)
+            val dcCtx = new Array[Int](ns)
+            def restartReinit(): Boolean = {
+              var p = dec.pos
+              while (p + 1 < b.length &&
+                !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) >= 0xd0 && (b(p + 1) & 0xff) <= 0xd7))
+                p += 1
+              if (p + 1 >= b.length) return false
+              dec = new JpegArith.Decoder(b, p + 2)
+              dcStats = scanComps.map(_.dcId).distinct.map(t => t -> new Array[Byte](64)).toMap
+              acStats = scanComps.map(_.acId).distinct.map(t => t -> new Array[Byte](256)).toMap
+              fixedBin = JpegArith.newFixedBin()
+              java.util.Arrays.fill(lastDc, 0)
+              java.util.Arrays.fill(dcCtx, 0)
+              true
+            }
+            // decode one block's DC (first or refinement) at coef `off`
+            def dcBlock(csi: Int, c: Comp, off: Int): Unit =
+              if (ah == 0) { // DC first: the sequential model, << Al
+                val dst = dcStats(c.dcId)
+                val ctx = dcCtx(csi)
+                if (dec.decode(dst, ctx) == 0) dcCtx(csi) = 0
+                else {
+                  val sign = dec.decode(dst, ctx + 1)
+                  var sti = ctx + 2 + sign
+                  var mcat = dec.decode(dst, sti)
+                  if (mcat != 0) {
+                    sti = 20
+                    mcat = 1
+                    while (dec.decode(dst, sti) != 0) {
+                      mcat <<= 1
+                      if (mcat == 0x8000) throw new IllegalArgumentException("DC cat overrun")
+                      sti += 1
+                    }
+                  }
+                  dcCtx(csi) =
+                    if (mcat < ((1 << dcCondL(c.dcId)) >> 1)) 0
+                    else if (mcat > ((1 << dcCondU(c.dcId)) >> 1)) 12 + sign * 4
+                    else 4 + sign * 4
+                  var v = mcat
+                  sti += 14
+                  var mm = mcat
+                  while (mm > 1) {
+                    mm >>= 1
+                    if (dec.decode(dst, sti) != 0) v |= mm
+                  }
+                  v += 1
+                  if (sign != 0) v = -v
+                  lastDc(csi) += v
+                }
+                c.coef(off) = lastDc(csi) << al
+              } else { // DC refinement: one bit via the fixed bin
+                if (dec.decode(fixedBin, 0) != 0) c.coef(off) |= (1 << al)
+              }
+            if (ss == 0) { // DC scan
+              var mcu = 0
+              if (ns == comps.length) { // interleaved over the MCU grid
+                var my = 0
+                while (my < mcusY) {
+                  var mx = 0
+                  while (mx < mcusX) {
+                    if (dri > 0 && mcu > 0 && mcu % dri == 0 && !restartReinit()) return None
+                    var csi = 0
+                    while (csi < ns) {
+                      val c = scanComps(csi)
+                      var v2 = 0
+                      while (v2 < c.vs) {
+                        var h2 = 0
+                        while (h2 < c.hs) {
+                          dcBlock(csi, c,
+                            ((my * c.vs + v2) * c.bw + mx * c.hs + h2) * 64)
+                          h2 += 1
+                        }
+                        v2 += 1
+                      }
+                      csi += 1
+                    }
+                    mcu += 1
+                    mx += 1
+                  }
+                  my += 1
+                }
+              } else { // single component: its own block grid
+                val c = scanComps(0)
+                var blk = 0
+                while (blk < c.bw * c.bh) {
+                  if (dri > 0 && blk > 0 && blk % dri == 0 && !restartReinit()) return None
+                  dcBlock(0, c, blk * 64)
+                  blk += 1
+                }
+              }
+            } else { // AC scan: one component, its own block grid
+              val c = scanComps(0)
+              val ast = acStats(c.acId)
+              var blk = 0
+              while (blk < c.bw * c.bh) {
+                if (dri > 0 && blk > 0 && blk % dri == 0 && !restartReinit()) return None
+                val off = blk * 64
+                if (ah == 0) { // AC first: sequential model over the band, << Al
+                  var k = ss
+                  var eob = false
+                  while (k <= se && !eob) {
+                    var sti = 3 * (k - 1)
+                    if (dec.decode(ast, sti) != 0) eob = true
+                    else {
+                      while (dec.decode(ast, sti + 1) == 0) {
+                        sti += 3; k += 1
+                        if (k > se) throw new IllegalArgumentException("AC overrun")
+                      }
+                      val sign = dec.decode(fixedBin, 0)
+                      sti += 2
+                      var mcat = dec.decode(ast, sti)
+                      if (mcat != 0) {
+                        if (dec.decode(ast, sti) != 0) {
+                          mcat = 2
+                          sti = if (k <= acCondK(c.acId)) 189 else 217
+                          while (dec.decode(ast, sti) != 0) {
+                            mcat <<= 1
+                            if (mcat == 0x8000) throw new IllegalArgumentException("AC cat overrun")
+                            sti += 1
+                          }
+                        }
+                      }
+                      var v = mcat
+                      sti += 14
+                      var mm = mcat
+                      while (mm > 1) {
+                        mm >>= 1
+                        if (dec.decode(ast, sti) != 0) v |= mm
+                      }
+                      v += 1
+                      if (sign != 0) v = -v
+                      c.coef(off + k) = v << al
+                      k += 1
+                    }
+                  }
+                } else { // AC refinement (F.2.4.3): correction bits, new
+                  // significances through st+1, EOB decisions only past
+                  // the previous scan's last nonzero index
+                  val p1 = 1 << al
+                  val m1 = -1 << al
+                  var kex = se
+                  while (kex > 0 && c.coef(off + kex) == 0) kex -= 1
+                  var k = ss
+                  var eob = false
+                  while (k <= se && !eob) {
+                    var sti = 3 * (k - 1)
+                    if (k > kex && dec.decode(ast, sti) != 0) eob = true
+                    else {
+                      var runDone = false
+                      while (!runDone) {
+                        val cv = c.coef(off + k)
+                        if (cv != 0) {
+                          if (dec.decode(ast, sti + 2) != 0)
+                            c.coef(off + k) = cv + (if (cv < 0) m1 else p1)
+                          runDone = true
+                        } else if (dec.decode(ast, sti + 1) != 0) {
+                          c.coef(off + k) =
+                            if (dec.decode(fixedBin, 0) != 0) m1 else p1
+                          runDone = true
+                        } else {
+                          sti += 3; k += 1
+                          if (k > se) throw new IllegalArgumentException("AC refine overrun")
+                        }
+                      }
+                      k += 1
+                    }
+                  }
+                }
+                blk += 1
+              }
+            }
+            if (dec.hitEnd) return None
+            scansDone += 1
+            // resume marker parsing at the next real marker (FF00 data
+            // and RSTn inside the entropy have been consumed/handled)
+            var pe = dec.pos
+            while (pe + 1 < b.length &&
+              !((b(pe) & 0xff) == 0xff && (b(pe + 1) & 0xff) != 0 &&
+                !((b(pe + 1) & 0xff) >= 0xd0 && (b(pe + 1) & 0xff) <= 0xd7)))
+              pe += 1
+            jump = pe
 
           case 0xda if progressive => // progressive scan: accumulate
             if (w <= 0 || h <= 0 || comps == null) return None

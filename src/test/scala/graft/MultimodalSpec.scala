@@ -763,7 +763,7 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decodeImage(cmyk.take(cmyk.length - 3)) === None)
   }
 
-  test("arithmetic-coded JPEG (SOF9): libjpeg goldens decode, own encoder round-trips exactly") {
+  test("arithmetic-coded JPEG (SOF9 + SOF10): libjpeg goldens decode, own encoder round-trips exactly") {
     import graft.operators.JpegCodec
     // golden fixtures: written by the system libjpeg (arith_code=TRUE,
     // src/test/resources/arith/gen_arith.c) with libjpeg's own decode
@@ -784,12 +784,17 @@ class MultimodalSpec extends SparkSpec {
     }
     // gray goldens: flat/DC-only decode EXACTLY; full-AC within the
     // spec's IDCT allowance (our exact doubles vs libjpeg's islow);
-    // rst16 exercises restart-marker re-initialization
+    // rst16 exercises restart-marker re-initialization; the p* files
+    // are PROGRESSIVE-arithmetic (SOF10, jpeg_simple_progression:
+    // DC first Al=1, banded AC first, AC refinement x2, DC
+    // refinement — all four arithmetic scan types)
     for ((name, tol) <- Seq(("flat8", 0), ("dc2", 0), ("ac1", 0),
-        ("grad16", 1), ("noisy64", 1), ("rst16", 1))) {
+        ("grad16", 1), ("noisy64", 1), ("rst16", 1),
+        ("pflat8", 0), ("pgrad16", 1), ("pnoisy32", 1))) {
       val bytes = res(s"$name.jpg")
-      assert((bytes(3) & 0xff) === 0xc9 || bytes.containsSlice(Array(0xff.toByte, 0xc9.toByte)),
-        s"$name is SOF9")
+      assert(bytes.containsSlice(Array(0xff.toByte, 0xc9.toByte)) ||
+        bytes.containsSlice(Array(0xff.toByte, 0xca.toByte)),
+        s"$name is SOF9/SOF10")
       val Some((w, h, ch, px)) = JpegCodec.decodeImage(bytes)
       val (gw, gh, gn, want) = golden(s"$name.dec")
       assert((w, h, ch, gn) === ((gw, gh, 1, 1)), name)
@@ -828,7 +833,9 @@ class MultimodalSpec extends SparkSpec {
     for (y <- 0 until 24; x <- 0 until 32)
       assert(jdk.getRaster.getSample(x, y, 0) === tv(x / 8, y / 8),
         s"JDK reads our arith write ($x,$y)")
-    // refusals intact: progressive-arithmetic (SOF10), truncation
+    // refusals intact: truncation (mid-entropy AND chopped EOI) and
+    // a LYING SOF byte (sequential stream relabeled SOF10 — its
+    // full-band scan header is illegal for a progressive DC scan)
     assert(JpegCodec.decodeImage(own.take(own.length - 3)) === None)
     assert(JpegCodec.decodeImage(own.take(20)) === None)
     val sof10 = own.clone()
@@ -836,6 +843,9 @@ class MultimodalSpec extends SparkSpec {
       (sof10(k) & 0xff) == 0xff && (sof10(k + 1) & 0xff) == 0xc9).get
     sof10(sofAt + 1) = 0xca.toByte
     assert(JpegCodec.decodeImage(sof10) === None)
+    // truncated progressive: drop the last scan + EOI → refused
+    val pbytes = res("pgrad16.jpg")
+    assert(JpegCodec.decodeImage(pbytes.take(pbytes.length - 12)) === None)
   }
 
   test("progressive JPEG: DC-lattice exact (incl. successive approximation), foreign scans ±2") {
