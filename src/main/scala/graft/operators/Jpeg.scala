@@ -1335,6 +1335,22 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Test hook: run a raw (context, bit) decision stream through the
+    * QM encoder, then decode it back over fresh contexts — true iff
+    * every decision round-trips. The image goldens pin the coder's
+    * conventions against libjpeg; this probe drives the carry /
+    * stacked-FF / termination edge paths with arbitrary streams. */
+  private[graft] def qmRoundTripProbe(syms: Array[(Int, Int)]): Boolean = {
+    val nCtx = syms.map(_._1).max + 1
+    val enc = new JpegArith.Encoder
+    val est = new Array[Byte](nCtx)
+    syms.foreach { case (c, v) => enc.encode(est, c, v) }
+    val stream = enc.finish() ++ Array(0xff.toByte, 0xd9.toByte)
+    val dec = new JpegArith.Decoder(stream, 0)
+    val dst = new Array[Byte](nCtx)
+    syms.forall { case (c, v) => dec.decode(dst, c) == v }
+  }
+
   /** Encode a REAL arithmetic-coded (SOF9) grayscale JPEG of
     * per-8×8-tile constants — [[encodeDcOnlyGray]]'s
     * exact-reconstruction contract carried by the T.81 Annex D QM
