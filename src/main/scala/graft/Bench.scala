@@ -24,20 +24,31 @@ import org.apache.spark.sql.SparkSession
   * assumptions are baked in beyond what the parent itself runs with.
   *
   * Inside a child, each query runs SPARK_GRAFT_BENCH_RUNS (default 3)
-  * TIMED runs preceded by ONE discarded warmup run, and reports the
-  * per-query MEDIAN of the timed runs. The warmup absorbs the
-  * fresh-JVM cost that medians alone cannot: in a cold JVM even run 2
-  * of a cheap query still pays Spark-core JIT (measured: q01 median
-  * 1.97 s cold vs 1.17 s warm), which would read as a fake regression
-  * vs the shared-JVM history. With warmup-discard every timed run
-  * executes a plan the JVM has already run once.
+  * TIMED runs preceded by ADAPTIVE discarded warmup runs, and reports
+  * the per-query MEDIAN of the timed runs. Warmups absorb the
+  * fresh-JVM cost that medians alone cannot: a single warmup leaves
+  * sub-second queries 2-4x over their warm-JVM history (measured:
+  * q15 2.65 s with one warmup vs 0.68 s in the r8 shared JVM —
+  * spark-core's own paths are still being C2-compiled), which would
+  * read as a fake regression vs every prior round and vs the r1
+  * per-query 2x bar. So warmups repeat until two consecutive runs
+  * agree within 25% (min 1), capped at
+  * SPARK_GRAFT_BENCH_WARM_MAX runs (default 6) and a cumulative
+  * SPARK_GRAFT_BENCH_WARM_BUDGET seconds (default 12): cheap queries
+  * get the several runs they need to reach the warm plateau, while a
+  * 6 s query — long enough to JIT inside a single execution — stops
+  * at one or two. Timed runs then measure a plan the JVM has already
+  * reached steady state on, exactly what the warm shared-JVM history
+  * measured, without its drift band.
   *
   * Knobs: SPARK_GRAFT_BENCH_FORK=0 forces the legacy single-JVM
   * in-process path; SPARK_GRAFT_BENCH_ONLY=q25…,q84… restricts the
   * set (and, in fork mode, gives each listed query a quiet JVM — the
   * A/B tool the verdicts kept asking for); SPARK_GRAFT_BENCH_FAMILY=1
-  * gives strict per-query isolation. `value` = sum of per-query
-  * medians; `wall` = actual wall-clock including child startup. */
+  * gives strict per-query isolation; SPARK_GRAFT_BENCH_TRACE=1 prints
+  * every individual run (warmup and timed) to stderr for convergence
+  * diagnosis. `value` = sum of per-query medians; `wall` = actual
+  * wall-clock including child startup. */
 object Bench {
 
   /** The I/O-round-trip family: these queries measure real file-system
@@ -169,18 +180,37 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = existing.getOrElse(buildSession())
+    val warmMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_MAX", "6").toInt.max(1)
+    val warmBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_BUDGET", "12").toDouble
+    val trace = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRACE", "0") == "1"
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         spark.catalog.clearCache()
         System.gc()
-        // index 0 is the discarded warmup: timed runs then execute a
-        // plan this JVM has already run once (JIT/codegen warm)
-        val times = (0 to runs).map { _ =>
+        def once(tag: String): Double = {
           val s0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-          (System.nanoTime() - s0) / 1e9
-        }.drop(1).sorted
+          val t = (System.nanoTime() - s0) / 1e9
+          if (trace) System.err.println(f"[bench-trace] $name $tag $t%.3f")
+          t
+        }
+        // Adaptive warmup (all discarded): repeat until two
+        // CONSECUTIVE runs agree within 25% (comparing the latest to
+        // the fastest seen would stop every still-improving sequence,
+        // whose latest IS the fastest), or the count/time caps hit.
+        // Cheap queries need several runs for spark-core C2 JIT in a
+        // fresh JVM; a query whose first run already exceeds the
+        // budget keeps the old single-warmup behavior.
+        var warm = List(once("warm1"))
+        var spent = warm.head
+        while (warm.length < warmMax && spent < warmBudget &&
+            (warm.length < 2 ||
+              math.abs(warm.head - warm(1)) > 0.25 * math.min(warm.head, warm(1)))) {
+          val t = once(s"warm${warm.length + 1}")
+          warm ::= t; spent += t
+        }
+        val times = (1 to runs).map(i => once(s"run$i")).sorted
         name -> times(times.length / 2)
       }
     }
