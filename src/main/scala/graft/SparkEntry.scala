@@ -781,6 +781,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // HIGH-SAMPLING-FACTOR JPEG decode under the gate (r9 — the
+    // factor-3/4 refusal closed): Y sampling 4×1 / 3×1 / 1×4 by id
+    // mod 3, per-MCU even chroma constants exact under sample
+    // replication — the q61 contract at the full T.81 sampling range.
+    // An interleave-order, MCU-geometry or upsample-indexing bug
+    // shifts channel sums and breaks the hash.
+    "q91_sampled_jpeg_decode" -> { (s, dir) =>
+      Multimodal.decodeColorPixels(
+          Multimodal.syntheticSampledJpegMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    // LOSSLESS (SOF3) JPEG decode under the gate (r9 — the lossless
+    // refusal closed): predictive Huffman coding with predictor
+    // cycling 1–7, precision 8/12/16 and restart intervals, ARBITRARY
+    // per-pixel values (lossless needs no even-constant device) — the
+    // twin recomputes the pixel formula directly. A predictor,
+    // category, mod-2^16 or restart bug corrupts every sample after
+    // the first wrong difference and breaks the hash.
+    "q92_lossless_jpeg_decode" -> { (s, dir) =>
+      Multimodal.decodeLosslessStats(
+          Multimodal.syntheticLosslessJpegMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    // 12-BIT JPEG decode under the gate (r9 — the precision refusal
+    // closed): SOF1/12 with q55's DC-lattice contract at the 0–4094
+    // range (level shift 2048, DC = (c−2048)/2 integral for even
+    // tiles). A level-shift, clamp-range or category-width bug shifts
+    // sample sums and breaks the hash.
+    "q93_12bit_jpeg_decode" -> { (s, dir) =>
+      Multimodal.decode12Stats(
+          Multimodal.syntheticJpeg12Media(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // REAL WAV sample decode under the gate: 16-bit PCM data written
     // by the mini encoder (RIFF chunk walk, interleaved int16), sample
     // statistics vs the formula twin — a chunk-walk, endianness or
@@ -2373,6 +2412,108 @@ object SparkEntry {
         |  cast(case when doc_id % 25 = 0 then 0 else gmx end as int) as g_max,
         |  cast(case when doc_id % 25 = 0 then 0 else bmn end as int) as b_min,
         |  cast(case when doc_id % 25 = 0 then 0 else bmx end as int) as b_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
+
+    // High-sampling twin: q61's formula with the chroma MCU index
+    // generalized — tile (bx,by) reads chroma at (bx÷yh, by÷yvs),
+    // exactly what sample replication reconstructs from per-MCU
+    // constants at Y sampling yh×yvs
+    "q91_sampled_jpeg_decode" ->
+      """with d as (select doc_id,
+        |    cast(case doc_id % 3 when 0 then 4 when 1 then 3 else 1 end as bigint) as yh,
+        |    cast(case doc_id % 3 when 2 then 4 else 1 end as bigint) as yvs,
+        |    doc_id % 2 + 1 as nx, (doc_id // 2) % 2 + 1 as ny
+        |  from documents),
+        | g as (select doc_id, yh, yvs, yh * nx as bw, yvs * ny as bh from d),
+        | t as (select g.doc_id, g.bw, g.bh,
+        |    2 * ((x.range + 3 * y.range + g.doc_id) % 128) as yv,
+        |    2 * ((2 * (x.range // g.yh) + (y.range // g.yvs) + g.doc_id) % 128) as cbv,
+        |    2 * (((x.range // g.yh) + 2 * (y.range // g.yvs) + 3 * g.doc_id) % 128) as crv
+        |  from g cross join range(0, 8) x cross join range(0, 8) y
+        |  where x.range < g.bw and y.range < g.bh),
+        | rgb as (select doc_id, bw, bh,
+        |    least(255, greatest(0, floor(yv + 1.402e0 * (crv - 128) + 0.5e0))) as r,
+        |    least(255, greatest(0, floor(yv - 0.344136e0 * (cbv - 128)
+        |      - 0.714136e0 * (crv - 128) + 0.5e0))) as g,
+        |    least(255, greatest(0, floor(yv + 1.772e0 * (cbv - 128) + 0.5e0))) as b
+        |  from t),
+        | agg as (select doc_id, bw, bh,
+        |    sum(r) * 64 as rs, sum(g) * 64 as gs, sum(b) * 64 as bs,
+        |    min(r) as rmn, max(r) as rmx, min(g) as gmn, max(g) as gmx,
+        |    min(b) as bmn, max(b) as bmx
+        |  from rgb group by doc_id, bw, bh)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'jpeg' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * 8 end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else bh * 8 end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * bh * 64 end as bigint) as n_pixels,
+        |  cast(case when doc_id % 25 = 0 then 0 else rs end as bigint) as r_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else gs end as bigint) as g_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else bs end as bigint) as b_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else rmn end as int) as r_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else rmx end as int) as r_max,
+        |  cast(case when doc_id % 25 = 0 then 0 else gmn end as int) as g_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else gmx end as int) as g_max,
+        |  cast(case when doc_id % 25 = 0 then 0 else bmn end as int) as b_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else bmx end as int) as b_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
+
+    // Lossless twin: decode is EXACT, so the twin is the pixel
+    // formula itself — sum/min/max of (5x+11y+7·id) mod 2^prec over
+    // the raster, no rounding anywhere
+    "q92_lossless_jpeg_decode" ->
+      """with d as (select doc_id,
+        |    doc_id % 13 + 2 as w, doc_id % 9 + 2 as h,
+        |    cast(case doc_id % 3 when 0 then 8 when 1 then 12 else 16 end as int) as p
+        |  from documents),
+        | t as (select d.doc_id, d.w, d.h, d.p,
+        |    (5 * x.range + 11 * y.range + 7 * d.doc_id) % (1::bigint << p) as v
+        |  from d cross join range(0, 15) x cross join range(0, 11) y
+        |  where x.range < d.w and y.range < d.h),
+        | agg as (select doc_id, w, h, p,
+        |    sum(v) as s, min(v) as mn, max(v) as mx
+        |  from t group by doc_id, w, h, p)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'jpeg' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else w end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else h end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else 1 end as int) as channels,
+        |  cast(case when doc_id % 25 = 0 then 0 else p end as int) as bit_depth,
+        |  cast(case when doc_id % 25 = 0 then 0 else w * h end as bigint) as n_samples,
+        |  cast(case when doc_id % 25 = 0 then 0 else s end as bigint) as sample_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else mn end as int) as sample_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else mx end as int) as sample_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
+
+    // 12-bit twin: q90's lattice shape at modulus 2048 (values
+    // 0–4094, exact through the DC-only encode at level shift 2048)
+    "q93_12bit_jpeg_decode" ->
+      """with d as (select doc_id,
+        |    doc_id % 4 + 1 as bw, doc_id % 3 + 1 as bh
+        |  from documents),
+        | t as (select d.doc_id, d.bw, d.bh,
+        |    2 * ((x.range + 3 * y.range + 11 * d.doc_id) % 2048) as v
+        |  from d cross join range(0, 4) x cross join range(0, 3) y
+        |  where x.range < d.bw and y.range < d.bh),
+        | agg as (select doc_id, bw, bh,
+        |    sum(v) as s, min(v) as mn, max(v) as mx
+        |  from t group by doc_id, bw, bh)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'jpeg' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * 8 end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else bh * 8 end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else 1 end as int) as channels,
+        |  cast(case when doc_id % 25 = 0 then 0 else 12 end as int) as bit_depth,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * bh * 64 end as bigint) as n_samples,
+        |  cast(case when doc_id % 25 = 0 then 0 else s * 64 end as bigint) as sample_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else mn end as int) as sample_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else mx end as int) as sample_max,
         |  (doc_id % 25 <> 0) as valid
         |from agg
         |order by doc_id""".stripMargin,

@@ -1,8 +1,10 @@
 package graft.operators
 
 /** Baseline-sequential JPEG, pure JVM — grayscale AND YCbCr color
-  * (1 or 3 components, sampling factors 1–2 per axis: 4:4:4, 4:2:2,
-  * 4:2:0). The last media tier whose sample decode was a declared
+  * (1 or 3 components, sampling factors 1–4 per axis — the full T.81
+  * legal range since r9: 4:4:4, 4:2:2, 4:2:0, 4:1:1 and the 3×/
+  * vertical variants; interleaved MCUs capped at the spec's 10 data
+  * units). The last media tier whose sample decode was a declared
   * stub, now a real decoder on both the luma and chroma paths.
   *
   * DECODER ([[decodeImage]]): full marker parse (DQT/DHT/SOF0/SOS/DRI,
@@ -27,8 +29,13 @@ package graft.operators
   * ([[JpegArith]], validated byte-exactly against the system
   * libjpeg via the golden corpus in test resources; all four
   * progressive arithmetic scan types, restart markers, DAC
-  * conditioning). 12-bit precision, 2-component frames and sampling
-  * factors above 2 are refused, not mis-decoded. The CMYK specs gate the
+  * conditioning). (r9) The T.81 matrix is TOTAL: 12-bit frames
+  * decode via [[decode12]], lossless SOF3 via [[decodeLossless]],
+  * and sampling factors run the full legal 1–4 range under the
+  * B.2.3 MCU cap (goldens from the system libjpeg, gen_samp.c).
+  * Remaining refusals — hierarchical/differential frames, 12-bit
+  * progressive/arithmetic, 2-component frames — are structural
+  * (SOF dispatch), refused, never mis-decoded. The CMYK specs gate the
   * formulas against the tile encoder and cross-check the JDK at the
   * RASTER level (its SimpleCMYKColorSpace raster independently
   * confirms the inversion and the YCCK→R'G'B' transform; its final
@@ -266,17 +273,21 @@ object JpegCodec {
 
   /** Decode a baseline-sequential OR progressive (SOF2) JPEG to
     * (w, h, channels, pixels): channels = 1 (grayscale, w·h bytes) or
-    * 3 (color, w·h·3 interleaved RGB). Sampling factors 1–2 per axis
-    * (4:4:4 / 4:2:2 / 4:2:0 and transposes). Baseline takes a single
+    * 3 (color, w·h·3 interleaved RGB). Sampling factors 1–4 per axis
+    * (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 and transposes; interleaved MCUs
+    * hold at most the spec's 10 data units). Baseline takes a single
     * interleaved scan; progressive accumulates coefficients across
     * scans (DC first + refinement, per-band AC first with EOB runs,
     * AC successive-approximation refinement) and reconstructs at EOI.
     * 4-component Adobe CMYK/YCCK frames render to RGB (channels = 3)
     * per the object scaladoc's inverted-value convention; SOF9/SOF10
-    * arithmetic frames decode via [[JpegArith]].
-    * Extended-sequential/lossless frames, 2-component frames,
-    * sampling factors > 2, truncation and entropy corruption
-    * all return None, never a mis-decode. */
+    * arithmetic frames decode via [[JpegArith]]; 8-bit
+    * extended-sequential (SOF1) frames decode on the baseline path
+    * (identical entropy coding, wider table allowance).
+    * 12-bit frames ([[decode12]] is their surface), lossless frames
+    * ([[decodeLossless]]), hierarchical/differential frames,
+    * 2-component frames, sampling factors > 4, truncation and entropy
+    * corruption all return None, never a mis-decode. */
   def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -370,10 +381,12 @@ object JpegCodec {
               if (tc == 0) hDC(th) = huff else hAC(th) = huff
               j += 17 + n
             }
-          case 0xc0 | 0xc2 | 0xc9 | 0xca => // SOF0 / SOF2 progressive / SOF9-SOF10 arithmetic
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca => // SOF0 / SOF1 extended / SOF2 progressive / SOF9-SOF10 arithmetic
             progressive = m == 0xc2 || m == 0xca
             arith = m == 0xc9 || m == 0xca
-            if (b(seg) != 8) return None // 8-bit precision only
+            // 8-bit only here: SOF1 at 8 bits is entropy-identical to
+            // baseline; 12-bit SOF1 has its own surface ([[decode12]])
+            if (b(seg) != 8) return None
             h = u16(seg + 1); w = u16(seg + 3)
             val nComp = b(seg + 5) & 0xff
             if (nComp != 1 && nComp != 3 && nComp != 4)
@@ -384,13 +397,17 @@ object JpegCodec {
               val hv = b(o + 1) & 0xff
               new Comp(b(o) & 0xff, hv >> 4, hv & 0x0f, b(o + 2) & 0xff)
             }
-            if (comps.exists(c => c.hs < 1 || c.hs > 2 || c.vs < 1 || c.vs > 2))
-              return None // sampling factors 1–2 only
+            if (comps.exists(c => c.hs < 1 || c.hs > 4 || c.vs < 1 || c.vs > 4))
+              return None // sampling factors 1–4 (the full T.81 legal range, r9)
+            if (nComp > 1 && comps.map(c => c.hs * c.vs).sum > 10)
+              return None // T.81 B.2.3: interleaved-scan MCUs carry at most 10 data units
             if (nComp == 1 && (comps(0).hs != 1 || comps(0).vs != 1))
               return None // single-component frames are 1x1 by contract
-          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xcb | 0xcd | 0xce | 0xcf =>
-            return None // extended/lossless/differential frame types
+            // lossless has its own surface ([[decodeLossless]]);
+            // hierarchical/differential stay refused
+            return None
           case 0xcc => // DAC: arithmetic conditioning per table
             var j = seg
             while (j + 1 < i + 2 + len) {
@@ -1283,17 +1300,28 @@ object JpegCodec {
     * four Y blocks + one Cb + one Cr; `yv` stays per-8×8-tile
     * `(bx, by)`, `cbv`/`crv` are per-MCU `(mx, my)` constants (chroma
     * constant per MCU is exactly what sample-replication upsampling
-    * reconstructs losslessly); `w`/`h` multiples of 16. */
+    * reconstructs losslessly); `w`/`h` multiples of 16.
+    *
+    * (r9) `subsample` = 411 (Y 4×1, 32×8 MCUs), 311 (Y 3×1, 24×8
+    * MCUs) and 114 (Y 1×4, 8×32 MCUs) carry the spec's factor-3/4
+    * range under the same contract: `yv` per-8×8-tile, chroma
+    * per-MCU, `w`/`h` multiples of the MCU dims. */
   def encodeDcOnlyColor(w: Int, h: Int, subsample: Int,
       yv: (Int, Int) => Int, cbv: (Int, Int) => Int,
       crv: (Int, Int) => Int): Array[Byte] = {
-    require(subsample == 444 || subsample == 422 || subsample == 420,
-      "subsample must be 444, 422 or 420")
-    val s420 = subsample == 420
-    val s422 = subsample == 422
-    if (s420) require(w % 16 == 0 && h % 16 == 0, "4:2:0 tile encoder needs multiple-of-16 dims")
-    else if (s422) require(w % 16 == 0 && h % 8 == 0, "4:2:2 tile encoder needs 16x8-multiple dims")
-    else require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    // Y-component sampling factors per mode; chroma is always 1×1
+    val (yh, yvs) = subsample match {
+      case 444 => (1, 1)
+      case 422 => (2, 1)
+      case 420 => (2, 2)
+      case 411 => (4, 1)
+      case 311 => (3, 1)
+      case 114 => (1, 4)
+      case _ => throw new IllegalArgumentException(
+        "subsample must be 444, 422, 420, 411, 311 or 114")
+    }
+    require(w % (8 * yh) == 0 && h % (8 * yvs) == 0,
+      s"$subsample tile encoder needs ${8 * yh}x${8 * yvs}-multiple dims")
     val out = new java.io.ByteArrayOutputStream()
     def b(x: Int): Unit = out.write(x & 0xff)
     def u16(x: Int): Unit = { b(x >> 8); b(x) }
@@ -1302,9 +1330,9 @@ object JpegCodec {
     (0 until 64).foreach(_ => b(QuantStep))
     b(0xff); b(0xc0); u16(17) // SOF0: 3 components
     b(8); u16(h); u16(w); b(3)
-    b(1); b(if (s420) 0x22 else if (s422) 0x21 else 0x11); b(0) // Y
-    b(2); b(0x11); b(0)                                         // Cb
-    b(3); b(0x11); b(0)                                         // Cr
+    b(1); b((yh << 4) | yvs); b(0) // Y
+    b(2); b(0x11); b(0)            // Cb
+    b(3); b(0x11); b(0)            // Cr
     b(0xff); b(0xc4); u16(19 + DcVals.length); b(0x00) // DHT DC class 0 id 0
     DcBits.foreach(b); DcVals.foreach(b)
     b(0xff); b(0xc4); u16(19 + AcVals.length); b(0x10) // DHT AC class 1 id 0
@@ -1313,20 +1341,13 @@ object JpegCodec {
     b(3); b(1); b(0x00); b(2); b(0x00); b(3); b(0x00)
     b(0); b(63); b(0) // spectral selection (baseline fixed)
     val bw = new BitWriter(out)
-    val mcuW = if (s420 || s422) 16 else 8
-    val mcuH = if (s420) 16 else 8
+    val mcuW = 8 * yh
+    val mcuH = 8 * yvs
     var predY = 0; var predCb = 0; var predCr = 0
     for (my <- 0 until h / mcuH; mx <- 0 until w / mcuW) {
-      if (s420) {
-        // T.81 interleave order: Y blocks left-to-right, top-to-bottom
-        for (v2 <- 0 until 2; h2 <- 0 until 2)
-          predY = putDcOnlyBlock(bw, yv(2 * mx + h2, 2 * my + v2), predY)
-      } else if (s422) {
-        for (h2 <- 0 until 2)
-          predY = putDcOnlyBlock(bw, yv(2 * mx + h2, my), predY)
-      } else {
-        predY = putDcOnlyBlock(bw, yv(mx, my), predY)
-      }
+      // T.81 interleave order: Y blocks left-to-right, top-to-bottom
+      for (v2 <- 0 until yvs; h2 <- 0 until yh)
+        predY = putDcOnlyBlock(bw, yv(yh * mx + h2, yvs * my + v2), predY)
       predCb = putDcOnlyBlock(bw, cbv(mx, my), predCb)
       predCr = putDcOnlyBlock(bw, crv(mx, my), predCr)
     }
@@ -1453,6 +1474,544 @@ object JpegCodec {
     val ps = Array(p0, p1, p2, p3)
     for (by <- 0 until h / 8; bx <- 0 until w / 8; c <- 0 until 4)
       preds(c) = putDcOnlyBlock(bw, ps(c)(bx, by), preds(c))
+    bw.flushWithOnes()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- 12-bit extended sequential (SOF1, precision 12) — r9 -----------
+
+  /** Decode a 12-BIT extended-sequential JPEG (SOF1, precision 12) to
+    * (w, h, channels, samples): channels = 1 (grayscale, w·h shorts in
+    * 0–4095) or 3 (w·h·3 interleaved 12-bit R'G'B' — the JFIF YCbCr
+    * conversion generalized to the 2048 center: R = Y + 1.402·(Cr−2048)
+    * etc., floor(x+0.5), clamp to 0–4095). 12-bit output CANNOT be a
+    * byte raster, so this is its own surface rather than a
+    * [[decodeImage]] case — the high-precision analog of
+    * [[decodeGray]]'s split. T.81 allows 16-bit DQT entries (Pq = 1)
+    * at this precision and DC categories up to 15 / AC magnitudes to
+    * 14 bits; both accepted. Sampling factors 1–4, restart markers,
+    * level shift 2048, exact double IDCT — the same machinery as the
+    * 8-bit path at the wider range. Anything that is not a well-formed
+    * 12-bit SOF1 frame (including 8-bit SOF1 — that is
+    * [[decodeImage]]'s job) returns None, never a mis-decode. */
+  def decode12(b: Array[Byte]): Option[(Int, Int, Int, Array[Short])] = try {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    def u16(j: Int) = ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)
+    val q = Array.ofDim[Int](4, 64)
+    val hDC = new Array[Huff](4); val hAC = new Array[Huff](4)
+    var w = 0; var h = 0
+    var comps: Array[Comp] = null
+    var dri = 0
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9) return None // EOI before any scan
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else {
+        if (i + 3 >= b.length) return None
+        val len = u16(i + 2)
+        val seg = i + 4
+        if (len < 2 || i + 2 + len > b.length) return None
+        m match {
+          case 0xdb =>
+            var j = seg
+            while (j < i + 2 + len) {
+              val pq = (b(j) & 0xff) >> 4; val tq = b(j) & 0x0f
+              if (tq > 3 || pq > 1) return None
+              val t = q(tq)
+              if (pq == 0) { var k = 0; while (k < 64) { t(k) = b(j + 1 + k) & 0xff; k += 1 }; j += 65 }
+              else { var k = 0; while (k < 64) { t(k) = u16(j + 1 + 2 * k); k += 1 }; j += 129 }
+            }
+          case 0xc4 =>
+            var j = seg
+            while (j + 16 < i + 2 + len) {
+              val bits = Array.tabulate(16)(k => b(j + 1 + k) & 0xff)
+              val n = bits.sum
+              val tc = (b(j) & 0xff) >> 4; val th = b(j) & 0x0f
+              if (tc > 1 || th > 3 || n > 256) return None
+              val vals = Array.tabulate(n)(k => b(j + 17 + k) & 0xff)
+              val huff = new Huff(bits, vals)
+              if (tc == 0) hDC(th) = huff else hAC(th) = huff
+              j += 17 + n
+            }
+          case 0xc1 => // the 12-bit surface: extended sequential only
+            if ((b(seg) & 0xff) != 12) return None
+            h = u16(seg + 1); w = u16(seg + 3)
+            val nComp = b(seg + 5) & 0xff
+            if (nComp != 1 && nComp != 3) return None
+            if (w <= 0 || h <= 0) return None
+            comps = Array.tabulate(nComp) { k =>
+              val o = seg + 6 + 3 * k
+              val hv = b(o + 1) & 0xff
+              new Comp(b(o) & 0xff, hv >> 4, hv & 0x0f, b(o + 2) & 0xff)
+            }
+            if (comps.exists(c => c.hs < 1 || c.hs > 4 || c.vs < 1 || c.vs > 4))
+              return None
+            if (nComp > 1 && comps.map(c => c.hs * c.vs).sum > 10)
+              return None // T.81 B.2.3 interleaved-MCU cap
+            if (nComp == 1 && (comps(0).hs != 1 || comps(0).vs != 1))
+              return None
+          case 0xc0 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // every other frame type has its own surface or refusal
+          case 0xdd => dri = u16(seg)
+          case 0xda =>
+            if (comps == null) return None
+            if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
+              w.toLong * h * comps.length > Multimodal.PixelCodec.MaxPixels / 2)
+              return None // Short planes: cap BEFORE allocation
+            val ns = b(seg) & 0xff
+            if (ns != comps.length) return None
+            var j = seg + 1
+            var si = 0
+            while (si < ns) {
+              val cid = b(j) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.dcId = (b(j + 1) & 0xff) >> 4
+              c.acId = b(j + 1) & 0x0f
+              j += 2; si += 1
+            }
+            if ((b(j) & 0xff) != 0 || (b(j + 1) & 0xff) != 63 || (b(j + 2) & 0xff) != 0)
+              return None // sequential scans are full-band, no point transform
+            val hmax = comps.map(_.hs).max
+            val vmax = comps.map(_.vs).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            // 12-bit planes: Short, one per component (Comp.plane is
+            // the 8-bit path's byte raster — unused here)
+            val planes = new Array[Array[Short]](comps.length)
+            val pws = new Array[Int](comps.length)
+            var ci = 0
+            while (ci < comps.length) {
+              val c = comps(ci)
+              pws(ci) = mcusX * c.hs * 8
+              planes(ci) = new Array[Short](pws(ci) * mcusY * c.vs * 8)
+              ci += 1
+            }
+            val br = new BitReader(b, j + 3)
+            val coef = new Array[Double](64)
+            var mcu = 0
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+                  br.restart()
+                  comps.foreach(_.pred = 0)
+                }
+                ci = 0
+                while (ci < comps.length) {
+                  val c = comps(ci)
+                  if (hDC(c.dcId) == null || hAC(c.acId) == null) return None
+                  val qt = q(c.tq)
+                  var v2 = 0
+                  while (v2 < c.vs) {
+                    var h2 = 0
+                    while (h2 < c.hs) {
+                      java.util.Arrays.fill(coef, 0.0)
+                      val s = hDC(c.dcId).decode(br)
+                      if (s > 15) return None // 12-bit DC categories are 0-15
+                      c.pred += extend(br.receive(s), s)
+                      coef(0) = c.pred.toDouble * qt(0)
+                      var k = 1
+                      while (k < 64) {
+                        val rs = hAC(c.acId).decode(br)
+                        val r = rs >> 4; val sz = rs & 0x0f
+                        if (sz == 0) {
+                          if (r == 15) k += 16 else k = 64 // ZRL / EOB
+                        } else {
+                          k += r
+                          if (k > 63) return None
+                          coef(Zigzag(k)) = extend(br.receive(sz), sz).toDouble * qt(k)
+                          k += 1
+                        }
+                      }
+                      val px = idct(coef)
+                      val ox0 = (mx * c.hs + h2) * 8
+                      val oy0 = (my * c.vs + v2) * 8
+                      var yy = 0
+                      while (yy < 8) {
+                        var xx = 0
+                        while (xx < 8) {
+                          val v = math.round(px(yy * 8 + xx) + 2048.0).toInt
+                          planes(ci)((oy0 + yy) * pws(ci) + ox0 + xx) =
+                            (if (v < 0) 0 else if (v > 4095) 4095 else v).toShort
+                          xx += 1
+                        }
+                        yy += 1
+                      }
+                      h2 += 1
+                    }
+                    v2 += 1
+                  }
+                  ci += 1
+                }
+                mcu += 1
+                mx += 1
+              }
+              my += 1
+            }
+            // stream integrity: the EOI must still be present
+            var pe = br.pos
+            var sawEoi = false
+            while (pe + 1 < b.length && !sawEoi) {
+              if ((b(pe) & 0xff) == 0xff && (b(pe + 1) & 0xff) == 0xd9) sawEoi = true
+              pe += 1
+            }
+            if (!sawEoi) return None
+            if (comps.length == 1) {
+              val out = new Array[Short](w * h)
+              var y = 0
+              while (y < h) {
+                System.arraycopy(planes(0), y * pws(0), out, y * w, w)
+                y += 1
+              }
+              return Some((w, h, 1, out))
+            } else {
+              def samp(ci2: Int, x: Int, y: Int): Int = {
+                val c = comps(ci2)
+                planes(ci2)((y * c.vs / vmax) * pws(ci2) + (x * c.hs / hmax)) & 0xffff
+              }
+              def clamp12(d: Double): Int = {
+                val v = math.floor(d + 0.5).toInt
+                if (v < 0) 0 else if (v > 4095) 4095 else v
+              }
+              val out = new Array[Short](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val lum = samp(0, x, y)
+                  val pb = samp(1, x, y) - 2048
+                  val pr = samp(2, x, y) - 2048
+                  val o = (y * w + x) * 3
+                  out(o) = clamp12(lum + 1.402 * pr).toShort
+                  out(o + 1) = clamp12(lum - 0.344136 * pb - 0.714136 * pr).toShort
+                  out(o + 2) = clamp12(lum + 1.772 * pb).toShort
+                  x += 1
+                }
+                y += 1
+              }
+              return Some((w, h, 3, out))
+            }
+          case _ => // APPn / COM / everything else skipped
+        }
+        i += 2 + len
+      }
+    }
+    None
+  } catch { case _: Throwable => None }
+
+  /** 12-bit twin of [[encodeDcOnlyGray]]: SOF1 precision 12, flat
+    * quant 16, per-8×8-tile constants in 0–4094. DC = 8·(c−2048)/16 =
+    * (c−2048)/2 is integral for EVEN c, so even tiles reconstruct
+    * BIT-EXACTLY — the same gate device at the wider range. DC diffs
+    * stay within category 11, so the standard Annex K tables serve
+    * unchanged (a 12-bit DECODER must accept categories to 15; an
+    * encoder may emit any subset). */
+  def encodeDcOnlyGray12(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(67); b(0) // DQT, table 0, Pq=0 (legal at 12-bit)
+    (0 until 64).foreach(_ => b(QuantStep))
+    b(0xff); b(0xc1); u16(11) // SOF1 extended sequential
+    b(12); u16(h); u16(w); b(1)
+    b(1); b(0x11); b(0)
+    b(0xff); b(0xc4); u16(19 + DcVals.length); b(0x00)
+    DcBits.foreach(b); DcVals.foreach(b)
+    b(0xff); b(0xc4); u16(19 + AcVals.length); b(0x10)
+    AcBits.foreach(b); AcVals.foreach(b)
+    b(0xff); b(0xda); u16(8)
+    b(1); b(1); b(0x00)
+    b(0); b(63); b(0)
+    val bw = new BitWriter(out)
+    var pred = 0
+    for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+      val c = v(bx, by) & 0xfff
+      val coefv = Math.round(8.0 * (c - 2048) / QuantStep).toInt
+      val diff = coefv - pred
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(s)
+      bw.put(code, len)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      val (ebCode, ebLen) = acCodes(0x00)
+      bw.put(ebCode, ebLen)
+      pred = coefv
+    }
+    bw.flushWithOnes()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- lossless (SOF3, T.81 Annex H) — r9 -----------------------------
+
+  /** T.81 H.2: a lossless scan codes DIFFERENCE CATEGORIES 0–16 (16 =
+    * the mod-2^16 value 32768, no extra bits) through a DC-class
+    * Huffman table. The standard publishes no default table for them;
+    * this canonical one (Kraft-complete under 1) extends the Annex K
+    * DC shape to 17 symbols and is what [[encodeLossless]] writes. */
+  private val LsBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0)
+  private val LsVals = (0 to 16).toArray
+  private lazy val lsCodes = codesOf(LsBits, LsVals)
+
+  /** Decode a LOSSLESS JPEG (SOF3, T.81 Annex H) to (w, h, channels,
+    * samples, precision): predictive Huffman coding, predictors 1–7
+    * (SOS Ss field), point transform Pt (output samples are the
+    * decoded values << Pt), precision 2–16, 1–4 components all 1×1
+    * sampling interleaved in one scan (MCU = one sample per
+    * component), restart markers (the first MCU of each restart
+    * interval reverts to the default prediction 2^(P−Pt−1), T.81
+    * H.2.1). Per H.1.2.1: sample (0,0) predicts the default; the rest
+    * of row 0 predicts Ra; column 0 predicts Rb; everything else uses
+    * the selected predictor. Reconstruction is mod 2^16. No quant, no
+    * DCT — decode(encode(x)) == x exactly, which is this surface's
+    * round-trip gate. Subsampled lossless frames (legal but
+    * practically unused) and multi-scan non-interleaved layouts return
+    * None — a declared boundary, never a mis-decode. */
+  def decodeLossless(b: Array[Byte]): Option[(Int, Int, Int, Array[Int], Int)] = try {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    def u16(j: Int) = ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)
+    val hDC = new Array[Huff](4)
+    var w = 0; var h = 0; var prec = 0
+    var comps: Array[Comp] = null
+    var dri = 0
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9) return None
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else {
+        if (i + 3 >= b.length) return None
+        val len = u16(i + 2)
+        val seg = i + 4
+        if (len < 2 || i + 2 + len > b.length) return None
+        m match {
+          case 0xc4 =>
+            var j = seg
+            while (j + 16 < i + 2 + len) {
+              val bits = Array.tabulate(16)(k => b(j + 1 + k) & 0xff)
+              val n = bits.sum
+              val tc = (b(j) & 0xff) >> 4; val th = b(j) & 0x0f
+              if (tc > 1 || th > 3 || n > 256) return None
+              if (tc == 0) hDC(th) = new Huff(bits, Array.tabulate(n)(k => b(j + 17 + k) & 0xff))
+              j += 17 + n
+            }
+          case 0xc3 => // the lossless surface
+            prec = b(seg) & 0xff
+            if (prec < 2 || prec > 16) return None
+            h = u16(seg + 1); w = u16(seg + 3)
+            val nComp = b(seg + 5) & 0xff
+            if (nComp < 1 || nComp > 4) return None
+            if (w <= 0 || h <= 0) return None
+            comps = Array.tabulate(nComp) { k =>
+              val o = seg + 6 + 3 * k
+              val hv = b(o + 1) & 0xff
+              new Comp(b(o) & 0xff, hv >> 4, hv & 0x0f, b(o + 2) & 0xff)
+            }
+            if (comps.exists(c => c.hs != 1 || c.vs != 1))
+              return None // declared boundary: subsampled lossless unused in practice
+          case 0xc0 | 0xc1 | 0xc2 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None
+          case 0xdd => dri = u16(seg)
+          case 0xda =>
+            if (comps == null) return None
+            val nc = comps.length
+            if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
+              w.toLong * h * nc > Multimodal.PixelCodec.MaxPixels / 4)
+              return None // Int planes: cap BEFORE allocation
+            val ns = b(seg) & 0xff
+            if (ns != nc) return None // one interleaved scan (declared boundary)
+            var j = seg + 1
+            var si = 0
+            while (si < ns) {
+              val cid = b(j) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.dcId = (b(j + 1) & 0xff) >> 4
+              j += 2; si += 1
+            }
+            val psv = b(j) & 0xff       // Ss = predictor selector
+            val pt = b(j + 2) & 0x0f    // Al = point transform
+            if (psv < 1 || psv > 7 || (b(j + 1) & 0xff) != 0 ||
+              ((b(j + 2) & 0xff) >> 4) != 0 || pt >= prec) return None
+            val planes = Array.ofDim[Int](nc, w * h)
+            val br = new BitReader(b, j + 3)
+            val default = 1 << (prec - pt - 1)
+            var firstInInterval = true
+            var mcu = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+                  br.restart()
+                  firstInInterval = true
+                }
+                var ci = 0
+                while (ci < nc) {
+                  val t = hDC(comps(ci).dcId)
+                  if (t == null) return None
+                  val s = t.decode(br)
+                  if (s > 16) return None
+                  val diff =
+                    if (s == 0) 0
+                    else if (s == 16) 32768
+                    else extend(br.receive(s), s)
+                  val p = planes(ci)
+                  val pred =
+                    if (firstInInterval) default
+                    else if (y == 0) p(x - 1) // row 0 after the first: Ra
+                    else if (x == 0) p((y - 1) * w) // column 0: Rb
+                    else {
+                      val ra = p(y * w + x - 1)
+                      val rb = p((y - 1) * w + x)
+                      val rc = p((y - 1) * w + x - 1)
+                      psv match {
+                        case 1 => ra
+                        case 2 => rb
+                        case 3 => rc
+                        case 4 => ra + rb - rc
+                        case 5 => ra + ((rb - rc) >> 1)
+                        case 6 => rb + ((ra - rc) >> 1)
+                        case _ => (ra + rb) >> 1
+                      }
+                    }
+                  p(y * w + x) = (pred + diff) & 0xffff
+                  ci += 1
+                }
+                firstInInterval = false
+                mcu += 1
+                x += 1
+              }
+              y += 1
+            }
+            var pe = br.pos
+            var sawEoi = false
+            while (pe + 1 < b.length && !sawEoi) {
+              if ((b(pe) & 0xff) == 0xff && (b(pe + 1) & 0xff) == 0xd9) sawEoi = true
+              pe += 1
+            }
+            if (!sawEoi) return None
+            val out = new Array[Int](w * h * nc)
+            var k = 0
+            var yy = 0
+            while (yy < h) {
+              var xx = 0
+              while (xx < w) {
+                var ci = 0
+                while (ci < nc) {
+                  out(k) = (planes(ci)(yy * w + xx) << pt) & 0xffff
+                  k += 1; ci += 1
+                }
+                xx += 1
+              }
+              yy += 1
+            }
+            return Some((w, h, nc, out, prec))
+          case _ =>
+        }
+        i += 2 + len
+      }
+    }
+    None
+  } catch { case _: Throwable => None }
+
+  /** Encode a REAL lossless JPEG (SOF3) of ARBITRARY samples — unlike
+    * the DC-only lossy encoders, nothing is restricted: lossless
+    * coding round-trips any raster exactly (after the point
+    * transform: decode(encode(x)) reconstructs (x >> pt) << pt).
+    * `sample(x, y, c)` must fit `prec` bits; `psv` 1–7; `dri` > 0
+    * inserts restart markers every `dri` samples-per-component with
+    * the decoder's default-prediction reset. 1–4 components
+    * interleaved in one scan. This is the encoder half of the
+    * round-trip gate (q92): a predictor, category, mod-2^16 or
+    * restart asymmetry between the halves corrupts every sample after
+    * the first wrong difference. */
+  def encodeLossless(w: Int, h: Int, nc: Int, prec: Int, psv: Int,
+      pt: Int, dri: Int, sample: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nc >= 1 && nc <= 4, "dims/components")
+    require(prec >= 2 && prec <= 16 && pt < prec, "precision/point transform")
+    require(psv >= 1 && psv <= 7, "predictor")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xc4); u16(19 + LsVals.length); b(0x00) // DHT DC class 0 id 0
+    LsBits.foreach(b); LsVals.foreach(b)
+    b(0xff); b(0xc3); u16(8 + 3 * nc) // SOF3 lossless
+    b(prec); u16(h); u16(w); b(nc)
+    (1 to nc).foreach { c => b(c); b(0x11); b(0) }
+    if (dri > 0) { b(0xff); b(0xdd); u16(4); u16(dri) }
+    b(0xff); b(0xda); u16(6 + 2 * nc) // SOS
+    b(nc); (1 to nc).foreach { c => b(c); b(0x00) }
+    b(psv); b(0); b(pt)
+    var bw = new BitWriter(out)
+    val planes = Array.ofDim[Int](nc, w * h)
+    val default = 1 << (prec - pt - 1)
+    var firstInInterval = true
+    var mcu = 0
+    var rst = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          bw.flushWithOnes()
+          b(0xff); b(0xd0 + rst)
+          rst = (rst + 1) & 7
+          bw = new BitWriter(out)
+          firstInInterval = true
+        }
+        var ci = 0
+        while (ci < nc) {
+          val v = (sample(x, y, ci) & ((1 << prec) - 1)) >> pt
+          val p = planes(ci)
+          val pred =
+            if (firstInInterval) default
+            else if (y == 0) p(x - 1)
+            else if (x == 0) p((y - 1) * w)
+            else {
+              val ra = p(y * w + x - 1)
+              val rb = p((y - 1) * w + x)
+              val rc = p((y - 1) * w + x - 1)
+              psv match {
+                case 1 => ra
+                case 2 => rb
+                case 3 => rc
+                case 4 => ra + rb - rc
+                case 5 => ra + ((rb - rc) >> 1)
+                case 6 => rb + ((ra - rc) >> 1)
+                case _ => (ra + rb) >> 1
+              }
+            }
+          p(y * w + x) = v
+          val dm = (v - pred) & 0xffff
+          if (dm == 32768) {
+            val (code, len) = lsCodes(16) // SSSS 16: no appended bits
+            bw.put(code, len)
+          } else {
+            val d = if (dm >= 32768) dm - 65536 else dm
+            val s = if (d == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(d))
+            val (code, len) = lsCodes(s)
+            bw.put(code, len)
+            if (s > 0) bw.put(if (d >= 0) d else d + (1 << s) - 1, s)
+          }
+          ci += 1
+        }
+        firstInInterval = false
+        mcu += 1
+        x += 1
+      }
+      y += 1
+    }
     bw.flushWithOnes()
     b(0xff); b(0xd9) // EOI
     out.toByteArray

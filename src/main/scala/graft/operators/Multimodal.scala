@@ -918,6 +918,15 @@ object Multimodal {
       n_pixels: Long, pixel_sum: Long, pixel_min: Int, pixel_max: Int, valid: Boolean)
   implicit val pixelEnc: Encoder[PixelMeta] = Encoders.product[PixelMeta]
 
+  /** High-bit-depth sample statistics (r9): the >8-bit JPEG tiers —
+    * 12-bit SOF1 and lossless SOF3 (2–16 bit) — whose samples cannot
+    * be a byte raster. `precision` carries the frame's sample depth
+    * so the twin can pin it. */
+  case class HiDepthMeta(doc_id: Long, format: String, width: Int, height: Int,
+      channels: Int, bit_depth: Int, n_samples: Long, sample_sum: Long,
+      sample_min: Int, sample_max: Int, valid: Boolean)
+  implicit val hiDepthEnc: Encoder[HiDepthMeta] = Encoders.product[HiDepthMeta]
+
   /** REAL pixel decode, pure JVM: 8-bit grayscale PNG (zlib inflate +
     * all five scanline filters reversed — None/Sub/Up/Average/Paeth),
     * uncompressed bottom-up 24bpp BMP (stride padding honored,
@@ -1704,6 +1713,53 @@ object Multimodal {
       }
     }(pixelEnc)
 
+  /** Per-partition 12-bit JPEG decode → sample statistics over the
+    * native 0–4095 range ([[JpegCodec.decode12]]). Map-side, corrupt
+    * rows mark invalid — the same shape as [[decodePixels]] at the
+    * wider depth. */
+  def decode12Stats(media: Dataset[MediaFile]): Dataset[HiDepthMeta] =
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        JpegCodec.decode12(m.content) match {
+          case Some((w, h, ch, px)) =>
+            var sum = 0L; var mn = 4095; var mx = 0
+            var i = 0
+            while (i < px.length) {
+              val v = px(i) & 0xffff
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            HiDepthMeta(m.doc_id, "jpeg", w, h, ch, 12, px.length.toLong, sum,
+              if (px.isEmpty) 0 else mn, if (px.isEmpty) 0 else mx, valid = true)
+          case None =>
+            HiDepthMeta(m.doc_id, "unknown", 0, 0, 0, 0, 0L, 0L, 0, 0, valid = false)
+        }
+      }
+    }(hiDepthEnc)
+
+  /** Per-partition LOSSLESS JPEG decode → sample statistics
+    * ([[JpegCodec.decodeLossless]]): predictive SOF3 at its native
+    * 2–16 bit range. Map-side, corrupt rows mark invalid. */
+  def decodeLosslessStats(media: Dataset[MediaFile]): Dataset[HiDepthMeta] =
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        JpegCodec.decodeLossless(m.content) match {
+          case Some((w, h, ch, px, prec)) =>
+            var sum = 0L; var mn = 65535; var mx = 0
+            var i = 0
+            while (i < px.length) {
+              val v = px(i)
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            HiDepthMeta(m.doc_id, "jpeg", w, h, ch, prec, px.length.toLong, sum,
+              if (px.isEmpty) 0 else mn, if (px.isEmpty) 0 else mx, valid = true)
+          case None =>
+            HiDepthMeta(m.doc_id, "unknown", 0, 0, 0, 0, 0L, 0L, 0, 0, valid = false)
+        }
+      }
+    }(hiDepthEnc)
+
   case class ColorPixelMeta(doc_id: Long, format: String, width: Int, height: Int,
       n_pixels: Long, r_sum: Long, g_sum: Long, b_sum: Long,
       r_min: Int, r_max: Int, g_min: Int, g_max: Int, b_min: Int, b_max: Int,
@@ -1976,6 +2032,61 @@ object Multimodal {
       def p3(bx: Int, by: Int) = (2L * ((3L * bx + by + 5L * id) % 128)).toInt
       val bytes = JpegCodec.encodeDcOnlyCmyk(w, h,
         if (id % 2 == 0) 0 else 2, p0, p1, p2, p3)
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
+    }(mediaEnc)
+
+  /** Deterministic HIGH-SAMPLING-FACTOR color JPEG media (r9 — the
+    * factor-3/4 cells): doc_id mod 3 picks Y sampling 4×1 (4:1:1),
+    * 3×1, or 1×4; chroma is per-MCU even constants (exact under
+    * sample replication), Y per-8×8-tile even constants — the q61
+    * contract at the T.81 sampling range the decoder previously
+    * refused. Every 25th payload truncated for the corrupt path. */
+  def syntheticSampledJpegMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val (sub, yh, yvs) = (id % 3) match {
+        case 0 => (411, 4, 1)
+        case 1 => (311, 3, 1)
+        case _ => (114, 1, 4)
+      }
+      val w = 8 * yh * (id % 2 + 1).toInt
+      val h = 8 * yvs * ((id / 2) % 2 + 1).toInt
+      def yv(bx: Int, by: Int): Int = (2L * ((bx + 3L * by + id) % 128)).toInt
+      def cbv(mx: Int, my: Int): Int = (2L * ((2L * mx + my + id) % 128)).toInt
+      def crv(mx: Int, my: Int): Int = (2L * ((mx + 2L * my + 3L * id) % 128)).toInt
+      val bytes = JpegCodec.encodeDcOnlyColor(w, h, sub, yv, cbv, crv)
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
+    }(mediaEnc)
+
+  /** Deterministic 12-BIT JPEG media (r9 — the precision cell):
+    * SOF1/12 per-8×8-tile EVEN constants in 0–4094, tile (bx,by) =
+    * `2·((bx + 3·by + 11·doc_id) mod 2048)` — exact through the
+    * DC-only encode at the wider range ([[JpegCodec.decode12]]);
+    * every 25th payload truncated for the corrupt path. */
+  def syntheticJpeg12Media(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 4 + 1).toInt * 8
+      val h = (id % 3 + 1).toInt * 8
+      def v(bx: Int, by: Int): Int = (2L * ((bx + 3L * by + 11L * id) % 2048)).toInt
+      val bytes = JpegCodec.encodeDcOnlyGray12(w, h, v)
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
+    }(mediaEnc)
+
+  /** Deterministic LOSSLESS JPEG media (r9 — the SOF3 cell): grayscale
+    * sample (x,y) = `(5x + 11y + 7·doc_id) mod 2^prec` with precision
+    * cycling 8/12/16, predictor cycling 1–7, restart interval 3 on
+    * every 5th id — ARBITRARY values, because lossless coding
+    * round-trips exactly (no even-constant device needed); the twin
+    * recomputes the per-pixel formula directly. Every 25th payload
+    * truncated for the corrupt path. */
+  def syntheticLosslessJpegMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 13 + 2).toInt
+      val h = (id % 9 + 2).toInt
+      val prec = Array(8, 12, 16)((id % 3).toInt)
+      val psv = (id % 7 + 1).toInt
+      val dri = if (id % 5 == 0) 3 else 0
+      val bytes = JpegCodec.encodeLossless(w, h, 1, prec, psv, 0, dri,
+        (x, y, _) => ((5L * x + 11L * y + 7L * id) % (1L << prec)).toInt)
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
     }(mediaEnc)
 

@@ -1307,4 +1307,150 @@ class MultimodalSpec extends SparkSpec {
     val row = feats.orderBy("doc_id").collect()(0)
     assert(row.getSeq[Float](1).length === 16)
   }
+
+  test("sampling factors 3-4: libjpeg goldens decode, DC-only tiles exact, JDK cross-check") {
+    import graft.operators.JpegCodec
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/sampling/$name")
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close(); out.toByteArray
+    }
+    def golden(name: String): (Int, Int, Int, Array[Byte]) = {
+      val raw = res(name)
+      val nl = raw.indexOf('\n'.toByte)
+      val Array(w, h, nc) = new String(raw, 0, nl, "US-ASCII").trim.split(" ").map(_.toInt)
+      (w, h, nc, java.util.Arrays.copyOfRange(raw, nl + 1, raw.length))
+    }
+    // (a) libjpeg goldens (gen_samp.c): gray-as-RGB rasters make
+    // Cb = Cr = 128 EXACTLY in libjpeg's fixed-point converter, so
+    // fancy-vs-replication upsampling cannot differ and the residual
+    // tolerance is the IDCT's own ±1 (±2 kept for the color round).
+    // s41odd/s42odd have non-MCU-multiple dims (partial edge MCUs at
+    // factor 4 — the crop path).
+    for (name <- Seq("s41", "s41odd", "s31", "s14", "s42", "s42odd")) {
+      val Some((w, h, 3, px)) = JpegCodec.decodeImage(res(s"$name.jpg"))
+      val (gw, gh, gn, want) = golden(s"$name.dec")
+      assert((w, h, gn) === ((gw, gh, 3)), name)
+      var maxDiff = 0
+      for (k <- 0 until w * h * 3) {
+        val d = math.abs((px(k) & 0xff) - (want(k) & 0xff))
+        if (d > maxDiff) maxDiff = d
+      }
+      assert(maxDiff <= 2, s"$name maxDiff=$maxDiff vs libjpeg")
+    }
+    // (b) own DC-only encoder at 4:1:1 / 3:1 / 1:4: even tiles are
+    // formula-exact through our decoder (the q91 contract)
+    for ((sub, yh, yvs) <- Seq((411, 4, 1), (311, 3, 1), (114, 1, 4))) {
+      val w = 8 * yh * 2; val h = 8 * yvs * 2
+      def yv(bx: Int, by: Int) = 2 * ((bx + 3 * by + 5) % 128)
+      def cbv(mx: Int, my: Int) = 2 * ((2 * mx + my + 7) % 128)
+      def crv(mx: Int, my: Int) = 2 * ((mx + 2 * my + 11) % 128)
+      val bytes = JpegCodec.encodeDcOnlyColor(w, h, sub, yv, cbv, crv)
+      val Some((dw, dh, 3, px)) = JpegCodec.decodeImage(bytes)
+      assert((dw, dh) === ((w, h)), s"sub=$sub")
+      def clamp8(d: Double): Int = math.max(0, math.min(255, math.floor(d + 0.5).toInt))
+      for (y <- 0 until h; x <- 0 until w) {
+        val lum = yv(x / 8, y / 8)
+        val pb = cbv(x / (8 * yh), y / (8 * yvs)) - 128
+        val pr = crv(x / (8 * yh), y / (8 * yvs)) - 128
+        val o = (y * w + x) * 3
+        assert((px(o) & 0xff) === clamp8(lum + 1.402 * pr), s"sub=$sub R ($x,$y)")
+        assert((px(o + 1) & 0xff) === clamp8(lum - 0.344136 * pb - 0.714136 * pr), s"sub=$sub G ($x,$y)")
+        assert((px(o + 2) & 0xff) === clamp8(lum + 1.772 * pb), s"sub=$sub B ($x,$y)")
+      }
+      // a SECOND foreign implementation reads our high-sampling
+      // writes: per-MCU constants are exact under any conformant
+      // upsampler, so the JDK must agree exactly
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"JDK refused sub=$sub")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = jdk.getRGB(x, y)
+        val lum = yv(x / 8, y / 8)
+        val pb = cbv(x / (8 * yh), y / (8 * yvs)) - 128
+        val pr = crv(x / (8 * yh), y / (8 * yvs)) - 128
+        assert(((rgb >> 16) & 0xff) === clamp8(lum + 1.402 * pr), s"JDK sub=$sub R ($x,$y)")
+        assert(((rgb >> 8) & 0xff) === clamp8(lum - 0.344136 * pb - 0.714136 * pr), s"JDK sub=$sub G ($x,$y)")
+        assert((rgb & 0xff) === clamp8(lum + 1.772 * pb), s"JDK sub=$sub B ($x,$y)")
+      }
+    }
+    // (c) the T.81 B.2.3 MCU cap holds: a lying SOF claiming 4x4 luma
+    // (4·4+1+1 = 18 > 10 data units) is refused
+    val ok = JpegCodec.encodeDcOnlyColor(64, 16, 411, (_, _) => 100, (_, _) => 128, (_, _) => 128)
+    val sofAt = (0 until ok.length - 1).find(k =>
+      (ok(k) & 0xff) == 0xff && (ok(k + 1) & 0xff) == 0xc0).get
+    val lying = ok.clone()
+    lying(sofAt + 11) = 0x44.toByte // comp 1 sampling 4x4
+    assert(JpegCodec.decodeImage(lying) === None)
+  }
+
+  test("lossless JPEG (SOF3): exact round-trip across predictors, precisions, point transform, restarts") {
+    import graft.operators.JpegCodec
+    val rnd = new scala.util.Random(1234)
+    // every predictor × precisions 2..16 × 1 or 3 components ×
+    // restart interval off/on: decode(encode(x)) must equal x (or
+    // (x >> pt) << pt under a point transform) — lossless has no
+    // tolerance, a single wrong difference corrupts the remainder
+    for (psv <- 1 to 7; (prec, nc, dri) <- Seq((8, 1, 0), (12, 3, 0), (16, 1, 5), (2, 1, 0), (4, 3, 7))) {
+      val w = 1 + rnd.nextInt(17)
+      val h = 1 + rnd.nextInt(11)
+      val vals = Array.fill(nc, w * h)(rnd.nextInt(1 << prec))
+      val bytes = JpegCodec.encodeLossless(w, h, nc, prec, psv, 0, dri,
+        (x, y, c) => vals(c)(y * w + x))
+      val Some((dw, dh, dnc, out, dprec)) = JpegCodec.decodeLossless(bytes)
+      assert((dw, dh, dnc, dprec) === ((w, h, nc, prec)), s"psv=$psv prec=$prec")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until nc)
+        assert(out((y * w + x) * nc + c) === vals(c)(y * w + x),
+          s"psv=$psv prec=$prec nc=$nc dri=$dri ($x,$y,$c)")
+    }
+    // point transform: the decoder restores the shifted domain
+    val vals = Array.tabulate(12 * 7)(i => (i * 37 + 5) % 256)
+    val pt2 = JpegCodec.encodeLossless(12, 7, 1, 8, 4, 2, 0, (x, y, _) => vals(y * 12 + x))
+    val Some((_, _, _, outPt, _)) = JpegCodec.decodeLossless(pt2)
+    for (i <- 0 until 12 * 7)
+      assert(outPt(i) === ((vals(i) >> 2) << 2), s"pt sample $i")
+    // refusals: truncation (never a mis-decode), subsampled lossless
+    // (declared boundary), and the generic surfaces stay closed to
+    // SOF3 (decodeImage must not half-read a lossless frame)
+    val good = JpegCodec.encodeLossless(9, 5, 1, 12, 1, 0, 0, (x, y, _) => x * 41 + y)
+    assert(JpegCodec.decodeLossless(good.take(good.length - 2)) === None)
+    assert(JpegCodec.decodeLossless(good.take(11)) === None)
+    assert(JpegCodec.decodeImage(good) === None)
+    assert(JpegCodec.decode12(good) === None)
+    val sub = good.clone()
+    val sofAt = (0 until sub.length - 1).find(k =>
+      (sub(k) & 0xff) == 0xff && (sub(k + 1) & 0xff) == 0xc3).get
+    sub(sofAt + 11) = 0x21.toByte // claim 2x1 sampling
+    assert(JpegCodec.decodeLossless(sub) === None)
+  }
+
+  test("12-bit JPEG (SOF1/12): DC-lattice exact, wider categories, refusals") {
+    import graft.operators.JpegCodec
+    // even tiles in 0..4094 reconstruct bit-exactly at the 2048
+    // level shift — the q93 contract
+    def v(bx: Int, by: Int): Int = 2 * ((bx + 3 * by + 11 * 17) % 2048)
+    val bytes = JpegCodec.encodeDcOnlyGray12(32, 24, v)
+    val Some((w, h, 1, px)) = JpegCodec.decode12(bytes)
+    assert((w, h) === ((32, 24)))
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert((px(y * 32 + x) & 0xffff) === v(x / 8, y / 8), s"12-bit tile ($x,$y)")
+    // values above 255 actually occur (the point of the depth)
+    assert(px.map(_ & 0xffff).max > 255)
+    // a diff spanning the full range exercises wide DC categories:
+    // tiles alternating 0 and 4094 swing the DC by ±2047 (category 11)
+    val swing = JpegCodec.encodeDcOnlyGray12(32, 8, (bx, _) => if (bx % 2 == 0) 0 else 4094)
+    val Some((_, _, 1, spx)) = JpegCodec.decode12(swing)
+    for (y <- 0 until 8; x <- 0 until 32)
+      assert((spx(y * 32 + x) & 0xffff) === (if ((x / 8) % 2 == 0) 0 else 4094), s"swing ($x,$y)")
+    // refusals: the 8-bit surfaces refuse 12-bit frames and vice
+    // versa; truncation is never a mis-decode
+    assert(JpegCodec.decodeImage(bytes) === None)
+    assert(JpegCodec.decodeGray(bytes) === None)
+    val eight = JpegCodec.encodeDcOnlyGray(16, 8, (bx, by) => 2 * (bx + by + 30))
+    assert(JpegCodec.decode12(eight) === None)
+    assert(JpegCodec.decode12(bytes.take(bytes.length - 3)) === None)
+    assert(JpegCodec.decode12(bytes.take(20)) === None)
+  }
 }
