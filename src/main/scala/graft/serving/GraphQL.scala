@@ -37,9 +37,16 @@ import org.apache.spark.sql.types._
   *   `__type(name:)` over the session catalog, with REAL type
   *   references — NON_NULL/LIST wrappers with walkable `ofType`
   *   chains down to the named scalar (r7) — enough for a generated
-  *   client to discover views, column types and nullability; still
-  *   not the full meta-schema (no interfaces, inputFields,
-  *   enumValues, possibleTypes);
+  *   client to discover views, column types and nullability, plus
+  *   (r9) `possibleTypes` — member refs on UNION types, null on
+  *   concrete object types; still not the full meta-schema (no
+  *   interfaces, inputFields, enumValues);
+  * - unions (r9): registered one-level unions over views
+  *   ([[Unions]]) — `__typename` + `... on <member>` selection sets,
+  *   cross-member orderBy/condition over shared columns, compiled to
+  *   ONE NULL-padded UNION ALL statement with a global ORDER BY +
+  *   LIMIT; interfaces remain outside the subset (every type here is
+  *   concrete);
   * - directives: `@skip(if:)` / `@include(if:)` on any selection,
   *   literal or `$variable` arguments; operation-header variable
   *   declarations with defaults are honored (values arrive via the
@@ -136,6 +143,23 @@ object GraphQL {
 
   /** parentView → (relation field name → relation). */
   type Relations = Map[String, Map[String, Relation]]
+
+  /** union root-field name → member view names (r9). A union is a
+    * Postgraphile-style heterogeneous root field over registered
+    * views: its selection sets take `__typename` and inline fragments
+    * (`... on <member>`) ONLY — which member a row belongs to is a
+    * runtime fact, rendered per row from the member tag. `orderBy`
+    * and `condition` columns must exist on EVERY member (the
+    * cross-member total order / filter is what makes a union more
+    * than N separate queries). Compiles to ONE statement: per-member
+    * branches (each keeping its own predicate pushdown and pruned
+    * projection, NULL-padded into per-(member, column) slots so
+    * same-named columns of different types can never collide) UNION
+    * ALL'd under a global ORDER BY + LIMIT — Spark plans that as
+    * TakeOrderedAndProject over the branch scans, never a full sort.
+    * One level only: relation fields inside member fragments are a
+    * declared boundary. */
+  type Unions = Map[String, Seq[String]]
 
   /** FK-style relation derivation — the Postgraphile move (it reads
     * foreign keys from the catalog; parquet tables carry none, so the
@@ -256,12 +280,14 @@ object GraphQL {
     * companion keeps the 3-field `Sel(name, args, children)` extractor
     * every interpretation site matches on — alias is opt-in surface. */
   private final class Sel(val name: String, val args: Seq[(String, Any)],
-      val children: Seq[Sel], val alias: Option[String]) {
+      val children: Seq[Sel], val alias: Option[String],
+      val onType: Option[String]) {
     def out: String = alias.getOrElse(name)
   }
   private object Sel {
     def apply(name: String, args: Seq[(String, Any)], children: Seq[Sel],
-        alias: Option[String] = None): Sel = new Sel(name, args, children, alias)
+        alias: Option[String] = None, onType: Option[String] = None): Sel =
+      new Sel(name, args, children, alias, onType)
     def unapply(s: Sel): Option[(String, Seq[(String, Any)], Seq[Sel])] =
       Some((s.name, s.args, s.children))
   }
@@ -408,6 +434,17 @@ object GraphQL {
           s"$what on '$onType' can never apply to type '$c'")
       }
 
+    // a "union:<name>" context marks the selection sets of a UNION
+    // root field (nodes / edges.node): fragments there are RETAINED
+    // as member-tagged nodes (Sel.onType) instead of flattening —
+    // which member a row belongs to is a runtime fact, so dispatch
+    // happens per row at render time, not at parse time. Membership
+    // is validated at interpretation, where the union registry lives;
+    // the fragment BODY parses in the member's own type context, so
+    // fragments nested inside it dispatch against the member.
+    private def unionCtx(ctxType: Option[String]): Boolean =
+      ctxType.exists(_.startsWith("union:"))
+
     def selection(ctxType: Option[String]): Seq[Sel] = toks match {
       case Spread :: rest =>
         toks = rest
@@ -415,11 +452,14 @@ object GraphQL {
           // inline fragment: `... on Type @dirs { … }`
           case Ident("on") :: Ident(onType) :: _ =>
             toks = toks.drop(2)
-            checkCondition(onType, ctxType, "inline fragment")
+            val uni = unionCtx(ctxType)
+            if (!uni) checkCondition(onType, ctxType, "inline fragment")
             val skipped = directivesSkip()
             val kids = braceBlock("inline fragment", tolerateEmpty = skipped,
-              ctxType = ctxType)
-            if (skipped) Nil else kids
+              ctxType = if (uni) Some(onType) else ctxType)
+            if (skipped) Nil
+            else if (uni) Seq(Sel(onType, Nil, kids, onType = Some(onType)))
+            else kids
           case Ident(fname) :: rest2 =>
             toks = rest2
             val skipped = directivesSkip()
@@ -429,11 +469,15 @@ object GraphQL {
                 throw ParseError(s"fragment cycle through '$fname'")
               val (onType, body) = frags.getOrElse(fname,
                 throw ParseError(s"unknown fragment '$fname'"))
-              checkCondition(onType, ctxType, s"fragment '$fname'")
+              val uni = unionCtx(ctxType)
+              if (!uni) checkCondition(onType, ctxType, s"fragment '$fname'")
               // lazy re-parse of the stored body: same resolved vars
               // (defaults included), the visited set guards cycles
-              new Parser(body, vars, frags, visited + fname, childType)
-                .braceBlock(s"fragment $fname", ctxType = ctxType)
+              val kids = new Parser(body, vars, frags, visited + fname, childType)
+                .braceBlock(s"fragment $fname",
+                  ctxType = if (uni) Some(onType) else ctxType)
+              if (uni) Seq(Sel(onType, Nil, kids, onType = Some(onType)))
+              else kids
             }
           case t => throw ParseError(s"expected fragment name or 'on', got $t")
         }
@@ -523,10 +567,12 @@ object GraphQL {
     * the relation's CHILD view. Introspection subtrees and unknown
     * fields get no context — fragments there stay shape-checked. */
   private def parseDocument(q: String, variables: Map[String, Any],
-      relations: Relations = Map.empty): Seq[Sel] = {
+      relations: Relations = Map.empty, unions: Unions = Map.empty): Seq[Sel] = {
     val (opToks, frags) = splitFragments(tokenize(q))
     val childType: (Option[String], String) => Option[String] = {
-      case (Some("Query"), f) => if (f.startsWith("__")) None else Some(f)
+      case (Some("Query"), f) =>
+        if (f.startsWith("__")) None
+        else unions.keys.find(_.equalsIgnoreCase(f)).map("union:" + _).orElse(Some(f))
       case (Some("PageInfo"), _) => None
       case (Some(v), f) =>
         if (f == "nodes" || f == "edges" || f == "node") Some(v)
@@ -844,6 +890,31 @@ object GraphQL {
               }
             }
         }
+      case Sel("possibleTypes", _, _) =>
+        node.putNull("possibleTypes") // concrete object types: null, per the meta-schema
+      case other => throw ParseError(s"${other.name}: unsupported introspection field")
+    }
+
+  /** UNION type introspection (r9): kind UNION, `possibleTypes` are
+    * the member object types, `fields` is null — the meta-schema's
+    * union contract. */
+  private def renderUnionType(node: ObjectNode, sels: Seq[Sel],
+                              name: String, members: Seq[String]): Unit =
+    sels.foreach {
+      case Sel("name", _, Nil) => node.put("name", name)
+      case Sel("kind", _, Nil) => node.put("kind", "UNION")
+      case Sel("fields", _, _) => node.putNull("fields")
+      case Sel("possibleTypes", _, kids) =>
+        val arr = node.putArray("possibleTypes")
+        members.foreach { m =>
+          val o = arr.addObject()
+          kids.foreach {
+            case Sel("name", _, Nil) => o.put("name", m)
+            case Sel("kind", _, Nil) => o.put("kind", "OBJECT")
+            case other => throw ParseError(
+              s"possibleTypes.${other.name}: unsupported introspection field")
+          }
+        }
       case other => throw ParseError(s"${other.name}: unsupported introspection field")
     }
 
@@ -851,7 +922,8 @@ object GraphQL {
     spark.catalog.listTables().collect().toSeq
       .map(t => t.name -> spark.table(t.name).schema)
 
-  private def renderIntrospection(spark: SparkSession, data: ObjectNode, s: Sel): Unit =
+  private def renderIntrospection(spark: SparkSession, data: ObjectNode, s: Sel,
+                                  unions: Unions = Map.empty): Unit =
     s.name match {
       case "__schema" =>
         val out = data.putObject(s.out)
@@ -866,6 +938,9 @@ object GraphQL {
             val arr = out.putArray("types")
             catalogTypes(spark).foreach { case (name, schema) =>
               renderObjectType(arr.addObject(), kids, name, Some(schema))
+            }
+            unions.foreach { case (name, members) =>
+              renderUnionType(arr.addObject(), kids, name, members)
             }
           case Sel("directives", _, kids) =>
             val arr = out.putArray("directives")
@@ -893,7 +968,11 @@ object GraphQL {
         val name = argStr(s.args, "name")
           .getOrElse(throw ParseError("__type: missing name argument"))
         catalogTypes(spark).find(_._1 == name) match {
-          case None => data.putNull(s.out)
+          case None => unions.find(_._1 == name) match {
+            case None => data.putNull(s.out)
+            case Some((n, members)) =>
+              renderUnionType(data.putObject(s.out), s.children, n, members)
+          }
           case Some((n, schema)) =>
             renderObjectType(data.putObject(s.out), s.children, n, Some(schema))
         }
@@ -933,14 +1012,20 @@ object GraphQL {
               defaultFirst: Long = DefaultPageSize,
               maxFirst: Long = MaxPageSize,
               relations: Relations = Map.empty,
-              variables: Map[String, Any] = Map.empty): String = {
+              variables: Map[String, Any] = Map.empty,
+              unions: Unions = Map.empty): String = {
     val root = mapper.createObjectNode()
     try {
-      val roots = parseDocument(query, variables, relations)
+      val roots = parseDocument(query, variables, relations, unions)
       val data = root.putObject("data")
       roots.foreach { s =>
-        if (s.name.startsWith("__")) renderIntrospection(spark, data, s)
-        else executeField(spark, data, toFieldQuery(s), defaultFirst, maxFirst, relations)
+        if (s.name.startsWith("__")) renderIntrospection(spark, data, s, unions)
+        else unions.find(_._1.equalsIgnoreCase(s.name)) match {
+          case Some((un, ms)) =>
+            executeUnionField(spark, data, s, un, ms, defaultFirst, maxFirst)
+          case None =>
+            executeField(spark, data, toFieldQuery(s), defaultFirst, maxFirst, relations)
+        }
       }
     } catch {
       case e: ParseError =>
@@ -951,6 +1036,149 @@ object GraphQL {
         root.putArray("errors").addObject().put("message", e.toString)
     }
     mapper.writeValueAsString(root)
+  }
+
+  /** Execute a UNION root field ([[Unions]] scaladoc has the model).
+    * The page query is ONE statement over all members; `totalCount`
+    * is one UNION ALL count. Rendering dispatches per row on the
+    * member tag: `__typename` renders the member view's registered
+    * name, and only the row's own member fragment fields render —
+    * exactly GraphQL's union contract. */
+  private def executeUnionField(spark: SparkSession, data: ObjectNode, s: Sel,
+                                unionName: String, members: Seq[String],
+                                defaultFirst: Long, maxFirst: Long): Unit = {
+    checkArgNames(s, Set("condition", "first", "offset", "orderBy", "desc", "after"))
+    if (members.isEmpty) throw ParseError(s"union '$unionName' has no members")
+    // validates every member view exists, up front
+    val checkers = members.map(m => m -> colChecker(spark, m))
+    var wantEdges = false
+    var pageInfo = Seq.empty[String]
+    val typenameKeys = scala.collection.mutable.LinkedHashSet[String]()
+    val memberCols = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashSet[(String, String)]]()
+    members.foreach(m => memberCols(m) =
+      scala.collection.mutable.LinkedHashSet.empty[(String, String)])
+    def addUnionSels(kids: Seq[Sel], ctx: String): Unit = kids.foreach { k =>
+      k.onType match {
+        case Some(on) =>
+          val m = members.find(_.equalsIgnoreCase(on)).getOrElse(throw ParseError(
+            s"$ctx: '... on $on' is not a member of union '$unionName' " +
+              s"(members: ${members.mkString(", ")})"))
+          k.children.foreach { c =>
+            if (c.children.nonEmpty) throw ParseError(
+              s"$ctx.$on.${c.name}: union member selections are scalar fields " +
+                "only (relations inside a union are a declared boundary)")
+            if (c.name == "__typename") typenameKeys += c.out
+            else memberCols(m) += ((c.name, c.out))
+          }
+        case None =>
+          if (k.name == "__typename" && k.children.isEmpty) typenameKeys += k.out
+          else throw ParseError(s"$ctx.${k.name}: a union selection set takes " +
+            "__typename and inline fragments (`... on <member>`) only")
+      }
+    }
+    def noUnionAlias(sel: Sel, ctx: String): Unit = sel.alias.foreach { a =>
+      throw ParseError(s"$ctx: alias '$a' is not supported here " +
+        "(aliases apply to data fields)")
+    }
+    s.children.foreach {
+      case c @ Sel("totalCount", _, Nil) if c.onType.isEmpty =>
+        noUnionAlias(c, "totalCount")
+      case c @ Sel("nodes", _, kids) if kids.nonEmpty && c.onType.isEmpty =>
+        noUnionAlias(c, "nodes"); addUnionSels(kids, "nodes")
+      case c @ Sel("edges", _, kids) if kids.nonEmpty && c.onType.isEmpty =>
+        noUnionAlias(c, "edges")
+        wantEdges = true
+        kids.foreach {
+          case k @ Sel("cursor", _, Nil) => noUnionAlias(k, "edges.cursor")
+          case k @ Sel("node", _, nodeKids) if nodeKids.nonEmpty =>
+            noUnionAlias(k, "edges.node"); addUnionSels(nodeKids, "node")
+          case other => throw ParseError(
+            s"edges.${other.name}: expected 'cursor' or 'node { … }'")
+        }
+      case c @ Sel("pageInfo", _, kids) if kids.nonEmpty && c.onType.isEmpty =>
+        noUnionAlias(c, "pageInfo")
+        kids.foreach { k =>
+          if (k.children.nonEmpty || !PageInfoFields.contains(k.name))
+            throw ParseError(
+              s"pageInfo.${k.name}: expected one of ${PageInfoFields.mkString(", ")}")
+          noUnionAlias(k, s"pageInfo.${k.name}")
+        }
+        pageInfo = kids.map(_.name)
+      case c => throw ParseError(
+        s"$unionName.${c.name}: expected nodes/edges/pageInfo/totalCount")
+    }
+    if (typenameKeys.isEmpty && memberCols.values.forall(_.isEmpty))
+      throw ParseError(s"$unionName: empty selection set")
+    val condition = argCondition(s.args)
+    val orderBy = argStr(s.args, "orderBy")
+    val desc = argBool(s.args, "desc")
+    // the cross-member order/filter contract: these columns must
+    // exist on EVERY member (each checker throws its own view's
+    // field list on a miss)
+    (condition.map(_._1) ++ orderBy).foreach(c =>
+      checkers.foreach { case (_, ck) => ck(c) })
+    val shim = FieldQuery(unionName, condition, argLong(s.args, "first"),
+      argLong(s.args, "offset"), orderBy, desc, Nil, argStr(s.args, "after"),
+      wantEdges, pageInfo, Nil)
+    val (limit, offset) = pageWindow(shim, defaultFirst, maxFirst)
+    // per-(member, column) slots: a member's branch fills its own
+    // slots and NULL-pads the rest, so same-named columns of
+    // DIFFERENT types across members can never meet in one UNION
+    // position
+    val slots: Seq[(String, String)] = memberCols.toSeq.flatMap {
+      case (m, cols) => cols.toSeq.map(_._1).distinct.map(c => (m, c))
+    }
+    val slotIdx: Map[(String, String), Int] = slots.zipWithIndex.toMap
+    val branches = checkers.map { case (m, ck) =>
+      val slotSql = slots.zipWithIndex.map { case ((sm, col), i) =>
+        if (sm == m) s"${ck(col)} as __u$i" else s"null as __u$i"
+      }
+      val ordCol = orderBy.map(c => s", ${ck(c)} as __ord").getOrElse("")
+      val sel = (Seq(s"'${m.replace("'", "''")}' as __tn") ++ slotSql).mkString(", ")
+      s"select $sel$ordCol from `$m`${whereClause(condition, ck)}"
+    }
+    val order = orderBy.map(_ => " order by __ord" + (if (desc) " desc" else "")).getOrElse("")
+    val offsetSql = if (offset > 0) s" offset $offset" else ""
+    val outerCols = (Seq("__tn") ++ slots.indices.map(i => s"__u$i")).mkString(", ")
+    val rows = spark.sql(
+      s"select $outerCols from (\n${branches.mkString("\nunion all\n")}\n)" +
+        s"$order limit $limit$offsetSql").collect()
+    val total = spark.sql(
+      s"select count(*) from (\n${checkers.map { case (m, ck) =>
+        s"select 1 as __one from `$m`${whereClause(condition, ck)}"
+      }.mkString("\nunion all\n")}\n)").head().getLong(0)
+    val conn = data.putObject(s.out)
+    val nodes: ArrayNode = conn.putArray("nodes")
+    def renderNode(o: ObjectNode, r: org.apache.spark.sql.Row): Unit = {
+      val tn = r.getString(0)
+      typenameKeys.foreach(k => putValue(o, k, tn))
+      memberCols.getOrElse(tn, scala.collection.mutable.LinkedHashSet.empty[(String, String)])
+        .foreach { case (col, out) => putValue(o, out, r.get(1 + slotIdx((tn, col)))) }
+    }
+    rows.foreach(r => renderNode(nodes.addObject(), r))
+    conn.put("totalCount", total)
+    if (wantEdges) {
+      val edges = conn.putArray("edges")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val e = edges.addObject()
+        e.put("cursor", encodeCursor(offset + i))
+        renderNode(e.putObject("node"), r)
+      }
+    }
+    if (pageInfo.nonEmpty) {
+      val pi = conn.putObject("pageInfo")
+      pageInfo.foreach {
+        case "hasNextPage" => pi.put("hasNextPage", offset + rows.length < total)
+        case "hasPreviousPage" => pi.put("hasPreviousPage", offset > 0)
+        case "startCursor" =>
+          if (rows.isEmpty) pi.putNull("startCursor")
+          else pi.put("startCursor", encodeCursor(offset))
+        case "endCursor" =>
+          if (rows.isEmpty) pi.putNull("endCursor")
+          else pi.put("endCursor", encodeCursor(offset + rows.length - 1))
+      }
+    }
   }
 
   private def executeField(spark: SparkSession, data: ObjectNode, f: FieldQuery,
@@ -1090,7 +1318,8 @@ object GraphQL {
     * `{"query": "..."}` — the standard GraphQL HTTP convention) from
     * the given session. Returns the bound port. */
   def serve(spark: SparkSession, port: Int,
-            relations: Relations = Map.empty): com.sun.net.httpserver.HttpServer = {
+            relations: Relations = Map.empty,
+            unions: Unions = Map.empty): com.sun.net.httpserver.HttpServer = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/graphql", (ex: com.sun.net.httpserver.HttpExchange) => {
@@ -1098,7 +1327,8 @@ object GraphQL {
         java.nio.charset.StandardCharsets.UTF_8)
       val (query, vars) = extractQueryAndVars(
         Option(ex.getRequestHeaders.getFirst("Content-Type")), body)
-      val resp = execute(spark, query, relations = relations, variables = vars)
+      val resp = execute(spark, query, relations = relations, variables = vars,
+          unions = unions)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, resp.length)

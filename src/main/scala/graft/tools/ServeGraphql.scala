@@ -44,10 +44,16 @@ object ServeGraphql {
     val relations: GraphQL.Relations =
       if (pricePath.isEmpty) Map.empty
       else GraphQL.deriveRelations(spark, Seq(("price", "address")))
-    GraphQL.serve(spark, port, relations)
+    // the natural union over the generated event views: one feed of
+    // heterogeneous decoded events in block order, dispatched per row
+    // with `... on <view>` fragments (the shared evt_* meta columns
+    // are the cross-member order/filter surface)
+    val unions: GraphQL.Unions =
+      Map("events" -> EventViews.referenceViews.map(_.viewName))
+    GraphQL.serve(spark, port, relations, unions)
     println(s"[graphql] http://localhost:$port/graphql ready — tables: logs, " +
       s"logs_canonical${pricePath.map(_ => ", price").getOrElse("")}; " +
-      s"${EventViews.referenceViews.size} views" +
+      s"${EventViews.referenceViews.size} views; union: events" +
       (if (relations.nonEmpty) "; relation: prices (by address)" else ""))
     Thread.sleep(Long.MaxValue) // serve until externally stopped
   }

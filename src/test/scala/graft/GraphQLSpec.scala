@@ -610,4 +610,126 @@ class GraphQLSpec extends SparkSpec {
       assert(conn.get("nodes").get(1).get("amount").asText === "124")
     } finally server.stop(0)
   }
+
+  private def registerUnionFixture(): GraphQL.Unions = {
+    Seq(("0xaaa", 10L, 3L), ("0xbbb", 12L, 7L))
+      .toDF("address", "block_number", "amount")
+      .createOrReplaceTempView("gql_transfers")
+    Seq(("0xccc", 11L, "0xd1"), ("0xddd", 13L, "0xd2"))
+      .toDF("address", "block_number", "spender")
+      .createOrReplaceTempView("gql_approvals")
+    Map("gql_events" -> Seq("gql_transfers", "gql_approvals"))
+  }
+
+  test("unions: per-row __typename dispatch, cross-member order, shared-column condition") {
+    val unions = registerUnionFixture()
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_events(orderBy: "block_number", first: 3) {
+        |    totalCount
+        |    nodes {
+        |      __typename
+        |      ... on gql_transfers { amount }
+        |      ... on gql_approvals { spender address }
+        |    } } }""".stripMargin, unions = unions))
+    assert(resp.get("errors") == null, resp.toString)
+    val conn = resp.get("data").get("gql_events")
+    assert(conn.get("totalCount").asInt === 4)
+    val nodes = conn.get("nodes")
+    assert(nodes.size === 3)
+    // block order interleaves the members: 10(t) 11(a) 12(t)
+    assert(nodes.get(0).get("__typename").asText === "gql_transfers")
+    assert(nodes.get(0).get("amount").asLong === 3L)
+    assert(nodes.get(0).get("spender") == null) // only the row's own member renders
+    assert(nodes.get(1).get("__typename").asText === "gql_approvals")
+    assert(nodes.get(1).get("spender").asText === "0xd1")
+    assert(nodes.get(1).get("address").asText === "0xccc")
+    assert(nodes.get(2).get("__typename").asText === "gql_transfers")
+    assert(nodes.get(2).get("amount").asLong === 7L)
+    // a condition on a shared column filters EVERY member
+    val cond = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_events(condition: {address: "0xccc"}) {
+        |    totalCount nodes { __typename } } }""".stripMargin, unions = unions))
+    val cconn = cond.get("data").get("gql_events")
+    assert(cconn.get("totalCount").asInt === 1)
+    assert(cconn.get("nodes").get(0).get("__typename").asText === "gql_approvals")
+  }
+
+  test("unions: edges/cursor pagination and pageInfo work across members") {
+    val unions = registerUnionFixture()
+    val p1 = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_events(orderBy: "block_number", first: 2) {
+        |    edges { cursor node { __typename ... on gql_approvals { spender } } }
+        |    pageInfo { hasNextPage endCursor } } }""".stripMargin, unions = unions))
+    assert(p1.get("errors") == null, p1.toString)
+    val conn1 = p1.get("data").get("gql_events")
+    assert(conn1.get("pageInfo").get("hasNextPage").asBoolean === true)
+    assert(conn1.get("edges").size === 2)
+    assert(conn1.get("edges").get(1).get("node").get("spender").asText === "0xd1")
+    val after = conn1.get("pageInfo").get("endCursor").asText
+    val p2 = mapper.readTree(GraphQL.execute(spark,
+      s"""{ gql_events(orderBy: "block_number", first: 2, after: "$after") {
+         |    nodes { __typename ... on gql_transfers { amount } }
+         |    pageInfo { hasNextPage } } }""".stripMargin, unions = unions))
+    val conn2 = p2.get("data").get("gql_events")
+    assert(conn2.get("nodes").size === 2) // blocks 12(t), 13(a)
+    assert(conn2.get("nodes").get(0).get("amount").asLong === 7L)
+    assert(conn2.get("pageInfo").get("hasNextPage").asBoolean === false)
+  }
+
+  test("unions: named fragments retain per-member, nested conditions dispatch against the member") {
+    val unions = registerUnionFixture()
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """query { gql_events(orderBy: "block_number", first: 1) { nodes { ...T } } }
+        |fragment T on gql_transfers { amount ... on gql_transfers { address } }
+        |""".stripMargin, unions = unions))
+    assert(resp.get("errors") == null, resp.toString)
+    val node = resp.get("data").get("gql_events").get("nodes").get(0)
+    assert(node.get("amount").asLong === 3L)
+    assert(node.get("address").asText === "0xaaa") // nested inline fragment applied
+    // a mismatched condition INSIDE a member fragment can never apply
+    val bad = mapper.readTree(GraphQL.execute(spark,
+      """query { gql_events { nodes { ...T } } }
+        |fragment T on gql_transfers { ... on gql_approvals { spender } }
+        |""".stripMargin, unions = unions))
+    assert(bad.get("errors").get(0).get("message").asText.contains("can never apply"))
+  }
+
+  test("unions: non-members, bare fields, nested relations and unknown shared columns error") {
+    val unions = registerUnionFixture()
+    def errOf(q: String): String =
+      mapper.readTree(GraphQL.execute(spark, q, unions = unions))
+        .get("errors").get(0).get("message").asText
+    assert(errOf("{ gql_events { nodes { ... on nosuch { address } } } }")
+      .contains("not a member"))
+    assert(errOf("{ gql_events { nodes { address } } }")
+      .contains("__typename and inline fragments"))
+    assert(errOf("{ gql_events { nodes { ... on gql_transfers { x { y } } } } }")
+      .contains("scalar fields only"))
+    // amount exists only on gql_transfers: not a legal cross-member order
+    assert(errOf("""{ gql_events(orderBy: "amount") { nodes { __typename } } }""")
+      .contains("no field"))
+    assert(errOf("""{ gql_events(condition: {amount: 3}) { nodes { __typename } } }""")
+      .contains("no field"))
+    assert(errOf("{ gql_events { amount } }")
+      .contains("expected nodes/edges/pageInfo/totalCount"))
+  }
+
+  test("unions: introspection exposes kind UNION with possibleTypes; object types carry null") {
+    val unions = registerUnionFixture()
+    val t = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "gql_events") { name kind possibleTypes { name kind } } }""",
+      unions = unions)).get("data").get("__type")
+    assert(t.get("name").asText === "gql_events")
+    assert(t.get("kind").asText === "UNION")
+    val pts = t.get("possibleTypes")
+    assert(pts.size === 2)
+    assert(pts.get(0).get("name").asText === "gql_transfers")
+    assert(pts.get(0).get("kind").asText === "OBJECT")
+    // concrete object types answer possibleTypes with null, per the meta-schema
+    val o = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "gql_transfers") { name kind possibleTypes { name } } }""",
+      unions = unions)).get("data").get("__type")
+    assert(o.get("kind").asText === "OBJECT")
+    assert(o.get("possibleTypes").isNull)
+  }
 }
