@@ -1,0 +1,147 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.{Corpus, Dedup}
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** CLI: scale rehearsal for the headline dedup stack (VERDICT r8 #7).
+  * The 100 TB arguments for these operators are design-argued and
+  * spec-asserted but were never MEASURED beyond sf0.1; this drives the
+  * five most expensive operator paths — banded-LSH near-dup (q33's
+  * shape), duplicate clustering (q57), incremental index dedup (q74),
+  * exact-substring span removal (q85) and the leakage-safe split
+  * (q89) — on the sf0.1 corpus and on a deterministically amplified
+  * ~`factor`× copy, and reports wall-time ratios against the data
+  * ratio. Near-linear ratios (ratio ≈ factor on a fixed-size local
+  * cluster) are the pass signal; superlinear growth is a scale bug.
+  *
+  * Amplification (written once to a temp parquet, never to
+  * /root/testdata): replica k of each doc offsets the id by
+  * k·10^7 and, for k > 0, remaps the token vocabulary (`tok` →
+  * `tok~k`), so replicas share NO shingles with the base or each
+  * other. That replicates the base corpus's internal near-duplicate
+  * structure exactly `factor` times — duplicate DENSITY stays
+  * scale-invariant, which is the point: amplifying with UNSALTED text
+  * would multiply every LSH bucket and cluster size by `factor`
+  * (a density change that degrades any dedup algorithm superlinearly
+  * by construction), measuring the wrong axis. The token remap is a
+  * plain `concat` inside the `transform` lambda — cheap by the
+  * staged-columns contract (`Dedup.shinglesFromTokens` scaladoc).
+  *
+  * Each path is evaluated through the noop sink (the bench lesson:
+  * count() lets Catalyst prune the work under test), with one
+  * discarded base-corpus warmup per path so the timed base run is not
+  * paying first-plan JIT that the amplified run then skips.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [sfDir] [factor]
+  * Prints one JSON line; SCALE.md records the numbers.
+  */
+object ScaleRehearsal {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+
+    val base = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val ampPath = java.nio.file.Files.createTempDirectory("graft_amp").toString + "/docs"
+    base
+      .withColumn("k", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        (col("doc_id") + col("k").cast(LongType) * 10000000L).as("doc_id"),
+        when(col("k") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "), t => concat(t, lit("~"), col("k"))),
+            " "))
+          .as("text"))
+      .write.mode("overwrite").parquet(ampPath)
+    val amp = spark.read.parquet(ampPath)
+    val nBase = base.count(); val nAmp = amp.count()
+
+    def nearDupPairs(df: DataFrame): DataFrame =
+      Dedup.nearDuplicates(df, "doc_id", "text",
+        minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2,
+        minEstimate = 0.1, maxBucket = 1000)
+
+    def clusters(df: DataFrame): DataFrame = {
+      val cl = Dedup.duplicateClusters(nearDupPairs(df).select(col("id_a"), col("id_b")))
+      df.select(col("doc_id").as("id"))
+        .join(cl, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    }
+
+    def incremental(df: DataFrame): Unit = {
+      val work = java.nio.file.Files.createTempDirectory("graft_rehearsal").toString
+      Dedup.minhashWriteIndex(df, "doc_id", "text", s"$work/sigidx",
+        numHashes = 32, shingleK = 2)
+      val newBatch = df.filter(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(col("text"), lit(" graftnew")).as("text"))
+      noop(Dedup.incrementalNearDuplicates(spark, newBatch, "doc_id", "text",
+        s"$work/sigidx", df.select(col("doc_id"), col("text")),
+        minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2,
+        minEstimate = 0.1, maxBucket = 1000))
+    }
+
+    def spanRemoval(df: DataFrame): Unit =
+      noop(Dedup.removeDuplicatedSpans(
+        df.filter(length(Text.normalized(col("text"))) > 0),
+        "doc_id", "text", w = 3))
+
+    def splitPath(df: DataFrame): Unit =
+      noop(Corpus.assignSplits(
+        df.select(col("doc_id").as("id"))
+          .join(Dedup.duplicateClusters(
+              nearDupPairs(df).select(col("id_a"), col("id_b"))),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")),
+        "cluster", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))))
+
+    val paths: Seq[(String, DataFrame => Unit)] = Seq(
+      "near_dup" -> (df => noop(nearDupPairs(df))),
+      "dup_clusters" -> (df => noop(clusters(df))),
+      "incremental_dedup" -> (df => incremental(df)),
+      "span_removal" -> (df => spanRemoval(df)),
+      "leakage_safe_split" -> (df => splitPath(df)))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // between measurements, drop EVERYTHING the previous invocation
+    // pinned: duplicateClusters localCheckpoints every iteration, and
+    // those persisted RDDs otherwise accumulate across invocations in
+    // this shared session until block-manager churn pollutes the next
+    // timed run (first observed as a base run 3x its bench-isolated
+    // time while the 10x corpus ran FASTER than base)
+    def clean(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    val results = paths.map { case (name, run) =>
+      clean()
+      run(base) // discarded warmup: base JIT paid before either timed run
+      clean()
+      val b = time(run(base))
+      clean()
+      val a = time(run(amp))
+      System.err.println(f"[rehearsal] $name base=$b%.2f amp=$a%.2f ratio=${a / b}%.2f (data x$factor)")
+      (name, b, a)
+    }
+    val qs = results.map { case (n, b, a) =>
+      f"""\"$n\":{\"base_sec\":$b%.3f,\"amp_sec\":$a%.3f,\"ratio\":${a / b}%.3f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_rehearsal","factor":$factor,"base_docs":$nBase,""" +
+      s""""amp_docs":$nAmp,"paths":$qs}""")
+    spark.stop()
+  }
+}
