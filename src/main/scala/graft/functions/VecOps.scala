@@ -148,6 +148,50 @@ object VecRuntime {
     }
     java.lang.Double.valueOf(acc)
   }
+
+  /** Fused multi-probe LSH candidate test (r9): every table's
+    * signature of `vec` against a flat row-major (tables·bits × dim)
+    * hyperplane matrix, early-exiting on the first table within
+    * `radius` bits of its query signature. Bit-identical to the
+    * composed `(bit_count(signature(vec) ^ qSig) <= radius) || …`
+    * predicate: each bit is `dot > 0` with the same left-to-right
+    * double accumulation over exactly-widened elements, and an
+    * invalid row (dim mismatch, null element, null vec) yields
+    * all-clear signatures in the composed form — `zeroSigHit`
+    * carries that constant. The vector loads into a primitive array
+    * ONCE per row instead of tables·bits ArrayData traversals, and
+    * the whole test is one generated call instead of a
+    * tables·bits-node expression tree — at 24 tables × 11 bits the
+    * composed tree's janino compile alone dominated small-SF runs. */
+  def lshProbe(vec: ArrayData, planes: Array[Float], dim: Int, bits: Int,
+      qSigs: Array[Long], radius: Int, isFloat: Boolean,
+      zeroSigHit: Boolean): Boolean = {
+    if (vec.numElements() != dim) return zeroSigHit
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return zeroSigHit
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    var t = 0
+    var off = 0
+    while (t < qSigs.length) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += v(j) * planes(off + j); j += 1 }
+        if (acc > 0) sig |= 1L << b
+        b += 1
+        off += dim
+      }
+      if (java.lang.Long.bitCount(sig ^ qSigs(t)) <= radius) return true
+      t += 1
+    }
+    false
+  }
 }
 
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
@@ -292,4 +336,63 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Multi-probe LSH candidate predicate as ONE native expression
+  * ([[VecRuntime.lshProbe]] has the semantics contract). The composed
+  * form — `numTables` signatures OR'd, each `bits` `when(vec_dot > 0)`
+  * branches over its own literal plane — is a tables·bits-node tree
+  * (264 nodes at the q25 knobs) whose whole-stage-codegen compile cost
+  * alone dominates small scans; this collapses it to one generated
+  * call over a flat plane matrix with per-table early exit. Never
+  * null: an invalid/null row takes the composed form's all-clear-
+  * signature constant (`zeroSigHit`), keeping the candidate set
+  * bit-identical. */
+case class LshProbe(child: Expression, planes: Array[Float], dim: Int,
+    bits: Int, qSigs: Array[Long], radius: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+  import org.apache.spark.sql.types.BooleanType
+
+  require(bits >= 1 && bits <= 64, "bits must be 1..64")
+  require(planes.length == qSigs.length * bits * dim,
+    "planes must be a flat (tables*bits x dim) row-major matrix")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"lsh_probe expects array<float|double>, got $dt")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lsh_probe"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val zeroSigHit =
+    qSigs.exists(q => java.lang.Long.bitCount(q) <= radius)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) zeroSigHit
+    else VecRuntime.lshProbe(v.asInstanceOf[ArrayData], planes, dim, bits,
+      qSigs, radius, isFloat, zeroSigHit)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "float[]")
+    val sigsRef = ctx.addReferenceObj("lshQSigs", qSigs, "long[]")
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.value} = ${c.isNull} ? $zeroSigHit :
+        graft.functions.VecRuntime.lshProbe(${c.value}, $planesRef, $dim,
+          $bits, $sigsRef, $radius, $isFloat, $zeroSigHit);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

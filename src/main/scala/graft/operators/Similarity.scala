@@ -121,12 +121,48 @@ object Similarity {
       bits: Int = 12,
       probeRadius: Int = 1,
       seed: Long = 42L,
-      numTables: Int = 1): DataFrame =
+      numTables: Int = 1): DataFrame = {
     embeddings
-      .filter(multiProbePredicate(col(vecCol), query, bits, probeRadius, seed, numTables))
+      .filter(lshProbeColumn(col(vecCol), query, bits, probeRadius, seed, numTables))
       .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** (r9) The fused-kernel candidate predicate behind [[lshTopK]]
+    * ([[graft.functions.LshProbe]]): ONE generated call over a flat
+    * hyperplane matrix with per-table early exit, instead of the
+    * composed tables·bits-node predicate tree whose janino compile
+    * alone dominated small scans (264 nodes at the q25 knobs).
+    * Bit-identical candidate set to [[multiProbePredicate]] — same
+    * planes, same sign convention, same left-to-right double dots —
+    * which remains the compositional reference and the spec's
+    * scan-fraction instrument; the parity spec asserts row equality
+    * between the two on real embeddings. */
+  def lshProbeColumn(
+      vec: Column,
+      query: Array[Float],
+      bits: Int,
+      probeRadius: Int,
+      seed: Long = 42L,
+      numTables: Int = 1): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = query.length
+    val perTable = (0 until numTables).map(t => hyperplanes(dim, bits, seed + t))
+    val flat = new Array[Float](numTables * bits * dim)
+    var o = 0
+    perTable.foreach(_.foreach { row =>
+      System.arraycopy(row, 0, flat, o, dim); o += dim
+    })
+    val qSigs = perTable.map { planes =>
+      planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        if (d > 0) 1L << i else 0L
+      }.reduce(_ | _)
+    }.toArray
+    ColumnBridge.column(graft.functions.LshProbe(
+      ColumnBridge.expression(vec), flat, dim, bits, qSigs, probeRadius))
+  }
 
   /** The candidate predicate behind [[lshTopK]], exposed so callers
     * (and the recall spec) can measure the SCAN FRACTION of a knob

@@ -268,6 +268,41 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("fused LshProbe kernel matches the composed multi-probe predicate row for row") {
+    // lshTopK ships the one-call kernel (r9); multiProbePredicate
+    // stays the compositional reference — the candidate SETS must be
+    // identical at every knob combination or the recall numbers
+    // above stop describing production
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" === 1).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    for ((bits, r, t) <- Seq((11, 2, 24), (12, 1, 1), (8, 3, 4), (4, 4, 2))) {
+      val composed = e.filter(Similarity.multiProbePredicate(
+          $"embedding", q, bits, r, numTables = t))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val fused = e.filter(Similarity.lshProbeColumn(
+          $"embedding", q, bits, r, numTables = t))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(fused === composed, s"bits=$bits r=$r tables=$t")
+    }
+    // degenerate rows take the composed form's all-clear-signature
+    // branch: radius >= bits makes the zero signature a hit, so a
+    // null vector and a wrong-dim vector are candidates either way
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val weird = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, null),
+        Row(2L, Seq(0.5f)),
+        Row(3L, q.toSeq)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val fusedW = weird.filter(Similarity.lshProbeColumn(
+        $"embedding", q, bits = 4, probeRadius = 4, numTables = 1))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(fusedW === Set(1L, 2L, 3L))
+  }
+
   test("native minhash kernels are bit-identical to the composed HOF forms") {
     // MinHashSig/SigAgree replaced aggregate/zip_with/transform trees
     // for speed; candidate selection depends on the VALUES, so the
