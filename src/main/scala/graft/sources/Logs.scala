@@ -372,14 +372,21 @@ object Logs {
     * (two breakers cannot both rename one instance away; rename
     * preserves mtime) and re-check the tombstone — a fresh lock
     * caught by a full owner cycle inside the microsecond re-judge→
-    * rename window is renamed straight back. Release deletes only a
-    * lock whose nonce this writer wrote — a broken-and-reclaimed lock
-    * is never deleted out from under its new owner. The rename-back
-    * residue makes this serializing-best-effort, not a proof-grade
-    * mutex; on object stores without atomic create-no-overwrite and
-    * mtime-preserving rename it degrades the same way as every
-    * file-level CAS in this layer (documented at
-    * [[graft.sources.Snapshots.publish]]). */
+    * rename window is renamed straight back. A waiter whose re-judge
+    * finds the lock VANISHED never acquires in place (r9): that
+    * reading is ambiguous between "owner released" and "a winning
+    * breaker is inside its rename→re-claim gap", and acquiring on the
+    * second meaning put two rewriters in one partition (observed as
+    * colliding FileOutputCommitter _temporary dirs under suite load)
+    * — it throws the retryable conflict instead, and the retry's
+    * entry acquire is the one legitimate taker of a released lock.
+    * Release deletes only a lock whose nonce this writer wrote — a
+    * broken-and-reclaimed lock is never deleted out from under its
+    * new owner. The rename-back residue makes this
+    * serializing-best-effort, not a proof-grade mutex; on object
+    * stores without atomic create-no-overwrite and mtime-preserving
+    * rename it degrades the same way as every file-level CAS in this
+    * layer (documented at [[graft.sources.Snapshots.publish]]). */
   private val RewriteLockStaleMs = 60L * 60 * 1000
 
   private def withPartitionLock[T](fs: org.apache.hadoop.fs.FileSystem,
@@ -390,11 +397,27 @@ object Logs {
     val nonce = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       try {
-        val out = fs.create(lock, false) // atomic no-overwrite create
-        out.write(s"""{"nonce":"$nonce","ts":${System.currentTimeMillis()}}"""
-          .getBytes("UTF-8"))
-        out.close()
-        true
+        val payload = s"""{"nonce":"$nonce","ts":${System.currentTimeMillis()}}"""
+          .getBytes("UTF-8")
+        if (fs.getScheme == "file") {
+          // RawLocalFileSystem.create(overwrite = false) is an
+          // exists-CHECK-then-open, NOT an atomic exclusive create:
+          // every waiter whose check lands inside a lock-break's
+          // rename->re-claim gap "succeeds" and they overwrite each
+          // other (observed: THREE acquirers of one range under suite
+          // load). POSIX O_EXCL via NIO is the real CAS on local
+          // filesystems; HDFS keeps the Hadoop path below (its create
+          // is atomic at the namenode).
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(lock.toUri.getPath), payload,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } else {
+          val out = fs.create(lock, false)
+          out.write(payload)
+          out.close()
+          true
+        }
       } catch { case _: java.io.IOException => false }
     var acquired = tryAcquire()
     if (!acquired) {
@@ -431,17 +454,25 @@ object Logs {
             if (brokeFresh) {
               try fs.rename(tomb, lock) catch { case _: java.io.IOException => () }
             } else {
-              try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+              // re-claim FIRST, then drop the tombstone: the lock
+              // path's absence window is one create, not three ops
               acquired = tryAcquire()
+              try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
             }
           }
           // rename lost: another breaker holds the instance — fall
           // through unacquired to the retryable conflict
-        } else {
-          // vanished (owner released) or re-claimed fresh: one plain
-          // attempt, then the retryable conflict
-          acquired = tryAcquire()
         }
+        // stillStale = false (vanished or re-claimed fresh): NO
+        // opportunistic acquire. A vanished lock here is ambiguous —
+        // "owner released" and "a winning breaker is inside its
+        // rename→re-claim gap" are indistinguishable, and acquiring
+        // on the second reading puts TWO rewriters in one partition
+        // (observed: concurrent compactors colliding in the same
+        // FileOutputCommitter _temporary dir under suite load).
+        // Waiters that lose any race get the retryable conflict;
+        // retrying re-enters through the entry acquire, which is the
+        // one legitimate taker of a released lock.
       }
     }
     if (!acquired)
