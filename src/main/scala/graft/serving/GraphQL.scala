@@ -41,12 +41,15 @@ import org.apache.spark.sql.types._
   *   (r9) `possibleTypes` — member refs on UNION types, null on
   *   concrete object types; still not the full meta-schema (no
   *   interfaces, inputFields, enumValues);
-  * - unions (r9): registered one-level unions over views
-  *   ([[Unions]]) — `__typename` + `... on <member>` selection sets,
+  * - unions AND interfaces (r9): registered one-level abstract types
+  *   over views ([[Unions]], [[Interfaces]]) — `__typename` +
+  *   `... on <member>` selection sets with per-row dispatch,
   *   cross-member orderBy/condition over shared columns, compiled to
   *   ONE NULL-padded UNION ALL statement with a global ORDER BY +
-  *   LIMIT; interfaces remain outside the subset (every type here is
-  *   concrete);
+  *   LIMIT. An interface additionally serves BARE fields from its
+  *   derived member-schema intersection, introspects as kind
+  *   INTERFACE with fields + possibleTypes, and its members list it
+  *   under `interfaces`;
   * - directives: `@skip(if:)` / `@include(if:)` on any selection,
   *   literal or `$variable` arguments; operation-header variable
   *   declarations with defaults are honored (values arrive via the
@@ -160,6 +163,21 @@ object GraphQL {
     * One level only: relation fields inside member fragments are a
     * declared boundary. */
   type Unions = Map[String, Seq[String]]
+
+  /** interface root-field name → member view names (r9). Same
+    * heterogeneous-feed machinery as [[Unions]], plus the GraphQL
+    * interface contract: BARE fields are legal when every member
+    * carries the column with one data type (the interface's field
+    * set is DERIVED as the members' schema intersection — the
+    * Postgraphile move, nothing declared by hand), rendered for
+    * every row; `... on <member>` fragments narrow per row exactly
+    * as in a union. Introspection reports kind INTERFACE with the
+    * derived fields AND possibleTypes, and member object types list
+    * the interfaces they implement. A bare field outside the
+    * intersection (or with conflicting member types) errors with
+    * the member-by-member explanation rather than silently nulling:
+    * narrowing is what fragments are for. */
+  type Interfaces = Map[String, Seq[String]]
 
   /** FK-style relation derivation — the Postgraphile move (it reads
     * foreign keys from the catalog; parquet tables carry none, so the
@@ -870,10 +888,24 @@ object GraphQL {
     }
 
   private def renderObjectType(node: ObjectNode, sels: Seq[Sel],
-                               typeName: String, schema: Option[StructType]): Unit =
+                               typeName: String, schema: Option[StructType],
+                               implemented: Seq[String] = Nil): Unit =
     sels.foreach {
       case Sel("name", _, Nil) => node.put("name", typeName)
       case Sel("kind", _, Nil) => node.put("kind", "OBJECT")
+      case Sel("interfaces", _, kids) =>
+        // the interfaces this object type implements (r9: derived
+        // from interface-registry membership)
+        val arr = node.putArray("interfaces")
+        implemented.foreach { in =>
+          val o = arr.addObject()
+          kids.foreach {
+            case Sel("name", _, Nil) => o.put("name", in)
+            case Sel("kind", _, Nil) => o.put("kind", "INTERFACE")
+            case other => throw ParseError(
+              s"interfaces.${other.name}: unsupported introspection field")
+          }
+        }
       case Sel("fields", _, kids) =>
         schema match {
           case None => node.putNull("fields")
@@ -895,15 +927,33 @@ object GraphQL {
       case other => throw ParseError(s"${other.name}: unsupported introspection field")
     }
 
-  /** UNION type introspection (r9): kind UNION, `possibleTypes` are
-    * the member object types, `fields` is null — the meta-schema's
-    * union contract. */
-  private def renderUnionType(node: ObjectNode, sels: Seq[Sel],
-                              name: String, members: Seq[String]): Unit =
+  /** UNION / INTERFACE type introspection (r9): kind and
+    * `possibleTypes` (the member object types) for both; `fields` is
+    * null on a union but carries the DERIVED member-schema
+    * intersection on an interface — the meta-schema's contracts. */
+  private def renderAbstractType(node: ObjectNode, sels: Seq[Sel],
+                                 name: String, members: Seq[String],
+                                 kind: String,
+                                 fields: Option[Seq[StructField]]): Unit =
     sels.foreach {
       case Sel("name", _, Nil) => node.put("name", name)
-      case Sel("kind", _, Nil) => node.put("kind", "UNION")
-      case Sel("fields", _, _) => node.putNull("fields")
+      case Sel("kind", _, Nil) => node.put("kind", kind)
+      case Sel("fields", _, kids) => fields match {
+        case None => node.putNull("fields")
+        case Some(fs) =>
+          val arr = node.putArray("fields")
+          fs.foreach { sf =>
+            val fo = arr.addObject()
+            kids.foreach {
+              case Sel("name", _, Nil) => fo.put("name", sf.name)
+              case Sel("type", _, tKids) =>
+                renderTypeRef(fo.putObject("type"), tKids,
+                  typeRefOf(sf.dataType, sf.nullable))
+              case other => throw ParseError(
+                s"fields.${other.name}: unsupported introspection field")
+            }
+          }
+      }
       case Sel("possibleTypes", _, kids) =>
         val arr = node.putArray("possibleTypes")
         members.foreach { m =>
@@ -915,15 +965,29 @@ object GraphQL {
               s"possibleTypes.${other.name}: unsupported introspection field")
           }
         }
+      case Sel("interfaces", _, _) => node.putNull("interfaces")
       case other => throw ParseError(s"${other.name}: unsupported introspection field")
     }
+
+  /** An interface's derived field set: the members' schema
+    * intersection by (name, type), in the first member's field
+    * order. */
+  private def interfaceFields(spark: SparkSession,
+                              members: Seq[String]): Seq[StructField] =
+    members.headOption.map { first =>
+      val rest = members.tail.map(m => spark.table(m).schema)
+      spark.table(first).schema.fields.toSeq.filter(f =>
+        rest.forall(_.fields.exists(g =>
+          g.name == f.name && g.dataType == f.dataType)))
+    }.getOrElse(Nil)
 
   private def catalogTypes(spark: SparkSession): Seq[(String, StructType)] =
     spark.catalog.listTables().collect().toSeq
       .map(t => t.name -> spark.table(t.name).schema)
 
   private def renderIntrospection(spark: SparkSession, data: ObjectNode, s: Sel,
-                                  unions: Unions = Map.empty): Unit =
+                                  unions: Unions = Map.empty,
+                                  interfaces: Interfaces = Map.empty): Unit =
     s.name match {
       case "__schema" =>
         val out = data.putObject(s.out)
@@ -937,10 +1001,17 @@ object GraphQL {
           case Sel("types", _, kids) =>
             val arr = out.putArray("types")
             catalogTypes(spark).foreach { case (name, schema) =>
-              renderObjectType(arr.addObject(), kids, name, Some(schema))
+              renderObjectType(arr.addObject(), kids, name, Some(schema),
+                implemented = interfaces.collect {
+                  case (in, ms) if ms.exists(_.equalsIgnoreCase(name)) => in
+                }.toSeq)
             }
             unions.foreach { case (name, members) =>
-              renderUnionType(arr.addObject(), kids, name, members)
+              renderAbstractType(arr.addObject(), kids, name, members, "UNION", None)
+            }
+            interfaces.foreach { case (name, members) =>
+              renderAbstractType(arr.addObject(), kids, name, members, "INTERFACE",
+                Some(interfaceFields(spark, members)))
             }
           case Sel("directives", _, kids) =>
             val arr = out.putArray("directives")
@@ -969,12 +1040,21 @@ object GraphQL {
           .getOrElse(throw ParseError("__type: missing name argument"))
         catalogTypes(spark).find(_._1 == name) match {
           case None => unions.find(_._1 == name) match {
-            case None => data.putNull(s.out)
+            case None => interfaces.find(_._1 == name) match {
+              case None => data.putNull(s.out)
+              case Some((n, members)) =>
+                renderAbstractType(data.putObject(s.out), s.children, n, members,
+                  "INTERFACE", Some(interfaceFields(spark, members)))
+            }
             case Some((n, members)) =>
-              renderUnionType(data.putObject(s.out), s.children, n, members)
+              renderAbstractType(data.putObject(s.out), s.children, n, members,
+                "UNION", None)
           }
           case Some((n, schema)) =>
-            renderObjectType(data.putObject(s.out), s.children, n, Some(schema))
+            renderObjectType(data.putObject(s.out), s.children, n, Some(schema),
+              implemented = interfaces.collect {
+                case (in, ms) if ms.exists(_.equalsIgnoreCase(name)) => in
+              }.toSeq)
         }
       case other => throw ParseError(s"$other: unknown introspection field")
     }
@@ -1013,18 +1093,25 @@ object GraphQL {
               maxFirst: Long = MaxPageSize,
               relations: Relations = Map.empty,
               variables: Map[String, Any] = Map.empty,
-              unions: Unions = Map.empty): String = {
+              unions: Unions = Map.empty,
+              interfaces: Interfaces = Map.empty): String = {
     val root = mapper.createObjectNode()
     try {
-      val roots = parseDocument(query, variables, relations, unions)
+      val roots = parseDocument(query, variables, relations, unions ++ interfaces)
       val data = root.putObject("data")
       roots.foreach { s =>
-        if (s.name.startsWith("__")) renderIntrospection(spark, data, s, unions)
-        else unions.find(_._1.equalsIgnoreCase(s.name)) match {
-          case Some((un, ms)) =>
-            executeUnionField(spark, data, s, un, ms, defaultFirst, maxFirst)
-          case None =>
-            executeField(spark, data, toFieldQuery(s), defaultFirst, maxFirst, relations)
+        if (s.name.startsWith("__"))
+          renderIntrospection(spark, data, s, unions, interfaces)
+        else interfaces.find(_._1.equalsIgnoreCase(s.name)) match {
+          case Some((in, ms)) =>
+            executeUnionField(spark, data, s, in, ms, defaultFirst, maxFirst,
+              iface = true)
+          case None => unions.find(_._1.equalsIgnoreCase(s.name)) match {
+            case Some((un, ms)) =>
+              executeUnionField(spark, data, s, un, ms, defaultFirst, maxFirst)
+            case None =>
+              executeField(spark, data, toFieldQuery(s), defaultFirst, maxFirst, relations)
+          }
         }
       }
     } catch {
@@ -1046,33 +1133,55 @@ object GraphQL {
     * exactly GraphQL's union contract. */
   private def executeUnionField(spark: SparkSession, data: ObjectNode, s: Sel,
                                 unionName: String, members: Seq[String],
-                                defaultFirst: Long, maxFirst: Long): Unit = {
+                                defaultFirst: Long, maxFirst: Long,
+                                iface: Boolean = false): Unit = {
+    val kindWord = if (iface) "interface" else "union"
     checkArgNames(s, Set("condition", "first", "offset", "orderBy", "desc", "after"))
-    if (members.isEmpty) throw ParseError(s"union '$unionName' has no members")
+    if (members.isEmpty) throw ParseError(s"$kindWord '$unionName' has no members")
     // validates every member view exists, up front
     val checkers = members.map(m => m -> colChecker(spark, m))
+    val schemas = members.map(m => m -> spark.table(m).schema).toMap
     var wantEdges = false
     var pageInfo = Seq.empty[String]
     val typenameKeys = scala.collection.mutable.LinkedHashSet[String]()
+    // interface-legal bare fields: present on EVERY member under ONE
+    // data type — the derived interface field set
+    val sharedCols = scala.collection.mutable.LinkedHashSet[(String, String)]()
     val memberCols = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashSet[(String, String)]]()
     members.foreach(m => memberCols(m) =
       scala.collection.mutable.LinkedHashSet.empty[(String, String)])
+    def addShared(c: Sel, ctx: String): Unit = {
+      val types = members.map { m =>
+        m -> schemas(m).fields.find(_.name == c.name).map(_.dataType)
+      }
+      val missing = types.collect { case (m, None) => m }
+      if (missing.nonEmpty) throw ParseError(
+        s"$ctx.${c.name}: not an interface field of '$unionName' — missing on " +
+          s"${missing.mkString(", ")} (bare fields must exist on every member; " +
+          "narrow with `... on <member>` fragments)")
+      if (types.flatMap(_._2).distinct.size > 1) throw ParseError(
+        s"$ctx.${c.name}: members disagree on the type (" +
+          types.map { case (m, t) => s"$m: ${t.get.simpleString}" }.mkString(", ") +
+          ") — narrow with `... on <member>` fragments")
+      sharedCols += ((c.name, c.out))
+    }
     def addUnionSels(kids: Seq[Sel], ctx: String): Unit = kids.foreach { k =>
       k.onType match {
         case Some(on) =>
           val m = members.find(_.equalsIgnoreCase(on)).getOrElse(throw ParseError(
-            s"$ctx: '... on $on' is not a member of union '$unionName' " +
+            s"$ctx: '... on $on' is not a member of $kindWord '$unionName' " +
               s"(members: ${members.mkString(", ")})"))
           k.children.foreach { c =>
             if (c.children.nonEmpty) throw ParseError(
-              s"$ctx.$on.${c.name}: union member selections are scalar fields " +
-                "only (relations inside a union are a declared boundary)")
+              s"$ctx.$on.${c.name}: $kindWord member selections are scalar fields " +
+                s"only (relations inside a $kindWord are a declared boundary)")
             if (c.name == "__typename") typenameKeys += c.out
             else memberCols(m) += ((c.name, c.out))
           }
         case None =>
           if (k.name == "__typename" && k.children.isEmpty) typenameKeys += k.out
+          else if (iface && k.children.isEmpty) addShared(k, ctx)
           else throw ParseError(s"$ctx.${k.name}: a union selection set takes " +
             "__typename and inline fragments (`... on <member>`) only")
       }
@@ -1108,7 +1217,8 @@ object GraphQL {
       case c => throw ParseError(
         s"$unionName.${c.name}: expected nodes/edges/pageInfo/totalCount")
     }
-    if (typenameKeys.isEmpty && memberCols.values.forall(_.isEmpty))
+    if (typenameKeys.isEmpty && sharedCols.isEmpty &&
+        memberCols.values.forall(_.isEmpty))
       throw ParseError(s"$unionName: empty selection set")
     val condition = argCondition(s.args)
     val orderBy = argStr(s.args, "orderBy")
@@ -1122,25 +1232,34 @@ object GraphQL {
       argLong(s.args, "offset"), orderBy, desc, Nil, argStr(s.args, "after"),
       wantEdges, pageInfo, Nil)
     val (limit, offset) = pageWindow(shim, defaultFirst, maxFirst)
-    // per-(member, column) slots: a member's branch fills its own
-    // slots and NULL-pads the rest, so same-named columns of
-    // DIFFERENT types across members can never meet in one UNION
-    // position
+    // slots: interface-shared columns first (every member fills them
+    // — one intersection-checked type), then per-(member, column)
+    // slots that a member's branch fills and the rest NULL-pad, so
+    // same-named columns of DIFFERENT types across members can never
+    // meet in one UNION position
+    val sharedSlotCols: Seq[String] = sharedCols.toSeq.map(_._1).distinct
+    val nShared = sharedSlotCols.length
     val slots: Seq[(String, String)] = memberCols.toSeq.flatMap {
       case (m, cols) => cols.toSeq.map(_._1).distinct.map(c => (m, c))
     }
     val slotIdx: Map[(String, String), Int] = slots.zipWithIndex.toMap
     val branches = checkers.map { case (m, ck) =>
+      val sharedSql = sharedSlotCols.zipWithIndex.map { case (col, i) =>
+        s"${ck(col)} as __u$i"
+      }
       val slotSql = slots.zipWithIndex.map { case ((sm, col), i) =>
-        if (sm == m) s"${ck(col)} as __u$i" else s"null as __u$i"
+        if (sm == m) s"${ck(col)} as __u${nShared + i}"
+        else s"null as __u${nShared + i}"
       }
       val ordCol = orderBy.map(c => s", ${ck(c)} as __ord").getOrElse("")
-      val sel = (Seq(s"'${m.replace("'", "''")}' as __tn") ++ slotSql).mkString(", ")
+      val sel = (Seq(s"'${m.replace("'", "''")}' as __tn") ++ sharedSql ++ slotSql)
+        .mkString(", ")
       s"select $sel$ordCol from `$m`${whereClause(condition, ck)}"
     }
     val order = orderBy.map(_ => " order by __ord" + (if (desc) " desc" else "")).getOrElse("")
     val offsetSql = if (offset > 0) s" offset $offset" else ""
-    val outerCols = (Seq("__tn") ++ slots.indices.map(i => s"__u$i")).mkString(", ")
+    val outerCols = (Seq("__tn") ++
+      (0 until nShared + slots.length).map(i => s"__u$i")).mkString(", ")
     val rows = spark.sql(
       s"select $outerCols from (\n${branches.mkString("\nunion all\n")}\n)" +
         s"$order limit $limit$offsetSql").collect()
@@ -1150,11 +1269,17 @@ object GraphQL {
       }.mkString("\nunion all\n")}\n)").head().getLong(0)
     val conn = data.putObject(s.out)
     val nodes: ArrayNode = conn.putArray("nodes")
+    val sharedSlotIdx = sharedSlotCols.zipWithIndex.toMap
     def renderNode(o: ObjectNode, r: org.apache.spark.sql.Row): Unit = {
       val tn = r.getString(0)
       typenameKeys.foreach(k => putValue(o, k, tn))
+      sharedCols.foreach { case (col, out) =>
+        putValue(o, out, r.get(1 + sharedSlotIdx(col)))
+      }
       memberCols.getOrElse(tn, scala.collection.mutable.LinkedHashSet.empty[(String, String)])
-        .foreach { case (col, out) => putValue(o, out, r.get(1 + slotIdx((tn, col)))) }
+        .foreach { case (col, out) =>
+          putValue(o, out, r.get(1 + nShared + slotIdx((tn, col))))
+        }
     }
     rows.foreach(r => renderNode(nodes.addObject(), r))
     conn.put("totalCount", total)
@@ -1319,7 +1444,8 @@ object GraphQL {
     * the given session. Returns the bound port. */
   def serve(spark: SparkSession, port: Int,
             relations: Relations = Map.empty,
-            unions: Unions = Map.empty): com.sun.net.httpserver.HttpServer = {
+            unions: Unions = Map.empty,
+            interfaces: Interfaces = Map.empty): com.sun.net.httpserver.HttpServer = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/graphql", (ex: com.sun.net.httpserver.HttpExchange) => {
@@ -1328,7 +1454,7 @@ object GraphQL {
       val (query, vars) = extractQueryAndVars(
         Option(ex.getRequestHeaders.getFirst("Content-Type")), body)
       val resp = execute(spark, query, relations = relations, variables = vars,
-          unions = unions)
+          unions = unions, interfaces = interfaces)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, resp.length)

@@ -44,16 +44,18 @@ object ServeGraphql {
     val relations: GraphQL.Relations =
       if (pricePath.isEmpty) Map.empty
       else GraphQL.deriveRelations(spark, Seq(("price", "address")))
-    // the natural union over the generated event views: one feed of
-    // heterogeneous decoded events in block order, dispatched per row
-    // with `... on <view>` fragments (the shared evt_* meta columns
-    // are the cross-member order/filter surface)
-    val unions: GraphQL.Unions =
+    // the natural INTERFACE over the generated event views (r9): one
+    // feed of heterogeneous decoded events in block order — the
+    // shared evt_* meta columns are bare interface fields (derived as
+    // the members' schema intersection), `... on <view>` fragments
+    // narrow per row. Strictly more capable than a union here, since
+    // the views genuinely share columns.
+    val interfaces: GraphQL.Interfaces =
       Map("events" -> EventViews.referenceViews.map(_.viewName))
-    GraphQL.serve(spark, port, relations, unions)
+    GraphQL.serve(spark, port, relations, interfaces = interfaces)
     println(s"[graphql] http://localhost:$port/graphql ready — tables: logs, " +
       s"logs_canonical${pricePath.map(_ => ", price").getOrElse("")}; " +
-      s"${EventViews.referenceViews.size} views; union: events" +
+      s"${EventViews.referenceViews.size} views; interface: events" +
       (if (relations.nonEmpty) "; relation: prices (by address)" else ""))
     Thread.sleep(Long.MaxValue) // serve until externally stopped
   }

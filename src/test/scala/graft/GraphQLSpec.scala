@@ -714,6 +714,68 @@ class GraphQLSpec extends SparkSpec {
       .contains("expected nodes/edges/pageInfo/totalCount"))
   }
 
+  test("interfaces: bare shared fields render for every row, fragments narrow, errors teach") {
+    val members = registerUnionFixture()("gql_events")
+    val interfaces: GraphQL.Interfaces = Map("gql_feed" -> members)
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_feed(orderBy: "block_number", first: 3) {
+        |    totalCount
+        |    nodes {
+        |      __typename
+        |      block_number
+        |      address
+        |      ... on gql_transfers { amount }
+        |    } } }""".stripMargin, interfaces = interfaces))
+    assert(resp.get("errors") == null, resp.toString)
+    val conn = resp.get("data").get("gql_feed")
+    assert(conn.get("totalCount").asInt === 4)
+    val nodes = conn.get("nodes")
+    // bare interface fields render on EVERY row; the fragment only on its member
+    assert(nodes.get(0).get("block_number").asLong === 10L)
+    assert(nodes.get(0).get("address").asText === "0xaaa")
+    assert(nodes.get(0).get("amount").asLong === 3L)
+    assert(nodes.get(1).get("block_number").asLong === 11L)
+    assert(nodes.get(1).get("address").asText === "0xccc")
+    assert(nodes.get(1).get("amount") == null)
+    assert(nodes.get(1).get("__typename").asText === "gql_approvals")
+    // a bare field outside the intersection teaches, naming the members
+    def errOf(q: String): String =
+      mapper.readTree(GraphQL.execute(spark, q, interfaces = interfaces))
+        .get("errors").get(0).get("message").asText
+    val miss = errOf("""{ gql_feed { nodes { amount } } }""")
+    assert(miss.contains("not an interface field") && miss.contains("gql_approvals"), miss)
+    // conflicting member types for one name also teach
+    Seq(("0xeee", 14L, "conflict")).toDF("address", "block_number", "amount")
+      .createOrReplaceTempView("gql_str_amounts")
+    val conflicted: GraphQL.Interfaces = Map("gql_feed" -> (members :+ "gql_str_amounts"))
+    val tc = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_feed { nodes { ... on gql_transfers { amount } amount } } }""",
+      interfaces = conflicted)).get("errors").get(0).get("message").asText
+    assert(tc.contains("not an interface field") || tc.contains("disagree on the type"), tc)
+  }
+
+  test("interfaces: introspection derives fields, kind INTERFACE, and member back-references") {
+    val members = registerUnionFixture()("gql_events")
+    val interfaces: GraphQL.Interfaces = Map("gql_feed" -> members)
+    val t = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "gql_feed") { name kind possibleTypes { name }
+        |    fields { name type { name kind } } } }""".stripMargin,
+      interfaces = interfaces)).get("data").get("__type")
+    assert(t.get("kind").asText === "INTERFACE")
+    val fieldNames = (0 until t.get("fields").size)
+      .map(i => t.get("fields").get(i).get("name").asText)
+    // the derived intersection: address + block_number (amount/spender differ)
+    assert(fieldNames.toSet === Set("address", "block_number"))
+    assert(t.get("possibleTypes").size === 2)
+    // members list the interface they implement
+    val o = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "gql_transfers") { name interfaces { name kind } } }""",
+      interfaces = interfaces)).get("data").get("__type")
+    assert(o.get("interfaces").size === 1)
+    assert(o.get("interfaces").get(0).get("name").asText === "gql_feed")
+    assert(o.get("interfaces").get(0).get("kind").asText === "INTERFACE")
+  }
+
   test("unions: introspection exposes kind UNION with possibleTypes; object types carry null") {
     val unions = registerUnionFixture()
     val t = mapper.readTree(GraphQL.execute(spark,
