@@ -1749,6 +1749,53 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** 12-bit COLOR twin of [[encodeDcOnlyColor]]'s 4:4:4 mode: SOF1
+    * precision 12, three 1×1 components, per-8×8-tile EVEN Y'CbCr
+    * constants in 0–4094 (DC = (c−2048)/2 integral → bit-exact
+    * stored planes), so [[decode12]]'s 12-bit JFIF conversion
+    * (2048 center, floor(x+0.5), clamp 0–4095) is a deterministic
+    * formula of exact inputs — the q61 gate device at the wider
+    * range. */
+  def encodeDcOnlyColor12(w: Int, h: Int,
+      yv: (Int, Int) => Int, cbv: (Int, Int) => Int,
+      crv: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(67); b(0) // DQT, table 0, shared
+    (0 until 64).foreach(_ => b(QuantStep))
+    b(0xff); b(0xc1); u16(17) // SOF1: 3 components, 12-bit
+    b(12); u16(h); u16(w); b(3)
+    (1 to 3).foreach { c => b(c); b(0x11); b(0) }
+    b(0xff); b(0xc4); u16(19 + DcVals.length); b(0x00)
+    DcBits.foreach(b); DcVals.foreach(b)
+    b(0xff); b(0xc4); u16(19 + AcVals.length); b(0x10)
+    AcBits.foreach(b); AcVals.foreach(b)
+    b(0xff); b(0xda); u16(12) // SOS: 3 components
+    b(3); (1 to 3).foreach { c => b(c); b(0x00) }
+    b(0); b(63); b(0)
+    val bw = new BitWriter(out)
+    val preds = new Array[Int](3)
+    val ps = Array(yv, cbv, crv)
+    for (by <- 0 until h / 8; bx <- 0 until w / 8; c <- 0 until 3) {
+      val v = ps(c)(bx, by) & 0xfff
+      val coefv = Math.round(8.0 * (v - 2048) / QuantStep).toInt
+      val diff = coefv - preds(c)
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(s)
+      bw.put(code, len)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      val (ebCode, ebLen) = acCodes(0x00)
+      bw.put(ebCode, ebLen)
+      preds(c) = coefv
+    }
+    bw.flushWithOnes()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- lossless (SOF3, T.81 Annex H) — r9 -----------------------------
 
   /** T.81 H.2: a lossless scan codes DIFFERENCE CATEGORIES 0–16 (16 =

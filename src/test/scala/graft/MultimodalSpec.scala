@@ -1444,13 +1444,38 @@ class MultimodalSpec extends SparkSpec {
     val Some((_, _, 1, spx)) = JpegCodec.decode12(swing)
     for (y <- 0 until 8; x <- 0 until 32)
       assert((spx(y * 32 + x) & 0xffff) === (if ((x / 8) % 2 == 0) 0 else 4094), s"swing ($x,$y)")
+    // COLOR at 12-bit: even Y'CbCr tile constants are exact through
+    // the stored planes, so the decoded 12-bit R'G'B' is the JFIF
+    // formula at the 2048 center of exact inputs
+    def cyv(bx: Int, by: Int) = 2 * ((17 * bx + 51 * by + 905) % 2048)
+    def ccb(bx: Int, by: Int) = 2 * ((29 * bx + 7 * by + 1501) % 2048)
+    def ccr(bx: Int, by: Int) = 2 * ((11 * bx + 37 * by + 333) % 2048)
+    val color = JpegCodec.encodeDcOnlyColor12(24, 16, cyv, ccb, ccr)
+    val Some((cw, chh, 3, cpx)) = JpegCodec.decode12(color)
+    assert((cw, chh) === ((24, 16)))
+    def clamp12(d: Double): Int =
+      math.max(0, math.min(4095, math.floor(d + 0.5).toInt))
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val lum = cyv(x / 8, y / 8)
+      val pb = ccb(x / 8, y / 8) - 2048
+      val pr = ccr(x / 8, y / 8) - 2048
+      val o = (y * 24 + x) * 3
+      assert((cpx(o) & 0xffff) === clamp12(lum + 1.402 * pr), s"12c R ($x,$y)")
+      assert((cpx(o + 1) & 0xffff) === clamp12(lum - 0.344136 * pb - 0.714136 * pr), s"12c G ($x,$y)")
+      assert((cpx(o + 2) & 0xffff) === clamp12(lum + 1.772 * pb), s"12c B ($x,$y)")
+    }
+    // values above the 8-bit range occur (the point of the depth);
+    // individual channels may clamp under strong chroma offsets
+    assert(cpx.exists(v => (v & 0xffff) > 255))
     // refusals: the 8-bit surfaces refuse 12-bit frames and vice
     // versa; truncation is never a mis-decode
     assert(JpegCodec.decodeImage(bytes) === None)
     assert(JpegCodec.decodeGray(bytes) === None)
+    assert(JpegCodec.decodeImage(color) === None)
     val eight = JpegCodec.encodeDcOnlyGray(16, 8, (bx, by) => 2 * (bx + by + 30))
     assert(JpegCodec.decode12(eight) === None)
     assert(JpegCodec.decode12(bytes.take(bytes.length - 3)) === None)
     assert(JpegCodec.decode12(bytes.take(20)) === None)
+    assert(JpegCodec.decode12(color.take(color.length - 3)) === None)
   }
 }
