@@ -49,7 +49,10 @@ import org.apache.spark.sql.types._
   *   LIMIT. An interface additionally serves BARE fields from its
   *   derived member-schema intersection, introspects as kind
   *   INTERFACE with fields + possibleTypes, and its members list it
-  *   under `interfaces`;
+  *   under `interfaces`; (r9) `<view>Condition` INPUT_OBJECT types
+  *   introspect with derived `inputFields` — the condition
+  *   argument's shape for generated clients. Remaining meta-schema
+  *   boundary: enumValues and per-field args listings;
   * - directives: `@skip(if:)` / `@include(if:)` on any selection,
   *   literal or `$variable` arguments; operation-header variable
   *   declarations with defaults are honored (values arrive via the
@@ -924,6 +927,8 @@ object GraphQL {
         }
       case Sel("possibleTypes", _, _) =>
         node.putNull("possibleTypes") // concrete object types: null, per the meta-schema
+      case Sel("inputFields", _, _) =>
+        node.putNull("inputFields") // output types carry no inputFields
       case other => throw ParseError(s"${other.name}: unsupported introspection field")
     }
 
@@ -966,6 +971,7 @@ object GraphQL {
           }
         }
       case Sel("interfaces", _, _) => node.putNull("interfaces")
+      case Sel("inputFields", _, _) => node.putNull("inputFields")
       case other => throw ParseError(s"${other.name}: unsupported introspection field")
     }
 
@@ -984,6 +990,38 @@ object GraphQL {
   private def catalogTypes(spark: SparkSession): Seq[(String, StructType)] =
     spark.catalog.listTables().collect().toSeq
       .map(t => t.name -> spark.table(t.name).schema)
+
+  /** `<view>Condition` INPUT_OBJECT introspection (r9): the derived
+    * input type of a root field's `condition:` argument —
+    * Postgraphile generates one per table; here every column is an
+    * optional (nullable) equality filter, which is exactly what
+    * [[whereClause]] executes. `inputFields` is the meta-schema's
+    * field list for input objects (`fields` is null on them, the
+    * mirror of unions carrying no fields). */
+  private def renderInputType(node: ObjectNode, sels: Seq[Sel],
+                              name: String, schema: StructType): Unit =
+    sels.foreach {
+      case Sel("name", _, Nil) => node.put("name", name)
+      case Sel("kind", _, Nil) => node.put("kind", "INPUT_OBJECT")
+      case Sel("fields", _, _) => node.putNull("fields")
+      case Sel("possibleTypes", _, _) => node.putNull("possibleTypes")
+      case Sel("interfaces", _, _) => node.putNull("interfaces")
+      case Sel("inputFields", _, kids) =>
+        val arr = node.putArray("inputFields")
+        schema.fields.foreach { sf =>
+          val fo = arr.addObject()
+          kids.foreach {
+            case Sel("name", _, Nil) => fo.put("name", sf.name)
+            case Sel("type", _, tKids) =>
+              // condition entries are always optional: nullable ref
+              renderTypeRef(fo.putObject("type"), tKids,
+                typeRefOf(sf.dataType, nullable = true))
+            case other => throw ParseError(
+              s"inputFields.${other.name}: unsupported introspection field")
+          }
+        }
+      case other => throw ParseError(s"${other.name}: unsupported introspection field")
+    }
 
   private def renderIntrospection(spark: SparkSession, data: ObjectNode, s: Sel,
                                   unions: Unions = Map.empty,
@@ -1013,6 +1051,9 @@ object GraphQL {
               renderAbstractType(arr.addObject(), kids, name, members, "INTERFACE",
                 Some(interfaceFields(spark, members)))
             }
+            catalogTypes(spark).foreach { case (name, schema) =>
+              renderInputType(arr.addObject(), kids, s"${name}Condition", schema)
+            }
           case Sel("directives", _, kids) =>
             val arr = out.putArray("directives")
             Seq("skip", "include").foreach { dn =>
@@ -1041,6 +1082,10 @@ object GraphQL {
         catalogTypes(spark).find(_._1 == name) match {
           case None => unions.find(_._1 == name) match {
             case None => interfaces.find(_._1 == name) match {
+              case None if name.endsWith("Condition") &&
+                  catalogTypes(spark).exists(_._1 == name.stripSuffix("Condition")) =>
+                renderInputType(data.putObject(s.out), s.children, name,
+                  catalogTypes(spark).find(_._1 == name.stripSuffix("Condition")).get._2)
               case None => data.putNull(s.out)
               case Some((n, members)) =>
                 renderAbstractType(data.putObject(s.out), s.children, n, members,

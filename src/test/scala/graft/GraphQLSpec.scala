@@ -776,6 +776,34 @@ class GraphQLSpec extends SparkSpec {
     assert(o.get("interfaces").get(0).get("kind").asText === "INTERFACE")
   }
 
+  test("condition input types introspect: kind INPUT_OBJECT with derived inputFields") {
+    registerFixture()
+    val t = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "gql_logsCondition") { name kind fields
+        |    inputFields { name type { name kind } } } }""".stripMargin))
+      .get("data").get("__type")
+    assert(t.get("kind").asText === "INPUT_OBJECT")
+    assert(t.get("fields").isNull) // input objects carry inputFields, not fields
+    val byName = (0 until t.get("inputFields").size)
+      .map(i => t.get("inputFields").get(i))
+      .map(n => n.get("name").asText -> n.get("type").get("name").asText).toMap
+    assert(byName("address") === "String")
+    assert(byName("block_number") === "BigInt")
+    assert(byName("removed") === "Boolean")
+    // the __schema types listing carries them too; unknown Condition
+    // names still resolve to null
+    val all = mapper.readTree(GraphQL.execute(spark,
+      """{ __schema { types { name kind } } }"""))
+      .get("data").get("__schema").get("types")
+    val kinds = (0 until all.size).map(i =>
+      all.get(i).get("name").asText -> all.get(i).get("kind").asText).toMap
+    assert(kinds("gql_logsCondition") === "INPUT_OBJECT")
+    assert(kinds("gql_logs") === "OBJECT")
+    assert(mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "nosuchCondition") { name } }"""))
+      .get("data").get("__type").isNull)
+  }
+
   test("unions: introspection exposes kind UNION with possibleTypes; object types carry null") {
     val unions = registerUnionFixture()
     val t = mapper.readTree(GraphQL.execute(spark,
