@@ -1749,17 +1749,22 @@ object JpegCodec {
     out.toByteArray
   }
 
-  /** 12-bit COLOR twin of [[encodeDcOnlyColor]]'s 4:4:4 mode: SOF1
-    * precision 12, three 1×1 components, per-8×8-tile EVEN Y'CbCr
-    * constants in 0–4094 (DC = (c−2048)/2 integral → bit-exact
-    * stored planes), so [[decode12]]'s 12-bit JFIF conversion
-    * (2048 center, floor(x+0.5), clamp 0–4095) is a deterministic
-    * formula of exact inputs — the q61 gate device at the wider
-    * range. */
+  /** 12-bit COLOR twin of [[encodeDcOnlyColor]]: SOF1 precision 12,
+    * `subsample` 444 (1×1 comps, per-8×8-tile chroma) or 420 (Y 2×2,
+    * chroma per 16×16 MCU — what sample replication reconstructs
+    * exactly), per-tile EVEN Y'CbCr constants in 0–4094 (DC =
+    * (c−2048)/2 integral → bit-exact stored planes), so
+    * [[decode12]]'s 12-bit JFIF conversion (2048 center,
+    * floor(x+0.5), clamp 0–4095) is a deterministic formula of exact
+    * inputs — the q61 gate device at the wider range, 420 driving
+    * the 12-bit path's generic interleaved-MCU loop. */
   def encodeDcOnlyColor12(w: Int, h: Int,
       yv: (Int, Int) => Int, cbv: (Int, Int) => Int,
-      crv: (Int, Int) => Int): Array[Byte] = {
-    require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+      crv: (Int, Int) => Int, subsample: Int = 444): Array[Byte] = {
+    require(subsample == 444 || subsample == 420, "subsample must be 444 or 420")
+    val s420 = subsample == 420
+    if (s420) require(w % 16 == 0 && h % 16 == 0, "4:2:0 tile encoder needs multiple-of-16 dims")
+    else require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
     val out = new java.io.ByteArrayOutputStream()
     def b(x: Int): Unit = out.write(x & 0xff)
     def u16(x: Int): Unit = { b(x >> 8); b(x) }
@@ -1768,7 +1773,9 @@ object JpegCodec {
     (0 until 64).foreach(_ => b(QuantStep))
     b(0xff); b(0xc1); u16(17) // SOF1: 3 components, 12-bit
     b(12); u16(h); u16(w); b(3)
-    (1 to 3).foreach { c => b(c); b(0x11); b(0) }
+    b(1); b(if (s420) 0x22 else 0x11); b(0) // Y
+    b(2); b(0x11); b(0)                     // Cb
+    b(3); b(0x11); b(0)                     // Cr
     b(0xff); b(0xc4); u16(19 + DcVals.length); b(0x00)
     DcBits.foreach(b); DcVals.foreach(b)
     b(0xff); b(0xc4); u16(19 + AcVals.length); b(0x10)
@@ -1778,9 +1785,8 @@ object JpegCodec {
     b(0); b(63); b(0)
     val bw = new BitWriter(out)
     val preds = new Array[Int](3)
-    val ps = Array(yv, cbv, crv)
-    for (by <- 0 until h / 8; bx <- 0 until w / 8; c <- 0 until 3) {
-      val v = ps(c)(bx, by) & 0xfff
+    def put(c: Int, v0: Int): Unit = {
+      val v = v0 & 0xfff
       val coefv = Math.round(8.0 * (v - 2048) / QuantStep).toInt
       val diff = coefv - preds(c)
       val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
@@ -1790,6 +1796,19 @@ object JpegCodec {
       val (ebCode, ebLen) = acCodes(0x00)
       bw.put(ebCode, ebLen)
       preds(c) = coefv
+    }
+    if (s420) {
+      for (my <- 0 until h / 16; mx <- 0 until w / 16) {
+        // T.81 interleave order: Y blocks left-to-right, top-to-bottom
+        for (v2 <- 0 until 2; h2 <- 0 until 2)
+          put(0, yv(2 * mx + h2, 2 * my + v2))
+        put(1, cbv(mx, my))
+        put(2, crv(mx, my))
+      }
+    } else {
+      for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+        put(0, yv(bx, by)); put(1, cbv(bx, by)); put(2, crv(bx, by))
+      }
     }
     bw.flushWithOnes()
     b(0xff); b(0xd9) // EOI

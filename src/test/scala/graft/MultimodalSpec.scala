@@ -1467,6 +1467,20 @@ class MultimodalSpec extends SparkSpec {
     // values above the 8-bit range occur (the point of the depth);
     // individual channels may clamp under strong chroma offsets
     assert(cpx.exists(v => (v & 0xffff) > 255))
+    // 4:2:0 at 12-bit drives the generic interleaved-MCU loop (Y 2×2,
+    // chroma constant per 16×16 MCU — exact under replication)
+    val c420 = JpegCodec.encodeDcOnlyColor12(32, 16, cyv, ccb, ccr, subsample = 420)
+    val Some((sw, sh, 3, spx420)) = JpegCodec.decode12(c420)
+    assert((sw, sh) === ((32, 16)))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val lum = cyv(x / 8, y / 8)
+      val pb = ccb(x / 16, y / 16) - 2048
+      val pr = ccr(x / 16, y / 16) - 2048
+      val o = (y * 32 + x) * 3
+      assert((spx420(o) & 0xffff) === clamp12(lum + 1.402 * pr), s"12c420 R ($x,$y)")
+      assert((spx420(o + 1) & 0xffff) === clamp12(lum - 0.344136 * pb - 0.714136 * pr), s"12c420 G ($x,$y)")
+      assert((spx420(o + 2) & 0xffff) === clamp12(lum + 1.772 * pb), s"12c420 B ($x,$y)")
+    }
     // refusals: the 8-bit surfaces refuse 12-bit frames and vice
     // versa; truncation is never a mis-decode
     assert(JpegCodec.decodeImage(bytes) === None)
