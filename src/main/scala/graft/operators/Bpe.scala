@@ -245,13 +245,16 @@ object Bpe {
           // the new checkpoint is eager (materialized above), so the
           // prior round's blocks are dead — free them, or a production
           // merge count (~30k rounds) pins thousands of histogram
-          // copies in the block manager for the life of the session
-          prev.unpersist(false)
+          // copies in the block manager for the life of the session.
+          // Must be RDD-level (Pins.release): Dataset.unpersist only
+          // clears CacheManager entries and leaves checkpoint pins
+          // untouched (see graft.Pins scaladoc).
+          graft.Pins.release(prev)
           round += 1
         case None => continue = false
       }
     }
-    vocab.unpersist(false) // release the final round's checkpoint too
+    graft.Pins.release(vocab) // release the final round's checkpoint too
     merges.toSeq
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Pins
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -410,6 +411,19 @@ object Dedup {
     * The per-round `count` of changed labels is a scalar aggregate —
     * metadata-scale driver traffic, not a collect of rows.
     *
+    * Pin hygiene (the GraphX/Pregel discipline): each round's
+    * checkpoint supersedes the previous round's, and the superseded
+    * blocks are released via [[graft.Pins.release]] as soon as their
+    * last reader (the changed-count) has run — `Dataset.unpersist`
+    * would NOT do this (it only clears CacheManager entries, see
+    * [[graft.Pins]]). The RETURNED frame holds zero pins: the final
+    * labels are rewritten to parquet ([[graft.Pins.materializeResult]]
+    * — under `checkpointDir` when given, else a JVM-lifetime temp
+    * dir) and every checkpoint pin/file of the iteration is released
+    * before returning, so a long-lived driver calling this repeatedly
+    * (streaming curation, notebooks, bench JVMs) holds no residual
+    * block-manager or checkpoint-dir state per call.
+    *
     * @param checkpointDir reliable-checkpoint directory (HDFS/S3/...);
     *                      set once on the SparkContext for the session.
     *                      None → `localCheckpoint` (fast, fragile).
@@ -427,8 +441,14 @@ object Dedup {
       if (spark.sparkContext.getCheckpointDir.isEmpty)
         spark.sparkContext.setCheckpointDir(dir)
     }
+    // both checkpoint flavors are eager, so once the NEXT round's
+    // frame exists the previous one has no reader left and its
+    // pin/file can be dropped immediately (Pins.release — RDD-level,
+    // Dataset.unpersist would be a no-op for these)
     def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+    def drop(df: DataFrame): Unit =
+      Pins.release(df, deleteCheckpointFiles = true)
     val e0 = pairs.select(col(idA).cast(LongType).as("src"), col(idB).cast(LongType).as("dst"))
     val edges = ckpt(e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
@@ -455,10 +475,17 @@ object Dedup {
         .join(labels.select(col("id"), col("cluster").as("_old")), Seq("id"))
         .filter(col("cluster") =!= col("_old"))
         .count()
+      drop(stepped)   // jumped is materialized; stepped has no reader
+      drop(labels)    // changed-count was its last reader
       labels = jumped
       iter += 1
     }
-    labels
+    // pin-free result: rewrite the final labels to parquet, then
+    // release every remaining pin/file of the iteration
+    val out = Pins.materializeResult(labels, checkpointDir, "clusters")
+    drop(labels)
+    drop(edges)
+    out
   }
 
   /** Per-bit vote sums of the 64-bit SimHash: each token hashes once

@@ -643,7 +643,12 @@ object Similarity {
     * — 2–4× the dominant scan. `checkpointDir` selects reliable
     * checkpointing for executor-loss-tolerant runs (the
     * [[graft.operators.Dedup.duplicateClusters]] contract); None →
-    * `localCheckpoint` (fast, fragile). */
+    * `localCheckpoint` (fast, fragile). The RETURNED frame holds no
+    * pin: the keep-flags are rewritten to parquet
+    * ([[graft.Pins.materializeResult]]) and the assignment pin is
+    * released before returning — `Dataset.unpersist` would not free
+    * it (see [[graft.Pins]]), and without the release a long-lived
+    * driver calling this repeatedly accumulates corpus-sized blocks. */
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], threshold: Double,
@@ -683,9 +688,12 @@ object Similarity {
       .filter(col("_ida") < col("_idb"))
       .filter(cosine(col("_va"), col("_vb")) >= threshold)
       .select(col("_idb").as("_id")).distinct()
-    assigned
+    val flags = assigned
       .join(dropped.withColumn("_drop", lit(true)), Seq("_id"), "left")
       .select(col("_id").as(idCol), col("cell"),
         coalesce(!col("_drop"), lit(true)).as("is_kept"))
+    val out = graft.Pins.materializeResult(flags, checkpointDir, "semdedup")
+    graft.Pins.release(assigned, deleteCheckpointFiles = true)
+    out
   }
 }

@@ -204,9 +204,9 @@ object DocStream {
                 .join(unindexedIds, Seq("doc_id"), "left_semi"))
             Dedup.minhashWriteIndex(unindexed, "doc_id", "text", indexDir,
               mode = "append")
-            unindexed.unpersist()
+            graft.Pins.release(unindexed)
           }
-          unindexedIds.unpersist()
+          graft.Pins.release(unindexedIds)
         }
         val kept =
           if (!corpusExists) {
@@ -262,7 +262,10 @@ object DocStream {
               mode = if (indexExists) "append" else "overwrite")
           }
         } finally {
-          pinned.unpersist()
+          // RDD-level: Dataset.unpersist is a no-op for checkpoint
+          // pins (graft.Pins scaladoc) — with it, every batch leaked
+          // its decision pin for the life of the stream
+          graft.Pins.release(pinned)
           pinDirs.foreach { p =>
             try p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
             catch { case _: java.io.IOException => () }

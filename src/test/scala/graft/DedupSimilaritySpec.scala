@@ -669,29 +669,33 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, Seq(10f, 1f, 0f, 0f)), (2L, Seq(20f, 2f, 0f, 0f)),
       (4L, Seq(1f, 12f, 0f, 0f))
     ).toDF("vec_id", "embedding")
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val got = Similarity.semDedup(df, "vec_id", "embedding", cents, 0.999)
     val plan = got.queryExecution.optimizedPlan.toString
     assert(!plan.contains("_cvec"), s"argmax re-planned downstream of the pin:\n${plan.take(2000)}")
-    assert(plan.contains("LogicalRDD"), plan.take(2000))
+    // since r10 the result is a parquet read-back (Pins.materializeResult),
+    // so not only is the argmax absent — the assignment pin itself is
+    // gone from the block manager and the plan is a plain file scan
+    assert(plan.contains("Relation") && plan.toLowerCase.contains("parquet"),
+      plan.take(2000))
+    assert(spark.sparkContext.getPersistentRDDs.keySet -- preexisting === Set.empty,
+      "semDedup leaked its assignment pin")
     assert(got.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap ===
       Map(1L -> true, 2L -> false, 4L -> true))
-    // reliable-checkpoint mode: same decisions, and the session's
-    // EFFECTIVE checkpoint dir (ours, or one a prior suite already
-    // claimed — the setter is first-wins on the shared session) gains
-    // files from this call (the duplicateClusters 100 TB contract)
+    // reliable-checkpoint mode: same decisions, result parquet under
+    // the PASSED dir, no pins, and the assignment's rdd-N checkpoint
+    // files deleted (the duplicateClusters 100 TB contract)
     val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-ckpt").toString
-    def countFiles(p: java.io.File): Int =
-      if (p.isDirectory) Option(p.listFiles).map(_.map(countFiles).sum).getOrElse(0)
-      else 1
-    def effective: java.io.File = new java.io.File(
-      new java.net.URI(spark.sparkContext.getCheckpointDir.getOrElse(dir)).getPath)
-    val before = spark.sparkContext.getCheckpointDir.map(_ => countFiles(effective)).getOrElse(0)
     val got2 = Similarity.semDedup(df, "vec_id", "embedding", cents, 0.999,
       checkpointDir = Some(dir))
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got2 === Map(1L -> true, 2L -> false, 4L -> true))
-    assert(countFiles(effective) > before,
-      "reliable checkpoint dir received no files")
+    assert(spark.sparkContext.getPersistentRDDs.keySet -- preexisting === Set.empty,
+      "semDedup reliable mode leaked pins")
+    val resultDirs = Option(new java.io.File(dir).listFiles)
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-semdedup-"))
+    assert(resultDirs.nonEmpty, "result parquet missing under checkpointDir")
   }
 
   test("PQ: codes bounded, trained ADC shortlists true neighbors, exact codebook bit-exact") {
@@ -802,31 +806,63 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("duplicateClusters with a reliable checkpoint dir: same labels, files on disk") {
+  test("duplicateClusters with a reliable checkpoint dir: same labels, no residue") {
     // the 100 TB mode: Dataset.checkpoint to storage instead of
-    // localCheckpoint on executor blocks — identical results, and the
-    // session's EFFECTIVE checkpoint dir (ours, or one an earlier test
-    // already claimed — the setter is first-wins on the shared session)
-    // gains per-round RDD checkpoint files from this call
+    // localCheckpoint on executor blocks — identical results. Since
+    // r10 the call also cleans up after itself: every per-round rdd-N
+    // directory under the session's EFFECTIVE checkpoint dir (ours,
+    // or one an earlier test already claimed — the setter is
+    // first-wins on the shared session) is deleted before return, and
+    // the returned frame reads from a graft-clusters-* parquet under
+    // the PASSED dir instead of sitting on checkpoint files.
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    def countFiles(p: java.io.File): Int =
-      if (p.isDirectory) Option(p.listFiles).map(_.map(countFiles).sum).getOrElse(0)
-      else 1
+    def rddDirs(p: java.io.File): Set[String] =
+      if (!p.isDirectory) Set.empty
+      else Option(p.listFiles).map(_.toSeq).getOrElse(Seq.empty).flatMap { f =>
+        (if (f.isDirectory && f.getName.startsWith("rdd-")) Set(f.getAbsolutePath)
+         else Set.empty[String]) ++ rddDirs(f)
+      }.toSet
     def effective: java.io.File = new java.io.File(
       new java.net.URI(spark.sparkContext.getCheckpointDir.getOrElse(dir)).getPath)
-    val before = spark.sparkContext.getCheckpointDir.map(_ => countFiles(effective)).getOrElse(0)
+    val before = rddDirs(effective)
     val pairs = Seq(
       (1L, 2L), (2L, 3L),
       (10L, 11L), (11L, 12L),
       (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)
     ).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val reliable = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir))
+    val got = reliable.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === Dedup.duplicateClusters(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
     assert(got(3L) === 1L && got(12L) === 10L && got(24L) === 20L)
-    assert(countFiles(effective) > before,
-      "reliable checkpoint dir received no files")
+    assert(rddDirs(effective) === before,
+      "superseded per-round rdd-N checkpoint dirs were not deleted")
+    val resultDirs = Option(new java.io.File(dir).listFiles)
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-clusters-"))
+    assert(resultDirs.nonEmpty, "result parquet missing under checkpointDir")
+    // and the result stays readable with every pin gone
+    assert(reliable.count() === 11L)
+  }
+
+  test("duplicateClusters leaves zero pinned RDDs behind (both modes)") {
+    // the r9 leak: every round checkpointed stepped/jumped/labels and
+    // released nothing, so long-lived drivers (streaming, bench JVMs)
+    // accumulated blocks unboundedly — q57's bench band depended on
+    // external getPersistentRDDs sweeps. Contract now: the operator
+    // releases every pin it creates before returning, and the
+    // returned frame does not need any of them (re-collectable).
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    val local = Dedup.duplicateClusters(pairs)
+    assert(spark.sparkContext.getPersistentRDDs.keySet -- preexisting === Set.empty,
+      "local mode leaked checkpoint pins")
+    assert(local.count() === 5L && local.count() === 5L) // readable, twice
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val reliable = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir))
+    assert(spark.sparkContext.getPersistentRDDs.keySet -- preexisting === Set.empty,
+      "reliable mode leaked checkpoint pins")
+    assert(reliable.count() === 5L)
   }
 
   test("duplicateClusters on empty pairs returns empty") {
