@@ -33,14 +33,23 @@ import org.apache.spark.sql.types._
   *   { hasNextPage hasPreviousPage startCursor endCursor }`,
   *   `totalCount`, and opaque `after` cursors (offset-encoded, the
   *   relay-connection contract for an offset-paginated backend);
-  * - introspection: `__schema { queryType types directives }` and
-  *   `__type(name:)` over the session catalog, with REAL type
-  *   references — NON_NULL/LIST wrappers with walkable `ofType`
-  *   chains down to the named scalar (r7) — enough for a generated
-  *   client to discover views, column types and nullability, plus
-  *   (r9) `possibleTypes` — member refs on UNION types, null on
-  *   concrete object types; still not the full meta-schema (no
-  *   interfaces, inputFields, enumValues);
+  * - introspection (r10: the canonical graphql-js introspection
+  *   query executes in full): `__schema { queryType mutationType
+  *   subscriptionType types directives }` and `__type(name:)` over a
+  *   built meta-model — per-view OBJECT types (columns + derived
+  *   relation fields) with REAL type references (NON_NULL/LIST
+  *   wrappers, walkable `ofType` chains), `<view>Connection` /
+  *   `<view>Edge` / `PageInfo` shells, `<view>Condition`
+  *   INPUT_OBJECTs with `inputFields`, `<view>OrderBy` ENUMs with
+  *   `enumValues`, and per-field `args` (condition/first/offset/
+  *   orderBy/desc/after with defaults) on every Query root and
+  *   relation field — the Postgraphile meta-schema surface generated
+  *   clients introspect. `orderBy:` accepts both the plain
+  *   column-name string and the introspected `<COL>_ASC`/`<COL>_DESC`
+  *   enum token (which carries its own direction; combining with
+  *   `desc:` errors). mutationType/subscriptionType are null — the
+  *   surface is read-only and subscriptions live on their own SSE
+  *   endpoint;
   * - unions AND interfaces (r9): registered one-level abstract types
   *   over views ([[Unions]], [[Interfaces]]) — `__typename` +
   *   `... on <member>` selection sets with per-row dispatch,
@@ -49,10 +58,13 @@ import org.apache.spark.sql.types._
   *   LIMIT. An interface additionally serves BARE fields from its
   *   derived member-schema intersection, introspects as kind
   *   INTERFACE with fields + possibleTypes, and its members list it
-  *   under `interfaces`; (r9) `<view>Condition` INPUT_OBJECT types
+  *   under `interfaces`; `<view>Condition` INPUT_OBJECT types
   *   introspect with derived `inputFields` — the condition
-  *   argument's shape for generated clients. Remaining meta-schema
-  *   boundary: enumValues and per-field args listings;
+  *   argument's shape for generated clients. (r10) union/interface
+  *   orderBy and condition columns are TYPE-checked across members,
+  *   not just existence-checked: a same-named column with different
+  *   member types errors with the member-by-member listing instead
+  *   of UNION-coercing the shared slot into lexicographic order;
   * - directives: `@skip(if:)` / `@include(if:)` on any selection,
   *   literal or `$variable` arguments; operation-header variable
   *   declarations with defaults are honored (values arrive via the
@@ -377,6 +389,10 @@ object GraphQL {
       case Ident("true") :: rest => toks = rest; true
       case Ident("false") :: rest => toks = rest; false
       case Ident("null") :: rest => toks = rest; null
+      // any other bare identifier is a GraphQL enum literal (r10:
+      // the generated `<view>OrderBy` tokens); kept wrapped so
+      // downstream can tell it from a quoted string
+      case Ident(n) :: rest => toks = rest; EnumVal(n)
       case Punct('{') :: _ => objectArg()
       case Punct('$') :: Ident(n) :: rest =>
         toks = rest
@@ -611,10 +627,61 @@ object GraphQL {
   private val PageInfoFields =
     Seq("hasNextPage", "hasPreviousPage", "startCursor", "endCursor")
 
+  /** A bare-identifier GraphQL enum literal as parsed by `value()` —
+    * distinct from a quoted string so argument interpretation can
+    * treat `orderBy: BLOCK_NUMBER_DESC` (the introspected
+    * `<view>OrderBy` token) differently from `orderBy: "block_number"`
+    * (the plain column-name dialect). */
+  private case class EnumVal(name: String) {
+    override def toString: String = name
+  }
+
   private def argStr(args: Seq[(String, Any)], name: String): Option[String] =
     args.collectFirst { case (`name`, v) => v match {
       case s: String => s
       case o => throw ParseError(s"$name: expected string, got $o") } }
+
+  private val OrderByToken = "^([A-Za-z0-9_]+)_(ASC|DESC)$".r
+
+  /** The `orderBy:` argument in both dialects: a quoted string is a
+    * plain column name (direction from `desc:`), a bare enum literal
+    * — or a string that matches the all-caps token shape, which is
+    * how a generated client's enum value arrives through the JSON
+    * `variables` member — is a `<view>OrderBy` token `<COL>_ASC` /
+    * `<COL>_DESC` carrying its own direction. Returns
+    * (column, Some(desc)) for tokens, (column, None) for plain names.
+    * A token combined with an explicit `desc:` argument is ambiguous
+    * and rejected loudly. Token columns lower-case back to the
+    * column name (the generator upper-cases; view columns are
+    * lower-case by convention — a column that is itself all-caps
+    * with an _ASC suffix would be ambiguous and is outside the
+    * dialect). */
+  private def orderByArg(args: Seq[(String, Any)]): (Option[String], Option[Boolean]) = {
+    def fromToken(col: String, dir: String): (Option[String], Option[Boolean]) = {
+      if (args.exists(_._1 == "desc")) throw ParseError(
+        s"orderBy: ${col}_$dir already carries a direction; combining it " +
+          "with desc: is ambiguous — drop one")
+      (Some(col.toLowerCase), Some(dir == "DESC"))
+    }
+    args.collectFirst { case ("orderBy", v) => v }.map {
+      case EnumVal(OrderByToken(col, dir)) => fromToken(col, dir)
+      case EnumVal(o) => throw ParseError(
+        s"orderBy: '$o' is not an OrderBy value (expected <COLUMN>_ASC or <COLUMN>_DESC)")
+      case s: String => s match {
+        case OrderByToken(col, dir) if s.toUpperCase == s => fromToken(col, dir)
+        case _ => (Some(s), None)
+      }
+      case o => throw ParseError(s"orderBy: expected a column name or OrderBy enum value, got $o")
+    }.getOrElse((None, None))
+  }
+
+  /** orderBy + desc resolution shared by root, union, and relation
+    * fields: the enum token's direction wins (the conflict case threw
+    * in [[orderByArg]]), else the `desc:` argument, else false. */
+  private def orderAndDesc(args: Seq[(String, Any)]): (Option[String], Boolean) = {
+    val (orderBy, tokenDesc) = orderByArg(args)
+    (orderBy, tokenDesc.getOrElse(argBool(args, "desc")))
+  }
 
   private def argLong(args: Seq[(String, Any)], name: String): Option[Long] =
     args.collectFirst { case (`name`, v) => v match {
@@ -647,8 +714,9 @@ object GraphQL {
       (c.name, c.out)
     }.distinct
     if (pairs.isEmpty) throw ParseError(s"${s.name}: empty selection set")
+    val (nOrderBy, nDesc) = orderAndDesc(s.args)
     NestedQuery(s.name, argCondition(s.args), argLong(s.args, "first"),
-      argStr(s.args, "orderBy"), argBool(s.args, "desc"), pairs.map(_._1),
+      nOrderBy, nDesc, pairs.map(_._1),
       outputName = s.out, outputs = pairs.map(_._2))
   }
 
@@ -698,8 +766,9 @@ object GraphQL {
     }
     if (cols.isEmpty && nested.isEmpty)
       throw ParseError(s"${s.name}: empty selection set")
+    val (fOrderBy, fDesc) = orderAndDesc(s.args)
     FieldQuery(s.name, argCondition(s.args), argLong(s.args, "first"),
-      argLong(s.args, "offset"), argStr(s.args, "orderBy"), argBool(s.args, "desc"),
+      argLong(s.args, "offset"), fOrderBy, fDesc,
       cols.map(_._1).toSeq, argStr(s.args, "after"), wantEdges, pageInfo, nested.toSeq,
       outputName = s.out, outputs = cols.map(_._2).toSeq)
   }
@@ -722,6 +791,8 @@ object GraphQL {
     case l: Long => l.toString
     case d: Double => d.toString
     case b: Boolean => b.toString
+    case EnumVal(n) => throw ParseError(
+      s"enum value $n is not valid here (enum literals only apply to orderBy:)")
     case other => throw ParseError(s"unsupported literal $other")
   }
 
@@ -890,88 +961,242 @@ object GraphQL {
       case other => throw ParseError(s"type.${other.name}: unsupported introspection field")
     }
 
-  private def renderObjectType(node: ObjectNode, sels: Seq[Sel],
-                               typeName: String, schema: Option[StructType],
-                               implemented: Seq[String] = Nil): Unit =
-    sels.foreach {
-      case Sel("name", _, Nil) => node.put("name", typeName)
-      case Sel("kind", _, Nil) => node.put("kind", "OBJECT")
-      case Sel("interfaces", _, kids) =>
-        // the interfaces this object type implements (r9: derived
-        // from interface-registry membership)
-        val arr = node.putArray("interfaces")
-        implemented.foreach { in =>
-          val o = arr.addObject()
-          kids.foreach {
-            case Sel("name", _, Nil) => o.put("name", in)
-            case Sel("kind", _, Nil) => o.put("kind", "INTERFACE")
+  // ---- introspection meta-model (r10) --------------------------------
+  //
+  // The schema is modelled as explicit types rather than rendered
+  // ad-hoc from the catalog, so per-field `args`, `enumValues`, and
+  // the connection shells introspect exactly like Postgraphile's
+  // generated schema and the canonical graphql-js introspection
+  // query (getIntrospectionQuery) executes in full — the contract
+  // generated clients (graphql-codegen, Apollo) actually exercise.
+
+  private case class GArg(name: String, tref: TRef,
+                          defaultValue: Option[String] = None)
+  private case class GField(name: String, tref: TRef, args: Seq[GArg] = Nil)
+  private sealed trait GType { def name: String; def kind: String }
+  private case class GScalarT(name: String) extends GType { val kind = "SCALAR" }
+  private case class GEnumT(name: String, values: Seq[String]) extends GType {
+    val kind = "ENUM"
+  }
+  private case class GObjectT(name: String, fields: Seq[GField],
+                              interfaces: Seq[String] = Nil) extends GType {
+    val kind = "OBJECT"
+  }
+  private case class GInputT(name: String, inputFields: Seq[GField]) extends GType {
+    val kind = "INPUT_OBJECT"
+  }
+  private case class GAbstractT(name: String, kind: String, members: Seq[String],
+                                ifaceFields: Option[Seq[GField]]) extends GType
+
+  private def nn(t: TRef): TRef = TWrap("NON_NULL", t)
+  private def listOf(t: TRef): TRef = TWrap("LIST", t)
+  private val GInt = TNamed("Int", "SCALAR")
+  private val GStringRef = TNamed("String", "SCALAR")
+  private val GBool = TNamed("Boolean", "SCALAR")
+
+  /** Postgraphile's generated-enum convention: `<COL>_ASC` /
+    * `<COL>_DESC` per column. These are also ACCEPTED by the
+    * executor's `orderBy:` argument (see [[orderByArg]]) so the
+    * introspected type is honest. */
+  private def orderByValues(cols: Seq[String]): Seq[String] =
+    cols.flatMap(c => Seq(s"${c.toUpperCase}_ASC", s"${c.toUpperCase}_DESC"))
+
+  /** Root-field argument list — the executor's exact surface
+    * ([[toFieldQuery]]/[[executeUnionField]] `checkArgNames` sets). */
+  private def rootArgs(target: String): Seq[GArg] = Seq(
+    GArg("condition", TNamed(s"${target}Condition", "INPUT_OBJECT")),
+    GArg("first", GInt, Some(DefaultPageSize.toString)),
+    GArg("offset", GInt, Some("0")),
+    GArg("orderBy", TNamed(s"${target}OrderBy", "ENUM")),
+    GArg("desc", GBool, Some("false")),
+    GArg("after", GStringRef))
+
+  /** Relation-field argument list ([[toNested]]'s surface). */
+  private def relArgs(child: String): Seq[GArg] = Seq(
+    GArg("condition", TNamed(s"${child}Condition", "INPUT_OBJECT")),
+    GArg("first", GInt),
+    GArg("orderBy", TNamed(s"${child}OrderBy", "ENUM")),
+    GArg("desc", GBool, Some("false")))
+
+  /** The `<T>Connection`/`<T>Edge` pair wrapping a root target
+    * (concrete view, union, or interface — `kind` tells the node
+    * ref's kind). */
+  private def connectionTypes(target: String, kind: String): Seq[GType] = Seq(
+    GObjectT(s"${target}Connection", Seq(
+      GField("nodes", nn(listOf(nn(TNamed(target, kind))))),
+      GField("edges", nn(listOf(nn(TNamed(s"${target}Edge", "OBJECT"))))),
+      GField("totalCount", nn(GInt)),
+      GField("pageInfo", nn(TNamed("PageInfo", "OBJECT"))))),
+    GObjectT(s"${target}Edge", Seq(
+      GField("cursor", nn(GStringRef)),
+      GField("node", nn(TNamed(target, kind))))))
+
+  /** Condition + OrderBy companion types for a field set. Condition
+    * entries are always-optional equality filters (what
+    * [[whereClause]] executes). */
+  private def companionTypes(target: String, fields: Seq[StructField]): Seq[GType] = Seq(
+    GInputT(s"${target}Condition",
+      fields.map(sf => GField(sf.name, typeRefOf(sf.dataType, nullable = true)))),
+    GEnumT(s"${target}OrderBy", orderByValues(fields.map(_.name))))
+
+  /** Build the full introspectable schema: Query, PageInfo, scalars,
+    * and per view / union / interface its object (columns + derived
+    * relation fields with args), Connection, Edge, Condition and
+    * OrderBy types. Union/interface companions derive from the
+    * members' (name, type)-intersection — the same column set their
+    * cross-member orderBy/condition execution accepts. */
+  private def buildSchema(spark: SparkSession, unions: Unions,
+                          interfaces: Interfaces,
+                          relations: Relations): Seq[GType] = {
+    val views = catalogTypes(spark)
+    val scalars = Seq("BigInt", "Int", "Float", "String", "Boolean",
+      "Datetime", "Date", "BigFloat", "Base64EncodedBinary").map(GScalarT)
+    val pageInfo = GObjectT("PageInfo", Seq(
+      GField("hasNextPage", nn(GBool)),
+      GField("hasPreviousPage", nn(GBool)),
+      GField("startCursor", GStringRef),
+      GField("endCursor", GStringRef)))
+    val viewTypes = views.flatMap { case (name, schema) =>
+      val rels = relations.collectFirst {
+        case (k, m) if k.equalsIgnoreCase(name) => m
+      }.getOrElse(Map.empty)
+      val relFields = rels.toSeq.sortBy(_._1).map { case (fname, rel) =>
+        GField(fname, listOf(nn(TNamed(rel.childView, "OBJECT"))),
+          relArgs(rel.childView))
+      }
+      val obj = GObjectT(name,
+        schema.fields.toSeq.map(sf =>
+          GField(sf.name, typeRefOf(sf.dataType, sf.nullable))) ++ relFields,
+        interfaces = interfaces.collect {
+          case (in, ms) if ms.exists(_.equalsIgnoreCase(name)) => in
+        }.toSeq)
+      obj +: (connectionTypes(name, "OBJECT") ++ companionTypes(name, schema.fields.toSeq))
+    }
+    val abstractTypes = (
+      unions.toSeq.map { case (n, ms) => (n, "UNION", ms) } ++
+      interfaces.toSeq.map { case (n, ms) => (n, "INTERFACE", ms) }
+    ).flatMap { case (n, kind, ms) =>
+      val shared = interfaceFields(spark, ms)
+      val abst = GAbstractT(n, kind, ms,
+        if (kind == "INTERFACE")
+          Some(shared.map(sf => GField(sf.name, typeRefOf(sf.dataType, sf.nullable))))
+        else None)
+      abst +: (connectionTypes(n, kind) ++ companionTypes(n, shared))
+    }
+    val query = GObjectT("Query",
+      views.map { case (name, _) =>
+        GField(name, nn(TNamed(s"${name}Connection", "OBJECT")), rootArgs(name))
+      } ++ (unions.keys ++ interfaces.keys).toSeq.map { n =>
+        GField(n, nn(TNamed(s"${n}Connection", "OBJECT")), rootArgs(n))
+      })
+    (query +: pageInfo +: scalars) ++ viewTypes ++ abstractTypes
+  }
+
+  /** Render one GField (meta-schema `__Field`): name / args / type
+    * plus the null-or-constant meta fields (description,
+    * isDeprecated, deprecationReason) the canonical introspection
+    * query selects. */
+  private def renderField(fo: ObjectNode, kids: Seq[Sel], f: GField): Unit =
+    kids.foreach {
+      case Sel("name", _, Nil) => fo.put("name", f.name)
+      case Sel("description", _, Nil) => fo.putNull("description")
+      case Sel("type", _, tKids) => renderTypeRef(fo.putObject("type"), tKids, f.tref)
+      case Sel("args", _, aKids) =>
+        val arr = fo.putArray("args")
+        f.args.foreach { a =>
+          val ao = arr.addObject()
+          aKids.foreach {
+            case Sel("name", _, Nil) => ao.put("name", a.name)
+            case Sel("description", _, Nil) => ao.putNull("description")
+            case Sel("type", _, tKids) =>
+              renderTypeRef(ao.putObject("type"), tKids, a.tref)
+            case Sel("defaultValue", _, Nil) => a.defaultValue match {
+              case Some(d) => ao.put("defaultValue", d)
+              case None => ao.putNull("defaultValue")
+            }
             case other => throw ParseError(
-              s"interfaces.${other.name}: unsupported introspection field")
+              s"args.${other.name}: unsupported introspection field")
           }
         }
-      case Sel("fields", _, kids) =>
-        schema match {
-          case None => node.putNull("fields")
-          case Some(st) =>
-            val arr = node.putArray("fields")
-            st.fields.foreach { sf =>
-              val fo = arr.addObject()
-              kids.foreach {
-                case Sel("name", _, Nil) => fo.put("name", sf.name)
-                case Sel("type", _, tKids) =>
-                  renderTypeRef(fo.putObject("type"), tKids,
-                    typeRefOf(sf.dataType, sf.nullable))
-                case other => throw ParseError(s"fields.${other.name}: unsupported introspection field")
-              }
-            }
-        }
-      case Sel("possibleTypes", _, _) =>
-        node.putNull("possibleTypes") // concrete object types: null, per the meta-schema
-      case Sel("inputFields", _, _) =>
-        node.putNull("inputFields") // output types carry no inputFields
-      case other => throw ParseError(s"${other.name}: unsupported introspection field")
+      case Sel("isDeprecated", _, Nil) => fo.put("isDeprecated", false)
+      case Sel("deprecationReason", _, Nil) => fo.putNull("deprecationReason")
+      case other => throw ParseError(
+        s"fields.${other.name}: unsupported introspection field")
     }
 
-  /** UNION / INTERFACE type introspection (r9): kind and
-    * `possibleTypes` (the member object types) for both; `fields` is
-    * null on a union but carries the DERIVED member-schema
-    * intersection on an interface — the meta-schema's contracts. */
-  private def renderAbstractType(node: ObjectNode, sels: Seq[Sel],
-                                 name: String, members: Seq[String],
-                                 kind: String,
-                                 fields: Option[Seq[StructField]]): Unit =
+  /** Render one GType (meta-schema `__Type`): every field of the
+    * canonical introspection query's FullType fragment answers —
+    * fields with per-field args, inputFields, enumValues, interfaces,
+    * possibleTypes; inapplicable kinds answer null per the spec. */
+  private def renderType(node: ObjectNode, sels: Seq[Sel], t: GType): Unit =
     sels.foreach {
-      case Sel("name", _, Nil) => node.put("name", name)
-      case Sel("kind", _, Nil) => node.put("kind", kind)
-      case Sel("fields", _, kids) => fields match {
-        case None => node.putNull("fields")
-        case Some(fs) =>
-          val arr = node.putArray("fields")
-          fs.foreach { sf =>
+      case Sel("name", _, Nil) => node.put("name", t.name)
+      case Sel("kind", _, Nil) => node.put("kind", t.kind)
+      case Sel("description", _, Nil) => node.putNull("description")
+      case Sel("specifiedByURL", _, Nil) | Sel("specifiedByUrl", _, Nil) =>
+        node.putNull("specifiedByURL")
+      case Sel("ofType", _, _) => node.putNull("ofType") // named types end the chain
+      case Sel("fields", _, kids) =>
+        val fs: Option[Seq[GField]] = t match {
+          case o: GObjectT => Some(o.fields)
+          case a: GAbstractT => a.ifaceFields // interface: derived set; union: null
+          case _ => None
+        }
+        fs match {
+          case None => node.putNull("fields")
+          case Some(list) =>
+            val arr = node.putArray("fields")
+            list.foreach(f => renderField(arr.addObject(), kids, f))
+        }
+      case Sel("inputFields", _, kids) => t match {
+        case i: GInputT =>
+          val arr = node.putArray("inputFields")
+          i.inputFields.foreach { f =>
             val fo = arr.addObject()
             kids.foreach {
-              case Sel("name", _, Nil) => fo.put("name", sf.name)
+              case Sel("name", _, Nil) => fo.put("name", f.name)
+              case Sel("description", _, Nil) => fo.putNull("description")
               case Sel("type", _, tKids) =>
-                renderTypeRef(fo.putObject("type"), tKids,
-                  typeRefOf(sf.dataType, sf.nullable))
+                renderTypeRef(fo.putObject("type"), tKids, f.tref)
+              case Sel("defaultValue", _, Nil) => fo.putNull("defaultValue")
               case other => throw ParseError(
-                s"fields.${other.name}: unsupported introspection field")
+                s"inputFields.${other.name}: unsupported introspection field")
             }
           }
+        case _ => node.putNull("inputFields")
       }
-      case Sel("possibleTypes", _, kids) =>
-        val arr = node.putArray("possibleTypes")
-        members.foreach { m =>
-          val o = arr.addObject()
-          kids.foreach {
-            case Sel("name", _, Nil) => o.put("name", m)
-            case Sel("kind", _, Nil) => o.put("kind", "OBJECT")
-            case other => throw ParseError(
-              s"possibleTypes.${other.name}: unsupported introspection field")
+      case Sel("enumValues", _, kids) => t match {
+        case e: GEnumT =>
+          val arr = node.putArray("enumValues")
+          e.values.foreach { v =>
+            val vo = arr.addObject()
+            kids.foreach {
+              case Sel("name", _, Nil) => vo.put("name", v)
+              case Sel("description", _, Nil) => vo.putNull("description")
+              case Sel("isDeprecated", _, Nil) => vo.put("isDeprecated", false)
+              case Sel("deprecationReason", _, Nil) => vo.putNull("deprecationReason")
+              case other => throw ParseError(
+                s"enumValues.${other.name}: unsupported introspection field")
+            }
           }
-        }
-      case Sel("interfaces", _, _) => node.putNull("interfaces")
-      case Sel("inputFields", _, _) => node.putNull("inputFields")
+        case _ => node.putNull("enumValues")
+      }
+      case Sel("interfaces", _, kids) => t match {
+        case o: GObjectT =>
+          val arr = node.putArray("interfaces")
+          o.interfaces.foreach(in =>
+            renderTypeRef(arr.addObject(), kids, TNamed(in, "INTERFACE")))
+        case a: GAbstractT if a.kind == "INTERFACE" =>
+          node.putArray("interfaces"): Unit // spec: empty list on interfaces
+        case _ => node.putNull("interfaces")
+      }
+      case Sel("possibleTypes", _, kids) => t match {
+        case a: GAbstractT =>
+          val arr = node.putArray("possibleTypes")
+          a.members.foreach(m =>
+            renderTypeRef(arr.addObject(), kids, TNamed(m, "OBJECT")))
+        case _ => node.putNull("possibleTypes")
+      }
       case other => throw ParseError(s"${other.name}: unsupported introspection field")
     }
 
@@ -991,82 +1216,54 @@ object GraphQL {
     spark.catalog.listTables().collect().toSeq
       .map(t => t.name -> spark.table(t.name).schema)
 
-  /** `<view>Condition` INPUT_OBJECT introspection (r9): the derived
-    * input type of a root field's `condition:` argument —
-    * Postgraphile generates one per table; here every column is an
-    * optional (nullable) equality filter, which is exactly what
-    * [[whereClause]] executes. `inputFields` is the meta-schema's
-    * field list for input objects (`fields` is null on them, the
-    * mirror of unions carrying no fields). */
-  private def renderInputType(node: ObjectNode, sels: Seq[Sel],
-                              name: String, schema: StructType): Unit =
-    sels.foreach {
-      case Sel("name", _, Nil) => node.put("name", name)
-      case Sel("kind", _, Nil) => node.put("kind", "INPUT_OBJECT")
-      case Sel("fields", _, _) => node.putNull("fields")
-      case Sel("possibleTypes", _, _) => node.putNull("possibleTypes")
-      case Sel("interfaces", _, _) => node.putNull("interfaces")
-      case Sel("inputFields", _, kids) =>
-        val arr = node.putArray("inputFields")
-        schema.fields.foreach { sf =>
-          val fo = arr.addObject()
-          kids.foreach {
-            case Sel("name", _, Nil) => fo.put("name", sf.name)
-            case Sel("type", _, tKids) =>
-              // condition entries are always optional: nullable ref
-              renderTypeRef(fo.putObject("type"), tKids,
-                typeRefOf(sf.dataType, nullable = true))
-            case other => throw ParseError(
-              s"inputFields.${other.name}: unsupported introspection field")
-          }
-        }
-      case other => throw ParseError(s"${other.name}: unsupported introspection field")
-    }
-
   private def renderIntrospection(spark: SparkSession, data: ObjectNode, s: Sel,
                                   unions: Unions = Map.empty,
-                                  interfaces: Interfaces = Map.empty): Unit =
+                                  interfaces: Interfaces = Map.empty,
+                                  relations: Relations = Map.empty): Unit = {
+    lazy val allTypes = buildSchema(spark, unions, interfaces, relations)
     s.name match {
       case "__schema" =>
         val out = data.putObject(s.out)
         s.children.foreach {
           case Sel("queryType", _, kids) =>
-            val qt = out.putObject("queryType")
-            kids.foreach {
-              case Sel("name", _, Nil) => qt.put("name", "Query")
-              case other => throw ParseError(s"queryType.${other.name}: unsupported introspection field")
-            }
+            // the full Query type renders here, so
+            // `queryType { fields { name args { … } } }` introspects
+            // every root field's argument surface in place
+            renderType(out.putObject("queryType"), kids,
+              allTypes.find(_.name == "Query").get)
+          case Sel("mutationType", _, _) =>
+            out.putNull("mutationType") // read-only surface
+          case Sel("subscriptionType", _, _) =>
+            // subscriptions are served on a separate SSE endpoint
+            // (ServeSubscriptions) with the same grammar; the HTTP
+            // query schema itself carries no Subscription type
+            out.putNull("subscriptionType")
           case Sel("types", _, kids) =>
             val arr = out.putArray("types")
-            catalogTypes(spark).foreach { case (name, schema) =>
-              renderObjectType(arr.addObject(), kids, name, Some(schema),
-                implemented = interfaces.collect {
-                  case (in, ms) if ms.exists(_.equalsIgnoreCase(name)) => in
-                }.toSeq)
-            }
-            unions.foreach { case (name, members) =>
-              renderAbstractType(arr.addObject(), kids, name, members, "UNION", None)
-            }
-            interfaces.foreach { case (name, members) =>
-              renderAbstractType(arr.addObject(), kids, name, members, "INTERFACE",
-                Some(interfaceFields(spark, members)))
-            }
-            catalogTypes(spark).foreach { case (name, schema) =>
-              renderInputType(arr.addObject(), kids, s"${name}Condition", schema)
-            }
+            allTypes.foreach(t => renderType(arr.addObject(), kids, t))
           case Sel("directives", _, kids) =>
             val arr = out.putArray("directives")
             Seq("skip", "include").foreach { dn =>
               val o = arr.addObject()
               kids.foreach {
                 case Sel("name", _, Nil) => o.put("name", dn)
+                case Sel("description", _, Nil) => o.putNull("description")
+                case Sel("isRepeatable", _, Nil) => o.put("isRepeatable", false)
                 case Sel("locations", _, Nil) =>
                   val la = o.putArray("locations")
-                  la.add("FIELD") // evaluated per selection; fragments are outside the subset
+                  // evaluated per selection (fields, fragment spreads,
+                  // inline fragments — the spec's executable trio)
+                  la.add("FIELD")
+                  la.add("FRAGMENT_SPREAD")
+                  la.add("INLINE_FRAGMENT")
                 case Sel("args", _, akids) =>
                   val ao = o.putArray("args").addObject()
                   akids.foreach {
                     case Sel("name", _, Nil) => ao.put("name", "if")
+                    case Sel("description", _, Nil) => ao.putNull("description")
+                    case Sel("type", _, tKids) =>
+                      renderTypeRef(ao.putObject("type"), tKids, nn(GBool))
+                    case Sel("defaultValue", _, Nil) => ao.putNull("defaultValue")
                     case other => throw ParseError(
                       s"directives.args.${other.name}: unsupported introspection field")
                   }
@@ -1079,30 +1276,13 @@ object GraphQL {
       case "__type" =>
         val name = argStr(s.args, "name")
           .getOrElse(throw ParseError("__type: missing name argument"))
-        catalogTypes(spark).find(_._1 == name) match {
-          case None => unions.find(_._1 == name) match {
-            case None => interfaces.find(_._1 == name) match {
-              case None if name.endsWith("Condition") &&
-                  catalogTypes(spark).exists(_._1 == name.stripSuffix("Condition")) =>
-                renderInputType(data.putObject(s.out), s.children, name,
-                  catalogTypes(spark).find(_._1 == name.stripSuffix("Condition")).get._2)
-              case None => data.putNull(s.out)
-              case Some((n, members)) =>
-                renderAbstractType(data.putObject(s.out), s.children, n, members,
-                  "INTERFACE", Some(interfaceFields(spark, members)))
-            }
-            case Some((n, members)) =>
-              renderAbstractType(data.putObject(s.out), s.children, n, members,
-                "UNION", None)
-          }
-          case Some((n, schema)) =>
-            renderObjectType(data.putObject(s.out), s.children, n, Some(schema),
-              implemented = interfaces.collect {
-                case (in, ms) if ms.exists(_.equalsIgnoreCase(name)) => in
-              }.toSeq)
+        allTypes.find(_.name == name) match {
+          case Some(t) => renderType(data.putObject(s.out), s.children, t)
+          case None => data.putNull(s.out)
         }
       case other => throw ParseError(s"$other: unknown introspection field")
     }
+  }
 
   // ---- execution -----------------------------------------------------
 
@@ -1146,7 +1326,7 @@ object GraphQL {
       val data = root.putObject("data")
       roots.foreach { s =>
         if (s.name.startsWith("__"))
-          renderIntrospection(spark, data, s, unions, interfaces)
+          renderIntrospection(spark, data, s, unions, interfaces, relations)
         else interfaces.find(_._1.equalsIgnoreCase(s.name)) match {
           case Some((in, ms)) =>
             executeUnionField(spark, data, s, in, ms, defaultFirst, maxFirst,
@@ -1266,13 +1446,26 @@ object GraphQL {
         memberCols.values.forall(_.isEmpty))
       throw ParseError(s"$unionName: empty selection set")
     val condition = argCondition(s.args)
-    val orderBy = argStr(s.args, "orderBy")
-    val desc = argBool(s.args, "desc")
+    val (orderBy, desc) = orderAndDesc(s.args)
     // the cross-member order/filter contract: these columns must
     // exist on EVERY member (each checker throws its own view's
-    // field list on a miss)
-    (condition.map(_._1) ++ orderBy).foreach(c =>
-      checkers.foreach { case (_, ck) => ck(c) })
+    // field list on a miss) AND agree on the data type — the __ord /
+    // condition slots sit in one UNION position, so a bigint-vs-string
+    // disagreement would otherwise UNION-coerce and silently order
+    // lexicographically across members (the addShared rule, applied
+    // to arguments)
+    (condition.map(_._1) ++ orderBy).foreach { c =>
+      checkers.foreach { case (_, ck) => ck(c) }
+      val types = members.map { m =>
+        m -> schemas(m).fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      }
+      if (types.flatMap(_._2).distinct.size > 1) throw ParseError(
+        s"$unionName: members disagree on the type of '$c' (" +
+          types.collect { case (m, Some(t)) => s"$m: ${t.simpleString}" }
+            .mkString(", ") +
+          ") — it cannot order or filter across members; narrow with " +
+          "`... on <member>` fragments")
+    }
     val shim = FieldQuery(unionName, condition, argLong(s.args, "first"),
       argLong(s.args, "offset"), orderBy, desc, Nil, argStr(s.args, "after"),
       wantEdges, pageInfo, Nil)

@@ -822,4 +822,177 @@ class GraphQLSpec extends SparkSpec {
     assert(o.get("kind").asText === "OBJECT")
     assert(o.get("possibleTypes").isNull)
   }
+
+  test("r10 introspection: canonical introspection query, per-field args, enumValues") {
+    registerFixture()
+    // the graphql-js getIntrospectionQuery shape (the query every
+    // generated client actually sends) must execute without errors
+    val canonical = """
+      query IntrospectionQuery {
+        __schema {
+          queryType { name }
+          mutationType { name }
+          subscriptionType { name }
+          types {
+            kind name description
+            fields(includeDeprecated: true) {
+              name description
+              args { name description type { kind name ofType { kind name ofType { kind name } } } defaultValue }
+              type { kind name ofType { kind name ofType { kind name ofType { kind name } } } }
+              isDeprecated deprecationReason
+            }
+            inputFields { name description type { kind name ofType { kind name } } defaultValue }
+            interfaces { kind name }
+            enumValues(includeDeprecated: true) { name description isDeprecated deprecationReason }
+            possibleTypes { kind name }
+          }
+          directives { name description locations args { name description type { kind name ofType { kind name } } defaultValue } }
+        }
+      }"""
+    val resp = mapper.readTree(GraphQL.execute(spark, canonical))
+    assert(!resp.has("errors"), resp.toString.take(600))
+    val schema = resp.get("data").get("__schema")
+    assert(schema.get("mutationType").isNull && schema.get("subscriptionType").isNull)
+    val types = schema.get("types")
+    val byName = (0 until types.size).map(i => types.get(i))
+      .map(t => t.get("name").asText -> t).toMap
+    // Query root field carries the executor's full arg surface
+    val q = byName("Query")
+    assert(q.get("kind").asText === "OBJECT")
+    val qf = (0 until q.get("fields").size).map(q.get("fields").get)
+      .find(_.get("name").asText == "gql_logs").get
+    val args = (0 until qf.get("args").size).map(qf.get("args").get)
+    assert(args.map(_.get("name").asText) ===
+      Seq("condition", "first", "offset", "orderBy", "desc", "after"))
+    val argT = args.map(a => a.get("name").asText -> a.get("type")).toMap
+    assert(argT("condition").get("name").asText === "gql_logsCondition")
+    assert(argT("condition").get("kind").asText === "INPUT_OBJECT")
+    assert(argT("orderBy").get("name").asText === "gql_logsOrderBy")
+    assert(argT("orderBy").get("kind").asText === "ENUM")
+    assert(args.find(_.get("name").asText == "first").get
+      .get("defaultValue").asText === "100")
+    // the root field's type walks to the Connection shell
+    assert(qf.get("type").get("kind").asText === "NON_NULL")
+    assert(qf.get("type").get("ofType").get("name").asText === "gql_logsConnection")
+    val conn = byName("gql_logsConnection")
+    val cf = (0 until conn.get("fields").size).map(conn.get("fields").get)
+      .map(f => f.get("name").asText -> f.get("type")).toMap
+    assert(cf.keySet === Set("nodes", "edges", "totalCount", "pageInfo"))
+    // nodes: [gql_logs!]! — NON_NULL(LIST(NON_NULL(gql_logs)))
+    val nt = cf("nodes")
+    assert(nt.get("kind").asText === "NON_NULL")
+    assert(nt.get("ofType").get("kind").asText === "LIST")
+    assert(nt.get("ofType").get("ofType").get("ofType").get("name").asText === "gql_logs")
+    // OrderBy ENUM lists <COL>_ASC/<COL>_DESC per column
+    val ob = byName("gql_logsOrderBy")
+    assert(ob.get("kind").asText === "ENUM")
+    val evs = (0 until ob.get("enumValues").size)
+      .map(i => ob.get("enumValues").get(i).get("name").asText)
+    assert(evs.contains("BLOCK_NUMBER_ASC") && evs.contains("BLOCK_NUMBER_DESC"))
+    assert(evs.length === 10) // 5 columns × 2 directions
+    assert(byName("PageInfo").get("fields").size === 4)
+    // column fields carry EMPTY args (they take none), not an error
+    assert(byName("gql_logs").get("fields").get(0).get("args").size === 0)
+    // directive args carry the real Boolean! type
+    val dir = schema.get("directives").get(0)
+    assert(dir.get("args").get(0).get("type").get("kind").asText === "NON_NULL")
+    assert(dir.get("args").get(0).get("type").get("ofType").get("name").asText === "Boolean")
+  }
+
+  test("r10 introspection: derived relation fields carry args; __type(Query) renders") {
+    registerFixture()
+    Seq(("0xaaa", 9L, 1.5), ("0xaaa", 11L, 2.0))
+      .toDF("address", "pblock", "price_usd")
+      .createOrReplaceTempView("gql_price")
+    val rels = GraphQL.deriveRelations(spark, Seq(("gql_price", "address")))
+    val t = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "gql_logs") { fields { name
+        |    args { name type { name kind } }
+        |    type { kind name ofType { kind name ofType { kind name } } } } } }""".stripMargin,
+      relations = rels)).get("data").get("__type")
+    val fs = (0 until t.get("fields").size).map(t.get("fields").get)
+    val rel = fs.find(_.get("name").asText == "gql_prices").get
+    // relation field type: [gql_price!] — LIST(NON_NULL(gql_price))
+    assert(rel.get("type").get("kind").asText === "LIST")
+    assert(rel.get("type").get("ofType").get("kind").asText === "NON_NULL")
+    assert(rel.get("type").get("ofType").get("ofType").get("name").asText === "gql_price")
+    val rargs = (0 until rel.get("args").size).map(rel.get("args").get)
+    assert(rargs.map(_.get("name").asText) === Seq("condition", "first", "orderBy", "desc"))
+    assert(rargs.head.get("type").get("name").asText === "gql_priceCondition")
+    // __type(name: "Query") answers the same surface as __schema.queryType
+    val qt = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "Query") { name kind fields { name args { name defaultValue } } } }""",
+      relations = rels)).get("data").get("__type")
+    assert(qt.get("kind").asText === "OBJECT")
+    val qnames = (0 until qt.get("fields").size).map(i => qt.get("fields").get(i).get("name").asText)
+    assert(qnames.contains("gql_logs") && qnames.contains("gql_price"))
+  }
+
+  test("r10 orderBy enum tokens: literal and variable forms execute, conflicts error") {
+    registerFixture()
+    // bare enum literal carries its own direction
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_logs(orderBy: BLOCK_NUMBER_DESC, first: 1) { block_number } }"""))
+    assert(!resp.has("errors"), resp.toString)
+    assert(resp.get("data").get("gql_logs").get("nodes").get(0)
+      .get("block_number").asLong === 13L)
+    // a generated client sends the enum through variables as a string
+    val viaVar = mapper.readTree(GraphQL.execute(spark,
+      """query Q($ob: gql_logsOrderBy) { gql_logs(orderBy: $ob, first: 1) { block_number } }""",
+      variables = Map("ob" -> "BLOCK_NUMBER_DESC")))
+    assert(!viaVar.has("errors"), viaVar.toString)
+    assert(viaVar.get("data").get("gql_logs").get("nodes").get(0)
+      .get("block_number").asLong === 13L)
+    def errOf(q: String): String =
+      mapper.readTree(GraphQL.execute(spark, q))
+        .get("errors").get(0).get("message").asText
+    // token + desc: is ambiguous
+    assert(errOf("""{ gql_logs(orderBy: BLOCK_NUMBER_DESC, desc: false) { block_number } }""")
+      .contains("ambiguous"))
+    // unknown token column fails the existing column check
+    assert(errOf("""{ gql_logs(orderBy: NOPE_ASC) { block_number } }""").nonEmpty)
+    // a non-token bare identifier is not an OrderBy value
+    assert(errOf("""{ gql_logs(orderBy: whatever) { block_number } }""")
+      .contains("not an OrderBy value"))
+    // enum literals outside orderBy are rejected, not smuggled into SQL
+    assert(errOf("""{ gql_logs(condition: {address: FOO_ASC}) { block_number } }""")
+      .contains("not valid here"))
+  }
+
+  test("r10 unions: member type disagreement on orderBy/condition errors; companions derive") {
+    val unions = registerUnionFixture()
+    // same-named column, different member types: bigint vs string
+    Seq((1L, 5L)).toDF("id", "k").createOrReplaceTempView("gql_m1")
+    Seq(("a", "x")).toDF("id", "k").createOrReplaceTempView("gql_m2")
+    val u2: GraphQL.Unions = Map("gql_mixed" -> Seq("gql_m1", "gql_m2"))
+    def errOf(q: String): String =
+      mapper.readTree(GraphQL.execute(spark, q, unions = u2))
+        .get("errors").get(0).get("message").asText
+    assert(errOf("""{ gql_mixed(orderBy: "k") { nodes { __typename } } }""")
+      .contains("disagree on the type"))
+    assert(errOf("""{ gql_mixed(condition: {k: 5}) { nodes { __typename } } }""")
+      .contains("disagree on the type"))
+    // a column whose types AGREE still orders (id disagrees, k does; use gql_events)
+    val ok = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_events(orderBy: BLOCK_NUMBER_DESC, first: 1) { nodes { __typename } } }""",
+      unions = unions))
+    assert(!ok.has("errors"), ok.toString)
+    assert(ok.get("data").get("gql_events").get("nodes").get(0)
+      .get("__typename").asText === "gql_approvals") // block 13
+    // union companions derive from the (name, type) member intersection
+    val cond = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "gql_eventsCondition") { kind inputFields { name } } }""",
+      unions = unions)).get("data").get("__type")
+    assert(cond.get("kind").asText === "INPUT_OBJECT")
+    val cnames = (0 until cond.get("inputFields").size)
+      .map(i => cond.get("inputFields").get(i).get("name").asText)
+    assert(cnames === Seq("address", "block_number")) // amount/spender are member-only
+    val oe = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "gql_eventsOrderBy") { kind enumValues { name } } }""",
+      unions = unions)).get("data").get("__type")
+    assert(oe.get("kind").asText === "ENUM")
+    assert((0 until oe.get("enumValues").size)
+      .map(i => oe.get("enumValues").get(i).get("name").asText) ===
+      Seq("ADDRESS_ASC", "ADDRESS_DESC", "BLOCK_NUMBER_ASC", "BLOCK_NUMBER_DESC"))
+  }
 }
