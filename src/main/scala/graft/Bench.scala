@@ -64,6 +64,14 @@ object Bench {
     "q32_ingest_roundtrip", "q35_tombstone_roundtrip",
     "q38_jdbc_roundtrip", "q44_price_roundtrip")
 
+  /** Per-query measurement record: the median is the citable number
+    * (unchanged contract); min/max of the timed runs plus the warmup
+    * count make a stalled host window machine-detectable in the
+    * artifact itself — a query whose max/min ratio blows past
+    * SCALE.md's outlier rule needs a quiet re-measure before any
+    * code attribution (the r9 q57 adjudication, now automatable). */
+  case class QStat(median: Double, min: Double, max: Double, warmups: Int)
+
   def main(args: Array[String]): Unit = {
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     val forked = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
@@ -103,10 +111,10 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     var spark: Option[SparkSession] = None // lazy, fallback only
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results = scala.collection.mutable.LinkedHashMap[String, QStat]()
     for (fam <- families) {
       val out = java.nio.file.Files.createTempFile("graft_bench_fam", ".json")
-      def runChild(): Option[Map[String, Double]] = {
+      def runChild(): Option[Map[String, QStat]] = {
         val cmd = (Seq(javaBin) ++ jvmArgs ++
           Seq("-cp", cp, "graft.Bench")).asJava
         val pb = new ProcessBuilder(cmd)
@@ -121,7 +129,7 @@ object Bench {
         // slowest family ever observed, then we kill and fall back.
         val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
         if (!done) { p.destroyForcibly(); p.waitFor() }
-        if (done && p.exitValue() == 0) parseQueries(out) else None
+        if (done && p.exitValue() == 0) parseStats(out) else None
       }
       val parsed = runChild().orElse {
         System.err.println(s"[bench] child failed for ${fam.mkString(",")}; retrying once")
@@ -140,18 +148,30 @@ object Bench {
       "/root/repo/BENCH_LOCAL.json"), startNanos = t0, quiet = false)
   }
 
-  /** Extract the `"queries":{…}` pairs from a child's full-record
-    * JSON. The format is our own (flat string->double map, no nested
-    * braces), so a regex is exact here — no JSON library on the
-    * runtime classpath is assumed. */
-  private def parseQueries(path: java.nio.file.Path): Option[Map[String, Double]] =
+  /** Extract the per-query stats from a child's full-record JSON.
+    * The format is our own (fixed key order per entry), so a regex is
+    * exact here — no JSON library on the runtime classpath is
+    * assumed. Reads the `"spread"` map (med/min/max/warm per query);
+    * falls back to the flat `"queries"` medians for a file written by
+    * an older binary. */
+  private def parseStats(path: java.nio.file.Path): Option[Map[String, QStat]] =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-      val start = s.indexOf("\"queries\":{")
-      if (start < 0) None else {
-        val body = s.substring(start + 11, s.indexOf('}', start))
-        val re = "\"([A-Za-z0-9_]+)\":([-0-9.eE+]+)".r
-        Some(re.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      val spreadRe = ("\"([A-Za-z0-9_]+)\":\\{\"med\":([-0-9.eE+]+),\"min\":([-0-9.eE+]+)," +
+        "\"max\":([-0-9.eE+]+),\"warm\":([0-9]+)\\}").r
+      val fromSpread = spreadRe.findAllMatchIn(s).map(m =>
+        m.group(1) -> QStat(m.group(2).toDouble, m.group(3).toDouble,
+          m.group(4).toDouble, m.group(5).toInt)).toMap
+      if (fromSpread.nonEmpty) Some(fromSpread)
+      else {
+        val start = s.indexOf("\"queries\":{")
+        if (start < 0) None else {
+          val body = s.substring(start + 11, s.indexOf('}', start))
+          val re = "\"([A-Za-z0-9_]+)\":([-0-9.eE+]+)".r
+          val m = re.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          if (m.isEmpty) None
+          else Some(m.map { case (k, v) => k -> QStat(v, v, v, -1) })
+        }
       }
     } catch { case _: Throwable => None }
 
@@ -176,7 +196,7 @@ object Bench {
     * timed region) the session cache is dropped and a GC hinted so a
     * query's median doesn't pay its predecessor's allocation debt. */
   private def measureInProcess(names: Seq[String],
-      existing: Option[SparkSession]): Seq[(String, Double)] = {
+      existing: Option[SparkSession]): Seq[(String, QStat)] = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = existing.getOrElse(buildSession())
@@ -186,6 +206,13 @@ object Bench {
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         spark.catalog.clearCache()
+        // clearCache only drops SQL-cache entries; checkpoint pins
+        // (localCheckpoint) are RDD-level and must be dropped
+        // explicitly or a checkpointing query's warmups+runs stack
+        // blocks inside the family JVM (same loop as
+        // ScaleRehearsal.scala's inter-phase hygiene)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.gc()
         def once(tag: String): Double = {
           val s0 = System.nanoTime()
@@ -211,30 +238,37 @@ object Bench {
           warm ::= t; spent += t
         }
         val times = (1 to runs).map(i => once(s"run$i")).sorted
-        name -> times(times.length / 2)
+        name -> QStat(times(times.length / 2), times.head, times.last, warm.length)
       }
     }
     if (existing.isEmpty) spark.stop()
     results
   }
 
-  private def emit(results: Seq[(String, Double)], out: String,
+  private def emit(results: Seq[(String, QStat)], out: String,
       startNanos: Long, quiet: Boolean): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val wall = (System.nanoTime() - startNanos) / 1e9
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.median).sum
     // Full record (full query names, full float precision) goes to a
     // file: the driver captures only a bounded 2000-char tail of
     // stdout, and with 60+ queries the full JSON line exceeded it —
     // every round artifact through r7 had `parsed: null` because the
     // line's OPENING brace fell outside the tail window. A file
     // survives any tail window.
-    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v.median }
       .mkString("{", ",", "}")
+    // "spread" AFTER "queries": parseStats' fallback (and any older
+    // reader) scans "queries":{…} up to the first '}' — nested spread
+    // braces before it would truncate that window
+    val spread = results.map { case (k, v) =>
+      s"\"" + k + "\":{\"med\":" + v.median + ",\"min\":" + v.min +
+        ",\"max\":" + v.max + ",\"warm\":" + v.warmups + "}"
+    }.mkString("{", ",", "}")
     val ioFam = IoFamily.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
-      s""""sf":"$sfDir","runs":$runs,"wall":$wall,"io_family":$ioFam}"""
+      s""""sf":"$sfDir","runs":$runs,"wall":$wall,"io_family":$ioFam,"spread":$spread}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (jsonFull + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
@@ -245,7 +279,7 @@ object Bench {
     // trailing "[success]" line), plus a pointer to the full file.
     def short(name: String): String = name.takeWhile(_ != '_')
     def r3(v: Double): String = f"$v%.3f"
-    val qsShort = results.map { case (k, v) => s"\"" + short(k) + "\":" + r3(v) }
+    val qsShort = results.map { case (k, v) => s"\"" + short(k) + "\":" + r3(v.median) }
       .mkString("{", ",", "}")
     val ioShort = IoFamily.toSeq.sorted.map(n => "\"" + short(n) + "\"")
       .mkString("[", ",", "]")

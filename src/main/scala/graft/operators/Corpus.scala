@@ -131,11 +131,23 @@ object Corpus {
     * EXACT form = one GLOBAL cumulative window (a single task sorts
     * the ranked stream) — a small-N device: correct for the gate and
     * for corpora that fit a single-task sort. The production path is
-    * [[selectByBudgetThreshold]] (identical result, no global window). */
+    * [[selectByBudgetThreshold]] (identical result, no global window).
+    *
+    * The small-N contract is ENFORCED, not advisory (r10): inputs
+    * over `maxRows` (default 10M — generous for one task's sort,
+    * still metadata-cheap to count) fail fast with the remedy named,
+    * instead of silently moving a 100 TB corpus onto one partition.
+    * The count is one combinable aggregate, not a materialization of
+    * the input. */
   def selectByBudget(
       df: DataFrame, scoreCol: String, tokensCol: String, orderCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, maxRows: Long = 10000000L): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    val n = df.count()
+    require(n <= maxRows,
+      s"selectByBudget: input has $n rows (> $maxRows); the exact form sorts " +
+        "the whole corpus in ONE task by design — use selectByBudgetThreshold " +
+        "(identical selection, no global window) or raise maxRows deliberately")
     val w = Window.orderBy(col(scoreCol).desc, col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("_cum", coalesce(sum(col(tokensCol)).over(w), lit(0L)))

@@ -279,6 +279,13 @@ class CorpusSpec extends SparkSpec {
     assert(sel(1L) === Set(1L))           // always at least the best doc
     assert(sel(0L) === Set.empty)
     intercept[IllegalArgumentException](sel(-1L))
+    // r10: the small-N contract is enforced, not advisory — an input
+    // past maxRows fails fast with the scale path named, instead of
+    // moving the corpus onto one partition
+    val err = intercept[IllegalArgumentException](
+      Corpus.selectByBudget(df, "score", "n_tokens", "id", 250L, maxRows = 3L))
+    assert(err.getMessage.contains("selectByBudgetThreshold"))
+    assert(err.getMessage.contains("4 rows"))
   }
 
   test("selectByBudgetThreshold equals the exact form across budgets, ties, and depths") {
