@@ -175,8 +175,14 @@ object GraphQL {
     * same-named columns of different types can never collide) UNION
     * ALL'd under a global ORDER BY + LIMIT — Spark plans that as
     * TakeOrderedAndProject over the branch scans, never a full sort.
-    * One level only: relation fields inside member fragments are a
-    * declared boundary. */
+    * (r10) Relation fields ARE legal inside `... on <member>`
+    * fragments: member-scoped, they resolve against that member's
+    * relation registry, ride the parent key as a hidden per-member
+    * slot, and run as ONE bounded child query per (member, relation)
+    * for the whole page — rows of other members simply lack the
+    * field, the fragment contract. Only a BARE relation field on an
+    * interface stays a loud error (ambiguous across members under
+    * one response key). */
   type Unions = Map[String, Seq[String]]
 
   /** interface root-field name → member view names (r9). Same
@@ -1330,10 +1336,11 @@ object GraphQL {
         else interfaces.find(_._1.equalsIgnoreCase(s.name)) match {
           case Some((in, ms)) =>
             executeUnionField(spark, data, s, in, ms, defaultFirst, maxFirst,
-              iface = true)
+              relations, iface = true)
           case None => unions.find(_._1.equalsIgnoreCase(s.name)) match {
             case Some((un, ms)) =>
-              executeUnionField(spark, data, s, un, ms, defaultFirst, maxFirst)
+              executeUnionField(spark, data, s, un, ms, defaultFirst, maxFirst,
+                relations)
             case None =>
               executeField(spark, data, toFieldQuery(s), defaultFirst, maxFirst, relations)
           }
@@ -1359,6 +1366,7 @@ object GraphQL {
   private def executeUnionField(spark: SparkSession, data: ObjectNode, s: Sel,
                                 unionName: String, members: Seq[String],
                                 defaultFirst: Long, maxFirst: Long,
+                                relations: Relations = Map.empty,
                                 iface: Boolean = false): Unit = {
     val kindWord = if (iface) "interface" else "union"
     checkArgNames(s, Set("condition", "first", "offset", "orderBy", "desc", "after"))
@@ -1376,6 +1384,17 @@ object GraphQL {
       scala.collection.mutable.LinkedHashSet[(String, String)]]()
     members.foreach(m => memberCols(m) =
       scala.collection.mutable.LinkedHashSet.empty[(String, String)])
+    // relation selections under `... on <member>` fragments (r10):
+    // member-scoped, so they resolve against the MEMBER's relation
+    // registry and render only on that member's rows — no shared-slot
+    // ambiguity by construction
+    val memberNested = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ListBuffer[(NestedQuery, Relation)]]()
+    members.foreach(m => memberNested(m) =
+      scala.collection.mutable.ListBuffer.empty[(NestedQuery, Relation)])
+    def memberRels(m: String): Map[String, Relation] =
+      relations.collectFirst { case (k, v) if k.equalsIgnoreCase(m) => v }
+        .getOrElse(Map.empty)
     def addShared(c: Sel, ctx: String): Unit = {
       val types = members.map { m =>
         m -> schemas(m).fields.find(_.name == c.name).map(_.dataType)
@@ -1398,15 +1417,34 @@ object GraphQL {
             s"$ctx: '... on $on' is not a member of $kindWord '$unionName' " +
               s"(members: ${members.mkString(", ")})"))
           k.children.foreach { c =>
-            if (c.children.nonEmpty) throw ParseError(
-              s"$ctx.$on.${c.name}: $kindWord member selections are scalar fields " +
-                s"only (relations inside a $kindWord are a declared boundary)")
-            if (c.name == "__typename") typenameKeys += c.out
+            if (c.children.nonEmpty) memberRels(m).get(c.name) match {
+              // r10: a relation field inside the member fragment —
+              // interpreted exactly like a concrete-type relation
+              // (toNested validates args and scalar-only children),
+              // executed as one bounded child query for the member's
+              // page rows
+              case Some(rel) => memberNested(m) += ((toNested(c), rel))
+              case None =>
+                val has = memberRels(m).keys
+                throw ParseError(
+                  s"$ctx.$on.${c.name}: '$m' has no relation '${c.name}'" +
+                    (if (has.isEmpty) "" else s" (has: ${has.mkString(", ")})"))
+            }
+            else if (c.name == "__typename") typenameKeys += c.out
             else memberCols(m) += ((c.name, c.out))
           }
         case None =>
           if (k.name == "__typename" && k.children.isEmpty) typenameKeys += k.out
           else if (iface && k.children.isEmpty) addShared(k, ctx)
+          else if (k.children.nonEmpty &&
+              members.exists(m => memberRels(m).contains(k.name)))
+            // the genuinely ambiguous shared-slot case: a BARE
+            // relation field would have to fan out per member with
+            // per-member child types under one response key — stated
+            // boundary, with the working spelling named
+            throw ParseError(s"$ctx.${k.name}: bare relation fields on a " +
+              s"$kindWord are ambiguous across members — select it inside " +
+              s"a `... on <member>` fragment")
           else throw ParseError(s"$ctx.${k.name}: a union selection set takes " +
             "__typename and inline fragments (`... on <member>`) only")
       }
@@ -1443,7 +1481,8 @@ object GraphQL {
         s"$unionName.${c.name}: expected nodes/edges/pageInfo/totalCount")
     }
     if (typenameKeys.isEmpty && sharedCols.isEmpty &&
-        memberCols.values.forall(_.isEmpty))
+        memberCols.values.forall(_.isEmpty) &&
+        memberNested.values.forall(_.isEmpty))
       throw ParseError(s"$unionName: empty selection set")
     val condition = argCondition(s.args)
     val (orderBy, desc) = orderAndDesc(s.args)
@@ -1477,8 +1516,15 @@ object GraphQL {
     // meet in one UNION position
     val sharedSlotCols: Seq[String] = sharedCols.toSeq.map(_._1).distinct
     val nShared = sharedSlotCols.length
+    // relation parent keys ride along as hidden per-member slots
+    // (the executeField hidden-trailing-columns move, slot-shaped)
+    val hiddenKeys: Map[String, Seq[String]] = members.map { m =>
+      m -> memberNested(m).map(_._2.parentKey).distinct
+        .filterNot(k => memberCols(m).exists(_._1 == k)).toSeq
+    }.toMap
     val slots: Seq[(String, String)] = memberCols.toSeq.flatMap {
-      case (m, cols) => cols.toSeq.map(_._1).distinct.map(c => (m, c))
+      case (m, cols) =>
+        (cols.toSeq.map(_._1).distinct ++ hiddenKeys(m)).map(c => (m, c))
     }
     val slotIdx: Map[(String, String), Int] = slots.zipWithIndex.toMap
     val branches = checkers.map { case (m, ck) =>
@@ -1505,6 +1551,24 @@ object GraphQL {
       s"select count(*) from (\n${checkers.map { case (m, ck) =>
         s"select 1 as __one from `$m`${whereClause(condition, ck)}"
       }.mkString("\nunion all\n")}\n)").head().getLong(0)
+    // one bounded child query per (member, relation) for the whole
+    // page — keyed by the member's own rows only, so a 2-member feed
+    // with one relation each runs exactly 2 child queries, never one
+    // per row
+    val memberChild: Seq[(String, NestedQuery, Relation,
+        Map[Any, Seq[org.apache.spark.sql.Row]])] =
+      members.flatMap { m =>
+        memberNested(m).toSeq.map { case (n, rel) =>
+          val keys = rows.filter(_.getString(0) == m)
+            .map(_.get(1 + nShared + slotIdx((m, rel.parentKey))))
+            .filter(_ != null).distinct.toSeq
+          val grouped =
+            if (keys.isEmpty) Map.empty[Any, Seq[org.apache.spark.sql.Row]]
+            else spark.sql(compileNested(spark, n, rel, keys, defaultFirst, maxFirst))
+              .collect().toSeq.groupBy(_.get(0))
+          (m, n, rel, grouped)
+        }
+      }
     val conn = data.putObject(s.out)
     val nodes: ArrayNode = conn.putArray("nodes")
     val sharedSlotIdx = sharedSlotCols.zipWithIndex.toMap
@@ -1518,6 +1582,22 @@ object GraphQL {
         .foreach { case (col, out) =>
           putValue(o, out, r.get(1 + nShared + slotIdx((tn, col))))
         }
+      // a fragment's relation field renders only on its own member's
+      // rows — the fragment-doesn't-apply rows simply lack the key
+      memberChild.foreach { case (m, n, rel, grouped) =>
+        if (m == tn) {
+          val arr = o.putArray(n.outName)
+          grouped.getOrElse(r.get(1 + nShared + slotIdx((tn, rel.parentKey))),
+              Seq.empty).foreach { cr =>
+            val co = arr.addObject()
+            // child row layout: __k at 0, selections from 1 (the
+            // executeField contract)
+            n.outs.zipWithIndex.foreach { case (name, i) =>
+              putValue(co, name, cr.get(i + 1))
+            }
+          }
+        }
+      }
     }
     rows.foreach(r => renderNode(nodes.addObject(), r))
     conn.put("totalCount", total)

@@ -704,7 +704,7 @@ class GraphQLSpec extends SparkSpec {
     assert(errOf("{ gql_events { nodes { address } } }")
       .contains("__typename and inline fragments"))
     assert(errOf("{ gql_events { nodes { ... on gql_transfers { x { y } } } } }")
-      .contains("scalar fields only"))
+      .contains("no relation 'x'"))
     // amount exists only on gql_transfers: not a legal cross-member order
     assert(errOf("""{ gql_events(orderBy: "amount") { nodes { __typename } } }""")
       .contains("no field"))
@@ -994,5 +994,68 @@ class GraphQLSpec extends SparkSpec {
     assert((0 until oe.get("enumValues").size)
       .map(i => oe.get("enumValues").get(i).get("name").asText) ===
       Seq("ADDRESS_ASC", "ADDRESS_DESC", "BLOCK_NUMBER_ASC", "BLOCK_NUMBER_DESC"))
+  }
+
+  test("r10 unions/interfaces: relations inside member fragments; bare relations stay loud") {
+    val unions = registerUnionFixture()
+    Seq(("0xaaa", 9L, 1.5), ("0xaaa", 11L, 2.0), ("0xbbb", 12L, 3.0))
+      .toDF("address", "pblock", "price_usd")
+      .createOrReplaceTempView("gql_price")
+    val rels = GraphQL.deriveRelations(spark, Seq(("gql_price", "address")))
+    // relation under a union member fragment: only transfer rows carry
+    // the field, child rows match the concrete-type query's
+    val resp = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_events(orderBy: "block_number") { nodes { __typename
+        |    ... on gql_transfers { address
+        |      gql_prices(orderBy: "pblock") { pblock price_usd } } } } }""".stripMargin,
+      unions = unions, relations = rels))
+    assert(!resp.has("errors"), resp.toString)
+    val nodes = resp.get("data").get("gql_events").get("nodes")
+    // row 0: transfers 0xaaa@10 → its two price rows in pblock order
+    assert(nodes.get(0).get("__typename").asText === "gql_transfers")
+    val p0 = nodes.get(0).get("gql_prices")
+    assert(p0.size === 2)
+    assert(p0.get(0).get("pblock").asLong === 9L)
+    assert(p0.get(1).get("price_usd").asDouble === 2.0)
+    // row 1: approvals — fragment doesn't apply, field absent
+    assert(nodes.get(1).get("__typename").asText === "gql_approvals")
+    assert(!nodes.get(1).has("gql_prices"))
+    // row 2: transfers 0xbbb@12 → its one price row
+    assert(nodes.get(2).get("gql_prices").size === 1)
+    assert(nodes.get(2).get("gql_prices").get(0).get("price_usd").asDouble === 3.0)
+    // matches the concrete-type query's child rows exactly
+    val concrete = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_transfers(condition: {address: "0xaaa"})
+        |  { address gql_prices(orderBy: "pblock") { pblock price_usd } } }""".stripMargin,
+      relations = rels))
+    assert(concrete.get("data").get("gql_transfers").get("nodes").get(0)
+      .get("gql_prices") === p0)
+    // relation args apply inside the fragment (first + desc)
+    val capped = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_events { nodes {
+        |    ... on gql_transfers {
+        |      gql_prices(first: 1, orderBy: "pblock", desc: true) { pblock } } } } }""".stripMargin,
+      unions = unions, relations = rels))
+    assert(!capped.has("errors"), capped.toString)
+    val cn = capped.get("data").get("gql_events").get("nodes")
+    val withPrices = (0 until cn.size).map(cn.get).filter(_.has("gql_prices"))
+    assert(withPrices.exists(n =>
+      n.get("gql_prices").size === 1 && n.get("gql_prices").get(0).get("pblock").asLong === 11L))
+    // interfaces: same machinery through the interface path
+    val interfaces: GraphQL.Interfaces = Map("gql_feed" -> Seq("gql_transfers", "gql_approvals"))
+    val viaIface = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_feed(orderBy: "block_number") { nodes { __typename block_number
+        |    ... on gql_transfers { gql_prices(first: 1) { pblock } } } } }""".stripMargin,
+      interfaces = interfaces, relations = rels))
+    assert(!viaIface.has("errors"), viaIface.toString)
+    assert(viaIface.get("data").get("gql_feed").get("nodes").get(0)
+      .get("gql_prices").size === 1)
+    // the genuinely ambiguous case: a BARE relation on the interface
+    val err = mapper.readTree(GraphQL.execute(spark,
+      """{ gql_feed { nodes { gql_prices { pblock } } } }""",
+      interfaces = interfaces, relations = rels))
+      .get("errors").get(0).get("message").asText
+    assert(err.contains("ambiguous across members"))
+    assert(err.contains("... on <member>"))
   }
 }
