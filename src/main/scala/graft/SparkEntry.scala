@@ -820,6 +820,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Per-chain catalog namespaces under the gate (r10 — the
+    // db-create.sql:1-10 database-per-chain deploy as REAL Spark
+    // catalog databases): synthetic transfer logs split even/odd
+    // into two parquet "chains", each registered via
+    // registerChainNamespace (external `<chain>.logs` table +
+    // PERMANENT decode views through the builtin-registered function
+    // surface), then one multi-chain aggregation over the QUALIFIED
+    // view names — q14's union re-expressed the way the reference
+    // deploys it.
+    "q94_chain_namespaces" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q94").getAbsolutePath
+      val logs = syntheticTransferLogs(s, dir)
+      logs.filter(col("block_number") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$base/chain_a_logs")
+      logs.filter(col("block_number") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$base/chain_b_logs")
+      // overwrite of a path this session may have read before —
+      // FileStatusCache staleness contract
+      s.catalog.refreshByPath(s"$base/chain_a_logs")
+      s.catalog.refreshByPath(s"$base/chain_b_logs")
+      EventViews.registerChainNamespace(s, "graft_chain_a", s"$base/chain_a_logs",
+        dbLocation = Some(s"$base/db_a"))
+      EventViews.registerChainNamespace(s, "graft_chain_b", s"$base/chain_b_logs",
+        dbLocation = Some(s"$base/db_b"))
+      val t = "Transfer_address_from_address_to_uint256_amount_d"
+      s.sql(
+        s"""select chain, count(*) as n_transfers,
+           |  cast(sum(amount) as double) as total_amount,
+           |  max(`to`) as to_max
+           |from (
+           |  select 'chain_a' as chain, amount, `to` from graft_chain_a.`$t`
+           |  union all
+           |  select 'chain_b' as chain, amount, `to` from graft_chain_b.`$t`
+           |)
+           |group by chain
+           |order by chain""".stripMargin)
+    },
+
     // REAL WAV sample decode under the gate: 16-bit PCM data written
     // by the mini encoder (RIFF chunk walk, interleaved int16), sample
     // statistics vs the formula twin — a chunk-walk, endianness or
@@ -2517,6 +2556,18 @@ object SparkEntry {
         |  (doc_id % 25 <> 0) as valid
         |from agg
         |order by doc_id""".stripMargin,
+
+    // chain-namespace twin: even/odd c_custkey split = the two chain
+    // databases; amount/to recompute from the synthetic encoding
+    // (the q37 arithmetic)
+    "q94_chain_namespaces" ->
+      """select case when c_custkey % 2 = 0 then 'chain_a' else 'chain_b' end as chain,
+        |  count(*) as n_transfers,
+        |  cast(sum(cast(c_custkey as decimal(38,0)) * 31) as double) as total_amount,
+        |  max(printf('0x%040x', c_custkey * 7)) as to_max
+        |from customer
+        |group by chain
+        |order by chain""".stripMargin,
 
     // Sub-byte twin: gray samples scale by bit replication
     // (s · 255/max, exact integers — 255/85/17 for depths 1/2/4);

@@ -297,19 +297,52 @@ object Abi {
     * `init.sql:213-222`) runnable verbatim-modulo-`::text` through
     * `spark.sql`. Column-builder macros compose at parse time, so
     * Catalyst still sees plain expressions (inlining + codegen). */
-  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    registerSqlFunctions(spark, persistent = false)
+
+  /** Register the init.sql function surface for SQL callers.
+    *
+    * `persistent = false` (default): session-scoped temp functions —
+    * enough for `spark.sql` analytics, ServeSql/ServeGraphql, q37.
+    *
+    * `persistent = true`: register the same builders into
+    * `FunctionRegistry.builtin` (plus the current session, whose
+    * registry copied builtin at build time) — the registration level
+    * a `SparkSessionExtensions.injectFunction` extension gets. This
+    * is what PERMANENT views require: `CREATE VIEW chain.v AS SELECT
+    * to_address(…)` refuses temp functions
+    * (INVALID_TEMP_OBJ_REFERENCE), but resolves builtin ones, and a
+    * fresh session copies builtin so the views keep answering. Used
+    * by [[graft.operators.EventViews.registerChainNamespace]]. */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession,
+      persistent: Boolean): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     val fr = spark.sessionState.functionRegistry
-    def reg(name: String, arity: Int, f: Seq[Column] => Column): Unit =
-      fr.createOrReplaceTempFunction(
-        name,
+    def reg(name: String, arity: Int, f: Seq[Column] => Column): Unit = {
+      val builder =
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
           if (exprs.length != arity)
             throw new IllegalArgumentException(
               s"$name expects $arity argument(s) (pos, data convention per init.sql), got ${exprs.length}")
           ColumnBridge.expression(f(exprs.map(ColumnBridge.column)))
-        },
-        "scala_udf")
+        }
+      if (persistent) {
+        val fi = FunctionIdentifier(name)
+        val info = new ExpressionInfo("graft.functions.Abi", name)
+        // idempotent: re-registration would only WARN-spam (the
+        // builders are identical), and an existing same-name temp
+        // function stops being "temporary" the moment builtin knows
+        // the name (SessionCatalog.isTemporaryFunction consults
+        // builtin first) — so skipping is safe for view creation too
+        if (!FunctionRegistry.builtin.functionExists(fi))
+          FunctionRegistry.builtin.registerFunction(fi, info, builder)
+        if (!fr.functionExists(fi))
+          fr.registerFunction(fi, info, builder)
+      } else fr.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
     reg("to_int64", 2, a => toInt64(a(0), a(1)))
     reg("to_uint64", 2, a => toUint64(a(0), a(1)))
     reg("to_uint32", 2, a => toUint32(a(0), a(1)))

@@ -74,6 +74,74 @@ object EventViews {
       mode: DecodeMode = Native): Unit =
     defs.foreach(e => project(logs, e, mode).createOrReplaceTempView(e.viewName))
 
+  /** The SQL text of one generated view over `from` — the
+    * `init.sql:213-222` body through the registered function surface
+    * (`to_address(2, topic1)`, `to_uint256(2, data)`, … — the same
+    * pos,data convention q37 gates). Column names are backticked
+    * (ABI param names like `from`/`to` are SQL keywords). */
+  def viewSql(e: EventDef, from: String): String = {
+    val (indexed, unindexed) = e.fields.partition(_.indexed)
+    val topicCols = indexed.zipWithIndex.map { case (fld, i) =>
+      s"to_${fld.abiType}(2, topic${i + 1}) as `${fld.name}`"
+    }
+    val dataCols = unindexed.zipWithIndex.map { case (fld, i) =>
+      s"to_${fld.abiType}(${2 + 64 * i}, data) as `${fld.name}`"
+    }
+    val meta = Seq(
+      "address as contract_address",
+      "transaction_hash as evt_tx_hash",
+      "log_index as evt_index",
+      "block_timestamp as evt_block_time",
+      "block_number as evt_block_number")
+    s"select ${(topicCols ++ dataCols ++ meta).mkString(",\n       ")}\n" +
+      s"from $from\nwhere topic0 = '${e.sigHash}'"
+  }
+
+  private val ChainName = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Map the reference's database-per-chain deploy
+    * (`db-create.sql:1-10`: one Postgres database per
+    * chain/network/stage, views inside it) onto REAL Spark catalog
+    * databases: `CREATE DATABASE <chain>`, an external `logs` table
+    * at `logsPath` (canonical stored schema, FIXTURES.md §2 with
+    * `block_timestamp`), and each event as a PERMANENT view
+    * `<chain>.<viewName>` whose body is [[viewSql]] — so
+    * `moonbeam.transfer_…` and `ethereum.transfer_…` answer
+    * side-by-side in one session, over SQL (ServeSql/beeline) too,
+    * and multi-chain queries are plain qualified-name UNIONs.
+    *
+    * Permanent views refuse temp functions, so the decode surface is
+    * registered at the builtin level
+    * ([[graft.functions.Abi.registerSqlFunctions]] `persistent =
+    * true` — the extension-injection registration class). The views
+    * survive `spark.newSession()`; with the default in-memory
+    * catalog they live for the application (a Hive metastore would
+    * persist them across applications — same code path).
+    *
+    * `dbLocation`: the database's warehouse directory (only ever
+    * holds catalog metadata here — the logs table is external and
+    * views are text); defaults to the session warehouse dir.
+    * Idempotent per (chain, logsPath): re-running replaces the
+    * views and leaves the external table in place. */
+  def registerChainNamespace(
+      spark: SparkSession,
+      chain: String,
+      logsPath: String,
+      defs: Seq[EventDef] = referenceViews,
+      dbLocation: Option[String] = None): Unit = {
+    require(ChainName.matches(chain),
+      s"chain must be an identifier ([A-Za-z_][A-Za-z0-9_]*), got '$chain'")
+    Abi.registerSqlFunctions(spark, persistent = true)
+    val loc = dbLocation.map(d => s" LOCATION '${d.replace("'", "''")}'").getOrElse("")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$chain`$loc")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$chain`.`logs` USING parquet " +
+      s"LOCATION '${logsPath.replace("'", "''")}'")
+    defs.foreach { e =>
+      spark.sql(s"CREATE OR REPLACE VIEW `$chain`.`${e.viewName}` AS\n" +
+        viewSql(e, s"`$chain`.`logs`"))
+    }
+  }
+
   private def f(name: String, abiType: String, indexed: Boolean = false) =
     AbiField(name, abiType, indexed)
 

@@ -20,13 +20,20 @@ import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
   * fanning queries out over the executors — the Spark answer to the
   * reference's single-node Postgres.
   *
-  * Usage: runMain graft.tools.ServeSql <logsPath> [pricePath|-] [port] [snapshot|-]
+  * Usage: runMain graft.tools.ServeSql <logsPath> [pricePath|-] [port] [snapshot|-] [chains|-]
   *
   * `snapshot` = `latest` or a version number: the `logs` table (and
   * everything derived — canonical view, all 10 event views) serves a
   * PINNED snapshot instead of the live table, so every analyst query
   * sees one consistent state while ingest/compaction keep running
   * (MVCC retention makes the pin durable across rewrites).
+  *
+  * `chains` = comma-separated `name=parquetPath` pairs (r10): each
+  * becomes a REAL catalog database with an external `logs` table and
+  * the 10 permanent decode views
+  * ([[EventViews.registerChainNamespace]] — the reference's
+  * database-per-chain deploy, `db-create.sql:1-10`), so beeline can
+  * `select … from moonbeam.transfer_… union all ethereum.transfer_…`.
   */
 object ServeSql {
   def main(args: Array[String]): Unit = {
@@ -53,11 +60,22 @@ object ServeSql {
     pricePath.foreach(p => spark.read.parquet(p).createOrReplaceTempView("price"))
     Abi.registerSqlFunctions(spark)
     EventViews.registerAll(spark, Logs.canonical(logs))
+    val chains = args.lift(4).filterNot(_ == "-")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      .map { spec =>
+        spec.split("=", 2) match {
+          case Array(name, path) =>
+            EventViews.registerChainNamespace(spark, name, path)
+            name
+          case _ => sys.error(s"chains: expected name=parquetPath, got '$spec'")
+        }
+      }
     HiveThriftServer2.startWithContext(spark.sqlContext)
     val views = EventViews.referenceViews.map(_.viewName)
     println(s"[serve] jdbc:hive2://localhost:$port ready${snapshot.map(v => s" (pinned snapshot $v)").getOrElse("")} — tables: logs, logs_canonical" +
       pricePath.map(_ => ", price").getOrElse("") +
-      s"; ${views.size} views: ${views.take(3).mkString(", ")}, ...")
+      s"; ${views.size} views: ${views.take(3).mkString(", ")}, ..." +
+      (if (chains.isEmpty) "" else s"; chain databases: ${chains.mkString(", ")}"))
     Thread.sleep(Long.MaxValue) // serve until externally stopped
   }
 }

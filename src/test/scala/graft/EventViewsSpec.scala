@@ -74,4 +74,51 @@ class EventViewsSpec extends SparkSpec {
     // prove the equality reached the scan's PushedFilters
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(topic0,0xfbde797d"))
   }
+
+  test("r10 chain namespaces: permanent views per catalog database, cross-chain union") {
+    // the db-create.sql database-per-chain deploy as real Spark
+    // catalog databases: external logs table + permanent decode views
+    val base = Files.createTempDirectory("graft_chains").toString
+    logs.write.mode("overwrite").parquet(s"$base/moon_logs")
+    logs.limit(1).write.mode("overwrite").parquet(s"$base/eth_logs")
+    EventViews.registerChainNamespace(spark, "graft_moonbeam", s"$base/moon_logs",
+      dbLocation = Some(s"$base/db_moon"))
+    EventViews.registerChainNamespace(spark, "graft_ethereum", s"$base/eth_logs",
+      dbLocation = Some(s"$base/db_eth"))
+    val t = "Transfer_address_from_address_to_uint256_amount_d"
+    // qualified names resolve; decode matches the temp-view path's
+    // golden row (through the registered SQL function surface)
+    val r = spark.sql(s"select `to`, amount, evt_block_number from graft_moonbeam.`$t`")
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "0xf78031c993afb43e79f017938326ff34418ec36e")
+    assert(r(0).getDecimal(1).toBigInteger.toString ===
+      BigInt("aad50c474db4eb50", 16).toString)
+    assert(r(0).getLong(2) === 222431L)
+    // all 10 views exist in each database (SHOW TABLES also lists the
+    // session's temp views — other suites register those, filter them)
+    assert(spark.sql("show tables in graft_moonbeam")
+      .filter(!col("isTemporary")).count() === 11L) // logs + 10 views
+    // the q14 multi-chain union, expressed over QUALIFIED names
+    val u = spark.sql(
+      s"""select chain, count(*) as n from (
+         |  select 'moonbeam' as chain from graft_moonbeam.`$t`
+         |  union all
+         |  select 'ethereum' as chain from graft_ethereum.`$t`
+         |) group by chain order by chain""".stripMargin).collect()
+    assert(u.map(x => x.getString(0) -> x.getLong(1)).toMap ===
+      Map("moonbeam" -> 1L, "ethereum" -> 1L))
+    // permanent, not session-scoped: a FRESH session still answers
+    // (builtin-level function registration is what makes this legal)
+    val s2 = spark.newSession()
+    assert(s2.sql(s"select count(*) from graft_moonbeam.`$t`").head().getLong(0) === 1L)
+    // idempotent re-registration
+    EventViews.registerChainNamespace(spark, "graft_moonbeam", s"$base/moon_logs",
+      dbLocation = Some(s"$base/db_moon"))
+    assert(spark.sql(s"select count(*) from graft_moonbeam.`$t`").head().getLong(0) === 1L)
+    // injection-shaped chain names are rejected up front
+    val err = intercept[IllegalArgumentException](
+      EventViews.registerChainNamespace(spark, "x`; drop", s"$base/moon_logs"))
+    assert(err.getMessage.contains("identifier"))
+  }
 }
