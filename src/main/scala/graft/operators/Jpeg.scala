@@ -399,8 +399,14 @@ object JpegCodec {
             }
             if (comps.exists(c => c.hs < 1 || c.hs > 4 || c.vs < 1 || c.vs > 4))
               return None // sampling factors 1–4 (the full T.81 legal range, r9)
-            if (nComp > 1 && comps.map(c => c.hs * c.vs).sum > 10)
-              return None // T.81 B.2.3: interleaved-scan MCUs carry at most 10 data units
+            // T.81 B.2.3 caps INTERLEAVED-scan MCUs at 10 data units.
+            // A sequential multi-component frame has exactly one scan
+            // and it is interleaved, so the cap is a frame property
+            // here; a progressive frame may use only non-interleaved
+            // (Ns = 1) scans and stay legal past the sum, so its cap
+            // moves to each SOS (r10 — previously over-strict at SOF)
+            if (!progressive && nComp > 1 && comps.map(c => c.hs * c.vs).sum > 10)
+              return None
             if (nComp == 1 && (comps(0).hs != 1 || comps(0).vs != 1))
               return None // single-component frames are 1x1 by contract
           case 0xc3 | 0xc5 | 0xc6 | 0xc7 |
@@ -621,6 +627,9 @@ object JpegCodec {
               scanComps(si).acId = b(j + 1) & 0x0f
               j += 2; si += 1
             }
+            // T.81 B.2.3 where it actually applies (r10): only an
+            // INTERLEAVED scan (Ns > 1) is MCU-capped at 10 data units
+            if (ns > 1 && scanComps.map(c => c.hs * c.vs).sum > 10) return None
             val ss = b(j) & 0xff
             val se = b(j + 1) & 0xff
             val ah = (b(j + 2) & 0xff) >> 4
@@ -846,6 +855,9 @@ object JpegCodec {
               scanComps(si).acId = b(j + 1) & 0x0f
               j += 2; si += 1
             }
+            // T.81 B.2.3 where it actually applies (r10): only an
+            // INTERLEAVED scan (Ns > 1) is MCU-capped at 10 data units
+            if (ns > 1 && scanComps.map(c => c.hs * c.vs).sum > 10) return None
             val ss = b(j) & 0xff
             val se = b(j + 1) & 0xff
             val ah = (b(j + 2) & 0xff) >> 4
@@ -1500,6 +1512,11 @@ object JpegCodec {
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     def u16(j: Int) = ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)
     val q = Array.ofDim[Int](4, 64)
+    // which DQT slots a marker actually loaded: the arrays pre-zero,
+    // so without this a stream referencing a missing table would
+    // "decode" to a flat raster instead of refusing (the 8-bit path
+    // refuses via qt.getOrElse — this is its array-shaped analog)
+    val qLoaded = new Array[Boolean](4)
     val hDC = new Array[Huff](4); val hAC = new Array[Huff](4)
     var w = 0; var h = 0
     var comps: Array[Comp] = null
@@ -1521,6 +1538,7 @@ object JpegCodec {
             while (j < i + 2 + len) {
               val pq = (b(j) & 0xff) >> 4; val tq = b(j) & 0x0f
               if (tq > 3 || pq > 1) return None
+              qLoaded(tq) = true
               val t = q(tq)
               if (pq == 0) { var k = 0; while (k < 64) { t(k) = b(j + 1 + k) & 0xff; k += 1 }; j += 65 }
               else { var k = 0; while (k < 64) { t(k) = u16(j + 1 + 2 * k); k += 1 }; j += 129 }
@@ -1606,6 +1624,7 @@ object JpegCodec {
                 while (ci < comps.length) {
                   val c = comps(ci)
                   if (hDC(c.dcId) == null || hAC(c.acId) == null) return None
+                  if (!qLoaded(c.tq)) return None // referenced DQT never arrived
                   val qt = q(c.tq)
                   var v2 = 0
                   while (v2 < c.vs) {
@@ -1839,7 +1858,18 @@ object JpegCodec {
     * DCT — decode(encode(x)) == x exactly, which is this surface's
     * round-trip gate. Subsampled lossless frames (legal but
     * practically unused) and multi-scan non-interleaved layouts return
-    * None — a declared boundary, never a mis-decode. */
+    * None — a declared boundary, never a mis-decode.
+    *
+    * Validation (r10): besides the encode/decode round-trip gate,
+    * HAND-AUTHORED streams with hand-computed expected samples pin
+    * the readings a symmetric encoder/decoder misreading would hide —
+    * predictors 5/6 on odd negative (Rb−Rc)/(Ra−Rc) intermediates
+    * (T.81's arithmetic right shift, i.e. floor, not truncating
+    * division) and H.2.1's default-prediction scope at restarts
+    * (MultimodalSpec "hand-computed T.81 goldens"). No independent
+    * SOF3 codec exists in this container (libjpeg-turbo here is
+    * 2.1.x — lossless landed in 3.0; the JDK reader is 6b-based), so
+    * the spec text is the independent ground truth. */
   def decodeLossless(b: Array[Byte]): Option[(Int, Int, Int, Array[Int], Int)] = try {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None

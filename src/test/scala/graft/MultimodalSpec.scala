@@ -1492,4 +1492,133 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decode12(bytes.take(20)) === None)
     assert(JpegCodec.decode12(color.take(color.length - 3)) === None)
   }
+
+  test("r10: decode12 refuses a stream whose referenced DQT never arrived") {
+    import graft.operators.JpegCodec
+    // the quant arrays pre-zero, so before r10 a 12-bit SOF1 stream
+    // missing its DQT 'decoded' to a flat all-2048 raster instead of
+    // None — the 8-bit path always refused via qt.getOrElse
+    val good = JpegCodec.encodeDcOnlyGray12(16, 8, (bx, by) => 2 * (bx + by + 100))
+    val at = (0 until good.length - 1).find(k =>
+      (good(k) & 0xff) == 0xff && (good(k + 1) & 0xff) == 0xdb).get
+    val len = ((good(at + 2) & 0xff) << 8) | (good(at + 3) & 0xff)
+    val stripped = good.take(at) ++ good.drop(at + 2 + len)
+    assert(JpegCodec.decode12(good).isDefined)
+    assert(JpegCodec.decode12(stripped) === None)
+  }
+
+  /** Minimal entropy bit writer for the hand-authored streams below —
+    * deliberately NOT the codec's own BitWriter, so the fixtures stay
+    * independent of the code under test. */
+  private class HandBits {
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var acc = 0; private var n = 0
+    def bits(v: Int, k: Int): Unit = {
+      var i = k - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1); n += 1
+        if (n == 8) {
+          out += acc.toByte
+          if ((acc & 0xff) == 0xff) out += 0x00.toByte // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flushOnes(): Unit = while (n != 0) bits(1, 1)
+  }
+
+  /** One diff through the 8-codes-of-length-3 DC table (category c →
+    * code = 3-bit binary of c) + T.81 F.1.2.1 magnitude bits. */
+  private def handDiff(bw: HandBits, diff: Int): Unit = {
+    val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+    bw.bits(s, 3)
+    if (s > 0) bw.bits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+  }
+
+  // shared segments for the hand-authored streams: a DC Huffman table
+  // with eight length-3 codes for categories 0-7 (code(c) = c)
+  private def handDht: Seq[Int] =
+    Seq(0xff, 0xc4, 0x00, 0x1b, 0x00, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 1, 2, 3, 4, 5, 6, 7)
+
+  test("r10: lossless predictors validated against hand-computed T.81 goldens") {
+    import graft.operators.JpegCodec
+    // No independent SOF3 codec exists in this container (system
+    // libjpeg-turbo is 2.1.x — lossless landed in 3.0; the JDK reader
+    // is 6b-based), so the independent ground truth is the SPEC
+    // ITSELF: streams authored byte-by-byte with a test-local bit
+    // writer, expected samples computed by hand from H.1.2.1/H.2.1.
+    // The sample values are chosen to DISCRIMINATE the readings a
+    // symmetric encoder/decoder misreading would hide from the
+    // round-trip gate: predictors 5/6 hit odd NEGATIVE (Rb-Rc)/
+    // (Ra-Rc) intermediates, where T.81's arithmetic-right-shift
+    // (floor) differs from truncating division, and the DRI stream
+    // pins H.2.1's default-prediction scope at each restart.
+    def stream(psv: Int, dri: Int, diffs: Seq[Seq[Int]]): Array[Byte] = {
+      val head = Seq(0xff, 0xd8) ++ handDht ++
+        (if (dri > 0) Seq(0xff, 0xdd, 0x00, 0x04, (dri >> 8) & 0xff, dri & 0xff)
+         else Seq.empty) ++
+        Seq(0xff, 0xc3, 0x00, 0x0b, 8, 0, 3, 0, 3, 1, // prec 8, 3x3, 1 comp
+          1, 0x11, 0, // id 1, 1x1, tq 0 (unused in lossless)
+          0xff, 0xda, 0x00, 0x08, 1, 1, 0x00, psv, 0, 0x00)
+      val bw = new HandBits
+      diffs.zipWithIndex.foreach { case (interval, k) =>
+        if (k > 0) { // restart marker between intervals
+          bw.flushOnes()
+          bw.out += 0xff.toByte; bw.out += (0xd0 + ((k - 1) % 8)).toByte
+        }
+        interval.foreach(d => handDiff(bw, d))
+      }
+      bw.flushOnes()
+      (head.map(_.toByte) ++ bw.out ++ Seq(0xff.toByte, 0xd9.toByte)).toArray
+    }
+    // psv 5: P = Ra + ((Rb - Rc) >> 1); (1,2) has Rb-Rc = -55, whose
+    // arithmetic shift gives -28 (truncation would give -27 → 73)
+    val p5 = stream(5, 0, Seq(Seq(-118, 110, -55, 40, -5, 0, -5, 3, -3)))
+    val Some((3, 3, 1, o5, 8)) = JpegCodec.decodeLossless(p5)
+    assert(o5.toSeq === Seq(10, 120, 65, 50, 100, 72, 45, 73, 56))
+    // psv 6: P = Rb + ((Ra - Rc) >> 1); (1,2) has Ra-Rc = -19 → -10
+    // (truncation -9 → 56), (2,1) has -5 → -3 (truncation -2 → 99)
+    val p6 = stream(6, 0, Seq(Seq(-118, 110, -55, 40, -39, 0, -5, 0, 2)))
+    val Some((3, 3, 1, o6, 8)) = JpegCodec.decodeLossless(p6)
+    assert(o6.toSeq === Seq(10, 120, 65, 50, 101, 55, 45, 98, 55))
+    // psv 5 with DRI 4: MCUs 4 and 8 open restart intervals, so they
+    // predict the DEFAULT 2^(P-Pt-1) = 128 (H.2.1), NOT their
+    // neighbors — same raster as p5, different diffs prove the scope
+    val pr = stream(5, 4, Seq(
+      Seq(-118, 110, -55, 40), Seq(-28, 0, -5, 3), Seq(-72)))
+    val Some((3, 3, 1, or5, 8)) = JpegCodec.decodeLossless(pr)
+    assert(or5.toSeq === Seq(10, 120, 65, 50, 100, 72, 45, 73, 56))
+  }
+
+  test("r10: T.81 B.2.3 cap binds interleaved scans, not progressive frames") {
+    import graft.operators.JpegCodec
+    // hand-authored PROGRESSIVE color frame with sampling 4x1,1x1,1x1
+    // (sum 12 > 10): legal when every scan is non-interleaved — was
+    // refused at SOF parse before r10
+    def scan(compId: Int, diffs: Seq[Int]): Seq[Byte] = {
+      val bw = new HandBits
+      diffs.foreach(d => handDiff(bw, d))
+      bw.flushOnes()
+      Seq(0xff, 0xda, 0x00, 0x08, 1, compId, 0x00, 0, 0, 0x00).map(_.toByte) ++ bw.out
+    }
+    val dqt = Seq(0xff, 0xdb, 0x00, 0x43, 0x00) ++ Seq.fill(64)(1)
+    val sof = Seq(0xff, 0xc2, 0x00, 0x11, 8, 0, 8, 0, 32, 3, // prec 8, 8x32, 3 comps
+      1, 0x41, 0, 2, 0x11, 0, 3, 0x11, 0)
+    val head = (Seq(0xff, 0xd8) ++ dqt ++ handDht ++ sof).map(_.toByte)
+    // Y: 4 blocks (hs=4), DC 64 then flat → samples 64/8 + 128 = 136;
+    // Cb/Cr: one block each at DC 0 → neutral 128 → gray output
+    val ok = (head ++ scan(1, Seq(64, 0, 0, 0)) ++ scan(2, Seq(0)) ++ scan(3, Seq(0)) ++
+      Seq(0xff.toByte, 0xd9.toByte)).toArray
+    val Some((w, h, 3, px)) = JpegCodec.decodeImage(ok)
+    assert((w, h) === ((32, 8)))
+    assert(px.forall(b => (b & 0xff) == 136), "flat gray 136 expected")
+    // the SAME frame with an INTERLEAVED (Ns=3) DC scan is where
+    // B.2.3 actually binds: 12 data units per MCU → refused at SOS
+    val interleaved = (head ++
+      Seq(0xff, 0xda, 0x00, 0x0c, 3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00).map(_.toByte) ++
+      Seq(0x00.toByte, 0xff.toByte, 0xd9.toByte)).toArray
+    assert(JpegCodec.decodeImage(interleaved) === None)
+  }
 }
