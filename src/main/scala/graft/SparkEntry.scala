@@ -859,6 +859,27 @@ object SparkEntry {
            |order by chain""".stripMargin)
     },
 
+    // Derived event signatures under the gate (r10): keccak-256 of
+    // each reference view's canonical Solidity signature recomputed
+    // by the native [[graft.functions.Keccak256]] expression and
+    // compared to the registry constant the reference hard-codes
+    // (init.sql:213-222) — the topic0s become DERIVED facts. The
+    // twin hard-codes the same public constants, so a permutation,
+    // padding or lane-order bug in the sponge breaks the hash.
+    "q95_event_signatures" -> { (s, dir) =>
+      import s.implicits._
+      EventViews.referenceViews
+        .map(e => (EventViews.canonicalSignature(e), e.sigHash))
+        .toDF("signature", "registry_topic0")
+        .select(
+          col("signature"),
+          graft.functions.Keccak.eventTopic(col("signature")).as("topic0"),
+          (graft.functions.Keccak.eventTopic(col("signature")) === col("registry_topic0"))
+            .as("matches_registry"),
+          graft.functions.Keccak.selector(col("signature")).as("selector"))
+        .orderBy(col("signature"))
+    },
+
     // REAL WAV sample decode under the gate: 16-bit PCM data written
     // by the mini encoder (RIFF chunk walk, interleaved int16), sample
     // statistics vs the formula twin — a chunk-walk, endianness or
@@ -2568,6 +2589,37 @@ object SparkEntry {
         |from customer
         |group by chain
         |order by chain""".stripMargin,
+
+    // event-signature twin: the same ten public constants the
+    // reference ships (init.sql:213-222) as a VALUES table; the
+    // selector column re-derives as the topic prefix, so the twin
+    // checks the 4-byte-prefix property too
+    "q95_event_signatures" ->
+      """with r(signature, topic0) as (values
+        |  ('Approval(address,address,uint256)',
+        |   '0x8c5be1e5ebec7d5bd14f71427d1e84f3dd0314c0f7b2291e5b200ac8c7c3b925'),
+        |  ('AuthorityUpdated(address,address)',
+        |   '0xa3396fd7f6e0a21b50e5089d2da70d5ac0a3bbbd1f617a93f134b76389980198'),
+        |  ('Deposit(address,address,uint256,uint256)',
+        |   '0xdcbc1c05240f31ff3ad067ef1ee35ce4997762752e3a095284754544f4c709d7'),
+        |  ('FeePercentUpdated(address,uint256)',
+        |   '0xec370615cc81fb334e5566fbc80664d9082377bf59288d64a79f3fbecf4323a9'),
+        |  ('OwnershipTransferred(address,address)',
+        |   '0x8be0079c531659141344cd1fd0a4f28419497f9722a3daafe3b4186f6b6457e0'),
+        |  ('StrategyDeposit(address,uint256)',
+        |   '0xc6f6f91a48277d76f232cc08a9a30f6b05b3fd9b92c3180c25936e17a22a1025'),
+        |  ('StrategyWithdrawal(address,uint256)',
+        |   '0xd5ad0f046bd35f48b421a3e575435de38cea1980177b1c6da935d2f26049f3fa'),
+        |  ('TargetFloatPercentUpdated(address,uint256)',
+        |   '0x95bc4480b51f4860106d42850bcae222cf3303fb2b7d433e896205e0ebefe369'),
+        |  ('Transfer(address,address,uint256)',
+        |   '0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef'),
+        |  ('Withdraw(address,address,address,uint256,uint256)',
+        |   '0xfbde797d201c681b91056529119e0b02407c7bb96a4a2c75c01fc9667232c8db'))
+        |select signature, topic0, true as matches_registry,
+        |  substring(topic0, 1, 10) as selector
+        |from r
+        |order by signature""".stripMargin,
 
     // Sub-byte twin: gray samples scale by bit replication
     // (s · 255/max, exact integers — 255/85/17 for depths 1/2/4);

@@ -358,6 +358,11 @@ object Abi {
     reg("to_bytes", 2, a => toBytes(a(0), a(1)))
     reg("to_string", 2, a => toString(a(0), a(1)))
     reg("from_hex", 1, a => fromHex(a(0)))
+    // beyond init.sql (which hard-codes its topic0 constants): derive
+    // them — keccak256/event_topic/abi_selector ([[Keccak]] scaladoc)
+    reg("keccak256", 1, a => Keccak.keccak256(a(0)))
+    reg("event_topic", 1, a => Keccak.eventTopic(a(0)))
+    reg("abi_selector", 1, a => Keccak.selector(a(0)))
   }
 
   // ---- Reference-exact mode --------------------------------------------

@@ -34,6 +34,36 @@ object EventViews {
 
   case class EventDef(viewName: String, sigHash: String, fields: Seq[AbiField])
 
+  /** Canonical Solidity signature of an event def — the event name
+    * (the view-name prefix before the first `_`, per the reference's
+    * generator naming) over the comma-joined field types:
+    * `Transfer(address,address,uint256)`. `keccak256` of this string
+    * IS `sigHash` — spec-asserted for all ten [[referenceViews]], so
+    * the registry constants are derived facts, not trusted inputs,
+    * and a user can mint a new [[EventDef]] from a signature alone
+    * via [[fromSignature]]. */
+  def canonicalSignature(e: EventDef): String =
+    e.viewName.takeWhile(_ != '_') + e.fields.map(_.abiType).mkString("(", ",", ")")
+
+  /** Build an [[EventDef]] from a canonical signature, deriving the
+    * topic0 hash ([[graft.functions.Keccak.topicOf]]) and the
+    * reference generator's view naming (`init.sql:213-222` shape:
+    * name, then `type_field` pairs, `_d` suffix on non-indexed
+    * numerics decoded to decimal). */
+  def fromSignature(signature: String, fields: Seq[AbiField]): EventDef = {
+    val open = signature.indexOf('(')
+    require(open > 0 && signature.endsWith(")"), s"not a canonical signature: $signature")
+    val name = signature.substring(0, open)
+    val types = signature.substring(open + 1, signature.length - 1)
+    val parsed = if (types.isEmpty) Nil else types.split(",").toSeq
+    require(parsed == fields.map(_.abiType),
+      s"field types ${fields.map(_.abiType)} disagree with signature $signature")
+    val viewName = (name +: fields.map(fl =>
+      fl.abiType + "_" + fl.name + (if (!fl.indexed && fl.abiType.startsWith("uint")) "_d" else ""))
+    ).mkString("_")
+    EventDef(viewName, graft.functions.Keccak.topicOf(signature), fields)
+  }
+
   /** Decode one field given its source column and word position. */
   private def decodeCol(pos: Int, data: Column, abiType: String, mode: DecodeMode): Column =
     (mode, abiType) match {
