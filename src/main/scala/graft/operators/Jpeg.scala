@@ -135,6 +135,266 @@ object JpegCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  /** Progressive-Huffman scan machinery (T.81 F.2.4), shared between
+    * the 8-bit ([[decodeImage]]) and 12-bit ([[decode12]]) surfaces —
+    * coefficient decode is precision-independent; the single knob is
+    * the DC magnitude-category cap (11 at 8-bit, 15 at 12-bit,
+    * Tables F.1/F.6). Blocks accumulate into `Comp.coef` across
+    * scans; a restart resets `Comp.pred` and [[eobrun]] at the
+    * caller. EOB-run conventions per scan type are documented at the
+    * field. */
+  private final class ProgHuff(br: BitReader, ss: Int, se: Int,
+      ah: Int, al: Int, dcCap: Int) {
+    /** EOB-run state. Conventions differ by scan type (and never
+      * mix — the type is fixed per scan): in AC FIRST scans the
+      * value counts blocks remaining AFTER the one that read the
+      * EOBn symbol; in AC REFINEMENT scans it counts blocks still
+      * owed a correction pass INCLUDING the current one. */
+    var eobrun = 0
+
+    def dcBlock(c: Comp, off: Int, dc: Huff): Unit =
+      if (ah == 0) { // first DC scan: sequential diffs << Al
+        val s = dc.decode(br)
+        if (s > dcCap) throw new IllegalArgumentException("bad DC size")
+        c.pred += extend(br.receive(s), s)
+        c.coef(off) = c.pred << al
+      } else { // refinement: one raw bit per block
+        if (br.bit() == 1) c.coef(off) |= 1 << al
+      }
+
+    def acFirstBlock(c: Comp, off: Int, ac: Huff): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = ac.decode(br)
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            return
+          }
+        } else {
+          k += r
+          if (k > se) throw new IllegalArgumentException("AC overrun")
+          c.coef(off + k) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefineBlock(c: Comp, off: Int, ac: Huff): Unit = {
+      val p1 = 1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var toEob = false
+        while (k <= se && !toEob) {
+          val rs = ac.decode(br)
+          var r = rs >> 4; val s = rs & 0x0f
+          var newVal = 0
+          if (s != 0) {
+            if (s != 1) throw new IllegalArgumentException("bad refine size")
+            newVal = if (br.bit() == 1) p1 else -p1
+          } else if (r != 15) { // EOBn: current block still gets
+            eobrun = (1 << r)   // its correction pass below
+            if (r > 0) eobrun += br.receive(r)
+            toEob = true
+          }
+          if (!toEob) {
+            // advance past r zero-history positions, appending a
+            // correction bit to every nonzero coefficient passed
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = off + k
+              if (c.coef(idx) != 0) {
+                if (br.bit() == 1 && (math.abs(c.coef(idx)) & p1) == 0)
+                  c.coef(idx) += (if (c.coef(idx) > 0) p1 else -p1)
+              } else if (r == 0) {
+                if (newVal != 0) c.coef(idx) = newVal
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+            if (!placed && newVal != 0)
+              throw new IllegalArgumentException("refine overrun")
+          }
+        }
+      }
+      if (eobrun > 0) { // correction-only pass for this block
+        while (k <= se) {
+          val idx = off + k
+          if (c.coef(idx) != 0) {
+            if (br.bit() == 1 && (math.abs(c.coef(idx)) & p1) == 0)
+              c.coef(idx) += (if (c.coef(idx) > 0) p1 else -p1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+  }
+
+  /** Arithmetic-coded scan state (T.81 F.1.4 decode direction,
+    * mirrored from the flow validated byte-exactly against libjpeg on
+    * the golden corpus): QM decoder registers, per-table statistics
+    * areas, and per-component DC prediction/conditioning — reset
+    * together at scan start and at every restart marker (D.2.5).
+    * Shared by the 8-bit sequential (SOF9) and progressive (SOF10)
+    * paths and the 12-bit surface — the coefficient procedures are
+    * precision-independent (magnitude categories bounded by the
+    * 0x8000 overrun guard, wide enough for 12-bit values). Sequential
+    * AC decode IS the first-scan procedure over band [1,63] at Al=0,
+    * so [[acFirst]] serves both. */
+  private final class ArithScan(b: Array[Byte], start: Int,
+      dcTables: Seq[Int], acTables: Seq[Int], nComps: Int,
+      dcCondL: Int => Int, dcCondU: Int => Int, acCondK: Int => Int) {
+    var dec = new JpegArith.Decoder(b, start)
+    private def mkDc() = dcTables.distinct.map(t => t -> new Array[Byte](64)).toMap
+    private def mkAc() = acTables.distinct.map(t => t -> new Array[Byte](256)).toMap
+    private var dcStats = mkDc()
+    private var acStats = mkAc()
+    private var fixedBin = JpegArith.newFixedBin()
+    val lastDc = new Array[Int](nComps)
+    private val dcCtx = new Array[Int](nComps)
+
+    /** Skip to the next RSTn and re-init EVERYTHING; false when no
+      * marker remains (truncation). */
+    def restartReinit(): Boolean = {
+      var p = dec.pos
+      while (p + 1 < b.length &&
+        !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) >= 0xd0 && (b(p + 1) & 0xff) <= 0xd7))
+        p += 1
+      if (p + 1 >= b.length) return false
+      dec = new JpegArith.Decoder(b, p + 2)
+      dcStats = mkDc(); acStats = mkAc()
+      fixedBin = JpegArith.newFixedBin()
+      java.util.Arrays.fill(lastDc, 0)
+      java.util.Arrays.fill(dcCtx, 0)
+      true
+    }
+
+    /** One DC difference (F.1.4.4.1) for scan-component `csi` through
+      * table `dcId`; updates and returns the running DC prediction. */
+    def decodeDc(csi: Int, dcId: Int): Int = {
+      val dst = dcStats(dcId)
+      val ctx = dcCtx(csi)
+      if (dec.decode(dst, ctx) == 0) dcCtx(csi) = 0
+      else {
+        val sign = dec.decode(dst, ctx + 1)
+        var sti = ctx + 2 + sign
+        var mcat = dec.decode(dst, sti)
+        if (mcat != 0) {
+          sti = 20 // X1
+          mcat = 1
+          while (dec.decode(dst, sti) != 0) {
+            mcat <<= 1
+            if (mcat == 0x8000) throw new IllegalArgumentException("DC cat overrun")
+            sti += 1
+          }
+        }
+        // conditioning category for the NEXT block
+        dcCtx(csi) =
+          if (mcat < ((1 << dcCondL(dcId)) >> 1)) 0
+          else if (mcat > ((1 << dcCondU(dcId)) >> 1)) 12 + sign * 4
+          else 4 + sign * 4
+        var v = mcat
+        sti += 14
+        var mm = mcat
+        while (mm > 1) {
+          mm >>= 1
+          if (dec.decode(dst, sti) != 0) v |= mm
+        }
+        v += 1
+        if (sign != 0) v = -v
+        lastDc(csi) += v
+      }
+      lastDc(csi)
+    }
+
+    /** One DC refinement bit through the fixed (uncond.) bin. */
+    def dcRefineBit(): Int = dec.decode(fixedBin, 0)
+
+    /** AC band decode (F.1.4.4.2 / first progressive scan) into
+      * zigzag positions `coef(off+k)`, values << Al. */
+    def acFirst(acId: Int, coef: Array[Int], off: Int, ss: Int, se: Int, al: Int): Unit = {
+      val ast = acStats(acId)
+      var k = ss
+      var eob = false
+      while (k <= se && !eob) {
+        var sti = 3 * (k - 1)
+        if (dec.decode(ast, sti) != 0) eob = true // EOB
+        else {
+          while (dec.decode(ast, sti + 1) == 0) {
+            sti += 3; k += 1
+            if (k > se) throw new IllegalArgumentException("AC overrun")
+          }
+          val sign = dec.decode(fixedBin, 0)
+          sti += 2
+          var mcat = dec.decode(ast, sti)
+          if (mcat != 0) {
+            if (dec.decode(ast, sti) != 0) {
+              mcat = 2
+              sti = if (k <= acCondK(acId)) 189 else 217
+              while (dec.decode(ast, sti) != 0) {
+                mcat <<= 1
+                if (mcat == 0x8000) throw new IllegalArgumentException("AC cat overrun")
+                sti += 1
+              }
+            }
+          }
+          var v = mcat
+          sti += 14
+          var mm = mcat
+          while (mm > 1) {
+            mm >>= 1
+            if (dec.decode(ast, sti) != 0) v |= mm
+          }
+          v += 1
+          if (sign != 0) v = -v
+          coef(off + k) = v << al
+          k += 1
+        }
+      }
+    }
+
+    /** AC refinement scan (F.2.4.3 in the arithmetic domain):
+      * correction bits, new significances through st+1, EOB decisions
+      * only past the previous scan's last nonzero index. */
+    def acRefine(acId: Int, coef: Array[Int], off: Int, ss: Int, se: Int, al: Int): Unit = {
+      val ast = acStats(acId)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var kex = se
+      while (kex > 0 && coef(off + kex) == 0) kex -= 1
+      var k = ss
+      var eob = false
+      while (k <= se && !eob) {
+        var sti = 3 * (k - 1)
+        if (k > kex && dec.decode(ast, sti) != 0) eob = true
+        else {
+          var runDone = false
+          while (!runDone) {
+            val cv = coef(off + k)
+            if (cv != 0) {
+              if (dec.decode(ast, sti + 2) != 0)
+                coef(off + k) = cv + (if (cv < 0) m1 else p1)
+              runDone = true
+            } else if (dec.decode(ast, sti + 1) != 0) {
+              coef(off + k) =
+                if (dec.decode(fixedBin, 0) != 0) m1 else p1
+              runDone = true
+            } else {
+              sti += 3; k += 1
+              if (k > se) throw new IllegalArgumentException("AC refine overrun")
+            }
+          }
+          k += 1
+        }
+      }
+    }
+  }
+
   /** Zig-zag index → (row-major) position. */
   private val Zigzag: Array[Int] = {
     val z = new Array[Int](64)
@@ -452,116 +712,40 @@ object JpegCodec {
               c.pw = mcusX * c.hs * 8
               c.plane = new Array[Byte](c.pw * mcusY * c.vs * 8)
             }
-            var dec = new JpegArith.Decoder(b, i + 2 + len)
-            // per-table statistics areas + per-component DC state
-            var dcStats = comps.map(_.dcId).distinct.map(t => t -> new Array[Byte](64)).toMap
-            var acStats = comps.map(_.acId).distinct.map(t => t -> new Array[Byte](256)).toMap
-            var fixedBin = JpegArith.newFixedBin()
-            val lastDc = new Array[Int](comps.length)
-            val dcCtx = new Array[Int](comps.length)
+            // shared QM scan state ([[ArithScan]]); a restart re-inits
+            // decoder registers, statistics, DC predictions and
+            // conditioning contexts together
+            val as = new ArithScan(b, i + 2 + len,
+              comps.map(_.dcId).toSeq, comps.map(_.acId).toSeq, comps.length,
+              dcCondL, dcCondU, acCondK)
             var mcu = 0
             var my = 0
             while (my < mcusY) {
               var mx = 0
               while (mx < mcusX) {
                 if (dri > 0 && mcu > 0 && mcu % dri == 0) {
-                  // skip to the RSTn marker, then re-init EVERYTHING:
-                  // decoder registers, statistics, DC predictions and
-                  // conditioning contexts all reset at a restart
-                  var p = dec.pos
-                  while (p + 1 < b.length &&
-                    !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) >= 0xd0 && (b(p + 1) & 0xff) <= 0xd7))
-                    p += 1
-                  if (p + 1 >= b.length) return None
-                  dec = new JpegArith.Decoder(b, p + 2)
-                  dcStats = comps.map(_.dcId).distinct.map(t => t -> new Array[Byte](64)).toMap
-                  acStats = comps.map(_.acId).distinct.map(t => t -> new Array[Byte](256)).toMap
-                  fixedBin = JpegArith.newFixedBin()
-                  java.util.Arrays.fill(lastDc, 0)
-                  java.util.Arrays.fill(dcCtx, 0)
+                  if (!as.restartReinit()) return None
                 }
                 var ci = 0
                 while (ci < comps.length) {
                   val c = comps(ci)
                   val q = qt.getOrElse(c.tq, return None)
-                  val dst = dcStats(c.dcId)
-                  val ast = acStats(c.acId)
                   var v2 = 0
                   while (v2 < c.vs) {
                     var h2 = 0
                     while (h2 < c.hs) {
+                      // one block through the shared procedures:
+                      // DC (F.1.4.4.1) then the full AC band
+                      // (F.1.4.4.2 = acFirst over [1,63] at Al=0),
+                      // zigzag Ints dequantized after
+                      val zz = new Array[Int](64)
+                      zz(0) = as.decodeDc(ci, c.dcId)
+                      as.acFirst(c.acId, zz, 0, 1, 63, 0)
                       val coef = new Array[Double](64)
-                      // DC (T.81 F.1.4.4.1, mirrored from the decode
-                      // flow validated against libjpeg)
-                      val ctx = dcCtx(ci)
-                      if (dec.decode(dst, ctx) == 0) dcCtx(ci) = 0
-                      else {
-                        val sign = dec.decode(dst, ctx + 1)
-                        var sti = ctx + 2 + sign
-                        var mcat = dec.decode(dst, sti)
-                        if (mcat != 0) {
-                          sti = 20 // X1
-                          mcat = 1
-                          while (dec.decode(dst, sti) != 0) {
-                            mcat <<= 1
-                            if (mcat == 0x8000) throw new IllegalArgumentException("DC cat overrun")
-                            sti += 1
-                          }
-                        }
-                        // conditioning category for the NEXT block
-                        dcCtx(ci) =
-                          if (mcat < ((1 << dcCondL(c.dcId)) >> 1)) 0
-                          else if (mcat > ((1 << dcCondU(c.dcId)) >> 1)) 12 + sign * 4
-                          else 4 + sign * 4
-                        var v = mcat
-                        sti += 14
-                        var mm = mcat
-                        while (mm > 1) {
-                          mm >>= 1
-                          if (dec.decode(dst, sti) != 0) v |= mm
-                        }
-                        v += 1
-                        if (sign != 0) v = -v
-                        lastDc(ci) += v
-                      }
-                      coef(0) = lastDc(ci).toDouble * q(0)
-                      // AC (T.81 F.1.4.4.2)
-                      var k = 1
-                      var eob = false
-                      while (k <= 63 && !eob) {
-                        var sti = 3 * (k - 1)
-                        if (dec.decode(ast, sti) != 0) eob = true // EOB
-                        else {
-                          while (dec.decode(ast, sti + 1) == 0) {
-                            sti += 3; k += 1
-                            if (k > 63) throw new IllegalArgumentException("AC overrun")
-                          }
-                          val sign = dec.decode(fixedBin, 0)
-                          sti += 2
-                          var mcat = dec.decode(ast, sti)
-                          if (mcat != 0) {
-                            if (dec.decode(ast, sti) != 0) {
-                              mcat = 2
-                              sti = if (k <= acCondK(c.acId)) 189 else 217
-                              while (dec.decode(ast, sti) != 0) {
-                                mcat <<= 1
-                                if (mcat == 0x8000) throw new IllegalArgumentException("AC cat overrun")
-                                sti += 1
-                              }
-                            }
-                          }
-                          var v = mcat
-                          sti += 14
-                          var mm = mcat
-                          while (mm > 1) {
-                            mm >>= 1
-                            if (dec.decode(ast, sti) != 0) v |= mm
-                          }
-                          v += 1
-                          if (sign != 0) v = -v
-                          coef(Zigzag(k)) = v.toDouble * q(k)
-                          k += 1
-                        }
+                      var k = 0
+                      while (k < 64) {
+                        coef(Zigzag(k)) = zz(k).toDouble * q(k)
+                        k += 1
                       }
                       val px = idct(coef)
                       val ox0 = (mx * c.hs + h2) * 8
@@ -592,8 +776,8 @@ object JpegCodec {
             // the legitimate Annex D tail; the same bits past a
             // truncation would mis-decode into plausible garbage, so
             // refuse unless the stream still carries its EOI
-            if (dec.hitEnd) return None
-            var pe = dec.pos
+            if (as.dec.hitEnd) return None
+            var pe = as.dec.pos
             var sawEoi = false
             while (pe + 1 < b.length && !sawEoi) {
               if ((b(pe) & 0xff) == 0xff && (b(pe + 1) & 0xff) == 0xd9) sawEoi = true
@@ -638,66 +822,19 @@ object JpegCodec {
             if (ss == 0 && se != 0) return None // DC scans are band [0,0]
             if (ss > 0 && ns != 1) return None  // AC scans: one component
             if (ah != 0 && ah != al + 1) return None
-            // per-scan state: T.81 resets the statistics, the decoder
-            // registers, and the DC prediction/conditioning at every
-            // scan (and at every restart inside one)
-            var dec = new JpegArith.Decoder(b, i + 2 + len)
-            var dcStats = scanComps.map(_.dcId).distinct.map(t => t -> new Array[Byte](64)).toMap
-            var acStats = scanComps.map(_.acId).distinct.map(t => t -> new Array[Byte](256)).toMap
-            var fixedBin = JpegArith.newFixedBin()
-            val lastDc = new Array[Int](ns)
-            val dcCtx = new Array[Int](ns)
-            def restartReinit(): Boolean = {
-              var p = dec.pos
-              while (p + 1 < b.length &&
-                !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) >= 0xd0 && (b(p + 1) & 0xff) <= 0xd7))
-                p += 1
-              if (p + 1 >= b.length) return false
-              dec = new JpegArith.Decoder(b, p + 2)
-              dcStats = scanComps.map(_.dcId).distinct.map(t => t -> new Array[Byte](64)).toMap
-              acStats = scanComps.map(_.acId).distinct.map(t => t -> new Array[Byte](256)).toMap
-              fixedBin = JpegArith.newFixedBin()
-              java.util.Arrays.fill(lastDc, 0)
-              java.util.Arrays.fill(dcCtx, 0)
-              true
-            }
+            // per-scan state ([[ArithScan]]): T.81 resets the
+            // statistics, the decoder registers, and the DC
+            // prediction/conditioning at every scan (and at every
+            // restart inside one)
+            val as = new ArithScan(b, i + 2 + len,
+              scanComps.map(_.dcId).toSeq, scanComps.map(_.acId).toSeq, ns,
+              dcCondL, dcCondU, acCondK)
             // decode one block's DC (first or refinement) at coef `off`
             def dcBlock(csi: Int, c: Comp, off: Int): Unit =
-              if (ah == 0) { // DC first: the sequential model, << Al
-                val dst = dcStats(c.dcId)
-                val ctx = dcCtx(csi)
-                if (dec.decode(dst, ctx) == 0) dcCtx(csi) = 0
-                else {
-                  val sign = dec.decode(dst, ctx + 1)
-                  var sti = ctx + 2 + sign
-                  var mcat = dec.decode(dst, sti)
-                  if (mcat != 0) {
-                    sti = 20
-                    mcat = 1
-                    while (dec.decode(dst, sti) != 0) {
-                      mcat <<= 1
-                      if (mcat == 0x8000) throw new IllegalArgumentException("DC cat overrun")
-                      sti += 1
-                    }
-                  }
-                  dcCtx(csi) =
-                    if (mcat < ((1 << dcCondL(c.dcId)) >> 1)) 0
-                    else if (mcat > ((1 << dcCondU(c.dcId)) >> 1)) 12 + sign * 4
-                    else 4 + sign * 4
-                  var v = mcat
-                  sti += 14
-                  var mm = mcat
-                  while (mm > 1) {
-                    mm >>= 1
-                    if (dec.decode(dst, sti) != 0) v |= mm
-                  }
-                  v += 1
-                  if (sign != 0) v = -v
-                  lastDc(csi) += v
-                }
-                c.coef(off) = lastDc(csi) << al
-              } else { // DC refinement: one bit via the fixed bin
-                if (dec.decode(fixedBin, 0) != 0) c.coef(off) |= (1 << al)
+              if (ah == 0) // DC first: the sequential model, << Al
+                c.coef(off) = as.decodeDc(csi, c.dcId) << al
+              else { // DC refinement: one bit via the fixed bin
+                if (as.dcRefineBit() != 0) c.coef(off) |= (1 << al)
               }
             if (ss == 0) { // DC scan
               var mcu = 0
@@ -706,7 +843,7 @@ object JpegCodec {
                 while (my < mcusY) {
                   var mx = 0
                   while (mx < mcusX) {
-                    if (dri > 0 && mcu > 0 && mcu % dri == 0 && !restartReinit()) return None
+                    if (dri > 0 && mcu > 0 && mcu % dri == 0 && !as.restartReinit()) return None
                     var csi = 0
                     while (csi < ns) {
                       val c = scanComps(csi)
@@ -731,97 +868,27 @@ object JpegCodec {
                 val c = scanComps(0)
                 var blk = 0
                 while (blk < c.bw * c.bh) {
-                  if (dri > 0 && blk > 0 && blk % dri == 0 && !restartReinit()) return None
+                  if (dri > 0 && blk > 0 && blk % dri == 0 && !as.restartReinit()) return None
                   dcBlock(0, c, blk * 64)
                   blk += 1
                 }
               }
             } else { // AC scan: one component, its own block grid
               val c = scanComps(0)
-              val ast = acStats(c.acId)
               var blk = 0
               while (blk < c.bw * c.bh) {
-                if (dri > 0 && blk > 0 && blk % dri == 0 && !restartReinit()) return None
+                if (dri > 0 && blk > 0 && blk % dri == 0 && !as.restartReinit()) return None
                 val off = blk * 64
-                if (ah == 0) { // AC first: sequential model over the band, << Al
-                  var k = ss
-                  var eob = false
-                  while (k <= se && !eob) {
-                    var sti = 3 * (k - 1)
-                    if (dec.decode(ast, sti) != 0) eob = true
-                    else {
-                      while (dec.decode(ast, sti + 1) == 0) {
-                        sti += 3; k += 1
-                        if (k > se) throw new IllegalArgumentException("AC overrun")
-                      }
-                      val sign = dec.decode(fixedBin, 0)
-                      sti += 2
-                      var mcat = dec.decode(ast, sti)
-                      if (mcat != 0) {
-                        if (dec.decode(ast, sti) != 0) {
-                          mcat = 2
-                          sti = if (k <= acCondK(c.acId)) 189 else 217
-                          while (dec.decode(ast, sti) != 0) {
-                            mcat <<= 1
-                            if (mcat == 0x8000) throw new IllegalArgumentException("AC cat overrun")
-                            sti += 1
-                          }
-                        }
-                      }
-                      var v = mcat
-                      sti += 14
-                      var mm = mcat
-                      while (mm > 1) {
-                        mm >>= 1
-                        if (dec.decode(ast, sti) != 0) v |= mm
-                      }
-                      v += 1
-                      if (sign != 0) v = -v
-                      c.coef(off + k) = v << al
-                      k += 1
-                    }
-                  }
-                } else { // AC refinement (F.2.4.3): correction bits, new
-                  // significances through st+1, EOB decisions only past
-                  // the previous scan's last nonzero index
-                  val p1 = 1 << al
-                  val m1 = -1 << al
-                  var kex = se
-                  while (kex > 0 && c.coef(off + kex) == 0) kex -= 1
-                  var k = ss
-                  var eob = false
-                  while (k <= se && !eob) {
-                    var sti = 3 * (k - 1)
-                    if (k > kex && dec.decode(ast, sti) != 0) eob = true
-                    else {
-                      var runDone = false
-                      while (!runDone) {
-                        val cv = c.coef(off + k)
-                        if (cv != 0) {
-                          if (dec.decode(ast, sti + 2) != 0)
-                            c.coef(off + k) = cv + (if (cv < 0) m1 else p1)
-                          runDone = true
-                        } else if (dec.decode(ast, sti + 1) != 0) {
-                          c.coef(off + k) =
-                            if (dec.decode(fixedBin, 0) != 0) m1 else p1
-                          runDone = true
-                        } else {
-                          sti += 3; k += 1
-                          if (k > se) throw new IllegalArgumentException("AC refine overrun")
-                        }
-                      }
-                      k += 1
-                    }
-                  }
-                }
+                if (ah == 0) as.acFirst(c.acId, c.coef, off, ss, se, al)
+                else as.acRefine(c.acId, c.coef, off, ss, se, al)
                 blk += 1
               }
             }
-            if (dec.hitEnd) return None
+            if (as.dec.hitEnd) return None
             scansDone += 1
             // resume marker parsing at the next real marker (FF00 data
             // and RSTn inside the entropy have been consumed/handled)
-            var pe = dec.pos
+            var pe = as.dec.pos
             while (pe + 1 < b.length &&
               !((b(pe) & 0xff) == 0xff && (b(pe + 1) & 0xff) != 0 &&
                 !((b(pe + 1) & 0xff) >= 0xd0 && (b(pe + 1) & 0xff) <= 0xd7)))
@@ -868,94 +935,8 @@ object JpegCodec {
             if (ah != 0 && ah != al + 1) return None // successive approx steps by 1 bit
             val br = new BitReader(b, i + 2 + len)
             scanComps.foreach(_.pred = 0)
-            // EOB-run state. Conventions differ by scan type (and never
-            // mix — the type is fixed per scan): in AC FIRST scans the
-            // value counts blocks remaining AFTER the one that read the
-            // EOBn symbol; in AC REFINEMENT scans it counts blocks still
-            // owed a correction pass INCLUDING the current one.
-            var eobrun = 0
-
-            def dcBlock(c: Comp, off: Int, dc: Huff): Unit =
-              if (ah == 0) { // first DC scan: sequential diffs << Al
-                val s = dc.decode(br)
-                if (s > 11) throw new IllegalArgumentException("bad DC size")
-                c.pred += extend(br.receive(s), s)
-                c.coef(off) = c.pred << al
-              } else { // refinement: one raw bit per block
-                if (br.bit() == 1) c.coef(off) |= 1 << al
-              }
-
-            def acFirstBlock(c: Comp, off: Int, ac: Huff): Unit = {
-              if (eobrun > 0) { eobrun -= 1; return }
-              var k = ss
-              while (k <= se) {
-                val rs = ac.decode(br)
-                val r = rs >> 4; val s = rs & 0x0f
-                if (s == 0) {
-                  if (r == 15) k += 16 // ZRL
-                  else {
-                    eobrun = (1 << r) - 1
-                    if (r > 0) eobrun += br.receive(r)
-                    return
-                  }
-                } else {
-                  k += r
-                  if (k > se) throw new IllegalArgumentException("AC overrun")
-                  c.coef(off + k) = extend(br.receive(s), s) << al
-                  k += 1
-                }
-              }
-            }
-
-            def acRefineBlock(c: Comp, off: Int, ac: Huff): Unit = {
-              val p1 = 1 << al
-              var k = ss
-              if (eobrun == 0) {
-                var toEob = false
-                while (k <= se && !toEob) {
-                  val rs = ac.decode(br)
-                  var r = rs >> 4; val s = rs & 0x0f
-                  var newVal = 0
-                  if (s != 0) {
-                    if (s != 1) throw new IllegalArgumentException("bad refine size")
-                    newVal = if (br.bit() == 1) p1 else -p1
-                  } else if (r != 15) { // EOBn: current block still gets
-                    eobrun = (1 << r)   // its correction pass below
-                    if (r > 0) eobrun += br.receive(r)
-                    toEob = true
-                  }
-                  if (!toEob) {
-                    // advance past r zero-history positions, appending a
-                    // correction bit to every nonzero coefficient passed
-                    var placed = false
-                    while (k <= se && !placed) {
-                      val idx = off + k
-                      if (c.coef(idx) != 0) {
-                        if (br.bit() == 1 && (math.abs(c.coef(idx)) & p1) == 0)
-                          c.coef(idx) += (if (c.coef(idx) > 0) p1 else -p1)
-                      } else if (r == 0) {
-                        if (newVal != 0) c.coef(idx) = newVal
-                        placed = true
-                      } else r -= 1
-                      k += 1
-                    }
-                    if (!placed && newVal != 0)
-                      throw new IllegalArgumentException("refine overrun")
-                  }
-                }
-              }
-              if (eobrun > 0) { // correction-only pass for this block
-                while (k <= se) {
-                  val idx = off + k
-                  if (c.coef(idx) != 0) {
-                    if (br.bit() == 1 && (math.abs(c.coef(idx)) & p1) == 0)
-                      c.coef(idx) += (if (c.coef(idx) > 0) p1 else -p1)
-                  }
-                  k += 1
-                }
-                eobrun -= 1
-              }
-            }
+            // shared scan machinery ([[ProgHuff]]); 8-bit DC cap 11
+            val ph = new ProgHuff(br, ss, se, ah, al, 11)
 
             if (ns > 1) { // interleaved scan (DC band only, per above)
               val dcs: Array[Huff] =
@@ -974,7 +955,7 @@ object JpegCodec {
                 var mx = 0
                 while (mx < mcusX) {
                   if (dri > 0 && mcu > 0 && mcu % dri == 0) {
-                    br.restart(); scanComps.foreach(_.pred = 0); eobrun = 0
+                    br.restart(); scanComps.foreach(_.pred = 0); ph.eobrun = 0
                   }
                   var ci = 0
                   while (ci < ns) {
@@ -984,7 +965,7 @@ object JpegCodec {
                       var h2 = 0
                       while (h2 < c.hs) {
                         val blk = (my * c.vs + v2) * c.bw + mx * c.hs + h2
-                        dcBlock(c, blk * 64, dcs(ci))
+                        ph.dcBlock(c, blk * 64, dcs(ci))
                         h2 += 1
                       }
                       v2 += 1
@@ -1010,12 +991,12 @@ object JpegCodec {
                 var bx = 0
                 while (bx < nbx) {
                   if (dri > 0 && mcu > 0 && mcu % dri == 0) {
-                    br.restart(); c.pred = 0; eobrun = 0
+                    br.restart(); c.pred = 0; ph.eobrun = 0
                   }
                   val off = (by * c.bw + bx) * 64
-                  if (ss == 0) dcBlock(c, off, dc)
-                  else if (ah == 0) acFirstBlock(c, off, ac)
-                  else acRefineBlock(c, off, ac)
+                  if (ss == 0) ph.dcBlock(c, off, dc)
+                  else if (ah == 0) ph.acFirstBlock(c, off, ac)
+                  else ph.acRefineBlock(c, off, ac)
                   mcu += 1
                   bx += 1
                 }
