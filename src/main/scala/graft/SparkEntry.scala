@@ -820,6 +820,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // 12-BIT PROGRESSIVE + ARITHMETIC JPEG decode under the gate
+    // (r10 — the last non-hierarchical refusals closed): the q93
+    // lattice re-encoded as SOF2 (split + single-step), SOF9 and
+    // SOF10 frames by id mod 4, all through the shared
+    // ProgHuff/ArithScan machinery at DC cap 15. A successive-
+    // approximation, QM-conditioning or per-scan-reset bug shifts
+    // sample sums and breaks the hash (twin = q93's formula, since
+    // the DC-only exactness contract is frame-type-invariant).
+    "q96_12bit_progarith_jpeg_decode" -> { (s, dir) =>
+      Multimodal.decode12Stats(
+          Multimodal.syntheticJpeg12ProgArithMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // Per-chain catalog namespaces under the gate (r10 — the
     // db-create.sql:1-10 database-per-chain deploy as REAL Spark
     // catalog databases): synthetic transfer logs split even/odd
@@ -2554,6 +2569,33 @@ object SparkEntry {
     // 12-bit twin: q90's lattice shape at modulus 2048 (values
     // 0–4094, exact through the DC-only encode at level shift 2048)
     "q93_12bit_jpeg_decode" ->
+      """with d as (select doc_id,
+        |    doc_id % 4 + 1 as bw, doc_id % 3 + 1 as bh
+        |  from documents),
+        | t as (select d.doc_id, d.bw, d.bh,
+        |    2 * ((x.range + 3 * y.range + 11 * d.doc_id) % 2048) as v
+        |  from d cross join range(0, 4) x cross join range(0, 3) y
+        |  where x.range < d.bw and y.range < d.bh),
+        | agg as (select doc_id, bw, bh,
+        |    sum(v) as s, min(v) as mn, max(v) as mx
+        |  from t group by doc_id, bw, bh)
+        |select doc_id,
+        |  case when doc_id % 25 = 0 then 'unknown' else 'jpeg' end as format,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * 8 end as int) as width,
+        |  cast(case when doc_id % 25 = 0 then 0 else bh * 8 end as int) as height,
+        |  cast(case when doc_id % 25 = 0 then 0 else 1 end as int) as channels,
+        |  cast(case when doc_id % 25 = 0 then 0 else 12 end as int) as bit_depth,
+        |  cast(case when doc_id % 25 = 0 then 0 else bw * bh * 64 end as bigint) as n_samples,
+        |  cast(case when doc_id % 25 = 0 then 0 else s * 64 end as bigint) as sample_sum,
+        |  cast(case when doc_id % 25 = 0 then 0 else mn end as int) as sample_min,
+        |  cast(case when doc_id % 25 = 0 then 0 else mx end as int) as sample_max,
+        |  (doc_id % 25 <> 0) as valid
+        |from agg
+        |order by doc_id""".stripMargin,
+
+    // 12-bit progressive/arithmetic twin: identical to q93 — the
+    // frame type changes the entropy coding, never the decoded values
+    "q96_12bit_progarith_jpeg_decode" ->
       """with d as (select doc_id,
         |    doc_id % 4 + 1 as bw, doc_id % 3 + 1 as bh
         |  from documents),

@@ -33,9 +33,14 @@ package graft.operators
   * decode via [[decode12]], lossless SOF3 via [[decodeLossless]],
   * and sampling factors run the full legal 1–4 range under the
   * B.2.3 MCU cap (goldens from the system libjpeg, gen_samp.c).
-  * Remaining refusals — hierarchical/differential frames, 12-bit
-  * progressive/arithmetic, 2-component frames — are structural
-  * (SOF dispatch), refused, never mis-decoded. The CMYK specs gate the
+  * (r10) [[decode12]] carries the full non-hierarchical DCT matrix:
+  * progressive SOF2 and arithmetic SOF9/SOF10 at precision 12
+  * through the SAME scan machinery as the 8-bit paths
+  * ([[ProgHuff]]/[[ArithScan]] — the coefficient procedures are
+  * precision-independent; the one knob is the DC category cap,
+  * 11 vs 15). Remaining refusals — hierarchical/differential
+  * frames, 2-component frames — are structural (SOF dispatch),
+  * refused, never mis-decoded. The CMYK specs gate the
   * formulas against the tile encoder and cross-check the JDK at the
   * RASTER level (its SimpleCMYKColorSpace raster independently
   * confirms the inversion and the YCCK→R'G'B' transform; its final
@@ -1395,33 +1400,8 @@ object JpegCodec {
     var ctx = 0
     for (by <- 0 until h / 8; bx <- 0 until w / 8) {
       val coefv = Math.round(8.0 * ((v(bx, by) & 0xff) - 128) / QuantStep).toInt
-      val diff = coefv - last
+      ctx = arithPutDcDiff(enc, dc, ctx, coefv - last)
       last = coefv
-      if (diff == 0) { enc.encode(dc, ctx, 0); ctx = 0 }
-      else {
-        enc.encode(dc, ctx, 1)
-        val sign = if (diff < 0) 1 else 0
-        enc.encode(dc, ctx + 1, sign)
-        val m = math.abs(diff) - 1
-        var sti = ctx + 2 + sign
-        if (m == 0) enc.encode(dc, sti, 0)
-        else {
-          enc.encode(dc, sti, 1)
-          val msb = Integer.highestOneBit(m)
-          sti = 20 // X1
-          var bb = 1
-          while (bb < msb) { enc.encode(dc, sti, 1); sti += 1; bb <<= 1 }
-          enc.encode(dc, sti, 0)
-          sti += 14
-          bb = msb
-          while (bb > 1) {
-            bb >>= 1
-            enc.encode(dc, sti, if ((m & bb) != 0) 1 else 0)
-          }
-        }
-        val msb = if (m == 0) 0 else Integer.highestOneBit(m)
-        ctx = if (msb > 1) 12 + sign * 4 else 4 + sign * 4 // U=1 default
-      }
       enc.encode(ac, 0, 1) // EOB: no AC coefficients in a constant tile
     }
     out.write(enc.finish())
@@ -1472,22 +1452,28 @@ object JpegCodec {
     out.toByteArray
   }
 
-  // ---- 12-bit extended sequential (SOF1, precision 12) — r9 -----------
+  // ---- 12-bit DCT frames (SOF1/SOF2/SOF9/SOF10, precision 12) ---------
+  // ---- (sequential r9; progressive + arithmetic r10) ------------------
 
-  /** Decode a 12-BIT extended-sequential JPEG (SOF1, precision 12) to
-    * (w, h, channels, samples): channels = 1 (grayscale, w·h shorts in
-    * 0–4095) or 3 (w·h·3 interleaved 12-bit R'G'B' — the JFIF YCbCr
-    * conversion generalized to the 2048 center: R = Y + 1.402·(Cr−2048)
-    * etc., floor(x+0.5), clamp to 0–4095). 12-bit output CANNOT be a
-    * byte raster, so this is its own surface rather than a
-    * [[decodeImage]] case — the high-precision analog of
-    * [[decodeGray]]'s split. T.81 allows 16-bit DQT entries (Pq = 1)
-    * at this precision and DC categories up to 15 / AC magnitudes to
-    * 14 bits; both accepted. Sampling factors 1–4, restart markers,
-    * level shift 2048, exact double IDCT — the same machinery as the
-    * 8-bit path at the wider range. Anything that is not a well-formed
-    * 12-bit SOF1 frame (including 8-bit SOF1 — that is
-    * [[decodeImage]]'s job) returns None, never a mis-decode. */
+  /** Decode a 12-BIT DCT JPEG — extended sequential (SOF1),
+    * progressive (SOF2), or arithmetic-coded (SOF9 sequential /
+    * SOF10 progressive), all at precision 12 — to (w, h, channels,
+    * samples): channels = 1 (grayscale, w·h shorts in 0–4095) or 3
+    * (w·h·3 interleaved 12-bit R'G'B' — the JFIF YCbCr conversion
+    * generalized to the 2048 center: R = Y + 1.402·(Cr−2048) etc.,
+    * floor(x+0.5), clamp to 0–4095). 12-bit output CANNOT be a byte
+    * raster, so this is its own surface rather than a [[decodeImage]]
+    * case — the high-precision analog of [[decodeGray]]'s split. T.81
+    * allows 16-bit DQT entries (Pq = 1) at this precision and DC
+    * categories up to 15 / AC magnitudes to 14 bits; both accepted.
+    * Sampling factors 1–4, restart markers, level shift 2048, exact
+    * double IDCT — the same machinery as the 8-bit path at the wider
+    * range; the progressive and arithmetic scans run through the
+    * SHARED [[ProgHuff]]/[[ArithScan]] procedures (r10), so the two
+    * precisions cannot drift apart. Anything that is not a
+    * well-formed 12-bit DCT frame (including 8-bit frames — those are
+    * [[decodeImage]]'s job — and hierarchical/differential frames)
+    * returns None, never a mis-decode. */
   def decode12(b: Array[Byte]): Option[(Int, Int, Int, Array[Short])] = try {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -1502,17 +1488,122 @@ object JpegCodec {
     var w = 0; var h = 0
     var comps: Array[Comp] = null
     var dri = 0
+    var progressive = false
+    var arith = false
+    var scansDone = 0
+    // DAC conditioning (T.81 defaults): DC L=0/U=1, AC Kx=5 per table
+    val dcCondL = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    val dcCondU = scala.collection.mutable.Map[Int, Int]().withDefaultValue(1)
+    val acCondK = scala.collection.mutable.Map[Int, Int]().withDefaultValue(5)
+
+    // assemble 12-bit Short planes into the output raster: gray crop
+    // for 1 component, sample-replication upsample + JFIF YCbCr→RGB
+    // at the 2048 center for 3 — shared by the sequential and
+    // progressive paths (the [[emitImage]] analog at depth 12)
+    def emit12(planes: Array[Array[Short]], pws: Array[Int]): Option[(Int, Int, Int, Array[Short])] = {
+      val hmax = comps.map(_.hs).max
+      val vmax = comps.map(_.vs).max
+      if (comps.length == 1) {
+        val out = new Array[Short](w * h)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(planes(0), y * pws(0), out, y * w, w)
+          y += 1
+        }
+        Some((w, h, 1, out))
+      } else {
+        def samp(ci2: Int, x: Int, y: Int): Int = {
+          val c = comps(ci2)
+          planes(ci2)((y * c.vs / vmax) * pws(ci2) + (x * c.hs / hmax)) & 0xffff
+        }
+        def clamp12(d: Double): Int = {
+          val v = math.floor(d + 0.5).toInt
+          if (v < 0) 0 else if (v > 4095) 4095 else v
+        }
+        val out = new Array[Short](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val lum = samp(0, x, y)
+            val pb = samp(1, x, y) - 2048
+            val pr = samp(2, x, y) - 2048
+            val o = (y * w + x) * 3
+            out(o) = clamp12(lum + 1.402 * pr).toShort
+            out(o + 1) = clamp12(lum - 0.344136 * pb - 0.714136 * pr).toShort
+            out(o + 2) = clamp12(lum + 1.772 * pb).toShort
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, 3, out))
+      }
+    }
+
+    // EOI-presence integrity check from stream offset `pe`: entropy
+    // bits past a truncation would mis-decode into plausible garbage
+    def sawEoiFrom(pe0: Int): Boolean = {
+      var pe = pe0
+      while (pe + 1 < b.length) {
+        if ((b(pe) & 0xff) == 0xff && (b(pe + 1) & 0xff) == 0xd9) return true
+        pe += 1
+      }
+      false
+    }
+
     var i = 2
     while (i + 1 < b.length) {
       if ((b(i) & 0xff) != 0xff) return None
       val m = b(i + 1) & 0xff
-      if (m == 0xd9) return None // EOI before any scan
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else if (m == 0xd9) { // EOI
+        if (!progressive || scansDone == 0) return None
+        // progressive reconstruction: dequantize + de-zigzag + IDCT
+        // every accumulated block at the 2048 level shift
+        val planes = new Array[Array[Short]](comps.length)
+        val pws = new Array[Int](comps.length)
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          if (!qLoaded(c.tq)) return None
+          val qt = q(c.tq)
+          pws(ci) = c.bw * 8
+          planes(ci) = new Array[Short](c.bw * c.bh * 64)
+          var blk = 0
+          while (blk < c.bw * c.bh) {
+            val off = blk * 64
+            val d = new Array[Double](64)
+            var zz = 0
+            while (zz < 64) {
+              d(Zigzag(zz)) = c.coef(off + zz).toDouble * qt(zz)
+              zz += 1
+            }
+            val px = idct(d)
+            val ox0 = (blk % c.bw) * 8
+            val oy0 = (blk / c.bw) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                val v = math.round(px(yy * 8 + xx) + 2048.0).toInt
+                planes(ci)((oy0 + yy) * pws(ci) + ox0 + xx) =
+                  (if (v < 0) 0 else if (v > 4095) 4095 else v).toShort
+                xx += 1
+              }
+              yy += 1
+            }
+            blk += 1
+          }
+          ci += 1
+        }
+        return emit12(planes, pws)
+      }
       else {
         if (i + 3 >= b.length) return None
         val len = u16(i + 2)
         val seg = i + 4
         if (len < 2 || i + 2 + len > b.length) return None
+        var jump = -1 // progressive scans set this past their entropy data
         m match {
           case 0xdb =>
             var j = seg
@@ -1536,7 +1627,12 @@ object JpegCodec {
               if (tc == 0) hDC(th) = huff else hAC(th) = huff
               j += 17 + n
             }
-          case 0xc1 => // the 12-bit surface: extended sequential only
+          case 0xc1 | 0xc2 | 0xc9 | 0xca =>
+            // the 12-bit surface (r10): extended sequential (SOF1),
+            // progressive (SOF2), and their arithmetic twins
+            // (SOF9/SOF10) — the full non-hierarchical DCT matrix
+            progressive = m == 0xc2 || m == 0xca
+            arith = m == 0xc9 || m == 0xca
             if ((b(seg) & 0xff) != 12) return None
             h = u16(seg + 1); w = u16(seg + 3)
             val nComp = b(seg + 5) & 0xff
@@ -1549,15 +1645,27 @@ object JpegCodec {
             }
             if (comps.exists(c => c.hs < 1 || c.hs > 4 || c.vs < 1 || c.vs > 4))
               return None
-            if (nComp > 1 && comps.map(c => c.hs * c.vs).sum > 10)
-              return None // T.81 B.2.3 interleaved-MCU cap
+            // T.81 B.2.3 interleaved-MCU cap: a frame property for
+            // sequential (its one scan is interleaved); per-SOS for
+            // progressive (Ns = 1 scans are legal past the sum)
+            if (!progressive && nComp > 1 && comps.map(c => c.hs * c.vs).sum > 10)
+              return None
             if (nComp == 1 && (comps(0).hs != 1 || comps(0).vs != 1))
               return None
-          case 0xc0 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
-               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          case 0xc0 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // every other frame type has its own surface or refusal
+          case 0xcc => // DAC: arithmetic conditioning per table
+            var j = seg
+            while (j + 1 < i + 2 + len) {
+              val tc = (b(j) & 0xff) >> 4; val tb = b(j) & 0x0f
+              val v = b(j + 1) & 0xff
+              if (tc == 0) { dcCondL(tb) = v & 0x0f; dcCondU(tb) = v >> 4 }
+              else acCondK(tb) = v
+              j += 2
+            }
           case 0xdd => dri = u16(seg)
-          case 0xda =>
+
+          case 0xda if !progressive && !arith => // SOF1: one interleaved Huffman scan
             if (comps == null) return None
             if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
               w.toLong * h * comps.length > Multimodal.PixelCodec.MaxPixels / 2)
@@ -1654,52 +1762,283 @@ object JpegCodec {
               }
               my += 1
             }
-            // stream integrity: the EOI must still be present
-            var pe = br.pos
-            var sawEoi = false
-            while (pe + 1 < b.length && !sawEoi) {
-              if ((b(pe) & 0xff) == 0xff && (b(pe + 1) & 0xff) == 0xd9) sawEoi = true
-              pe += 1
+            if (!sawEoiFrom(br.pos)) return None
+            return emit12(planes, pws)
+
+          case 0xda if !progressive && arith => // SOF9: one interleaved arithmetic scan
+            if (comps == null) return None
+            if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
+              w.toLong * h * comps.length > Multimodal.PixelCodec.MaxPixels / 2)
+              return None
+            val ns = b(seg) & 0xff
+            if (ns != comps.length) return None
+            var j = seg + 1
+            var si = 0
+            while (si < ns) {
+              val cid = b(j) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.dcId = (b(j + 1) & 0xff) >> 4
+              c.acId = b(j + 1) & 0x0f
+              j += 2; si += 1
             }
-            if (!sawEoi) return None
-            if (comps.length == 1) {
-              val out = new Array[Short](w * h)
-              var y = 0
-              while (y < h) {
-                System.arraycopy(planes(0), y * pws(0), out, y * w, w)
-                y += 1
-              }
-              return Some((w, h, 1, out))
-            } else {
-              def samp(ci2: Int, x: Int, y: Int): Int = {
-                val c = comps(ci2)
-                planes(ci2)((y * c.vs / vmax) * pws(ci2) + (x * c.hs / hmax)) & 0xffff
-              }
-              def clamp12(d: Double): Int = {
-                val v = math.floor(d + 0.5).toInt
-                if (v < 0) 0 else if (v > 4095) 4095 else v
-              }
-              val out = new Array[Short](w * h * 3)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val lum = samp(0, x, y)
-                  val pb = samp(1, x, y) - 2048
-                  val pr = samp(2, x, y) - 2048
-                  val o = (y * w + x) * 3
-                  out(o) = clamp12(lum + 1.402 * pr).toShort
-                  out(o + 1) = clamp12(lum - 0.344136 * pb - 0.714136 * pr).toShort
-                  out(o + 2) = clamp12(lum + 1.772 * pb).toShort
-                  x += 1
+            val hmax = comps.map(_.hs).max
+            val vmax = comps.map(_.vs).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            val planes = new Array[Array[Short]](comps.length)
+            val pws = new Array[Int](comps.length)
+            var ci = 0
+            while (ci < comps.length) {
+              val c = comps(ci)
+              pws(ci) = mcusX * c.hs * 8
+              planes(ci) = new Array[Short](pws(ci) * mcusY * c.vs * 8)
+              ci += 1
+            }
+            val as = new ArithScan(b, i + 2 + len,
+              comps.map(_.dcId).toSeq, comps.map(_.acId).toSeq, comps.length,
+              dcCondL, dcCondU, acCondK)
+            var mcu = 0
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+                  if (!as.restartReinit()) return None
                 }
-                y += 1
+                ci = 0
+                while (ci < comps.length) {
+                  val c = comps(ci)
+                  if (!qLoaded(c.tq)) return None
+                  val qt = q(c.tq)
+                  var v2 = 0
+                  while (v2 < c.vs) {
+                    var h2 = 0
+                    while (h2 < c.hs) {
+                      val zz = new Array[Int](64)
+                      zz(0) = as.decodeDc(ci, c.dcId)
+                      as.acFirst(c.acId, zz, 0, 1, 63, 0)
+                      val coef = new Array[Double](64)
+                      var k = 0
+                      while (k < 64) {
+                        coef(Zigzag(k)) = zz(k).toDouble * qt(k)
+                        k += 1
+                      }
+                      val px = idct(coef)
+                      val ox0 = (mx * c.hs + h2) * 8
+                      val oy0 = (my * c.vs + v2) * 8
+                      var yy = 0
+                      while (yy < 8) {
+                        var xx = 0
+                        while (xx < 8) {
+                          val v = math.round(px(yy * 8 + xx) + 2048.0).toInt
+                          planes(ci)((oy0 + yy) * pws(ci) + ox0 + xx) =
+                            (if (v < 0) 0 else if (v > 4095) 4095 else v).toShort
+                          xx += 1
+                        }
+                        yy += 1
+                      }
+                      h2 += 1
+                    }
+                    v2 += 1
+                  }
+                  ci += 1
+                }
+                mcu += 1
+                mx += 1
               }
-              return Some((w, h, 3, out))
+              my += 1
             }
+            if (as.dec.hitEnd) return None
+            if (!sawEoiFrom(as.dec.pos)) return None
+            return emit12(planes, pws)
+
+          case 0xda => // progressive scan (SOF2 Huffman / SOF10 arithmetic): accumulate
+            if (comps == null) return None
+            // tighter cap: the cross-scan coefficient accumulator
+            // holds 4 bytes per sample per component
+            if (w > Multimodal.PixelCodec.MaxDim || h > Multimodal.PixelCodec.MaxDim ||
+              w.toLong * h * comps.length > Multimodal.PixelCodec.MaxPixels / 4)
+              return None
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > comps.length) return None
+            val hmax = comps.map(_.hs).max
+            val vmax = comps.map(_.vs).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            if (comps(0).coef == null) comps.foreach { c =>
+              c.bw = mcusX * c.hs
+              c.bh = mcusY * c.vs
+              c.coef = new Array[Int](c.bw * c.bh * 64)
+            }
+            val scanComps = new Array[Comp](ns)
+            var j = seg + 1
+            var si = 0
+            while (si < ns) {
+              val cid = b(j) & 0xff
+              scanComps(si) = comps.find(_.id == cid).getOrElse(return None)
+              scanComps(si).dcId = (b(j + 1) & 0xff) >> 4
+              scanComps(si).acId = b(j + 1) & 0x0f
+              j += 2; si += 1
+            }
+            // B.2.3 where it applies: only an INTERLEAVED scan is
+            // MCU-capped at 10 data units
+            if (ns > 1 && scanComps.map(c => c.hs * c.vs).sum > 10) return None
+            val ss = b(j) & 0xff
+            val se = b(j + 1) & 0xff
+            val ah = (b(j + 2) & 0xff) >> 4
+            val al = b(j + 2) & 0x0f
+            if (ss > se || se > 63 || al > 13 || ah > 14) return None
+            if (ss == 0 && se != 0) return None // DC scans are band [0,0]
+            if (ss > 0 && ns != 1) return None  // AC scans: one component
+            if (ah != 0 && ah != al + 1) return None // successive approx steps by 1 bit
+
+            if (!arith) { // SOF2: Huffman scans via the shared ProgHuff
+              val br = new BitReader(b, i + 2 + len)
+              scanComps.foreach(_.pred = 0)
+              // 12-bit DC cap 15 (Table F.6) — the one knob vs 8-bit
+              val ph = new ProgHuff(br, ss, se, ah, al, 15)
+              if (ns > 1) { // interleaved scan (DC band only, per above)
+                val dcs: Array[Huff] =
+                  if (ah == 0) {
+                    val arr = new Array[Huff](ns)
+                    var k2 = 0
+                    while (k2 < ns) {
+                      arr(k2) = hDC(scanComps(k2).dcId)
+                      if (arr(k2) == null) return None
+                      k2 += 1
+                    }
+                    arr
+                  } else new Array[Huff](ns) // refinement reads raw bits
+                var mcu = 0
+                var my = 0
+                while (my < mcusY) {
+                  var mx = 0
+                  while (mx < mcusX) {
+                    if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+                      br.restart(); scanComps.foreach(_.pred = 0); ph.eobrun = 0
+                    }
+                    var ci = 0
+                    while (ci < ns) {
+                      val c = scanComps(ci)
+                      var v2 = 0
+                      while (v2 < c.vs) {
+                        var h2 = 0
+                        while (h2 < c.hs) {
+                          val blk = (my * c.vs + v2) * c.bw + mx * c.hs + h2
+                          ph.dcBlock(c, blk * 64, dcs(ci))
+                          h2 += 1
+                        }
+                        v2 += 1
+                      }
+                      ci += 1
+                    }
+                    mcu += 1
+                    mx += 1
+                  }
+                  my += 1
+                }
+              } else { // non-interleaved: the component's own block grid
+                val c = scanComps(0)
+                val cw = (w * c.hs + hmax - 1) / hmax
+                val chgt = (h * c.vs + vmax - 1) / vmax
+                val nbx = (cw + 7) / 8
+                val nby = (chgt + 7) / 8
+                val dc = if (ss == 0 && ah == 0) {
+                  val t = hDC(c.dcId); if (t == null) return None; t
+                } else null
+                val ac = if (ss > 0) {
+                  val t = hAC(c.acId); if (t == null) return None; t
+                } else null
+                var mcu = 0
+                var by = 0
+                while (by < nby) {
+                  var bx = 0
+                  while (bx < nbx) {
+                    if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+                      br.restart(); c.pred = 0; ph.eobrun = 0
+                    }
+                    val off = (by * c.bw + bx) * 64
+                    if (ss == 0) ph.dcBlock(c, off, dc)
+                    else if (ah == 0) ph.acFirstBlock(c, off, ac)
+                    else ph.acRefineBlock(c, off, ac)
+                    mcu += 1
+                    bx += 1
+                  }
+                  by += 1
+                }
+              }
+              scansDone += 1
+              jump = br.pos // resume marker parsing after the entropy data
+            } else { // SOF10: arithmetic scans via the shared ArithScan
+              val as = new ArithScan(b, i + 2 + len,
+                scanComps.map(_.dcId).toSeq, scanComps.map(_.acId).toSeq, ns,
+                dcCondL, dcCondU, acCondK)
+              def dcBlock(csi: Int, c: Comp, off: Int): Unit =
+                if (ah == 0) c.coef(off) = as.decodeDc(csi, c.dcId) << al
+                else { if (as.dcRefineBit() != 0) c.coef(off) |= (1 << al) }
+              if (ss == 0) { // DC scan
+                var mcu = 0
+                if (ns == comps.length) { // interleaved over the MCU grid
+                  var my = 0
+                  while (my < mcusY) {
+                    var mx = 0
+                    while (mx < mcusX) {
+                      if (dri > 0 && mcu > 0 && mcu % dri == 0 && !as.restartReinit()) return None
+                      var csi = 0
+                      while (csi < ns) {
+                        val c = scanComps(csi)
+                        var v2 = 0
+                        while (v2 < c.vs) {
+                          var h2 = 0
+                          while (h2 < c.hs) {
+                            dcBlock(csi, c,
+                              ((my * c.vs + v2) * c.bw + mx * c.hs + h2) * 64)
+                            h2 += 1
+                          }
+                          v2 += 1
+                        }
+                        csi += 1
+                      }
+                      mcu += 1
+                      mx += 1
+                    }
+                    my += 1
+                  }
+                } else { // single component: its own block grid
+                  val c = scanComps(0)
+                  var blk = 0
+                  while (blk < c.bw * c.bh) {
+                    if (dri > 0 && blk > 0 && blk % dri == 0 && !as.restartReinit()) return None
+                    dcBlock(0, c, blk * 64)
+                    blk += 1
+                  }
+                }
+              } else { // AC scan: one component, its own block grid
+                val c = scanComps(0)
+                var blk = 0
+                while (blk < c.bw * c.bh) {
+                  if (dri > 0 && blk > 0 && blk % dri == 0 && !as.restartReinit()) return None
+                  val off = blk * 64
+                  if (ah == 0) as.acFirst(c.acId, c.coef, off, ss, se, al)
+                  else as.acRefine(c.acId, c.coef, off, ss, se, al)
+                  blk += 1
+                }
+              }
+              if (as.dec.hitEnd) return None
+              scansDone += 1
+              // resume at the next real marker (FF00 data and RSTn
+              // inside the entropy have been consumed/handled)
+              var pe = as.dec.pos
+              while (pe + 1 < b.length &&
+                !((b(pe) & 0xff) == 0xff && (b(pe + 1) & 0xff) != 0 &&
+                  !((b(pe + 1) & 0xff) >= 0xd0 && (b(pe + 1) & 0xff) <= 0xd7)))
+                pe += 1
+              jump = pe
+            }
+
           case _ => // APPn / COM / everything else skipped
         }
-        i += 2 + len
+        i = if (jump >= 0) jump else i + 2 + len
       }
     }
     None
@@ -1745,6 +2084,199 @@ object JpegCodec {
       pred = coefv
     }
     bw.flushWithOnes()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode one DC difference through the QM coder (T.81 F.1.4.4.1,
+    * encode direction, DEFAULT conditioning L=0/U=1 — no DAC marker
+    * written by any of these encoders); returns the conditioning
+    * context for the next block. Shared by the sequential and
+    * progressive arithmetic tile encoders at both precisions. */
+  private def arithPutDcDiff(enc: JpegArith.Encoder, dc: Array[Byte],
+      ctx: Int, diff: Int): Int =
+    if (diff == 0) { enc.encode(dc, ctx, 0); 0 }
+    else {
+      enc.encode(dc, ctx, 1)
+      val sign = if (diff < 0) 1 else 0
+      enc.encode(dc, ctx + 1, sign)
+      val m = math.abs(diff) - 1
+      var sti = ctx + 2 + sign
+      if (m == 0) enc.encode(dc, sti, 0)
+      else {
+        enc.encode(dc, sti, 1)
+        val msb = Integer.highestOneBit(m)
+        sti = 20 // X1
+        var bb = 1
+        while (bb < msb) { enc.encode(dc, sti, 1); sti += 1; bb <<= 1 }
+        enc.encode(dc, sti, 0)
+        sti += 14
+        bb = msb
+        while (bb > 1) {
+          bb >>= 1
+          enc.encode(dc, sti, if ((m & bb) != 0) 1 else 0)
+        }
+      }
+      val msb = if (m == 0) 0 else Integer.highestOneBit(m)
+      if (msb > 1) 12 + sign * 4 else 4 + sign * 4 // U=1 default
+    }
+
+  /** 12-bit PROGRESSIVE twin of [[encodeDcOnlyProgressiveGray]]:
+    * SOF2 precision 12, flat quant 16, per-8×8-tile constants in
+    * 0–4094. Scans: DC first (Al=1 when `split`), DC refinement (the
+    * low bit, raw), and one all-EOB AC scan — after the final scan
+    * every even tile reconstructs BIT-EXACTLY (DC = (c−2048)/2
+    * integral), the q93 gate device through the successive-
+    * approximation path. */
+  def encodeDcOnlyProgressiveGray12(w: Int, h: Int, v: (Int, Int) => Int,
+      split: Boolean = true): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(67); b(0) // DQT, table 0, Pq=0 (legal at 12-bit)
+    (0 until 64).foreach(_ => b(QuantStep))
+    b(0xff); b(0xc2); u16(11) // SOF2 progressive, precision 12
+    b(12); u16(h); u16(w); b(1)
+    b(1); b(0x11); b(0)
+    b(0xff); b(0xc4); u16(19 + DcVals.length); b(0x00) // DHT DC class 0 id 0
+    DcBits.foreach(b); DcVals.foreach(b)
+    b(0xff); b(0xc4); u16(19 + AcVals.length); b(0x10) // DHT AC class 1 id 0
+    AcBits.foreach(b); AcVals.foreach(b)
+    val bw8 = w / 8; val bh8 = h / 8
+    def coefOf(bx: Int, by: Int): Int =
+      Math.round(8.0 * ((v(bx, by) & 0xfff) - 2048) / QuantStep).toInt
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      b(0xff); b(0xda); u16(8)
+      b(1); b(1); b(0x00) // 1 comp; DC table 0 / AC table 0
+      b(ss); b(se); b((ah << 4) | al)
+    }
+    val al0 = if (split) 1 else 0
+    // scan 1: DC first, diffs of (coef >> Al)
+    sos(0, 0, 0, al0)
+    var bw = new BitWriter(out)
+    var pred = 0
+    for (by <- 0 until bh8; bx <- 0 until bw8) {
+      val coded = coefOf(bx, by) >> al0 // point transform (arithmetic)
+      val diff = coded - pred
+      pred = coded
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(s)
+      bw.put(code, len)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    bw.flushWithOnes()
+    if (split) { // scan 2: DC refinement — each block's low bit, raw
+      sos(0, 0, 1, 0)
+      bw = new BitWriter(out)
+      for (by <- 0 until bh8; bx <- 0 until bw8)
+        bw.put(coefOf(bx, by) & 1, 1)
+      bw.flushWithOnes()
+    }
+    // scan 3: AC band 1–63 — all zero, one EOB per block
+    sos(1, 63, 0, 0)
+    bw = new BitWriter(out)
+    val (ebCode, ebLen) = acCodes(0x00)
+    for (_ <- 0 until bw8 * bh8) bw.put(ebCode, ebLen)
+    bw.flushWithOnes()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** 12-bit ARITHMETIC twin of [[encodeDcOnlyArithGray]]: SOF9
+    * precision 12, the QM coder carrying the same even-tile
+    * exact-reconstruction contract at the 2048 center. No DAC marker
+    * (default conditioning). */
+  def encodeDcOnlyArithGray12(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(67); b(0) // DQT, table 0
+    (0 until 64).foreach(_ => b(QuantStep))
+    b(0xff); b(0xc9); u16(11) // SOF9: sequential, arithmetic, precision 12
+    b(12); u16(h); u16(w); b(1)
+    b(1); b(0x11); b(0)
+    b(0xff); b(0xda); u16(8) // SOS
+    b(1); b(1); b(0x00)
+    b(0); b(63); b(0)
+    val enc = new JpegArith.Encoder
+    val dc = new Array[Byte](64)
+    val ac = new Array[Byte](256)
+    var last = 0
+    var ctx = 0
+    for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+      val coefv = Math.round(8.0 * ((v(bx, by) & 0xfff) - 2048) / QuantStep).toInt
+      ctx = arithPutDcDiff(enc, dc, ctx, coefv - last)
+      last = coefv
+      enc.encode(ac, 0, 1) // EOB: no AC coefficients in a constant tile
+    }
+    out.write(enc.finish())
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** 12-bit PROGRESSIVE-ARITHMETIC tile encoder (SOF10): the
+    * [[encodeDcOnlyProgressiveGray12]] scan script carried by the QM
+    * coder — DC first (Al=1 when `split`, diffs of coef>>1), DC
+    * refinement (one fixed-bin bit per block), one all-EOB AC scan.
+    * Each scan is its own arithmetic codeword: statistics, registers
+    * and DC prediction reset per SOS (T.81 G.1.x), which is exactly
+    * what [[ArithScan]]'s per-scan construction assumes. Even tiles
+    * reconstruct BIT-EXACTLY after the final scan. */
+  def encodeDcOnlyProgressiveArithGray12(w: Int, h: Int, v: (Int, Int) => Int,
+      split: Boolean = true): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "tile encoder needs multiple-of-8 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def u16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(67); b(0) // DQT, table 0
+    (0 until 64).foreach(_ => b(QuantStep))
+    b(0xff); b(0xca); u16(11) // SOF10: progressive, arithmetic, precision 12
+    b(12); u16(h); u16(w); b(1)
+    b(1); b(0x11); b(0)
+    val bw8 = w / 8; val bh8 = h / 8
+    def coefOf(bx: Int, by: Int): Int =
+      Math.round(8.0 * ((v(bx, by) & 0xfff) - 2048) / QuantStep).toInt
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      b(0xff); b(0xda); u16(8)
+      b(1); b(1); b(0x00)
+      b(ss); b(se); b((ah << 4) | al)
+    }
+    val al0 = if (split) 1 else 0
+    // scan 1: DC first — QM-coded diffs of (coef >> Al)
+    sos(0, 0, 0, al0)
+    locally {
+      val enc = new JpegArith.Encoder
+      val dc = new Array[Byte](64)
+      var last = 0
+      var ctx = 0
+      for (by <- 0 until bh8; bx <- 0 until bw8) {
+        val coded = coefOf(bx, by) >> al0
+        ctx = arithPutDcDiff(enc, dc, ctx, coded - last)
+        last = coded
+      }
+      out.write(enc.finish())
+    }
+    if (split) { // scan 2: DC refinement — one fixed-bin bit per block
+      sos(0, 0, 1, 0)
+      val enc = new JpegArith.Encoder
+      val fb = JpegArith.newFixedBin()
+      for (by <- 0 until bh8; bx <- 0 until bw8)
+        enc.encode(fb, 0, coefOf(bx, by) & 1)
+      out.write(enc.finish())
+    }
+    // scan 3: AC band 1–63 — one EOB decision per block
+    sos(1, 63, 0, 0)
+    locally {
+      val enc = new JpegArith.Encoder
+      val ac = new Array[Byte](256)
+      for (_ <- 0 until bw8 * bh8) enc.encode(ac, 0, 1)
+      out.write(enc.finish())
+    }
     b(0xff); b(0xd9) // EOI
     out.toByteArray
   }

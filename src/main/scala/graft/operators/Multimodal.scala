@@ -2071,6 +2071,28 @@ object Multimodal {
       MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
     }(mediaEnc)
 
+  /** Deterministic 12-bit PROGRESSIVE/ARITHMETIC JPEG media (r10 —
+    * the last non-hierarchical DCT cells): the q93 lattice re-encoded
+    * through the three new frame types by id mod 4 — SOF2 with
+    * successive approximation, SOF2 single-step, SOF9 arithmetic,
+    * SOF10 progressive-arithmetic. Decoded values are identical to
+    * the SOF1 encode (the DC-only exactness contract is
+    * frame-type-invariant), so the q93 formula twin serves verbatim;
+    * every 25th payload truncated for the corrupt path. */
+  def syntheticJpeg12ProgArithMedia(documents: DataFrame): Dataset[MediaFile] =
+    documents.select(col("doc_id")).as(Encoders.scalaLong).map { id =>
+      val w = (id % 4 + 1).toInt * 8
+      val h = (id % 3 + 1).toInt * 8
+      def v(bx: Int, by: Int): Int = (2L * ((bx + 3L * by + 11L * id) % 2048)).toInt
+      val bytes = (id % 4) match {
+        case 0 => JpegCodec.encodeDcOnlyProgressiveGray12(w, h, v)
+        case 1 => JpegCodec.encodeDcOnlyProgressiveGray12(w, h, v, split = false)
+        case 2 => JpegCodec.encodeDcOnlyArithGray12(w, h, v)
+        case _ => JpegCodec.encodeDcOnlyProgressiveArithGray12(w, h, v)
+      }
+      MediaFile(id, "image", if (id % 25 == 0) bytes.take(8) else bytes)
+    }(mediaEnc)
+
   /** Deterministic LOSSLESS JPEG media (r9 — the SOF3 cell): grayscale
     * sample (x,y) = `(5x + 11y + 7·doc_id) mod 2^prec` with precision
     * cycling 8/12/16, predictor cycling 1–7, restart interval 3 on

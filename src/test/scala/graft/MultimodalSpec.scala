@@ -1507,6 +1507,62 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decode12(stripped) === None)
   }
 
+  test("r10: 12-bit progressive + arithmetic JPEG — the last non-hierarchical cells") {
+    import graft.operators.JpegCodec
+    // the q93 even-tile lattice: every frame type must reconstruct
+    // these constants BIT-EXACTLY (DC = (c−2048)/2 integral, flat
+    // quant 16, DC-only blocks)
+    def v(bx: Int, by: Int): Int = 2 * ((5 * bx + 3 * by + 271) % 2048)
+    val w = 32; val h = 24
+    def checkExact(name: String, bytes: Array[Byte]): Unit = {
+      val decoded = JpegCodec.decode12(bytes)
+      assert(decoded.isDefined, s"$name refused")
+      val Some((dw, dh, 1, px)) = decoded
+      assert((dw, dh) === ((w, h)), name)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xffff) === v(x / 8, y / 8), s"$name ($x,$y)")
+    }
+    // SOF2 progressive Huffman: successive approximation (DC first at
+    // Al=1, DC refinement, all-EOB AC scan) and the single-step form
+    val progSplit = JpegCodec.encodeDcOnlyProgressiveGray12(w, h, v)
+    val progOne = JpegCodec.encodeDcOnlyProgressiveGray12(w, h, v, split = false)
+    checkExact("SOF2/12 split", progSplit)
+    checkExact("SOF2/12 one-step", progOne)
+    // SOF9 sequential arithmetic: the QM coder at precision 12
+    val arith = JpegCodec.encodeDcOnlyArithGray12(w, h, v)
+    checkExact("SOF9/12", arith)
+    // SOF10 progressive arithmetic: per-scan codewords (stats,
+    // registers and DC prediction reset at each SOS)
+    val progArith = JpegCodec.encodeDcOnlyProgressiveArithGray12(w, h, v)
+    val progArithOne = JpegCodec.encodeDcOnlyProgressiveArithGray12(w, h, v, split = false)
+    checkExact("SOF10/12 split", progArith)
+    checkExact("SOF10/12 one-step", progArithOne)
+    // wide DC swings through the successive-approximation path:
+    // alternating 0/4094 tiles exercise category-11 diffs whose low
+    // bit rides the refinement scan
+    def sv(bx: Int, by: Int): Int = if ((bx + by) % 2 == 0) 0 else 4094
+    for ((nm, enc) <- Seq(
+      ("prog swing", JpegCodec.encodeDcOnlyProgressiveGray12(w, h, sv _)),
+      ("progArith swing", JpegCodec.encodeDcOnlyProgressiveArithGray12(w, h, sv _)),
+      ("arith swing", JpegCodec.encodeDcOnlyArithGray12(w, h, sv _)))) {
+      val Some((_, _, 1, spx)) = JpegCodec.decode12(enc)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((spx(y * w + x) & 0xffff) === sv(x / 8, y / 8), s"$nm ($x,$y)")
+    }
+    // cross-surface refusals hold: the 8-bit decoder refuses all
+    // 12-bit frame types; truncations are never a mis-decode (the
+    // progressive EOI check and the arithmetic hitEnd/EOI checks)
+    for (bytes <- Seq(progSplit, arith, progArith)) {
+      assert(JpegCodec.decodeImage(bytes) === None)
+      assert(JpegCodec.decode12(bytes.take(bytes.length - 3)) === None)
+      assert(JpegCodec.decode12(bytes.take(24)) === None)
+    }
+    // an 8-bit progressive stream stays the 8-bit surface's job
+    val eightProg = JpegCodec.encodeDcOnlyProgressiveGray(16, 8, (bx, by) => 2 * (bx + by + 30))
+    assert(JpegCodec.decode12(eightProg) === None)
+    assert(JpegCodec.decodeImage(eightProg).isDefined)
+  }
+
   /** Minimal entropy bit writer for the hand-authored streams below —
     * deliberately NOT the codec's own BitWriter, so the fixtures stay
     * independent of the code under test. */
