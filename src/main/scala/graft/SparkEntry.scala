@@ -874,6 +874,42 @@ object SparkEntry {
            |order by chain""".stripMargin)
     },
 
+    // Domain-level curation under the gate (r10, FineWeb shape):
+    // synthetic URLs fan documents over 7 domains through three
+    // authority spellings (www+port / userinfo / uppercase — all
+    // must collapse to one domain or the per-domain counts fragment
+    // and the hash breaks); two domains are flooded with an
+    // identical boilerplate body (corpus-wide md5 dup mark), one
+    // 3-doc domain is pure boilerplate but sits under minDocs (the
+    // small-domain guard), every 11th URL is unparseable (null
+    // domain → keep). mean-quality threshold is disabled here (the
+    // quality formula is q19's gate); dup_frac carries the decision.
+    "q97_domain_curation" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val site = concat(lit("site"), (col("doc_id") % 7).cast(StringType),
+        lit(".example.com"))
+      val url = when(col("doc_id") < 3,
+          concat(lit("https://www.tiny.example.com/p/"), id))
+        .when(col("doc_id") % 11 === 0, lit("not a url"))
+        .when(col("doc_id") % 3 === 0,
+          concat(lit("https://www."), site, lit(":443/p/"), id))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://crawler@"), site, lit("/p/"), id))
+        .otherwise(concat(lit("HTTPS://"), upper(site), lit("/p/"), id))
+      val body = when(col("doc_id") < 3 ||
+          ((col("doc_id") % 7 === 0 || col("doc_id") % 7 === 1) &&
+            col("doc_id") % 3 =!= 0),
+          lit("identical boilerplate body"))
+        .otherwise(col("text"))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"), body.as("body"))
+      Corpus.curateByDomain(docs, "url", "body",
+          minDocs = 5, maxDupFrac = 0.4, minMeanQuality = -1.0)
+        .select(col("doc_id"), col("domain"), col("n_docs"),
+          col("dup_frac"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // Derived event signatures under the gate (r10): keccak-256 of
     // each reference view's canonical Solidity signature recomputed
     // by the native [[graft.functions.Keccak256]] expression and
@@ -2631,6 +2667,33 @@ object SparkEntry {
         |from customer
         |group by chain
         |order by chain""".stripMargin,
+
+    // domain-curation twin: domains and bodies re-derive from the
+    // generation formulas (the URL spelling variants all collapse to
+    // one domain by construction); the dup mark is the same
+    // corpus-wide md5 count the engine computes
+    "q97_domain_curation" ->
+      """with d as (select doc_id,
+        |    case when doc_id < 3 then 'tiny.example.com'
+        |         when doc_id % 11 = 0 then null
+        |         else 'site' || (doc_id % 7) || '.example.com' end as domain,
+        |    case when doc_id < 3 or (doc_id % 7 in (0,1) and doc_id % 3 <> 0)
+        |         then 'identical boilerplate body' else text end as body
+        |  from documents),
+        | k as (select doc_id, domain, md5(body) as k from d),
+        | kn as (select k, count(*) as n from k group by k),
+        | m as (select k.doc_id, k.domain,
+        |    case when kn.n > 1 then 1 else 0 end as dup
+        |  from k join kn using (k)),
+        | stats as (select domain, count(*) as n_docs, sum(dup) as n_dup
+        |  from m where domain is not null group by domain)
+        |select m.doc_id, m.domain, stats.n_docs,
+        |  cast(stats.n_dup as double) / cast(stats.n_docs as double) as dup_frac,
+        |  (m.domain is null or stats.n_docs < 5 or
+        |   not (cast(stats.n_dup as double) / cast(stats.n_docs as double) > 0.4))
+        |    as keep
+        |from m left join stats using (domain)
+        |order by doc_id""".stripMargin,
 
     // event-signature twin: the same ten public constants the
     // reference ships (init.sql:213-222) as a VALUES table; the

@@ -495,4 +495,86 @@ object Corpus {
         (col("n_hits").cast(DoubleType) /
           greatest(col("n_grams"), lit(1)).cast(DoubleType)).as("contamination_frac"))
   }
+
+  // ---- domain-level curation (FineWeb/RefinedWeb shape) ------------
+  //
+  // Web-corpus filters act at TWO granularities: per-document signals
+  // (quality score, dedup) and per-DOMAIN aggregates — a domain whose
+  // pages are mostly boilerplate duplicates or low-quality templates
+  // is dropped wholesale even when individual pages squeak past the
+  // document thresholds. Scale shape: domain extraction is a
+  // projection; the duplicate-text mark is one md5 hash-aggregate
+  // (map-side combinable, the dedupLines key discipline); the domain
+  // aggregate is a second combinable groupBy; stats rejoin on
+  // `domain` (AQE broadcasts the domain table — domains ≪ docs).
+  // Nothing is quadratic and nothing windows globally.
+
+  /** Registrable-host of a URL: lowercased authority with any
+    * `user@`, port and leading `www.` stripped. Deliberately NOT
+    * eTLD+1 (a public-suffix list is a data dependency, not an
+    * algorithm); grouping by full host is the conservative direction
+    * — it never merges unrelated sites, it only splits large ones. */
+  def domainOf(url: Column): Column = {
+    val host0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$", 1))
+    val host1 = regexp_replace(host0, "^[^@]*@", "") // userinfo
+    val host2 = regexp_replace(host1, ":[0-9]*$", "") // port
+    val host = regexp_replace(host2, "^www\\.", "")
+    when(length(host) === 0, lit(null).cast(StringType)).otherwise(host)
+  }
+
+  /** Per-domain aggregates `(domain, n_docs, n_dup_docs, dup_frac,
+    * mean_quality, mean_tokens)` over `(urlCol, textCol)` docs.
+    * `n_dup_docs` counts docs whose exact text (md5 of the raw
+    * string) occurs more than once CORPUS-wide — the boilerplate
+    * signal; `mean_quality` is [[Text.qualityScore]]. Unparseable
+    * URLs aggregate under the null domain and are excluded. */
+  def domainStats(df: DataFrame, urlCol: String, textCol: String): DataFrame = {
+    val marked = withDupMark(df, urlCol, textCol)
+    marked
+      .filter(col("_domain").isNotNull)
+      .groupBy(col("_domain").as("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_dup")).as("n_dup_docs"),
+        avg(col("_q")).as("mean_quality"),
+        avg(col("_ntok").cast(DoubleType)).as("mean_tokens"))
+      .withColumn("dup_frac",
+        col("n_dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+  }
+
+  private def withDupMark(df: DataFrame, urlCol: String, textCol: String): DataFrame = {
+    val keyed = df
+      .withColumn("_domain", domainOf(col(urlCol)))
+      .withColumn("_k", md5(coalesce(col(textCol), lit(""))))
+      .withColumn("_q", Text.qualityScore(col(textCol)))
+      .withColumn("_ntok", Text.tokenCount(col(textCol)))
+    val multi = keyed.groupBy(col("_k")).agg(count(lit(1)).as("_kn"))
+      .filter(col("_kn") > 1)
+      .select(col("_k"), lit(1L).as("_dup"))
+    keyed.join(multi, Seq("_k"), "left")
+      .withColumn("_dup", coalesce(col("_dup"), lit(0L)))
+  }
+
+  /** Domain-level curation: annotate every doc with its domain's
+    * aggregates and a `keep` decision — a doc survives unless its
+    * domain has at least `minDocs` pages AND trips a threshold
+    * (duplicate fraction above `maxDupFrac`, or mean quality below
+    * `minMeanQuality`). Small domains (< `minDocs`) never trip — a
+    * two-page site is not statistical evidence; their docs fall back
+    * to the per-document filters upstream. Docs with no parseable
+    * domain keep (no evidence either way). One stats pass + one
+    * broadcast-sized rejoin; linear at any corpus size. */
+  def curateByDomain(df: DataFrame, urlCol: String, textCol: String,
+      minDocs: Long = 5, maxDupFrac: Double = 0.5,
+      minMeanQuality: Double = 0.3): DataFrame = {
+    val stats = domainStats(df, urlCol, textCol)
+      .select(col("domain").as("_sd"), col("n_docs"), col("dup_frac"),
+        col("mean_quality"))
+    df.withColumn("domain", domainOf(col(urlCol)))
+      .join(stats, col("domain") === col("_sd"), "left")
+      .withColumn("keep",
+        col("domain").isNull || col("n_docs") < minDocs ||
+          !(col("dup_frac") > maxDupFrac || col("mean_quality") < minMeanQuality))
+      .drop("_sd")
+  }
 }

@@ -481,4 +481,59 @@ class CorpusSpec extends SparkSpec {
     assert(got("b") === (0 until 66 by 5).map(bIds))
     assert(got("a").size + got("b").size === 7 + 14)
   }
+
+  test("domainOf: authority spellings collapse, non-URLs null") {
+    val got = Seq(
+      "https://www.Example.COM:443/p/1",
+      "http://user:pw@example.com:80/x",
+      "HTTPS://EXAMPLE.COM/y?q=1#f",
+      "https://sub.example.com/z",
+      "not a url",
+      "")
+      .toDF("url")
+      .select(Corpus.domainOf($"url").as("d"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0) === Some("example.com"))
+    assert(got(1) === Some("example.com"))
+    assert(got(2) === Some("example.com"))
+    assert(got(3) === Some("sub.example.com")) // full host, not eTLD+1 — by contract
+    assert(got(4) === None)
+    assert(got(5) === None)
+  }
+
+  test("curateByDomain: dup flood drops, quality floor drops, small domains and null domains keep") {
+    val prose = "The quick brown fox jumps over the lazy dog and then rests in the shade."
+    val rows =
+      // spam.com: 6 docs, 5 identical boilerplate → dup_frac > 0.5
+      (1L to 6L).map(i => (i, s"https://spam.com/p/$i",
+        if (i < 6) "identical boilerplate" else prose + i)) ++
+      // junk.com: 6 distinct but degenerate bodies (pure punctuation
+      // → qualityScore ~0) → mean quality below the floor
+      (11L to 16L).map(i => (i, s"https://junk.com/p/$i", "!!!" * i.toInt)) ++
+      // good.com: 6 distinct prose docs → survives both thresholds
+      (21L to 26L).map(i => (i, s"https://good.com/p/$i", prose + i)) ++
+      // tiny.com: 3 docs of pure boilerplate — would trip, but sits
+      // under minDocs, so the small-domain guard keeps it
+      (31L to 33L).map(i => (i, s"https://tiny.com/p/$i", "identical boilerplate")) ++
+      // unparseable URL → null domain → keep
+      Seq((41L, "nope", prose))
+    val out = Corpus.curateByDomain(
+        rows.toDF("doc_id", "url", "body"), "url", "body",
+        minDocs = 5, maxDupFrac = 0.5, minMeanQuality = 0.2)
+      .select($"doc_id", $"domain", $"keep")
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getBoolean(2))).toMap
+    for (i <- 1L to 6L) assert(out(i) === ((Some("spam.com"), false)), s"doc $i")
+    for (i <- 11L to 16L) assert(out(i) === ((Some("junk.com"), false)), s"doc $i")
+    for (i <- 21L to 26L) assert(out(i) === ((Some("good.com"), true)), s"doc $i")
+    for (i <- 31L to 33L) assert(out(i) === ((Some("tiny.com"), true)), s"doc $i")
+    assert(out(41L) === ((None, true)))
+    // domainStats agrees on the aggregates driving those decisions
+    val st = Corpus.domainStats(rows.toDF("doc_id", "url", "body"), "url", "body")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("dup_frac"))).toMap
+    assert(st("spam.com")._1 === 6L)
+    assert(st("spam.com")._2 > 0.5) // 5 of 6 share one md5
+    assert(st("good.com")._2 === 0.0)
+    assert(st("tiny.com") === ((3L, 1.0))) // corpus-wide mark: matches spam's boilerplate
+    assert(!st.contains(null))
+  }
 }
