@@ -1652,6 +1652,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Kneser–Ney bigram scoring under the gate (r10): train on even
+    // docs, score odd (the q84 split) with interpolated KN — the
+    // twin mirrors the probability expression tree VERBATIM
+    // (max(c−D,0)/c1 + D·n1p/c1·pcont, pcont = n1pl/B with the
+    // 1/(B+1) unk floor), so min_p/max_p hash-match as exact IEEE
+    // doubles alongside the integer hit/context/count columns. A
+    // discount, continuation-count or backoff bug moves min_p/max_p.
+    "q98_kn_score" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val model = Corpus.bigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+      Corpus.knScore(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("n_hit"),
+          col("n_ctx_hit"), col("sum_c12"), col("min_p"), col("max_p"))
+        .orderBy(col("doc_id"))
+    },
+
     // CCNet-style corpus-wide line dedup under the gate: both engines
     // build the same multi-line docs from `part` (a universal
     // boilerplate header, a mostly-unique name line, brand/type lines
@@ -3251,6 +3267,42 @@ object SparkEntry {
         |  cast(n_hit as bigint) as n_hit, cast(n_oov as bigint) as n_oov,
         |  cast(sum_c12 as bigint) as sum_c12
         |from s order by doc_id""".stripMargin,
+
+    // KN twin: the q84 bigram CTEs plus the model-derived context/
+    // continuation tables; the probability CASE mirrors knScore's
+    // column expression operation-for-operation
+    "q98_kn_score" ->
+      s"""with n as (select doc_id, $OracleNorm as norm from documents),
+        |t as (select doc_id, string_split(norm, ' ') as w from n where length(norm) > 0),
+        |b as (select doc_id, w[i] as w1, w[i + 1] as w2
+        |  from (select doc_id, w, unnest(range(1, len(w))) as i from t)),
+        |m as (select w1, w2, count(*) as cnt from b where doc_id % 2 = 0 group by 1, 2),
+        |ctx as (select w1, sum(cnt) as c1, count(*) as n1p from m group by 1),
+        |cont as (select w2, count(*) as n1pl from m group by 1),
+        |bt as (select count(*) as bb from m),
+        |p0 as (select b.doc_id, m.cnt, ctx.c1, ctx.n1p,
+        |    coalesce(cast(cont.n1pl as double) / cast(bt.bb as double),
+        |             1.0 / cast(bt.bb + 1 as double)) as pcont
+        |  from b
+        |  left join m on b.w1 = m.w1 and b.w2 = m.w2
+        |  left join ctx on b.w1 = ctx.w1
+        |  left join cont on b.w2 = cont.w2
+        |  cross join bt
+        |  where b.doc_id % 2 = 1),
+        |p1 as (select doc_id, cnt, c1,
+        |    case when c1 is not null then
+        |      greatest(cast(coalesce(cnt, 0) as double) - 0.75, 0.0)
+        |        / cast(c1 as double)
+        |      + (0.75 * cast(n1p as double) / cast(c1 as double)) * pcont
+        |    else pcont end as p
+        |  from p0)
+        |select doc_id,
+        |  cast(count(*) as bigint) as n_bigrams,
+        |  cast(sum(case when cnt is not null then 1 else 0 end) as bigint) as n_hit,
+        |  cast(sum(case when c1 is not null then 1 else 0 end) as bigint) as n_ctx_hit,
+        |  cast(sum(coalesce(cnt, 0)) as bigint) as sum_c12,
+        |  min(p) as min_p, max(p) as max_p
+        |from p1 group by doc_id order by doc_id""".stripMargin,
 
     "q83_line_dedup" ->
       """with t as (select p_partkey,

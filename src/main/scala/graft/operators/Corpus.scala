@@ -330,6 +330,78 @@ object Corpus {
         exp(-col("ll") / col("n_bigrams").cast(DoubleType)))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995) over
+    * a [[bigramModel]] count table — the smoothing family KenLM
+    * implements, i.e. the ACTUAL shape of CCNet's perplexity filter,
+    * next to [[lmScore]]'s simpler add-k form:
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1) + λ(w1)·Pcont(w2)
+    *   λ(w1)    = D·N1+(w1·)/c(w1)
+    *   Pcont(w2)= N1+(·w2)/B    (B = distinct bigram types)
+    *
+    * with absolute discount `D` ∈ (0,1). Unseen context w1 backs off
+    * to Pcont(w2) alone; a w2 the model never saw in ANY context
+    * takes the `unkP` floor (default 1/(B+1)). Returns per doc:
+    * `n_bigrams`, `n_hit` (pair in model), `n_ctx_hit` (context in
+    * model), `sum_c12`, `min_p`/`max_p` (extreme per-bigram
+    * probabilities — order-independent doubles, hash-gateable
+    * cross-engine unlike the log-sum), `ll`, `ppl`.
+    *
+    * Scale shape = [[lmScore]]: the model and its two derived tables
+    * (context totals + continuation counts, both combinable aggs of
+    * the model) broadcast by default; doc bigrams explode map-side;
+    * per-doc results are one combinable aggregate. `B` is one scalar
+    * count over the model (same class as lmScore's V action). The
+    * probability expression tree is mirrored verbatim in the q98
+    * twin — identical IEEE operations, so min_p/max_p hash-match. */
+  def knScore(
+      docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
+      discount: Double = 0.75, unkP: Option[Double] = None,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"KN discount must be in (0,1), got $discount")
+    val bTypes = model.count() // distinct pair types: model rows are (w1,w2)-unique
+    require(bTypes > 0, "knScore needs a nonempty model")
+    val unk = unkP.getOrElse(1.0 / (bTypes + 1).toDouble)
+    val contexts = model.groupBy(col("w1"))
+      .agg(sum(col("cnt")).as("c1"), count(lit(1)).as("n1p"))
+    val continuations = model.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1pl"))
+    val (m, ctx, cont) =
+      if (broadcastModel)
+        (broadcast(model), broadcast(contexts), broadcast(continuations))
+      else (model, contexts, continuations)
+    val pairs = docs
+      .select(col(idCol).as("id"), Text.normalized(col(textCol)).as("_n"))
+      .select(col("id"), Text.tokens(col("_n")).as("_toks"))
+      .select(col("id"), explode(Dedup.shinglesFromTokens(col("_toks"), 2)).as("_g"))
+      .select(col("id"), split(col("_g"), " ").as("_p"))
+      .select(col("id"), col("_p").getItem(0).as("w1"), col("_p").getItem(1).as("w2"))
+    val scored = pairs
+      .join(m, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .withColumn("_pcont",
+        coalesce(col("n1pl").cast(DoubleType) / lit(bTypes.toDouble), lit(unk)))
+      .withColumn("_prob",
+        when(col("c1").isNotNull,
+          greatest(coalesce(col("cnt"), lit(0L)).cast(DoubleType) - lit(discount),
+              lit(0.0)) / col("c1").cast(DoubleType) +
+            (lit(discount) * col("n1p").cast(DoubleType) /
+              col("c1").cast(DoubleType)) * col("_pcont"))
+          .otherwise(col("_pcont")))
+    scored.groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("c1").isNotNull, 1L).otherwise(0L)).as("n_ctx_hit"),
+        sum(coalesce(col("cnt"), lit(0L))).as("sum_c12"),
+        min(col("_prob")).as("min_p"),
+        max(col("_prob")).as("max_p"),
+        sum(log(col("_prob"))).as("ll"))
+      .withColumn("ppl", exp(-col("ll") / col("n_bigrams").cast(DoubleType)))
+  }
+
   /** CCNet-style corpus-wide LINE dedup (Wenzek et al. 2020 §4.1:
     * hash each paragraph/line, keep only first occurrences — removes
     * boilerplate headers/footers/cookie banners that repeat across

@@ -482,6 +482,45 @@ class CorpusSpec extends SparkSpec {
     assert(got("a").size + got("b").size === 7 + 14)
   }
 
+  test("knScore: interpolated Kneser–Ney — driver math, backoff chain, normalization") {
+    val train = Seq(
+      (0L, "the cat sat"), (2L, "the cat ran"), (4L, "a dog sat")
+    ).toDF("doc_id", "text")
+    val model = Corpus.bigramModel(train, "text")
+    // model: (the,cat):2 (cat,sat):1 (cat,ran):1 (a,dog):1 (dog,sat):1
+    // → B=5; ctx: the(c1=2,n1p=1) cat(2,2) a(1,1) dog(1,1);
+    //   cont n1pl: cat=1 sat=2 ran=1 dog=1
+    val D = 0.75; val B = 5.0; val unk = 1.0 / (B + 1)
+    val r = Corpus.knScore(
+        Seq((1L, "the cat sat zzz")).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect()(0)
+    // (the,cat) hit; (cat,sat) hit; (sat,zzz): 'sat' is no context →
+    // Pcont(zzz) → zzz never a continuation → unk floor
+    val p1 = (2 - D) / 2 + (D * 1 / 2) * (1 / B)
+    val p2 = (1 - D) / 2 + (D * 2 / 2) * (2 / B)
+    val p3 = unk
+    assert(r.getAs[Long]("n_bigrams") === 3L)
+    assert(r.getAs[Long]("n_hit") === 2L)
+    assert(r.getAs[Long]("n_ctx_hit") === 2L)
+    assert(r.getAs[Long]("sum_c12") === 3L)
+    assert(math.abs(r.getAs[Double]("min_p") - Seq(p1, p2, p3).min) < 1e-12)
+    assert(math.abs(r.getAs[Double]("max_p") - Seq(p1, p2, p3).max) < 1e-12)
+    val ll = math.log(p1) + math.log(p2) + math.log(p3)
+    assert(math.abs(r.getAs[Double]("ll") - ll) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ppl") - math.exp(-ll / 3)) < 1e-9)
+    // KN normalization: for a seen context, P sums to EXACTLY 1 over
+    // the continuation vocabulary (the property that distinguishes a
+    // real probability model from a heuristic score)
+    val w2Vocab = Seq("cat", "sat", "ran", "dog")
+    val probeDocs = w2Vocab.zipWithIndex
+      .map { case (x, i) => (i.toLong, s"cat $x") }
+      .toDF("doc_id", "text")
+    val probs = Corpus.knScore(probeDocs, "doc_id", "text", model)
+      .select($"min_p").collect().map(_.getDouble(0))
+    assert(math.abs(probs.sum - 1.0) < 1e-12, s"sum=${probs.sum}")
+  }
+
   test("domainOf: authority spellings collapse, non-URLs null") {
     val got = Seq(
       "https://www.Example.COM:443/p/1",
