@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Abi, Text}
-import graft.operators.{AsOfJoin, Bpe, Corpus, Dedup, EventViews, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Bpe, Corpus, Dedup, EventViews, Multimodal, Similarity, Unigram}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1652,6 +1652,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Unigram-LM tokenization under the gate (r10): Viterbi over a
+    // FIXED uniform-logp vocabulary degenerates to fewest-pieces
+    // segmentation — a dictionary DP DuckDB replays with a recursive
+    // CTE (piece COUNT is unique even where the argmax segmentation
+    // ties, so the count hash-gates the lattice; trained-probability
+    // Viterbi and EM are spec-gated — no SQL can express them). The
+    // char universe is closed ([a-z0-9] after normalization), so the
+    // twin's step list enumerates it alongside the subword pieces.
+    "q99_unigram_tokenize" -> { (s, dir) =>
+      val vocab = UnigramGatePieces.map(_ -> -1.0)
+      Unigram.encodeDocs(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", vocab, charFloor = -1.0)
+        .select(col("doc_id"), size(col("unigram_pieces")).as("n_pieces"))
+        .orderBy(col("doc_id"))
+    },
+
     // Kneser–Ney bigram scoring under the gate (r10): train on even
     // docs, score odd (the q84 split) with interpolated KN — the
     // twin mirrors the probability expression tree VERBATIM
@@ -3268,6 +3285,34 @@ object SparkEntry {
         |  cast(sum_c12 as bigint) as sum_c12
         |from s order by doc_id""".stripMargin,
 
+    // unigram twin: fewest-pieces dictionary DP as a recursive CTE —
+    // steps = the gate pieces ∪ every [a-z0-9] char (the closed
+    // post-normalization universe, = the engine's char fallback);
+    // UNION dedups (word,pos,k) so the state space stays polynomial
+    "q99_unigram_tokenize" ->
+      s"""with recursive steps(p) as (values
+        |  ${(UnigramGatePieces ++ (('a' to 'z') ++ ('0' to '9')).map(_.toString))
+              .map(p => s"('$p')").mkString(", ")}),
+        |n as (select doc_id, $OracleNorm as norm from documents),
+        |t as (select doc_id, string_split(norm, ' ') as w from n where length(norm) > 0),
+        |occ as (select doc_id, wi as word
+        |  from (select doc_id, unnest(w) as wi from t) where length(wi) > 0),
+        |wordcnt as (select doc_id, word, count(*) as c from occ group by 1, 2),
+        |words as (select distinct word from occ),
+        |dp as (
+        |  select word, 0 as pos, 0 as k from words
+        |  union
+        |  select dp.word, dp.pos + length(s.p) as pos, dp.k + 1 as k
+        |  from dp join steps s on substr(dp.word, dp.pos + 1, length(s.p)) = s.p
+        |  where dp.pos + length(s.p) <= length(dp.word)
+        |),
+        |best as (select word, min(k) as mk from dp where pos = length(word) group by word),
+        |sums as (select wc.doc_id, sum(wc.c * b.mk) as s
+        |  from wordcnt wc join best b on wc.word = b.word group by wc.doc_id)
+        |select d.doc_id, cast(coalesce(sums.s, 0) as int) as n_pieces
+        |from documents d left join sums on d.doc_id = sums.doc_id
+        |order by d.doc_id""".stripMargin,
+
     // KN twin: the q84 bigram CTEs plus the model-derived context/
     // continuation tables; the probability CASE mirrors knScore's
     // column expression operation-for-operation
@@ -3534,6 +3579,13 @@ object SparkEntry {
     """case when length(trim(text)) = 0 then [] else string_split_regex(trim(text), '\s+') end"""
   private val OracleNTokens =
     s"""len($OracleTokens)"""
+  /** q99's fixed subword list: common English subwords, uniform
+    * logp — chosen so multi-char matches actually occur in the
+    * documents corpus and the fewest-pieces DP has real work. */
+  private val UnigramGatePieces: Seq[String] = Seq(
+    "the", "ing", "tion", "and", "ent", "ion", "er", "re", "an",
+    "en", "on", "ed", "al", "ar", "st", "le", "te", "at", "or", "is")
+
   private val OracleStop =
     Text.EnglishStopwords.map(w => s"'$w'").mkString(",")
 }

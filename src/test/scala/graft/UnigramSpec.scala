@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.Unigram
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer: Viterbi optimality is checked against
+  * brute-force enumeration of ALL segmentations; EM is checked
+  * against its defining property (corpus likelihood never
+  * decreases); training is checked to discover the pieces a
+  * constructed corpus is built from. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jmap(v: Seq[(String, Double)]): java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    v.foreach { case (k, p) => m.put(k, p) }
+    m
+  }
+
+  private def scoreOf(pieces: Seq[String], vocab: Map[String, Double], floor: Double): Double =
+    pieces.map(p => vocab.getOrElse(p, { assert(p.length == 1); floor })).sum
+
+  /** All segmentations of `w` into vocab pieces or single chars. */
+  private def allSegs(w: String, vocab: Map[String, Double], maxLen: Int): Seq[Seq[String]] =
+    if (w.isEmpty) Seq(Nil)
+    else (1 to math.min(maxLen, w.length)).flatMap { l =>
+      val h = w.substring(0, l)
+      if (l == 1 || vocab.contains(h))
+        allSegs(w.substring(l), vocab, maxLen).map(h +: _)
+      else Nil
+    }
+
+  test("viterbiWord: optimal vs brute force, deterministic ties, char fallback") {
+    val vocab = Seq("ab" -> math.log(0.3), "bc" -> math.log(0.25),
+      "abc" -> math.log(0.2), "a" -> math.log(0.05), "b" -> math.log(0.05),
+      "c" -> math.log(0.05), "cd" -> math.log(0.1))
+    val vm = jmap(vocab)
+    val floor = math.log(1e-9)
+    for (w <- Seq("abc", "abcd", "abcbcd", "aabbcc", "xyz", "axc", "abcabcabc")) {
+      val got = Unigram.viterbiWord(w, vm, 8, floor)
+      assert(got.mkString === w, s"$w reassembles")
+      val gotScore = scoreOf(got.toIndexedSeq, vocab.toMap, floor)
+      val best = allSegs(w, vocab.toMap, 8)
+        .map(s => scoreOf(s, vocab.toMap, floor)).max
+      assert(math.abs(gotScore - best) < 1e-12, s"$w: $gotScore vs optimal $best")
+    }
+    // unseen chars ride the floor, one piece per char
+    assert(Unigram.viterbiWord("xyz", vm, 8, floor).toSeq === Seq("x", "y", "z"))
+    // uniform logp → fewest pieces (the q99 device): abc as one piece
+    val uni = jmap(Seq("ab" -> -1.0, "abc" -> -1.0, "c" -> -1.0))
+    assert(Unigram.viterbiWord("abc", uni, 8, -1.0).toSeq === Seq("abc"))
+    assert(Unigram.viterbiWord("abcc", uni, 8, -1.0).toSeq === Seq("abc", "c"))
+  }
+
+  test("EM: corpus likelihood never decreases; training discovers the generating pieces") {
+    // corpus built from the pieces "sun", "flower", "light" — EM must
+    // concentrate mass on them (and Viterbi then uses them whole)
+    val docs = Seq.tabulate(30) { i =>
+      (i.toLong, Seq("sunflower", "sunlight", "flowerlight", "sun flower light")(i % 4))
+    }.toDF("doc_id", "text")
+    val hist = Unigram.wordHistogram(docs, "text")
+    // manual EM over the seed, tracking corpus log-likelihood per
+    // round via the forward mass of each word
+    def corpusLL(probs: Map[String, Double]): Double = {
+      val pm = jmap(probs.toSeq)
+      hist.collect().map { r =>
+        val acc = new java.util.HashMap[String, Double]()
+        // forward mass only: reuse expectedCounts' z through a
+        // 1-word run — alpha(n) is what normalizes it, so recompute
+        // it directly here
+        val w = r.getString(0); val cnt = r.getLong(1)
+        val n = w.length
+        val alpha = new Array[Double](n + 1)
+        alpha(0) = 1.0
+        for (j <- 1 to n; l <- 1 to math.min(6, j)) {
+          val p = pm.get(w.substring(j - l, j))
+          if (p != null) alpha(j) += alpha(j - l) * p
+        }
+        assert(alpha(n) > 0, s"word $w segmentable")
+        cnt * math.log(alpha(n))
+      }.sum
+    }
+    val seed = Unigram.seedVocab(hist, 64, 6).collect()
+    val total = seed.map(_.getLong(1).toDouble).sum
+    var probs = seed.map(r => r.getString(0) -> r.getLong(1) / total).toMap
+    var lastLL = corpusLL(probs)
+    for (round <- 1 to 4) {
+      // one EM round through the public trainFromHistogram is not
+      // exposed; drive the same E/M math via train's building blocks
+      val pm = jmap(probs.toSeq)
+      val acc = new java.util.HashMap[String, Double]()
+      hist.collect().foreach(r =>
+        Unigram.expectedCounts(r.getString(0), r.getLong(1), pm, 6, acc))
+      var z = 0.0
+      acc.forEach((_, v) => z += v)
+      val next = scala.collection.mutable.Map[String, Double]()
+      acc.forEach((k, v) => next(k) = v / z)
+      probs = next.toMap
+      val ll = corpusLL(probs)
+      assert(ll >= lastLL - 1e-9, s"EM round $round decreased LL: $lastLL -> $ll")
+      lastLL = ll
+    }
+    // full pipeline: the generating pieces end up in the vocabulary
+    // and Viterbi segments the compounds into them
+    val vocab = Unigram.train(docs, "text", vocabSize = 40, seedSize = 64,
+      maxPieceLen = 6, emIters = 4)
+    val vm = vocab.toMap
+    for (p <- Seq("sun", "flower", "light"))
+      assert(vm.contains(p), s"piece $p trained (vocab: ${vocab.take(10)})")
+    val enc = Unigram.encodeDocs(
+        Seq((1L, "sunflower sunlight")).toDF("doc_id", "text"), "text", vocab)
+      .select(col("unigram_pieces")).collect()(0).getSeq[String](0)
+    assert(enc === Seq("sun", "flower", "sun", "light"), s"got $enc")
+  }
+
+  test("encodeDocs: null text, empty text, artifact round-trip") {
+    val vocab = Seq("ab" -> math.log(0.5), "a" -> math.log(0.25), "b" -> math.log(0.25))
+    val out = Unigram.encodeDocs(
+        Seq((1L, "ab ba"), (2L, null.asInstanceOf[String]), (3L, "")).toDF("doc_id", "text"),
+        "text", vocab)
+      .orderBy("doc_id")
+      .select(col("unigram_pieces")).collect()
+    assert(out(0).getSeq[String](0) === Seq("ab", "b", "a"))
+    assert(out(1).isNullAt(0))
+    assert(out(2).getSeq[String](0) === Seq.empty[String])
+    val dir = java.nio.file.Files.createTempDirectory("ugvocab").toString
+    Unigram.saveVocab(spark, vocab, s"$dir/v")
+    assert(Unigram.loadVocab(spark, s"$dir/v") === vocab.sortBy { case (p, lp) => (-lp, p) })
+  }
+}
