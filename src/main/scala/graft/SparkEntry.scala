@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Abi, Text}
-import graft.operators.{AsOfJoin, Bpe, Corpus, Dedup, EventViews, Multimodal, Similarity, Unigram}
+import graft.operators.{AsOfJoin, Bpe, Corpus, Dedup, EventViews, Multimodal, QualityClassifier, Similarity, Unigram}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1652,6 +1652,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-classifier serving under the gate (r10): the quantized
+    // integer dot product over md5-hash-bucketed token features with
+    // a FIXED literal weight list (training is spec-gated — GD over
+    // floats has no SQL twin; serving is exact integer arithmetic,
+    // so the hash gates the FULL score path INCLUDING hashing parity:
+    // a bucket-derivation or collision-handling bug shifts logits).
+    "q100_quality_score" -> { (s, dir) =>
+      import s.implicits._
+      val wdf = QualityGateWeights.toDF("word", "qw")
+        .select(QualityClassifier.bucket(col("word"), QualityGateDim).as("bucket"),
+          col("qw"))
+        .groupBy(col("bucket")).agg(sum(col("qw")).as("qw")) // collisions sum
+      QualityClassifier.scoreQuantized(Tables(s, dir, "documents"),
+          "doc_id", "text", wdf, qBias = 100L, dim = QualityGateDim)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_feat_tokens"), col("logit_q"))
+        .orderBy(col("doc_id"))
+    },
+
     // Unigram-LM tokenization under the gate (r10): Viterbi over a
     // FIXED uniform-logp vocabulary degenerates to fewest-pieces
     // segmentation — a dictionary DP DuckDB replays with a recursive
@@ -3285,6 +3304,28 @@ object SparkEntry {
         |  cast(sum_c12 as bigint) as sum_c12
         |from s order by doc_id""".stripMargin,
 
+    // quality-score twin: the same literal weights bucketed by the
+    // same md5-prefix formula; integer dot product is exact
+    "q100_quality_score" ->
+      s"""with wt(word, qw) as (values
+        |  ${QualityGateWeights.map { case (w, q) => s"('$w', $q)" }.mkString(", ")}),
+        |wb as (select ('0x' || substr(md5(word), 1, 8))::bigint % $QualityGateDim as bucket,
+        |    sum(qw) as qw from wt group by 1),
+        |n as (select doc_id, $OracleNorm as norm from documents),
+        |t as (select doc_id, string_split(norm, ' ') as w from n where length(norm) > 0),
+        |occ as (select doc_id, wi from (select doc_id, unnest(w) as wi from t)
+        |  where length(wi) > 0),
+        |f as (select doc_id,
+        |    ('0x' || substr(md5(wi), 1, 8))::bigint % $QualityGateDim as bucket,
+        |    count(*) as cnt from occ group by 1, 2)
+        |select f.doc_id,
+        |  cast(sum(cnt) as bigint) as n_tokens,
+        |  cast(sum(case when wb.qw is not null then cnt else 0 end) as bigint) as n_feat_tokens,
+        |  cast(sum(coalesce(wb.qw, 0) * cnt) + 100 as bigint) as logit_q
+        |from f left join wb using (bucket)
+        |group by f.doc_id
+        |order by f.doc_id""".stripMargin,
+
     // unigram twin: fewest-pieces dictionary DP as a recursive CTE —
     // steps = the gate pieces ∪ every [a-z0-9] char (the closed
     // post-normalization universe, = the engine's char fallback);
@@ -3579,6 +3620,14 @@ object SparkEntry {
     """case when length(trim(text)) = 0 then [] else string_split_regex(trim(text), '\s+') end"""
   private val OracleNTokens =
     s"""len($OracleTokens)"""
+  /** q100's fixed serving weights: common words with hand-picked
+    * integer weights at dim 4096 — small enough to read, large
+    * enough that collision handling (bucket-sum) is exercised. */
+  private val QualityGateDim = 4096
+  private val QualityGateWeights: Seq[(String, Long)] = Seq(
+    ("the", 17L), ("and", 11L), ("of", 7L), ("a", 5L), ("in", 3L),
+    ("data", 23L), ("model", -13L), ("to", -2L), ("is", 9L), ("for", -4L))
+
   /** q99's fixed subword list: common English subwords, uniform
     * logp — chosen so multi-char matches actually occur in the
     * documents corpus and the fewest-pieces DP has real work. */
