@@ -62,7 +62,9 @@ object Bench {
     * tightly the family reproduces under isolation. */
   val IoFamily: Set[String] = Set(
     "q32_ingest_roundtrip", "q35_tombstone_roundtrip",
-    "q38_jdbc_roundtrip", "q44_price_roundtrip")
+    "q38_jdbc_roundtrip", "q44_price_roundtrip",
+    // writes two parquet chains + registers catalog databases per run
+    "q94_chain_namespaces")
 
   /** Per-query measurement record: the median is the citable number
     * (unchanged contract); min/max of the timed runs plus the warmup
