@@ -1652,6 +1652,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Embedding pooling under the gate (r10): chunk→group max-pool —
+    // element-wise max is order-independent and IEEE-exact, so the
+    // full pipeline (posexplode, per-(id,dim) agg, sorted array
+    // rebuild, re-explode) hash-gates cross-engine in long form. A
+    // dimension-alignment or rebuild-order bug scrambles (dim, v)
+    // pairs and breaks the hash.
+    "q101_embedding_pooling" -> { (s, dir) =>
+      Similarity.poolEmbeddings(
+          Tables(s, dir, "embeddings")
+            .select((col("vec_id") % 97).as("gid"), col("embedding")),
+          "gid", "embedding", mode = "max")
+        .select(col("id").as("gid"), col("n_chunks"),
+          posexplode(col("pooled")).as(Seq("dim", "v")))
+        .select(col("gid"), col("n_chunks"), col("dim"), col("v"))
+        .orderBy(col("gid"), col("dim"))
+    },
+
     // Quality-classifier serving under the gate (r10): the quantized
     // integer dot product over md5-hash-bucketed token features with
     // a FIXED literal weight list (training is spec-gated — GD over
@@ -3303,6 +3320,18 @@ object SparkEntry {
         |  cast(n_hit as bigint) as n_hit, cast(n_oov as bigint) as n_oov,
         |  cast(sum_c12 as bigint) as sum_c12
         |from s order by doc_id""".stripMargin,
+
+    // pooling twin: DuckDB's parallel double-unnest zips value and
+    // index; element-wise max of exact floats cast to double
+    "q101_embedding_pooling" ->
+      """with u as (select vec_id % 97 as gid, unnest(embedding) as v,
+        |    unnest(range(0, len(embedding))) as dim
+        |  from embeddings),
+        |p as (select gid, dim, max(cast(v as double)) as v, count(*) as n
+        |  from u group by 1, 2)
+        |select gid, cast(n as bigint) as n_chunks, cast(dim as int) as dim, v
+        |from p
+        |order by gid, dim""".stripMargin,
 
     // quality-score twin: the same literal weights bucketed by the
     // same md5-prefix formula; integer dot product is exact

@@ -696,4 +696,40 @@ object Similarity {
     graft.Pins.release(assigned, deleteCheckpointFiles = true)
     out
   }
+
+  /** Pool chunk embeddings into one vector per group — the
+    * chunk→document aggregation every retrieval pipeline runs after
+    * embedding windowed chunks ([[graft.operators.Chunking]] makes
+    * the chunks; this folds their vectors back). `mode`: `"max"` /
+    * `"min"` (element-wise extremes — order-independent and EXACT in
+    * IEEE doubles, hence hash-gateable cross-engine, q101), `"mean"`
+    * / `"sum"` (float accumulation — rows/spec territory, the q58
+    * sum-order rule).
+    *
+    * Shape: posexplode (map-side) → one combinable (id, dim) hash
+    * aggregate → per-id array rebuild via sorted collect_list
+    * (bounded by the DIMENSION, never by chunk count — the
+    * dedupLines reassembly idiom). One shuffle on (id, dim), one on
+    * id; linear at any corpus size. */
+  def poolEmbeddings(df: DataFrame, idCol: String, embCol: String,
+      mode: String = "mean"): DataFrame = {
+    val agg: Column => Column = mode match {
+      case "max" => max
+      case "min" => min
+      case "sum" => sum
+      case "mean" => avg
+      case other => throw new IllegalArgumentException(
+        s"poolEmbeddings mode '$other' (max|min|sum|mean)")
+    }
+    df.select(col(idCol).as("id"),
+        posexplode(col(embCol)).as(Seq("_pos", "_v")))
+      .groupBy(col("id"), col("_pos"))
+      .agg(agg(col("_v").cast(DoubleType)).as("_pv"),
+        count(lit(1)).as("_n"))
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_pv")))),
+          s => s.getField("_pv")).as("pooled"),
+        max(col("_n")).as("n_chunks"))
+  }
 }

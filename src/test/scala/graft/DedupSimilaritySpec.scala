@@ -882,4 +882,31 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = df.select($"expected", Text.langId($"text").as("got")).collect()
     got.foreach(r => assert(r.getString(1) === r.getString(0), r.toString))
   }
+
+  test("poolEmbeddings: max exact, mean driver math, dimension alignment, modes") {
+    val chunks = Seq(
+      (1L, Seq(1.0f, 5.0f, 3.0f)),
+      (1L, Seq(4.0f, 2.0f, 6.0f)),
+      (1L, Seq(0.0f, 9.0f, 1.0f)),
+      (2L, Seq(7.0f, 7.0f, 7.0f))
+    ).toDF("doc", "emb")
+    def arr(mode: String, id: Long): (Seq[Double], Long) = {
+      val r = Similarity.poolEmbeddings(chunks, "doc", "emb", mode)
+        .filter($"id" === id).collect()(0)
+      (r.getSeq[Double](r.fieldIndex("pooled")), r.getLong(r.fieldIndex("n_chunks")))
+    }
+    assert(arr("max", 1L) === ((Seq(4.0, 9.0, 6.0), 3L)))
+    assert(arr("min", 1L) === ((Seq(0.0, 2.0, 1.0), 3L)))
+    assert(arr("sum", 1L) === ((Seq(5.0, 16.0, 10.0), 3L)))
+    val (mean1, n1) = arr("mean", 1L)
+    assert(n1 === 3L)
+    mean1.zip(Seq(5.0 / 3, 16.0 / 3, 10.0 / 3)).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12)
+    }
+    assert(arr("max", 2L) === ((Seq(7.0, 7.0, 7.0), 1L)))
+    intercept[IllegalArgumentException] {
+      Similarity.poolEmbeddings(chunks, "doc", "emb", "median")
+    }
+  }
+
 }
