@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{Abi, Text}
 import graft.operators.{AsOfJoin, Bpe, Corpus, Dedup, EventViews, Multimodal, QualityClassifier, Similarity, Unigram}
+import graft.sinks.TarShards
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1650,6 +1651,26 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("n_hit"),
           col("n_oov"), col("sum_c12"))
         .orderBy(col("doc_id"))
+    },
+
+    // Tar-shard export under the gate (r10): documents' UTF-8 texts
+    // packed as WebDataset-style ustar shards, manifest read back by
+    // the INDEPENDENT header-walk parser — the twin re-derives every
+    // md5-prefix shard assignment, per-shard payload byte sums, and
+    // the closed tar-size formula (512-byte header + padded payload
+    // per member + 1024 trailer). A header-layout, padding,
+    // assignment or trailer bug shifts tar_bytes and breaks the
+    // hash. (GNU tar itself lists/extracts these archives in the
+    // spec — the foreign validator.)
+    "q102_tar_shard_export" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q102").getAbsolutePath
+      TarShards.write(
+          Tables(s, dir, "documents")
+            .select(col("doc_id").cast(StringType).as("k"),
+              col("text").cast(BinaryType).as("p")),
+          "k", "p", "txt", base, nShards = 8)
+        .orderBy(col("shard"))
     },
 
     // Embedding pooling under the gate (r10): chunk→group max-pool —
@@ -3320,6 +3341,21 @@ object SparkEntry {
         |  cast(n_hit as bigint) as n_hit, cast(n_oov as bigint) as n_oov,
         |  cast(sum_c12 as bigint) as sum_c12
         |from s order by doc_id""".stripMargin,
+
+    // tar-shard twin: md5-prefix assignment + octet lengths + the
+    // closed ustar size formula, all in SQL
+    "q102_tar_shard_export" ->
+      """with d as (select cast(doc_id as varchar) as k,
+        |    octet_length(encode(text)) as len
+        |  from documents),
+        |a as (select ('0x' || substr(md5(k), 1, 8))::bigint % 8 as shard, len from d)
+        |select cast(shard as int) as shard,
+        |  cast(count(*) as bigint) as n_files,
+        |  cast(sum(len) as bigint) as payload_bytes,
+        |  cast(sum(512 + 512 * ((len + 511) // 512)) + 1024 as bigint) as tar_bytes
+        |from a
+        |group by shard
+        |order by shard""".stripMargin,
 
     // pooling twin: DuckDB's parallel double-unnest zips value and
     // index; element-wise max of exact floats cast to double

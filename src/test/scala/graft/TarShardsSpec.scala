@@ -1,0 +1,92 @@
+package graft
+
+import graft.sinks.TarShards
+import org.apache.spark.sql.functions._
+import scala.sys.process._
+
+/** WebDataset-style tar shards: the archives must be REAL tars —
+  * GNU tar (a fully foreign implementation) lists and extracts them
+  * byte-identically — plus byte-determinism across rewrites, the
+  * independent-header-walk manifest, and the contract errors. */
+class TarShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("tarshards").toString
+
+  private val docs = Seq(
+    ("alpha", "the quick brown fox"),
+    ("beta", "x" * 513), // spans two payload blocks
+    ("gamma", ""), // empty member: header only
+    ("delta", "exactly".padTo(512, '!')), // exactly one block
+    ("epsilon", "short")
+  ).toDF("k", "t").select(col("k"), col("t").cast("binary").as("p"))
+
+  test("GNU tar lists and extracts our shards byte-identically") {
+    val dir = freshDir()
+    val manifest = TarShards.write(docs, "k", "p", "txt", dir, nShards = 2)
+      .orderBy("shard").collect()
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    // every member GNU tar sees, extracted through GNU tar, matches
+    // the original payload bytes
+    val expected = docs.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    var listed = 0
+    for (f <- files) {
+      val names = Seq("tar", "-tf", f.getAbsolutePath).!!.trim.split("\n").filter(_.nonEmpty)
+      for (n <- names) {
+        listed += 1
+        val key = n.stripSuffix(".txt")
+        assert(expected.contains(key), s"unexpected member $n")
+        val out = new java.io.ByteArrayOutputStream()
+        val rc = (Seq("tar", "-xOf", f.getAbsolutePath, n) #> out).!
+        assert(rc === 0, s"tar -xO failed for $n")
+        assert(out.toByteArray === expected(key), s"payload mismatch for $n")
+      }
+    }
+    assert(listed === expected.size)
+    // manifest (independent header walk) agrees with the formula
+    val totFiles = manifest.map(_.getLong(1)).sum
+    assert(totFiles === expected.size.toLong)
+    for (r <- manifest) {
+      val sizes = expected.values.toSeq // per-shard sizes re-derived below
+      assert(r.getLong(3) > 0)
+    }
+    val totPayload = manifest.map(_.getLong(2)).sum
+    assert(totPayload === expected.values.map(_.length.toLong).sum)
+    val totTar = manifest.map(_.getLong(3)).sum
+    // formula twin: per-shard Σ(512 + 512·ceil(len/512)) + 1024
+    val byShard = expected.toSeq.map { case (k, v) =>
+      // re-derive the assignment with the same md5-prefix rule
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) % 2, v.length.toLong)
+    }.groupBy(_._1)
+    assert(totTar === byShard.values.map(g => TarShards.tarBytes(g.map(_._2))).sum)
+  }
+
+  test("byte-deterministic across rewrites; contract errors") {
+    val dir = freshDir()
+    TarShards.write(docs, "k", "p", "txt", dir, nShards = 2)
+    val first = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+      .sortBy(_.getName).map(f => java.nio.file.Files.readAllBytes(f.toPath))
+    TarShards.write(docs, "k", "p", "txt", dir, nShards = 2)
+    val second = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+      .sortBy(_.getName).map(f => java.nio.file.Files.readAllBytes(f.toPath))
+    assert(first.length === second.length)
+    first.zip(second).foreach { case (a, b) => assert(a === b) }
+    // >100-byte member name refused
+    val longKey = Seq(("k" * 120, "x")).toDF("k", "t")
+      .select(col("k"), col("t").cast("binary").as("p"))
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.write(longKey, "k", "p", "txt", freshDir(), 1)
+    }
+    assert(e.getMessage.contains("100-byte") || e.getCause != null)
+    // duplicate keys refused
+    val dup = Seq(("same", "a"), ("same", "b")).toDF("k", "t")
+      .select(col("k"), col("t").cast("binary").as("p"))
+    intercept[org.apache.spark.SparkException] {
+      TarShards.write(dup, "k", "p", "txt", freshDir(), 1)
+    }
+  }
+}
