@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   * to pack globally — small inputs only. Sequence identity is then
   * (shard, seq_id).
   *
-  * Usage: runMain graft.tools.Curate <documentsParquet> <outDir> [minQuality] [chunkTokens] [stride] [seqTokens] [shardCol|-]
+  * With a final `tar` argument, the surviving documents additionally
+  * export as WebDataset-style shards (`<out>/tar/shard-NNNNN.tar`,
+  * members `<doc_id>.txt` — [[graft.sinks.TarShards]]), the
+  * container a training job streams.
+  *
+  * Usage: runMain graft.tools.Curate <documentsParquet> <outDir> [minQuality] [chunkTokens] [stride] [seqTokens] [shardCol|-] [tar [nShards]]
   */
 object Curate {
   def main(args: Array[String]): Unit = {
@@ -58,6 +63,18 @@ object Curate {
     println(s"[curate] in=${docs.count()} kept=$nd chunks=$nc sequences=$ns " +
       s"minQuality=$minQuality chunk=$chunkTokens/$stride seq=$seqTokens " +
       s"shard=${shardCol.getOrElse("(global)")} → $out")
+
+    if (args.contains("tar")) {
+      val nShards = args.lift(args.indexOf("tar") + 1)
+        .flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(4)
+      val manifest = graft.sinks.TarShards.write(
+        deduped.select(col("doc_id").cast("string").as("k"),
+          col("text").cast("binary").as("p")),
+        "k", "p", "txt", s"$out/tar", nShards)
+      val m = manifest.orderBy(col("shard")).collect()
+      println(s"[curate] tar shards=${m.length} files=${m.map(_.getLong(1)).sum} " +
+        s"tar_bytes=${m.map(_.getLong(3)).sum} → $out/tar")
+    }
     spark.stop()
   }
 }
