@@ -1673,6 +1673,26 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // Tar SOURCE read-back under the gate (r10): shards written by
+    // TarShards re-read through the DataSource V2 tar source
+    // (partition-per-shard, header-walk members) and projected
+    // payload-free — the pruning fast path — then compared against
+    // documents re-derived in SQL. A header parse, member skip, or
+    // key/ext split bug changes rows and breaks the hash.
+    "q103_tar_source_readback" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q103").getAbsolutePath
+      TarShards.write(
+        Tables(s, dir, "documents")
+          .select(col("doc_id").cast(StringType).as("k"),
+            col("text").cast(BinaryType).as("p")),
+        "k", "p", "txt", base, nShards = 8)
+      s.read.format("graft.sources.TarSource").option("path", base).load()
+        .select(col("key").cast(LongType).as("doc_id"), col("shard"),
+          col("size"), col("ext"))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding pooling under the gate (r10): chunk→group max-pool —
     // element-wise max is order-independent and IEEE-exact, so the
     // full pipeline (posexplode, per-(id,dim) agg, sorted array
@@ -3356,6 +3376,16 @@ object SparkEntry {
         |from a
         |group by shard
         |order by shard""".stripMargin,
+
+    // tar read-back twin: every member re-derived from documents —
+    // the same md5-prefix shard rule, utf8 byte length, fixed ext
+    "q103_tar_source_readback" ->
+      """select doc_id,
+        |  cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 8 as int) as shard,
+        |  cast(octet_length(encode(text)) as bigint) as size,
+        |  'txt' as ext
+        |from documents
+        |order by doc_id""".stripMargin,
 
     // pooling twin: DuckDB's parallel double-unnest zips value and
     // index; element-wise max of exact floats cast to double

@@ -1,0 +1,175 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 reader for tar-shard directories — the consuming
+  * half of [[graft.sinks.TarShards]], and the shape a WebDataset
+  * loader has: ONE partition per shard file, each task streaming its
+  * archive's members sequentially. `spark.read.format
+  * ("graft.sources.TarSource").option("path", dir).load()` yields
+  * `(shard, key, ext, size, payload)` rows.
+  *
+  * Column pruning is real I/O savings here, not cosmetics: when
+  * `payload` is not required (counting members, auditing sizes, key
+  * joins), the reader `skip()`s every payload instead of reading it
+  * — a manifest query over 100 TB of shards touches headers only.
+  * Implemented via `SupportsPushDownRequiredColumns`; the Scan
+  * description advertises the surviving columns so a plan spec can
+  * assert the pruning landed.
+  *
+  * The parser is header-walk ustar: it reads only the name, size and
+  * typeflag fields, so archives from FOREIGN writers (GNU tar)
+  * parse too — non-regular-file entries (directories, PAX/GNU
+  * extended headers 'x'/'g'/'L') are skipped with their payloads,
+  * which is exactly how webdataset's own reader treats them.
+  * `shard` derives from the `shard-NNNNN.tar` name convention, −1
+  * for files named otherwise. */
+class TarSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = TarSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new TarSource.TarTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object TarSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("shard", IntegerType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("ext", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  private[sources] class TarTable(props: Map[String, String]) extends Table with SupportsRead {
+    private val path = props.getOrElse("path",
+      throw new IllegalArgumentException("TarSource requires option 'path'"))
+    override def name(): String = s"tar($path)"
+    override def schema(): StructType = TarSource.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new TarScanBuilder(path)
+  }
+
+  private[sources] class TarScanBuilder(path: String)
+      extends ScanBuilder with SupportsPushDownRequiredColumns {
+    private var required: StructType = TarSource.schema
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan = new TarScan(path, required)
+  }
+
+  private[sources] case class TarFilePartition(file: String, shard: Int) extends InputPartition
+
+  private[sources] class TarScan(path: String, required: StructType) extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"tar shards: $path cols=[${required.fieldNames.mkString(",")}]"
+    override def planInputPartitions(): Array[InputPartition] = {
+      val f = new java.io.File(path)
+      val files: Array[java.io.File] =
+        if (f.isDirectory) f.listFiles().filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+        else if (f.isFile) Array(f)
+        else throw new java.io.FileNotFoundException(path)
+      files.map { file =>
+        val n = file.getName
+        val shard =
+          if (n.startsWith("shard-") && n.endsWith(".tar"))
+            scala.util.Try(n.stripPrefix("shard-").stripSuffix(".tar").toInt).getOrElse(-1)
+          else -1
+        TarFilePartition(file.getAbsolutePath, shard): InputPartition
+      }
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new TarReaderFactory(required)
+  }
+
+  private[sources] class TarReaderFactory(required: StructType) extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[TarFilePartition]
+      new TarEntryReader(p.file, p.shard, required)
+    }
+  }
+
+  /** Executor-side streaming reader: walks 512-byte headers, emits
+    * one row per regular-file member, and SKIPS payload bytes when
+    * the `payload` column was pruned away. */
+  private[sources] class TarEntryReader(file: String, shard: Int, required: StructType)
+      extends PartitionReader[InternalRow] {
+    private val in = new java.io.BufferedInputStream(new java.io.FileInputStream(file))
+    private val wantPayload = required.fieldNames.contains("payload")
+    private var row: InternalRow = null
+    private val header = new Array[Byte](512)
+
+    private def readFully(buf: Array[Byte], len: Int): Boolean = {
+      var off = 0
+      while (off < len) {
+        val n = in.read(buf, off, len - off)
+        if (n < 0) return false
+        off += n
+      }
+      true
+    }
+
+    private def skipFully(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s <= 0) {
+          if (in.read() < 0) throw new java.io.EOFException(s"truncated tar $file")
+          left -= 1
+        } else left -= s
+      }
+    }
+
+    override def next(): Boolean = {
+      while (true) {
+        if (!readFully(header, 512)) { row = null; return false }
+        if (header.forall(_ == 0)) { row = null; return false } // trailer
+        val sizeField = new String(header, 124, 11, "US-ASCII").trim
+        val size =
+          if (sizeField.isEmpty) 0L else java.lang.Long.parseLong(sizeField, 8)
+        val typeflag = header(156)
+        val padded = ((size + 511) / 512) * 512
+        if (typeflag == '0' || typeflag == 0) {
+          var nameLen = 0
+          while (nameLen < 100 && header(nameLen) != 0) nameLen += 1
+          val name = new String(header, 0, nameLen, "UTF-8")
+          val dot = name.lastIndexOf('.')
+          val (key, ext) =
+            if (dot > 0) (name.substring(0, dot), name.substring(dot + 1)) else (name, "")
+          val payload: Array[Byte] =
+            if (wantPayload) {
+              val b = new Array[Byte](size.toInt)
+              if (!readFully(b, size.toInt)) throw new java.io.EOFException(s"truncated tar $file")
+              skipFully(padded - size)
+              b
+            } else { skipFully(padded); null }
+          val values = required.fieldNames.map {
+            case "shard" => shard: java.lang.Integer
+            case "key" => UTF8String.fromString(key)
+            case "ext" => UTF8String.fromString(ext)
+            case "size" => size: java.lang.Long
+            case "payload" => payload
+          }
+          row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+          return true
+        } else skipFully(padded) // dir / PAX / GNU long-name: not a member row
+      }
+      false
+    }
+
+    override def get(): InternalRow = row
+    override def close(): Unit = in.close()
+  }
+}

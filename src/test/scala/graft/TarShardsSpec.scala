@@ -89,4 +89,54 @@ class TarShardsSpec extends SparkSpec {
       TarShards.write(dup, "k", "p", "txt", freshDir(), 1)
     }
   }
+
+  test("TarSource reads our shards back losslessly, one partition per shard") {
+    val dir = freshDir()
+    TarShards.write(docs, "k", "p", "txt", dir, nShards = 2)
+    val back = spark.read.format("graft.sources.TarSource")
+      .option("path", dir).load()
+    assert(back.rdd.getNumPartitions === 2) // one per shard file
+    val rows = back.collect()
+      .map(r => r.getAs[String]("key") ->
+        (r.getAs[Int]("shard"), r.getAs[String]("ext"),
+          r.getAs[Long]("size"), r.getAs[Array[Byte]]("payload")))
+      .toMap
+    val expected = docs.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.keySet === expected.keySet)
+    for ((k, (_, ext, size, payload)) <- rows) {
+      assert(ext === "txt")
+      assert(size === expected(k).length.toLong)
+      assert(payload === expected(k))
+    }
+    // column pruning: a payload-free projection advertises only the
+    // surviving columns in the scan description (and the reader then
+    // skip()s every payload — the manifest-query fast path)
+    val pruned = back.select(col("key"), col("size"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[key,size]"), plan.linesIterator.take(8).mkString("\n"))
+    assert(pruned.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      expected.map { case (k, v) => k -> v.length.toLong })
+  }
+
+  test("TarSource parses a FOREIGN archive written by GNU tar") {
+    val work = new java.io.File(freshDir())
+    val sub = new java.io.File(work, "payload"); sub.mkdirs()
+    val contents = Map("one" -> "first member", "two" -> "x" * 700, "three" -> "")
+    contents.foreach { case (k, v) =>
+      java.nio.file.Files.write(new java.io.File(sub, s"$k.txt").toPath, v.getBytes("UTF-8"))
+    }
+    val tarFile = new java.io.File(work, "foreign.tar")
+    // GNU tar writes its own header dialect (magic "ustar  ", real
+    // mtimes/uids, sometimes a leading directory entry) — the
+    // header-walk reader must parse it anyway
+    val rc = Process(Seq("tar", "-cf", tarFile.getAbsolutePath,
+      "-C", sub.getAbsolutePath) ++ contents.keys.toSeq.sorted.map(_ + ".txt")).!
+    assert(rc === 0)
+    val rows = spark.read.format("graft.sources.TarSource")
+      .option("path", tarFile.getAbsolutePath).load()
+      .collect()
+      .map(r => r.getAs[String]("key") ->
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
+    assert(rows === contents)
+  }
 }
