@@ -1673,6 +1673,30 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // Tokenize-and-ship under the gate (r10): the END of the
+    // pipeline — documents Viterbi-tokenized to ids (the q99
+    // uniform-vocab device), binarized int32-LE (Int32Le: 4 bytes
+    // per id, so SIZE is oracle-checkable), exported as tar shards
+    // and read back through the DSv2 source. The twin re-derives
+    // every member's byte size as 4 × the fewest-pieces DP count and
+    // the shard from the md5 rule — one hash over the whole
+    // tokenizer→binarizer→sink→source chain.
+    "q104_token_binary_export" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q104").getAbsolutePath
+      val vocab = UnigramGatePieces.map(_ -> -1.0)
+      val ids = Unigram.encodeDocsIds(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", vocab, charFloor = -1.0)
+      TarShards.write(
+        ids.select(col("doc_id").cast(StringType).as("k"),
+          graft.functions.Int32Le.int32le(col("token_ids")).as("p")),
+        "k", "p", "bin", base, nShards = 8)
+      s.read.format("graft.sources.TarSource").option("path", base).load()
+        .select(col("key").cast(LongType).as("doc_id"), col("shard"), col("size"))
+        .orderBy(col("doc_id"))
+    },
+
     // Tar SOURCE read-back under the gate (r10): shards written by
     // TarShards re-read through the DataSource V2 tar source
     // (partition-per-shard, header-walk members) and projected
@@ -3376,6 +3400,34 @@ object SparkEntry {
         |from a
         |group by shard
         |order by shard""".stripMargin,
+
+    // token-binary twin: q99's fewest-pieces DP × 4 bytes per id,
+    // plus the md5 shard rule — the full chain in one SQL
+    "q104_token_binary_export" ->
+      s"""with recursive steps(p) as (values
+        |  ${(UnigramGatePieces ++ (('a' to 'z') ++ ('0' to '9')).map(_.toString))
+              .map(p => s"('$p')").mkString(", ")}),
+        |n as (select doc_id, $OracleNorm as norm from documents),
+        |t as (select doc_id, string_split(norm, ' ') as w from n where length(norm) > 0),
+        |occ as (select doc_id, wi as word
+        |  from (select doc_id, unnest(w) as wi from t) where length(wi) > 0),
+        |wordcnt as (select doc_id, word, count(*) as c from occ group by 1, 2),
+        |words as (select distinct word from occ),
+        |dp as (
+        |  select word, 0 as pos, 0 as k from words
+        |  union
+        |  select dp.word, dp.pos + length(s.p) as pos, dp.k + 1 as k
+        |  from dp join steps s on substr(dp.word, dp.pos + 1, length(s.p)) = s.p
+        |  where dp.pos + length(s.p) <= length(dp.word)
+        |),
+        |best as (select word, min(k) as mk from dp where pos = length(word) group by word),
+        |sums as (select wc.doc_id, sum(wc.c * b.mk) as s
+        |  from wordcnt wc join best b on wc.word = b.word group by wc.doc_id)
+        |select d.doc_id,
+        |  cast(('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))::bigint % 8 as int) as shard,
+        |  cast(4 * coalesce(sums.s, 0) as bigint) as size
+        |from documents d left join sums on d.doc_id = sums.doc_id
+        |order by d.doc_id""".stripMargin,
 
     // tar read-back twin: every member re-derived from documents —
     // the same md5-prefix shard rule, utf8 byte length, fixed ext

@@ -294,6 +294,55 @@ object Unigram {
       .drop("_ug_w")
   }
 
+  /** Production encode to TOKEN IDS: [[encodeDocs]] emitting each
+    * piece's INDEX in the given vocab order instead of its string —
+    * persist the artifact ([[saveVocab]]) and that order IS the id
+    * map, so the trainer's id space is reproducible from the file.
+    * Fallback single chars absent from the vocabulary take the one
+    * shared `unkId = vocab.size` (the usual UNK convention). The
+    * id arrays feed [[graft.functions.Int32Le]] for `.bin`-style
+    * binary export (q104). */
+  def encodeDocsIds(df: DataFrame, textCol: String, vocab: Seq[(String, Double)],
+      charFloor: Double = math.log(1e-9), outCol: String = "token_ids",
+      maxPieceLen: Int = 8, cacheCap: Int = 1 << 20): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(vocab.toArray)
+    val pre = df.withColumn("_ug_w",
+      when(col(textCol).isNull, lit(null).cast(ArrayType(StringType)))
+        .otherwise(Text.tokens(Text.normalized(col(textCol)))))
+    val outSchema = pre.schema.add(outCol, ArrayType(IntegerType))
+    val wIdx = pre.schema.fieldIndex("_ug_w")
+    pre.mapPartitions { rows =>
+      val varr = bc.value
+      val vm = new java.util.HashMap[String, java.lang.Double]()
+      val idx = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < varr.length) {
+        vm.put(varr(i)._1, varr(i)._2)
+        idx.put(varr(i)._1, i)
+        i += 1
+      }
+      val unkId = varr.length
+      val cache = new java.util.HashMap[String, Array[Int]]()
+      rows.map { r =>
+        val out: Seq[Int] =
+          if (r.isNullAt(wIdx)) null
+          else r.getSeq[String](wIdx).iterator.flatMap { w =>
+            var enc = cache.get(w)
+            if (enc == null) {
+              enc = viterbiWord(w, vm, maxPieceLen, charFloor).map { p =>
+                val id = idx.get(p)
+                if (id == null) unkId else id.intValue()
+              }
+              if (cache.size < cacheCap) cache.put(w, enc)
+            }
+            enc
+          }.toSeq
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(Encoders.row(outSchema))
+      .drop("_ug_w")
+  }
+
   /** Persist a trained vocabulary as the `(piece, logp)` parquet
     * artifact (the `.model` analog — vocab-sized). */
   def saveVocab(spark: org.apache.spark.sql.SparkSession,

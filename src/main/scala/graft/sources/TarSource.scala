@@ -150,6 +150,10 @@ object TarSource {
             if (dot > 0) (name.substring(0, dot), name.substring(dot + 1)) else (name, "")
           val payload: Array[Byte] =
             if (wantPayload) {
+              // Spark binary values cap at Int.MaxValue; a >2 GB tar
+              // member must fail loudly, not wrap into a negative
+              // allocation
+              require(size <= Int.MaxValue, s"tar member $name is $size bytes (> 2 GB)")
               val b = new Array[Byte](size.toInt)
               if (!readFully(b, size.toInt)) throw new java.io.EOFException(s"truncated tar $file")
               skipFully(padded - size)

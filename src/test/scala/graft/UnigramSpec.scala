@@ -113,6 +113,31 @@ class UnigramSpec extends SparkSpec {
     assert(enc === Seq("sun", "flower", "sun", "light"), s"got $enc")
   }
 
+  test("encodeDocsIds + int32_le: ids follow vocab order, unk id, exact LE bytes") {
+    val vocab = Seq("ab" -> math.log(0.5), "a" -> math.log(0.25), "b" -> math.log(0.25))
+    val out = Unigram.encodeDocsIds(
+        Seq((1L, "ab ba xb")).toDF("doc_id", "text"), "text", vocab)
+      .select(col("token_ids")).collect()(0).getSeq[Int](0)
+    // "ab" -> id 0; "ba" -> b(2), a(1); "xb" -> x is a fallback char
+    // absent from the vocab -> unkId = 3, then b(2)
+    assert(out === Seq(0, 2, 1, 3, 2))
+    val packed = Seq((1L, Seq(0, 2, 1, 259, -1))).toDF("doc_id", "ids")
+      .select(graft.functions.Int32Le.int32le(col("ids")).as("bin"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(packed.length === 20)
+    val bb = java.nio.ByteBuffer.wrap(packed).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(Seq.fill(5)(bb.getInt()) === Seq(0, 2, 1, 259, -1))
+    // null array -> null; null ELEMENT -> loud error
+    val nulls = Seq((1L, null.asInstanceOf[Seq[Int]])).toDF("doc_id", "ids")
+      .select(graft.functions.Int32Le.int32le(col("ids")).as("bin")).collect()(0)
+    assert(nulls.isNullAt(0))
+    val err = intercept[Exception] {
+      Seq((1L, Seq[Integer](1, null, 3))).toDF("doc_id", "ids")
+        .select(graft.functions.Int32Le.int32le(col("ids")).as("bin")).collect()
+    }
+    assert(err.toString.contains("null id") || err.getCause != null)
+  }
+
   test("encodeDocs: null text, empty text, artifact round-trip") {
     val vocab = Seq("ab" -> math.log(0.5), "a" -> math.log(0.25), "b" -> math.log(0.25))
     val out = Unigram.encodeDocs(
