@@ -297,4 +297,38 @@ object DocStream {
       .trigger(trigger)
       .start()
   }
+
+  /** Streaming tar export: each micro-batch's curated survivors
+    * leave as WebDataset shards under `outputDir/batch=<id>/` —
+    * the trainer-facing format, continuously. Exactly-once EFFECT
+    * comes from batch-scoped directories plus the sink's
+    * deterministic bytes: a replayed batch (crash between sink write
+    * and checkpoint commit) rewrites the SAME paths byte-identically
+    * through [[graft.sinks.TarShards]]'s temp-file + atomic rename —
+    * the foreachBatch idempotence discipline of the logs sink. */
+  def curateToTarShards(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      minQuality: Double = 0.2,
+      nShards: Int = 4,
+      maxFilesPerTrigger: Int = 100,
+      pollInterval: Option[String] = None): StreamingQuery = {
+    val trigger = pollInterval
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    curatedStream(spark, inputDir, minQuality, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sinks.TarShards.write(
+          batch.toDF().select(col("doc_id").cast(StringType).as("k"),
+            col("text").cast(BinaryType).as("p")),
+          "k", "p", "txt", s"$outputDir/batch=$id", nShards)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -118,6 +118,53 @@ class TarShardsSpec extends SparkSpec {
       expected.map { case (k, v) => k -> v.length.toLong })
   }
 
+  test("streaming curation exports per-batch tar shards; restart replays nothing") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("tarstream_in").toString
+    val out = Files.createTempDirectory("tarstream_out").toString
+    val ckpt = Files.createTempDirectory("tarstream_ckpt").toString
+    val good1 = "the cat sat on the mat and the dog ran in the park with a ball"
+    val good2 = "a stream of documents arrives and the engine keeps the good ones for training"
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(doc(1, good1), doc(2, "!!!!!!!!")).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      Seq(doc(3, good1), doc(4, good2)).mkString("\n"))
+    val q = graft.streaming.DocStream.curateToTarShards(
+      spark, in, out, ckpt, nShards = 2, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    // batch dirs exist; members = curated survivors only (2 junk,
+    // 3 dup of good1), each batch readable through the DSv2 source
+    val read = spark.read.format("graft.sources.TarSource")
+    def keysIn(dir: String): Set[String] =
+      if (!new java.io.File(dir).exists()) Set.empty
+      else read.option("path", dir).load().select("key").collect().map(_.getString(0)).toSet
+    val all = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(all.length === 2, all.mkString(","))
+    val perBatch = all.map(b => keysIn(s"$out/$b")).toSeq
+    assert(perBatch.flatten.toSet === Set("1", "4"))
+    // restart on the same checkpoint with no new input: no new
+    // batch dirs, nothing rewritten
+    val before = all.toSeq
+    val q2 = graft.streaming.DocStream.curateToTarShards(
+      spark, in, out, ckpt, nShards = 2, maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    val after = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(after === before)
+    // new input → one new batch dir with only the fresh survivor
+    Files.writeString(java.nio.file.Paths.get(s"$in/b3.json"),
+      Seq(doc(5, "the quick brown fox jumps over the lazy dog again and again")).mkString("\n"))
+    val q3 = graft.streaming.DocStream.curateToTarShards(
+      spark, in, out, ckpt, nShards = 2, maxFilesPerTrigger = 1)
+    q3.awaitTermination()
+    val finalDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(finalDirs.size === 3)
+    val newDir = finalDirs.diff(before)
+    assert(newDir.size === 1)
+    assert(keysIn(s"$out/${newDir.head}") === Set("5"))
+  }
+
   test("TarSource parses a FOREIGN archive written by GNU tar") {
     val work = new java.io.File(freshDir())
     val sub = new java.io.File(work, "payload"); sub.mkdirs()
