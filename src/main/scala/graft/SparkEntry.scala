@@ -1673,6 +1673,23 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // SQL text-signal surface under the gate (r10): the SAME
+    // quality/token/fingerprint signals q16/q18/q19 gate, but CALLED
+    // THROUGH SQL via the registered function surface — what a
+    // ServeSql/RunSql analyst types. Registration-drift (a macro
+    // renamed, an arity change, a builder wiring bug) breaks this
+    // hash even while the Column-API gates stay green.
+    "q105_sql_text_surface" -> { (s, dir) =>
+      Abi.registerSqlFunctions(s)
+      Tables(s, dir, "documents").createOrReplaceTempView("documents_q105")
+      s.sql("""select doc_id,
+               |  quality_score(text) as quality,
+               |  token_count(text) as n_tokens,
+               |  doc_fingerprint(text) as fp
+               |from documents_q105
+               |order by doc_id""".stripMargin)
+    },
+
     // Tokenize-and-ship under the gate (r10): the END of the
     // pipeline — documents Viterbi-tokenized to ids (the q99
     // uniform-vocab device), binarized int32-LE (Int32Le: 4 bytes
@@ -3400,6 +3417,28 @@ object SparkEntry {
         |from a
         |group by shard
         |order by shard""".stripMargin,
+
+    // SQL-surface twin: the q19 quality formula + token count +
+    // md5(norm) fingerprint — same signals, derived independently
+    "q105_sql_text_surface" ->
+      s"""with m as (
+        |  select doc_id, $OracleNorm as norm,
+        |    $OracleNTokens as n_tokens,
+        |    len(list_filter($OracleTokens, t -> t in ($OracleStop))) as n_stop,
+        |    cast(len(regexp_extract_all(text, '[.,!?;:]')) as double)
+        |      / cast(greatest(length(text),1) as double) as punct_ratio,
+        |    cast(len(regexp_extract_all(text, '[0-9]')) as double)
+        |      / cast(greatest(length(text),1) as double) as digit_ratio
+        |  from documents)
+        |select doc_id,
+        |  0.4 * least(cast(n_tokens as double) / 50.0, 1.0)
+        |  + 0.3 * least(cast(n_stop as double) / cast(greatest(n_tokens,1) as double) * 4.0, 1.0)
+        |  + 0.15 * (1.0 - least(punct_ratio * 5.0, 1.0))
+        |  + 0.15 * (1.0 - least(digit_ratio * 5.0, 1.0)) as quality,
+        |  cast(n_tokens as int) as n_tokens,
+        |  md5(norm) as fp
+        |from m
+        |order by doc_id""".stripMargin,
 
     // token-binary twin: q99's fewest-pieces DP × 4 bytes per id,
     // plus the md5 shard rule — the full chain in one SQL

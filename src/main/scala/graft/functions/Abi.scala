@@ -363,6 +363,19 @@ object Abi {
     reg("keccak256", 1, a => Keccak.keccak256(a(0)))
     reg("event_topic", 1, a => Keccak.eventTopic(a(0)))
     reg("abi_selector", 1, a => Keccak.selector(a(0)))
+    // the text-signal surface for SQL analysts (ServeSql/RunSql/
+    // spark.sql callers): the same Column macros the pipeline
+    // operators compose, so Catalyst still inlines and codegens —
+    // one registration point keeps the analyst and programmatic
+    // surfaces from drifting
+    reg("quality_score", 1, a => Text.qualityScore(a(0)))
+    reg("lang_id", 1, a => Text.langId(a(0)))
+    reg("token_count", 1, a => Text.tokenCount(a(0)))
+    reg("doc_fingerprint", 1, a => Text.fingerprint(a(0)))
+    reg("canonical_url", 1, a => Text.canonicalUrl(a(0)))
+    reg("strip_html", 1, a => Text.stripHtml(a(0)))
+    reg("redact_pii", 1, a => Text.redactPii(a(0)))
+    reg("deflate_ratio", 1, a => Text.compressionRatio(a(0)))
   }
 
   // ---- Reference-exact mode --------------------------------------------

@@ -81,4 +81,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 5L)
     assert(r.getAs[String]("b") === "0x" + hex)
   }
+
+  test("text-signal functions via SQL equal their Column forms") {
+    import graft.functions.Text
+    import org.apache.spark.sql.functions._
+    Abi.registerSqlFunctions(spark)
+    val text = "The cat sat, and bob@example.com saw <b>5</b> dogs at HTTP://X.com:80//a?utm_source=f&z=1"
+    val viaSql = spark.sql(
+      s"""select quality_score('$text') as q, lang_id('$text') as l,
+         |  token_count('$text') as n, doc_fingerprint('$text') as fp,
+         |  strip_html('$text') as sh, redact_pii('$text') as rp,
+         |  canonical_url('HTTP://X.com:80//a?utm_source=f&z=1') as cu,
+         |  deflate_ratio('$text') as dr""".stripMargin).collect()(0)
+    val viaCol = Seq(text).toDF("t").select(
+      Text.qualityScore(col("t")).as("q"), Text.langId(col("t")).as("l"),
+      Text.tokenCount(col("t")).as("n"), Text.fingerprint(col("t")).as("fp"),
+      Text.stripHtml(col("t")).as("sh"), Text.redactPii(col("t")).as("rp"),
+      Text.canonicalUrl(lit("HTTP://X.com:80//a?utm_source=f&z=1")).as("cu"),
+      Text.compressionRatio(col("t")).as("dr")).collect()(0)
+    for (i <- 0 until viaSql.length)
+      assert(viaSql.get(i) === viaCol.get(i), s"field $i diverges")
+    assert(viaSql.getAs[String]("rp").contains("<EMAIL>"))
+    assert(viaSql.getAs[String]("cu") === "http://x.com/a?z=1")
+  }
 }
