@@ -710,7 +710,14 @@ object Similarity {
     * aggregate → per-id array rebuild via sorted collect_list
     * (bounded by the DIMENSION, never by chunk count — the
     * dedupLines reassembly idiom). One shuffle on (id, dim), one on
-    * id; linear at any corpus size. */
+    * id; linear at any corpus size.
+    *
+    * Precondition: all embeddings within a group share one length.
+    * Jagged input would misalign the rebuilt array (a short vector
+    * simply contributes nothing to its missing trailing dims), so it
+    * FAILS LOUDLY — per-dimension chunk counts that disagree within
+    * a group raise an error naming the group instead of returning a
+    * silently wrong pooled vector. */
   def poolEmbeddings(df: DataFrame, idCol: String, embCol: String,
       mode: String = "mean"): DataFrame = {
     val agg: Column => Column = mode match {
@@ -730,6 +737,12 @@ object Similarity {
       .agg(
         transform(array_sort(collect_list(struct(col("_pos"), col("_pv")))),
           s => s.getField("_pv")).as("pooled"),
-        max(col("_n")).as("n_chunks"))
+        max(col("_n")).as("_nmax"),
+        min(col("_n")).as("_nmin"))
+      .select(col("id"), col("pooled"),
+        when(col("_nmin") === col("_nmax"), col("_nmax"))
+          .otherwise(raise_error(concat(
+            lit("poolEmbeddings: jagged embedding lengths in group "),
+            col("id").cast(StringType)))).as("n_chunks"))
   }
 }

@@ -1,5 +1,7 @@
 package graft.sinks
 
+import graft.SerializableHadoopConf
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,15 +22,25 @@ import org.apache.spark.sql.types._
   * what a 1000-executor writer wants anyway. Within a shard, members
   * are written in ascending key order — byte-deterministic output.
   *
-  * Tar bytes: plain ustar. Per member a 512-byte header (name =
-  * `<key>.<ext>` truncated at 100 bytes — caller keys must fit,
-  * checked; mode 0644, uid/gid 0, MTIME 0 for byte-determinism,
-  * typeflag '0', magic "ustar"+NUL+"00") + payload zero-padded to a
-  * 512 multiple; archive ends with two zero blocks. So
+  * Tar bytes: plain POSIX ustar. Per member a 512-byte header
+  * (name = `<key>.<ext>`; names over 100 bytes split across the
+  * ustar `prefix` field at a '/' — see [[splitName]] — so keys up to
+  * 255 bytes shard, longer ones refuse loudly; mode 0644, uid/gid 0,
+  * MTIME 0 for byte-determinism, typeflag '0', magic
+  * "ustar"+NUL+"00") + payload zero-padded to a 512 multiple;
+  * archive ends with two zero blocks. So
   * `tar_bytes = Σ (512 + 512·ceil(len/512)) + 1024` — a closed
   * formula the q102 twin recomputes in SQL, and the archives
   * themselves list/extract byte-identically under GNU tar (the
   * foreign validator the spec shells out to).
+  *
+  * ALL I/O goes through the Hadoop `FileSystem` API resolved from
+  * the output path + the driver's Hadoop configuration (shipped to
+  * executors via [[graft.SerializableHadoopConf]]). That is what
+  * makes this an export tier and not a local[32] toy: on a real
+  * cluster `outDir` is `hdfs://…` or `s3a://…` and every executor's
+  * shards land in the SAME directory; `file:` URIs and bare local
+  * paths keep working unchanged (the specs drive both).
   *
   * Scale shape: one `repartition(nShards, shard)` shuffle; each task
   * writes the tar files of the shard ids that hash to it (streamed
@@ -55,11 +67,39 @@ object TarShards {
   def tarBytes(memberSizes: Seq[Long]): Long =
     memberSizes.map(s => BlockSize + ((s + BlockSize - 1) / BlockSize) * BlockSize).sum + 2L * BlockSize
 
-  private def headerFor(name: String, size: Long): Array[Byte] = {
-    require(name.getBytes("UTF-8").length <= 100,
-      s"tar member name exceeds ustar's 100-byte field: $name")
+  /** ustar name placement for a member name: `(prefix, name)` byte
+    * arrays. Names ≤100 bytes go in the name field alone. Longer
+    * names use the POSIX `prefix` field (155 bytes at offset 345):
+    * the stored full name is `prefix + '/' + name`, so a split point
+    * must be an actual '/' in the member name — a >100-byte name
+    * with no usable slash CANNOT be represented in ustar and refuses
+    * (GNU/PAX long-name extension entries would break the
+    * fixed-formula byte accounting and foreign minimal readers).
+    * The split is the LEFTMOST '/' that leaves the remainder ≤100
+    * bytes (deterministic, and maximizes headroom for sibling
+    * members sharing the prefix). Splitting on the 0x2f byte is
+    * UTF-8-safe: continuation bytes are ≥0x80. */
+  private[sinks] def splitName(full: String): (Array[Byte], Array[Byte]) = {
+    val b = full.getBytes("UTF-8")
+    if (b.length <= 100) return (Array.emptyByteArray, b)
+    require(b.length <= 256, // 155 + '/' + 100
+      s"tar member name exceeds ustar's 255-byte prefix+name capacity: $full")
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '/'.toByte && i <= 155 && (b.length - i - 1) <= 100 && i > 0 && i < b.length - 1) {
+        return (java.util.Arrays.copyOfRange(b, 0, i),
+          java.util.Arrays.copyOfRange(b, i + 1, b.length))
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"tar member name exceeds ustar's 100-byte field and has no '/' split " +
+        s"with prefix<=155 and name<=100 bytes: $full")
+  }
+
+  private def headerFor(fullName: String, size: Long): Array[Byte] = {
+    val (prefixB, nameB) = splitName(fullName)
     val h = new Array[Byte](BlockSize)
-    val nameB = name.getBytes("UTF-8")
     System.arraycopy(nameB, 0, h, 0, nameB.length)
     def octal(value: Long, off: Int, len: Int): Unit = {
       val s = java.lang.Long.toOctalString(value)
@@ -76,6 +116,7 @@ object TarShards {
     h(156) = '0' // typeflag: regular file
     val magic = "ustar\u000000".getBytes("US-ASCII")
     System.arraycopy(magic, 0, h, 257, magic.length)
+    System.arraycopy(prefixB, 0, h, 345, prefixB.length)
     // checksum: field treated as spaces during the sum
     java.util.Arrays.fill(h, 148, 156, ' '.toByte)
     var sum = 0L
@@ -94,12 +135,27 @@ object TarShards {
     * `<key>.<ext>`. Returns the manifest
     * `(shard, n_files, payload_bytes, tar_bytes)` read back from the
     * written files. Keys must be unique (member names collide
-    * otherwise — checked per shard while writing). */
+    * otherwise — checked per shard while writing) and payloads
+    * non-null (a null would otherwise NPE anonymously inside a
+    * task). Any `shard-*.tar` / `.shard-*.tar.tmp` already in
+    * `outDir` is deleted first: a re-run over a smaller corpus must
+    * not leave stale shards behind for `manifest()`/TarSource to
+    * pick up. */
   def write(df: DataFrame, keyCol: String, payloadCol: String, ext: String,
       outDir: String, nShards: Int): DataFrame = {
     require(nShards >= 1)
     val spark = df.sparkSession
-    new java.io.File(outDir).mkdirs()
+    val outPath = new Path(outDir)
+    val driverFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    driverFs.mkdirs(outPath)
+    driverFs.listStatus(outPath).foreach { st =>
+      val n = st.getPath.getName
+      val stale = (n.startsWith("shard-") && n.endsWith(".tar")) ||
+        (n.startsWith(".shard-") && n.endsWith(".tar.tmp"))
+      if (stale) driverFs.delete(st.getPath, false)
+    }
+    val qualified = driverFs.makeQualified(outPath).toString
+    val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rows = df.select(
         col(keyCol).cast(StringType).as("key"),
         col(payloadCol).cast(BinaryType).as("payload"))
@@ -109,16 +165,18 @@ object TarShards {
     rows.select(col("shard"), col("key"), col("payload"))
       .as(Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.BINARY))
       .foreachPartition { it: Iterator[(Int, String, Array[Byte])] =>
+        val dir = new Path(qualified)
+        val fs = dir.getFileSystem(serConf.value)
         var cur = -1
         var out: java.io.OutputStream = null
-        var tmp: java.io.File = null
+        var tmp: Path = null
         var lastKey: String = null
         def close(): Unit = if (out != null) {
           out.write(new Array[Byte](2 * BlockSize)) // trailer
           out.close()
-          val fin = new java.io.File(tmp.getParentFile, f"shard-$cur%05d.tar")
-          if (fin.exists()) fin.delete() // overwrite semantics for re-runs
-          if (!tmp.renameTo(fin)) throw new java.io.IOException(s"rename to $fin failed")
+          val fin = new Path(dir, f"shard-$cur%05d.tar")
+          if (fs.exists(fin)) fs.delete(fin, false) // overwrite semantics for re-runs
+          if (!fs.rename(tmp, fin)) throw new java.io.IOException(s"rename to $fin failed")
           out = null
         }
         it.foreach { case (shard, key, payload) =>
@@ -126,10 +184,11 @@ object TarShards {
             close()
             cur = shard
             lastKey = null
-            tmp = new java.io.File(outDir, f".shard-$cur%05d.tar.tmp")
-            out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+            tmp = new Path(dir, f".shard-$cur%05d.tar.tmp")
+            out = new java.io.BufferedOutputStream(fs.create(tmp, true))
           }
           require(key != lastKey, s"duplicate member key '$key' in shard $shard")
+          require(payload != null, s"null payload for key '$key'")
           lastKey = key
           out.write(headerFor(s"$key.$ext", payload.length.toLong))
           out.write(payload)
@@ -142,31 +201,51 @@ object TarShards {
   }
 
   /** Manifest of a shard directory by PARSING the written tars with
-    * an independent reader (header walk — not the writer's
-    * bookkeeping): `(shard, n_files, payload_bytes, tar_bytes)`. */
+    * an independent reader (a streamed header walk — payloads are
+    * `skip()`ed, never read, and nothing shard-sized is ever in
+    * memory; real shards are hundreds of MB each):
+    * `(shard, n_files, payload_bytes, tar_bytes)`. */
   def manifest(spark: SparkSession, dir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val files = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.startsWith("shard-") && f.getName.endsWith(".tar"))
-      .sortBy(_.getName)
-    val rows = files.map { f =>
-      val shard = f.getName.stripPrefix("shard-").stripSuffix(".tar").toInt
-      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      var off = 0
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(st => st.getPath.getName.startsWith("shard-") && st.getPath.getName.endsWith(".tar"))
+      .sortBy(_.getPath.getName)
+    val rows = files.map { st =>
+      val name = st.getPath.getName
+      val shard = name.stripPrefix("shard-").stripSuffix(".tar").toInt
+      val in = new java.io.BufferedInputStream(fs.open(st.getPath))
       var n = 0L
       var payload = 0L
-      var done = false
-      while (!done && off + BlockSize <= bytes.length) {
-        if (bytes.slice(off, off + BlockSize).forall(_ == 0)) done = true
-        else {
-          val sizeField = new String(bytes, off + 124, 11, "US-ASCII").trim
-          val size = java.lang.Long.parseLong(sizeField, 8)
-          n += 1
-          payload += size
-          off += BlockSize + (((size + BlockSize - 1) / BlockSize) * BlockSize).toInt
+      try {
+        val header = new Array[Byte](BlockSize)
+        var done = false
+        while (!done) {
+          var off = 0
+          var eof = false
+          while (off < BlockSize && !eof) {
+            val r = in.read(header, off, BlockSize - off)
+            if (r < 0) eof = true else off += r
+          }
+          if (eof || header.forall(_ == 0)) done = true
+          else {
+            val sizeField = new String(header, 124, 11, "US-ASCII").trim
+            val size = java.lang.Long.parseLong(sizeField, 8)
+            n += 1
+            payload += size
+            var left = ((size + BlockSize - 1) / BlockSize) * BlockSize
+            while (left > 0) {
+              val s = in.skip(left)
+              if (s <= 0) {
+                if (in.read() < 0) throw new java.io.EOFException(s"truncated tar $name")
+                left -= 1
+              } else left -= s
+            }
+          }
         }
-      }
-      org.apache.spark.sql.Row(shard, n, payload, f.length())
+      } finally in.close()
+      org.apache.spark.sql.Row(shard, n, payload, st.getLen)
     }
     spark.createDataFrame(rows.toSeq.asJava, StructType(Seq(
       StructField("shard", IntegerType, nullable = false),

@@ -1,5 +1,8 @@
 package graft.sources
 
+import graft.SerializableHadoopConf
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -17,6 +20,13 @@ import scala.jdk.CollectionConverters._
   * ("graft.sources.TarSource").option("path", dir).load()` yields
   * `(shard, key, ext, size, payload)` rows.
   *
+  * All I/O rides the Hadoop `FileSystem` API: the driver lists the
+  * input with the session's Hadoop configuration, and each reader
+  * task opens its shard through the SAME configuration (shipped via
+  * [[graft.SerializableHadoopConf]] in the reader factory) — so
+  * `hdfs://` / `s3a://` / `file:` inputs all work, not just
+  * executor-local disks.
+  *
   * Column pruning is real I/O savings here, not cosmetics: when
   * `payload` is not required (counting members, auditing sizes, key
   * joins), the reader `skip()`s every payload instead of reading it
@@ -25,11 +35,15 @@ import scala.jdk.CollectionConverters._
   * description advertises the surviving columns so a plan spec can
   * assert the pruning landed.
   *
-  * The parser is header-walk ustar: it reads only the name, size and
-  * typeflag fields, so archives from FOREIGN writers (GNU tar)
-  * parse too — non-regular-file entries (directories, PAX/GNU
-  * extended headers 'x'/'g'/'L') are skipped with their payloads,
-  * which is exactly how webdataset's own reader treats them.
+  * The parser is header-walk ustar: it reads only the name, size,
+  * typeflag and (POSIX-magic only) prefix fields, so archives from
+  * FOREIGN writers (GNU tar) parse too — non-regular-file entries
+  * (directories, PAX/GNU extended headers 'x'/'g'/'L') are skipped
+  * with their payloads, which is exactly how webdataset's own reader
+  * treats them. Long member names written through the POSIX `prefix`
+  * field (offset 345) are reassembled as `prefix + '/' + name`;
+  * old-GNU archives (magic "ustar  ") reuse those bytes for atime,
+  * so the prefix is honored only under the exact POSIX magic.
   * `shard` derives from the `shard-NNNNN.tar` name convention, −1
   * for files named otherwise. */
 class TarSource extends TableProvider {
@@ -76,37 +90,49 @@ object TarSource {
     override def description(): String =
       s"tar shards: $path cols=[${required.fieldNames.mkString(",")}]"
     override def planInputPartitions(): Array[InputPartition] = {
-      val f = new java.io.File(path)
-      val files: Array[java.io.File] =
-        if (f.isDirectory) f.listFiles().filter(_.getName.endsWith(".tar")).sortBy(_.getName)
-        else if (f.isFile) Array(f)
-        else throw new java.io.FileNotFoundException(path)
-      files.map { file =>
-        val n = file.getName
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) throw new java.io.FileNotFoundException(path)
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isDirectory)
+          fs.listStatus(p).filter { s =>
+            s.isFile && s.getPath.getName.endsWith(".tar")
+          }.sortBy(_.getPath.getName)
+        else Array(st)
+      files.map { f =>
+        val n = f.getPath.getName
         val shard =
           if (n.startsWith("shard-") && n.endsWith(".tar"))
             scala.util.Try(n.stripPrefix("shard-").stripSuffix(".tar").toInt).getOrElse(-1)
           else -1
-        TarFilePartition(file.getAbsolutePath, shard): InputPartition
+        TarFilePartition(fs.makeQualified(f.getPath).toString, shard): InputPartition
       }
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new TarReaderFactory(required)
+      new TarReaderFactory(required,
+        new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
   }
 
-  private[sources] class TarReaderFactory(required: StructType) extends PartitionReaderFactory {
+  private[sources] class TarReaderFactory(required: StructType, conf: SerializableHadoopConf)
+      extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[TarFilePartition]
-      new TarEntryReader(p.file, p.shard, required)
+      new TarEntryReader(p.file, p.shard, required, conf)
     }
   }
 
   /** Executor-side streaming reader: walks 512-byte headers, emits
     * one row per regular-file member, and SKIPS payload bytes when
     * the `payload` column was pruned away. */
-  private[sources] class TarEntryReader(file: String, shard: Int, required: StructType)
+  private[sources] class TarEntryReader(file: String, shard: Int, required: StructType,
+      conf: SerializableHadoopConf)
       extends PartitionReader[InternalRow] {
-    private val in = new java.io.BufferedInputStream(new java.io.FileInputStream(file))
+    private val in = {
+      val p = new Path(file)
+      new java.io.BufferedInputStream(p.getFileSystem(conf.value).open(p))
+    }
     private val wantPayload = required.fieldNames.contains("payload")
     private var row: InternalRow = null
     private val header = new Array[Byte](512)
@@ -144,7 +170,17 @@ object TarSource {
         if (typeflag == '0' || typeflag == 0) {
           var nameLen = 0
           while (nameLen < 100 && header(nameLen) != 0) nameLen += 1
-          val name = new String(header, 0, nameLen, "UTF-8")
+          val base = new String(header, 0, nameLen, "UTF-8")
+          // POSIX ustar prefix (exact magic "ustar\0"; old-GNU
+          // "ustar  " reuses these bytes for atime — must not parse)
+          val posixMagic = header(257) == 'u' && header(258) == 's' && header(259) == 't' &&
+            header(260) == 'a' && header(261) == 'r' && header(262) == 0
+          val name =
+            if (posixMagic && header(345) != 0) {
+              var preLen = 0
+              while (preLen < 155 && header(345 + preLen) != 0) preLen += 1
+              new String(header, 345, preLen, "UTF-8") + "/" + base
+            } else base
           val dot = name.lastIndexOf('.')
           val (key, ext) =
             if (dot > 0) (name.substring(0, dot), name.substring(dot + 1)) else (name, "")

@@ -907,6 +907,21 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.poolEmbeddings(chunks, "doc", "emb", "median")
     }
+    // jagged embedding lengths within a group: a short vector would
+    // silently misalign the pooled array — must raise, naming the group
+    val jagged = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (1L, Seq(4.0f, 5.0f)), // one dim short
+      (2L, Seq(6.0f, 6.0f, 6.0f))
+    ).toDF("doc", "emb")
+    val e = intercept[Exception] {
+      Similarity.poolEmbeddings(jagged, "doc", "emb", "max").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("jagged") && m.contains("1")), e.getMessage)
+    // uniform groups still pool fine through the guard
+    assert(arr("max", 2L)._1 === Seq(7.0, 7.0, 7.0))
   }
 
 }

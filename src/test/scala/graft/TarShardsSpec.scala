@@ -165,6 +165,87 @@ class TarShardsSpec extends SparkSpec {
     assert(keysIn(s"$out/${newDir.head}") === Set("5"))
   }
 
+  test("write→read through an explicit file: URI (Hadoop FileSystem API end-to-end)") {
+    // the whole tier must resolve paths through the Hadoop FS layer:
+    // a scheme-qualified URI (what hdfs:// / s3a:// look like to the
+    // code) round-trips write → manifest → DSv2 read unchanged
+    val dir = "file://" + freshDir()
+    val manifest = TarShards.write(docs, "k", "p", "txt", dir, nShards = 2)
+    assert(manifest.agg(sum("n_files")).collect()(0).getLong(0) === 5L)
+    val back = spark.read.format("graft.sources.TarSource")
+      .option("path", dir).load()
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Array[Byte]]("payload")).toMap
+    val expected = docs.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(back.keySet === expected.keySet)
+    for ((k, v) <- expected) assert(back(k) === v)
+  }
+
+  test("re-run over a smaller corpus clears stale shards first") {
+    val dir = freshDir()
+    TarShards.write(docs, "k", "p", "txt", dir, nShards = 5)
+    // also plant a stranded temp file from a hypothetical crashed run
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".shard-00009.tar.tmp"), Array[Byte](1))
+    val one = Seq(("alpha", "only survivor")).toDF("k", "t")
+      .select(col("k"), col("t").cast("binary").as("p"))
+    val manifest = TarShards.write(one, "k", "p", "txt", dir, nShards = 1)
+    assert(manifest.count() === 1L)
+    // ignore Hadoop LocalFileSystem's standard .crc sidecars — the
+    // point is that no stale .tar (or stranded .tmp) survives
+    val left = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted
+    assert(left === Array("shard-00000.tar"), left.mkString(","))
+    val back = spark.read.format("graft.sources.TarSource").option("path", dir).load()
+    assert(back.select("key").collect().map(_.getString(0)).toSeq === Seq("alpha"))
+  }
+
+  test("long keys shard via the ustar prefix field; GNU tar and TarSource agree") {
+    val dir = freshDir()
+    // >100-byte member name WITH a slash: splits across prefix+name
+    val longKey = ("d" * 80) + "/" + ("f" * 60) // 141 chars + ".txt" = 145
+    val data = Seq((longKey, "prefix-field payload"), ("short", "plain")).toDF("k", "t")
+      .select(col("k"), col("t").cast("binary").as("p"))
+    TarShards.write(data, "k", "p", "txt", dir, nShards = 1)
+    // GNU tar (foreign reader) reconstructs the full path
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar")).head
+    val names = Seq("tar", "-tf", f.getAbsolutePath).!!.trim.split("\n").toSet
+    assert(names === Set(s"$longKey.txt", "short.txt"))
+    val out = new java.io.ByteArrayOutputStream()
+    assert((Seq("tar", "-xOf", f.getAbsolutePath, s"$longKey.txt") #> out).! === 0)
+    assert(new String(out.toByteArray, "UTF-8") === "prefix-field payload")
+    // our own DSv2 reader reassembles prefix + '/' + name
+    val back = spark.read.format("graft.sources.TarSource").option("path", dir).load()
+      .collect().map(r => r.getAs[String]("key") ->
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
+    assert(back === Map(longKey -> "prefix-field payload", "short" -> "plain"))
+    // byte-determinism still holds with prefix members
+    val first = java.nio.file.Files.readAllBytes(f.toPath)
+    TarShards.write(data, "k", "p", "txt", dir, nShards = 1)
+    assert(java.nio.file.Files.readAllBytes(f.toPath) === first)
+    // no usable slash → refuse; beyond prefix+name capacity → refuse
+    val noSlash = Seq(("k" * 150, "x")).toDF("k", "t")
+      .select(col("k"), col("t").cast("binary").as("p"))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      TarShards.write(noSlash, "k", "p", "txt", freshDir(), 1)
+    }
+    assert(e1.getMessage.contains("100-byte") || e1.getCause != null)
+    val tooLong = Seq((("a" * 150) + "/" + ("b" * 150), "x")).toDF("k", "t")
+      .select(col("k"), col("t").cast("binary").as("p"))
+    intercept[org.apache.spark.SparkException] {
+      TarShards.write(tooLong, "k", "p", "txt", freshDir(), 1)
+    }
+  }
+
+  test("null payload fails loudly, naming the key") {
+    val withNull = Seq(("ok", Some("fine")), ("broken", None)).toDF("k", "t")
+      .select(col("k"), col("t").cast("binary").as("p"))
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.write(withNull, "k", "p", "txt", freshDir(), 1)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("null payload") && m.contains("broken")))
+  }
+
   test("TarSource parses a FOREIGN archive written by GNU tar") {
     val work = new java.io.File(freshDir())
     val sub = new java.io.File(work, "payload"); sub.mkdirs()
