@@ -47,8 +47,11 @@ import org.apache.spark.sql.SparkSession
   * A/B tool the verdicts kept asking for); SPARK_GRAFT_BENCH_FAMILY=1
   * gives strict per-query isolation; SPARK_GRAFT_BENCH_TRACE=1 prints
   * every individual run (warmup and timed) to stderr for convergence
-  * diagnosis. `value` = sum of per-query medians; `wall` = actual
-  * wall-clock including child startup. */
+  * diagnosis; SPARK_GRAFT_BENCH_SPREAD_MAX (default 2.5) sets the
+  * max/min ratio beyond which a query is auto-re-measured alone in a
+  * quiet JVM after the main pass (recorded under "remeasured",
+  * totals untouched). `value` = sum of per-query medians; `wall` =
+  * actual wall-clock including child startup. */
 object Bench {
 
   /** The I/O-round-trip family: these queries measure real file-system
@@ -113,10 +116,9 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     var spark: Option[SparkSession] = None // lazy, fallback only
-    val results = scala.collection.mutable.LinkedHashMap[String, QStat]()
-    for (fam <- families) {
+    def runChild(fam: Seq[String]): Option[Map[String, QStat]] = {
       val out = java.nio.file.Files.createTempFile("graft_bench_fam", ".json")
-      def runChild(): Option[Map[String, QStat]] = {
+      try {
         val cmd = (Seq(javaBin) ++ jvmArgs ++
           Seq("-cp", cp, "graft.Bench")).asJava
         val pb = new ProcessBuilder(cmd)
@@ -132,10 +134,15 @@ object Bench {
         val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
         if (!done) { p.destroyForcibly(); p.waitFor() }
         if (done && p.exitValue() == 0) parseStats(out) else None
+      } finally {
+        try java.nio.file.Files.deleteIfExists(out) catch { case _: Throwable => }
       }
-      val parsed = runChild().orElse {
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, QStat]()
+    for (fam <- families) {
+      val parsed = runChild(fam).orElse {
         System.err.println(s"[bench] child failed for ${fam.mkString(",")}; retrying once")
-        runChild()
+        runChild(fam)
       }
       parsed match {
         case Some(m) => fam.foreach(n => m.get(n).foreach(results(n) = _))
@@ -143,11 +150,35 @@ object Bench {
           System.err.println(s"[bench] child failed twice for ${fam.mkString(",")}; measuring in-process")
           results ++= measureInProcess(fam, spark.orElse { spark = Some(buildSession()); spark })
       }
-      try java.nio.file.Files.deleteIfExists(out) catch { case _: Throwable => }
     }
     spark.foreach(_.stop())
+    // Self-enforcing spread rule (r11): a query whose timed-run
+    // max/min exceeds the SCALE.md outlier threshold sat in a
+    // suspect host window — it gets ONE automatic quiet re-measure
+    // in a fresh single-query JVM, OUTSIDE the timed totals (the
+    // medians/total above are untouched; the adjudication lands in
+    // the artifact's "remeasured" map). This automates the manual
+    // `SPARK_GRAFT_BENCH_ONLY=… FAMILY=1` adjudication every round
+    // through r10 had to run by hand — the closing artifact can no
+    // longer ship with its own rule tripped and untriaged.
+    val spreadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_MAX", "2.5").toDouble
+    val outliers = results.toSeq.collect {
+      case (n, st) if st.min > 0 && st.max / st.min > spreadMax => n
+    }
+    val remeasured = outliers.flatMap { n =>
+      val st = results(n)
+      System.err.println(f"[bench] spread outlier $n (max/min ${st.max / st.min}%.2f " +
+        f"> $spreadMax); quiet single-query re-measure")
+      runChild(Seq(n)).flatMap(_.get(n)) match {
+        case Some(st2) => Some(n -> st2.median)
+        case None =>
+          System.err.println(s"[bench] re-measure child failed for $n; recording -1")
+          Some(n -> -1.0)
+      }
+    }
     emit(results.toSeq, sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LOCAL.json"), startNanos = t0, quiet = false)
+      "/root/repo/BENCH_LOCAL.json"), startNanos = t0, quiet = false,
+      remeasured = remeasured)
   }
 
   /** Extract the per-query stats from a child's full-record JSON.
@@ -248,7 +279,8 @@ object Bench {
   }
 
   private def emit(results: Seq[(String, QStat)], out: String,
-      startNanos: Long, quiet: Boolean): Unit = {
+      startNanos: Long, quiet: Boolean,
+      remeasured: Seq[(String, Double)] = Nil): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val wall = (System.nanoTime() - startNanos) / 1e9
@@ -269,8 +301,15 @@ object Bench {
         ",\"max\":" + v.max + ",\"warm\":" + v.warmups + "}"
     }.mkString("{", ",", "}")
     val ioFam = IoFamily.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // flat name→median map of the automatic quiet re-measures of
+    // spread outliers (−1 = re-measure child failed); empty when no
+    // query tripped the rule — "ships with zero un-adjudicated
+    // spread outliers" is checkable from the artifact alone
+    val remeas = remeasured.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
-      s""""sf":"$sfDir","runs":$runs,"wall":$wall,"io_family":$ioFam,"spread":$spread}"""
+      s""""sf":"$sfDir","runs":$runs,"wall":$wall,"io_family":$ioFam,"spread":$spread,""" +
+      s""""remeasured":$remeas}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (jsonFull + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
