@@ -323,8 +323,12 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
-    // MinHash+LSH near-dup candidates (xxhash64-based — rows-only
-    // check; recall/precision asserted in DedupSpec instead)
+    // MinHash+LSH near-dup candidates — HASH-GATED since r11 via the
+    // md5 signature family (Md5Family: slot i = min (a_i·x + b_i) mod
+    // P over x = md5_60(shingle) mod P; the DuckDB twin re-derives
+    // every slot, band bucket and estimate from md5 alone). The
+    // xxh64 production family stays the operator default; this gate
+    // drives the identical banding/pairing/estimate machinery.
     // bands of 4 rows: band-collision probability ≈ jaccard^4, so the
     // shared-vocabulary corpus doesn't flood the pair join (2-row bands
     // at est≥0.05 generated ~10^6 candidate pairs at sf0.1)
@@ -332,21 +336,29 @@ object SparkEntry {
       Dedup.minhashCandidates(
           Tables(s, dir, "documents"), "doc_id", "text",
           numHashes = 32, bands = 8, shingleK = 2, minEstimate = 0.15,
-          maxBucket = 500)
+          maxBucket = 500, family = "md5")
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash near-dup pairs (rows-only; semantics in DedupSpec).
-    // bands=8 → 8-bit chunks → full recall for distance ≤ 7
+    // SimHash near-dup pairs — HASH-GATED since r11 via the 60-bit
+    // md5 family (token hash = md5_60, ±1 votes are order-independent
+    // integer sums, so the DuckDB twin rebuilds every signature).
+    // bands=10 → 6-bit chunks → full recall for distance ≤ 9, so the
+    // distance-≤-7 contract is preserved at the portable width.
     "q24_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashCandidates(
           Tables(s, dir, "documents"), "doc_id", "text",
-          maxDistance = 7, bands = 8)
+          maxDistance = 7, bands = 10, family = "md5")
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // LSH-bucketed approximate top-k (rows-only; recall vs brute force
-    // asserted in SimilaritySpec)
+    // LSH-bucketed approximate top-k — HASH-GATED since r11 via the
+    // md5 hyperplane family (components exact in float32 AND float64,
+    // so both engines compute identical dot signs; the DuckDB twin
+    // re-derives all 24×11 planes, both signatures, the ≤2-bit
+    // multi-probe predicate and the exact-cosine ranking from md5).
+    // Same fused LshProbe kernel and knobs as the prng production
+    // family; md5-family recall at these knobs is spec-asserted.
     "q25_lsh_topk" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val query = e.filter(col("vec_id") === 1).select("embedding")
@@ -355,7 +367,7 @@ object SparkEntry {
       // recall ≥0.9 (measured 0.95) at 0.56 scan fraction, vs 0.4–0.7
       // for one big table (DedupSimilaritySpec's sweep table)
       Similarity.lshTopK(e, "vec_id", "embedding", query, k = 10,
-        bits = 11, probeRadius = 2, numTables = 24)
+        bits = 11, probeRadius = 2, numTables = 24, family = "md5")
     },
 
     // multimodal binary columns: synthesize → partition-wise decode →
@@ -2075,6 +2087,134 @@ object SparkEntry {
         |select vec_id, score from s
         |where score >= 0.15
         |order by vec_id""".stripMargin,
+
+    // md5-family MinHash twin: the oracle re-derives shingle hashes,
+    // permutation coefficients, signatures, band buckets, the
+    // bucket-size guard and the agreement estimate — all from md5.
+    // Spark's band join keys on xxhash64(concat) of the slots; the
+    // twin joins on the slot-concat string directly — identical
+    // buckets (a 64-bit band-key collision would be the only
+    // divergence, vanishingly unlikely at any corpus size).
+    "q23_minhash_near_dup" ->
+      s"""with tok as (
+        |  select doc_id,
+        |    case when length(norm) = 0 then [] else string_split(norm, ' ') end as toks
+        |  from (select doc_id, $OracleNorm as norm from documents)),
+        |sh as (
+        |  select doc_id,
+        |    list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1]) as sh
+        |  from tok where len(toks) >= 2),
+        |xs as (
+        |  select doc_id,
+        |    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::bigint % 2147483647) as xs
+        |  from sh),
+        |par as (
+        |  select i,
+        |    ('0x' || substr(md5('graft:minhash:v1:a:' || i), 1, 15))::bigint % 2147483646 + 1 as a,
+        |    ('0x' || substr(md5('graft:minhash:v1:b:' || i), 1, 15))::bigint % 2147483647 as b
+        |  from range(0, 32) t(i)),
+        |slot as (
+        |  select x.doc_id, par.i, min((par.a * u.v + par.b) % 2147483647) as m
+        |  from xs x, unnest(x.xs) as u(v), par
+        |  group by x.doc_id, par.i),
+        |sig as (select doc_id, list(m order by i) as sig from slot group by doc_id),
+        |band as (
+        |  select doc_id, b.band,
+        |    array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '_') as key
+        |  from sig, range(0, 8) b(band)),
+        |keep as (
+        |  select band, key from band
+        |  group by band, key having count(*) between 2 and 500),
+        |pr as (
+        |  select distinct a.doc_id as id_a, b.doc_id as id_b
+        |  from band a
+        |  join keep k on a.band = k.band and a.key = k.key
+        |  join band b on b.band = a.band and b.key = a.key
+        |  where a.doc_id < b.doc_id)
+        |select pr.id_a, pr.id_b,
+        |  cast(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) as double)
+        |    / 32.0 as est_jaccard
+        |from pr
+        |join sig sa on sa.doc_id = pr.id_a
+        |join sig sb on sb.doc_id = pr.id_b
+        |where cast(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) as double)
+        |    / 32.0 >= 0.15
+        |order by id_a, id_b""".stripMargin,
+
+    // 60-bit md5-family SimHash twin: vote sums are order-independent
+    // integer adds, so the oracle rebuilds the exact signatures, then
+    // mirrors the banding (6-bit chunks), the bucket-size guard, the
+    // distinct pair join and the hamming filter.
+    "q24_simhash_pairs" ->
+      s"""with tok as (
+        |  select doc_id,
+        |    case when length(norm) = 0 then [] else string_split(norm, ' ') end as toks
+        |  from (select doc_id, $OracleNorm as norm from documents)),
+        |h as (
+        |  select doc_id, ('0x' || substr(md5(u.t), 1, 15))::bigint as h
+        |  from tok, unnest(toks) as u(t)),
+        |v as (select doc_id, $OracleSimhashVotes from h group by doc_id),
+        |sig as (select doc_id, $OracleSimhashPack as sh from v),
+        |band as (
+        |  select doc_id, sh, b.band, (sh >> (b.band * 6)) & 63 as chunk
+        |  from sig, range(0, 10) b(band)),
+        |keep as (
+        |  select band, chunk from band
+        |  group by band, chunk having count(*) between 2 and 1000),
+        |pr as (
+        |  select distinct a.doc_id as id_a, a.sh as sh_a, b.doc_id as id_b, b.sh as sh_b
+        |  from band a
+        |  join keep k on a.band = k.band and a.chunk = k.chunk
+        |  join band b on b.band = a.band and b.chunk = a.chunk
+        |  where a.doc_id < b.doc_id)
+        |select id_a, id_b, cast(bit_count(xor(sh_a, sh_b)) as int) as distance
+        |from pr
+        |where bit_count(xor(sh_a, sh_b)) <= 7
+        |order by id_a, id_b""".stripMargin,
+
+    // md5-hyperplane LSH twin: re-derive all 24 tables × 11 planes
+    // (components (md5_60 mod 2001 − 1000)/1024 — exact in float32
+    // and float64), signature each vector and the query, keep vectors
+    // within 2 bits of the query in ANY table, rank candidates by the
+    // q22-shape exact cosine. list_sum is the left-to-right double
+    // fold both engines share (the q21/q22 precedent).
+    "q25_lsh_topk" ->
+      """with q as (select embedding as qv from embeddings where vec_id = 1),
+        |pl as (
+        |  select t.t, i.i,
+        |    list_transform(generate_series(0, 63), d ->
+        |      ((('0x' || substr(md5('graft:lsh:v1:' || t.t || ':' || i.i || ':' || d), 1, 15))::bigint
+        |        % 2001) - 1000) / 1024.0) as pl
+        |  from range(0, 24) t(t), range(0, 11) i(i)),
+        |qs as (
+        |  select t, sum(case when d > 0 then 1::bigint << i else 0::bigint end) as qsig
+        |  from (select pl.t, pl.i,
+        |      list_sum(list_transform(list_zip(pl.pl, (select qv from q)),
+        |        p -> p[1] * cast(p[2] as double))) as d
+        |    from pl)
+        |  group by t),
+        |vs as (
+        |  select e.vec_id, pl.t,
+        |    sum(case when list_sum(list_transform(list_zip(pl.pl, e.embedding),
+        |        p -> p[1] * cast(p[2] as double))) > 0
+        |      then 1::bigint << pl.i else 0::bigint end) as sig
+        |  from embeddings e, pl
+        |  group by e.vec_id, pl.t),
+        |cand as (
+        |  select distinct vs.vec_id
+        |  from vs join qs on qs.t = vs.t
+        |  where bit_count(xor(vs.sig, qs.qsig)) <= 2)
+        |select e.vec_id,
+        |  list_sum(list_transform(list_zip(e.embedding, (select qv from q)),
+        |    p -> cast(p[1] as double) * cast(p[2] as double)))
+        |  / (sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+        |      p -> cast(p[1] as double) * cast(p[2] as double))))
+        |    * sqrt((select list_sum(list_transform(list_zip(qv, qv),
+        |      p -> cast(p[1] as double) * cast(p[2] as double))) from q))) as score
+        |from embeddings e join cand on cand.vec_id = e.vec_id
+        |order by score desc, e.vec_id
+        |limit 10""".stripMargin,
 
     "q27_price_asof_valuation" ->
       """with t as (
@@ -3802,6 +3942,14 @@ object SparkEntry {
     * the Text.* expression semantics). */
   private val OracleNorm =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
+  /** q24's 60-bit md5-family SimHash, unrolled for the twin: per-bit
+    * ±1 vote sums over token hashes, then sign-pack. */
+  private val OracleSimhashVotes =
+    (0 until 60).map(j =>
+      s"sum(case when (h >> $j) & 1 = 1 then 1 else -1 end) as v$j").mkString(", ")
+  private val OracleSimhashPack =
+    (0 until 60).map(j =>
+      s"case when v$j > 0 then ${1L << j}::bigint else 0::bigint end").mkString(" + ")
   private val OracleTokens =
     """case when length(trim(text)) = 0 then [] else string_split_regex(trim(text), '\s+') end"""
   private val OracleNTokens =

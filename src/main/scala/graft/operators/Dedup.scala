@@ -71,6 +71,35 @@ object Dedup {
       .select(col("id"), shinglesFromTokens(col("_toks"), shingleK).as("_sh"))
       .select(col("id"), signatureFromShingles(col("_sh"), numHashes).as("sig"))
 
+  /** The md5 ("portable") signature family: slot i = min over
+    * shingles of `(a(i)·x + b(i)) mod P` where `x = md5_60(shingle)
+    * mod P` and the coefficients derive from md5 of versioned seed
+    * strings ([[graft.functions.Md5Family]]). Same banding/estimate
+    * machinery as the xxhash64 family, but a DuckDB oracle re-derives
+    * every slot — this is what flipped q23 from rows-only to
+    * hash-gated. Docs with no shingles (fewer than k tokens) drop
+    * out, mirrored in the twin. Slower per row than the native
+    * [[graft.functions.MinHashSig]] kernel (one md5 per shingle vs
+    * one xxhash64), so the xxh64 family stays the production default;
+    * the FAMILIES ARE INCOMPATIBLE — never probe one's persisted
+    * index with the other's signatures. */
+  private def stagedSignaturesMd5(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleK: Int): DataFrame = {
+    val (a, b) = graft.functions.Md5Family.minhashCoeffs(numHashes)
+    val p = graft.functions.Md5Family.P
+    df.select(col(idCol).as("id"), Text.tokens(Text.normalized(col(textCol))).as("_toks"))
+      .select(col("id"), shinglesFromTokens(col("_toks"), shingleK).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      // one md5 per shingle, staged as its own column — the affine
+      // slot transforms below traverse cheap integers only
+      .select(col("id"),
+        transform(col("_sh"), s => graft.functions.Md5Family.md5HashP(s)).as("_xs"))
+      .select(col("id"), array((0 until numHashes).map(i =>
+        array_min(transform(col("_xs"), x => (lit(a(i)) * x + lit(b(i))) % p))): _*)
+        .as("sig"))
+  }
+
   /** MinHash signature: H independent permutation-minima, hash i =
     * min over shingles of xxhash64(shingle, i). Convenience Column
     * form — heavy operators use the staged pipeline instead (see
@@ -99,6 +128,10 @@ object Dedup {
     *                  pairing (skew guard; dropped buckets are almost
     *                  always boilerplate shingles, and true dups still
     *                  collide in their other bands).
+    * @param family    signature family: `"xxh64"` (native kernel,
+    *                  production default) or `"md5"` (oracle-portable
+    *                  — see [[stagedSignaturesMd5]]). Families are
+    *                  NOT interchangeable across persisted indexes.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -108,9 +141,15 @@ object Dedup {
       bands: Int = 8,
       shingleK: Int = 3,
       minEstimate: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame =
+      maxBucket: Int = 1000,
+      family: String = "xxh64"): DataFrame =
     candidatesFromSignatures(
-      stagedSignatures(df, idCol, textCol, numHashes, shingleK),
+      family match {
+        case "xxh64" => stagedSignatures(df, idCol, textCol, numHashes, shingleK)
+        case "md5" => stagedSignaturesMd5(df, idCol, textCol, numHashes, shingleK)
+        case other => throw new IllegalArgumentException(
+          s"minhash family '$other' (xxh64|md5)")
+      },
       numHashes, bands, minEstimate, maxBucket)
 
   /** The banding/pairing back half of [[minhashCandidates]], reusable
@@ -530,6 +569,34 @@ object Dedup {
           ColumnBridge.expression(col("_toks")))).as("sh"))
   }
 
+  /** The md5 ("portable") SimHash family: 60 bits (15 md5 hex chars
+    * — the [[graft.functions.Md5Family]] width cap), token hash =
+    * md5_60(token), per-bit ±1 votes, sign-pack. Computed
+    * RELATIONALLY (explode tokens → 60 combinable vote sums → pack)
+    * rather than through the native [[graft.functions.SimHash64]]
+    * kernel: the kernel's xxhash64 is engine-private, and the vote
+    * sums are integer adds — order-independent, so a DuckDB twin
+    * reproduces the signature exactly. Zero-token docs drop out
+    * (same contract as [[simhashDf]]). Production callers keep the
+    * 64-bit xxh64 kernel; the families are incompatible. */
+  def simhashDfMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = 60
+    val votes = df
+      .select(col(idCol).as("id"),
+        explode(Text.tokens(Text.normalized(col(textCol)))).as("_t"))
+      .select(col("id"), graft.functions.Md5Family.md5Hash60(col("_t")).as("_h"))
+      .groupBy(col("id"))
+      .agg(
+        sum(when(col("_h").bitwiseAND(1L) === 1L, 1).otherwise(-1)).as("_v0"),
+        (1 until w).map(j =>
+          sum(when(shiftright(col("_h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+            .as(s"_v$j")): _*)
+    votes.select(col("id"),
+      (0 until w).map(j =>
+        when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
   /** Hamming distance between two SimHash values. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -567,9 +634,16 @@ object Dedup {
       textCol: String,
       maxDistance: Int = 3,
       bands: Int = 4,
-      maxBucket: Int = 1000): DataFrame = {
-    val bits = 64 / bands
-    val sigs = simhashDf(df, idCol, textCol)
+      maxBucket: Int = 1000,
+      family: String = "xxh64"): DataFrame = {
+    val (sigs, width) = family match {
+      case "xxh64" => (simhashDf(df, idCol, textCol), 64)
+      case "md5" => (simhashDfMd5(df, idCol, textCol), 60)
+      case other => throw new IllegalArgumentException(
+        s"simhash family '$other' (xxh64|md5)")
+    }
+    require(width % bands == 0, s"bands must divide the $width-bit width")
+    val bits = width / bands
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))

@@ -121,9 +121,10 @@ object Similarity {
       bits: Int = 12,
       probeRadius: Int = 1,
       seed: Long = 42L,
-      numTables: Int = 1): DataFrame = {
+      numTables: Int = 1,
+      family: String = "prng"): DataFrame = {
     embeddings
-      .filter(lshProbeColumn(col(vecCol), query, bits, probeRadius, seed, numTables))
+      .filter(lshProbeColumn(col(vecCol), query, bits, probeRadius, seed, numTables, family))
       .select(col(idCol), cosine(col(vecCol), litVec(query)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -145,10 +146,20 @@ object Similarity {
       bits: Int,
       probeRadius: Int,
       seed: Long = 42L,
-      numTables: Int = 1): Column = {
+      numTables: Int = 1,
+      family: String = "prng"): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val dim = query.length
-    val perTable = (0 until numTables).map(t => hyperplanes(dim, bits, seed + t))
+    // "prng": Gaussian planes from the seeded JVM PRNG (production
+    // default — best isotropy). "md5": Md5Family planes whose every
+    // component a DuckDB twin re-derives (uniform in [-1000/1024,
+    // 1000/1024], exact in float32 AND float64 — both engines see the
+    // same dot signs). Same fused kernel either way.
+    val perTable = (0 until numTables).map(t => family match {
+      case "prng" => hyperplanes(dim, bits, seed + t)
+      case "md5" => graft.functions.Md5Family.hyperplanes(dim, bits, t)
+      case other => throw new IllegalArgumentException(s"lsh family '$other' (prng|md5)")
+    })
     val flat = new Array[Float](numTables * bits * dim)
     var o = 0
     perTable.foreach(_.foreach { row =>

@@ -268,6 +268,63 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("md5 (oracle-portable) families: hash parity, minhash/simhash/LSH behavior") {
+    import graft.functions.Md5Family
+    // driver-side md5Prefix60 and the Spark column md5Hash60 are the
+    // same function — the oracle-portability keystone
+    val samples = Seq("the quick brown fox", "a b", "", "graft:minhash:v1:a:7", "日本語 text")
+    val fromSpark = samples.toDF("s")
+      .select($"s", Md5Family.md5Hash60($"s").as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach(s => assert(fromSpark(s) === Md5Family.md5Prefix60(s), s))
+    // md5-family minhash finds the planted near-dup and estimates
+    // high jaccard for it; unrelated docs stay out
+    val docs = Seq(
+      (1L, "the cat sat on the mat and looked at the dog in the yard all day"),
+      (2L, "the cat sat on the mat and looked at the dog in the yard all night"),
+      (3L, "completely different words about spark catalyst optimizer internals here"),
+      (4L, "another unrelated document mentioning parquet shuffle partitions only")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, shingleK = 2, minEstimate = 0.3,
+        maxBucket = 100, family = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)), pairs.toString)
+    assert(pairs((1L, 2L)) >= 0.5)
+    assert(!pairs.keySet.exists { case (a, b) => a >= 3L || b >= 3L })
+    // md5-family simhash: identical docs at distance 0; the planted
+    // near-dup within the q24 threshold; signatures are 60-bit
+    val sim = Dedup.simhashCandidates(
+        docs.union(Seq((5L, "the cat sat on the mat and looked at the dog in the yard all day")).toDF("doc_id", "text")),
+        "doc_id", "text", maxDistance = 20, bands = 10, family = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(sim((1L, 5L)) === 0)
+    assert(sim.get((1L, 2L)).exists(_ <= 20), sim.toString)
+    val shBits = Dedup.simhashDfMd5(docs, "doc_id", "text")
+      .select(max(col("sh"))).collect()(0).getLong(0)
+    assert(shBits >= 0L && shBits < (1L << 60))
+    // md5-hyperplane LSH holds the q25-knob recall bar (the prng
+    // family's tuned-knobs spec above, replayed on this family)
+    val e = Tables(spark, sf, "embeddings").cache()
+    try {
+      val queryIds = (1L to 10L)
+      val queries = e.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id", $"embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val recalls = queryIds.map { qid =>
+        val q = queries(qid)
+        val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val approx = Similarity.lshTopK(e, "vec_id", "embedding", q, 10,
+          bits = 11, probeRadius = 2, numTables = 24, family = "md5")
+          .collect().map(_.getLong(0)).toSet
+        (exact & approx).size / 10.0
+      }
+      val meanRecall = recalls.sum / recalls.size
+      assert(meanRecall >= 0.85, s"md5-family meanRecall=$meanRecall (per-q: $recalls)")
+    } finally e.unpersist()
+  }
+
   test("fused LshProbe kernel matches the composed multi-probe predicate row for row") {
     // lshTopK ships the one-call kernel (r9); multiProbePredicate
     // stays the compositional reference — the candidate SETS must be
