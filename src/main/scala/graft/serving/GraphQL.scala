@@ -4,6 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** GraphQL query surface over the registered tables/views — the
   * reference's E3 Postgraphile layer (`docker-compose.yaml:46-72`:
@@ -68,8 +69,12 @@ import org.apache.spark.sql.types._
   * - directives: `@skip(if:)` / `@include(if:)` on any selection,
   *   literal or `$variable` arguments; operation-header variable
   *   declarations with defaults are honored (values arrive via the
-  *   standard JSON `variables` member; declared types are parsed but
-  *   not enforced). A selection set EMPTIED by directives is valid
+  *   standard JSON `variables` member) and their declared types are
+  *   ENFORCED graphql-js-style (r11): missing NON_NULL errors "was
+  *   not provided", explicit null into NON_NULL errors, scalar kinds
+  *   (Int/Float/String/ID/Boolean) are checked, and a single value
+  *   for a list type coerces to the one-element list (spec §6.1.2).
+  *   A selection set EMPTIED by directives is valid
   *   GraphQL but has nothing to project — rejected with an explicit
   *   error (stated boundary);
   * - variables: usable anywhere a literal value sits, including
@@ -554,27 +559,93 @@ object GraphQL {
       if (skipped) None else Some(Sel(name, args.toSeq, children, alias))
     }
 
-    /** `($x: Type = default, …)` header declarations: types are
-      * parsed (wrappers included) and discarded — values are not
-      * type-checked against them — and defaults fill `vars` for
-      * variables the caller didn't provide. */
+    /** `($x: Type = default, …)` header declarations, ENFORCED
+      * graphql-js-style (r11; spec §6.1.2 "Coerce Variable Values"):
+      * a missing value for a NON_NULL type without a default errors
+      * ("was not provided"), an explicit null into NON_NULL errors,
+      * scalar kinds are checked (Int/Float/String/ID/Boolean — the
+      * served schema's scalar universe; named input-object/enum types
+      * stay structural since the type universe is view-derived), and
+      * a single non-list value supplied for a list type coerces to
+      * the one-element list, exactly as graphql-js does. Defaults
+      * fill `vars` for variables the caller didn't provide. */
     def varDefs(): Unit = {
-      def typeRef(): Unit = {
-        if (peekIs('[')) { expect('['); typeRef(); expect(']') }
-        else { ident(); () }
-        if (peekIs('!')) expect('!')
+      def typeRef(): VRef = {
+        val base =
+          if (peekIs('[')) { expect('['); val i = typeRef(); expect(']'); VList(i, nonNull = false) }
+          else VNamed(ident(), nonNull = false)
+        if (peekIs('!')) {
+          expect('!')
+          base match {
+            case t: VNamed => t.copy(nonNull = true)
+            case t: VList => t.copy(nonNull = true)
+          }
+        } else base
+      }
+      def isNonNull(t: VRef): Boolean = t match {
+        case VNamed(_, nn) => nn
+        case VList(_, nn) => nn
+      }
+      def describe(v: Any): String = v match {
+        case null => "null"
+        case s: String => "\"" + s + "\""
+        case ListVal(items) => items.map(describe).mkString("[", ", ", "]")
+        case _: Seq[_] => "{…}"
+        case o => o.toString
+      }
+      // returns the (possibly list-coerced) value or throws ParseError
+      def coerce(n: String, v: Any, t: VRef): Any = t match {
+        case _ if v == null =>
+          if (isNonNull(t)) throw ParseError(
+            s"""Variable "$$$n" of non-null type "${t.render}" must not be null.""")
+          else null
+        case VList(inner, _) => v match {
+          case ListVal(items) => ListVal(items.map(coerce(n, _, inner)))
+          // spec list input coercion: a single value becomes [value]
+          case single => ListVal(Seq(coerce(n, single, inner)))
+        }
+        case VNamed(name, _) =>
+          // graphql-js coerces a whole JSON double (3.0) to the Int it
+          // represents — downstream argument handling sees a Long
+          val coerced = (name, v) match {
+            case ("Int", d: Double) if d.isWhole => d.toLong
+            case _ => v
+          }
+          val ok = name match {
+            case "Int" => coerced.isInstanceOf[Long]
+            case "Float" => v.isInstanceOf[Long] || v.isInstanceOf[Double]
+            case "String" => v.isInstanceOf[String]
+            case "ID" => v.isInstanceOf[String] || v.isInstanceOf[Long]
+            case "Boolean" => v.isInstanceOf[Boolean]
+            // view-derived named types: `<View>Condition` must be an
+            // input object, `<View>OrderBy` an enum token (arrives as
+            // a JSON string); anything else is schema-external and
+            // stays unchecked
+            case cond if cond.endsWith("Condition") =>
+              v.isInstanceOf[Seq[_]] && !v.isInstanceOf[ListVal]
+            case ob if ob.endsWith("OrderBy") =>
+              v.isInstanceOf[String] || v.isInstanceOf[EnumVal]
+            case _ => true
+          }
+          if (!ok) throw ParseError(
+            s"""Variable "$$$n" got invalid value ${describe(v)}; """ +
+              s"""expected type "$name".""")
+          coerced
       }
       expect('(')
       while (!peekIs(')')) {
         expect('$')
         val n = ident()
         expect(':')
-        typeRef()
+        val t = typeRef()
         if (peekIs('=')) {
           expect('=')
           val d = value()
           if (!vars.contains(n)) vars = vars + (n -> d)
         }
+        if (vars.contains(n)) vars = vars + (n -> coerce(n, vars(n), t))
+        else if (isNonNull(t)) throw ParseError(
+          s"""Variable "$$$n" of required type "${t.render}" was not provided.""")
       }
       expect(')')
     }
@@ -640,6 +711,24 @@ object GraphQL {
     * (the plain column-name dialect). */
   private case class EnumVal(name: String) {
     override def toString: String = name
+  }
+
+  /** A JSON-array variable value. Wrapped (not a bare Seq) so list
+    * values can never be confused with the `Seq[(String, Any)]`
+    * shape input OBJECTS use; any argument position that doesn't
+    * understand lists errors naturally instead of misreading one. */
+  private case class ListVal(items: Seq[Any])
+
+  /** Declared VARIABLE type reference (`Int`, `[String!]!`, …) for
+    * r11's graphql-js-style variable validation — distinct from the
+    * introspection `TRef` family below, which models the meta-schema
+    * wrapper chain. */
+  private sealed trait VRef { def render: String }
+  private case class VNamed(name: String, nonNull: Boolean) extends VRef {
+    def render: String = name + (if (nonNull) "!" else "")
+  }
+  private case class VList(inner: VRef, nonNull: Boolean) extends VRef {
+    def render: String = s"[${inner.render}]" + (if (nonNull) "!" else "")
   }
 
   private def argStr(args: Seq[(String, Any)], name: String): Option[String] =
@@ -1719,14 +1808,15 @@ object GraphQL {
 
   /** JSON scalar/object → the parser's value representation (objects
     * become the same `Seq[(String, Any)]` shape `objectArg()` builds,
-    * so a variable can carry a `condition:` object). Arrays are
-    * outside the subset. */
+    * so a variable can carry a `condition:` object; arrays become
+    * [[ListVal]] so list-typed variables validate — r11). */
   private def jsonToScala(n: com.fasterxml.jackson.databind.JsonNode): Any =
     if (n.isNull) null
     else if (n.isTextual) n.asText
     else if (n.isBoolean) n.asBoolean
     else if (n.isIntegralNumber) n.asLong
     else if (n.isFloatingPointNumber) n.asDouble
+    else if (n.isArray) ListVal(n.elements().asScala.map(jsonToScala).toSeq)
     else if (n.isObject) {
       val it = n.fields()
       val buf = scala.collection.mutable.ListBuffer[(String, Any)]()

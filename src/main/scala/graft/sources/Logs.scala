@@ -157,53 +157,104 @@ object Logs {
     if (canonicalize) return appendCanonical(spark, batch, tablePath)
     val deduped = batch.dropDuplicates(pk)
     val incoming = withBlockRange(deduped)
-    val exists = hasCommittedData(spark, tablePath)
-    // never CREATE the table from an empty batch: a parquet dir with
-    // only _SUCCESS has no footer to infer a schema from and poisons
-    // every later read (first live window with zero logs). Appending
-    // an empty `fresh` to an existing table is harmless.
-    if (!exists && incoming.isEmpty) return
-    val fresh =
-      if (exists) {
-        val ranges = incoming.select("block_range").distinct()
-          .collect().map(_.getLong(0))
-        val existing = spark.read.parquet(tablePath)
-          .filter(col("block_range").isin(ranges.toIndexedSeq: _*))
-          .select(pk.map(col): _*)
-        incoming.join(existing, pk, "left_anti")
-      } else incoming
-    val writer = bloomWriter(fresh
-      .repartition(col("block_range"))
-      .sortWithinPartitions("address", "topic0"))
-      .partitionBy("block_range")
-    if (!staged) { writer.mode("append").parquet(tablePath); return }
+    if (!staged) {
+      val exists = hasCommittedData(spark, tablePath)
+      // never CREATE the table from an empty batch: a parquet dir with
+      // only _SUCCESS has no footer to infer a schema from and poisons
+      // every later read (first live window with zero logs). Appending
+      // an empty `fresh` to an existing table is harmless.
+      if (!exists && incoming.isEmpty) return
+      val fresh =
+        if (exists) {
+          val ranges = incoming.select("block_range").distinct()
+            .collect().map(_.getLong(0))
+          val existing = spark.read.parquet(tablePath)
+            .filter(col("block_range").isin(ranges.toIndexedSeq: _*))
+            .select(pk.map(col): _*)
+          incoming.join(existing, pk, "left_anti")
+        } else incoming
+      bloomWriter(fresh
+        .repartition(col("block_range"))
+        .sortWithinPartitions("address", "topic0"))
+        .partitionBy("block_range")
+        .mode("append").parquet(tablePath)
+      return
+    }
 
-    val stageId = java.util.UUID.randomUUID().toString
+    // Staged (concurrent-writer) form, serialized per partition
+    // against in-place rewrites (r11): the anti-join read, the staged
+    // write and the publish renames all run under the SAME per-range
+    // lock `Logs.compact`/canonicalization swap under — closing two
+    // real race windows the SnapshotsSpec stress tests sat on top of:
+    // (1) a publish rename re-creating a partition dir the swap just
+    // parked (both swap renames then fail), and (2) a staged file
+    // landing between the rewrite's read and its park, getting parked
+    // with the originals and silently vanishing from the live table.
+    // Appends hold the lock for seconds (batch-sized work), so
+    // rewriters WAIT for append holders rather than failing fast; an
+    // appender waits for anyone (a partition rewrite is minutes at
+    // worst, and its own data isn't visible until the renames anyway).
+    // Lock order is ascending by range — multi-range appenders can
+    // never deadlock each other.
+    val ranges = incoming.select("block_range").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // empty batch: nothing to stage (and never CREATE a table from one)
+    if (ranges.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stageDir = new org.apache.hadoop.fs.Path(s"$tablePath/_graft_stage/$stageId")
-    writer.mode("overwrite").parquet(stageDir.toString)
-    try {
-      fs.listStatus(stageDir).toSeq
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("block_range="))
-        .foreach { d =>
-          val dest = new org.apache.hadoop.fs.Path(tablePath, d.getPath.getName)
-          fs.mkdirs(dest)
-          fs.listStatus(d.getPath).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .foreach { f =>
-              val to = new org.apache.hadoop.fs.Path(dest,
-                s"stage-$stageId-${f.getPath.getName}")
-              if (!fs.rename(f.getPath, to))
-                throw new java.io.IOException(s"staged append: cannot publish $to")
-            }
-        }
-    } finally {
-      fs.delete(stageDir, true)
-      // drop the _graft_stage root when this was the last stage in it
-      val root = stageDir.getParent
-      if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, false)
+    def underLocks[T](rs: Seq[Long])(body: => T): T =
+      rs.foldRight(() => body) { (r, acc) => () =>
+        withPartitionLock(fs, tablePath, r, kind = "append",
+          waitFor = Set("append", "rewrite"), waitMs = 600000L)(acc())
+      }.apply()
+    underLocks(ranges.toIndexedSeq) {
+      // partition-scoped anti-join: list ONLY the incoming ranges'
+      // dirs (no full-table partition discovery — at 10^5 partitions
+      // the root listing dwarfed the batch) and probe just their rows
+      val existingDirs = ranges
+        .map(r => new org.apache.hadoop.fs.Path(s"$tablePath/block_range=$r"))
+        .filter(fs.exists).map(_.toString).toIndexedSeq
+      val fresh =
+        if (existingDirs.nonEmpty) {
+          val existing = spark.read.option("basePath", tablePath)
+            .parquet(existingDirs: _*)
+            .select(pk.map(col): _*)
+          incoming.join(existing, pk, "left_anti")
+        } else incoming
+      val writer = bloomWriter(fresh
+        .repartition(col("block_range"))
+        .sortWithinPartitions("address", "topic0"))
+        .partitionBy("block_range")
+      val stageId = java.util.UUID.randomUUID().toString
+      val stageDir = new org.apache.hadoop.fs.Path(s"$tablePath/_graft_stage/$stageId")
+      writer.mode("overwrite").parquet(stageDir.toString)
+      try {
+        fs.listStatus(stageDir).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("block_range="))
+          .foreach { d =>
+            val dest = new org.apache.hadoop.fs.Path(tablePath, d.getPath.getName)
+            fs.mkdirs(dest)
+            fs.listStatus(d.getPath).toSeq
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                val to = new org.apache.hadoop.fs.Path(dest,
+                  s"stage-$stageId-${f.getPath.getName}")
+                if (!fs.rename(f.getPath, to))
+                  throw new java.io.IOException(s"staged append: cannot publish $to")
+              }
+          }
+      } finally {
+        fs.delete(stageDir, true)
+        // drop the _graft_stage root when this was the last stage in it
+        val root = stageDir.getParent
+        if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, false)
+      }
     }
+    // the anti-join above cached these partition dirs' listings; the
+    // renames changed them behind the cache (the minhashWriteIndex
+    // stale-FileStatusCache lesson) — refresh so same-session readers
+    // and the NEXT batch's anti-join see the published files
+    spark.catalog.refreshByPath(tablePath)
   }
 
   def tableExists(spark: SparkSession, tablePath: String): Boolean = {
@@ -389,16 +440,42 @@ object Logs {
     * layer (documented at [[graft.sources.Snapshots.publish]]). */
   private val RewriteLockStaleMs = 60L * 60 * 1000
 
+  /** Holder kind recorded in a lock payload; `"rewrite"` when the
+    * field is absent (foreign or pre-r11 locks). */
+  private def lockHolderKind(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val m = """"kind"\s*:\s*"([a-z]+)"""".r.findFirstMatchIn(txt)
+      Some(m.map(_.group(1)).getOrElse("rewrite"))
+    } catch { case _: java.io.IOException => None } // vanished
+
+  /** @param kind    recorded in the lock payload (`"rewrite"` for
+    *                partition swaps, `"append"` for a staged append's
+    *                brief read+publish window)
+    * @param waitFor holder kinds worth waiting out instead of failing
+    *                fast: a REWRITER waits only for appenders (their
+    *                holds are seconds; another rewriter on the same
+    *                partition keeps the loud fail-fast contract), an
+    *                APPENDER waits for anyone (rewrites can take
+    *                minutes, and the appender has nowhere better to
+    *                be — its data isn't published until the rename)
+    * @param waitMs  wait budget before the retryable conflict throws */
   private def withPartitionLock[T](fs: org.apache.hadoop.fs.FileSystem,
-      tablePath: String, r: Long)(body: => T): T = {
+      tablePath: String, r: Long,
+      kind: String = "rewrite",
+      waitFor: Set[String] = Set("append"),
+      waitMs: Long = 120000L)(body: => T): T = {
     val dir = new org.apache.hadoop.fs.Path(s"$tablePath/.graft_rewrite_lock")
     fs.mkdirs(dir)
     val lock = new org.apache.hadoop.fs.Path(dir, s"block_range=$r.lock")
     val nonce = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       try {
-        val payload = s"""{"nonce":"$nonce","ts":${System.currentTimeMillis()}}"""
-          .getBytes("UTF-8")
+        val payload =
+          s"""{"nonce":"$nonce","kind":"$kind","ts":${System.currentTimeMillis()}}"""
+            .getBytes("UTF-8")
         if (fs.getScheme == "file") {
           // RawLocalFileSystem.create(overwrite = false) is an
           // exists-CHECK-then-open, NOT an atomic exclusive create:
@@ -419,61 +496,81 @@ object Logs {
           true
         }
       } catch { case _: java.io.IOException => false }
-    var acquired = tryAcquire()
-    if (!acquired) {
-      val stale =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime > RewriteLockStaleMs
-        catch { case _: java.io.IOException => true } // vanished: owner released
-      if (stale) {
-        // Re-judge IMMEDIATELY before touching the lock: a breaker
-        // that lost the break race reaches this point with the
-        // winner's FRESH re-claimed lock at the path, and must back
-        // off without touching it (the r7 hole: judging once, then
-        // deleting whatever sits there — two rewriters proceed).
-        val stillStale =
+    // One full acquire attempt, including the stale-lock break
+    // protocol. Returns whether the lock is now held by this nonce.
+    def attemptOnce(): Boolean = {
+      var acquired = tryAcquire()
+      if (!acquired) {
+        val stale =
           try System.currentTimeMillis() -
             fs.getFileStatus(lock).getModificationTime > RewriteLockStaleMs
-          catch { case _: java.io.IOException => false } // vanished: plain acquire below
-        if (stillStale) {
-          // Break by renaming to a breaker-unique tombstone: of N
-          // concurrent breakers only one rename of this instance can
-          // succeed, and rename preserves mtime — so the tombstone
-          // re-check catches the residual full-owner-cycle-between-
-          // re-judge-and-rename case and hands a fresh lock straight
-          // back instead of claiming over it.
-          val tomb = new org.apache.hadoop.fs.Path(dir, s"block_range=$r.stale.$nonce")
-          val renamed =
-            try fs.rename(lock, tomb)
-            catch { case _: java.io.IOException => false }
-          if (renamed) {
-            val brokeFresh =
-              try System.currentTimeMillis() -
-                fs.getFileStatus(tomb).getModificationTime <= RewriteLockStaleMs
-              catch { case _: java.io.IOException => false } // gone: treat as broken stale
-            if (brokeFresh) {
-              try fs.rename(tomb, lock) catch { case _: java.io.IOException => () }
-            } else {
-              // re-claim FIRST, then drop the tombstone: the lock
-              // path's absence window is one create, not three ops
-              acquired = tryAcquire()
-              try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+          catch { case _: java.io.IOException => true } // vanished: owner released
+        if (stale) {
+          // Re-judge IMMEDIATELY before touching the lock: a breaker
+          // that lost the break race reaches this point with the
+          // winner's FRESH re-claimed lock at the path, and must back
+          // off without touching it (the r7 hole: judging once, then
+          // deleting whatever sits there — two rewriters proceed).
+          val stillStale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime > RewriteLockStaleMs
+            catch { case _: java.io.IOException => false } // vanished: plain acquire below
+          if (stillStale) {
+            // Break by renaming to a breaker-unique tombstone: of N
+            // concurrent breakers only one rename of this instance can
+            // succeed, and rename preserves mtime — so the tombstone
+            // re-check catches the residual full-owner-cycle-between-
+            // re-judge-and-rename case and hands a fresh lock straight
+            // back instead of claiming over it.
+            val tomb = new org.apache.hadoop.fs.Path(dir, s"block_range=$r.stale.$nonce")
+            val renamed =
+              try fs.rename(lock, tomb)
+              catch { case _: java.io.IOException => false }
+            if (renamed) {
+              val brokeFresh =
+                try System.currentTimeMillis() -
+                  fs.getFileStatus(tomb).getModificationTime <= RewriteLockStaleMs
+                catch { case _: java.io.IOException => false } // gone: treat as broken stale
+              if (brokeFresh) {
+                try fs.rename(tomb, lock) catch { case _: java.io.IOException => () }
+              } else {
+                // re-claim FIRST, then drop the tombstone: the lock
+                // path's absence window is one create, not three ops
+                acquired = tryAcquire()
+                try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+              }
             }
+            // rename lost: another breaker holds the instance — fall
+            // through unacquired to the retryable conflict
           }
-          // rename lost: another breaker holds the instance — fall
-          // through unacquired to the retryable conflict
+          // stillStale = false (vanished or re-claimed fresh): NO
+          // opportunistic acquire. A vanished lock here is ambiguous —
+          // "owner released" and "a winning breaker is inside its
+          // rename→re-claim gap" are indistinguishable, and acquiring
+          // on the second reading puts TWO rewriters in one partition
+          // (observed: concurrent compactors colliding in the same
+          // FileOutputCommitter _temporary dir under suite load).
+          // Waiters that lose any race get the retryable conflict;
+          // retrying re-enters through the entry acquire, which is the
+          // one legitimate taker of a released lock.
         }
-        // stillStale = false (vanished or re-claimed fresh): NO
-        // opportunistic acquire. A vanished lock here is ambiguous —
-        // "owner released" and "a winning breaker is inside its
-        // rename→re-claim gap" are indistinguishable, and acquiring
-        // on the second reading puts TWO rewriters in one partition
-        // (observed: concurrent compactors colliding in the same
-        // FileOutputCommitter _temporary dir under suite load).
-        // Waiters that lose any race get the retryable conflict;
-        // retrying re-enters through the entry acquire, which is the
-        // one legitimate taker of a released lock.
       }
+      acquired
+    }
+    var acquired = attemptOnce()
+    // Kind-aware waiting (r11): a holder whose kind is in `waitFor`
+    // is worth polling out rather than failing fast — this is what
+    // lets staged appends and partition rewrites SERIALIZE instead of
+    // corrupting each other's swap windows (the SnapshotsSpec race
+    // class: an append renaming into a just-parked partition dir, or
+    // a compactor parking a file an append published mid-rewrite).
+    // A vanished lock retries immediately (owner released); a holder
+    // kind outside `waitFor` keeps the loud fail-fast contract.
+    val deadline = System.currentTimeMillis() + waitMs
+    while (!acquired && System.currentTimeMillis() < deadline &&
+        lockHolderKind(fs, lock).forall(waitFor.contains)) {
+      Thread.sleep(100L + scala.util.Random.nextInt(150))
+      acquired = attemptOnce()
     }
     if (!acquired)
       throw new java.io.IOException(

@@ -302,6 +302,73 @@ class GraphQLSpec extends SparkSpec {
     assert(viaObj.get("data").get("gql_logs").get("totalCount").asInt === 2)
   }
 
+  test("declared variable types are enforced graphql-js-style") {
+    registerFixture()
+    def errOf(q: String, vars: Map[String, Any] = Map.empty): String = {
+      val r = mapper.readTree(GraphQL.execute(spark, q, variables = vars))
+      assert(r.has("errors"), r.toString)
+      r.get("errors").get(0).get("message").asText
+    }
+    // missing required (NON_NULL, no default) → "was not provided"
+    val miss = errOf(
+      """query Q($a: String!) { gql_logs(condition: {address: $a}) { block_number } }""")
+    assert(miss.contains("required type") && miss.contains("was not provided"), miss)
+    // explicit null into NON_NULL → "must not be null"
+    val nul = errOf(
+      """query Q($a: String!) { gql_logs(condition: {address: $a}) { block_number } }""",
+      Map("a" -> null))
+    assert(nul.contains("must not be null"), nul)
+    // wrong kind: string into Int, number into String, number into Boolean
+    val k1 = errOf(
+      """query Q($n: Int) { gql_logs(first: $n) { block_number } }""",
+      Map("n" -> "three"))
+    assert(k1.contains("invalid value") && k1.contains("Int"), k1)
+    val k2 = errOf(
+      """query Q($a: String) { gql_logs(condition: {address: $a}) { block_number } }""",
+      Map("a" -> 7L))
+    assert(k2.contains("invalid value") && k2.contains("String"), k2)
+    val k3 = errOf(
+      """query Q($s: Boolean) { gql_logs(condition: {removed: $s}) { block_number } }""",
+      Map("s" -> 1L))
+    assert(k3.contains("invalid value") && k3.contains("Boolean"), k3)
+    // a scalar into a Condition input-object type
+    val k4 = errOf(
+      """query Q($c: GqlLogsCondition) { gql_logs(condition: $c) { block_number } }""",
+      Map("c" -> "0xaaa"))
+    assert(k4.contains("invalid value"), k4)
+    // valid values still flow: NON_NULL satisfied, Int accepts a
+    // whole JSON double (graphql-js), defaults still fill
+    val ok = mapper.readTree(GraphQL.execute(spark,
+      """query Q($a: String!, $n: Int = 1) {
+        |  gql_logs(condition: {address: $a}, first: $n, orderBy: "block_number")
+        |  { block_number } }""".stripMargin,
+      variables = Map("a" -> "0xbbb")))
+    assert(!ok.has("errors"), ok.toString)
+    assert(ok.get("data").get("gql_logs").get("nodes").size === 1)
+    val whole = mapper.readTree(GraphQL.execute(spark,
+      """query Q($n: Int) { gql_logs(first: $n) { block_number } }""",
+      variables = Map("n" -> 2.0)))
+    assert(!whole.has("errors"), whole.toString)
+    // list coercion through the HTTP JSON path: an array validates
+    // against [String], a single value coerces to the 1-element list,
+    // and a wrong-kind ELEMENT is caught
+    val (ql, varsl) = GraphQL.extractQueryAndVars(Some("application/json"),
+      """{"query": "query Q($xs: [String]) { gql_logs { block_number } }",
+        | "variables": {"xs": ["a", "b"]}}""".stripMargin)
+    val lst = mapper.readTree(GraphQL.execute(spark, ql, variables = varsl))
+    assert(!lst.has("errors"), lst.toString)
+    val single = mapper.readTree(GraphQL.execute(spark,
+      """query Q($xs: [String]) { gql_logs { block_number } }""",
+      variables = Map("xs" -> "solo")))
+    assert(!single.has("errors"), single.toString)
+    val (qb, varsb) = GraphQL.extractQueryAndVars(Some("application/json"),
+      """{"query": "query Q($xs: [Int]) { gql_logs { block_number } }",
+        | "variables": {"xs": [1, "two"]}}""".stripMargin)
+    val bad = mapper.readTree(GraphQL.execute(spark, qb, variables = varsb))
+    assert(bad.has("errors"), bad.toString)
+    assert(bad.get("errors").get(0).get("message").asText.contains("Int"))
+  }
+
   test("__schema directives listing and HTTP variables member") {
     registerFixture()
     val d = mapper.readTree(GraphQL.execute(spark,

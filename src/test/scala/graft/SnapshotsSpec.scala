@@ -278,6 +278,58 @@ class SnapshotsSpec extends SparkSpec {
     assert(debris.isEmpty, s"lock dir debris: $debris")
   }
 
+  test("staged appends serialize against partition rewrites via the kind-aware lock") {
+    // Pins the r10 flake class deterministically: a staged append
+    // renaming into a partition mid-swap could re-create a dir the
+    // rewrite just parked (both swap renames fail) or publish a file
+    // the rewrite then parks with the originals (silent loss). The
+    // protocol fix: appends take the SAME per-range lock as rewrites,
+    // and WAIT out a rewrite holder instead of racing or failing.
+    val table = Files.createTempDirectory("snap_tbl").toString + "/t"
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0)))), table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockDir = new org.apache.hadoop.fs.Path(s"$table/.graft_rewrite_lock")
+    fs.mkdirs(lockDir)
+    // a REWRITE holds range 0's lock (kind field absent = foreign /
+    // pre-r11 rewriter — the conservative reading)
+    val lock = new org.apache.hadoop.fs.Path(lockDir, "block_range=0.lock")
+    val out = fs.create(lock, false)
+    out.write(s"""{"nonce":"rewriter","ts":${System.currentTimeMillis()}}""".getBytes("UTF-8"))
+    out.close()
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val t0 = System.nanoTime()
+    val append = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = Logs.appendIdempotent(spark,
+        Logs.readNdjson(spark, fixture(Seq(row(2, 0)))), table, staged = true)
+    })
+    // the appender is WAITING on the lock, not failing and not done
+    Thread.sleep(1500)
+    assert(!append.isDone, "staged append must wait out a rewrite lock, not race it")
+    fs.delete(lock, false) // rewriter releases
+    append.get(60, TimeUnit.SECONDS) // append proceeds and lands
+    assert((System.nanoTime() - t0) / 1e9 < 60)
+    assert(Logs.read(spark, table).count() === 2)
+    // symmetric direction: an APPEND-kind holder makes a rewrite WAIT
+    // (appends hold for seconds) instead of failing fast
+    val out2 = fs.create(lock, false)
+    out2.write(s"""{"nonce":"appender","kind":"append","ts":${System.currentTimeMillis()}}"""
+      .getBytes("UTF-8"))
+    out2.close()
+    val compactF = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = Logs.compact(spark, table, ranges = Some(Seq(0L)))
+    })
+    Thread.sleep(1500)
+    assert(!compactF.isDone, "rewrite must wait out an append-kind lock")
+    fs.delete(lock, false) // appender releases
+    compactF.get(60, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(Logs.read(spark, table).count() === 2)
+    // no lock debris from either waiter
+    assert(fs.listStatus(lockDir).isEmpty)
+  }
+
   test("two parallel append-only writers both commit; history holds both appends") {
     val table = Files.createTempDirectory("snap_tbl").toString + "/t"
     Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0)))), table)
