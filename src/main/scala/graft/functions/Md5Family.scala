@@ -30,13 +30,18 @@ object Md5Family {
   val P: Long = 2147483647L
 
   /** Driver-side md5 prefix: first 15 hex chars as a Long (60 bits,
-    * always non-negative). The Scala twin of [[md5Hash60]] — the
-    * parity spec asserts they agree string-for-string. */
+    * always non-negative) — assembled from digest bytes 0–6 plus
+    * byte 7's high nibble, no hex-string round trip (hyperplane
+    * derivation calls this ~17k times per q25 plan). The Scala twin
+    * of [[md5Hash60]] — the parity spec asserts they agree
+    * string-for-string. */
   def md5Prefix60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
-    val hex = d.map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    var x = 0L
+    var j = 0
+    while (j < 7) { x = (x << 8) | (d(j) & 0xffL); j += 1 }
+    (x << 4) | ((d(7) & 0xffL) >> 4)
   }
 
   /** Row-level md5 prefix of a string column (the DuckDB twin is
@@ -65,7 +70,15 @@ object Md5Family {
     * power of two, so the value is EXACT in both float32 and float64
     * — Spark's float-plane kernel and DuckDB's double math see the
     * same number, hence the same dot-product signs. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Float]]]()
+
   def hyperplanes(dim: Int, bits: Int, table: Int): Array[Array[Float]] =
-    Array.tabulate(bits)(i => Array.tabulate(dim)(d =>
-      ((md5Prefix60(s"graft:lsh:v1:$table:$i:$d") % 2001 - 1000) / 1024.0).toFloat))
+    // memoized: a q25-shaped plan derives 24×11×64 components, and the
+    // plan is rebuilt per run — deterministic values, so cache by key
+    planeCache.computeIfAbsent((dim, bits, table), { key: (Int, Int, Int) =>
+      val (dm, bt, tb) = key
+      Array.tabulate(bt)(i => Array.tabulate(dm)(d =>
+        ((md5Prefix60(s"graft:lsh:v1:$tb:$i:$d") % 2001 - 1000) / 1024.0).toFloat))
+    })
 }

@@ -57,6 +57,55 @@ object VecRuntime {
     new GenericArrayData(mins)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5-family MinHash signature in one pass — bit-identical to the
+    * composed `transform(sh, md5HashP) → array(array_min(transform(
+    * xs, x => (a_i·x + b_i) % P)))` pipeline (the oracle-portable
+    * family of [[graft.functions.Md5Family]]): the first 15 md5 hex
+    * chars are bytes 0–6 plus byte 7's high nibble, assembled here
+    * without the hex-string round trip `conv(substring(md5(s),1,15),
+    * 16,10)` pays, then reduced mod P and run through all k affine
+    * permutations while the digest is hot. The composed form was 32
+    * interpreted array traversals per row (q23 measured 30× slower
+    * than the xxh64 kernel at sf0.1); this is one traversal. Null
+    * elements are skipped (array_min ignores null entries); empty or
+    * all-null input → all-null slots, matching array_min of an
+    * empty/all-null array. */
+  def minhashMd5Sig(arr: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val p = Md5Family.P
+    val n = arr.numElements()
+    val k = a.length
+    if (n == 0) return new GenericArrayData(Array.fill[Any](k)(null))
+    val md = md5Local.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var x = 0L
+        var j = 0
+        while (j < 7) { x = (x << 8) | (d(j) & 0xffL); j += 1 }
+        x = ((x << 4) | ((d(7) & 0xffL) >> 4)) % p
+        j = 0
+        while (j < k) {
+          val v = (a(j) * x + b(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return new GenericArrayData(Array.fill[Any](k)(null))
+    new GenericArrayData(mins)
+  }
+
   /** `size(array_intersect(a, b))` for long arrays without
     * materializing the intersection array: distinct-common count,
     * with array_intersect's exact semantics (result is distinct;
@@ -218,6 +267,39 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.VecRuntime.minhashSig($a, $isString, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The [[VecRuntime.minhashMd5Sig]] kernel as an expression — the
+  * oracle-portable MinHash family's one-pass form. Coefficient
+  * arrays ride along as reference objects (not literals: 2×32 longs
+  * inline would bloat generated code for nothing). */
+case class MinHashMd5Sig(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  require(a.length == b.length, "coefficient arrays must align")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_md5_sig expects array<string>, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_md5_sig"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecRuntime.minhashMd5Sig(v.asInstanceOf[ArrayData], a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashMd5A", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashMd5B", b, "long[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.VecRuntime.minhashMd5Sig($x, $aRef, $bRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

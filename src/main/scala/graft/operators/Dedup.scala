@@ -86,18 +86,25 @@ object Dedup {
   private def stagedSignaturesMd5(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleK: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val (a, b) = graft.functions.Md5Family.minhashCoeffs(numHashes)
-    val p = graft.functions.Md5Family.P
+    // one-pass native kernel (bit-identical to the composed staged
+    // md5→affine-mins pipeline, which was 32 interpreted traversals
+    // per row — q23 measured 30× slower than the xxh64 path at sf0.1
+    // in that form)
     df.select(col(idCol).as("id"), Text.tokens(Text.normalized(col(textCol))).as("_toks"))
+      // the shingle-emptiness filter must be phrased on TOKEN COUNT,
+      // here, before the shingle projection exists: a later
+      // `size(_sh) > 0` gets predicate-pushed below the shingle
+      // projection with `_sh`'s alias SUBSTITUTED IN — the tokenize
+      // regex then re-evaluates inside the shingle transform lambda
+      // per element (the shinglesFromTokens hazard; measured 14× on
+      // this exact pipeline at sf0.1). `size(_toks)` pushes down as a
+      // plain once-per-row tree.
+      .filter(size(col("_toks")) >= shingleK)
       .select(col("id"), shinglesFromTokens(col("_toks"), shingleK).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      // one md5 per shingle, staged as its own column — the affine
-      // slot transforms below traverse cheap integers only
-      .select(col("id"),
-        transform(col("_sh"), s => graft.functions.Md5Family.md5HashP(s)).as("_xs"))
-      .select(col("id"), array((0 until numHashes).map(i =>
-        array_min(transform(col("_xs"), x => (lit(a(i)) * x + lit(b(i))) % p))): _*)
-        .as("sig"))
+      .select(col("id"), ColumnBridge.column(graft.functions.MinHashMd5Sig(
+        ColumnBridge.expression(col("_sh")), a, b)).as("sig"))
   }
 
   /** MinHash signature: H independent permutation-minima, hash i =
