@@ -1702,6 +1702,30 @@ object SparkEntry {
                |order by doc_id""".stripMargin)
     },
 
+    // WebDataset SAMPLES under the gate (r11): multi-extension
+    // members (one `<key>.txt` + one `<key>.meta` per doc) written
+    // key-colocated and key-adjacent by writeMembers, then regrouped
+    // into one row per sample by the ZERO-SHUFFLE sorted reader
+    // (WebDataset.samples) — the twin re-derives each sample's part
+    // count, byte total and both payloads from the documents table.
+    "q106_webdataset_samples" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q106").getAbsolutePath
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val members = docs.select(col("doc_id").cast(StringType).as("k"),
+          lit("txt").as("e"), col("text").cast(BinaryType).as("p"))
+        .unionByName(docs.select(col("doc_id").cast(StringType).as("k"),
+          lit("meta").as("e"),
+          concat(lit("n="), octet_length(col("text"))).cast(BinaryType).as("p")))
+      TarShards.writeMembers(members, "k", "e", "p", base, nShards = 8)
+      graft.sources.WebDataset.samples(s, base)
+        .select(col("key").cast(LongType).as("doc_id"),
+          col("n_parts"), col("bytes"),
+          octet_length(col("parts").getItem("txt")).as("txt_bytes"),
+          col("parts").getItem("meta").cast(StringType).as("meta"))
+        .orderBy(col("doc_id"))
+    },
+
     // Tokenize-and-ship under the gate (r10): the END of the
     // pipeline — documents Viterbi-tokenized to ids (the q99
     // uniform-vocab device), binarized int32-LE (Int32Le: 4 bytes
@@ -3578,6 +3602,19 @@ object SparkEntry {
         |  cast(n_tokens as int) as n_tokens,
         |  md5(norm) as fp
         |from m
+        |order by doc_id""".stripMargin,
+
+    // WebDataset samples twin: part count, byte total and both
+    // payloads re-derived per doc (txt = the text bytes, meta =
+    // 'n=<byte length>')
+    "q106_webdataset_samples" ->
+      """select doc_id,
+        |  2 as n_parts,
+        |  cast(octet_length(encode(text))
+        |    + octet_length(encode('n=' || cast(octet_length(encode(text)) as varchar))) as bigint) as bytes,
+        |  cast(octet_length(encode(text)) as int) as txt_bytes,
+        |  'n=' || cast(octet_length(encode(text)) as varchar) as meta
+        |from documents
         |order by doc_id""".stripMargin,
 
     // token-binary twin: q99's fewest-pieces DP × 4 bytes per id,

@@ -347,13 +347,64 @@ object Dedup {
     * and probe MUST share the family or bands never collide (the
     * string-shingle family of [[minhashCandidates]] is a different,
     * equally valid permutation family — not interchangeable). */
+  /** The signature family this module's PERSISTED indexes use,
+    * stamped into every index as `_graft_family.json` (r11 — the
+    * family-versioning contract): an index and its probes MUST share
+    * one family or bands never collide, and with TWO families now in
+    * the codebase (this one and [[stagedSignaturesMd5]]'s
+    * oracle-portable md5 family) the mismatch must fail loudly at
+    * open time, not silently as zero candidates. A marker-less index
+    * is a pre-r11 one — exactly this family by construction — and
+    * stays readable; a future family change mints a new id here
+    * instead of mutating semantics under the same one. */
+  private val IndexFamily = "xxh64-shingleset-v1"
+
+  private def familyMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_family.json")
+
+  private def writeFamilyMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, numHashes: Int, shingleK: Int): Unit = {
+    val p = familyMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(
+      s"""{"family":"$IndexFamily","numHashes":$numHashes,"shingleK":$shingleK}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Loud family/parameter compatibility check when opening an index;
+    * absent marker = legacy pre-r11 index (this family) — readable. */
+  private def checkFamilyMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, numHashes: Int, shingleK: Int): Unit = {
+    val p = familyMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def field(k: String): Option[String] =
+      (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
+    val fam = field("family").getOrElse("?")
+    require(fam == IndexFamily,
+      s"signature index at $path was built with family '$fam', " +
+        s"this probe uses '$IndexFamily' — families are not interchangeable")
+    field("numHashes").foreach(h => require(h.toInt == numHashes,
+      s"index at $path has numHashes=$h, probe uses $numHashes"))
+    field("shingleK").foreach(k => require(k.toInt == shingleK,
+      s"index at $path has shingleK=$k, probe uses $shingleK"))
+  }
+
   def minhashWriteIndex(
       df: DataFrame, idCol: String, textCol: String, path: String,
       numHashes: Int = 32, shingleK: Int = 3,
       mode: String = "overwrite"): Unit = {
+    // appending into an existing index with different parameters or a
+    // different family would silently mix incompatible signatures
+    if (mode == "append") checkFamilyMarker(df.sparkSession, path, numHashes, shingleK)
     shingleSets(df, idCol, textCol, shingleK)
       .select(col("id"), signatureFromShingles(col("s"), numHashes).as("sig"))
       .write.mode(mode).parquet(path)
+    writeFamilyMarker(df.sparkSession, path, numHashes, shingleK)
     // a session that already READ this path holds its file listing in
     // the FileStatusCache; without the refresh an append is invisible
     // to that session's next read (bit the streaming curation loop:
@@ -388,6 +439,7 @@ object Dedup {
       shingleK: Int = 3, minEstimate: Double = 0.1,
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    checkFamilyMarker(spark, indexPath, numHashes, shingleK)
     val newSets = shingleSets(newDocs, idCol, textCol, shingleK).repartition(col("id"))
     val newSigs = newSets.select(col("id"),
       signatureFromShingles(col("s"), numHashes).as("sig"))

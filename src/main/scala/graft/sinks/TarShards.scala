@@ -142,7 +142,20 @@ object TarShards {
     * not leave stale shards behind for `manifest()`/TarSource to
     * pick up. */
   def write(df: DataFrame, keyCol: String, payloadCol: String, ext: String,
-      outDir: String, nShards: Int): DataFrame = {
+      outDir: String, nShards: Int): DataFrame =
+    writeMembers(df.withColumn("_graft_ext", lit(ext)),
+      keyCol, "_graft_ext", payloadCol, outDir, nShards)
+
+  /** Multi-extension form — REAL WebDataset samples: several member
+    * files per key (`<key>.txt`, `<key>.json`, `<key>.bin`, …), the
+    * ext taken from a COLUMN. Sharding stays keyed on `key` alone, so
+    * every member of a sample lands in the same shard, ADJACENT
+    * (members sort by (key, ext) within the shard) — the adjacency
+    * contract WebDataset loaders (and [[graft.sources.WebDataset
+    * .samples]]'s zero-shuffle grouping) rely on. `(key, ext)` pairs
+    * must be unique; payloads non-null. */
+  def writeMembers(df: DataFrame, keyCol: String, extCol: String,
+      payloadCol: String, outDir: String, nShards: Int): DataFrame = {
     require(nShards >= 1)
     val spark = df.sparkSession
     val outPath = new Path(outDir)
@@ -158,19 +171,20 @@ object TarShards {
     val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rows = df.select(
         col(keyCol).cast(StringType).as("key"),
+        col(extCol).cast(StringType).as("ext"),
         col(payloadCol).cast(BinaryType).as("payload"))
       .withColumn("shard", shardOf(col("key"), nShards))
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("key"))
-    rows.select(col("shard"), col("key"), col("payload"))
-      .as(Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.BINARY))
-      .foreachPartition { it: Iterator[(Int, String, Array[Byte])] =>
+      .sortWithinPartitions(col("shard"), col("key"), col("ext"))
+    rows.select(col("shard"), col("key"), col("ext"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.STRING, Encoders.BINARY))
+      .foreachPartition { it: Iterator[(Int, String, String, Array[Byte])] =>
         val dir = new Path(qualified)
         val fs = dir.getFileSystem(serConf.value)
         var cur = -1
         var out: java.io.OutputStream = null
         var tmp: Path = null
-        var lastKey: String = null
+        var lastName: String = null
         def close(): Unit = if (out != null) {
           out.write(new Array[Byte](2 * BlockSize)) // trailer
           out.close()
@@ -179,18 +193,19 @@ object TarShards {
           if (!fs.rename(tmp, fin)) throw new java.io.IOException(s"rename to $fin failed")
           out = null
         }
-        it.foreach { case (shard, key, payload) =>
+        it.foreach { case (shard, key, ext, payload) =>
           if (shard != cur) {
             close()
             cur = shard
-            lastKey = null
+            lastName = null
             tmp = new Path(dir, f".shard-$cur%05d.tar.tmp")
             out = new java.io.BufferedOutputStream(fs.create(tmp, true))
           }
-          require(key != lastKey, s"duplicate member key '$key' in shard $shard")
+          val name = s"$key.$ext"
+          require(name != lastName, s"duplicate member '$name' in shard $shard")
           require(payload != null, s"null payload for key '$key'")
-          lastKey = key
-          out.write(headerFor(s"$key.$ext", payload.length.toLong))
+          lastName = name
+          out.write(headerFor(name, payload.length.toLong))
           out.write(payload)
           val pad = (BlockSize - payload.length % BlockSize) % BlockSize
           if (pad > 0) out.write(new Array[Byte](pad))

@@ -74,21 +74,57 @@ object TarSource {
       new TarScanBuilder(path)
   }
 
+  /** Shard-level predicate pushdown: `shard = N` / `shard IN (…)`
+    * filters prune WHOLE SHARD FILES at planning — on a 100 TB
+    * directory a single-shard probe opens one file instead of all of
+    * them. The filters are also kept for Spark's post-scan
+    * re-evaluation (`pushedFilters` advertises them, the scan
+    * description lists the surviving shard set for plan specs);
+    * pruning is the I/O win, re-evaluation is free. Predicates on
+    * other columns are left entirely to Spark. */
   private[sources] class TarScanBuilder(path: String)
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
     private var required: StructType = TarSource.schema
+    private var shardFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
-    override def build(): Scan = new TarScan(path, required)
+    override def pushFilters(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+      import org.apache.spark.sql.sources.{EqualTo, In}
+      shardFilters = filters.collect {
+        case f @ EqualTo("shard", _) => f
+        case f @ In("shard", _) => f
+      }
+      filters // all re-evaluated by Spark; pruning is planning-only
+    }
+    override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = shardFilters
+    override def build(): Scan = new TarScan(path, required, shardFilters)
   }
 
   private[sources] case class TarFilePartition(file: String, shard: Int) extends InputPartition
 
-  private[sources] class TarScan(path: String, required: StructType) extends Scan with Batch {
+  private[sources] class TarScan(path: String, required: StructType,
+      shardFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def description(): String =
-      s"tar shards: $path cols=[${required.fieldNames.mkString(",")}]"
+    private def shardAdmitted(shard: Int): Boolean = {
+      import org.apache.spark.sql.sources.{EqualTo, In}
+      shardFilters.forall {
+        case EqualTo("shard", v: Number) => shard == v.intValue
+        case In("shard", vs) => vs.exists {
+          case v: Number => shard == v.intValue
+          case _ => false
+        }
+        case _ => true
+      }
+    }
+    override def description(): String = {
+      val f = if (shardFilters.isEmpty) ""
+        else s" shardFilters=[${shardFilters.mkString(",")}]"
+      s"tar shards: $path cols=[${required.fieldNames.mkString(",")}]$f"
+    }
     override def planInputPartitions(): Array[InputPartition] = {
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
       val p = new Path(path)
@@ -101,13 +137,19 @@ object TarSource {
             s.isFile && s.getPath.getName.endsWith(".tar")
           }.sortBy(_.getPath.getName)
         else Array(st)
-      files.map { f =>
+      files.flatMap { f =>
         val n = f.getPath.getName
         val shard =
           if (n.startsWith("shard-") && n.endsWith(".tar"))
             scala.util.Try(n.stripPrefix("shard-").stripSuffix(".tar").toInt).getOrElse(-1)
           else -1
-        TarFilePartition(fs.makeQualified(f.getPath).toString, shard): InputPartition
+        // shard-filter pruning: a file whose shard id the pushed
+        // predicates exclude is never opened (files named outside the
+        // convention have shard −1 and are only pruned if the
+        // predicate excludes −1 — conservative, never wrong)
+        if (shardAdmitted(shard))
+          Some(TarFilePartition(fs.makeQualified(f.getPath).toString, shard): InputPartition)
+        else None
       }
     }
     override def createReaderFactory(): PartitionReaderFactory =

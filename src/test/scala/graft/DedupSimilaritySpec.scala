@@ -597,6 +597,29 @@ class DedupSimilaritySpec extends SparkSpec {
         bands = 16, shingleK = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 === Set((101L, 200L)))
+    // family/parameter versioning (r11): the index carries a marker;
+    // probing or appending with mismatched parameters fails LOUDLY
+    // instead of silently colliding in zero bands
+    assert(new java.io.File(s"$work/idx/_graft_family.json").exists())
+    val wrongK = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDuplicates(spark, batch2, "doc_id", "text",
+        s"$work/idx", docs, minJaccard = 0.5, bands = 16, shingleK = 2)
+    }
+    assert(wrongK.getMessage.contains("shingleK"), wrongK.getMessage)
+    val wrongH = intercept[IllegalArgumentException] {
+      Dedup.minhashWriteIndex(newBatch, "doc_id", "text", s"$work/idx",
+        numHashes = 64, shingleK = 3, mode = "append")
+    }
+    assert(wrongH.getMessage.contains("numHashes"), wrongH.getMessage)
+    // a marker-less (pre-r11) index stays readable: same family by
+    // construction
+    new java.io.File(s"$work/idx/_graft_family.json").delete()
+    spark.catalog.refreshByPath(s"$work/idx")
+    val legacy = Dedup.incrementalNearDuplicates(spark, batch2, "doc_id", "text",
+        s"$work/idx", docs.unionByName(newBatch), minJaccard = 0.5,
+        bands = 16, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(legacy === Set((101L, 200L)))
   }
 
   test("duplicatedSpans: exact interval union, census counts within-doc repeats") {

@@ -246,6 +246,77 @@ class TarShardsSpec extends SparkSpec {
     assert(messages(e).exists(m => m.contains("null payload") && m.contains("broken")))
   }
 
+  test("multi-ext samples: writeMembers colocates a key's members; WebDataset regroups them") {
+    val dir = freshDir()
+    val docs = Seq(
+      (1L, "first doc text"),
+      (2L, "second document with more text"),
+      (3L, "third")
+    ).toDF("doc_id", "text")
+    val members = docs.select(col("doc_id").cast("string").as("k"),
+        lit("txt").as("e"), col("text").cast("binary").as("p"))
+      .unionByName(docs.select(col("doc_id").cast("string").as("k"),
+        lit("meta").as("e"),
+        concat(lit("n="), length(col("text"))).cast("binary").as("p")))
+    graft.sinks.TarShards.writeMembers(members, "k", "e", "p", dir, nShards = 2)
+    // GNU tar sees both member files per key, adjacent
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    val names = f.flatMap(t => Seq("tar", "-tf", t.getAbsolutePath).!!.trim.split("\n"))
+    assert(names.length === 6)
+    // adjacency contract: within each shard the two members of a key
+    // are consecutive (meta sorts before txt)
+    f.foreach { t =>
+      val ns = Seq("tar", "-tf", t.getAbsolutePath).!!.trim.split("\n")
+      ns.grouped(2).foreach { pair =>
+        assert(pair.length === 2)
+        assert(pair(0).stripSuffix(".meta") === pair(1).stripSuffix(".txt"), pair.mkString(","))
+      }
+    }
+    // sample view: zero-shuffle grouped read == groupBy fallback
+    val sortedView = graft.sources.WebDataset.samples(spark, dir)
+    assert(!sortedView.queryExecution.executedPlan.toString.contains("Exchange"),
+      "sorted sample grouping must not shuffle")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), col("n_parts"), col("bytes"),
+          col("parts").getItem("txt").cast("string").as("txt"),
+          col("parts").getItem("meta").cast("string").as("meta"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getString(3), r.getString(4))).toSet
+    val s = rows(sortedView)
+    assert(s === rows(graft.sources.WebDataset.samples(spark, dir, sorted = false)))
+    assert(s.map(_._1) === Set("1", "2", "3"))
+    val one = s.find(_._1 === "1").get
+    assert(one._2 === 2 && one._4 === "first doc text" && one._5 === "n=14")
+    assert(one._3 === "first doc text".length + "n=14".length)
+    // duplicate (key, ext) refused; same key under two exts is fine
+    val dup = members.unionByName(docs.limit(1)
+      .select(col("doc_id").cast("string").as("k"), lit("txt").as("e"),
+        lit("x").cast("binary").as("p")))
+    intercept[org.apache.spark.SparkException] {
+      graft.sinks.TarShards.writeMembers(dup, "k", "e", "p", freshDir(), 1)
+    }
+  }
+
+  test("shard-filter pushdown prunes whole shard files at planning") {
+    val dir = freshDir()
+    TarShards.write(docs, "k", "p", "txt", dir, nShards = 4)
+    val all = spark.read.format("graft.sources.TarSource").option("path", dir).load()
+    val nShardFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar"))
+    assert(all.rdd.getNumPartitions === nShardFiles)
+    val probed = all.filter(col("shard") === 0)
+    // one file opened, not all; the scan advertises the pushed filter
+    assert(probed.rdd.getNumPartitions === 1)
+    assert(probed.queryExecution.executedPlan.toString.contains("shardFilters="),
+      probed.queryExecution.executedPlan.toString.linesIterator.take(6).mkString("\n"))
+    // rows unchanged vs the unpruned read
+    val expected = all.collect().filter(_.getAs[Int]("shard") == 0)
+      .map(_.getAs[String]("key")).toSet
+    assert(probed.select("key").collect().map(_.getString(0)).toSet === expected)
+    // IN-set pruning
+    val inProbe = all.filter(col("shard").isin(0, 2))
+    assert(inProbe.rdd.getNumPartitions <= 2)
+  }
+
   test("TarSource parses a FOREIGN archive written by GNU tar") {
     val work = new java.io.File(freshDir())
     val sub = new java.io.File(work, "payload"); sub.mkdirs()
