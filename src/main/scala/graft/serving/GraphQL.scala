@@ -381,6 +381,15 @@ object GraphQL {
     // operation variables: caller-provided values, plus declaration
     // defaults filled in by document()'s header pass
     private var vars: Map[String, Any] = provided
+    // names declared in the operation header; None = headerless
+    // operation (legacy dialect: variables usable straight from the
+    // JSON member without declarations). When a header EXISTS, using
+    // a name it didn't declare errors like graphql-js — a typo'd
+    // `$varaible` must not silently resolve through a spare JSON
+    // entry. (Unused-DECLARED-variable validation is deliberately
+    // omitted: this schema has no list-typed argument positions, so
+    // list variables would be unusable-by-construction under it.)
+    private var declaredVars: Option[Set[String]] = None
 
     def expect(c: Char): Unit = toks match {
       case Punct(`c`) :: rest => toks = rest
@@ -407,6 +416,8 @@ object GraphQL {
       case Punct('{') :: _ => objectArg()
       case Punct('$') :: Ident(n) :: rest =>
         toks = rest
+        declaredVars.foreach(d => if (!d(n)) throw ParseError(
+          s"""Variable "$$$n" is not defined by operation."""))
         if (!vars.contains(n)) throw ParseError(s"undefined variable $$$n")
         vars(n)
       case t => throw ParseError(s"expected value, got $t")
@@ -633,9 +644,11 @@ object GraphQL {
           coerced
       }
       expect('(')
+      val names = scala.collection.mutable.Set[String]()
       while (!peekIs(')')) {
         expect('$')
         val n = ident()
+        names += n
         expect(':')
         val t = typeRef()
         if (peekIs('=')) {
@@ -648,6 +661,7 @@ object GraphQL {
           s"""Variable "$$$n" of required type "${t.render}" was not provided.""")
       }
       expect(')')
+      declaredVars = Some(names.toSet)
     }
 
     def document(): Seq[Sel] = {

@@ -336,6 +336,12 @@ class GraphQLSpec extends SparkSpec {
       """query Q($c: GqlLogsCondition) { gql_logs(condition: $c) { block_number } }""",
       Map("c" -> "0xaaa"))
     assert(k4.contains("invalid value"), k4)
+    // using a variable the header didn't declare: a typo'd name must
+    // not silently resolve through a spare JSON entry
+    val undef = errOf(
+      """query Q($a: String) { gql_logs(condition: {address: $b}) { block_number } }""",
+      Map("a" -> "0xaaa", "b" -> "0xbbb"))
+    assert(undef.contains("not defined by operation"), undef)
     // valid values still flow: NON_NULL satisfied, Int accepts a
     // whole JSON double (graphql-js), defaults still fill
     val ok = mapper.readTree(GraphQL.execute(spark,
