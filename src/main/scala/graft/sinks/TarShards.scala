@@ -67,6 +67,32 @@ object TarShards {
   def tarBytes(memberSizes: Seq[Long]): Long =
     memberSizes.map(s => BlockSize + ((s + BlockSize - 1) / BlockSize) * BlockSize).sum + 2L * BlockSize
 
+  /** Shard count for a byte target: one combinable aggregate over the
+    * EXACT per-member tar footprint (header + padded payload — the
+    * [[tarBytes]] formula, not raw payload bytes, so sharding stays
+    * honest for small-member corpora where padding dominates),
+    * divided by `targetShardBytes`. This is how callers size real
+    * exports — "aim for ~512 MB shards" — instead of guessing
+    * nShards; hash sharding then balances in expectation, so actual
+    * shards land within sampling noise of the target. */
+  def shardsForTarget(df: DataFrame, payloadCol: String, targetShardBytes: Long): Int = {
+    require(targetShardBytes >= BlockSize, "target must be at least one block")
+    // NB Column./ is FRACTIONAL division — floor() makes it the
+    // integer ceil-to-block the writer actually produces
+    val total = df.select(
+        sum(lit(BlockSize.toLong) +
+          floor((length(col(payloadCol).cast(BinaryType)) + lit(BlockSize - 1))
+            / lit(BlockSize)).cast("long") * lit(BlockSize.toLong)).as("b"))
+      .collect()(0).getLong(0)
+    math.max(1L, (total + targetShardBytes - 1) / targetShardBytes).toInt
+  }
+
+  /** [[write]] with a byte target instead of a shard count. */
+  def writeSized(df: DataFrame, keyCol: String, payloadCol: String, ext: String,
+      outDir: String, targetShardBytes: Long): DataFrame =
+    write(df, keyCol, payloadCol, ext, outDir,
+      shardsForTarget(df, payloadCol, targetShardBytes))
+
   /** ustar name placement for a member name: `(prefix, name)` byte
     * arrays. Names ≤100 bytes go in the name field alone. Longer
     * names use the POSIX `prefix` field (155 bytes at offset 345):

@@ -297,6 +297,20 @@ class TarShardsSpec extends SparkSpec {
     }
   }
 
+  test("writeSized: shard count derives from the exact tar footprint") {
+    val dir = freshDir()
+    // 5 docs, footprints 1024/1536/512/1024/1024 bytes (header+padded)
+    // = 5120 total; target 2048 → ceil(5120/2048) = 3 shards
+    val sizes = docs.select(col("k"), col("p"))
+    assert(TarShards.shardsForTarget(sizes, "p", 2048L) === 3)
+    val manifest = TarShards.writeSized(docs, "k", "p", "txt", dir, 2048L)
+    val shards = manifest.collect()
+    assert(shards.map(_.getInt(0)).toSet.subsetOf(Set(0, 1, 2)))
+    assert(shards.map(_.getLong(1)).sum === 5L)
+    // degenerate target: never fewer than one shard
+    assert(TarShards.shardsForTarget(sizes, "p", Long.MaxValue) === 1)
+  }
+
   test("shard-filter pushdown prunes whole shard files at planning") {
     val dir = freshDir()
     TarShards.write(docs, "k", "p", "txt", dir, nShards = 4)
