@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Abi, Text}
 import graft.operators.{AsOfJoin, Bpe, Corpus, Dedup, EventViews, Multimodal, QualityClassifier, Similarity, Unigram}
-import graft.sinks.TarShards
+import graft.sinks.{TarShards, WarcShards}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1723,6 +1723,89 @@ object SparkEntry {
           col("n_parts"), col("bytes"),
           octet_length(col("parts").getItem("txt")).as("txt_bytes"),
           col("parts").getItem("meta").cast(StringType).as("meta"))
+        .orderBy(col("doc_id"))
+    },
+
+    // WARC export under the gate (r11): documents shipped as Common
+    // Crawl-layout WARC conversion shards (one gzip member per
+    // record + cdx sidecars), then the manifest parsed back by the
+    // INDEPENDENT record-walk reader — the twin re-derives every
+    // md5-prefix shard assignment and per-shard payload byte sum
+    // from the documents table. A record framing, Content-Length or
+    // assignment bug shifts the sums and breaks the hash.
+    // (Compressed sizes are zlib-build-specific — the q72 lesson —
+    // and stay out of the gate.)
+    "q107_warc_export" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q107").getAbsolutePath
+      WarcShards.write(
+          Tables(s, dir, "documents").select(
+            col("doc_id").cast(StringType).as("k"),
+            concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+            col("text").cast(BinaryType).as("p")),
+          "k", "u", "p", base, nShards = 8)
+        .select(col("shard"), col("n_records"), col("payload_bytes"))
+        .orderBy(col("shard"))
+    },
+
+    // WARC read-back under the gate (r11): shards written by
+    // WarcShards re-read through the DataSource V2 WARC source
+    // (partition-per-file, record walk, multi-member gunzip) with
+    // FULL payloads — the twin re-derives every header field
+    // (urn:uuid record id from the md5 rule, fixed type/content-type,
+    // utf8 Content-Length) and the payload text itself from
+    // documents. A header parse, payload framing, gunzip or
+    // record-id derivation bug breaks the hash.
+    "q108_warc_readback" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q108").getAbsolutePath
+      WarcShards.write(
+        Tables(s, dir, "documents").select(
+          col("doc_id").cast(StringType).as("k"),
+          concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+          col("text").cast(BinaryType).as("p")),
+        "k", "u", "p", base, nShards = 8)
+      s.read.format("graft.sources.WarcSource").option("path", base).load()
+        .select(
+          col("target_uri").substr(lit(15), lit(1000000)).cast(LongType).as("doc_id"),
+          col("shard"), col("record_id"), col("warc_type"), col("content_type"),
+          col("content_length"),
+          col("payload").cast(StringType).as("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher / MassiveText rule set under the gate (r11): every
+    // measured signal (word count, mean word length, alpha-word /
+    // symbol / bullet / ellipsis ratios, stopword hits) plus the
+    // conjunctive keep — each ratio a single int/int IEEE division
+    // with its expression tree mirrored in the twin, so the full
+    // rule table hash-gates. The letter test is lower(t)≠upper(t)
+    // (the no-regex-in-lambda discipline — regex per token was the
+    // q23-era 90× trap).
+    "q109_gopher_rules" -> { (s, dir) =>
+      Corpus.gopherSignals(Tables(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"), col("mean_word_len"),
+          col("alpha_word_ratio"), col("symbol_ratio"), col("bullet_ratio"),
+          col("ellipsis_ratio"), col("stop_hits"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // CCNet head/middle/tail bucketing under the gate (r11): the q98
+    // Kneser–Ney scorer feeds per-language ntile(3) tiles — min_p is
+    // the hash-gated portable score (ln-based ppl is not, the q58
+    // lesson), ties break on doc_id, and ntile's integer semantics
+    // replay exactly in SQL. A window-frame, ordering or tie-break
+    // bug reshuffles tiers and breaks the hash.
+    "q110_ccnet_buckets" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val model = Corpus.bigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+      val scored = Corpus.knScore(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", model)
+        .select(col("id"), col("min_p"))
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      Corpus.scoreBuckets(scored, "id", "lang", "min_p", k = 3)
+        .select(col("id").as("doc_id"), col("lang"), col("min_p"),
+          col("bucket").cast(LongType).as("bucket"), col("tier"))
         .orderBy(col("doc_id"))
     },
 
@@ -3617,6 +3700,95 @@ object SparkEntry {
         |from documents
         |order by doc_id""".stripMargin,
 
+    // WARC export twin: md5-prefix assignment + utf8 octet lengths,
+    // grouped per shard in SQL
+    "q107_warc_export" ->
+      """with d as (select cast(doc_id as varchar) as k,
+        |    octet_length(encode(text)) as len
+        |  from documents),
+        |a as (select ('0x' || substr(md5(k), 1, 8))::bigint % 8 as shard, len from d)
+        |select cast(shard as int) as shard,
+        |  cast(count(*) as bigint) as n_records,
+        |  cast(sum(len) as bigint) as payload_bytes
+        |from a
+        |group by shard
+        |order by shard""".stripMargin,
+
+    // WARC read-back twin: every header field re-derived — the
+    // urn:uuid grouping of md5(key), the fixed conversion/text-plain
+    // fields, utf8 Content-Length, and the payload text itself
+    "q108_warc_readback" ->
+      """with h as (select doc_id, text, md5(cast(doc_id as varchar)) as m from documents)
+        |select doc_id,
+        |  cast(('0x' || substr(m, 1, 8))::bigint % 8 as int) as shard,
+        |  'urn:uuid:' || substr(m, 1, 8) || '-' || substr(m, 9, 4) || '-'
+        |    || substr(m, 13, 4) || '-' || substr(m, 17, 4) || '-' || substr(m, 21, 12)
+        |    as record_id,
+        |  'conversion' as warc_type,
+        |  'text/plain' as content_type,
+        |  cast(octet_length(encode(text)) as bigint) as content_length,
+        |  text
+        |from h
+        |order by doc_id""".stripMargin,
+
+    // Gopher rule-set twin: every signal re-derived — same
+    // tokenization, letter test, literal replaces, line splits and
+    // int/int divisions
+    "q109_gopher_rules" ->
+      s"""with t as (select doc_id, text,
+        |    $OracleTokens as w,
+        |    string_split(text, chr(10)) as ln
+        |  from documents),
+        |c as (select doc_id,
+        |    len(w) as n_words,
+        |    list_sum(list_transform(w, x -> length(x))) as wchars,
+        |    len(list_filter(w, x -> lower(x) != upper(x))) as alpha,
+        |    len(list_filter(w, x -> lower(x) in
+        |      ('the','be','to','of','and','that','have','with'))) as stop_hits,
+        |    length(text) - length(replace(text, '#', '')) as nhash,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 as ellsym,
+        |    len(ln) as nlines,
+        |    len(list_filter(ln, l -> substr(ltrim(l), 1, 1) in ('-','*','•'))) as bull,
+        |    len(list_filter(ln, l -> length(rtrim(l)) >= 3
+        |      and substr(rtrim(l), length(rtrim(l)) - 2, 3) = '...')) as elll
+        |  from t),
+        |r as (select doc_id,
+        |    cast(n_words as bigint) as n_words,
+        |    case when n_words > 0
+        |      then cast(wchars as double) / cast(n_words as double) end as mean_word_len,
+        |    case when n_words > 0
+        |      then cast(alpha as double) / cast(n_words as double) end as alpha_word_ratio,
+        |    case when n_words > 0
+        |      then cast(nhash + ellsym as double) / cast(n_words as double) end as symbol_ratio,
+        |    cast(bull as double) / cast(nlines as double) as bullet_ratio,
+        |    cast(elll as double) / cast(nlines as double) as ellipsis_ratio,
+        |    cast(stop_hits as bigint) as stop_hits
+        |  from c)
+        |select doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_ratio,
+        |  bullet_ratio, ellipsis_ratio, stop_hits,
+        |  coalesce(n_words >= 50 and n_words <= 100000
+        |    and mean_word_len >= 3.0 and mean_word_len <= 10.0
+        |    and symbol_ratio <= 0.1 and bullet_ratio <= 0.9
+        |    and ellipsis_ratio <= 0.3 and alpha_word_ratio >= 0.8
+        |    and stop_hits >= 2, false) as keep
+        |from r
+        |order by doc_id""".stripMargin,
+
+    // CCNet bucketing twin: q98's shared KN CTE chain down to min_p,
+    // then the identical per-language ntile(3) over (min_p desc,
+    // doc_id)
+    "q110_ccnet_buckets" ->
+      s"""$OracleKnCtes,
+        |s as (select doc_id, min(p) as min_p from p1 group by doc_id),
+        |g as (select s.doc_id, d.lang, s.min_p,
+        |    ntile(3) over (partition by d.lang order by s.min_p desc, s.doc_id asc) as bucket
+        |  from s join documents d on s.doc_id = d.doc_id)
+        |select doc_id, lang, min_p, cast(bucket as bigint) as bucket,
+        |  case when bucket = 1 then 'head' when bucket = 2 then 'middle'
+        |    else 'tail' end as tier
+        |from g
+        |order by doc_id""".stripMargin,
+
     // token-binary twin: q99's fewest-pieces DP × 4 bytes per id,
     // plus the md5 shard rule — the full chain in one SQL
     "q104_token_binary_export" ->
@@ -3721,30 +3893,7 @@ object SparkEntry {
     // continuation tables; the probability CASE mirrors knScore's
     // column expression operation-for-operation
     "q98_kn_score" ->
-      s"""with n as (select doc_id, $OracleNorm as norm from documents),
-        |t as (select doc_id, string_split(norm, ' ') as w from n where length(norm) > 0),
-        |b as (select doc_id, w[i] as w1, w[i + 1] as w2
-        |  from (select doc_id, w, unnest(range(1, len(w))) as i from t)),
-        |m as (select w1, w2, count(*) as cnt from b where doc_id % 2 = 0 group by 1, 2),
-        |ctx as (select w1, sum(cnt) as c1, count(*) as n1p from m group by 1),
-        |cont as (select w2, count(*) as n1pl from m group by 1),
-        |bt as (select count(*) as bb from m),
-        |p0 as (select b.doc_id, m.cnt, ctx.c1, ctx.n1p,
-        |    coalesce(cast(cont.n1pl as double) / cast(bt.bb as double),
-        |             1.0 / cast(bt.bb + 1 as double)) as pcont
-        |  from b
-        |  left join m on b.w1 = m.w1 and b.w2 = m.w2
-        |  left join ctx on b.w1 = ctx.w1
-        |  left join cont on b.w2 = cont.w2
-        |  cross join bt
-        |  where b.doc_id % 2 = 1),
-        |p1 as (select doc_id, cnt, c1,
-        |    case when c1 is not null then
-        |      greatest(cast(coalesce(cnt, 0) as double) - 0.75, 0.0)
-        |        / cast(c1 as double)
-        |      + (0.75 * cast(n1p as double) / cast(c1 as double)) * pcont
-        |    else pcont end as p
-        |  from p0)
+      s"""$OracleKnCtes
         |select doc_id,
         |  cast(count(*) as bigint) as n_bigrams,
         |  cast(sum(case when cnt is not null then 1 else 0 end) as bigint) as n_hit,
@@ -3991,6 +4140,35 @@ object SparkEntry {
     """case when length(trim(text)) = 0 then [] else string_split_regex(trim(text), '\s+') end"""
   private val OracleNTokens =
     s"""len($OracleTokens)"""
+  /** q98's Kneser–Ney scoring pipeline through per-bigram
+    * probabilities (`p1(doc_id, cnt, c1, p)`) — shared verbatim by
+    * the q98 and q110 twins so both replay the identical IEEE
+    * probability tree. */
+  private val OracleKnCtes =
+    s"""with n as (select doc_id, $OracleNorm as norm from documents),
+      |t as (select doc_id, string_split(norm, ' ') as w from n where length(norm) > 0),
+      |b as (select doc_id, w[i] as w1, w[i + 1] as w2
+      |  from (select doc_id, w, unnest(range(1, len(w))) as i from t)),
+      |m as (select w1, w2, count(*) as cnt from b where doc_id % 2 = 0 group by 1, 2),
+      |ctx as (select w1, sum(cnt) as c1, count(*) as n1p from m group by 1),
+      |cont as (select w2, count(*) as n1pl from m group by 1),
+      |bt as (select count(*) as bb from m),
+      |p0 as (select b.doc_id, m.cnt, ctx.c1, ctx.n1p,
+      |    coalesce(cast(cont.n1pl as double) / cast(bt.bb as double),
+      |             1.0 / cast(bt.bb + 1 as double)) as pcont
+      |  from b
+      |  left join m on b.w1 = m.w1 and b.w2 = m.w2
+      |  left join ctx on b.w1 = ctx.w1
+      |  left join cont on b.w2 = cont.w2
+      |  cross join bt
+      |  where b.doc_id % 2 = 1),
+      |p1 as (select doc_id, cnt, c1,
+      |    case when c1 is not null then
+      |      greatest(cast(coalesce(cnt, 0) as double) - 0.75, 0.0)
+      |        / cast(c1 as double)
+      |      + (0.75 * cast(n1p as double) / cast(c1 as double)) * pcont
+      |    else pcont end as p
+      |  from p0)""".stripMargin
   /** q100's fixed serving weights: common words with hand-picked
     * integer weights at dim 4096 — small enough to read, large
     * enough that collision handling (bucket-sum) is exercised. */

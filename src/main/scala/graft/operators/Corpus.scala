@@ -649,4 +649,111 @@ object Corpus {
           !(col("dup_frac") > maxDupFrac || col("mean_quality") < minMeanQuality))
       .drop("_sd")
   }
+
+  private val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher / MassiveText document-quality rule set (Rae et al.
+    * 2021, table A1) as one projection: per document the measured
+    * signals and a conjunctive `keep` —
+    *
+    *  - `n_words` in [`minWords`, `maxWords`] (50 … 100 000)
+    *  - `mean_word_len` in [3, 10]
+    *  - `symbol_ratio` (`#` + `…`-as-`...` occurrences per word) ≤ 0.1
+    *  - `bullet_ratio` (lines starting `-`/`*`/`•`) ≤ 0.9
+    *  - `ellipsis_ratio` (lines ending `...`) ≤ 0.3
+    *  - `alpha_word_ratio` (words containing a letter) ≥ 0.8
+    *  - `stop_hits` (of the/be/to/of/and/that/have/with) ≥ 2
+    *
+    * Everything is a pure projection — zero shuffles, linear at any
+    * corpus size. Tokens and lines are staged as named columns (the
+    * HOF-staging contract); the lambdas hold only cheap per-element
+    * ops (`length`, `substring`, `lower≠upper` as the no-regex
+    * letter test, `isin`), so whole-stage codegen keeps the row loop
+    * tight. Ratios are single int/int divisions (both engines'
+    * correctly-rounded IEEE division — hash-gateable, the q109
+    * twin mirrors each tree); documents with no words emit null
+    * ratios and fail `keep`. */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val counted = df.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .withColumn("_toks", Text.tokens(col("_t")))
+      .withColumn("_lines", split(col("_t"), "\n"))
+      .select(
+        col("id"),
+        size(col("_toks")).cast(LongType).as("n_words"),
+        aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t)).as("_wchars"),
+        size(filter(col("_toks"), t => lower(t) =!= upper(t))).cast(LongType).as("_alpha"),
+        size(filter(col("_toks"), t => lower(t).isin(GopherStopwords: _*)))
+          .cast(LongType).as("stop_hits"),
+        (length(col("_t")) - length(replace(col("_t"), lit("#"), lit(""))))
+          .cast(LongType).as("_hash"),
+        ((length(col("_t")) - length(replace(col("_t"), lit("..."), lit("")))) / lit(3))
+          .cast(LongType).as("_ellsym"),
+        size(col("_lines")).cast(LongType).as("_nlines"),
+        size(filter(col("_lines"), l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+          .cast(LongType).as("_bull"),
+        size(filter(col("_lines"), l =>
+            length(rtrim(l)) >= 3 && rtrim(l).substr(length(rtrim(l)) - 2, lit(3)) === "..."))
+          .cast(LongType).as("_elllines"))
+    counted.select(
+        col("id"), col("n_words"),
+        when(col("n_words") > 0,
+          col("_wchars").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("mean_word_len"),
+        when(col("n_words") > 0,
+          col("_alpha").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("alpha_word_ratio"),
+        when(col("n_words") > 0,
+          (col("_hash") + col("_ellsym")).cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("symbol_ratio"),
+        (col("_bull").cast(DoubleType) / col("_nlines").cast(DoubleType)).as("bullet_ratio"),
+        (col("_elllines").cast(DoubleType) / col("_nlines").cast(DoubleType))
+          .as("ellipsis_ratio"),
+        col("stop_hits"))
+      .withColumn("keep", coalesce(
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("stop_hits") >= 2L, lit(false)))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    * rank documents inside each group (CCNet: language) by a
+    * language-model score and cut the ranking into `k` equal tiles —
+    * bucket 1 is the best-scoring tile ("head" at k=3, then
+    * "middle"/"tail"), the partition CCNet publishes its corpus in.
+    * `ascending=false` ranks high scores first (use `true` when the
+    * score is a perplexity, where low is good). Ties break on `id`,
+    * so the tiling is a deterministic total order, and `ntile`'s
+    * integer semantics are engine-portable — the q110 twin replays
+    * the exact assignment (unlike interpolated percentile cuts,
+    * whose IEEE trees differ across engines).
+    *
+    * Scale shape: ONE window over (group, score, id) — a per-group
+    * sort of a three-column projection, never the document bodies
+    * (join the result back by id to recover them). CCNet itself cuts
+    * on thresholds learned from a sample; at 100 TB prefer that —
+    * compute approx thresholds on a hash-sample of scores, broadcast
+    * them and bucket with a comparison projection (zero global
+    * sort). The exact `ntile` form here is the deterministic,
+    * oracle-checkable variant, and its sort moves so few bytes per
+    * row that it holds far past the gate scale. */
+  def scoreBuckets(scored: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, k: Int = 3, ascending: Boolean = false): DataFrame = {
+    require(k >= 1, s"bucket count must be >= 1, got $k")
+    val ord =
+      if (ascending) Seq(col(scoreCol).asc, col(idCol).asc)
+      else Seq(col(scoreCol).desc, col(idCol).asc)
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    val labeled = scored.withColumn("bucket", ntile(k).over(w))
+    if (k == 3)
+      labeled.withColumn("tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail"))
+    else labeled
+  }
 }

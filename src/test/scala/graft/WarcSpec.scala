@@ -1,0 +1,209 @@
+package graft
+
+import graft.sinks.WarcShards
+import org.apache.spark.sql.functions._
+import scala.sys.process._
+
+/** WARC shard export + DSv2 read-back: round-trip equality, the
+  * foreign validator (the gzip CLI — an independent zlib consumer —
+  * must decompress every member and see the right record count),
+  * byte-determinism, cdx sidecar agreement, the cdx header-only fast
+  * path PROVABLY not touching payload bytes, foreign single-stream
+  * WARC/WET layouts, and the contract errors. */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("warcshards").toString
+
+  private val docs = Seq(
+    ("alpha", "urn:x:alpha", "the quick brown fox"),
+    ("beta", "urn:x:beta", "x" * 513),
+    ("gamma", "urn:x:gamma", ""), // empty payload record
+    ("delta", "urn:x:delta", "exactly".padTo(512, '!')),
+    ("epsilon", "urn:x:epsilon", "short")
+  ).toDF("k", "u", "t").select(col("k"), col("u"), col("t").cast("binary").as("p"))
+
+  private def readBack(dir: String) =
+    spark.read.format("graft.sources.WarcSource").option("path", dir).load()
+
+  test("round-trip: records come back with every header field and exact payloads") {
+    val dir = freshDir()
+    val manifest = WarcShards.write(docs, "k", "u", "p", dir, nShards = 2)
+    assert(manifest.agg(sum("n_records")).collect()(0).getLong(0) === 5L)
+    val rows = readBack(dir)
+      .select("target_uri", "record_id", "warc_type", "content_type",
+        "content_length", "payload")
+      .collect()
+    assert(rows.length === 5)
+    val byUri = rows.map(r => r.getString(0) -> r).toMap
+    val expected = docs.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getAs[Array[Byte]](2))).toSeq
+    for ((k, u, p) <- expected) {
+      val r = byUri(u)
+      assert(r.getString(1) === WarcShards.recordIdOf(k))
+      assert(r.getString(2) === "conversion")
+      assert(r.getString(3) === "text/plain")
+      assert(r.getLong(4) === p.length.toLong)
+      assert(r.getAs[Array[Byte]](5) === p)
+    }
+  }
+
+  test("gzip CLI (foreign zlib) decompresses every member; record count matches") {
+    val dir = freshDir()
+    WarcShards.write(docs, "k", "u", "p", dir, nShards = 2)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    var versions = 0
+    for (f <- files) {
+      // gzip -t validates EVERY member's CRC; a framing bug dies here
+      assert(Seq("gzip", "-t", f.getAbsolutePath).! === 0, s"gzip -t rejected $f")
+      val out = java.io.File.createTempFile("warcdec", ".warc")
+      assert((Seq("gzip", "-dc", f.getAbsolutePath) #> out).! === 0)
+      val bytes = java.nio.file.Files.readAllBytes(out.toPath)
+      val pat = "WARC/1.0\r\n".getBytes("US-ASCII")
+      versions += (0 to bytes.length - pat.length).count(i =>
+        java.util.Arrays.equals(bytes, i, i + pat.length, pat, 0, pat.length))
+      out.delete()
+    }
+    assert(versions === 5)
+  }
+
+  test("rewrites are byte-deterministic (warc and cdx both)") {
+    val dir1 = freshDir(); val dir2 = freshDir()
+    WarcShards.write(docs, "k", "u", "p", dir1, nShards = 2)
+    WarcShards.write(docs, "k", "u", "p", dir2, nShards = 2)
+    for (n <- new java.io.File(dir1).list().sorted) {
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir1, n))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir2, n))
+      assert(java.util.Arrays.equals(a, b), s"nondeterministic bytes in $n")
+    }
+  }
+
+  test("a re-run over a smaller corpus leaves no stale shards or sidecars") {
+    val dir = freshDir()
+    WarcShards.write(docs, "k", "u", "p", dir, nShards = 4)
+    WarcShards.write(docs.limit(1), "k", "u", "p", dir, nShards = 1)
+    // ignore Hadoop LocalFileSystem's .crc shadows (deleted with their files)
+    val names = new java.io.File(dir).list().filterNot(_.startsWith(".")).sorted.toSeq
+    assert(names === Seq("shard-00000.cdx", "shard-00000.warc.gz"))
+    assert(readBack(dir).count() === 1L)
+  }
+
+  test("cdx sidecar: one line per record, offsets land on gzip magic, lengths tile the file") {
+    val dir = freshDir()
+    WarcShards.write(docs, "k", "u", "p", dir, nShards = 1)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "shard-00000.warc.gz"))
+    val lines = scala.io.Source.fromFile(new java.io.File(dir, "shard-00000.cdx"))
+      .getLines().toSeq
+    assert(lines.length === 5)
+    var expectedOff = 0L
+    val expected = docs.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](2)).toMap
+    for (l <- lines) {
+      val Array(key, off, len, pb) = l.split("\t")
+      assert(off.toLong === expectedOff, "members must tile the shard contiguously")
+      assert((bytes(off.toInt) & 0xff) === 0x1f && (bytes(off.toInt + 1) & 0xff) === 0x8b,
+        s"cdx offset $off is not a gzip member start")
+      assert(pb.toLong === expected(key).length.toLong)
+      expectedOff += len.toLong
+    }
+    assert(expectedOff === bytes.length.toLong)
+  }
+
+  test("cdx fast path inflates headers only: corrupt payload bytes are never touched") {
+    val dir = freshDir()
+    // incompressible payloads so each member's compressed body is
+    // far larger than the header prefix the fast path inflates
+    val rnd = new scala.util.Random(7)
+    val big = (0 until 4).map { i =>
+      val b = new Array[Byte](8192); rnd.nextBytes(b)
+      (s"doc$i", s"urn:x:doc$i", b)
+    }
+    WarcShards.write(big.toDF("k", "u", "p"), "k", "u", "p", dir, nShards = 1)
+    // corrupt one byte near the END of the second member's compressed
+    // stream (inside its payload region, before the 8-byte trailer)
+    val f = java.nio.file.Paths.get(dir, "shard-00000.warc.gz")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    val lines = scala.io.Source.fromFile(new java.io.File(dir, "shard-00000.cdx"))
+      .getLines().toVector
+    val Array(_, off, len, _) = lines(1).split("\t")
+    val target = off.toInt + len.toInt - 50
+    bytes(target) = (bytes(target) ^ 0x5a).toByte
+    java.nio.file.Files.write(f, bytes)
+    // drop the Hadoop LocalFileSystem crc shadow: the test corrupts the
+    // DEFLATE stream on purpose, and gzip's own CRC is the detector
+    // under test, not the filesystem's
+    new java.io.File(dir, ".shard-00000.warc.gz.crc").delete()
+    // header-only scan (payload pruned → cdx path): succeeds, full rows
+    val pruned = readBack(dir).select("record_id", "content_length").collect()
+    assert(pruned.length === 4)
+    assert(pruned.forall(_.getLong(1) === 8192L))
+    // full-payload scan must hit the corruption (CRC/inflate failure)
+    val ex = intercept[Exception] {
+      readBack(dir).select("payload").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[java.io.IOException]),
+      s"expected an IO/zip failure, got $ex")
+  }
+
+  test("foreign layouts: single-stream .warc.gz and plain .wet parse, extra headers tolerated") {
+    val dir = freshDir()
+    def record(tpe: String, id: String, body: String): String =
+      "WARC/1.0\r\n" +
+        s"WARC-Type: $tpe\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+        "WARC-Date: 2020-05-06T07:08:09Z\r\n" +
+        (if (tpe == "conversion") "WARC-Target-URI: http://example.com/a\r\n" else "") +
+        "WARC-Block-Digest: sha1:DEADBEEF\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${body.getBytes("UTF-8").length}\r\n" +
+        "\r\n" + body + "\r\n\r\n"
+    val payload = record("warcinfo", "00000000-0000-0000-0000-000000000001", "software: test") +
+      record("conversion", "00000000-0000-0000-0000-000000000002", "hello warc world")
+    // single-stream gzip (NOT member-per-record) — foreign writers do this
+    val gz = new java.io.FileOutputStream(new java.io.File(dir, "crawl.warc.gz"))
+    val g = new java.util.zip.GZIPOutputStream(gz)
+    g.write(payload.getBytes("UTF-8")); g.close()
+    // plain uncompressed WET
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "crawl2.wet"),
+      payload.getBytes("UTF-8"))
+    val rows = readBack(dir)
+      .select("shard", "record_id", "warc_type", "target_uri", "content_length")
+      .collect()
+    assert(rows.length === 4) // 2 records × 2 files
+    assert(rows.forall(_.getInt(0) === -1)) // foreign names: no shard id
+    val conv = rows.filter(_.getString(2) == "conversion")
+    assert(conv.length === 2)
+    assert(conv.forall(_.getString(3) === "http://example.com/a"))
+    assert(conv.forall(_.getLong(4) === "hello warc world".length.toLong))
+    assert(rows.filter(_.getString(2) == "warcinfo").forall(_.isNullAt(3)))
+  }
+
+  test("shard pruning and column pruning advertise in the plan and serve correct rows") {
+    val dir = freshDir()
+    WarcShards.write(docs, "k", "u", "p", dir, nShards = 4)
+    val df = readBack(dir).filter(col("shard") === 1).select("shard", "target_uri")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("shardFilters="), s"shard filter not pushed:\n$plan")
+    assert(plan.contains("cols=[shard,target_uri]"), s"columns not pruned:\n$plan")
+    val all = readBack(dir).select("shard", "target_uri").collect()
+    val got = df.collect()
+    assert(got.map(_.getString(1)).sorted === all.filter(_.getInt(0) == 1).map(_.getString(1)).sorted)
+  }
+
+  test("contract errors: duplicate keys and null payloads refuse loudly") {
+    val dir = freshDir()
+    val dup = Seq(("a", "u1", "x"), ("a", "u2", "y")).toDF("k", "u", "t")
+      .select(col("k"), col("u"), col("t").cast("binary").as("p"))
+    val e1 = intercept[Exception] { WarcShards.write(dup, "k", "u", "p", dir, nShards = 1) }
+    assert(e1.getMessage != null)
+    val nul = Seq(("a", "u1", "x"), ("b", "u2", null)).toDF("k", "u", "t")
+      .select(col("k"), col("u"), col("t").cast("binary").as("p"))
+    val e2 = intercept[Exception] { WarcShards.write(nul, "k", "u", "p", freshDir(), nShards = 1) }
+    assert(e2.getMessage != null)
+  }
+}
