@@ -331,4 +331,40 @@ object DocStream {
       .trigger(trigger)
       .start()
   }
+
+  /** Streaming WARC export — [[curateToTarShards]] with
+    * [[graft.sinks.WarcShards]] as the container: each micro-batch's
+    * curated survivors leave as Common Crawl-layout WARC conversion
+    * shards (+ cdx sidecars) under `outputDir/batch=<id>/`. The
+    * exactly-once-effect argument is identical: batch-scoped
+    * directories, byte-deterministic records (fixed WARC-Date,
+    * md5-derived record ids, per-JVM-deterministic gzip) and the
+    * sink's temp-file + atomic rename make a replayed batch rewrite
+    * the same paths with the same bytes. */
+  def curateToWarcShards(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      minQuality: Double = 0.2,
+      nShards: Int = 4,
+      maxFilesPerTrigger: Int = 100,
+      pollInterval: Option[String] = None): StreamingQuery = {
+    val trigger = pollInterval
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    curatedStream(spark, inputDir, minQuality, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sinks.WarcShards.write(
+          batch.toDF().select(col("doc_id").cast(StringType).as("k"),
+            concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+            col("text").cast(BinaryType).as("p")),
+          "k", "u", "p", s"$outputDir/batch=$id", nShards)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

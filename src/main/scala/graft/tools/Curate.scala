@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   * With a final `tar` argument, the surviving documents additionally
   * export as WebDataset-style shards (`<out>/tar/shard-NNNNN.tar`,
   * members `<doc_id>.txt` — [[graft.sinks.TarShards]]), the
-  * container a training job streams.
+  * container a training job streams. A final `warc` argument exports
+  * them as Common Crawl-layout WARC conversion shards instead
+  * (`<out>/warc/shard-NNNNN.warc.gz` + cdx —
+  * [[graft.sinks.WarcShards]]), the container curation pipelines
+  * exchange. Both may be given.
   *
-  * Usage: runMain graft.tools.Curate <documentsParquet> <outDir> [minQuality] [chunkTokens] [stride] [seqTokens] [shardCol|-] [tar [nShards]]
+  * Usage: runMain graft.tools.Curate <documentsParquet> <outDir> [minQuality] [chunkTokens] [stride] [seqTokens] [shardCol|-] [tar [nShards]] [warc [nShards]]
   */
 object Curate {
   def main(args: Array[String]): Unit = {
@@ -74,6 +78,18 @@ object Curate {
       val m = manifest.orderBy(col("shard")).collect()
       println(s"[curate] tar shards=${m.length} files=${m.map(_.getLong(1)).sum} " +
         s"tar_bytes=${m.map(_.getLong(3)).sum} → $out/tar")
+    }
+    if (args.contains("warc")) {
+      val nShards = args.lift(args.indexOf("warc") + 1)
+        .flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(4)
+      val manifest = graft.sinks.WarcShards.write(
+        deduped.select(col("doc_id").cast("string").as("k"),
+          concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+          col("text").cast("binary").as("p")),
+        "k", "u", "p", s"$out/warc", nShards)
+      val m = manifest.orderBy(col("shard")).collect()
+      println(s"[curate] warc shards=${m.length} records=${m.map(_.getLong(1)).sum} " +
+        s"payload_bytes=${m.map(_.getLong(2)).sum} → $out/warc")
     }
     spark.stop()
   }

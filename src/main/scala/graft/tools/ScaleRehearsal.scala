@@ -135,6 +135,21 @@ object ScaleRehearsal {
       noop(Corpus.knScore(df.filter(col("doc_id") % 2 === 1), "doc_id", "text", model))
     }
 
+    // r11: the WARC interchange round trip (q107/q108's shape) —
+    // export as member-per-record gzip shards + cdx, then a
+    // header-only manifest scan back through the DSv2 source (the
+    // cdx fast path, the pattern a 100 TB hand-off audit runs)
+    def warcRoundtrip(df: DataFrame): Unit = {
+      val out = java.nio.file.Files.createTempDirectory("graft_warc").toString + "/warc"
+      graft.sinks.WarcShards.write(
+        df.select(col("doc_id").cast("string").as("k"),
+          concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+          col("text").cast("binary").as("p")),
+        "k", "u", "p", out, nShards = 16)
+      noop(spark.read.format("graft.sources.WarcSource").option("path", out).load()
+        .select(col("shard"), col("record_id"), col("content_length")))
+    }
+
     val paths: Seq[(String, DataFrame => Unit)] = Seq(
       "near_dup" -> (df => noop(nearDupPairs(df))),
       "dup_clusters" -> (df => noop(clusters(df))),
@@ -142,7 +157,8 @@ object ScaleRehearsal {
       "span_removal" -> (df => spanRemoval(df)),
       "leakage_safe_split" -> (df => splitPath(df)),
       "tokenize_ship" -> (df => tokenizeShip(df)),
-      "kn_score" -> (df => knPath(df)))
+      "kn_score" -> (df => knPath(df)),
+      "warc_roundtrip" -> (df => warcRoundtrip(df)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -195,6 +195,56 @@ class WarcSpec extends SparkSpec {
     assert(got.map(_.getString(1)).sorted === all.filter(_.getInt(0) == 1).map(_.getString(1)).sorted)
   }
 
+  test("write→read through an explicit file: URI (Hadoop FileSystem API end-to-end)") {
+    // the tier must resolve paths through the Hadoop FS layer: a
+    // scheme-qualified URI (the shape hdfs:// / s3a:// present to
+    // the code) round-trips write → manifest → DSv2 read unchanged
+    val dir = "file://" + freshDir()
+    val manifest = WarcShards.write(docs, "k", "u", "p", dir, nShards = 2)
+    assert(manifest.agg(sum("n_records")).collect()(0).getLong(0) === 5L)
+    val back = spark.read.format("graft.sources.WarcSource")
+      .option("path", dir).load()
+      .collect().map(r => r.getAs[String]("target_uri") -> r.getAs[Array[Byte]]("payload")).toMap
+    val expected = docs.collect().map(r => r.getString(1) -> r.getAs[Array[Byte]](2)).toMap
+    assert(back.keySet === expected.keySet)
+    for ((k, v) <- expected) assert(back(k) === v)
+  }
+
+  test("streaming curation exports per-batch WARC shards; restart replays nothing") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("warcstream_in").toString
+    val out = Files.createTempDirectory("warcstream_out").toString
+    val ckpt = Files.createTempDirectory("warcstream_ckpt").toString
+    val good1 = "the cat sat on the mat and the dog ran in the park with a ball"
+    val good2 = "a stream of documents arrives and the engine keeps the good ones for training"
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(doc(1, good1), doc(2, "!!!!!!!!")).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      Seq(doc(3, good1), doc(4, good2)).mkString("\n"))
+    val q = graft.streaming.DocStream.curateToWarcShards(
+      spark, in, out, ckpt, nShards = 2, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    def idsIn(dir: String): Set[String] =
+      if (!new java.io.File(dir).exists()) Set.empty
+      else spark.read.format("graft.sources.WarcSource").option("path", dir).load()
+        .select("target_uri").collect()
+        .map(_.getString(0).stripPrefix("urn:graft:doc/")).toSet
+    val all = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(all.length === 2, all.mkString(","))
+    // survivors only: 2 is junk, 3 duplicates good1
+    assert(all.flatMap(b => idsIn(s"$out/$b")).toSet === Set("1", "4"))
+    // restart on the same checkpoint, no new input: nothing replays
+    val q2 = graft.streaming.DocStream.curateToWarcShards(
+      spark, in, out, ckpt, nShards = 2, maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    val after = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(after === all.toSeq)
+  }
+
   test("contract errors: duplicate keys and null payloads refuse loudly") {
     val dir = freshDir()
     val dup = Seq(("a", "u1", "x"), ("a", "u2", "y")).toDF("k", "u", "t")
