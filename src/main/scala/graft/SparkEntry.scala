@@ -1790,6 +1790,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Image dHash under the gate (r11): the perceptual fingerprint
+    // of the ACTUALLY-DECODED PNG/BMP rasters (9×8 nearest-neighbor
+    // thumbnail, adjacent-pixel comparison bits, MSB-first row
+    // packing) — the twin recomputes all 64 bits from the generating
+    // gradient formula, so a decode, sampling, comparison or packing
+    // bug flips hex characters and breaks the hash. Gated on the hex
+    // rendering (a signed 64-bit crosses engines awkwardly).
+    "q111_image_phash" -> { (s, dir) =>
+      Multimodal.perceptualHash(
+          Multimodal.syntheticPixelMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .filter(col("valid"))
+        .select(col("doc_id"), col("fmt"),
+          col("w").cast(LongType).as("w"), col("h").cast(LongType).as("h"),
+          col("dhash_hex"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Image near-dup pairs under the gate (r11): the dHash
+    // signatures through the SAME banded hamming kernel as the text
+    // SimHash path (byte bands, degenerate-bucket cap, exact
+    // popcount verify) — the twin replays banding, bucket cap and
+    // distance byte-by-byte, so a band split, cap or verify bug
+    // changes the pair set and breaks the hash.
+    // (gate runs tighter than the operator defaults — the gradient
+    // fixtures are far more hash-correlated than real images, and
+    // distance ≤ 2 with a 200-cap keeps the pair table
+    // gate-sized at sf0.1 while still exercising banding, cap and
+    // verify; bands=8 keeps pigeonhole exact for d ≤ 7 regardless)
+    "q112_image_near_dup" -> { (s, dir) =>
+      Multimodal.imageNearDuplicates(
+          Multimodal.syntheticPixelMedia(Tables(s, dir, "documents")),
+          maxDistance = 2, maxBucket = 200)
+        .select(col("id_a"), col("id_b"),
+          col("distance").cast(LongType).as("distance"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // CCNet head/middle/tail bucketing under the gate (r11): the q98
     // Kneser–Ney scorer feeds per-language ntile(3) tiles — min_p is
     // the hash-gated portable score (ln-based ppl is not, the q58
@@ -3774,6 +3812,43 @@ object SparkEntry {
         |from r
         |order by doc_id""".stripMargin,
 
+    // dHash twin: the shared per-row-byte chain, hex-rendered in row
+    // order (the hash's MSB-first packing makes hex = row bytes)
+    "q111_image_phash" ->
+      s"""$OraclePHashCtes,
+        |hx as (select doc_id, w, h,
+        |    string_agg(printf('%02x', byte), '' order by y) as dhash_hex
+        |  from rb group by doc_id, w, h)
+        |select doc_id,
+        |  case when doc_id % 2 = 0 then 'png' else 'bmp' end as fmt,
+        |  cast(w as bigint) as w, cast(h as bigint) as h, dhash_hex
+        |from hx
+        |order by doc_id""".stripMargin,
+
+    // image near-dup twin: band = row byte (a relabeling of the
+    // 8-bit chunks), same ≥2/≤1000 bucket cap, distinct candidate
+    // pairs, distance = Σ per-row popcount of xor
+    "q112_image_near_dup" ->
+      s"""$OraclePHashCtes,
+        |sig as (select doc_id, y, byte from rb),
+        |bucket as (select y, byte from sig
+        |  group by y, byte having count(*) >= 2 and count(*) <= 200),
+        |cand as (select a.doc_id as id_a, b.doc_id as id_b
+        |  from sig a
+        |  join bucket k on a.y = k.y and a.byte = k.byte
+        |  join sig b on b.y = a.y and b.byte = a.byte and b.doc_id > a.doc_id
+        |  group by 1, 2),
+        |dist as (select c.id_a, c.id_b,
+        |    sum(bit_count(xor(sa.byte, sb.byte))) as distance
+        |  from cand c
+        |  join sig sa on sa.doc_id = c.id_a
+        |  join sig sb on sb.doc_id = c.id_b and sb.y = sa.y
+        |  group by 1, 2)
+        |select id_a, id_b, cast(distance as bigint) as distance
+        |from dist
+        |where distance <= 2
+        |order by id_a, id_b""".stripMargin,
+
     // CCNet bucketing twin: q98's shared KN CTE chain down to min_p,
     // then the identical per-language ntile(3) over (min_p desc,
     // doc_id)
@@ -4169,6 +4244,26 @@ object SparkEntry {
       |      + (0.75 * cast(n1p as double) / cast(c1 as double)) * pcont
       |    else pcont end as p
       |  from p0)""".stripMargin
+  /** q111/q112's dHash derivation, down to the per-row thumbnail
+    * bytes `rb(doc_id, w, h, y, byte)` — the full decode+sample+
+    * compare+pack pipeline replayed from the generating gradient
+    * formula (corrupt every-25th payloads excluded, as
+    * `valid=false` rows are on the Spark side). */
+  private val OraclePHashCtes =
+    """with d as (select doc_id,
+      |    ((doc_id % 16) + 1) * 2 as w, ((doc_id % 12) + 1) * 2 as h
+      |  from documents where doc_id % 25 <> 0),
+      |g as (select d.doc_id, d.w, d.h, y.y, x.x,
+      |    ((x.x * d.w) // 9 + (y.y * d.h) // 8 + d.doc_id) % 256 as t
+      |  from d, range(0, 8) y(y), range(0, 9) x(x)),
+      |b as (select a.doc_id, a.w, a.h, a.y, a.x,
+      |    case when n.t > a.t then 1 else 0 end as bit
+      |  from g a join g n on n.doc_id = a.doc_id and n.y = a.y and n.x = a.x + 1
+      |  where a.x < 8),
+      |rb as (select doc_id, w, h, y,
+      |    cast(sum(bit * (1 << (7 - x))) as int) as byte
+      |  from b group by doc_id, w, h, y)""".stripMargin
+
   /** q100's fixed serving weights: common words with hand-picked
     * integer weights at dim 4096 — small enough to read, large
     * enough that collision handling (bucket-sum) is exercised. */

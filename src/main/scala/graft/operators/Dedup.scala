@@ -701,6 +701,19 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"simhash family '$other' (xxh64|md5)")
     }
+    hammingCandidates(sigs, width, maxDistance, bands, maxBucket)
+  }
+
+  /** The banded hamming-pair kernel of [[simhashCandidates]], over
+    * ANY `(id, sh)` signature table — text SimHashes and image
+    * perceptual hashes ([[Multimodal.perceptualHash]]) share it.
+    * Same pigeonhole + `maxBucket` contract as documented above. */
+  def hammingCandidates(
+      sigs: DataFrame,
+      width: Int,
+      maxDistance: Int,
+      bands: Int,
+      maxBucket: Int): DataFrame = {
     require(width % bands == 0, s"bands must divide the $width-bit width")
     val bits = width / bands
     val banded = sigs.select(col("id"), col("sh"),

@@ -1895,6 +1895,68 @@ object Multimodal {
     }.toDF("doc_id", "feature")
   }
 
+  case class PHash(doc_id: Long, fmt: String, w: Int, h: Int,
+      dhash: Long, dhash_hex: String, valid: Boolean)
+  implicit val pHashEnc: Encoder[PHash] = Encoders.product[PHash]
+
+  /** dHash perceptual fingerprint of the decoded raster — the
+    * classic image-dedup primitive (difference hash: a near-dup
+    * image, recompressed/resized/slightly edited, lands within a few
+    * hamming bits; an unrelated image lands ~32 away). Exact layout,
+    * mirrored bit-for-bit by the q111 twin:
+    * 9×8 nearest-neighbor grayscale thumbnail (the [[resizePixels]]
+    * sampling rule: source pixel `(x·w/9, y·h/8)`, integer floor),
+    * bit(x,y) = t(x+1,y) > t(x,y) for x<8, packed MSB-first row by
+    * row — so the hex rendering is the 8 row-bytes in order, and the
+    * 64-bit value's byte `7−y` is row `y`. Map-side per partition;
+    * corrupt payloads yield `valid=false`. The hex string exists for
+    * gating (a signed 64-bit crosses engines awkwardly; the hex is
+    * its canonical unsigned rendering). */
+  def perceptualHash(media: Dataset[MediaFile]): Dataset[PHash] =
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        PixelCodec.decode(m.content) match {
+          case Some((fmt, w, h, px)) =>
+            val tw = 9; val th = 8
+            val t = new Array[Int](tw * th)
+            var y = 0
+            while (y < th) {
+              val sy = y * h / th
+              var x = 0
+              while (x < tw) { t(y * tw + x) = px(sy * w + x * w / tw) & 0xff; x += 1 }
+              y += 1
+            }
+            var hash = 0L
+            y = 0
+            while (y < th) {
+              var x = 0
+              while (x < 8) {
+                hash = (hash << 1) | (if (t(y * tw + x + 1) > t(y * tw + x)) 1L else 0L)
+                x += 1
+              }
+              y += 1
+            }
+            PHash(m.doc_id, fmt, w, h, hash, f"$hash%016x", valid = true)
+          case None => PHash(m.doc_id, "unknown", 0, 0, 0L, "", valid = false)
+        }
+      }
+    }(pHashEnc)
+
+  /** Image near-duplicate pairs: [[perceptualHash]] signatures
+    * through the SAME banded hamming kernel the text SimHash path
+    * uses ([[Dedup.hammingCandidates]] — pigeonhole banding,
+    * degenerate-bucket cap, exact distance verify on candidates
+    * only; never all-pairs). Default `bands = maxDistance + 1` keeps
+    * the pigeonhole guarantee exact. Returns
+    * `(id_a, id_b, distance)`. */
+  def imageNearDuplicates(media: Dataset[MediaFile],
+      maxDistance: Int = 7, bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.hammingCandidates(
+      perceptualHash(media).filter(col("valid"))
+        .select(col("doc_id").as("id"), col("dhash").as("sh")),
+      width = 64, maxDistance = maxDistance, bands = bands, maxBucket = maxBucket)
+
   /** Deterministic real-pixel media: gradient rasters
     * `v(x,y) = (x + y + doc_id) mod 256` written as actual PNG (even
     * ids — every scanline filter type exercised in rotation) or BMP
