@@ -1790,6 +1790,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR importance weighting under the gate (r11): hashed
+    // unigram+bigram features (md5-prefix buckets — the q100
+    // derivation) of raw docs against target/raw bucket histograms.
+    // The integer columns gate the WHOLE feature/hash/histogram/join
+    // pipeline (order-independent exact dot products); log_weight
+    // involves ln (ungateable, q58 lesson) and is spec'd against
+    // driver math.
+    "q113_dsir_weights" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Corpus.dsirWeights(docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dim = 8192)
+        .select(col("id").as("doc_id"), col("n_feats"),
+          col("dot_target"), col("dot_raw"))
+        .orderBy(col("doc_id"))
+    },
+
     // Image dHash under the gate (r11): the perceptual fingerprint
     // of the ACTUALLY-DECODED PNG/BMP rasters (9×8 nearest-neighbor
     // thumbnail, adjacent-pixel comparison bits, MSB-first row
@@ -3810,6 +3826,38 @@ object SparkEntry {
         |    and ellipsis_ratio <= 0.3 and alpha_word_ratio >= 0.8
         |    and stop_hits >= 2, false) as keep
         |from r
+        |order by doc_id""".stripMargin,
+
+    // DSIR twin: same n-grams (normalized unigrams + space-joined
+    // bigrams), same md5-prefix buckets, same histograms and integer
+    // dot products
+    "q113_dsir_weights" ->
+      s"""with n as (select doc_id, $OracleNorm as norm from documents),
+        |t as (select doc_id, string_split(norm, ' ') as w from n where length(norm) > 0),
+        |uni as (select doc_id, term from
+        |  (select doc_id, unnest(w) as term from t) where length(term) > 0),
+        |big as (select doc_id, w[i] || ' ' || w[i + 1] as term
+        |  from (select doc_id, w, unnest(range(1, len(w))) as i from t)),
+        |terms as (select * from uni union all select * from big),
+        |f as (select doc_id,
+        |    ('0x' || substr(md5(term), 1, 8))::bigint % 8192 as bucket,
+        |    count(*) as c
+        |  from terms group by 1, 2),
+        |tt as (select bucket, sum(c) as ct from f where doc_id % 2 = 0 group by 1),
+        |rr as (select bucket, sum(c) as cr from f where doc_id % 2 = 1 group by 1),
+        |d as (select f.doc_id,
+        |    sum(f.c) as n_feats,
+        |    sum(f.c * coalesce(tt.ct, 0)) as dot_target,
+        |    sum(f.c * coalesce(rr.cr, 0)) as dot_raw
+        |  from f
+        |  left join tt on f.bucket = tt.bucket
+        |  left join rr on f.bucket = rr.bucket
+        |  where f.doc_id % 2 = 1
+        |  group by 1)
+        |select doc_id, cast(n_feats as bigint) as n_feats,
+        |  cast(dot_target as bigint) as dot_target,
+        |  cast(dot_raw as bigint) as dot_raw
+        |from d
         |order by doc_id""".stripMargin,
 
     // dHash twin: the shared per-row-byte chain, hex-rendered in row

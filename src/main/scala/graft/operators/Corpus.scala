@@ -650,6 +650,90 @@ object Corpus {
       .drop("_sd")
   }
 
+  /** Hashed n-gram features for [[dsirWeights]] — `(id, bucket, c)`
+    * over unigrams AND bigrams of the normalized text, md5-prefix
+    * bucketed ([[QualityClassifier.bucket]] — engine-portable, the
+    * q100 derivation) so the q113 twin re-derives every bucket.
+    * Explodes map-side; one combinable count. */
+  def dsirFeatures(df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), Text.normalized(col(textCol)).as("_n"))
+      .select(col("id"), Text.tokens(col("_n")).as("_toks"))
+    val uni = toks.select(col("id"), explode(col("_toks")).as("_t"))
+      .filter(length(col("_t")) > 0)
+    val big = toks.select(col("id"),
+      explode(Dedup.shinglesFromTokens(col("_toks"), 2)).as("_t"))
+    uni.unionByName(big)
+      .select(col("id"), QualityClassifier.bucket(col("_t"), dim).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("c"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit hashed-n-gram
+    * bag distributions over a TARGET corpus (what you want more of)
+    * and the RAW corpus, then weight every raw document by
+    *
+    *   log w(x) = Σ_b c_x[b] · ( log p̂_target[b] − log p̂_raw[b] )
+    *
+    * with add-`smoothing` estimates p̂[b] = (cnt[b]+s)/(N+s·dim).
+    * Returns per raw doc: `n_feats` (feature occurrences),
+    * `dot_target`/`dot_raw` (integer dot products with the raw
+    * bucket histograms — order-independent exact, so the q113 twin
+    * hash-gates the whole feature/hash/join pipeline) and
+    * `log_weight` (involves `ln` — NOT cross-engine gateable, the
+    * q58 lesson; spec'd against driver math instead).
+    *
+    * Scale shape: both histograms are dim-bounded combinable aggs,
+    * broadcast to the per-doc join (a 100 TB raw corpus never
+    * shuffles on bucket); the per-doc result is one combinable
+    * aggregate. N_target/N_raw are two scalar actions (the lmScore-V
+    * class). Docs with zero features emit no row. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, dim: Int = 8192, smoothing: Double = 1.0,
+      broadcastHists: Boolean = true): DataFrame = {
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    val fr = dsirFeatures(raw, idCol, textCol, dim)
+    val ht = dsirFeatures(target, idCol, textCol, dim)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
+    val hr = fr.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
+    def total(h: DataFrame, c: String): Long = {
+      val r = h.agg(sum(col(c))).collect()(0)
+      require(!r.isNullAt(0), s"dsirWeights: empty corpus (no $c features)")
+      r.getLong(0)
+    }
+    val nt = total(ht, "ct"); val nr = total(hr, "cr")
+    val (bt, br) = if (broadcastHists) (broadcast(ht), broadcast(hr)) else (ht, hr)
+    fr.join(bt, Seq("bucket"), "left")
+      .join(br, Seq("bucket"), "left")
+      .select(col("id"), col("c"),
+        coalesce(col("ct"), lit(0L)).as("_ct"),
+        coalesce(col("cr"), lit(0L)).as("_cr"))
+      .withColumn("_lw", col("c").cast(DoubleType) *
+        (log((col("_ct").cast(DoubleType) + smoothing) / (nt + smoothing * dim)) -
+          log((col("_cr").cast(DoubleType) + smoothing) / (nr + smoothing * dim))))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n_feats"),
+        sum(col("c") * col("_ct")).as("dot_target"),
+        sum(col("c") * col("_cr")).as("dot_raw"),
+        sum(col("_lw")).as("log_weight"))
+  }
+
+  /** DSIR's selection step — Gumbel-top-k importance resampling,
+    * DETERMINISTIC: the per-doc uniform derives from md5(seed:id)
+    * (no RNG state, replayable anywhere), g = −ln(−ln(u)), and the
+    * top `k` by (log_weight + g, id) are kept. k-bounded top-k
+    * (TakeOrdered — no global sort materialization). */
+  def dsirResample(weights: DataFrame, idCol: String, k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k >= 1)
+    val u = (conv(substring(md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast(org.apache.spark.sql.types.StringType))), 1, 8), 16, 10)
+      .cast(DoubleType) + 0.5) / 4294967296.0
+    weights.withColumn("gumbel_key", col("log_weight") - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   private val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** The Gopher / MassiveText document-quality rule set (Rae et al.
