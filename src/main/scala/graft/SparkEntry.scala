@@ -1790,6 +1790,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Audio fingerprint under the gate (r11): the energy-difference
+    // hash of the ACTUALLY-DECODED PCM streams (65 equal windows,
+    // exact Long energies, adjacent-comparison bits, MSB-first
+    // packing) — the twin recomputes every sample from the
+    // generating formula and replays windowing, energy sums and
+    // packing, so a decode, window-boundary or energy bug breaks
+    // the hash.
+    "q114_audio_fingerprint" -> { (s, dir) =>
+      Multimodal.audioFingerprint(
+          Multimodal.syntheticWavMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .filter(col("valid"))
+        .select(col("doc_id"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          col("channels").cast(LongType).as("channels"),
+          col("n_samples"), col("ehash_hex"))
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR importance weighting under the gate (r11): hashed
     // unigram+bigram features (md5-prefix buckets — the q100
     // derivation) of raw docs against target/raw bucket histograms.
@@ -3826,6 +3845,39 @@ object SparkEntry {
         |    and ellipsis_ratio <= 0.3 and alpha_word_ratio >= 0.8
         |    and stop_hits >= 2, false) as keep
         |from r
+        |order by doc_id""".stripMargin,
+
+    // audio-fingerprint twin: samples from the generating formula,
+    // the same j·65/n window floor, exact integer energies, and the
+    // q111-style byte packing
+    "q114_audio_fingerprint" ->
+      """with d as (select doc_id, (doc_id % 2) + 1 as ch, (doc_id % 50) + 10 as nf
+        |  from documents where doc_id % 25 <> 0),
+        |s as (select d.doc_id, d.nf * d.ch as n, j.j,
+        |    ((j.j // d.ch) * 31 + (j.j % d.ch) * 17 + d.doc_id * 7) % 65536 - 32768 as v
+        |  from d cross join range(0, 120) j(j) where j.j < d.nf * d.ch),
+        |e0 as (select doc_id, n, (j * 65) // n as w, sum(v * v) as e
+        |  from s group by 1, 2, 3),
+        |win as (select d2.doc_id, d2.n, w.w, coalesce(e0.e, 0) as e
+        |  from (select distinct doc_id, n from s) d2
+        |  cross join range(0, 65) w(w)
+        |  left join e0 on e0.doc_id = d2.doc_id and e0.w = w.w),
+        |b as (select a.doc_id, a.n, a.w as i,
+        |    case when nx.e > a.e then 1 else 0 end as bit
+        |  from win a join win nx on nx.doc_id = a.doc_id and nx.w = a.w + 1
+        |  where a.w < 64),
+        |rb as (select doc_id, n, i // 8 as y,
+        |    cast(sum(bit * (1 << (7 - (i % 8)))) as int) as byte
+        |  from b group by 1, 2, 3),
+        |hx as (select doc_id, n,
+        |    string_agg(printf('%02x', byte), '' order by y) as ehash_hex
+        |  from rb group by 1, 2)
+        |select doc_id,
+        |  cast(8000 + (doc_id % 5) * 8000 as bigint) as sample_rate,
+        |  cast((doc_id % 2) + 1 as bigint) as channels,
+        |  cast(n as bigint) as n_samples,
+        |  ehash_hex
+        |from hx
         |order by doc_id""".stripMargin,
 
     // DSIR twin: same n-grams (normalized unigrams + space-joined

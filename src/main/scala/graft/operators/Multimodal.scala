@@ -1658,6 +1658,58 @@ object Multimodal {
       }
     }(audioFeatEnc)
 
+  case class AudioHash(doc_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, ehash: Long, ehash_hex: String, valid: Boolean)
+  implicit val audioHashEnc: Encoder[AudioHash] = Encoders.product[AudioHash]
+
+  /** Energy-difference audio fingerprint — the [[perceptualHash]]
+    * analog over PCM (the sign-of-change family Chromaprint builds
+    * on, over time-windowed energies instead of spectral bins, so no
+    * FFT dependency): the decoded sample stream splits into 65 equal
+    * windows (`window(j) = j·65/n`, integer floor — mirrored
+    * verbatim by the q114 twin), per-window energy `e = Σ v²`
+    * (exact in a Long), bit i = `e(i+1) > e(i)`, packed MSB-first —
+    * 64 bits whose hex rendering is the 8 byte-groups in order.
+    * A re-encoded copy (different container/bit depth normalizing to
+    * the same 16-bit samples) fingerprints identically; light noise
+    * moves a few hamming bits. Map-side; corrupt → invalid. */
+  def audioFingerprint(media: Dataset[MediaFile]): Dataset[AudioHash] =
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        WavCodec.decode(m.content) match {
+          case Some((rate, ch, xs)) if xs.nonEmpty =>
+            val e = new Array[Long](65)
+            val n = xs.length.toLong
+            var j = 0
+            while (j < xs.length) {
+              val v = xs(j).toLong
+              e(((j * 65L) / n).toInt) += v * v
+              j += 1
+            }
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              hash = (hash << 1) | (if (e(i + 1) > e(i)) 1L else 0L)
+              i += 1
+            }
+            AudioHash(m.doc_id, rate, ch, n, hash, f"$hash%016x", valid = true)
+          case _ => AudioHash(m.doc_id, 0, 0, 0L, 0L, "", valid = false)
+        }
+      }
+    }(audioHashEnc)
+
+  /** Audio near-duplicate pairs: [[audioFingerprint]] signatures
+    * through [[Dedup.hammingCandidates]] — the third modality on the
+    * ONE banded pigeonhole kernel (text SimHash, image dHash, audio
+    * energy hash). */
+  def audioNearDuplicates(media: Dataset[MediaFile],
+      maxDistance: Int = 7, bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.hammingCandidates(
+      audioFingerprint(media).filter(col("valid"))
+        .select(col("doc_id").as("id"), col("ehash").as("sh")),
+      width = 64, maxDistance = maxDistance, bands = bands, maxBucket = maxBucket)
+
   case class FrameStat(doc_id: Long, frame_index: Int, width: Int, height: Int,
       pixel_sum: Long, pixel_min: Int, pixel_max: Int)
   implicit val frameStatEnc: Encoder[FrameStat] = Encoders.product[FrameStat]
