@@ -1790,6 +1790,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Per-frame video dHash under the gate (r11): the REAL
+    // animated-GIF frames (LZW-decoded) each through the shared
+    // dHash kernel — the twin replays every frame's 64 bits from
+    // the generating formula, so a frame decode, ordering or
+    // sampling bug breaks the hash.
+    "q115_video_phash" -> { (s, dir) =>
+      Multimodal.videoFingerprints(
+          Multimodal.syntheticVideoMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"),
+          col("frame_index").cast(LongType).as("frame_index"),
+          col("w").cast(LongType).as("w"), col("h").cast(LongType).as("h"),
+          col("dhash_hex"))
+        .orderBy(col("doc_id"), col("frame_index"))
+    },
+
     // Audio fingerprint under the gate (r11): the energy-difference
     // hash of the ACTUALLY-DECODED PCM streams (65 equal windows,
     // exact Long energies, adjacent-comparison bits, MSB-first
@@ -3846,6 +3862,35 @@ object SparkEntry {
         |    and stop_hits >= 2, false) as keep
         |from r
         |order by doc_id""".stripMargin,
+
+    // video-phash twin: q111's byte chain with a frame axis — the
+    // animated gradient formula per frame, same sampling floors and
+    // packing
+    "q115_video_phash" ->
+      """with d as (select doc_id,
+        |    ((doc_id % 8) + 1) * 2 as w, ((doc_id % 6) + 1) * 2 as h,
+        |    (doc_id % 12) + 2 as nf
+        |  from documents where doc_id % 25 <> 0),
+        |fr as (select d.doc_id, d.w, d.h, f.f
+        |  from d cross join range(0, 14) f(f) where f.f < d.nf),
+        |g as (select fr.doc_id, fr.f, fr.w, fr.h, y.y, x.x,
+        |    ((x.x * fr.w) // 9 + (y.y * fr.h) // 8 + 7 * fr.f + fr.doc_id) % 256 as t
+        |  from fr cross join range(0, 8) y(y) cross join range(0, 9) x(x)),
+        |b as (select a.doc_id, a.f, a.w, a.h, a.y, a.x,
+        |    case when n.t > a.t then 1 else 0 end as bit
+        |  from g a join g n on n.doc_id = a.doc_id and n.f = a.f
+        |    and n.y = a.y and n.x = a.x + 1
+        |  where a.x < 8),
+        |rb as (select doc_id, f, w, h, y,
+        |    cast(sum(bit * (1 << (7 - x))) as int) as byte
+        |  from b group by doc_id, f, w, h, y),
+        |hx as (select doc_id, f, w, h,
+        |    string_agg(printf('%02x', byte), '' order by y) as dhash_hex
+        |  from rb group by doc_id, f, w, h)
+        |select doc_id, cast(f as bigint) as frame_index,
+        |  cast(w as bigint) as w, cast(h as bigint) as h, dhash_hex
+        |from hx
+        |order by doc_id, frame_index""".stripMargin,
 
     // audio-fingerprint twin: samples from the generating formula,
     // the same j·65/n window floor, exact integer energies, and the

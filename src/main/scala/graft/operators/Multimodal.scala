@@ -1964,35 +1964,104 @@ object Multimodal {
     * corrupt payloads yield `valid=false`. The hex string exists for
     * gating (a signed 64-bit crosses engines awkwardly; the hex is
     * its canonical unsigned rendering). */
+  /** The dHash kernel over one grayscale raster — shared by
+    * [[perceptualHash]] (still images) and [[videoFingerprints]]
+    * (per frame). */
+  private[operators] def dhashOf(px: Array[Byte], w: Int, h: Int): Long = {
+    val tw = 9; val th = 8
+    val t = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) { t(y * tw + x) = px(sy * w + x * w / tw) & 0xff; x += 1 }
+      y += 1
+    }
+    var hash = 0L
+    y = 0
+    while (y < th) {
+      var x = 0
+      while (x < 8) {
+        hash = (hash << 1) | (if (t(y * tw + x + 1) > t(y * tw + x)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   def perceptualHash(media: Dataset[MediaFile]): Dataset[PHash] =
     media.mapPartitions { iter =>
       iter.map { m =>
         PixelCodec.decode(m.content) match {
           case Some((fmt, w, h, px)) =>
-            val tw = 9; val th = 8
-            val t = new Array[Int](tw * th)
-            var y = 0
-            while (y < th) {
-              val sy = y * h / th
-              var x = 0
-              while (x < tw) { t(y * tw + x) = px(sy * w + x * w / tw) & 0xff; x += 1 }
-              y += 1
-            }
-            var hash = 0L
-            y = 0
-            while (y < th) {
-              var x = 0
-              while (x < 8) {
-                hash = (hash << 1) | (if (t(y * tw + x + 1) > t(y * tw + x)) 1L else 0L)
-                x += 1
-              }
-              y += 1
-            }
+            val hash = dhashOf(px, w, h)
             PHash(m.doc_id, fmt, w, h, hash, f"$hash%016x", valid = true)
           case None => PHash(m.doc_id, "unknown", 0, 0, 0L, "", valid = false)
         }
       }
     }(pHashEnc)
+
+  case class FramePHash(doc_id: Long, frame_index: Int, w: Int, h: Int,
+      dhash: Long, dhash_hex: String)
+  implicit val framePHashEnc: Encoder[FramePHash] = Encoders.product[FramePHash]
+
+  /** Per-frame dHash sequence of an animated-GIF "video" — the
+    * temporal fingerprint video dedup keys on (every `stride`-th
+    * frame through the SAME [[dhashOf]] kernel as still images).
+    * Fan-out is n_frames/stride rows per file, map-side; corrupt or
+    * partial files yield no rows (the [[frameStats]] contract). */
+  def videoFingerprints(media: Dataset[MediaFile], stride: Int = 1): Dataset[FramePHash] =
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        PixelCodec.decodeGifFrames(m.content) match {
+          case Some((w, h, frames)) =>
+            (0 until frames.length by stride).map { f =>
+              val hash = dhashOf(frames(f), w, h)
+              FramePHash(m.doc_id, f, w, h, hash, f"$hash%016x")
+            }
+          case None => Seq.empty
+        }
+      }
+    }(framePHashEnc)
+
+  /** Video near-duplicate pairs: band each frame hash SimHash-style
+    * with the frame index IN the bucket key (frames only ever match
+    * at the same timeline position — a re-encoded copy aligns), join
+    * on (frame, band, chunk), verify per-frame hamming, then count
+    * matching frames per video pair. Returns `(id_a, id_b,
+    * n_frames_matched)` for pairs with at least `minMatched` frames
+    * within `maxDistance`. Same degenerate-bucket cap contract as
+    * [[Dedup.hammingCandidates]]; never all-pairs. */
+  def videoNearDuplicates(media: Dataset[MediaFile],
+      maxDistance: Int = 7, bands: Int = 8, minMatched: Int = 2,
+      stride: Int = 1, maxBucket: Int = 1000): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
+    val sigs = videoFingerprints(media, stride)
+      .select(col("doc_id").as("id"), col("frame_index").as("f"), col("dhash").as("sh"))
+    val banded = sigs.select(col("id"), col("f"), col("sh"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
+        .as(Seq("band", "chunk")))
+    val keepBuckets = banded.groupBy(col("f"), col("band"), col("chunk"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("f"), col("band"), col("chunk"))
+    val pruned = banded.join(keepBuckets, Seq("f", "band", "chunk"))
+    val l = pruned.select(col("f"), col("band"), col("chunk"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = pruned.select(col("f"), col("band"), col("chunk"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("f", "band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("f"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct() // multi-band collisions of one frame pair
+      .filter(Dedup.hammingDistance(col("sh_a"), col("sh_b")) <= maxDistance)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= minMatched)
+  }
 
   /** Image near-duplicate pairs: [[perceptualHash]] signatures
     * through the SAME banded hamming kernel the text SimHash path
