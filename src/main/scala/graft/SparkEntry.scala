@@ -1790,6 +1790,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Bloom seen-set under the gate (r11): build the bitmap from
+    // half the corpus's fingerprints, probe ALL fingerprints — the
+    // twin replays every md5-salted position, the 32-bit word
+    // packing, the bit_or build and the all-bits-set probe, so the
+    // gate pins build+probe end-to-end INCLUDING the (deterministic,
+    // engine-identical) false positives.
+    "q116_bloom_seen" -> { (s, dir) =>
+      val keys = Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      val filter = Dedup.bloomBuild(
+        keys.filter(col("doc_id") % 2 === 0), "fp", mBits = 65536L, k = 6)
+      Dedup.bloomProbe(keys, "fp", filter, mBits = 65536L, k = 6)
+        .select(col("doc_id"), col("maybe_seen"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-frame video dHash under the gate (r11): the REAL
     // animated-GIF frames (LZW-decoded) each through the shared
     // dHash kernel — the twin replays every frame's 64 bits from
@@ -3862,6 +3878,23 @@ object SparkEntry {
         |    and stop_hits >= 2, false) as keep
         |from r
         |order by doc_id""".stripMargin,
+
+    // bloom twin: md5-salted positions, 32-bits-per-word bit_or
+    // build, all-bits-set probe — the identical bitmap on both sides
+    "q116_bloom_seen" ->
+      s"""with keys as (select doc_id, md5($OracleNorm) as fp from documents),
+        |pos as (select doc_id, fp, i.i,
+        |    ('0x' || substr(md5(cast(i.i as varchar) || ':' || fp), 1, 15))::bigint % 65536 as p
+        |  from keys cross join range(0, 6) i(i)),
+        |build as (select (p // 32) as word,
+        |    bit_or((1::bigint << cast(p % 32 as int))) as bits
+        |  from pos where doc_id % 2 = 0 group by 1),
+        |probe as (select pos.doc_id,
+        |    bool_and(coalesce(b.bits, 0) & (1::bigint << cast(pos.p % 32 as int)) <> 0)
+        |      as maybe_seen
+        |  from pos left join build b on (pos.p // 32) = b.word
+        |  group by pos.doc_id)
+        |select doc_id, maybe_seen from probe order by doc_id""".stripMargin,
 
     // video-phash twin: q111's byte chain with a frame axis — the
     // animated gradient formula per frame, same sampling floors and

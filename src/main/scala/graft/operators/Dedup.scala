@@ -888,4 +888,116 @@ object Dedup {
         col(idCol) === col("_did"), "left")
       .drop("_did")
   }
+
+  // ── Bloom seen-set ──────────────────────────────────────────────
+  // The incremental-crawl primitive: "have we ingested this
+  // key/fingerprint before?" answered by a compact bitmap instead of
+  // an anti-join against the full history. The filter is RELATIONAL
+  // — `(word, bits)` rows built by one combinable bit_or aggregate —
+  // so it builds map-side at any scale, persists as parquet, unions
+  // across batches by re-aggregating, and (words being m/32 rows)
+  // broadcasts to probes. Hashing is md5-derived (`md5(i:key)`
+  // prefix, the portable-family discipline), so DuckDB replays every
+  // bit and q116 hash-gates build+probe end-to-end; determinism also
+  // means false positives are REPRODUCIBLE — a key's verdict never
+  // flips between runs or engines. Bits pack 32 per long word (the
+  // sign bit stays untouched — no engine-specific overflow
+  // semantics anywhere near the gate).
+
+  /** Standard Bloom sizing: m = ceil(−n·ln(p)/ln(2)²) bits rounded
+    * up to a multiple of 32, k = round(m/n·ln 2) clamped to ≥1. */
+  def bloomParams(expectedItems: Long, fpRate: Double): (Long, Int) = {
+    require(expectedItems > 0 && fpRate > 0 && fpRate < 1)
+    val ln2 = math.log(2)
+    val mRaw = math.ceil(-expectedItems * math.log(fpRate) / (ln2 * ln2)).toLong
+    val m = ((mRaw + 31) / 32) * 32
+    val k = math.max(1, math.round(m.toDouble / expectedItems * ln2).toInt)
+    (m, k)
+  }
+
+  /** The k bit positions of a key: position i = md5-60("i:key") mod
+    * m — independent-ish hashes by salt, engine-portable. */
+  def bloomPositions(key: Column, mBits: Long, k: Int): Column =
+    array((0 until k).map(i =>
+      pmod(conv(substring(md5(concat(lit(s"$i:"), key.cast(StringType))), 1, 15), 16, 10)
+        .cast(LongType), lit(mBits))): _*)
+
+  /** Build the filter: `(word, bits)` — word = pos/32, bits = OR of
+    * `1 << (pos%32)` (combinable `bit_or`); only touched words emit
+    * rows (absent word = all zeros). */
+  /** `1 << (_graft_pos % 32)` with a COLUMN shift amount
+    * (`functions.shiftleft` takes only literal shifts, so this is an
+    * `expr` over the staged `_graft_pos` position column). */
+  private def bloomBit: Column =
+    expr("shiftleft(cast(1 as bigint), cast(pmod(_graft_pos, 32) as int))")
+
+  def bloomBuild(df: DataFrame, keyCol: String, mBits: Long, k: Int): DataFrame =
+    df.select(explode(bloomPositions(col(keyCol), mBits, k)).as("_graft_pos"))
+      .select((col("_graft_pos") / 32).cast(LongType).as("word"),
+        bloomBit.as("_bit"))
+      .groupBy(col("word"))
+      .agg(bit_or(col("_bit")).as("bits"))
+
+  /** Probe: `df` plus `maybe_seen` — true iff EVERY position's bit
+    * is set (Bloom semantics: false positives at the configured
+    * rate, never false negatives). The filter broadcasts (m/32
+    * rows); the probe is explode → broadcast-join → one combinable
+    * bool_and per row. */
+  def bloomProbe(df: DataFrame, keyCol: String, filter: DataFrame,
+      mBits: Long, k: Int, broadcastFilter: Boolean = true): DataFrame = {
+    val f = if (broadcastFilter) broadcast(filter) else filter
+    val probes = df.select(col(keyCol).as("_k"),
+        explode(bloomPositions(col(keyCol), mBits, k)).as("_graft_pos"))
+      .select(col("_k"), (col("_graft_pos") / 32).cast(LongType).as("word"),
+        bloomBit.as("_bit"))
+      .join(f, Seq("word"), "left")
+      .groupBy(col("_k"))
+      .agg(min(coalesce(col("bits"), lit(0L)).bitwiseAND(col("_bit")) =!= 0)
+        .as("maybe_seen"))
+    df.join(probes.select(col("_k"), col("maybe_seen")),
+      df(keyCol) === col("_k"), "left").drop("_k")
+  }
+
+  /** Persist a filter as a parquet seen-set index (with the params
+    * embedded as columns so probes can't mis-parameterize), or union
+    * a new batch into an existing one (bit_or re-aggregation —
+    * Bloom filters of identical (m, k) union losslessly). */
+  def bloomWriteIndex(df: DataFrame, keyCol: String, path: String,
+      mBits: Long, k: Int): Unit = {
+    val spark = df.sparkSession
+    val existing = scala.util.Try(spark.read.parquet(path)).toOption
+    existing.foreach { e =>
+      val p = e.select(col("m_bits"), col("k")).limit(1).collect()(0)
+      require(p.getLong(0) == mBits && p.getInt(1) == k,
+        s"bloom index at $path has (m=${p.getLong(0)}, k=${p.getInt(1)}); " +
+          s"refusing to union a (m=$mBits, k=$k) batch — incompatible filters")
+    }
+    val batch = bloomBuild(df, keyCol, mBits, k)
+    val merged = existing match {
+      case Some(e) => e.select(col("word"), col("bits"))
+          .unionByName(batch)
+          .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+      case None => batch
+    }
+    val out = merged.select(col("word"), col("bits"),
+      lit(mBits).as("m_bits"), lit(k).as("k"))
+    val staged = path + ".staging"
+    out.write.mode("overwrite").parquet(staged)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), hp))
+      throw new java.io.IOException(s"rename $staged to $path failed")
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Probe against a persisted index (params read from the index). */
+  def bloomProbeIndex(df: DataFrame, keyCol: String, path: String,
+      broadcastFilter: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val idx = spark.read.parquet(path)
+    val p = idx.select(col("m_bits"), col("k")).limit(1).collect()(0)
+    bloomProbe(df, keyCol, idx.select(col("word"), col("bits")),
+      p.getLong(0), p.getInt(1), broadcastFilter)
+  }
 }
