@@ -691,16 +691,25 @@ object Corpus {
       textCol: String, dim: Int = 8192, smoothing: Double = 1.0,
       broadcastHists: Boolean = true): DataFrame = {
     require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    val spark = raw.sparkSession
+    import spark.implicits._
     val fr = dsirFeatures(raw, idCol, textCol, dim)
-    val ht = dsirFeatures(target, idCol, textCol, dim)
-      .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
-    val hr = fr.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
-    def total(h: DataFrame, c: String): Long = {
-      val r = h.agg(sum(col(c))).collect()(0)
-      require(!r.isNullAt(0), s"dsirWeights: empty corpus (no $c features)")
-      r.getLong(0)
+    // the histograms are dim-bounded — COLLECT them once (the m×k
+    // ADC-table driver-memory class) instead of re-running the
+    // corpus-wide feature pipelines for separate total() actions:
+    // each corpus is traversed once for its histogram and the raw
+    // corpus once more for the probe, nothing else
+    def hist(f: DataFrame, cName: String): Seq[(Long, Long)] = {
+      val rows = f.groupBy(col("bucket")).agg(sum(col("c")).as(cName))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      require(rows.nonEmpty, s"dsirWeights: empty corpus (no $cName features)")
+      rows
     }
-    val nt = total(ht, "ct"); val nr = total(hr, "cr")
+    val htRows = hist(dsirFeatures(target, idCol, textCol, dim), "ct")
+    val hrRows = hist(fr, "cr")
+    val nt = htRows.map(_._2).sum; val nr = hrRows.map(_._2).sum
+    val ht = htRows.toDF("bucket", "ct")
+    val hr = hrRows.toDF("bucket", "cr")
     val (bt, br) = if (broadcastHists) (broadcast(ht), broadcast(hr)) else (ht, hr)
     fr.join(bt, Seq("bucket"), "left")
       .join(br, Seq("bucket"), "left")

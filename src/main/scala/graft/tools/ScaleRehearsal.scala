@@ -150,6 +150,24 @@ object ScaleRehearsal {
         .select(col("shard"), col("record_id"), col("content_length")))
     }
 
+    // r11: image dedup at media scale — synthesize one image per doc
+    // (the q111/q112 device; amplified ids yield distinct rasters),
+    // hash and pair through the shared hamming kernel
+    def mediaDedup(df: DataFrame): Unit =
+      noop(graft.operators.Multimodal.imageNearDuplicates(
+        graft.operators.Multimodal.syntheticPixelMedia(df.select(col("doc_id"))),
+        maxDistance = 2, maxBucket = 200))
+
+    // r11: the seen-set round trip — build the Bloom bitmap over half
+    // the corpus's fingerprints, probe the whole corpus (q116's shape)
+    def bloomSeen(df: DataFrame): Unit = {
+      val keys = df.select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"))
+      val filter = Dedup.bloomBuild(
+        keys.filter(col("doc_id") % 2 === 0), "fp", 1 << 20, 6)
+      noop(Dedup.bloomProbe(keys, "fp", filter, 1 << 20, 6))
+    }
+
     val paths: Seq[(String, DataFrame => Unit)] = Seq(
       "near_dup" -> (df => noop(nearDupPairs(df))),
       "dup_clusters" -> (df => noop(clusters(df))),
@@ -158,7 +176,9 @@ object ScaleRehearsal {
       "leakage_safe_split" -> (df => splitPath(df)),
       "tokenize_ship" -> (df => tokenizeShip(df)),
       "kn_score" -> (df => knPath(df)),
-      "warc_roundtrip" -> (df => warcRoundtrip(df)))
+      "warc_roundtrip" -> (df => warcRoundtrip(df)),
+      "media_dedup" -> (df => mediaDedup(df)),
+      "bloom_seen" -> (df => bloomSeen(df)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
