@@ -166,6 +166,13 @@ object EventViews {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$chain`$loc")
     spark.sql(s"CREATE TABLE IF NOT EXISTS `$chain`.`logs` USING parquet " +
       s"LOCATION '${logsPath.replace("'", "''")}'")
+    // re-registration after the logs path was OVERWRITTEN: the
+    // catalog's table-relation cache keys on the TABLE NAME, so a
+    // path-level refresh (refreshByPath) does NOT invalidate it and
+    // the next read chases the old part files (FAILED_READ_FILE —
+    // observed as recurring q94 bench-warmup failures). Table-level
+    // refresh is the contract for repeated in-session registration.
+    spark.catalog.refreshTable(s"`$chain`.`logs`")
     defs.foreach { e =>
       spark.sql(s"CREATE OR REPLACE VIEW `$chain`.`${e.viewName}` AS\n" +
         viewSql(e, s"`$chain`.`logs`"))

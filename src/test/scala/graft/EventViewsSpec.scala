@@ -121,4 +121,23 @@ class EventViewsSpec extends SparkSpec {
       EventViews.registerChainNamespace(spark, "x`; drop", s"$base/moon_logs"))
     assert(err.getMessage.contains("identifier"))
   }
+
+  test("re-registration after an overwrite serves the new files (table-relation cache)") {
+    // q94's bench shape: write → register → READ (caches the table
+    // relation) → overwrite (new part files) → re-register → read.
+    // The catalog's relation cache keys on the TABLE name, so only a
+    // table-level refresh saves the second read from chasing the
+    // deleted part files (the recurring FAILED_READ_FILE warmup
+    // failures in q94's bench runs).
+    val base = Files.createTempDirectory("graft_chains2").toString
+    logs.write.mode("overwrite").parquet(s"$base/ch_logs")
+    EventViews.registerChainNamespace(spark, "graft_refresh", s"$base/ch_logs",
+      dbLocation = Some(s"$base/db_r"))
+    val t = "Transfer_address_from_address_to_uint256_amount_d"
+    assert(spark.sql(s"select count(*) from graft_refresh.`$t`").head().getLong(0) === 1L)
+    logs.unionByName(logs).write.mode("overwrite").parquet(s"$base/ch_logs")
+    EventViews.registerChainNamespace(spark, "graft_refresh", s"$base/ch_logs",
+      dbLocation = Some(s"$base/db_r"))
+    assert(spark.sql(s"select count(*) from graft_refresh.`$t`").head().getLong(0) === 2L)
+  }
 }
