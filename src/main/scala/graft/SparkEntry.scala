@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Abi, Text}
+import graft.functions.{Abi, Md5Family, Text}
 import graft.operators.{AsOfJoin, Bpe, Corpus, Dedup, EventViews, Multimodal, QualityClassifier, Similarity, Unigram}
 import graft.sinks.{TarShards, WarcShards}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1428,17 +1428,15 @@ object SparkEntry {
         centroids, cb, k = 20, nprobe = centroids.length)
     },
 
-    // Compression-ratio quality signal (native DeflateRatio
-    // expression, map-side). Deflate output is zlib-build-specific,
-    // so this is a DECLARED rows-only gate (like the q23/q24/q25
-    // sketches) — the spec pins the semantics; the flag column uses a
-    // threshold robust to zlib variation on the fixture corpus.
-    "q72_compression_quality" -> { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), Text.compressionRatio(col("text")).as("deflate_ratio"))
-        .withColumn("is_degenerate", col("deflate_ratio") < 0.35)
-        .orderBy(col("doc_id"))
-    },
+    // q72 (compression-ratio signal) was retired from the gate in
+    // r12 after five rounds as the lone rows-only entry: deflate
+    // output is zlib-build-specific, so no DuckDB twin can exist,
+    // and a literal-only fixed-Huffman surrogate degenerates to a
+    // pure length function on the ASCII fixture corpus (gating
+    // nothing). `Text.compressionRatio` stays production + spec-gated
+    // (separation/edge spec) and CLI-driven (`ProfileCorpus` deflate
+    // means); the q75 composition gate covers the surrounding
+    // profile plumbing hash-exactly.
 
     // URL canonicalization under the gate (the CommonCrawl dedup
     // key). The fixture has no URL column, so both engines construct
@@ -1788,6 +1786,100 @@ object SparkEntry {
           col("alpha_word_ratio"), col("symbol_ratio"), col("bullet_ratio"),
           col("ellipsis_ratio"), col("stop_hits"), col("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // WET text extraction under the gate (r12): the de-facto Common
+    // Crawl text-pipeline entry — WET shards straight to
+    // (target_uri, text) through the conversion-record filter and
+    // UTF-8 decode. The twin re-derives both columns from documents,
+    // so a type filter, decode or uri bug breaks the hash.
+    "q118_wet_text" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q118").getAbsolutePath
+      WarcShards.write(
+        Tables(s, dir, "documents").select(
+          col("doc_id").cast(StringType).as("k"),
+          concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+          col("text").cast(BinaryType).as("p")),
+        "k", "u", "p", base, nShards = 8)
+      graft.sources.WarcSource.wetText(s, base)
+        .orderBy(col("target_uri"))
+    },
+
+    // Common Crawl pipeline composition under the gate (r12): the
+    // full one-liner story in one hash — WET shards → wetText →
+    // Gopher keep → exact dedup (deterministic min-id per
+    // fingerprint), the DocStream quality→dedup order. The twin
+    // replays the q109 rule chain + md5-norm fingerprints off
+    // `documents` (q118 proves the WET round trip is byte-exact), so
+    // a bug anywhere in the sink→source→decode→rules→dedup chain
+    // breaks the hash.
+    "q120_cc_pipeline" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q120").getAbsolutePath
+      WarcShards.write(
+        Tables(s, dir, "documents").select(
+          col("doc_id").cast(StringType).as("k"),
+          concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+          col("text").cast(BinaryType).as("p")),
+        "k", "u", "p", base, nShards = 8)
+      val docs = graft.sources.WarcSource.wetText(s, base)
+        .select(col("target_uri").substr(lit(15), lit(1000000))
+          .cast(LongType).as("doc_id"), col("text"))
+      val kept = Corpus.gopherSignals(docs, "doc_id", "text")
+        .filter(col("keep"))
+        .select(col("id").as("doc_id"), col("n_words"), col("mean_word_len"))
+        .join(docs.select(col("doc_id"),
+          Text.fingerprint(col("text")).as("_fp")), Seq("doc_id"))
+      val firsts = kept.groupBy(col("_fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      kept.join(firsts, Seq("_fp", "doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Sampled-threshold CCNet bucketing under the gate (r12): the
+    // q110 score chain through the 100 TB bucketing path — cut
+    // points from an md5-family hash-sample (portable; production
+    // keeps xxh64), buckets by comparison, no window anywhere. The
+    // twin re-derives the sample, the sorted-sample cut indexes
+    // (exact ntile tile-boundary math) and every comparison, so a
+    // sampling, cut-index or boundary-orientation bug breaks the
+    // hash.
+    "q117_ccnet_buckets_approx" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val model = Corpus.bigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+      val scored = Corpus.knScore(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", model)
+        .select(col("id"), col("min_p"))
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      Corpus.scoreBucketsApprox(scored, "id", "lang", "min_p", k = 3,
+          sampleFraction = 0.5,
+          sampleHash = c => Md5Family.md5Hash60(c.cast(StringType)) % 1000000L)
+        .select(col("id").as("doc_id"), col("lang"), col("min_p"),
+          col("bucket").cast(LongType).as("bucket"), col("tier"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Incremental media dedup under the gate (r12): the q112 image
+    // near-dup semantics through the PERSISTED-INDEX path — even ids
+    // build the dHash index, odd ids probe it, and only
+    // batch-touching pairs may surface. The twin replays the full
+    // q112 banding/cap/distance chain and keeps exactly the pairs
+    // touching the batch, so an index write, marker, union-census or
+    // batch-restriction bug changes the pair set and breaks the
+    // hash.
+    "q119_incremental_media_dedup" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q119").getAbsolutePath
+      val media = Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"))
+      Multimodal.imageHashIndexWrite(media.filter(col("doc_id") % 2 === 0), base)
+      Multimodal.incrementalImageNearDuplicates(
+          media.filter(col("doc_id") % 2 === 1), base,
+          maxDistance = 2, maxBucket = 200)
+        .select(col("id_a"), col("id_b"),
+          col("distance").cast(LongType).as("distance"))
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // Bloom seen-set under the gate (r11): build the bitmap from
@@ -4027,6 +4119,31 @@ object SparkEntry {
         |where distance <= 2
         |order by id_a, id_b""".stripMargin,
 
+    // incremental media dedup twin: the q112 chain (bucket census
+    // over ALL signatures — the union the incremental kernel
+    // censuses), pairs restricted to those touching the odd-id batch
+    "q119_incremental_media_dedup" ->
+      s"""$OraclePHashCtes,
+        |sig as (select doc_id, y, byte from rb),
+        |bucket as (select y, byte from sig
+        |  group by y, byte having count(*) >= 2 and count(*) <= 200),
+        |cand as (select a.doc_id as id_a, b.doc_id as id_b
+        |  from sig a
+        |  join bucket k on a.y = k.y and a.byte = k.byte
+        |  join sig b on b.y = a.y and b.byte = a.byte and b.doc_id > a.doc_id
+        |  where a.doc_id % 2 = 1 or b.doc_id % 2 = 1
+        |  group by 1, 2),
+        |dist as (select c.id_a, c.id_b,
+        |    sum(bit_count(xor(sa.byte, sb.byte))) as distance
+        |  from cand c
+        |  join sig sa on sa.doc_id = c.id_a
+        |  join sig sb on sb.doc_id = c.id_b and sb.y = sa.y
+        |  group by 1, 2)
+        |select id_a, id_b, cast(distance as bigint) as distance
+        |from dist
+        |where distance <= 2
+        |order by id_a, id_b""".stripMargin,
+
     // CCNet bucketing twin: q98's shared KN CTE chain down to min_p,
     // then the identical per-language ntile(3) over (min_p desc,
     // doc_id)
@@ -4040,6 +4157,91 @@ object SparkEntry {
         |  case when bucket = 1 then 'head' when bucket = 2 then 'middle'
         |    else 'tail' end as tier
         |from g
+        |order by doc_id""".stripMargin,
+
+    // CC pipeline twin: q109's rule chain to the keep flag, then
+    // md5-norm fingerprints and min-id-per-fingerprint dedup — all
+    // off `documents` (the WET round trip is byte-exact per q118)
+    "q120_cc_pipeline" ->
+      s"""with t as (select doc_id, text,
+        |    $OracleTokens as w,
+        |    string_split(text, chr(10)) as ln
+        |  from documents),
+        |c as (select doc_id,
+        |    len(w) as n_words,
+        |    list_sum(list_transform(w, x -> length(x))) as wchars,
+        |    len(list_filter(w, x -> lower(x) != upper(x))) as alpha,
+        |    len(list_filter(w, x -> lower(x) in
+        |      ('the','be','to','of','and','that','have','with'))) as stop_hits,
+        |    length(text) - length(replace(text, '#', '')) as nhash,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 as ellsym,
+        |    len(ln) as nlines,
+        |    len(list_filter(ln, l -> substr(ltrim(l), 1, 1) in ('-','*','•'))) as bull,
+        |    len(list_filter(ln, l -> length(rtrim(l)) >= 3
+        |      and substr(rtrim(l), length(rtrim(l)) - 2, 3) = '...')) as elll
+        |  from t),
+        |r as (select doc_id,
+        |    cast(n_words as bigint) as n_words,
+        |    case when n_words > 0
+        |      then cast(wchars as double) / cast(n_words as double) end as mean_word_len,
+        |    case when n_words > 0
+        |      then cast(alpha as double) / cast(n_words as double) end as alpha_word_ratio,
+        |    case when n_words > 0
+        |      then cast(nhash + ellsym as double) / cast(n_words as double) end as symbol_ratio,
+        |    cast(bull as double) / cast(nlines as double) as bullet_ratio,
+        |    cast(elll as double) / cast(nlines as double) as ellipsis_ratio,
+        |    cast(stop_hits as bigint) as stop_hits
+        |  from c),
+        |k as (select doc_id, n_words, mean_word_len from r
+        |  where coalesce(n_words >= 50 and n_words <= 100000
+        |    and mean_word_len >= 3.0 and mean_word_len <= 10.0
+        |    and symbol_ratio <= 0.1 and bullet_ratio <= 0.9
+        |    and ellipsis_ratio <= 0.3 and alpha_word_ratio >= 0.8
+        |    and stop_hits >= 2, false)),
+        |f as (select k.doc_id, k.n_words, k.mean_word_len,
+        |    md5($OracleNorm) as fp
+        |  from k join documents using (doc_id)),
+        |m as (select fp, min(doc_id) as doc_id from f group by 1)
+        |select f.doc_id, f.n_words, f.mean_word_len
+        |from f join m on f.fp = m.fp and f.doc_id = m.doc_id
+        |order by f.doc_id""".stripMargin,
+
+    // WET text twin: uri and text re-derived straight from documents
+    "q118_wet_text" ->
+      """select 'urn:graft:doc/' || cast(doc_id as varchar) as target_uri, text
+        |from documents
+        |order by target_uri""".stripMargin,
+
+    // sampled-threshold CCNet twin: q110's score chain, then the md5
+    // hash-sample, the sorted-sample cut points at the exact ntile
+    // tile-boundary indexes (i·⌊n/k⌋ + min(i, n mod k)), and the
+    // descending comparison buckets — cut values are selected data
+    // points (no interpolation arithmetic), so the doubles compare
+    // bit-identically in both engines
+    "q117_ccnet_buckets_approx" ->
+      s"""$OracleKnCtes,
+        |s as (select doc_id, min(p) as min_p from p1 group by doc_id),
+        |g as (select s.doc_id, d.lang, s.min_p
+        |  from s join documents d on s.doc_id = d.doc_id),
+        |samp as (select lang, min_p from g
+        |  where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint
+        |      % 1000000 < 500000
+        |    and min_p is not null),
+        |sorted as (select lang, list_sort(list(min_p), 'DESC') as ss,
+        |    count(*) as n from samp group by lang),
+        |cuts as (select lang,
+        |    ss[cast(1 * (n // 3) + least(1, n % 3) as int)] as c1,
+        |    ss[cast(2 * (n // 3) + least(2, n % 3) as int)] as c2
+        |  from sorted),
+        |bk as (select g.doc_id, g.lang, g.min_p,
+        |    case when c.lang is null then null
+        |         when g.min_p >= c.c1 then 1
+        |         when g.min_p >= c.c2 then 2 else 3 end as bucket
+        |  from g left join cuts c on g.lang = c.lang)
+        |select doc_id, lang, min_p, cast(bucket as bigint) as bucket,
+        |  case when bucket is null then null when bucket = 1 then 'head'
+        |       when bucket = 2 then 'middle' else 'tail' end as tier
+        |from bk
         |order by doc_id""".stripMargin,
 
     // token-binary twin: q99's fewest-pieces DP × 4 bytes per id,

@@ -828,12 +828,12 @@ object Corpus {
     * Scale shape: ONE window over (group, score, id) — a per-group
     * sort of a three-column projection, never the document bodies
     * (join the result back by id to recover them). CCNet itself cuts
-    * on thresholds learned from a sample; at 100 TB prefer that —
-    * compute approx thresholds on a hash-sample of scores, broadcast
-    * them and bucket with a comparison projection (zero global
-    * sort). The exact `ntile` form here is the deterministic,
-    * oracle-checkable variant, and its sort moves so few bytes per
-    * row that it holds far past the gate scale. */
+    * on thresholds learned from a sample; at 100 TB prefer
+    * [[scoreBucketsApprox]] — thresholds from a hash-sample,
+    * broadcast, bucket with a comparison projection, zero global
+    * sort. The exact `ntile` form here is the deterministic,
+    * oracle-checkable variant for gate-scale and per-group-bounded
+    * inputs. */
   def scoreBuckets(scored: DataFrame, idCol: String, groupCol: String,
       scoreCol: String, k: Int = 3, ascending: Boolean = false): DataFrame = {
     require(k >= 1, s"bucket count must be >= 1, got $k")
@@ -848,5 +848,86 @@ object Corpus {
           .when(col("bucket") === 2, "middle")
           .otherwise("tail"))
     else labeled
+  }
+
+  private def tierOf(labeled: DataFrame, k: Int): DataFrame =
+    if (k == 3)
+      labeled.withColumn("tier",
+        when(col("bucket").isNull, lit(null).cast(StringType))
+          .when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail"))
+    else labeled
+
+  /** Sampled-threshold CCNet bucketing — the 100 TB shape the
+    * [[scoreBuckets]] scaladoc promises (what CCNet itself does:
+    * thresholds learned from a sample, Wenzek 2020 §4.3). The exact
+    * `ntile` form sorts each group's entire score column inside ONE
+    * window task; at corpus scale the dominant-language partition is
+    * a straggler measured in hours. This variant never sorts the
+    * corpus:
+    *
+    *  1. hash-sample the `(group, score)` projection — a pure filter
+    *     on `sampleHash(id) < fraction·10^6` (deterministic,
+    *     engine-replayable; default xxh64, the gate passes the md5
+    *     family);
+    *  2. per group, `collect_list` + `sort_array` the SAMPLED scores
+    *     — an aggregate over the sample only, bounded by the sample
+    *     contract (fraction sized so each group's sample fits a row:
+    *     10^6 scores ≈ 8 MB, far above any useful threshold
+    *     resolution), NO window, NO global sort;
+    *  3. cut points at the exact ntile tile boundaries of the sample
+    *     (`idx_i = i·⌊n/k⌋ + min(i, n mod k)`, integer math only —
+    *     the bloomProbe double-division lesson), broadcast-joined
+    *     back;
+    *  4. bucket = 1 + count of cut points strictly better than the
+    *     row's score — a comparison projection over a ≤(k−1)-element
+    *     array; the lambda sees only the score column and a constant
+    *     array (HOF-staging contract respected).
+    *
+    * Semantics vs exact [[scoreBuckets]]: tile POPULATIONS are
+    * approximate (sampling error ~1/√(n·f) per group), ties on a cut
+    * score all land in the better bucket (threshold bucketing cannot
+    * tie-break by id — by design, same as CCNet), and a group absent
+    * from the sample gets a NULL bucket (surface the miss loudly
+    * rather than invent a tier; raise `sampleFraction` or route tiny
+    * groups to the exact form). `CorpusSpec` bounds the sf0.01
+    * disagreement vs exact ntile and asserts the plan is window-free.
+    */
+  def scoreBucketsApprox(scored: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, k: Int = 3, ascending: Boolean = false,
+      sampleFraction: Double = 0.01,
+      sampleHash: Column => Column = c => pmod(xxhash64(c, lit(42)), lit(1000000L)))
+      : DataFrame = {
+    require(k >= 1, s"bucket count must be >= 1, got $k")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0,1], got $sampleFraction")
+    if (k == 1) return tierOf(scored.withColumn("bucket", lit(1)), k)
+    val thresh = (sampleFraction * 1000000L).toLong
+    val samp = scored
+      .filter(sampleHash(col(idCol)) < lit(thresh))
+      .select(col(groupCol).as("_g"), col(scoreCol).as("_s"))
+      .filter(col("_s").isNotNull)
+    // sorted sample scores per group: best-first (desc when high is
+    // good), so cut i = the WORST score still inside sample tile i
+    val sorted = samp.groupBy(col("_g"))
+      .agg(sort_array(collect_list(col("_s")), asc = ascending).as("_ss"))
+    val n = size(col("_ss")).cast(LongType)
+    val r = pmod(n, lit(k.toLong))
+    val base = ((n - r) / k).cast(LongType) // exact: (n − n mod k) divisible by k
+    val cuts = sorted.select(col("_g"),
+      transform(sequence(lit(1L), lit((k - 1).toLong)),
+        i => element_at(col("_ss"), (i * base + least(i, r)).cast(IntegerType)))
+        .as("_cuts"))
+    val worse: Column => Column =
+      if (ascending) c => col(scoreCol) > c else c => col(scoreCol) < c
+    val labeled = scored
+      .join(broadcast(cuts), scored(groupCol) === cuts("_g"), "left")
+      .drop("_g")
+      .withColumn("bucket",
+        when(col("_cuts").isNull, lit(null).cast(IntegerType))
+          .otherwise(lit(1) + size(filter(col("_cuts"), worse))))
+      .drop("_cuts")
+    tierOf(labeled, k)
   }
 }

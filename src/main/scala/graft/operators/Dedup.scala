@@ -931,10 +931,16 @@ object Dedup {
   private def bloomBit: Column =
     expr("shiftleft(cast(1 as bigint), cast(pmod(_graft_pos, 32) as int))")
 
+  /** `_graft_pos div 32` as a shift — positions are non-negative
+    * (pmod), so `>> 5` IS the word index, in pure integer math (the
+    * fractional-divide form is exact only below 2^53 — fine at any
+    * real m, but the shift states the contract instead of relying
+    * on it). */
+  private def bloomWord: Column = expr("shiftright(_graft_pos, 5)")
+
   def bloomBuild(df: DataFrame, keyCol: String, mBits: Long, k: Int): DataFrame =
     df.select(explode(bloomPositions(col(keyCol), mBits, k)).as("_graft_pos"))
-      .select((col("_graft_pos") / 32).cast(LongType).as("word"),
-        bloomBit.as("_bit"))
+      .select(bloomWord.as("word"), bloomBit.as("_bit"))
       .groupBy(col("word"))
       .agg(bit_or(col("_bit")).as("bits"))
 
@@ -942,14 +948,18 @@ object Dedup {
     * is set (Bloom semantics: false positives at the configured
     * rate, never false negatives). The filter broadcasts (m/32
     * rows); the probe is explode → broadcast-join → one combinable
-    * bool_and per row. */
+    * bool_and per row.
+    *
+    * Null-key contract: a null key hashes to no positions, so its
+    * `maybe_seen` is NULL — not false. "Never ingested" is a claim
+    * about a key; a row with no key gets no claim (coalesce at the
+    * call site if null-as-unseen is the intended policy). */
   def bloomProbe(df: DataFrame, keyCol: String, filter: DataFrame,
       mBits: Long, k: Int, broadcastFilter: Boolean = true): DataFrame = {
     val f = if (broadcastFilter) broadcast(filter) else filter
     val probes = df.select(col(keyCol).as("_k"),
         explode(bloomPositions(col(keyCol), mBits, k)).as("_graft_pos"))
-      .select(col("_k"), (col("_graft_pos") / 32).cast(LongType).as("word"),
-        bloomBit.as("_bit"))
+      .select(col("_k"), bloomWord.as("word"), bloomBit.as("_bit"))
       .join(f, Seq("word"), "left")
       .groupBy(col("_k"))
       .agg(min(coalesce(col("bits"), lit(0L)).bitwiseAND(col("_bit")) =!= 0)
@@ -961,9 +971,21 @@ object Dedup {
   /** Persist a filter as a parquet seen-set index (with the params
     * embedded as columns so probes can't mis-parameterize), or union
     * a new batch into an existing one (bit_or re-aggregation —
-    * Bloom filters of identical (m, k) union losslessly). */
+    * Bloom filters of identical (m, k) union losslessly).
+    *
+    * Layout (r12): PARTITIONED on `word_range` — contiguous word
+    * ranges of `ceil(nWords/wordRanges)` words each — so a filter too
+    * big to broadcast still probes efficiently: the word-keyed join
+    * path (`bloomProbe(broadcastFilter = false)`) shuffles both sides
+    * on `word`, and any scan that narrows to a word range (targeted
+    * audits, range-sliced re-probes of a 10^10-bit filter) prunes
+    * whole partitions at planning instead of reading the bitmap.
+    * `wordRanges` is a LAYOUT knob, not a filter parameter — probes
+    * ignore it, so re-writing with a different value stays
+    * compatible. */
   def bloomWriteIndex(df: DataFrame, keyCol: String, path: String,
-      mBits: Long, k: Int): Unit = {
+      mBits: Long, k: Int, wordRanges: Int = 64): Unit = {
+    require(wordRanges >= 1, s"wordRanges must be >= 1, got $wordRanges")
     val spark = df.sparkSession
     val existing = scala.util.Try(spark.read.parquet(path)).toOption
     existing.foreach { e =>
@@ -979,10 +1001,13 @@ object Dedup {
           .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
       case None => batch
     }
+    val nWords = (mBits + 31L) / 32L
+    val rangeSize = math.max(1L, (nWords + wordRanges - 1L) / wordRanges)
     val out = merged.select(col("word"), col("bits"),
-      lit(mBits).as("m_bits"), lit(k).as("k"))
+      lit(mBits).as("m_bits"), lit(k).as("k"),
+      expr(s"word div ${rangeSize}L").as("word_range"))
     val staged = path + ".staging"
-    out.write.mode("overwrite").parquet(staged)
+    out.write.mode("overwrite").partitionBy("word_range").parquet(staged)
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hp)) fs.delete(hp, true)
@@ -999,5 +1024,130 @@ object Dedup {
     val p = idx.select(col("m_bits"), col("k")).limit(1).collect()(0)
     bloomProbe(df, keyCol, idx.select(col("word"), col("bits")),
       p.getLong(0), p.getInt(1), broadcastFilter)
+  }
+
+  // === Incremental hamming near-dup (persisted signature index, r12) ===
+  //
+  // The [[minhashWriteIndex]]/[[incrementalNearDuplicates]] pattern
+  // extended to the hamming modalities: a new crawl batch's 64-bit
+  // signatures (image dHash, audio energy-hash, video per-frame
+  // dHash, text SimHash) pair against history without re-banding the
+  // corpus. The index stores `(id, f, sh)` — `f` is the frame index
+  // for timeline-keyed modalities (video) and 0 elsewhere — at ~16
+  // bytes/row it summarizes media thousands of times its size.
+  // Same persisted-index discipline as minhash/bloom: a family+width
+  // marker stamped into the index, loud mismatch refusal at open
+  // (signatures from different extractors never collide meaningfully
+  // — probing dHashes against audio hashes is silent garbage without
+  // the marker), staged appends, refreshByPath after every write.
+
+  private def hammingMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_family.json")
+
+  private def writeHammingMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String, width: Int): Unit = {
+    val p = hammingMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"""{"family":"$family","width":$width}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def checkHammingMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String, width: Int): Unit = {
+    val p = hammingMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"signature index at $path has no family marker — not a hamming index " +
+        "(or written by a foreign tool); refusing to probe blind")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def field(k: String): Option[String] =
+      (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
+    val fam = field("family").getOrElse("?")
+    require(fam == family,
+      s"hamming index at $path was built with family '$fam', this probe " +
+        s"uses '$family' — families are not interchangeable")
+    field("width").foreach(w => require(w.toInt == width,
+      s"index at $path has width=$w, probe uses $width"))
+  }
+
+  /** `(id, f, sh)` with `f` defaulted to 0 when absent — one shape
+    * for frameless and frame-keyed signature tables. */
+  private def withFrame(sigs: DataFrame): DataFrame =
+    if (sigs.columns.contains("f"))
+      sigs.select(col("id"), col("f").cast(LongType).as("f"), col("sh"))
+    else sigs.select(col("id"), lit(0L).as("f"), col("sh"))
+
+  /** Write (or append) a persisted hamming signature index. `family`
+    * names the EXTRACTOR (e.g. `dhash-v1`) — probes must present the
+    * same string; `width` is the signature bit width. */
+  def hammingWriteIndex(sigs: DataFrame, path: String, family: String,
+      width: Int, mode: String = "overwrite"): Unit = {
+    val spark = sigs.sparkSession
+    if (mode == "append") checkHammingMarker(spark, path, family, width)
+    withFrame(sigs).write.mode(mode).parquet(path)
+    writeHammingMarker(spark, path, family, width)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Banded `(id, f, sh, band, chunk)` of a signature table — the
+    * [[hammingCandidates]] banding with the frame key carried. */
+  private def hammingBandedOf(sigs: DataFrame, width: Int, bands: Int): DataFrame = {
+    val bits = width / bands
+    sigs.select(col("id"), col("f"), col("sh"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
+        .as(Seq("band", "chunk")))
+  }
+
+  /** Incremental hamming near-dup candidates: a NEW batch's
+    * signatures against the persisted index plus themselves — only
+    * pairs touching the batch enter the plan (the batch's banded
+    * buckets probe the union's, so old-old collisions never
+    * materialize; the degenerate-bucket census runs over the UNION,
+    * same contract as [[incrementalNearDuplicates]]). Verification
+    * is just the popcount on the carried signatures — no corpus
+    * fetch, unlike the minhash path. Batch ids must be disjoint from
+    * the index's.
+    *
+    * Returns `(f, id_a, id_b, distance)` at the frame grain
+    * (`f = 0` throughout for frameless modalities), `id_a < id_b`,
+    * `distance <= maxDistance`. Frame-keyed callers aggregate
+    * matched-frame counts per pair (see
+    * `Multimodal.incrementalVideoNearDuplicates`). */
+  def incrementalHammingCandidates(
+      spark: org.apache.spark.sql.SparkSession,
+      newSigs: DataFrame, indexPath: String, family: String, width: Int,
+      maxDistance: Int, bands: Int, maxBucket: Int): DataFrame = {
+    require(width % bands == 0, s"bands must divide the $width-bit width")
+    checkHammingMarker(spark, indexPath, family, width)
+    val fresh = withFrame(newSigs)
+    val old = spark.read.parquet(indexPath)
+    val all = old.unionByName(fresh)
+    val newBanded = hammingBandedOf(fresh, width, bands)
+    val allBanded = hammingBandedOf(all, width, bands)
+    val keepBuckets = allBanded.groupBy(col("f"), col("band"), col("chunk"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("f"), col("band"), col("chunk"))
+    val joined = newBanded.join(keepBuckets, Seq("f", "band", "chunk"))
+      .select(col("f"), col("band"), col("chunk"),
+        struct(col("id"), col("sh")).as("_new"))
+      .join(allBanded.select(col("f"), col("band"), col("chunk"),
+          struct(col("id"), col("sh")).as("_any")),
+        Seq("f", "band", "chunk"))
+      .filter(col("_new.id") =!= col("_any.id"))
+    // struct order is id-first, so least/greatest orient the pair and
+    // keep each side's signature attached to its id
+    joined
+      .select(col("f"), least(col("_new"), col("_any")).as("_a"),
+        greatest(col("_new"), col("_any")).as("_b"))
+      .select(col("f"), col("_a.id").as("id_a"), col("_b.id").as("id_b"),
+        col("_a.sh").as("sh_a"), col("_b.sh").as("sh_b"))
+      .distinct()
+      .select(col("f"), col("id_a"), col("id_b"),
+        hammingDistance(col("sh_a"), col("sh_b")).as("distance"))
+      .filter(col("distance") <= maxDistance)
   }
 }

@@ -2078,6 +2078,88 @@ object Multimodal {
         .select(col("doc_id").as("id"), col("dhash").as("sh")),
       width = 64, maxDistance = maxDistance, bands = bands, maxBucket = maxBucket)
 
+  // === Incremental media dedup (persisted hamming indexes, r12) ===
+  //
+  // The arriving-crawl setting for the media modalities: each
+  // accepted batch appends its 64-bit signatures to a persisted
+  // index ([[Dedup.hammingWriteIndex]] — family+width marker, loud
+  // mismatch refusal, refreshByPath discipline), and the next batch
+  // pairs against everything seen so far WITHOUT re-banding or
+  // re-decoding the corpus ([[Dedup.incrementalHammingCandidates]]:
+  // only batch-touching pairs enter the plan; verification is a
+  // popcount on the carried signatures — the media bytes are decoded
+  // once, on arrival). Family ids are versioned per EXTRACTOR;
+  // probing across extractors is refused by the marker, not left to
+  // produce silent garbage.
+
+  val ImageHashFamily = "dhash-v1"
+  val AudioHashFamily = "audio-energy-v1"
+  val VideoHashFamily = "video-dhash-v1"
+
+  private def imageSigs(media: Dataset[MediaFile]): DataFrame =
+    perceptualHash(media).filter(col("valid"))
+      .select(col("doc_id").as("id"), col("dhash").as("sh"))
+
+  private def audioSigs(media: Dataset[MediaFile]): DataFrame =
+    audioFingerprint(media).filter(col("valid"))
+      .select(col("doc_id").as("id"), col("ehash").as("sh"))
+
+  private def videoSigs(media: Dataset[MediaFile], stride: Int): DataFrame =
+    videoFingerprints(media, stride)
+      .select(col("doc_id").as("id"),
+        col("frame_index").cast("long").as("f"), col("dhash").as("sh"))
+
+  /** Write (or append) the image dHash index for a media batch. */
+  def imageHashIndexWrite(media: Dataset[MediaFile], path: String,
+      mode: String = "overwrite"): Unit =
+    Dedup.hammingWriteIndex(imageSigs(media), path, ImageHashFamily, 64, mode)
+
+  /** New image batch vs the persisted index (plus itself):
+    * `(id_a, id_b, distance)`, batch-touching pairs only. */
+  def incrementalImageNearDuplicates(media: Dataset[MediaFile],
+      indexPath: String, maxDistance: Int = 7, bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.incrementalHammingCandidates(media.sparkSession, imageSigs(media),
+        indexPath, ImageHashFamily, 64, maxDistance, bands, maxBucket)
+      .select(col("id_a"), col("id_b"), col("distance"))
+
+  /** Write (or append) the audio energy-hash index for a media batch. */
+  def audioHashIndexWrite(media: Dataset[MediaFile], path: String,
+      mode: String = "overwrite"): Unit =
+    Dedup.hammingWriteIndex(audioSigs(media), path, AudioHashFamily, 64, mode)
+
+  /** New audio batch vs the persisted index (plus itself). */
+  def incrementalAudioNearDuplicates(media: Dataset[MediaFile],
+      indexPath: String, maxDistance: Int = 7, bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.incrementalHammingCandidates(media.sparkSession, audioSigs(media),
+        indexPath, AudioHashFamily, 64, maxDistance, bands, maxBucket)
+      .select(col("id_a"), col("id_b"), col("distance"))
+
+  /** Write (or append) the per-frame video dHash index. `stride`
+    * must match between index and probes — frames only ever match at
+    * the same timeline position, so a stride change re-labels the
+    * frame axis (re-extract under the new stride instead). */
+  def videoHashIndexWrite(media: Dataset[MediaFile], path: String,
+      stride: Int = 1, mode: String = "overwrite"): Unit =
+    Dedup.hammingWriteIndex(videoSigs(media, stride), path, VideoHashFamily, 64, mode)
+
+  /** New video batch vs the persisted per-frame index: frame-level
+    * candidates from the shared incremental kernel (frame index in
+    * the bucket key — timeline-aligned matches only), then
+    * matched-frame counts per video pair, `n_frames_matched >=
+    * minMatched` — the [[videoNearDuplicates]] semantics without
+    * re-banding the corpus. */
+  def incrementalVideoNearDuplicates(media: Dataset[MediaFile],
+      indexPath: String, maxDistance: Int = 7, bands: Int = 8,
+      minMatched: Int = 2, stride: Int = 1, maxBucket: Int = 1000): DataFrame =
+    Dedup.incrementalHammingCandidates(media.sparkSession,
+        videoSigs(media, stride), indexPath, VideoHashFamily, 64,
+        maxDistance, bands, maxBucket)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= minMatched)
+
   /** Deterministic real-pixel media: gradient rasters
     * `v(x,y) = (x + y + doc_id) mod 256` written as actual PNG (even
     * ids — every scanline filter type exercised in rotation) or BMP

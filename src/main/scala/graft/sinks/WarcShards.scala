@@ -60,9 +60,28 @@ object WarcShards {
       s"${h.substring(16, 20)}-${h.substring(20, 32)}"
   }
 
+  /** Header-injection guard: every value interpolated into WARC
+    * headers must be CR/LF-free (a foreign caller passing a URI with
+    * control characters would otherwise forge headers or corrupt the
+    * record framing), and the key additionally tab-free (tab is the
+    * cdx sidecar's field separator — a tab in the key writes a cdx
+    * line that only fails later, at read time). Fails loudly per the
+    * sink's null/duplicate-key discipline. */
+  private def requireHeaderSafe(what: String, v: String, key: String): Unit =
+    if (v != null && (v.indexOf('\r') >= 0 || v.indexOf('\n') >= 0))
+      throw new IllegalArgumentException(
+        s"$what contains CR/LF (record key '$key') — WARC header injection refused")
+
   private[sinks] def recordBytes(
       key: String, targetUri: String, warcType: String, contentType: String,
       payload: Array[Byte]): Array[Byte] = {
+    requireHeaderSafe("key", key, key)
+    if (key != null && key.indexOf('\t') >= 0)
+      throw new IllegalArgumentException(
+        s"key '$key' contains a tab — the cdx sidecar's field separator")
+    requireHeaderSafe("target URI", targetUri, key)
+    requireHeaderSafe("WARC type", warcType, key)
+    requireHeaderSafe("content type", contentType, key)
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")

@@ -50,7 +50,22 @@ import scala.jdk.CollectionConverters._
   * Shard-level predicate pushdown mirrors [[TarSource]]: `shard = N`
   * / `shard IN (…)` prune whole shard FILES at planning; `shard`
   * derives from the `shard-NNNNN.warc.gz` name convention, −1 for
-  * foreign names (pruned only if the predicate excludes −1). */
+  * foreign names (pruned only if the predicate excludes −1).
+  *
+  * HTTP envelope split (r12): a real Common Crawl `response`
+  * record's payload is `HTTP status line + headers + CRLF CRLF +
+  * body` glued together (the record's Content-Type is
+  * `application/http; msgtype=response`, NOT the page's). Three
+  * derived columns make "point the engine at a CC segment, get HTML
+  * bodies" a one-liner: `http_status` (int from the status line),
+  * `http_content_type` (the envelope's Content-Type header,
+  * obs-fold-aware), `body` (bytes after the header block). All three
+  * are null for records without an `application/http` envelope
+  * (conversion/warcinfo/metadata rows, and foreign payloads that
+  * don't start with `HTTP/`). Pruning composes: requesting only
+  * header columns still rides the cdx header-only path; requesting
+  * `body` (like `payload`) reads payload bytes — the split itself is
+  * one separator scan, no copy of the header region. */
 class WarcSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = WarcSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -68,7 +83,90 @@ object WarcSource {
     StructField("target_uri", StringType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", BinaryType, nullable = true)))
+    StructField("payload", BinaryType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = true)))
+
+  /** Columns whose values require the record's payload bytes. */
+  private val PayloadDerived = Set("payload", "http_status", "http_content_type", "body")
+
+  /** `(target_uri, text)` straight from WET shards — the de-facto
+    * Common Crawl text-pipeline entry: `conversion` records are the
+    * extracted plain text (UTF-8 by the WET convention), one per
+    * page. Header-field and payload semantics are the source's; this
+    * is a thin filter+decode, kept as an operator so the one-liner
+    * stays a one-liner. */
+  def wetText(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.format("graft.sources.WarcSource").option("path", path).load()
+      .filter(col("warc_type") === "conversion")
+      .select(col("target_uri"), col("payload").cast(StringType).as("text"))
+  }
+
+  /** Split an `application/http` envelope: returns
+    * `(status, contentType, body)` or null when the payload does not
+    * parse as an HTTP message (callers emit null columns — foreign
+    * crawls contain malformed responses, and a scan must not die on
+    * one record). Separator search accepts CRLFCRLF and bare LFLF
+    * (tolerant readers are the WARC-tooling norm); header lookup is
+    * case-insensitive with RFC 7230 obs-fold continuation lines. */
+  private[graft] def httpSplit(payload: Array[Byte]): (Int, String, Array[Byte]) = {
+    if (payload == null || payload.length < 12) return null
+    // must start with "HTTP/"
+    if (!(payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' &&
+        payload(3) == 'P' && payload(4) == '/')) return null
+    // find the first CRLFCRLF or LFLF
+    var i = 0
+    var headerEnd = -1   // exclusive end of header bytes
+    var bodyStart = -1
+    while (bodyStart < 0 && i < payload.length) {
+      if (payload(i) == '\n') {
+        if (i + 1 < payload.length && payload(i + 1) == '\n') {
+          headerEnd = i + 1; bodyStart = i + 2
+        } else if (i + 2 < payload.length && payload(i + 1) == '\r' &&
+            payload(i + 2) == '\n') {
+          headerEnd = i + 1; bodyStart = i + 3
+        }
+      }
+      i += 1
+    }
+    if (bodyStart < 0) return null
+    val head = new String(payload, 0, headerEnd, "ISO-8859-1")
+    val lines = head.split("\n").map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
+    if (lines.isEmpty) return null
+    // status line: HTTP/1.x SP status [SP reason]
+    val parts = lines(0).split(" ", 3)
+    if (parts.length < 2) return null
+    val status = try parts(1).toInt catch { case _: NumberFormatException => return null }
+    // unfold obs-fold continuations, then find Content-Type
+    var contentType: String = null
+    var j = 1
+    var curName: String = null
+    var curValue: StringBuilder = null
+    def flush(): Unit = if (curName != null) {
+      if (curName == "content-type" && contentType == null)
+        contentType = curValue.toString.trim
+      curName = null; curValue = null
+    }
+    while (j < lines.length) {
+      val l = lines(j)
+      if (l.nonEmpty && (l.charAt(0) == ' ' || l.charAt(0) == '\t')) {
+        if (curValue != null) curValue.append(' ').append(l.trim)
+      } else {
+        flush()
+        val c = l.indexOf(':')
+        if (c > 0) {
+          curName = l.substring(0, c).trim.toLowerCase
+          curValue = new StringBuilder(l.substring(c + 1).trim)
+        }
+      }
+      j += 1
+    }
+    flush()
+    val body = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
+    (status, contentType, body)
+  }
 
   private[sources] class WarcTable(props: Map[String, String]) extends Table with SupportsRead {
     private val path = props.getOrElse("path",
@@ -157,7 +255,10 @@ object WarcSource {
       extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[WarcFilePartition]
-      val wantPayload = required.fieldNames.contains("payload")
+      // http_*/body derive from payload bytes, so any of them forces
+      // the payload read; only pure header projections ride the cdx
+      // header-only path
+      val wantPayload = required.fieldNames.exists(PayloadDerived)
       val path = new Path(p.file)
       val fs = path.getFileSystem(conf.value)
       val cdx = if (p.file.endsWith(".warc.gz"))
@@ -261,6 +362,15 @@ object WarcSource {
   }
 
   private def rowFor(required: StructType, shard: Int, p: RecordParser): InternalRow = {
+    // the envelope split runs at most once per record, and only when
+    // an http_*/body column is actually required AND the record
+    // declares an application/http envelope
+    lazy val http: (Int, String, Array[Byte]) =
+      if (p.warcType != null && p.warcType.equalsIgnoreCase("response") &&
+          p.contentType != null &&
+          p.contentType.toLowerCase.startsWith("application/http"))
+        httpSplit(p.payload)
+      else null
     val values = required.fieldNames.map {
       case "shard" => shard: java.lang.Integer
       case "record_id" => if (p.recordId == null) null else UTF8String.fromString(p.recordId)
@@ -269,6 +379,10 @@ object WarcSource {
       case "content_type" => if (p.contentType == null) null else UTF8String.fromString(p.contentType)
       case "content_length" => p.contentLength: java.lang.Long
       case "payload" => p.payload
+      case "http_status" => if (http == null) null else (http._1: java.lang.Integer)
+      case "http_content_type" =>
+        if (http == null || http._2 == null) null else UTF8String.fromString(http._2)
+      case "body" => if (http == null) null else http._3
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }
@@ -321,13 +435,23 @@ object WarcSource {
     private val entries: Iterator[(Long, Long, Long)] = {
       val r = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(cdxPath), "UTF-8"))
-      try {
+      val es = try {
         Iterator.continually(r.readLine()).takeWhile(_ != null).map { l =>
           val f = l.split("\t", -1)
           require(f.length == 4, s"malformed cdx line in $cdxPath: $l")
           (f(1).toLong, f(2).toLong, f(3).toLong)
-        }.toVector.iterator
+        }.toVector
       } finally r.close()
+      // a SHORT sidecar (stale/truncated) passes every per-record
+      // Content-Length cross-check yet silently under-serves rows —
+      // the entry COUNT must be validated too: the last member must
+      // end exactly at the shard's end (members tile the file)
+      val fileLen = fs.getFileStatus(path).getLen
+      val covered = es.lastOption.map { case (off, len, _) => off + len }.getOrElse(0L)
+      require(covered == fileLen,
+        s"cdx sidecar $cdxPath covers $covered of $fileLen bytes in $path — " +
+          "truncated or stale sidecar?")
+      es.iterator
     }
     private var row: InternalRow = null
     override def next(): Boolean = {

@@ -51,8 +51,16 @@ object WebDataset {
             var done = false
             while (!done && it.hasNext) {
               val n = it.next()
-              if (n._1 == key) parts += (n._2 -> n._3)
-              else { pending = Some(n); done = true }
+              if (n._1 == key) {
+                // a foreign tar can repeat an ext within one key's
+                // run; last-wins would silently drop the first
+                // payload AND undercount n_parts — refuse loudly
+                // (writeMembers-produced shards can't produce this)
+                require(!parts.contains(n._2),
+                  s"duplicate member ext '${n._2}' for sample key '$key' — " +
+                    "not a valid WebDataset sample")
+                parts += (n._2 -> n._3)
+              } else { pending = Some(n); done = true }
             }
             (key, parts.toMap)
           }

@@ -168,6 +168,48 @@ object ScaleRehearsal {
       noop(Dedup.bloomProbe(keys, "fp", filter, 1 << 20, 6))
     }
 
+    // r12: the seen-set at can't-broadcast scale — persisted
+    // word-range-partitioned index probed through the word-keyed JOIN
+    // path (broadcastFilter = false), the shape a 10^10-bit filter
+    // (~12 GB of words, past any broadcast threshold) forces
+    def bloomSeenJoin(df: DataFrame): Unit = {
+      val idx = java.nio.file.Files.createTempDirectory("graft_bloomidx").toString + "/idx"
+      val keys = df.select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"))
+      Dedup.bloomWriteIndex(keys.filter(col("doc_id") % 2 === 0), "fp",
+        idx, 1 << 20, 6)
+      noop(Dedup.bloomProbeIndex(keys, "fp", idx, broadcastFilter = false))
+    }
+
+    // r12: incremental media dedup (q119's shape) — even ids are the
+    // persisted dHash index, odd ids the arriving batch; pairs via
+    // the batch-probing incremental kernel instead of full re-banding
+    def incMediaDedup(df: DataFrame): Unit = {
+      val idx = java.nio.file.Files.createTempDirectory("graft_hidx").toString + "/img"
+      val media = graft.operators.Multimodal.syntheticPixelMedia(
+        df.select(col("doc_id")))
+      graft.operators.Multimodal.imageHashIndexWrite(
+        media.filter(col("doc_id") % 2 === 0), idx)
+      noop(graft.operators.Multimodal.incrementalImageNearDuplicates(
+        media.filter(col("doc_id") % 2 === 1), idx,
+        maxDistance = 2, maxBucket = 200))
+    }
+
+    // r12: sampled-threshold CCNet bucketing (q117's shape) — cut
+    // points from a hash-sample, comparison buckets, ZERO window.
+    // Group density is scale-invariant under amplification, so the
+    // dominant-group-straggler axis (the reason the exact ntile form
+    // is not the 100 TB path) is exactly what 10x exercises; the
+    // score is a cheap deterministic hash so the measurement is the
+    // bucketing, not a scorer
+    def ccnetApprox(df: DataFrame): Unit = {
+      val scored = df.select(col("doc_id").as("id"),
+        pmod(col("doc_id"), lit(17L)).as("g"),
+        (xxhash64(col("text")) % 1000000L).cast("double").as("s"))
+      noop(Corpus.scoreBucketsApprox(scored, "id", "g", "s", k = 3,
+        sampleFraction = 0.05))
+    }
+
     val paths: Seq[(String, DataFrame => Unit)] = Seq(
       "near_dup" -> (df => noop(nearDupPairs(df))),
       "dup_clusters" -> (df => noop(clusters(df))),
@@ -178,7 +220,10 @@ object ScaleRehearsal {
       "kn_score" -> (df => knPath(df)),
       "warc_roundtrip" -> (df => warcRoundtrip(df)),
       "media_dedup" -> (df => mediaDedup(df)),
-      "bloom_seen" -> (df => bloomSeen(df)))
+      "bloom_seen" -> (df => bloomSeen(df)),
+      "bloom_seen_join" -> (df => bloomSeenJoin(df)),
+      "incremental_media_dedup" -> (df => incMediaDedup(df)),
+      "ccnet_buckets_approx" -> (df => ccnetApprox(df)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

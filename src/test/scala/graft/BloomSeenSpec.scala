@@ -55,4 +55,38 @@ class BloomSeenSpec extends SparkSpec {
     val out = Dedup.bloomProbe(keys, "k", empty, 1024L, 4)
     assert(out.filter(col("maybe_seen")).count() === 0L)
   }
+
+  test("null keys probe to null, not false (no-claim contract)") {
+    val keys = Seq(Some("x"), None).toDF("k")
+    val filter = Dedup.bloomBuild(Seq("x").toDF("k"), "k", 1024L, 4)
+    val rows = Dedup.bloomProbe(keys, "k", filter, 1024L, 4).collect()
+    assert(rows.filter(!_.isNullAt(0)).forall(_.getBoolean(1) === true))
+    val nullRow = rows.filter(_.isNullAt(0))
+    assert(nullRow.length === 1 && nullRow(0).isNullAt(1))
+  }
+
+  test("word-bucketed index: word_range partitions prune at planning; join probe agrees") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomidx").toString + "/idx"
+    val keys = (0 until 2000).map(i => s"key-$i").toDF("k")
+    // 8192 bits = 256 words; 8 ranges of 32 words each
+    Dedup.bloomWriteIndex(keys, "k", dir, mBits = 8192L, k = 5, wordRanges = 8)
+    val parts = new java.io.File(dir).list().filter(_.startsWith("word_range=")).sorted
+    assert(parts.length === 8, parts.mkString(","))
+    val idx = spark.read.parquet(dir)
+    val narrowed = idx.filter(col("word_range") === 3)
+    val plan = narrowed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("word_range"),
+      plan.take(1500))
+    assert(narrowed.select(min(col("word")), max(col("word"))).collect()(0)
+      .toSeq.asInstanceOf[Seq[Long]].forall(w => w >= 96L && w < 128L))
+    // the non-broadcast (word-keyed join) probe serves identical
+    // verdicts to the broadcast probe over the same index
+    val probeSet = ((0 until 100) ++ (5000 until 5100)).map(i => s"key-$i").toDF("k")
+    val joined = Dedup.bloomProbeIndex(probeSet, "k", dir, broadcastFilter = false)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val bcast = Dedup.bloomProbeIndex(probeSet, "k", dir, broadcastFilter = true)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(joined === bcast)
+    assert((0 until 100).forall(i => joined(s"key-$i")), "false negative in join probe")
+  }
 }

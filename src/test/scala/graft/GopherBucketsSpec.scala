@@ -81,4 +81,71 @@ class GopherBucketsSpec extends SparkSpec {
     assert(out(1L) === "head" && out(2L) === "head")
     assert(out(5L) === "tail" && out(6L) === "tail")
   }
+
+  test("scoreBucketsApprox: full sample with distinct scores replays exact ntile") {
+    val rows = (1L to 9L).map(i => (i, "en", 10.0 - i)) ++
+      (10L to 15L).map(i => (i, "de", i.toDouble * 1.5))
+    val df = rows.toDF("id", "lang", "score")
+    val exact = Corpus.scoreBuckets(df, "id", "lang", "score", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    val approx = Corpus.scoreBucketsApprox(df, "id", "lang", "score",
+        k = 3, sampleFraction = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    assert(approx === exact)
+    // ascending mode too (perplexity orientation)
+    val exactA = Corpus.scoreBuckets(df, "id", "lang", "score", k = 3,
+        ascending = true)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    val approxA = Corpus.scoreBucketsApprox(df, "id", "lang", "score",
+        k = 3, ascending = true, sampleFraction = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    assert(approxA === exactA)
+  }
+
+  test("scoreBucketsApprox: plan has no window and no per-group sort of the corpus") {
+    val df = (1L to 100L).map(i => (i, "en", i.toDouble)).toDF("id", "lang", "score")
+    val out = Corpus.scoreBucketsApprox(df, "id", "lang", "score", k = 3,
+      sampleFraction = 0.5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    // the only join is the broadcast of the (group, cuts) table
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("scoreBucketsApprox: sampled thresholds track exact tiers; unseen group is null") {
+    // 3000 docs, deterministic score mixing so tiles are not trivial
+    val rows = (1L to 3000L).map(i => (i, "en", ((i * 2654435761L) % 100003L).toDouble))
+    val df = rows.toDF("id", "lang", "score")
+    val exact = Corpus.scoreBuckets(df, "id", "lang", "score", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    val approx = Corpus.scoreBucketsApprox(df, "id", "lang", "score", k = 3,
+        sampleFraction = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    val agree = exact.keys.count(i => exact(i) == approx(i))
+    assert(agree.toDouble / exact.size > 0.9,
+      s"tier agreement ${agree.toDouble / exact.size} too low")
+    // every bucket value is in range and non-null for a sampled group
+    assert(approx.values.forall(b => b >= 1 && b <= 3))
+
+    // a group too small to land in the sample reports null, loudly —
+    // id 5000 hashes outside the 0.1% sample window
+    val tiny = (rows :+ ((5000L, "xx", 1.0))).toDF("id", "lang", "score")
+    val nulls = Corpus.scoreBucketsApprox(tiny, "id", "lang", "score", k = 3,
+        sampleFraction = 0.001)
+      .filter(col("lang") === "xx").collect()
+    assert(nulls.length === 1)
+    assert(nulls(0).isNullAt(nulls(0).fieldIndex("bucket")))
+    assert(nulls(0).isNullAt(nulls(0).fieldIndex("tier")))
+  }
+
+  test("scoreBucketsApprox: k=1 is a single bucket; bad fraction refused") {
+    val df = Seq((1L, "en", 1.0), (2L, "en", 2.0)).toDF("id", "lang", "score")
+    val one = Corpus.scoreBucketsApprox(df, "id", "lang", "score", k = 1)
+      .collect().map(_.getAs[Int]("bucket")).toSet
+    assert(one === Set(1))
+    intercept[IllegalArgumentException](
+      Corpus.scoreBucketsApprox(df, "id", "lang", "score", sampleFraction = 0.0))
+  }
 }

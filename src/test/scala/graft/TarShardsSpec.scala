@@ -352,4 +352,28 @@ class TarShardsSpec extends SparkSpec {
         new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
     assert(rows === contents)
   }
+
+  test("WebDataset refuses a foreign tar repeating an ext within one key's run") {
+    val work = new java.io.File(freshDir())
+    val sub = new java.io.File(work, "payload"); sub.mkdirs()
+    // GNU tar happily archives the same path twice via two source
+    // dirs — the WebDataset reader must refuse the duplicate rather
+    // than let last-wins drop the first payload and undercount
+    // n_parts
+    val sub2 = new java.io.File(work, "payload2"); sub2.mkdirs()
+    java.nio.file.Files.write(new java.io.File(sub, "a.txt").toPath, "v1".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(sub2, "a.txt").toPath, "v2".getBytes("UTF-8"))
+    val tarFile = new java.io.File(work, "dup.tar")
+    val rc = Process(Seq("tar", "-cf", tarFile.getAbsolutePath,
+      "-C", sub.getAbsolutePath, "a.txt",
+      "-C", sub2.getAbsolutePath, "a.txt")).!
+    assert(rc === 0)
+    val ex = intercept[Exception] {
+      graft.sources.WebDataset.samples(spark, tarFile.getAbsolutePath).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("duplicate member ext")), s"got $ex")
+  }
 }

@@ -245,6 +245,120 @@ class WarcSpec extends SparkSpec {
     assert(after === all.toSeq)
   }
 
+  test("http envelope split: CC-shaped response records yield status/content-type/body") {
+    val dir = freshDir()
+    val html = "<html><body>hello &amp; goodbye</body></html>"
+    val envelope = "HTTP/1.1 200 OK\r\n" +
+      "Date: Wed, 06 May 2020 07:08:09 GMT\r\n" +
+      "Content-Type: text/html;\r\n charset=UTF-8\r\n" + // obs-fold continuation
+      s"Content-Length: ${html.length}\r\n" +
+      "\r\n" + html
+    def record(tpe: String, ctype: String, body: Array[Byte], uri: String): String =
+      "WARC/1.0\r\n" +
+        s"WARC-Type: $tpe\r\n" +
+        "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-00000000000a>\r\n" +
+        (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"Content-Type: $ctype\r\n" +
+        s"Content-Length: ${body.length}\r\n" +
+        "\r\n" + new String(body, "ISO-8859-1") + "\r\n\r\n"
+    val payload =
+      record("response", "application/http; msgtype=response",
+        envelope.getBytes("ISO-8859-1"), "http://example.com/page") +
+      record("response", "application/http; msgtype=response",
+        "totally not http".getBytes("ISO-8859-1"), "http://example.com/broken") +
+      record("conversion", "text/plain",
+        "plain text".getBytes("UTF-8"), "http://example.com/wet")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "cc.warc.gz")))
+    gz.write(payload.getBytes("ISO-8859-1")); gz.close()
+    val rows = readBack(dir)
+      .select("target_uri", "warc_type", "http_status", "http_content_type", "body")
+      .collect()
+    assert(rows.length === 3)
+    val byUri = rows.map(r => r.getString(0) -> r).toMap
+    val page = byUri("http://example.com/page")
+    assert(page.getInt(2) === 200)
+    assert(page.getString(3) === "text/html; charset=UTF-8") // folded line unfolded
+    assert(new String(page.getAs[Array[Byte]](4), "UTF-8") === html)
+    // malformed envelope: null columns, scan survives
+    val broken = byUri("http://example.com/broken")
+    assert(broken.isNullAt(2) && broken.isNullAt(3) && broken.isNullAt(4))
+    // conversion record: no envelope by definition
+    val wet = byUri("http://example.com/wet")
+    assert(wet.isNullAt(2) && wet.isNullAt(3) && wet.isNullAt(4))
+  }
+
+  test("http split is pruning-aware: header-only projections still ride the cdx path") {
+    val dir = freshDir()
+    WarcShards.write(docs, "k", "u", "p", dir, nShards = 1)
+    // corrupting payload bytes (the cdx fast-path probe device): a
+    // projection of http-derived columns MUST read payloads, a pure
+    // header projection must not
+    val f = java.nio.file.Paths.get(dir, "shard-00000.warc.gz")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    val lines = scala.io.Source.fromFile(new java.io.File(dir, "shard-00000.cdx"))
+      .getLines().toVector
+    val Array(_, off, len, _) = lines(1).split("\t")
+    val target = off.toInt + len.toInt - 12
+    bytes(target) = (bytes(target) ^ 0x5a).toByte
+    java.nio.file.Files.write(f, bytes)
+    new java.io.File(dir, ".shard-00000.warc.gz.crc").delete()
+    // header-only: fine (cdx path, payloads untouched)
+    assert(readBack(dir).select("record_id", "content_length").collect().length === 5)
+    // body requires payload bytes → must hit the corruption
+    val ex = intercept[Exception] { readBack(dir).select("body").collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[java.io.IOException]))
+  }
+
+  test("wetText: (target_uri, text) straight from WET shards") {
+    val dir = freshDir()
+    WarcShards.write(docs, "k", "u", "p", dir, nShards = 2)
+    val got = graft.sources.WarcSource.wetText(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = docs.collect()
+      .map(r => r.getString(1) -> new String(r.getAs[Array[Byte]](2), "UTF-8")).toMap
+    assert(got === expected)
+  }
+
+  test("a short cdx sidecar fails loudly instead of under-serving rows") {
+    val dir = freshDir()
+    WarcShards.write(docs, "k", "u", "p", dir, nShards = 1)
+    val cdx = java.nio.file.Paths.get(dir, "shard-00000.cdx")
+    val lines = java.nio.file.Files.readAllLines(cdx)
+    // drop the LAST line: every remaining entry still passes the
+    // per-record Content-Length cross-check — only the coverage
+    // check can catch this
+    java.nio.file.Files.write(cdx,
+      String.join("\n", lines.subList(0, lines.size - 1).asInstanceOf[java.util.List[CharSequence]])
+        .concat("\n").getBytes("UTF-8"))
+    new java.io.File(dir, ".shard-00000.cdx.crc").delete()
+    val ex = intercept[Exception] {
+      readBack(dir).select("record_id", "content_length").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("truncated or stale sidecar")), s"got $ex")
+  }
+
+  test("header-unsafe values refuse loudly: CR/LF in uri, tab in key") {
+    val crlf = Seq(("a", "urn:x:a\r\nWARC-Type: forged", "x")).toDF("k", "u", "t")
+      .select(col("k"), col("u"), col("t").cast("binary").as("p"))
+    val e1 = intercept[Exception] { WarcShards.write(crlf, "k", "u", "p", freshDir(), nShards = 1) }
+    assert(causesOf(e1).exists(c => c.getMessage != null &&
+      c.getMessage.contains("header injection")), s"got $e1")
+    val tabbed = Seq(("a\tb", "urn:x:a", "x")).toDF("k", "u", "t")
+      .select(col("k"), col("u"), col("t").cast("binary").as("p"))
+    val e2 = intercept[Exception] { WarcShards.write(tabbed, "k", "u", "p", freshDir(), nShards = 1) }
+    assert(causesOf(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("tab")), s"got $e2")
+  }
+
+  private def causesOf(t: Throwable): Seq[Throwable] =
+    if (t == null) Nil else t +: causesOf(t.getCause)
+
   test("contract errors: duplicate keys and null payloads refuse loudly") {
     val dir = freshDir()
     val dup = Seq(("a", "u1", "x"), ("a", "u2", "y")).toDF("k", "u", "t")
