@@ -115,16 +115,68 @@ object DocStream {
       maxFilesPerTrigger: Int = 100,
       pollInterval: Option[String] = None,
       reliableCheckpointDir: Option[String] = None): StreamingQuery = {
-    import graft.operators.Dedup
-    val trigger = pollInterval
-      .map(Trigger.ProcessingTime(_))
-      .getOrElse(Trigger.AvailableNow())
     val in = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inputDir)
       .withColumn("quality", Text.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
+    curateNearDupStream(spark, in, corpusDir, indexDir, checkpointDir,
+      minJaccard, pollInterval, reliableCheckpointDir)
+  }
+
+  /** Crawl-to-corpus (r12): tail-follow a growing WET shard
+    * directory ([[graft.sources.WarcSource]]'s streaming read — new
+    * `.wet.gz`/`.warc.gz` files become micro-batches) and curate the
+    * arriving `conversion` records against the accumulated corpus +
+    * MinHash index, exactly the [[curateNearDup]] loop. The id
+    * convention is `xxhash64(target_uri)` — deterministic, so replay
+    * converges and the "lowest id kept" tie-break becomes an
+    * arbitrary-but-stable choice between near-dup pages; the uri
+    * rides along into the corpus. The whole arriving-crawl story in
+    * one call: segment files land → WET text out → quality gate →
+    * near-dup check against everything ever seen → corpus + index
+    * grow. */
+  def curateWetCrawl(
+      spark: SparkSession,
+      warcDir: String,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      minQuality: Double = 0.2,
+      minJaccard: Double = 0.8,
+      maxFilesPerTrigger: Int = 16,
+      pollInterval: Option[String] = None,
+      reliableCheckpointDir: Option[String] = None): StreamingQuery = {
+    val in = spark.readStream.format("graft.sources.WarcSource")
+      .option("path", warcDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load()
+      .filter(col("warc_type") === "conversion")
+      .select(xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri"),
+        col("payload").cast(org.apache.spark.sql.types.StringType).as("text"))
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+    curateNearDupStream(spark, in, corpusDir, indexDir, checkpointDir,
+      minJaccard, pollInterval, reliableCheckpointDir)
+  }
+
+  /** The [[curateNearDup]] loop over ANY streaming frame with
+    * `(doc_id, text)` columns (extra columns ride into the corpus). */
+  def curateNearDupStream(
+      spark: SparkSession,
+      in: DataFrame,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      minJaccard: Double = 0.8,
+      pollInterval: Option[String] = None,
+      reliableCheckpointDir: Option[String] = None): StreamingQuery = {
+    import graft.operators.Dedup
+    val trigger = pollInterval
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
     in.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

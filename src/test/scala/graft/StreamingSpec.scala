@@ -273,4 +273,52 @@ class StreamingSpec extends SparkSpec {
     val leaked = rddDirs(effective).toSet -- rddBefore
     assert(leaked.isEmpty, s"leaked reliable checkpoint dirs: $leaked")
   }
+
+  test("crawl-to-corpus: arriving WET segments stream through quality + incremental near-dup") {
+    import graft.streaming.DocStream
+    import graft.sinks.WarcShards
+    val warcDir = Files.createTempDirectory("crawl_in").toString
+    val corpus = Files.createTempDirectory("crawl_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("crawl_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("crawl_ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val baseNear = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val other = "completely different content about spark query engines and columnar execution"
+    val fresh = "yet another unrelated page describing distributed shuffle partitioning strategies"
+    def wet(rows: Seq[(String, String)], dir: String): Unit =
+      WarcShards.write(
+        rows.toDF("u", "t").select(
+          regexp_replace(col("u"), "urn:x:", "").as("k"), col("u"),
+          col("t").cast("binary").as("p")),
+        "k", "u", "p", dir, nShards = 1)
+    // segment 1 lands
+    wet(Seq("urn:x:a" -> base, "urn:x:b" -> other), warcDir)
+    DocStream.curateWetCrawl(spark, warcDir, corpus, index, ckpt,
+      minJaccard = 0.5).awaitTermination()
+    def uris() = spark.read.parquet(corpus)
+      .select("target_uri").as[String].collect().toSet
+    assert(uris() === Set("urn:x:a", "urn:x:b"))
+    // ids follow the xxhash64(uri) convention
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    val expected = Seq("urn:x:a", "urn:x:b").toDF("u")
+      .select(xxhash64(col("u"))).as[Long].collect().toSet
+    assert(ids === expected)
+    // segment 2 arrives (new file name — crawl segments accumulate):
+    // a near-copy of page a and a genuinely new page
+    val tmp2 = Files.createTempDirectory("crawl_seg2").toString
+    wet(Seq("urn:x:c" -> baseNear, "urn:x:d" -> fresh), tmp2)
+    for (f <- new java.io.File(tmp2).listFiles();
+         n = f.getName if n.endsWith(".warc.gz") || n.endsWith(".cdx"))
+      Files.copy(f.toPath, java.nio.file.Paths.get(warcDir, "seg2-" + n))
+    DocStream.curateWetCrawl(spark, warcDir, corpus, index, ckpt,
+      minJaccard = 0.5).awaitTermination()
+    assert(uris() === Set("urn:x:a", "urn:x:b", "urn:x:d")) // c near-dups a
+    // the index accumulated exactly the corpus
+    assert(spark.read.parquet(index).select("id").as[Long].collect().toSet
+      === spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet)
+    // nothing new → nothing served, corpus unchanged (replay-idempotent)
+    DocStream.curateWetCrawl(spark, warcDir, corpus, index, ckpt,
+      minJaccard = 0.5).awaitTermination()
+    assert(uris() === Set("urn:x:a", "urn:x:b", "urn:x:d"))
+  }
 }
