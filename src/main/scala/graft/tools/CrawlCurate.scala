@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.streaming.DocStream
+
+/** CLI: the arriving-crawl pipeline — tail-follow a directory of WET
+  * shards ([[graft.sources.WarcSource]] streaming read) and curate
+  * each arriving segment through quality + incremental near-dup into
+  * a growing corpus + MinHash index
+  * ([[graft.streaming.DocStream.curateWetCrawl]]).
+  *
+  * Usage:
+  *   runMain graft.tools.CrawlCurate <warcDir> <outDir> [pollSeconds]
+  *
+  * `<outDir>` receives `corpus/` (parquet, one row per admitted page
+  * with target_uri + quality), `index/` (MinHash signatures) and
+  * `ckpt/` (stream checkpoint — re-runs resume exactly-once).
+  * Without `pollSeconds` the run drains what is present and stops
+  * (Trigger.AvailableNow — the bounded-run probe); with it the
+  * stream keeps polling for new segment files until Ctrl-C, printing
+  * `[neardup] batch=… kept=…` per micro-batch. */
+object CrawlCurate {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: CrawlCurate <warcDir> <outDir> [pollSeconds]")
+    val warcDir = args(0)
+    val out = args(1)
+    val poll = args.lift(2).map(s => s"${s.toInt} seconds")
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val q = DocStream.curateWetCrawl(spark, warcDir,
+      corpusDir = s"$out/corpus", indexDir = s"$out/index",
+      checkpointDir = s"$out/ckpt", pollInterval = poll)
+    q.awaitTermination()
+    val n = scala.util.Try(
+      spark.read.parquet(s"$out/corpus").count()).getOrElse(0L)
+    println(s"[crawl] done corpus=$n docs at $out/corpus")
+    spark.stop()
+  }
+}
