@@ -104,6 +104,35 @@ object WarcSource {
       .select(col("target_uri"), col("payload").cast(StringType).as("text"))
   }
 
+  /** `(target_uri, http_status, http_content_type, html)` from a raw
+    * `.warc.gz` crawl — the response-record sibling of [[wetText]]:
+    * successful (2xx) text-typed responses' bodies decoded by the
+    * charset the envelope DECLARES (`charset=` parameter,
+    * case-insensitive; absent → UTF-8, the HTML5 default — real
+    * crawls also sniff `<meta charset>`, a document-parsing concern
+    * layered above this source). The common declared charsets map to
+    * real decoders; anything else yields NULL `html` (loud, never
+    * mojibake — count the nulls before trusting a segment). Decode
+    * runs in the projection, after the envelope split already paid
+    * the payload read; non-text/non-2xx/malformed rows are filtered
+    * by the null columns the split contract guarantees. */
+  def responseText(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cs = lower(regexp_extract(lower(col("http_content_type")),
+      "charset=\"?([a-zA-Z0-9_\\-]+)", 1))
+    spark.read.format("graft.sources.WarcSource").option("path", path).load()
+      .filter(col("warc_type") === "response" &&
+        col("http_status").between(200, 299) &&
+        lower(col("http_content_type")).startsWith("text/"))
+      .select(col("target_uri"), col("http_status"), col("http_content_type"),
+        when(cs === "" || cs === "utf-8" || cs === "utf8",
+            col("body").cast(StringType))
+          .when(cs.isin("iso-8859-1", "latin-1", "latin1"),
+            decode(col("body"), "ISO-8859-1"))
+          .when(cs === "windows-1252", decode(col("body"), "windows-1252"))
+          .otherwise(lit(null).cast(StringType)).as("html"))
+  }
+
   /** Split an `application/http` envelope: returns
     * `(status, contentType, body)` or null when the payload does not
     * parse as an HTTP message (callers emit null columns — foreign

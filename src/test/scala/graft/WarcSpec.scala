@@ -312,6 +312,40 @@ class WarcSpec extends SparkSpec {
     assert(causes(ex).exists(_.isInstanceOf[java.io.IOException]))
   }
 
+  test("responseText: 2xx text bodies decode by declared charset; others are filtered or null") {
+    val dir = freshDir()
+    def envelope(status: String, ctype: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    def record(uri: String, payload: Array[Byte]): String =
+      "WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-00000000000b>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n" +
+        new String(payload, "ISO-8859-1") + "\r\n\r\n"
+    val latin = "café".getBytes("ISO-8859-1")
+    val utf = "café".getBytes("UTF-8")
+    val payload =
+      record("http://x/utf", envelope("200 OK", "text/html; charset=UTF-8", utf)) +
+      record("http://x/latin", envelope("200 OK", "text/html; charset=ISO-8859-1", latin)) +
+      record("http://x/bare", envelope("200 OK", "text/plain", utf)) + // no charset → UTF-8
+      record("http://x/exotic", envelope("200 OK", "text/html; charset=shift_jis", utf)) +
+      record("http://x/404", envelope("404 Not Found", "text/html", utf)) +
+      record("http://x/img", envelope("200 OK", "image/png", Array[Byte](1, 2, 3)))
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "cc2.warc.gz")))
+    gz.write(payload.getBytes("ISO-8859-1")); gz.close()
+    val rows = graft.sources.WarcSource.responseText(spark, dir)
+      .collect().map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    // 404 and image/png filtered entirely
+    assert(rows.keySet === Set("http://x/utf", "http://x/latin", "http://x/bare", "http://x/exotic"))
+    assert(rows("http://x/utf") === Some("café"))
+    assert(rows("http://x/latin") === Some("café")) // latin-1 bytes decoded as declared
+    assert(rows("http://x/bare") === Some("café")) // HTML5 default
+    assert(rows("http://x/exotic") === None) // undecodable charset → loud null, never mojibake
+  }
+
   test("wetText: (target_uri, text) straight from WET shards") {
     val dir = freshDir()
     WarcShards.write(docs, "k", "u", "p", dir, nShards = 2)
