@@ -1806,6 +1806,43 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     },
 
+    // Raw-crawl HTML extraction under the gate (r12): CC-shaped
+    // `response` records (HTTP envelopes built deterministically —
+    // status, content type and declared charset vary by doc_id) go
+    // through the sink, the DSv2 source, the envelope split, the
+    // 2xx/text filters and the charset branches of responseText. The
+    // corpus is ASCII, so every decodable charset yields the text
+    // verbatim and the twin re-derives each branch — a split, filter,
+    // charset-extraction or null-branch bug breaks the hash.
+    "q121_response_text" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q121").getAbsolutePath
+      val docs = Tables(s, dir, "documents")
+      val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
+        .when(col("doc_id") % 3 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 3 === 1, lit("text/plain"))
+        .otherwise(lit("text/html; charset=shift_jis"))
+      val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
+        .otherwise(lit("200 OK"))
+      val envelope = concat(
+        lit("HTTP/1.1 "), status,
+        lit("\r\nContent-Type: "), ctype,
+        lit("\r\nContent-Length: "), octet_length(col("text")).cast(StringType),
+        lit("\r\n\r\n"), col("text"))
+      WarcShards.write(
+        docs.select(col("doc_id").cast(StringType).as("k"),
+          concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+          envelope.cast(BinaryType).as("p")),
+        "k", "u", "p", base, nShards = 8,
+        warcType = "response",
+        contentType = "application/http; msgtype=response")
+      graft.sources.WarcSource.responseText(s, base)
+        .select(col("target_uri"),
+          col("http_status").cast(LongType).as("http_status"),
+          col("http_content_type"), col("html"))
+        .orderBy(col("target_uri"))
+    },
+
     // Common Crawl pipeline composition under the gate (r12): the
     // full one-liner story in one hash — WET shards → wetText →
     // Gopher keep → exact dedup (deterministic min-id per
@@ -4158,6 +4195,21 @@ object SparkEntry {
         |    else 'tail' end as tier
         |from g
         |order by doc_id""".stripMargin,
+
+    // response-text twin: the same status/content-type/charset
+    // branching re-derived per doc — 404s and non-text filtered,
+    // utf-8/absent charsets decode to the text verbatim (ASCII
+    // corpus), the undecodable charset yields NULL html
+    "q121_response_text" ->
+      """select 'urn:graft:doc/' || cast(doc_id as varchar) as target_uri,
+        |  cast(200 as bigint) as http_status,
+        |  case when doc_id % 3 = 0 then 'text/html; charset=UTF-8'
+        |       when doc_id % 3 = 1 then 'text/plain'
+        |       else 'text/html; charset=shift_jis' end as http_content_type,
+        |  case when doc_id % 3 = 2 then null else text end as html
+        |from documents
+        |where doc_id % 5 <> 0 and doc_id % 7 <> 0
+        |order by target_uri""".stripMargin,
 
     // CC pipeline twin: q109's rule chain to the keep flag, then
     // md5-norm fingerprints and min-id-per-fingerprint dedup — all
