@@ -1127,6 +1127,33 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Incremental embedding dedup under the gate (r12): the q47
+    // semantics through the PERSISTED LSH-signature index — the base
+    // corpus builds the index, the planted near-copies arrive as the
+    // batch, and only batch-touching pairs may surface. Same fixture
+    // completeness argument as q47 (planted pairs collide with prob
+    // ≈ 1−1e-10 at bands=8; no base pair reaches the threshold), so
+    // the all-pairs twin restricted to the batch is exact. An index
+    // write, marker, union-census or batch-restriction bug changes
+    // the pair set and breaks the hash.
+    "q122_incremental_embedding_dedup" -> { (s, dir) =>
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q122").getAbsolutePath
+      val e = Tables(s, dir, "embeddings")
+      val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = e.filter(col("vec_id") % 17 === 3)
+        .select(col("vec_id").as("_bid"), col("embedding"))
+        .select(
+          (col("_bid") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast(DoubleType) *
+              (lit(1.0) + ((col("_bid") + i) % 7).cast(DoubleType) * lit(0.005))).as("v"))
+      Similarity.cosineWriteIndex(base, "vec_id", "v", idx, dim = 64)
+      Similarity.incrementalCosineNearDuplicates(s, planted, "vec_id", "v",
+          idx, base, minCosine = 0.9, dim = 64, bands = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Capstone: the whole curation pipeline composed in ONE plan —
     // quality filter (bit-exact doubles, so the 0.5 threshold
     // classifies identically cross-engine) → exact dedup (lowest
@@ -2811,6 +2838,28 @@ object SparkEntry {
         |order by block_hour""".stripMargin,
 
     "q47_embedding_near_dup" -> Q47Sql,
+
+    // incremental embedding twin: q47's all-pairs chain restricted
+    // to pairs touching the planted batch (ids >= 100000)
+    "q122_incremental_embedding_dedup" ->
+      """with base as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        | planted as (
+        |  select vec_id + 100000 as vec_id,
+        |    list_transform(list_zip(embedding, range(0, len(embedding))),
+        |      t -> cast(t[1] as double) * (1 + ((vec_id + t[2]) % 7) * 0.005::DOUBLE)) as v
+        |  from embeddings where vec_id % 17 = 3),
+        | u as (select * from base union all select * from planted),
+        | p as (select a.vec_id as id_a, b.vec_id as id_b,
+        |    list_sum(list_transform(list_zip(a.v, b.v),
+        |      t -> cast(t[1] as double) * cast(t[2] as double)))
+        |    / (sqrt(list_sum(list_transform(list_zip(a.v, a.v),
+        |        t -> cast(t[1] as double) * cast(t[2] as double))))
+        |     * sqrt(list_sum(list_transform(list_zip(b.v, b.v),
+        |        t -> cast(t[1] as double) * cast(t[2] as double))))) as score
+        |  from u a join u b on a.vec_id < b.vec_id
+        |  where a.vec_id >= 100000 or b.vec_id >= 100000)
+        |select id_a, id_b, score from p where score >= 0.9
+        |order by id_a, id_b""".stripMargin,
 
     "q49_ivf_index_topk" ->
       """with q as (select embedding as qv from embeddings where vec_id = 2),

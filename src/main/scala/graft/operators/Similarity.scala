@@ -256,6 +256,123 @@ object Similarity {
       .filter(col("score") >= minCosine)
   }
 
+  // === Incremental embedding near-dup (persisted LSH index, r12) ===
+  //
+  // The third leg of the incremental-dedup story (text MinHash
+  // r6, hamming media r12): a new embedding batch pairs against
+  // history through a persisted hyperplane-LSH signature index
+  // without re-signing the corpus. Same persisted-index discipline
+  // as the other two: a parameter marker (dim, bits, seed — the
+  // planes are deterministic from exactly these, so a probe with
+  // different params banding-mismatches silently without the
+  // refusal), staged appends, refreshByPath. The index stores
+  // `(id, sig)` only (16 B/row); exact-cosine verification fetches
+  // vectors for CANDIDATE ids from the corpus table via a semi-join,
+  // the incrementalNearDuplicates shape — the index never carries
+  // the heavy vector column.
+
+  private def lshMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_family.json")
+
+  private val LshIndexFamily = "hyperplane-lsh-v1"
+
+  private def writeLshMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, dim: Int, bits: Int, seed: Long): Unit = {
+    val p = lshMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(
+      s"""{"family":"$LshIndexFamily","dim":$dim,"bits":$bits,"seed":$seed}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def checkLshMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, dim: Int, bits: Int, seed: Long): Unit = {
+    val p = lshMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"signature index at $path has no parameter marker — refusing to probe blind")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def field(k: String): Option[String] =
+      (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
+    val fam = field("family").getOrElse("?")
+    require(fam == LshIndexFamily,
+      s"index at $path was built with family '$fam', this probe uses " +
+        s"'$LshIndexFamily' — families are not interchangeable")
+    for ((k, v) <- Seq("dim" -> dim.toLong, "bits" -> bits.toLong, "seed" -> seed))
+      field(k).foreach(got => require(got.toLong == v,
+        s"index at $path has $k=$got, probe uses $v — " +
+          "hyperplanes derive from (dim, bits, seed); mismatched params never collide"))
+  }
+
+  /** Write (or append) the corpus embedding-signature index:
+    * `(id, sig)` parquet under a (dim, bits, seed) marker. */
+  def cosineWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, bits: Int = 64, seed: Long = 42L,
+      mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    if (mode == "append") checkLshMarker(spark, path, dim, bits, seed)
+    val planes = hyperplanes(dim, bits, seed)
+    df.select(col(idCol).as("id"), signature(col(vecCol), planes).as("sig"))
+      .write.mode(mode).parquet(path)
+    writeLshMarker(spark, path, dim, bits, seed)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Incremental embedding near-dup pairs: a NEW batch against the
+    * persisted signature index plus itself — only pairs touching the
+    * batch enter the plan (batch bands probe the union's buckets;
+    * old-old collisions never materialize; the degenerate-bucket
+    * census runs over the UNION). `corpus` supplies vectors for old
+    * candidate ids (the table the index was built from; ids disjoint
+    * from the batch's). Returns `(id_a, id_b, score)`,
+    * `score >= minCosine`, `id_a < id_b`. */
+  def incrementalCosineNearDuplicates(
+      spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, corpus: DataFrame,
+      minCosine: Double, dim: Int, bits: Int = 64, bands: Int = 16,
+      seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    checkLshMarker(spark, indexPath, dim, bits, seed)
+    val rows = bits / bands
+    val planes = hyperplanes(dim, bits, seed)
+    val newVecs = newDf.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(col("id"))
+    val newSigs = newVecs.select(col("id"), signature(col("vec"), planes).as("sig"))
+    val allSigs = spark.read.parquet(indexPath).unionByName(newSigs)
+    def bandedOf(sigs: DataFrame) = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
+        .as(Seq("band", "chunk")))
+    val allBanded = bandedOf(allSigs)
+    val keep = allBanded.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("band"), col("chunk"))
+    val pairs = bandedOf(newSigs).join(keep, Seq("band", "chunk"))
+      .select(col("band"), col("chunk"), col("id").as("_id_new"))
+      .join(allBanded.select(col("band"), col("chunk"), col("id").as("_id_any")),
+        Seq("band", "chunk"))
+      .filter(col("_id_new") =!= col("_id_any"))
+      .select(least(col("_id_new"), col("_id_any")).as("id_a"),
+        greatest(col("_id_new"), col("_id_any")).as("id_b"))
+      .distinct()
+    // exact-cosine verify: vectors fetched ONLY for candidate ids
+    val candidateIds = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .unionByName(newVecs)
+      .join(candidateIds, Seq("id"), "left_semi")
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("_va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("_vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("_va"), col("_vb")).as("score"))
+      .filter(col("score") >= minCosine)
+  }
+
   /** All-pairs similarity join: bucket by the FULL LSH signature,
     * score only identical-signature pairs, keep those above
     * `threshold`. Small-scale convenience (exact-signature match has

@@ -101,6 +101,44 @@ class DedupSimilaritySpec extends SparkSpec {
     got.values.foreach(s => assert(s > 0.999))
   }
 
+  test("incremental embedding dedup: persisted LSH index, batch-touching pairs, param refusal") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    val baseVecs = (0L until 50L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+    val planted = baseVecs.filter(_._1 % 10 == 3)
+      .map { case (i, v) => (i + 1000L, v.map(_ * 1.01)) }
+    def df(rows: Seq[(Long, Array[Double])]) =
+      spark.createDataFrame(rows.map { case (i, v) => (i, v.toSeq) }).toDF("id", "v")
+    val idx = java.nio.file.Files.createTempDirectory("coslsh").toString + "/idx"
+    Similarity.cosineWriteIndex(df(baseVecs), "id", "v", idx, dim = 16)
+    // batch = the planted near-copies; only batch-touching pairs, and
+    // exactly the pairs the full kernel finds among them
+    val inc = Similarity.incrementalCosineNearDuplicates(spark, df(planted),
+        "id", "v", idx, df(baseVecs), minCosine = 0.95, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === planted.map { case (pid, _) => (pid - 1000L, pid) }.toSet)
+    // append accumulates: a copy of a BATCH doc arrives next and must
+    // pair against it through the index
+    Similarity.cosineWriteIndex(df(planted), "id", "v", idx, dim = 16, mode = "append")
+    val echo = Seq((5000L, planted.head._2.map(_ * 1.02)))
+    val inc2 = Similarity.incrementalCosineNearDuplicates(spark, df(echo),
+        "id", "v", idx, df(baseVecs ++ planted), minCosine = 0.95, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc2 === Set((planted.head._1 - 1000L, 5000L), (planted.head._1, 5000L)))
+    // parameter mismatches refuse loudly — planes derive from
+    // (dim, bits, seed), a silent mismatch would band-mismatch to
+    // zero candidates
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.incrementalCosineNearDuplicates(spark, df(echo), "id", "v",
+        idx, df(baseVecs), minCosine = 0.95, dim = 16, seed = 7L).collect()
+    }
+    assert(e1.getMessage.contains("seed"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.cosineWriteIndex(df(echo), "id", "v", idx, dim = 8, mode = "append")
+    }
+    assert(e2.getMessage.contains("dim"), e2.getMessage)
+  }
+
   test("persisted IVF index: partition-pruned reads, brute-force-exact on full probe") {
     import graft.operators.Similarity
     val e = Tables(spark, sf, "embeddings")
