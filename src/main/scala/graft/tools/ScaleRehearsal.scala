@@ -210,6 +210,43 @@ object ScaleRehearsal {
         sampleFraction = 0.05))
     }
 
+    // r12: incremental embedding dedup (q122's shape) at 10× — the
+    // third incremental leg. Amplification must keep near-dup DENSITY
+    // scale-invariant (the text-salting argument): replica k applies
+    // a k-keyed ±1 sign flip per coordinate — an isometry, so every
+    // within-replica cosine (and thus every replica's internal
+    // near-dup structure) is EXACTLY preserved, while cross-replica
+    // pairs decorrelate to near-orthogonal (dim 64 → |cos| ~ 1/8 rms,
+    // far below any dedup threshold).
+    lazy val baseEmb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    lazy val ampEmb: DataFrame = {
+      val p = java.nio.file.Files.createTempDirectory("graft_amp_emb")
+        .toString + "/emb"
+      baseEmb.withColumn("k", explode(sequence(lit(0), lit(factor - 1))))
+        .select(
+          (col("vec_id") + col("k").cast(LongType) * 10000000L).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x * when(pmod(xxhash64(col("k"), i), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))).as("v"))
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    // the framework hands this path the DOCUMENTS frame; it only
+    // uses it to pick the matching embeddings side (reference
+    // equality against `amp` — the frames travel unchanged)
+    def incEmbDedup(df: DataFrame): Unit = {
+      val emb = if (df eq amp) ampEmb else baseEmb
+      val idx = java.nio.file.Files.createTempDirectory("graft_coslsh")
+        .toString + "/idx"
+      graft.operators.Similarity.cosineWriteIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "v", idx, dim = 64)
+      noop(graft.operators.Similarity.incrementalCosineNearDuplicates(
+        spark, emb.filter(col("vec_id") % 2 === 1), "vec_id", "v", idx,
+        emb.filter(col("vec_id") % 2 === 0), minCosine = 0.9, dim = 64,
+        bands = 8))
+    }
+
     val paths: Seq[(String, DataFrame => Unit)] = Seq(
       "near_dup" -> (df => noop(nearDupPairs(df))),
       "dup_clusters" -> (df => noop(clusters(df))),
@@ -223,7 +260,8 @@ object ScaleRehearsal {
       "bloom_seen" -> (df => bloomSeen(df)),
       "bloom_seen_join" -> (df => bloomSeenJoin(df)),
       "incremental_media_dedup" -> (df => incMediaDedup(df)),
-      "ccnet_buckets_approx" -> (df => ccnetApprox(df)))
+      "ccnet_buckets_approx" -> (df => ccnetApprox(df)),
+      "incremental_embedding_dedup" -> (df => incEmbDedup(df)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
