@@ -1072,6 +1072,53 @@ object Dedup {
       s"index at $path has width=$w, probe uses $width"))
   }
 
+  /** Compact an append-accumulated signature index — minhash
+    * ([[minhashWriteIndex]]), hamming ([[hammingWriteIndex]]) or
+    * embedding-LSH (`Similarity.cosineWriteIndex`): any
+    * `_graft_family.json`-marked parquet directory. A long-running
+    * curation stream appends one file set per micro-batch; after
+    * thousands of batches every probe pays the listing and
+    * per-file-open cost of thousands of KB-sized files. This
+    * rewrites the rows into `targetFiles` files via the
+    * staged-rename discipline (write the staging dir FIRST — the
+    * rewrite reads the live index — then swap), carries the family
+    * marker byte-identically, and refreshes the session's listing
+    * cache. Content-preserving by construction: same rows, any
+    * order (signature tables are set-semantics — every consumer
+    * aggregates or joins).
+    *
+    * Returns (filesBefore, filesAfter). Not safe concurrently with
+    * an appender — schedule beside the stream like `tools/Compact`
+    * is beside the log ingest, between batches. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 16): (Long, Long) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hp), s"no index at $path")
+    val markerP = new org.apache.hadoop.fs.Path(path, "_graft_family.json")
+    val marker: Option[Array[Byte]] =
+      if (fs.exists(markerP)) {
+        val in = fs.open(markerP)
+        try Some(in.readAllBytes()) finally in.close()
+      } else None
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+    val before = parquetFiles(hp)
+    val staged = path + ".compact"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(staged)
+    marker.foreach { bytes =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_graft_family.json"), true)
+      out.write(bytes); out.close()
+    }
+    fs.delete(hp, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), hp))
+      throw new java.io.IOException(s"rename $staged to $path failed")
+    spark.catalog.refreshByPath(path)
+    (before, parquetFiles(hp))
+  }
+
   /** `(id, f, sh)` with `f` defaulted to 0 when absent — one shape
     * for frameless and frame-keyed signature tables. */
   private def withFrame(sigs: DataFrame): DataFrame =

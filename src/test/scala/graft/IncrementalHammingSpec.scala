@@ -80,6 +80,31 @@ class IncrementalHammingSpec extends SparkSpec {
       e3.getMessage)
   }
 
+  test("compactIndex: many appended file sets collapse, probes and marker survive") {
+    val dir = java.nio.file.Files.createTempDirectory("hidx").toString + "/img"
+    // five appended batches → at least five file sets
+    Multimodal.imageHashIndexWrite(imageDs(Seq(1L, 2L)), dir)
+    for (b <- 1 to 4)
+      Multimodal.imageHashIndexWrite(imageDs(Seq(b * 10L, b * 10L + 1L)), dir,
+        mode = "append")
+    val probe = imageDs(Seq(201L, 202L))
+    val beforePairs = pairsOf(Multimodal.incrementalImageNearDuplicates(
+      probe, dir, maxDistance = 4, maxBucket = 100))
+    val (nBefore, nAfter) = Dedup.compactIndex(spark, dir, targetFiles = 2)
+    assert(nBefore >= 5 && nAfter <= 2, s"$nBefore -> $nAfter")
+    // identical verdicts through the compacted index
+    val afterPairs = pairsOf(Multimodal.incrementalImageNearDuplicates(
+      probe, dir, maxDistance = 4, maxBucket = 100))
+    assert(afterPairs === beforePairs && afterPairs.nonEmpty)
+    // the family marker survived byte-identically: a cross-family
+    // probe still refuses
+    val audio = Multimodal.syntheticWavMedia(Seq(3L).toDF("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.incrementalAudioNearDuplicates(audio, dir).collect()
+    }
+    assert(e.getMessage.contains("families are not interchangeable"))
+  }
+
   test("audio: incremental probe matches the full kernel's batch-touching pairs") {
     val dir = java.nio.file.Files.createTempDirectory("hidx").toString + "/aud"
     val docs = (1L to 30L).toDF("doc_id")
