@@ -649,6 +649,21 @@ class DedupSimilaritySpec extends SparkSpec {
         numHashes = 64, shingleK = 3, mode = "append")
     }
     assert(wrongH.getMessage.contains("numHashes"), wrongH.getMessage)
+    // compaction (r12): the appended file sets collapse, probes and
+    // the marker survive — the minhash leg of the compactIndex
+    // contract (the hamming leg lives in IncrementalHammingSpec)
+    val (nb, na) = Dedup.compactIndex(spark, s"$work/idx", targetFiles = 1)
+    assert(nb >= 2 && na <= 1, s"$nb -> $na")
+    val afterCompact = Dedup.incrementalNearDuplicates(spark, batch2, "doc_id", "text",
+        s"$work/idx", docs.unionByName(newBatch), minJaccard = 0.5,
+        bands = 16, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterCompact === Set((101L, 200L)))
+    val wrongK2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDuplicates(spark, batch2, "doc_id", "text",
+        s"$work/idx", docs, minJaccard = 0.5, bands = 16, shingleK = 2)
+    }
+    assert(wrongK2.getMessage.contains("shingleK"), wrongK2.getMessage)
     // a marker-less (pre-r11) index stays readable: same family by
     // construction
     new java.io.File(s"$work/idx/_graft_family.json").delete()
