@@ -1105,6 +1105,10 @@ object Dedup {
     def parquetFiles(p: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
     val before = parquetFiles(hp)
+    // already at or under the target: compaction only ever REDUCES
+    // file counts — a rewrite here would split one file into
+    // `targetFiles` and churn the index for nothing
+    if (before <= targetFiles) return (before, before)
     val staged = path + ".compact"
     spark.read.parquet(path).repartition(targetFiles)
       .write.mode("overwrite").parquet(staged)
