@@ -393,6 +393,129 @@ object DocStream {
     * md5-derived record ids, per-JVM-deterministic gzip) and the
     * sink's temp-file + atomic rename make a replayed batch rewrite
     * the same paths with the same bytes. */
+  /** Streaming NEAR-duplicate curation for IMAGES (r12) — the media
+    * sibling of [[curateNearDupStream]]: each micro-batch of
+    * `(doc_id, content)` rows (extra columns ride into the corpus)
+    * is decoded ONCE to dHash signatures, checked against the
+    * accumulated hamming index
+    * ([[graft.operators.Dedup.incrementalHammingCandidates]]) plus
+    * itself, and the survivors append to the corpus (WITH their
+    * signature column — so index rebuild/repair after a crash never
+    * re-decodes media bytes) and to the index. Undecodable payloads
+    * are dropped and counted loudly in the batch line.
+    *
+    * Crash convergence mirrors the text loop: corpus without an
+    * index marker → rebuild the index from the corpus's signature
+    * column; index lagging the corpus → ids-only repair BEFORE the
+    * dedup decision; replayed batches are emptied by the corpus-id
+    * anti-join. Decisions are pinned (`localCheckpoint`) before
+    * either write — the corpus append invalidates cached plans whose
+    * lineage reads it (the [[curateNearDupStream]] lesson). */
+  def curateImageNearDup(
+      spark: SparkSession,
+      in: DataFrame,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      maxDistance: Int = 7,
+      bands: Int = 8,
+      maxBucket: Int = 1000,
+      pollInterval: Option[String] = None): StreamingQuery = {
+    import graft.operators.{Dedup, Multimodal}
+    val trigger = pollInterval
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    in.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        import spark.implicits._
+        val fsPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def hasParquet(d: String) = {
+          val p = new org.apache.hadoop.fs.Path(d)
+          fs.exists(p) && fs.listStatus(p)
+            .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        }
+        def markerExists() =
+          fs.exists(new org.apache.hadoop.fs.Path(indexDir, "_graft_family.json"))
+        val media = batch0.select(col("doc_id"), col("content"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) => Multimodal.MediaFile(id, "image", bytes) }(
+            Multimodal.mediaEnc)
+        // decode once, pin: `batch` and the invalid census both derive
+        // from it, and media decode is the expensive step
+        val hashed = Multimodal.perceptualHash(media).toDF().localCheckpoint(true)
+        try {
+          val nInvalid = hashed.filter(!col("valid")).count()
+          val batch = batch0.join(
+            hashed.filter(col("valid"))
+              .select(col("doc_id"), col("dhash").as("sh")), Seq("doc_id"))
+          val corpusExists = hasParquet(corpusDir)
+          if (corpusExists && !markerExists())
+            Dedup.hammingWriteIndex(
+              spark.read.parquet(corpusDir).select(col("doc_id").as("id"), col("sh")),
+              indexDir, Multimodal.ImageHashFamily, 64, mode = "overwrite")
+          val indexExists = markerExists()
+          // lagging-index repair BEFORE the decision (ids only; the
+          // signature column rides in the corpus, no re-decode)
+          if (corpusExists && indexExists) {
+            val unindexed = spark.read.parquet(corpusDir)
+              .select(col("doc_id").as("id"), col("sh"))
+              .join(spark.read.parquet(indexDir).select(col("id")).distinct(),
+                Seq("id"), "left_anti")
+              .localCheckpoint(true) // pin BEFORE appending the path it reads
+            try {
+              if (unindexed.count() > 0)
+                Dedup.hammingWriteIndex(unindexed, indexDir,
+                  Multimodal.ImageHashFamily, 64, mode = "append")
+            } finally graft.Pins.release(unindexed)
+          }
+          val kept =
+            if (!corpusExists) {
+              val pairs = Dedup.hammingCandidates(
+                batch.select(col("doc_id").as("id"), col("sh")),
+                64, maxDistance, bands, maxBucket)
+              batch.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+            } else {
+              val fresh = batch.join(
+                spark.read.parquet(corpusDir).select(col("doc_id")),
+                Seq("doc_id"), "left_anti")
+              val pairs = Dedup.incrementalHammingCandidates(spark,
+                fresh.select(col("doc_id").as("id"), col("sh")), indexDir,
+                Multimodal.ImageHashFamily, 64, maxDistance, bands, maxBucket)
+              val bIds = fresh.select(col("doc_id")).distinct()
+              val flagged = pairs
+                .join(bIds.select(col("doc_id").as("id_a"), lit(1).as("_ain")),
+                  Seq("id_a"), "left")
+                .join(bIds.select(col("doc_id").as("id_b"), lit(1).as("_bin")),
+                  Seq("id_b"), "left")
+              val drop = flagged.select(
+                when(col("_ain").isNotNull && col("_bin").isNotNull, col("id_b"))
+                  .when(col("_ain").isNotNull, col("id_a"))
+                  .otherwise(col("id_b")).as("doc_id")).distinct()
+              fresh.join(drop, Seq("doc_id"), "left_anti")
+            }
+          val pinned = kept.localCheckpoint(true)
+          try {
+            val n = pinned.count()
+            println(s"[mediadedup] batch=$batchId kept=$n invalid=$nInvalid")
+            if (n > 0) {
+              pinned.write.mode("append").parquet(corpusDir)
+              spark.catalog.refreshByPath(corpusDir)
+              Dedup.hammingWriteIndex(
+                pinned.select(col("doc_id").as("id"), col("sh")), indexDir,
+                Multimodal.ImageHashFamily, 64,
+                mode = if (indexExists) "append" else "overwrite")
+            }
+          } finally graft.Pins.release(pinned)
+        } finally graft.Pins.release(hashed)
+        ()
+      }
+      .start()
+  }
+
   def curateToWarcShards(
       spark: SparkSession,
       inputDir: String,

@@ -274,6 +274,40 @@ class StreamingSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked reliable checkpoint dirs: $leaked")
   }
 
+  test("streaming image curation: arriving batches dedup against the accumulated hamming index") {
+    import graft.streaming.DocStream
+    import graft.operators.Multimodal.MiniEncoder
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructType}
+    val in = Files.createTempDirectory("media_in").toString
+    val corpus = Files.createTempDirectory("media_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("media_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("media_ckpt").toString
+    // pattern a fixes the raster: same a → identical image → distance 0
+    def png(a: Int) = MiniEncoder.pngGray(18, 16, (x, y) => (x * a + y * (a + 5)) % 256)
+    def arrive(rows: Seq[(Long, Array[Byte])]): Unit =
+      rows.toDF("doc_id", "content").coalesce(1).write.mode("append").parquet(in)
+    val schema = new StructType().add("doc_id", LongType).add("content", BinaryType)
+    def drain(): Unit = DocStream.curateImageNearDup(spark,
+      spark.readStream.schema(schema).parquet(in),
+      corpus, index, ckpt, maxDistance = 0).awaitTermination()
+    def corpusIds() = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    arrive(Seq(1L -> png(13), 2L -> png(7)))
+    drain()
+    assert(corpusIds() === Set(1L, 2L))
+    // batch 2: an exact copy of image 1 (cross-batch, via the index),
+    // a genuinely new image, and a corrupt payload
+    arrive(Seq(3L -> png(13), 4L -> png(29), 5L -> png(13).take(6)))
+    drain()
+    assert(corpusIds() === Set(1L, 2L, 4L)) // 3 deduped, 5 invalid
+    // the index accumulated exactly the corpus signatures
+    assert(spark.read.parquet(index).select("id").as[Long].collect().toSet
+      === corpusIds())
+    // nothing new → nothing served, corpus unchanged
+    drain()
+    assert(corpusIds() === Set(1L, 2L, 4L))
+  }
+
   test("crawl-to-corpus: arriving WET segments stream through quality + incremental near-dup") {
     import graft.streaming.DocStream
     import graft.sinks.WarcShards
