@@ -66,12 +66,14 @@ object TarSource {
   private[sources] class TarTable(props: Map[String, String]) extends Table with SupportsRead {
     private val path = props.getOrElse("path",
       throw new IllegalArgumentException("TarSource requires option 'path'"))
+    private val maxFilesPerTrigger =
+      props.get("maxFilesPerTrigger").map(_.toInt).getOrElse(16)
     override def name(): String = s"tar($path)"
     override def schema(): StructType = TarSource.schema
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new TarScanBuilder(path)
+      new TarScanBuilder(path, maxFilesPerTrigger)
   }
 
   /** Shard-level predicate pushdown: `shard = N` / `shard IN (…)`
@@ -82,7 +84,7 @@ object TarSource {
     * description lists the surviving shard set for plan specs);
     * pruning is the I/O win, re-evaluation is free. Predicates on
     * other columns are left entirely to Spark. */
-  private[sources] class TarScanBuilder(path: String)
+  private[sources] class TarScanBuilder(path: String, maxFilesPerTrigger: Int = 16)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
     private var required: StructType = TarSource.schema
@@ -99,16 +101,42 @@ object TarSource {
       filters // all re-evaluated by Spark; pruning is planning-only
     }
     override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = shardFilters
-    override def build(): Scan = new TarScan(path, required, shardFilters)
+    override def build(): Scan =
+      new TarScan(path, required, shardFilters, maxFilesPerTrigger)
   }
 
   private[sources] case class TarFilePartition(file: String, shard: Int) extends InputPartition
 
   private[sources] class TarScan(path: String, required: StructType,
-      shardFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      shardFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+      maxFilesPerTrigger: Int = 16)
       extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    /** Streaming tail-follow of a growing WebDataset shard directory
+      * — new `.tar` files become micro-batch partitions on the shared
+      * [[FileSetMicroBatchStream]] kernel (file-set offsets,
+      * maxFilesPerTrigger admission, AvailableNow drain-target
+      * freeze, vanished-file refusal), through the SAME per-file
+      * reader incl. payload-skipping column pruning. The natural feed
+      * for `DocStream.curateImageNearDup`: arriving media shards
+      * stream straight into incremental perceptual dedup. */
+    override def toMicroBatchStream(
+        checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new FileSetMicroBatchStream(
+        path,
+        n => n.endsWith(".tar"),
+        (qualified, n) => {
+          val shard =
+            if (n.startsWith("shard-") && n.endsWith(".tar"))
+              scala.util.Try(n.stripPrefix("shard-").stripSuffix(".tar").toInt)
+                .getOrElse(-1)
+            else -1
+          TarFilePartition(qualified, shard)
+        },
+        () => new TarReaderFactory(required,
+          new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration)),
+        maxFilesPerTrigger)
     private def shardAdmitted(shard: Int): Boolean = {
       import org.apache.spark.sql.sources.{EqualTo, In}
       shardFilters.forall {

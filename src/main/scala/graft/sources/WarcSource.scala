@@ -241,7 +241,7 @@ object WarcSource {
     override def toBatch: Batch = this
     override def toMicroBatchStream(
         checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new WarcMicroBatchStream(path, required, maxFilesPerTrigger)
+      WarcSource.microBatchStream(path, required, maxFilesPerTrigger)
     private def shardAdmitted(shard: Int): Boolean = {
       import org.apache.spark.sql.sources.{EqualTo, In}
       shardFilters.forall {
@@ -287,111 +287,30 @@ object WarcSource {
         new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
   }
 
-  /** Streaming offset = the SET of shard-file names already served,
-    * as a sorted JSON array. Names, not paths: the directory is fixed
-    * by the source option, so offsets survive a mount-point move.
-    * Size note for 100 TB: ~10^5 shard files at CC shard sizes ≈ a
-    * few MB of offset JSON per checkpoint entry — acceptable for a
-    * checkpoint log, but point one stream at one crawl/segment
-    * directory rather than a whole archive root. */
-  private[sources] case class WarcFilesOffset(files: Vector[String])
-      extends org.apache.spark.sql.connector.read.streaming.Offset {
-    override def json(): String =
-      files.map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("[", ",", "]")
-  }
-
-  /** `spark.readStream` tail-follow of a growing crawl directory —
-    * the arriving-segment half of the incremental-dedup story: new
-    * `.warc.gz`/`.wet.gz` files (our sinks and foreign downloaders
-    * both land files atomically via rename; partially-written files
-    * must not be dropped in place) become micro-batch partitions,
-    * one file per partition, through the SAME reader (and cdx
-    * header-only fast path) as the batch scan.
-    *
-    * Admission control caps each batch at `maxFilesPerTrigger` new
-    * files (engine-negotiated — an explicit ReadAllAvailable drains
-    * everything); under `Trigger.AvailableNow` the drain target is
-    * frozen once at prepare time, so a bounded run processes exactly
-    * the files present at start and stops (the RpcMicroBatchStream
-    * contract). Files are served in name order; a file that vanishes
-    * between offer and plan fails the batch loudly (checkpoint
-    * replay would silently lose its records otherwise). */
-  private[sources] class WarcMicroBatchStream(path: String, required: StructType,
-      maxFilesPerTrigger: Int)
-      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-    import org.apache.spark.sql.connector.read.streaming
-    private val hadoopConf =
-      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration)
-    @volatile private var drainTarget: Option[Vector[String]] = None
-
-    private def warcName(n: String): Boolean =
-      n.endsWith(".warc.gz") || n.endsWith(".warc") ||
-        n.endsWith(".wet.gz") || n.endsWith(".wet")
-
-    private def listNow(): Vector[String] = {
-      val p = new Path(path)
-      val fs = p.getFileSystem(hadoopConf.value)
-      if (!fs.exists(p)) Vector.empty
-      else {
-        val st = fs.getFileStatus(p)
-        if (st.isDirectory)
-          fs.listStatus(p).filter(s => s.isFile && warcName(s.getPath.getName))
-            .map(_.getPath.getName).sorted.toVector
-        else Vector(st.getPath.getName)
-      }
-    }
-
-    override def prepareForTriggerAvailableNow(): Unit =
-      drainTarget = Some(listNow())
-    override def getDefaultReadLimit: streaming.ReadLimit =
-      streaming.ReadLimit.maxFiles(maxFilesPerTrigger)
-    override def initialOffset(): streaming.Offset = WarcFilesOffset(Vector.empty)
-    override def latestOffset(): streaming.Offset =
-      throw new UnsupportedOperationException(
-        "admission-controlled source: engine calls latestOffset(start, limit)")
-    override def latestOffset(start: streaming.Offset,
-        limit: streaming.ReadLimit): streaming.Offset = {
-      val seen = start.asInstanceOf[WarcFilesOffset].files.toSet
-      val fresh = drainTarget.getOrElse(listNow()).filterNot(seen)
-      val cap = limit match {
-        case f: streaming.ReadMaxFiles => f.maxFiles()
-        case _: streaming.ReadAllAvailable => Int.MaxValue
-        case _ => maxFilesPerTrigger
-      }
-      WarcFilesOffset(
-        (seen.toVector ++ fresh.take(cap)).sorted)
-    }
-    override def reportLatestOffset(): streaming.Offset = WarcFilesOffset(listNow())
-    override def deserializeOffset(json: String): streaming.Offset = {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(json)
-      WarcFilesOffset(node.elements().asScala.map(_.asText).toVector.sorted)
-    }
-    override def planInputPartitions(start: streaming.Offset,
-        end: streaming.Offset): Array[InputPartition] = {
-      val seen = start.asInstanceOf[WarcFilesOffset].files.toSet
-      val batch = end.asInstanceOf[WarcFilesOffset].files.filterNot(seen)
-      val p = new Path(path)
-      val fs = p.getFileSystem(hadoopConf.value)
-      batch.map { n =>
-        val f = new Path(p, n)
-        if (!fs.exists(f)) throw new java.io.FileNotFoundException(
-          s"shard $n vanished between offset and plan — refusing to silently drop its records")
+  /** Streaming tail-follow of a growing crawl directory — the
+    * arriving-segment half of the incremental-dedup story: new
+    * `.warc.gz`/`.wet.gz` files become micro-batch partitions
+    * through the SAME reader (and cdx header-only fast path) as the
+    * batch scan, on the shared [[FileSetMicroBatchStream]] kernel
+    * (file-set offsets, maxFilesPerTrigger admission, AvailableNow
+    * drain-target freeze, vanished-file refusal). */
+  private[sources] def microBatchStream(path: String, required: StructType,
+      maxFilesPerTrigger: Int): FileSetMicroBatchStream =
+    new FileSetMicroBatchStream(
+      path,
+      n => n.endsWith(".warc.gz") || n.endsWith(".warc") ||
+        n.endsWith(".wet.gz") || n.endsWith(".wet"),
+      (qualified, n) => {
         val shard =
           if (n.startsWith("shard-") && n.endsWith(".warc.gz"))
-            scala.util.Try(n.stripPrefix("shard-").stripSuffix(".warc.gz").toInt).getOrElse(-1)
+            scala.util.Try(n.stripPrefix("shard-").stripSuffix(".warc.gz").toInt)
+              .getOrElse(-1)
           else -1
-        WarcFilePartition(fs.makeQualified(f).toString, shard): InputPartition
-      }.toArray
-    }
-    override def createReaderFactory(): PartitionReaderFactory =
-      new WarcReaderFactory(required, hadoopConf)
-    override def commit(end: streaming.Offset): Unit = ()
-    override def stop(): Unit = ()
-  }
+        WarcFilePartition(qualified, shard)
+      },
+      () => new WarcReaderFactory(required,
+        new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration)),
+      maxFilesPerTrigger)
 
   private[sources] class WarcReaderFactory(required: StructType, conf: SerializableHadoopConf)
       extends PartitionReaderFactory {

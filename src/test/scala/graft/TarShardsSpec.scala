@@ -353,6 +353,40 @@ class TarShardsSpec extends SparkSpec {
     assert(rows === contents)
   }
 
+  test("readStream tail-follow: arriving tar shards feed streaming media curation end-to-end") {
+    import graft.operators.Multimodal.MiniEncoder
+    val dir = freshDir()
+    val corpus = freshDir() + "/corpus"
+    val index = freshDir() + "/idx"
+    val ckpt = freshDir() + "/ckpt"
+    def png(a: Int) = MiniEncoder.pngGray(18, 16, (x, y) => (x * a + y * (a + 5)) % 256)
+    def shardRows(rows: Seq[(Long, Array[Byte])]) =
+      rows.toDF("doc_id", "content").select(
+        col("doc_id").cast("string").as("k"), col("content").as("p"))
+    def drain(): Unit = graft.streaming.DocStream.curateImageNearDup(spark,
+      spark.readStream.format("graft.sources.TarSource").option("path", dir).load()
+        .select(col("key").cast("long").as("doc_id"), col("payload").as("content")),
+      corpus, index, ckpt, maxDistance = 0).awaitTermination()
+    graft.sinks.TarShards.write(shardRows(Seq(1L -> png(13), 2L -> png(7))),
+      "k", "p", "png", dir, nShards = 1)
+    drain()
+    def corpusIds() = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds() === Set(1L, 2L))
+    // a new shard arrives (foreign name — sink rewrites clear stale
+    // shard-*.tar): an exact copy of image 1 plus a new image
+    val tmp2 = freshDir()
+    graft.sinks.TarShards.write(shardRows(Seq(3L -> png(13), 4L -> png(29))),
+      "k", "p", "png", tmp2, nShards = 1)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(tmp2, "shard-00000.tar"),
+      java.nio.file.Paths.get(dir, "late-00000.tar"))
+    drain()
+    assert(corpusIds() === Set(1L, 2L, 4L)) // 3 deduped via the index
+    drain() // nothing new
+    assert(corpusIds() === Set(1L, 2L, 4L))
+  }
+
   test("WebDataset refuses a foreign tar repeating an ext within one key's run") {
     val work = new java.io.File(freshDir())
     val sub = new java.io.File(work, "payload"); sub.mkdirs()
