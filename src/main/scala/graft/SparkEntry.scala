@@ -1154,6 +1154,82 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Language-ID serving under the gate (r13): the quantized NB
+    // score path over md5-hash-bucketed char 1/2/3-gram features with
+    // a FIXED literal (lang, gram, weight) model — the q100
+    // discipline (training is spec-gated: ln has no engine-identical
+    // twin; serving is exact integer arithmetic). The hash gates the
+    // FULL path: script-preserving normalization, per-order gram
+    // enumeration, bucket derivation, within-language collision
+    // summing, the prior + n_grams·floor + Σ hits algebra, the
+    // (−score, lang) argmax tie-break, and the zero-evidence → 'und'
+    // rule. A bug in any of them moves (lang, score_q, n_hit).
+    "q123_langid_serve" -> { (s, dir) =>
+      import s.implicits._
+      val langTable = LangGateLangs.toDF("lang", "q_prior", "q_floor")
+      val weights = LangGateWeights.toDF("lang", "gram", "qdw")
+        .select(col("lang"),
+          operators.LangId.bucket(col("gram"), LangGateDim).as("bucket"),
+          col("qdw"))
+      operators.LangId.classifyQuantized(Tables(s, dir, "documents"),
+          "doc_id", "text", langTable, weights, LangGateDim)
+        .select(col("id").as("doc_id"), col("lang"), col("score_q"),
+          col("n_grams"), col("n_hit"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Streaming drain under the gate (r13, the r12 verdict's #7): the
+    // most complex machinery in the repo — WET shards → tail-follow
+    // micro-batches → Gopher gate → incremental near-dup against the
+    // accumulated corpus + index, across FOUR batches with checkpoint
+    // commits between — drained with AvailableNow and its row-level
+    // outcome put under the oracle hash. Planted exact copies
+    // (doc_id % 17 == 3, +100000) land in different shards than their
+    // originals (md5-prefix shard assignment), so the dedup decision
+    // crosses batches. The output is the surviving corpus grouped by
+    // CONTENT class (sorted distinct 3-word shingle set of the
+    // normalized text — the dedup's own equivalence at
+    // minJaccard = 1.0): exactly one survivor per class, regardless
+    // of batch order or which member won. Batch semantics (resume,
+    // replay, crash windows) stay spec territory; this gates that the
+    // whole pipeline's DATA outcome equals the declarative rule.
+    "q124_crawl_drain" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q124").getAbsolutePath
+      // hermetic re-runs: a stale checkpoint would serve zero batches
+      // over a corpus some PREVIOUS build wrote
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      WarcShards.write(
+        docs.unionByName(planted).select(
+          col("doc_id").cast(StringType).as("k"),
+          concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+          col("text").cast(BinaryType).as("p")),
+        "k", "u", "p", s"$base/warc", nShards = 8)
+      streaming.DocStream.curateWetCrawl(s, s"$base/warc",
+          corpusDir = s"$base/corpus", indexDir = s"$base/index",
+          checkpointDir = s"$base/ckpt",
+          gate = streaming.DocStream.CrawlGate.Gopher(),
+          minJaccard = 1.0, maxFilesPerTrigger = 2)
+        .awaitTermination()
+      s.read.parquet(s"$base/corpus")
+        .select(col("doc_id"),
+          functions.Text.tokens(functions.Text.normalized(col("text"))).as("_toks"))
+        .select(col("doc_id"), col("_toks"),
+          operators.Dedup.shinglesFromTokens(col("_toks"), 3).as("_sh"))
+        .select(
+          when(size(col("_toks")) < 3, concat(lit("doc:"), col("doc_id")))
+            .otherwise(md5(concat_ws("\u001e",
+              array_sort(array_distinct(col("_sh")))))).as("skey"),
+          lit(1L).as("n_docs"))
+        .groupBy(col("skey")).agg(sum(col("n_docs")).as("n_docs"))
+        .orderBy(col("skey"))
+    },
+
     // Capstone: the whole curation pipeline composed in ONE plan —
     // quality filter (bit-exact doubles, so the 0.5 threshold
     // classifies identically cross-engine) → exact dedup (lowest
@@ -1845,17 +1921,29 @@ object SparkEntry {
       val base = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_q121").getAbsolutePath
       val docs = Tables(s, dir, "documents")
+      // r13 branch matrix: unknown charset (NULL), xhtml+GBK (the
+      // widened content-type + alias whitelist), UTF-8, meta-sniff
+      // (no declared charset, <meta charset=windows-1250> in-body),
+      // shift_jis (decodes now — ASCII identity, the corpus is
+      // printable-ASCII without backslash/tilde). Branch order
+      // matters and the twin mirrors it.
       val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
+        .when(col("doc_id") % 11 === 0, lit("text/html; charset=klingon"))
+        .when(col("doc_id") % 13 === 0, lit("application/xhtml+xml; charset=GBK"))
         .when(col("doc_id") % 3 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 1, lit("text/plain"))
         .otherwise(lit("text/html; charset=shift_jis"))
+      val body = when(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
+          col("doc_id") % 13 =!= 0 && col("doc_id") % 3 === 1,
+        concat(lit("<meta charset=\"windows-1250\">"), col("text")))
+        .otherwise(col("text"))
       val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
         .otherwise(lit("200 OK"))
       val envelope = concat(
         lit("HTTP/1.1 "), status,
         lit("\r\nContent-Type: "), ctype,
-        lit("\r\nContent-Length: "), octet_length(col("text")).cast(StringType),
-        lit("\r\n\r\n"), col("text"))
+        lit("\r\nContent-Length: "), octet_length(body).cast(StringType),
+        lit("\r\n\r\n"), body)
       WarcShards.write(
         docs.select(col("doc_id").cast(StringType).as("k"),
           concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
@@ -2838,6 +2926,56 @@ object SparkEntry {
         |order by block_hour""".stripMargin,
 
     "q47_embedding_near_dup" -> Q47Sql,
+
+    // langid-serving twin: the same literal (lang, gram, weight)
+    // model bucketed by the same md5-prefix formula; char n-grams of
+    // orders 1/2/3 over the SCRIPT-PRESERVING normalization (lower +
+    // whitespace collapse — note the 'g' flag, the q73 lesson);
+    // integer score algebra, desc-score/asc-lang argmax, und on zero
+    // evidence
+    "q123_langid_serve" ->
+      s"""with wt(lang, gram, qdw) as (values
+        |  ${LangGateWeights.map { case (l, g, q) => s"('$l', '$g', $q)" }.mkString(", ")}),
+        |lt(lang, q_prior, q_floor) as (values
+        |  ${LangGateLangs.map { case (l, p, f) => s"('$l', $p, $f)" }.mkString(", ")}),
+        |wb as (select lang,
+        |    ('0x' || substr(md5(gram), 1, 8))::bigint % $LangGateDim as bucket,
+        |    sum(qdw) as qdw from wt group by 1, 2),
+        |n as (select doc_id,
+        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as t
+        |  from documents),
+        |g as (select doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - kk + 1, 0) + 1),
+        |      i -> substr(t, i, kk))) as g
+        |  from n, (values (1), (2), (3)) ks(kk)),
+        |f as (select doc_id,
+        |    ('0x' || substr(md5(g), 1, 8))::bigint % $LangGateDim as bucket,
+        |    count(*) as cnt from g group by 1, 2),
+        |ng as (select doc_id, sum(cnt) as n_grams from f group by 1),
+        |hits as (select f.doc_id, wb.lang,
+        |    sum(wb.qdw * f.cnt) as hit_sum, sum(f.cnt) as n_hit
+        |  from f join wb using (bucket) group by 1, 2),
+        |sc as (select d.doc_id, lt.lang,
+        |    lt.q_prior + coalesce(ng.n_grams, 0) * lt.q_floor
+        |      + coalesce(h.hit_sum, 0) as score_q,
+        |    coalesce(ng.n_grams, 0) as n_grams,
+        |    coalesce(h.n_hit, 0) as n_hit
+        |  from (select doc_id from documents) d
+        |  cross join lt
+        |  left join ng using (doc_id)
+        |  left join hits h on h.doc_id = d.doc_id and h.lang = lt.lang),
+        |best as (select doc_id, lang, score_q, n_grams, n_hit,
+        |    row_number() over (partition by doc_id
+        |      order by score_q desc, lang asc) as rn,
+        |    max(n_hit) over (partition by doc_id) as any_hit
+        |  from sc)
+        |select doc_id,
+        |  case when any_hit = 0 then 'und' else lang end as lang,
+        |  cast(score_q as bigint) as score_q,
+        |  cast(n_grams as bigint) as n_grams,
+        |  cast(n_hit as bigint) as n_hit
+        |from best where rn = 1
+        |order by doc_id""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)
@@ -4252,10 +4390,15 @@ object SparkEntry {
     "q121_response_text" ->
       """select 'urn:graft:doc/' || cast(doc_id as varchar) as target_uri,
         |  cast(200 as bigint) as http_status,
-        |  case when doc_id % 3 = 0 then 'text/html; charset=UTF-8'
+        |  case when doc_id % 11 = 0 then 'text/html; charset=klingon'
+        |       when doc_id % 13 = 0 then 'application/xhtml+xml; charset=GBK'
+        |       when doc_id % 3 = 0 then 'text/html; charset=UTF-8'
         |       when doc_id % 3 = 1 then 'text/plain'
         |       else 'text/html; charset=shift_jis' end as http_content_type,
-        |  case when doc_id % 3 = 2 then null else text end as html
+        |  case when doc_id % 11 = 0 then null
+        |       when doc_id % 13 = 0 then text
+        |       when doc_id % 3 = 1 then '<meta charset="windows-1250">' || text
+        |       else text end as html
         |from documents
         |where doc_id % 5 <> 0 and doc_id % 7 <> 0
         |order by target_uri""".stripMargin,
@@ -4264,41 +4407,7 @@ object SparkEntry {
     // md5-norm fingerprints and min-id-per-fingerprint dedup — all
     // off `documents` (the WET round trip is byte-exact per q118)
     "q120_cc_pipeline" ->
-      s"""with t as (select doc_id, text,
-        |    $OracleTokens as w,
-        |    string_split(text, chr(10)) as ln
-        |  from documents),
-        |c as (select doc_id,
-        |    len(w) as n_words,
-        |    list_sum(list_transform(w, x -> length(x))) as wchars,
-        |    len(list_filter(w, x -> lower(x) != upper(x))) as alpha,
-        |    len(list_filter(w, x -> lower(x) in
-        |      ('the','be','to','of','and','that','have','with'))) as stop_hits,
-        |    length(text) - length(replace(text, '#', '')) as nhash,
-        |    (length(text) - length(replace(text, '...', ''))) // 3 as ellsym,
-        |    len(ln) as nlines,
-        |    len(list_filter(ln, l -> substr(ltrim(l), 1, 1) in ('-','*','•'))) as bull,
-        |    len(list_filter(ln, l -> length(rtrim(l)) >= 3
-        |      and substr(rtrim(l), length(rtrim(l)) - 2, 3) = '...')) as elll
-        |  from t),
-        |r as (select doc_id,
-        |    cast(n_words as bigint) as n_words,
-        |    case when n_words > 0
-        |      then cast(wchars as double) / cast(n_words as double) end as mean_word_len,
-        |    case when n_words > 0
-        |      then cast(alpha as double) / cast(n_words as double) end as alpha_word_ratio,
-        |    case when n_words > 0
-        |      then cast(nhash + ellsym as double) / cast(n_words as double) end as symbol_ratio,
-        |    cast(bull as double) / cast(nlines as double) as bullet_ratio,
-        |    cast(elll as double) / cast(nlines as double) as ellipsis_ratio,
-        |    cast(stop_hits as bigint) as stop_hits
-        |  from c),
-        |k as (select doc_id, n_words, mean_word_len from r
-        |  where coalesce(n_words >= 50 and n_words <= 100000
-        |    and mean_word_len >= 3.0 and mean_word_len <= 10.0
-        |    and symbol_ratio <= 0.1 and bullet_ratio <= 0.9
-        |    and ellipsis_ratio <= 0.3 and alpha_word_ratio >= 0.8
-        |    and stop_hits >= 2, false)),
+      s"""with ${oracleGopherKeepCtes("documents")},
         |f as (select k.doc_id, k.n_words, k.mean_word_len,
         |    md5($OracleNorm) as fp
         |  from k join documents using (doc_id)),
@@ -4306,6 +4415,36 @@ object SparkEntry {
         |select f.doc_id, f.n_words, f.mean_word_len
         |from f join m on f.fp = m.fp and f.doc_id = m.doc_id
         |order by f.doc_id""".stripMargin,
+
+    // streaming-drain twin (r13, the r12 verdict's #7): the q124
+    // fixture's kept CONTENT classes. Gopher keep over originals ∪
+    // planted exact copies, then one row per distinct 3-word-shingle
+    // SET with n_docs = 1 — at minJaccard = 1.0 the stream's LSH +
+    // exact-verify drops a doc iff its shingle set EQUALS an earlier
+    // one (identical signatures collide in every band, so the
+    // candidate is certain, not probabilistic), hence every content
+    // class must survive exactly once regardless of batch order or
+    // which member wins. n_docs > 1 = dedup failure; a missing/extra
+    // skey = quality-gate or streaming-machinery failure.
+    "q124_crawl_drain" ->
+      s"""with docs as (select doc_id, text from documents
+        |  union all
+        |  select doc_id + 100000 as doc_id, text from documents
+        |  where doc_id % 17 = 3),
+        |${oracleGopherKeepCtes("docs")},
+        |f as (select k.doc_id, $OracleNorm as norm
+        |  from k join docs using (doc_id)),
+        |w as (select doc_id, string_split(norm, ' ') as w from f),
+        |sh as (select doc_id, case when len(w) < 3 then null else
+        |    list_sort(list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 3 + 1, 0) + 1),
+        |      i -> array_to_string(list_slice(w, i, i + 2), ' ')))) end as s
+        |  from w),
+        |ky as (select doc_id,
+        |    coalesce(md5(array_to_string(s, chr(30))), 'doc:' || doc_id) as skey
+        |  from sh)
+        |select distinct skey, cast(1 as bigint) as n_docs from ky
+        |order by skey""".stripMargin,
 
     // WET text twin: uri and text re-derived straight from documents
     "q118_wet_text" ->
@@ -4682,6 +4821,48 @@ object SparkEntry {
 
   /** DuckDB fragments shared across oracle queries (kept identical to
     * the Text.* expression semantics). */
+  /** The Gopher keep chain (t→c→r→k) over a `(doc_id, text)` source
+    * CTE/table — shared by the q120 composition twin and the q124
+    * streaming-drain twin so both gate the SAME rule trees the engine
+    * runs (`Corpus.gopherSignalsOf`). `k` = kept doc_ids with
+    * n_words/mean_word_len. */
+  private def oracleGopherKeepCtes(src: String): String =
+    s"""t as (select doc_id, text,
+      |    $OracleTokens as w,
+      |    string_split(text, chr(10)) as ln
+      |  from $src),
+      |c as (select doc_id,
+      |    len(w) as n_words,
+      |    list_sum(list_transform(w, x -> length(x))) as wchars,
+      |    len(list_filter(w, x -> lower(x) != upper(x))) as alpha,
+      |    len(list_filter(w, x -> lower(x) in
+      |      ('the','be','to','of','and','that','have','with'))) as stop_hits,
+      |    length(text) - length(replace(text, '#', '')) as nhash,
+      |    (length(text) - length(replace(text, '...', ''))) // 3 as ellsym,
+      |    len(ln) as nlines,
+      |    len(list_filter(ln, l -> substr(ltrim(l), 1, 1) in ('-','*','•'))) as bull,
+      |    len(list_filter(ln, l -> length(rtrim(l)) >= 3
+      |      and substr(rtrim(l), length(rtrim(l)) - 2, 3) = '...')) as elll
+      |  from t),
+      |r as (select doc_id,
+      |    cast(n_words as bigint) as n_words,
+      |    case when n_words > 0
+      |      then cast(wchars as double) / cast(n_words as double) end as mean_word_len,
+      |    case when n_words > 0
+      |      then cast(alpha as double) / cast(n_words as double) end as alpha_word_ratio,
+      |    case when n_words > 0
+      |      then cast(nhash + ellsym as double) / cast(n_words as double) end as symbol_ratio,
+      |    cast(bull as double) / cast(nlines as double) as bullet_ratio,
+      |    cast(elll as double) / cast(nlines as double) as ellipsis_ratio,
+      |    cast(stop_hits as bigint) as stop_hits
+      |  from c),
+      |k as (select doc_id, n_words, mean_word_len from r
+      |  where coalesce(n_words >= 50 and n_words <= 100000
+      |    and mean_word_len >= 3.0 and mean_word_len <= 10.0
+      |    and symbol_ratio <= 0.1 and bullet_ratio <= 0.9
+      |    and ellipsis_ratio <= 0.3 and alpha_word_ratio >= 0.8
+      |    and stop_hits >= 2, false))""".stripMargin
+
   private val OracleNorm =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
   /** q24's 60-bit md5-family SimHash, unrolled for the twin: per-bit
@@ -4749,6 +4930,30 @@ object SparkEntry {
     * integer weights at dim 4096 — small enough to read, large
     * enough that collision handling (bucket-sum) is exercised. */
   private val QualityGateDim = 4096
+
+  /** q123's fixed serving model: four languages with hand-picked
+    * char-gram weights at dim 4096 — small enough to read, collision
+    * handling (within-language bucket-sum) exercised at this dim, and
+    * grams overlap across languages (" de" is both German and
+    * Spanish evidence) so the argmax does real work. Priors and
+    * floors are distinct per language so both the prior and the
+    * n_grams·floor terms move the scores. */
+  private val LangGateDim = 4096
+  private val LangGateLangs: Seq[(String, Long, Long)] = Seq(
+    ("de", -20L, -4L), ("en", -10L, -3L), ("es", -40L, -6L), ("fr", -30L, -5L))
+  private val LangGateWeights: Seq[(String, String, Long)] = Seq(
+    ("en", "the", 25L), ("en", " th", 12L), ("en", "he ", 9L),
+    ("en", "ing", 15L), ("en", "and", 11L), ("en", " of", 8L),
+    ("en", "is ", 6L), ("en", "w", 2L),
+    ("de", "der", 21L), ("de", "sch", 18L), ("de", "ich", 14L),
+    ("de", "ein", 12L), ("de", "und", 16L), ("de", " de", 5L),
+    ("de", "ck ", 7L), ("de", "z", 3L),
+    ("fr", "les", 19L), ("fr", " le", 13L), ("fr", "ent", 10L),
+    ("fr", "que", 9L), ("fr", "des", 11L), ("fr", "eau", 8L),
+    ("fr", "oi", 6L), ("fr", "j", 2L),
+    ("es", "los", 17L), ("es", " de", 9L), ("es", "de ", 8L),
+    ("es", "ar ", 7L), ("es", "el ", 6L), ("es", "ado", 10L),
+    ("es", "ll", 5L), ("es", "y ", 4L))
   private val QualityGateWeights: Seq[(String, Long)] = Seq(
     ("the", 17L), ("and", 11L), ("of", 7L), ("a", 5L), ("in", 3L),
     ("data", 23L), ("model", -13L), ("to", -2L), ("is", 9L), ("for", -4L))

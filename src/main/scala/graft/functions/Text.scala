@@ -113,9 +113,22 @@ object Text {
     * and the argmax runs over attribute references. The one-shot
     * Column form ([[langId]]) embeds the token split ~20× across its
     * branches (no CSE inside HOF lambdas), which melts on a 100 TB
-    * `documents` scan; this form evaluates it once per row. */
+    * `documents` scan; this form evaluates it once per row.
+    *
+    * `trained` (r13) swaps the 4-language marker argmax for a trained
+    * [[graft.operators.LangId]] model (hashed char-n-gram NB,
+    * integer-quantized serving) — same column contract, real breadth.
+    * The marker form stays the zero-model default. */
   def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
-      outCol: String = "lang_guess"): org.apache.spark.sql.DataFrame = {
+      outCol: String = "lang_guess",
+      trained: Option[graft.operators.LangId.Quantized] = None)
+      : org.apache.spark.sql.DataFrame = trained match {
+    case Some(q) => graft.operators.LangId.withLang(df, textCol, q, outCol)
+    case None => withLangIdMarkers(df, textCol, outCol)
+  }
+
+  private def withLangIdMarkers(df: org.apache.spark.sql.DataFrame,
+      textCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
     val scoreCols = LangMarkers.map { case (lang, _) => lang -> s"_langid_$lang" }
     val staged = df.withColumn("_langid_toks", tokens(col(textCol)))
     val scored = LangMarkers.foldLeft(staged) { case (d, (lang, words)) =>

@@ -767,29 +767,44 @@ object Corpus {
     * twin mirrors each tree); documents with no words emit null
     * ratios and fail `keep`. */
   def gopherSignals(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame =
+    gopherSignalsOf(df.select(col(idCol).as("id"), col(textCol).as("_t")),
+      "_t", minWords, maxWords)
+      .select(col("id"), col("n_words"), col("mean_word_len"),
+        col("alpha_word_ratio"), col("symbol_ratio"), col("bullet_ratio"),
+        col("ellipsis_ratio"), col("stop_hits"), col("keep"))
+
+  /** [[gopherSignals]] as a column-appending form (r13): every input
+    * column RIDES (the streaming-curation need — `curateWetCrawl`'s
+    * gopher gate filters the arriving frame in place, and the batch
+    * q120 composition and the stream must share ONE rule tree, so
+    * both build on this). Appends the seven signal columns and
+    * `keep`; the expression trees are byte-identical to what
+    * [[gopherSignals]] always gated (it now delegates here). */
+  def gopherSignalsOf(df: DataFrame, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
-    val counted = df.select(col(idCol).as("id"), col(textCol).as("_t"))
-      .withColumn("_toks", Text.tokens(col("_t")))
-      .withColumn("_lines", split(col("_t"), "\n"))
-      .select(
-        col("id"),
+    val counted = df
+      .withColumn("_toks", Text.tokens(col(textCol)))
+      .withColumn("_lines", split(col(textCol), "\n"))
+      .select(df.columns.map(col) ++ Seq(
         size(col("_toks")).cast(LongType).as("n_words"),
         aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t)).as("_wchars"),
         size(filter(col("_toks"), t => lower(t) =!= upper(t))).cast(LongType).as("_alpha"),
         size(filter(col("_toks"), t => lower(t).isin(GopherStopwords: _*)))
           .cast(LongType).as("stop_hits"),
-        (length(col("_t")) - length(replace(col("_t"), lit("#"), lit(""))))
+        (length(col(textCol)) - length(replace(col(textCol), lit("#"), lit(""))))
           .cast(LongType).as("_hash"),
-        ((length(col("_t")) - length(replace(col("_t"), lit("..."), lit("")))) / lit(3))
+        ((length(col(textCol)) - length(replace(col(textCol), lit("..."), lit("")))) / lit(3))
           .cast(LongType).as("_ellsym"),
         size(col("_lines")).cast(LongType).as("_nlines"),
         size(filter(col("_lines"), l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
           .cast(LongType).as("_bull"),
         size(filter(col("_lines"), l =>
             length(rtrim(l)) >= 3 && rtrim(l).substr(length(rtrim(l)) - 2, lit(3)) === "..."))
-          .cast(LongType).as("_elllines"))
+          .cast(LongType).as("_elllines")): _*)
     counted.select(
-        col("id"), col("n_words"),
+        counted.columns.filterNot(Set("_wchars", "_alpha", "_hash", "_ellsym",
+          "_nlines", "_bull", "_elllines")).map(col) ++ Seq(
         when(col("n_words") > 0,
           col("_wchars").cast(DoubleType) / col("n_words").cast(DoubleType))
           .as("mean_word_len"),
@@ -801,8 +816,7 @@ object Corpus {
           .as("symbol_ratio"),
         (col("_bull").cast(DoubleType) / col("_nlines").cast(DoubleType)).as("bullet_ratio"),
         (col("_elllines").cast(DoubleType) / col("_nlines").cast(DoubleType))
-          .as("ellipsis_ratio"),
-        col("stop_hits"))
+          .as("ellipsis_ratio")): _*)
       .withColumn("keep", coalesce(
         col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
@@ -891,8 +905,14 @@ object Corpus {
     * tie-break by id — by design, same as CCNet), and a group absent
     * from the sample gets a NULL bucket (surface the miss loudly
     * rather than invent a tier; raise `sampleFraction` or route tiny
-    * groups to the exact form). `CorpusSpec` bounds the sf0.01
-    * disagreement vs exact ntile and asserts the plan is window-free.
+    * groups to the exact form). A NULL score likewise gets a NULL
+    * bucket: the HOF comparison count would silently drop
+    * null-predicate elements and promote unscored docs to the BEST
+    * tier (the dangerous direction in a curation pipeline), while
+    * exact ntile (nulls last under desc) demotes them — neither is a
+    * bucketing decision, so the loud-NULL policy wins, uniformly
+    * including `k = 1`. `CorpusSpec` bounds the sf0.01 disagreement
+    * vs exact ntile and asserts the plan is window-free.
     */
   def scoreBucketsApprox(scored: DataFrame, idCol: String, groupCol: String,
       scoreCol: String, k: Int = 3, ascending: Boolean = false,
@@ -902,7 +922,8 @@ object Corpus {
     require(k >= 1, s"bucket count must be >= 1, got $k")
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0,1], got $sampleFraction")
-    if (k == 1) return tierOf(scored.withColumn("bucket", lit(1)), k)
+    if (k == 1) return tierOf(scored.withColumn("bucket",
+      when(col(scoreCol).isNull, lit(null).cast(IntegerType)).otherwise(lit(1))), k)
     val thresh = (sampleFraction * 1000000L).toLong
     val samp = scored
       .filter(sampleHash(col(idCol)) < lit(thresh))
@@ -925,7 +946,8 @@ object Corpus {
       .join(broadcast(cuts), scored(groupCol) === cuts("_g"), "left")
       .drop("_g")
       .withColumn("bucket",
-        when(col("_cuts").isNull, lit(null).cast(IntegerType))
+        when(col(scoreCol).isNull || col("_cuts").isNull,
+            lit(null).cast(IntegerType))
           .otherwise(lit(1) + size(filter(col("_cuts"), worse))))
       .drop("_cuts")
     tierOf(labeled, k)

@@ -359,6 +359,21 @@ object Dedup {
     * instead of mutating semantics under the same one. */
   private val IndexFamily = "xxh64-shingleset-v1"
 
+  /** Every persisted-index WRITE (minhash / hamming / bloom here,
+    * embedding-LSH in `Similarity`) runs under the shared
+    * [[graft.util.DirLock]] index lock with `kind = "append"` —
+    * serializing appends against each other (the bloom
+    * read-merge-write would lose updates under two appenders) and
+    * against [[compactIndex]]'s swap (an append landing files in a
+    * directory the compactor is deleting). Appends wait out any
+    * holder; the compactor waits only for appends. */
+  private[graft] def indexWriteLocked[T](
+      spark: org.apache.spark.sql.SparkSession, path: String)(body: => T): T = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.DirLock.withIndexLock(fs, path, "append")(body)
+  }
+
   private def familyMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_family.json")
 
@@ -397,7 +412,7 @@ object Dedup {
   def minhashWriteIndex(
       df: DataFrame, idCol: String, textCol: String, path: String,
       numHashes: Int = 32, shingleK: Int = 3,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite"): Unit = indexWriteLocked(df.sparkSession, path) {
     // appending into an existing index with different parameters or a
     // different family would silently mix incompatible signatures
     if (mode == "append") checkFamilyMarker(df.sparkSession, path, numHashes, shingleK)
@@ -987,6 +1002,7 @@ object Dedup {
       mBits: Long, k: Int, wordRanges: Int = 64): Unit = {
     require(wordRanges >= 1, s"wordRanges must be >= 1, got $wordRanges")
     val spark = df.sparkSession
+    indexWriteLocked(spark, path) {
     val existing = scala.util.Try(spark.read.parquet(path)).toOption
     existing.foreach { e =>
       val p = e.select(col("m_bits"), col("k")).limit(1).collect()(0)
@@ -1006,14 +1022,25 @@ object Dedup {
     val out = merged.select(col("word"), col("bits"),
       lit(mBits).as("m_bits"), lit(k).as("k"),
       expr(s"word div ${rangeSize}L").as("word_range"))
-    val staged = path + ".staging"
-    out.write.mode("overwrite").partitionBy("word_range").parquet(staged)
+    val staged = new org.apache.hadoop.fs.Path(path + ".staging")
+    out.write.mode("overwrite").partitionBy("word_range").parquet(staged.toString)
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) fs.delete(hp, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), hp))
+    // rename-away → rename-in → delete-old (r13): the r12
+    // delete-then-rename left a window with NO filter at `path` —
+    // a probe racing a crash there read "index missing" instead of
+    // either generation. Same protocol as [[compactIndex]]'s swap.
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true)
+    if (fs.exists(hp) && !fs.rename(hp, old))
+      throw new java.io.IOException(s"bloom swap: cannot park $path")
+    if (!fs.rename(staged, hp)) {
+      if (fs.exists(old)) fs.rename(old, hp) // restore, nothing lost
       throw new java.io.IOException(s"rename $staged to $path failed")
+    }
+    fs.delete(old, true)
     spark.catalog.refreshByPath(path)
+    }
   }
 
   /** Probe against a persisted index (params read from the index). */
@@ -1085,42 +1112,107 @@ object Dedup {
     * marker byte-identically, and refreshes the session's listing
     * cache. Content-preserving by construction: same rows, any
     * order (signature tables are set-semantics — every consumer
-    * aggregates or joins).
+    * aggregates or joins). A PARTITIONED index (the bloom
+    * `word_range` layout, the r13 banded signature layouts) keeps its
+    * partition columns: they're detected from the directory tree and
+    * re-applied, with the rewrite repartitioned ON them so each
+    * partition value lands in one task → one file per value.
     *
-    * Returns (filesBefore, filesAfter). Not safe concurrently with
-    * an appender — schedule beside the stream like `tools/Compact`
-    * is beside the log ingest, between batches. */
+    * Concurrency + crash safety (r13, closing the r12 verdict's #1
+    * "what's wrong"): the whole read→stage→swap runs under the shared
+    * [[graft.util.DirLock]] index lock (`kind = "rewrite"`, waiting
+    * out appenders), the same lock every index APPEND takes — a
+    * compactor and a curation stream's per-batch appends serialize
+    * instead of the append landing files in a directory the compactor
+    * is about to delete. The swap itself is rename-away → rename-in →
+    * delete-old: a crash at any point leaves a complete index at
+    * `path`, at `path + ".old"`, or both (plus staging) — never the
+    * r12 delete-then-rename window with NO index anywhere. A leftover
+    * `.old`/`.compact` from a prior crash is cleared at entry (under
+    * the lock, so it can't be a live compactor's).
+    *
+    * Returns (filesBefore, filesAfter), counted RECURSIVELY (a
+    * partitioned index keeps its files in subdirs — the r12 top-level
+    * count read 0 there and silently no-op'd). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 16): (Long, Long) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hp), s"no index at $path")
-    val markerP = new org.apache.hadoop.fs.Path(path, "_graft_family.json")
-    val marker: Option[Array[Byte]] =
-      if (fs.exists(markerP)) {
-        val in = fs.open(markerP)
-        try Some(in.readAllBytes()) finally in.close()
-      } else None
-    def parquetFiles(p: org.apache.hadoop.fs.Path): Long =
-      fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
-    val before = parquetFiles(hp)
-    // already at or under the target: compaction only ever REDUCES
-    // file counts — a rewrite here would split one file into
-    // `targetFiles` and churn the index for nothing
-    if (before <= targetFiles) return (before, before)
-    val staged = path + ".compact"
-    spark.read.parquet(path).repartition(targetFiles)
-      .write.mode("overwrite").parquet(staged)
-    marker.foreach { bytes =>
-      val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_graft_family.json"), true)
-      out.write(bytes); out.close()
+    graft.util.DirLock.withIndexLock(fs, path, "rewrite") {
+      val markerP = new org.apache.hadoop.fs.Path(path, "_graft_family.json")
+      val marker: Option[Array[Byte]] =
+        if (fs.exists(markerP)) {
+          val in = fs.open(markerP)
+          try Some(in.readAllBytes()) finally in.close()
+        } else None
+      def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      // partition columns, recovered from the directory layout: walk
+      // one leaf chain collecting `k=v` segment names (Hive layout is
+      // uniform — any chain shows every partition column, in order)
+      def partitionCols(p: org.apache.hadoop.fs.Path): Seq[String] = {
+        val seg = """([^=/]+)=[^/]*""".r
+        var cols = Vector.empty[String]
+        var cur = p
+        var descend = true
+        while (descend) {
+          val subdirs = fs.listStatus(cur).filter(s =>
+            s.isDirectory && !s.getPath.getName.startsWith(".") &&
+              !s.getPath.getName.startsWith("_"))
+          subdirs.headOption.map(_.getPath) match {
+            case Some(d) => d.getName match {
+              case seg(k) => cols :+= k; cur = d
+              case _ => descend = false
+            }
+            case None => descend = false
+          }
+        }
+        cols
+      }
+      val before = parquetFiles(hp)
+      // already at or under the target: compaction only ever REDUCES
+      // file counts — a rewrite here would split one file into
+      // `targetFiles` and churn the index for nothing. (An if/else,
+      // not an early return: a non-local return from inside the lock
+      // closure unwinds via control-flow exception — legal, but the
+      // lock body should read as one expression.)
+      if (before <= targetFiles) (before, before) else {
+      val staged = new org.apache.hadoop.fs.Path(path + ".compact")
+      val old = new org.apache.hadoop.fs.Path(path + ".old")
+      fs.delete(staged, true) // prior crashed attempt's leftovers
+      fs.delete(old, true)
+      val parts = partitionCols(hp)
+      val df = spark.read.parquet(path)
+      val rewritten =
+        if (parts.isEmpty) df.repartition(targetFiles)
+        else df.repartition(targetFiles, parts.map(col): _*)
+      val writer = rewritten.write.mode("overwrite")
+      (if (parts.isEmpty) writer else writer.partitionBy(parts: _*))
+        .parquet(staged.toString)
+      marker.foreach { bytes =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_graft_family.json"), true)
+        out.write(bytes); out.close()
+      }
+      if (!fs.rename(hp, old))
+        throw new java.io.IOException(s"compact swap: cannot park $path")
+      if (!fs.rename(staged, hp)) {
+        if (!fs.rename(old, hp)) // restore, nothing lost
+          throw new java.io.IOException(
+            s"compact swap FAILED AND RESTORE FAILED: index parked at $old, " +
+              s"rewrite at $staged — recover by renaming one to $path")
+        throw new java.io.IOException(s"rename $staged to $path failed (index restored)")
+      }
+      fs.delete(old, true)
+      spark.catalog.refreshByPath(path)
+      (before, parquetFiles(hp))
+      }
     }
-    fs.delete(hp, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), hp))
-      throw new java.io.IOException(s"rename $staged to $path failed")
-    spark.catalog.refreshByPath(path)
-    (before, parquetFiles(hp))
   }
 
   /** `(id, f, sh)` with `f` defaulted to 0 when absent — one shape
@@ -1136,10 +1228,12 @@ object Dedup {
   def hammingWriteIndex(sigs: DataFrame, path: String, family: String,
       width: Int, mode: String = "overwrite"): Unit = {
     val spark = sigs.sparkSession
-    if (mode == "append") checkHammingMarker(spark, path, family, width)
-    withFrame(sigs).write.mode(mode).parquet(path)
-    writeHammingMarker(spark, path, family, width)
-    spark.catalog.refreshByPath(path)
+    indexWriteLocked(spark, path) {
+      if (mode == "append") checkHammingMarker(spark, path, family, width)
+      withFrame(sigs).write.mode(mode).parquet(path)
+      writeHammingMarker(spark, path, family, width)
+      spark.catalog.refreshByPath(path)
+    }
   }
 
   /** Banded `(id, f, sh, band, chunk)` of a signature table — the

@@ -1,0 +1,248 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Trainable language identifier — multinomial Naive Bayes over
+  * hashed character n-gram features, trained IN Spark. This is the
+  * classic langid shape (fastText lid / CLD / langid.py are all
+  * linear models over char n-grams; NB is the one whose training is
+  * a SINGLE combinable aggregation instead of epochs of gradient
+  * descent, which is the right trade at 100 TB: one groupBy over the
+  * labeled corpus and the model falls out, deterministically).
+  *
+  * Replaces-in-spirit the 4-language marker argmax
+  * ([[Text.LangMarkers]]) as the `lang` column every CCNet-shape
+  * operator groups by (q97/q98/q110/q117/q120) —
+  * [[Text.withLangId]] delegates here when handed a trained model.
+  *
+  * Feature hashing: bucket(gram) = first 8 hex chars of md5(gram) as
+  * an integer mod `dim` — the [[QualityClassifier.bucket]] discipline,
+  * md5 because both engines compute it identically over the gram's
+  * UTF-8 bytes, so the q123 twin re-derives every bucket with
+  * `('0x' || substr(md5(g),1,8))::bigint % dim`. Normalization is
+  * SCRIPT-PRESERVING ([[langNormalized]]: lowercase + whitespace
+  * collapse, nothing stripped) — [[Text.normalized]]'s `[^a-z0-9\s]`
+  * strip would erase every non-Latin script, which is exactly the
+  * text a language identifier exists for.
+  *
+  * Model: per (lang, bucket) log-probability with Lidstone smoothing,
+  * stored SPARSE as deltas over the per-language unseen floor:
+  *   w(l,b)   = ln((cnt(l,b) + α) / (T_l + α·dim))
+  *   floor_l  = ln(α / (T_l + α·dim))        (unseen bucket)
+  *   dw(l,b)  = w(l,b) − floor_l  ≥ 0        (sparse, nnz-bounded)
+  *   score(d,l) = lnPrior_l + nGrams_d·floor_l + Σ_b cnt(d,b)·dw(l,b)
+  * so serving needs only the sparse hit join plus one per-doc gram
+  * count — no dense dim×L anything, no per-lang miss enumeration.
+  *
+  * Serving: [[quantize]] rounds lnPrior/floor/dw to integers at a
+  * documented scale (the [[QualityClassifier.quantize]] int-serving
+  * convention) and [[scoreQuantized]] computes EXACT integer
+  * arithmetic — deterministic across engines, which is what lets
+  * q123 hash-gate the full path (hashing parity, collision handling,
+  * the floor/prior algebra, argmax + tie-break, the `und` rule).
+  * Training stays spec-territory (ln is not engine-identical — the
+  * q58 rule); [[LangIdSpec]] gates it over a 30-language fixture
+  * corpus with held-out sentences.
+  *
+  * Scale shape: features are one explode + combinable count keyed by
+  * (id, bucket); serving is feats ⋈ broadcast(weights) (model is
+  * nnz-bounded ≤ dim·L rows), two more combinable aggregations keyed
+  * by id, and a doc×L broadcast nested loop for the score table
+  * (L ≈ dozens of languages — bounded by construction). Training
+  * collects only (lang,bucket) counts — ≤ dim·L rows, the
+  * PQ-codebook collect class.
+  */
+object LangId {
+
+  /** Script-preserving normalization: lowercase + collapse
+    * whitespace. Twin: `trim(regexp_replace(lower(t),'\s+',' ','g'))`
+    * (DuckDB regexp_replace needs the 'g' flag — the q73 lesson). */
+  def langNormalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Hash bucket of a char-n-gram column (md5-prefix, portable). */
+  def bucket(gram: Column, dim: Int): Column =
+    conv(substring(md5(gram), 1, 8), 16, 10).cast(LongType) % dim
+
+  /** Default n-gram orders: 1-grams carry script identity (one CJK /
+    * Cyrillic / Arabic char is already strong evidence), 2/3-grams
+    * carry orthography and function-word shapes (space-padded grams
+    * like `" th"`/`"de "` mark word boundaries — the normalized text
+    * single-spaces them by construction). */
+  val DefaultNs: Seq[Int] = Seq(1, 2, 3)
+
+  /** Hashed char-n-gram features `(id, bucket, cnt)`. Staged
+    * normalize → gram → bucket across projections (the
+    * [[Dedup.shinglesFromTokens]] HOF contract: the lambda sees an
+    * attribute reference, never the normalization tree). */
+  def features(df: DataFrame, idCol: String, textCol: String, dim: Int,
+      ns: Seq[Int] = DefaultNs): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram orders $ns")
+    df.select(col(idCol).as("id"), langNormalized(col(textCol)).as("_n"))
+      .select(col("id"), explode(flatten(array(
+        ns.map(k => Text.charNgramsFromNormalized(col("_n"), k)): _*))).as("_g"))
+      .select(col("id"), bucket(col("_g"), dim).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Trained model, sparse (see object scaladoc for the algebra).
+    * `langs` rows are `(lang, lnPrior, lnFloor)`; `weights` rows are
+    * `(lang, bucket, dw)` with `dw = w − floor > 0` (zero deltas —
+    * i.e. unseen — are simply absent). */
+  final case class Model(langs: Seq[(String, Double, Double)],
+      weights: Seq[(String, Long, Double)], dim: Int, ns: Seq[Int])
+
+  /** Integer-quantized model for exact-arithmetic serving. */
+  final case class Quantized(langs: Seq[(String, Long, Long)],
+      weights: Seq[(String, Long, Long)], dim: Int, ns: Seq[Int], scale: Double)
+
+  /** Train multinomial NB from a labeled corpus — ONE feature pass,
+    * one (lang,bucket) aggregation, one (lang) aggregation; the only
+    * driver state is the sparse count table (≤ dim·L rows). `alpha`
+    * is the Lidstone smoothing mass. */
+  def train(df: DataFrame, idCol: String, textCol: String, langCol: String,
+      dim: Int = 1 << 15, ns: Seq[Int] = DefaultNs,
+      alpha: Double = 0.5): Model = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val labels = df.select(col(idCol).as("id"), col(langCol).as("lang"))
+    val lb = features(df, idCol, textCol, dim, ns)
+      .join(labels, Seq("id"))
+      .groupBy(col("lang"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .collect() // ≤ dim·L — the codebook-collect class
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nDocs = labels.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val totals = lb.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val allDocs = nDocs.values.sum.toDouble
+    require(allDocs > 0, "empty training set")
+    val langs = nDocs.keys.toSeq.sorted.map { l =>
+      val t = totals.getOrElse(l, 0L).toDouble
+      (l, math.log(nDocs(l) / allDocs), math.log(alpha / (t + alpha * dim)))
+    }
+    val floor = langs.map(x => x._1 -> x._3).toMap
+    val weights = lb.toSeq.map { case (l, b, c) =>
+      val t = totals(l).toDouble
+      (l, b, math.log((c + alpha) / (t + alpha * dim)) - floor(l))
+    }
+    Model(langs, weights, dim, ns)
+  }
+
+  /** Quantize for serving: all three weight kinds rounded at one
+    * `scale`; zero quantized deltas dropped (they score identically
+    * to a miss). */
+  def quantize(m: Model, scale: Double = 1e6): Quantized = Quantized(
+    m.langs.map { case (l, p, f) => (l, math.round(p * scale), math.round(f * scale)) },
+    m.weights.map { case (l, b, d) => (l, b, math.round(d * scale)) }
+      .filter(_._3 != 0L),
+    m.dim, m.ns, scale)
+
+  /** Score every doc against every language with exact integer
+    * arithmetic: `(id, lang, score_q, n_grams, n_hit)` — one row per
+    * (doc, language). `langTable(lang, q_prior, q_floor)` and
+    * `weights(lang, bucket, qdw)` are broadcast (model-bounded).
+    * Docs whose normalized text is empty still appear (n_grams = 0,
+    * score = prior). */
+  def scoreQuantized(df: DataFrame, idCol: String, textCol: String,
+      langTable: DataFrame, weights: DataFrame, dim: Int,
+      ns: Seq[Int] = DefaultNs): DataFrame = {
+    // collisions within one language sum — same contract as q100
+    val wb = broadcast(weights
+      .groupBy(col("lang"), col("bucket")).agg(sum(col("qdw")).as("qdw")))
+    val feats = features(df, idCol, textCol, dim, ns)
+    val nGrams = feats.groupBy(col("id")).agg(sum(col("cnt")).as("n_grams"))
+    val hits = feats.join(wb, Seq("bucket"))
+      .groupBy(col("id"), col("lang"))
+      .agg(sum(col("qdw") * col("cnt")).as("hit_sum"), sum(col("cnt")).as("n_hit"))
+    df.select(col(idCol).as("id"))
+      .join(nGrams, Seq("id"), "left")
+      // doc × L broadcast nested loop — L is the language list,
+      // dozens, bounded by the model (the bounded-composition
+      // crossJoin class)
+      .crossJoin(broadcast(langTable))
+      .join(hits, Seq("id", "lang"), "left")
+      .select(col("id"), col("lang"),
+        (col("q_prior") + coalesce(col("n_grams"), lit(0L)) * col("q_floor") +
+          coalesce(col("hit_sum"), lit(0L))).as("score_q"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
+  /** Per-doc argmax over [[scoreQuantized]]:
+    * `(id, lang, score_q, n_grams, n_hit)` — `lang` is the best
+    * language, ties broken toward the LEXICOGRAPHICALLY SMALLEST code
+    * (deterministic, like the [[Text.LangMarkers]]-order tie-break),
+    * overridden to `"und"` when NO gram of the doc hit ANY language's
+    * weight table (zero evidence — the marker argmax's
+    * nothing-scores rule). `score_q`/`n_hit` stay the best
+    * candidate's (an `und` row documents what the floor-only argmax
+    * would have said). Relational argmax (`min` over a struct), never
+    * a k-way expression tree — the janino lesson at
+    * [[Similarity.pqScoredSubs]]. */
+  def classifyQuantized(df: DataFrame, idCol: String, textCol: String,
+      langTable: DataFrame, weights: DataFrame, dim: Int,
+      ns: Seq[Int] = DefaultNs): DataFrame =
+    scoreQuantized(df, idCol, textCol, langTable, weights, dim, ns)
+      .groupBy(col("id"))
+      .agg(min(struct((-col("score_q")).as("_neg"), col("lang").as("_l"),
+          col("n_hit").as("_h"))).as("_best"),
+        max(col("n_hit")).as("_any"),
+        first(col("n_grams")).as("n_grams"))
+      .select(col("id"),
+        when(col("_any") === 0L, lit("und")).otherwise(col("_best._l")).as("lang"),
+        (-col("_best._neg")).as("score_q"),
+        col("n_grams"),
+        col("_best._h").as("n_hit"))
+
+  private def langTableOf(spark: org.apache.spark.sql.SparkSession,
+      q: Quantized): DataFrame = {
+    import spark.implicits._
+    q.langs.toDF("lang", "q_prior", "q_floor")
+  }
+
+  private def weightsOf(spark: org.apache.spark.sql.SparkSession,
+      q: Quantized): DataFrame = {
+    import spark.implicits._
+    q.weights.toDF("lang", "bucket", "qdw")
+  }
+
+  /** One-call serving from a [[Quantized]] model: appends `outCol`
+    * (the predicted code, `und` on zero evidence) to `df`. This is
+    * what [[Text.withLangId]] delegates to behind its `trained`
+    * flag. */
+  def withLang(df: DataFrame, textCol: String, q: Quantized,
+      outCol: String = "lang_guess", idCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    idCol match {
+      case Some(c) =>
+        val labels = classifyQuantized(df, c, textCol,
+            langTableOf(spark, q), weightsOf(spark, q), q.dim, q.ns)
+          .select(col("id").as(c), col("lang").as(outCol))
+        df.join(labels, Seq(c), "left")
+      case None =>
+        // No caller key: the label is a function of the TEXT alone,
+        // so score per DISTINCT text keyed by its md5 fingerprint and
+        // join back on that — deterministic under recomputation by
+        // construction. A synthesized monotonically_increasing_id
+        // here would be referenced from two plan branches (the
+        // DocStream.curateNearDup recompute hazard) and pinning it
+        // leaks block-manager blocks from a RETURNED lazy frame (the
+        // graft.Pins class — nothing downstream can release them).
+        // Bonus: duplicate texts are scored once. Null text keys to
+        // '' (md5(NULL) is NULL and a null join key would never
+        // match); its gram set is empty either way → 'und'.
+        val key = coalesce(md5(col(textCol)), lit(""))
+        val uniq = df
+          .select(key.as("_langid_fp"), col(textCol).as("_langid_t"))
+          .distinct()
+        val labels = classifyQuantized(uniq, "_langid_fp", "_langid_t",
+            langTableOf(spark, q), weightsOf(spark, q), q.dim, q.ns)
+          .select(col("id").as("_langid_fp"), col("lang").as(outCol))
+        df.withColumn("_langid_fp", key)
+          .join(labels, Seq("_langid_fp"), "left")
+          .drop("_langid_fp")
+    }
+  }
+}

@@ -313,12 +313,14 @@ object Similarity {
       path: String, dim: Int, bits: Int = 64, seed: Long = 42L,
       mode: String = "overwrite"): Unit = {
     val spark = df.sparkSession
-    if (mode == "append") checkLshMarker(spark, path, dim, bits, seed)
-    val planes = hyperplanes(dim, bits, seed)
-    df.select(col(idCol).as("id"), signature(col(vecCol), planes).as("sig"))
-      .write.mode(mode).parquet(path)
-    writeLshMarker(spark, path, dim, bits, seed)
-    spark.catalog.refreshByPath(path)
+    Dedup.indexWriteLocked(spark, path) {
+      if (mode == "append") checkLshMarker(spark, path, dim, bits, seed)
+      val planes = hyperplanes(dim, bits, seed)
+      df.select(col(idCol).as("id"), signature(col(vecCol), planes).as("sig"))
+        .write.mode(mode).parquet(path)
+      writeLshMarker(spark, path, dim, bits, seed)
+      spark.catalog.refreshByPath(path)
+    }
   }
 
   /** Incremental embedding near-dup pairs: a NEW batch against the

@@ -412,8 +412,12 @@ object Logs {
     * windows run concurrently by construction (each swap touches only
     * its own `block_range=N` live/tmp/bak/lock paths).
     *
+    * The protocol lives in [[graft.util.DirLock]] (extracted r13 so
+    * the signature-index writers and compactor share it); this is the
+    * table-partition instantiation, one lock per `block_range`.
+    *
     * Crash recovery: a rewriter that dies mid-swap leaves its lock;
-    * locks older than `RewriteLockStaleMs` (1 h — far beyond any
+    * locks older than `DirLock.StaleMs` (1 h — far beyond any
     * single-partition rewrite) are broken and re-claimed. The break
     * protocol: re-judge staleness IMMEDIATELY before acting (a breaker
     * that lost the race sees the winner's fresh re-claimed lock and
@@ -438,153 +442,14 @@ object Logs {
     * stores without atomic create-no-overwrite and mtime-preserving
     * rename it degrades the same way as every file-level CAS in this
     * layer (documented at [[graft.sources.Snapshots.publish]]). */
-  private val RewriteLockStaleMs = 60L * 60 * 1000
-
-  /** Holder kind recorded in a lock payload; `"rewrite"` when the
-    * field is absent (foreign or pre-r11 locks). */
-  private def lockHolderKind(fs: org.apache.hadoop.fs.FileSystem,
-      lock: org.apache.hadoop.fs.Path): Option[String] =
-    try {
-      val in = fs.open(lock)
-      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val m = """"kind"\s*:\s*"([a-z]+)"""".r.findFirstMatchIn(txt)
-      Some(m.map(_.group(1)).getOrElse("rewrite"))
-    } catch { case _: java.io.IOException => None } // vanished
-
-  /** @param kind    recorded in the lock payload (`"rewrite"` for
-    *                partition swaps, `"append"` for a staged append's
-    *                brief read+publish window)
-    * @param waitFor holder kinds worth waiting out instead of failing
-    *                fast: a REWRITER waits only for appenders (their
-    *                holds are seconds; another rewriter on the same
-    *                partition keeps the loud fail-fast contract), an
-    *                APPENDER waits for anyone (rewrites can take
-    *                minutes, and the appender has nowhere better to
-    *                be — its data isn't published until the rename)
-    * @param waitMs  wait budget before the retryable conflict throws */
-  private def withPartitionLock[T](fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def withPartitionLock[T](fs: org.apache.hadoop.fs.FileSystem,
       tablePath: String, r: Long,
       kind: String = "rewrite",
       waitFor: Set[String] = Set("append"),
-      waitMs: Long = 120000L)(body: => T): T = {
-    val dir = new org.apache.hadoop.fs.Path(s"$tablePath/.graft_rewrite_lock")
-    fs.mkdirs(dir)
-    val lock = new org.apache.hadoop.fs.Path(dir, s"block_range=$r.lock")
-    val nonce = java.util.UUID.randomUUID().toString
-    def tryAcquire(): Boolean =
-      try {
-        val payload =
-          s"""{"nonce":"$nonce","kind":"$kind","ts":${System.currentTimeMillis()}}"""
-            .getBytes("UTF-8")
-        if (fs.getScheme == "file") {
-          // RawLocalFileSystem.create(overwrite = false) is an
-          // exists-CHECK-then-open, NOT an atomic exclusive create:
-          // every waiter whose check lands inside a lock-break's
-          // rename->re-claim gap "succeeds" and they overwrite each
-          // other (observed: THREE acquirers of one range under suite
-          // load). POSIX O_EXCL via NIO is the real CAS on local
-          // filesystems; HDFS keeps the Hadoop path below (its create
-          // is atomic at the namenode).
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(lock.toUri.getPath), payload,
-            java.nio.file.StandardOpenOption.CREATE_NEW)
-          true
-        } else {
-          val out = fs.create(lock, false)
-          out.write(payload)
-          out.close()
-          true
-        }
-      } catch { case _: java.io.IOException => false }
-    // One full acquire attempt, including the stale-lock break
-    // protocol. Returns whether the lock is now held by this nonce.
-    def attemptOnce(): Boolean = {
-      var acquired = tryAcquire()
-      if (!acquired) {
-        val stale =
-          try System.currentTimeMillis() -
-            fs.getFileStatus(lock).getModificationTime > RewriteLockStaleMs
-          catch { case _: java.io.IOException => true } // vanished: owner released
-        if (stale) {
-          // Re-judge IMMEDIATELY before touching the lock: a breaker
-          // that lost the break race reaches this point with the
-          // winner's FRESH re-claimed lock at the path, and must back
-          // off without touching it (the r7 hole: judging once, then
-          // deleting whatever sits there — two rewriters proceed).
-          val stillStale =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(lock).getModificationTime > RewriteLockStaleMs
-            catch { case _: java.io.IOException => false } // vanished: plain acquire below
-          if (stillStale) {
-            // Break by renaming to a breaker-unique tombstone: of N
-            // concurrent breakers only one rename of this instance can
-            // succeed, and rename preserves mtime — so the tombstone
-            // re-check catches the residual full-owner-cycle-between-
-            // re-judge-and-rename case and hands a fresh lock straight
-            // back instead of claiming over it.
-            val tomb = new org.apache.hadoop.fs.Path(dir, s"block_range=$r.stale.$nonce")
-            val renamed =
-              try fs.rename(lock, tomb)
-              catch { case _: java.io.IOException => false }
-            if (renamed) {
-              val brokeFresh =
-                try System.currentTimeMillis() -
-                  fs.getFileStatus(tomb).getModificationTime <= RewriteLockStaleMs
-                catch { case _: java.io.IOException => false } // gone: treat as broken stale
-              if (brokeFresh) {
-                try fs.rename(tomb, lock) catch { case _: java.io.IOException => () }
-              } else {
-                // re-claim FIRST, then drop the tombstone: the lock
-                // path's absence window is one create, not three ops
-                acquired = tryAcquire()
-                try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
-              }
-            }
-            // rename lost: another breaker holds the instance — fall
-            // through unacquired to the retryable conflict
-          }
-          // stillStale = false (vanished or re-claimed fresh): NO
-          // opportunistic acquire. A vanished lock here is ambiguous —
-          // "owner released" and "a winning breaker is inside its
-          // rename→re-claim gap" are indistinguishable, and acquiring
-          // on the second reading puts TWO rewriters in one partition
-          // (observed: concurrent compactors colliding in the same
-          // FileOutputCommitter _temporary dir under suite load).
-          // Waiters that lose any race get the retryable conflict;
-          // retrying re-enters through the entry acquire, which is the
-          // one legitimate taker of a released lock.
-        }
-      }
-      acquired
-    }
-    var acquired = attemptOnce()
-    // Kind-aware waiting (r11): a holder whose kind is in `waitFor`
-    // is worth polling out rather than failing fast — this is what
-    // lets staged appends and partition rewrites SERIALIZE instead of
-    // corrupting each other's swap windows (the SnapshotsSpec race
-    // class: an append renaming into a just-parked partition dir, or
-    // a compactor parking a file an append published mid-rewrite).
-    // A vanished lock retries immediately (owner released); a holder
-    // kind outside `waitFor` keeps the loud fail-fast contract.
-    val deadline = System.currentTimeMillis() + waitMs
-    while (!acquired && System.currentTimeMillis() < deadline &&
-        lockHolderKind(fs, lock).forall(waitFor.contains)) {
-      Thread.sleep(100L + scala.util.Random.nextInt(150))
-      acquired = attemptOnce()
-    }
-    if (!acquired)
-      throw new java.io.IOException(
-        s"rewrite conflict: block_range=$r at $tablePath is locked by a " +
-          s"concurrent rewrite (stale locks break after ${RewriteLockStaleMs / 1000}s)")
-    try body
-    finally {
-      try {
-        val in = fs.open(lock)
-        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        if (txt.contains(nonce)) fs.delete(lock, false)
-      } catch { case _: java.io.IOException => () }
-    }
-  }
+      waitMs: Long = 120000L)(body: => T): T =
+    graft.util.DirLock.withLock(fs,
+      new org.apache.hadoop.fs.Path(s"$tablePath/.graft_rewrite_lock"),
+      s"block_range=$r", kind = kind, waitFor = waitFor, waitMs = waitMs)(body)
 
   /** Crash-safe partition rewrite: `write` lands the replacement in a
     * hidden tmp dir (invisible to partition discovery), the originals

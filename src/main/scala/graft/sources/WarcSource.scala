@@ -106,31 +106,47 @@ object WarcSource {
 
   /** `(target_uri, http_status, http_content_type, html)` from a raw
     * `.warc.gz` crawl — the response-record sibling of [[wetText]]:
-    * successful (2xx) text-typed responses' bodies decoded by the
-    * charset the envelope DECLARES (`charset=` parameter,
-    * case-insensitive; absent → UTF-8, the HTML5 default — real
-    * crawls also sniff `<meta charset>`, a document-parsing concern
-    * layered above this source). The common declared charsets map to
-    * real decoders; anything else yields NULL `html` (loud, never
-    * mojibake — count the nulls before trusting a segment). Decode
-    * runs in the projection, after the envelope split already paid
-    * the payload read; non-text/non-2xx/malformed rows are filtered
-    * by the null columns the split contract guarantees. */
+    * successful (2xx) text-typed (`text/…` or `application/xhtml+xml`)
+    * responses' bodies decoded by, in priority order: the charset the
+    * envelope DECLARES (`charset=` parameter, case-insensitive), a
+    * `<meta …charset=…>` SNIFF of the first 1 KiB when the envelope
+    * declares nothing (covers both `<meta charset="x">` and the
+    * `http-equiv` form — the prefix is read as ISO-8859-1, a
+    * byte-preserving superset, purely to pattern-match), else UTF-8
+    * (the HTML5 default). Decoding itself is
+    * [[graft.functions.CharsetDecode]] (r13): the real-web alias
+    * whitelist (gbk/gb2312/gb18030, shift_jis, euc-jp/kr, big5,
+    * iso-8859-2…15, windows-125x, koi8, tis-620 … — the charsets that
+    * carry the non-Western web) with strict `REPORT` semantics — an
+    * unknown charset OR malformed bytes yield NULL `html` (loud:
+    * count the nulls before trusting a segment), never an exception
+    * (one broken page must not kill a 100 TB scan) and never
+    * replacement-char mojibake. A LYING declaration (UTF-8 bytes
+    * labeled shift_jis can decode "successfully" into katakana salad)
+    * is undetectable at this layer by construction — the langid and
+    * quality gates downstream are where it dies. Decode runs in the
+    * projection, after the envelope split already paid the payload
+    * read; non-text/non-2xx/malformed rows are filtered by the null
+    * columns the split contract guarantees. */
   def responseText(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val cs = lower(regexp_extract(lower(col("http_content_type")),
+    val declared = lower(regexp_extract(lower(col("http_content_type")),
       "charset=\"?([a-zA-Z0-9_\\-]+)", 1))
+    // ISO-8859-1 maps every byte to a char, so the sniff regex sees
+    // the raw prefix bytes faithfully regardless of the true charset
+    val sniffed = lower(regexp_extract(
+      lower(decode(substring(col("body"), 1, 1024), "ISO-8859-1")),
+      "<meta[^>]{0,200}?charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)", 1))
+    val cs = when(declared =!= "", declared)
+      .when(sniffed =!= "", sniffed)
+      .otherwise(lit("utf-8"))
+    val ct = lower(col("http_content_type"))
     spark.read.format("graft.sources.WarcSource").option("path", path).load()
       .filter(col("warc_type") === "response" &&
         col("http_status").between(200, 299) &&
-        lower(col("http_content_type")).startsWith("text/"))
+        (ct.startsWith("text/") || ct.startsWith("application/xhtml+xml")))
       .select(col("target_uri"), col("http_status"), col("http_content_type"),
-        when(cs === "" || cs === "utf-8" || cs === "utf8",
-            col("body").cast(StringType))
-          .when(cs.isin("iso-8859-1", "latin-1", "latin1"),
-            decode(col("body"), "ISO-8859-1"))
-          .when(cs === "windows-1252", decode(col("body"), "windows-1252"))
-          .otherwise(lit(null).cast(StringType)).as("html"))
+        graft.functions.CharsetDecode.charsetDecode(col("body"), cs).as("html"))
   }
 
   /** Split an `application/http` envelope: returns

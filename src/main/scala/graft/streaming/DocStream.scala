@@ -125,6 +125,38 @@ object DocStream {
       minJaccard, pollInterval, reliableCheckpointDir)
   }
 
+  /** The quality gate a crawl-curation stream applies to arriving
+    * docs — ONE knob choosing between the scalar
+    * [[graft.functions.Text.qualityScore]] threshold and the
+    * Gopher/MassiveText rule set (r13, closing the r12 verdict's #6:
+    * the streaming one-liner and the gated batch composition (q120)
+    * offered different filters; with [[CrawlGate.Gopher]] the stream
+    * rides the SAME [[graft.operators.Corpus.gopherSignalsOf]]
+    * expression trees q120 gates, so an AvailableNow drain equals the
+    * batch keep set — spec'd, and q124 puts the drained outcome under
+    * the oracle hash). Both are pure projections — streaming-safe,
+    * no state. */
+  sealed trait CrawlGate
+  object CrawlGate {
+    /** `qualityScore(text) >= min` — the r12 default, unchanged. */
+    final case class Quality(min: Double = 0.2) extends CrawlGate
+    /** The Gopher rule set (`Corpus.gopherSignalsOf` conjunctive
+      * `keep`) — what q120 gates. */
+    final case class Gopher(minWords: Long = 50L,
+        maxWords: Long = 100000L) extends CrawlGate
+  }
+
+  private def applyGate(df: DataFrame, gate: CrawlGate): DataFrame = gate match {
+    case CrawlGate.Quality(min) =>
+      df.withColumn("quality", Text.qualityScore(col("text")))
+        .filter(col("quality") >= min)
+    case CrawlGate.Gopher(minW, maxW) =>
+      val cols = df.columns
+      graft.operators.Corpus.gopherSignalsOf(df, "text", minW, maxW)
+        .filter(col("keep"))
+        .select(cols.map(col): _*) // signals served their purpose
+  }
+
   /** Crawl-to-corpus (r12): tail-follow a growing WET shard
     * directory ([[graft.sources.WarcSource]]'s streaming read — new
     * `.wet.gz`/`.warc.gz` files become micro-batches) and curate the
@@ -134,30 +166,31 @@ object DocStream {
     * converges and the "lowest id kept" tie-break becomes an
     * arbitrary-but-stable choice between near-dup pages; the uri
     * rides along into the corpus. The whole arriving-crawl story in
-    * one call: segment files land → WET text out → quality gate →
-    * near-dup check against everything ever seen → corpus + index
-    * grow. */
+    * one call: segment files land → WET text out → quality gate
+    * ([[CrawlGate]], r13 — scalar threshold or the q120 Gopher rule
+    * set) → near-dup check against everything ever seen → corpus +
+    * index grow. */
   def curateWetCrawl(
       spark: SparkSession,
       warcDir: String,
       corpusDir: String,
       indexDir: String,
       checkpointDir: String,
-      minQuality: Double = 0.2,
+      gate: CrawlGate = CrawlGate.Quality(0.2),
       minJaccard: Double = 0.8,
       maxFilesPerTrigger: Int = 16,
       pollInterval: Option[String] = None,
       reliableCheckpointDir: Option[String] = None): StreamingQuery = {
-    val in = spark.readStream.format("graft.sources.WarcSource")
-      .option("path", warcDir)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .load()
-      .filter(col("warc_type") === "conversion")
-      .select(xxhash64(col("target_uri")).as("doc_id"),
-        col("target_uri"),
-        col("payload").cast(org.apache.spark.sql.types.StringType).as("text"))
-      .withColumn("quality", Text.qualityScore(col("text")))
-      .filter(col("quality") >= minQuality)
+    val in = applyGate(
+      spark.readStream.format("graft.sources.WarcSource")
+        .option("path", warcDir)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .load()
+        .filter(col("warc_type") === "conversion")
+        .select(xxhash64(col("target_uri")).as("doc_id"),
+          col("target_uri"),
+          col("payload").cast(org.apache.spark.sql.types.StringType).as("text")),
+      gate)
     curateNearDupStream(spark, in, corpusDir, indexDir, checkpointDir,
       minJaccard, pollInterval, reliableCheckpointDir)
   }
@@ -309,9 +342,16 @@ object DocStream {
             // stale-listing hygiene: this session read corpusDir for
             // the dedup check and reads it again next batch
             spark.catalog.refreshByPath(corpusDir)
+            // `indexExists && corpusExists`, not `indexExists` (r13,
+            // advisor): a stale index left behind by a deleted corpus
+            // was deduped around (the !corpusExists branch ignores the
+            // index) yet appended into — ghost ids accumulate and
+            // break both the index⊆corpus repair invariant and the
+            // incremental kernel's batch-ids-disjoint contract.
+            // An index without a corpus is garbage: overwrite it.
             Dedup.minhashWriteIndex(pinned.select(col("doc_id"), col("text")),
               "doc_id", "text", indexDir,
-              mode = if (indexExists) "append" else "overwrite")
+              mode = if (indexExists && corpusExists) "append" else "overwrite")
           }
         } finally {
           // RDD-level: Dataset.unpersist is a no-op for checkpoint
@@ -504,10 +544,13 @@ object DocStream {
             if (n > 0) {
               pinned.write.mode("append").parquet(corpusDir)
               spark.catalog.refreshByPath(corpusDir)
+              // `indexExists && corpusExists` (r13, advisor): a stale
+              // marker over a deleted corpus was deduped around yet
+              // appended into — ghost ids. Overwrite instead.
               Dedup.hammingWriteIndex(
                 pinned.select(col("doc_id").as("id"), col("sh")), indexDir,
                 Multimodal.ImageHashFamily, 64,
-                mode = if (indexExists) "append" else "overwrite")
+                mode = if (indexExists && corpusExists) "append" else "overwrite")
             }
           } finally graft.Pins.release(pinned)
         } finally graft.Pins.release(hashed)

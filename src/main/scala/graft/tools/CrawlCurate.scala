@@ -10,11 +10,14 @@ import graft.streaming.DocStream
   * ([[graft.streaming.DocStream.curateWetCrawl]]).
   *
   * Usage:
-  *   runMain graft.tools.CrawlCurate <warcDir> <outDir> [pollSeconds]
+  *   runMain graft.tools.CrawlCurate <warcDir> <outDir> [quality|gopher] [pollSeconds]
   *
   * `<outDir>` receives `corpus/` (parquet, one row per admitted page
   * with target_uri + quality), `index/` (MinHash signatures) and
   * `ckpt/` (stream checkpoint — re-runs resume exactly-once).
+  * The gate (r13) picks the quality filter: `quality` (default, the
+  * scalar `qualityScore >= 0.2`) or `gopher` (the Gopher rule set —
+  * the same trees the gated batch composition q120 runs).
   * Without `pollSeconds` the run drains what is present and stops
   * (Trigger.AvailableNow — the bounded-run probe); with it the
   * stream keeps polling for new segment files until Ctrl-C, printing
@@ -22,14 +25,24 @@ import graft.streaming.DocStream
 object CrawlCurate {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CrawlCurate <warcDir> <outDir> [pollSeconds]")
+      "usage: CrawlCurate <warcDir> <outDir> [quality|gopher] [pollSeconds]")
     val warcDir = args(0)
     val out = args(1)
-    val poll = args.lift(2).map(s => s"${s.toInt} seconds")
+    val rest = args.drop(2)
+    val gate = rest.headOption match {
+      case Some("gopher") => DocStream.CrawlGate.Gopher()
+      case Some("quality") => DocStream.CrawlGate.Quality()
+      case _ => DocStream.CrawlGate.Quality()
+    }
+    val pollArg =
+      if (rest.headOption.exists(a => a == "gopher" || a == "quality"))
+        rest.lift(1)
+      else rest.headOption
+    val poll = pollArg.map(s => s"${s.toInt} seconds")
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val q = DocStream.curateWetCrawl(spark, warcDir,
       corpusDir = s"$out/corpus", indexDir = s"$out/index",
-      checkpointDir = s"$out/ckpt", pollInterval = poll)
+      checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll)
     q.awaitTermination()
     val n = scala.util.Try(
       spark.read.parquet(s"$out/corpus").count()).getOrElse(0L)

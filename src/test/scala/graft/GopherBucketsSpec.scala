@@ -140,6 +140,31 @@ class GopherBucketsSpec extends SparkSpec {
     assert(nulls(0).isNullAt(nulls(0).fieldIndex("tier")))
   }
 
+  test("scoreBucketsApprox: a NULL score gets a NULL bucket, never 'head'") {
+    // r13 (advisor): the HOF comparison count drops null-predicate
+    // elements, so a null score counted zero cuts and landed in
+    // bucket 1 — silently promoting UNSCORED docs to the best tier.
+    // Policy now matches the unsampled-group arm: loud NULL.
+    val rows = (1L to 30L).map(i => (i, "en", i.toDouble)).toDF("id", "lang", "score")
+    val withNull = rows.unionByName(
+      Seq((999L, "en")).toDF("id", "lang").withColumn("score", lit(null).cast("double")))
+    val out = Corpus.scoreBucketsApprox(withNull, "id", "lang", "score", k = 3,
+        sampleFraction = 1.0)
+      .filter(col("id") === 999L).collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("bucket")))
+    assert(out(0).isNullAt(out(0).fieldIndex("tier")))
+    // uniform policy at k = 1 too
+    val one = Corpus.scoreBucketsApprox(withNull, "id", "lang", "score", k = 1)
+      .filter(col("id") === 999L).collect()
+    assert(one(0).isNullAt(one(0).fieldIndex("bucket")))
+    // scored rows unaffected by the null's presence
+    val scored = Corpus.scoreBucketsApprox(withNull, "id", "lang", "score", k = 3,
+        sampleFraction = 1.0)
+      .filter(col("id") =!= 999L).collect().map(_.getAs[Int]("bucket"))
+    assert(scored.forall(b => b >= 1 && b <= 3))
+  }
+
   test("scoreBucketsApprox: k=1 is a single bucket; bad fraction refused") {
     val df = Seq((1L, "en", 1.0), (2L, "en", 2.0)).toDF("id", "lang", "score")
     val one = Corpus.scoreBucketsApprox(df, "id", "lang", "score", k = 1)

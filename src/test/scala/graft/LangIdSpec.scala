@@ -1,0 +1,139 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.LangId
+import org.apache.spark.sql.functions._
+
+/** Trainable language identifier (r13): multinomial NB over hashed
+  * char n-grams, trained IN Spark over the 31-language fixture
+  * corpus (`/langid_fixtures.tsv`, 13 sentences per language; first
+  * 10 train, last 3 held out). Training quality is spec territory
+  * (ln has no engine-identical twin — q123 gates the quantized
+  * serving path); this suite gates breadth (the r12 verdict's #1:
+  * the 4-language marker argmax upgraded to ≥20 added languages),
+  * marker agreement on en/es/de/fr, the zero-evidence → und rule,
+  * and the [[Text.withLangId]] delegation contract. */
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixtures: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/langid_fixtures.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val t = l.split("\t", 2); (t(0), t(1))
+    }.toList
+    finally src.close()
+  }
+
+  // (id, lang, text, heldOut) — per-language split so every language
+  // trains AND evaluates
+  private lazy val corpus = fixtures.groupBy(_._1).toSeq.sortBy(_._1)
+    .flatMap { case (lang, rows) =>
+      rows.zipWithIndex.map { case ((_, text), i) =>
+        (lang, text, i >= rows.size - 3)
+      }
+    }.zipWithIndex.map { case ((l, t, h), id) => (id.toLong, l, t, h) }
+
+  private lazy val model = {
+    val train = corpus.filter(!_._4).toDF("id", "lang", "text", "held")
+    LangId.train(train, "id", "text", "lang")
+  }
+  private lazy val quantized = LangId.quantize(model)
+
+  test("model shape: floors negative, sparse deltas positive, one floor/prior per language") {
+    assert(model.langs.size === 31)
+    assert(model.langs.forall { case (_, p, f) => p < 0.0 && f < 0.0 })
+    assert(model.weights.forall(_._3 > 0.0), "dw = w - floor must be > 0 for seen grams")
+    assert(model.weights.map(w => (w._1, w._2)).distinct.size === model.weights.size)
+    // quantization drops nothing material at the default scale
+    assert(quantized.langs.size === 31)
+    assert(quantized.weights.nonEmpty)
+  }
+
+  test("held-out accuracy: >= 20 added languages correct; en/es/de/fr agree with the markers") {
+    val held = corpus.filter(_._4).toDF("id", "lang", "text", "held")
+    val got = LangId.withLang(held, "text", quantized, "lang_trained",
+        idCol = Some("id"))
+      .select(col("id"), col("lang"), col("lang_trained"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.length === 31 * 3)
+    val perLang = got.groupBy(_._2).view
+      .mapValues(rs => rs.count(r => r._3 == r._2)).toMap
+    val marker = Set("en", "es", "de", "fr")
+    // the four marker languages must be perfect (they're what the
+    // CCNet-shape queries grouped by before r13 — no regression)
+    marker.foreach { l =>
+      assert(perLang(l) === 3, s"$l held-out must be 3/3, got ${perLang(l)}")
+    }
+    val added = perLang.filterNot { case (l, _) => marker(l) }
+    val addedGood = added.count { case (_, c) => c >= 2 } // majority per language
+    assert(addedGood >= 20,
+      s"need >= 20 added languages at >= 2/3 held-out accuracy, got $addedGood " +
+        s"(per-lang: ${added.toSeq.sortBy(_._1).mkString(", ")})")
+    val overall = got.count(r => r._3 == r._2).toDouble / got.length
+    assert(overall >= 0.80, f"overall held-out accuracy $overall%.2f < 0.80")
+  }
+
+  test("agrees with the marker langid wherever the marker is right") {
+    val held = corpus.filter(r => r._4 && Set("en", "es", "de", "fr")(r._2))
+      .toDF("id", "lang", "text", "held")
+    val markers = Text.withLangId(held, "text", "lang_marker")
+    val both = LangId.withLang(markers, "text", quantized, "lang_trained",
+        idCol = Some("id"))
+      .select(col("lang"), col("lang_marker"), col("lang_trained")).collect()
+    // the marker argmax is a 4-language toy and does mislabel (one fr
+    // fixture reads as es to it) — the contract worth keeping is:
+    // wherever the marker speaks AND is right, the trained model says
+    // the same thing (no regression on the marker's home turf)
+    val spokeRight = both.filter(r => r.getString(1) == r.getString(0))
+    assert(spokeRight.length >= 8,
+      s"marker must label most en/es/de/fr fixtures correctly, got ${spokeRight.length}/12")
+    spokeRight.foreach { r =>
+      assert(r.getString(2) === r.getString(1),
+        s"marker correctly said ${r.getString(1)}, trained said ${r.getString(2)}")
+    }
+  }
+
+  test("zero evidence yields und; empty and whitespace-only text never crash") {
+    val docs = Seq((1L, ""), (2L, "   \t  \n "), (3L, "the weather is nice"))
+      .toDF("id", "text")
+    val got = LangId.withLang(docs, "text", quantized, "lang_guess",
+        idCol = Some("id"))
+      .select(col("id"), col("lang_guess")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "und")
+    assert(got(2L) === "und")
+    assert(got(3L) === "en")
+  }
+
+  test("withLangId delegates behind the trained flag; marker form unchanged without it") {
+    val docs = Seq((1L, "der Hund und die Katze spielen im schönen Garten"),
+      (2L, "el perro y el gato juegan en el jardín"))
+      .toDF("doc_id", "text")
+    val trained = Text.withLangId(docs, "text", trained = Some(quantized))
+      .select(col("doc_id"), col("lang_guess")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(trained(1L) === "de")
+    assert(trained(2L) === "es")
+    // no idCol passed: the content-fingerprint join-back path must
+    // keep row count + schema, label duplicate texts identically,
+    // and pin NOTHING (the returned-lazy-frame Pins leak class)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val dup = docs.unionByName(Seq((3L, "el perro y el gato juegan en el jardín"))
+      .toDF("doc_id", "text"))
+    val out = Text.withLangId(dup, "text", trained = Some(quantized))
+    val rows = out.collect()
+    assert(rows.length === 3)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "lang_guess"))
+    assert(rows.filter(r => Set(2L, 3L)(r.getLong(0)))
+      .map(_.getString(2)).toSet === Set("es"))
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "withLang must not leave block-manager pins behind")
+    // without the flag: the 4-language marker argmax, as before
+    val marker = Text.withLangId(docs, "text")
+      .select(col("doc_id"), col("lang_guess")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(marker(1L) === "de")
+  }
+}

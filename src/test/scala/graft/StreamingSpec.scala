@@ -308,6 +308,46 @@ class StreamingSpec extends SparkSpec {
     assert(corpusIds() === Set(1L, 2L, 4L))
   }
 
+  test("stale index over a deleted corpus is overwritten, not appended into (no ghost ids)") {
+    // r13 (advisor): corpus deleted but index+marker left behind →
+    // the batch is deduped via the index-IGNORING branch, yet the
+    // final write used mode=append — ghost ids from the dead corpus
+    // accumulated, breaking index⊆corpus and the incremental
+    // kernel's batch-ids-disjoint contract on later batches.
+    import graft.streaming.DocStream
+    import graft.operators.Multimodal.MiniEncoder
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructType}
+    val in1 = Files.createTempDirectory("ghost_in1").toString
+    val in2 = Files.createTempDirectory("ghost_in2").toString
+    val corpusRoot = Files.createTempDirectory("ghost_corpus").toString
+    val corpus = corpusRoot + "/corpus"
+    val index = Files.createTempDirectory("ghost_idx").toString + "/idx"
+    def png(a: Int) = MiniEncoder.pngGray(18, 16, (x, y) => (x * a + y * (a + 5)) % 256)
+    def arrive(in: String, rows: Seq[(Long, Array[Byte])]): Unit =
+      rows.toDF("doc_id", "content").coalesce(1).write.mode("append").parquet(in)
+    val schema = new StructType().add("doc_id", LongType).add("content", BinaryType)
+    def drain(in: String, ckpt: String): Unit = DocStream.curateImageNearDup(spark,
+      spark.readStream.schema(schema).parquet(in),
+      corpus, index, ckpt, maxDistance = 0).awaitTermination()
+    arrive(in1, Seq(1L -> png(13), 2L -> png(7)))
+    drain(in1, Files.createTempDirectory("ghost_ck1").toString)
+    assert(spark.read.parquet(index).select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // the corpus is deleted out from under the stream; index survives
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(corpus), true)
+    spark.catalog.refreshByPath(corpus)
+    // new life: fresh input dir + checkpoint over the same index dir
+    arrive(in2, Seq(8L -> png(41), 9L -> png(13)))
+    drain(in2, Files.createTempDirectory("ghost_ck2").toString)
+    val cIds = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    val iIds = spark.read.parquet(index).select("id").as[Long].collect().toSet
+    // 9 is a copy of DEAD doc 1 — the stale index must not veto it,
+    // and must hold exactly the reborn corpus (no ghosts 1, 2)
+    assert(cIds === iIds, s"index⊆corpus broken: corpus=$cIds index=$iIds")
+    assert(iIds.intersect(Set(1L, 2L)).isEmpty, s"ghost ids survived: $iIds")
+  }
+
   test("crawl-to-corpus: arriving WET segments stream through quality + incremental near-dup") {
     import graft.streaming.DocStream
     import graft.sinks.WarcShards
@@ -354,5 +394,66 @@ class StreamingSpec extends SparkSpec {
     DocStream.curateWetCrawl(spark, warcDir, corpus, index, ckpt,
       minJaccard = 0.5).awaitTermination()
     assert(uris() === Set("urn:x:a", "urn:x:b", "urn:x:d"))
+  }
+
+  test("crawl gate knob: a Gopher drain equals the batch keep + near-dup decision (r13)") {
+    import graft.streaming.DocStream
+    import graft.sinks.WarcShards
+    import graft.operators.{Corpus, Dedup}
+    val warcDir = Files.createTempDirectory("gop_in").toString
+    val corpus = Files.createTempDirectory("gop_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("gop_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("gop_ckpt").toString
+    // texts engineered against the Gopher rules: `good` passes (>= 50
+    // words, stopwords, letters), `short` fails n_words, `symbols`
+    // fails symbol_ratio; `dupA`/`dupB` are EXACT copies of good2
+    // split across segments (cross-batch dedup at minJaccard = 1.0)
+    val filler = (1 to 60).map(i => s"word$i and the state of that").mkString(" ")
+    val good1 = s"the first page talks about rivers and $filler"
+    val good2 = s"the second page talks about mountains and $filler"
+    val short = "too few words here"
+    val symbols = ("#### " * 50) + filler // symbol_ratio ≈ 0.49 > 0.1
+    def wet(rows: Seq[(String, String)], dir: String): Unit =
+      WarcShards.write(
+        rows.toDF("u", "t").select(
+          regexp_replace(col("u"), "urn:g:", "").as("k"), col("u"),
+          col("t").cast("binary").as("p")),
+        "k", "u", "p", dir, nShards = 1)
+    wet(Seq("urn:g:a" -> good1, "urn:g:b" -> good2, "urn:g:c" -> short), warcDir)
+    DocStream.curateWetCrawl(spark, warcDir, corpus, index, ckpt,
+      gate = DocStream.CrawlGate.Gopher(), minJaccard = 1.0).awaitTermination()
+    // segment 2: an exact copy of good2 (must near-dup away) + symbols
+    val tmp2 = Files.createTempDirectory("gop_seg2").toString
+    wet(Seq("urn:g:d" -> good2, "urn:g:e" -> symbols), tmp2)
+    for (f <- new java.io.File(tmp2).listFiles();
+         n = f.getName if n.endsWith(".warc.gz") || n.endsWith(".cdx"))
+      Files.copy(f.toPath, java.nio.file.Paths.get(warcDir, "seg2-" + n))
+    DocStream.curateWetCrawl(spark, warcDir, corpus, index, ckpt,
+      gate = DocStream.CrawlGate.Gopher(), minJaccard = 1.0).awaitTermination()
+    val got = spark.read.parquet(corpus)
+      .select("target_uri").as[String].collect().toSet
+    // the BATCH decision over the union of both segments: Gopher keep
+    // via the same gopherSignalsOf trees, then min-uri per exact
+    // content class (the J=1.0 dedup equivalence)
+    val all = Seq("urn:g:a" -> good1, "urn:g:b" -> good2,
+      "urn:g:c" -> short, "urn:g:d" -> good2, "urn:g:e" -> symbols)
+      .toDF("target_uri", "text")
+    val kept = Corpus.gopherSignalsOf(all, "text").filter(col("keep"))
+    val batchKeep = kept
+      .withColumn("_k", md5(graft.functions.Text.normalized(col("text"))))
+      .groupBy(col("_k")).agg(min(col("target_uri")).as("target_uri"))
+      .select("target_uri").as[String].collect().toSet
+    // survivor identity within a class is arrival-order (d arrived
+    // after b), so compare CLASSES: got and batchKeep agree on the
+    // class set and the gate decisions
+    def cls(uris: Set[String]) = {
+      val m = all.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      uris.map(u => m(u))
+    }
+    assert(cls(got) === cls(batchKeep),
+      s"drained=$got batch=$batchKeep")
+    assert(got.contains("urn:g:b") && !got.contains("urn:g:d"),
+      s"first arrival must win the dup class: $got")
+    assert(!got.exists(Set("urn:g:c", "urn:g:e")), s"gate leaked: $got")
   }
 }

@@ -330,7 +330,7 @@ class WarcSpec extends SparkSpec {
       record("http://x/utf", envelope("200 OK", "text/html; charset=UTF-8", utf)) +
       record("http://x/latin", envelope("200 OK", "text/html; charset=ISO-8859-1", latin)) +
       record("http://x/bare", envelope("200 OK", "text/plain", utf)) + // no charset → UTF-8
-      record("http://x/exotic", envelope("200 OK", "text/html; charset=shift_jis", utf)) +
+      record("http://x/unknown", envelope("200 OK", "text/html; charset=klingon", utf)) +
       record("http://x/404", envelope("404 Not Found", "text/html", utf)) +
       record("http://x/img", envelope("200 OK", "image/png", Array[Byte](1, 2, 3)))
     val gz = new java.util.zip.GZIPOutputStream(
@@ -339,11 +339,64 @@ class WarcSpec extends SparkSpec {
     val rows = graft.sources.WarcSource.responseText(spark, dir)
       .collect().map(r => r.getString(0) -> Option(r.getString(3))).toMap
     // 404 and image/png filtered entirely
-    assert(rows.keySet === Set("http://x/utf", "http://x/latin", "http://x/bare", "http://x/exotic"))
+    assert(rows.keySet === Set("http://x/utf", "http://x/latin", "http://x/bare", "http://x/unknown"))
     assert(rows("http://x/utf") === Some("café"))
     assert(rows("http://x/latin") === Some("café")) // latin-1 bytes decoded as declared
     assert(rows("http://x/bare") === Some("café")) // HTML5 default
-    assert(rows("http://x/exotic") === None) // undecodable charset → loud null, never mojibake
+    assert(rows("http://x/unknown") === None) // unlisted charset → loud null, never mojibake
+  }
+
+  test("responseText r13: the non-Western web decodes byte-exactly; malformed bytes NULL loudly") {
+    val dir = freshDir()
+    def envelope(ctype: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    def record(uri: String, payload: Array[Byte]): Array[Byte] =
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-00000000000c>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    // foreign-encoded fixtures: each original string round-trips
+    // byte-exactly through encode-at-write → declared-charset decode
+    val cases: Seq[(String, String, String, String)] = Seq(
+      ("gbk", "text/html; charset=GBK", "GBK", "中文网页内容测试"),
+      ("gb2312", "text/html; charset=gb2312", "GBK", "简体中文"),
+      ("sjis", "text/html; charset=Shift_JIS", "Shift_JIS", "日本語のページです"),
+      ("eucjp", "text/plain; charset=EUC-JP", "EUC-JP", "コンテンツ"),
+      ("euckr", "text/html; charset=euc-kr", "EUC-KR", "한국어 웹 페이지"),
+      ("big5", "text/html; charset=Big5", "Big5", "繁體中文網頁"),
+      ("l2", "text/html; charset=ISO-8859-2", "ISO-8859-2", "Zażółć gęślą jaźń"),
+      ("koi8", "text/plain; charset=koi8-r", "KOI8-R", "русский текст"),
+      ("w1250", "text/html; charset=windows-1250", "windows-1250", "Příliš žluťoučký"),
+      ("w1251", "text/html; charset=cp1251", "windows-1251", "кириллица"),
+      ("xhtml", "application/xhtml+xml; charset=UTF-8", "UTF-8", "xhtml is text too"))
+    val sniffBody = ("<html><head><meta charset=\"windows-1250\"></head>" +
+      "Příliš žluťoučký kůň").getBytes("windows-1250")
+    val httpEquivBody = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=koi8-r\"></head>привет").getBytes("KOI8-R")
+    val malformed = Array[Byte](0x81.toByte, 0x20) // invalid Shift_JIS pair
+    val payload: Array[Byte] =
+      cases.flatMap { case (k, ct, jvm, s) =>
+        record(s"http://x/$k", envelope(ct, s.getBytes(jvm)))
+      }.toArray ++
+      record("http://x/sniff", envelope("text/html", sniffBody)) ++
+      record("http://x/equiv", envelope("text/html", httpEquivBody)) ++
+      record("http://x/malformed", envelope("text/html; charset=shift_jis", malformed))
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "cc3.warc.gz")))
+    gz.write(payload); gz.close()
+    val rows = graft.sources.WarcSource.responseText(spark, dir)
+      .collect().map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    cases.foreach { case (k, _, _, s) =>
+      assert(rows(s"http://x/$k") === Some(s), s"charset case $k")
+    }
+    // no declared charset → <meta> sniff, both spellings
+    assert(rows("http://x/sniff").exists(_.endsWith("Příliš žluťoučký kůň")))
+    assert(rows("http://x/equiv").exists(_.endsWith("привет")))
+    // declared-charset bytes that do not decode → NULL, scan survives
+    assert(rows("http://x/malformed") === None)
   }
 
   test("wetText: (target_uri, text) straight from WET shards") {
