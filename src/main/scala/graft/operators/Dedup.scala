@@ -378,12 +378,16 @@ object Dedup {
     new org.apache.hadoop.fs.Path(path, "_graft_family.json")
 
   private def writeFamilyMarker(spark: org.apache.spark.sql.SparkSession,
-      path: String, numHashes: Int, shingleK: Int): Unit = {
+      path: String, numHashes: Int, shingleK: Int,
+      bands: Int = 0, ranges: Int = 0): Unit = {
     val p = familyMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
+    val layout =
+      if (bands > 0) s""","layout":"banded","bands":$bands,"ranges":$ranges"""
+      else ""
     out.write(
-      s"""{"family":"$IndexFamily","numHashes":$numHashes,"shingleK":$shingleK}"""
+      s"""{"family":"$IndexFamily","numHashes":$numHashes,"shingleK":$shingleK$layout}"""
         .getBytes("UTF-8"))
     out.close()
   }
@@ -412,14 +416,45 @@ object Dedup {
   def minhashWriteIndex(
       df: DataFrame, idCol: String, textCol: String, path: String,
       numHashes: Int = 32, shingleK: Int = 3,
-      mode: String = "overwrite"): Unit = indexWriteLocked(df.sparkSession, path) {
+      mode: String = "overwrite",
+      bands: Int = 0, ranges: Int = 64): Unit = indexWriteLocked(df.sparkSession, path) {
+    val spark = df.sparkSession
     // appending into an existing index with different parameters or a
     // different family would silently mix incompatible signatures
-    if (mode == "append") checkFamilyMarker(df.sparkSession, path, numHashes, shingleK)
-    shingleSets(df, idCol, textCol, shingleK)
+    if (mode == "append") {
+      checkFamilyMarker(spark, path, numHashes, shingleK)
+      val existing = markerLayout(spark, path)
+      require(existing == (if (bands > 0) Some((bands, ranges)) else None),
+        s"index at $path has layout ${existing.getOrElse("flat")}, " +
+          s"append presents ${if (bands > 0) s"banded($bands,$ranges)" else "flat"} — " +
+          "layouts are baked at the first write")
+    }
+    val sigs = shingleSets(df, idCol, textCol, shingleK)
       .select(col("id"), signatureFromShingles(col("s"), numHashes).as("sig"))
-      .write.mode(mode).parquet(path)
-    writeFamilyMarker(df.sparkSession, path, numHashes, shingleK)
+    if (bands <= 0) sigs.write.mode(mode).parquet(path)
+    else {
+      // banded layout (r13, the hammingWriteIndex move): rows stored
+      // pre-banded under the pblock partition column so probes prune
+      // to touched blocks. The 32-long signature rides ONLY band-0
+      // rows (parquet stores the nulls for free) — the flat (id, sig)
+      // view the estimate step fetches is the band-0 slice, itself
+      // partition-pruned (pblock < ranges).
+      require(numHashes % bands == 0, "bands must divide numHashes")
+      require(ranges >= 1, s"ranges must be >= 1, got $ranges")
+      val rows = numHashes / bands
+      sigs.select(col("id"), col("sig"),
+          posexplode(array((0 until bands).map(b =>
+            xxhash64(concat_ws("_", (0 until rows).map(r =>
+              element_at(col("sig"), b * rows + r + 1)): _*))): _*))
+            .as(Seq("band", "band_hash")))
+        .select(col("id"), col("band"), col("band_hash"),
+          when(col("band") === 0, col("sig")).as("sig"))
+        .withColumn("pblock",
+          (col("band") * ranges + pmod(col("band_hash"), lit(ranges))).cast(IntegerType))
+        .write.mode(mode).partitionBy("pblock").parquet(path)
+    }
+    writeFamilyMarker(spark, path, numHashes, shingleK,
+      if (bands > 0) bands else 0, if (bands > 0) ranges else 0)
     // a session that already READ this path holds its file listing in
     // the FileStatusCache; without the refresh an append is invisible
     // to that session's next read (bit the streaming curation loop:
@@ -458,11 +493,35 @@ object Dedup {
     val newSets = shingleSets(newDocs, idCol, textCol, shingleK).repartition(col("id"))
     val newSigs = newSets.select(col("id"),
       signatureFromShingles(col("s"), numHashes).as("sig"))
-    val oldSigs = spark.read.parquet(indexPath)
-    val allSigs = oldSigs.unionByName(newSigs)
-
     val newBanded = bandedOf(newSigs, numHashes, bands)
-    val allBanded = bandedOf(allSigs, numHashes, bands)
+    val (idxBanded, oldSigs) = markerLayout(spark, indexPath) match {
+      case Some((idxBands, ranges)) =>
+        // banded layout (r13): the index is banded on disk — read only
+        // the batch's touched partition blocks for bucketing/census
+        // (bounded collect, ≤ bands·ranges distinct ints), and the
+        // flat (id, sig) view for the estimate step from the band-0
+        // slice (pblock < ranges — also partition-pruned).
+        require(idxBands == bands,
+          s"banded index at $indexPath was written with bands=$idxBands, " +
+            s"probe uses $bands — banding geometry is baked at write")
+        val touched = newBanded
+          .select(((col("band") * ranges + pmod(col("band_hash"), lit(ranges)))
+            .cast(IntegerType)).as("pblock"))
+          .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+        val banded = spark.read.parquet(indexPath)
+          .filter(if (touched.isEmpty) lit(false)
+            else col("pblock").isin(touched: _*))
+          .select(col("id"), col("band"), col("band_hash"))
+        val flat = spark.read.parquet(indexPath)
+          .filter(col("pblock") < ranges && col("band") === 0)
+          .select(col("id"), col("sig"))
+        (banded, flat)
+      case None =>
+        val flat = spark.read.parquet(indexPath)
+        (bandedOf(flat, numHashes, bands), flat)
+    }
+    val allSigs = oldSigs.unionByName(newSigs)
+    val allBanded = idxBanded.unionByName(newBanded)
     // degenerate-bucket guard over the UNION census (same contract as
     // the batch path: dropped buckets still collide in other bands)
     val keepBuckets = allBanded.groupBy(col("band"), col("band_hash"))
@@ -1072,13 +1131,42 @@ object Dedup {
     new org.apache.hadoop.fs.Path(path, "_graft_family.json")
 
   private def writeHammingMarker(spark: org.apache.spark.sql.SparkSession,
-      path: String, family: String, width: Int): Unit = {
+      path: String, family: String, width: Int,
+      bands: Int = 0, ranges: Int = 0): Unit = {
     val p = hammingMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    out.write(s"""{"family":"$family","width":$width}""".getBytes("UTF-8"))
+    val layout =
+      if (bands > 0) s""","layout":"banded","bands":$bands,"ranges":$ranges"""
+      else ""
+    out.write(s"""{"family":"$family","width":$width$layout}""".getBytes("UTF-8"))
     out.close()
   }
+
+  /** Layout of a marked index: `Some((bands, ranges))` when the rows
+    * are stored PRE-BANDED under the `pblock` partition column
+    * (r13), `None` for the flat `(id, f, sh)` layout. Shared by the
+    * hamming / minhash / embedding-LSH markers (same field names). */
+  private[graft] def markerLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int)] = {
+    val p = hammingMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def field(k: String): Option[String] =
+      (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
+    if (!field("layout").contains("banded")) None
+    else Some((field("bands").map(_.toInt).getOrElse(0),
+      field("ranges").map(_.toInt).getOrElse(0)))
+  }
+
+  /** The banded layout's partition column: one value per
+    * (band, chunk-residue) block, so a probe's touched blocks prune
+    * at PLANNING (static `IN` over the partition column — the bloom
+    * `word_range` move extended to the signature indexes). */
+  private def pblockOf(ranges: Int): Column =
+    (col("band") * ranges + pmod(col("chunk"), lit(ranges))).cast(IntegerType)
 
   private def checkHammingMarker(spark: org.apache.spark.sql.SparkSession,
       path: String, family: String, width: Int): Unit = {
@@ -1224,16 +1312,56 @@ object Dedup {
 
   /** Write (or append) a persisted hamming signature index. `family`
     * names the EXTRACTOR (e.g. `dhash-v1`) — probes must present the
-    * same string; `width` is the signature bit width. */
+    * same string; `width` is the signature bit width.
+    *
+    * `bands > 0` selects the BANDED layout (r13): rows are stored
+    * pre-banded as `(band, chunk, f, id, sh)` under a `pblock`
+    * partition column (`band · ranges + chunk mod ranges`), so an
+    * incremental probe reads ONLY the partition blocks its batch's
+    * buckets touch — O(touched-buckets) per trigger instead of
+    * re-banding the whole index (the bloom `word_range` move).
+    * Banding geometry is baked at write: probes must present the
+    * same `bands` (marker-enforced), and appends the same layout.
+    * Storage is ×bands rows of ~32 B — still a vanishing fraction of
+    * the media the index summarizes. The flat `(id, f, sh)` view is
+    * the band-0 slice ([[hammingIndexFlat]]), itself partition-pruned. */
   def hammingWriteIndex(sigs: DataFrame, path: String, family: String,
-      width: Int, mode: String = "overwrite"): Unit = {
+      width: Int, mode: String = "overwrite",
+      bands: Int = 0, ranges: Int = 64): Unit = {
     val spark = sigs.sparkSession
     indexWriteLocked(spark, path) {
-      if (mode == "append") checkHammingMarker(spark, path, family, width)
-      withFrame(sigs).write.mode(mode).parquet(path)
-      writeHammingMarker(spark, path, family, width)
+      if (mode == "append") {
+        checkHammingMarker(spark, path, family, width)
+        val existing = markerLayout(spark, path)
+        require(existing == (if (bands > 0) Some((bands, ranges)) else None),
+          s"index at $path has layout ${existing.getOrElse("flat")}, " +
+            s"append presents ${if (bands > 0) s"banded($bands,$ranges)" else "flat"} — " +
+            "layouts are baked at the first write")
+      }
+      if (bands <= 0) withFrame(sigs).write.mode(mode).parquet(path)
+      else {
+        require(width % bands == 0, s"bands must divide the $width-bit width")
+        require(ranges >= 1, s"ranges must be >= 1, got $ranges")
+        hammingBandedOf(withFrame(sigs), width, bands)
+          .withColumn("pblock", pblockOf(ranges))
+          .write.mode(mode).partitionBy("pblock").parquet(path)
+      }
+      writeHammingMarker(spark, path, family, width,
+        if (bands > 0) bands else 0, if (bands > 0) ranges else 0)
       spark.catalog.refreshByPath(path)
     }
+  }
+
+  /** The flat `(id, f, sh)` view of a hamming index, either layout —
+    * banded indexes serve it from the band-0 slice (one row per id,
+    * partition-pruned to the first `ranges` blocks). */
+  def hammingIndexFlat(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = markerLayout(spark, path) match {
+    case Some((_, ranges)) =>
+      spark.read.parquet(path).filter(col("pblock") < ranges)
+        .select(col("id"), col("f"), col("sh"))
+    case None =>
+      spark.read.parquet(path).select(col("id"), col("f"), col("sh"))
   }
 
   /** Banded `(id, f, sh, band, chunk)` of a signature table — the
@@ -1268,10 +1396,30 @@ object Dedup {
     require(width % bands == 0, s"bands must divide the $width-bit width")
     checkHammingMarker(spark, indexPath, family, width)
     val fresh = withFrame(newSigs)
-    val old = spark.read.parquet(indexPath)
-    val all = old.unionByName(fresh)
     val newBanded = hammingBandedOf(fresh, width, bands)
-    val allBanded = hammingBandedOf(all, width, bands)
+    val idxBanded = markerLayout(spark, indexPath) match {
+      case Some((idxBands, ranges)) =>
+        // banded layout (r13): the index is already banded on disk —
+        // read ONLY the partition blocks this batch's buckets touch.
+        // The touched-block collect is bounded by bands·ranges
+        // distinct ints (metadata-scale, the codebook-collect class);
+        // buckets outside them cannot pair with the batch, and the
+        // union census below is computed over exactly the touched
+        // slice, where it is identical to the full-union census.
+        require(idxBands == bands,
+          s"banded index at $indexPath was written with bands=$idxBands, " +
+            s"probe uses $bands — banding geometry is baked at write")
+        val touched = newBanded.select(pblockOf(ranges).as("pblock"))
+          .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+        spark.read.parquet(indexPath)
+          .filter(if (touched.isEmpty) lit(false)
+            else col("pblock").isin(touched: _*))
+          .select(col("id"), col("f"), col("sh"), col("band"), col("chunk"))
+      case None =>
+        hammingBandedOf(spark.read.parquet(indexPath), width, bands)
+    }
+    val allBanded = idxBanded.unionByName(
+      newBanded.select(col("id"), col("f"), col("sh"), col("band"), col("chunk")))
     val keepBuckets = allBanded.groupBy(col("f"), col("band"), col("chunk"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)

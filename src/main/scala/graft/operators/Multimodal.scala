@@ -2111,8 +2111,9 @@ object Multimodal {
 
   /** Write (or append) the image dHash index for a media batch. */
   def imageHashIndexWrite(media: Dataset[MediaFile], path: String,
-      mode: String = "overwrite"): Unit =
-    Dedup.hammingWriteIndex(imageSigs(media), path, ImageHashFamily, 64, mode)
+      mode: String = "overwrite", bands: Int = 0, ranges: Int = 64): Unit =
+    Dedup.hammingWriteIndex(imageSigs(media), path, ImageHashFamily, 64, mode,
+      bands, ranges)
 
   /** New image batch vs the persisted index (plus itself):
     * `(id_a, id_b, distance)`, batch-touching pairs only. */
@@ -2125,8 +2126,9 @@ object Multimodal {
 
   /** Write (or append) the audio energy-hash index for a media batch. */
   def audioHashIndexWrite(media: Dataset[MediaFile], path: String,
-      mode: String = "overwrite"): Unit =
-    Dedup.hammingWriteIndex(audioSigs(media), path, AudioHashFamily, 64, mode)
+      mode: String = "overwrite", bands: Int = 0, ranges: Int = 64): Unit =
+    Dedup.hammingWriteIndex(audioSigs(media), path, AudioHashFamily, 64, mode,
+      bands, ranges)
 
   /** New audio batch vs the persisted index (plus itself). */
   def incrementalAudioNearDuplicates(media: Dataset[MediaFile],
@@ -2141,8 +2143,10 @@ object Multimodal {
     * the same timeline position, so a stride change re-labels the
     * frame axis (re-extract under the new stride instead). */
   def videoHashIndexWrite(media: Dataset[MediaFile], path: String,
-      stride: Int = 1, mode: String = "overwrite"): Unit =
-    Dedup.hammingWriteIndex(videoSigs(media, stride), path, VideoHashFamily, 64, mode)
+      stride: Int = 1, mode: String = "overwrite",
+      bands: Int = 0, ranges: Int = 64): Unit =
+    Dedup.hammingWriteIndex(videoSigs(media, stride), path, VideoHashFamily, 64, mode,
+      bands, ranges)
 
   /** New video batch vs the persisted per-frame index: frame-level
     * candidates from the shared incremental kernel (frame index in

@@ -277,12 +277,16 @@ object Similarity {
   private val LshIndexFamily = "hyperplane-lsh-v1"
 
   private def writeLshMarker(spark: org.apache.spark.sql.SparkSession,
-      path: String, dim: Int, bits: Int, seed: Long): Unit = {
+      path: String, dim: Int, bits: Int, seed: Long,
+      bands: Int = 0, ranges: Int = 0): Unit = {
     val p = lshMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
+    val layout =
+      if (bands > 0) s""","layout":"banded","bands":$bands,"ranges":$ranges"""
+      else ""
     out.write(
-      s"""{"family":"$LshIndexFamily","dim":$dim,"bits":$bits,"seed":$seed}"""
+      s"""{"family":"$LshIndexFamily","dim":$dim,"bits":$bits,"seed":$seed$layout}"""
         .getBytes("UTF-8"))
     out.close()
   }
@@ -308,17 +312,44 @@ object Similarity {
   }
 
   /** Write (or append) the corpus embedding-signature index:
-    * `(id, sig)` parquet under a (dim, bits, seed) marker. */
+    * `(id, sig)` parquet under a (dim, bits, seed) marker.
+    *
+    * `bands > 0` selects the BANDED layout (r13, the
+    * [[Dedup.hammingWriteIndex]] move): rows stored pre-banded as
+    * `(band, chunk, id, sig)` under a `pblock` partition column so
+    * incremental probes prune to the batch's touched blocks at
+    * planning instead of re-banding the whole index. Banding geometry
+    * is baked at write (marker-enforced on probes and appends). */
   def cosineWriteIndex(df: DataFrame, idCol: String, vecCol: String,
       path: String, dim: Int, bits: Int = 64, seed: Long = 42L,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", bands: Int = 0, ranges: Int = 64): Unit = {
     val spark = df.sparkSession
     Dedup.indexWriteLocked(spark, path) {
-      if (mode == "append") checkLshMarker(spark, path, dim, bits, seed)
+      if (mode == "append") {
+        checkLshMarker(spark, path, dim, bits, seed)
+        val existing = Dedup.markerLayout(spark, path)
+        require(existing == (if (bands > 0) Some((bands, ranges)) else None),
+          s"index at $path has layout ${existing.getOrElse("flat")}, " +
+            s"append presents ${if (bands > 0) s"banded($bands,$ranges)" else "flat"} — " +
+            "layouts are baked at the first write")
+      }
       val planes = hyperplanes(dim, bits, seed)
-      df.select(col(idCol).as("id"), signature(col(vecCol), planes).as("sig"))
-        .write.mode(mode).parquet(path)
-      writeLshMarker(spark, path, dim, bits, seed)
+      val sigs = df.select(col(idCol).as("id"), signature(col(vecCol), planes).as("sig"))
+      if (bands <= 0) sigs.write.mode(mode).parquet(path)
+      else {
+        require(bits % bands == 0, "bands must divide bits")
+        require(ranges >= 1, s"ranges must be >= 1, got $ranges")
+        val rows = bits / bands
+        sigs.select(col("id"), col("sig"),
+            posexplode(array((0 until bands).map(b =>
+              shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
+              .as(Seq("band", "chunk")))
+          .withColumn("pblock",
+            (col("band") * ranges + pmod(col("chunk"), lit(ranges))).cast(IntegerType))
+          .write.mode(mode).partitionBy("pblock").parquet(path)
+      }
+      writeLshMarker(spark, path, dim, bits, seed,
+        if (bands > 0) bands else 0, if (bands > 0) ranges else 0)
       spark.catalog.refreshByPath(path)
     }
   }
@@ -344,17 +375,36 @@ object Similarity {
     val newVecs = newDf.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
     val newSigs = newVecs.select(col("id"), signature(col("vec"), planes).as("sig"))
-    val allSigs = spark.read.parquet(indexPath).unionByName(newSigs)
     def bandedOf(sigs: DataFrame) = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
         .as(Seq("band", "chunk")))
-    val allBanded = bandedOf(allSigs)
+    val newBanded = bandedOf(newSigs)
+    val idxBanded = Dedup.markerLayout(spark, indexPath) match {
+      case Some((idxBands, ranges)) =>
+        // banded layout (r13): read only the batch's touched blocks —
+        // the Dedup.incrementalHammingCandidates contract, same
+        // bounded collect (≤ bands·ranges distinct ints)
+        require(idxBands == bands,
+          s"banded index at $indexPath was written with bands=$idxBands, " +
+            s"probe uses $bands — banding geometry is baked at write")
+        val touched = newBanded
+          .select(((col("band") * ranges + pmod(col("chunk"), lit(ranges)))
+            .cast(IntegerType)).as("pblock"))
+          .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+        spark.read.parquet(indexPath)
+          .filter(if (touched.isEmpty) lit(false)
+            else col("pblock").isin(touched: _*))
+          .select(col("id"), col("band"), col("chunk"))
+      case None =>
+        bandedOf(spark.read.parquet(indexPath))
+    }
+    val allBanded = idxBanded.unionByName(newBanded)
     val keep = allBanded.groupBy(col("band"), col("chunk"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
       .select(col("band"), col("chunk"))
-    val pairs = bandedOf(newSigs).join(keep, Seq("band", "chunk"))
+    val pairs = newBanded.join(keep, Seq("band", "chunk"))
       .select(col("band"), col("chunk"), col("id").as("_id_new"))
       .join(allBanded.select(col("band"), col("chunk"), col("id").as("_id_any")),
         Seq("band", "chunk"))

@@ -100,6 +100,51 @@ object ScaleRehearsal {
         minEstimate = 0.1, maxBucket = 1000))
     }
 
+    // r13: the probe-only pair isolating the banded layout's win.
+    // The flat/banded `incremental_dedup` path above times index
+    // write + probe together (the r6 continuity number); in
+    // production the write amortizes over thousands of triggers, so
+    // what the layout buys is the PER-TRIGGER probe — these two
+    // paths pre-build the index (untimed, `prepare` below) and time
+    // ONLY the probe. `_probe` = flat layout, `_banded_probe` = the
+    // pblock-partitioned layout whose touched blocks prune at
+    // planning.
+    // The probe is a TRIGGER-SIZED batch (≈50 docs, FIXED — a
+    // micro-batch does not grow with the corpus), so base-vs-amp
+    // isolates how per-trigger cost scales with INDEX size: the flat
+    // layout re-bands the whole index per probe (O(index)); the
+    // banded layout reads only the batch's touched pblocks
+    // (O(touched) — near-flat in index size).
+    def buildMinhashIdx(df: DataFrame, banded: Boolean): String = {
+      val work = java.nio.file.Files.createTempDirectory("graft_rehearsalb").toString
+      Dedup.minhashWriteIndex(df, "doc_id", "text", s"$work/sigidx",
+        numHashes = 32, shingleK = 2,
+        bands = if (banded) 16 else 0, ranges = 256)
+      s"$work/sigidx"
+    }
+    lazy val mhIdx: Map[(Boolean, Boolean), String] = Map(
+      (false, false) -> buildMinhashIdx(base, banded = false),
+      (false, true) -> buildMinhashIdx(amp, banded = false),
+      (true, false) -> buildMinhashIdx(base, banded = true),
+      (true, true) -> buildMinhashIdx(amp, banded = true))
+    // parquet-backed, not pinned: the inter-measurement clean()
+    // unpersists every block, which would kill a localCheckpoint
+    lazy val probeBatch = {
+      val p = java.nio.file.Files.createTempDirectory("graft_probe").toString + "/b"
+      base.filter(col("doc_id") % 97 === 3)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(col("text"), lit(" graftnew")).as("text"))
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def incrementalProbeOnly(df: DataFrame, banded: Boolean): Unit = {
+      val idx = mhIdx((banded, df eq amp))
+      noop(Dedup.incrementalNearDuplicates(spark, probeBatch, "doc_id", "text",
+        idx, df.select(col("doc_id"), col("text")),
+        minJaccard = 0.6, numHashes = 32, bands = 16, shingleK = 2,
+        minEstimate = 0.1, maxBucket = 1000))
+    }
+
     def spanRemoval(df: DataFrame): Unit =
       noop(Dedup.removeDuplicatedSpans(
         df.filter(length(Text.normalized(col("text"))) > 0),
@@ -195,6 +240,30 @@ object ScaleRehearsal {
         maxDistance = 2, maxBucket = 200))
     }
 
+    // r13: the media probe-only pair (see the minhash pair's comment)
+    def buildImageIdx(df: DataFrame, banded: Boolean): String = {
+      val idx = java.nio.file.Files.createTempDirectory("graft_hidxb").toString + "/img"
+      val media = graft.operators.Multimodal.syntheticPixelMedia(
+        df.select(col("doc_id")))
+      graft.operators.Multimodal.imageHashIndexWrite(media, idx,
+        bands = if (banded) 8 else 0, ranges = 256)
+      idx
+    }
+    lazy val imgIdx: Map[(Boolean, Boolean), String] = Map(
+      (false, false) -> buildImageIdx(base, banded = false),
+      (false, true) -> buildImageIdx(amp, banded = false),
+      (true, false) -> buildImageIdx(base, banded = true),
+      (true, true) -> buildImageIdx(amp, banded = true))
+    def incMediaProbeOnly(df: DataFrame, banded: Boolean): Unit = {
+      val idx = imgIdx((banded, df eq amp))
+      // trigger-sized fixed batch, ids disjoint from any index
+      val media = graft.operators.Multimodal.syntheticPixelMedia(
+        base.filter(col("doc_id") % 97 === 3)
+          .select((col("doc_id") + 200000000L).as("doc_id")))
+      noop(graft.operators.Multimodal.incrementalImageNearDuplicates(
+        media, idx, maxDistance = 2, maxBucket = 200))
+    }
+
     // r12: sampled-threshold CCNet bucketing (q117's shape) — cut
     // points from a hash-sample, comparison buckets, ZERO window.
     // Group density is scale-invariant under amplification, so the
@@ -261,7 +330,21 @@ object ScaleRehearsal {
       "bloom_seen_join" -> (df => bloomSeenJoin(df)),
       "incremental_media_dedup" -> (df => incMediaDedup(df)),
       "ccnet_buckets_approx" -> (df => ccnetApprox(df)),
-      "incremental_embedding_dedup" -> (df => incEmbDedup(df)))
+      "incremental_embedding_dedup" -> (df => incEmbDedup(df)),
+      "incremental_dedup_probe" -> (df => incrementalProbeOnly(df, banded = false)),
+      "incremental_dedup_banded_probe" -> (df => incrementalProbeOnly(df, banded = true)),
+      "incremental_media_dedup_probe" -> (df => incMediaProbeOnly(df, banded = false)),
+      "incremental_media_dedup_banded_probe" -> (df => incMediaProbeOnly(df, banded = true)))
+
+    // pre-build the probe-only paths' indexes OUTSIDE the timed
+    // section (a production index is written once and probed per
+    // trigger — the write must not pollute the probe measurement)
+    def prepareFor(names: Set[String]): Unit = {
+      if (names("incremental_dedup_probe") ||
+        names("incremental_dedup_banded_probe")) mhIdx
+      if (names("incremental_media_dedup_probe") ||
+        names("incremental_media_dedup_banded_probe")) imgIdx
+    }
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -282,6 +365,7 @@ object ScaleRehearsal {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .map(names => paths.filter(p => names(p._1)))
       .getOrElse(paths)
+    prepareFor(selected.map(_._1).toSet)
     val results = selected.map { case (name, run) =>
       clean()
       run(base) // discarded warmup: base JIT paid before either timed run
