@@ -462,6 +462,18 @@ object Dedup {
     df.sparkSession.catalog.refreshByPath(path)
   }
 
+  /** The flat `(id, sig)` view of a minhash index, either layout —
+    * banded indexes serve it from the band-0 slice (one row per id,
+    * the only rows carrying the signature; partition-pruned). */
+  def minhashIndexFlat(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = markerLayout(spark, path) match {
+    case Some((_, ranges)) =>
+      spark.read.parquet(path)
+        .filter(col("pblock") < ranges && col("band") === 0)
+        .select(col("id"), col("sig"))
+    case None => spark.read.parquet(path).select(col("id"), col("sig"))
+  }
+
   /** Incremental near-duplicate pairs: a NEW batch against the
     * persisted signature index plus itself — the arriving-crawl
     * setting, where re-running [[nearDuplicates]] over the whole

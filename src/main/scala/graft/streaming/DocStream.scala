@@ -114,7 +114,8 @@ object DocStream {
       minJaccard: Double = 0.8,
       maxFilesPerTrigger: Int = 100,
       pollInterval: Option[String] = None,
-      reliableCheckpointDir: Option[String] = None): StreamingQuery = {
+      reliableCheckpointDir: Option[String] = None,
+      indexBands: Int = 0, indexRanges: Int = 64): StreamingQuery = {
     val in = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -122,7 +123,7 @@ object DocStream {
       .withColumn("quality", Text.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
     curateNearDupStream(spark, in, corpusDir, indexDir, checkpointDir,
-      minJaccard, pollInterval, reliableCheckpointDir)
+      minJaccard, pollInterval, reliableCheckpointDir, indexBands, indexRanges)
   }
 
   /** The quality gate a crawl-curation stream applies to arriving
@@ -180,7 +181,8 @@ object DocStream {
       minJaccard: Double = 0.8,
       maxFilesPerTrigger: Int = 16,
       pollInterval: Option[String] = None,
-      reliableCheckpointDir: Option[String] = None): StreamingQuery = {
+      reliableCheckpointDir: Option[String] = None,
+      indexBands: Int = 0, indexRanges: Int = 64): StreamingQuery = {
     val in = applyGate(
       spark.readStream.format("graft.sources.WarcSource")
         .option("path", warcDir)
@@ -192,7 +194,7 @@ object DocStream {
           col("payload").cast(org.apache.spark.sql.types.StringType).as("text")),
       gate)
     curateNearDupStream(spark, in, corpusDir, indexDir, checkpointDir,
-      minJaccard, pollInterval, reliableCheckpointDir)
+      minJaccard, pollInterval, reliableCheckpointDir, indexBands, indexRanges)
   }
 
   /** The [[curateNearDup]] loop over ANY streaming frame with
@@ -205,7 +207,8 @@ object DocStream {
       checkpointDir: String,
       minJaccard: Double = 0.8,
       pollInterval: Option[String] = None,
-      reliableCheckpointDir: Option[String] = None): StreamingQuery = {
+      reliableCheckpointDir: Option[String] = None,
+      indexBands: Int = 0, indexRanges: Int = 64): StreamingQuery = {
     import graft.operators.Dedup
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
@@ -267,7 +270,8 @@ object DocStream {
         if (corpusExists && !pathExists(indexDir))
           Dedup.minhashWriteIndex(
             spark.read.parquet(corpusDir).select(col("doc_id"), col("text")),
-            "doc_id", "text", indexDir, mode = "overwrite")
+            "doc_id", "text", indexDir, mode = "overwrite",
+            bands = indexBands, ranges = indexRanges)
         val indexExists = pathExists(indexDir)
         // index repair probe (case 2), BEFORE the decision: ids ONLY —
         // doc_id vs id columns, no text column touched; texts are
@@ -279,7 +283,7 @@ object DocStream {
         if (corpusExists && indexExists) {
           val unindexedIds = pin(
             spark.read.parquet(corpusDir).select(col("doc_id"))
-              .join(spark.read.parquet(indexDir)
+              .join(Dedup.minhashIndexFlat(spark, indexDir)
                 .select(col("id").as("doc_id")).distinct(),
                 Seq("doc_id"), "left_anti"))
           nRepair = unindexedIds.count()
@@ -288,7 +292,7 @@ object DocStream {
               spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
                 .join(unindexedIds, Seq("doc_id"), "left_semi"))
             Dedup.minhashWriteIndex(unindexed, "doc_id", "text", indexDir,
-              mode = "append")
+              mode = "append", bands = indexBands, ranges = indexRanges)
             graft.Pins.release(unindexed)
           }
           graft.Pins.release(unindexedIds)
@@ -351,7 +355,8 @@ object DocStream {
             // An index without a corpus is garbage: overwrite it.
             Dedup.minhashWriteIndex(pinned.select(col("doc_id"), col("text")),
               "doc_id", "text", indexDir,
-              mode = if (indexExists && corpusExists) "append" else "overwrite")
+              mode = if (indexExists && corpusExists) "append" else "overwrite",
+              bands = indexBands, ranges = indexRanges)
           }
         } finally {
           // RDD-level: Dataset.unpersist is a no-op for checkpoint
@@ -460,7 +465,8 @@ object DocStream {
       maxDistance: Int = 7,
       bands: Int = 8,
       maxBucket: Int = 1000,
-      pollInterval: Option[String] = None): StreamingQuery = {
+      pollInterval: Option[String] = None,
+      indexBands: Int = 0, indexRanges: Int = 64): StreamingQuery = {
     import graft.operators.{Dedup, Multimodal}
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
@@ -495,20 +501,23 @@ object DocStream {
           if (corpusExists && !markerExists())
             Dedup.hammingWriteIndex(
               spark.read.parquet(corpusDir).select(col("doc_id").as("id"), col("sh")),
-              indexDir, Multimodal.ImageHashFamily, 64, mode = "overwrite")
+              indexDir, Multimodal.ImageHashFamily, 64, mode = "overwrite",
+              bands = indexBands, ranges = indexRanges)
           val indexExists = markerExists()
           // lagging-index repair BEFORE the decision (ids only; the
           // signature column rides in the corpus, no re-decode)
           if (corpusExists && indexExists) {
             val unindexed = spark.read.parquet(corpusDir)
               .select(col("doc_id").as("id"), col("sh"))
-              .join(spark.read.parquet(indexDir).select(col("id")).distinct(),
+              .join(Dedup.hammingIndexFlat(spark, indexDir)
+                .select(col("id")).distinct(),
                 Seq("id"), "left_anti")
               .localCheckpoint(true) // pin BEFORE appending the path it reads
             try {
               if (unindexed.count() > 0)
                 Dedup.hammingWriteIndex(unindexed, indexDir,
-                  Multimodal.ImageHashFamily, 64, mode = "append")
+                  Multimodal.ImageHashFamily, 64, mode = "append",
+                  bands = indexBands, ranges = indexRanges)
             } finally graft.Pins.release(unindexed)
           }
           val kept =
@@ -550,7 +559,8 @@ object DocStream {
               Dedup.hammingWriteIndex(
                 pinned.select(col("doc_id").as("id"), col("sh")), indexDir,
                 Multimodal.ImageHashFamily, 64,
-                mode = if (indexExists && corpusExists) "append" else "overwrite")
+                mode = if (indexExists && corpusExists) "append" else "overwrite",
+                bands = indexBands, ranges = indexRanges)
             }
           } finally graft.Pins.release(pinned)
         } finally graft.Pins.release(hashed)

@@ -456,4 +456,45 @@ class StreamingSpec extends SparkSpec {
       s"first arrival must win the dup class: $got")
     assert(!got.exists(Set("urn:g:c", "urn:g:e")), s"gate leaked: $got")
   }
+
+  test("streaming image curation over a BANDED index: same corpus, pruned probes (r13)") {
+    import graft.streaming.DocStream
+    import graft.operators.{Dedup, Multimodal}
+    import graft.operators.Multimodal.MiniEncoder
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructType}
+    val in = Files.createTempDirectory("mediab_in").toString
+    val corpus = Files.createTempDirectory("mediab_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("mediab_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("mediab_ckpt").toString
+    def png(a: Int) = MiniEncoder.pngGray(18, 16, (x, y) => (x * a + y * (a + 5)) % 256)
+    def arrive(rows: Seq[(Long, Array[Byte])]): Unit =
+      rows.toDF("doc_id", "content").coalesce(1).write.mode("append").parquet(in)
+    val schema = new StructType().add("doc_id", LongType).add("content", BinaryType)
+    def drain(): Unit = DocStream.curateImageNearDup(spark,
+      spark.readStream.schema(schema).parquet(in),
+      corpus, index, ckpt, maxDistance = 0,
+      indexBands = 8, indexRanges = 16).awaitTermination()
+    def corpusIds() = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    arrive(Seq(1L -> png(13), 2L -> png(7)))
+    drain()
+    assert(corpusIds() === Set(1L, 2L))
+    // cross-batch exact copy dies through the BANDED index; new image
+    // survives; appends accumulate in the banded layout
+    arrive(Seq(3L -> png(13), 4L -> png(29)))
+    drain()
+    assert(corpusIds() === Set(1L, 2L, 4L))
+    // the index is banded on disk (pblock partition dirs) and its
+    // FLAT view holds exactly the corpus ids, once each
+    val dirs = new java.io.File(index).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pblock=")).length
+    assert(dirs > 0, "index must be pblock-partitioned")
+    val flatIds = Dedup.hammingIndexFlat(spark, index)
+      .select("id").as[Long].collect()
+    assert(flatIds.length === flatIds.distinct.length)
+    assert(flatIds.toSet === corpusIds())
+    // replay idempotence unchanged through the banded layout
+    drain()
+    assert(corpusIds() === Set(1L, 2L, 4L))
+  }
 }
