@@ -1172,7 +1172,8 @@ object SparkEntry {
           operators.LangId.bucket(col("gram"), LangGateDim).as("bucket"),
           col("qdw"))
       operators.LangId.classifyQuantized(Tables(s, dir, "documents"),
-          "doc_id", "text", langTable, weights, LangGateDim)
+          "doc_id", "text", langTable, weights, LangGateDim,
+          family = "md5") // the oracle family; production serves xxh64
         .select(col("id").as("doc_id"), col("lang"), col("score_q"),
           col("n_grams"), col("n_hit"))
         .orderBy(col("doc_id"))

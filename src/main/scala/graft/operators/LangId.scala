@@ -63,9 +63,23 @@ object LangId {
   def langNormalized(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Hash bucket of a char-n-gram column (md5-prefix, portable). */
+  /** Hash bucket of a char-n-gram column (md5-prefix, portable —
+    * the ORACLE family: both engines compute it identically). */
   def bucket(gram: Column, dim: Int): Column =
     conv(substring(md5(gram), 1, 8), 16, 10).cast(LongType) % dim
+
+  /** Family-dispatched bucket (r13): `xxh64` is the PRODUCTION
+    * default — one 64-bit hash per gram instead of a full md5
+    * digest + hex parse, the q23/q24 convention (md5-derived
+    * portable families gate; xxh64 serves). A model's family is
+    * baked at training (the bucket geometry IS the model) and rides
+    * the artifact marker — mixed-family serving refuses at load. */
+  def bucketOf(gram: Column, dim: Int, family: String): Column = family match {
+    case "md5" => bucket(gram, dim)
+    case "xxh64" => pmod(xxhash64(gram), lit(dim.toLong))
+    case other => throw new IllegalArgumentException(
+      s"langid hash family '$other' (md5|xxh64)")
+  }
 
   /** Default n-gram orders: 1-grams carry script identity (one CJK /
     * Cyrillic / Arabic char is already strong evidence), 2/3-grams
@@ -79,25 +93,37 @@ object LangId {
     * [[Dedup.shinglesFromTokens]] HOF contract: the lambda sees an
     * attribute reference, never the normalization tree). */
   def features(df: DataFrame, idCol: String, textCol: String, dim: Int,
-      ns: Seq[Int] = DefaultNs): DataFrame = {
+      ns: Seq[Int] = DefaultNs, family: String = "xxh64"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram orders $ns")
     df.select(col(idCol).as("id"), langNormalized(col(textCol)).as("_n"))
       .select(col("id"), explode(flatten(array(
         ns.map(k => Text.charNgramsFromNormalized(col("_n"), k)): _*))).as("_g"))
-      .select(col("id"), bucket(col("_g"), dim).as("bucket"))
+      .select(col("id"), bucketOf(col("_g"), dim, family).as("bucket"))
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
+
+  /** Total gram count per doc as a pure LENGTH formula — every order
+    * k contributes max(len − k + 1, 0) grams, so the score's
+    * n_grams·floor term needs NO second evaluation of the feature
+    * explode (r13: the original n_grams aggregation re-ran the whole
+    * explode+hash — Catalyst shares nothing across the two
+    * aggregation branches — doubling the serving cost). */
+  private def nGramsOf(n: Column, ns: Seq[Int]): Column =
+    ns.map(k => greatest(length(n) - lit(k - 1), lit(0)).cast(LongType))
+      .reduce(_ + _)
 
   /** Trained model, sparse (see object scaladoc for the algebra).
     * `langs` rows are `(lang, lnPrior, lnFloor)`; `weights` rows are
     * `(lang, bucket, dw)` with `dw = w − floor > 0` (zero deltas —
     * i.e. unseen — are simply absent). */
   final case class Model(langs: Seq[(String, Double, Double)],
-      weights: Seq[(String, Long, Double)], dim: Int, ns: Seq[Int])
+      weights: Seq[(String, Long, Double)], dim: Int, ns: Seq[Int],
+      family: String)
 
   /** Integer-quantized model for exact-arithmetic serving. */
   final case class Quantized(langs: Seq[(String, Long, Long)],
-      weights: Seq[(String, Long, Long)], dim: Int, ns: Seq[Int], scale: Double)
+      weights: Seq[(String, Long, Long)], dim: Int, ns: Seq[Int], scale: Double,
+      family: String)
 
   /** Train multinomial NB from a labeled corpus — ONE feature pass,
     * one (lang,bucket) aggregation, one (lang) aggregation; the only
@@ -105,10 +131,10 @@ object LangId {
     * is the Lidstone smoothing mass. */
   def train(df: DataFrame, idCol: String, textCol: String, langCol: String,
       dim: Int = 1 << 15, ns: Seq[Int] = DefaultNs,
-      alpha: Double = 0.5): Model = {
+      alpha: Double = 0.5, family: String = "xxh64"): Model = {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
     val labels = df.select(col(idCol).as("id"), col(langCol).as("lang"))
-    val lb = features(df, idCol, textCol, dim, ns)
+    val lb = features(df, idCol, textCol, dim, ns, family)
       .join(labels, Seq("id"))
       .groupBy(col("lang"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
       .collect() // ≤ dim·L — the codebook-collect class
@@ -127,7 +153,7 @@ object LangId {
       val t = totals(l).toDouble
       (l, b, math.log((c + alpha) / (t + alpha * dim)) - floor(l))
     }
-    Model(langs, weights, dim, ns)
+    Model(langs, weights, dim, ns, family)
   }
 
   /** Quantize for serving: all three weight kinds rounded at one
@@ -137,7 +163,7 @@ object LangId {
     m.langs.map { case (l, p, f) => (l, math.round(p * scale), math.round(f * scale)) },
     m.weights.map { case (l, b, d) => (l, b, math.round(d * scale)) }
       .filter(_._3 != 0L),
-    m.dim, m.ns, scale)
+    m.dim, m.ns, scale, m.family)
 
   /** Score every doc against every language with exact integer
     * arithmetic: `(id, lang, score_q, n_grams, n_hit)` — one row per
@@ -147,26 +173,27 @@ object LangId {
     * score = prior). */
   def scoreQuantized(df: DataFrame, idCol: String, textCol: String,
       langTable: DataFrame, weights: DataFrame, dim: Int,
-      ns: Seq[Int] = DefaultNs): DataFrame = {
+      ns: Seq[Int] = DefaultNs, family: String = "xxh64"): DataFrame = {
     // collisions within one language sum — same contract as q100
     val wb = broadcast(weights
       .groupBy(col("lang"), col("bucket")).agg(sum(col("qdw")).as("qdw")))
-    val feats = features(df, idCol, textCol, dim, ns)
-    val nGrams = feats.groupBy(col("id")).agg(sum(col("cnt")).as("n_grams"))
-    val hits = feats.join(wb, Seq("bucket"))
+    val hits = features(df, idCol, textCol, dim, ns, family)
+      .join(wb, Seq("bucket"))
       .groupBy(col("id"), col("lang"))
       .agg(sum(col("qdw") * col("cnt")).as("hit_sum"), sum(col("cnt")).as("n_hit"))
-    df.select(col(idCol).as("id"))
-      .join(nGrams, Seq("id"), "left")
+    // n_grams is a LENGTH formula (see nGramsOf) — the feature
+    // explode evaluates ONCE, for the hits
+    df.select(col(idCol).as("id"), langNormalized(col(textCol)).as("_n"))
+      .select(col("id"), coalesce(nGramsOf(col("_n"), ns), lit(0L)).as("n_grams"))
       // doc × L broadcast nested loop — L is the language list,
       // dozens, bounded by the model (the bounded-composition
       // crossJoin class)
       .crossJoin(broadcast(langTable))
       .join(hits, Seq("id", "lang"), "left")
       .select(col("id"), col("lang"),
-        (col("q_prior") + coalesce(col("n_grams"), lit(0L)) * col("q_floor") +
+        (col("q_prior") + col("n_grams") * col("q_floor") +
           coalesce(col("hit_sum"), lit(0L))).as("score_q"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("n_grams"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
   }
 
@@ -183,8 +210,8 @@ object LangId {
     * [[Similarity.pqScoredSubs]]. */
   def classifyQuantized(df: DataFrame, idCol: String, textCol: String,
       langTable: DataFrame, weights: DataFrame, dim: Int,
-      ns: Seq[Int] = DefaultNs): DataFrame =
-    scoreQuantized(df, idCol, textCol, langTable, weights, dim, ns)
+      ns: Seq[Int] = DefaultNs, family: String = "xxh64"): DataFrame =
+    scoreQuantized(df, idCol, textCol, langTable, weights, dim, ns, family)
       .groupBy(col("id"))
       .agg(min(struct((-col("score_q")).as("_neg"), col("lang").as("_l"),
           col("n_hit").as("_h"))).as("_best"),
@@ -195,6 +222,64 @@ object LangId {
         (-col("_best._neg")).as("score_q"),
         col("n_grams"),
         col("_best._h").as("n_hit"))
+
+  /** Persist a quantized model as a parquet artifact (the
+    * Unigram/Bpe artifact convention): one `langs` table
+    * `(lang, q_prior, q_floor)`, one `weights` table
+    * `(lang, bucket, qdw)`, and a `_langid.json` parameter marker
+    * (dim, n-gram orders, quantization scale, family version) —
+    * probes refuse a missing/mismatched marker rather than serving
+    * with wrong hashing geometry, the persisted-index discipline. */
+  def save(spark: org.apache.spark.sql.SparkSession, q: Quantized,
+      path: String): Unit = {
+    import spark.implicits._
+    q.langs.toDF("lang", "q_prior", "q_floor")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/langs")
+    q.weights.toDF("lang", "bucket", "qdw")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    val p = new org.apache.hadoop.fs.Path(path, "_langid.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write((s"""{"family":"langid-nb-${q.family}-v1","dim":${q.dim},""" +
+      s""""ns":[${q.ns.mkString(",")}],"scale":${q.scale}}""").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Load a [[save]]d model. Refuses blind loads (no marker) and
+    * foreign families loudly. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Quantized = {
+    val p = new org.apache.hadoop.fs.Path(path, "_langid.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no _langid.json marker at $path — refusing to serve with unknown hashing geometry")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def field(k: String): String =
+      // bracket alternative FIRST — the scalar alternative would stop
+      // an array value at its first comma
+      (s""""$k"\\s*:\\s*(\\[[^\\]]*\\]|"?[^",}\\]]+"?)""").r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse(
+          throw new IllegalArgumentException(s"marker at $path lacks '$k'"))
+    val fam = field("family").stripPrefix("\"").stripSuffix("\"")
+    val hashFamily = fam match {
+      case "langid-nb-md5-v1" => "md5"
+      case "langid-nb-xxh64-v1" => "xxh64"
+      case other => throw new IllegalArgumentException(
+        s"model at $path has family '$other', this loader serves " +
+          "'langid-nb-{md5,xxh64}-v1'")
+    }
+    val dim = field("dim").toInt
+    val ns = field("ns").stripPrefix("[").stripSuffix("]")
+      .split(",").map(_.trim.toInt).toSeq
+    val scale = field("scale").toDouble
+    val langs = spark.read.parquet(s"$path/langs")
+      .select(col("lang"), col("q_prior"), col("q_floor")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val weights = spark.read.parquet(s"$path/weights")
+      .select(col("lang"), col("bucket"), col("qdw")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    Quantized(langs, weights, dim, ns, scale, hashFamily)
+  }
 
   private def langTableOf(spark: org.apache.spark.sql.SparkSession,
       q: Quantized): DataFrame = {
@@ -218,7 +303,7 @@ object LangId {
     idCol match {
       case Some(c) =>
         val labels = classifyQuantized(df, c, textCol,
-            langTableOf(spark, q), weightsOf(spark, q), q.dim, q.ns)
+            langTableOf(spark, q), weightsOf(spark, q), q.dim, q.ns, q.family)
           .select(col("id").as(c), col("lang").as(outCol))
         df.join(labels, Seq(c), "left")
       case None =>
@@ -238,7 +323,7 @@ object LangId {
           .select(key.as("_langid_fp"), col(textCol).as("_langid_t"))
           .distinct()
         val labels = classifyQuantized(uniq, "_langid_fp", "_langid_t",
-            langTableOf(spark, q), weightsOf(spark, q), q.dim, q.ns)
+            langTableOf(spark, q), weightsOf(spark, q), q.dim, q.ns, q.family)
           .select(col("id").as("_langid_fp"), col("lang").as(outCol))
         df.withColumn("_langid_fp", key)
           .join(labels, Seq("_langid_fp"), "left")

@@ -95,6 +95,51 @@ class LangIdSpec extends SparkSpec {
     }
   }
 
+  test("hash families: the md5 oracle family and the xxh64 production family agree on labels") {
+    val train = corpus.filter(!_._4).toDF("id", "lang", "text", "held")
+    val held = corpus.filter(_._4).toDF("id", "lang", "text", "held")
+    val md5q = LangId.quantize(LangId.train(train, "id", "text", "lang", family = "md5"))
+    assert(md5q.family === "md5")
+    assert(quantized.family === "xxh64")
+    val a = LangId.withLang(held, "text", md5q, "g", idCol = Some("id"))
+      .select("id", "g").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = LangId.withLang(held, "text", quantized, "g", idCol = Some("id"))
+      .select("id", "g").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // bucket collisions differ per family, so scores differ — but the
+    // LABELS must agree on nearly every held-out sentence
+    val agree = a.keys.count(k => a(k) == b(k))
+    assert(agree >= (a.size * 0.95).toInt, s"families agree on $agree/${a.size}")
+    // and the marker carries the family: a saved xxh64 model reloads
+    // as xxh64 (geometry baked, never silently re-hashed)
+    val dir = java.nio.file.Files.createTempDirectory("langid_fam").toString + "/m"
+    LangId.save(spark, md5q, dir)
+    assert(LangId.load(spark, dir).family === "md5")
+  }
+
+  test("save/load round trip: the reloaded artifact serves identically; blind loads refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("langid_model").toString + "/m"
+    LangId.save(spark, quantized, dir)
+    val reloaded = LangId.load(spark, dir)
+    assert(reloaded.dim === quantized.dim)
+    assert(reloaded.ns === quantized.ns)
+    assert(reloaded.scale === quantized.scale)
+    assert(reloaded.langs.toSet === quantized.langs.toSet)
+    assert(reloaded.weights.toSet === quantized.weights.toSet)
+    val docs = Seq((1L, "der Hund und die Katze spielen im schönen Garten"),
+      (2L, "el perro y el gato juegan en el jardín")).toDF("id", "text")
+    val a = LangId.withLang(docs, "text", quantized, idCol = Some("id"))
+      .select("id", "lang_guess").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = LangId.withLang(docs, "text", reloaded, idCol = Some("id"))
+      .select("id", "lang_guess").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // a markerless directory refuses (unknown hashing geometry)
+    val bare = java.nio.file.Files.createTempDirectory("langid_bare").toString + "/m"
+    spark.read.parquet(s"$dir/langs").write.parquet(s"$bare/langs")
+    spark.read.parquet(s"$dir/weights").write.parquet(s"$bare/weights")
+    val e = intercept[IllegalArgumentException](LangId.load(spark, bare))
+    assert(e.getMessage.contains("refusing to serve"))
+  }
+
   test("zero evidence yields und; empty and whitespace-only text never crash") {
     val docs = Seq((1L, ""), (2L, "   \t  \n "), (3L, "the weather is nice"))
       .toDF("id", "text")
