@@ -1923,28 +1923,40 @@ object SparkEntry {
         System.getProperty("java.io.tmpdir"), "graft_q121").getAbsolutePath
       val docs = Tables(s, dir, "documents")
       // r13 branch matrix: unknown charset (NULL), xhtml+GBK (the
-      // widened content-type + alias whitelist), UTF-8, meta-sniff
-      // (no declared charset, <meta charset=windows-1250> in-body),
-      // shift_jis (decodes now — ASCII identity, the corpus is
-      // printable-ASCII without backslash/tilde). Branch order
-      // matters and the twin mirrors it.
+      // widened content-type + alias whitelist), Content-Encoding
+      // gzip (transfer decode before charset decode — round-trip
+      // identity under the hash), UTF-8, meta-sniff (no declared
+      // charset, <meta charset=windows-1250> in-body), shift_jis
+      // (decodes now — ASCII identity, the corpus is printable-ASCII
+      // without backslash/tilde). Branch order matters and the twin
+      // mirrors it.
+      val gzBranch = col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
+        col("doc_id") % 13 =!= 0 && col("doc_id") % 19 === 0
       val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
         .when(col("doc_id") % 11 === 0, lit("text/html; charset=klingon"))
         .when(col("doc_id") % 13 === 0, lit("application/xhtml+xml; charset=GBK"))
+        .when(col("doc_id") % 19 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 1, lit("text/plain"))
         .otherwise(lit("text/html; charset=shift_jis"))
-      val body = when(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
-          col("doc_id") % 13 =!= 0 && col("doc_id") % 3 === 1,
+      val bodyText = when(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
+          col("doc_id") % 13 =!= 0 && col("doc_id") % 19 =!= 0 &&
+          col("doc_id") % 3 === 1,
         concat(lit("<meta charset=\"windows-1250\">"), col("text")))
         .otherwise(col("text"))
+      val bodyBytes = when(gzBranch,
+        graft.functions.HttpBody.gzipBytes(col("text").cast(BinaryType)))
+        .otherwise(bodyText.cast(BinaryType))
       val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
         .otherwise(lit("200 OK"))
       val envelope = concat(
-        lit("HTTP/1.1 "), status,
-        lit("\r\nContent-Type: "), ctype,
-        lit("\r\nContent-Length: "), octet_length(body).cast(StringType),
-        lit("\r\n\r\n"), body)
+        concat(
+          lit("HTTP/1.1 "), status,
+          lit("\r\nContent-Type: "), ctype,
+          when(gzBranch, lit("\r\nContent-Encoding: gzip")).otherwise(lit("")),
+          lit("\r\nContent-Length: "), octet_length(bodyBytes).cast(StringType),
+          lit("\r\n\r\n")).cast(BinaryType),
+        bodyBytes)
       WarcShards.write(
         docs.select(col("doc_id").cast(StringType).as("k"),
           concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
@@ -4393,11 +4405,13 @@ object SparkEntry {
         |  cast(200 as bigint) as http_status,
         |  case when doc_id % 11 = 0 then 'text/html; charset=klingon'
         |       when doc_id % 13 = 0 then 'application/xhtml+xml; charset=GBK'
+        |       when doc_id % 19 = 0 then 'text/html; charset=UTF-8'
         |       when doc_id % 3 = 0 then 'text/html; charset=UTF-8'
         |       when doc_id % 3 = 1 then 'text/plain'
         |       else 'text/html; charset=shift_jis' end as http_content_type,
         |  case when doc_id % 11 = 0 then null
         |       when doc_id % 13 = 0 then text
+        |       when doc_id % 19 = 0 then text
         |       when doc_id % 3 = 1 then '<meta charset="windows-1250">' || text
         |       else text end as html
         |from documents

@@ -86,10 +86,12 @@ object WarcSource {
     StructField("payload", BinaryType, nullable = true),
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
+    StructField("http_content_encoding", StringType, nullable = true),
     StructField("body", BinaryType, nullable = true)))
 
   /** Columns whose values require the record's payload bytes. */
-  private val PayloadDerived = Set("payload", "http_status", "http_content_type", "body")
+  private val PayloadDerived = Set("payload", "http_status", "http_content_type",
+    "http_content_encoding", "body")
 
   /** `(target_uri, text)` straight from WET shards — the de-facto
     * Common Crawl text-pipeline entry: `conversion` records are the
@@ -133,9 +135,14 @@ object WarcSource {
     val declared = lower(regexp_extract(lower(col("http_content_type")),
       "charset=\"?([a-zA-Z0-9_\\-]+)", 1))
     // ISO-8859-1 maps every byte to a char, so the sniff regex sees
-    // the raw prefix bytes faithfully regardless of the true charset
+    // the raw prefix bytes faithfully regardless of the true charset.
+    // The sniff (and the charset decode) read the TRANSFER-DECODED
+    // bytes (`_raw`, r13): a large share of real response bodies are
+    // Content-Encoding gzip/deflate, and sniffing compressed bytes is
+    // noise. `_raw` is staged as a named column so the inflate runs
+    // once per row, not once per reference.
     val sniffed = lower(regexp_extract(
-      lower(decode(substring(col("body"), 1, 1024), "ISO-8859-1")),
+      lower(decode(substring(col("_raw"), 1, 1024), "ISO-8859-1")),
       "<meta[^>]{0,200}?charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)", 1))
     val cs = when(declared =!= "", declared)
       .when(sniffed =!= "", sniffed)
@@ -145,8 +152,10 @@ object WarcSource {
       .filter(col("warc_type") === "response" &&
         col("http_status").between(200, 299) &&
         (ct.startsWith("text/") || ct.startsWith("application/xhtml+xml")))
+      .withColumn("_raw", graft.functions.HttpBody.httpBodyDecode(
+        col("body"), lower(col("http_content_encoding"))))
       .select(col("target_uri"), col("http_status"), col("http_content_type"),
-        graft.functions.CharsetDecode.charsetDecode(col("body"), cs).as("html"))
+        graft.functions.CharsetDecode.charsetDecode(col("_raw"), cs).as("html"))
   }
 
   /** Split an `application/http` envelope: returns
@@ -156,7 +165,7 @@ object WarcSource {
     * one record). Separator search accepts CRLFCRLF and bare LFLF
     * (tolerant readers are the WARC-tooling norm); header lookup is
     * case-insensitive with RFC 7230 obs-fold continuation lines. */
-  private[graft] def httpSplit(payload: Array[Byte]): (Int, String, Array[Byte]) = {
+  private[graft] def httpSplit(payload: Array[Byte]): (Int, String, String, Array[Byte]) = {
     if (payload == null || payload.length < 12) return null
     // must start with "HTTP/"
     if (!(payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' &&
@@ -184,14 +193,19 @@ object WarcSource {
     val parts = lines(0).split(" ", 3)
     if (parts.length < 2) return null
     val status = try parts(1).toInt catch { case _: NumberFormatException => return null }
-    // unfold obs-fold continuations, then find Content-Type
+    // unfold obs-fold continuations, then find Content-Type and
+    // Content-Encoding (r13: gzip/deflate response bodies are the
+    // crawl norm — the decode layer needs the declared coding)
     var contentType: String = null
+    var contentEncoding: String = null
     var j = 1
     var curName: String = null
     var curValue: StringBuilder = null
     def flush(): Unit = if (curName != null) {
       if (curName == "content-type" && contentType == null)
         contentType = curValue.toString.trim
+      if (curName == "content-encoding" && contentEncoding == null)
+        contentEncoding = curValue.toString.trim
       curName = null; curValue = null
     }
     while (j < lines.length) {
@@ -210,7 +224,7 @@ object WarcSource {
     }
     flush()
     val body = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
-    (status, contentType, body)
+    (status, contentType, contentEncoding, body)
   }
 
   private[sources] class WarcTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -442,7 +456,7 @@ object WarcSource {
     // the envelope split runs at most once per record, and only when
     // an http_*/body column is actually required AND the record
     // declares an application/http envelope
-    lazy val http: (Int, String, Array[Byte]) =
+    lazy val http: (Int, String, String, Array[Byte]) =
       if (p.warcType != null && p.warcType.equalsIgnoreCase("response") &&
           p.contentType != null &&
           p.contentType.toLowerCase.startsWith("application/http"))
@@ -459,7 +473,9 @@ object WarcSource {
       case "http_status" => if (http == null) null else (http._1: java.lang.Integer)
       case "http_content_type" =>
         if (http == null || http._2 == null) null else UTF8String.fromString(http._2)
-      case "body" => if (http == null) null else http._3
+      case "http_content_encoding" =>
+        if (http == null || http._3 == null) null else UTF8String.fromString(http._3)
+      case "body" => if (http == null) null else http._4
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }

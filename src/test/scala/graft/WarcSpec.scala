@@ -523,4 +523,67 @@ class WarcSpec extends SparkSpec {
     val e2 = intercept[Exception] { WarcShards.write(nul, "k", "u", "p", freshDir(), nShards = 1) }
     assert(e2.getMessage != null)
   }
+
+  test("responseText r13: Content-Encoding gzip/deflate bodies inflate; corrupt/unknown NULL loudly") {
+    val dir = freshDir()
+    def envelope(ct: String, enc: Option[String], body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        enc.map(e => s"Content-Encoding: $e\r\n").getOrElse("") +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    def record(uri: String, payload: Array[Byte]): Array[Byte] =
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-00000000000d>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    def gz(s: String, cs: String = "UTF-8"): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(s.getBytes(cs)); g.close(); out.toByteArray
+    }
+    def zlib(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.util.zip.DeflaterOutputStream(out, d)
+      dos.write(s.getBytes("UTF-8")); dos.close(); out.toByteArray
+    }
+    def rawDeflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.util.zip.DeflaterOutputStream(out, d)
+      dos.write(s.getBytes("UTF-8")); dos.close(); out.toByteArray
+    }
+    val page = "the quick brown page body for transfer decoding"
+    val payload: Array[Byte] =
+      record("http://x/gz", envelope("text/html; charset=UTF-8", Some("gzip"), gz(page))) ++
+      record("http://x/zlib", envelope("text/html", Some("deflate"), zlib(page))) ++
+      record("http://x/rawdef", envelope("text/html", Some("deflate"), rawDeflate(page))) ++
+      // gzip body in a foreign charset: inflate THEN charset-decode
+      record("http://x/gzsjis", envelope("text/html; charset=Shift_JIS", Some("gzip"),
+        gz("日本語のページ", "Shift_JIS"))) ++
+      record("http://x/corrupt", envelope("text/html", Some("gzip"),
+        Array[Byte](0x1f, 0x0b, 1, 2, 3))) ++
+      record("http://x/br", envelope("text/html", Some("br"), page.getBytes("UTF-8"))) ++
+      record("http://x/plain", envelope("text/plain", None, page.getBytes("UTF-8")))
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "cc4.warc.gz")))
+    out.write(payload); out.close()
+    // the declared coding rides its own column
+    val enc = spark.read.format("graft.sources.WarcSource").option("path", dir).load()
+      .filter(col("warc_type") === "response")
+      .select("target_uri", "http_content_encoding").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(enc("http://x/gz") === Some("gzip"))
+    assert(enc("http://x/plain") === None)
+    val rows = graft.sources.WarcSource.responseText(spark, dir)
+      .collect().map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    assert(rows("http://x/gz") === Some(page))
+    assert(rows("http://x/zlib") === Some(page))
+    assert(rows("http://x/rawdef") === Some(page)) // raw-deflate fallback
+    assert(rows("http://x/gzsjis") === Some("日本語のページ"))
+    assert(rows("http://x/corrupt") === None) // broken member, scan survives
+    assert(rows("http://x/br") === None) // undecodable coding -> loud null
+    assert(rows("http://x/plain") === Some(page)) // identity unchanged
+  }
 }
