@@ -1231,6 +1231,54 @@ object SparkEntry {
         .orderBy(col("skey"))
     },
 
+    // Raw-crawl capstone (r13): the q120 story WITHOUT a WET sibling —
+    // response records with gzip-encoded HTML bodies → transfer
+    // decode → charset decode → stripHtml → Gopher keep, under ONE
+    // hash. The fixture wraps each document in tags + a script body
+    // (whose '<' inside code exercises the non-greedy script strip)
+    // and gzips it; non-200 and non-text rows are chaff the filters
+    // must drop. The twin replays the visible text as the
+    // whitespace-collapse of the original (the corpus is <>&-free,
+    // verified at both SFs) and reuses the shared Gopher CTE chain.
+    "q125_raw_crawl_pipeline" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q125").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = Tables(s, dir, "documents")
+      val wrapped = concat(
+        lit("<html><head><script>var z = 1 < 2;</script>" +
+          "<style>.a{color:red}</style></head><body><p>"),
+        col("text"), lit("</p></body></html>"))
+      val bodyBytes = graft.functions.HttpBody.gzipBytes(wrapped.cast(BinaryType))
+      val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
+        .otherwise(lit("200 OK"))
+      val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
+        .otherwise(lit("text/html; charset=UTF-8"))
+      val envelope = concat(
+        concat(lit("HTTP/1.1 "), status,
+          lit("\r\nContent-Type: "), ctype,
+          lit("\r\nContent-Encoding: gzip"),
+          lit("\r\nContent-Length: "), octet_length(bodyBytes).cast(StringType),
+          lit("\r\n\r\n")).cast(BinaryType),
+        bodyBytes)
+      WarcShards.write(
+        docs.select(col("doc_id").cast(StringType).as("k"),
+          concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+          envelope.as("p")),
+        "k", "u", "p", base, nShards = 8,
+        warcType = "response",
+        contentType = "application/http; msgtype=response")
+      val pages = graft.sources.WarcSource.crawlText(s, base)
+        .select(col("target_uri").substr(lit(15), lit(1000000))
+          .cast(LongType).as("doc_id"), col("text"))
+      Corpus.gopherSignals(pages, "doc_id", "text")
+        .filter(col("keep"))
+        .select(col("id").as("doc_id"), col("n_words"), col("mean_word_len"))
+        .orderBy(col("doc_id"))
+    },
+
     // Capstone: the whole curation pipeline composed in ONE plan —
     // quality filter (bit-exact doubles, so the 0.5 threshold
     // classifies identically cross-engine) → exact dedup (lowest
@@ -2988,6 +3036,17 @@ object SparkEntry {
         |  cast(n_grams as bigint) as n_grams,
         |  cast(n_hit as bigint) as n_hit
         |from best where rn = 1
+        |order by doc_id""".stripMargin,
+
+    // raw-crawl twin: visible text = whitespace-collapse of the
+    // original (tags/script/style strip leaves exactly the document
+    // text — the corpus is <>&-free), then the shared Gopher chain
+    "q125_raw_crawl_pipeline" ->
+      s"""with docs as (select doc_id,
+        |    trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) as text
+        |  from documents where doc_id % 5 <> 0 and doc_id % 7 <> 0),
+        |${oracleGopherKeepCtes("docs")}
+        |select doc_id, n_words, mean_word_len from k
         |order by doc_id""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted

@@ -158,6 +158,23 @@ object WarcSource {
         graft.functions.CharsetDecode.charsetDecode(col("_raw"), cs).as("html"))
   }
 
+  /** Raw crawl → visible text, the one-liner for segments WITHOUT a
+    * WET sibling (r13): [[responseText]] (transfer decode → charset
+    * decode) → [[graft.functions.Text.stripHtml]] (script/style
+    * bodies dropped, tags to spaces, entities decoded, whitespace
+    * collapsed). `(target_uri, text)` — the [[wetText]] shape, so
+    * everything downstream (Gopher, dedup, `curateWetCrawl`'s batch
+    * analog q120/q125) composes unchanged. Undecodable pages (null
+    * `html`) are dropped here — count them via [[responseText]]
+    * before trusting a segment. */
+  def crawlText(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    responseText(spark, path)
+      .filter(col("html").isNotNull)
+      .select(col("target_uri"),
+        graft.functions.Text.stripHtml(col("html")).as("text"))
+  }
+
   /** Split an `application/http` envelope: returns
     * `(status, contentType, body)` or null when the payload does not
     * parse as an HTTP message (callers emit null columns — foreign
