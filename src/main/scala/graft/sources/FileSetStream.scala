@@ -36,8 +36,12 @@ import scala.jdk.CollectionConverters._
   * resume unchanged. */
 private[sources] case class FileSetOffset(hwm: Option[String],
     extra: Vector[String]) extends streaming.Offset {
+  // set-ified once per offset instance: planInputPartitions filters a
+  // batch against the START offset name-by-name, and a linear
+  // `extra.contains` there was O(batch × extra) (r14, verdict)
+  @transient private lazy val extraSet: Set[String] = extra.toSet
   def seen(name: String): Boolean =
-    hwm.exists(name <= _) || extra.contains(name)
+    hwm.exists(name <= _) || extraSet(name)
   private def q(n: String) =
     "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
   override def json(): String = {
@@ -118,6 +122,18 @@ private[sources] class FileSetMicroBatchStream(
   private val hadoopConf =
     new graft.SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration)
   @volatile private var drainTarget: Option[Vector[String]] = None
+  // Backfill detection (r14, advisor): a file landing LATER with a
+  // name at or below the watermark is presumed served and silently
+  // skipped — correct under the monotone-naming contract, data loss
+  // under an accidental backfill. The folded history itself sits
+  // below the hwm in every listing, so "listed and below hwm" alone
+  // would warn forever; instead the first listing of this run
+  // baselines the below-hwm names (they ARE the folded history —
+  // committed offsets only fold served names) and any below-hwm name
+  // appearing in a LATER listing is a genuine late arrival, warned
+  // loudly once. Restart re-baselines (a warning is advisory; the
+  // contract fix is a fresh checkpoint, per the class doc).
+  @volatile private var belowHwmBaseline: Set[String] = null
 
   private def listNow(): Vector[String] = {
     val p = new Path(path)
@@ -146,7 +162,24 @@ private[sources] class FileSetMicroBatchStream(
     // set-ified: a 10^5-file listing against a 10^3-name extra would
     // otherwise pay O(listing × extra) contains() per trigger
     val extraSet = committed.extra.toSet
-    val fresh = drainTarget.getOrElse(listNow())
+    val listed = drainTarget.getOrElse(listNow())
+    committed.hwm.foreach { h =>
+      val below = listed.filter(_ <= h).toSet
+      if (belowHwmBaseline == null) belowHwmBaseline = below
+      else {
+        val late = below -- belowHwmBaseline
+        if (late.nonEmpty) {
+          println(s"[fileset] WARNING: ${late.size} file(s) arrived at $path " +
+            s"with names at or below the committed watermark '$h' and will " +
+            s"NOT be served (presumed already seen): ${late.toSeq.sorted.take(5).mkString(", ")}" +
+            (if (late.size > 5) ", …" else "") +
+            " — backfilling old names requires a fresh checkpoint " +
+            "(see FileSetMicroBatchStream's monotone-naming contract)")
+          belowHwmBaseline = belowHwmBaseline ++ late
+        }
+      }
+    }
+    val fresh = listed
       .filterNot(n => committed.hwm.exists(n <= _) || extraSet(n))
     val cap = limit match {
       case f: streaming.ReadMaxFiles => f.maxFiles()

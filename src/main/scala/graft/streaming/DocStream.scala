@@ -210,6 +210,16 @@ object DocStream {
       reliableCheckpointDir: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64): StreamingQuery = {
     import graft.operators.Dedup
+    // The probe's LSH banding FOLLOWS the index layout (r14, advisor):
+    // incrementalNearDuplicates requires idxBands == its bands, so a
+    // nonzero indexBands other than the probe default would write the
+    // index on trigger 1 and crash every later trigger mid-stream.
+    // Deriving (and validating divisibility HERE) fails at start()
+    // instead.
+    val probeBands = if (indexBands > 0) indexBands else 16
+    require(32 % probeBands == 0,
+      s"indexBands=$indexBands must divide the 32-hash signature " +
+        "(the probe's LSH banding follows the index layout)")
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
@@ -314,7 +324,8 @@ object DocStream {
             val fresh = batch.join(corpus.select(col("doc_id")),
               Seq("doc_id"), "left_anti")
             val pairs = Dedup.incrementalNearDuplicates(spark, fresh,
-              "doc_id", "text", indexDir, corpus, minJaccard = minJaccard)
+              "doc_id", "text", indexDir, corpus, minJaccard = minJaccard,
+              bands = probeBands)
             // pairs are (min, max)-normalized, so the batch doc can sit
             // on either side: a batch doc dies when its pair partner is
             // a corpus doc (either side), or a lower-id batch doc
@@ -468,6 +479,12 @@ object DocStream {
       pollInterval: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64): StreamingQuery = {
     import graft.operators.{Dedup, Multimodal}
+    // fail at start(), not on trigger 2 (r14, advisor): the hamming
+    // probe requires idxBands == bands, and a mismatched indexBands
+    // writes trigger 1's index then crashes every later trigger
+    require(indexBands == 0 || indexBands == bands,
+      s"indexBands=$indexBands must be 0 (flat layout) or equal the probe " +
+        s"banding bands=$bands — hamming banding geometry is baked at write")
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())

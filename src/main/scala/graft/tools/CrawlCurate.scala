@@ -29,16 +29,23 @@ object CrawlCurate {
     val warcDir = args(0)
     val out = args(1)
     val rest = args.drop(2)
-    val gate = rest.headOption match {
+    // gate tokens match case-insensitively; anything that is neither a
+    // gate nor a poll-seconds integer fails with the usage line (r14,
+    // advisor: `Gopher 30` used to silently run the Quality gate and
+    // then die on `"Gopher".toInt`)
+    val gateToken = rest.headOption.map(_.toLowerCase(java.util.Locale.ROOT))
+      .filter(a => a == "gopher" || a == "quality")
+    val gate = gateToken match {
       case Some("gopher") => DocStream.CrawlGate.Gopher()
-      case Some("quality") => DocStream.CrawlGate.Quality()
       case _ => DocStream.CrawlGate.Quality()
     }
-    val pollArg =
-      if (rest.headOption.exists(a => a == "gopher" || a == "quality"))
-        rest.lift(1)
-      else rest.headOption
-    val poll = pollArg.map(s => s"${s.toInt} seconds")
+    val pollArg = if (gateToken.isDefined) rest.lift(1) else rest.headOption
+    val poll = pollArg.map { s =>
+      require(s.forall(_.isDigit) && s.nonEmpty,
+        s"unrecognized argument '$s' — " +
+          "usage: CrawlCurate <warcDir> <outDir> [quality|gopher] [pollSeconds]")
+      s"${s.toInt} seconds"
+    }
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val q = DocStream.curateWetCrawl(spark, warcDir,
       corpusDir = s"$out/corpus", indexDir = s"$out/index",

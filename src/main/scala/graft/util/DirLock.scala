@@ -180,13 +180,25 @@ private[graft] object DirLock {
     * inside the index itself, which compaction renames away. Appends
     * take `kind = "append"` and wait for anyone; `Dedup.compactIndex`
     * takes `kind = "rewrite"` and waits only for appends (two
-    * compactors on one index fail fast, loudly). */
+    * compactors on one index fail fast, loudly).
+    *
+    * Wait budgets (r14, advisor): an index APPEND holds the lock for
+    * its whole Spark write job — signature compute + parquet write,
+    * MINUTES on a large batch, not the seconds a staged log-partition
+    * append holds `withLock`'s default for. A compactor that waited
+    * only the default 120 s would spuriously throw the retryable
+    * conflict against any real append, so the rewrite path gets a
+    * 15-minute budget here (still bounded: the retryable-IOException
+    * contract at the `compactIndex` call sites stands — callers retry
+    * or skip the cycle, they don't hang a stream). Appenders waiting
+    * out a compactor keep a matching budget for the same reason in
+    * reverse. */
   def withIndexLock[T](fs: FileSystem, indexPath: String, kind: String)(body: => T): T = {
     val p = new Path(indexPath)
     val parent = Option(p.getParent).getOrElse(new Path("/"))
     val waitFor =
       if (kind == "append") Set("append", "rewrite") else Set("append")
     withLock(fs, new Path(parent, ".graft_index_lock"), p.getName,
-      kind = kind, waitFor = waitFor)(body)
+      kind = kind, waitFor = waitFor, waitMs = 15L * 60 * 1000)(body)
   }
 }
