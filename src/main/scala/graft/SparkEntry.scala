@@ -1976,24 +1976,47 @@ object SparkEntry {
       // identity under the hash), UTF-8, meta-sniff (no declared
       // charset, <meta charset=windows-1250> in-body), shift_jis
       // (decodes now — ASCII identity, the corpus is printable-ASCII
-      // without backslash/tilde). Branch order matters and the twin
-      // mirrors it.
-      val gzBranch = col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
-        col("doc_id") % 13 =!= 0 && col("doc_id") % 19 === 0
+      // without backslash/tilde). r14 adds the chunked
+      // Transfer-Encoding arms: plain chunk framing, chunk framing
+      // OVER a gzip Content-Encoding body (dechunk then inflate),
+      // and a declared-chunked-but-unframed body (the 'ZZ' prefix
+      // can never parse as a hex chunk size → NULL html, loudly).
+      // Branch order matters and the twin mirrors it.
+      val e0 = col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
+        col("doc_id") % 13 =!= 0
+      val gzBranch = e0 && col("doc_id") % 19 === 0
+      val e1 = e0 && col("doc_id") % 19 =!= 0
+      val chBranch = e1 && col("doc_id") % 23 === 0
+      val e2 = e1 && col("doc_id") % 23 =!= 0
+      val chgzBranch = e2 && col("doc_id") % 29 === 0
+      val e3 = e2 && col("doc_id") % 29 =!= 0
+      val badChBranch = e3 && col("doc_id") % 31 === 0
+      val e4 = e3 && col("doc_id") % 31 =!= 0
       val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
         .when(col("doc_id") % 11 === 0, lit("text/html; charset=klingon"))
         .when(col("doc_id") % 13 === 0, lit("application/xhtml+xml; charset=GBK"))
         .when(col("doc_id") % 19 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 23 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 29 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 31 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 1, lit("text/plain"))
         .otherwise(lit("text/html; charset=shift_jis"))
-      val bodyText = when(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
-          col("doc_id") % 13 =!= 0 && col("doc_id") % 19 =!= 0 &&
-          col("doc_id") % 3 === 1,
+      val bodyText = when(e4 && col("doc_id") % 3 === 1,
         concat(lit("<meta charset=\"windows-1250\">"), col("text")))
         .otherwise(col("text"))
-      val bodyBytes = when(gzBranch,
-        graft.functions.HttpBody.gzipBytes(col("text").cast(BinaryType)))
+      // one-chunk framing: hex size CRLF, data CRLF, 0-chunk,
+      // trailer on the chunked+gzip arm (tolerance under the hash)
+      def chunkFrame(b: Column, trailer: String): Column = concat(
+        concat(lower(hex(octet_length(b))), lit("\r\n")).cast(BinaryType),
+        b,
+        lit(s"\r\n0\r\n$trailer\r\n").cast(BinaryType))
+      val gzText = graft.functions.HttpBody.gzipBytes(col("text").cast(BinaryType))
+      val bodyBytes = when(gzBranch, gzText)
+        .when(chBranch, chunkFrame(col("text").cast(BinaryType), ""))
+        .when(chgzBranch, chunkFrame(gzText, "X-Trailer: 1\r\n"))
+        .when(badChBranch, concat(lit("ZZ\r\n").cast(BinaryType),
+          col("text").cast(BinaryType)))
         .otherwise(bodyText.cast(BinaryType))
       val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
         .otherwise(lit("200 OK"))
@@ -2001,7 +2024,10 @@ object SparkEntry {
         concat(
           lit("HTTP/1.1 "), status,
           lit("\r\nContent-Type: "), ctype,
-          when(gzBranch, lit("\r\nContent-Encoding: gzip")).otherwise(lit("")),
+          when(gzBranch || chgzBranch, lit("\r\nContent-Encoding: gzip"))
+            .otherwise(lit("")),
+          when(chBranch || chgzBranch || badChBranch,
+            lit("\r\nTransfer-Encoding: chunked")).otherwise(lit("")),
           lit("\r\nContent-Length: "), octet_length(bodyBytes).cast(StringType),
           lit("\r\n\r\n")).cast(BinaryType),
         bodyBytes)
@@ -4455,22 +4481,30 @@ object SparkEntry {
         |from g
         |order by doc_id""".stripMargin,
 
-    // response-text twin: the same status/content-type/charset
-    // branching re-derived per doc — 404s and non-text filtered,
-    // utf-8/absent charsets decode to the text verbatim (ASCII
-    // corpus), the undecodable charset yields NULL html
+    // response-text twin: the same status/content-type/charset/
+    // transfer branching re-derived per doc — 404s and non-text
+    // filtered, utf-8/absent charsets decode to the text verbatim
+    // (ASCII corpus), the undecodable charset yields NULL html, the
+    // chunked arms (r14) round-trip to the text, the
+    // declared-chunked-but-unframed arm yields NULL
     "q121_response_text" ->
       """select 'urn:graft:doc/' || cast(doc_id as varchar) as target_uri,
         |  cast(200 as bigint) as http_status,
         |  case when doc_id % 11 = 0 then 'text/html; charset=klingon'
         |       when doc_id % 13 = 0 then 'application/xhtml+xml; charset=GBK'
         |       when doc_id % 19 = 0 then 'text/html; charset=UTF-8'
+        |       when doc_id % 23 = 0 then 'text/html; charset=UTF-8'
+        |       when doc_id % 29 = 0 then 'text/html; charset=UTF-8'
+        |       when doc_id % 31 = 0 then 'text/html; charset=UTF-8'
         |       when doc_id % 3 = 0 then 'text/html; charset=UTF-8'
         |       when doc_id % 3 = 1 then 'text/plain'
         |       else 'text/html; charset=shift_jis' end as http_content_type,
         |  case when doc_id % 11 = 0 then null
         |       when doc_id % 13 = 0 then text
         |       when doc_id % 19 = 0 then text
+        |       when doc_id % 23 = 0 then text
+        |       when doc_id % 29 = 0 then text
+        |       when doc_id % 31 = 0 then null
         |       when doc_id % 3 = 1 then '<meta charset="windows-1250">' || text
         |       else text end as html
         |from documents

@@ -75,6 +75,82 @@ object HttpBodyRuntime {
     }
   }
 
+  /** Chunked Transfer-Encoding removal (r14, RFC 7230 §4.1): raw
+    * mirrors and self-captured WARCs store response bodies
+    * AS-TRANSFERRED, so a `Transfer-Encoding: chunked` body carries
+    * hex-size CRLF framing the decode chain must strip BEFORE any
+    * Content-Encoding inflate (Common Crawl dechunks at capture;
+    * foreign archives don't always). Tolerant where real traffic is
+    * sloppy — chunk extensions (`;name=value`) ignored, bare-LF line
+    * ends accepted, trailer section after the 0-chunk consumed or
+    * truncated silently — and strict where corruption hides: a
+    * non-hex size, a missing chunk delimiter, data running past the
+    * buffer, or the total passing [[MaxDecodedBytes]] all throw (the
+    * caller maps to NULL, the loud-null convention of this layer).
+    *
+    * `transferDecodeOrNull` is the column-facing form, dispatching on
+    * the Transfer-Encoding HEADER value: null/`identity` pass
+    * through; a coding list (`gzip, chunked`) must end in `chunked`
+    * (RFC 7230 §3.3.1 — chunked is always applied last, so it is
+    * stripped first) and the remaining codings inflate through
+    * [[decodeOrNull]] in reverse application order; anything else →
+    * NULL. */
+  private[functions] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 8192))
+    var i = 0
+    def line(): String = {
+      val start = i
+      while (i < b.length && b(i) != '\n') i += 1
+      if (i >= b.length) throw new java.io.IOException("truncated chunk header")
+      val end = if (i > start && b(i - 1) == '\r') i - 1 else i
+      i += 1
+      new String(b, start, end - start, "ISO-8859-1")
+    }
+    var done = false
+    while (!done) {
+      val sizeStr = line().split(";", 2)(0).trim
+      if (sizeStr.isEmpty || !sizeStr.forall(c => Character.digit(c, 16) >= 0))
+        throw new java.io.IOException(s"bad chunk size: $sizeStr")
+      val size = java.lang.Long.parseLong(sizeStr, 16)
+      if (size > MaxDecodedBytes || out.size() + size > MaxDecodedBytes)
+        throw new java.io.IOException("dechunked body exceeds cap")
+      if (size == 0L) {
+        // trailer section: header lines until a blank line; truncation
+        // here is tolerated (the data is already complete)
+        var t = ""
+        while ({ t = try line() catch { case _: java.io.IOException => "" }; t.nonEmpty }) ()
+        done = true
+      } else {
+        if (i + size > b.length)
+          throw new java.io.IOException("truncated chunk data")
+        out.write(b, i, size.toInt)
+        i += size.toInt
+        // the CRLF closing the chunk data (bare LF tolerated)
+        if (i < b.length && b(i) == '\r') i += 1
+        if (i < b.length && b(i) == '\n') i += 1
+        else throw new java.io.IOException("missing chunk delimiter")
+      }
+    }
+    out.toByteArray
+  }
+
+  def transferDecodeOrNull(body: Array[Byte], te: UTF8String): Array[Byte] = {
+    if (body == null) return null
+    val t = if (te == null) "" else te.toString.trim.toLowerCase(java.util.Locale.ROOT)
+    if (t.isEmpty || t == "identity") return body
+    val codings = t.split(",").map(_.trim).filter(_.nonEmpty)
+    if (codings.isEmpty || codings.last != "chunked") return null
+    var out =
+      try dechunk(body) catch { case _: java.io.IOException => null }
+    // remaining transfer codings were applied BEFORE chunking, so they
+    // unwrap after it, in reverse list order; a second "chunked" (or
+    // any unknown coding) nulls through decodeOrNull's default arm
+    codings.dropRight(1).reverse.foreach { c =>
+      if (out != null) out = decodeOrNull(out, UTF8String.fromString(c))
+    }
+    out
+  }
+
   def gzip(data: Array[Byte]): Array[Byte] = {
     if (data == null) return null
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
@@ -127,6 +203,51 @@ case class HttpBodyDecode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `http_transfer_decode(body, transferEncoding)` — strip chunked
+  * framing (and unwrap any pre-chunking transfer codings) per the
+  * Transfer-Encoding header; see
+  * [[HttpBodyRuntime.transferDecodeOrNull]]. Same null contract and
+  * codegen shape as [[HttpBodyDecode]]: only the BODY gates nullness
+  * (a null header means no transfer coding). */
+case class HttpTransferDecode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"http_transfer_decode expects (binary, string), got ($l, $r)")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "http_transfer_decode"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val body = left.eval(input)
+    if (body == null) null
+    else HttpBodyRuntime.transferDecodeOrNull(body.asInstanceOf[Array[Byte]],
+      right.eval(input).asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val b = left.genCode(ctx)
+    val e = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${e.code}
+        boolean ${ev.isNull} = true;
+        byte[] ${ev.value} = null;
+        if (!${b.isNull}) {
+          ${ev.value} = graft.functions.HttpBodyRuntime.transferDecodeOrNull(
+            ${b.value}, ${e.isNull} ? null : ${e.value});
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class GzipBytes(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -152,6 +273,12 @@ object HttpBody {
   def httpBodyDecode(body: Column, encoding: Column): Column =
     ColumnBridge.column(HttpBodyDecode(
       ColumnBridge.expression(body), ColumnBridge.expression(encoding)))
+  /** Strip chunked Transfer-Encoding framing (+ unwrap pre-chunking
+    * transfer codings) per the (column) `Transfer-Encoding` header;
+    * see [[HttpBodyRuntime.transferDecodeOrNull]]. */
+  def httpTransferDecode(body: Column, transferEncoding: Column): Column =
+    ColumnBridge.column(HttpTransferDecode(
+      ColumnBridge.expression(body), ColumnBridge.expression(transferEncoding)))
   /** Gzip `data` as one member (fixtures/sinks; per-JVM-deterministic). */
   def gzipBytes(data: Column): Column =
     ColumnBridge.column(GzipBytes(ColumnBridge.expression(data)))

@@ -87,11 +87,12 @@ object WarcSource {
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
     StructField("http_content_encoding", StringType, nullable = true),
+    StructField("http_transfer_encoding", StringType, nullable = true),
     StructField("body", BinaryType, nullable = true)))
 
   /** Columns whose values require the record's payload bytes. */
   private val PayloadDerived = Set("payload", "http_status", "http_content_type",
-    "http_content_encoding", "body")
+    "http_content_encoding", "http_transfer_encoding", "body")
 
   /** `(target_uri, text)` straight from WET shards — the de-facto
     * Common Crawl text-pipeline entry: `conversion` records are the
@@ -136,11 +137,12 @@ object WarcSource {
       "charset=\"?([a-zA-Z0-9_\\-]+)", 1))
     // ISO-8859-1 maps every byte to a char, so the sniff regex sees
     // the raw prefix bytes faithfully regardless of the true charset.
-    // The sniff (and the charset decode) read the TRANSFER-DECODED
-    // bytes (`_raw`, r13): a large share of real response bodies are
-    // Content-Encoding gzip/deflate, and sniffing compressed bytes is
-    // noise. `_raw` is staged as a named column so the inflate runs
-    // once per row, not once per reference.
+    // The sniff (and the charset decode) read the fully DECODED
+    // bytes (`_raw`): chunked Transfer-Encoding framing stripped
+    // (r14), then the Content-Encoding gzip/deflate inflate (r13) —
+    // sniffing framed or compressed bytes is noise. Both stages are
+    // staged as named columns so each runs once per row, not once per
+    // reference.
     val sniffed = lower(regexp_extract(
       lower(decode(substring(col("_raw"), 1, 1024), "ISO-8859-1")),
       "<meta[^>]{0,200}?charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)", 1))
@@ -152,8 +154,14 @@ object WarcSource {
       .filter(col("warc_type") === "response" &&
         col("http_status").between(200, 299) &&
         (ct.startsWith("text/") || ct.startsWith("application/xhtml+xml")))
+      // r14: chunked Transfer-Encoding framing comes off FIRST (it is
+      // applied last on the wire), then the Content-Encoding inflate,
+      // then the charset layer — each staged as a named column so it
+      // runs once per row
+      .withColumn("_deframed", graft.functions.HttpBody.httpTransferDecode(
+        col("body"), lower(col("http_transfer_encoding"))))
       .withColumn("_raw", graft.functions.HttpBody.httpBodyDecode(
-        col("body"), lower(col("http_content_encoding"))))
+        col("_deframed"), lower(col("http_content_encoding"))))
       .select(col("target_uri"), col("http_status"), col("http_content_type"),
         graft.functions.CharsetDecode.charsetDecode(col("_raw"), cs).as("html"))
   }
@@ -182,7 +190,8 @@ object WarcSource {
     * one record). Separator search accepts CRLFCRLF and bare LFLF
     * (tolerant readers are the WARC-tooling norm); header lookup is
     * case-insensitive with RFC 7230 obs-fold continuation lines. */
-  private[graft] def httpSplit(payload: Array[Byte]): (Int, String, String, Array[Byte]) = {
+  private[graft] def httpSplit(
+      payload: Array[Byte]): (Int, String, String, String, Array[Byte]) = {
     if (payload == null || payload.length < 12) return null
     // must start with "HTTP/"
     if (!(payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' &&
@@ -210,11 +219,13 @@ object WarcSource {
     val parts = lines(0).split(" ", 3)
     if (parts.length < 2) return null
     val status = try parts(1).toInt catch { case _: NumberFormatException => return null }
-    // unfold obs-fold continuations, then find Content-Type and
+    // unfold obs-fold continuations, then find Content-Type,
     // Content-Encoding (r13: gzip/deflate response bodies are the
-    // crawl norm — the decode layer needs the declared coding)
+    // crawl norm) and Transfer-Encoding (r14: raw mirrors and
+    // self-captured WARCs store chunk-framed bodies as-transferred)
     var contentType: String = null
     var contentEncoding: String = null
+    var transferEncoding: String = null
     var j = 1
     var curName: String = null
     var curValue: StringBuilder = null
@@ -223,6 +234,8 @@ object WarcSource {
         contentType = curValue.toString.trim
       if (curName == "content-encoding" && contentEncoding == null)
         contentEncoding = curValue.toString.trim
+      if (curName == "transfer-encoding" && transferEncoding == null)
+        transferEncoding = curValue.toString.trim
       curName = null; curValue = null
     }
     while (j < lines.length) {
@@ -241,7 +254,7 @@ object WarcSource {
     }
     flush()
     val body = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
-    (status, contentType, contentEncoding, body)
+    (status, contentType, contentEncoding, transferEncoding, body)
   }
 
   private[sources] class WarcTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -473,7 +486,7 @@ object WarcSource {
     // the envelope split runs at most once per record, and only when
     // an http_*/body column is actually required AND the record
     // declares an application/http envelope
-    lazy val http: (Int, String, String, Array[Byte]) =
+    lazy val http: (Int, String, String, String, Array[Byte]) =
       if (p.warcType != null && p.warcType.equalsIgnoreCase("response") &&
           p.contentType != null &&
           p.contentType.toLowerCase.startsWith("application/http"))
@@ -492,7 +505,9 @@ object WarcSource {
         if (http == null || http._2 == null) null else UTF8String.fromString(http._2)
       case "http_content_encoding" =>
         if (http == null || http._3 == null) null else UTF8String.fromString(http._3)
-      case "body" => if (http == null) null else http._4
+      case "http_transfer_encoding" =>
+        if (http == null || http._4 == null) null else UTF8String.fromString(http._4)
+      case "body" => if (http == null) null else http._5
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }

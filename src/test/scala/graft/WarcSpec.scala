@@ -586,4 +586,89 @@ class WarcSpec extends SparkSpec {
     assert(rows("http://x/br") === None) // undecodable coding -> loud null
     assert(rows("http://x/plain") === Some(page)) // identity unchanged
   }
+
+  test("responseText r14: chunked Transfer-Encoding bodies deframe; corrupt/unknown NULL loudly") {
+    val dir = freshDir()
+    def envelope(ct: String, ce: Option[String], te: Option[String],
+        body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        ce.map(e => s"Content-Encoding: $e\r\n").getOrElse("") +
+        te.map(e => s"Transfer-Encoding: $e\r\n").getOrElse("") +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    def record(uri: String, payload: Array[Byte]): Array[Byte] =
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-00000000000e>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.close(); out.toByteArray
+    }
+    // chunk-frame `b` in pieces of `sz` bytes, hex sizes in the given
+    // case, optional chunk extension and trailer lines
+    def frame(b: Array[Byte], sz: Int, upper: Boolean = false,
+        ext: String = "", trailers: Seq[String] = Nil): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < b.length) {
+        val n = math.min(sz, b.length - i)
+        val h = if (upper) n.toHexString.toUpperCase else n.toHexString
+        out.write((h + ext + "\r\n").getBytes("ISO-8859-1"))
+        out.write(b, i, n)
+        out.write("\r\n".getBytes("ISO-8859-1"))
+        i += n
+      }
+      out.write(("0\r\n" + trailers.map(_ + "\r\n").mkString + "\r\n")
+        .getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    val page = "a chunk framed page body that spans several chunks of text"
+    val pb = page.getBytes("UTF-8")
+    val payload: Array[Byte] =
+      // single chunk, plain
+      record("http://x/ch1", envelope("text/html; charset=UTF-8", None,
+        Some("chunked"), frame(pb, pb.length))) ++
+      // multi-chunk with UPPERCASE hex sizes, extension, and trailers
+      record("http://x/chN", envelope("text/html", None, Some("chunked"),
+        frame(pb, 7, upper = true, ext = ";name=v",
+          trailers = Seq("X-Trailer: 1")))) ++
+      // Content-Encoding gzip UNDER the chunk framing (the real-web
+      // composition: dechunk first, then inflate)
+      record("http://x/chgz", envelope("text/html", Some("gzip"),
+        Some("chunked"), frame(gz(pb), 11))) ++
+      // "gzip, chunked" as a TRANSFER coding list: dechunk, then the
+      // pre-chunking transfer gzip unwraps
+      record("http://x/tegz", envelope("text/html", None,
+        Some("gzip, chunked"), frame(gz(pb), 13))) ++
+      // declared chunked but NOT framed -> loud null
+      record("http://x/bad", envelope("text/html", None, Some("chunked"),
+        ("ZZ\r\n" + page).getBytes("UTF-8"))) ++
+      // truncated mid-chunk -> loud null
+      record("http://x/trunc", envelope("text/html", None, Some("chunked"),
+        frame(pb, pb.length).dropRight(12))) ++
+      // unknown transfer coding -> loud null
+      record("http://x/gzonly", envelope("text/html", None, Some("gzip"),
+        gz(pb)))
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "cc5.warc.gz")))
+    out.write(payload); out.close()
+    val te = spark.read.format("graft.sources.WarcSource").option("path", dir).load()
+      .filter(col("warc_type") === "response")
+      .select("target_uri", "http_transfer_encoding").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(te("http://x/ch1") === Some("chunked"))
+    assert(te("http://x/tegz") === Some("gzip, chunked"))
+    val rows = graft.sources.WarcSource.responseText(spark, dir)
+      .collect().map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    assert(rows("http://x/ch1") === Some(page))
+    assert(rows("http://x/chN") === Some(page))
+    assert(rows("http://x/chgz") === Some(page))
+    assert(rows("http://x/tegz") === Some(page))
+    assert(rows("http://x/bad") === None)
+    assert(rows("http://x/trunc") === None)
+    assert(rows("http://x/gzonly") === None) // chunked must be the last coding
+  }
 }
