@@ -1733,6 +1733,12 @@ object SparkEntry {
     // and conditional style elements with bodies) and strip it — tag
     // spans, element-body drops, entity decode order and whitespace
     // collapse all cross the hash.
+    // r14 entity matrix (every 3rd part): named Latin-1/punctuation
+    // entities, decimal + hex numeric refs (incl. a supplementary-
+    // plane 𝄞), `&nbsp;` folding into the whitespace collapse,
+    // single-pass `&amp;lt;` → literal "&lt;", and pass-through of
+    // unknown names / malformed refs — the twin carries the decoded
+    // segment as a literal
     "q80_html_strip" -> { (s, dir) =>
       val raw = concat(
         lit("<html><body><h1>"), col("p_name"),
@@ -1743,6 +1749,11 @@ object SparkEntry {
           lit("<SCRIPT type=\"text/javascript\">leak();</SCRIPT>")).otherwise(lit("")),
         when(col("p_partkey") % 7 === 0,
           lit("<Style>.a{color:red}</STYLE>")).otherwise(lit("")),
+        when(col("p_partkey") % 3 === 0,
+          lit("<p>caf&eacute; r&#233;sum&#xE9; &mdash; &#8212; " +
+            "l&rsquo;&Eacute;t&eacute; &hellip; &euro;5 &#x1D11E; " +
+            "a&nbsp;b &amp;lt; &unknown; &#xZZ; &#; 1 &lt; 2</p>"))
+          .otherwise(lit("")),
         lit("</body></html>"))
       Tables(s, dir, "part")
         .select(col("p_partkey"), Text.stripHtml(raw).as("text"))
@@ -4060,6 +4071,7 @@ object SparkEntry {
         |      || ' &amp; ' || p_type || '</p><script>var z = 1 < 2;</script>'
         |      || case when p_partkey % 5 = 0 then '<SCRIPT type="text/javascript">leak();</SCRIPT>' else '' end
         |      || case when p_partkey % 7 = 0 then '<Style>.a{color:red}</STYLE>' else '' end
+        |      || case when p_partkey % 3 = 0 then '<p>caf&eacute; r&#233;sum&#xE9; &mdash; &#8212; l&rsquo;&Eacute;t&eacute; &hellip; &euro;5 &#x1D11E; a&nbsp;b &amp;lt; &unknown; &#xZZ; &#; 1 &lt; 2</p>' else '' end
         |      || '</body></html>' as raw
         |  from part),
         |s1 as (select p_partkey,
@@ -4069,11 +4081,16 @@ object SparkEntry {
         |  from t),
         |s2 as (select p_partkey, regexp_replace(x, '<[^>]*>', ' ', 'g') as x from s1),
         |s3 as (select p_partkey,
-        |    replace(replace(replace(replace(replace(replace(x,
+        |    replace(replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(replace(replace(replace(replace(replace(x,
+        |      '&eacute;', 'é'), '&Eacute;', 'É'), '&#233;', 'é'), '&#xE9;', 'é'),
+        |      '&mdash;', '—'), '&#8212;', '—'), '&rsquo;', '’'),
+        |      '&hellip;', '…'), '&euro;', '€'), '&#x1D11E;', '𝄞'),
+        |      '&nbsp;', chr(160)),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') as x
+        |      '&#39;', ''''), '&amp;', '&') as x
         |  from s2)
-        |select p_partkey, trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g')) as text
+        |select p_partkey, trim(regexp_replace(x, '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) as text
         |from s3
         |order by p_partkey""".stripMargin,
 

@@ -167,28 +167,34 @@ object Text {
     * (?s) — identical in Java and RE2; one pass PER tag name, since
     * RE2 has no backreferences and a combined alternation would let a
     * stray `</style>` inside a script body close the script span
-    * early), drop remaining tags, decode the common entities
-    * (&amp;amp; LAST, so &amp;amp;lt; yields the literal "&lt;" —
-    * single-pass decoding, the standard contract), collapse
-    * whitespace via an explicit class (Java's \s includes \x0B,
-    * RE2's does not — the explicit class keeps both engines
-    * identical). Tag names are boundary-anchored so `<scriptlet>` is
-    * a tag, not a script opener, and matched case-insensitively
-    * (inline (?i), identical in Java and RE2) — HTML tag names are
-    * case-insensitive, and a case-sensitive pattern would strip a
-    * `<SCRIPT>` element's tags in the generic pass while leaking its
-    * JS body into the text. Pure codegen'd projection. */
+    * early), drop remaining tags, decode HTML character references
+    * (r14: one left-to-right [[HtmlEntities.decodeEntities]] pass —
+    * numeric `&#233;`/`&#x2014;` refs to the full Unicode range plus
+    * the HTML4 named repertoire, replacing the r13 six-entity
+    * replace fold that leaked `&eacute;`-class junk into non-English
+    * corpora; `&amp;lt;` still yields the literal "&lt;", the
+    * standard single-pass contract), collapse whitespace via an
+    * explicit class (Java's \s includes \x0B, RE2's does not — the
+    * explicit class keeps both engines identical). NBSP (U+00A0),
+    * which `&nbsp;` now decodes to faithfully, is folded into the
+    * whitespace collapse — visible text keeps plain spaces, and the
+    * twin mirrors the class. Tag names are boundary-anchored so
+    * `<scriptlet>` is a tag, not a script opener, and matched
+    * case-insensitively (inline (?i), identical in Java and RE2) —
+    * HTML tag names are case-insensitive, and a case-sensitive
+    * pattern would strip a `<SCRIPT>` element's tags in the generic
+    * pass while leaking its JS body into the text. Pure codegen'd
+    * projection. */
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c,
       "(?is)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>", " ")
     val noStyle = regexp_replace(noScript,
       "(?is)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    val decoded = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (col0, (k, v)) => replace(col0, lit(k), lit(v)) }
-    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
+    val decoded = HtmlEntities.decodeEntities(noTags)
+    // \x{00A0} (not \uXXXX): the brace form parses identically in
+    // Java regex and RE2 — the oracle twin carries the same class
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r\\x{00A0}]+", " "))
   }
 
   // ---- URL canonicalization ----------------------------------------

@@ -188,6 +188,33 @@ class CorpusSpec extends SparkSpec {
     assert(gotCased(11L) === "a b")
   }
 
+  test("stripHtml r14: numeric + extended named entities decode; malformed refs pass through") {
+    import graft.functions.Text
+    val df = Seq(
+      // named Latin-1 + punctuation: the non-English-web staples
+      (1L, "caf&eacute; l&rsquo;&Eacute;t&eacute; &mdash; ok &hellip;"),
+      // decimal and hex numeric refs, incl. a supplementary-plane char
+      (2L, "r&#233;sum&#xE9; dash &#8212; clef &#x1D11E; euro &#8364;"),
+      // nbsp decodes to U+00A0 and folds into the whitespace collapse
+      (3L, "a&nbsp;&nbsp;b &nbsp; c"),
+      // malformed/unknown refs stay literal (loud, never dropped):
+      // empty, non-hex, out-of-range, surrogate, unknown name, bare &
+      (4L, "&#; &#xZZ; &#1114112; &#xD800; &frobnicate; a & b"),
+      // single-pass: double-encoded stays one level encoded
+      (5L, "&amp;eacute; &amp;#233;"),
+      // greek + symbols
+      (6L, "&alpha;&beta;&gamma; &ne; &le; &infin; &trade;")
+    ).toDF("id", "html")
+    val got = df.select($"id", Text.stripHtml($"html").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "café l’Été — ok …")
+    assert(got(2L) === "résumé dash — clef 𝄞 euro €")
+    assert(got(3L) === "a b c")
+    assert(got(4L) === "&#; &#xZZ; &#1114112; &#xD800; &frobnicate; a & b")
+    assert(got(5L) === "&eacute; &#233;")
+    assert(got(6L) === "αβγ ≠ ≤ ∞ ™")
+  }
+
   test("canonicalUrl: case, ports, slashes, params, fragments; non-URLs pass through") {
     import graft.functions.Text
     val df = Seq(
