@@ -1279,6 +1279,74 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Streaming RAW-crawl drain under the gate (r14, the r13
+    // verdict's top ask): the q124 streaming-drain device over the
+    // q125 raw fixture — response records with gzip-encoded HTML
+    // envelopes (+ 404/png chaff) land as 8 WARC shards, the
+    // tail-follow loop drains them in FOUR checkpointed micro-batches
+    // through the full extraction chain (envelope split → inflate →
+    // charset decode → stripHtml) → Gopher gate → incremental
+    // near-dup at minJaccard = 1.0 (exact shingle-set equivalence —
+    // batch-order-invariant, so the declarative twin is exact).
+    // Planted exact copies (doc_id % 17 == 3, +100000) land in
+    // different shards (md5-prefix shard assignment), so the dedup
+    // decision crosses batches; in-stream index compaction runs every
+    // 2 batches, putting its content-preservation under the same
+    // hash. Output: one row per surviving content class, n_docs = 1.
+    "q126_raw_crawl_drain" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q126").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val u = docs.unionByName(planted)
+      val wrapped = concat(
+        lit("<html><head><script>var z = 1 < 2;</script>" +
+          "<style>.a{color:red}</style></head><body><p>"),
+        col("text"), lit("</p></body></html>"))
+      val bodyBytes = graft.functions.HttpBody.gzipBytes(wrapped.cast(BinaryType))
+      val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
+        .otherwise(lit("200 OK"))
+      val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
+        .otherwise(lit("text/html; charset=UTF-8"))
+      val envelope = concat(
+        concat(lit("HTTP/1.1 "), status,
+          lit("\r\nContent-Type: "), ctype,
+          lit("\r\nContent-Encoding: gzip"),
+          lit("\r\nContent-Length: "), octet_length(bodyBytes).cast(StringType),
+          lit("\r\n\r\n")).cast(BinaryType),
+        bodyBytes)
+      WarcShards.write(
+        u.select(col("doc_id").cast(StringType).as("k"),
+          concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+          envelope.as("p")),
+        "k", "u", "p", s"$base/warc", nShards = 8,
+        warcType = "response",
+        contentType = "application/http; msgtype=response")
+      streaming.DocStream.curateRawCrawl(s, s"$base/warc",
+          corpusDir = s"$base/corpus", indexDir = s"$base/index",
+          checkpointDir = s"$base/ckpt",
+          gate = streaming.DocStream.CrawlGate.Gopher(),
+          minJaccard = 1.0, maxFilesPerTrigger = 2,
+          compactEvery = 2, compactTargetFiles = 4)
+        .awaitTermination()
+      s.read.parquet(s"$base/corpus")
+        .select(col("doc_id"),
+          functions.Text.tokens(functions.Text.normalized(col("text"))).as("_toks"))
+        .select(col("doc_id"), col("_toks"),
+          operators.Dedup.shinglesFromTokens(col("_toks"), 3).as("_sh"))
+        .select(
+          when(size(col("_toks")) < 3, concat(lit("doc:"), col("doc_id")))
+            .otherwise(md5(concat_ws("\u001e",
+              array_sort(array_distinct(col("_sh")))))).as("skey"),
+          lit(1L).as("n_docs"))
+        .groupBy(col("skey")).agg(sum(col("n_docs")).as("n_docs"))
+        .orderBy(col("skey"))
+    },
+
     // Capstone: the whole curation pipeline composed in ONE plan —
     // quality filter (bit-exact doubles, so the 0.5 threshold
     // classifies identically cross-engine) → exact dedup (lowest
@@ -3085,6 +3153,36 @@ object SparkEntry {
         |${oracleGopherKeepCtes("docs")}
         |select doc_id, n_words, mean_word_len from k
         |order by doc_id""".stripMargin,
+
+    // streaming raw-crawl drain twin (r14): q125's visible-text
+    // replay (whitespace collapse of the original — the corpus is
+    // <>&-free) over originals ∪ planted copies with the chaff
+    // filters on the UNIONED ids, then q124's content-class device:
+    // at minJaccard = 1.0 exactly one survivor per distinct 3-shingle
+    // set, whatever the batch order — n_docs > 1 = dedup failure, a
+    // missing/extra skey = extraction-chain or gate failure
+    "q126_raw_crawl_drain" ->
+      s"""with u as (select doc_id, text from documents
+        |  union all
+        |  select doc_id + 100000 as doc_id, text from documents
+        |  where doc_id % 17 = 3),
+        |docs as (select doc_id,
+        |    trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) as text
+        |  from u where doc_id % 5 <> 0 and doc_id % 7 <> 0),
+        |${oracleGopherKeepCtes("docs")},
+        |f as (select k.doc_id, $OracleNorm as norm
+        |  from k join docs using (doc_id)),
+        |w as (select doc_id, string_split(norm, ' ') as w from f),
+        |sh as (select doc_id, case when len(w) < 3 then null else
+        |    list_sort(list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 3 + 1, 0) + 1),
+        |      i -> array_to_string(list_slice(w, i, i + 2), ' ')))) end as s
+        |  from w),
+        |ky as (select doc_id,
+        |    coalesce(md5(array_to_string(s, chr(30))), 'doc:' || doc_id) as skey
+        |  from sh)
+        |select distinct skey, cast(1 as bigint) as n_docs from ky
+        |order by skey""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

@@ -131,7 +131,16 @@ object WarcSource {
     * projection, after the envelope split already paid the payload
     * read; non-text/non-2xx/malformed rows are filtered by the null
     * columns the split contract guarantees. */
-  def responseText(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+  def responseText(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    responseTextOf(
+      spark.read.format("graft.sources.WarcSource").option("path", path).load())
+
+  /** The [[responseText]] transformation over an ALREADY-LOADED
+    * WarcSource frame — batch or STREAMING (r14): every stage is a
+    * pure projection/filter, so the same chain rides a
+    * `readStream` micro-batch unchanged (the [[graft.streaming.DocStream.curateRawCrawl]]
+    * entry). */
+  def responseTextOf(warc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val declared = lower(regexp_extract(lower(col("http_content_type")),
       "charset=\"?([a-zA-Z0-9_\\-]+)", 1))
@@ -150,7 +159,7 @@ object WarcSource {
       .when(sniffed =!= "", sniffed)
       .otherwise(lit("utf-8"))
     val ct = lower(col("http_content_type"))
-    spark.read.format("graft.sources.WarcSource").option("path", path).load()
+    warc
       .filter(col("warc_type") === "response" &&
         col("http_status").between(200, 299) &&
         (ct.startsWith("text/") || ct.startsWith("application/xhtml+xml")))
@@ -175,9 +184,15 @@ object WarcSource {
     * analog q120/q125) composes unchanged. Undecodable pages (null
     * `html`) are dropped here — count them via [[responseText]]
     * before trusting a segment. */
-  def crawlText(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+  def crawlText(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    crawlTextOf(
+      spark.read.format("graft.sources.WarcSource").option("path", path).load())
+
+  /** [[crawlText]] over an already-loaded WarcSource frame (batch or
+    * streaming — see [[responseTextOf]]). */
+  def crawlTextOf(warc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    responseText(spark, path)
+    responseTextOf(warc)
       .filter(col("html").isNotNull)
       .select(col("target_uri"),
         graft.functions.Text.stripHtml(col("html")).as("text"))

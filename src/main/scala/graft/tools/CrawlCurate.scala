@@ -3,14 +3,21 @@ package graft.tools
 import graft.GraftSession
 import graft.streaming.DocStream
 
-/** CLI: the arriving-crawl pipeline — tail-follow a directory of WET
-  * shards ([[graft.sources.WarcSource]] streaming read) and curate
-  * each arriving segment through quality + incremental near-dup into
-  * a growing corpus + MinHash index
-  * ([[graft.streaming.DocStream.curateWetCrawl]]).
+/** CLI: the arriving-crawl pipeline — tail-follow a directory of
+  * crawl shards ([[graft.sources.WarcSource]] streaming read) and
+  * curate each arriving segment through quality + incremental
+  * near-dup into a growing corpus + MinHash index.
   *
   * Usage:
-  *   runMain graft.tools.CrawlCurate <warcDir> <outDir> [quality|gopher] [pollSeconds]
+  *   runMain graft.tools.CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [pollSeconds]
+  *
+  * `wet` (default) eats WET `conversion` records
+  * ([[graft.streaming.DocStream.curateWetCrawl]]); `raw` (r14) eats
+  * raw-crawl `response` records through the full extraction chain —
+  * envelope split, chunked deframe, Content-Encoding inflate,
+  * charset decode, stripHtml
+  * ([[graft.streaming.DocStream.curateRawCrawl]]) — the arm for the
+  * (majority of) archives that publish WARC only.
   *
   * `<outDir>` receives `corpus/` (parquet, one row per admitted page
   * with target_uri + quality), `index/` (MinHash signatures) and
@@ -23,33 +30,36 @@ import graft.streaming.DocStream
   * stream keeps polling for new segment files until Ctrl-C, printing
   * `[neardup] batch=… kept=…` per micro-batch. */
 object CrawlCurate {
+  private val Usage =
+    "usage: CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [pollSeconds]"
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: CrawlCurate <warcDir> <outDir> [quality|gopher] [pollSeconds]")
+    require(args.length >= 2, Usage)
     val warcDir = args(0)
     val out = args(1)
-    val rest = args.drop(2)
-    // gate tokens match case-insensitively; anything that is neither a
-    // gate nor a poll-seconds integer fails with the usage line (r14,
-    // advisor: `Gopher 30` used to silently run the Quality gate and
-    // then die on `"Gopher".toInt`)
-    val gateToken = rest.headOption.map(_.toLowerCase(java.util.Locale.ROOT))
-      .filter(a => a == "gopher" || a == "quality")
-    val gate = gateToken match {
-      case Some("gopher") => DocStream.CrawlGate.Gopher()
-      case _ => DocStream.CrawlGate.Quality()
-    }
-    val pollArg = if (gateToken.isDefined) rest.lift(1) else rest.headOption
-    val poll = pollArg.map { s =>
-      require(s.forall(_.isDigit) && s.nonEmpty,
-        s"unrecognized argument '$s' — " +
-          "usage: CrawlCurate <warcDir> <outDir> [quality|gopher] [pollSeconds]")
+    // keyword args match case-insensitively by VALUE, not position;
+    // anything that is neither a keyword nor a poll-seconds integer
+    // fails with the usage line (r14, advisor: `Gopher 30` used to
+    // silently run the Quality gate and then die on `"Gopher".toInt`)
+    val rest = args.drop(2).map(_.toLowerCase(java.util.Locale.ROOT))
+    val raw = rest.contains("raw")
+    val gate =
+      if (rest.contains("gopher")) DocStream.CrawlGate.Gopher()
+      else DocStream.CrawlGate.Quality()
+    val leftovers = rest.filterNot(Set("raw", "wet", "gopher", "quality"))
+    require(leftovers.length <= 1, Usage)
+    val poll = leftovers.headOption.map { s =>
+      require(s.nonEmpty && s.forall(_.isDigit),
+        s"unrecognized argument '$s' — $Usage")
       s"${s.toInt} seconds"
     }
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    val q = DocStream.curateWetCrawl(spark, warcDir,
-      corpusDir = s"$out/corpus", indexDir = s"$out/index",
-      checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll)
+    val q =
+      if (raw) DocStream.curateRawCrawl(spark, warcDir,
+        corpusDir = s"$out/corpus", indexDir = s"$out/index",
+        checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll)
+      else DocStream.curateWetCrawl(spark, warcDir,
+        corpusDir = s"$out/corpus", indexDir = s"$out/index",
+        checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll)
     q.awaitTermination()
     val n = scala.util.Try(
       spark.read.parquet(s"$out/corpus").count()).getOrElse(0L)

@@ -457,6 +457,85 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(Set("urn:g:c", "urn:g:e")), s"gate leaked: $got")
   }
 
+  test("raw-crawl curation: response records stream through the extraction chain; in-stream compaction bounds index files (r14)") {
+    import graft.streaming.DocStream
+    import graft.sinks.WarcShards
+    val warcDir = Files.createTempDirectory("raw_in").toString
+    val corpus = Files.createTempDirectory("raw_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("raw_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("raw_ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val baseNear = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val other = "completely different content about spark query engines and columnar execution"
+    val fresh = "yet another unrelated page describing distributed shuffle partitioning strategies"
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.close(); out.toByteArray
+    }
+    def frame(b: Array[Byte]): Array[Byte] =
+      (b.length.toHexString + "\r\n").getBytes("ISO-8859-1") ++ b ++
+        "\r\n0\r\n\r\n".getBytes("ISO-8859-1")
+    // a RAW response envelope: gzip'd HTML body, optionally
+    // chunk-framed on top (the full r14 extraction chain)
+    def envelope(text: String, chunked: Boolean, status: String = "200 OK"): Array[Byte] = {
+      val html = s"<html><head><script>var z = 1 < 2;</script></head>" +
+        s"<body><p>$text</p></body></html>"
+      val body0 = gz(html.getBytes("UTF-8"))
+      val body = if (chunked) frame(body0) else body0
+      (s"HTTP/1.1 $status\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+        "Content-Encoding: gzip\r\n" +
+        (if (chunked) "Transfer-Encoding: chunked\r\n" else "") +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    }
+    def raw(rows: Seq[(String, Array[Byte])], dir: String): Unit =
+      WarcShards.write(
+        rows.toDF("u", "p").select(
+          regexp_replace(col("u"), "urn:r:", "").as("k"), col("u"), col("p")),
+        "k", "u", "p", dir, nShards = 1,
+        warcType = "response", contentType = "application/http; msgtype=response")
+    def drain() = DocStream.curateRawCrawl(spark, warcDir, corpus, index, ckpt,
+      minJaccard = 0.5, compactEvery = 1, compactTargetFiles = 2)
+      .awaitTermination()
+    def uris() = spark.read.parquet(corpus)
+      .select("target_uri").as[String].collect().toSet
+    // segment 1: one plain-gzip, one chunked+gzip page
+    raw(Seq("urn:r:a" -> envelope(base, chunked = false),
+      "urn:r:b" -> envelope(other, chunked = true)), warcDir)
+    drain()
+    assert(uris() === Set("urn:r:a", "urn:r:b"))
+    // the chain extracted the VISIBLE text (script body + tags gone)
+    val texts = spark.read.parquet(corpus)
+      .select("target_uri", "text").as[(String, String)].collect().toMap
+    assert(texts("urn:r:a") === base)
+    assert(texts("urn:r:b") === other)
+    // segment 2: a near-copy of a (dies), a fresh page (kept), a 404
+    // and a corrupt-chunked page (both dropped by the chain's nulls)
+    val tmp2 = Files.createTempDirectory("raw_seg2").toString
+    raw(Seq("urn:r:c" -> envelope(baseNear, chunked = false),
+      "urn:r:d" -> envelope(fresh, chunked = true),
+      "urn:r:e" -> envelope(fresh, chunked = false, status = "404 Not Found"),
+      "urn:r:f" -> (("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\nContent-Length: 9\r\n\r\nZZ\r\nboom")
+        .getBytes("ISO-8859-1"))), tmp2)
+    for (f <- new java.io.File(tmp2).listFiles();
+         n = f.getName if n.endsWith(".warc.gz") || n.endsWith(".cdx"))
+      Files.copy(f.toPath, java.nio.file.Paths.get(warcDir, "seg2-" + n))
+    drain()
+    assert(uris() === Set("urn:r:a", "urn:r:b", "urn:r:d"))
+    // in-stream compaction (compactEvery = 1) kept the flat index at
+    // the rewrite target despite two append batches
+    val idxFiles = new java.io.File(index).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(idxFiles <= 2, s"index accumulated $idxFiles files")
+    // probes unchanged by compaction: index ids == corpus ids
+    assert(spark.read.parquet(index).select("id").as[Long].collect().toSet
+      === spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet)
+    // nothing new → nothing served (replay-idempotent)
+    drain()
+    assert(uris() === Set("urn:r:a", "urn:r:b", "urn:r:d"))
+  }
+
   test("streaming image curation over a BANDED index: same corpus, pruned probes (r13)") {
     import graft.streaming.DocStream
     import graft.operators.{Dedup, Multimodal}
