@@ -1350,6 +1350,77 @@ object SparkEntry {
     // Capstone: the whole curation pipeline composed in ONE plan —
     // quality filter (bit-exact doubles, so the 0.5 threshold
     // classifies identically cross-engine) → exact dedup (lowest
+    // Crawl-health profile under the gate (r14, the r13 verdict's
+    // "missing #3"): a deterministic segment matrix — 404/500 chaff,
+    // png chaff, unknown charset, GBK xhtml, gzip Content-Encoding,
+    // chunked Transfer-Encoding, corrupt chunk framing, declared /
+    // meta-sniffed / defaulted charsets — written as 8 WARC shards,
+    // profiled per shard by Corpus.crawlHealth. The twin re-derives
+    // every counter from the branch arithmetic plus the md5-prefix
+    // shard rule, so a bug in any decode layer's null contract, the
+    // eligibility filter, the charset-provenance split, or the
+    // aggregate itself moves a count and breaks the hash.
+    "q127_crawl_health" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q127").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = Tables(s, dir, "documents")
+      val e0 = col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
+        col("doc_id") % 13 =!= 0
+      val gzB = e0 && col("doc_id") % 19 === 0
+      val e1 = e0 && col("doc_id") % 19 =!= 0
+      val chB = e1 && col("doc_id") % 23 === 0
+      val e2 = e1 && col("doc_id") % 23 =!= 0
+      val badB = e2 && col("doc_id") % 31 === 0
+      val e3 = e2 && col("doc_id") % 31 =!= 0
+      val metaB = e3 && col("doc_id") % 3 === 1 && col("doc_id") % 2 === 1
+      val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
+        .when(col("doc_id") % 11 === 0, lit("text/html; charset=klingon"))
+        .when(col("doc_id") % 13 === 0, lit("application/xhtml+xml; charset=GBK"))
+        .when(col("doc_id") % 19 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 23 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 31 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 3 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 3 === 1, lit("text/plain"))
+        .otherwise(lit("text/html; charset=shift_jis"))
+      val bodyText = when(metaB,
+        concat(lit("<meta charset=\"windows-1250\">"), col("text")))
+        .otherwise(col("text"))
+      def chunkFrame(b: Column): Column = concat(
+        concat(lower(hex(octet_length(b))), lit("\r\n")).cast(BinaryType),
+        b, lit("\r\n0\r\n\r\n").cast(BinaryType))
+      val bodyBytes = when(gzB,
+          graft.functions.HttpBody.gzipBytes(col("text").cast(BinaryType)))
+        .when(chB, chunkFrame(col("text").cast(BinaryType)))
+        .when(badB, concat(lit("ZZ\r\n").cast(BinaryType),
+          col("text").cast(BinaryType)))
+        .otherwise(bodyText.cast(BinaryType))
+      val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
+        .when(col("doc_id") % 5 === 1, lit("500 Oops"))
+        .otherwise(lit("200 OK"))
+      val envelope = concat(
+        concat(lit("HTTP/1.1 "), status,
+          lit("\r\nContent-Type: "), ctype,
+          when(gzB, lit("\r\nContent-Encoding: gzip")).otherwise(lit("")),
+          when(chB || badB, lit("\r\nTransfer-Encoding: chunked"))
+            .otherwise(lit("")),
+          lit("\r\nContent-Length: "), octet_length(bodyBytes).cast(StringType),
+          lit("\r\n\r\n")).cast(BinaryType),
+        bodyBytes)
+      WarcShards.write(
+        docs.select(col("doc_id").cast(StringType).as("k"),
+          concat(lit("urn:graft:doc/"), col("doc_id")).as("u"),
+          envelope.as("p")),
+        "k", "u", "p", base, nShards = 8,
+        warcType = "response",
+        contentType = "application/http; msgtype=response")
+      Corpus.crawlHealth(s, base)
+        .withColumn("shard", col("shard").cast(LongType))
+        .orderBy(col("shard"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -3153,6 +3224,57 @@ object SparkEntry {
         |${oracleGopherKeepCtes("docs")}
         |select doc_id, n_words, mean_word_len from k
         |order by doc_id""".stripMargin,
+
+    // crawl-health twin (r14): every counter re-derived from the
+    // fixture's branch arithmetic + the sink's md5-prefix shard rule
+    // (TarShards.shardOf). eligible = 2xx non-png; decoded = eligible
+    // minus the corrupt-chunked arm; charset provenance splits the
+    // text/plain rows by the meta-injection parity; the unknown
+    // charset (klingon) rows are the charset-nulls, everything else
+    // decoded becomes a page
+    "q127_crawl_health" ->
+      """with d as (select doc_id,
+        |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 8 as shard,
+        |    (doc_id % 7 <> 0 and doc_id % 11 <> 0 and doc_id % 13 <> 0) as e0
+        |  from documents),
+        |f as (select shard, doc_id,
+        |    (e0 and doc_id % 19 = 0) as gzb,
+        |    (e0 and doc_id % 19 <> 0 and doc_id % 23 = 0) as chb,
+        |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 = 0) as badb,
+        |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 <> 0
+        |      and doc_id % 3 = 1) as plain1,
+        |    (doc_id % 5 <> 0 and doc_id % 5 <> 1) as ok2,
+        |    (doc_id % 5 = 0) as s4, (doc_id % 5 = 1) as s5,
+        |    (doc_id % 7 = 0) as png, (doc_id % 11 = 0) as kling
+        |  from d),
+        |g as (select shard, doc_id, gzb, chb, badb, kling, plain1, ok2, s4, s5,
+        |    (ok2 and not png) as elig,
+        |    (ok2 and not png and not badb) as dec
+        |  from f)
+        |select shard,
+        |  cast(count(*) as bigint) as n_records,
+        |  cast(count(*) as bigint) as n_response,
+        |  cast(0 as bigint) as n_conversion,
+        |  cast(0 as bigint) as n_other,
+        |  cast(0 as bigint) as n_unparsed,
+        |  cast(sum(case when ok2 then 1 else 0 end) as bigint) as n_2xx,
+        |  cast(0 as bigint) as n_3xx,
+        |  cast(sum(case when s4 then 1 else 0 end) as bigint) as n_4xx,
+        |  cast(sum(case when s5 then 1 else 0 end) as bigint) as n_5xx,
+        |  cast(sum(case when elig then 1 else 0 end) as bigint) as n_eligible,
+        |  cast(sum(case when elig and gzb then 1 else 0 end) as bigint) as n_enc_gzip,
+        |  cast(0 as bigint) as n_enc_deflate,
+        |  cast(0 as bigint) as n_enc_other,
+        |  cast(sum(case when elig and (chb or badb) then 1 else 0 end) as bigint) as n_chunked,
+        |  cast(sum(case when elig and badb then 1 else 0 end) as bigint) as n_decode_null,
+        |  cast(sum(case when dec and not plain1 then 1 else 0 end) as bigint) as n_cs_declared,
+        |  cast(sum(case when dec and plain1 and doc_id % 2 = 1 then 1 else 0 end) as bigint) as n_cs_sniffed,
+        |  cast(sum(case when dec and plain1 and doc_id % 2 = 0 then 1 else 0 end) as bigint) as n_cs_defaulted,
+        |  cast(sum(case when dec and kling then 1 else 0 end) as bigint) as n_charset_null,
+        |  cast(sum(case when dec and not kling then 1 else 0 end) as bigint) as n_pages
+        |from g
+        |group by shard
+        |order by shard""".stripMargin,
 
     // streaming raw-crawl drain twin (r14): q125's visible-text
     // replay (whitespace collapse of the original — the corpus is

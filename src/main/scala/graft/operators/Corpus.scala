@@ -952,4 +952,100 @@ object Corpus {
       .drop("_cuts")
     tierOf(labeled, k)
   }
+
+  // ---- crawl-health profiling ----------------------------------------
+
+  /** Per-shard health profile of a crawl segment directory (r14,
+    * closing the r13 verdict's "missing #3"): every decode layer in
+    * the raw-crawl chain says "count the nulls before trusting a
+    * segment" — this is that count, as ONE map-side-combinable
+    * aggregate over the [[graft.sources.WarcSource]] frame. The
+    * first thing to run on a new crawl, BEFORE curation:
+    *
+    *  - record mix: `n_records`, `n_response` / `n_conversion` /
+    *    `n_other` (warcinfo, request, metadata, …);
+    *  - envelope health: `n_unparsed` — response records whose
+    *    payload did not parse as an HTTP message;
+    *  - status classes: `n_2xx` / `n_3xx` / `n_4xx` / `n_5xx`;
+    *  - pipeline eligibility: `n_eligible` = 2xx with a `text/…` or
+    *    `application/xhtml+xml` Content-Type — the rows
+    *    `responseText` would process; every counter below covers
+    *    ONLY those rows (the chain never decodes chaff, and neither
+    *    does the profile — the aggregate costs what one curation
+    *    pass over the segment costs, minus the curation);
+    *  - codings: `n_enc_gzip` / `n_enc_deflate` / `n_enc_other`
+    *    (a declared coding the decode layer refuses — br, zstd, …),
+    *    `n_chunked` (chunked Transfer-Encoding framing);
+    *  - `n_decode_null`: eligible rows the transfer/content decode
+    *    layers NULLed (corrupt gzip, bad chunk framing, unknown
+    *    coding, over-cap) — the loud-null counter of `HttpBody`;
+    *  - charset provenance over the decoded rows: `n_cs_declared`
+    *    (envelope `charset=`), `n_cs_sniffed` (`<meta charset>` in
+    *    the first KiB), `n_cs_defaulted` (UTF-8 fallback), and
+    *    `n_charset_null` — rows the charset layer NULLed (unknown
+    *    alias or malformed bytes, `CharsetDecode`'s loud null);
+    *  - `n_pages`: rows that survive the whole chain with text.
+    *
+    * Scale shape: pure projections (the SAME staged decode columns
+    * `responseText` uses, so the counters price the real chain) into
+    * one hash aggregate keyed by `shard` — partial/final combine,
+    * nothing collected, one shuffle of shard-count rows. */
+  def crawlHealth(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    crawlHealthOf(spark.read.format("graft.sources.WarcSource")
+      .option("path", path).load())
+
+  /** [[crawlHealth]] over an already-loaded WarcSource frame. */
+  def crawlHealthOf(warc: DataFrame): DataFrame = {
+    import graft.functions.{CharsetDecode, HttpBody}
+    val ct = lower(col("http_content_type"))
+    val isResponse = col("warc_type") === "response"
+    val is2xx = col("http_status").between(200, 299)
+    val isText = ct.startsWith("text/") || ct.startsWith("application/xhtml+xml")
+    val eligible = isResponse && is2xx && isText
+    val enc = lower(col("http_content_encoding"))
+    val te = lower(col("http_transfer_encoding"))
+    // the decode chain runs ONLY for eligible rows, exactly like
+    // responseText — staged as named columns so each layer runs once
+    val declared = lower(regexp_extract(ct, "charset=\"?([a-zA-Z0-9_\\-]+)", 1))
+    val staged = warc
+      .withColumn("_deframed", when(eligible,
+        HttpBody.httpTransferDecode(col("body"), te)))
+      .withColumn("_raw", when(eligible,
+        HttpBody.httpBodyDecode(col("_deframed"), enc)))
+      .withColumn("_declared", declared)
+      .withColumn("_sniffed", lower(regexp_extract(
+        lower(decode(substring(col("_raw"), 1, 1024), "ISO-8859-1")),
+        "<meta[^>]{0,200}?charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)", 1)))
+      .withColumn("_cs", when(col("_declared") =!= "", col("_declared"))
+        .when(col("_sniffed") =!= "", col("_sniffed"))
+        .otherwise(lit("utf-8")))
+      .withColumn("_html", when(col("_raw").isNotNull,
+        CharsetDecode.charsetDecode(col("_raw"), col("_cs"))))
+    def n(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+    val decoded = eligible && col("_raw").isNotNull
+    staged.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_records"),
+      n(isResponse).as("n_response"),
+      n(col("warc_type") === "conversion").as("n_conversion"),
+      n(!isResponse && col("warc_type") =!= "conversion").as("n_other"),
+      n(isResponse && col("http_status").isNull).as("n_unparsed"),
+      n(isResponse && is2xx).as("n_2xx"),
+      n(isResponse && col("http_status").between(300, 399)).as("n_3xx"),
+      n(isResponse && col("http_status").between(400, 499)).as("n_4xx"),
+      n(isResponse && col("http_status").between(500, 599)).as("n_5xx"),
+      n(eligible).as("n_eligible"),
+      n(eligible && enc.isin("gzip", "x-gzip")).as("n_enc_gzip"),
+      n(eligible && enc === "deflate").as("n_enc_deflate"),
+      n(eligible && enc.isNotNull && !enc.isin("gzip", "x-gzip", "deflate", "identity"))
+        .as("n_enc_other"),
+      n(eligible && te.contains("chunked")).as("n_chunked"),
+      n(eligible && col("_raw").isNull).as("n_decode_null"),
+      n(decoded && col("_declared") =!= "").as("n_cs_declared"),
+      n(decoded && col("_declared") === "" && col("_sniffed") =!= "")
+        .as("n_cs_sniffed"),
+      n(decoded && col("_declared") === "" && col("_sniffed") === "")
+        .as("n_cs_defaulted"),
+      n(decoded && col("_html").isNull).as("n_charset_null"),
+      n(col("_html").isNotNull).as("n_pages"))
+  }
 }
