@@ -5,12 +5,15 @@ import graft.operators.LangId
 import org.apache.spark.sql.functions._
 
 /** Trainable language identifier (r13): multinomial NB over hashed
-  * char n-grams, trained IN Spark over the 31-language fixture
-  * corpus (`/langid_fixtures.tsv`, 13 sentences per language; first
-  * 10 train, last 3 held out). Training quality is spec territory
+  * char n-grams, trained IN Spark over the fixture corpus
+  * (`/langid_fixtures.tsv`, 13 sentences per language; first 10
+  * train, last 3 held out — 31 languages at r13, grown to 55 at r14
+  * with Perso-Arabic, Bengali, Tamil, Telugu, Malayalam, Kannada,
+  * Devanagari-Marathi, Gujarati, Gurmukhi, Georgian, Armenian and
+  * more Cyrillic/Latin coverage). Training quality is spec territory
   * (ln has no engine-identical twin — q123 gates the quantized
   * serving path); this suite gates breadth (the r12 verdict's #1:
-  * the 4-language marker argmax upgraded to ≥20 added languages),
+  * the 4-language marker argmax upgraded to ≥40 added languages),
   * marker agreement on en/es/de/fr, the zero-evidence → und rule,
   * and the [[Text.withLangId]] delegation contract. */
 class LangIdSpec extends SparkSpec {
@@ -40,24 +43,27 @@ class LangIdSpec extends SparkSpec {
   }
   private lazy val quantized = LangId.quantize(model)
 
+  private lazy val nLangs = fixtures.map(_._1).distinct.size
+
   test("model shape: floors negative, sparse deltas positive, one floor/prior per language") {
-    assert(model.langs.size === 31)
+    assert(nLangs === 55) // 31 (r13) + 24 (r14 script/coverage growth)
+    assert(model.langs.size === nLangs)
     assert(model.langs.forall { case (_, p, f) => p < 0.0 && f < 0.0 })
     assert(model.weights.forall(_._3 > 0.0), "dw = w - floor must be > 0 for seen grams")
     assert(model.weights.map(w => (w._1, w._2)).distinct.size === model.weights.size)
     // quantization drops nothing material at the default scale
-    assert(quantized.langs.size === 31)
+    assert(quantized.langs.size === nLangs)
     assert(quantized.weights.nonEmpty)
   }
 
-  test("held-out accuracy: >= 20 added languages correct; en/es/de/fr agree with the markers") {
+  test("held-out accuracy: >= 40 added languages correct; en/es/de/fr agree with the markers") {
     val held = corpus.filter(_._4).toDF("id", "lang", "text", "held")
     val got = LangId.withLang(held, "text", quantized, "lang_trained",
         idCol = Some("id"))
       .select(col("id"), col("lang"), col("lang_trained"), col("text"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
-    assert(got.length === 31 * 3)
+    assert(got.length === nLangs * 3)
     val perLang = got.groupBy(_._2).view
       .mapValues(rs => rs.count(r => r._3 == r._2)).toMap
     val marker = Set("en", "es", "de", "fr")
@@ -68,8 +74,8 @@ class LangIdSpec extends SparkSpec {
     }
     val added = perLang.filterNot { case (l, _) => marker(l) }
     val addedGood = added.count { case (_, c) => c >= 2 } // majority per language
-    assert(addedGood >= 20,
-      s"need >= 20 added languages at >= 2/3 held-out accuracy, got $addedGood " +
+    assert(addedGood >= 40,
+      s"need >= 40 added languages at >= 2/3 held-out accuracy, got $addedGood " +
         s"(per-lang: ${added.toSeq.sortBy(_._1).mkString(", ")})")
     val overall = got.count(r => r._3 == r._2).toDouble / got.length
     assert(overall >= 0.80, f"overall held-out accuracy $overall%.2f < 0.80")
