@@ -441,16 +441,7 @@ object Dedup {
       // partition-pruned (pblock < ranges).
       require(numHashes % bands == 0, "bands must divide numHashes")
       require(ranges >= 1, s"ranges must be >= 1, got $ranges")
-      val rows = numHashes / bands
-      sigs.select(col("id"), col("sig"),
-          posexplode(array((0 until bands).map(b =>
-            xxhash64(concat_ws("_", (0 until rows).map(r =>
-              element_at(col("sig"), b * rows + r + 1)): _*))): _*))
-            .as(Seq("band", "band_hash")))
-        .select(col("id"), col("band"), col("band_hash"),
-          when(col("band") === 0, col("sig")).as("sig"))
-        .withColumn("pblock",
-          (col("band") * ranges + pmod(col("band_hash"), lit(ranges))).cast(IntegerType))
+      minhashBandedRows(sigs, numHashes, bands, ranges)
         .write.mode(mode).partitionBy("pblock").parquet(path)
     }
     writeFamilyMarker(spark, path, numHashes, shingleK,
@@ -460,6 +451,25 @@ object Dedup {
     // to that session's next read (bit the streaming curation loop:
     // read-then-append-then-read within one session)
     df.sparkSession.catalog.refreshByPath(path)
+  }
+
+  /** Banded storage rows of a minhash `(id, sig)` table: one row per
+    * (id, band) with the band's bucket hash, the signature carried on
+    * band-0 rows only, under the `pblock` partition column. Shared by
+    * [[minhashWriteIndex]] and [[rebandIndex]] so a re-banded index
+    * is byte-for-byte the layout a fresh write would produce. */
+  private def minhashBandedRows(sigs: DataFrame, numHashes: Int,
+      bands: Int, ranges: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(concat_ws("_", (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*))): _*))
+          .as(Seq("band", "band_hash")))
+      .select(col("id"), col("band"), col("band_hash"),
+        when(col("band") === 0, col("sig")).as("sig"))
+      .withColumn("pblock",
+        (col("band") * ranges + pmod(col("band_hash"), lit(ranges))).cast(IntegerType))
   }
 
   /** The flat `(id, sig)` view of a minhash index, either layout —
@@ -1311,6 +1321,128 @@ object Dedup {
       fs.delete(old, true)
       spark.catalog.refreshByPath(path)
       (before, parquetFiles(hp))
+      }
+    }
+  }
+
+  /** Rewrite a persisted signature index into NEW banding geometry
+    * (r14): flat → banded, banded → flat, or banded → different
+    * `(bands, ranges)`. Geometry is baked into the family marker at
+    * first write (probes and appends refuse mismatches), so growing
+    * an index past its geometry's sweet spot — SCALE.md's r14
+    * crossover table: `ranges` should grow with the index so blocks
+    * stay near `maxPartitionBytes` and a fixed-size trigger's touched
+    * FRACTION keeps shrinking — was a delete-and-rebuild until now.
+    * This is the re-shard operation: read the flat view (band-0
+    * slice — one row per id, partition-pruned), re-derive the banded
+    * rows through the SAME builders the writers use (a re-banded
+    * index is indistinguishable from a fresh write at the new
+    * geometry), stage, swap, and rewrite the marker's layout fields
+    * with the identity fields (family, numHashes/shingleK, width,
+    * dim/bits/seed) carried verbatim.
+    *
+    * Works on all three marked index kinds, dispatched by marker
+    * fields: minhash (`numHashes`, array signature), hamming
+    * (`width`, long signature + frame key), embedding-LSH (`bits`,
+    * long signature). Concurrency and crash safety are
+    * [[compactIndex]]'s: the whole read→stage→swap runs under the
+    * shared rewrite lock (waiting out appenders), and the swap is
+    * rename-away → rename-in → delete-old — a crash at any point
+    * leaves a complete index at `path`, `path + ".old"`, or both.
+    *
+    * `targetFiles` bounds the rewrite's task count; a banded target
+    * repartitions ON `pblock` so each block lands in one file (the
+    * compaction convention). Returns the row count of the flat view
+    * rewritten (ids, not banded rows). */
+  def rebandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      bands: Int, ranges: Int = 64, targetFiles: Int = 16): Long = {
+    require(bands >= 0, s"bands must be >= 0 (0 = flat), got $bands")
+    require(ranges >= 1, s"ranges must be >= 1, got $ranges")
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hp), s"no index at $path")
+    graft.util.DirLock.withIndexLock(fs, path, "rewrite") {
+      val markerP = new org.apache.hadoop.fs.Path(path, "_graft_family.json")
+      require(fs.exists(markerP),
+        s"index at $path has no family marker — refusing to reband blind")
+      val in = fs.open(markerP)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      def field(k: String): Option[String] =
+        (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
+      def requireDivides(what: String, total: Int): Unit =
+        if (bands > 0) require(total % bands == 0,
+          s"bands=$bands must divide the index's $what=$total")
+      val flat: DataFrame =
+        if (field("numHashes").isDefined) minhashIndexFlat(spark, path)
+        else if (field("width").isDefined) hammingIndexFlat(spark, path)
+        else if (field("bits").isDefined) markerLayout(spark, path) match {
+          case Some((_, r)) => spark.read.parquet(path)
+            .filter(col("pblock") < r && col("band") === 0)
+            .select(col("id"), col("sig"))
+          case None => spark.read.parquet(path).select(col("id"), col("sig"))
+        }
+        else throw new IllegalArgumentException(
+          s"marker at $path matches no known signature-index kind: $txt")
+      val rebanded: DataFrame =
+        if (bands == 0) flat
+        else if (field("numHashes").isDefined) {
+          val numHashes = field("numHashes").get.toInt
+          requireDivides("numHashes", numHashes)
+          minhashBandedRows(flat, numHashes, bands, ranges)
+        } else if (field("width").isDefined) {
+          val width = field("width").get.toInt
+          requireDivides("width", width)
+          hammingBandedOf(flat, width, bands).withColumn("pblock", pblockOf(ranges))
+        } else {
+          // embedding-LSH: the cosineWriteIndex chunk derivation —
+          // geometry derives from (bits, bands) alone, so re-deriving
+          // from the stored long signatures is exact
+          val bits = field("bits").get.toInt
+          requireDivides("bits", bits)
+          val rows = bits / bands
+          flat.select(col("id"), col("sig"),
+              posexplode(array((0 until bands).map(b =>
+                shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
+                .as(Seq("band", "chunk")))
+            .withColumn("pblock",
+              (col("band") * ranges + pmod(col("chunk"), lit(ranges))).cast(IntegerType))
+        }
+      val staged = new org.apache.hadoop.fs.Path(path + ".reband")
+      val old = new org.apache.hadoop.fs.Path(path + ".old")
+      fs.delete(staged, true) // prior crashed attempt's leftovers
+      fs.delete(old, true)
+      val writer = (if (bands > 0) rebanded.repartition(targetFiles, col("pblock"))
+        else rebanded.repartition(targetFiles)).write.mode("overwrite")
+      (if (bands > 0) writer.partitionBy("pblock") else writer)
+        .parquet(staged.toString)
+      // marker: identity fields verbatim, layout fields replaced
+      val base = txt.trim.stripSuffix("}").replaceAll(
+        """,\s*"layout"\s*:\s*"banded"\s*,\s*"bands"\s*:\s*\d+\s*,\s*"ranges"\s*:\s*\d+""", "")
+      val newTxt =
+        if (bands > 0) s"""$base,"layout":"banded","bands":$bands,"ranges":$ranges}"""
+        else base + "}"
+      val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_graft_family.json"), true)
+      out.write(newTxt.getBytes("UTF-8")); out.close()
+      if (!fs.rename(hp, old))
+        throw new java.io.IOException(s"reband swap: cannot park $path")
+      if (!fs.rename(staged, hp)) {
+        if (!fs.rename(old, hp)) // restore, nothing lost
+          throw new java.io.IOException(
+            s"reband swap FAILED AND RESTORE FAILED: index parked at $old, " +
+              s"rewrite at $staged — recover by renaming one to $path")
+        throw new java.io.IOException(s"rename $staged to $path failed (index restored)")
+      }
+      fs.delete(old, true)
+      spark.catalog.refreshByPath(path)
+      // count AFTER the swap from the live flat view (also smoke-reads
+      // the new layout through the marker-aware reader)
+      if (field("numHashes").isDefined) minhashIndexFlat(spark, path).count()
+      else if (field("width").isDefined) hammingIndexFlat(spark, path).count()
+      else markerLayout(spark, path) match {
+        case Some((_, r)) => spark.read.parquet(path)
+          .filter(col("pblock") < r && col("band") === 0).count()
+        case None => spark.read.parquet(path).count()
       }
     }
   }

@@ -160,4 +160,75 @@ class BandedIndexSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p2 === Set((110L, 210L)))
   }
+
+  test("rebandIndex r14: geometry rewrites across all three kinds; probes identical; appends follow the new marker") {
+    // hamming: banded(8,16) -> banded(4,8) -> flat, probes identical
+    // through every geometry (presented bands follow the layout)
+    val hDir = tmp("rbham") + "/idx"
+    Dedup.hammingWriteIndex(idxSigs, hDir, "test-v1", 64, bands = 8, ranges = 16)
+    val expectedH = (1L to 40L).filter(_ % 3 == 0).map(i => (i, 100L + i, 1)).toSet
+    def probeH(bands: Int) = pairsOf(Dedup.incrementalHammingCandidates(
+      spark, batchSigs, hDir, "test-v1", 64, maxDistance = 2,
+      bands = bands, maxBucket = 100))
+    assert(probeH(8) === expectedH)
+    val n1 = Dedup.rebandIndex(spark, hDir, bands = 4, ranges = 8)
+    assert(n1 === 40L)
+    assert(probeH(4) === expectedH)
+    // the OLD geometry now refuses — geometry is marker-baked
+    val eGeom = intercept[IllegalArgumentException](probeH(8))
+    assert(eGeom.getMessage.contains("banding geometry"))
+    // appends must present the new geometry
+    val eApp = intercept[IllegalArgumentException](
+      Dedup.hammingWriteIndex(Seq((60L, 4096L)).toDF("id", "sh"), hDir,
+        "test-v1", 64, mode = "append", bands = 8, ranges = 16))
+    assert(eApp.getMessage.contains("layout"))
+    Dedup.hammingWriteIndex(Seq((60L, 4096L)).toDF("id", "sh"), hDir,
+      "test-v1", 64, mode = "append", bands = 4, ranges = 8)
+    assert(probeH(4) === expectedH) // the appended loner pairs with nothing
+    // flatten: marker layout cleared, identity fields carried
+    Dedup.rebandIndex(spark, hDir, bands = 0)
+    assert(Dedup.hammingIndexFlat(spark, hDir).count() === 41L)
+    assert(probeH(4) === expectedH)
+    val eDiv = intercept[IllegalArgumentException](
+      Dedup.rebandIndex(spark, hDir, bands = 7))
+    assert(eDiv.getMessage.contains("must divide"))
+
+    // minhash: flat -> banded(16,8), probe + flat view identical,
+    // and the re-banded layout equals a fresh banded write
+    val mk = (i: Long, tail: String) =>
+      (i, s"the quick brown fox jumps over the lazy dog number $tail")
+    val corpus = (1L to 12L).map(i => mk(i, s"unique$i extra words here")).toDF("doc_id", "text")
+    val batch = Seq(mk(102L, "unique2 extra words here"),
+      mk(107L, "unique7 extra words here")).toDF("doc_id", "text")
+    val mDir = tmp("rbmin") + "/idx"
+    val mFresh = tmp("rbminf") + "/idx"
+    Dedup.minhashWriteIndex(corpus, "doc_id", "text", mDir)
+    val flatSigs = Dedup.minhashIndexFlat(spark, mDir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    Dedup.rebandIndex(spark, mDir, bands = 16, ranges = 8)
+    Dedup.minhashWriteIndex(corpus, "doc_id", "text", mFresh, bands = 16, ranges = 8)
+    assert(Dedup.minhashIndexFlat(spark, mDir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap === flatSigs)
+    def probeM(path: String) = Dedup.incrementalNearDuplicates(spark, batch,
+        "doc_id", "text", path, corpus, minJaccard = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeM(mDir) === Set((2L, 102L), (7L, 107L)))
+    assert(probeM(mDir) === probeM(mFresh))
+
+    // embedding-LSH: banded(4,8) -> banded(8,4), probe follows
+    def vec(i: Long): Seq[Double] =
+      (0 until 32).map(d => if (((spread(i) >> d) & 1L) == 1L) 1.0 else -1.0)
+    val base = (1L to 30L).map(i => (i, vec(i))).toDF("id", "v")
+    val ebatch = (1L to 30L).filter(_ % 5 == 0)
+      .map(i => (100L + i, vec(i).map(_ * 1.0000001))).toDF("id", "v")
+    val cDir = tmp("rbcos") + "/idx"
+    Similarity.cosineWriteIndex(base, "id", "v", cDir, dim = 32, bits = 16,
+      bands = 4, ranges = 8)
+    Dedup.rebandIndex(spark, cDir, bands = 8, ranges = 4)
+    val got = Similarity.incrementalCosineNearDuplicates(
+        spark, ebatch, "id", "v", cDir, base, minCosine = 0.95,
+        dim = 32, bits = 16, bands = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (1L to 30L).filter(_ % 5 == 0).map(i => (i, 100L + i)).toSet)
+  }
 }
