@@ -1179,6 +1179,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Trained-lang composition under the gate (r14, the r13
+    // verdict's #8 closing clause): the PRODUCTION swap-in path —
+    // Text.withLangId(trained = Some(q)), which routes through the
+    // fingerprint join-back form (label per DISTINCT text, joined
+    // back by md5 — deterministic under recomputation) — feeding a
+    // CCNet-shape per-language composition. q123 gates the scoring
+    // algebra per doc; this gates that the Quantized-model OBJECT,
+    // the withLangId delegation, the distinct-text dedup and the
+    // group-by compose end-to-end to the same labels.
+    "q128_trained_lang_composition" -> { (s, dir) =>
+      import s.implicits._
+      val weights = LangGateWeights.toDF("lang", "gram", "qdw")
+        .select(col("lang"),
+          operators.LangId.bucket(col("gram"), LangGateDim).as("bucket"),
+          col("qdw"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val q = operators.LangId.Quantized(LangGateLangs, weights,
+        LangGateDim, Seq(1, 2, 3), 1e6, "md5")
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      functions.Text.withLangId(docs, "text", "lang", trained = Some(q))
+        .select(col("lang"),
+          Text.tokenCount(col("text")).cast(LongType).as("_nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("sum_tokens"))
+        .orderBy(col("lang"))
+    },
+
     // Streaming drain under the gate (r13, the r12 verdict's #7): the
     // most complex machinery in the repo — WET shards → tail-follow
     // micro-batches → Gopher gate → incremental near-dup against the
@@ -3171,41 +3198,7 @@ object SparkEntry {
     // integer score algebra, desc-score/asc-lang argmax, und on zero
     // evidence
     "q123_langid_serve" ->
-      s"""with wt(lang, gram, qdw) as (values
-        |  ${LangGateWeights.map { case (l, g, q) => s"('$l', '$g', $q)" }.mkString(", ")}),
-        |lt(lang, q_prior, q_floor) as (values
-        |  ${LangGateLangs.map { case (l, p, f) => s"('$l', $p, $f)" }.mkString(", ")}),
-        |wb as (select lang,
-        |    ('0x' || substr(md5(gram), 1, 8))::bigint % $LangGateDim as bucket,
-        |    sum(qdw) as qdw from wt group by 1, 2),
-        |n as (select doc_id,
-        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as t
-        |  from documents),
-        |g as (select doc_id,
-        |    unnest(list_transform(range(1, greatest(len(t) - kk + 1, 0) + 1),
-        |      i -> substr(t, i, kk))) as g
-        |  from n, (values (1), (2), (3)) ks(kk)),
-        |f as (select doc_id,
-        |    ('0x' || substr(md5(g), 1, 8))::bigint % $LangGateDim as bucket,
-        |    count(*) as cnt from g group by 1, 2),
-        |ng as (select doc_id, sum(cnt) as n_grams from f group by 1),
-        |hits as (select f.doc_id, wb.lang,
-        |    sum(wb.qdw * f.cnt) as hit_sum, sum(f.cnt) as n_hit
-        |  from f join wb using (bucket) group by 1, 2),
-        |sc as (select d.doc_id, lt.lang,
-        |    lt.q_prior + coalesce(ng.n_grams, 0) * lt.q_floor
-        |      + coalesce(h.hit_sum, 0) as score_q,
-        |    coalesce(ng.n_grams, 0) as n_grams,
-        |    coalesce(h.n_hit, 0) as n_hit
-        |  from (select doc_id from documents) d
-        |  cross join lt
-        |  left join ng using (doc_id)
-        |  left join hits h on h.doc_id = d.doc_id and h.lang = lt.lang),
-        |best as (select doc_id, lang, score_q, n_grams, n_hit,
-        |    row_number() over (partition by doc_id
-        |      order by score_q desc, lang asc) as rn,
-        |    max(n_hit) over (partition by doc_id) as any_hit
-        |  from sc)
+      s"""with $OracleLangIdCtes
         |select doc_id,
         |  case when any_hit = 0 then 'und' else lang end as lang,
         |  cast(score_q as bigint) as score_q,
@@ -3213,6 +3206,23 @@ object SparkEntry {
         |  cast(n_hit as bigint) as n_hit
         |from best where rn = 1
         |order by doc_id""".stripMargin,
+
+    // trained-lang composition twin (r14, verdict #8's closing
+    // clause): the shared q123 chain to the per-doc label (argmax +
+    // und rule), then the CCNet-shape group-by — the twin of the
+    // PRODUCTION swap-in path (Text.withLangId(trained), fingerprint
+    // join-back form)
+    "q128_trained_lang_composition" ->
+      s"""with $OracleLangIdCtes,
+        |lab as (select doc_id,
+        |    case when any_hit = 0 then 'und' else lang end as lang
+        |  from best where rn = 1)
+        |select l.lang,
+        |  cast(count(*) as bigint) as n_docs,
+        |  cast(sum($OracleNTokens) as bigint) as sum_tokens
+        |from lab l join documents using (doc_id)
+        |group by l.lang
+        |order by l.lang""".stripMargin,
 
     // raw-crawl twin: visible text = whitespace-collapse of the
     // original (tags/script/style strip leaves exactly the document
@@ -5299,6 +5309,48 @@ object SparkEntry {
     ("es", "los", 17L), ("es", " de", 9L), ("es", "de ", 8L),
     ("es", "ar ", 7L), ("es", "el ", 6L), ("es", "ado", 10L),
     ("es", "ll", 5L), ("es", "y ", 4L))
+  /** q123's quantized-NB scoring chain down to the windowed `best`
+    * CTE (per-doc per-lang score_q/n_grams/n_hit + argmax row number
+    * + any-hit flag) — shared verbatim by the q123 serving twin and
+    * the q128 composition twin so both replay the identical integer
+    * algebra. */
+  private def OracleLangIdCtes: String =
+    s"""wt(lang, gram, qdw) as (values
+      |  ${LangGateWeights.map { case (l, g, q) => s"('$l', '$g', $q)" }.mkString(", ")}),
+      |lt(lang, q_prior, q_floor) as (values
+      |  ${LangGateLangs.map { case (l, p, f) => s"('$l', $p, $f)" }.mkString(", ")}),
+      |wb as (select lang,
+      |    ('0x' || substr(md5(gram), 1, 8))::bigint % $LangGateDim as bucket,
+      |    sum(qdw) as qdw from wt group by 1, 2),
+      |n as (select doc_id,
+      |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as t
+      |  from documents),
+      |g as (select doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - kk + 1, 0) + 1),
+      |      i -> substr(t, i, kk))) as g
+      |  from n, (values (1), (2), (3)) ks(kk)),
+      |f as (select doc_id,
+      |    ('0x' || substr(md5(g), 1, 8))::bigint % $LangGateDim as bucket,
+      |    count(*) as cnt from g group by 1, 2),
+      |ng as (select doc_id, sum(cnt) as n_grams from f group by 1),
+      |hits as (select f.doc_id, wb.lang,
+      |    sum(wb.qdw * f.cnt) as hit_sum, sum(f.cnt) as n_hit
+      |  from f join wb using (bucket) group by 1, 2),
+      |sc as (select d.doc_id, lt.lang,
+      |    lt.q_prior + coalesce(ng.n_grams, 0) * lt.q_floor
+      |      + coalesce(h.hit_sum, 0) as score_q,
+      |    coalesce(ng.n_grams, 0) as n_grams,
+      |    coalesce(h.n_hit, 0) as n_hit
+      |  from (select doc_id from documents) d
+      |  cross join lt
+      |  left join ng using (doc_id)
+      |  left join hits h on h.doc_id = d.doc_id and h.lang = lt.lang),
+      |best as (select doc_id, lang, score_q, n_grams, n_hit,
+      |    row_number() over (partition by doc_id
+      |      order by score_q desc, lang asc) as rn,
+      |    max(n_hit) over (partition by doc_id) as any_hit
+      |  from sc)""".stripMargin
+
   private val QualityGateWeights: Seq[(String, Long)] = Seq(
     ("the", 17L), ("and", 11L), ("of", 7L), ("a", 5L), ("in", 3L),
     ("data", 23L), ("model", -13L), ("to", -2L), ("is", 9L), ("for", -4L))
