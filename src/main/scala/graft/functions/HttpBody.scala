@@ -109,7 +109,13 @@ object HttpBodyRuntime {
     var done = false
     while (!done) {
       val sizeStr = line().split(";", 2)(0).trim
-      if (sizeStr.isEmpty || !sizeStr.forall(c => Character.digit(c, 16) >= 0))
+      // length-capped BEFORE parseLong: a 17+-hex-digit size would
+      // overflow parseLong into a NumberFormatException — which is
+      // NOT the IOException the null contract catches — and kill the
+      // task on a hostile line. 12 hex digits (2^48) is already far
+      // past the output cap.
+      if (sizeStr.isEmpty || sizeStr.length > 12 ||
+          !sizeStr.forall(c => Character.digit(c, 16) >= 0))
         throw new java.io.IOException(s"bad chunk size: $sizeStr")
       val size = java.lang.Long.parseLong(sizeStr, 16)
       if (size > MaxDecodedBytes || out.size() + size > MaxDecodedBytes)

@@ -651,7 +651,12 @@ class WarcSpec extends SparkSpec {
         frame(pb, pb.length).dropRight(12))) ++
       // unknown transfer coding -> loud null
       record("http://x/gzonly", envelope("text/html", None, Some("gzip"),
-        gz(pb)))
+        gz(pb))) ++
+      // 17-hex-digit chunk size: would overflow parseLong into a
+      // NumberFormatException past the IOException null contract ->
+      // must NULL, never kill the task
+      record("http://x/huge", envelope("text/html", None, Some("chunked"),
+        ("11111111111111111\r\n" + page).getBytes("ISO-8859-1")))
     val out = new java.util.zip.GZIPOutputStream(
       new java.io.FileOutputStream(new java.io.File(dir, "cc5.warc.gz")))
     out.write(payload); out.close()
@@ -670,5 +675,6 @@ class WarcSpec extends SparkSpec {
     assert(rows("http://x/bad") === None)
     assert(rows("http://x/trunc") === None)
     assert(rows("http://x/gzonly") === None) // chunked must be the last coding
+    assert(rows("http://x/huge") === None) // overflowing size line -> null
   }
 }
