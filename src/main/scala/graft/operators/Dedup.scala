@@ -836,6 +836,48 @@ object Dedup {
       .filter(col("distance") <= maxDistance)
   }
 
+  /** The FRAME-KEYED batch hamming kernel (r14, extracted from
+    * `Multimodal.videoNearDuplicates` so the generic media-curation
+    * stream shares it): candidates over `(id, f, sh)` signature rows
+    * where the frame key `f` rides the bucket — rows only ever pair
+    * at the SAME timeline position. Returns one row per matching
+    * frame pair `(f, id_a, id_b, distance)`, `id_a < id_b`,
+    * `distance <= maxDistance`; frame-keyed callers aggregate
+    * matched-frame counts per (id_a, id_b). With `f = 0` throughout
+    * (frameless modalities) the bucket key degenerates to
+    * (band, chunk) and results equal [[hammingCandidates]] with a
+    * constant `f` column in front. Same pigeonhole + `maxBucket`
+    * census contract as the frameless kernel. */
+  def hammingCandidatesFramed(
+      sigs: DataFrame,
+      width: Int,
+      maxDistance: Int,
+      bands: Int,
+      maxBucket: Int): DataFrame = {
+    require(width % bands == 0, s"bands must divide the $width-bit width")
+    val bits = width / bands
+    val banded = sigs.select(col("id"), col("f"), col("sh"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
+        .as(Seq("band", "chunk")))
+    val keepBuckets = banded.groupBy(col("f"), col("band"), col("chunk"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("f"), col("band"), col("chunk"))
+    val pruned = banded.join(keepBuckets, Seq("f", "band", "chunk"))
+    val l = pruned.select(col("f"), col("band"), col("chunk"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = pruned.select(col("f"), col("band"), col("chunk"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("f", "band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("f"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct() // multi-band collisions of one frame pair
+      .select(col("f"), col("id_a"), col("id_b"),
+        hammingDistance(col("sh_a"), col("sh_b")).as("distance"))
+      .filter(col("distance") <= maxDistance)
+  }
+
   /** Canonical selection — the curation step BETWEEN pair detection
     * and training: label every doc with its duplicate-cluster id
     * ([[duplicateClusters]]; singletons label themselves) and keep

@@ -2035,33 +2035,18 @@ object Multimodal {
     * [[Dedup.hammingCandidates]]; never all-pairs. */
   def videoNearDuplicates(media: Dataset[MediaFile],
       maxDistance: Int = 7, bands: Int = 8, minMatched: Int = 2,
-      stride: Int = 1, maxBucket: Int = 1000): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val bits = 64 / bands
-    val sigs = videoFingerprints(media, stride)
-      .select(col("doc_id").as("id"), col("frame_index").as("f"), col("dhash").as("sh"))
-    val banded = sigs.select(col("id"), col("f"), col("sh"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
-        .as(Seq("band", "chunk")))
-    val keepBuckets = banded.groupBy(col("f"), col("band"), col("chunk"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") <= maxBucket && col("_n") >= 2)
-      .select(col("f"), col("band"), col("chunk"))
-    val pruned = banded.join(keepBuckets, Seq("f", "band", "chunk"))
-    val l = pruned.select(col("f"), col("band"), col("chunk"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = pruned.select(col("f"), col("band"), col("chunk"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("f", "band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("f"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct() // multi-band collisions of one frame pair
-      .filter(Dedup.hammingDistance(col("sh_a"), col("sh_b")) <= maxDistance)
+      stride: Int = 1, maxBucket: Int = 1000): DataFrame =
+    // r14: the frame-keyed kernel extracted to Dedup (the generic
+    // media-curation stream shares it); semantics unchanged
+    Dedup.hammingCandidatesFramed(
+        videoFingerprints(media, stride)
+          .select(col("doc_id").as("id"), col("frame_index").cast("long").as("f"),
+            col("dhash").as("sh")),
+        width = 64, maxDistance = maxDistance, bands = bands,
+        maxBucket = maxBucket)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_frames_matched"))
       .filter(col("n_frames_matched") >= minMatched)
-  }
 
   /** Image near-duplicate pairs: [[perceptualHash]] signatures
     * through the SAME banded hamming kernel the text SimHash path
@@ -2108,6 +2093,41 @@ object Multimodal {
     videoFingerprints(media, stride)
       .select(col("doc_id").as("id"),
         col("frame_index").cast("long").as("f"), col("dhash").as("sh"))
+
+  /** Signature rows `(doc_id, f, sh)` of a `(doc_id, content)` batch
+    * for the generic media-curation stream (r14,
+    * `DocStream.curateMediaNearDup`): ONE decode per payload into the
+    * kind's 64-bit fingerprint rows — image dHash and audio
+    * energy-hash as one `f = 0` row per VALID payload, video as one
+    * row per sampled frame (`f` = frame index; an undecodable video
+    * yields zero rows, the same "absent = invalid" census the stream
+    * applies to all three kinds). */
+  def mediaSigRows(batch: DataFrame, kind: String, stride: Int = 1): DataFrame = {
+    val media = batch.select(col("doc_id"), col("content"))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .map { case (id, bytes) => MediaFile(id, kind, bytes) }(mediaEnc)
+    kind match {
+      case "image" => perceptualHash(media).filter(col("valid"))
+        .select(col("doc_id"), lit(0L).as("f"), col("dhash").as("sh"))
+      case "audio" => audioFingerprint(media).filter(col("valid"))
+        .select(col("doc_id"), lit(0L).as("f"), col("ehash").as("sh"))
+      case "video" => videoFingerprints(media, stride)
+        .select(col("doc_id"), col("frame_index").cast("long").as("f"),
+          col("dhash").as("sh"))
+      case other => throw new IllegalArgumentException(
+        s"media kind '$other' (image|audio|video)")
+    }
+  }
+
+  /** The persisted-index hash family of a media kind — probes must
+    * present the index's family (marker-enforced). */
+  def mediaHashFamily(kind: String): String = kind match {
+    case "image" => ImageHashFamily
+    case "audio" => AudioHashFamily
+    case "video" => VideoHashFamily
+    case other => throw new IllegalArgumentException(
+      s"media kind '$other' (image|audio|video)")
+  }
 
   /** Write (or append) the image dHash index for a media batch. */
   def imageHashIndexWrite(media: Dataset[MediaFile], path: String,

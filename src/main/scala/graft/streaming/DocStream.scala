@@ -676,6 +676,166 @@ object DocStream {
       .start()
   }
 
+  /** Streaming NEAR-duplicate curation for ANY media modality (r14)
+    * — the [[curateImageNearDup]] loop generalized over the three
+    * 64-bit fingerprint kinds (`image` dHash / `audio` energy-hash /
+    * `video` per-frame dHash), completing the streaming half of the
+    * one-kernel media story: each micro-batch of `(doc_id, content)`
+    * rows decodes ONCE to signature rows
+    * ([[graft.operators.Multimodal.mediaSigRows]] — video yields one
+    * row per sampled frame), checks against the accumulated hamming
+    * index plus itself through the SHARED frame-keyed kernels
+    * ([[graft.operators.Dedup.hammingCandidatesFramed]] /
+    * [[graft.operators.Dedup.incrementalHammingCandidates]]), and the
+    * survivors append to the corpus WITH their signature rows (a
+    * `sigs: array<struct<f, sh>>` column — crash rebuild/repair never
+    * re-decodes media) and to the index. A pair is a duplicate when
+    * `>= minMatchedOf(kind)` of its frame-level candidates match —
+    * `minMatched` for video, 1 for the frameless kinds (where the
+    * frame key is constant 0 and the kernel degenerates to the
+    * frameless one). Undecodable payloads (zero signature rows) are
+    * dropped and counted loudly.
+    *
+    * Crash convergence, pinning, in-stream compaction and the
+    * banded-layout pass-through are [[curateNearDupStream]]'s,
+    * applied to the media index. [[curateImageNearDup]] remains the
+    * image-specific entry with its flat `sh` corpus column; new
+    * pipelines should prefer this one. */
+  def curateMediaNearDup(
+      spark: SparkSession,
+      in: DataFrame,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      kind: String = "image",
+      maxDistance: Int = 7,
+      bands: Int = 8,
+      maxBucket: Int = 1000,
+      minMatched: Int = 2,
+      stride: Int = 1,
+      pollInterval: Option[String] = None,
+      indexBands: Int = 0, indexRanges: Int = 64,
+      compactEvery: Int = 0, compactTargetFiles: Int = 64): StreamingQuery = {
+    import graft.operators.{Dedup, Multimodal}
+    val family = Multimodal.mediaHashFamily(kind) // validates `kind` at start()
+    require(indexBands == 0 || indexBands == bands,
+      s"indexBands=$indexBands must be 0 (flat layout) or equal the probe " +
+        s"banding bands=$bands — hamming banding geometry is baked at write")
+    val minMatchedOf = if (kind == "video") minMatched else 1
+    val trigger = pollInterval
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    in.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def hasParquet(d: String) = {
+          val p = new org.apache.hadoop.fs.Path(d)
+          fs.exists(p) && fs.listStatus(p)
+            .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        }
+        def markerExists() =
+          fs.exists(new org.apache.hadoop.fs.Path(indexDir, "_graft_family.json"))
+        // decode once, pin: every decision below derives from the
+        // signature rows, and media decode is the expensive step
+        val sigs = Multimodal.mediaSigRows(batch0, kind, stride)
+          .localCheckpoint(true)
+        try {
+          val sigDocs = sigs.select(col("doc_id")).distinct()
+          val nInvalid = batch0.join(sigDocs, Seq("doc_id"), "left_anti").count()
+          val batch = batch0.join(
+            sigs.groupBy(col("doc_id"))
+              .agg(collect_list(struct(col("f"), col("sh"))).as("sigs")),
+            Seq("doc_id"))
+          def corpusSigRows = spark.read.parquet(corpusDir)
+            .select(col("doc_id"), explode(col("sigs")).as("_s"))
+            .select(col("doc_id").as("id"), col("_s.f").as("f"),
+              col("_s.sh").as("sh"))
+          val corpusExists = hasParquet(corpusDir)
+          if (corpusExists && !markerExists())
+            Dedup.hammingWriteIndex(corpusSigRows, indexDir, family, 64,
+              mode = "overwrite", bands = indexBands, ranges = indexRanges)
+          val indexExists = markerExists()
+          // lagging-index repair BEFORE the decision (signature rows
+          // ride the corpus, no re-decode)
+          if (corpusExists && indexExists) {
+            val unindexed = corpusSigRows
+              .join(Dedup.hammingIndexFlat(spark, indexDir)
+                .select(col("id")).distinct(), Seq("id"), "left_anti")
+              .localCheckpoint(true) // pin BEFORE appending the path it reads
+            try {
+              if (unindexed.count() > 0)
+                Dedup.hammingWriteIndex(unindexed, indexDir, family, 64,
+                  mode = "append", bands = indexBands, ranges = indexRanges)
+            } finally graft.Pins.release(unindexed)
+          }
+          def admitted(framePairs: DataFrame): DataFrame = framePairs
+            .groupBy(col("id_a"), col("id_b"))
+            .agg(count(lit(1)).as("_n"))
+            .filter(col("_n") >= minMatchedOf)
+            .select(col("id_a"), col("id_b"))
+          val kept =
+            if (!corpusExists) {
+              val pairs = admitted(Dedup.hammingCandidatesFramed(
+                sigs.select(col("doc_id").as("id"), col("f"), col("sh")),
+                64, maxDistance, bands, maxBucket))
+              batch.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+            } else {
+              val fresh = batch.join(
+                spark.read.parquet(corpusDir).select(col("doc_id")),
+                Seq("doc_id"), "left_anti")
+              val freshSigs = sigs
+                .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+                .select(col("doc_id").as("id"), col("f"), col("sh"))
+              val pairs = admitted(Dedup.incrementalHammingCandidates(spark,
+                freshSigs, indexDir, family, 64, maxDistance, bands, maxBucket))
+              val bIds = fresh.select(col("doc_id")).distinct()
+              val flagged = pairs
+                .join(bIds.select(col("doc_id").as("id_a"), lit(1).as("_ain")),
+                  Seq("id_a"), "left")
+                .join(bIds.select(col("doc_id").as("id_b"), lit(1).as("_bin")),
+                  Seq("id_b"), "left")
+              val drop = flagged.select(
+                when(col("_ain").isNotNull && col("_bin").isNotNull, col("id_b"))
+                  .when(col("_ain").isNotNull, col("id_a"))
+                  .otherwise(col("id_b")).as("doc_id")).distinct()
+              fresh.join(drop, Seq("doc_id"), "left_anti")
+            }
+          val pinned = kept.localCheckpoint(true)
+          try {
+            val n = pinned.count()
+            println(s"[mediadedup:$kind] batch=$batchId kept=$n invalid=$nInvalid")
+            if (n > 0) {
+              pinned.write.mode("append").parquet(corpusDir)
+              spark.catalog.refreshByPath(corpusDir)
+              Dedup.hammingWriteIndex(
+                pinned.select(col("doc_id"), explode(col("sigs")).as("_s"))
+                  .select(col("doc_id").as("id"), col("_s.f").as("f"),
+                    col("_s.sh").as("sh")),
+                indexDir, family, 64,
+                mode = if (indexExists && corpusExists) "append" else "overwrite",
+                bands = indexBands, ranges = indexRanges)
+            }
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+                markerExists()) {
+              try {
+                val (b, a) = Dedup.compactIndex(spark, indexDir, compactTargetFiles)
+                if (b != a) println(s"[mediadedup:$kind] batch=$batchId compacted index: $b -> $a files")
+              } catch {
+                case e: java.io.IOException =>
+                  println(s"[mediadedup:$kind] batch=$batchId compact skipped: ${e.getMessage}")
+              }
+            }
+          } finally graft.Pins.release(pinned)
+        } finally graft.Pins.release(sigs)
+        ()
+      }
+      .start()
+  }
+
   def curateToWarcShards(
       spark: SparkSession,
       inputDir: String,

@@ -308,6 +308,79 @@ class StreamingSpec extends SparkSpec {
     assert(corpusIds() === Set(1L, 2L, 4L))
   }
 
+  test("generic media curation r14: audio and video kinds stream through the shared hamming kernels") {
+    import graft.streaming.DocStream
+    import graft.operators.Multimodal.MiniEncoder
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructType}
+    val schema = new StructType().add("doc_id", LongType).add("content", BinaryType)
+    def arrive(in: String, rows: Seq[(Long, Array[Byte])]): Unit =
+      rows.toDF("doc_id", "content").coalesce(1).write.mode("append").parquet(in)
+
+    // ---- audio: energy-hash, frameless (minMatched degenerates to 1)
+    val aIn = Files.createTempDirectory("aud_in").toString
+    val aCorpus = Files.createTempDirectory("aud_corpus").toString + "/corpus"
+    val aIdx = Files.createTempDirectory("aud_idx").toString + "/idx"
+    val aCkpt = Files.createTempDirectory("aud_ckpt").toString
+    def wv(i: Int, c: Int): Int = ((i * 77 + c * 13) % 64000) - 32000
+    def wvLoud(i: Int, c: Int): Int = if (i >= 60 && i < 62) 32600 else wv(i, c)
+    val wavA = MiniEncoder.wavPcm(16000, 1, 130, wv)
+    val wavLoud = MiniEncoder.wavPcm(16000, 1, 130, wvLoud) // few bits from wavA
+    val wavUp = MiniEncoder.wavPcm(8000, 1, 65, (i, _) => i * 500) // all-ones hash
+    def drainA(): Unit = DocStream.curateMediaNearDup(spark,
+      spark.readStream.schema(schema).parquet(aIn),
+      aCorpus, aIdx, aCkpt, kind = "audio", maxDistance = 4).awaitTermination()
+    def aIds() = spark.read.parquet(aCorpus)
+      .select("doc_id").as[Long].collect().toSet
+    arrive(aIn, Seq(1L -> wavA, 2L -> wavUp))
+    drainA()
+    assert(aIds() === Set(1L, 2L))
+    // batch 2: a loudness-perturbed copy of 1 (cross-batch, via the
+    // index), and a corrupt payload
+    arrive(aIn, Seq(3L -> wavLoud, 4L -> wavA.take(20)))
+    drainA()
+    assert(aIds() === Set(1L, 2L)) // 3 near-dups 1, 4 invalid
+    assert(spark.read.parquet(aIdx).select("id").as[Long].collect().toSet === aIds())
+    // signature rows ride the corpus (rebuild never re-decodes)
+    assert(spark.read.parquet(aCorpus).selectExpr("size(sigs)")
+      .as[Int].collect().forall(_ === 1))
+    drainA() // replay-idempotent
+    assert(aIds() === Set(1L, 2L))
+
+    // ---- video: frame-keyed, minMatched = 2
+    val vIn = Files.createTempDirectory("vid_in").toString
+    val vCorpus = Files.createTempDirectory("vid_corpus").toString + "/corpus"
+    val vIdx = Files.createTempDirectory("vid_idx").toString + "/idx"
+    val vCkpt = Files.createTempDirectory("vid_ckpt").toString
+    def fv(x: Int, y: Int, f: Int): Int = (x * 37 + y * 11 + f * 53) % 256
+    def fvEdit(x: Int, y: Int, f: Int): Int =
+      if (f == 2) (255 - x * 25) else fv(x, y, f)
+    val vidA = MiniEncoder.gifAnimGray(9, 8, 4, fv)
+    val vidEdit = MiniEncoder.gifAnimGray(9, 8, 4, fvEdit) // 3/4 frames match A
+    val vidMono = MiniEncoder.gifAnimGray(9, 8, 4, (x, _, _) => x * 20) // unrelated
+    def drainV(): Unit = DocStream.curateMediaNearDup(spark,
+      spark.readStream.schema(schema).parquet(vIn),
+      vCorpus, vIdx, vCkpt, kind = "video", maxDistance = 2,
+      minMatched = 2).awaitTermination()
+    def vIds() = spark.read.parquet(vCorpus)
+      .select("doc_id").as[Long].collect().toSet
+    arrive(vIn, Seq(1L -> vidA, 2L -> vidMono))
+    drainV()
+    assert(vIds() === Set(1L, 2L))
+    // batch 2: a 1-frame-edited copy of video 1 (3 matched frames
+    // >= minMatched → dup, decided against the per-frame INDEX), a
+    // byte-identical copy, and a corrupt payload
+    arrive(vIn, Seq(3L -> vidEdit, 4L -> vidA, 5L -> vidA.take(8)))
+    drainV()
+    assert(vIds() === Set(1L, 2L))
+    // the per-frame index holds exactly the corpus's frame rows
+    assert(spark.read.parquet(vIdx).select("id").as[Long].collect().toSet === vIds())
+    assert(spark.read.parquet(vIdx)
+      .filter(col("id") === 1L).select("f").as[Long].collect().toSet
+      === Set(0L, 1L, 2L, 3L))
+    drainV()
+    assert(vIds() === Set(1L, 2L))
+  }
+
   test("stale index over a deleted corpus is overwritten, not appended into (no ghost ids)") {
     // r13 (advisor): corpus deleted but index+marker left behind →
     // the batch is deduped via the index-IGNORING branch, yet the
