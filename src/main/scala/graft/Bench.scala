@@ -77,7 +77,9 @@ object Bench {
     * reading the most expensive non-streaming scan query attributes
     * the cost to the deliberate oracle-family choice, not to code
     * (r13 verdict "wrong #2"). */
-  val LangidFamily: Map[String, String] = Map("q123_langid_serve" -> "md5")
+  val LangidFamily: Map[String, String] = Map(
+    "q123_langid_serve" -> "md5",
+    "q128_trained_lang_composition" -> "md5")
 
   /** Per-query measurement record: the median is the citable number
     * (unchanged contract); min/max of the timed runs plus the warmup

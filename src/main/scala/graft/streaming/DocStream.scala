@@ -700,7 +700,14 @@ object DocStream {
     * banded-layout pass-through are [[curateNearDupStream]]'s,
     * applied to the media index. [[curateImageNearDup]] remains the
     * image-specific entry with its flat `sh` corpus column; new
-    * pipelines should prefer this one. */
+    * pipelines should prefer this one.
+    *
+    * `stride` (video) is part of the index's frame geometry but NOT
+    * of its family marker (the batch API's documented caveat,
+    * `Multimodal.videoHashIndexWrite`): restarting the stream with a
+    * different stride re-labels the frame axis against the persisted
+    * index — keep it fixed per index, or re-extract into a fresh
+    * index dir when changing it. */
   def curateMediaNearDup(
       spark: SparkSession,
       in: DataFrame,
