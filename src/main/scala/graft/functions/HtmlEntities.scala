@@ -151,10 +151,15 @@ object HtmlEntitiesRuntime {
     } else Entities.get(body)
   }
 
+  private val Amp = UTF8String.fromString("&")
+
   def decode(s: UTF8String): UTF8String = {
     if (s == null) return null
+    // Entity-free fast path on the raw bytes: '&' is 0x26 in UTF-8 and
+    // never a continuation byte, so a byte search is exact — the common
+    // no-entity row returns without materializing a String copy.
+    if (!s.contains(Amp)) return s
     val str = s.toString
-    if (str.indexOf('&') < 0) return s // entity-free fast path
     val sb = new java.lang.StringBuilder(str.length)
     var i = 0
     val n = str.length
@@ -162,7 +167,17 @@ object HtmlEntitiesRuntime {
       val c = str.charAt(i)
       if (c != '&') { sb.append(c); i += 1 }
       else {
-        val semi = str.indexOf(';', i + 1)
+        // Bounded lookahead: an entity body is at most 32 chars to the
+        // semicolon, so scan at most that window for ';'. An unbounded
+        // indexOf here made ampersand-flooded semicolon-free pages
+        // (bodies reach the 64 MiB post-inflate cap) O(n^2).
+        var semi = -1
+        var j = i + 1
+        val stop = math.min(n, i + 34)
+        while (semi < 0 && j < stop) {
+          if (str.charAt(j) == ';') semi = j
+          j += 1
+        }
         val decoded =
           if (semi < 0 || semi - i > 32) null
           else decodeBody(str.substring(i + 1, semi))

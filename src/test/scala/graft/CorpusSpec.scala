@@ -215,6 +215,21 @@ class CorpusSpec extends SparkSpec {
     assert(got(6L) === "αβγ ≠ ≤ ∞ ™")
   }
 
+  test("stripHtml r15: entity lookahead is bounded; ampersand floods decode linearly") {
+    import graft.functions.Text
+    // A ';' further than 32 chars from its '&' never forms an entity —
+    // the '&' stays literal — while a real entity after the flood still
+    // decodes. The decoder scans a capped window per '&' (ADVICE r14:
+    // unbounded indexOf(';') made semicolon-poor pages O(n^2)).
+    val farSemi = "&" + ("x" * 40) + "; tail &eacute;"
+    val flood = ("& " * 5000) + "&amp; end"
+    val df = Seq((1L, farSemi), (2L, flood)).toDF("id", "html")
+    val got = df.select($"id", Text.stripHtml($"html").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "&" + ("x" * 40) + "; tail é")
+    assert(got(2L) === ("& " * 5000) + "& end")
+  }
+
   test("canonicalUrl: case, ports, slashes, params, fragments; non-URLs pass through") {
     import graft.functions.Text
     val df = Seq(
