@@ -374,44 +374,33 @@ object Dedup {
     graft.util.DirLock.withIndexLock(fs, path, "append")(body)
   }
 
-  private def familyMarkerPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, "_graft_family.json")
+  private def markerFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def writeFamilyMarker(spark: org.apache.spark.sql.SparkSession,
       path: String, numHashes: Int, shingleK: Int,
       bands: Int = 0, ranges: Int = 0): Unit = {
-    val p = familyMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    val layout =
-      if (bands > 0) s""","layout":"banded","bands":$bands,"ranges":$ranges"""
-      else ""
-    out.write(
-      s"""{"family":"$IndexFamily","numHashes":$numHashes,"shingleK":$shingleK$layout}"""
-        .getBytes("UTF-8"))
-    out.close()
+    val base = graft.util.IndexMarker.of(
+      "family" -> IndexFamily, "numHashes" -> numHashes, "shingleK" -> shingleK)
+    val m = if (bands > 0) base.withLayout(bands, ranges) else base
+    m.write(markerFs(spark, path), path)
   }
 
   /** Loud family/parameter compatibility check when opening an index;
     * absent marker = legacy pre-r11 index (this family) — readable. */
   private def checkFamilyMarker(spark: org.apache.spark.sql.SparkSession,
-      path: String, numHashes: Int, shingleK: Int): Unit = {
-    val p = familyMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    def field(k: String): Option[String] =
-      (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
-    val fam = field("family").getOrElse("?")
-    require(fam == IndexFamily,
-      s"signature index at $path was built with family '$fam', " +
-        s"this probe uses '$IndexFamily' — families are not interchangeable")
-    field("numHashes").foreach(h => require(h.toInt == numHashes,
-      s"index at $path has numHashes=$h, probe uses $numHashes"))
-    field("shingleK").foreach(k => require(k.toInt == shingleK,
-      s"index at $path has shingleK=$k, probe uses $shingleK"))
-  }
+      path: String, numHashes: Int, shingleK: Int): Unit =
+    graft.util.IndexMarker.read(markerFs(spark, path), path).foreach { m =>
+      val fam = m.str("family").getOrElse("?")
+      require(fam == IndexFamily,
+        s"signature index at $path was built with family '$fam', " +
+          s"this probe uses '$IndexFamily' — families are not interchangeable")
+      m.int("numHashes").foreach(h => require(h == numHashes,
+        s"index at $path has numHashes=$h, probe uses $numHashes"))
+      m.int("shingleK").foreach(k => require(k == shingleK,
+        s"index at $path has shingleK=$k, probe uses $shingleK"))
+    }
 
   def minhashWriteIndex(
       df: DataFrame, idCol: String, textCol: String, path: String,
@@ -1191,20 +1180,12 @@ object Dedup {
   // — probing dHashes against audio hashes is silent garbage without
   // the marker), staged appends, refreshByPath after every write.
 
-  private def hammingMarkerPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, "_graft_family.json")
-
   private def writeHammingMarker(spark: org.apache.spark.sql.SparkSession,
       path: String, family: String, width: Int,
       bands: Int = 0, ranges: Int = 0): Unit = {
-    val p = hammingMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    val layout =
-      if (bands > 0) s""","layout":"banded","bands":$bands,"ranges":$ranges"""
-      else ""
-    out.write(s"""{"family":"$family","width":$width$layout}""".getBytes("UTF-8"))
-    out.close()
+    val base = graft.util.IndexMarker.of("family" -> family, "width" -> width)
+    val m = if (bands > 0) base.withLayout(bands, ranges) else base
+    m.write(markerFs(spark, path), path)
   }
 
   /** Layout of a marked index: `Some((bands, ranges))` when the rows
@@ -1212,18 +1193,8 @@ object Dedup {
     * (r13), `None` for the flat `(id, f, sh)` layout. Shared by the
     * hamming / minhash / embedding-LSH markers (same field names). */
   private[graft] def markerLayout(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[(Int, Int)] = {
-    val p = hammingMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    def field(k: String): Option[String] =
-      (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
-    if (!field("layout").contains("banded")) None
-    else Some((field("bands").map(_.toInt).getOrElse(0),
-      field("ranges").map(_.toInt).getOrElse(0)))
-  }
+      path: String): Option[(Int, Int)] =
+    graft.util.IndexMarker.read(markerFs(spark, path), path).flatMap(_.layout)
 
   /** The banded layout's partition column: one value per
     * (band, chunk-residue) block, so a probe's touched blocks prune
@@ -1234,20 +1205,15 @@ object Dedup {
 
   private def checkHammingMarker(spark: org.apache.spark.sql.SparkSession,
       path: String, family: String, width: Int): Unit = {
-    val p = hammingMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"signature index at $path has no family marker — not a hamming index " +
-        "(or written by a foreign tool); refusing to probe blind")
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    def field(k: String): Option[String] =
-      (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
-    val fam = field("family").getOrElse("?")
+    val m = graft.util.IndexMarker.read(markerFs(spark, path), path).getOrElse(
+      throw new IllegalArgumentException(
+        s"signature index at $path has no family marker — not a hamming index " +
+          "(or written by a foreign tool); refusing to probe blind"))
+    val fam = m.str("family").getOrElse("?")
     require(fam == family,
       s"hamming index at $path was built with family '$fam', this probe " +
         s"uses '$family' — families are not interchangeable")
-    field("width").foreach(w => require(w.toInt == width,
+    m.int("width").foreach(w => require(w == width,
       s"index at $path has width=$w, probe uses $width"))
   }
 
@@ -1293,12 +1259,11 @@ object Dedup {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hp), s"no index at $path")
     graft.util.DirLock.withIndexLock(fs, path, "rewrite") {
-      val markerP = new org.apache.hadoop.fs.Path(path, "_graft_family.json")
-      val marker: Option[Array[Byte]] =
-        if (fs.exists(markerP)) {
-          val in = fs.open(markerP)
-          try Some(in.readAllBytes()) finally in.close()
-        } else None
+      // parse (strict — a foreign/corrupt marker refuses here, before
+      // any rewrite) and re-render: field order is preserved, so the
+      // carried marker is the one a probe already validated against
+      val marker: Option[graft.util.IndexMarker] =
+        graft.util.IndexMarker.read(fs, path)
       def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
         val it = fs.listFiles(p, true)
         var n = 0L
@@ -1347,10 +1312,7 @@ object Dedup {
       val writer = rewritten.write.mode("overwrite")
       (if (parts.isEmpty) writer else writer.partitionBy(parts: _*))
         .parquet(staged.toString)
-      marker.foreach { bytes =>
-        val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_graft_family.json"), true)
-        out.write(bytes); out.close()
-      }
+      marker.foreach(_.write(fs, staged.toString))
       if (!fs.rename(hp, old))
         throw new java.io.IOException(s"compact swap: cannot park $path")
       if (!fs.rename(staged, hp)) {
@@ -1405,42 +1367,43 @@ object Dedup {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hp), s"no index at $path")
     graft.util.DirLock.withIndexLock(fs, path, "rewrite") {
-      val markerP = new org.apache.hadoop.fs.Path(path, "_graft_family.json")
-      require(fs.exists(markerP),
-        s"index at $path has no family marker — refusing to reband blind")
-      val in = fs.open(markerP)
-      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      def field(k: String): Option[String] =
-        (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
+      // strict shared parse (r15): a marker with reordered fields
+      // re-bands correctly (fields are parsed, not regex'd from the
+      // text), and one with fields outside the known vocabulary —
+      // a newer writer's semantics — refuses instead of silently
+      // rewriting around them
+      val marker = graft.util.IndexMarker.read(fs, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"index at $path has no family marker — refusing to reband blind"))
       def requireDivides(what: String, total: Int): Unit =
         if (bands > 0) require(total % bands == 0,
           s"bands=$bands must divide the index's $what=$total")
       val flat: DataFrame =
-        if (field("numHashes").isDefined) minhashIndexFlat(spark, path)
-        else if (field("width").isDefined) hammingIndexFlat(spark, path)
-        else if (field("bits").isDefined) markerLayout(spark, path) match {
+        if (marker.has("numHashes")) minhashIndexFlat(spark, path)
+        else if (marker.has("width")) hammingIndexFlat(spark, path)
+        else if (marker.has("bits")) markerLayout(spark, path) match {
           case Some((_, r)) => spark.read.parquet(path)
             .filter(col("pblock") < r && col("band") === 0)
             .select(col("id"), col("sig"))
           case None => spark.read.parquet(path).select(col("id"), col("sig"))
         }
         else throw new IllegalArgumentException(
-          s"marker at $path matches no known signature-index kind: $txt")
+          s"marker at $path matches no known signature-index kind: ${marker.render}")
       val rebanded: DataFrame =
         if (bands == 0) flat
-        else if (field("numHashes").isDefined) {
-          val numHashes = field("numHashes").get.toInt
+        else if (marker.has("numHashes")) {
+          val numHashes = marker.int("numHashes").get
           requireDivides("numHashes", numHashes)
           minhashBandedRows(flat, numHashes, bands, ranges)
-        } else if (field("width").isDefined) {
-          val width = field("width").get.toInt
+        } else if (marker.has("width")) {
+          val width = marker.int("width").get
           requireDivides("width", width)
           hammingBandedOf(flat, width, bands).withColumn("pblock", pblockOf(ranges))
         } else {
           // embedding-LSH: the cosineWriteIndex chunk derivation —
           // geometry derives from (bits, bands) alone, so re-deriving
           // from the stored long signatures is exact
-          val bits = field("bits").get.toInt
+          val bits = marker.int("bits").get
           requireDivides("bits", bits)
           val rows = bits / bands
           flat.select(col("id"), col("sig"),
@@ -1458,14 +1421,10 @@ object Dedup {
         else rebanded.repartition(targetFiles)).write.mode("overwrite")
       (if (bands > 0) writer.partitionBy("pblock") else writer)
         .parquet(staged.toString)
-      // marker: identity fields verbatim, layout fields replaced
-      val base = txt.trim.stripSuffix("}").replaceAll(
-        """,\s*"layout"\s*:\s*"banded"\s*,\s*"bands"\s*:\s*\d+\s*,\s*"ranges"\s*:\s*\d+""", "")
-      val newTxt =
-        if (bands > 0) s"""$base,"layout":"banded","bands":$bands,"ranges":$ranges}"""
-        else base + "}"
-      val out = fs.create(new org.apache.hadoop.fs.Path(staged, "_graft_family.json"), true)
-      out.write(newTxt.getBytes("UTF-8")); out.close()
+      // marker: identity fields verbatim (parsed, so order-proof),
+      // layout fields replaced
+      (if (bands > 0) marker.withLayout(bands, ranges) else marker.withoutLayout)
+        .write(fs, staged.toString)
       if (!fs.rename(hp, old))
         throw new java.io.IOException(s"reband swap: cannot park $path")
       if (!fs.rename(staged, hp)) {
@@ -1479,8 +1438,8 @@ object Dedup {
       spark.catalog.refreshByPath(path)
       // count AFTER the swap from the live flat view (also smoke-reads
       // the new layout through the marker-aware reader)
-      if (field("numHashes").isDefined) minhashIndexFlat(spark, path).count()
-      else if (field("width").isDefined) hammingIndexFlat(spark, path).count()
+      if (marker.has("numHashes")) minhashIndexFlat(spark, path).count()
+      else if (marker.has("width")) hammingIndexFlat(spark, path).count()
       else markerLayout(spark, path) match {
         case Some((_, r)) => spark.read.parquet(path)
           .filter(col("pblock") < r && col("band") === 0).count()

@@ -271,42 +271,32 @@ object Similarity {
   // the incrementalNearDuplicates shape — the index never carries
   // the heavy vector column.
 
-  private def lshMarkerPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, "_graft_family.json")
-
   private val LshIndexFamily = "hyperplane-lsh-v1"
+
+  private def markerFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def writeLshMarker(spark: org.apache.spark.sql.SparkSession,
       path: String, dim: Int, bits: Int, seed: Long,
       bands: Int = 0, ranges: Int = 0): Unit = {
-    val p = lshMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    val layout =
-      if (bands > 0) s""","layout":"banded","bands":$bands,"ranges":$ranges"""
-      else ""
-    out.write(
-      s"""{"family":"$LshIndexFamily","dim":$dim,"bits":$bits,"seed":$seed$layout}"""
-        .getBytes("UTF-8"))
-    out.close()
+    val base = graft.util.IndexMarker.of(
+      "family" -> LshIndexFamily, "dim" -> dim, "bits" -> bits, "seed" -> seed)
+    val m = if (bands > 0) base.withLayout(bands, ranges) else base
+    m.write(markerFs(spark, path), path)
   }
 
   private def checkLshMarker(spark: org.apache.spark.sql.SparkSession,
       path: String, dim: Int, bits: Int, seed: Long): Unit = {
-    val p = lshMarkerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"signature index at $path has no parameter marker — refusing to probe blind")
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    def field(k: String): Option[String] =
-      (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
-    val fam = field("family").getOrElse("?")
+    val m = graft.util.IndexMarker.read(markerFs(spark, path), path).getOrElse(
+      throw new IllegalArgumentException(
+        s"signature index at $path has no parameter marker — refusing to probe blind"))
+    val fam = m.str("family").getOrElse("?")
     require(fam == LshIndexFamily,
       s"index at $path was built with family '$fam', this probe uses " +
         s"'$LshIndexFamily' — families are not interchangeable")
     for ((k, v) <- Seq("dim" -> dim.toLong, "bits" -> bits.toLong, "seed" -> seed))
-      field(k).foreach(got => require(got.toLong == v,
+      m.long(k).foreach(got => require(got == v,
         s"index at $path has $k=$got, probe uses $v — " +
           "hyperplanes derive from (dim, bits, seed); mismatched params never collide"))
   }

@@ -579,7 +579,7 @@ object DocStream {
             .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         }
         def markerExists() =
-          fs.exists(new org.apache.hadoop.fs.Path(indexDir, "_graft_family.json"))
+          fs.exists(graft.util.IndexMarker.markerPath(indexDir))
         val media = batch0.select(col("doc_id"), col("content"))
           .as[(Long, Array[Byte])]
           .map { case (id, bytes) => Multimodal.MediaFile(id, "image", bytes) }(
@@ -744,7 +744,7 @@ object DocStream {
             .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         }
         def markerExists() =
-          fs.exists(new org.apache.hadoop.fs.Path(indexDir, "_graft_family.json"))
+          fs.exists(graft.util.IndexMarker.markerPath(indexDir))
         // decode once, pin: every decision below derives from the
         // signature rows, and media decode is the expensive step
         val sigs = Multimodal.mediaSigRows(batch0, kind, stride)

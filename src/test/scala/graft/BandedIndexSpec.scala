@@ -231,4 +231,62 @@ class BandedIndexSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === (1L to 30L).filter(_ % 5 == 0).map(i => (i, 100L + i)).toSet)
   }
+
+  test("marker discipline r15: reordered fields reband correctly; unknown fields refuse loudly") {
+    import graft.util.IndexMarker
+    val dir = tmp("rbmark") + "/idx"
+    Dedup.hammingWriteIndex(idxSigs, dir, "test-v1", 64, bands = 8, ranges = 16)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def putMarker(txt: String): Unit = {
+      val out = fs.create(IndexMarker.markerPath(dir), true)
+      out.write(txt.getBytes("UTF-8")); out.close()
+    }
+    val expected = (1L to 40L).filter(_ % 3 == 0).map(i => (i, 100L + i, 1)).toSet
+    def probe(bands: Int) = pairsOf(Dedup.incrementalHammingCandidates(
+      spark, batchSigs, dir, "test-v1", 64, maxDistance = 2,
+      bands = bands, maxBucket = 100))
+
+    // a REORDERED marker (layout fields first, identity last — the
+    // r14 regex strip assumed the writers' exact order and would have
+    // carried stale geometry text into the identity prefix) rebands
+    // correctly: identity fields survive verbatim, probes at the new
+    // geometry succeed under the same family/width
+    putMarker("""{"ranges":16,"layout":"banded","bands":8,"width":64,"family":"test-v1"}""")
+    assert(Dedup.rebandIndex(spark, dir, bands = 4, ranges = 8) === 40L)
+    val m = IndexMarker.read(fs, dir).get
+    assert(m.str("family") === Some("test-v1"))
+    assert(m.int("width") === Some(64))
+    assert(m.layout === Some((4, 8)))
+    assert(probe(4) === expected)
+
+    // a marker carrying a field outside the known vocabulary was
+    // written by a newer tool — every reader refuses rather than
+    // silently rewriting around semantics it can't honor
+    putMarker("""{"family":"test-v1","width":64,"salt":7}""")
+    val eReband = intercept[IllegalArgumentException](
+      Dedup.rebandIndex(spark, dir, bands = 8, ranges = 16))
+    assert(eReband.getMessage.contains("unknown field 'salt'"))
+    val eProbe = intercept[IllegalArgumentException](probe(4))
+    assert(eProbe.getMessage.contains("unknown field 'salt'"))
+    val eCompact = intercept[IllegalArgumentException](
+      Dedup.compactIndex(spark, dir, targetFiles = 1))
+    assert(eCompact.getMessage.contains("unknown field 'salt'"))
+
+    // malformed markers (duplicate keys, nesting, trailing junk)
+    // refuse with the offending text in the message
+    for (bad <- Seq(
+        """{"family":"test-v1","family":"other","width":64}""",
+        """{"family":"test-v1","width":{"v":64}}""",
+        """{"family":"test-v1","width":64} extra""")) {
+      putMarker(bad)
+      val e = intercept[IllegalArgumentException](probe(4))
+      assert(e.getMessage.contains("malformed index marker"), bad)
+    }
+
+    // restore a good marker: parse -> render round-trips and serves
+    putMarker("""{ "family" : "test-v1" , "width" : 64 }""")
+    val roundTrip = IndexMarker.read(fs, dir).get
+    assert(roundTrip.render === """{"family":"test-v1","width":64}""")
+  }
 }
