@@ -1402,6 +1402,10 @@ object SparkEntry {
       val e2 = e1 && col("doc_id") % 23 =!= 0
       val badB = e2 && col("doc_id") % 31 === 0
       val e3 = e2 && col("doc_id") % 31 =!= 0
+      // bodyless 2xx arm (r15): an eligible response with an empty
+      // body — counted in n_no_body, never in n_decode_null, and
+      // never a page (the absent-vs-corrupt distinction under the hash)
+      val nbB = e3 && col("doc_id") % 29 === 0
       val metaB = e3 && col("doc_id") % 3 === 1 && col("doc_id") % 2 === 1
       val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
         .when(col("doc_id") % 11 === 0, lit("text/html; charset=klingon"))
@@ -1423,6 +1427,7 @@ object SparkEntry {
         .when(chB, chunkFrame(col("text").cast(BinaryType)))
         .when(badB, concat(lit("ZZ\r\n").cast(BinaryType),
           col("text").cast(BinaryType)))
+        .when(nbB, lit("").cast(BinaryType))
         .otherwise(bodyText.cast(BinaryType))
       val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
         .when(col("doc_id") % 5 === 1, lit("500 Oops"))
@@ -3235,10 +3240,11 @@ object SparkEntry {
         |select doc_id, n_words, mean_word_len from k
         |order by doc_id""".stripMargin,
 
-    // crawl-health twin (r14): every counter re-derived from the
-    // fixture's branch arithmetic + the sink's md5-prefix shard rule
-    // (TarShards.shardOf). eligible = 2xx non-png; decoded = eligible
-    // minus the corrupt-chunked arm; charset provenance splits the
+    // crawl-health twin (r14; bodyless arm r15): every counter
+    // re-derived from the fixture's branch arithmetic + the sink's
+    // md5-prefix shard rule (TarShards.shardOf). eligible = 2xx
+    // non-png; decoded = eligible minus the corrupt-chunked and
+    // bodyless arms; charset provenance splits the
     // text/plain rows by the meta-injection parity; the unknown
     // charset (klingon) rows are the charset-nulls, everything else
     // decoded becomes a page
@@ -3252,14 +3258,16 @@ object SparkEntry {
         |    (e0 and doc_id % 19 <> 0 and doc_id % 23 = 0) as chb,
         |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 = 0) as badb,
         |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 <> 0
+        |      and doc_id % 29 = 0) as nbb,
+        |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 <> 0
         |      and doc_id % 3 = 1) as plain1,
         |    (doc_id % 5 <> 0 and doc_id % 5 <> 1) as ok2,
         |    (doc_id % 5 = 0) as s4, (doc_id % 5 = 1) as s5,
         |    (doc_id % 7 = 0) as png, (doc_id % 11 = 0) as kling
         |  from d),
-        |g as (select shard, doc_id, gzb, chb, badb, kling, plain1, ok2, s4, s5,
+        |g as (select shard, doc_id, gzb, chb, badb, nbb, kling, plain1, ok2, s4, s5,
         |    (ok2 and not png) as elig,
-        |    (ok2 and not png and not badb) as dec
+        |    (ok2 and not png and not badb and not nbb) as dec
         |  from f)
         |select shard,
         |  cast(count(*) as bigint) as n_records,
@@ -3276,6 +3284,7 @@ object SparkEntry {
         |  cast(0 as bigint) as n_enc_deflate,
         |  cast(0 as bigint) as n_enc_other,
         |  cast(sum(case when elig and (chb or badb) then 1 else 0 end) as bigint) as n_chunked,
+        |  cast(sum(case when elig and nbb then 1 else 0 end) as bigint) as n_no_body,
         |  cast(sum(case when elig and badb then 1 else 0 end) as bigint) as n_decode_null,
         |  cast(sum(case when dec and not plain1 then 1 else 0 end) as bigint) as n_cs_declared,
         |  cast(sum(case when dec and plain1 and doc_id % 2 = 1 then 1 else 0 end) as bigint) as n_cs_sniffed,

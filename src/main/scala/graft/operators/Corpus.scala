@@ -976,9 +976,14 @@ object Corpus {
     *  - codings: `n_enc_gzip` / `n_enc_deflate` / `n_enc_other`
     *    (a declared coding the decode layer refuses — br, zstd, …),
     *    `n_chunked` (chunked Transfer-Encoding framing);
-    *  - `n_decode_null`: eligible rows the transfer/content decode
-    *    layers NULLed (corrupt gzip, bad chunk framing, unknown
-    *    coding, over-cap) — the loud-null counter of `HttpBody`;
+    *  - `n_no_body`: eligible rows with NO body at all (bodyless
+    *    2xx — a NULL from a foreign loader or the zero-length body
+    *    the envelope split yields); counted apart from decode
+    *    failures (r15) because nothing broke;
+    *  - `n_decode_null`: eligible rows WITH a body that the
+    *    transfer/content decode layers NULLed (corrupt gzip, bad
+    *    chunk framing, unknown coding, over-cap) — the loud-null
+    *    counter of `HttpBody`;
     *  - charset provenance over the decoded rows: `n_cs_declared`
     *    (envelope `charset=`), `n_cs_sniffed` (`<meta charset>` in
     *    the first KiB), `n_cs_defaulted` (UTF-8 fallback), and
@@ -1007,8 +1012,13 @@ object Corpus {
     // the decode chain runs ONLY for eligible rows, exactly like
     // responseText — staged as named columns so each layer runs once
     val declared = lower(regexp_extract(ct, "charset=\"?([a-zA-Z0-9_\\-]+)", 1))
+    // a bodyless response (NULL from a foreign loader, or the
+    // zero-length body the envelope split yields) never enters the
+    // decode chain: nothing to decode means no decode failure, no
+    // charset provenance, and no page (r15)
+    val hasBody = col("body").isNotNull && octet_length(col("body")) > 0
     val staged = warc
-      .withColumn("_deframed", when(eligible,
+      .withColumn("_deframed", when(eligible && hasBody,
         HttpBody.httpTransferDecode(col("body"), te)))
       .withColumn("_raw", when(eligible,
         HttpBody.httpBodyDecode(col("_deframed"), enc)))
@@ -1039,7 +1049,12 @@ object Corpus {
       n(eligible && enc.isNotNull && !enc.isin("gzip", "x-gzip", "deflate", "identity"))
         .as("n_enc_other"),
       n(eligible && te.contains("chunked")).as("n_chunked"),
-      n(eligible && col("_raw").isNull).as("n_decode_null"),
+      // absent vs corrupt (r15, the r14 verdict's "wrong #1"): a
+      // bodyless eligible response is not a decode failure — keep it
+      // out of n_decode_null or a segment full of bodyless 2xx rows
+      // reads "decode layer broke" when nothing ran
+      n(eligible && !hasBody).as("n_no_body"),
+      n(eligible && hasBody && col("_raw").isNull).as("n_decode_null"),
       n(decoded && col("_declared") =!= "").as("n_cs_declared"),
       n(decoded && col("_declared") === "" && col("_sniffed") =!= "")
         .as("n_cs_sniffed"),

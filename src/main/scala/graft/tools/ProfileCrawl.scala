@@ -22,10 +22,12 @@ object ProfileCrawl {
       .orderBy(org.apache.spark.sql.functions.col("shard"))
     health.show(1000, truncate = false)
     val t = health.selectExpr("sum(n_records) as records",
-      "sum(n_eligible) as eligible", "sum(n_decode_null) as decode_null",
+      "sum(n_eligible) as eligible", "sum(n_no_body) as no_body",
+      "sum(n_decode_null) as decode_null",
       "sum(n_charset_null) as charset_null", "sum(n_pages) as pages").first()
     println(s"[crawl-health] records=${t.getLong(0)} eligible=${t.getLong(1)} " +
-      s"decode_null=${t.getLong(2)} charset_null=${t.getLong(3)} pages=${t.getLong(4)}")
+      s"no_body=${t.getLong(2)} decode_null=${t.getLong(3)} " +
+      s"charset_null=${t.getLong(4)} pages=${t.getLong(5)}")
     spark.stop()
   }
 }

@@ -617,4 +617,30 @@ class CorpusSpec extends SparkSpec {
     assert(st("tiny.com") === ((3L, 1.0))) // corpus-wide mark: matches spam's boilerplate
     assert(!st.contains(null))
   }
+
+  test("crawlHealth r15: bodyless eligible rows count in n_no_body, never decode_null or pages") {
+    import graft.operators.Corpus
+    // the WarcSource frame columns crawlHealthOf touches; bodies:
+    // a real page, a zero-length body (what the envelope split yields
+    // for a bodyless 2xx), a NULL body (foreign loader), and a
+    // corrupt gzip-declared body (a genuine decode failure)
+    def row(id: Long, body: Array[Byte], enc: String) =
+      (id, "s0", "response", 200, "text/html; charset=UTF-8", enc,
+        null.asInstanceOf[String], body)
+    val df = Seq(
+      row(1L, "<p>hello</p>".getBytes("UTF-8"), null),
+      row(2L, Array.emptyByteArray, null),
+      row(3L, null, null),
+      row(4L, "not gzip at all".getBytes("UTF-8"), "gzip")
+    ).toDF("id", "shard", "warc_type", "http_status", "http_content_type",
+      "http_content_encoding", "http_transfer_encoding", "body")
+    val h = Corpus.crawlHealthOf(df).collect()(0)
+    def n(c: String) = h.getLong(h.fieldIndex(c))
+    assert(n("n_records") === 4L)
+    assert(n("n_eligible") === 4L)
+    assert(n("n_no_body") === 2L)      // empty + null bodies
+    assert(n("n_decode_null") === 1L)  // only the corrupt gzip
+    assert(n("n_pages") === 1L)        // only the real page
+    assert(n("n_cs_declared") === 1L)  // provenance rides decoded rows only
+  }
 }
