@@ -1317,9 +1317,10 @@ object SparkEntry {
     // batch-order-invariant, so the declarative twin is exact).
     // Planted exact copies (doc_id % 17 == 3, +100000) land in
     // different shards (md5-prefix shard assignment), so the dedup
-    // decision crosses batches; in-stream index compaction runs every
-    // 2 batches, putting its content-preservation under the same
-    // hash. Output: one row per surviving content class, n_docs = 1.
+    // decision crosses batches; in-stream index AND corpus compaction
+    // (r15) run every 2 batches, putting their content-preservation
+    // under the same hash. Output: one row per surviving content
+    // class, n_docs = 1.
     "q126_raw_crawl_drain" -> { (s, dir) =>
       val base = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_q126").getAbsolutePath
@@ -1358,7 +1359,10 @@ object SparkEntry {
           checkpointDir = s"$base/ckpt",
           gate = streaming.DocStream.CrawlGate.Gopher(),
           minJaccard = 1.0, maxFilesPerTrigger = 2,
-          compactEvery = 2, compactTargetFiles = 4)
+          compactEvery = 2, compactTargetFiles = 4,
+          // corpus compaction (r15) runs inside the gate too — its
+          // content preservation sits under the same hash
+          corpusCompactEvery = 2, corpusCompactTargetFiles = 4)
         .awaitTermination()
       s.read.parquet(s"$base/corpus")
         .select(col("doc_id"),

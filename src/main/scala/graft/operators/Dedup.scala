@@ -1251,7 +1251,12 @@ object Dedup {
     *
     * Returns (filesBefore, filesAfter), counted RECURSIVELY (a
     * partitioned index keeps its files in subdirs — the r12 top-level
-    * count read 0 there and silently no-op'd). */
+    * count read 0 there and silently no-op'd).
+    *
+    * The marker is OPTIONAL: on a plain parquet directory this is
+    * just the locked staged-rewrite + swap, which is how the curation
+    * streams compact their CORPUS directories in-stream (r15) and how
+    * the `CompactIndex` CLI serves any stream-owned parquet dir. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 16): (Long, Long) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")

@@ -116,7 +116,8 @@ object DocStream {
       pollInterval: Option[String] = None,
       reliableCheckpointDir: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64,
-      compactEvery: Int = 0, compactTargetFiles: Int = 64): StreamingQuery = {
+      compactEvery: Int = 0, compactTargetFiles: Int = 64,
+      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64): StreamingQuery = {
     val in = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -125,7 +126,8 @@ object DocStream {
       .filter(col("quality") >= minQuality)
     curateNearDupStream(spark, in, corpusDir, indexDir, checkpointDir,
       minJaccard, pollInterval, reliableCheckpointDir, indexBands, indexRanges,
-      compactEvery, compactTargetFiles)
+      compactEvery, compactTargetFiles,
+      corpusCompactEvery, corpusCompactTargetFiles)
   }
 
   /** The quality gate a crawl-curation stream applies to arriving
@@ -147,6 +149,37 @@ object DocStream {
       * `keep`) — what q120 gates. */
     final case class Gopher(minWords: Long = 50L,
         maxWords: Long = 100000L) extends CrawlGate
+  }
+
+  /** Periodic in-stream compaction of a stream-owned parquet
+    * directory — the signature index (r14) or the curated corpus
+    * (r15, the r14 verdict's top ask: every curation stream appends
+    * one file set per trigger to `corpusDir` and RE-READS the corpus
+    * every trigger for the replay anti-join / repair probe / near-dup
+    * fetch, so after thousands of triggers every batch pays the
+    * listing and per-file-open cost of tens of thousands of files).
+    * Every `every` committed batches, rewrite `dir` to `target` files
+    * through [[graft.operators.Dedup.compactIndex]] — which is
+    * marker-optional: on a plain corpus directory it is exactly the
+    * DirLock-guarded staged-rewrite + rename-away → rename-in →
+    * delete-old swap, content-preserving by construction. The stream
+    * is the directory's only appender, so compacting inside its own
+    * foreachBatch is safe; a CONCURRENT manual compactor makes ours
+    * fail fast with the retryable conflict — caught and skipped
+    * loudly, the next cycle retries. */
+  private def maybeCompact(spark: SparkSession, dir: String, batchId: Long,
+      every: Int, target: Int, tag: String, what: String): Unit = {
+    if (every <= 0 || (batchId + 1) % every != 0) return
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    try {
+      val (b, a) = graft.operators.Dedup.compactIndex(spark, dir, target)
+      if (b != a) println(s"[$tag] batch=$batchId compacted $what: $b -> $a files")
+    } catch { // retryable conflict (foreign compactor): skip, next cycle retries
+      case e: java.io.IOException =>
+        println(s"[$tag] batch=$batchId $what compact skipped: ${e.getMessage}")
+    }
   }
 
   private def applyGate(df: DataFrame, gate: CrawlGate): DataFrame = gate match {
@@ -185,7 +218,8 @@ object DocStream {
       pollInterval: Option[String] = None,
       reliableCheckpointDir: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64,
-      compactEvery: Int = 0, compactTargetFiles: Int = 64): StreamingQuery = {
+      compactEvery: Int = 0, compactTargetFiles: Int = 64,
+      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64): StreamingQuery = {
     val in = applyGate(
       spark.readStream.format("graft.sources.WarcSource")
         .option("path", warcDir)
@@ -198,7 +232,8 @@ object DocStream {
       gate)
     curateNearDupStream(spark, in, corpusDir, indexDir, checkpointDir,
       minJaccard, pollInterval, reliableCheckpointDir, indexBands, indexRanges,
-      compactEvery, compactTargetFiles)
+      compactEvery, compactTargetFiles,
+      corpusCompactEvery, corpusCompactTargetFiles)
   }
 
   /** Crawl-to-corpus for RAW `.warc.gz` segments (r14, the r13
@@ -231,7 +266,8 @@ object DocStream {
       pollInterval: Option[String] = None,
       reliableCheckpointDir: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64,
-      compactEvery: Int = 0, compactTargetFiles: Int = 64): StreamingQuery = {
+      compactEvery: Int = 0, compactTargetFiles: Int = 64,
+      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64): StreamingQuery = {
     val in = applyGate(
       graft.sources.WarcSource.crawlTextOf(
         spark.readStream.format("graft.sources.WarcSource")
@@ -243,7 +279,8 @@ object DocStream {
       gate)
     curateNearDupStream(spark, in, corpusDir, indexDir, checkpointDir,
       minJaccard, pollInterval, reliableCheckpointDir, indexBands, indexRanges,
-      compactEvery, compactTargetFiles)
+      compactEvery, compactTargetFiles,
+      corpusCompactEvery, corpusCompactTargetFiles)
   }
 
   /** The [[curateNearDup]] loop over ANY streaming frame with
@@ -264,7 +301,20 @@ object DocStream {
     *        content-preserving, so a batch replayed after a crash
     *        between compact and checkpoint-commit converges. 0 (the
     *        default) disables.
-    * @param compactTargetFiles rewrite target for those compactions */
+    * @param compactTargetFiles rewrite target for those compactions
+    * @param corpusCompactEvery the CORPUS sibling (r15, the r14
+    *        verdict's top ask): every K committed batches, rewrite
+    *        `corpusDir` to `corpusCompactTargetFiles` files under the
+    *        same locked staged-swap discipline. The corpus gets one
+    *        appended file set per trigger AND is re-read every
+    *        trigger (replay anti-join, repair probe, near-dup text
+    *        fetch), so unbounded file growth here taxes every future
+    *        batch — the exact rationale of the index knob. The
+    *        corpus append itself holds the directory's append lock,
+    *        so a manual `CompactIndex <corpusDir>` run beside a LIVE
+    *        stream serializes instead of racing the append. 0 (the
+    *        default) disables.
+    * @param corpusCompactTargetFiles rewrite target for those */
   def curateNearDupStream(
       spark: SparkSession,
       in: DataFrame,
@@ -275,7 +325,8 @@ object DocStream {
       pollInterval: Option[String] = None,
       reliableCheckpointDir: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64,
-      compactEvery: Int = 0, compactTargetFiles: Int = 64): StreamingQuery = {
+      compactEvery: Int = 0, compactTargetFiles: Int = 64,
+      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64): StreamingQuery = {
     import graft.operators.Dedup
     // The probe's LSH banding FOLLOWS the index layout (r14, advisor):
     // incrementalNearDuplicates requires idxBands == its bands, so a
@@ -420,7 +471,12 @@ object DocStream {
           val n = pinned.count()
           println(s"[neardup] batch=$batchId kept=$n repair=$nRepair")
           if (n > 0) {
-            pinned.write.mode("append").parquet(corpusDir)
+            // append under the corpus directory's append lock (r15):
+            // serializes against a manual compactor's rewrite lock,
+            // the same discipline every index append already follows
+            Dedup.indexWriteLocked(spark, corpusDir) {
+              pinned.write.mode("append").parquet(corpusDir)
+            }
             // stale-listing hygiene: this session read corpusDir for
             // the dedup check and reads it again next batch
             spark.catalog.refreshByPath(corpusDir)
@@ -436,16 +492,10 @@ object DocStream {
               mode = if (indexExists && corpusExists) "append" else "overwrite",
               bands = indexBands, ranges = indexRanges)
           }
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
-              pathExists(indexDir)) {
-            try {
-              val (b, a) = Dedup.compactIndex(spark, indexDir, compactTargetFiles)
-              if (b != a) println(s"[neardup] batch=$batchId compacted index: $b -> $a files")
-            } catch { // retryable conflict (foreign compactor): skip, next cycle retries
-              case e: java.io.IOException =>
-                println(s"[neardup] batch=$batchId compact skipped: ${e.getMessage}")
-            }
-          }
+          maybeCompact(spark, indexDir, batchId,
+            compactEvery, compactTargetFiles, "neardup", "index")
+          maybeCompact(spark, corpusDir, batchId,
+            corpusCompactEvery, corpusCompactTargetFiles, "neardup", "corpus")
         } finally {
           // RDD-level: Dataset.unpersist is a no-op for checkpoint
           // pins (graft.Pins scaladoc) — with it, every batch leaked
@@ -555,7 +605,8 @@ object DocStream {
       maxBucket: Int = 1000,
       pollInterval: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64,
-      compactEvery: Int = 0, compactTargetFiles: Int = 64): StreamingQuery = {
+      compactEvery: Int = 0, compactTargetFiles: Int = 64,
+      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64): StreamingQuery = {
     import graft.operators.{Dedup, Multimodal}
     // fail at start(), not on trigger 2 (r14, advisor): the hamming
     // probe requires idxBands == bands, and a mismatched indexBands
@@ -646,7 +697,9 @@ object DocStream {
             val n = pinned.count()
             println(s"[mediadedup] batch=$batchId kept=$n invalid=$nInvalid")
             if (n > 0) {
-              pinned.write.mode("append").parquet(corpusDir)
+              Dedup.indexWriteLocked(spark, corpusDir) {
+                pinned.write.mode("append").parquet(corpusDir)
+              }
               spark.catalog.refreshByPath(corpusDir)
               // `indexExists && corpusExists` (r13, advisor): a stale
               // marker over a deleted corpus was deduped around yet
@@ -657,18 +710,13 @@ object DocStream {
                 mode = if (indexExists && corpusExists) "append" else "overwrite",
                 bands = indexBands, ranges = indexRanges)
             }
-            // in-stream index compaction (r14) — the curateNearDupStream
-            // contract: stream is the only appender, conflict = skip
-            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
-                markerExists()) {
-              try {
-                val (b, a) = Dedup.compactIndex(spark, indexDir, compactTargetFiles)
-                if (b != a) println(s"[mediadedup] batch=$batchId compacted index: $b -> $a files")
-              } catch {
-                case e: java.io.IOException =>
-                  println(s"[mediadedup] batch=$batchId compact skipped: ${e.getMessage}")
-              }
-            }
+            // in-stream compaction (index r14, corpus r15) — the
+            // curateNearDupStream contract: stream is the only
+            // appender, conflict = skip
+            maybeCompact(spark, indexDir, batchId,
+              compactEvery, compactTargetFiles, "mediadedup", "index")
+            maybeCompact(spark, corpusDir, batchId,
+              corpusCompactEvery, corpusCompactTargetFiles, "mediadedup", "corpus")
           } finally graft.Pins.release(pinned)
         } finally graft.Pins.release(hashed)
         ()
@@ -722,7 +770,8 @@ object DocStream {
       stride: Int = 1,
       pollInterval: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64,
-      compactEvery: Int = 0, compactTargetFiles: Int = 64): StreamingQuery = {
+      compactEvery: Int = 0, compactTargetFiles: Int = 64,
+      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64): StreamingQuery = {
     import graft.operators.{Dedup, Multimodal}
     val family = Multimodal.mediaHashFamily(kind) // validates `kind` at start()
     require(indexBands == 0 || indexBands == bands,
@@ -816,7 +865,9 @@ object DocStream {
             val n = pinned.count()
             println(s"[mediadedup:$kind] batch=$batchId kept=$n invalid=$nInvalid")
             if (n > 0) {
-              pinned.write.mode("append").parquet(corpusDir)
+              Dedup.indexWriteLocked(spark, corpusDir) {
+                pinned.write.mode("append").parquet(corpusDir)
+              }
               spark.catalog.refreshByPath(corpusDir)
               Dedup.hammingWriteIndex(
                 pinned.select(col("doc_id"), explode(col("sigs")).as("_s"))
@@ -826,16 +877,11 @@ object DocStream {
                 mode = if (indexExists && corpusExists) "append" else "overwrite",
                 bands = indexBands, ranges = indexRanges)
             }
-            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
-                markerExists()) {
-              try {
-                val (b, a) = Dedup.compactIndex(spark, indexDir, compactTargetFiles)
-                if (b != a) println(s"[mediadedup:$kind] batch=$batchId compacted index: $b -> $a files")
-              } catch {
-                case e: java.io.IOException =>
-                  println(s"[mediadedup:$kind] batch=$batchId compact skipped: ${e.getMessage}")
-              }
-            }
+            maybeCompact(spark, indexDir, batchId,
+              compactEvery, compactTargetFiles, s"mediadedup:$kind", "index")
+            maybeCompact(spark, corpusDir, batchId,
+              corpusCompactEvery, corpusCompactTargetFiles,
+              s"mediadedup:$kind", "corpus")
           } finally graft.Pins.release(pinned)
         } finally graft.Pins.release(sigs)
         ()

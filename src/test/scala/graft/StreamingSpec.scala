@@ -609,6 +609,55 @@ class StreamingSpec extends SparkSpec {
     assert(uris() === Set("urn:r:a", "urn:r:b", "urn:r:d"))
   }
 
+  test("in-stream CORPUS compaction bounds corpus files; decisions and replay unchanged (r15)") {
+    import graft.streaming.DocStream
+    val in = Files.createTempDirectory("ccomp_in").toString
+    val corpus = Files.createTempDirectory("ccomp_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("ccomp_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("ccomp_ckpt").toString
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    // six single-doc batches of distinct content, plus batch 6
+    // carrying a near-dup of batch 1's doc — the cross-batch decision
+    // must survive the corpus rewrites in between
+    val texts = (1 to 5).map(i =>
+      s"unique document number $i about subject $i with plenty of distinct words " +
+        s"covering topic${i}a topic${i}b topic${i}c")
+    val nearOf1 = texts(0).replace("plenty", "lots")
+    for (i <- 1 to 5)
+      Files.writeString(java.nio.file.Paths.get(s"$in/b$i.json"), doc(i.toLong, texts(i - 1)))
+    Files.writeString(java.nio.file.Paths.get(s"$in/b6.json"), doc(99L, nearOf1))
+    def parquetFiles(d: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(d))
+    }
+    def drain() = DocStream.curateNearDup(spark, in, corpus, index, ckpt,
+      minJaccard = 0.5, maxFilesPerTrigger = 1,
+      compactEvery = 2, compactTargetFiles = 2,
+      corpusCompactEvery = 2, corpusCompactTargetFiles = 2)
+      .awaitTermination()
+    drain()
+    // decisions: all five distinct docs kept, the near-dup rejected
+    // against the (compacted) corpus + index
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === (1L to 5L).toSet)
+    // six append batches would have left >= 6 corpus files; the final
+    // batch (id 5) compacted to the rewrite target
+    val nCorpus = parquetFiles(corpus)
+    assert(nCorpus <= 2, s"corpus accumulated $nCorpus files")
+    assert(parquetFiles(index) <= 2, s"index accumulated ${parquetFiles(index)} files")
+    // content intact through the rewrites: texts unchanged
+    val got = spark.read.parquet(corpus)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    for (i <- 1 to 5) assert(got(i.toLong) === texts(i - 1))
+    // replay: nothing new -> nothing served, corpus unchanged
+    drain()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === (1L to 5L).toSet)
+  }
+
   test("streaming image curation over a BANDED index: same corpus, pruned probes (r13)") {
     import graft.streaming.DocStream
     import graft.operators.{Dedup, Multimodal}
