@@ -1457,6 +1457,57 @@ object SparkEntry {
         .orderBy(col("shard"))
     },
 
+    // Streaming EMBEDDING drain under the gate (r15, the r14
+    // verdict's #2): the modality matrix's last loop —
+    // curateEmbeddingNearDup — drained over 7 shard files (4
+    // checkpointed AvailableNow batches) with planted EXACT vector
+    // copies landing 3 shards from their originals (100000 % 7 == 3),
+    // so the dedup decision crosses batches through the persisted
+    // banded LSH index; in-stream index AND corpus compaction run
+    // every 2 batches under the same hash. The q124 device adapted to
+    // vectors: at minCosine = 1 − 1e-7 the dedup equivalence over
+    // this fixture is exact vector equality (identical copies score
+    // 1 within fp rounding; the densest base pair sits at 0.52), so
+    // the outcome is batch-order-invariant — exactly one survivor per
+    // distinct vector. Survivors map back to their class by exact
+    // vector join; the class id is the class's MIN doc_id (always the
+    // original), so survivor identity washes out of the output.
+    "q129_embedding_drain" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q129").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val vecs = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val planted = vecs.filter(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("vec"))
+      val u = vecs.unionByName(planted)
+      for (sh <- 0 until 7)
+        u.filter(pmod(col("doc_id"), lit(7)) === sh)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", LongType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(DoubleType))))
+      streaming.DocStream.curateEmbeddingNearDup(s,
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+            .parquet(s"$base/in"),
+          corpusDir = s"$base/corpus", indexDir = s"$base/index",
+          checkpointDir = s"$base/ckpt",
+          minCosine = 0.9999999, dim = 64, bands = 8,
+          indexBands = 8, indexRanges = 16,
+          compactEvery = 2, compactTargetFiles = 4,
+          corpusCompactEvery = 2, corpusCompactTargetFiles = 4)
+        .awaitTermination()
+      val classes = u.groupBy(col("vec")).agg(min(col("doc_id")).as("class_id"))
+      s.read.parquet(s"$base/corpus").select(col("vec"))
+        .join(classes, Seq("vec"))
+        .groupBy(col("class_id")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("class_id"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -3328,6 +3379,17 @@ object SparkEntry {
         |  from sh)
         |select distinct skey, cast(1 as bigint) as n_docs from ky
         |order by skey""".stripMargin,
+
+    // streaming embedding-drain twin (r15): at minCosine = 1 − 1e-7
+    // over base ∪ exact copies, the dedup equivalence is exact vector
+    // equality and every class's survivor maps back to the class MIN
+    // id — the original (copies are +100000) — so the expected drain
+    // is simply one row per original vector, n_docs = 1, whatever the
+    // batch order. A kept duplicate doubles its class count; a lost
+    // or merged class drops a row.
+    "q129_embedding_drain" ->
+      """select vec_id as class_id, cast(1 as bigint) as n_docs
+        |from embeddings order by class_id""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

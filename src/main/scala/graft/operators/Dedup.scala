@@ -1386,12 +1386,7 @@ object Dedup {
       val flat: DataFrame =
         if (marker.has("numHashes")) minhashIndexFlat(spark, path)
         else if (marker.has("width")) hammingIndexFlat(spark, path)
-        else if (marker.has("bits")) markerLayout(spark, path) match {
-          case Some((_, r)) => spark.read.parquet(path)
-            .filter(col("pblock") < r && col("band") === 0)
-            .select(col("id"), col("sig"))
-          case None => spark.read.parquet(path).select(col("id"), col("sig"))
-        }
+        else if (marker.has("bits")) Similarity.cosineIndexFlat(spark, path)
         else throw new IllegalArgumentException(
           s"marker at $path matches no known signature-index kind: ${marker.render}")
       val rebanded: DataFrame =
@@ -1445,11 +1440,7 @@ object Dedup {
       // the new layout through the marker-aware reader)
       if (marker.has("numHashes")) minhashIndexFlat(spark, path).count()
       else if (marker.has("width")) hammingIndexFlat(spark, path).count()
-      else markerLayout(spark, path) match {
-        case Some((_, r)) => spark.read.parquet(path)
-          .filter(col("pblock") < r && col("band") === 0).count()
-        case None => spark.read.parquet(path).count()
-      }
+      else Similarity.cosineIndexFlat(spark, path).count()
     }
   }
 

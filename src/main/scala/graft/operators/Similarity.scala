@@ -344,6 +344,19 @@ object Similarity {
     }
   }
 
+  /** The flat `(id, sig)` view of a persisted embedding-LSH index,
+    * either layout — banded indexes serve it from the band-0 slice
+    * (one row per id, partition-pruned), the
+    * [[graft.operators.Dedup.minhashIndexFlat]] convention. */
+  def cosineIndexFlat(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = Dedup.markerLayout(spark, path) match {
+    case Some((_, ranges)) =>
+      spark.read.parquet(path)
+        .filter(col("pblock") < ranges && col("band") === 0)
+        .select(col("id"), col("sig"))
+    case None => spark.read.parquet(path).select(col("id"), col("sig"))
+  }
+
   /** Incremental embedding near-dup pairs: a NEW batch against the
     * persisted signature index plus itself — only pairs touching the
     * batch enter the plan (batch bands probe the union's buckets;

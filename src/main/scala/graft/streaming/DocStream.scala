@@ -511,6 +511,155 @@ object DocStream {
       .start()
   }
 
+  /** Streaming NEAR-duplicate curation for EMBEDDINGS (r15, closing
+    * the r14 verdict's "missing #2" — the modality matrix's last
+    * hole): tail-follow arriving `(doc_id, vec)` batches (extra
+    * columns ride into the corpus) through the persisted
+    * hyperplane-LSH signature index —
+    * [[graft.operators.Similarity.cosineWriteIndex]] /
+    * [[graft.operators.Similarity.incrementalCosineNearDuplicates]]
+    * — with [[curateNearDupStream]]'s crash-convergence skeleton
+    * applied verbatim: corpus without an index marker → rebuild the
+    * index from the corpus's vector column; index lagging the corpus
+    * → ids-only repair BEFORE the dedup decision; replayed batches
+    * emptied by the corpus-id anti-join; decisions pinned
+    * (`localCheckpoint`) before either write; in-stream index AND
+    * corpus compaction; banded-layout pass-through (the probe's
+    * banding follows the index geometry — validated at `start()`).
+    * The SemDeDup/ANN arriving-batch setting: embedding drops land
+    * as files, near-copies (cosine ≥ `minCosine`) of anything seen
+    * in ANY earlier batch are dropped, survivors grow corpus + index.
+    *
+    * The index stores `(id, sig)` only (16 B/row); exact-cosine
+    * verification fetches vectors for CANDIDATE ids from the corpus
+    * via a semi-join — the corpus vector column is the system of
+    * record, so rebuild/repair re-signs vectors (cheap projections)
+    * but never re-derives them. */
+  def curateEmbeddingNearDup(
+      spark: SparkSession,
+      in: DataFrame,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      minCosine: Double,
+      dim: Int,
+      bits: Int = 64,
+      seed: Long = 42L,
+      bands: Int = 8,
+      maxBucket: Int = 1000,
+      pollInterval: Option[String] = None,
+      indexBands: Int = 0, indexRanges: Int = 64,
+      compactEvery: Int = 0, compactTargetFiles: Int = 64,
+      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64): StreamingQuery = {
+    import graft.operators.Similarity
+    // fail at start(), not on trigger 2: the LSH probe requires
+    // idxBands == bands, so a mismatched indexBands would write
+    // trigger 1's index and crash every later trigger
+    require(indexBands == 0 || indexBands == bands,
+      s"indexBands=$indexBands must be 0 (flat layout) or equal the probe " +
+        s"banding bands=$bands — LSH banding geometry is baked at write")
+    require(bits % bands == 0, "bands must divide bits")
+    val trigger = pollInterval
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    in.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def hasParquet(d: String) = {
+          val p = new org.apache.hadoop.fs.Path(d)
+          fs.exists(p) && fs.listStatus(p)
+            .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        }
+        def markerExists() =
+          fs.exists(graft.util.IndexMarker.markerPath(indexDir))
+        def corpusVecs = spark.read.parquet(corpusDir)
+          .select(col("doc_id"), col("vec"))
+        val corpusExists = hasParquet(corpusDir)
+        if (corpusExists && !markerExists())
+          Similarity.cosineWriteIndex(corpusVecs, "doc_id", "vec", indexDir,
+            dim = dim, bits = bits, seed = seed, mode = "overwrite",
+            bands = indexBands, ranges = indexRanges)
+        val indexExists = markerExists()
+        // lagging-index repair BEFORE the decision (ids only; vectors
+        // fetched just for the normally-zero unindexed ids)
+        if (corpusExists && indexExists) {
+          val unindexedIds = corpusVecs.select(col("doc_id"))
+            .join(Similarity.cosineIndexFlat(spark, indexDir)
+              .select(col("id").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+            .localCheckpoint(true) // pin BEFORE appending the path it reads
+          try {
+            if (unindexedIds.count() > 0) {
+              val unindexed = corpusVecs
+                .join(unindexedIds, Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+              try Similarity.cosineWriteIndex(unindexed, "doc_id", "vec",
+                indexDir, dim = dim, bits = bits, seed = seed,
+                mode = "append", bands = indexBands, ranges = indexRanges)
+              finally graft.Pins.release(unindexed)
+            }
+          } finally graft.Pins.release(unindexedIds)
+        }
+        val kept =
+          if (!corpusExists) {
+            // virgin state: only batch-internal near-dups to resolve
+            val pairs = Similarity.cosineNearDuplicates(batch, "doc_id",
+              "vec", minCosine, dim, bits, bands, seed, maxBucket)
+            batch.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          } else {
+            val fresh = batch.join(corpusVecs.select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+            val pairs = Similarity.incrementalCosineNearDuplicates(spark,
+              fresh, "doc_id", "vec", indexDir, corpusVecs,
+              minCosine, dim, bits, bands, seed, maxBucket)
+            // pairs are (min, max)-normalized: a batch doc dies when
+            // its partner is a corpus doc (either side) or a lower-id
+            // batch doc — the curateNearDupStream tie-break
+            val bIds = fresh.select(col("doc_id")).distinct()
+            val flagged = pairs
+              .join(bIds.select(col("doc_id").as("id_a"), lit(1).as("_ain")),
+                Seq("id_a"), "left")
+              .join(bIds.select(col("doc_id").as("id_b"), lit(1).as("_bin")),
+                Seq("id_b"), "left")
+            val drop = flagged.select(
+              when(col("_ain").isNotNull && col("_bin").isNotNull, col("id_b"))
+                .when(col("_ain").isNotNull, col("id_a"))
+                .otherwise(col("id_b")).as("doc_id")).distinct()
+            fresh.join(drop, Seq("doc_id"), "left_anti")
+          }
+        // pin the decision before any side effect (write-invalidation
+        // hazard — the curateNearDupStream lesson)
+        val pinned = kept.localCheckpoint(true)
+        try {
+          val n = pinned.count()
+          println(s"[embdedup] batch=$batchId kept=$n")
+          if (n > 0) {
+            graft.operators.Dedup.indexWriteLocked(spark, corpusDir) {
+              pinned.write.mode("append").parquet(corpusDir)
+            }
+            spark.catalog.refreshByPath(corpusDir)
+            // `indexExists && corpusExists`: a stale index over a
+            // deleted corpus is garbage — overwrite, never append
+            Similarity.cosineWriteIndex(
+              pinned.select(col("doc_id"), col("vec")), "doc_id", "vec",
+              indexDir, dim = dim, bits = bits, seed = seed,
+              mode = if (indexExists && corpusExists) "append" else "overwrite",
+              bands = indexBands, ranges = indexRanges)
+          }
+          maybeCompact(spark, indexDir, batchId,
+            compactEvery, compactTargetFiles, "embdedup", "index")
+          maybeCompact(spark, corpusDir, batchId,
+            corpusCompactEvery, corpusCompactTargetFiles, "embdedup", "corpus")
+        } finally graft.Pins.release(pinned)
+        ()
+      }
+      .start()
+  }
+
   /** Run the curation to parquet with checkpointed exactly-once file
     * output. `pollInterval` None → drain-and-stop (AvailableNow). */
   def curate(

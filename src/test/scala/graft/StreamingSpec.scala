@@ -658,6 +658,85 @@ class StreamingSpec extends SparkSpec {
       === (1L to 5L).toSet)
   }
 
+  test("streaming embedding curation: cross-batch cosine dedup, repair, rebuild, replay (r15)") {
+    import graft.streaming.DocStream
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val in = Files.createTempDirectory("emb_in").toString
+    val corpus = Files.createTempDirectory("emb_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("emb_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("emb_ckpt").toString
+    def spread(i: Long): Long = i * 0x9E3779B97F4A7C15L
+    def vec(i: Long): Seq[Double] =
+      (0 until 32).map(d => if (((spread(i) >> d) & 1L) == 1L) 1.0 else -1.0)
+    def near(i: Long): Seq[Double] = vec(i).map(_ * 1.0000001)
+    def arrive(rows: Seq[(Long, Seq[Double])]): Unit =
+      rows.toDF("doc_id", "vec").coalesce(1).write.mode("append").parquet(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("vec", ArrayType(DoubleType))))
+    def drain() = DocStream.curateEmbeddingNearDup(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      corpus, index, ckpt, minCosine = 0.95, dim = 32, bands = 8,
+      indexBands = 8, indexRanges = 16,
+      compactEvery = 1, compactTargetFiles = 4,
+      corpusCompactEvery = 1, corpusCompactTargetFiles = 2)
+      .awaitTermination()
+    def ids() = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    // batch 1: a base vector + an in-batch near-copy (scaled — cosine
+    // ~1.0, NOT byte-equal); batch 2: a cross-batch near-copy of the
+    // survivor (via the index) + a novel vector
+    arrive(Seq(1L -> vec(1L), 2L -> near(1L)))
+    arrive(Seq(3L -> near(1L), 4L -> vec(4L)))
+    drain()
+    assert(ids() === Set(1L, 4L))
+    // the banded index covers exactly the corpus (flat view, one row per id)
+    assert(graft.operators.Similarity.cosineIndexFlat(spark, index)
+      .select("id").as[Long].collect().toSet === Set(1L, 4L))
+    // restart on the same checkpoint: a near-copy of doc 4 dies, a
+    // replayed id is emptied by the corpus-id anti-join
+    arrive(Seq(5L -> near(4L), 4L -> vec(4L)))
+    drain()
+    assert(ids() === Set(1L, 4L))
+    // lagging-index repair BEFORE the decision: drop doc 4's rows from
+    // the index (crash window between the two writes), then stream a
+    // near-copy of 4 with a FRESH checkpoint — it must be rejected
+    // against the repaired index, not admitted against the stale one
+    val fsIdx = new org.apache.hadoop.fs.Path(index)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = graft.util.IndexMarker.read(fsIdx, index).get
+    val lagged = spark.read.parquet(index).filter(col("id") =!= 4L)
+      .localCheckpoint(true) // pin BEFORE overwriting the path it reads
+    lagged.write.mode("overwrite").partitionBy("pblock").parquet(index)
+    marker.write(fsIdx, index) // the overwrite cleared the dir: this is
+    spark.catalog.refreshByPath(index) // case 2 (lag), not case 1 (no marker)
+    val ckpt2 = Files.createTempDirectory("emb_ckpt2").toString
+    arrive(Seq(7L -> near(4L)))
+    DocStream.curateEmbeddingNearDup(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 100).parquet(in),
+      corpus, index, ckpt2, minCosine = 0.95, dim = 32, bands = 8,
+      indexBands = 8, indexRanges = 16).awaitTermination()
+    assert(ids() === Set(1L, 4L))
+    assert(graft.operators.Similarity.cosineIndexFlat(spark, index)
+      .select("id").as[Long].collect().toSet === Set(1L, 4L))
+    // torn index (marker gone): rebuilt wholesale from the corpus's
+    // vector column, and a near-copy of an EARLY doc is still caught
+    fsIdx.delete(graft.util.IndexMarker.markerPath(index), false)
+    val ckpt3 = Files.createTempDirectory("emb_ckpt3").toString
+    arrive(Seq(8L -> near(1L)))
+    DocStream.curateEmbeddingNearDup(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 100).parquet(in),
+      corpus, index, ckpt3, minCosine = 0.95, dim = 32, bands = 8,
+      indexBands = 8, indexRanges = 16).awaitTermination()
+    assert(ids() === Set(1L, 4L))
+    // in-stream compaction kept both stream-owned dirs bounded
+    def parquetFiles(d: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(d))
+    }
+    assert(parquetFiles(corpus) <= 2, s"corpus at ${parquetFiles(corpus)} files")
+  }
+
   test("streaming image curation over a BANDED index: same corpus, pruned probes (r13)") {
     import graft.streaming.DocStream
     import graft.operators.{Dedup, Multimodal}
