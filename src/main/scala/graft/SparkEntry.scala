@@ -1508,6 +1508,66 @@ object SparkEntry {
         .orderBy(col("class_id"))
     },
 
+    // Streaming MEDIA drain under the gate (r15, the r14 verdict's
+    // #3 — curateMediaNearDup had no CORRECTNESS row): a q126-style
+    // 4-batch image drain with planted byte-identical copies landing
+    // 3 shards from their originals, at maxDistance = 0 where hamming
+    // dedup is EXACT signature equality — batch-order-invariant, one
+    // survivor per signature class. The fixture is built for the
+    // gate: 9×8 grayscale PNGs whose pixel rows encode the doc_id's
+    // bits as ±1 steps, so the decoded dHash (identity thumbnail at
+    // 9×8, adjacent-pixel compare, MSB-first packing) IS the doc_id's
+    // bit pattern — distinct per original (the q111 gradient formula
+    // is too hash-correlated for a dedup gate: 42 classes over 480
+    // docs), and fully twin-expressible from integer arithmetic.
+    // In-stream index + corpus compaction run every 2 batches under
+    // the hash. The corpus carries `sigs`; the output renders each
+    // survivor's signature as the 16-hex MSB-first bytes (the 64-bit
+    // gate convention) — a decode, packing, kernel, replay or
+    // compaction bug changes the class set or a count.
+    "q130_media_drain" -> { (s, dir) =>
+      import s.implicits._
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q130").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val ids = docs.unionByName(docs.filter(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id")))
+      // content derives from the ORIGINAL id (id % 100000), so a
+      // planted copy is byte-identical to its original
+      val media = ids.as[Long].map { id =>
+        val key = id % 100000L
+        def bit(y: Int, x: Int): Int = ((key >> (y * 8 + x)) & 1L).toInt
+        def pix(x: Int, y: Int): Int =
+          128 + (0 until x).map(i => 2 * bit(y, i) - 1).sum
+        (id, operators.Multimodal.MiniEncoder.pngGray(9, 8, pix))
+      }.toDF("doc_id", "content")
+      for (sh <- 0 until 7)
+        media.filter(pmod(col("doc_id"), lit(7)) === sh)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      streaming.DocStream.curateMediaNearDup(s,
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+            .parquet(s"$base/in"),
+          corpusDir = s"$base/corpus", indexDir = s"$base/index",
+          checkpointDir = s"$base/ckpt",
+          kind = "image", maxDistance = 0, bands = 8,
+          indexBands = 8, indexRanges = 16,
+          compactEvery = 2, compactTargetFiles = 4,
+          corpusCompactEvery = 2, corpusCompactTargetFiles = 4)
+        .awaitTermination()
+      s.read.parquet(s"$base/corpus")
+        .select(explode(col("sigs")).as("_s"))
+        .select(lower(lpad(hex(col("_s.sh")), 16, "0")).as("skey"))
+        .groupBy(col("skey")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("skey"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -3390,6 +3450,25 @@ object SparkEntry {
     "q129_embedding_drain" ->
       """select vec_id as class_id, cast(1 as bigint) as n_docs
         |from embeddings order by class_id""".stripMargin,
+
+    // streaming media-drain twin (r15): the fixture's dHash IS the
+    // doc_id's bit pattern (±1-step pixel rows through the identity
+    // 9×8 thumbnail), so the expected drain is one survivor per
+    // ORIGINAL id, keyed by the 16-hex MSB-first byte rendering of
+    // that pattern — re-derived here from pure integer arithmetic
+    // (byte y = Σ_x bit(y·8+x) << (7−x), rows MSB-first)
+    "q130_media_drain" ->
+      """with b as (select doc_id, y.y, x.x,
+        |    cast((doc_id >> (y.y * 8 + x.x)) & 1 as int) as bit
+        |  from documents, range(0, 8) y(y), range(0, 8) x(x)),
+        |rb as (select doc_id, y,
+        |    cast(sum(bit * (1 << (7 - x))) as int) as byte
+        |  from b group by doc_id, y),
+        |hx as (select doc_id,
+        |    string_agg(printf('%02x', byte), '' order by y) as skey
+        |  from rb group by doc_id)
+        |select skey, cast(1 as bigint) as n_docs from hx
+        |order by skey""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)
