@@ -1334,6 +1334,102 @@ object Dedup {
     }
   }
 
+  /** What [[recommendGeometry]] measured and recommends. `ranges = 0`
+    * means the index is FLAT today; `blockBytes` is the current
+    * average banded-block size (0 for flat); `drifted` says the index
+    * has outgrown its geometry and [[rebandIndex]] into
+    * `(bands, recommendedRanges)` is warranted. */
+  final case class GeometryAdvice(
+      bands: Int, ranges: Int, recommendedRanges: Int,
+      flatRows: Long, indexBytes: Long, blockBytes: Long,
+      targetBlockBytes: Long) {
+    /** Banded: blocks past 2× the target (the index grew; a fixed
+      * trigger now reads oversized blocks). Flat: past the MEASURED
+      * r14 crossover (SCALE.md: banded wins in absolute seconds from
+      * ~1M signatures at rehearsal geometry). */
+    def drifted: Boolean =
+      if (ranges > 0) blockBytes > 2 * targetBlockBytes
+      else flatRows >= Dedup.FlatCrossoverRows
+    /** The `RebandIndex` invocation that applies this advice. */
+    def hint(path: String): String =
+      s"index at $path has outgrown its geometry " +
+        s"(${if (ranges > 0) s"avg block ${blockBytes} B > 2x target $targetBlockBytes B"
+          else s"$flatRows signatures >= flat/banded crossover ${Dedup.FlatCrossoverRows}"}) — " +
+        s"reband: runMain graft.tools.RebandIndex $path $bands $recommendedRanges"
+  }
+
+  /** The measured flat-vs-banded absolute crossover (SCALE.md r14
+    * table: flat probe 34.1 s vs banded 25.4 s at 1.5M signatures,
+    * still flat-favored at 500k) — past this row count a flat index
+    * should be re-banded. */
+  val FlatCrossoverRows: Long = 1000000L
+
+  /** Compute the `(bands, ranges)` a signature index SHOULD have —
+    * the operator a 100 TB operator wants before invoking
+    * [[rebandIndex]] (r15, the r14 verdict's "missing #4"): SCALE.md
+    * r14's own rule, applied to the index's observed size. `ranges`
+    * sets the banded block size; blocks should land near
+    * `spark.sql.files.maxPartitionBytes` (the scan's own unit of
+    * work), so `recommendedRanges = ceil(bandedBytes / (bands ·
+    * targetBlockBytes))` rounded UP to a power of two (stable
+    * recommendations under growth; the repo's geometry values are
+    * powers of two). For a FLAT index the banded footprint is
+    * estimated as `flatBytes + bands · rows · 16` (the skinny
+    * per-band rows parquet-encode to ~16 B beside the band-0 rows
+    * carrying the signatures).
+    *
+    * `bands` defaults to the marker's geometry for a banded index
+    * and the probe default (16) for flat; `targetBlockBytes` 0 reads
+    * the session's `maxPartitionBytes`. The curation streams call
+    * this on their compaction cadence and print [[GeometryAdvice.hint]]
+    * when `drifted`. */
+  def recommendGeometry(spark: org.apache.spark.sql.SparkSession,
+      path: String, bands: Int = 0,
+      targetBlockBytes: Long = 0L): GeometryAdvice = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = graft.util.IndexMarker.read(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"index at $path has no family marker — refusing to advise blind"))
+    val layout = marker.layout
+    val effBands =
+      if (bands > 0) bands
+      else layout.map(_._1).getOrElse(16)
+    val target =
+      if (targetBlockBytes > 0) targetBlockBytes
+      else spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .stripSuffix("b").toLong
+    var bytes = 0L
+    val it = fs.listFiles(hp, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val flat: DataFrame =
+      if (marker.has("numHashes")) minhashIndexFlat(spark, path)
+      else if (marker.has("width")) hammingIndexFlat(spark, path)
+      else if (marker.has("bits")) Similarity.cosineIndexFlat(spark, path)
+      else throw new IllegalArgumentException(
+        s"marker at $path matches no known signature-index kind: ${marker.render}")
+    val rows = flat.select(col("id")).distinct().count()
+    val bandedBytes = layout match {
+      case Some(_) => bytes
+      case None => bytes + effBands.toLong * rows * 16L
+    }
+    def nextPow2(v: Long): Int = {
+      var p = 1L
+      while (p < v && p < (1L << 30)) p <<= 1
+      p.toInt
+    }
+    val rec = nextPow2(math.max(1L,
+      (bandedBytes + effBands.toLong * target - 1) / (effBands.toLong * target)))
+    val (curRanges, blockBytes) = layout match {
+      case Some((b, r)) => (r, bytes / math.max(1L, b.toLong * r))
+      case None => (0, 0L)
+    }
+    GeometryAdvice(effBands, curRanges, rec, rows, bytes, blockBytes, target)
+  }
+
   /** Rewrite a persisted signature index into NEW banding geometry
     * (r14): flat → banded, banded → flat, or banded → different
     * `(bands, ranges)`. Geometry is baked into the family marker at

@@ -180,6 +180,18 @@ object DocStream {
       case e: java.io.IOException =>
         println(s"[$tag] batch=$batchId $what compact skipped: ${e.getMessage}")
     }
+    // geometry drift check, same cadence (r15): a banded index whose
+    // blocks grew past ~2x the scan target — or a flat one past the
+    // measured flat/banded crossover — gets a loud reband hint; the
+    // stream never rebands itself (geometry is a re-index decision)
+    if (what == "index" &&
+        fs.exists(graft.util.IndexMarker.markerPath(dir))) {
+      try {
+        val advice = graft.operators.Dedup.recommendGeometry(spark, dir)
+        if (advice.drifted)
+          println(s"[$tag] batch=$batchId GEOMETRY DRIFT: ${advice.hint(dir)}")
+      } catch { case _: IllegalArgumentException => () } // foreign marker: skip
+    }
   }
 
   private def applyGate(df: DataFrame, gate: CrawlGate): DataFrame = gate match {

@@ -289,4 +289,61 @@ class BandedIndexSpec extends SparkSpec {
     val roundTrip = IndexMarker.read(fs, dir).get
     assert(roundTrip.render === """{"family":"test-v1","width":64}""")
   }
+
+  test("recommendGeometry r15: SCALE.md's rule applied to observed size; drift pinned to the measured crossover") {
+    def parquetBytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(d))
+    }
+    def nextPow2(v: Long): Int = {
+      var p = 1L; while (p < v) p <<= 1; p.toInt
+    }
+    // banded index: recommendation = ceil(bytes / (bands * target))
+    // rounded up to a power of two; drift = blocks past 2x target
+    val bDir = tmp("geob") + "/idx"
+    Dedup.hammingWriteIndex(idxSigs, bDir, "test-v1", 64, bands = 8, ranges = 16)
+    val bBytes = parquetBytes(bDir)
+    val tiny = Dedup.recommendGeometry(spark, bDir, targetBlockBytes = 64L)
+    assert(tiny.bands === 8)
+    assert(tiny.ranges === 16)
+    assert(tiny.flatRows === 40L)
+    assert(tiny.indexBytes === bBytes)
+    assert(tiny.blockBytes === bBytes / (8L * 16L))
+    assert(tiny.recommendedRanges ===
+      nextPow2((bBytes + 8L * 64L - 1) / (8L * 64L)))
+    assert(tiny.drifted, "KB-scale blocks must drift past a 64 B target")
+    assert(tiny.hint(bDir).contains(s"RebandIndex $bDir 8 ${tiny.recommendedRanges}"))
+    val roomy = Dedup.recommendGeometry(spark, bDir, targetBlockBytes = 1L << 30)
+    assert(roomy.recommendedRanges === 1)
+    assert(!roomy.drifted)
+    // flat index: banded footprint estimated (flatBytes + bands*rows*16),
+    // bands defaults to the probe default, ranges/blockBytes read 0,
+    // drift is the MEASURED r14 flat/banded crossover — 1.5M sigs
+    // drifted, 500k not (SCALE.md r14 table)
+    val fDir = tmp("geof") + "/idx"
+    Dedup.hammingWriteIndex(idxSigs, fDir, "test-v1", 64)
+    val fBytes = parquetBytes(fDir)
+    val flat = Dedup.recommendGeometry(spark, fDir, targetBlockBytes = 64L)
+    assert(flat.bands === 16)
+    assert(flat.ranges === 0)
+    assert(flat.blockBytes === 0L)
+    val est = fBytes + 16L * 40L * 16L
+    assert(flat.recommendedRanges === nextPow2((est + 16L * 64L - 1) / (16L * 64L)))
+    assert(!flat.drifted, "40 signatures sit far below the crossover")
+    assert(Dedup.FlatCrossoverRows === 1000000L)
+    assert(flat.copy(flatRows = 1500000L).drifted)   // the measured banded-wins row
+    assert(!flat.copy(flatRows = 500000L).drifted)   // the measured flat-wins row
+    // bands override respected; default target reads the session conf
+    assert(Dedup.recommendGeometry(spark, fDir, bands = 4,
+      targetBlockBytes = 64L).bands === 4)
+    assert(Dedup.recommendGeometry(spark, bDir).targetBlockBytes ===
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .stripSuffix("b").toLong)
+    // a marker-less dir refuses
+    val e = intercept[IllegalArgumentException](
+      Dedup.recommendGeometry(spark, tmp("geonone")))
+    assert(e.getMessage.contains("no family marker"))
+  }
 }
