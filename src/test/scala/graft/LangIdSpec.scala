@@ -6,16 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Trainable language identifier (r13): multinomial NB over hashed
   * char n-grams, trained IN Spark over the fixture corpus
-  * (`/langid_fixtures.tsv`, 13 sentences per language; first 10
-  * train, last 3 held out — 31 languages at r13, grown to 55 at r14
-  * with Perso-Arabic, Bengali, Tamil, Telugu, Malayalam, Kannada,
+  * (`/langid_fixtures.tsv` — 31 languages at r13, 55 at r14 with
+  * Perso-Arabic, Bengali, Tamil, Telugu, Malayalam, Kannada,
   * Devanagari-Marathi, Gujarati, Gurmukhi, Georgian, Armenian and
-  * more Cyrillic/Latin coverage). Training quality is spec territory
-  * (ln has no engine-identical twin — q123 gates the quantized
-  * serving path); this suite gates breadth (the r12 verdict's #1:
-  * the 4-language marker argmax upgraded to ≥40 added languages),
-  * marker agreement on en/es/de/fr, the zero-evidence → und rule,
-  * and the [[Text.withLangId]] delegation contract. */
+  * more Cyrillic/Latin coverage; 40 sentences per language since r15
+  * — 13 → 40, the r14 verdict's depth ask — first 32 train, last 8
+  * held out). Training quality is spec territory (ln has no
+  * engine-identical twin — q123 gates the quantized serving path);
+  * this suite gates breadth AND depth (≥90% overall held-out at r15,
+  * up from the r14 majority floor; measured 95.2%), marker agreement
+  * on en/es/de/fr,
+  * the zero-evidence → und rule, and the [[Text.withLangId]]
+  * delegation contract. */
 class LangIdSpec extends SparkSpec {
   import spark.implicits._
 
@@ -33,7 +35,7 @@ class LangIdSpec extends SparkSpec {
   private lazy val corpus = fixtures.groupBy(_._1).toSeq.sortBy(_._1)
     .flatMap { case (lang, rows) =>
       rows.zipWithIndex.map { case ((_, text), i) =>
-        (lang, text, i >= rows.size - 3)
+        (lang, text, i >= rows.size - 8)
       }
     }.zipWithIndex.map { case ((l, t, h), id) => (id.toLong, l, t, h) }
 
@@ -56,29 +58,34 @@ class LangIdSpec extends SparkSpec {
     assert(quantized.weights.nonEmpty)
   }
 
-  test("held-out accuracy: >= 40 added languages correct; en/es/de/fr agree with the markers") {
+  test("held-out accuracy: >= 90% overall on 8-per-language holdout; en/es/de/fr perfect") {
     val held = corpus.filter(_._4).toDF("id", "lang", "text", "held")
     val got = LangId.withLang(held, "text", quantized, "lang_trained",
         idCol = Some("id"))
       .select(col("id"), col("lang"), col("lang_trained"), col("text"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
-    assert(got.length === nLangs * 3)
+    assert(got.length === nLangs * 8)
     val perLang = got.groupBy(_._2).view
       .mapValues(rs => rs.count(r => r._3 == r._2)).toMap
     val marker = Set("en", "es", "de", "fr")
     // the four marker languages must be perfect (they're what the
     // CCNet-shape queries grouped by before r13 — no regression)
     marker.foreach { l =>
-      assert(perLang(l) === 3, s"$l held-out must be 3/3, got ${perLang(l)}")
+      assert(perLang(l) === 8, s"$l held-out must be 8/8, got ${perLang(l)}")
     }
     val added = perLang.filterNot { case (l, _) => marker(l) }
-    val addedGood = added.count { case (_, c) => c >= 2 } // majority per language
-    assert(addedGood >= 40,
-      s"need >= 40 added languages at >= 2/3 held-out accuracy, got $addedGood " +
+    val addedGood = added.count { case (_, c) => c >= 5 } // majority per language
+    assert(addedGood >= 48,
+      s"need >= 48 added languages at majority held-out accuracy, got $addedGood " +
         s"(per-lang: ${added.toSeq.sortBy(_._1).mkString(", ")})")
+    // the r15 depth floor (verdict: raise from majority toward 85%):
+    // 40 sentences per language puts the confusable Romance / Slavic
+    // / Malay pairs over the line the 13-sentence fixture missed —
+    // measured 95.2% on this split at r15 close (90.3% on the CLI's
+    // alphabetical split, up from ~74% at 13 sentences)
     val overall = got.count(r => r._3 == r._2).toDouble / got.length
-    assert(overall >= 0.80, f"overall held-out accuracy $overall%.2f < 0.80")
+    assert(overall >= 0.90, f"overall held-out accuracy $overall%.3f < 0.90")
   }
 
   test("agrees with the marker langid wherever the marker is right") {
