@@ -1568,6 +1568,87 @@ object SparkEntry {
         .orderBy(col("skey"))
     },
 
+    // RFC 9309 robots exclusion end-to-end (r15): a WARC fixture
+    // carries each host's own captured /robots.txt response beside
+    // its pages — Robots.rules PARSES real bytes (group semantics,
+    // multi-UA groups, case-folded product tokens, comments, empty
+    // Disallow dropped, wildcards, a 404 robots ignored, leading
+    // rules before any User-agent ignored) and Robots.gate applies
+    // longest-match precedence with allow-wins-ties. Gated as
+    // "graftbot", so host 3 exercises specific-group-beats-star. The
+    // twin re-derives the RULE TABLE and every verdict from the
+    // fixture's arithmetic (the q127 device) — a parser or
+    // precedence bug anywhere changes verdicts and breaks the hash.
+    "q131_robots_gate" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q131").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      def env(status: Column, ctype: String, body: Column): Column = concat(
+        concat(lit("HTTP/1.1 "), status,
+          lit(s"\r\nContent-Type: $ctype\r\nContent-Length: "),
+          octet_length(body.cast(BinaryType)).cast(StringType),
+          lit("\r\n\r\n")).cast(BinaryType),
+        body.cast(BinaryType))
+      val host = concat(lit("h"), (col("doc_id") % 10).cast(StringType), lit(".example"))
+      val paths = array(lit("/"), lit("/private/x.html"), lit("/private/ok/y"),
+        lit("/img/z.png"), lit("/tmp/a"), lit("/tmpfile"), lit("/all/p"),
+        lit("/graft/q"), lit("/x/y.html"), lit("/a/b/c"), lit("/t/u"), lit("/only/v"))
+      val pages = docs.select(
+        col("doc_id").cast(StringType).as("k"),
+        concat(lit("http://"), host,
+          element_at(paths, (col("doc_id") % 12).cast(IntegerType) + 1)).as("u"),
+        env(lit("200 OK"), "text/html; charset=UTF-8", lit("<html>page</html>")).as("p"))
+      val robotsBody = when(col("doc_id") === 0,
+          lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"))
+        .when(col("doc_id") === 1, lit("User-agent: *\nDisallow: /\n"))
+        .when(col("doc_id") === 2,
+          lit("User-agent: *\nDisallow: /*.png$\nDisallow: /tmp*\n"))
+        .when(col("doc_id") === 3,
+          lit("User-Agent: GraftBot\nDisallow: /graft/\n\nUser-agent: *\nDisallow: /\n"))
+        .when(col("doc_id") === 4,
+          lit("User-agent: fooBot\nUser-agent: *\nDisallow: /x/\nAllow: /x/y\n"))
+        .when(col("doc_id") === 5,
+          lit("# robots for h5\nUser-agent: *\nDisallow:\n\nSitemap: http://h5.example/sm.xml\n"))
+        .when(col("doc_id") === 6,
+          lit("User-agent: *\nDisallow: /t/\nAllow: /t/\nDisallow: /a/\nAllow: /a/b/\n"))
+        .when(col("doc_id") === 7, lit("Disallow: /\nUser-agent: *\nDisallow: /only/\n"))
+        .otherwise(lit("User-agent: *\nDisallow: /\n")) // h8: behind a 404 — ignored
+      val robotsStatus = when(col("doc_id") === 8, lit("404 Not Found"))
+        .otherwise(lit("200 OK"))
+      val robots = docs.filter(col("doc_id") < 9).select(
+        concat(lit("r"), col("doc_id").cast(StringType)).as("k"),
+        concat(lit("http://"), host, lit("/robots.txt")).as("u"),
+        env(robotsStatus, "text/plain", robotsBody).as("p"))
+      WarcShards.write(
+        robots.unionByName(pages),
+        "k", "u", "p", base, nShards = 4,
+        warcType = "response",
+        contentType = "application/http; msgtype=response")
+      val crawl = s.read.format("graft.sources.WarcSource").option("path", base).load()
+      val rules = operators.Robots.rulesOf(crawl, agent = "graftbot")
+      val pageRows = crawl.filter(col("warc_type") === "response" &&
+          lower(operators.Robots.pathOf(col("target_uri"))) =!= "/robots.txt")
+        .select(col("target_uri"))
+      operators.Robots.gate(pageRows, rules, "target_uri")
+        .select(col("target_uri"), col("allowed"), col("rule"), col("pattern"))
+        .orderBy(col("target_uri"))
+    },
+
+    // Broder containment over word bigram-shingle sets (r15): the
+    // asymmetric dedup measure that catches quoted/wrapped documents
+    // jaccard dilutes away. md5 oracle family — the DuckDB twin
+    // re-derives the shingle sets, the df-capped inverted-index
+    // candidate admission and the exact overlap arithmetic.
+    "q132_containment_pairs" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          minContainment = 0.6, shingleK = 2, maxDf = 20, minSetSize = 5,
+          family = "md5")
+        .orderBy(col("contained_id"), col("container_id"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -3469,6 +3550,92 @@ object SparkEntry {
         |  from rb group by doc_id)
         |select skey, cast(1 as bigint) as n_docs from hx
         |order by skey""".stripMargin,
+
+    // robots-gate twin (r15): the rule table the parser must extract
+    // from the fixture's robots bytes, re-stated as literals (with
+    // each pattern's compiled regex), and the same longest-match /
+    // allow-wins-tie precedence over the arithmetically re-derived
+    // page urls. Hosts 5 (empty Disallow), 8 (404 robots) and 9 (no
+    // robots) contribute no rules — allowed with null rule columns.
+    // Host 3 carries a graftbot-specific group, so its star group is
+    // absent here (the gate runs as "graftbot").
+    "q131_robots_gate" ->
+      """with pages as (
+        |  select doc_id,
+        |    'h' || (doc_id % 10) || '.example' as host,
+        |    ['/', '/private/x.html', '/private/ok/y', '/img/z.png', '/tmp/a',
+        |     '/tmpfile', '/all/p', '/graft/q', '/x/y.html', '/a/b/c', '/t/u',
+        |     '/only/v'][(doc_id % 12) + 1] as path
+        |  from documents),
+        |rules as (select * from (values
+        |  ('h0.example', 'disallow', '/private/', '^/private/'),
+        |  ('h0.example', 'allow', '/private/ok/', '^/private/ok/'),
+        |  ('h1.example', 'disallow', '/', '^/'),
+        |  ('h2.example', 'disallow', '/*.png$', '^/.*\.png$'),
+        |  ('h2.example', 'disallow', '/tmp*', '^/tmp.*'),
+        |  ('h3.example', 'disallow', '/graft/', '^/graft/'),
+        |  ('h4.example', 'disallow', '/x/', '^/x/'),
+        |  ('h4.example', 'allow', '/x/y', '^/x/y'),
+        |  ('h6.example', 'disallow', '/t/', '^/t/'),
+        |  ('h6.example', 'allow', '/t/', '^/t/'),
+        |  ('h6.example', 'disallow', '/a/', '^/a/'),
+        |  ('h6.example', 'allow', '/a/b/', '^/a/b/'),
+        |  ('h7.example', 'disallow', '/only/', '^/only/'))
+        |  t(host, rule, pattern, rx)),
+        |m as (select p.doc_id, r.rule, r.pattern,
+        |    length(r.pattern) as plen, (r.rule = 'allow') as is_allow
+        |  from pages p join rules r
+        |    on p.host = r.host and regexp_matches(p.path, r.rx)),
+        |best as (select doc_id, rule, pattern,
+        |    row_number() over (partition by doc_id
+        |      order by plen desc, is_allow desc, pattern desc, rule desc) as rn
+        |  from m),
+        |v as (select p.doc_id, p.host, p.path, b.rule, b.pattern,
+        |    coalesce(b.rule = 'allow', true) as allowed
+        |  from pages p left join (select * from best where rn = 1) b using (doc_id))
+        |select 'http://' || host || path as target_uri, allowed, rule, pattern
+        |from v order by target_uri""".stripMargin,
+
+    // containment twin (r15): q23's md5 shingle chain feeding the
+    // df-capped inverted-index candidate admission, then exact
+    // set-overlap arithmetic in both orientations — the same
+    // expression tree (double overlap / double set size) on both
+    // sides, so the raw doubles hash identically.
+    "q132_containment_pairs" ->
+      s"""with tok as (
+        |  select doc_id,
+        |    case when length(norm) = 0 then [] else string_split(norm, ' ') end as toks
+        |  from (select doc_id, $OracleNorm as norm from documents)),
+        |sh as (
+        |  select doc_id,
+        |    list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1]) as sh
+        |  from tok where len(toks) >= 6),
+        |s as (
+        |  select doc_id,
+        |    list_distinct(list_transform(sh,
+        |      x -> ('0x' || substr(md5(x), 1, 15))::bigint)) as s
+        |  from sh),
+        |sz as (select doc_id, s, len(s) as n from s),
+        |inv as (select doc_id, u.h from sz, unnest(s) as u(h)),
+        |keep as (select h from inv group by h having count(*) between 2 and 20),
+        |ki as (select i.doc_id, i.h from inv i join keep k on i.h = k.h),
+        |pr as (select distinct a.doc_id as id_a, b.doc_id as id_b
+        |  from ki a join ki b on a.h = b.h and a.doc_id < b.doc_id),
+        |ov as (select pr.id_a, pr.id_b,
+        |    cast(len(list_intersect(sa.s, sb.s)) as double) as i,
+        |    cast(sa.n as double) as na, cast(sb.n as double) as nb
+        |  from pr
+        |  join sz sa on sa.doc_id = pr.id_a
+        |  join sz sb on sb.doc_id = pr.id_b),
+        |o as (
+        |  select id_a as contained_id, id_b as container_id, i / na as containment
+        |  from ov where i / na >= 0.6
+        |  union all
+        |  select id_b as contained_id, id_a as container_id, i / nb as containment
+        |  from ov where i / nb >= 0.6)
+        |select contained_id, container_id, containment from o
+        |order by contained_id, container_id""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

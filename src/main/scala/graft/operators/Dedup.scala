@@ -321,6 +321,109 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric containment pairs (Broder 1997, "On the resemblance
+    * and containment of documents"): containment of A in B =
+    * |S(A) ∩ S(B)| / |S(A)| over word-shingle sets — the measure that
+    * catches a document QUOTED or WRAPPED inside a larger one, which
+    * symmetric jaccard dilutes toward zero as the container grows.
+    * Emits one row per qualifying ORIENTATION: `(contained_id,
+    * container_id, containment)` — a pair where each mostly covers
+    * the other yields both rows.
+    *
+    * Candidate generation is an inverted shingle index with a
+    * document-frequency cap, not banding: a pair is admitted iff it
+    * shares at least one shingle with df ∈ [2, maxDf]. The recall
+    * contract is explicit — a pair sharing ONLY ultra-common shingles
+    * (df > maxDf) is missed by construction; such shingles carry no
+    * discriminative signal, and at web scale they are exactly the
+    * boilerplate that would otherwise create quadratic buckets.
+    * maxDf is also the COST bound: each admitted shingle fans out to
+    * at most maxDf²/2 candidate pairs, so keep it small in absolute
+    * terms (tens, not a corpus fraction — raising it from 20 to 500
+    * on a 500-doc corpus was a measured 6× blow-up, because common
+    * bigrams stop being capped at all). The
+    * exact overlap (native [[graft.functions.SetOverlap]] kernel)
+    * runs only on admitted pairs, so pair cost tracks shared-rare-
+    * shingle density, never n². Sets are staged behind one
+    * `repartition(id)` exchange that the inverted index and both
+    * set re-attachments replay (the [[nearDuplicates]] sharing
+    * pattern).
+    *
+    * `family`: "xxh64" (production, native 64-bit shingle hashes) or
+    * "md5" (oracle-portable 60-bit md5 prefixes a DuckDB twin
+    * re-derives — same discipline as [[minhashCandidates]]'s md5
+    * family; the families are set-incompatible, never mix them).
+    *
+    * @param minSetSize drop docs with fewer than this many TOTAL
+    *                   shingles (token count < k + minSetSize − 1) —
+    *                   a 3-shingle fragment is "contained" in half
+    *                   the corpus; containment needs mass to mean
+    *                   much. Phrased on token count, pre-lambda: a
+    *                   post-shingle `size(s) ≥ n` filter gets
+    *                   predicate-pushed into the SCAN with the whole
+    *                   tokenize→shingle→hash tree substituted in,
+    *                   and the differing pushed conditions break
+    *                   exchange reuse across this plan's branches
+    *                   (measured: 18 s → 6 s on 500 docs for that
+    *                   one phrasing change) */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minContainment: Double = 0.8,
+      shingleK: Int = 2,
+      maxDf: Int = 100,
+      minSetSize: Int = 5,
+      family: String = "xxh64"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashOf: Column => Column = family match {
+      case "md5" => graft.functions.Md5Family.md5Hash60
+      case _ => (c: Column) => xxhash64(c)
+    }
+    val sets = df
+      .select(col(idCol).as("id"), Text.tokens(Text.normalized(col(textCol))).as("_toks"))
+      // ONE pre-lambda filter, nothing after the shingle projection
+      // (the shinglesFromTokens contract, and see @param minSetSize).
+      // The explicit isNotNull matters: the downstream id-joins push
+      // a null-rejecting predicate into THEIR branch's scan — baking
+      // it into the shared subtree keeps every branch's scan
+      // byte-identical, which is what lets ReuseExchange collapse
+      // them onto this one repartition(id) exchange.
+      .filter(col("id").isNotNull &&
+        size(col("_toks")) >= shingleK + math.max(minSetSize, 1) - 1)
+      .select(col("id"), shinglesFromTokens(col("_toks"), shingleK).as("_sh"))
+      .select(col("id"), array_distinct(transform(col("_sh"), s => hashOf(s))).as("s"))
+      .repartition(col("id"))
+    val inv = sets.select(col("id"), explode(col("s")).as("h"))
+    val keep = inv.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df").between(2, maxDf))
+      .select(col("h"))
+    val kept = inv.join(keep, Seq("h"))
+    val pairs = kept.select(col("h"), col("id").as("id_a"))
+      .join(kept.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val scored = pairs
+      .join(sets.select(col("id").as("id_a"), col("s").as("_sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("s").as("_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ColumnBridge.column(graft.functions.SetOverlap(
+          ColumnBridge.expression(col("_sa")),
+          ColumnBridge.expression(col("_sb")))).cast(DoubleType).as("_i"),
+        size(col("_sa")).cast(DoubleType).as("_na"),
+        size(col("_sb")).cast(DoubleType).as("_nb"))
+    scored
+      .select(explode(filter(array(
+        struct(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          (col("_i") / col("_na")).as("containment")),
+        struct(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+          (col("_i") / col("_nb")).as("containment"))),
+        r => r.getField("containment") >= lit(minContainment))).as("r"))
+      .select(col("r.contained_id").as("contained_id"),
+        col("r.container_id").as("container_id"),
+        col("r.containment").as("containment"))
+  }
+
   /** Banded bucket membership `(id, band, band_hash)` of a signature
     * table — the LSH index representation shared by the batch
     * ([[candidatesFromSignatures]]) and incremental paths. */

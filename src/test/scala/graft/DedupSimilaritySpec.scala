@@ -1057,4 +1057,62 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(arr("max", 2L)._1 === Seq(7.0, 7.0, 7.0))
   }
 
+  test("containmentPairs: asymmetric containment catches a quoted document jaccard misses") {
+    val inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, inner),
+      (2L, "intro words before the quote " + inner +
+        " and a long tail of unrelated commentary follows here with many extra tokens padding the container document"),
+      (3L, "totally different text about columnar engines and shuffle behavior in distributed query processing")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(corpus, "doc_id", "text",
+        minContainment = 0.8, shingleK = 2, maxDf = 10, minSetSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every bigram of 1 appears inside 2 → containment(1 in 2) = 1.0
+    assert(rows((1L, 2L)) === 1.0)
+    // the reverse orientation is far below threshold — asymmetry is the point
+    assert(!rows.contains((2L, 1L)))
+    assert(!rows.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // and symmetric jaccard on the same pair sits well under 0.8:
+    // this pair is invisible to nearDuplicates at that threshold
+    val j = Dedup.jaccardPairs(corpus.filter($"doc_id" < 3), "doc_id", "text", 2)
+      .collect()(0).getDouble(2)
+    assert(j < 0.5, s"jaccard=$j")
+  }
+
+  test("containmentPairs: df cap drops boilerplate-only pairs; tiny docs never pair") {
+    val boiler = "subscribe to our newsletter for updates"
+    val corpus = Seq(
+      (1L, s"unique alpha content one two three four five six. $boiler"),
+      (2L, s"different beta words seven eight nine ten eleven twelve. $boiler"),
+      (3L, s"third gamma body thirteen fourteen fifteen sixteen. $boiler"),
+      (4L, s"fourth delta text seventeen eighteen nineteen twenty. $boiler"),
+      (5L, "tiny doc") // 1 bigram < minSetSize
+    ).toDF("doc_id", "text")
+    // boilerplate shingles have df=4 > maxDf=3: pairs sharing ONLY
+    // those are missed by construction (the documented recall contract)
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text",
+      minContainment = 0.1, shingleK = 2, maxDf = 3, minSetSize = 3)
+    assert(out.count() === 0)
+    // raising the cap re-admits them (exact overlap then scores low
+    // but nonzero — candidates exist)
+    val loose = Dedup.containmentPairs(corpus, "doc_id", "text",
+      minContainment = 0.1, shingleK = 2, maxDf = 10, minSetSize = 3)
+    assert(loose.count() > 0)
+    assert(!loose.collect().exists(r => r.getLong(0) == 5L || r.getLong(1) == 5L))
+  }
+
+  test("containmentPairs: md5 and xxh64 families agree on exact containment") {
+    val docs = Tables(spark, sf, "documents").limit(120)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e12))).toSet
+    val a = norm(Dedup.containmentPairs(docs, "doc_id", "text",
+      minContainment = 0.5, family = "xxh64"))
+    val b = norm(Dedup.containmentPairs(docs, "doc_id", "text",
+      minContainment = 0.5, family = "md5"))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
 }
