@@ -1649,6 +1649,49 @@ object SparkEntry {
         .orderBy(col("contained_id"), col("container_id"))
     },
 
+    // Snapshot version diff (r15): manifest-planned row diff across an
+    // ingest history — v0 commits a base, then an APPEND (new keys),
+    // a CANONICALIZE tombstone rewrite (payload change on existing
+    // keys) and a pure COMPACTION (files move, rows don't) land before
+    // the next commit. The diff must report exactly the appended keys
+    // as `added` and the tombstoned keys as `changed` — every row the
+    // compaction merely moved between files compares equal and drops
+    // out. The twin re-derives the expected statuses from the
+    // fixture's key arithmetic.
+    "q133_snapshot_diff" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q133").toString
+      val orders = Tables(s, dir, "orders")
+      def wire(rows: org.apache.spark.sql.DataFrame, removed: Boolean) =
+        rows.select(to_json(struct(
+          format_string("0x%040x", col("o_custkey")).as("address"),
+          array(lit(TransferSig), format_string("0x%064x", col("o_custkey"))).as("topics"),
+          format_string("0x%064x", col("o_orderkey") * 3).as("data"),
+          format_string("0xb%x", col("o_orderkey")).as("blockHash"),
+          format_string("0x%x", col("o_orderkey")).as("blockNumber"),
+          format_string("0xt%x", col("o_orderkey")).as("transactionHash"),
+          lit("0x0").as("transactionIndex"),
+          format_string("0x%x", col("o_orderkey") % 7).as("logIndex"),
+          lit(removed).as("removed"))).as("j"))
+      val t = s"$work/logs"
+      wire(orders.filter(col("o_orderkey") % 10 === 1), removed = false)
+        .write.mode("overwrite").text(s"$work/w1")
+      graft.sources.Logs.appendIdempotent(
+        s, graft.sources.Logs.readNdjson(s, s"$work/w1"), t)
+      val v0 = graft.sources.Snapshots.commit(s, t)
+      wire(orders.filter(col("o_orderkey") % 10 === 2), removed = false)
+        .write.mode("overwrite").text(s"$work/w2")
+      graft.sources.Logs.appendIdempotent(
+        s, graft.sources.Logs.readNdjson(s, s"$work/w2"), t)
+      wire(orders.filter(col("o_orderkey") % 50 === 1), removed = true)
+        .write.mode("overwrite").text(s"$work/w3")
+      graft.sources.Logs.appendIdempotent(
+        s, graft.sources.Logs.readNdjson(s, s"$work/w3"), t, canonicalize = true)
+      graft.sources.Logs.compact(s, t)
+      val v1 = graft.sources.Snapshots.commit(s, t)
+      graft.sources.Snapshots.diff(s, t, v0, v1)
+        .orderBy(col("block_hash"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -3636,6 +3679,22 @@ object SparkEntry {
         |  from ov where i / nb >= 0.6)
         |select contained_id, container_id, containment from o
         |order by contained_id, container_id""".stripMargin,
+
+    // snapshot-diff twin (r15): the appended keys (%10=2) read as
+    // added, the canonicalize-tombstoned ones (%50=1, a subset of the
+    // %10=1 base) as changed; everything the compaction merely moved
+    // between files cancels out of the diff entirely.
+    "q133_snapshot_diff" ->
+      """with ks as (
+        |  select o_orderkey as k,
+        |    case when o_orderkey % 10 = 2 then 'added'
+        |         when o_orderkey % 50 = 1 then 'changed' end as status
+        |  from orders where o_orderkey % 10 in (1, 2))
+        |select '0xb' || printf('%x', k) as block_hash,
+        |  '0xt' || printf('%x', k) as transaction_hash,
+        |  k % 7 as log_index, status
+        |from ks where status is not null
+        |order by block_hash""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

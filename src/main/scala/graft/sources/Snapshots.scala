@@ -241,6 +241,66 @@ object Snapshots {
     }
   }
 
+  /** Row-level diff of two snapshot versions, PLANNED FROM THE
+    * MANIFESTS: a file listed by both versions holds byte-identical
+    * rows in both (files are immutable; rewrites swap whole files),
+    * so only the SYMMETRIC DIFFERENCE of the two file sets is ever
+    * read. On an append-mostly history the diff therefore costs
+    * O(files that changed), never O(table) — at fleet scale,
+    * "what did yesterday's ingest change" reads yesterday's files,
+    * not 100 TB. Emits one row per differing primary key
+    * (`block_hash, transaction_hash, log_index` — the table's
+    * idempotence contract guarantees per-version key uniqueness):
+    *
+    *  - `added`   — key present only in `vNew`
+    *  - `removed` — key present only in `vOld`
+    *  - `changed` — key on both sides with a differing payload
+    *    (null-safe struct compare over the remaining analytic
+    *    columns; a reorg canonicalization flipping `removed` is the
+    *    canonical producer)
+    *
+    * Rows a compaction merely MOVED between files appear on both
+    * sides, compare equal, and drop out — a pure rewrite diffs
+    * empty. `diff(v, v)` is empty by construction (no files differ). */
+  def diff(spark: SparkSession, tablePath: String, vOld: Long, vNew: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fs = fsOf(spark, tablePath)
+    val fo = files(spark, tablePath, vOld)
+    val fn = files(spark, tablePath, vNew)
+    val common = fo.toSet.intersect(fn.toSet)
+    def side(names: Seq[String], v: Long): DataFrame = {
+      val resolved = names.map { f =>
+        resolve(fs, tablePath, f).getOrElse(
+          throw new IllegalStateException(
+            s"snapshot v$v of $tablePath references vacuumed/missing file $f"))
+      }
+      val (retained, live) = resolved.partition(_.startsWith(retainedDir(tablePath)))
+      val analytic = Logs.schema.fieldNames.map(col).toSeq
+      def group(paths: Seq[String], base: String): Option[DataFrame] =
+        if (paths.isEmpty) None
+        else Some(spark.read.option("basePath", base).parquet(paths: _*).select(analytic: _*))
+      (group(live, tablePath), group(retained, retainedDir(tablePath))) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) =>
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), Logs.schema)
+      }
+    }
+    val key = Seq("block_hash", "transaction_hash", "log_index")
+    val payload = Logs.schema.fieldNames.filterNot(key.contains).toSeq
+    def keyed(df: DataFrame, tag: String): DataFrame =
+      df.select(key.map(col) :+ struct(payload.map(col): _*).as(s"_p$tag"): _*)
+    keyed(side(fo.filterNot(common), vOld), "o")
+      .join(keyed(side(fn.filterNot(common), vNew), "n"), key, "full_outer")
+      .withColumn("status",
+        when(col("_po").isNull, lit("added"))
+          .when(col("_pn").isNull, lit("removed"))
+          .when(!(col("_po") <=> col("_pn")), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(key.map(col) :+ col("status"): _*)
+  }
+
   /** Retention GC: drop all but the newest `keepVersions` manifests,
     * then delete every retained file no kept manifest references.
     * Returns (manifests dropped, retained files deleted). Run beside

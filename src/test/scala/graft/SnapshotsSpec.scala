@@ -19,6 +19,12 @@ class SnapshotsSpec extends SparkSpec {
       s""""transactionHash":"0xtx$blockNum","transactionIndex":"0x0",""" +
       s""""logIndex":"0x${logIdx.toHexString}","removed":false}"""
 
+  private def tombstone(blockNum: Long, logIdx: Long): String =
+    s"""{"address":"0xaaa","topics":["0xsig"],"data":"0x01",""" +
+      s""""blockHash":"0xb$blockNum","blockNumber":"0x${blockNum.toHexString}",""" +
+      s""""transactionHash":"0xtx$blockNum","transactionIndex":"0x0",""" +
+      s""""logIndex":"0x${logIdx.toHexString}","removed":true}"""
+
   test("pinned snapshot ignores concurrent appends; time travel reads history") {
     val table = Files.createTempDirectory("snap_tbl").toString + "/t"
     Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(1, 0), row(2, 0)))), table)
@@ -371,5 +377,46 @@ class SnapshotsSpec extends SparkSpec {
     }
     // pinned pre-contest read is undisturbed
     assert(Snapshots.read(spark, table, Some(v0)).count() === 1)
+  }
+
+  test("diff: appends read as added, reversed as removed, and only changed files are scanned") {
+    val table = Files.createTempDirectory("snap_tbl").toString + "/t"
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark,
+      fixture(Seq(row(1, 0), row(2, 0), row(3, 0)))), table)
+    val v0 = Snapshots.commit(spark, table)
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(4, 0)))), table)
+    val v1 = Snapshots.commit(spark, table)
+    val d = Snapshots.diff(spark, table, v0, v1)
+    assert(d.collect().map(r => (r.getString(0), r.getString(3))).toSeq
+      === Seq(("0xb4", "added")))
+    // manifest pruning: the three v0 files are COMMON to both
+    // manifests and must not be scanned at all
+    val scannedNames = d.inputFiles.map(_.split('/').last).toSet
+    val commonNames = Snapshots.files(spark, table, v0).map(_.split('/').last).toSet
+    assert(commonNames.nonEmpty && commonNames.forall(n => !scannedNames(n)),
+      s"scanned=$scannedNames common=$commonNames")
+    // direction flip: added becomes removed
+    assert(Snapshots.diff(spark, table, v1, v0).collect()
+      .map(r => (r.getString(0), r.getString(3))).toSeq === Seq(("0xb4", "removed")))
+    // same version: nothing differs by construction
+    assert(Snapshots.diff(spark, table, v0, v0).count() === 0)
+  }
+
+  test("diff: a pure compaction diffs empty; a canonicalize tombstone diffs as changed") {
+    val table = Files.createTempDirectory("snap_tbl").toString + "/t"
+    (1 to 4).foreach { i =>
+      Logs.appendIdempotent(spark, Logs.readNdjson(spark, fixture(Seq(row(i, 0)))), table)
+    }
+    val v0 = Snapshots.commit(spark, table)
+    Logs.compact(spark, table) // every file moves, no row changes
+    val v1 = Snapshots.latestVersion(spark, table).get
+    assert(v1 > v0)
+    assert(Snapshots.diff(spark, table, v0, v1).count() === 0)
+    // reorg canonicalization flips one key's payload (removed=true)
+    Logs.appendIdempotent(spark, Logs.readNdjson(spark,
+      fixture(Seq(tombstone(2, 0)))), table, canonicalize = true)
+    val v2 = Snapshots.latestVersion(spark, table).get
+    val d = Snapshots.diff(spark, table, v0, v2).collect()
+    assert(d.map(r => (r.getString(0), r.getString(3))).toSet === Set(("0xb2", "changed")))
   }
 }
