@@ -1692,6 +1692,32 @@ object SparkEntry {
         .orderBy(col("block_hash"))
     },
 
+    // Per-domain boilerplate removal (r15): site chrome (a nav header
+    // planted in ~90% of each domain's pages) is dropped EVERYWHERE,
+    // a 33%-frequency footer survives, and the `tiny` domain (6 docs
+    // < minDocs) keeps its header even at ~83% frequency — the
+    // statistical-basis exemption under the hash. Twin recomputes the
+    // per-(domain, line) document frequencies and the rebuild in SQL.
+    "q134_boilerplate_removal" -> { (s, dir) =>
+      val dom = when(col("doc_id") % 97 === 0, lit("tiny"))
+        .otherwise(concat(lit("d"), (col("doc_id") % 5).cast(StringType)))
+      val header = concat(lit("nav "), dom, lit(" home about contact"))
+      val footer = concat(lit("copyright "), dom, lit(" example"))
+      val docs = Tables(s, dir, "documents")
+        .withColumn("url", concat(lit("http://"), dom, lit(".example/p"),
+          col("doc_id").cast(StringType)))
+        .withColumn("page", concat(
+          when(col("doc_id") % 10 =!= 0, concat(header, lit("\n"))).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit("\n\n"), footer)).otherwise(lit(""))))
+      Corpus.removeBoilerplate(docs, "doc_id", "url", "page",
+          minFrac = 0.5, minDocs = 10)
+        .select(col("doc_id"), col("text_clean"),
+          col("n_lines").cast(LongType).as("n_lines"),
+          col("n_removed").cast(LongType).as("n_removed"))
+        .orderBy(col("doc_id"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -3695,6 +3721,43 @@ object SparkEntry {
         |  k % 7 as log_index, status
         |from ks where status is not null
         |order by block_hash""".stripMargin,
+
+    // boilerplate-removal twin (r15): q83's line-explode device with
+    // per-(domain, line) document frequencies replacing the
+    // first-occurrence winner — lines at >= 50% of a >= 10-doc
+    // domain drop everywhere, empty lines always survive
+    "q134_boilerplate_removal" ->
+      """with d as (
+        |  select doc_id, text,
+        |    case when doc_id % 97 = 0 then 'tiny' else 'd' || (doc_id % 5) end as dom
+        |  from documents),
+        |t as (
+        |  select doc_id, dom,
+        |    case when doc_id % 10 <> 0
+        |      then 'nav ' || dom || ' home about contact' || chr(10) else '' end
+        |    || text
+        |    || case when doc_id % 3 = 0
+        |      then chr(10) || chr(10) || 'copyright ' || dom || ' example' else '' end as page
+        |  from d),
+        |l as (select doc_id, dom, pos, split[pos] as line from
+        |  (select doc_id, dom, split, unnest(range(1, len(split)+1)) as pos
+        |   from (select doc_id, dom, string_split(page, chr(10)) as split from t))),
+        |nd as (select dom, count(*) as nd from t group by dom),
+        |ldf as (select dom, line, count(distinct doc_id) as df
+        |  from l where length(line) > 0 group by dom, line),
+        |b as (select ldf.dom, ldf.line from ldf join nd using (dom)
+        |  where nd.nd >= 10 and cast(ldf.df as double) >= cast(nd.nd as double) * 0.5),
+        |kp as (select l.doc_id, l.pos, l.line from l
+        |  left join b on l.dom = b.dom and l.line = b.line
+        |  where b.line is null),
+        |r as (select doc_id, string_agg(line, chr(10) order by pos) as text_clean,
+        |    count(*) as kept
+        |  from kp group by doc_id)
+        |select t.doc_id, coalesce(r.text_clean, '') as text_clean,
+        |  cast(len(string_split(t.page, chr(10))) as bigint) as n_lines,
+        |  cast(len(string_split(t.page, chr(10))) - coalesce(r.kept, 0) as bigint) as n_removed
+        |from t left join r using (doc_id)
+        |order by t.doc_id""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

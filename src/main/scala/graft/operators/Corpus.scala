@@ -461,6 +461,72 @@ object Corpus {
       .drop("_did", "_kept")
   }
 
+  /** Per-domain boilerplate line removal — the site-chrome
+    * complement of [[dedupLines]]: dedupLines keeps a repeated line's
+    * FIRST occurrence corpus-wide (CCNet's cross-document dedup);
+    * this drops EVERY occurrence of a line that appears in at least
+    * `minFrac` of a domain's documents (navigation bars, cookie
+    * banners, footers — text that is "content" nowhere, not even
+    * once). Domains with fewer than `minDocs` documents are exempt: a
+    * 3-page site gives no statistical basis for calling a line
+    * chrome. Unparseable URLs (null domain) are never touched.
+    *
+    * Output mirrors [[dedupLines]]: every input row keeps its columns
+    * and gains `outCol` (boilerplate-free text, empty lines
+    * preserved), `n_lines` and `n_removed`.
+    *
+    * Scale shape: posexplode is map-side; the per-(domain, line)
+    * document frequency is a distinct + combinable count keyed on
+    * `(domain, md5(line))` — constant-width keys, never boilerplate
+    * strings, crossing the shuffle; the boilerplate key table is tiny
+    * (a domain has a handful of frequent lines) and the removal is
+    * one left-anti hash join; reassembly is per-document
+    * `collect_list`, bounded by one document's line count. No
+    * windows, no all-pairs anywhere. */
+  def removeBoilerplate(
+      df: DataFrame, idCol: String, urlCol: String, textCol: String,
+      minFrac: Double = 0.5, minDocs: Int = 10,
+      outCol: String = "text_clean"): DataFrame = {
+    val base = df
+      .select(col(idCol).as("_did"), domainOf(col(urlCol)).as("_domain"),
+        col(textCol).as("_t"))
+      .filter(col("_t").isNotNull)
+    val lines = base
+      .select(col("_did"), col("_domain"),
+        posexplode(split(col("_t"), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_k", md5(col("_line")))
+    val nd = base.filter(col("_domain").isNotNull)
+      .groupBy(col("_domain")).agg(count(lit(1)).as("_nd"))
+    val lineDf = lines
+      .filter(col("_domain").isNotNull && length(col("_line")) > 0)
+      .select(col("_domain"), col("_k"), col("_did")).distinct()
+      .groupBy(col("_domain"), col("_k")).agg(count(lit(1)).as("_df"))
+    val boiler = lineDf.join(nd, Seq("_domain"))
+      .filter(col("_nd") >= minDocs &&
+        col("_df").cast(DoubleType) >= col("_nd").cast(DoubleType) * minFrac)
+      .select(col("_domain"), col("_k"))
+    val kept = lines.join(boiler, Seq("_domain", "_k"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("_did"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            s => s.getField("_line")),
+          "\n").as(outCol),
+        count(lit(1)).as("_kept"))
+    df.join(rebuilt, col(idCol) === col("_did"), "left")
+      .withColumn("n_lines",
+        when(col(textCol).isNull, lit(null).cast(IntegerType))
+          .otherwise(size(split(col(textCol), "\n"))))
+      .withColumn("n_removed",
+        when(col(textCol).isNull, lit(null).cast(IntegerType))
+          .otherwise(col("n_lines") - coalesce(col("_kept"), lit(0L)).cast(IntegerType)))
+      .withColumn(outCol,
+        when(col(textCol).isNull, lit(null).cast(StringType))
+          .otherwise(coalesce(col(outCol), lit(""))))
+      .drop("_did", "_kept")
+  }
+
   /** Data mixing by per-stratum rates: every `everyBy(stratum)`-th
     * row of each stratum in `orderCol` order (strata absent from the
     * map use `defaultEvery`) — the deterministic, SQL-expressible way

@@ -643,4 +643,41 @@ class CorpusSpec extends SparkSpec {
     assert(n("n_pages") === 1L)        // only the real page
     assert(n("n_cs_declared") === 1L)  // provenance rides decoded rows only
   }
+
+  test("removeBoilerplate: domain-frequent lines drop everywhere, small domains exempt, empties kept") {
+    import spark.implicits._
+    val nav = "nav home about"
+    // big.example: 4 docs, nav in 3 (75% >= 50%) → dropped from ALL;
+    // the 50%-frequency body line stays (2/4 >= 0.5 → dropped too —
+    // assert the >= boundary); rare lines stay
+    val docs = Seq(
+      (1L, "http://www.big.example/a", s"$nav\nunique one\nshared half"),
+      (2L, "http://big.example:80/b", s"$nav\n\nunique two\nshared half"),
+      (3L, "http://big.example/c", s"$nav\nunique three"),
+      (4L, "http://big.example/d", "unique four"),
+      // small.example: 2 docs < minDocs=3 → its nav is exempt
+      (5L, "http://small.example/a", s"$nav\nsmall body"),
+      (6L, "http://small.example/b", s"$nav\nother body"),
+      (7L, null: String, s"$nav\nno domain"), // null domain: untouched
+      (8L, "http://big.example/e", null: String) // null text: null out
+    ).toDF("doc_id", "url", "text")
+    val out = Corpus.removeBoilerplate(docs, "doc_id", "url", "text",
+        minFrac = 0.5, minDocs = 3)
+      .select($"doc_id", $"text_clean", $"n_lines", $"n_removed")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // www./port spellings collapse into one domain: nav df=3/4
+    assert(out(1L)._1.get === "unique one") // nav AND shared half (2/4 = 0.5 >= 0.5) dropped
+    assert(out(2L)._1.get === "\nunique two") // empty line survives
+    assert(out(3L)._1.get === "unique three")
+    assert(out(4L)._1.get === "unique four")
+    assert(out(1L)._3.get === 2) // nav + shared half
+    // small domain keeps its 100%-frequency nav
+    assert(out(5L)._1.get === s"$nav\nsmall body")
+    assert(out(6L)._1.get === s"$nav\nother body")
+    // null domain: nothing removed
+    assert(out(7L)._1.get === s"$nav\nno domain")
+    // null text: null output, null counters
+    assert(out(8L) === ((None, None, None)))
+  }
 }
