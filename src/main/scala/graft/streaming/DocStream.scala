@@ -295,6 +295,50 @@ object DocStream {
       corpusCompactEvery, corpusCompactTargetFiles)
   }
 
+  /** Streaming crawl-health profiling (r15): tail-follow a growing
+    * WARC segment directory and publish each micro-batch's per-shard
+    * counter matrix ([[graft.operators.Corpus.crawlHealthOf]] — the
+    * q127 aggregate) into a continuously-growing health table, one
+    * deterministic `batch_id=N` partition directory per committed
+    * batch. The partition write is `overwrite`, so a crash-replayed
+    * batch rewrites ITS OWN partition instead of double-appending —
+    * exactly-once at the file layout with no replay anti-join (the
+    * profiler is stateless, so the idempotence device can be this
+    * simple). A shard's counters land when its file arrives, so the
+    * accumulated table holds one row per shard and equals the batch
+    * [[graft.operators.Corpus.crawlHealth]] over the same directory
+    * (spec-asserted). Run it BESIDE a curation stream on the same
+    * directory: the "count the nulls before trusting a segment" gate
+    * as standing infrastructure instead of a manual pre-step — a
+    * shard whose decode-null counters spike is visible in the health
+    * table while the curation stream is still draining it. */
+  def profileCrawlHealth(
+      spark: SparkSession,
+      warcDir: String,
+      healthDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 16,
+      pollInterval: Option[String] = None): StreamingQuery = {
+    val trigger = pollInterval
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    spark.readStream.format("graft.sources.WarcSource")
+      .option("path", warcDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Corpus.crawlHealthOf(batch)
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$healthDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** The [[curateNearDup]] loop over ANY streaming frame with
     * `(doc_id, text)` columns (extra columns ride into the corpus).
     *

@@ -777,4 +777,44 @@ class StreamingSpec extends SparkSpec {
     drain()
     assert(corpusIds() === Set(1L, 2L, 4L))
   }
+
+  test("streaming crawl-health equals the batch profile and replays idempotently (r15)") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    import graft.sinks.WarcShards
+    import graft.operators.Corpus
+    val warcDir = Files.createTempDirectory("health_in").toString
+    val health = Files.createTempDirectory("health_out").toString + "/health"
+    val ckpt = Files.createTempDirectory("health_ckpt").toString
+    def env(i: Int): Array[Byte] = {
+      val status = if (i % 5 == 0) "404 Not Found" else "200 OK"
+      val ctype = if (i % 7 == 0) "image/png" else "text/html; charset=UTF-8"
+      val enc = if (i % 11 == 0) "\r\nContent-Encoding: gzip" else ""
+      val body = if (i % 11 == 0) "ZZZZ".getBytes("UTF-8") // corrupt gzip
+        else s"<html>page $i hello world</html>".getBytes("UTF-8")
+      (s"HTTP/1.1 $status\r\nContent-Type: $ctype$enc" +
+        s"\r\nContent-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+    }
+    WarcShards.write(
+      (0 until 40).map(i => (i.toString, s"urn:h:$i", env(i)))
+        .toDF("k", "u", "p"),
+      "k", "u", "p", warcDir, nShards = 4,
+      warcType = "response",
+      contentType = "application/http; msgtype=response")
+    DocStream.profileCrawlHealth(spark, warcDir, health, ckpt,
+      maxFilesPerTrigger = 2).awaitTermination()
+    val batchProfile = Corpus.crawlHealth(spark, warcDir)
+    val cols = batchProfile.columns.toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).orderBy(col("shard")).collect().map(_.toSeq).toSeq
+    val streamed = spark.read.parquet(health)
+    // 4 shard files at 2 per trigger → at least 2 batches contributed
+    assert(streamed.select("batch_id").distinct().count() >= 2)
+    // the accumulated table IS the batch profile, shard for shard
+    assert(canon(streamed) === canon(batchProfile))
+    // drained checkpoint: a re-run adds nothing and rewrites nothing
+    DocStream.profileCrawlHealth(spark, warcDir, health, ckpt,
+      maxFilesPerTrigger = 2).awaitTermination()
+    assert(canon(spark.read.parquet(health)) === canon(batchProfile))
+  }
 }
