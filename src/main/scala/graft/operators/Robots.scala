@@ -158,6 +158,93 @@ object Robots {
       spark.read.format("graft.sources.WarcSource").option("path", path).load(),
       agent)
 
+  /** Hosts with a successfully parsed (2xx, decodable) robots capture
+    * in the frame — the KEY SET for [[mergeRules]]: a host whose new
+    * robots.txt yields zero rules (allow-all) is still a capture, and
+    * its old rules must still be erased. One row per host. */
+  def capturedHosts(warc: DataFrame): DataFrame =
+    warc
+      .filter(col("warc_type") === "response" &&
+        col("http_status").between(200, 299) &&
+        lower(pathOf(col("target_uri"))) === "/robots.txt")
+      .withColumn("_deframed", graft.functions.HttpBody.httpTransferDecode(
+        col("body"), lower(col("http_transfer_encoding"))))
+      .withColumn("_raw", graft.functions.HttpBody.httpBodyDecode(
+        col("_deframed"), lower(col("http_content_encoding"))))
+      .select(hostOf(col("target_uri")).as("host"),
+        graft.functions.CharsetDecode.charsetDecode(
+          col("_raw"), lit("utf-8")).as("_txt"))
+      .filter(col("host") =!= "" && col("_txt").isNotNull)
+      .select(col("host")).distinct()
+
+  /** Latest-capture-wins merge of freshly parsed rules into a
+    * persisted per-host rule table: every host in `hosts` (the
+    * capture key set, see [[capturedHosts]]) has ALL its old rules
+    * replaced by its rows in `fresh` — a new robots.txt is a
+    * statement about the whole host, including the rules it no longer
+    * carries — and hosts absent from `hosts` keep theirs untouched.
+    * The rewrite runs under the directory's rewrite lock with the
+    * rename-away → rename-in → delete-old staged swap (never a
+    * no-table window; a concurrent rewrite fails fast and the caller
+    * decides — a curation stream lets the batch fail and replay,
+    * because a silently skipped merge would LOSE the batch's robots
+    * captures forever once the checkpoint advances). Re-merging the
+    * same batch converges (idempotent given per-host replacement).
+    *
+    * Scale: each merge rewrites the whole table — right for per-host
+    * rule tables (a few rows per host, MBs at millions of hosts). A
+    * fleet-scale table would bucket by host hash and rewrite only
+    * touched buckets; the layout leaves room (bucket column), the
+    * code keeps the simple form. */
+  def mergeRules(spark: SparkSession, fresh: DataFrame, hosts: DataFrame,
+      rulesDir: String): Unit = {
+    if (hosts.isEmpty) return
+    val hp = new org.apache.hadoop.fs.Path(rulesDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.DirLock.withIndexLock(fs, rulesDir, "rewrite") {
+      val staged = new org.apache.hadoop.fs.Path(rulesDir + ".merge")
+      val old = new org.apache.hadoop.fs.Path(rulesDir + ".old")
+      fs.delete(staged, true)
+      fs.delete(old, true)
+      val freshRows = fresh.select(col("host"), col("rule"), col("pattern"))
+      val merged =
+        if (fs.exists(hp))
+          spark.read.parquet(rulesDir)
+            .join(hosts.select(col("host")), Seq("host"), "left_anti")
+            .unionByName(freshRows)
+        else freshRows
+      merged.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+      if (fs.exists(hp)) {
+        if (!fs.rename(hp, old))
+          throw new java.io.IOException(s"rules merge: cannot park $rulesDir")
+      }
+      if (!fs.rename(staged, hp)) {
+        if (fs.exists(old) && !fs.rename(old, hp))
+          throw new java.io.IOException(
+            s"rules merge swap FAILED AND RESTORE FAILED: table parked at $old, " +
+              s"merge at $staged — recover by renaming one to $rulesDir")
+        throw new java.io.IOException(s"rename $staged to $rulesDir failed (table restored)")
+      }
+      fs.delete(old, true)
+      spark.catalog.refreshByPath(rulesDir)
+    }
+  }
+
+  /** The persisted rule table, or an empty one when nothing has been
+    * merged yet (pages gate as ALLOWED until their host's robots
+    * capture arrives — robots exclusion is opt-out, and a polite
+    * fetcher fetches robots.txt before the host's pages anyway). */
+  def loadRules(spark: SparkSession, rulesDir: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(rulesDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) spark.read.parquet(rulesDir)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("host", StringType), StructField("rule", StringType),
+        StructField("pattern", StringType))))
+  }
+
   /** Gate pages against a parsed rule table: every input row keeps
     * its columns and gains `allowed` (boolean), `rule` and `pattern`
     * (the winning rule, null when nothing matched). Longest-match

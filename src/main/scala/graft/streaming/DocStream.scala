@@ -279,20 +279,59 @@ object DocStream {
       reliableCheckpointDir: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64,
       compactEvery: Int = 0, compactTargetFiles: Int = 64,
-      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64): StreamingQuery = {
-    val in = applyGate(
-      graft.sources.WarcSource.crawlTextOf(
-        spark.readStream.format("graft.sources.WarcSource")
-          .option("path", warcDir)
-          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-          .load())
+      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64,
+      // robots politeness (r15): with `robotsRulesDir` set, each
+      // batch FIRST merges its own captured /robots.txt responses
+      // into the persisted per-host rule table
+      // ([[graft.operators.Robots.mergeRules]], latest capture wins,
+      // staged swap under the rewrite lock) and THEN gates its pages
+      // against the accumulated rules as `robotsAgent` (RFC 9309
+      // longest-match, allow wins ties; hosts with no capture yet
+      // gate as allowed — robots exclusion is opt-out, and a polite
+      // fetcher fetches robots.txt before the host's pages). Rules
+      // arriving in batch 1 gate pages in every later batch; a
+      // robots capture and its pages in ONE batch gate that same
+      // batch (rules merge before the page gate). A failed merge
+      // fails the batch — streaming restart replays it, because a
+      // skipped merge would lose those captures forever once the
+      // checkpoint advances. Disallowed pages are dropped BEFORE the
+      // quality gate and never reach the corpus or index.
+      robotsRulesDir: Option[String] = None,
+      robotsAgent: String = "*"): StreamingQuery = {
+    val raw = spark.readStream.format("graft.sources.WarcSource")
+      .option("path", warcDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load()
+    def pagesOf(frame: DataFrame): DataFrame =
+      graft.sources.WarcSource.crawlTextOf(frame)
         .select(xxhash64(col("target_uri")).as("doc_id"),
-          col("target_uri"), col("text")),
-      gate)
-    curateNearDupStream(spark, in, corpusDir, indexDir, checkpointDir,
-      minJaccard, pollInterval, reliableCheckpointDir, indexBands, indexRanges,
-      compactEvery, compactTargetFiles,
-      corpusCompactEvery, corpusCompactTargetFiles)
+          col("target_uri"), col("text"))
+    robotsRulesDir match {
+      case None =>
+        curateNearDupStream(spark, applyGate(pagesOf(raw), gate),
+          corpusDir, indexDir, checkpointDir,
+          minJaccard, pollInterval, reliableCheckpointDir, indexBands, indexRanges,
+          compactEvery, compactTargetFiles,
+          corpusCompactEvery, corpusCompactTargetFiles)
+      case Some(rulesDir) =>
+        import graft.operators.Robots
+        val pre = (batch: DataFrame, _: Long) => {
+          Robots.mergeRules(spark, Robots.rulesOf(batch, robotsAgent),
+            Robots.capturedHosts(batch), rulesDir)
+          val pages = pagesOf(batch)
+            .filter(lower(Robots.pathOf(col("target_uri"))) =!= "/robots.txt")
+          val allowed = Robots.gate(pages, Robots.loadRules(spark, rulesDir),
+              "target_uri")
+            .filter(col("allowed"))
+            .select(col("doc_id"), col("target_uri"), col("text"))
+          applyGate(allowed, gate)
+        }
+        curateNearDupStream(spark, raw, corpusDir, indexDir, checkpointDir,
+          minJaccard, pollInterval, reliableCheckpointDir, indexBands, indexRanges,
+          compactEvery, compactTargetFiles,
+          corpusCompactEvery, corpusCompactTargetFiles,
+          preBatch = pre)
+    }
   }
 
   /** Streaming crawl-health profiling (r15): tail-follow a growing
@@ -382,7 +421,15 @@ object DocStream {
       reliableCheckpointDir: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64,
       compactEvery: Int = 0, compactTargetFiles: Int = 64,
-      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64): StreamingQuery = {
+      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64,
+      // per-batch pre-transform with side effects (r15): runs INSIDE
+      // foreachBatch before everything else — the robots arm uses it
+      // to merge the batch's robots captures into the persisted rule
+      // table and gate the batch's pages against the accumulated
+      // rules (a pure `in` projection cannot carry per-batch state).
+      // Must be deterministic given (batch, accumulated state) so a
+      // crash-replayed batch converges. Default: identity.
+      preBatch: (DataFrame, Long) => DataFrame = (b, _) => b): StreamingQuery = {
     import graft.operators.Dedup
     // The probe's LSH banding FOLLOWS the index layout (r14, advisor):
     // incrementalNearDuplicates requires idxBands == its bands, so a
@@ -400,7 +447,8 @@ object DocStream {
     in.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = preBatch(batch0, batchId)
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         def pathExists(d: String) =

@@ -9,7 +9,7 @@ import graft.streaming.DocStream
   * near-dup into a growing corpus + MinHash index.
   *
   * Usage:
-  *   runMain graft.tools.CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [pollSeconds]
+  *   runMain graft.tools.CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [robots] [pollSeconds]
   *
   * `wet` (default) eats WET `conversion` records
   * ([[graft.streaming.DocStream.curateWetCrawl]]); `raw` (r14) eats
@@ -25,13 +25,18 @@ import graft.streaming.DocStream
   * The gate (r13) picks the quality filter: `quality` (default, the
   * scalar `qualityScore >= 0.2`) or `gopher` (the Gopher rule set —
   * the same trees the gated batch composition q120 runs).
+  * `robots` (r15, raw only) turns on RFC 9309 politeness: each
+  * batch's captured /robots.txt responses merge into
+  * `<outDir>/robots/` (latest capture per host wins) and its pages
+  * gate against the accumulated rules before quality — see
+  * [[graft.streaming.DocStream.curateRawCrawl]]'s robots notes.
   * Without `pollSeconds` the run drains what is present and stops
   * (Trigger.AvailableNow — the bounded-run probe); with it the
   * stream keeps polling for new segment files until Ctrl-C, printing
   * `[neardup] batch=… kept=…` per micro-batch. */
 object CrawlCurate {
   private val Usage =
-    "usage: CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [pollSeconds]"
+    "usage: CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [robots] [pollSeconds]"
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, Usage)
     val warcDir = args(0)
@@ -45,7 +50,9 @@ object CrawlCurate {
     val gate =
       if (rest.contains("gopher")) DocStream.CrawlGate.Gopher()
       else DocStream.CrawlGate.Quality()
-    val leftovers = rest.filterNot(Set("raw", "wet", "gopher", "quality"))
+    val robots = rest.contains("robots")
+    require(!robots || raw, s"robots politeness needs the raw arm — $Usage")
+    val leftovers = rest.filterNot(Set("raw", "wet", "gopher", "quality", "robots"))
     require(leftovers.length <= 1, Usage)
     val poll = leftovers.headOption.map { s =>
       require(s.nonEmpty && s.forall(_.isDigit),
@@ -56,7 +63,8 @@ object CrawlCurate {
     val q =
       if (raw) DocStream.curateRawCrawl(spark, warcDir,
         corpusDir = s"$out/corpus", indexDir = s"$out/index",
-        checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll)
+        checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll,
+        robotsRulesDir = if (robots) Some(s"$out/robots") else None)
       else DocStream.curateWetCrawl(spark, warcDir,
         corpusDir = s"$out/corpus", indexDir = s"$out/index",
         checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll)

@@ -778,6 +778,72 @@ class StreamingSpec extends SparkSpec {
     assert(corpusIds() === Set(1L, 2L, 4L))
   }
 
+  test("robots-gated raw-crawl stream: rules accumulate, gate later batches, latest capture wins (r15)") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    import graft.streaming.DocStream.CrawlGate
+    import graft.sinks.WarcShards
+    import graft.operators.Robots
+    val warcDir = Files.createTempDirectory("rob_in").toString
+    val corpus = Files.createTempDirectory("rob_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("rob_idx").toString + "/idx"
+    val rules = Files.createTempDirectory("rob_rules").toString + "/rules"
+    val ckpt = Files.createTempDirectory("rob_ckpt").toString
+    def env(ctype: String, body: String): Array[Byte] = {
+      val b = body.getBytes("UTF-8")
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\nContent-Length: ${b.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ b
+    }
+    def page(i: Int) =
+      s"<html>distinct page number $i about entirely separate subject matter " +
+        s"covering topic ${"xyz" * (i % 3 + 1)} with plenty of words</html>"
+    def shard(name: String, rows: Seq[(String, Array[Byte])]): Unit = {
+      val tmp = Files.createTempDirectory("rob_seg").toString
+      WarcShards.write(
+        rows.zipWithIndex.map { case ((u, p), i) => (s"$name$i", u, p) }.toDF("k", "u", "p"),
+        "k", "u", "p", tmp, nShards = 1,
+        warcType = "response", contentType = "application/http; msgtype=response")
+      for (f <- new java.io.File(tmp).listFiles(); n = f.getName if n.endsWith(".warc.gz"))
+        Files.copy(f.toPath, java.nio.file.Paths.get(warcDir, s"$name-$n"))
+    }
+    // batch a: host1's robots (disallow /private/) + an allowed and a
+    // disallowed page IN THE SAME BATCH (merge runs before the gate)
+    shard("a", Seq(
+      "http://h1.example/robots.txt" -> env("text/plain", "User-agent: *\nDisallow: /private/\n"),
+      "http://h1.example/ok" -> env("text/html", page(1)),
+      "http://h1.example/private/x" -> env("text/html", page(2))))
+    // batch b: a disallowed page under batch-a rules (cross-batch),
+    // host2's robots (disallow all) + its own page, and a rule-less host
+    shard("b", Seq(
+      "http://h1.example/private/y" -> env("text/html", page(3)),
+      "http://h1.example/ok2" -> env("text/html", page(4)),
+      "http://h2.example/robots.txt" -> env("text/plain", "User-agent: *\nDisallow: /\n"),
+      "http://h2.example/z" -> env("text/html", page(5)),
+      "http://h3.example/free" -> env("text/html", page(6))))
+    // batch c: host1 re-captures robots as allow-all — LATEST WINS,
+    // /private/ pages admitted from here on
+    shard("c", Seq(
+      "http://h1.example/robots.txt" -> env("text/plain", "User-agent: *\nDisallow:\n"),
+      "http://h1.example/private/z" -> env("text/html", page(7))))
+    def drain(): Unit = DocStream.curateRawCrawl(spark, warcDir, corpus, index, ckpt,
+      gate = CrawlGate.Quality(0.0), maxFilesPerTrigger = 1,
+      robotsRulesDir = Some(rules)).awaitTermination()
+    drain()
+    def uris() = spark.read.parquet(corpus)
+      .select("target_uri").as[String].collect().toSet
+    assert(uris() === Set(
+      "http://h1.example/ok", "http://h1.example/ok2",
+      "http://h3.example/free", "http://h1.example/private/z"))
+    // the rule table holds the LATEST capture per host: h1's allow-all
+    // (zero rules) erased its disallow; h2 keeps its disallow-all
+    val tbl = Robots.loadRules(spark, rules)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(tbl === Set(("h2.example", "disallow", "/")))
+    // drained checkpoint: nothing replays, nothing changes
+    drain()
+    assert(uris().size === 4)
+  }
+
   test("streaming crawl-health equals the batch profile and replays idempotently (r15)") {
     import spark.implicits._
     import graft.streaming.DocStream
