@@ -1497,7 +1497,15 @@ object SparkEntry {
           corpusDir = s"$base/corpus", indexDir = s"$base/index",
           checkpointDir = s"$base/ckpt",
           minCosine = 0.9999999, dim = 64, bands = 8,
-          indexBands = 8, indexRanges = 16,
+          // ranges=4 (32 pblocks), not 16: recommendGeometry's own
+          // rule for a ~5k-signature index — blocks near the scan
+          // target, not 128 near-empty dirs taxing every append and
+          // compaction (measured: ranges=16 spent ~6 s/run on pure
+          // directory overhead). The dedup OUTCOME is geometry-
+          // invariant, so the hash is unchanged; the banded layout
+          // (pruned probes, marker, in-stream compaction) is still
+          // exercised.
+          indexBands = 8, indexRanges = 4,
           compactEvery = 2, compactTargetFiles = 4,
           corpusCompactEvery = 2, corpusCompactTargetFiles = 4)
         .awaitTermination()
@@ -1690,6 +1698,79 @@ object SparkEntry {
       val v1 = graft.sources.Snapshots.commit(s, t)
       graft.sources.Snapshots.diff(s, t, v0, v1)
         .orderBy(col("block_hash"))
+    },
+
+    // Robots-gated raw-crawl drain (r15): the politeness stream's
+    // data outcome under the hash — 3 ordered segments (robots for
+    // hosts 0-3 → one page per doc → a late disallow-all for host 4
+    // plus host-4 pages in that same batch). Rules gate FORWARD only:
+    // batch-b pages of hosts 0-3 under /blk/ die against batch-a
+    // rules, host-4-7 /blk/ pages are admitted (no capture yet), and
+    // batch-c's late pages die against the capture merged in their
+    // own batch — already-admitted host-4 pages stay (politeness is
+    // forward-looking, not retroactive). Page bodies are synthetic
+    // uniques, so the near-dup layer admits everything and the
+    // outcome is pure robots arithmetic — which is what the twin
+    // re-derives.
+    "q135_robots_drain" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q135").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      def env(ctype: String, body: Column): Column = concat(
+        concat(lit(s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\nContent-Length: "),
+          octet_length(body.cast(BinaryType)).cast(StringType),
+          lit("\r\n\r\n")).cast(BinaryType),
+        body.cast(BinaryType))
+      val host = concat(lit("r"), (col("doc_id") % 8).cast(StringType), lit(".example"))
+      val ra = docs.filter(col("doc_id") < 4).select(
+        concat(lit("ra"), col("doc_id").cast(StringType)).as("k"),
+        concat(lit("http://r"), col("doc_id").cast(StringType),
+          lit(".example/robots.txt")).as("u"),
+        env("text/plain", lit("User-agent: *\nDisallow: /blk/\n")).as("p"))
+      val path = when(col("doc_id") % 3 === 0,
+          concat(lit("/blk/p"), col("doc_id").cast(StringType)))
+        .otherwise(concat(lit("/ok/p"), col("doc_id").cast(StringType)))
+      val pb = docs.select(
+        concat(lit("pb"), col("doc_id").cast(StringType)).as("k"),
+        concat(lit("http://"), host, path).as("u"),
+        env("text/html", concat(lit("<html>unique page body number "),
+          col("doc_id").cast(StringType), lit(" marker "),
+          ((col("doc_id") * 7919) % 104729).cast(StringType),
+          lit(" end</html>"))).as("p"))
+      val rc = docs.filter(col("doc_id") === 4).select(
+        lit("rc4").as("k"), lit("http://r4.example/robots.txt").as("u"),
+        env("text/plain", lit("User-agent: *\nDisallow: /\n")).as("p"))
+      val late = docs.filter(col("doc_id") % 8 === 4).select(
+        concat(lit("pc"), col("doc_id").cast(StringType)).as("k"),
+        concat(lit("http://r4.example/late/p"),
+          (col("doc_id") + 100000).cast(StringType)).as("u"),
+        env("text/html", concat(lit("<html>late unique body "),
+          (col("doc_id") + 100000).cast(StringType), lit(" tail</html>"))).as("p"))
+      def seg(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$base/tmp_$name"
+        WarcShards.write(df, "k", "u", "p", tmp, nShards = 1,
+          warcType = "response",
+          contentType = "application/http; msgtype=response")
+        for (f <- hfs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+             if f.getPath.getName.endsWith(".warc.gz"))
+          hfs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(s"$base/in/$name-${f.getPath.getName}"))
+      }
+      seg("a", ra)
+      seg("b", pb)
+      seg("c", rc.unionByName(late))
+      streaming.DocStream.curateRawCrawl(s, s"$base/in",
+          s"$base/corpus", s"$base/index", s"$base/ckpt",
+          gate = streaming.DocStream.CrawlGate.Quality(0.0),
+          minJaccard = 0.95, maxFilesPerTrigger = 1,
+          robotsRulesDir = Some(s"$base/rules"))
+        .awaitTermination()
+      s.read.parquet(s"$base/corpus")
+        .select(col("target_uri")).orderBy(col("target_uri"))
     },
 
     // Per-domain boilerplate removal (r15): site chrome (a nav header
@@ -3721,6 +3802,18 @@ object SparkEntry {
         |  k % 7 as log_index, status
         |from ks where status is not null
         |order by block_hash""".stripMargin,
+
+    // robots-drain twin (r15): the drained corpus is pure robots
+    // arithmetic — batch-b pages survive unless their host captured
+    // a /blk/ rule in batch a; every batch-c late page dies against
+    // the disallow-all merged in its own batch (none appear here)
+    "q135_robots_drain" ->
+      """select 'http://r' || (doc_id % 8) || '.example'
+        |  || case when doc_id % 3 = 0 then '/blk/p' else '/ok/p' end
+        |  || doc_id as target_uri
+        |from documents
+        |where not (doc_id % 8 in (0, 1, 2, 3) and doc_id % 3 = 0)
+        |order by target_uri""".stripMargin,
 
     // boilerplate-removal twin (r15): q83's line-explode device with
     // per-(domain, line) document frequencies replacing the

@@ -62,6 +62,41 @@ object VecRuntime {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Distinct md5-60 shingle-hash set in one pass — bit-identical to
+    * the composed `array_distinct(transform(sh, md5Hash60))` it
+    * replaces in [[graft.operators.Dedup.containmentPairs]]'s md5
+    * family, minus the per-element hex-string round trip
+    * (`conv(substring(md5(s),1,15),16,10)` allocates hex + substring
+    * + conv strings per shingle, interpreted inside the HOF lambda —
+    * q132 measured the composed form at ~4 s per plan-branch
+    * evaluation over 5000 docs where this kernel is one digest per
+    * element). First-occurrence order, matching array_distinct (no
+    * consumer is order-sensitive, but determinism keeps plans
+    * comparable). Null elements are skipped. */
+  def md5Set60(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val md = md5Local.get()
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var x = 0L
+        var j = 0
+        while (j < 7) { x = (x << 8) | (d(j) & 0xffL); j += 1 }
+        x = (x << 4) | ((d(7) & 0xffL) >> 4)
+        set.add(x)
+      }
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    var k = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** md5-family MinHash signature in one pass — bit-identical to the
     * composed `transform(sh, md5HashP) → array(array_min(transform(
     * xs, x => (a_i·x + b_i) % P)))` pipeline (the oracle-portable
@@ -267,6 +302,32 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.VecRuntime.minhashSig($a, $isString, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The [[VecRuntime.md5Set60]] kernel as an expression — the
+  * oracle-portable distinct shingle-hash set
+  * ([[graft.operators.Dedup.containmentPairs]]'s md5 family). */
+case class Md5ShingleSet(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"md5_shingle_set expects array<string>, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_shingle_set"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecRuntime.md5Set60(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecRuntime.md5Set60($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -376,9 +376,16 @@ object Dedup {
       minSetSize: Int = 5,
       family: String = "xxh64"): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val hashOf: Column => Column = family match {
-      case "md5" => graft.functions.Md5Family.md5Hash60
-      case _ => (c: Column) => xxhash64(c)
+    // md5 family rides the native one-pass kernel (one digest per
+    // shingle) — the composed array_distinct(transform(…,
+    // conv(substring(md5…)))) form allocates hex/substring/conv
+    // strings per shingle, interpreted inside the HOF, and this plan
+    // evaluates its set pipeline on several branches (see below):
+    // q132 measured 26.7 s composed vs the kernel's cost at sf0.1.
+    val setOf: Column => Column = family match {
+      case "md5" => (sh: Column) => ColumnBridge.column(
+        graft.functions.Md5ShingleSet(ColumnBridge.expression(sh)))
+      case _ => (sh: Column) => array_distinct(transform(sh, s => xxhash64(s)))
     }
     val sets = df
       .select(col(idCol).as("id"), Text.tokens(Text.normalized(col(textCol))).as("_toks"))
@@ -392,10 +399,31 @@ object Dedup {
       .filter(col("id").isNotNull &&
         size(col("_toks")) >= shingleK + math.max(minSetSize, 1) - 1)
       .select(col("id"), shinglesFromTokens(col("_toks"), shingleK).as("_sh"))
-      .select(col("id"), array_distinct(transform(col("_sh"), s => hashOf(s))).as("s"))
+      .select(col("id"), setOf(col("_sh")).as("s"))
       .repartition(col("id"))
+      // AGGREGATE BARRIER (measured 29 s → 2.7 s on the explode
+      // below): a repartition is NOT an optimizer barrier — project
+      // collapse slides the staged pipeline through it and under the
+      // Generate, re-inlining the tokenize tree into the shingle
+      // lambda PER ELEMENT (the shinglesFromTokens hazard, explode
+      // spelling). An Aggregate is a hard alias boundary: `s` below
+      // it is evaluated exactly once per row and every consumer
+      // above reads an attribute. groupBy(id) over the id-exchange
+      // adds no shuffle; first() is exact because ids are unique
+      // (one row per document by contract).
+      .groupBy(col("id")).agg(first(col("s")).as("s"))
+    // One exploded inverted index, exchanged on h, feeding the df
+    // census AND both self-join sides. Two details make Spark
+    // evaluate the expensive set pipeline ONCE and replay shuffle
+    // files everywhere else: (a) the explicit repartition(h) gives
+    // the census and both join sides the SAME exchange to reuse;
+    // (b) the census counts col("id") — not lit(1) — so column
+    // pruning cannot narrow ITS branch's scan to h alone, which
+    // would make the subtrees differ and defeat ReuseExchange
+    // (measured: the pruned form re-ran the md5 pipeline per branch).
     val inv = sets.select(col("id"), explode(col("s")).as("h"))
-    val keep = inv.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .repartition(col("h"))
+    val keep = inv.groupBy(col("h")).agg(count(col("id")).as("_df"))
       .filter(col("_df").between(2, maxDf))
       .select(col("h"))
     val kept = inv.join(keep, Seq("h"))
@@ -534,6 +562,12 @@ object Dedup {
       require(numHashes % bands == 0, "bands must divide numHashes")
       require(ranges >= 1, s"ranges must be >= 1, got $ranges")
       minhashBandedRows(sigs, numHashes, bands, ranges)
+        // one file per TOUCHED pblock per write: without this, every
+        // append scatters each pblock's rows across all upstream
+        // tasks (task-count × pblock files per trigger — measured
+        // 2-4× file bloat per q129-class batch, taxing every later
+        // probe and compaction)
+        .repartition(col("pblock"))
         .write.mode(mode).partitionBy("pblock").parquet(path)
     }
     writeFamilyMarker(spark, path, numHashes, shingleK,
@@ -1684,6 +1718,7 @@ object Dedup {
         require(ranges >= 1, s"ranges must be >= 1, got $ranges")
         hammingBandedOf(withFrame(sigs), width, bands)
           .withColumn("pblock", pblockOf(ranges))
+          .repartition(col("pblock")) // one file per touched pblock
           .write.mode(mode).partitionBy("pblock").parquet(path)
       }
       writeHammingMarker(spark, path, family, width,

@@ -233,7 +233,14 @@ object Similarity {
     val planes = hyperplanes(dim, bits, seed)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
+    // aggregate barrier: without it, project collapse inlines the
+    // 64-dot-product signature tree into each of the 16 band shifts
+    // below AND every downstream branch (the q132 explode hazard,
+    // LSH spelling — a repartition is not an alias boundary); ids
+    // are unique, so first() is exact, and the groupBy rides the
+    // id-exchange without an extra shuffle
     val sigs = vecs.select(col("id"), signature(col("vec"), planes).as("sig"))
+      .groupBy(col("id")).agg(first(col("sig")).as("sig"))
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
@@ -330,12 +337,19 @@ object Similarity {
         require(bits % bands == 0, "bands must divide bits")
         require(ranges >= 1, s"ranges must be >= 1, got $ranges")
         val rows = bits / bands
-        sigs.select(col("id"), col("sig"),
+        // aggregate barrier before the 16-way sig fan-out: project
+        // collapse would otherwise inline the 64-dot-product
+        // signature tree into EVERY shift expression (the q132
+        // explode hazard, LSH spelling); ids are unique, so first()
+        // is exact
+        sigs.groupBy(col("id")).agg(first(col("sig")).as("sig"))
+          .select(col("id"), col("sig"),
             posexplode(array((0 until bands).map(b =>
               shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
               .as(Seq("band", "chunk")))
           .withColumn("pblock",
             (col("band") * ranges + pmod(col("chunk"), lit(ranges))).cast(IntegerType))
+          .repartition(col("pblock")) // one file per touched pblock
           .write.mode(mode).partitionBy("pblock").parquet(path)
       }
       writeLshMarker(spark, path, dim, bits, seed,
@@ -377,7 +391,10 @@ object Similarity {
     val planes = hyperplanes(dim, bits, seed)
     val newVecs = newDf.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
+    // aggregate barrier (see cosineCandidates): one signature
+    // evaluation per row, attributes above
     val newSigs = newVecs.select(col("id"), signature(col("vec"), planes).as("sig"))
+      .groupBy(col("id")).agg(first(col("sig")).as("sig"))
     def bandedOf(sigs: DataFrame) = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
