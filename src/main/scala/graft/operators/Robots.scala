@@ -90,8 +90,20 @@ object Robots {
     * lexicographically smallest decoded body wins — deterministic,
     * and any choice is honest when the captures disagree. */
   def rulesOf(warc: DataFrame, agent: String = "*"): DataFrame = {
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    val robots = warc
+    val grouped = groupedLines(warc)
+    val ruleRows = grouped
+      .filter(col("directive").isin("allow", "disallow") &&
+        col("value") =!= "" && col("grp") >= 1)
+      .select(col("host"), col("grp"),
+        col("directive").as("rule"), col("value").as("pattern"))
+    ruleRows.join(applicableGroups(grouped, agent), Seq("host", "grp"))
+      .select("host", "rule", "pattern").distinct()
+  }
+
+  /** One decoded robots body per host (see [[rulesOf]] for the
+    * decode chain and the lexicographic tie-break). */
+  private def robotsBodies(warc: DataFrame): DataFrame =
+    warc
       .filter(col("warc_type") === "response" &&
         col("http_status").between(200, 299) &&
         lower(pathOf(col("target_uri"))) === "/robots.txt")
@@ -106,50 +118,71 @@ object Robots {
       .select(col("host"), substring(col("_txt0"), 1, MaxRobotsChars).as("_txt"))
       .groupBy(col("host")).agg(min(col("_txt")).as("_txt"))
 
-    // line → (directive, value): comments stripped (a '#' starts one
-    // anywhere on a line), CR/tab folded to spaces, outer space
-    // trimmed; directives fold case, User-agent values fold case
-    // (product tokens are case-insensitive), path patterns do NOT.
-    val lines = robots
+  /** Parsed, group-assigned robots lines: `(host, ln, grp, _ua,
+    * directive, value)`.
+    *
+    * line → (directive, value): comments stripped (a '#' starts one
+    * anywhere on a line), CR/tab folded to spaces, outer space
+    * trimmed; directives fold case, User-agent values fold case
+    * (product tokens are case-insensitive), path patterns do NOT.
+    *
+    * RFC 9309 §2.2.1 group assignment: a User-agent line NOT
+    * preceded by another User-agent line starts a new group; every
+    * rule belongs to the most recent group (group 0 = before any
+    * User-agent line = ignored). */
+  private def groupedLines(warc: DataFrame): DataFrame = {
+    val lines = robotsBodies(warc)
       .select(col("host"), posexplode(split(col("_txt"), "\n")).as(Seq("ln", "_l0")))
       .select(col("host"), col("ln"),
         trim(translate(regexp_replace(col("_l0"), "#.*", ""), "\r\t", "  ")).as("_l"))
       .select(col("host"), col("ln"),
         lower(regexp_extract(col("_l"), "^([A-Za-z\\-]+)\\s*:", 1)).as("directive"),
         trim(regexp_extract(col("_l"), "^[A-Za-z\\-]+\\s*:(.*)$", 1)).as("value"))
-
-    // RFC 9309 §2.2.1 group assignment: a User-agent line NOT
-    // preceded by another User-agent line starts a new group; every
-    // rule belongs to the most recent group (group 0 = before any
-    // User-agent line = ignored).
     val w = Window.partitionBy("host").orderBy("ln")
-    val grouped = lines
+    lines
       .withColumn("_ua", col("directive") === "user-agent")
       .withColumn("grp", sum(
         when(col("_ua") && !coalesce(lag(col("_ua"), 1).over(w), lit(false)), 1L)
           .otherwise(0L)).over(w))
+  }
 
+  /** Group selection (§2.2.1): the agent's own groups when any exist
+    * for the host, else the `*` groups; all selected groups merge. */
+  private def applicableGroups(grouped: DataFrame, agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val uaRows = grouped.filter(col("_ua") && col("value") =!= "")
       .select(col("host"), col("grp"), lower(col("value")).as("ua"))
-    val ruleRows = grouped
-      .filter(col("directive").isin("allow", "disallow") &&
-        col("value") =!= "" && col("grp") >= 1)
-      .select(col("host"), col("grp"),
-        col("directive").as("rule"), col("value").as("pattern"))
-
-    // group selection: the agent's own groups when any exist for the
-    // host, else the '*' groups; all selected groups merge (§2.2.1).
     val specific = uaRows.filter(col("ua") === agentLc)
       .select("host", "grp").distinct()
     val star = uaRows.filter(col("ua") === "*")
       .select("host", "grp").distinct()
-    val applicable =
-      if (agentLc == "*") star
-      else specific.unionByName(
-        star.join(specific.select("host").distinct(), Seq("host"), "left_anti"))
+    if (agentLc == "*") star
+    else specific.unionByName(
+      star.join(specific.select("host").distinct(), Seq("host"), "left_anti"))
+  }
 
-    ruleRows.join(applicable, Seq("host", "grp"))
-      .select("host", "rule", "pattern").distinct()
+  /** Sitemap declarations: `(host, sitemap)` — RFC 9309 §2.2.4
+    * "other records": group-INDEPENDENT (a Sitemap line applies to
+    * everyone, wherever it sits in the file, including before any
+    * User-agent line), URL case preserved. */
+  def sitemapsOf(warc: DataFrame): DataFrame =
+    groupedLines(warc)
+      .filter(col("directive") === "sitemap" && col("value") =!= "")
+      .select(col("host"), col("value").as("sitemap")).distinct()
+
+  /** De-facto `Crawl-delay` (not in RFC 9309, honored by most
+    * crawlers): `(host, crawl_delay)` seconds for the groups `agent`
+    * obeys — group-SCOPED like allow/disallow, the most conservative
+    * (largest) value wins when selected groups disagree; non-numeric
+    * values are dropped. */
+  def crawlDelaysOf(warc: DataFrame, agent: String = "*"): DataFrame = {
+    val grouped = groupedLines(warc)
+    grouped
+      .filter(col("directive") === "crawl-delay" && col("grp") >= 1)
+      .withColumn("_d", col("value").cast(DoubleType))
+      .filter(col("_d").isNotNull && col("_d") >= 0)
+      .join(applicableGroups(grouped, agent), Seq("host", "grp"))
+      .groupBy(col("host")).agg(max(col("_d")).as("crawl_delay"))
   }
 
   /** [[rulesOf]] straight from a crawl directory. */

@@ -142,6 +142,33 @@ class RobotsSpec extends SparkSpec {
     assert(v("http://h.example/litZx/y")) // '.' escaped, not any-char
   }
 
+  test("sitemaps are group-independent; crawl-delay is group-scoped, max wins, non-numeric drops") {
+    val body =
+      """Sitemap: http://h.example/Pre-Group.xml
+        |User-agent: GraftBot
+        |Crawl-delay: 2.5
+        |Disallow: /g/
+        |User-agent: *
+        |Crawl-delay: 10
+        |Sitemap: http://h.example/sm2.xml
+        |User-agent: badBot
+        |Crawl-delay: soon
+        |""".stripMargin
+    val f = frame(Seq(rec("http://h.example/robots.txt", 200, body)))
+    // sitemaps: both lines, case preserved, regardless of groups
+    assert(Robots.sitemapsOf(f).collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === Set(("h.example", "http://h.example/Pre-Group.xml"),
+              ("h.example", "http://h.example/sm2.xml")))
+    // graftbot obeys ITS group's delay, not the star group's
+    assert(Robots.crawlDelaysOf(f, "graftbot").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet === Set(("h.example", 2.5)))
+    // an unmatched agent falls to the star group
+    assert(Robots.crawlDelaysOf(f, "elsebot").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet === Set(("h.example", 10.0)))
+    // badBot's own group has only a non-numeric delay → dropped → no row
+    assert(Robots.crawlDelaysOf(f, "badbot").count() === 0)
+  }
+
   test("gate keeps page columns, reports the winning rule, and row count is input row count") {
     val rules = Robots.rulesOf(frame(Seq(
       rec("http://h.example/robots.txt", 200, "User-agent: *\nDisallow: /p/\n"))))
