@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Abi, Md5Family, Text}
-import graft.operators.{AsOfJoin, Bpe, Corpus, Dedup, EventViews, Multimodal, QualityClassifier, Similarity, Unigram}
+import graft.operators.{AsOfJoin, Bpe, Corpus, Dedup, EventViews, Links, Multimodal, QualityClassifier, Similarity, Unigram}
 import graft.sinks.{TarShards, WarcShards}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -50,6 +50,27 @@ object SparkEntry {
       lit(0L).as("log_index"),
       lit(false).as("removed"),
       lit(null).cast(TimestampType).as("block_timestamp"))
+
+  /** Shared q137/q138 fixture: one synthetic page per document with
+    * the five resolvable href forms (double-quoted rooted,
+    * single-quoted `../`, unquoted `./`, absolute with entity +
+    * fragment, scheme-relative) plus a `mailto:` and a fragment-only
+    * anchor that must be dropped. Twin-replayable arithmetic. */
+  private def OutlinkFixture(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast(StringType)
+    Tables(spark, dir, "documents").select(
+      concat(lit("http://d"), (col("doc_id") % 6).cast(StringType),
+        lit(".example/a/b/p"), id, lit(".html")).as("page_url"),
+      concat(
+        lit("<html><body><a href=\"/r"), id,
+        lit("\">one</a>\n<a href='../u"), (col("doc_id") % 9).cast(StringType),
+        lit("'>two</a>\n<a href=./s"), (col("doc_id") * 2).cast(StringType),
+        lit(">three</a>\n<A HREF=\"http://x"), (col("doc_id") % 4).cast(StringType),
+        lit(".example/abs?q="), id,
+        lit("&amp;z=1#frag\">four</A>\n<a href=\"//c"), (col("doc_id") % 3).cast(StringType),
+        lit(".example/cdn\">five</a>\n<a href=\"mailto:a@b.example\">m</a>" +
+          "<a href=\"#top\">t</a></body></html>")).as("html"))
+  }
 
   /** Flagship: the decoded-Transfer aggregation pipeline (codec + view
     * generator + topic0 filter + grouped agg) on sf0.001. */
@@ -1797,6 +1818,108 @@ object SparkEntry {
           col("n_lines").cast(LongType).as("n_lines"),
           col("n_removed").cast(LongType).as("n_removed"))
         .orderBy(col("doc_id"))
+    },
+
+    // Sitemap XML parsing (r15): each doc carries a synthetic
+    // <urlset> (two entries — one with every element incl. an
+    // &amp;-escaped query and whitespace-padded loc, one loc-only —
+    // plus a loc-less entry that must drop) or, on the %11 hosts, a
+    // namespace-prefixed <sitemapindex>. The twin never parses XML:
+    // it re-derives every expected row from the same doc_id
+    // arithmetic, so any parser bug (block split, prefix handling,
+    // entity decode, trim, the loc-required rule, priority cast)
+    // breaks the hash.
+    "q136_sitemap_parse" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast(StringType)
+      val hostIdx = (col("doc_id") % 7).cast(StringType)
+      val day = lpad(((col("doc_id") % 28) + 1).cast(StringType), 2, "0")
+      val freq = element_at(
+        array(lit("daily"), lit("weekly"), lit("monthly"), lit("never")),
+        (col("doc_id") % 4).cast(IntegerType) + 1)
+      val urlset = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          "  <url>\n    <loc>http://s"),
+        hostIdx, lit(".example/p"), id,
+        lit("?a=1&amp;b="), (col("doc_id") % 5).cast(StringType),
+        lit("</loc>\n    <lastmod>2026-01-"), day,
+        lit("</lastmod>\n    <changefreq>"), freq,
+        lit("</changefreq>\n    <priority>0."), (col("doc_id") % 10).cast(StringType),
+        lit("</priority>\n  </url>\n  <url><loc>  http://s"), hostIdx,
+        lit(".example/extra/"), (col("doc_id") * 3).cast(StringType),
+        lit("  </loc></url>\n  <url><lastmod>2026-03-01</lastmod></url>\n</urlset>"))
+      val index = concat(
+        lit("<sm:sitemapindex xmlns:sm=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          "  <sm:sitemap><sm:loc>http://s"), hostIdx,
+        lit(".example/child"), id,
+        lit(".xml.gz</sm:loc><sm:lastmod>2026-02-11</sm:lastmod></sm:sitemap>\n" +
+          "</sm:sitemapindex>"))
+      val fixture = docs.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, index).otherwise(urlset).as("xml"))
+      operators.Sitemaps.parse(fixture, "xml")
+        .select(col("doc_id"), col("kind"), col("loc"), col("lastmod"),
+          col("changefreq"), col("priority"))
+        .orderBy(col("doc_id"), col("loc"))
+    },
+
+    // Anchor outlink extraction + RFC 3986 resolution (r15): every
+    // page plants the five resolvable href forms (double-quoted
+    // rooted, single-quoted ../ relative, unquoted ./ relative,
+    // absolute with an &amp; entity and a fragment, scheme-relative)
+    // plus a mailto: and a fragment-only href that must drop. The
+    // twin re-derives each resolved URL from the fixture arithmetic —
+    // extraction, entity decode, fragment strip, base-dir resolution
+    // and dot-segment removal all sit under one hash.
+    "q137_outlinks" -> { (s, dir) =>
+      Links.outlinks(OutlinkFixture(s, dir), "page_url", "html")
+        .orderBy(col("page_url"), col("url"))
+    },
+
+    // Host link graph (r15): the q137 links aggregated to
+    // (src_host, dst_host) edges with multiplicity and the internal
+    // flag — three same-host links per page collapse to one internal
+    // edge of weight 3×pages, the absolute and scheme-relative links
+    // to cross-host edges. Twin rebuilds the per-link rows
+    // arithmetically and aggregates in SQL.
+    "q138_host_graph" -> { (s, dir) =>
+      Links.hostGraph(Links.outlinks(OutlinkFixture(s, dir), "page_url", "html"))
+        .orderBy(col("src_host"), col("dst_host"))
+    },
+
+    // Deterministic integer PageRank (r15): 3 iterations over a
+    // 40-node synthetic host graph derived from orders arithmetic
+    // (nodes ≡ 0 mod 7 have no out-edges — the dangling-mass
+    // redistribution arm). Ranks are int64 multiples of 1e-12 and
+    // every step is floor division, so the twin — the same recurrence
+    // unrolled as SQL CTEs over DuckDB's integer `//` — must match
+    // BIT-EXACTLY, something float PageRank can never gate.
+    "q139_pagerank" -> { (s, dir) =>
+      val edges = Tables(s, dir, "orders")
+        .select((col("o_orderkey") % 40).as("si"),
+          ((col("o_orderkey") * 7 + 3) % 40).as("di"))
+        .filter(col("si") % 7 =!= 0)
+        .select(concat(lit("h"), col("si").cast(StringType)).as("src"),
+          concat(lit("h"), col("di").cast(StringType)).as("dst"))
+      Links.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    },
+
+    // Politeness frontier scheduling (r15): per-host fetch plans from
+    // a Crawl-delay table (f0–f3 at 0.5–2.0 s, the rest on the 1 s
+    // default), md5 worker family so the twin can replay the worker
+    // assignment, slots at seq × delay_ms — all exact integer
+    // arithmetic, twinned with window functions.
+    "q140_frontier" -> { (s, dir) =>
+      val urls = Tables(s, dir, "documents")
+        .select(concat(lit("http://f"), (col("doc_id") % 8).cast(StringType),
+          lit(".example/p"), col("doc_id").cast(StringType)).as("url"))
+      val delays = s.range(4).select(
+        concat(lit("f"), col("id").cast(StringType), lit(".example")).as("host"),
+        ((col("id") + 1).cast(DoubleType) * 0.5).as("crawl_delay"))
+      operators.Frontier.schedule(urls, "url", delays,
+          defaultDelaySec = 1.0, nWorkers = 8, family = "md5")
+        .orderBy(col("url"))
     },
 
     // doc_id per content fingerprint) → chunking — aggregated per
@@ -3851,6 +3974,136 @@ object SparkEntry {
         |  cast(len(string_split(t.page, chr(10))) - coalesce(r.kept, 0) as bigint) as n_removed
         |from t left join r using (doc_id)
         |order by t.doc_id""".stripMargin,
+
+    // sitemap twin (r15): never parses XML — re-derives every
+    // expected entry row from the fixture's doc_id arithmetic (the
+    // q131 device), so block split / prefix / entity / trim /
+    // loc-required / priority-cast bugs all break the hash
+    "q136_sitemap_parse" ->
+      """with u1 as (
+        |  select doc_id, 'url' as kind,
+        |    'http://s' || (doc_id % 7) || '.example/p' || doc_id
+        |      || '?a=1&b=' || (doc_id % 5) as loc,
+        |    '2026-01-' || lpad(cast((doc_id % 28) + 1 as varchar), 2, '0') as lastmod,
+        |    (['daily','weekly','monthly','never'])[(doc_id % 4) + 1] as changefreq,
+        |    cast('0.' || (doc_id % 10) as double) as priority
+        |  from documents where doc_id % 11 <> 0),
+        |u2 as (
+        |  select doc_id, 'url' as kind,
+        |    'http://s' || (doc_id % 7) || '.example/extra/' || (doc_id * 3) as loc,
+        |    cast(null as varchar) as lastmod, cast(null as varchar) as changefreq,
+        |    cast(null as double) as priority
+        |  from documents where doc_id % 11 <> 0),
+        |ix as (
+        |  select doc_id, 'sitemap' as kind,
+        |    'http://s' || (doc_id % 7) || '.example/child' || doc_id || '.xml.gz' as loc,
+        |    '2026-02-11' as lastmod, cast(null as varchar) as changefreq,
+        |    cast(null as double) as priority
+        |  from documents where doc_id % 11 = 0)
+        |select doc_id, kind, loc, lastmod, changefreq, priority
+        |from (select * from u1 union all select * from u2 union all select * from ix)
+        |order by doc_id, loc""".stripMargin,
+
+    // outlink twin (r15): the five resolved URLs per page re-derived
+    // arithmetically — rooted, ../ (one level up from /a/b/), ./
+    // (same dir), absolute with the &amp; decoded and fragment
+    // stripped, scheme-relative inheriting http
+    "q137_outlinks" ->
+      """with d as (select doc_id,
+        |    'd' || (doc_id % 6) || '.example' as sh,
+        |    'http://d' || (doc_id % 6) || '.example' as h,
+        |    'http://d' || (doc_id % 6) || '.example/a/b/p' || doc_id || '.html' as page_url
+        |  from documents),
+        |l as (
+        |  select page_url, h || '/r' || doc_id as url, sh as url_host from d
+        |  union all select page_url, h || '/a/u' || (doc_id % 9), sh from d
+        |  union all select page_url, h || '/a/b/s' || (doc_id * 2), sh from d
+        |  union all select page_url,
+        |    'http://x' || (doc_id % 4) || '.example/abs?q=' || doc_id || '&z=1',
+        |    'x' || (doc_id % 4) || '.example' from d
+        |  union all select page_url, 'http://c' || (doc_id % 3) || '.example/cdn',
+        |    'c' || (doc_id % 3) || '.example' from d)
+        |select page_url, url, url_host from l order by page_url, url""".stripMargin,
+
+    // host-graph twin (r15): the q137 links rebuilt as per-link host
+    // rows (three internal + two cross-host per page), aggregated
+    "q138_host_graph" ->
+      """with d as (select doc_id, 'd' || (doc_id % 6) || '.example' as sh from documents),
+        |l as (
+        |  select sh as src_host, sh as dst_host from d
+        |  union all select sh, sh from d
+        |  union all select sh, sh from d
+        |  union all select sh, 'x' || (doc_id % 4) || '.example' from d
+        |  union all select sh, 'c' || (doc_id % 3) || '.example' from d)
+        |select src_host, dst_host, count(*) as n_links,
+        |  (src_host = dst_host) as internal
+        |from l group by src_host, dst_host
+        |order by src_host, dst_host""".stripMargin,
+
+    // pagerank twin (r15): the operator's integer recurrence unrolled
+    // as 3 CTE iterations over DuckDB's integer `//` — init
+    // SCALE//N, contribution rank//deg, dangling mass summed and
+    // redistributed as dang//N, update base + (85·(s + dang//N))//100.
+    // Every step is floor division on int64, so the match is
+    // bit-exact, not approximate.
+    "q139_pagerank" ->
+      """with e as (
+        |  select distinct 'h' || (o_orderkey % 40) as src,
+        |    'h' || ((o_orderkey * 7 + 3) % 40) as dst
+        |  from orders
+        |  where (o_orderkey % 40) % 7 <> 0
+        |    and (o_orderkey % 40) <> ((o_orderkey * 7 + 3) % 40)),
+        |nodes as (select distinct node from
+        |  (select src as node from e union select dst as node from e)),
+        |nn as (select count(*) as n from nodes),
+        |deg as (select src, count(*) as deg from e group by src),
+        |r0 as (select node, (select 1000000000000 // n from nn) as rank from nodes),
+        |d1 as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang from r0 r
+        |  left join deg on r.node = deg.src where deg.src is null),
+        |c1 as (select e.dst as node, cast(sum(r.rank // deg.deg) as bigint) as s from e
+        |  join r0 r on e.src = r.node join deg on e.src = deg.src group by e.dst),
+        |r1 as (select nodes.node,
+        |    (select (15 * 1000000000000) // (100 * n) from nn)
+        |    + (85 * (coalesce(c1.s, 0)
+        |        + (select dang from d1) // (select n from nn))) // 100 as rank
+        |  from nodes left join c1 on nodes.node = c1.node),
+        |d2 as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang from r1 r
+        |  left join deg on r.node = deg.src where deg.src is null),
+        |c2 as (select e.dst as node, cast(sum(r.rank // deg.deg) as bigint) as s from e
+        |  join r1 r on e.src = r.node join deg on e.src = deg.src group by e.dst),
+        |r2 as (select nodes.node,
+        |    (select (15 * 1000000000000) // (100 * n) from nn)
+        |    + (85 * (coalesce(c2.s, 0)
+        |        + (select dang from d2) // (select n from nn))) // 100 as rank
+        |  from nodes left join c2 on nodes.node = c2.node),
+        |d3 as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang from r2 r
+        |  left join deg on r.node = deg.src where deg.src is null),
+        |c3 as (select e.dst as node, cast(sum(r.rank // deg.deg) as bigint) as s from e
+        |  join r2 r on e.src = r.node join deg on e.src = deg.src group by e.dst),
+        |r3 as (select nodes.node,
+        |    (select (15 * 1000000000000) // (100 * n) from nn)
+        |    + (85 * (coalesce(c3.s, 0)
+        |        + (select dang from d3) // (select n from nn))) // 100 as rank
+        |  from nodes left join c3 on nodes.node = c3.node)
+        |select node, rank from r3 order by node""".stripMargin,
+
+    // frontier twin (r15): window row_number per host over the same
+    // lexicographic order, the md5-prefix worker rule, delays as
+    // exact integer milliseconds
+    "q140_frontier" ->
+      """with u as (select
+        |    'http://f' || (doc_id % 8) || '.example/p' || doc_id as url,
+        |    'f' || (doc_id % 8) || '.example' as host,
+        |    (doc_id % 8) as hi
+        |  from documents)
+        |select url, host,
+        |  ('0x' || substr(md5(host), 1, 15))::bigint % 8 as worker,
+        |  row_number() over (partition by host order by url) - 1 as seq,
+        |  cast(case when hi < 4 then (hi + 1) * 500 else 1000 end as bigint) as delay_ms,
+        |  (row_number() over (partition by host order by url) - 1)
+        |    * cast(case when hi < 4 then (hi + 1) * 500 else 1000 end as bigint)
+        |    as fetch_offset_ms
+        |from u order by url""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The crawl's link layer (beyond-reference): anchor outlinks out of
+  * raw HTML, the host-level link graph they induce, and a
+  * deterministic PageRank over that graph — the domain-quality prior
+  * a training-data pipeline joins against its curation gates (the
+  * CommonCrawl host-rank idea: pages from well-linked hosts are
+  * retained preferentially; link spam farms sink).
+  *
+  * All three stages are relational and oracle-twinnable:
+  *
+  *  - [[outlinks]] extracts `<a href=…>` targets with regexes in the
+  *    Java∩RE2 subset (no lookaround, inline `(?i)`/`(?s)` flags only)
+  *    and resolves them against the page URL per RFC 3986 §5 — the
+  *    absolute / scheme-relative / root-relative / path-relative
+  *    cases, fragment dropped, non-fetchable schemes (`mailto:`,
+  *    `javascript:`, `data:`, …) dropped, dot-segments removed by a
+  *    bounded-pass rewrite (see [[normalizeDotSegments]]).
+  *  - [[hostGraph]] aggregates links to `(src_host, dst_host,
+  *    n_links, internal)` edges.
+  *  - [[pageRank]] is INTEGER-scaled (ranks are int64 multiples of
+  *    1e-12): every step is floor division and exact int64 addition,
+  *    so the result is bit-identical on any engine and any partition
+  *    order — no float-summation nondeterminism, which is what makes
+  *    a hash-exact oracle gate (and reproducible curation decisions)
+  *    possible for an iterative algorithm.
+  *
+  * Scale shape: extraction is a pure projection + one Generate per
+  * page (no shuffle); the host graph is one hash aggregation keyed by
+  * constant-width host pairs; PageRank shuffles on `node` each
+  * iteration with lineage cut by an eager localCheckpoint per
+  * iteration (the standard iterative-algorithm discipline — without
+  * it the plan doubles per iteration). Node count enters as a single
+  * bounded driver scalar; the per-iteration dangling mass stays in
+  * the plan as a broadcast 1×1 aggregate, never a collect. */
+object Links {
+
+  private val WS = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** The five XML/HTML predefined character references, decoded in
+    * the standard order (`&amp;` LAST, so `&amp;lt;` yields the
+    * literal `&lt;` — single-pass semantics). Attribute values and
+    * sitemap `<loc>` elements are where these live; full named-entity
+    * breadth ([[graft.functions.HtmlEntities]]) belongs to visible
+    * text, not URLs. Twin-mirrorable as the same replace chain. */
+  def decodeBasicEntities(c: Column): Column = {
+    val a = regexp_replace(c, "&lt;", "<")
+    val b = regexp_replace(a, "&gt;", ">")
+    val d = regexp_replace(b, "&quot;", "\"")
+    val e = regexp_replace(d, "&#39;", "'")
+    val f = regexp_replace(e, "&apos;", "'")
+    regexp_replace(f, "&amp;", "&")
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal as a bounded fixed-point
+    * rewrite: each pass drops `.` segments, collapses one level of
+    * `segment/..`, and clamps `..` above the root. `passes` bounds
+    * the nesting depth handled exactly (deeper chains resolve
+    * PARTIALLY — deterministic, both engines run the identical chain;
+    * real crawl hrefs nest 1–2 levels). Operates on a PATH string
+    * (must not see `://` — the authority's dots are not segments). */
+  def normalizeDotSegments(p: Column, passes: Int = 5): Column = {
+    var cur = p
+    for (_ <- 1 to passes) {
+      // runs of "." segments (incl. a trailing "/.") drop first so a
+      // later "/x/../" never sees an interleaved "/./"
+      val noDot = regexp_replace(cur, "(/\\.)+(/|$)", "/")
+      // one level of "segment/.." per pass; leftmost-first in both
+      // engines (the twin passes the 'g' flag, Spark replaces all)
+      val noUp = regexp_replace(noDot, "/[^/]+/\\.\\.(/|$)", "/")
+      // ".." above the root is removed, per the RFC's merge clamp
+      cur = regexp_replace(noUp, "^(/\\.\\.)+(/|$)", "/")
+    }
+    when(cur === "", lit("/")).otherwise(cur)
+  }
+
+  private def hrefOf(tag: Column): Column = {
+    val dq = s"(?i)$WS(href$WS*=$WS*\"([^\"]*)\")"
+    val sq = s"(?i)$WS(href$WS*=$WS*'([^']*)')"
+    val uq = s"(?i)${WS}href$WS*=$WS*([^\"' \\t\\n\\x0B\\f\\r>][^ \\t\\n\\x0B\\f\\r>]*)"
+    when(tag.rlike(dq), regexp_extract(tag, dq, 2))
+      .when(tag.rlike(sq), regexp_extract(tag, sq, 2))
+      .when(tag.rlike(uq), regexp_extract(tag, uq, 1))
+      .otherwise(lit(""))
+  }
+
+  /** One row per `<a href=…>` outlink: `(page_url, url)` with `url`
+    * resolved absolute (http/https only). Duplicate links on a page
+    * are KEPT — multiplicity is signal ([[hostGraph]] counts it);
+    * `.distinct()` is one call away for callers who disagree.
+    *
+    * Heuristic boundary (documented, not hidden): anchors are found
+    * by tag-level regex, so an `<a>` inside a commented-out block or
+    * a CDATA island still counts, and an href spelled inside another
+    * attribute's VALUE can shadow the real one on the same tag —
+    * crawl-scale link extraction trades DOM fidelity for a
+    * zero-parse projection, the standard trade (WAT extractors do
+    * the same). Relative resolution follows RFC 3986 §5.2 with the
+    * base taken from the page URL (no `<base href>` handling —
+    * rare, and honoring it would need the same regex pass; noted).
+    *
+    * Staging: the anchor-tag Generate evaluates one
+    * `regexp_extract_all` per page; everything per-TAG reads the
+    * generated attribute, never re-touches the page body. Between
+    * extraction and resolution sits the AGGREGATE BARRIER on the
+    * (page, anchor-position) key — the r15 project-collapse device:
+    * without it, the resolution tree (a when-chain over ~25 nested
+    * regex calls) is substituted into every filter and into
+    * `hostOf(url)` by collapse/pushdown, multiplying to a generated
+    * method past janino's 64 KB limit (measured: the collapsed form
+    * compiles to interpreted fallback — every row pays uncompiled
+    * regex dispatch). The exchange carries only `(page_url, href)` —
+    * tens of bytes per anchor against the KB body scan it fences —
+    * and the final admission filter is phrased on the CHEAP staged
+    * pieces (`_ref` prefix classes, base scheme/host), never on the
+    * resolved `url` tree, so that tree is built exactly once per
+    * anchor. */
+  def outlinks(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    val tagged = df
+      .select(monotonically_increasing_id().as("_pid"),
+        col(urlCol).as("page_url"),
+        posexplode(regexp_extract_all(col(htmlCol),
+          lit(s"(?i)<a$WS[^>]*>"), lit(0))).as(Seq("_ln", "_tag")))
+      // cheap pre-shuffle prune on the tag ATTRIBUTE (no alias to
+      // substitute): anchors without an href never cross the exchange
+      .filter(col("_tag").rlike("(?i)href"))
+      .select(col("_pid"), col("_ln"), col("page_url"),
+        hrefOf(col("_tag")).as("_href0"))
+    // the barrier: (_pid, _ln) is unique per anchor, so first() is
+    // exact; aliases cannot inline through an aggregate
+    val staged = tagged.groupBy(col("_pid"), col("_ln"))
+      .agg(first(col("page_url")).as("page_url"),
+        first(col("_href0")).as("_href0"))
+    val href = decodeBasicEntities(trim(col("_href0")))
+    // fragment references the same fetch — dropped before the
+    // empty-ref check so "#top" never reaches resolution
+    val withRef = staged
+      .withColumn("_ref", regexp_replace(href, "(?s)#.*", ""))
+      .filter(col("_ref") =!= "")
+    val scheme = lower(regexp_extract(col("page_url"),
+      "^([a-zA-Z][a-zA-Z0-9+.\\-]*)://", 1))
+    val host = Robots.hostOf(col("page_url"))
+    val basePath = Robots.pathOf(col("page_url"))
+    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    val rpath = regexp_replace(col("_ref"), "(?s)\\?.*", "")
+    val rquery = regexp_extract(col("_ref"), "(?s)\\?(.*)", 1)
+    val outPath = normalizeDotSegments(
+      when(col("_ref").startsWith("/"), rpath)
+        .when(rpath === "", basePath) // "?query"-only reference
+        .otherwise(concat(baseDir, rpath)))
+    val rebuilt = concat(scheme, lit("://"), host, outPath,
+      when(rquery =!= "", concat(lit("?"), rquery)).otherwise(lit("")))
+    val isAbs = col("_ref").rlike("(?i)^https?://")
+    val isScheme = col("_ref").rlike("(?i)^[a-z][a-z0-9+.\\-]*:")
+    val isProto = col("_ref").startsWith("//")
+    val resolved =
+      when(isAbs, col("_ref"))
+        .when(isScheme, lit(null).cast("string"))
+        .when(isProto, concat(scheme, lit(":"), col("_ref")))
+        .otherwise(rebuilt)
+    // the link's host, case-wise from the cheap pieces — emitted as
+    // its own column because EVERY consumer needs it (host graph,
+    // robots gate, frontier), and deriving it downstream as
+    // `hostOf(url)` would substitute the whole resolution tree into
+    // the extract (measured: that collapse alone pushed hostGraph's
+    // generated method past janino's limit)
+    val urlHost = when(isAbs, Robots.hostOf(col("_ref")))
+      .when(isProto, lower(regexp_extract(col("_ref"), "^//([^/?#]+)", 1)))
+      .otherwise(host)
+    // admission phrased case-by-case on the cheap pieces — equivalent
+    // to "resolved is http(s) with a nonempty host", without ever
+    // referencing the resolved tree
+    withRef
+      .filter(
+        (isAbs && Robots.hostOf(col("_ref")) =!= "") ||
+        (isProto && col("_ref").rlike("^//[^/?#]") && scheme.isin("http", "https")) ||
+        (!isScheme && !isProto && scheme.isin("http", "https") && host =!= ""))
+      .select(col("page_url"), resolved.as("url"), urlHost.as("url_host"))
+  }
+
+  /** [[outlinks]] straight off a raw crawl frame: rides
+    * [[graft.sources.WarcSource.responseTextOf]]'s decode chain
+    * (transfer-decode → content-decode → charset), so the regexes see
+    * real text — link extraction needs the PRE-strip HTML, which is
+    * why this cannot compose with `crawlTextOf`. */
+  def outlinksOf(warc: DataFrame): DataFrame =
+    outlinks(
+      graft.sources.WarcSource.responseTextOf(warc).filter(col("html").isNotNull),
+      "target_uri", "html")
+
+  /** Host-level link graph: `(src_host, dst_host, n_links, internal)`
+    * — one hash aggregation over constant-width keys (hosts, never
+    * URL or body text, cross the shuffle). Self-host edges are kept
+    * and flagged: internal linkage is navigation signal, and dropping
+    * it here would force re-extraction when someone wants it. A
+    * `url_host` column (what [[outlinks]] emits) is used when present
+    * — re-deriving it as `hostOf(url)` over outlinks' output would
+    * substitute the resolution tree into the extract (janino-melting,
+    * see [[outlinks]]). */
+  def hostGraph(links: DataFrame,
+      pageCol: String = "page_url", linkCol: String = "url"): DataFrame =
+    links
+      .select(Robots.hostOf(col(pageCol)).as("src_host"),
+        (if (links.columns.contains("url_host")) col("url_host")
+         else Robots.hostOf(col(linkCol))).as("dst_host"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "")
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+      .withColumn("internal", col("src_host") === col("dst_host"))
+
+  /** Exact floor division on nonnegative int64 columns.
+    * `(a − a mod b)` is an exact multiple of b; both operands and the
+    * quotient stay below 2^53 for every value this file produces
+    * (max is 85×SCALE ≈ 8.5e13), so the double division is exact and
+    * the cast back is lossless. Mirrors DuckDB's integer `//`. */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast(LongType)
+
+  /** Deterministic PageRank over a directed edge list — ranks are
+    * int64 in units of 1e-12 ("micromillionths"), every arithmetic
+    * step floor-division or exact addition:
+    *
+    *   rank₀(v)   = SCALE / N
+    *   rankᵢ₊₁(v) = (15·SCALE)/(100·N)
+    *              + (85 · (Σ_{u→v} rankᵢ(u)/out(u) + dangling/N)) / 100
+    *
+    * (damping 0.85 as the rational 85/100; `dangling` = the summed
+    * rank of zero-out-degree nodes, redistributed uniformly — the
+    * standard correction, computed as a broadcast 1×1 aggregate).
+    * Floor rounding leaks ≤1 unit (10⁻¹²) per node per step — an
+    * acceptable, deterministic bias that buys bit-identical results
+    * across engines, partition counts and row orders; float PageRank
+    * has none of those properties (float sums are order-dependent),
+    * which is why every "reproducible" float implementation quietly
+    * isn't.
+    *
+    * Self-loops are dropped and edges deduplicated (simple-graph
+    * PageRank; weighted variants divide by weighted out-degree —
+    * out of scope, documented). `N` lands as one bounded driver
+    * scalar (a count of HOSTS, not pages). Each iteration is two
+    * shuffles (contribution aggregate + rank join), both keyed on
+    * `node`; the eager per-iteration localCheckpoint truncates
+    * lineage so iteration k never replans iterations 1..k-1. */
+  def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    val edges = edges0
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val base = (15L * scale) / (100L * n)
+    var ranks = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iterations) {
+      val dangling = ranks
+        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("_dang"))
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), idiv(col("rank"), col("deg")).as("_c"))
+        .groupBy(col("node")).agg(sum(col("_c")).as("_s"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(base) + idiv(lit(85L) * (coalesce(col("_s"), lit(0L)) +
+            idiv(col("_dang"), lit(n))), lit(100L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.operators.Links
+import org.apache.spark.sql.functions._
+
+class LinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def links(pageUrl: String, html: String): Seq[String] =
+    Links.outlinks(Seq((pageUrl, html)).toDF("u", "h"), "u", "h")
+      .select("url").collect().map(_.getString(0)).toSeq
+
+  test("quoting forms, case-insensitivity and attribute noise") {
+    val out = links("http://a.example/dir/page.html",
+      """<A HREF="/dq">x</A> <a class=nav href='/sq'>y</a>
+        |<a rel=nofollow href=/uq>z</a> <a name="no-href">n</a>
+        |<area href="/not-an-anchor"> <a data-href="/decoy" href="/real">r</a>""".stripMargin)
+    assert(out.toSet === Set("http://a.example/dq", "http://a.example/sq",
+      "http://a.example/uq", "http://a.example/real"))
+  }
+
+  test("resolution: absolute, scheme-relative, rooted, relative, query-only, dot segments") {
+    val out = links("https://h.example/a/b/page.html?x=1",
+      """<a href="https://other.example/abs?q=2">1</a>
+        |<a href="//cdn.example/lib.js">2</a>
+        |<a href="/rooted/p">3</a>
+        |<a href="sib.html">4</a>
+        |<a href="./same/dir">5</a>
+        |<a href="../up/one">6</a>
+        |<a href="../../up/two">7</a>
+        |<a href="?only=query">8</a>""".stripMargin)
+    assert(out === Seq(
+      "https://other.example/abs?q=2",
+      "https://cdn.example/lib.js",
+      "https://h.example/rooted/p",
+      "https://h.example/a/b/sib.html",
+      "https://h.example/a/b/same/dir",
+      "https://h.example/a/up/one",
+      "https://h.example/up/two",
+      "https://h.example/a/b/page.html?only=query"))
+  }
+
+  test("drops: fragments, empty, non-fetchable schemes, non-http results; entities decode") {
+    val out = links("http://h.example/p",
+      """<a href="#section">f</a> <a href="">e</a>
+        |<a href="mailto:x@y.example">m</a> <a href="javascript:void(0)">j</a>
+        |<a href="tel:+1-555">t</a> <a href="ftp://files.example/f">ftp</a>
+        |<a href="/q?a=1&amp;b=2#frag">ok</a>""".stripMargin)
+    assert(out === Seq("http://h.example/q?a=1&b=2"))
+  }
+
+  test("multiplicity kept; dot-segment clamp above root") {
+    val out = links("http://h.example/a/p",
+      """<a href="/x">1</a><a href="/x">2</a><a href="../../../deep">3</a>""")
+    assert(out === Seq("http://h.example/x", "http://h.example/x",
+      "http://h.example/deep"))
+  }
+
+  test("url_host column matches the resolved url's host in every case") {
+    val df = Links.outlinks(Seq(
+      ("http://base.example/d/p", """<a href="/r">a</a><a href="//cdn.example:8080/x">b</a>
+        |<a href="HTTPS://Abs.Example/y">c</a><a href="rel">d</a>""".stripMargin))
+      .toDF("u", "h"), "u", "h")
+    val rows = df.select("url", "url_host").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(
+      ("http://base.example/r", "base.example"),
+      ("http://cdn.example:8080/x", "cdn.example:8080"),
+      ("HTTPS://Abs.Example/y", "abs.example"),
+      ("http://base.example/d/rel", "base.example")))
+  }
+
+  test("normalizeDotSegments directly") {
+    val cases = Seq(
+      "/a/b/../c" -> "/a/c",
+      "/a/./b/." -> "/a/b/",
+      "/../a" -> "/a",
+      "/a/../../b" -> "/b",
+      "/a/b/c/../../d" -> "/a/d",
+      "/.." -> "/",
+      "/a/.." -> "/",
+      "/..a/b" -> "/..a/b")
+    val df = cases.map(_._1).toDF("p")
+      .select(col("p"), Links.normalizeDotSegments(col("p")).as("n"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases) assert(got(in) === want, s"input $in")
+  }
+
+  test("hostGraph aggregates with internal flag") {
+    val l = Seq(
+      ("http://a.example/1", "http://b.example/x"),
+      ("http://a.example/2", "http://b.example/y"),
+      ("http://a.example/1", "http://a.example/self"),
+      ("http://b.example/1", "http://a.example/z"))
+      .toDF("page_url", "url")
+    val g = Links.hostGraph(l).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(g === Set(
+      ("a.example", "b.example", 2L, false),
+      ("a.example", "a.example", 1L, true),
+      ("b.example", "a.example", 1L, false)))
+  }
+
+  /** Exact integer reference simulation of the operator's contract. */
+  private def simulate(edges: Set[(String, String)], iters: Int,
+      scale: Long): Map[String, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val n = nodes.size
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = nodes.map(_ -> scale / n).toMap
+    val base = 15L * scale / (100L * n)
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += rank(s) / out(s)
+      rank = nodes.map(v => v -> (base + 85L * (contrib(v) + dang / n) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches the exact integer simulation, self-loops and dup edges ignored") {
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "e"),
+      ("d", "c"), ("a", "b") /* dup */, ("b", "b") /* self-loop */)
+      .toDF("s", "t")
+    val got = Links.pageRank(edges, "s", "t", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = simulate(
+      Set(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "e"), ("d", "c")),
+      3, 1000000000000L)
+    assert(got === want)
+    // e is a sink (no out-edges): its mass must have been redistributed,
+    // not hoarded — every node keeps a rank above the teleport floor
+    assert(got.values.forall(_ >= 15L * 1000000000000L / (100L * 5L)))
+  }
+
+  test("pageRank is partition-order invariant (bit-identical)") {
+    val edges = (1 to 60).map(i => (s"n${i % 7}", s"n${(i * 3 + 1) % 7}")).toDF("s", "t")
+    val a = Links.pageRank(edges, "s", "t", iterations = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Links.pageRank(edges.repartition(13), "s", "t", iterations = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+}
