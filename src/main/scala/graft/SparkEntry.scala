@@ -1922,6 +1922,64 @@ object SparkEntry {
         .orderBy(col("url"))
     },
 
+    // Redirect edge extraction (r15): 3xx responses with Location
+    // headers — absolute, relative, root-relative and scheme-relative
+    // targets — through the envelope's http_location column (real
+    // WARC bytes, obs-fold-aware header parse) and the shared
+    // RFC 3986 resolution. Twin re-derives every edge arithmetically.
+    "q141_redirects" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q141").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast(StringType)
+      val status = element_at(array(lit("301 Moved Permanently"),
+        lit("302 Found"), lit("307 Temporary Redirect"),
+        lit("308 Permanent Redirect")), (col("doc_id") % 4).cast(IntegerType) + 1)
+      val loc = when(col("doc_id") % 4 === 0,
+          concat(lit("http://t"), (col("doc_id") % 3).cast(StringType),
+            lit(".example/new"), id))
+        .when(col("doc_id") % 4 === 1, concat(lit("/moved/"), id))
+        .when(col("doc_id") % 4 === 2, concat(lit("next"), id))
+        .otherwise(concat(lit("//cdn"), (col("doc_id") % 2).cast(StringType),
+          lit(".example/c"), id))
+      val rbody = lit("redirect body")
+      val envp = concat(
+        concat(lit("HTTP/1.1 "), status, lit("\r\nLocation: "), loc,
+          lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+          octet_length(rbody.cast(BinaryType)).cast(StringType),
+          lit("\r\n\r\n")).cast(BinaryType), rbody.cast(BinaryType))
+      val recs = docs.select(id.as("k"),
+        concat(lit("http://r"), (col("doc_id") % 5).cast(StringType),
+          lit(".example/old/p"), id, lit(".html")).as("u"), envp.as("p"))
+      WarcShards.write(recs, "k", "u", "p", base, nShards = 4,
+        warcType = "response", contentType = "application/http; msgtype=response")
+      Links.redirects(
+          s.read.format("graft.sources.WarcSource").option("path", base).load())
+        .select(col("from_url"), col("to_url"), col("to_host"),
+          col("http_status").cast(LongType).as("http_status"))
+        .orderBy(col("from_url"))
+    },
+
+    // Redirect chain resolution (r15): pointer doubling over an
+    // orders-derived chain map (u_i → u_{i+1} unless i ≡ 0 mod 5;
+    // every residue mod 100 is present in orders, so chains are
+    // contiguous) — each source collapses to its next multiple-of-5
+    // node with the exact hop count, all terminal. Twin re-derives
+    // final/hops from the same arithmetic.
+    "q142_redirect_chains" -> { (s, dir) =>
+      val edges = Tables(s, dir, "orders")
+        .select((col("o_orderkey") % 100).as("i")).distinct()
+        .filter(col("i") % 5 =!= 0)
+        .select(concat(lit("u"), col("i").cast(StringType)).as("from_url"),
+          concat(lit("u"), (col("i") + 1).cast(StringType)).as("to_url"))
+      Links.resolveRedirects(edges, maxHops = 8)
+        .select(col("from_url"), col("final_url"), col("hops"), col("terminal"))
+        .orderBy(col("from_url"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -4104,6 +4162,40 @@ object SparkEntry {
         |    * cast(case when hi < 4 then (hi + 1) * 500 else 1000 end as bigint)
         |    as fetch_offset_ms
         |from u order by url""".stripMargin,
+
+    // redirect twin (r15): the four Location forms re-resolved
+    // arithmetically against the from-URL's base
+    "q141_redirects" ->
+      """with d as (select doc_id,
+        |    'http://r' || (doc_id % 5) || '.example' as h,
+        |    'http://r' || (doc_id % 5) || '.example/old/p' || doc_id || '.html' as from_url
+        |  from documents)
+        |select from_url,
+        |  case doc_id % 4
+        |    when 0 then 'http://t' || (doc_id % 3) || '.example/new' || doc_id
+        |    when 1 then h || '/moved/' || doc_id
+        |    when 2 then h || '/old/next' || doc_id
+        |    else 'http://cdn' || (doc_id % 2) || '.example/c' || doc_id end as to_url,
+        |  case doc_id % 4
+        |    when 0 then 't' || (doc_id % 3) || '.example'
+        |    when 1 then 'r' || (doc_id % 5) || '.example'
+        |    when 2 then 'r' || (doc_id % 5) || '.example'
+        |    else 'cdn' || (doc_id % 2) || '.example' end as to_host,
+        |  cast(case doc_id % 4 when 0 then 301 when 1 then 302
+        |    when 2 then 307 else 308 end as bigint) as http_status
+        |from d order by from_url""".stripMargin,
+
+    // redirect-chain twin (r15): each source's final target is its
+    // next multiple-of-5 node, hops = the distance — the doubling
+    // must reproduce the plain arithmetic exactly
+    "q142_redirect_chains" ->
+      """with k as (select distinct o_orderkey % 100 as i from orders
+        |  where (o_orderkey % 100) % 5 <> 0)
+        |select 'u' || i as from_url,
+        |  'u' || (i - (i % 5) + 5) as final_url,
+        |  cast(5 - (i % 5) as bigint) as hops,
+        |  true as terminal
+        |from k order by from_url""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

@@ -119,6 +119,47 @@ object Links {
     * pieces (`_ref` prefix classes, base scheme/host), never on the
     * resolved `url` tree, so that tree is built exactly once per
     * anchor. */
+  /** RFC 3986 §5.2 reference resolution, shared by [[outlinks]] and
+    * [[redirects]]. `ref` and `baseUrl` MUST be plain attributes (or
+    * trees cheap enough to duplicate): every piece below references
+    * them several times and projection collapse inlines per
+    * reference. Returns `(resolved, host, admitted)` where `admitted`
+    * is equivalent to "resolved is http(s) with a nonempty host" but
+    * phrased entirely on the cheap inputs — filtering on the resolved
+    * tree itself would substitute it per condition (the janino-melt
+    * lesson in [[outlinks]]). */
+  private def resolveAgainst(ref: Column, baseUrl: Column): (Column, Column, Column) = {
+    val scheme = lower(regexp_extract(baseUrl,
+      "^([a-zA-Z][a-zA-Z0-9+.\\-]*)://", 1))
+    val host = Robots.hostOf(baseUrl)
+    val basePath = Robots.pathOf(baseUrl)
+    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    val rpath = regexp_replace(ref, "(?s)\\?.*", "")
+    val rquery = regexp_extract(ref, "(?s)\\?(.*)", 1)
+    val outPath = normalizeDotSegments(
+      when(ref.startsWith("/"), rpath)
+        .when(rpath === "", basePath) // "?query"-only reference
+        .otherwise(concat(baseDir, rpath)))
+    val rebuilt = concat(scheme, lit("://"), host, outPath,
+      when(rquery =!= "", concat(lit("?"), rquery)).otherwise(lit("")))
+    val isAbs = ref.rlike("(?i)^https?://")
+    val isScheme = ref.rlike("(?i)^[a-z][a-z0-9+.\\-]*:")
+    val isProto = ref.startsWith("//")
+    val resolved =
+      when(isAbs, ref)
+        .when(isScheme, lit(null).cast("string"))
+        .when(isProto, concat(scheme, lit(":"), ref))
+        .otherwise(rebuilt)
+    val urlHost = when(isAbs, Robots.hostOf(ref))
+      .when(isProto, lower(regexp_extract(ref, "^//([^/?#]+)", 1)))
+      .otherwise(host)
+    val admitted =
+      (isAbs && Robots.hostOf(ref) =!= "") ||
+      (isProto && ref.rlike("^//[^/?#]") && scheme.isin("http", "https")) ||
+      (!isScheme && !isProto && scheme.isin("http", "https") && host =!= "")
+    (resolved, urlHost, admitted)
+  }
+
   def outlinks(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
     val tagged = df
       .select(monotonically_increasing_id().as("_pid"),
@@ -141,45 +182,73 @@ object Links {
     val withRef = staged
       .withColumn("_ref", regexp_replace(href, "(?s)#.*", ""))
       .filter(col("_ref") =!= "")
-    val scheme = lower(regexp_extract(col("page_url"),
-      "^([a-zA-Z][a-zA-Z0-9+.\\-]*)://", 1))
-    val host = Robots.hostOf(col("page_url"))
-    val basePath = Robots.pathOf(col("page_url"))
-    val baseDir = regexp_replace(basePath, "[^/]*$", "")
-    val rpath = regexp_replace(col("_ref"), "(?s)\\?.*", "")
-    val rquery = regexp_extract(col("_ref"), "(?s)\\?(.*)", 1)
-    val outPath = normalizeDotSegments(
-      when(col("_ref").startsWith("/"), rpath)
-        .when(rpath === "", basePath) // "?query"-only reference
-        .otherwise(concat(baseDir, rpath)))
-    val rebuilt = concat(scheme, lit("://"), host, outPath,
-      when(rquery =!= "", concat(lit("?"), rquery)).otherwise(lit("")))
-    val isAbs = col("_ref").rlike("(?i)^https?://")
-    val isScheme = col("_ref").rlike("(?i)^[a-z][a-z0-9+.\\-]*:")
-    val isProto = col("_ref").startsWith("//")
-    val resolved =
-      when(isAbs, col("_ref"))
-        .when(isScheme, lit(null).cast("string"))
-        .when(isProto, concat(scheme, lit(":"), col("_ref")))
-        .otherwise(rebuilt)
-    // the link's host, case-wise from the cheap pieces — emitted as
-    // its own column because EVERY consumer needs it (host graph,
-    // robots gate, frontier), and deriving it downstream as
-    // `hostOf(url)` would substitute the whole resolution tree into
-    // the extract (measured: that collapse alone pushed hostGraph's
-    // generated method past janino's limit)
-    val urlHost = when(isAbs, Robots.hostOf(col("_ref")))
-      .when(isProto, lower(regexp_extract(col("_ref"), "^//([^/?#]+)", 1)))
-      .otherwise(host)
-    // admission phrased case-by-case on the cheap pieces — equivalent
-    // to "resolved is http(s) with a nonempty host", without ever
-    // referencing the resolved tree
+    // the link's host is emitted as its own column because EVERY
+    // consumer needs it (host graph, robots gate, frontier), and
+    // deriving it downstream as `hostOf(url)` would substitute the
+    // whole resolution tree into the extract (measured: that collapse
+    // alone pushed hostGraph's generated method past janino's limit)
+    val (resolved, urlHost, admitted) = resolveAgainst(col("_ref"), col("page_url"))
     withRef
-      .filter(
-        (isAbs && Robots.hostOf(col("_ref")) =!= "") ||
-        (isProto && col("_ref").rlike("^//[^/?#]") && scheme.isin("http", "https")) ||
-        (!isScheme && !isProto && scheme.isin("http", "https") && host =!= ""))
+      .filter(admitted)
       .select(col("page_url"), resolved.as("url"), urlHost.as("url_host"))
+  }
+
+  /** Redirect edges out of a raw crawl: one row per 3xx response with
+    * a `Location` header — `(from_url, to_url, to_host, http_status)`
+    * with the target resolved like any reference (`Location` is
+    * commonly relative despite RFC 7231's SHOULD; same RFC 3986
+    * machinery as [[outlinks]], fragment dropped, non-http(s) targets
+    * dropped). Pure projection off the envelope's `http_location`
+    * column — no barrier needed: a record yields at most one edge, so
+    * nothing fans out, and admission is phrased on the cheap pieces.
+    * Redirect targets are fetch candidates (PlanCrawl unions them)
+    * and the edges feed [[resolveRedirects]]' canonical map. */
+  def redirects(warc: DataFrame): DataFrame = {
+    val base = warc
+      .filter(col("warc_type") === "response" &&
+        col("http_status").between(300, 399) && col("http_location").isNotNull)
+      .select(col("target_uri").as("page_url"), col("http_status"),
+        trim(col("http_location")).as("_ref0"))
+      .withColumn("_ref", regexp_replace(col("_ref0"), "(?s)#.*", ""))
+      .filter(col("_ref") =!= "")
+    val (resolved, toHost, admitted) = resolveAgainst(col("_ref"), col("page_url"))
+    base.filter(admitted)
+      .select(col("page_url").as("from_url"), resolved.as("to_url"),
+        toHost.as("to_host"), col("http_status"))
+  }
+
+  /** Collapse redirect CHAINS to their final targets by pointer
+    * doubling: the map composes with itself each round, so chains up
+    * to `maxHops` resolve in ⌈log₂ maxHops⌉ self-joins — at 10⁸
+    * redirect rows that is 3–4 shuffles, not maxHops of them. Output
+    * `(from_url, final_url, hops, terminal)`; `terminal` is false
+    * when `final_url` still redirects (a cycle, or a chain longer
+    * than maxHops — both surface instead of looping forever; callers
+    * drop or log them). A URL with several captured targets keeps the
+    * lexicographically smallest (deterministic, and any choice is
+    * honest when captures disagree). */
+  def resolveRedirects(redirects: DataFrame, maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1, "resolveRedirects: maxHops must be >= 1")
+    val m = redirects.groupBy(col("from_url"))
+      .agg(min(col("to_url")).as("to_url"))
+      .localCheckpoint(true)
+    var cur = m.select(col("from_url"), col("to_url").as("final_url"),
+      lit(1L).as("hops"))
+    var reach = 1
+    while (reach < maxHops) {
+      val hop = cur.select(col("from_url").as("_f"), col("final_url").as("_t"),
+        col("hops").as("_h"))
+      cur = cur.join(hop, cur("final_url") === hop("_f"), "left")
+        .select(col("from_url"),
+          coalesce(col("_t"), col("final_url")).as("final_url"),
+          (col("hops") + coalesce(col("_h"), lit(0L))).as("hops"))
+        .localCheckpoint(true)
+      reach *= 2
+    }
+    val fin = m.select(col("from_url").as("_f"))
+    cur.join(fin, cur("final_url") === fin("_f"), "left")
+      .select(col("from_url"), col("final_url"), col("hops"),
+        col("_f").isNull.as("terminal"))
   }
 
   /** [[outlinks]] straight off a raw crawl frame: rides

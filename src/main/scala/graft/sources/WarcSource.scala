@@ -88,11 +88,12 @@ object WarcSource {
     StructField("http_content_type", StringType, nullable = true),
     StructField("http_content_encoding", StringType, nullable = true),
     StructField("http_transfer_encoding", StringType, nullable = true),
+    StructField("http_location", StringType, nullable = true),
     StructField("body", BinaryType, nullable = true)))
 
   /** Columns whose values require the record's payload bytes. */
   private val PayloadDerived = Set("payload", "http_status", "http_content_type",
-    "http_content_encoding", "http_transfer_encoding", "body")
+    "http_content_encoding", "http_transfer_encoding", "http_location", "body")
 
   /** `(target_uri, text)` straight from WET shards — the de-facto
     * Common Crawl text-pipeline entry: `conversion` records are the
@@ -206,7 +207,7 @@ object WarcSource {
     * (tolerant readers are the WARC-tooling norm); header lookup is
     * case-insensitive with RFC 7230 obs-fold continuation lines. */
   private[graft] def httpSplit(
-      payload: Array[Byte]): (Int, String, String, String, Array[Byte]) = {
+      payload: Array[Byte]): (Int, String, String, String, String, Array[Byte]) = {
     if (payload == null || payload.length < 12) return null
     // must start with "HTTP/"
     if (!(payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' &&
@@ -241,6 +242,7 @@ object WarcSource {
     var contentType: String = null
     var contentEncoding: String = null
     var transferEncoding: String = null
+    var location: String = null // r15: 3xx redirect target, the link-layer edge
     var j = 1
     var curName: String = null
     var curValue: StringBuilder = null
@@ -251,6 +253,8 @@ object WarcSource {
         contentEncoding = curValue.toString.trim
       if (curName == "transfer-encoding" && transferEncoding == null)
         transferEncoding = curValue.toString.trim
+      if (curName == "location" && location == null)
+        location = curValue.toString.trim
       curName = null; curValue = null
     }
     while (j < lines.length) {
@@ -269,7 +273,7 @@ object WarcSource {
     }
     flush()
     val body = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
-    (status, contentType, contentEncoding, transferEncoding, body)
+    (status, contentType, contentEncoding, transferEncoding, location, body)
   }
 
   private[sources] class WarcTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -501,7 +505,7 @@ object WarcSource {
     // the envelope split runs at most once per record, and only when
     // an http_*/body column is actually required AND the record
     // declares an application/http envelope
-    lazy val http: (Int, String, String, String, Array[Byte]) =
+    lazy val http: (Int, String, String, String, String, Array[Byte]) =
       if (p.warcType != null && p.warcType.equalsIgnoreCase("response") &&
           p.contentType != null &&
           p.contentType.toLowerCase.startsWith("application/http"))
@@ -522,7 +526,9 @@ object WarcSource {
         if (http == null || http._3 == null) null else UTF8String.fromString(http._3)
       case "http_transfer_encoding" =>
         if (http == null || http._4 == null) null else UTF8String.fromString(http._4)
-      case "body" => if (http == null) null else http._5
+      case "http_location" =>
+        if (http == null || http._5 == null) null else UTF8String.fromString(http._5)
+      case "body" => if (http == null) null else http._6
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   *                 pages AND child sitemaps) ∪ declared sitemap
   *                 pointers ([[graft.operators.Robots.sitemapsOf]])
   *                 ∪ anchor outlinks ([[graft.operators.Links.outlinksOf]])
+  *                 ∪ redirect targets ([[graft.operators.Links.redirects]])
   *   new         = candidates − already-fetched target URIs
   *                 (both sides canonicalized — q73's dedup key)
   *   allowed     = [[graft.operators.Robots.gate]] against the
@@ -46,6 +47,8 @@ object PlanCrawl {
       .unionByName(canon(
         Robots.sitemapsOf(crawl).select(col("sitemap").as("url")), "url"))
       .unionByName(canon(Links.outlinksOf(crawl).select(col("url")), "url"))
+      .unionByName(canon(
+        Links.redirects(crawl).select(col("to_url").as("url")), "url"))
       .distinct()
     val fetched = canon(
       crawl.filter(col("warc_type") === "response").select(col("target_uri")),

@@ -134,6 +134,41 @@ class LinksSpec extends SparkSpec {
     assert(got.values.forall(_ >= 15L * 1000000000000L / (100L * 5L)))
   }
 
+  test("redirects: 3xx + Location off the envelope, relative targets resolve, chaff drops") {
+    val rows = Seq(
+      ("response", "http://a.example/old", 301, "http://b.example/new"),
+      ("response", "http://a.example/dir/x", 302, "moved"),
+      ("response", "http://a.example/y", 307, "/root/../r"),
+      ("response", "http://a.example/z", 308, "//cdn.example/c"),
+      ("response", "http://a.example/ok", 200, "http://ignored.example/"),
+      ("response", "http://a.example/ftp", 301, "ftp://files.example/f"),
+      ("response", "http://a.example/none", 301, null))
+      .toDF("warc_type", "target_uri", "http_status", "http_location")
+    val got = graft.operators.Links.redirects(rows)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("http://a.example/old", "http://b.example/new", "b.example"),
+      ("http://a.example/dir/x", "http://a.example/dir/moved", "a.example"),
+      ("http://a.example/y", "http://a.example/r", "a.example"),
+      ("http://a.example/z", "http://cdn.example/c", "cdn.example")))
+  }
+
+  test("resolveRedirects: pointer doubling collapses chains, cycles surface as non-terminal") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), // 4-hop chain
+      ("x", "y"),                                     // 1 hop
+      ("p", "q"), ("q", "p"))                         // cycle
+      .toDF("from_url", "to_url")
+    val got = Links.resolveRedirects(edges, maxHops = 8)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got("a") === (("e", 4L, true)))
+    assert(got("b") === (("e", 3L, true)))
+    assert(got("x") === (("y", 1L, true)))
+    assert(!got("p")._3 && !got("q")._3) // cycle: never terminal
+  }
+
   test("pageRank is partition-order invariant (bit-identical)") {
     val edges = (1 to 60).map(i => (s"n${i % 7}", s"n${(i * 3 + 1) % 7}")).toDF("s", "t")
     val a = Links.pageRank(edges, "s", "t", iterations = 2)
