@@ -1980,6 +1980,25 @@ object SparkEntry {
         .orderBy(col("from_url"))
     },
 
+    // Anchor-text outlinks (r15): full-span extraction — nested
+    // markup drops to spaces, entities decode, whitespace collapses,
+    // an empty anchor yields "", an UNCLOSED anchor is not emitted
+    // (the documented cost of wanting the text). Twin re-derives the
+    // three expected rows per page arithmetically.
+    "q143_anchor_text" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val fixture = Tables(s, dir, "documents").select(
+        concat(lit("http://w"), (col("doc_id") % 5).cast(StringType),
+          lit(".example/p"), id).as("page_url"),
+        concat(
+          lit("<p>intro</p><a href=\"/t"), id, lit("\">Link <b>number</b> "), id,
+          lit("&amp;co</a>\n<a href='/u"), id, lit("'>  spaced   text  </a>"),
+          lit("<a href=/v"), id, lit("></a>"),
+          lit("<a href=\"/unclosed"), id, lit("\">tail without close")).as("html"))
+      Links.outlinksWithText(fixture, "page_url", "html")
+        .orderBy(col("page_url"), col("url"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -4196,6 +4215,21 @@ object SparkEntry {
         |  cast(5 - (i % 5) as bigint) as hops,
         |  true as terminal
         |from k order by from_url""".stripMargin,
+
+    // anchor-text twin (r15): the three surviving anchors per page
+    // with their cleaned texts, re-derived arithmetically
+    "q143_anchor_text" ->
+      """with d as (select doc_id,
+        |    'w' || (doc_id % 5) || '.example' as sh,
+        |    'http://w' || (doc_id % 5) || '.example' as h,
+        |    'http://w' || (doc_id % 5) || '.example/p' || doc_id as page_url
+        |  from documents)
+        |select page_url, url, url_host, anchor_text from (
+        |  select page_url, h || '/t' || doc_id as url, sh as url_host,
+        |    'Link number ' || doc_id || '&co' as anchor_text from d
+        |  union all select page_url, h || '/u' || doc_id, sh, 'spaced text' from d
+        |  union all select page_url, h || '/v' || doc_id, sh, '' from d)
+        |order by page_url, url""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

@@ -160,22 +160,44 @@ object Links {
     (resolved, urlHost, admitted)
   }
 
-  def outlinks(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
-    val tagged = df
+  def outlinks(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    outlinksImpl(df, urlCol, htmlCol, withText = false)
+
+  /** [[outlinks]] plus the anchor's VISIBLE TEXT (`anchor_text`) —
+    * the WAT-extractor signal weak supervision wants (anchor text ≈ a
+    * human's label for the target page). The generator matches FULL
+    * `<a …>…</a>` spans (non-greedy, so a nested/mis-nested anchor
+    * closes at the first `</a>`), which means anchors missing their
+    * closing tag are NOT emitted here (they are by [[outlinks]], which
+    * only needs the opening tag) — the documented cost of wanting the
+    * text. Inner markup drops to spaces, entities decode, whitespace
+    * collapses (the `stripHtml` conventions, NBSP included). */
+  def outlinksWithText(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    outlinksImpl(df, urlCol, htmlCol, withText = true)
+
+  private def outlinksImpl(df: DataFrame, urlCol: String, htmlCol: String,
+      withText: Boolean): DataFrame = {
+    val gen = if (withText) s"(?is)<a$WS[^>]*>.*?</a>" else s"(?i)<a$WS[^>]*>"
+    val exploded = df
       .select(monotonically_increasing_id().as("_pid"),
         col(urlCol).as("page_url"),
         posexplode(regexp_extract_all(col(htmlCol),
-          lit(s"(?i)<a$WS[^>]*>"), lit(0))).as(Seq("_ln", "_tag")))
-      // cheap pre-shuffle prune on the tag ATTRIBUTE (no alias to
+          lit(gen), lit(0))).as(Seq("_ln", "_span")))
+      // cheap pre-shuffle prune on the span ATTRIBUTE (no alias to
       // substitute): anchors without an href never cross the exchange
-      .filter(col("_tag").rlike("(?i)href"))
-      .select(col("_pid"), col("_ln"), col("page_url"),
-        hrefOf(col("_tag")).as("_href0"))
+      .filter(col("_span").rlike("(?i)href"))
+    val tag = if (withText)
+      regexp_extract(col("_span"), "(?is)^(<a[^>]*>)", 1) else col("_span")
+    val atext0 = if (withText)
+      regexp_extract(col("_span"), "(?is)^<a[^>]*>(.*)</a>$", 1) else lit("")
+    val tagged = exploded.select(col("_pid"), col("_ln"), col("page_url"),
+      hrefOf(tag).as("_href0"), atext0.as("_atext0"))
     // the barrier: (_pid, _ln) is unique per anchor, so first() is
     // exact; aliases cannot inline through an aggregate
     val staged = tagged.groupBy(col("_pid"), col("_ln"))
       .agg(first(col("page_url")).as("page_url"),
-        first(col("_href0")).as("_href0"))
+        first(col("_href0")).as("_href0"),
+        first(col("_atext0")).as("_atext0"))
     val href = decodeBasicEntities(trim(col("_href0")))
     // fragment references the same fetch — dropped before the
     // empty-ref check so "#top" never reaches resolution
@@ -188,9 +210,19 @@ object Links {
     // whole resolution tree into the extract (measured: that collapse
     // alone pushed hostGraph's generated method past janino's limit)
     val (resolved, urlHost, admitted) = resolveAgainst(col("_ref"), col("page_url"))
-    withRef
+    val out = withRef
       .filter(admitted)
-      .select(col("page_url"), resolved.as("url"), urlHost.as("url_host"))
+    if (!withText)
+      out.select(col("page_url"), resolved.as("url"), urlHost.as("url_host"))
+    else {
+      // stripHtml conventions on the inner span: nested tags to
+      // spaces, entity decode, explicit whitespace class incl. NBSP
+      val cleaned = trim(regexp_replace(
+        decodeBasicEntities(regexp_replace(col("_atext0"), "<[^>]*>", " ")),
+        "[ \\t\\n\\x0B\\f\\r\\x{00A0}]+", " "))
+      out.select(col("page_url"), resolved.as("url"), urlHost.as("url_host"),
+        cleaned.as("anchor_text"))
+    }
   }
 
   /** Redirect edges out of a raw crawl: one row per 3xx response with

@@ -134,6 +134,18 @@ class LinksSpec extends SparkSpec {
     assert(got.values.forall(_ >= 15L * 1000000000000L / (100L * 5L)))
   }
 
+  test("outlinksWithText: nested markup, entities, empty and unclosed anchors") {
+    val out = Links.outlinksWithText(Seq(
+      ("http://h.example/p",
+        "<a href=\"/a\">Read <i>the</i>&amp;<b>docs</b></a>" +
+          "<a href=\"/b\"></a><a href=\"/c\">no close tag")).toDF("u", "h"),
+      "u", "h")
+      .collect().map(r => (r.getString(1), r.getString(3))).toSet
+    assert(out === Set(
+      ("http://h.example/a", "Read the & docs"),
+      ("http://h.example/b", "")))
+  }
+
   test("redirects: 3xx + Location off the envelope, relative targets resolve, chaff drops") {
     val rows = Seq(
       ("response", "http://a.example/old", 301, "http://b.example/new"),
