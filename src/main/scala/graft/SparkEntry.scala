@@ -68,7 +68,8 @@ object SparkEntry {
         lit(">three</a>\n<A HREF=\"http://x"), (col("doc_id") % 4).cast(StringType),
         lit(".example/abs?q="), id,
         lit("&amp;z=1#frag\">four</A>\n<a href=\"//c"), (col("doc_id") % 3).cast(StringType),
-        lit(".example/cdn\">five</a>\n<a href=\"mailto:a@b.example\">m</a>" +
+        lit(".example/cdn\">five</a>\n<a rel=\"nofollow external\" href=\"/nf"), id,
+        lit("\">six</a>\n<a href=\"mailto:a@b.example\">m</a>" +
           "<a href=\"#top\">t</a></body></html>")).as("html"))
   }
 
@@ -1997,6 +1998,28 @@ object SparkEntry {
           lit("<a href=\"/unclosed"), id, lit("\">tail without close")).as("html"))
       Links.outlinksWithText(fixture, "page_url", "html")
         .orderBy(col("page_url"), col("url"))
+    },
+
+    // Meta-robots directives (r15): the in-document half of the
+    // exclusion protocol — both attribute orders, quoted and unquoted
+    // values, value-list membership, case folding, and the two
+    // must-NOT-match arms (a bot-specific tag, an unrelated robots
+    // directive). Twin re-derives both flags from the %7 arithmetic.
+    "q144_meta_robots" -> { (s, dir) =>
+      val m = col("doc_id") % 7
+      val meta = when(m === 0, lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(m === 1, lit("<meta name='robots' content='noindex'>"))
+        .when(m === 2, lit("<META CONTENT=\"NOFOLLOW\" NAME=\"ROBOTS\">"))
+        .when(m === 3, lit("<meta name=robots content=nofollow,noindex>"))
+        .when(m === 4, lit("<meta name=\"googlebot\" content=\"noindex\">"))
+        .when(m === 5, lit("<meta name=\"robots\" content=\"max-snippet:-1\">"))
+        .otherwise(lit("<meta charset=\"utf-8\">"))
+      val fixture = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<html><head>"), meta,
+          lit("</head><body>x</body></html>")).as("html"))
+      Links.metaRobots(fixture, "html")
+        .select(col("doc_id"), col("noindex"), col("nofollow"))
+        .orderBy(col("doc_id"))
     },
 
     // doc_id per content fingerprint) → chunking — aggregated per
@@ -4092,15 +4115,18 @@ object SparkEntry {
         |    'http://d' || (doc_id % 6) || '.example/a/b/p' || doc_id || '.html' as page_url
         |  from documents),
         |l as (
-        |  select page_url, h || '/r' || doc_id as url, sh as url_host from d
-        |  union all select page_url, h || '/a/u' || (doc_id % 9), sh from d
-        |  union all select page_url, h || '/a/b/s' || (doc_id * 2), sh from d
+        |  select page_url, h || '/r' || doc_id as url, sh as url_host,
+        |    false as nofollow from d
+        |  union all select page_url, h || '/a/u' || (doc_id % 9), sh, false from d
+        |  union all select page_url, h || '/a/b/s' || (doc_id * 2), sh, false from d
         |  union all select page_url,
         |    'http://x' || (doc_id % 4) || '.example/abs?q=' || doc_id || '&z=1',
-        |    'x' || (doc_id % 4) || '.example' from d
+        |    'x' || (doc_id % 4) || '.example', false from d
         |  union all select page_url, 'http://c' || (doc_id % 3) || '.example/cdn',
-        |    'c' || (doc_id % 3) || '.example' from d)
-        |select page_url, url, url_host from l order by page_url, url""".stripMargin,
+        |    'c' || (doc_id % 3) || '.example', false from d
+        |  union all select page_url, h || '/nf' || doc_id, sh, true from d)
+        |select page_url, url, url_host, nofollow from l
+        |order by page_url, url""".stripMargin,
 
     // host-graph twin (r15): the q137 links rebuilt as per-link host
     // rows (three internal + two cross-host per page), aggregated
@@ -4108,6 +4134,7 @@ object SparkEntry {
       """with d as (select doc_id, 'd' || (doc_id % 6) || '.example' as sh from documents),
         |l as (
         |  select sh as src_host, sh as dst_host from d
+        |  union all select sh, sh from d
         |  union all select sh, sh from d
         |  union all select sh, sh from d
         |  union all select sh, 'x' || (doc_id % 4) || '.example' from d
@@ -4224,12 +4251,21 @@ object SparkEntry {
         |    'http://w' || (doc_id % 5) || '.example' as h,
         |    'http://w' || (doc_id % 5) || '.example/p' || doc_id as page_url
         |  from documents)
-        |select page_url, url, url_host, anchor_text from (
+        |select page_url, url, url_host, false as nofollow, anchor_text from (
         |  select page_url, h || '/t' || doc_id as url, sh as url_host,
         |    'Link number ' || doc_id || '&co' as anchor_text from d
         |  union all select page_url, h || '/u' || doc_id, sh, 'spaced text' from d
         |  union all select page_url, h || '/v' || doc_id, sh, '' from d)
         |order by page_url, url""".stripMargin,
+
+    // meta-robots twin (r15): both flags from the %7 case arithmetic
+    // (0: both; 1: noindex; 2: nofollow reversed-order uppercase;
+    // 3: both unquoted; 4/5/6: neither)
+    "q144_meta_robots" ->
+      """select doc_id,
+        |  (doc_id % 7) in (0, 1, 3) as noindex,
+        |  (doc_id % 7) in (0, 2, 3) as nofollow
+        |from documents order by doc_id""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

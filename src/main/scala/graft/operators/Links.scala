@@ -78,15 +78,25 @@ object Links {
     when(cur === "", lit("/")).otherwise(cur)
   }
 
-  private def hrefOf(tag: Column): Column = {
-    val dq = s"(?i)$WS(href$WS*=$WS*\"([^\"]*)\")"
-    val sq = s"(?i)$WS(href$WS*=$WS*'([^']*)')"
-    val uq = s"(?i)${WS}href$WS*=$WS*([^\"' \\t\\n\\x0B\\f\\r>][^ \\t\\n\\x0B\\f\\r>]*)"
+  private def attrOf(tag: Column, attr: String): Column = {
+    val dq = s"(?i)$WS($attr$WS*=$WS*\"([^\"]*)\")"
+    val sq = s"(?i)$WS($attr$WS*=$WS*'([^']*)')"
+    val uq = s"(?i)$WS$attr$WS*=$WS*([^\"' \\t\\n\\x0B\\f\\r>][^ \\t\\n\\x0B\\f\\r>]*)"
     when(tag.rlike(dq), regexp_extract(tag, dq, 2))
       .when(tag.rlike(sq), regexp_extract(tag, sq, 2))
       .when(tag.rlike(uq), regexp_extract(tag, uq, 1))
       .otherwise(lit(""))
   }
+
+  private def hrefOf(tag: Column): Column = attrOf(tag, "href")
+
+  /** `rel` carries space-separated link types (HTML spec); nofollow
+    * anywhere in the list means "no endorsement" — the flag PageRank
+    * inputs must respect (a link farm's outlinks are all nofollow'd
+    * by any sane host) while a fetch frontier usually still crawls
+    * the target. Commas tolerated (a common authoring error). */
+  private def relNofollow(tag: Column): Column =
+    attrOf(tag, "rel").rlike("(?i)(^|[ \\t,])nofollow([ \\t,]|$)")
 
   /** One row per `<a href=…>` outlink: `(page_url, url)` with `url`
     * resolved absolute (http/https only). Duplicate links on a page
@@ -191,12 +201,14 @@ object Links {
     val atext0 = if (withText)
       regexp_extract(col("_span"), "(?is)^<a[^>]*>(.*)</a>$", 1) else lit("")
     val tagged = exploded.select(col("_pid"), col("_ln"), col("page_url"),
-      hrefOf(tag).as("_href0"), atext0.as("_atext0"))
+      hrefOf(tag).as("_href0"), relNofollow(tag).as("nofollow"),
+      atext0.as("_atext0"))
     // the barrier: (_pid, _ln) is unique per anchor, so first() is
     // exact; aliases cannot inline through an aggregate
     val staged = tagged.groupBy(col("_pid"), col("_ln"))
       .agg(first(col("page_url")).as("page_url"),
         first(col("_href0")).as("_href0"),
+        first(col("nofollow")).as("nofollow"),
         first(col("_atext0")).as("_atext0"))
     val href = decodeBasicEntities(trim(col("_href0")))
     // fragment references the same fetch — dropped before the
@@ -213,7 +225,8 @@ object Links {
     val out = withRef
       .filter(admitted)
     if (!withText)
-      out.select(col("page_url"), resolved.as("url"), urlHost.as("url_host"))
+      out.select(col("page_url"), resolved.as("url"), urlHost.as("url_host"),
+        col("nofollow"))
     else {
       // stripHtml conventions on the inner span: nested tags to
       // spaces, entity decode, explicit whitespace class incl. NBSP
@@ -221,8 +234,31 @@ object Links {
         decodeBasicEntities(regexp_replace(col("_atext0"), "<[^>]*>", " ")),
         "[ \\t\\n\\x0B\\f\\r\\x{00A0}]+", " "))
       out.select(col("page_url"), resolved.as("url"), urlHost.as("url_host"),
-        cleaned.as("anchor_text"))
+        col("nofollow"), cleaned.as("anchor_text"))
     }
+  }
+
+  /** Page-level robots META directives: adds boolean `noindex` /
+    * `nofollow` columns from `<meta name=robots content=…>` tags —
+    * the in-document half of the exclusion protocol ([[Robots.gate]]
+    * is the robots.txt half): a noindex page must not enter a served
+    * corpus, a nofollow page endorses none of its outlinks. Pure
+    * projection — each flag is two `rlike`s over the body (the
+    * attribute pair in either order, quoted or unquoted values,
+    * value-list membership on a word boundary), no Generate, no
+    * shuffle, no per-element lambdas. Bot-specific tags
+    * (`name=googlebot`) are deliberately NOT honored — this engine is
+    * not that bot; the X-Robots-Tag response header is the envelope's
+    * job if ever needed (not surfaced today, documented). */
+  def metaRobots(df: DataFrame, htmlCol: String): DataFrame = {
+    def flag(f: String): Column = {
+      val nv = "name" + WS + "*=" + WS + "*[\"']?robots[\"'> \\t\\n\\x0B\\f\\r]"
+      val cv = s"content$WS*=$WS*[\"']?[^\"'>]*\\b$f\\b"
+      col(htmlCol).rlike(s"(?is)<meta$WS[^>]*$nv[^>]*$cv") ||
+        col(htmlCol).rlike(s"(?is)<meta$WS[^>]*$cv[^\"'>]*[\"']?[^>]*$nv")
+    }
+    df.withColumn("noindex", flag("noindex"))
+      .withColumn("nofollow", flag("nofollow"))
   }
 
   /** Redirect edges out of a raw crawl: one row per 3xx response with

@@ -134,13 +134,47 @@ class LinksSpec extends SparkSpec {
     assert(got.values.forall(_ >= 15L * 1000000000000L / (100L * 5L)))
   }
 
+  test("nofollow flag: rel list membership in any quoting, never a substring match") {
+    val out = Links.outlinks(Seq(
+      ("http://h.example/p",
+        """<a rel="nofollow" href="/a">1</a><a rel='ugc nofollow' href="/b">2</a>
+          |<a rel=nofollow href="/c">3</a><a rel="external" href="/d">4</a>
+          |<a rel="nofollowish" href="/e">5</a><a href="/f">6</a>""".stripMargin))
+      .toDF("u", "h"), "u", "h")
+      .collect().map(r => (r.getString(1), r.getBoolean(3))).toMap
+    assert(out === Map(
+      "http://h.example/a" -> true, "http://h.example/b" -> true,
+      "http://h.example/c" -> true, "http://h.example/d" -> false,
+      "http://h.example/e" -> false, "http://h.example/f" -> false))
+  }
+
+  test("metaRobots: attribute orders, quoting, case, list membership, bot-specific ignored") {
+    val rows = Seq(
+      ("both", "<meta name=\"robots\" content=\"noindex, nofollow\">"),
+      ("ni", "<meta name='robots' content='noindex'>"),
+      ("nf-rev", "<META CONTENT=\"NOFOLLOW\" NAME=\"ROBOTS\">"),
+      ("unq", "<meta name=robots content=nofollow,noindex>"),
+      ("bot", "<meta name=\"googlebot\" content=\"noindex\">"),
+      ("other", "<meta name=\"robots\" content=\"max-snippet:-1\">"),
+      ("none", "<meta charset=\"utf-8\"><p>noindex as text</p>"))
+      .toDF("k", "html")
+    val got = Links.metaRobots(rows, "html")
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      "both" -> ((true, true)), "ni" -> ((true, false)),
+      "nf-rev" -> ((false, true)), "unq" -> ((true, true)),
+      "bot" -> ((false, false)), "other" -> ((false, false)),
+      "none" -> ((false, false))))
+  }
+
   test("outlinksWithText: nested markup, entities, empty and unclosed anchors") {
     val out = Links.outlinksWithText(Seq(
       ("http://h.example/p",
         "<a href=\"/a\">Read <i>the</i>&amp;<b>docs</b></a>" +
           "<a href=\"/b\"></a><a href=\"/c\">no close tag")).toDF("u", "h"),
       "u", "h")
-      .collect().map(r => (r.getString(1), r.getString(3))).toSet
+      .select("url", "anchor_text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out === Set(
       ("http://h.example/a", "Read the & docs"),
       ("http://h.example/b", "")))
