@@ -2022,6 +2022,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Rank-prior curation composition (r15): the FineWeb-style chain
+    // — outlinks (nofollow edges dropped: the nofollow'd third anchor
+    // is load-bearing, keeping it changes every rank) → host graph →
+    // integer PageRank → keep documents whose host lands in the
+    // rank top-4. Each stage is individually gated (q137/q138/q139);
+    // this gates their composition, the q41/q128 device.
+    "q145_rank_curation" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val fixture = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(lit("http://g"), (col("doc_id") % 8).cast(StringType),
+          lit(".example/p"), id).as("page_url"),
+        concat(
+          lit("<a href=\"http://g"), ((col("doc_id") + 1) % 8).cast(StringType),
+          lit(".example/x\">a</a><a href=\"http://g"),
+          ((col("doc_id") * 3 + 1) % 8).cast(StringType),
+          lit(".example/y\">b</a><a rel=\"nofollow\" href=\"http://g"),
+          ((col("doc_id") * 5 + 2) % 8).cast(StringType),
+          lit(".example/z\">c</a>")).as("html"))
+      val links = Links.outlinks(fixture, "page_url", "html")
+        .filter(!col("nofollow"))
+      val edges = Links.hostGraph(links).filter(!col("internal"))
+      val ranks = Links.pageRank(edges, "src_host", "dst_host", iterations = 3)
+      val w = Window.orderBy(col("rank").desc, col("node"))
+      val top = ranks.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 4).select(col("node"), col("rank"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("g"), (col("doc_id") % 8).cast(StringType),
+            lit(".example")).as("host"))
+        .join(broadcast(top), col("host") === col("node"))
+        .select(col("doc_id"), col("host"), col("rank"))
+        .orderBy(col("doc_id"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -4266,6 +4300,57 @@ object SparkEntry {
         |  (doc_id % 7) in (0, 1, 3) as noindex,
         |  (doc_id % 7) in (0, 2, 3) as nofollow
         |from documents order by doc_id""".stripMargin,
+
+    // rank-curation twin (r15): the q139 integer recurrence over the
+    // arithmetic host graph (nofollow edge EXCLUDED), rank top-4 by
+    // (rank desc, node), joined back to each document's host
+    "q145_rank_curation" ->
+      """with l as (
+        |  select 'g' || (doc_id % 8) || '.example' as src,
+        |    'g' || ((doc_id + 1) % 8) || '.example' as dst from documents
+        |  union all
+        |  select 'g' || (doc_id % 8) || '.example',
+        |    'g' || ((doc_id * 3 + 1) % 8) || '.example' from documents),
+        |e as (select distinct src, dst from l where src <> dst),
+        |nodes as (select distinct node from
+        |  (select src as node from e union select dst as node from e)),
+        |nn as (select count(*) as n from nodes),
+        |deg as (select src, count(*) as deg from e group by src),
+        |r0 as (select node, (select 1000000000000 // n from nn) as rank from nodes),
+        |d1 as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang from r0 r
+        |  left join deg on r.node = deg.src where deg.src is null),
+        |c1 as (select e.dst as node, cast(sum(r.rank // deg.deg) as bigint) as s from e
+        |  join r0 r on e.src = r.node join deg on e.src = deg.src group by e.dst),
+        |r1 as (select nodes.node,
+        |    (select (15 * 1000000000000) // (100 * n) from nn)
+        |    + (85 * (coalesce(c1.s, 0)
+        |        + (select dang from d1) // (select n from nn))) // 100 as rank
+        |  from nodes left join c1 on nodes.node = c1.node),
+        |d2 as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang from r1 r
+        |  left join deg on r.node = deg.src where deg.src is null),
+        |c2 as (select e.dst as node, cast(sum(r.rank // deg.deg) as bigint) as s from e
+        |  join r1 r on e.src = r.node join deg on e.src = deg.src group by e.dst),
+        |r2 as (select nodes.node,
+        |    (select (15 * 1000000000000) // (100 * n) from nn)
+        |    + (85 * (coalesce(c2.s, 0)
+        |        + (select dang from d2) // (select n from nn))) // 100 as rank
+        |  from nodes left join c2 on nodes.node = c2.node),
+        |d3 as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang from r2 r
+        |  left join deg on r.node = deg.src where deg.src is null),
+        |c3 as (select e.dst as node, cast(sum(r.rank // deg.deg) as bigint) as s from e
+        |  join r2 r on e.src = r.node join deg on e.src = deg.src group by e.dst),
+        |r3 as (select nodes.node,
+        |    (select (15 * 1000000000000) // (100 * n) from nn)
+        |    + (85 * (coalesce(c3.s, 0)
+        |        + (select dang from d3) // (select n from nn))) // 100 as rank
+        |  from nodes left join c3 on nodes.node = c3.node),
+        |top as (select node, rank,
+        |    row_number() over (order by rank desc, node) as rn from r3)
+        |select d.doc_id, d.host, t.rank
+        |from (select doc_id, 'g' || (doc_id % 8) || '.example' as host
+        |      from documents) d
+        |join (select node, rank from top where rn <= 4) t on d.host = t.node
+        |order by d.doc_id""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)
