@@ -2056,6 +2056,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Token-exact sequence packing (r15): per-shard concat-and-split
+    // of arithmetic token arrays (len = doc_id%7+1, EOS 0 after each
+    // doc) into 16-token blocks — blocks span document boundaries,
+    // the final partial block per shard emits short. Twin replays the
+    // cumulative offsets, per-position placement and block grouping
+    // with a window + lateral unnest.
+    "q146_token_packing" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 4).as("shard"),
+        sequence(col("doc_id") * 100,
+          col("doc_id") * 100 + (col("doc_id") % 7)).as("toks"))
+      operators.Chunking.packTokenBlocks(docs, "doc_id", "toks",
+          blockSize = 16, eosId = 0L, shardCol = Some("shard"))
+        .orderBy(col("shard"), col("block_id"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -4351,6 +4367,24 @@ object SparkEntry {
         |      from documents) d
         |join (select node, rank from top where rn <= 4) t on d.host = t.node
         |order by d.doc_id""".stripMargin,
+
+    // token-packing twin (r15): per-shard cumulative offsets (window
+    // sum), per-token placement via lateral unnest (i = len marks the
+    // EOS), blocks = integer division on the position
+    "q146_token_packing" ->
+      """with d as (select doc_id, doc_id % 4 as shard,
+        |    (doc_id % 7) + 1 as len from documents),
+        |o as (select doc_id, shard, len,
+        |    coalesce(sum(len + 1) over (partition by shard order by doc_id
+        |      rows between unbounded preceding and 1 preceding), 0) as st from d),
+        |t as (select shard, cast(o.st + u.i as bigint) as p,
+        |    case when u.i < len then doc_id * 100 + u.i else 0 end as tok
+        |  from o, unnest(generate_series(0, o.len)) as u(i))
+        |select shard, p // 16 as block_id,
+        |  string_agg(cast(tok as varchar), ' ' order by p) as token_ids,
+        |  count(*) as n_tokens
+        |from t group by shard, p // 16
+        |order by shard, block_id""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

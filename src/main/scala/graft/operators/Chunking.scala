@@ -104,4 +104,52 @@ object Chunking {
         sum(col(tokenCol)).over(offsetWindow(shardCol, orderCols.map(col))), lit(0L)))
       .withColumn("seq_id", floor(col("_off") / seqTokens.toDouble).cast(LongType))
       .drop("_off")
+
+  /** TOKEN-EXACT packing (concat-and-split, r15) — the GPT-style
+    * pretraining input [[packOffsets]] only approximates at document
+    * granularity: per shard, documents in `idCol` order concatenate
+    * into one token stream (an `eosId` after each document), cut into
+    * fixed `blockSize` blocks. Blocks SPAN document boundaries by
+    * construction — zero padding waste except the final partial block
+    * per shard, emitted SHORT (`n_tokens < blockSize`) for the caller
+    * to pad or drop; nothing is silently truncated.
+    *
+    * Output: `([shard,] block_id, token_ids, n_tokens)` with
+    * `token_ids` a space-joined string (the q104 binary exporter is
+    * the typed path; a string survives every comparator).
+    *
+    * Scale shape: one cumulative-offset window per shard (the
+    * [[offsetWindow]] discipline — never global), then the per-token
+    * explode this operator deliberately pays (the trainer needs the
+    * actual tokens placed; there is no block-materializing shortcut)
+    * feeding ONE hash aggregation keyed by (shard, block). Every
+    * position is exact int64 arithmetic — `block_id = p div
+    * blockSize` via the subtract-pmod form, no float division — so
+    * output is engine- and partitioning-invariant (q146's hash). */
+  def packTokenBlocks(df: DataFrame, idCol: String, tokensCol: String,
+      blockSize: Int, eosId: Long,
+      shardCol: Option[String] = None): DataFrame = {
+    require(blockSize > 0, "packTokenBlocks: blockSize must be positive")
+    val shard = shardCol.map(col).toSeq
+    val w = offsetWindow(shardCol, Seq(col(idCol)))
+    val withEos = df.select(shard :+ col(idCol) :+
+      concat(col(tokensCol).cast("array<bigint>"),
+        array(lit(eosId))).as("_te"): _*)
+    val positioned = withEos
+      .withColumn("_start",
+        coalesce(sum(size(col("_te")).cast(LongType)).over(w), lit(0L)))
+      .select(shard :+ col("_start") :+
+        posexplode(col("_te")).as(Seq("_i", "_tok")): _*)
+      .withColumn("_p", col("_start") + col("_i").cast(LongType))
+    val b = lit(blockSize.toLong)
+    val blockId = ((col("_p") - pmod(col("_p"), b)) / b).cast(LongType)
+    positioned
+      .withColumn("block_id", blockId)
+      .groupBy(shard :+ col("block_id"): _*)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_p").as("p"), col("_tok").as("t")))),
+          x => x.getField("t").cast("string")), " ").as("token_ids"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

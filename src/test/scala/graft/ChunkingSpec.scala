@@ -67,4 +67,31 @@ class ChunkingSpec extends SparkSpec {
       .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
     assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
+
+  test("packTokenBlocks: blocks span documents, EOS separates, final block short (r15)") {
+    // shard A: docs of 3+2 tokens (+EOS each) = stream of 7 over
+    // blockSize 4 → blocks [10 11 12 0] [20 21 0] (second short);
+    // shard B: one 5-token doc → [30 31 32 33] [34 0]
+    val docs = Seq(
+      ("A", 1L, Seq(10L, 11L, 12L)), ("A", 2L, Seq(20L, 21L)),
+      ("B", 3L, Seq(30L, 31L, 32L, 33L, 34L)))
+      .toDF("shard", "doc_id", "toks")
+    val got = Chunking.packTokenBlocks(docs, "doc_id", "toks",
+        blockSize = 4, eosId = 0L, shardCol = Some("shard"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      ("A", 0L) -> (("10 11 12 0", 4L)),
+      ("A", 1L) -> (("20 21 0", 3L)),
+      ("B", 0L) -> (("30 31 32 33", 4L)),
+      ("B", 1L) -> (("34 0", 2L))))
+    // partition-order invariance: the placement is pure arithmetic
+    val re = Chunking.packTokenBlocks(docs.repartition(7), "doc_id", "toks",
+        blockSize = 4, eosId = 0L, shardCol = Some("shard"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(re === got)
+  }
 }
