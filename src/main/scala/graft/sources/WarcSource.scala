@@ -190,13 +190,28 @@ object WarcSource {
       spark.read.format("graft.sources.WarcSource").option("path", path).load())
 
   /** [[crawlText]] over an already-loaded WarcSource frame (batch or
-    * streaming — see [[responseTextOf]]). */
-  def crawlTextOf(warc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * streaming — see [[responseTextOf]]).
+    *
+    * `dropNoindex` (r15, opt-in): honor page-level
+    * `<meta name=robots content=noindex>` — a noindex page must not
+    * enter a SERVED corpus, which is exactly what this chain feeds.
+    * Costs the [[graft.operators.Links.metaRobots]] rlikes as extra
+    * references to the decoded-html alias (collapse re-inlines the
+    * decode per reference — ~2 extra decodes per page when enabled),
+    * which is why it is a flag and not the default: WET-parity
+    * pipelines (q125/q126) keep the historical default, corpora
+    * built for SERVING turn it on. */
+  def crawlTextOf(warc: org.apache.spark.sql.DataFrame,
+      dropNoindex: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    responseTextOf(warc)
-      .filter(col("html").isNotNull)
-      .select(col("target_uri"),
-        graft.functions.Text.stripHtml(col("html")).as("text"))
+    val decoded = responseTextOf(warc).filter(col("html").isNotNull)
+    val kept =
+      if (dropNoindex)
+        graft.operators.Links.metaRobots(decoded, "html")
+          .filter(!col("noindex")).drop("noindex", "nofollow")
+      else decoded
+    kept.select(col("target_uri"),
+      graft.functions.Text.stripHtml(col("html")).as("text"))
   }
 
   /** Split an `application/http` envelope: returns

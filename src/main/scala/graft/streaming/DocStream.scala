@@ -297,13 +297,17 @@ object DocStream {
       // checkpoint advances. Disallowed pages are dropped BEFORE the
       // quality gate and never reach the corpus or index.
       robotsRulesDir: Option[String] = None,
-      robotsAgent: String = "*"): StreamingQuery = {
+      robotsAgent: String = "*",
+      // r15 (opt-in): honor <meta name=robots content=noindex> — a
+      // noindex page never reaches the quality gate / corpus / index.
+      // See WarcSource.crawlTextOf for the cost note.
+      dropNoindex: Boolean = false): StreamingQuery = {
     val raw = spark.readStream.format("graft.sources.WarcSource")
       .option("path", warcDir)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load()
     def pagesOf(frame: DataFrame): DataFrame =
-      graft.sources.WarcSource.crawlTextOf(frame)
+      graft.sources.WarcSource.crawlTextOf(frame, dropNoindex = dropNoindex)
         .select(xxhash64(col("target_uri")).as("doc_id"),
           col("target_uri"), col("text"))
     robotsRulesDir match {

@@ -30,13 +30,18 @@ import graft.streaming.DocStream
   * `<outDir>/robots/` (latest capture per host wins) and its pages
   * gate against the accumulated rules before quality — see
   * [[graft.streaming.DocStream.curateRawCrawl]]'s robots notes.
+  * `noindex` (r15, raw only) honors page-level
+  * `<meta name=robots content=noindex>` — such pages never reach the
+  * quality gate (the in-document half of the exclusion protocol;
+  * costs ~2 extra decode evaluations per page, see
+  * [[graft.sources.WarcSource.crawlTextOf]]).
   * Without `pollSeconds` the run drains what is present and stops
   * (Trigger.AvailableNow — the bounded-run probe); with it the
   * stream keeps polling for new segment files until Ctrl-C, printing
   * `[neardup] batch=… kept=…` per micro-batch. */
 object CrawlCurate {
   private val Usage =
-    "usage: CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [robots] [pollSeconds]"
+    "usage: CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [robots] [noindex] [pollSeconds]"
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, Usage)
     val warcDir = args(0)
@@ -52,7 +57,9 @@ object CrawlCurate {
       else DocStream.CrawlGate.Quality()
     val robots = rest.contains("robots")
     require(!robots || raw, s"robots politeness needs the raw arm — $Usage")
-    val leftovers = rest.filterNot(Set("raw", "wet", "gopher", "quality", "robots"))
+    val noindex = rest.contains("noindex")
+    require(!noindex || raw, s"noindex gating needs the raw arm — $Usage")
+    val leftovers = rest.filterNot(Set("raw", "wet", "gopher", "quality", "robots", "noindex"))
     require(leftovers.length <= 1, Usage)
     val poll = leftovers.headOption.map { s =>
       require(s.nonEmpty && s.forall(_.isDigit),
@@ -64,7 +71,8 @@ object CrawlCurate {
       if (raw) DocStream.curateRawCrawl(spark, warcDir,
         corpusDir = s"$out/corpus", indexDir = s"$out/index",
         checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll,
-        robotsRulesDir = if (robots) Some(s"$out/robots") else None)
+        robotsRulesDir = if (robots) Some(s"$out/robots") else None,
+        dropNoindex = noindex)
       else DocStream.curateWetCrawl(spark, warcDir,
         corpusDir = s"$out/corpus", indexDir = s"$out/index",
         checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll)

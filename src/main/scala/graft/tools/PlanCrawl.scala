@@ -34,7 +34,18 @@ import org.apache.spark.sql.functions._
 object PlanCrawl {
 
   /** The planning pipeline over an already-loaded crawl frame —
-    * spec-drivable without the CLI's session/stdout. */
+    * spec-drivable without the CLI's session/stdout.
+    *
+    * Page-level `<meta name=robots content=nofollow>` is honored: a
+    * nofollow page contributes NO outlinks to discovery (the
+    * directive covers the whole page). Per-ANCHOR rel=nofollow
+    * targets stay candidates — that flag is an endorsement hint
+    * (PageRank's business), not a crawl exclusion. The decoded
+    * frame is pinned (localCheckpoint) before the meta scan + link
+    * extraction so the transfer/content/charset decode chain runs
+    * ONCE per page instead of once per downstream regex reference —
+    * the batch-CLI spelling of the staging contract; segment-sized
+    * by construction (plans run per segment). */
   def plan(crawl: DataFrame, agent: String = "*", nWorkers: Int = 64,
       maxPerHost: Long = Long.MaxValue, defaultDelaySec: Double = 1.0): DataFrame = {
     val rules = Robots.rulesOf(crawl, agent)
@@ -42,11 +53,18 @@ object PlanCrawl {
     def canon(df: DataFrame, c: String) =
       graft.functions.Text.withCanonicalUrl(df.select(col(c).as("url")), "url")
         .select(col("canonical_url").as("url"))
+    val decoded = graft.sources.WarcSource.responseTextOf(crawl)
+      .filter(col("html").isNotNull)
+      .select(col("target_uri"), col("html"))
+      .localCheckpoint(true)
+    val followable = Links.metaRobots(decoded, "html")
+      .filter(!col("nofollow")).drop("noindex", "nofollow")
     val candidates = canon(
         Sitemaps.entriesOf(crawl).select(col("loc").as("url")), "url")
       .unionByName(canon(
         Robots.sitemapsOf(crawl).select(col("sitemap").as("url")), "url"))
-      .unionByName(canon(Links.outlinksOf(crawl).select(col("url")), "url"))
+      .unionByName(canon(
+        Links.outlinks(followable, "target_uri", "html").select(col("url")), "url"))
       .unionByName(canon(
         Links.redirects(crawl).select(col("to_url").as("url")), "url"))
       .distinct()

@@ -167,6 +167,26 @@ class LinksSpec extends SparkSpec {
       "none" -> ((false, false))))
   }
 
+  test("crawlTextOf dropNoindex: noindex pages never reach the text chain (r15)") {
+    def rec(uri: String, body: String) =
+      ("response", uri, 200, "text/html; charset=utf-8",
+        null: String, null: String, body.getBytes("UTF-8"))
+    val crawl = Seq(
+      rec("http://h.example/keep", "<html><body>kept page</body></html>"),
+      rec("http://h.example/drop",
+        "<html><head><meta name=\"robots\" content=\"noindex\"></head>" +
+          "<body>hidden</body></html>"))
+      .toDF("warc_type", "target_uri", "http_status", "http_content_type",
+        "http_content_encoding", "http_transfer_encoding", "body")
+    val kept = graft.sources.WarcSource.crawlTextOf(crawl, dropNoindex = true)
+      .select("target_uri").collect().map(_.getString(0)).toSet
+    assert(kept === Set("http://h.example/keep"))
+    // historical default: both pages flow (WET parity)
+    val all = graft.sources.WarcSource.crawlTextOf(crawl)
+      .select("target_uri").collect().map(_.getString(0)).toSet
+    assert(all.size === 2)
+  }
+
   test("outlinksWithText: nested markup, entities, empty and unclosed anchors") {
     val out = Links.outlinksWithText(Seq(
       ("http://h.example/p",

@@ -22,7 +22,13 @@ class PlanCrawlSpec extends SparkSpec {
           "<url><loc>http://a.example/fetched</loc></url></urlset>")),
       ("p1", "http://a.example/fetched", env("text/html",
         "<html><a href=\"/new3\">x</a><a href=\"/blk/new4\">y</a>" +
-          "<a href=\"http://b.example/x\">z</a></html>")))
+          "<a href=\"http://b.example/x\">z</a></html>")),
+      // page-level meta nofollow: none of this page's links may enter
+      // the candidate set (r15)
+      ("p2", "http://a.example/nf", env("text/html",
+        "<html><head><meta name=\"robots\" content=\"nofollow\"></head>" +
+          "<body><a href=\"/never1\">n</a>" +
+          "<a href=\"http://c.example/never2\">m</a></body></html>")))
       .toDF("k", "u", "p")
     WarcShards.write(rows, "k", "u", "p", base, nShards = 1,
       warcType = "response",
