@@ -2072,6 +2072,32 @@ object SparkEntry {
         .orderBy(col("shard"), col("block_id"))
     },
 
+    // Registered-domain blocklist gate (r15): eTLD+1 extraction
+    // (co.uk keeps 3 labels, ports stripped, case folded, IPv4
+    // literals pass whole) feeding a broadcast deny-join — the
+    // C4/FineWeb URL-filter layer. Blocklist = s{4i}.com, so the
+    // .com arms (deep-subdomain and ported-uppercase) drop exactly
+    // when k ≡ 0 mod 4 and the co.uk/.de/IP arms never do. Twin
+    // re-derives domain and verdict from the %5/%40 arithmetic.
+    "q147_domain_blocklist" -> { (s, dir) =>
+      val k = (col("doc_id") % 40).cast(StringType)
+      val host = when(col("doc_id") % 5 === 0, concat(lit("www.s"), k, lit(".co.uk")))
+        .when(col("doc_id") % 5 === 1, concat(lit("a.b.s"), k, lit(".com")))
+        .when(col("doc_id") % 5 === 2, concat(lit("s"), k, lit(".de")))
+        .when(col("doc_id") % 5 === 3, concat(lit("S"), k, lit(".COM:8080")))
+        .otherwise(concat(lit("192.168.0."), (col("doc_id") % 200).cast(StringType)))
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(lit("http://"), host, lit("/p"),
+          col("doc_id").cast(StringType)).as("url"))
+      val blocked = s.range(10).select(
+        concat(lit("s"), (col("id") * 4).cast(StringType), lit(".com")).as("domain"))
+      Links.gateByDomain(docs, "url", blocked)
+        .withColumn("registered_domain",
+          Links.registeredDomain(operators.Robots.hostOf(col("url"))))
+        .select(col("doc_id"), col("registered_domain"))
+        .orderBy(col("doc_id"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -4385,6 +4411,21 @@ object SparkEntry {
         |  count(*) as n_tokens
         |from t group by shard, p // 16
         |order by shard, block_id""".stripMargin,
+
+    // domain-blocklist twin (r15): registered domain + deny verdict
+    // from the %5/%40 arithmetic (the .com arms block at k ≡ 0 mod 4)
+    "q147_domain_blocklist" ->
+      """with d as (select doc_id, doc_id % 40 as k, doc_id % 5 as m from documents)
+        |select doc_id,
+        |  case m
+        |    when 0 then 's' || k || '.co.uk'
+        |    when 1 then 's' || k || '.com'
+        |    when 2 then 's' || k || '.de'
+        |    when 3 then 's' || k || '.com'
+        |    else '192.168.0.' || (doc_id % 200) end as registered_domain
+        |from d
+        |where not (m in (1, 3) and k % 4 = 0)
+        |order by doc_id""".stripMargin,
 
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)

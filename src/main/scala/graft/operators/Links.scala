@@ -349,6 +349,77 @@ object Links {
       .agg(count(lit(1)).as("n_links"))
       .withColumn("internal", col("src_host") === col("dst_host"))
 
+  /** High-traffic two-level public suffixes (the co.uk class). A
+    * deliberate SUBSET of the Public Suffix List: the PSL is a
+    * 10k-line data file that changes monthly — production deploys
+    * pass their vendored copy via the `multiSuffixes` parameter; this
+    * default covers the registries that carry most crawl traffic, so
+    * zero-config behavior is right for the common case and WRONG only
+    * toward over-grouping rare ccTLD registrations (documented, loud
+    * in the scaladoc, never silent data loss — a blocklist gate built
+    * on it is conservative in the deny direction only if the list the
+    * user supplies is built with the same suffix table). */
+  val DefaultMultiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.mx", "com.ar", "com.cl", "com.co", "com.pe", "com.ve",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.in", "net.in", "org.in", "ac.in",
+    "co.kr", "or.kr", "ac.kr",
+    "com.tw", "org.tw", "com.hk", "com.sg", "com.my",
+    "co.za", "org.za", "com.tr", "com.ua", "co.il", "org.il",
+    "com.pl", "net.pl", "org.pl",
+    "co.th", "com.vn", "com.ph", "com.eg", "com.sa", "com.ng")
+
+  /** Registered domain (eTLD+1 approximation) of a host: port
+    * stripped, lowercased; IPv4 literals pass through whole (an IP
+    * has no registrar); hosts whose last two labels form a known
+    * multi-level suffix keep three labels, everything else keeps two.
+    * The suffix table is [[DefaultMultiSuffixes]] unless the caller
+    * supplies the full PSL — see that val's honesty note. This is the
+    * grouping key domain-level curation wants ([[Corpus.curateByDomain]],
+    * blocklists, per-domain boilerplate): `sub.a.example.co.uk` and
+    * `www.example.co.uk` must land in ONE bucket, which bare
+    * [[Robots.hostOf]] grouping gets wrong. */
+  def registeredDomain(host: Column,
+      multiSuffixes: Seq[String] = DefaultMultiSuffixes): Column = {
+    val h = lower(regexp_replace(host, ":\\d+$", ""))
+    val parts = split(h, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".", element_at(parts, -3), element_at(parts, -2),
+      element_at(parts, -1))
+    when(h.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"), h)
+      .when(n <= lit(2), h)
+      .when(last2.isin(multiSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Domain blocklist/allowlist gate: keep rows whose REGISTERED
+    * domain (of the URL's host) is absent from `domains` (`deny`,
+    * default) or present in it (`allow`). `domains` is a 1-column
+    * frame of registered domains — broadcast-joined (blocklists are
+    * thousands to low millions of rows: small against the corpus, and
+    * the join key is the constant-width domain, never the URL). Build
+    * `domains` with the SAME suffix table this gate uses, or co.uk
+    * entries will silently miss. */
+  def gateByDomain(df: DataFrame, urlCol: String, domains: DataFrame,
+      mode: String = "deny",
+      multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame = {
+    require(mode == "deny" || mode == "allow", s"gateByDomain: bad mode $mode")
+    val keyed = df.withColumn("_rdom",
+      registeredDomain(Robots.hostOf(col(urlCol)), multiSuffixes))
+    val list = broadcast(
+      domains.toDF("_rdom").select(lower(col("_rdom")).as("_rdom")).distinct())
+    val joined =
+      if (mode == "deny") keyed.join(list, Seq("_rdom"), "left_anti")
+      else keyed.join(list, Seq("_rdom"), "left_semi")
+    joined.drop("_rdom")
+  }
+
   /** Exact floor division on nonnegative int64 columns.
     * `(a − a mod b)` is an exact multiple of b; both operands and the
     * quotient stay below 2^53 for every value this file produces

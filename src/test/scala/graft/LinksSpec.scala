@@ -167,6 +167,26 @@ class LinksSpec extends SparkSpec {
       "none" -> ((false, false))))
   }
 
+  test("registeredDomain: suffix table, ports, IPs, shallow hosts; gateByDomain allow mode") {
+    val cases = Seq(
+      "www.example.co.uk" -> "example.co.uk",
+      "a.b.c.example.com" -> "example.com",
+      "Example.COM:8080" -> "example.com",
+      "example.de" -> "example.de",
+      "localhost" -> "localhost",
+      "192.168.0.7" -> "192.168.0.7",
+      "deep.sub.site.com.au" -> "site.com.au")
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), Links.registeredDomain(col("h")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((h, want) <- cases) assert(got(h) === want, s"host $h")
+    val docs = Seq("http://a.keep.com/1", "http://b.drop.com/2").toDF("url")
+    val allow = Seq("keep.com").toDF("domain")
+    val kept = Links.gateByDomain(docs, "url", allow, mode = "allow")
+      .collect().map(_.getString(0)).toSeq
+    assert(kept === Seq("http://a.keep.com/1"))
+  }
+
   test("crawlTextOf dropNoindex: noindex pages never reach the text chain (r15)") {
     def rec(uri: String, body: String) =
       ("response", uri, 200, "text/html; charset=utf-8",
