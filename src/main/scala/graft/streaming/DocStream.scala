@@ -382,6 +382,50 @@ object DocStream {
       .start()
   }
 
+  /** Streaming host-link-graph accumulation (r15) — the link-layer
+    * sibling of [[profileCrawlHealth]], same idempotence-via-layout
+    * contract: each micro-batch's outlinks ([[graft.operators.Links.outlinksOf]],
+    * nofollow anchors EXCLUDED — this table exists to feed
+    * [[graft.operators.Links.pageRank]], where nofollow edges must
+    * not count) aggregate to `(src_host, dst_host, n_links,
+    * internal)` and land in a deterministic `batch_id=N` partition
+    * with overwrite — a crash-replayed batch rewrites its own
+    * partition, exactly-once with no state store, available ONLY
+    * because edge extraction is stateless per batch. Read side:
+    * `sum(n_links) group by (src_host, dst_host)` over `edgesDir`
+    * equals the batch [[graft.operators.Links.hostGraph]] over the
+    * same segments (spec-asserted); feed that to pageRank on
+    * whatever cadence ranking wants — rank refresh stays a BATCH
+    * decision, the stream only keeps the edge table current. */
+  def profileLinkGraph(
+      spark: SparkSession,
+      warcDir: String,
+      edgesDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 16,
+      pollInterval: Option[String] = None): StreamingQuery = {
+    val trigger = pollInterval
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    spark.readStream.format("graft.sources.WarcSource")
+      .option("path", warcDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Links.hostGraph(
+            graft.operators.Links.outlinksOf(batch)
+              .filter(!org.apache.spark.sql.functions.col("nofollow")))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$edgesDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** The [[curateNearDup]] loop over ANY streaming frame with
     * `(doc_id, text)` columns (extra columns ride into the corpus).
     *

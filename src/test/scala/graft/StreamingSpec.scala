@@ -883,4 +883,47 @@ class StreamingSpec extends SparkSpec {
       maxFilesPerTrigger = 2).awaitTermination()
     assert(canon(spark.read.parquet(health)) === canon(batchProfile))
   }
+
+  test("streaming link graph equals the batch host graph, nofollow excluded (r15)") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    import graft.sinks.WarcShards
+    import graft.operators.Links
+    val warcDir = Files.createTempDirectory("links_in").toString
+    val edges = Files.createTempDirectory("links_out").toString + "/edges"
+    val ckpt = Files.createTempDirectory("links_ckpt").toString
+    def env(i: Int): Array[Byte] = {
+      val body = (s"<html><a href=\"http://t${i % 3}.example/x\">a</a>" +
+        s"<a rel=nofollow href=\"http://bad.example/n\">b</a>" +
+        s"<a href=\"/self$i\">c</a></html>").getBytes("UTF-8")
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8" +
+        s"\r\nContent-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+    }
+    WarcShards.write(
+      (0 until 24).map(i => (i.toString, s"http://s${i % 4}.example/p$i", env(i)))
+        .toDF("k", "u", "p"),
+      "k", "u", "p", warcDir, nShards = 4,
+      warcType = "response",
+      contentType = "application/http; msgtype=response")
+    DocStream.profileLinkGraph(spark, warcDir, edges, ckpt,
+      maxFilesPerTrigger = 2).awaitTermination()
+    val crawl = spark.read.format("graft.sources.WarcSource")
+      .option("path", warcDir).load()
+    val batchGraph = Links.hostGraph(
+      Links.outlinksOf(crawl).filter(!col("nofollow")))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_links")).as("n"))
+      .orderBy(col("src_host"), col("dst_host"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val streamed = spark.read.parquet(edges)
+    assert(streamed.select("batch_id").distinct().count() >= 2)
+    assert(canon(streamed) === canon(batchGraph))
+    // the nofollow edge never lands
+    assert(streamed.filter(col("dst_host") === "bad.example").isEmpty)
+    // drained checkpoint: re-run rewrites nothing
+    DocStream.profileLinkGraph(spark, warcDir, edges, ckpt,
+      maxFilesPerTrigger = 2).awaitTermination()
+    assert(canon(spark.read.parquet(edges)) === canon(batchGraph))
+  }
 }
