@@ -4403,12 +4403,14 @@ object SparkEntry {
         |o as (select doc_id, shard, len,
         |    coalesce(sum(len + 1) over (partition by shard order by doc_id
         |      rows between unbounded preceding and 1 preceding), 0) as st from d),
-        |t as (select shard, cast(o.st + u.i as bigint) as p,
+        |t as (select shard, cast(o.st + u.i as bigint) as p, u.i as i,
         |    case when u.i < len then doc_id * 100 + u.i else 0 end as tok
         |  from o, unnest(generate_series(0, o.len)) as u(i))
         |select shard, p // 16 as block_id,
         |  string_agg(cast(tok as varchar), ' ' order by p) as token_ids,
-        |  count(*) as n_tokens
+        |  count(*) as n_tokens,
+        |  coalesce(string_agg(case when i = 0 then cast(p % 16 as varchar) end,
+        |    ' ' order by p), '') as doc_starts
         |from t group by shard, p // 16
         |order by shard, block_id""".stripMargin,
 

@@ -114,9 +114,14 @@ object Chunking {
     * per shard, emitted SHORT (`n_tokens < blockSize`) for the caller
     * to pad or drop; nothing is silently truncated.
     *
-    * Output: `([shard,] block_id, token_ids, n_tokens)` with
-    * `token_ids` a space-joined string (the q104 binary exporter is
-    * the typed path; a string survives every comparator).
+    * Output: `([shard,] block_id, token_ids, n_tokens, doc_starts)`
+    * with `token_ids` a space-joined string (the q104 binary exporter
+    * is the typed path; a string survives every comparator) and
+    * `doc_starts` the block-relative offsets where documents BEGIN
+    * (same encoding) — the attention-mask input: a trainer that must
+    * not attend across document boundaries needs exactly these
+    * positions, and recovering them downstream would mean re-scanning
+    * for EOS tokens that legitimate text can also contain.
     *
     * Scale shape: one cumulative-offset window per shard (the
     * [[offsetWindow]] discipline — never global), then the per-token
@@ -150,6 +155,11 @@ object Chunking {
         array_join(transform(
           array_sort(collect_list(struct(col("_p").as("p"), col("_tok").as("t")))),
           x => x.getField("t").cast("string")), " ").as("token_ids"),
-        count(lit(1)).as("n_tokens"))
+        count(lit(1)).as("n_tokens"),
+        // collect_list skips the nulls of non-start positions; blocks
+        // with no document start yield "" (mid-document continuation)
+        array_join(transform(
+          array_sort(collect_list(when(col("_i") === 0, pmod(col("_p"), b)))),
+          x => x.cast("string")), " ").as("doc_starts"))
   }
 }

@@ -76,22 +76,23 @@ class ChunkingSpec extends SparkSpec {
       ("A", 1L, Seq(10L, 11L, 12L)), ("A", 2L, Seq(20L, 21L)),
       ("B", 3L, Seq(30L, 31L, 32L, 33L, 34L)))
       .toDF("shard", "doc_id", "toks")
-    val got = Chunking.packTokenBlocks(docs, "doc_id", "toks",
-        blockSize = 4, eosId = 0L, shardCol = Some("shard"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
-      .toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Chunking.packTokenBlocks(df, "doc_id", "toks",
+          blockSize = 4, eosId = 0L, shardCol = Some("shard"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3), r.getString(4))))
+        .toMap
+    val got = run(docs)
+    // doc_starts: block-relative offsets where documents begin —
+    // A/0 starts doc1 at 0; A/1 starts doc2 at 0 (p=4); B/1 is a
+    // mid-document continuation (no starts)
     assert(got === Map(
-      ("A", 0L) -> (("10 11 12 0", 4L)),
-      ("A", 1L) -> (("20 21 0", 3L)),
-      ("B", 0L) -> (("30 31 32 33", 4L)),
-      ("B", 1L) -> (("34 0", 2L))))
+      ("A", 0L) -> (("10 11 12 0", 4L, "0")),
+      ("A", 1L) -> (("20 21 0", 3L, "0")),
+      ("B", 0L) -> (("30 31 32 33", 4L, "0")),
+      ("B", 1L) -> (("34 0", 2L, ""))))
     // partition-order invariance: the placement is pure arithmetic
-    val re = Chunking.packTokenBlocks(docs.repartition(7), "doc_id", "toks",
-        blockSize = 4, eosId = 0L, shardCol = Some("shard"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
-      .toMap
-    assert(re === got)
+    assert(run(docs.repartition(7)) === got)
   }
 }
