@@ -2098,6 +2098,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Per-host response profile (r15): status-class counts and
+    // envelope-parse failures keyed by host, through real WARC bytes
+    // — a 200/301/404/503 rotation per doc with a %13 malformed-
+    // payload arm (not an HTTP message → unparsed, overriding the
+    // status arm). sum_bytes stays OUT of the gate (envelope byte
+    // arithmetic belongs to the writer, not this oracle). Twin
+    // re-derives every counter from the %6/%4/%13 arithmetic.
+    "q148_host_profile" -> { (s, dir) =>
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q148").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast(StringType)
+      val status = element_at(array(lit("200 OK"), lit("301 Moved Permanently"),
+        lit("404 Not Found"), lit("503 Service Unavailable")),
+        (col("doc_id") % 4).cast(IntegerType) + 1)
+      val body = lit("profile body")
+      val good = concat(
+        concat(lit("HTTP/1.1 "), status,
+          lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+          octet_length(body.cast(BinaryType)).cast(StringType),
+          lit("\r\n\r\n")).cast(BinaryType), body.cast(BinaryType))
+      val payload = when(col("doc_id") % 13 === 0,
+          lit("GARBAGE this is not an http message").cast(BinaryType))
+        .otherwise(good)
+      val recs = docs.select(id.as("k"),
+        concat(lit("http://hp"), (col("doc_id") % 6).cast(StringType),
+          lit(".example/p"), id).as("u"), payload.as("p"))
+      WarcShards.write(recs, "k", "u", "p", base, nShards = 4,
+        warcType = "response", contentType = "application/http; msgtype=response")
+      Corpus.hostProfile(
+          s.read.format("graft.sources.WarcSource").option("path", base).load())
+        .select(col("host"), col("n_responses"), col("n_2xx"), col("n_3xx"),
+          col("n_4xx"), col("n_5xx"), col("n_unparsed"))
+        .orderBy(col("host"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -4416,6 +4455,21 @@ object SparkEntry {
 
     // domain-blocklist twin (r15): registered domain + deny verdict
     // from the %5/%40 arithmetic (the .com arms block at k ≡ 0 mod 4)
+    // host-profile twin (r15): the %6/%4/%13 counter arithmetic (the
+    // malformed arm overrides the status class)
+    "q148_host_profile" ->
+      """with d as (select doc_id,
+        |    'hp' || (doc_id % 6) || '.example' as host,
+        |    doc_id % 4 as m, (doc_id % 13 = 0) as bad from documents)
+        |select host,
+        |  count(*) as n_responses,
+        |  cast(sum(case when not bad and m = 0 then 1 else 0 end) as bigint) as n_2xx,
+        |  cast(sum(case when not bad and m = 1 then 1 else 0 end) as bigint) as n_3xx,
+        |  cast(sum(case when not bad and m = 2 then 1 else 0 end) as bigint) as n_4xx,
+        |  cast(sum(case when not bad and m = 3 then 1 else 0 end) as bigint) as n_5xx,
+        |  cast(sum(case when bad then 1 else 0 end) as bigint) as n_unparsed
+        |from d group by host order by host""".stripMargin,
+
     "q147_domain_blocklist" ->
       """with d as (select doc_id, doc_id % 40 as k, doc_id % 5 as m from documents)
         |select doc_id,

@@ -1129,4 +1129,32 @@ object Corpus {
       n(decoded && col("_html").isNull).as("n_charset_null"),
       n(col("_html").isNotNull).as("n_pages"))
   }
+
+  /** Per-HOST response profile (r15) — the blocklist-builder's
+    * complement of the per-shard [[crawlHealth]]: status-class mix,
+    * envelope-parse failures and byte volume keyed by host. A host
+    * serving 90% errors, or one host dominating a segment's bytes, is
+    * a frontier decision ([[graft.operators.Links.gateByDomain]] /
+    * `maxPerHost`) — and the signal has to be host-keyed to act on.
+    * One map-side-combinable aggregation on the constant-width host
+    * key; `sum_bytes` counts WARC payload (envelope) bytes — the cost
+    * a fetcher actually paid, headers included. */
+  def hostProfile(warc: DataFrame): DataFrame = {
+    val isResponse = col("warc_type") === "response"
+    def n(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    warc
+      .filter(isResponse)
+      .select(graft.operators.Robots.hostOf(col("target_uri")).as("host"),
+        col("http_status").as("_st"), col("content_length").as("_len"))
+      .filter(col("host") =!= "")
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_responses"),
+        n(col("_st").between(200, 299)).as("n_2xx"),
+        n(col("_st").between(300, 399)).as("n_3xx"),
+        n(col("_st").between(400, 499)).as("n_4xx"),
+        n(col("_st").between(500, 599)).as("n_5xx"),
+        n(col("_st").isNull).as("n_unparsed"),
+        sum(col("_len")).as("sum_bytes"))
+  }
 }

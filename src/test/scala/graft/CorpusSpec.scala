@@ -680,4 +680,24 @@ class CorpusSpec extends SparkSpec {
     // null text: null output, null counters
     assert(out(8L) === ((None, None, None)))
   }
+
+  test("hostProfile: status classes, unparsed envelopes, non-responses excluded (r15)") {
+    import spark.implicits._
+    val rows = Seq[(String, String, Option[Int], Long)](
+      ("response", "http://a.example/1", Some(200), 100L),
+      ("response", "http://a.example/2", Some(301), 50L),
+      ("response", "http://a.example/3", None, 20L),
+      ("response", "http://b.example/1", Some(503), 10L),
+      ("conversion", "http://a.example/wet", Some(200), 5L),
+      ("response", "not-a-url", Some(200), 5L))
+      .toDF("warc_type", "target_uri", "http_status", "content_length")
+    val got = graft.operators.Corpus.hostProfile(rows)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got === Map(
+      "a.example" -> ((3L, 1L, 1L, 0L, 1L, 170L)),
+      "b.example" -> ((1L, 0L, 0L, 1L, 0L, 10L))))
+  }
 }
