@@ -2137,6 +2137,32 @@ object SparkEntry {
         .orderBy(col("host"))
     },
 
+    // C4 cleaning rules (r15): Raffel 2020's line gate (terminal
+    // punctuation + ≥5 words) with the page blocks (curly brace,
+    // "lorem ipsum" case-insensitive) and the ≥2-surviving-lines
+    // floor — one arm per rule, all from doc_id arithmetic: the %7
+    // docs lose their second good line (page fails the floor), %13
+    // adds a brace line, %17 a Lorem Ipsum line (blocked even though
+    // the lorem line itself fails the line gate). Twin re-derives
+    // every flag, counter and the cleaned text.
+    "q149_c4_clean" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val l1 = concat(lit("This is a good long sentence number "), id, lit("."))
+      val l4 = when(col("doc_id") % 7 =!= 0,
+          concat(lit("Another proper sentence with enough words "), id, lit("!")))
+        .otherwise(lit("short."))
+      val base = concat_ws("\n", l1, lit("Tiny line."),
+        lit("No terminal punctuation in this line at all"), l4)
+      val withBrace = when(col("doc_id") % 13 === 0,
+        concat(base, lit("\ncode { brace"))).otherwise(base)
+      val text = when(col("doc_id") % 17 === 0,
+        concat(withBrace, lit("\nContains Lorem Ipsum filler."))).otherwise(withBrace)
+      Corpus.c4Clean(
+          Tables(s, dir, "documents").select(col("doc_id"), text.as("text")),
+          "doc_id", "text", minLineWords = 5, minLines = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -4455,6 +4481,24 @@ object SparkEntry {
 
     // domain-blocklist twin (r15): registered domain + deny verdict
     // from the %5/%40 arithmetic (the .com arms block at k ≡ 0 mod 4)
+    // c4-clean twin (r15): every rule re-derived from the %7/%13/%17
+    // arithmetic — kept pages rebuild their two surviving lines
+    "q149_c4_clean" ->
+      """with d as (select doc_id,
+        |    (doc_id % 7 <> 0) as l4ok,
+        |    (doc_id % 13 = 0) as brace, (doc_id % 17 = 0) as lorem
+        |  from documents)
+        |select doc_id,
+        |  (l4ok and not brace and not lorem) as kept,
+        |  cast(4 + case when brace then 1 else 0 end
+        |    + case when lorem then 1 else 0 end as bigint) as n_lines,
+        |  cast(case when l4ok then 2 else 1 end as bigint) as n_kept,
+        |  case when l4ok and not brace and not lorem then
+        |    'This is a good long sentence number ' || doc_id || '.' || chr(10) ||
+        |    'Another proper sentence with enough words ' || doc_id || '!'
+        |  end as text_clean
+        |from d order by doc_id""".stripMargin,
+
     // host-profile twin (r15): the %6/%4/%13 counter arithmetic (the
     // malformed arm overrides the status class)
     "q148_host_profile" ->

@@ -1157,4 +1157,59 @@ object Corpus {
         n(col("_st").isNull).as("n_unparsed"),
         sum(col("_len")).as("sum_bytes"))
   }
+
+  /** C4-style page cleaning (r15) — the named rule set of Raffel
+    * 2020 §2.2 ("Colossal Clean Crawled Corpus"), line-level half:
+    * a line survives iff it ends in a terminal punctuation mark AND
+    * carries at least `minLineWords` words; a PAGE survives iff at
+    * least `minLines` lines survived and it contains none of
+    * `blockPhrases` (case-insensitive substring — C4's "lorem ipsum")
+    * and none of `blockChars` (C4 drops every page with a curly
+    * brace: code). The corpus-wide three-sentence-span dedup that
+    * completes C4 is [[graft.operators.Dedup.removeDuplicatedSpans]]
+    * — composable, deliberately not re-done here; the bad-words list
+    * is the caller's (pass its phrases in `blockPhrases`).
+    *
+    * Output: `(idCol, kept, n_lines, n_kept, text_clean)` — one row
+    * per input page (never a silent drop), `text_clean` null for
+    * rejected pages. Shape: one Generate (line explode), line rules
+    * on the generated attribute (never inside a lambda — the
+    * HOF-staging contract), one groupBy(id) reassembly; doc-level
+    * block flags are cheap `contains` checks computed once per page
+    * and carried through the aggregate. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minLines: Int = 3,
+      blockPhrases: Seq[String] = Seq("lorem ipsum"),
+      blockChars: Seq[String] = Seq("{")): DataFrame = {
+    // null text normalizes to "" up front — otherwise the contains
+    // checks go three-valued and `kept` leaks null instead of false
+    val safeText = coalesce(col(textCol), lit(""))
+    val lowered = lower(safeText)
+    val blocked = (blockPhrases.map(p => lowered.contains(p.toLowerCase)) ++
+      blockChars.map(c => safeText.contains(c)))
+      .foldLeft(lit(false))(_ || _)
+    val lines = df
+      .select(col(idCol), blocked.as("_blocked"),
+        posexplode(split(safeText, "\n")).as(Seq("_ln", "_l0")))
+      .withColumn("_t", trim(col("_l0")))
+      .withColumn("_nw",
+        size(filter(split(col("_t"), " "), x => x =!= "")))
+      .withColumn("_keep",
+        col("_t").rlike("[.!?\"]$") && col("_nw") >= minLineWords)
+    lines
+      .groupBy(col(idCol))
+      .agg(
+        first(col("_blocked")).as("_blocked"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("_ln").as("i"), col("_t").as("t"))))),
+          x => x.getField("t")), "\n").as("_clean"))
+      .select(col(idCol),
+        (!col("_blocked") && col("n_kept") >= minLines).as("kept"),
+        col("n_lines"), col("n_kept"),
+        when(!col("_blocked") && col("n_kept") >= minLines, col("_clean"))
+          .as("text_clean"))
+  }
 }

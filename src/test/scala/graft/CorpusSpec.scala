@@ -681,6 +681,29 @@ class CorpusSpec extends SparkSpec {
     assert(out(8L) === ((None, None, None)))
   }
 
+  test("c4Clean: line gate, page blocks, floor, null text (r15)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A perfectly fine sentence with words.\nshort.\nAnother good long sentence right here!"),
+      (2L, "A perfectly fine sentence with words.\nnothing else survives here"),
+      (3L, "Good first sentence with five words.\nGood second sentence with five words.\nvar x = { a: 1 }"),
+      (4L, "Good first sentence with five words.\nGood second sentence with five words.\nLOREM IPSUM dolor."),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Corpus.c4Clean(docs, "doc_id", "text",
+        minLineWords = 5, minLines = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)))))
+      .toMap
+    assert(got(1L) === ((true, 3L, 2L, Some(
+      "A perfectly fine sentence with words.\nAnother good long sentence right here!"))))
+    assert(got(2L) === ((false, 2L, 1L, None))) // floor
+    assert(got(3L) === ((false, 3L, 2L, None))) // curly brace
+    assert(got(4L) === ((false, 3L, 2L, None))) // lorem ipsum, case-folded
+    assert(got(5L)._1 === false)                // null text: one empty line, kept=false
+  }
+
   test("hostProfile: status classes, unparsed envelopes, non-responses excluded (r15)") {
     import spark.implicits._
     val rows = Seq[(String, String, Option[Int], Long)](
