@@ -2163,6 +2163,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Recrawl staleness (r15): sitemap lastmod vs the fetch log —
+    // odd ids never fetched (new); even ids compare a %28-derived
+    // lastmod to a (3·id)%28-derived fetch date (modified/fresh);
+    // the %3 arm drops lastmod entirely and falls back to the
+    // 30-day age rule (aged/fresh). Dates as real DATEs, age as
+    // exact day counts; twin re-derives all of it.
+    "q150_recrawl_status" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val entries = Tables(s, dir, "documents").select(
+        concat(lit("http://rc.example/p"), id).as("loc"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit("2026-01-"),
+            lpad(((col("doc_id") % 28) + 1).cast(StringType), 2, "0"),
+            lit("T08:30:00Z"))).as("lastmod"))
+      val fetched = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(concat(lit("http://rc.example/p"), id).as("url"),
+          concat(lit("2026-01-"),
+            lpad(((col("doc_id") * 3 % 28) + 1).cast(StringType), 2, "0"))
+            .as("fetched_at"))
+      operators.Frontier.recrawlStatus(entries, "loc", "lastmod",
+          fetched, "url", "fetched_at", asOf = "2026-02-15", maxAgeDays = 30)
+        .orderBy(col("url"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -4481,6 +4506,25 @@ object SparkEntry {
 
     // domain-blocklist twin (r15): registered domain + deny verdict
     // from the %5/%40 arithmetic (the .com arms block at k ≡ 0 mod 4)
+    // recrawl twin (r15): new/modified/aged/fresh from the parity,
+    // %28 date and 30-day age arithmetic; age = days from the fetch
+    // date to 2026-02-15 (= 46 − day-of-month, exact)
+    "q150_recrawl_status" ->
+      """with d as (select doc_id,
+        |    'http://rc.example/p' || doc_id as url,
+        |    (doc_id % 2 = 0) as was_fetched,
+        |    (doc_id % 3 <> 0) as has_lm,
+        |    (doc_id % 28) + 1 as lm_day,
+        |    ((doc_id * 3) % 28) + 1 as ft_day
+        |  from documents)
+        |select url,
+        |  case when not was_fetched then 'new'
+        |       when has_lm and lm_day > ft_day then 'modified'
+        |       when not has_lm and 46 - ft_day >= 30 then 'aged'
+        |       else 'fresh' end as status,
+        |  case when was_fetched then cast(46 - ft_day as bigint) end as age_days
+        |from d order by url""".stripMargin,
+
     // c4-clean twin (r15): every rule re-derived from the %7/%13/%17
     // arithmetic — kept pages rebuild their two surviving lines
     "q149_c4_clean" ->

@@ -71,4 +71,44 @@ object Frontier {
       .select(col(urlCol), col("host"), col("worker"), col("seq"),
         col("delay_ms"), col("fetch_offset_ms"))
   }
+
+  /** Recrawl staleness from sitemap `lastmod` vs the fetch log (r15)
+    * — the consumer of [[Sitemaps.parse]]'s lastmod column: per URL,
+    * `status` ∈
+    *  - `new`      — never fetched;
+    *  - `modified` — the sitemap declares a lastmod AFTER our fetch
+    *                 (the publisher told us; trust it);
+    *  - `aged`     — no usable lastmod and the fetch is ≥ maxAgeDays
+    *                 old (fall back to age-based refresh);
+    *  - `fresh`    — everything else, including lastmod ≤ fetch date
+    *                 (an old lastmod is a statement the page has NOT
+    *                 changed — age does not override it).
+    *
+    * `asOf` is an explicit ISO date so plans are deterministic and
+    * replayable (never wall-clock). Dates compare as DATE; a
+    * W3C-datetime lastmod contributes its date part; an unparsable
+    * lastmod reads as absent (to_date's null, loud in `status` only
+    * as the age fallback — malformed sitemup dates are routine).
+    * Output `(url, status, age_days)` (age null when never fetched)
+    * — feed `status`-derived priorities into [[schedule]]'s
+    * `rankCol`. One broadcast-sized join against the fetch log's
+    * projection; everything else is date arithmetic. */
+  def recrawlStatus(entries: DataFrame, locCol: String, lastmodCol: String,
+      fetched: DataFrame, urlCol: String, fetchedCol: String,
+      asOf: String, maxAgeDays: Int = 30): DataFrame = {
+    val e = entries.select(col(locCol).as("url"),
+      to_date(col(lastmodCol).substr(1, 10)).as("_lm"))
+    val f = fetched.select(col(urlCol).as("url"),
+      to_date(col(fetchedCol)).as("_ft")).distinct()
+    e.join(f, Seq("url"), "left")
+      .withColumn("age_days",
+        when(col("_ft").isNotNull,
+          datediff(lit(asOf).cast("date"), col("_ft")).cast(LongType)))
+      .withColumn("status",
+        when(col("_ft").isNull, lit("new"))
+          .when(col("_lm").isNotNull && col("_lm") > col("_ft"), lit("modified"))
+          .when(col("_lm").isNull && col("age_days") >= maxAgeDays, lit("aged"))
+          .otherwise(lit("fresh")))
+      .select(col("url"), col("status"), col("age_days"))
+  }
 }

@@ -40,6 +40,27 @@ class FrontierSpec extends SparkSpec {
       java.lang.Math.floorMod(h0, 4L))
   }
 
+  test("recrawlStatus: new/modified/aged/fresh matrix, malformed lastmod falls back") {
+    val entries = Seq(
+      ("u1", "2026-02-01"),                  // fetched Jan 10, lm after → modified
+      ("u2", "2026-01-05T09:00:00Z"),        // lm before fetch → fresh (trust it)
+      ("u3", null.asInstanceOf[String]),     // no lm, fetched Jan 1 → aged (45d)
+      ("u4", "garbage-date"),                // unparsable lm, fetched Feb 10 → fresh (5d)
+      ("u5", "2026-02-01"))                  // never fetched → new
+      .toDF("loc", "lastmod")
+    val fetched = Seq(("u1", "2026-01-10"), ("u2", "2026-01-10"),
+      ("u3", "2026-01-01"), ("u4", "2026-02-10")).toDF("url", "fetched_at")
+    val got = graft.operators.Frontier.recrawlStatus(entries, "loc", "lastmod",
+        fetched, "url", "fetched_at", asOf = "2026-02-15", maxAgeDays = 30)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got === Map(
+      "u1" -> (("modified", 36L)), "u2" -> (("fresh", 36L)),
+      "u3" -> (("aged", 45L)), "u4" -> (("fresh", 5L)),
+      "u5" -> (("new", -1L))))
+  }
+
   test("maxPerHost truncates each host's cycle; rankCol orders the queue") {
     val urls = Seq(
       ("http://h.example/low", 9L), ("http://h.example/high", 1L),
