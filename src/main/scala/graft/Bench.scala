@@ -81,6 +81,25 @@ object Bench {
     "q123_langid_serve" -> "md5",
     "q128_trained_lang_composition" -> "md5")
 
+  /** The streaming-drain family (r16, the r15 verdict's #6): these
+    * queries run a checkpointed Structured Streaming drain end-to-end
+    * (fresh checkpoint + index dirs per run), so they CANNOT warm —
+    * every run pays checkpoint creation, micro-batch scheduling and
+    * index/corpus compaction from cold, and their min↔med spreads ran
+    * up to 1.8x in r15's full pass. Not a code property worth fixing
+    * (a warmed drain would measure a different thing than the gate
+    * gates), so the artifact marks them the way `io_family` marks
+    * host-disk sensitivity: each drain runs in its OWN singleton
+    * child JVM in the main pass, and additionally gets one automatic
+    * quiet re-measure after the pass (carried in `remeasured` beside
+    * the full-run median) so a cross-round comparison always has a
+    * quiet number to cite without a manual noise hunt. q128 is noisy
+    * for a different reason (md5 oracle family) and is already marked
+    * under `langid_family`. */
+  val DrainFamily: Set[String] = Set(
+    "q124_crawl_drain", "q126_raw_crawl_drain", "q129_embedding_drain",
+    "q130_media_drain", "q135_robots_drain")
+
   /** Per-query measurement record: the median is the citable number
     * (unchanged contract); min/max of the timed runs plus the warmup
     * count make a stalled host window machine-detectable in the
@@ -121,7 +140,11 @@ object Bench {
     val t0 = System.nanoTime()
     val famSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAMILY", "4").toInt.max(1)
     val names = selectedNames()
-    val families = names.grouped(famSize).toSeq
+    // Drains are isolated into singleton families (quiet JVM by
+    // construction — their medians should never absorb a sibling's
+    // GC/compaction debt); the rest keep the stable sorted grouping.
+    val (drainNames, restNames) = names.partition(DrainFamily)
+    val families = restNames.grouped(famSize).toSeq ++ drainNames.map(Seq(_))
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     import scala.jdk.CollectionConverters._
@@ -177,10 +200,18 @@ object Bench {
     val outliers = results.toSeq.collect {
       case (n, st) if st.min > 0 && st.max / st.min > spreadMax => n
     }
-    val remeasured = outliers.flatMap { n =>
+    // Drains always get the quiet re-measure (r16): their main-pass
+    // child is already quiet, but a second independent drain run is
+    // the cheapest cross-round adjudication signal for a family whose
+    // per-run spread is structural (checkpointed streams can't warm).
+    val toRemeasure = (outliers ++ results.keys.filter(DrainFamily)).distinct
+    val remeasured = toRemeasure.flatMap { n =>
       val st = results(n)
-      System.err.println(f"[bench] spread outlier $n (max/min ${st.max / st.min}%.2f " +
-        f"> $spreadMax); quiet single-query re-measure")
+      if (DrainFamily(n))
+        System.err.println(s"[bench] drain-family $n; quiet single-query re-measure")
+      else
+        System.err.println(f"[bench] spread outlier $n (max/min ${st.max / st.min}%.2f " +
+          f"> $spreadMax); quiet single-query re-measure")
       runChild(Seq(n)).flatMap(_.get(n)) match {
         case Some(st2) => Some(n -> st2.median)
         case None =>
@@ -322,9 +353,10 @@ object Bench {
     val langidFam = LangidFamily.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val drainFam = DrainFamily.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""sf":"$sfDir","runs":$runs,"wall":$wall,"io_family":$ioFam,""" +
-      s""""langid_family":$langidFam,"spread":$spread,""" +
+      s""""langid_family":$langidFam,"drain_family":$drainFam,"spread":$spread,""" +
       s""""remeasured":$remeas}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (jsonFull + "\n").getBytes("UTF-8"))
@@ -343,8 +375,10 @@ object Bench {
     val langidShort = LangidFamily.toSeq.sorted
       .map { case (k, v) => "\"" + short(k) + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val drainShort = DrainFamily.toSeq.sorted.map(n => "\"" + short(n) + "\"")
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,""" +
       s""""sf":"$sfDir","runs":$runs,"wall":${r3(wall)},"io_family":$ioShort,""" +
-      s""""langid_family":$langidShort,"file":"$out"}""")
+      s""""langid_family":$langidShort,"drain_family":$drainShort,"file":"$out"}""")
   }
 }
