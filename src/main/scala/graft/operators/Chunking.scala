@@ -137,8 +137,14 @@ object Chunking {
     require(blockSize > 0, "packTokenBlocks: blockSize must be positive")
     val shard = shardCol.map(col).toSeq
     val w = offsetWindow(shardCol, Seq(col(idCol)))
+    // A null tokensCol must not shift every LATER document's block
+    // positions: under non-ANSI sessions size(null) = -1, which would
+    // subtract one from the cumulative offset while the null doc
+    // itself emits no rows — silent corruption. A null-token document
+    // contributes exactly its EOS (same as an empty one).
     val withEos = df.select(shard :+ col(idCol) :+
-      concat(col(tokensCol).cast("array<bigint>"),
+      concat(coalesce(col(tokensCol).cast("array<bigint>"),
+          array().cast("array<bigint>")),
         array(lit(eosId))).as("_te"): _*)
     val positioned = withEos
       .withColumn("_start",

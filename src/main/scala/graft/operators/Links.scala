@@ -180,8 +180,14 @@ object Links {
     * closes at the first `</a>`), which means anchors missing their
     * closing tag are NOT emitted here (they are by [[outlinks]], which
     * only needs the opening tag) — the documented cost of wanting the
-    * text. Inner markup drops to spaces, entities decode, whitespace
-    * collapses (the `stripHtml` conventions, NBSP included). */
+    * text. The same span matching CONSUMES nested anchors: in
+    * `<a href=a><a href=b>t</a>`, the inner `<a href=b>` falls inside
+    * the outer span (spans are non-overlapping) and its link is never
+    * emitted, where [[outlinks]] emits both — a caller needing full
+    * link RECALL should union with [[outlinks]] and use this frame
+    * only for the text signal. Inner markup drops to spaces, entities
+    * decode, whitespace collapses (the `stripHtml` conventions, NBSP
+    * included). */
   def outlinksWithText(df: DataFrame, urlCol: String, htmlCol: String): DataFrame =
     outlinksImpl(df, urlCol, htmlCol, withText = true)
 

@@ -53,7 +53,11 @@ object Sitemaps {
         lit(0))))
     entries
       .withColumn("kind",
-        when(lower(col("_entry")).rlike(s"^<$pre" + "sitemap"), lit("sitemap"))
+        // anchor the tag END too: a namespace prefix that itself
+        // starts with "sitemap" (<sitemap:url>) must not read as
+        // kind='sitemap' — the block regex guarantees the entry tag
+        // is followed by whitespace or '>'
+        when(lower(col("_entry")).rlike(s"^<$pre" + "sitemap[\\s>]"), lit("sitemap"))
           .otherwise(lit("url")))
       .withColumn("loc", tagText(col("_entry"), "loc"))
       .withColumn("lastmod", nullif(tagText(col("_entry"), "lastmod"), lit("")))

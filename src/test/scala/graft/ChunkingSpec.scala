@@ -95,4 +95,24 @@ class ChunkingSpec extends SparkSpec {
     // partition-order invariance: the placement is pure arithmetic
     assert(run(docs.repartition(7)) === got)
   }
+
+  test("packTokenBlocks: a null-token document contributes only EOS, later offsets unshifted (r16)") {
+    // under non-ANSI size(null) = -1, so an uncoalesced null array
+    // would shift every later document's positions by -1 while the
+    // null doc emits no rows (r15 ADVICE); coalesced, the null doc
+    // is an empty document: one EOS, exact offsets after it
+    val docs = Seq(
+      (1L, Seq(10L, 11L, 12L)), (2L, null: Seq[Long]), (3L, Seq(30L, 31L, 32L)))
+      .toDF("doc_id", "toks")
+    val got = Chunking.packTokenBlocks(docs, "doc_id", "toks",
+        blockSize = 4, eosId = 0L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // stream: 10 11 12 0 | 0 | 30 31 32 0  (doc2 = its EOS alone)
+    assert(got === Map(
+      0L -> (("10 11 12 0", 4L, "0")),
+      1L -> (("0 30 31 32", 4L, "0 1")),
+      2L -> (("0", 1L, ""))))
+  }
 }

@@ -46,6 +46,17 @@ class SitemapsSpec extends SparkSpec {
       ("sitemap", "http://h.example/sm2.xml", null, null, null)))
   }
 
+  test("a namespace prefix that itself starts with 'sitemap' is not kind='sitemap' (r16)") {
+    // <sitemap:url> is a PAGE entry under an ugly-but-legal prefix;
+    // without the tag-end anchor the kind regex backtracked the
+    // prefix to empty and matched the literal 'sitemap'
+    val xml =
+      """<sitemap:urlset xmlns:sitemap="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap:url><sitemap:loc>http://h.example/p1</sitemap:loc></sitemap:url>
+        |</sitemap:urlset>""".stripMargin
+    assert(rows(xml) === Seq(("url", "http://h.example/p1", null, null, null)))
+  }
+
   test("entriesOf sniffs sitemap bodies off a crawl frame, skips pages") {
     def env(uri: String, ctype: String, body: String) =
       ("response", uri, 200, ctype, null: String, null: String,
