@@ -909,27 +909,31 @@ object SparkEntry {
            |order by chain""".stripMargin)
     },
 
-    // Domain-level curation under the gate (r10, FineWeb shape):
-    // synthetic URLs fan documents over 7 domains through three
-    // authority spellings (www+port / userinfo / uppercase — all
-    // must collapse to one domain or the per-domain counts fragment
-    // and the hash breaks); two domains are flooded with an
-    // identical boilerplate body (corpus-wide md5 dup mark), one
-    // 3-doc domain is pure boilerplate but sits under minDocs (the
-    // small-domain guard), every 11th URL is unparseable (null
-    // domain → keep). mean-quality threshold is disabled here (the
-    // quality formula is q19's gate); dup_frac carries the decision.
+    // Domain-level curation under the gate (r10, FineWeb shape;
+    // r16: domains are eTLD+1 under the vendored PSL): synthetic
+    // URLs fan documents over 7 registered domains (siteN.example —
+    // .example is unlisted, so the implicit "*" rule applies) through
+    // three authority spellings (www+port / userinfo@deep-subdomain /
+    // uppercase — all must collapse to ONE registered domain or the
+    // per-domain counts fragment and the hash breaks; the cdn.m.
+    // deep-subdomain arm is exactly what the pre-r16 full-host key
+    // got wrong); two domains are flooded with an identical
+    // boilerplate body (corpus-wide md5 dup mark), one 3-doc domain
+    // is pure boilerplate but sits under minDocs (the small-domain
+    // guard), every 11th URL is unparseable (null domain → keep).
+    // mean-quality threshold is disabled here (the quality formula
+    // is q19's gate); dup_frac carries the decision.
     "q97_domain_curation" -> { (s, dir) =>
       val id = col("doc_id").cast(StringType)
       val site = concat(lit("site"), (col("doc_id") % 7).cast(StringType),
-        lit(".example.com"))
+        lit(".example"))
       val url = when(col("doc_id") < 3,
-          concat(lit("https://www.tiny.example.com/p/"), id))
+          concat(lit("https://www.tiny.example/p/"), id))
         .when(col("doc_id") % 11 === 0, lit("not a url"))
         .when(col("doc_id") % 3 === 0,
           concat(lit("https://www."), site, lit(":443/p/"), id))
         .when(col("doc_id") % 3 === 1,
-          concat(lit("https://crawler@"), site, lit("/p/"), id))
+          concat(lit("https://crawler@cdn.m."), site, lit("/p/"), id))
         .otherwise(concat(lit("HTTPS://"), upper(site), lit("/p/"), id))
       val body = when(col("doc_id") < 3 ||
           ((col("doc_id") % 7 === 0 || col("doc_id") % 7 === 1) &&
@@ -2186,6 +2190,39 @@ object SparkEntry {
       operators.Frontier.recrawlStatus(entries, "loc", "lastmod",
           fetched, "url", "fetched_at", asOf = "2026-02-15", maxAgeDays = 30)
         .orderBy(col("url"))
+    },
+
+    // Registered-domain extraction under the vendored PSL (r16): one
+    // row per doc mapping a constructed host through the full
+    // publicsuffix.org algorithm — ICANN 2-level (co.uk), private
+    // registry tenants (a.github.io stays a.github.io, never
+    // github.io), wildcard (*.ck), the wildcard's exception
+    // (!www.ck — deep.www.ck resolves to www.ck), a 4-label exact
+    // rule (pvt.k12.ma.us), a deep wildcard (*.compute.amazonaws.com
+    // — the regdom keeps FIVE labels), the implicit "*" rule for an
+    // unlisted TLD, case/port folding, and an IPv4 literal. The twin
+    // re-derives every arm from the %9 arithmetic, so a precedence
+    // bug (exception vs wildcard, longest-match), a label-count bug
+    // or a snapshot-parse bug changes an arm and breaks the hash.
+    "q151_registered_domain" -> { (s, dir) =>
+      val k = (col("doc_id") % 40).cast(StringType)
+      val m = col("doc_id") % 9
+      val host = when(m === 0, concat(lit("www.s"), k, lit(".co.uk")))
+        .when(m === 1, concat(lit("a.s"), k, lit(".github.io")))
+        .when(m === 2, concat(lit("x.s"), k, lit(".ck")))
+        .when(m === 3, lit("deep.www.ck"))
+        .when(m === 4, concat(lit("sch.s"), k, lit(".pvt.k12.ma.us")))
+        .when(m === 5, concat(lit("vm.s"), k, lit(".compute.amazonaws.com")))
+        .when(m === 6, concat(lit("cdn.s"), k, lit(".fancy")))
+        .when(m === 7, concat(lit("S"), k, lit(".GITHUB.IO:443")))
+        .otherwise(concat(lit("10.0."), (col("doc_id") % 200).cast(StringType),
+          lit(".7:80")))
+      Tables(s, dir, "documents").select(col("doc_id"),
+          concat(lit("http://"), host, lit("/p")).as("url"))
+        .withColumn("registered_domain",
+          Links.registeredDomain(operators.Robots.hostOf(col("url"))))
+        .select(col("doc_id"), col("registered_domain"))
+        .orderBy(col("doc_id"))
     },
 
     // doc_id per content fingerprint) → chunking — aggregated per
@@ -4571,6 +4608,25 @@ object SparkEntry {
         |where not (m in (1, 3) and k % 4 = 0)
         |order by doc_id""".stripMargin,
 
+    // registered-domain twin (r16): every PSL arm re-derived from
+    // the %9 arithmetic (the q147 device) — the Spark side runs the
+    // real algorithm over the vendored snapshot, the twin states the
+    // expected outputs
+    "q151_registered_domain" ->
+      """with d as (select doc_id, doc_id % 40 as k, doc_id % 9 as m from documents)
+        |select doc_id,
+        |  case m
+        |    when 0 then 's' || k || '.co.uk'
+        |    when 1 then 's' || k || '.github.io'
+        |    when 2 then 'x.s' || k || '.ck'
+        |    when 3 then 'www.ck'
+        |    when 4 then 's' || k || '.pvt.k12.ma.us'
+        |    when 5 then 'vm.s' || k || '.compute.amazonaws.com'
+        |    when 6 then 's' || k || '.fancy'
+        |    when 7 then 's' || k || '.github.io'
+        |    else '10.0.' || (doc_id % 200) || '.7' end as registered_domain
+        |from d order by doc_id""".stripMargin,
+
     // incremental embedding twin: q47's all-pairs chain restricted
     // to pairs touching the planted batch (ids >= 100000)
     "q122_incremental_embedding_dedup" ->
@@ -5087,9 +5143,9 @@ object SparkEntry {
     // corpus-wide md5 count the engine computes
     "q97_domain_curation" ->
       """with d as (select doc_id,
-        |    case when doc_id < 3 then 'tiny.example.com'
+        |    case when doc_id < 3 then 'tiny.example'
         |         when doc_id % 11 = 0 then null
-        |         else 'site' || (doc_id % 7) || '.example.com' end as domain,
+        |         else 'site' || (doc_id % 7) || '.example' end as domain,
         |    case when doc_id < 3 or (doc_id % 7 in (0,1) and doc_id % 3 <> 0)
         |         then 'identical boilerplate body' else text end as body
         |  from documents),

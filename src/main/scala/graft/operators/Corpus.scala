@@ -647,17 +647,25 @@ object Corpus {
   // `domain` (AQE broadcasts the domain table — domains ≪ docs).
   // Nothing is quadratic and nothing windows globally.
 
-  /** Registrable-host of a URL: lowercased authority with any
-    * `user@`, port and leading `www.` stripped. Deliberately NOT
-    * eTLD+1 (a public-suffix list is a data dependency, not an
-    * algorithm); grouping by full host is the conservative direction
-    * — it never merges unrelated sites, it only splits large ones. */
+  /** Registered domain (eTLD+1) of a URL: lowercased authority with
+    * any `user@` and port stripped, then
+    * [[graft.operators.Links.registeredDomain]] under the vendored
+    * Public Suffix List snapshot (r16 — through r15 this was the full
+    * host, "a public-suffix list is a data dependency, not an
+    * algorithm"; the dependency is now vendored, see
+    * [[graft.operators.Psl]]). eTLD+1 is the granularity per-domain
+    * curation actually wants: `www.`, `m.`, `cdn.x.` variants of one
+    * site group together — the full-host key split them, diluting
+    * every per-domain statistic below `minDocs` exactly on the big
+    * template-heavy sites the filters exist for — while private-
+    * registry suffixes (github.io tenants) correctly stay apart.
+    * Unparseable URLs yield null (callers exclude or pass them). */
   def domainOf(url: Column): Column = {
     val host0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$", 1))
     val host1 = regexp_replace(host0, "^[^@]*@", "") // userinfo
-    val host2 = regexp_replace(host1, ":[0-9]*$", "") // port
-    val host = regexp_replace(host2, "^www\\.", "")
-    when(length(host) === 0, lit(null).cast(StringType)).otherwise(host)
+    val host = regexp_replace(host1, ":[0-9]*$", "") // port
+    when(length(host) === 0, lit(null).cast(StringType))
+      .otherwise(Links.registeredDomain(host))
   }
 
   /** Per-domain aggregates `(domain, n_docs, n_dup_docs, dup_frac,

@@ -355,16 +355,17 @@ object Links {
       .agg(count(lit(1)).as("n_links"))
       .withColumn("internal", col("src_host") === col("dst_host"))
 
-  /** High-traffic two-level public suffixes (the co.uk class). A
-    * deliberate SUBSET of the Public Suffix List: the PSL is a
-    * 10k-line data file that changes monthly — production deploys
-    * pass their vendored copy via the `multiSuffixes` parameter; this
-    * default covers the registries that carry most crawl traffic, so
-    * zero-config behavior is right for the common case and WRONG only
-    * toward over-grouping rare ccTLD registrations (documented, loud
-    * in the scaladoc, never silent data loss — a blocklist gate built
-    * on it is conservative in the deny direction only if the list the
-    * user supplies is built with the same suffix table). */
+  /** High-traffic two-level public suffixes (the co.uk class) — the
+    * LAST-RESORT fallback model, used only when the vendored PSL
+    * resource ([[Psl.Default]]) is absent from the jar (a stripped
+    * repackaging). The real default since r16 is the full PSL
+    * algorithm over `graft/public_suffix_list.dat` (wildcards,
+    * exceptions, private registries, >2-level suffixes); this table
+    * survives for that fallback and for callers who explicitly want
+    * the old two-level behavior. Its failure mode is over-grouping
+    * (a.github.io and b.github.io merge) — documented, never silent
+    * data loss, but wrong exactly where per-domain curation matters
+    * most, which is why the PSL replaced it as the default. */
   val DefaultMultiSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
     "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
@@ -380,18 +381,76 @@ object Links {
     "com.pl", "net.pl", "org.pl",
     "co.th", "com.vn", "com.ph", "com.eg", "com.sa", "com.ng")
 
-  /** Registered domain (eTLD+1 approximation) of a host: port
-    * stripped, lowercased; IPv4 literals pass through whole (an IP
-    * has no registrar); hosts whose last two labels form a known
-    * multi-level suffix keep three labels, everything else keeps two.
-    * The suffix table is [[DefaultMultiSuffixes]] unless the caller
-    * supplies the full PSL — see that val's honesty note. This is the
-    * grouping key domain-level curation wants ([[Corpus.curateByDomain]],
-    * blocklists, per-domain boilerplate): `sub.a.example.co.uk` and
-    * `www.example.co.uk` must land in ONE bucket, which bare
-    * [[Robots.hostOf]] grouping gets wrong. */
-  def registeredDomain(host: Column,
-      multiSuffixes: Seq[String] = DefaultMultiSuffixes): Column = {
+  /** Registered domain (eTLD+1) of a host under the vendored Public
+    * Suffix List snapshot ([[Psl.Default]]; falls back to the
+    * [[DefaultMultiSuffixes]] two-level model only when the resource
+    * is absent from the jar). This is the grouping key domain-level
+    * curation wants ([[Corpus.curateByDomain]], blocklists,
+    * per-domain boilerplate): `sub.a.example.co.uk` and
+    * `www.example.co.uk` must land in ONE bucket, and — the part the
+    * two-level model got WRONG — `a.github.io` and `b.github.io`
+    * must land in DIFFERENT ones (github.io is a private-registry
+    * public suffix: its subdomains are unrelated sites). */
+  def registeredDomain(host: Column): Column =
+    Psl.Default match {
+      case Some(rules) => registeredDomain(host, rules)
+      case None => registeredDomain(host, DefaultMultiSuffixes)
+    }
+
+  /** [[registeredDomain]] under an explicit PSL rule set — the full
+    * publicsuffix.org algorithm: port stripped, lowercased; IPv4
+    * literals pass whole (an IP has no registrar); the prevailing
+    * rule is the matching EXCEPTION if any, else the LONGEST matching
+    * exact/wildcard rule, else the implicit `*` (bare TLD); the
+    * registered domain keeps one label more than the prevailing
+    * public suffix. A host that IS a public suffix (or shorter)
+    * passes through whole. Pure scalar expression: the rule sets
+    * compile to `isin` hash-set probes per label depth — no join, no
+    * shuffle, safe as a grouping key at any scale. */
+  def registeredDomain(host: Column, rules: Psl.Rules): Column = {
+    val h = lower(regexp_replace(host, ":\\d+$", ""))
+    val parts = split(h, "\\.")
+    val n = size(parts)
+    def lastK(k: Int): Column =
+      if (k == 1) element_at(parts, -1)
+      else concat_ws(".", (k to 1 by -1).map(i => element_at(parts, -i)): _*)
+    // exception rules first (they beat every other match), longest
+    // first within each kind; then exact/wildcard longest-first;
+    // otherwise the implicit "*" rule (psLen = 1)
+    val excBranches = rules.exceptions.toSeq.filter(_._2.nonEmpty)
+      .sortBy(-_._1).map { case (k, set) =>
+        ((n >= k) && lastK(k).isin(set.toSeq.sorted: _*), lit(k - 1))
+      }
+    val matchKs = (rules.exact.filter(_._2.nonEmpty).keys ++
+      rules.wildcard.filter(_._2.nonEmpty).keys.map(_ + 1))
+      .toSeq.distinct.filter(_ >= 2).sorted.reverse
+    val matchBranches = matchKs.map { k =>
+      val ex = rules.exact.get(k).filter(_.nonEmpty)
+        .map(s => lastK(k).isin(s.toSeq.sorted: _*))
+      val wc = rules.wildcard.get(k - 1).filter(_.nonEmpty)
+        .map(s => lastK(k - 1).isin(s.toSeq.sorted: _*))
+      ((n >= k) && (ex.toSeq ++ wc.toSeq).reduce(_ || _), lit(k))
+    }
+    val branches = excBranches ++ matchBranches
+    val psLen =
+      if (branches.isEmpty) lit(1)
+      else branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v)
+      }.otherwise(lit(1))
+    val regLen = psLen + lit(1)
+    val reg = array_join(slice(parts, lit(0) - regLen, regLen), ".")
+    when(h.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"), h)
+      .when(n <= psLen, h)
+      .otherwise(reg)
+  }
+
+  /** [[registeredDomain]] under the legacy two-level suffix TABLE —
+    * the no-resource fallback model: hosts whose last two labels form
+    * a listed multi-level suffix keep three labels, everything else
+    * keeps two. Callers with a vendored PSL should prefer the
+    * [[Psl.Rules]] overload (wildcards, exceptions, private
+    * registries, >2-level suffixes). */
+  def registeredDomain(host: Column, multiSuffixes: Seq[String]): Column = {
     val h = lower(regexp_replace(host, ":\\d+$", ""))
     val parts = split(h, "\\.")
     val n = size(parts)
@@ -413,11 +472,21 @@ object Links {
     * `domains` with the SAME suffix table this gate uses, or co.uk
     * entries will silently miss. */
   def gateByDomain(df: DataFrame, urlCol: String, domains: DataFrame,
-      mode: String = "deny",
-      multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame = {
-    require(mode == "deny" || mode == "allow", s"gateByDomain: bad mode $mode")
-    val keyed = df.withColumn("_rdom",
+      mode: String = "deny"): DataFrame =
+    gateByDomainKeyed(df, urlCol, domains, mode,
+      registeredDomain(Robots.hostOf(col(urlCol))))
+
+  /** [[gateByDomain]] under an explicit legacy suffix table (see the
+    * [[registeredDomain]] table overload). */
+  def gateByDomain(df: DataFrame, urlCol: String, domains: DataFrame,
+      mode: String, multiSuffixes: Seq[String]): DataFrame =
+    gateByDomainKeyed(df, urlCol, domains, mode,
       registeredDomain(Robots.hostOf(col(urlCol)), multiSuffixes))
+
+  private def gateByDomainKeyed(df: DataFrame, urlCol: String,
+      domains: DataFrame, mode: String, key: Column): DataFrame = {
+    require(mode == "deny" || mode == "allow", s"gateByDomain: bad mode $mode")
+    val keyed = df.withColumn("_rdom", key)
     val list = broadcast(
       domains.toDF("_rdom").select(lower(col("_rdom")).as("_rdom")).distinct())
     val joined =

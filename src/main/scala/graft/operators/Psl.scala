@@ -1,0 +1,91 @@
+package graft.operators
+
+/** Public Suffix List support for [[Links.registeredDomain]].
+  *
+  * The PSL (publicsuffix.org) is the public data file every browser
+  * and crawler uses to answer "where does the registrar's part of a
+  * host end": exact rules (`co.uk`), wildcard rules (`*.ck` — every
+  * direct child of ck is a public suffix) and exception rules
+  * (`!www.ck` — www.ck is registrable despite the wildcard). The
+  * matching algorithm (publicsuffix.org/list/, "Definitions"): among
+  * all matching rules the prevailing rule is the exception if any
+  * matches, else the LONGEST match, else the implicit `*` rule (the
+  * bare TLD); the public suffix is the prevailing rule's labels
+  * (minus one for an exception), and the registered domain is the
+  * public suffix plus one label.
+  *
+  * A vendored snapshot ships at `graft/public_suffix_list.dat`
+  * (curated subset, format-complete — see that file's header);
+  * production deploys drop the current full PSL at the same resource
+  * path and every rule kind parses. When the resource is absent
+  * entirely, [[Links.registeredDomain]] falls back to the
+  * [[Links.DefaultMultiSuffixes]] two-level table (the pre-PSL
+  * behavior), so the library never hard-fails on a stripped jar.
+  *
+  * Rules are label-count-bucketed string SETS, compiled into the
+  * column expression as `isin` lists (Catalyst converts lists past
+  * the InSet threshold into hash-set lookups — per-row cost is a
+  * handful of hash probes, no join, no shuffle, broadcast implicitly
+  * with the plan). That keeps `registeredDomain` a pure scalar
+  * expression usable as a grouping key anywhere, which a
+  * lookup-table JOIN version would not be. */
+object Psl {
+
+  /** Parsed rule set. `exact` and `exceptions` are keyed by the
+    * rule's own label count; `wildcard` is keyed by the BASE label
+    * count (the `X` of `*.X` — a wildcard asserts public suffixes of
+    * length base+1). Single-label exact rules (bare TLDs — the full
+    * PSL lists ~1500) are accepted but add nothing: the implicit `*`
+    * default already yields psLen=1. */
+  final case class Rules(
+      exact: Map[Int, Set[String]],
+      wildcard: Map[Int, Set[String]],
+      exceptions: Map[Int, Set[String]]) {
+    /** Longest public-suffix length (in labels) any rule can assert. */
+    val maxMatch: Int =
+      (exact.keys ++ wildcard.keys.map(_ + 1) ++ Seq(1)).max
+    def nRules: Int =
+      exact.valuesIterator.map(_.size).sum +
+        wildcard.valuesIterator.map(_.size).sum +
+        exceptions.valuesIterator.map(_.size).sum
+  }
+
+  /** Parse PSL-format lines: `//` comments and blanks skipped, the
+    * rule is the token up to the first whitespace, lowercased (the
+    * PSL's own convention; hosts are lowercased before matching).
+    * Leading `!` = exception, leading `*.` = wildcard, else exact.
+    * Wildcards anywhere but the leftmost label are not in the PSL
+    * grammar and are rejected loudly (a silently-misparsed rule set
+    * would mis-group domains corpus-wide). */
+  def parse(lines: Iterator[String]): Rules = {
+    val exact = scala.collection.mutable.Map[Int, Set[String]]()
+    val wild = scala.collection.mutable.Map[Int, Set[String]]()
+    val exc = scala.collection.mutable.Map[Int, Set[String]]()
+    def add(m: scala.collection.mutable.Map[Int, Set[String]], s: String): Unit = {
+      val k = s.count(_ == '.') + 1
+      m(k) = m.getOrElse(k, Set.empty) + s
+    }
+    for (raw <- lines) {
+      val line = raw.trim.takeWhile(!_.isWhitespace)
+      if (line.nonEmpty && !line.startsWith("//")) {
+        val rule = line.toLowerCase
+        require(!rule.drop(2).contains("*"),
+          s"PSL rule '$rule': wildcards are only defined at the leftmost label")
+        if (rule.startsWith("!")) add(exc, rule.drop(1))
+        else if (rule.startsWith("*.")) add(wild, rule.drop(2))
+        else if (rule != "*") add(exact, rule)
+      }
+    }
+    Rules(exact.toMap, wild.toMap, exc.toMap)
+  }
+
+  /** Load a PSL resource from the classpath; None when absent. */
+  def load(resource: String = "/graft/public_suffix_list.dat"): Option[Rules] =
+    Option(getClass.getResourceAsStream(resource)).map { in =>
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try parse(src.getLines()) finally src.close()
+    }
+
+  /** The vendored snapshot, parsed once per JVM. */
+  lazy val Default: Option[Rules] = load()
+}

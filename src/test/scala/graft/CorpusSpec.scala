@@ -577,7 +577,7 @@ class CorpusSpec extends SparkSpec {
     assert(got(0) === Some("example.com"))
     assert(got(1) === Some("example.com"))
     assert(got(2) === Some("example.com"))
-    assert(got(3) === Some("sub.example.com")) // full host, not eTLD+1 — by contract
+    assert(got(3) === Some("example.com")) // eTLD+1 under the PSL (r16)
     assert(got(4) === None)
     assert(got(5) === None)
   }

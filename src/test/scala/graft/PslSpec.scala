@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.{Links, Psl}
+import org.apache.spark.sql.functions._
+
+class PslSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def regOf(hosts: Seq[String], rules: Option[Psl.Rules] = None): Map[String, String] = {
+    val df = hosts.toDF("host")
+    val c = rules match {
+      case Some(r) => Links.registeredDomain(col("host"), r)
+      case None => Links.registeredDomain(col("host"))
+    }
+    df.select(col("host"), c.as("reg")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("parse: comments, sections, whitespace, rule kinds, lowering") {
+    val rules = Psl.parse(
+      """// comment line
+        |
+        |// ===BEGIN ICANN DOMAINS===
+        |com
+        |CO.UK
+        |*.ck
+        |!www.ck
+        |pvt.k12.ma.us
+        |github.io   trailing junk ignored per PSL spec
+        |// ===END ICANN DOMAINS===
+        |""".stripMargin.linesIterator)
+    assert(rules.exact(2) === Set("co.uk", "github.io"))
+    assert(rules.exact(1) === Set("com"))
+    assert(rules.exact(4) === Set("pvt.k12.ma.us"))
+    assert(rules.wildcard(1) === Set("ck"))
+    assert(rules.exceptions(2) === Set("www.ck"))
+    assert(rules.maxMatch === 4)
+    // a wildcard anywhere but leftmost refuses loudly
+    intercept[IllegalArgumentException] {
+      Psl.parse(Iterator("foo.*.bar"))
+    }
+  }
+
+  test("the vendored snapshot loads and is substantive") {
+    val r = Psl.Default.getOrElse(fail("snapshot resource missing"))
+    assert(r.nRules > 400)
+    assert(r.exact(2).contains("co.uk"))
+    assert(r.exact(2).contains("github.io"))
+    assert(r.wildcard(1).contains("ck"))
+    assert(r.exceptions(2).contains("www.ck"))
+    assert(r.exact(4).contains("pvt.k12.ma.us"))
+    assert(r.wildcard(3).contains("compute.amazonaws.com"))
+  }
+
+  test("registeredDomain: the PSL algorithm end-to-end on the snapshot") {
+    val got = regOf(Seq(
+      // plain gTLD
+      "example.com", "a.b.example.com", "EXAMPLE.COM:8080",
+      // ICANN 2-level
+      "www.example.co.uk", "deep.sub.example.co.uk",
+      // 4-label exact rule
+      "school.example.pvt.k12.ma.us",
+      // private registry: tenants are separate sites
+      "a.github.io", "b.github.io", "x.a.github.io",
+      // wildcard *.ck: every child of ck is a public suffix
+      "x.thing.ck", "thing.ck",
+      // exception !www.ck beats the wildcard
+      "www.ck", "sub.www.ck",
+      // deep wildcard *.compute.amazonaws.com
+      "vm1.uswest.compute.amazonaws.com",
+      // unknown TLD: implicit * rule
+      "cdn.site.fancy", "site.fancy",
+      // host IS a public suffix → passes whole
+      "co.uk", "github.io",
+      // IP literal
+      "192.168.0.1:8080"))
+    assert(got("example.com") === "example.com")
+    assert(got("a.b.example.com") === "example.com")
+    assert(got("EXAMPLE.COM:8080") === "example.com")
+    assert(got("www.example.co.uk") === "example.co.uk")
+    assert(got("deep.sub.example.co.uk") === "example.co.uk")
+    assert(got("school.example.pvt.k12.ma.us") === "example.pvt.k12.ma.us")
+    assert(got("a.github.io") === "a.github.io")
+    assert(got("b.github.io") === "b.github.io")
+    assert(got("x.a.github.io") === "a.github.io")
+    assert(got("x.thing.ck") === "x.thing.ck")
+    assert(got("thing.ck") === "thing.ck") // thing.ck IS a public suffix
+    assert(got("www.ck") === "www.ck") // exception: registrable
+    assert(got("sub.www.ck") === "www.ck") // …and sub is ITS subdomain
+    assert(got("vm1.uswest.compute.amazonaws.com") ===
+      "vm1.uswest.compute.amazonaws.com")
+    assert(got("cdn.site.fancy") === "site.fancy")
+    assert(got("site.fancy") === "site.fancy")
+    assert(got("co.uk") === "co.uk")
+    assert(got("github.io") === "github.io")
+    assert(got("192.168.0.1:8080") === "192.168.0.1")
+  }
+
+  test("longest match wins over a shorter rule; exception beats wildcard") {
+    val rules = Psl.parse(Iterator("uk", "co.uk", "special.co.uk",
+      "*.zz", "!ok.zz"))
+    val got = regOf(Seq(
+      "a.special.co.uk", // 3-label rule beats co.uk
+      "a.plain.co.uk",
+      "a.b.zz", "ok.zz", "sub.ok.zz"), Some(rules))
+    assert(got("a.special.co.uk") === "a.special.co.uk")
+    assert(got("a.plain.co.uk") === "plain.co.uk")
+    assert(got("a.b.zz") === "a.b.zz")
+    assert(got("ok.zz") === "ok.zz")
+    assert(got("sub.ok.zz") === "ok.zz")
+  }
+
+  test("Corpus.domainOf rides the PSL: variants group, tenants split, null contract holds") {
+    val urls = Seq(
+      "https://www.site.example.com/p/1",
+      "https://cdn.m.site.example.com:443/p/2",
+      "https://crawler@site.example.com/p/3",
+      "https://a.github.io/x",
+      "https://b.github.io/y",
+      "not a url").toDF("url")
+    val got = urls.select(col("url"),
+      graft.operators.Corpus.domainOf(col("url")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("https://www.site.example.com/p/1") === "example.com")
+    assert(got("https://cdn.m.site.example.com:443/p/2") === "example.com")
+    assert(got("https://crawler@site.example.com/p/3") === "example.com")
+    assert(got("https://a.github.io/x") === "a.github.io")
+    assert(got("https://b.github.io/y") === "b.github.io")
+    assert(got("not a url") === null)
+  }
+}
