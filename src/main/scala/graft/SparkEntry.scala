@@ -2225,6 +2225,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Main-content extraction under the gate (r16): every page wraps
+    // the doc's text in article chrome — a link-dense nav div, a
+    // short headline (rescued only by its good neighbour), the
+    // <p>text</p> body (good iff the collapsed text clears the
+    // 70-char floor), a short lead-out ("Read more soon." — rescued
+    // from the OTHER side), two all-anchor related-links <li>s, a %3
+    // LONG-but-link-dense paragraph (dies on density despite
+    // length), and a short footer with no good neighbour (always
+    // dies). The twin re-derives content/counts from the same
+    // length arithmetic; a segmentation, density, length or
+    // neighbour-rule bug moves blocks between classes and breaks
+    // the hash.
+    "q152_main_content" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val page = concat(
+        lit("<html><head><title>t"), id, lit("</title></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/h\">Home</a> " +
+          "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>"),
+        lit("<h1>Story "), id, lit(" headline</h1>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<div>Read more soon.</div>"),
+        lit("<ul><li><a href=\"/1\">One</a></li>" +
+          "<li><a href=\"/2\">Two</a></li></ul>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<p><a href=\"/r\">read the full report here right now " +
+            "today</a> and a little extra prose to pass the length " +
+            "floor</p>")).otherwise(lit("")),
+        lit("<div>copyright site "), id, lit("</div></body></html>"))
+      Corpus.extractContent(
+          Tables(s, dir, "documents").select(col("doc_id"), page.as("html")),
+          "html")
+        .select(col("doc_id"), col("content"),
+          col("n_blocks").cast(LongType).as("n_blocks"),
+          col("n_kept").cast(LongType).as("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -4607,6 +4644,26 @@ object SparkEntry {
         |from d
         |where not (m in (1, 3) and k % 4 = 0)
         |order by doc_id""".stripMargin,
+
+    // main-content twin (r16): the fixture's blocks re-derived from
+    // the same length/density arithmetic — only the body paragraph's
+    // goodness depends on data (collapsed text >= 70 chars), and the
+    // headline + lead-out ride exactly that decision (the neighbour
+    // rule), so content and counts are pure CASE arithmetic
+    "q152_main_content" ->
+      """with d as (select doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) as dtext,
+        |    (doc_id % 3 = 0) as dense
+        |  from documents),
+        |g as (select doc_id, dtext, dense, length(dtext) >= 70 as good from d)
+        |select doc_id,
+        |  case when good
+        |    then 'Story ' || doc_id || ' headline' || chr(10) || dtext
+        |      || chr(10) || 'Read more soon.'
+        |    else '' end as content,
+        |  cast(case when dense then 8 else 7 end as bigint) as n_blocks,
+        |  cast(case when good then 3 else 0 end as bigint) as n_kept
+        |from g order by doc_id""".stripMargin,
 
     // registered-domain twin (r16): every PSL arm re-derived from
     // the %9 arithmetic (the q147 device) — the Spark side runs the

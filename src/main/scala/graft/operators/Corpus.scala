@@ -634,6 +634,117 @@ object Corpus {
           greatest(col("n_grams"), lit(1)).cast(DoubleType)).as("contamination_frac"))
   }
 
+  // ---- main-content extraction (jusText/trafilatura family) --------
+
+  /** Inline-tag-level text of one HTML fragment: remaining tags to
+    * spaces, entities decoded, whitespace collapsed — the
+    * [[graft.functions.Text.stripHtml]] conventions applied to a
+    * BLOCK (script/style/head/comments are removed page-wide before
+    * blocks exist, so the per-block pass only sees inline markup). */
+  private def blockText(b: Column): Column =
+    trim(regexp_replace(
+      graft.functions.HtmlEntities.decodeEntities(
+        regexp_replace(b, "<[^>]*>", " ")),
+      "[ \\t\\n\\x0B\\f\\r\\x{00A0}]+", " "))
+
+  /** Main-content extraction — the block-level content/chrome
+    * classifier real LLM pipelines run FIRST (FineWeb/RefinedWeb are
+    * trafilatura-first; this is the deterministic, twin-expressible
+    * member of the jusText family, Pomikalek 2011's core rule set
+    * without the stopword model):
+    *
+    *  1. SEGMENT: script/style/head elements and HTML comments drop
+    *     with their bodies, then the page splits into blocks at
+    *     block-level tag boundaries (`p|div|h1..h6|li|ul|ol|table|tr|
+    *     td|...|br|hr` — open or close, attributes tolerated).
+    *  2. FEATURES per block: visible text (inline tags to spaces,
+    *     entities decoded, whitespace collapsed — the `stripHtml`
+    *     conventions) and LINK TEXT length (the concatenated visible
+    *     text of its `<a>…</a>` spans; unclosed anchors contribute
+    *     nothing, the [[graft.operators.Links.outlinksWithText]]
+    *     boundary). Empty blocks vanish before classification.
+    *  3. CLASSIFY: a block is GOOD when its text is at least
+    *     `minTextChars` chars AND its link density (link chars /
+    *     text chars) is at most `maxLinkDensity` — navigation, link
+    *     farms and button bars die on density, stray labels die on
+    *     length. A short low-density block is RESCUED when an
+    *     adjacent non-empty block is good (headings and lead-ins
+    *     belong to the article they introduce — jusText's
+    *     neighbour-context rule, one hop).
+    *  4. REASSEMBLE kept blocks in document order, joined with \n.
+    *
+    * Appends `outCol` (extracted text, "" when nothing survives),
+    * `n_blocks` (non-empty blocks) and `n_kept`; every input row and
+    * column is carried (null html ⇒ null outCol, null counts).
+    *
+    * Scale shape: a PURE PROJECTION — no explode, no window, no
+    * shuffle, nothing crosses an exchange; the classifier runs
+    * per-page inside the scan (pages are bounded, so per-row array
+    * work is too), which is the only shape that survives 100 TB of
+    * HTML (the alternative — explode blocks + window over page +
+    * groupBy reassembly — shuffles the entire corpus text twice).
+    * Staging discipline: every expensive array alias (`_blocks`,
+    * `_pairs`, `_gl`, `_tk`) is referenced 2+ times so CollapseProject
+    * cannot inline it into a lambda (the q23/r11 substitution
+    * hazard); lambdas touch ONLY their bound variables. */
+  def extractContent(df: DataFrame, htmlCol: String,
+      minTextChars: Int = 70, maxLinkDensity: Double = 0.2,
+      outCol: String = "content"): DataFrame = {
+    val blockRe = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead" +
+      "|tbody|tfoot|tr|td|th|blockquote|pre|article|section|header|footer" +
+      "|nav|aside|main|figure|figcaption|form|fieldset|hr|br|noscript" +
+      "|select|option|textarea)([ \\t\\n\\x0B\\f\\r][^>]*)?/?>"
+    val anchorRe = "(?is)<a([ \\t\\n\\x0B\\f\\r][^>]*)?>(.*?)</a>"
+    val src = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      col(htmlCol),
+      "(?is)<script([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</script>", " "),
+      "(?is)<style([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</style>", " "),
+      "(?is)<head([ \\t\\n\\x0B\\f\\r][^>]*)?>.*?</head>", " "),
+      "(?s)<!--.*?-->", " ")
+    val maxLd = lit(maxLinkDensity)
+    def ldOk(t: Column, a: Column): Column =
+      a.cast(DoubleType) <= maxLd * length(t).cast(DoubleType)
+    df
+      .withColumn("_blocks", split(src, blockRe))
+      .withColumn("_texts", transform(col("_blocks"), b => blockText(b)))
+      .withColumn("_alens", transform(col("_blocks"), b =>
+        length(blockText(array_join(
+          regexp_extract_all(b, lit(anchorRe), lit(2)), " ")))))
+      .withColumn("_pairs", filter(
+        zip_with(col("_texts"), col("_alens"),
+          (t, a) => struct(t.as("t"), a.as("a"))),
+        p => length(p.getField("t")) > 0))
+      .withColumn("_gl", transform(col("_pairs"), p => struct(
+        (length(p.getField("t")) >= minTextChars &&
+          ldOk(p.getField("t"), p.getField("a"))).as("g"),
+        ldOk(p.getField("t"), p.getField("a")).as("l"))))
+      .withColumn("_g", transform(col("_gl"), x => x.getField("g")))
+      .withColumn("_keep", zip_with(
+        col("_gl"),
+        zip_with(
+          slice(concat(array(lit(false)), col("_g")), lit(1),
+            greatest(size(col("_g")), lit(0))),
+          concat(slice(col("_g"), lit(2), greatest(size(col("_g")) - 1, lit(0))),
+            array(lit(false))),
+          (a, b) => a || b),
+        (x, nb) => x.getField("g") ||
+          (x.getField("l") && coalesce(nb, lit(false)))))
+      .withColumn("_tk", zip_with(col("_pairs"), col("_keep"),
+        (p, k) => struct(p.getField("t").as("t"), k.as("k"))))
+      .withColumn(outCol, when(col(htmlCol).isNull, lit(null).cast(StringType))
+        .otherwise(array_join(
+          transform(filter(col("_tk"), x => coalesce(x.getField("k"), lit(false))),
+            x => x.getField("t")), "\n")))
+      .withColumn("n_blocks",
+        when(col(htmlCol).isNull, lit(null).cast(IntegerType))
+          .otherwise(size(col("_pairs"))))
+      .withColumn("n_kept",
+        when(col(htmlCol).isNull, lit(null).cast(IntegerType))
+          .otherwise(size(filter(col("_tk"),
+            x => coalesce(x.getField("k"), lit(false))))))
+      .drop("_blocks", "_texts", "_alens", "_pairs", "_gl", "_g", "_keep", "_tk")
+  }
+
   // ---- domain-level curation (FineWeb/RefinedWeb shape) ------------
   //
   // Web-corpus filters act at TWO granularities: per-document signals

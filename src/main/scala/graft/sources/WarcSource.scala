@@ -200,9 +200,19 @@ object WarcSource {
     * decode per reference — ~2 extra decodes per page when enabled),
     * which is why it is a flag and not the default: WET-parity
     * pipelines (q125/q126) keep the historical default, corpora
-    * built for SERVING turn it on. */
+    * built for SERVING turn it on.
+    *
+    * `mainContent` (r16, opt-in): replace whole-page `stripHtml` with
+    * [[graft.operators.Corpus.extractContent]] — the block-level
+    * content/chrome classifier (jusText family): navigation, link
+    * lists, footers and button bars drop; article text (plus its
+    * short headings/lead-ins next to good blocks) survives. Still a
+    * pure projection (no shuffle). Opt-in because WET parity is the
+    * verifiable default — a WET conversion keeps chrome text, and
+    * the q118/q125 gates pin that equivalence. */
   def crawlTextOf(warc: org.apache.spark.sql.DataFrame,
-      dropNoindex: Boolean = false): org.apache.spark.sql.DataFrame = {
+      dropNoindex: Boolean = false,
+      mainContent: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val decoded = responseTextOf(warc).filter(col("html").isNotNull)
     val kept =
@@ -210,8 +220,12 @@ object WarcSource {
         graft.operators.Links.metaRobots(decoded, "html")
           .filter(!col("noindex")).drop("noindex", "nofollow")
       else decoded
-    kept.select(col("target_uri"),
-      graft.functions.Text.stripHtml(col("html")).as("text"))
+    if (mainContent)
+      graft.operators.Corpus.extractContent(kept, "html", outCol = "text")
+        .select(col("target_uri"), col("text"))
+    else
+      kept.select(col("target_uri"),
+        graft.functions.Text.stripHtml(col("html")).as("text"))
   }
 
   /** Split an `application/http` envelope: returns

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+class MainContentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Long1 = "This is the first substantial paragraph of the article, " +
+    "long enough to clear the seventy character floor easily."
+  private val Long2 = "A second long paragraph follows with more real prose, " +
+    "also comfortably past the length threshold for good blocks."
+
+  private def run(html: String, minLen: Int = 70, maxLd: Double = 0.2) =
+    Corpus.extractContent(Seq((1L, html)).toDF("id", "html"), "html",
+        minTextChars = minLen, maxLinkDensity = maxLd)
+      .select("content", "n_blocks", "n_kept")
+      .collect().head
+
+  test("chrome dies, article survives, heading rescued by its good neighbour") {
+    val html =
+      s"""<html><head><title>ignored title</title><style>.n{}</style></head>
+         |<body>
+         |<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>
+         |<h1>Article headline</h1>
+         |<p>$Long1</p>
+         |<p>$Long2</p>
+         |<ul><li><a href="/1">Related one</a></li><li><a href="/2">Related two</a></li></ul>
+         |<div>copyright example site</div>
+         |</body></html>""".stripMargin
+    val r = run(html)
+    assert(r.getString(0) ===
+      s"Article headline\n$Long1\n$Long2")
+    assert(r.getInt(1) === 7) // nav, h1, p, p, li, li, footer
+    assert(r.getInt(2) === 3)
+  }
+
+  test("long but link-dense block dies on density; unclosed anchor contributes no link text") {
+    val dense = "<p><a href=\"/r\">read the full report right here and now today" +
+      " please do</a> with a few plain words added on the side to pass length</p>"
+    val r1 = run(s"<body><p>$Long1</p>$dense</body>")
+    assert(r1.getString(0) === Long1) // dense block dropped despite length
+    // same block with the anchor left UNCLOSED: link text = 0, block is good
+    val open = dense.replace("</a>", "")
+    val r2 = run(s"<body><p>$Long1</p>$open</body>")
+    assert(r2.getInt(2) === 2)
+  }
+
+  test("a short block with no good neighbour dies; between goods it lives") {
+    // isolated short blocks: nothing is ever good -> everything dies
+    val r1 = run("<body><p>short one</p><p>short two</p></body>")
+    assert(r1.getString(0) === "")
+    assert(r1.getInt(1) === 2 && r1.getInt(2) === 0)
+    // rescued only when adjacent to a good block (one hop, not two)
+    val r2 = run(s"<body><p>lead-in</p><p>$Long1</p><p>tail note</p>" +
+      "<p>too far away</p></body>")
+    assert(r2.getString(0) === s"lead-in\n$Long1\ntail note")
+  }
+
+  test("script/style/head/comment bodies never become blocks; entities and inline tags resolve") {
+    val html = "<head><script>var x = '<p>fake</p>';</script></head>" +
+      "<body><!-- <p>comment para</p> -->" +
+      s"<p>Caf&eacute; <b>bold</b> &amp; plain $Long1</p></body>"
+    val r = run(html)
+    assert(r.getString(0) === s"Café bold & plain $Long1")
+    assert(r.getInt(1) === 1)
+  }
+
+  test("crawlTextOf(mainContent = true): chrome-free text off a raw crawl frame; default keeps WET parity") {
+    def rec(uri: String, body: String) =
+      ("response", uri, 200, "text/html; charset=utf-8",
+        null: String, null: String, body.getBytes("UTF-8"))
+    val crawl = Seq(
+      rec("http://h.example/article",
+        "<html><body><div><a href=\"/\">Home</a> <a href=\"/a\">About</a>" +
+          s"</div><p>$Long1</p><ul><li><a href=\"/x\">More</a></li></ul>" +
+          "<div>copyright chrome</div></body></html>"))
+      .toDF("warc_type", "target_uri", "http_status", "http_content_type",
+        "http_content_encoding", "http_transfer_encoding", "body")
+    val main = graft.sources.WarcSource.crawlTextOf(crawl, mainContent = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(main("http://h.example/article") === Long1)
+    // the default chain keeps WET parity: chrome text stays
+    val wet = graft.sources.WarcSource.crawlTextOf(crawl)
+      .collect().head.getString(1)
+    assert(wet === s"Home About $Long1 More copyright chrome")
+  }
+
+  test("null html yields null outputs; empty page yields empty content; columns carry") {
+    val df = Seq((1L, null: String, "k1"), (2L, "<body></body>", "k2"))
+      .toDF("id", "html", "tag")
+    val got = Corpus.extractContent(df, "html").orderBy("id")
+      .select("id", "tag", "content", "n_blocks", "n_kept").collect()
+    assert(got(0).isNullAt(2) && got(0).isNullAt(3) && got(0).isNullAt(4))
+    assert(got(0).getString(1) === "k1") // carried
+    assert(got(1).getString(2) === "" && got(1).getInt(3) === 0 &&
+      got(1).getInt(4) === 0)
+  }
+}
