@@ -2262,6 +2262,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Gzip-FILE sitemaps under the gate (r16): odd docs serve a
+    // sitemap.xml.gz as application/octet-stream with NO
+    // Content-Encoding header (the common large-site case — the gzip
+    // is a property of the FILE, not the transfer); even docs serve
+    // plain per-doc XML. entriesOf must magic-sniff the 1F 8B body,
+    // inflate through the shared chain, and parse — a sniff, inflate
+    // or routing bug drops (or garbles) every odd row. The gzip
+    // bytes are built driver-side once (Java's GZIPOutputStream is
+    // deterministic: mtime=0) for a CONSTANT sitemap, so the twin is
+    // pure arithmetic.
+    "q153_gzip_sitemap" -> { (s, dir) =>
+      val constXml = "<urlset><url><loc>http://gz.example/a</loc></url>" +
+        "<url><loc>http://gz.example/b</loc></url></urlset>"
+      val bos = new java.io.ByteArrayOutputStream()
+      val gzo = new java.util.zip.GZIPOutputStream(bos)
+      gzo.write(constXml.getBytes("UTF-8")); gzo.close()
+      val gzBytes = bos.toByteArray
+      val id = col("doc_id").cast(StringType)
+      val plainXml = concat(lit("<urlset><url><loc>http://s.example/p"), id,
+        lit("</loc></url></urlset>"))
+      val recs = Tables(s, dir, "documents").select(
+        lit("response").as("warc_type"),
+        concat(lit("http://s.example/sm"), id,
+          when(col("doc_id") % 2 === 1, lit(".xml.gz"))
+            .otherwise(lit(".xml"))).as("target_uri"),
+        lit(200).as("http_status"),
+        when(col("doc_id") % 2 === 1, lit("application/octet-stream"))
+          .otherwise(lit("text/xml")).as("http_content_type"),
+        lit(null).cast(StringType).as("http_content_encoding"),
+        lit(null).cast(StringType).as("http_transfer_encoding"),
+        when(col("doc_id") % 2 === 1, lit(gzBytes))
+          .otherwise(plainXml.cast(BinaryType)).as("body"))
+      operators.Sitemaps.entriesOf(recs)
+        .select(col("sitemap_url"), col("kind"), col("loc"))
+        .orderBy(col("sitemap_url"), col("loc"))
+    },
+
     // doc_id per content fingerprint) → chunking — aggregated per
     // source. Each stage is individually oracled (q19/q15/q39); this
     // gates their composition.
@@ -4644,6 +4681,19 @@ object SparkEntry {
         |from d
         |where not (m in (1, 3) and k % 4 = 0)
         |order by doc_id""".stripMargin,
+
+    // gzip-sitemap twin (r16): even docs = their own per-doc loc,
+    // odd docs = the two constant locs of the gzipped sitemap
+    "q153_gzip_sitemap" ->
+      """select * from (
+        |  select 'http://s.example/sm' || doc_id || '.xml' as sitemap_url,
+        |    'url' as kind, 'http://s.example/p' || doc_id as loc
+        |  from documents where doc_id % 2 = 0
+        |  union all
+        |  select 'http://s.example/sm' || doc_id || '.xml.gz', 'url', u
+        |  from documents, (values ('http://gz.example/a'), ('http://gz.example/b')) v(u)
+        |  where doc_id % 2 = 1)
+        |order by sitemap_url, loc""".stripMargin,
 
     // main-content twin (r16): the fixture's blocks re-derived from
     // the same length/density arithmetic — only the body paragraph's

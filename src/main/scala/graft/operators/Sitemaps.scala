@@ -74,14 +74,27 @@ object Sitemaps {
     * from `text/xml` to `application/octet-stream`), parsed by
     * [[parse]]. Gzip'd sitemap bodies (`sitemap.xml.gz`) arrive
     * transparently when the server declares Content-Encoding — the
-    * shared response decode chain inflates them; a gzip FILE served
-    * without the header is NOT sniffed (documented boundary; the
-    * fetcher's job). Output: `(sitemap_url, kind, loc, lastmod,
-    * changefreq, priority)`. */
+    * shared response decode chain inflates them — and (r16) a gzip
+    * FILE served WITHOUT the header (`application/octet-stream`, the
+    * common case for sitemap-index children on large sites) is
+    * magic-sniffed: a body opening `1F 8B` with no declared
+    * content/transfer encoding is routed through the same inflate.
+    * The sniff reads the RAW body, so a chunk-framed gzip file still
+    * needs its Transfer-Encoding declared (framed bytes don't open
+    * with the magic — documented residual boundary). Output:
+    * `(sitemap_url, kind, loc, lastmod, changefreq, priority)`. */
   def entriesOf(warc: DataFrame): DataFrame = {
     val pre = "(?:[A-Za-z0-9_.\\-]+:)?"
+    val gzMagic = lit(Array[Byte](0x1f.toByte, 0x8b.toByte))
+    val noEnc = (col("http_content_encoding").isNull ||
+        col("http_content_encoding") === "") &&
+      (col("http_transfer_encoding").isNull ||
+        col("http_transfer_encoding") === "")
+    val sniffed = warc.withColumn("http_content_encoding",
+      when(noEnc && substring(col("body"), 1, 2) === gzMagic, lit("gzip"))
+        .otherwise(col("http_content_encoding")))
     val decoded = graft.sources.WarcSource.responseTextOf(
-      warc.withColumn("http_content_type",
+      sniffed.withColumn("http_content_type",
         // responseTextOf keeps text/* and application/xhtml+xml; let
         // xml-ish labels through too, the body sniff below decides
         when(lower(col("http_content_type")).rlike("(?i)xml|octet-stream"),

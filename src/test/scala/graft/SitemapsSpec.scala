@@ -57,6 +57,27 @@ class SitemapsSpec extends SparkSpec {
     assert(rows(xml) === Seq(("url", "http://h.example/p1", null, null, null)))
   }
 
+  test("entriesOf magic-sniffs a gzip FILE served without Content-Encoding (r16)") {
+    val xml = "<urlset><url><loc>http://h.example/gz1</loc></url></urlset>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(xml.getBytes("UTF-8")); gz.close()
+    val crawl = Seq(
+      ("response", "http://h.example/sitemap.xml.gz", 200,
+        "application/octet-stream", null: String, null: String, bos.toByteArray),
+      // a DECLARED encoding must not be overridden by the sniff
+      ("response", "http://h.example/declared.xml.gz", 200,
+        "application/octet-stream", "gzip", null: String, bos.toByteArray))
+      .toDF("warc_type", "target_uri", "http_status", "http_content_type",
+        "http_content_encoding", "http_transfer_encoding", "body")
+    val got = Sitemaps.entriesOf(crawl)
+      .select("sitemap_url", "loc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("http://h.example/sitemap.xml.gz", "http://h.example/gz1"),
+      ("http://h.example/declared.xml.gz", "http://h.example/gz1")))
+  }
+
   test("entriesOf sniffs sitemap bodies off a crawl frame, skips pages") {
     def env(uri: String, ctype: String, body: String) =
       ("response", uri, 200, ctype, null: String, null: String,
