@@ -2262,6 +2262,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Weighted PageRank under the gate (r16): the q139 graph with
+    // per-edge multiplicities ((o_orderkey % 9) + 1 — duplicate
+    // (src,dst) pairs SUM their weights, the hostGraph n_links
+    // convention), 3 iterations; contributions are (rank·w) // W(u)
+    // through the overflow-safe identity, so the twin's hugeint
+    // (rank*w)//W reproduces every unit exactly. A weighting,
+    // aggregation or out-degree bug moves integer units and breaks
+    // the hash; the ORDERING also differs from q139's simple-graph
+    // ranks (the spec asserts that on a crafted pair).
+    "q154_weighted_pagerank" -> { (s, dir) =>
+      val edges = Tables(s, dir, "orders")
+        .select((col("o_orderkey") % 40).as("si"),
+          ((col("o_orderkey") * 7 + 3) % 40).as("di"),
+          ((col("o_orderkey") % 9) + 1).as("w"))
+        .filter(col("si") % 7 =!= 0)
+        .select(concat(lit("h"), col("si").cast(StringType)).as("src"),
+          concat(lit("h"), col("di").cast(StringType)).as("dst"),
+          col("w"))
+      Links.pageRank(edges, "src", "dst", iterations = 3,
+          weightCol = Some("w"))
+        .orderBy(col("node"))
+    },
+
     // Gzip-FILE sitemaps under the gate (r16): odd docs serve a
     // sitemap.xml.gz as application/octet-stream with NO
     // Content-Encoding header (the common large-site case — the gzip
@@ -4460,6 +4483,53 @@ object SparkEntry {
         |d3 as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang from r2 r
         |  left join deg on r.node = deg.src where deg.src is null),
         |c3 as (select e.dst as node, cast(sum(r.rank // deg.deg) as bigint) as s from e
+        |  join r2 r on e.src = r.node join deg on e.src = deg.src group by e.dst),
+        |r3 as (select nodes.node,
+        |    (select (15 * 1000000000000) // (100 * n) from nn)
+        |    + (85 * (coalesce(c3.s, 0)
+        |        + (select dang from d3) // (select n from nn))) // 100 as rank
+        |  from nodes left join c3 on nodes.node = c3.node)
+        |select node, rank from r3 order by node""".stripMargin,
+
+    // weighted-pagerank twin (r16): the q139 recurrence with a
+    // weight column — weighted out-degree, hugeint (rank*w)//deg
+    // contributions (exactly the engine's overflow-safe identity),
+    // sums cast to bigint for the dtype gate
+    "q154_weighted_pagerank" ->
+      """with e as (
+        |  select 'h' || (o_orderkey % 40) as src,
+        |    'h' || ((o_orderkey * 7 + 3) % 40) as dst,
+        |    cast(sum((o_orderkey % 9) + 1) as bigint) as w
+        |  from orders
+        |  where (o_orderkey % 40) % 7 <> 0
+        |    and (o_orderkey % 40) <> ((o_orderkey * 7 + 3) % 40)
+        |  group by 1, 2),
+        |nodes as (select distinct node from
+        |  (select src as node from e union select dst as node from e)),
+        |nn as (select count(*) as n from nodes),
+        |deg as (select src, cast(sum(w) as bigint) as deg from e group by src),
+        |r0 as (select node, (select 1000000000000 // n from nn) as rank from nodes),
+        |d1 as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang from r0 r
+        |  left join deg on r.node = deg.src where deg.src is null),
+        |c1 as (select e.dst as node, cast(sum((r.rank * e.w) // deg.deg) as bigint) as s from e
+        |  join r0 r on e.src = r.node join deg on e.src = deg.src group by e.dst),
+        |r1 as (select nodes.node,
+        |    (select (15 * 1000000000000) // (100 * n) from nn)
+        |    + (85 * (coalesce(c1.s, 0)
+        |        + (select dang from d1) // (select n from nn))) // 100 as rank
+        |  from nodes left join c1 on nodes.node = c1.node),
+        |d2 as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang from r1 r
+        |  left join deg on r.node = deg.src where deg.src is null),
+        |c2 as (select e.dst as node, cast(sum((r.rank * e.w) // deg.deg) as bigint) as s from e
+        |  join r1 r on e.src = r.node join deg on e.src = deg.src group by e.dst),
+        |r2 as (select nodes.node,
+        |    (select (15 * 1000000000000) // (100 * n) from nn)
+        |    + (85 * (coalesce(c2.s, 0)
+        |        + (select dang from d2) // (select n from nn))) // 100 as rank
+        |  from nodes left join c2 on nodes.node = c2.node),
+        |d3 as (select cast(coalesce(sum(r.rank), 0) as bigint) as dang from r2 r
+        |  left join deg on r.node = deg.src where deg.src is null),
+        |c3 as (select e.dst as node, cast(sum((r.rank * e.w) // deg.deg) as bigint) as s from e
         |  join r2 r on e.src = r.node join deg on e.src = deg.src group by e.dst),
         |r3 as (select nodes.node,
         |    (select (15 * 1000000000000) // (100 * n) from nn)

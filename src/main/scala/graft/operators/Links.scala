@@ -522,27 +522,54 @@ object Links {
     * isn't.
     *
     * Self-loops are dropped and edges deduplicated (simple-graph
-    * PageRank; weighted variants divide by weighted out-degree —
-    * out of scope, documented). `N` lands as one bounded driver
-    * scalar (a count of HOSTS, not pages). Each iteration is two
-    * shuffles (contribution aggregate + rank join), both keyed on
-    * `node`; the eager per-iteration localCheckpoint truncates
-    * lineage so iteration k never replans iterations 1..k-1. */
+    * PageRank). `N` lands as one bounded driver scalar (a count of
+    * HOSTS, not pages). Each iteration is two shuffles (contribution
+    * aggregate + rank join), both keyed on `node`; the eager
+    * per-iteration localCheckpoint truncates lineage so iteration k
+    * never replans iterations 1..k-1.
+    *
+    * WEIGHTED variant (r16): pass `weightCol` — duplicate
+    * `(src, dst)` pairs SUM their weights (so [[hostGraph]]'s
+    * `n_links` feeds straight in), out-degree becomes the weighted
+    * sum, and u's contribution to v is `(rank·w) // W(u)`, computed
+    * as the exact identity `w·(rank // W) + ((rank mod W)·w) // W`
+    * so every floor DIVISION keeps its operands under 2^53 (the
+    * [[idiv]] exactness bound; the int64 multiplication is exact up
+    * to 2^63). Residual bound, documented not guarded:
+    * `W(u) · max(w)` must stay below 2^53 — a host needs ~10^8
+    * weighted out-links AND a single 10^8-multiplicity edge to
+    * break it. Rows with null or non-positive weight drop (a
+    * zero-weight edge is a non-edge; refusing the whole frame for
+    * one would kill crawl-scale runs on a single bad row). Weights
+    * of 1 reproduce the unweighted ranks bit-for-bit (the identity's
+    * second term vanishes: rank mod W < W). */
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+      iterations: Int = 3, scale: Long = 1000000000000L,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
-    val edges = edges0
-      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = (weightCol match {
+      case None =>
+        edges0
+          .select(col(srcCol).cast("string").as("src"),
+            col(dstCol).cast("string").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .withColumn("w", lit(1L))
+      case Some(wc) =>
+        edges0
+          .select(col(srcCol).cast("string").as("src"),
+            col(dstCol).cast("string").as("dst"),
+            col(wc).cast(LongType).as("w"))
+          .filter(col("src") =!= col("dst") && col("w") > 0)
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    }).localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
       .localCheckpoint(true)
     val base = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("rank", lit(scale / n))
@@ -553,7 +580,11 @@ object Links {
       val contribs = edges
         .join(ranks, edges("src") === ranks("node"))
         .join(outdeg, "src")
-        .select(col("dst").as("node"), idiv(col("rank"), col("deg")).as("_c"))
+        // (rank·w) // deg via the overflow-safe identity (scaladoc);
+        // w = 1 reduces to rank // deg exactly
+        .select(col("dst").as("node"),
+          (col("w") * idiv(col("rank"), col("deg")) +
+            idiv(pmod(col("rank"), col("deg")) * col("w"), col("deg"))).as("_c"))
         .groupBy(col("node")).agg(sum(col("_c")).as("_s"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")

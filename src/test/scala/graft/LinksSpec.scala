@@ -134,6 +134,31 @@ class LinksSpec extends SparkSpec {
     assert(got.values.forall(_ >= 15L * 1000000000000L / (100L * 5L)))
   }
 
+  test("weighted pageRank: multiplicity changes the ordering; weight 1 is bit-identical (r16)") {
+    // a -> b and a -> c: simple-graph ranks tie b and c exactly;
+    // weighting a->b 3x must break the tie toward b
+    val flat = Seq(("a", "b", 1L), ("a", "c", 1L)).toDF("s", "t", "w")
+    val tied = Links.pageRank(flat, "s", "t", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tied("b") === tied("c"))
+    val weighted = Links.pageRank(
+        Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("s", "t", "w"),
+        "s", "t", iterations = 3, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(weighted("b") > weighted("c"))
+    // weight 1 everywhere = the unweighted ranks, bit for bit
+    val w1 = Links.pageRank(flat, "s", "t", iterations = 3,
+        weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1 === tied)
+    // duplicate weighted edges SUM: (a->b w2) + (a->b w1) == (a->b w3)
+    val summed = Links.pageRank(
+        Seq(("a", "b", 2L), ("a", "b", 1L), ("a", "c", 1L)).toDF("s", "t", "w"),
+        "s", "t", iterations = 3, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summed === weighted)
+  }
+
   test("nofollow flag: rel list membership in any quoting, never a substring match") {
     val out = Links.outlinks(Seq(
       ("http://h.example/p",
