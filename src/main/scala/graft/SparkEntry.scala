@@ -1533,7 +1533,13 @@ object SparkEntry {
           // exercised.
           indexBands = 8, indexRanges = 4,
           compactEvery = 2, compactTargetFiles = 4,
-          corpusCompactEvery = 2, corpusCompactTargetFiles = 4)
+          corpusCompactEvery = 2, corpusCompactTargetFiles = 4,
+          // signature-agreement pre-filter (r16): kills chance
+          // band collisions before the vector-fetch joins; hash-safe
+          // here by construction — every true survivor pair is an
+          // exact vector copy (sig hamming 0), and t=24 is the
+          // scaladoc's +5σ keep at cos 0.9
+          maxSigHamming = Some(24))
         .awaitTermination()
       val classes = u.groupBy(col("vec")).agg(min(col("doc_id")).as("class_id"))
       s.read.parquet(s"$base/corpus").select(col("vec"))

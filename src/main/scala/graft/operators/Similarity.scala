@@ -217,7 +217,18 @@ object Similarity {
     * and the exact verify degenerates toward all-pairs (measured:
     * 50 s at 5.3k vectors). At thresholds ≥0.9 use wider bands
     * (bands=8 → rows=8: chance collisions ≈ 3%, recall at cos 0.99
-    * still ≈ 1−1e-10). */
+    * still ≈ 1−1e-10).
+    *
+    * `maxSigHamming` (r16): an OPTIONAL whole-signature agreement
+    * pre-filter on banded candidates BEFORE the exact-cosine verify
+    * joins — `popcount(sig_a XOR sig_b) <= t` costs one XOR per
+    * candidate row (signatures ride the bucket join, 8 B/side) and
+    * kills chance collisions (expected hamming bits/2 ± √bits/2)
+    * before they reach the heavy vector fetch. PROBABILISTIC: a true
+    * pair at angle θ has hamming ~ Binomial(bits, θ/π) — pick t with
+    * the same math as the band-recall formula (e.g. cos ≥ 0.9 ⇒
+    * mean ≈ 9.2 of 64, σ ≈ 2.9; t = 24 is a +5σ keep). None (the
+    * default) = exact pre-r16 behavior, no filter, no sig carry. */
   def cosineNearDuplicates(
       df: DataFrame,
       idCol: String,
@@ -227,7 +238,8 @@ object Similarity {
       bits: Int = 64,
       bands: Int = 16,
       seed: Long = 42L,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      maxSigHamming: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val rows = bits / bands
     val planes = hyperplanes(dim, bits, seed)
@@ -241,7 +253,7 @@ object Similarity {
     // id-exchange without an extra shuffle
     val sigs = vecs.select(col("id"), signature(col("vec"), planes).as("sig"))
       .groupBy(col("id")).agg(first(col("sig")).as("sig"))
-    val banded = sigs.select(col("id"),
+    val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
         .as(Seq("band", "chunk")))
@@ -250,10 +262,16 @@ object Similarity {
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
       .select(col("band"), col("chunk"))
     val pruned = banded.join(keep, Seq("band", "chunk"))
-    val l = pruned.select(col("band"), col("chunk"), col("id").as("id_a"))
-    val r = pruned.select(col("band"), col("chunk"), col("id").as("id_b"))
-    val pairs = l.join(r, Seq("band", "chunk"))
+    val carry = maxSigHamming.isDefined
+    def side(suffix: String) = pruned.select(
+      Seq(col("band"), col("chunk"), col("id").as(s"id_$suffix")) ++
+        (if (carry) Seq(col("sig").as(s"_sig_$suffix")) else Nil): _*)
+    val joined = side("a").join(side("b"), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
+    val pairs = maxSigHamming.fold(joined) { t =>
+      joined.filter(
+        bit_count(col("_sig_a").bitwiseXOR(col("_sig_b"))) <= t)
+    }
       .select(col("id_a"), col("id_b"))
       .distinct()
     pairs
@@ -384,7 +402,8 @@ object Similarity {
       newDf: DataFrame, idCol: String, vecCol: String,
       indexPath: String, corpus: DataFrame,
       minCosine: Double, dim: Int, bits: Int = 64, bands: Int = 16,
-      seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 1000,
+      maxSigHamming: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     checkLshMarker(spark, indexPath, dim, bits, seed)
     val rows = bits / bands
@@ -395,7 +414,7 @@ object Similarity {
     // evaluation per row, attributes above
     val newSigs = newVecs.select(col("id"), signature(col("vec"), planes).as("sig"))
       .groupBy(col("id")).agg(first(col("sig")).as("sig"))
-    def bandedOf(sigs: DataFrame) = sigs.select(col("id"),
+    def bandedOf(sigs: DataFrame) = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
         .as(Seq("band", "chunk")))
@@ -415,7 +434,7 @@ object Similarity {
         spark.read.parquet(indexPath)
           .filter(if (touched.isEmpty) lit(false)
             else col("pblock").isin(touched: _*))
-          .select(col("id"), col("band"), col("chunk"))
+          .select(col("id"), col("sig"), col("band"), col("chunk"))
       case None =>
         bandedOf(spark.read.parquet(indexPath))
     }
@@ -424,11 +443,18 @@ object Similarity {
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
       .select(col("band"), col("chunk"))
-    val pairs = newBanded.join(keep, Seq("band", "chunk"))
-      .select(col("band"), col("chunk"), col("id").as("_id_new"))
-      .join(allBanded.select(col("band"), col("chunk"), col("id").as("_id_any")),
-        Seq("band", "chunk"))
+    val joined = newBanded.join(keep, Seq("band", "chunk"))
+      .select(col("band"), col("chunk"), col("id").as("_id_new"),
+        col("sig").as("_sig_new"))
+      .join(allBanded.select(col("band"), col("chunk"), col("id").as("_id_any"),
+        col("sig").as("_sig_any")), Seq("band", "chunk"))
       .filter(col("_id_new") =!= col("_id_any"))
+    // whole-signature agreement pre-filter (see cosineNearDuplicates):
+    // XOR is symmetric, so it runs before the (min,max) normalization
+    val pairs = maxSigHamming.fold(joined) { t =>
+      joined.filter(
+        bit_count(col("_sig_new").bitwiseXOR(col("_sig_any"))) <= t)
+    }
       .select(least(col("_id_new"), col("_id_any")).as("id_a"),
         greatest(col("_id_new"), col("_id_any")).as("id_b"))
       .distinct()

@@ -702,7 +702,8 @@ object DocStream {
       pollInterval: Option[String] = None,
       indexBands: Int = 0, indexRanges: Int = 64,
       compactEvery: Int = 0, compactTargetFiles: Int = 64,
-      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64): StreamingQuery = {
+      corpusCompactEvery: Int = 0, corpusCompactTargetFiles: Int = 64,
+      maxSigHamming: Option[Int] = None): StreamingQuery = {
     import graft.operators.Similarity
     // fail at start(), not on trigger 2: the LSH probe requires
     // idxBands == bands, so a mismatched indexBands would write
@@ -759,7 +760,8 @@ object DocStream {
           if (!corpusExists) {
             // virgin state: only batch-internal near-dups to resolve
             val pairs = Similarity.cosineNearDuplicates(batch, "doc_id",
-              "vec", minCosine, dim, bits, bands, seed, maxBucket)
+              "vec", minCosine, dim, bits, bands, seed, maxBucket,
+              maxSigHamming)
             batch.join(pairs.select(col("id_b").as("doc_id")).distinct(),
               Seq("doc_id"), "left_anti")
           } else {
@@ -767,7 +769,7 @@ object DocStream {
               Seq("doc_id"), "left_anti")
             val pairs = Similarity.incrementalCosineNearDuplicates(spark,
               fresh, "doc_id", "vec", indexDir, corpusVecs,
-              minCosine, dim, bits, bands, seed, maxBucket)
+              minCosine, dim, bits, bands, seed, maxBucket, maxSigHamming)
             // pairs are (min, max)-normalized: a batch doc dies when
             // its partner is a corpus doc (either side) or a lower-id
             // batch doc — the curateNearDupStream tie-break

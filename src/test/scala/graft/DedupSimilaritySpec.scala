@@ -101,6 +101,33 @@ class DedupSimilaritySpec extends SparkSpec {
     got.values.foreach(s => assert(s > 0.999))
   }
 
+  test("maxSigHamming pre-filter: monotone, exact copies survive t=0, full-width t is identity (r16)") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val baseVecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+    val planted = baseVecs.filter(_._1 % 10 == 3)
+      .map { case (i, v) => (i + 1000L, v.map(_ * 2.0)) } // exact copies up to scale
+    val df = spark.createDataFrame((baseVecs ++ planted).map { case (i, v) => (i, v.toSeq) })
+      .toDF("id", "v")
+    def pairsAt(t: Option[Int], minCos: Double) =
+      Similarity.cosineNearDuplicates(df, "id", "v", minCosine = minCos,
+          dim = 16, bits = 64, bands = 16, maxSigHamming = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unfiltered = pairsAt(None, 0.95)
+    val exact = planted.map { case (pid, _) => (pid - 1000L, pid) }.toSet
+    // exact copies have identical signatures: they survive even t=0
+    assert(pairsAt(Some(0), 0.95).intersect(exact) === exact)
+    // the filter is monotone and the full-width bound is the identity
+    assert(pairsAt(Some(8), 0.95).subsetOf(unfiltered))
+    assert(pairsAt(Some(64), 0.95) === unfiltered)
+    // at a LOW threshold, near-but-not-identical pairs exist whose
+    // signatures disagree: t=0 must be a strict subset — the
+    // documented probabilistic-recall contract of the pre-filter
+    val loose = pairsAt(None, 0.35)
+    assert(pairsAt(Some(0), 0.35) !== loose)
+    assert(pairsAt(Some(0), 0.35).subsetOf(loose))
+  }
+
   test("incremental embedding dedup: persisted LSH index, batch-touching pairs, param refusal") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(7)
