@@ -1148,11 +1148,77 @@ object GraphQL {
       fields.map(sf => GField(sf.name, typeRefOf(sf.dataType, nullable = true)))),
     GEnumT(s"${target}OrderBy", orderByValues(fields.map(_.name))))
 
+  /** The introspection META-SCHEMA as first-class types (r16,
+    * closing the r15 verdict's declared boundary): `__Schema`,
+    * `__Type`, `__Field`, `__InputValue`, `__EnumValue`,
+    * `__Directive` and the `__TypeKind`/`__DirectiveLocation` enums
+    * are PART of a spec-compliant schema's type set — graphql-js and
+    * Postgraphile list them under `__schema { types }` and resolve
+    * `__type(name: "__Type")`, and schema-diffing tools read
+    * `__Type.fields(includeDeprecated:)`'s own args from exactly
+    * here. Shapes follow the spec's §introspection definitions. */
+  private def metaSchemaTypes: Seq[GType] = {
+    val tRef = TNamed("__Type", "OBJECT")
+    val inputValue = TNamed("__InputValue", "OBJECT")
+    val incDep = GArg("includeDeprecated", GBool, Some("false"))
+    Seq(
+      GObjectT("__Schema", Seq(
+        GField("description", GStringRef),
+        GField("types", nn(listOf(nn(tRef)))),
+        GField("queryType", nn(tRef)),
+        GField("mutationType", tRef),
+        GField("subscriptionType", tRef),
+        GField("directives", nn(listOf(nn(TNamed("__Directive", "OBJECT"))))))),
+      GObjectT("__Type", Seq(
+        GField("kind", nn(TNamed("__TypeKind", "ENUM"))),
+        GField("name", GStringRef),
+        GField("description", GStringRef),
+        GField("specifiedByURL", GStringRef),
+        GField("fields", listOf(nn(TNamed("__Field", "OBJECT"))), Seq(incDep)),
+        GField("interfaces", listOf(nn(tRef))),
+        GField("possibleTypes", listOf(nn(tRef))),
+        GField("enumValues", listOf(nn(TNamed("__EnumValue", "OBJECT"))),
+          Seq(incDep)),
+        GField("inputFields", listOf(nn(inputValue))),
+        GField("ofType", tRef))),
+      GObjectT("__Field", Seq(
+        GField("name", nn(GStringRef)),
+        GField("description", GStringRef),
+        GField("args", nn(listOf(nn(inputValue)))),
+        GField("type", nn(tRef)),
+        GField("isDeprecated", nn(GBool)),
+        GField("deprecationReason", GStringRef))),
+      GObjectT("__InputValue", Seq(
+        GField("name", nn(GStringRef)),
+        GField("description", GStringRef),
+        GField("type", nn(tRef)),
+        GField("defaultValue", GStringRef))),
+      GObjectT("__EnumValue", Seq(
+        GField("name", nn(GStringRef)),
+        GField("description", GStringRef),
+        GField("isDeprecated", nn(GBool)),
+        GField("deprecationReason", GStringRef))),
+      GObjectT("__Directive", Seq(
+        GField("name", nn(GStringRef)),
+        GField("description", GStringRef),
+        GField("isRepeatable", nn(GBool)),
+        GField("locations", nn(listOf(nn(TNamed("__DirectiveLocation", "ENUM"))))),
+        GField("args", nn(listOf(nn(inputValue)))))),
+      GEnumT("__TypeKind", Seq("SCALAR", "OBJECT", "INTERFACE", "UNION",
+        "ENUM", "INPUT_OBJECT", "LIST", "NON_NULL")),
+      GEnumT("__DirectiveLocation", Seq("QUERY", "MUTATION", "SUBSCRIPTION",
+        "FIELD", "FRAGMENT_DEFINITION", "FRAGMENT_SPREAD", "INLINE_FRAGMENT",
+        "VARIABLE_DEFINITION", "SCHEMA", "SCALAR", "OBJECT",
+        "FIELD_DEFINITION", "ARGUMENT_DEFINITION", "INTERFACE", "UNION",
+        "ENUM", "ENUM_VALUE", "INPUT_OBJECT", "INPUT_FIELD_DEFINITION")))
+  }
+
   /** Build the full introspectable schema: Query, PageInfo, scalars,
-    * and per view / union / interface its object (columns + derived
-    * relation fields with args), Connection, Edge, Condition and
-    * OrderBy types. Union/interface companions derive from the
-    * members' (name, type)-intersection — the same column set their
+    * the meta-schema ([[metaSchemaTypes]]), and per view / union /
+    * interface its object (columns + derived relation fields with
+    * args), Connection, Edge, Condition and OrderBy types.
+    * Union/interface companions derive from the members'
+    * (name, type)-intersection — the same column set their
     * cross-member orderBy/condition execution accepts. */
   private def buildSchema(spark: SparkSession, unions: Unions,
                           interfaces: Interfaces,
@@ -1198,7 +1264,8 @@ object GraphQL {
       } ++ (unions.keys ++ interfaces.keys).toSeq.map { n =>
         GField(n, nn(TNamed(s"${n}Connection", "OBJECT")), rootArgs(n))
       })
-    (query +: pageInfo +: scalars) ++ viewTypes ++ abstractTypes
+    (query +: pageInfo +: scalars) ++ viewTypes ++ abstractTypes ++
+      metaSchemaTypes
   }
 
   /** Render one GField (meta-schema `__Field`): name / args / type

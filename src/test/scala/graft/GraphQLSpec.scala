@@ -1131,4 +1131,84 @@ class GraphQLSpec extends SparkSpec {
     assert(err.contains("ambiguous across members"))
     assert(err.contains("... on <member>"))
   }
+
+  test("r16: a relation drives through an interface member OVER HTTP") {
+    val unions = registerUnionFixture() // registers the two member views
+    Seq(("0xaaa", 9L, 1.5), ("0xaaa", 11L, 2.0), ("0xbbb", 12L, 3.0))
+      .toDF("address", "pblock", "price_usd")
+      .createOrReplaceTempView("gql_price")
+    val rels = GraphQL.deriveRelations(spark, Seq(("gql_price", "address")))
+    val interfaces: GraphQL.Interfaces =
+      Map("gql_feed" -> unions("gql_events"))
+    val server = GraphQL.serve(spark, 0, relations = rels,
+      interfaces = interfaces)
+    try {
+      val port = server.getAddress.getPort
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(q: String) = mapper.readTree(http.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/graphql"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(q)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+      val resp = post(
+        """{ gql_feed(orderBy: "block_number") { nodes { __typename block_number
+          |    ... on gql_transfers { address
+          |      gql_prices(orderBy: "pblock") { pblock price_usd } } } } }""".stripMargin)
+      assert(!resp.has("errors"), resp.toString)
+      val nodes = resp.get("data").get("gql_feed").get("nodes")
+      assert(nodes.get(0).get("__typename").asText === "gql_transfers")
+      val p0 = nodes.get(0).get("gql_prices")
+      assert(p0.size === 2 && p0.get(0).get("pblock").asLong === 9L)
+      // bare interface field renders for every member row
+      assert(nodes.get(1).get("__typename").asText === "gql_approvals")
+      assert(nodes.get(1).get("block_number").asLong === 11L)
+      assert(!nodes.get(1).has("gql_prices"))
+    } finally server.stop(0)
+  }
+
+  test("r16: the meta-schema introspects — __Type resolves, meta types list, includeDeprecated args") {
+    registerFixture()
+    val t = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "__Type") { name kind
+        |    fields { name args { name defaultValue
+        |      type { kind name } } type { kind name ofType { kind name } } } } }""".stripMargin))
+      .get("data").get("__type")
+    assert(t.get("name").asText === "__Type")
+    assert(t.get("kind").asText === "OBJECT")
+    val fields = (0 until t.get("fields").size).map(t.get("fields").get)
+      .map(f => f.get("name").asText -> f).toMap
+    assert(fields.keySet === Set("kind", "name", "description",
+      "specifiedByURL", "fields", "interfaces", "possibleTypes",
+      "enumValues", "inputFields", "ofType"))
+    // fields(includeDeprecated: Boolean = false) — the per-field arg
+    // of the META-schema itself
+    val fArgs = fields("fields").get("args")
+    assert(fArgs.size === 1)
+    assert(fArgs.get(0).get("name").asText === "includeDeprecated")
+    assert(fArgs.get(0).get("defaultValue").asText === "false")
+    assert(fArgs.get(0).get("type").get("name").asText === "Boolean")
+    assert(fields("enumValues").get("args").size === 1)
+    // kind: __TypeKind! — a NON_NULL wrapper over the meta enum
+    assert(fields("kind").get("type").get("kind").asText === "NON_NULL")
+    assert(fields("kind").get("type").get("ofType").get("name").asText === "__TypeKind")
+    // the meta types are part of __schema { types }
+    val names = {
+      val resp = mapper.readTree(GraphQL.execute(spark,
+        "{ __schema { types { name } } }"))
+      val arr = resp.get("data").get("__schema").get("types")
+      (0 until arr.size).map(i => arr.get(i).get("name").asText).toSet
+    }
+    for (m <- Seq("__Schema", "__Type", "__Field", "__InputValue",
+        "__EnumValue", "__Directive", "__TypeKind", "__DirectiveLocation"))
+      assert(names.contains(m), s"missing meta type $m")
+    // __TypeKind enumerates the spec's eight kinds
+    val tk = mapper.readTree(GraphQL.execute(spark,
+      """{ __type(name: "__TypeKind") { kind enumValues { name } } }"""))
+      .get("data").get("__type")
+    assert(tk.get("kind").asText === "ENUM")
+    assert((0 until tk.get("enumValues").size)
+      .map(i => tk.get("enumValues").get(i).get("name").asText).toSet ===
+      Set("SCALAR", "OBJECT", "INTERFACE", "UNION", "ENUM",
+        "INPUT_OBJECT", "LIST", "NON_NULL"))
+  }
 }
