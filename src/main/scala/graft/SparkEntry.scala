@@ -2268,6 +2268,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Web-pipeline composition under the gate (r16, the q41/q145
+    // device applied to the crawl-text chain): chrome-laden pages →
+    // main-content extraction (q152's classifier) → token-count
+    // quality floor → whole-document fingerprint dedup keep-first.
+    // Every %5 doc serves an identical mirror page (constant body),
+    // so the dedup stage must collapse them to doc 0; the rest keep
+    // exactly when their extracted body clears the floor. Each stage
+    // is individually oracled (q152/q16/q15) — this gates that they
+    // COMPOSE: a classification, token-count, normalization or
+    // keep-first bug moves the survivor set or a count.
+    "q155_web_pipeline" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val perDoc = concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/h\">Home</a> " +
+          "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>"),
+        lit("<h1>Story "), id, lit(" headline</h1><p>"), col("text"),
+        lit("</p><ul><li><a href=\"/1\">One</a></li>" +
+          "<li><a href=\"/2\">Two</a></li></ul>" +
+          "<div>copyright site "), id, lit("</div></body></html>"))
+      val constPage = lit("<html><body><div><a href=\"/h\">Home</a> " +
+        "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>" +
+        "<p>The weekly status update repeats verbatim on every mirror " +
+        "of this site, word for word and byte for byte.</p>" +
+        "<ul><li><a href=\"/m\">Mirrors</a></li></ul></body></html>")
+      val pages = Tables(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, constPage).otherwise(perDoc).as("html"))
+      val extracted = Corpus.extractContent(pages, "html")
+      val kept = extracted.filter(Text.tokenCount(col("content")) >= 5)
+      val w = Window.partitionBy(Text.fingerprint(col("content")))
+        .orderBy(col("doc_id"))
+      kept.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("doc_id"),
+          col("n_kept").cast(LongType).as("n_kept"),
+          Text.tokenCount(col("content")).cast(LongType).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic training-order shuffle under the gate (r16):
+    // shard + in-shard position as a pure function of (seed, id) —
+    // md5 over "v1:<id>", shard = 15-hex-prefix int64 mod 8, seq =
+    // dense rank within the shard over (hash, id). The twin replays
+    // the identical arithmetic; a hash-input, prefix-width, modulo
+    // or ordering bug moves every position.
+    "q156_shuffle_shards" -> { (s, dir) =>
+      Corpus.shuffleShards(Tables(s, dir, "documents").select(col("doc_id")),
+          "doc_id", seed = "v1", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("seq"))
+        .orderBy(col("doc_id"))
+    },
+
     // Weighted PageRank under the gate (r16): the q139 graph with
     // per-edge multiplicities ((o_orderkey % 9) + 1 — duplicate
     // (src,dst) pairs SUM their weights, the hostGraph n_links
@@ -4757,6 +4807,48 @@ object SparkEntry {
         |from d
         |where not (m in (1, 3) and k % 4 = 0)
         |order by doc_id""".stripMargin,
+
+    // web-pipeline twin (r16): q152's content arithmetic + the %5
+    // constant mirror page, token floor, and min-doc_id keep-first
+    // over the normalized-content fingerprint groups
+    "q155_web_pipeline" ->
+      """with d as (select doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) as dtext
+        |  from documents),
+        |c as (select doc_id,
+        |    case when doc_id % 5 = 0
+        |      then 'The weekly status update repeats verbatim on every mirror of this site, word for word and byte for byte.'
+        |      when length(dtext) >= 70
+        |      then 'Story ' || doc_id || ' headline' || chr(10) || dtext
+        |      else '' end as content,
+        |    case when doc_id % 5 = 0 then 1
+        |      when length(dtext) >= 70 then 2 else 0 end as n_kept
+        |  from d),
+        |k as (select doc_id, content, n_kept,
+        |    case when length(trim(content)) = 0 then 0
+        |      else len(string_split_regex(trim(content), '\s+')) end as n_tokens
+        |  from c),
+        |f as (select *,
+        |    md5(trim(regexp_replace(regexp_replace(lower(content),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) as fp
+        |  from k where n_tokens >= 5),
+        |dd as (select doc_id, n_kept, n_tokens,
+        |    row_number() over (partition by fp order by doc_id) as rn from f)
+        |select doc_id, cast(n_kept as bigint) as n_kept,
+        |  cast(n_tokens as bigint) as n_tokens
+        |from dd where rn = 1 order by doc_id""".stripMargin,
+
+    // shuffle twin (r16): the identical md5-prefix arithmetic — the
+    // LangId bucket convention ('0x'||15 hex)::bigint — and the same
+    // (hash, id) window order
+    "q156_shuffle_shards" ->
+      """with s as (select doc_id, md5('v1:' || doc_id) as sk from documents),
+        |b as (select doc_id, sk,
+        |    ('0x' || substr(sk, 1, 15))::bigint % 8 as shard from s)
+        |select doc_id, shard,
+        |  cast(row_number() over (partition by shard order by sk, doc_id) - 1
+        |    as bigint) as seq
+        |from b order by doc_id""".stripMargin,
 
     // gzip-sitemap twin (r16): even docs = their own per-doc loc,
     // odd docs = the two constant locs of the gzipped sitemap

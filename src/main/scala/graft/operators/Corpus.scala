@@ -634,6 +634,45 @@ object Corpus {
           greatest(col("n_grams"), lit(1)).cast(DoubleType)).as("contamination_frac"))
   }
 
+  // ---- deterministic training-order shuffle -------------------------
+
+  /** Reproducible global shuffle into training shards (r16) — the
+    * last step before token export: training order must be random
+    * AND reproducible (a re-run of the pipeline has to produce
+    * byte-identical shards, or no training bug is ever bisectable),
+    * which rules out `orderBy(rand())` twice over. The device is the
+    * hash-sample one (`hashSample`): order = md5 over `seed ":" id`,
+    * so the permutation is a pure function of (seed, corpus) —
+    * engine-, partitioning- and retry-invariant — and changing the
+    * seed is a fresh independent permutation of the SAME corpus.
+    *
+    * Appends `shard` (md5-prefix mod `nShards` — the LangId bucket
+    * convention, first 15 hex digits as int64) and `seq` (0-based
+    * dense position within the shard, ordered by the full hash with
+    * the id as the collision tie-break). Every input row and column
+    * is carried.
+    *
+    * Scale shape: one hash-partitioned window keyed on `shard` —
+    * parallelism = nShards, which at training scale is the file
+    * count (thousands), far above cluster cores; a 100 TB corpus
+    * into 8k shards gives ~12 GB per window partition, the
+    * per-executor bound to size nShards against. No global sort, no
+    * driver-side anything. */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+      nShards: Int, shardCol: String = "shard",
+      seqCol: String = "seq"): DataFrame = {
+    require(nShards > 0, s"shuffleShards: nShards must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col("_sk"), col(idCol))
+    df
+      .withColumn("_sk", md5(concat_ws(":", lit(seed), col(idCol).cast(StringType))))
+      .withColumn(shardCol,
+        pmod(conv(substring(col("_sk"), 1, 15), 16, 10).cast(LongType),
+          lit(nShards.toLong)))
+      .withColumn(seqCol, (row_number().over(w) - 1).cast(LongType))
+      .drop("_sk")
+  }
+
   // ---- main-content extraction (jusText/trafilatura family) --------
 
   /** Inline-tag-level text of one HTML fragment: remaining tags to

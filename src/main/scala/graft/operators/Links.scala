@@ -406,10 +406,32 @@ object Links {
     * public suffix. A host that IS a public suffix (or shorter)
     * passes through whole. Pure scalar expression: the rule sets
     * compile to `isin` hash-set probes per label depth — no join, no
-    * shuffle, safe as a grouping key at any scale. */
+    * shuffle, safe as a grouping key at any scale.
+    *
+    * Evaluation shape (r16 melt fix): the label array binds ONCE as
+    * a single-element `transform` lambda variable and the whole
+    * rule chain evaluates against that bound variable. The chain's
+    * ~30 references sit in CONDITIONAL when-branches, which codegen's
+    * subexpression elimination refuses to hoist — spelled directly
+    * over `split(host)`, each reference re-inlined the caller's full
+    * host-derivation regex chain and the generated projection blew
+    * janino's 64 KB method limit into interpreted fallback for the
+    * WHOLE stage (185 regex matchers in q134's plan, found by the
+    * standing janino grep). The HOF is interpreted by design, but it
+    * is ~30 hash-set probes per row and it keeps the rest of the
+    * stage codegen'd. */
   def registeredDomain(host: Column, rules: Psl.Rules): Column = {
-    val h = lower(regexp_replace(host, ":\\d+$", ""))
-    val parts = split(h, "\\.")
+    val h0 = lower(regexp_replace(host, ":\\d+$", ""))
+    element_at(
+      transform(array(split(h0, "\\.")), p => regDomainFromParts(p, rules)),
+      1)
+  }
+
+  /** The PSL rule chain over an already-bound label array — every
+    * reference here is to the lambda variable `parts` (cheap), never
+    * to a derivation tree. See [[registeredDomain]]'s shape note. */
+  private def regDomainFromParts(parts: Column, rules: Psl.Rules): Column = {
+    val h = array_join(parts, ".")
     val n = size(parts)
     def lastK(k: Int): Column =
       if (k == 1) element_at(parts, -1)

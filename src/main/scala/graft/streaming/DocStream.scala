@@ -301,13 +301,20 @@ object DocStream {
       // r15 (opt-in): honor <meta name=robots content=noindex> — a
       // noindex page never reaches the quality gate / corpus / index.
       // See WarcSource.crawlTextOf for the cost note.
-      dropNoindex: Boolean = false): StreamingQuery = {
+      dropNoindex: Boolean = false,
+      // r16 (opt-in): block-level main-content extraction instead of
+      // whole-page stripHtml — chrome (nav/link lists/footers) never
+      // reaches the quality gate, dedup or corpus. Still a pure
+      // projection; WET parity stays the default (see
+      // WarcSource.crawlTextOf).
+      mainContent: Boolean = false): StreamingQuery = {
     val raw = spark.readStream.format("graft.sources.WarcSource")
       .option("path", warcDir)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load()
     def pagesOf(frame: DataFrame): DataFrame =
-      graft.sources.WarcSource.crawlTextOf(frame, dropNoindex = dropNoindex)
+      graft.sources.WarcSource.crawlTextOf(frame,
+          dropNoindex = dropNoindex, mainContent = mainContent)
         .select(xxhash64(col("target_uri")).as("doc_id"),
           col("target_uri"), col("text"))
     robotsRulesDir match {

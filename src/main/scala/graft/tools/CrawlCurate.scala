@@ -9,7 +9,7 @@ import graft.streaming.DocStream
   * near-dup into a growing corpus + MinHash index.
   *
   * Usage:
-  *   runMain graft.tools.CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [robots] [pollSeconds]
+  *   runMain graft.tools.CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [robots] [noindex] [maincontent] [pollSeconds]
   *
   * `wet` (default) eats WET `conversion` records
   * ([[graft.streaming.DocStream.curateWetCrawl]]); `raw` (r14) eats
@@ -35,13 +35,18 @@ import graft.streaming.DocStream
   * quality gate (the in-document half of the exclusion protocol;
   * costs ~2 extra decode evaluations per page, see
   * [[graft.sources.WarcSource.crawlTextOf]]).
+  * `maincontent` (r16, raw only) swaps whole-page stripHtml for the
+  * block-level content/chrome classifier
+  * ([[graft.operators.Corpus.extractContent]]) — navigation, link
+  * lists and footers never reach the quality gate, dedup or corpus
+  * (WET parity keeps the default off).
   * Without `pollSeconds` the run drains what is present and stops
   * (Trigger.AvailableNow — the bounded-run probe); with it the
   * stream keeps polling for new segment files until Ctrl-C, printing
   * `[neardup] batch=… kept=…` per micro-batch. */
 object CrawlCurate {
   private val Usage =
-    "usage: CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [robots] [noindex] [pollSeconds]"
+    "usage: CrawlCurate <warcDir> <outDir> [wet|raw] [quality|gopher] [robots] [noindex] [maincontent] [pollSeconds]"
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, Usage)
     val warcDir = args(0)
@@ -59,7 +64,9 @@ object CrawlCurate {
     require(!robots || raw, s"robots politeness needs the raw arm — $Usage")
     val noindex = rest.contains("noindex")
     require(!noindex || raw, s"noindex gating needs the raw arm — $Usage")
-    val leftovers = rest.filterNot(Set("raw", "wet", "gopher", "quality", "robots", "noindex"))
+    val mainContent = rest.contains("maincontent")
+    require(!mainContent || raw, s"main-content extraction needs the raw arm — $Usage")
+    val leftovers = rest.filterNot(Set("raw", "wet", "gopher", "quality", "robots", "noindex", "maincontent"))
     require(leftovers.length <= 1, Usage)
     val poll = leftovers.headOption.map { s =>
       require(s.nonEmpty && s.forall(_.isDigit),
@@ -72,7 +79,7 @@ object CrawlCurate {
         corpusDir = s"$out/corpus", indexDir = s"$out/index",
         checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll,
         robotsRulesDir = if (robots) Some(s"$out/robots") else None,
-        dropNoindex = noindex)
+        dropNoindex = noindex, mainContent = mainContent)
       else DocStream.curateWetCrawl(spark, warcDir,
         corpusDir = s"$out/corpus", indexDir = s"$out/index",
         checkpointDir = s"$out/ckpt", gate = gate, pollInterval = poll)

@@ -563,6 +563,27 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(probs.sum - 1.0) < 1e-12, s"sum=${probs.sum}")
   }
 
+  test("shuffleShards: reproducible permutation, partition-invariant, seed-sensitive, dense seq (r16)") {
+    val docs = (0L until 200L).map(i => (i, s"payload $i")).toDF("doc_id", "body")
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Corpus.shuffleShards(df, "doc_id", seed, nShards = 8)
+        .select("doc_id", "shard", "seq")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val a = run(docs, "v1")
+    // byte-identical under a different physical partitioning
+    assert(run(docs.repartition(13), "v1") === a)
+    // a different seed is a genuinely different permutation
+    assert(run(docs, "v2") !== a)
+    // carried columns survive
+    assert(Corpus.shuffleShards(docs, "doc_id", "v1", 8).columns.toSeq ===
+      Seq("doc_id", "body", "shard", "seq"))
+    // seq is dense 0..n-1 within every shard; shards cover the range
+    val byShard = a.values.groupBy(_._1)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet) && byShard.size > 1)
+    for ((_, rows) <- byShard)
+      assert(rows.map(_._2).toSeq.sorted === (0L until rows.size).toSeq)
+  }
+
   test("domainOf: authority spellings collapse, non-URLs null") {
     val got = Seq(
       "https://www.Example.COM:443/p/1",

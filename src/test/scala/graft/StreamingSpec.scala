@@ -530,6 +530,42 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(Set("urn:g:c", "urn:g:e")), s"gate leaked: $got")
   }
 
+  test("raw-crawl curation with mainContent: chrome never reaches the corpus (r16)") {
+    import graft.streaming.DocStream
+    import graft.sinks.WarcShards
+    val warcDir = Files.createTempDirectory("mc_in").toString
+    val corpus = Files.createTempDirectory("mc_corpus").toString + "/corpus"
+    val index = Files.createTempDirectory("mc_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("mc_ckpt").toString
+    val art1 = "a long article paragraph about distributed execution that " +
+      "comfortably clears the seventy character classifier floor"
+    val art2 = "another long but different article body describing columnar " +
+      "storage layouts well past the length threshold too"
+    def envelope(article: String): Array[Byte] = {
+      val html = "<html><body>" +
+        "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        s"<p>$article</p>" +
+        "<ul><li><a href=\"/x\">More</a></li></ul>" +
+        "<div>copyright chrome line</div></body></html>"
+      val body = html.getBytes("UTF-8")
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    }
+    WarcShards.write(
+      Seq(("p1", "urn:mc:1", envelope(art1)),
+        ("p2", "urn:mc:2", envelope(art2))).toDF("k", "u", "p"),
+      "k", "u", "p", warcDir, nShards = 1,
+      warcType = "response", contentType = "application/http; msgtype=response")
+    DocStream.curateRawCrawl(spark, warcDir, corpus, index, ckpt,
+        gate = DocStream.CrawlGate.Quality(0.0), minJaccard = 0.9,
+        mainContent = true)
+      .awaitTermination()
+    val texts = spark.read.parquet(corpus)
+      .select("target_uri", "text").as[(String, String)].collect().toMap
+    assert(texts("urn:mc:1") === art1) // nav/link-list/footer all gone
+    assert(texts("urn:mc:2") === art2)
+  }
+
   test("raw-crawl curation: response records stream through the extraction chain; in-stream compaction bounds index files (r14)") {
     import graft.streaming.DocStream
     import graft.sinks.WarcShards
