@@ -2268,6 +2268,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Stopword-floor content extraction under the gate (r16): the
+    // jusText prose discriminator — the body paragraph keeps iff the
+    // collapsed doc text clears BOTH the 70-char floor AND a 0.05
+    // stopword fraction (the data-dependent conjunction: 312/500
+    // docs pass sf, 484 pass length); a LONG link-free keyword-spam
+    // block (sf = 0) dies despite its length and must NOT ride back
+    // in on its good neighbour (rescue is short-blocks-only); the
+    // short headline still rescues off the body (the floor applies
+    // to long blocks only — headings rarely contain stopwords). Twin
+    // replays the token/stopword arithmetic on the collapsed text.
+    "q157_content_stopword" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val page = concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/h\">Home</a> " +
+          "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>"),
+        lit("<h1>Story "), id, lit(" headline</h1><p>"), col("text"),
+        lit("</p><p>buy cheap widgets gadgets doohickeys trinkets gizmos " +
+          "contraptions implements apparatus equipment hardware</p>"),
+        lit("<ul><li><a href=\"/1\">More</a></li></ul>" +
+          "<div>copyright site "), id, lit("</div></body></html>"))
+      Corpus.extractContent(
+          Tables(s, dir, "documents").select(col("doc_id"), page.as("html")),
+          "html", minStopwordFrac = 0.05)
+        .select(col("doc_id"), col("content"),
+          col("n_blocks").cast(LongType).as("n_blocks"),
+          col("n_kept").cast(LongType).as("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // Web-pipeline composition under the gate (r16, the q41/q145
     // device applied to the crawl-text chain): chrome-laden pages →
     // main-content extraction (q152's classifier) → token-count
@@ -4807,6 +4836,26 @@ object SparkEntry {
         |from d
         |where not (m in (1, 3) and k % 4 = 0)
         |order by doc_id""".stripMargin,
+
+    // stopword-floor twin (r16): the body keeps iff length AND
+    // stopword-fraction clear their floors; headline rides the body
+    "q157_content_stopword" ->
+      """with d as (select doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) as dtext
+        |  from documents),
+        |g as (select doc_id, dtext,
+        |    length(dtext) >= 70 and
+        |    cast(len(list_filter(string_split(dtext, ' '),
+        |      w -> w in ('the','a','an','and','or','of','to','in','is','it','on','for','with'))) as double)
+        |      >= 0.05 * cast(len(string_split(dtext, ' ')) as double) as good
+        |  from d)
+        |select doc_id,
+        |  case when good
+        |    then 'Story ' || doc_id || ' headline' || chr(10) || dtext
+        |    else '' end as content,
+        |  cast(6 as bigint) as n_blocks,
+        |  cast(case when good then 2 else 0 end as bigint) as n_kept
+        |from g order by doc_id""".stripMargin,
 
     // web-pipeline twin (r16): q152's content arithmetic + the %5
     // constant mirror page, token floor, and min-doc_id keep-first

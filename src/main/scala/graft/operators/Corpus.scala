@@ -706,7 +706,13 @@ object Corpus {
     *     `minTextChars` chars AND its link density (link chars /
     *     text chars) is at most `maxLinkDensity` — navigation, link
     *     farms and button bars die on density, stray labels die on
-    *     length. A short low-density block is RESCUED when an
+    *     length — AND (r16, opt-in via `minStopwordFrac` > 0) its
+    *     stopword fraction clears the floor: jusText's actual
+    *     prose/keyword-stuffing discriminator — a long link-free
+    *     list of product keywords has no function words and dies
+    *     here, real prose sails. The floor applies to LONG blocks
+    *     only (headings rarely contain stopwords and must stay
+    *     rescuable). A SHORT low-density block is RESCUED when an
     *     adjacent non-empty block is good (headings and lead-ins
     *     belong to the article they introduce — jusText's
     *     neighbour-context rule, one hop).
@@ -728,7 +734,9 @@ object Corpus {
     * hazard); lambdas touch ONLY their bound variables. */
   def extractContent(df: DataFrame, htmlCol: String,
       minTextChars: Int = 70, maxLinkDensity: Double = 0.2,
-      outCol: String = "content"): DataFrame = {
+      outCol: String = "content",
+      minStopwordFrac: Double = 0.0,
+      stopwords: Seq[String] = graft.functions.Text.EnglishStopwords): DataFrame = {
     val blockRe = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead" +
       "|tbody|tfoot|tr|td|th|blockquote|pre|article|section|header|footer" +
       "|nav|aside|main|figure|figcaption|form|fieldset|hr|br|noscript" +
@@ -753,10 +761,25 @@ object Corpus {
         zip_with(col("_texts"), col("_alens"),
           (t, a) => struct(t.as("t"), a.as("a"))),
         p => length(p.getField("t")) > 0))
-      .withColumn("_gl", transform(col("_pairs"), p => struct(
-        (length(p.getField("t")) >= minTextChars &&
-          ldOk(p.getField("t"), p.getField("a"))).as("g"),
-        ldOk(p.getField("t"), p.getField("a")).as("l"))))
+      .withColumn("_gl", transform(col("_pairs"), p => {
+        // stopword floor (opt-in): block text is already trimmed and
+        // single-space collapsed, so a plain space split is exact
+        def sfOk(t: Column): Column =
+          if (minStopwordFrac <= 0.0) lit(true)
+          else {
+            val toks = split(t, " ")
+            size(filter(toks, w => w.isin(stopwords: _*))).cast(DoubleType) >=
+              lit(minStopwordFrac) * size(toks).cast(DoubleType)
+          }
+        val long = length(p.getField("t")) >= minTextChars
+        val ld = ldOk(p.getField("t"), p.getField("a"))
+        val g =
+          if (minStopwordFrac <= 0.0) long && ld
+          else long && ld && sfOk(p.getField("t"))
+        // rescue is SHORT blocks only: a long block that failed its
+        // own gates must not ride back in on a good neighbour
+        struct(g.as("g"), (!long && ld).as("r"))
+      }))
       .withColumn("_g", transform(col("_gl"), x => x.getField("g")))
       .withColumn("_keep", zip_with(
         col("_gl"),
@@ -767,7 +790,7 @@ object Corpus {
             array(lit(false))),
           (a, b) => a || b),
         (x, nb) => x.getField("g") ||
-          (x.getField("l") && coalesce(nb, lit(false)))))
+          (x.getField("r") && coalesce(nb, lit(false)))))
       .withColumn("_tk", zip_with(col("_pairs"), col("_keep"),
         (p, k) => struct(p.getField("t").as("t"), k.as("k"))))
       .withColumn(outCol, when(col(htmlCol).isNull, lit(null).cast(StringType))

@@ -66,6 +66,22 @@ class MainContentSpec extends SparkSpec {
     assert(r.getInt(1) === 1)
   }
 
+  test("stopword floor: keyword spam dies despite length, headings stay rescuable, default off (r16)") {
+    val spam = "buy cheap widgets gadgets doohickeys trinkets gizmos " +
+      "contraptions implements apparatus equipment hardware units"
+    val html = s"<body><h2>Section heading</h2><p>$Long1</p><p>$spam</p></body>"
+    def run(sf: Double) =
+      Corpus.extractContent(Seq((1L, html)).toDF("id", "html"), "html",
+          minStopwordFrac = sf)
+        .select("content").collect().head.getString(0)
+    // arm off: the spam block is long and link-free -> kept
+    assert(run(0.0) === s"Section heading\n$Long1\n$spam")
+    // arm on: spam has zero stopwords -> dies on the floor, and it
+    // must NOT ride back in on its good neighbour (long blocks are
+    // never rescued); the stopword-free HEADING still rescues
+    assert(run(0.1) === s"Section heading\n$Long1")
+  }
+
   test("crawlTextOf(mainContent = true): chrome-free text off a raw crawl frame; default keeps WET parity") {
     def rec(uri: String, body: String) =
       ("response", uri, 200, "text/html; charset=utf-8",
