@@ -56,15 +56,32 @@ object Psl {
     * Leading `!` = exception, leading `*.` = wildcard, else exact.
     * Wildcards anywhere but the leftmost label are not in the PSL
     * grammar and are rejected loudly (a silently-misparsed rule set
-    * would mis-group domains corpus-wide). */
+    * would mis-group domains corpus-wide).
+    *
+    * IDN rules (r16): the full PSL writes internationalized suffixes
+    * in UNICODE (`中国`, `рф`, `გე`) while crawl hosts are PUNYCODE
+    * (`xn--fiqs8s`) — a unicode-only rule would silently never match
+    * and every site under that registry would over-group into the
+    * bare IDN TLD. Non-ASCII rules therefore register BOTH forms
+    * (unicode as written + `java.net.IDN.toASCII` per label); a
+    * label the encoder rejects keeps only its written form. */
   def parse(lines: Iterator[String]): Rules = {
     val exact = scala.collection.mutable.Map[Int, Set[String]]()
     val wild = scala.collection.mutable.Map[Int, Set[String]]()
     val exc = scala.collection.mutable.Map[Int, Set[String]]()
-    def add(m: scala.collection.mutable.Map[Int, Set[String]], s: String): Unit = {
-      val k = s.count(_ == '.') + 1
-      m(k) = m.getOrElse(k, Set.empty) + s
-    }
+    def add(m: scala.collection.mutable.Map[Int, Set[String]], s: String): Unit =
+      forms(s).foreach { f =>
+        val k = f.count(_ == '.') + 1
+        m(k) = m.getOrElse(k, Set.empty) + f
+      }
+    def forms(s: String): Seq[String] =
+      if (s.forall(_ < 128)) Seq(s)
+      else Seq(s) ++ (try {
+        val ascii = s.split('.')
+          .map(l => java.net.IDN.toASCII(l).toLowerCase(java.util.Locale.ROOT))
+          .mkString(".")
+        if (ascii == s) Nil else Seq(ascii)
+      } catch { case _: IllegalArgumentException => Nil })
     for (raw <- lines) {
       val line = raw.trim.takeWhile(!_.isWhitespace)
       if (line.nonEmpty && !line.startsWith("//")) {

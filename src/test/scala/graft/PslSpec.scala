@@ -41,6 +41,19 @@ class PslSpec extends SparkSpec {
     }
   }
 
+  test("IDN rules register both forms: punycode hosts match unicode PSL entries (r16)") {
+    // the full PSL writes 中国 / рф in unicode; crawl hosts arrive as
+    // xn--fiqs8s / xn--p1ai — both spellings must resolve
+    val rules = Psl.parse(Iterator("中国", "com.中国", "рф"))
+    assert(rules.exact(1).contains("xn--fiqs8s"))
+    assert(rules.exact(1).contains("中国"))
+    assert(rules.exact(2).contains("com.xn--fiqs8s"))
+    val got = regOf(Seq("www.site.com.xn--fiqs8s", "sub.site.xn--p1ai"),
+      Some(rules))
+    assert(got("www.site.com.xn--fiqs8s") === "site.com.xn--fiqs8s")
+    assert(got("sub.site.xn--p1ai") === "site.xn--p1ai")
+  }
+
   test("the vendored snapshot loads and is substantive") {
     val r = Psl.Default.getOrElse(fail("snapshot resource missing"))
     assert(r.nRules > 400)
