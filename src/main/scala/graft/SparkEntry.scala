@@ -2323,7 +2323,15 @@ object SparkEntry {
         "<ul><li><a href=\"/m\">Mirrors</a></li></ul></body></html>")
       val pages = Tables(s, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 5 === 0, constPage).otherwise(perDoc).as("html"))
+      // aggregate barrier on the unique id: the downstream filter
+      // (pushdown substitutes into it — the r11 lesson), window key
+      // and output select would otherwise each re-inline the whole
+      // extraction chain (measured: 6.6 s -> barrier'd re-measure in
+      // SCALE.md r16)
       val extracted = Corpus.extractContent(pages, "html")
+        .groupBy(col("doc_id"))
+        .agg(first(col("content")).as("content"),
+          first(col("n_kept")).as("n_kept"))
       val kept = extracted.filter(Text.tokenCount(col("content")) >= 5)
       val w = Window.partitionBy(Text.fingerprint(col("content")))
         .orderBy(col("doc_id"))

@@ -408,19 +408,33 @@ object Links {
     * compile to `isin` hash-set probes per label depth — no join, no
     * shuffle, safe as a grouping key at any scale.
     *
-    * Evaluation shape (r16 melt fix): the label array binds ONCE as
-    * a single-element `transform` lambda variable and the whole
-    * rule chain evaluates against that bound variable. The chain's
-    * ~30 references sit in CONDITIONAL when-branches, which codegen's
-    * subexpression elimination refuses to hoist — spelled directly
-    * over `split(host)`, each reference re-inlined the caller's full
-    * host-derivation regex chain and the generated projection blew
-    * janino's 64 KB method limit into interpreted fallback for the
-    * WHOLE stage (185 regex matchers in q134's plan, found by the
-    * standing janino grep). The HOF is interpreted by design, but it
-    * is ~30 hash-set probes per row and it keeps the rest of the
-    * stage codegen'd. */
+    * Evaluation shape (r16, twice revised): the first spelling — the
+    * rule chain composed directly over `split(host)` — melted janino
+    * (the chain's ~30 references sit in CONDITIONAL when-branches,
+    * which codegen's subexpression elimination refuses to hoist, so
+    * each reference re-inlined the caller's full host-derivation
+    * regex chain: 185 regex matchers in q134's plan, 64 KB exceeded,
+    * whole stage interpreted). The lambda-bound rescue fixed the
+    * melt but ran the chain interpreted at ~100 µs/row (+80% on
+    * q134). The production form is now the NATIVE codegen'd
+    * [[graft.functions.PslDomain]] expression — one generated static
+    * call over pre-compiled hash sets; the composed chain survives
+    * as [[registeredDomainExpr]], the compositional reference the
+    * spec asserts row-identity against (the LshProbe /
+    * multiProbePredicate precedent). */
   def registeredDomain(host: Column, rules: Psl.Rules): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.PslDomain(
+      ColumnBridge.expression(host), rules.compiled))
+  }
+
+  /** The composed-Column PSL chain — the compositional REFERENCE for
+    * [[registeredDomain]]'s native expression (spec-compared
+    * row-identical), not the production path: see the shape note
+    * above. The label array binds once as a single-element
+    * `transform` lambda variable so the chain never re-inlines a
+    * caller's derivation tree. */
+  def registeredDomainExpr(host: Column, rules: Psl.Rules): Column = {
     val h0 = lower(regexp_replace(host, ":\\d+$", ""))
     element_at(
       transform(array(split(h0, "\\.")), p => regDomainFromParts(p, rules)),
@@ -429,7 +443,7 @@ object Links {
 
   /** The PSL rule chain over an already-bound label array — every
     * reference here is to the lambda variable `parts` (cheap), never
-    * to a derivation tree. See [[registeredDomain]]'s shape note. */
+    * to a derivation tree. See [[registeredDomainExpr]]. */
   private def regDomainFromParts(parts: Column, rules: Psl.Rules): Column = {
     val h = array_join(parts, ".")
     val n = size(parts)

@@ -44,6 +44,11 @@ object Psl {
     /** Longest public-suffix length (in labels) any rule can assert. */
     val maxMatch: Int =
       (exact.keys ++ wildcard.keys.map(_ + 1) ++ Seq(1)).max
+    /** Hash-set form for the native [[graft.functions.PslDomain]]
+      * expression (compiled once per rule set, shipped as one
+      * reference object). */
+    @transient lazy val compiled: graft.functions.PslCompiled =
+      graft.functions.PslDomainRuntime.compile(exact, wildcard, exceptions)
     def nRules: Int =
       exact.valuesIterator.map(_.size).sum +
         wildcard.valuesIterator.map(_.size).sum +

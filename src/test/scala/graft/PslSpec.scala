@@ -41,6 +41,33 @@ class PslSpec extends SparkSpec {
     }
   }
 
+  test("native PslDomain is row-identical to the composed reference chain") {
+    val rules = Psl.Default.get
+    val hosts = Seq(
+      "example.com", "a.b.example.com", "EXAMPLE.COM:8080",
+      "www.example.co.uk", "deep.sub.example.co.uk",
+      "school.example.pvt.k12.ma.us",
+      "a.github.io", "x.a.github.io", "github.io",
+      "x.thing.ck", "thing.ck", "www.ck", "sub.www.ck", "ck",
+      "vm1.uswest.compute.amazonaws.com",
+      "cdn.site.fancy", "site.fancy", "fancy",
+      "co.uk", "localhost", "localhost:8080",
+      "192.168.0.1", "192.168.0.1:80", "256.1.2.3.4",
+      "a..b.example.com", "", "a:bc", "host:", "host:80x",
+      "trailing.dot.example.com.")
+    val df = hosts.toDF("h")
+    val got = df.select(col("h"),
+      Links.registeredDomain(col("h"), rules).as("native"),
+      Links.registeredDomainExpr(col("h"), rules).as("ref")).collect()
+    for (r <- got)
+      assert(r.getString(1) === r.getString(2), s"host '${r.getString(0)}'")
+    // null propagates on both
+    val nulls = Seq[(java.lang.Long, String)]((1L, null)).toDF("i", "h")
+      .select(Links.registeredDomain(col("h"), rules).as("n"),
+        Links.registeredDomainExpr(col("h"), rules).as("r")).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("IDN rules register both forms: punycode hosts match unicode PSL entries (r16)") {
     // the full PSL writes 中国 / рф in unicode; crawl hosts arrive as
     // xn--fiqs8s / xn--p1ai — both spellings must resolve
