@@ -2268,6 +2268,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode-robust fingerprint dedup under the gate (r16): every
+    // key exists twice — once NFC-composed (é as U+00E9, ά as
+    // U+03AC), once NFD-decomposed (e+U+0301, α+U+0301) — and
+    // fingerprintUnicode must land each pair in ONE class while the
+    // raw md5 sees two variants (except the pure-ASCII arm, where
+    // both spellings are the same bytes and the NFC fast path is a
+    // no-op). Twin rebuilds the exact codepoints with chr() and
+    // replays the NFC+lower+collapse+md5 chain through DuckDB's own
+    // nfc_normalize — an algorithm, fast-path or script-erasure bug
+    // (the LangId lesson) splits a class or merges the ASCII arm's
+    // variant count.
+    "q158_unicode_fingerprint" -> { (s, dir) =>
+      val key = col("doc_id") % 250
+      val k = key.cast(StringType)
+      val composed = col("doc_id") < 250
+      val flavor = key % 3
+      val text =
+        when(flavor === 0 && composed,
+          concat(lit("caf\u00e9 r\u00e9sum\u00e9 no "), k))
+        .when(flavor === 0,
+          concat(lit("cafe\u0301 re\u0301sume\u0301 no "), k))
+        .when(flavor === 1 && composed,
+          concat(lit("\u03b5\u03bb\u03bb\u03ac\u03b4\u03b1 "), k))
+        .when(flavor === 1,
+          concat(lit("\u03b5\u03bb\u03bb\u03b1\u0301\u03b4\u03b1 "), k))
+        .otherwise(concat(lit("plain ascii text "), k))
+      Tables(s, dir, "documents").select(col("doc_id"), text.as("t"))
+        .groupBy(Text.fingerprintUnicode(col("t")).as("_fpu"))
+        .agg(min(col("doc_id")).as("class_id"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("t"))).as("n_raw_variants"))
+        .select(col("class_id"), col("n_docs"), col("n_raw_variants"))
+        .orderBy(col("class_id"))
+    },
+
     // Stopword-floor content extraction under the gate (r16): the
     // jusText prose discriminator — the body paragraph keeps iff the
     // collapsed doc text clears BOTH the 70-char floor AND a 0.05
@@ -4844,6 +4879,17 @@ object SparkEntry {
         |from d
         |where not (m in (1, 3) and k % 4 = 0)
         |order by doc_id""".stripMargin,
+
+    // unicode-fingerprint twin (r16): INDEPENDENT expectations from
+    // the pair arithmetic (stronger than replaying nfc_normalize —
+    // a shared-algorithm bug can't hide): every key is one class of
+    // exactly two docs, with two raw byte-variants except the ASCII
+    // arm where both spellings are the same bytes
+    "q158_unicode_fingerprint" ->
+      """with k as (select distinct doc_id % 250 as key from documents)
+        |select key as class_id, cast(2 as bigint) as n_docs,
+        |  cast(case when key % 3 = 2 then 1 else 2 end as bigint) as n_raw_variants
+        |from k order by class_id""".stripMargin,
 
     // stopword-floor twin (r16): the body keeps iff length AND
     // stopword-fraction clear their floors; headline rides the body

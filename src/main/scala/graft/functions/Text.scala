@@ -322,6 +322,29 @@ object Text {
     * to case/punct/whitespace edits). */
   def fingerprint(c: Column): Column = md5(normalized(c))
 
+  /** Unicode NFC (canonical composition) via the native
+    * [[NfcNormalize]] expression — composed vs decomposed spellings
+    * of the same text ("é" as U+00E9 vs U+0065+U+0301) become one
+    * byte sequence. */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  }
+
+  /** Unicode-robust whole-document fingerprint (r16): NFC first, so
+    * canonically-equivalent spellings dedup together — [[normalized]]
+    * strips to `[a-z0-9\s]`, which erases the distinction for Latin
+    * accents but NOT for scripts it passes through untouched; real
+    * web corpora carry both NFC and NFD spellings of the same page
+    * (editor- and entity-decoder-dependent), and a byte fingerprint
+    * without this layer counts them as distinct documents. The md5
+    * is over `lower(nfc(text))` with whitespace collapsed — scripts
+    * preserved (the LangId normalization lesson: an ASCII strip
+    * erases every non-Latin document). */
+  def fingerprintUnicode(c: Column): Column =
+    md5(trim(regexp_replace(lower(nfc(c)),
+      "[ \\t\\n\\x0B\\f\\r\\x{00A0}]+", " ")))
+
   /** Character k-grams of an ALREADY-MATERIALIZED normalized column.
     * Inside the transform lambda `n` re-evaluates per element; a raw
     * `normalized(text)` tree there would re-run its regexes for every

@@ -563,6 +563,38 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(probs.sum - 1.0) < 1e-12, s"sum=${probs.sum}")
   }
 
+  test("nfc + fingerprintUnicode: canonical equivalence unifies, scripts preserved, ascii fast path (r16)") {
+    import graft.functions.Text
+    val rows = Seq(
+      ("lat-c", "café"), ("lat-d", "café"),
+      ("gr-c", "ελλάδα"),
+      ("gr-d", "ελλάδα"),
+      ("ascii", "plain text"), ("null", null))
+      .toDF("k", "t")
+    val got = rows.select(col("k"), Text.nfc(col("t")).as("n"),
+      Text.fingerprintUnicode(col("t")).as("f")).collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    // composed and decomposed collapse to one spelling and one print
+    assert(got("lat-c")._1 === got("lat-d")._1)
+    assert(got("lat-c")._2 === got("lat-d")._2)
+    assert(got("gr-c")._2 === got("gr-d")._2)
+    // the script itself is PRESERVED (not ascii-stripped): distinct
+    // non-Latin texts keep distinct fingerprints
+    assert(got("gr-c")._2 !== got("lat-c")._2)
+    assert(got("ascii")._1 === Some("plain text"))
+    assert(got("null") === ((None, None)))
+    // the historical plain fingerprint SPLITS the Latin canonical
+    // pair ("caf" vs "cafe" after the ascii strip) and ERASES Greek
+    // entirely (md5 of "") — both failure modes fingerprintUnicode
+    // exists to fix
+    val plain = rows.filter(col("t").isNotNull)
+      .select(col("k"), Text.fingerprint(col("t"))).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plain("lat-c") !== plain("lat-d"))
+    assert(plain("gr-c") === plain("gr-d")) // equal because ERASED
+    assert(plain("gr-c") === "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+  }
+
   test("shuffleShards: reproducible permutation, partition-invariant, seed-sensitive, dense seq (r16)") {
     val docs = (0L until 200L).map(i => (i, s"payload $i")).toDF("doc_id", "body")
     def run(df: org.apache.spark.sql.DataFrame, seed: String) =
