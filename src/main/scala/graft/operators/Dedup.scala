@@ -18,9 +18,17 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Exact dedup: first row per normalized-content hash. */
-  def exact(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("_fp", Text.fingerprint(col(textCol)))
+  /** Exact dedup: first row per normalized-content hash. `unicode`
+    * (r16) swaps the ascii-normalized fingerprint for
+    * [[graft.functions.Text.fingerprintUnicode]] — NFC-canonical,
+    * script-preserving; the right key for any corpus that is not
+    * mostly English (the default's `[^a-z0-9\s]` strip erases
+    * non-Latin text entirely, collapsing unrelated documents). */
+  def exact(df: DataFrame, textCol: String,
+      unicode: Boolean = false): DataFrame =
+    df.withColumn("_fp",
+        if (unicode) Text.fingerprintUnicode(col(textCol))
+        else Text.fingerprint(col(textCol)))
       .dropDuplicates("_fp")
       .drop("_fp")
 
