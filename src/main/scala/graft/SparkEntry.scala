@@ -2268,21 +2268,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // Unicode-robust fingerprint dedup under the gate (r16): every
-    // key exists twice — once NFC-composed (é as U+00E9, ά as
-    // U+03AC), once NFD-decomposed (e+U+0301, α+U+0301) — and
-    // fingerprintUnicode must land each pair in ONE class while the
-    // raw md5 sees two variants (except the pure-ASCII arm, where
-    // both spellings are the same bytes and the NFC fast path is a
-    // no-op). Twin rebuilds the exact codepoints with chr() and
-    // replays the NFC+lower+collapse+md5 chain through DuckDB's own
-    // nfc_normalize — an algorithm, fast-path or script-erasure bug
-    // (the LangId lesson) splits a class or merges the ASCII arm's
-    // variant count.
+    // Unicode-robust fingerprint dedup under the gate (r16): parity
+    // pairs (key = doc_id div 2, SCALE-INVARIANT — the first cut
+    // keyed on %250 broke at sf0.1) — the even doc NFC-composed
+    // (é as U+00E9, ά as U+03AC), the odd doc NFD-decomposed
+    // (e+U+0301, α+U+0301) — and fingerprintUnicode must land each
+    // pair in ONE class while the raw md5 sees two variants (except
+    // the pure-ASCII arm, where both spellings are the same bytes
+    // and the NFC fast path is a no-op). The twin derives class
+    // structure INDEPENDENTLY from the parity arithmetic — an
+    // algorithm, fast-path or script-erasure bug (the LangId lesson)
+    // splits a class or merges the ASCII arm's variant count.
     "q158_unicode_fingerprint" -> { (s, dir) =>
-      val key = col("doc_id") % 250
+      val key = ((col("doc_id") - pmod(col("doc_id"), lit(2))) / 2).cast(LongType)
       val k = key.cast(StringType)
-      val composed = col("doc_id") < 250
+      val composed = pmod(col("doc_id"), lit(2)) === 0
       val flavor = key % 3
       val text =
         when(flavor === 0 && composed,
@@ -4886,10 +4886,12 @@ object SparkEntry {
     // exactly two docs, with two raw byte-variants except the ASCII
     // arm where both spellings are the same bytes
     "q158_unicode_fingerprint" ->
-      """with k as (select distinct doc_id % 250 as key from documents)
-        |select key as class_id, cast(2 as bigint) as n_docs,
-        |  cast(case when key % 3 = 2 then 1 else 2 end as bigint) as n_raw_variants
-        |from k order by class_id""".stripMargin,
+      """with d as (select doc_id, doc_id // 2 as key, doc_id % 2 as par from documents),
+        |g as (select key, count(*) as n_docs, count(distinct par) as vars
+        |  from d group by key)
+        |select cast(2 * key as bigint) as class_id, cast(n_docs as bigint) as n_docs,
+        |  cast(case when key % 3 = 2 then 1 else vars end as bigint) as n_raw_variants
+        |from g order by class_id""".stripMargin,
 
     // stopword-floor twin (r16): the body keeps iff length AND
     // stopword-fraction clear their floors; headline rides the body

@@ -68,23 +68,25 @@ object PslDomainRuntime {
       }
       sb.toString
     }
-    var psLen = 0
+    // -1 = no rule matched yet (0 is a REAL result: a 1-label
+    // exception rule yields psLen = 0 and must not fall through)
+    var psLen = -1
     // exceptions first (longest first), then longest exact/wildcard
     var k = c.maxMatch
-    while (psLen == 0 && k >= 1) {
+    while (psLen < 0 && k >= 1) {
       if (n >= k && !c.exceptions(k).isEmpty &&
           c.exceptions(k).contains(lastK(k))) psLen = k - 1
       k -= 1
     }
-    if (psLen == 0) {
+    if (psLen < 0) {
       k = c.maxMatch
-      while (psLen == 0 && k >= 2) {
+      while (psLen < 0 && k >= 2) {
         if (n >= k && ((!c.exact(k).isEmpty && c.exact(k).contains(lastK(k))) ||
             (!c.wildcard(k - 1).isEmpty && c.wildcard(k - 1).contains(lastK(k - 1)))))
           psLen = k
         k -= 1
       }
-      if (psLen == 0) psLen = 1
+      if (psLen < 0) psLen = 1
     }
     if (n <= psLen) UTF8String.fromString(h)
     else UTF8String.fromString(lastK(psLen + 1))

@@ -41,6 +41,22 @@ class PslSpec extends SparkSpec {
     }
   }
 
+  test("a 1-label exception rule yields psLen 0 on both forms (native sentinel edge)") {
+    // not in the real PSL (exceptions always counter a wildcard) but
+    // the algorithm must not confuse "psLen = 0" with "no match"
+    val rules = Psl.parse(Iterator("*.zz", "!zz"))
+    val got = Seq("zz", "a.zz", "b.a.zz").toDF("h")
+      .select(col("h"), Links.registeredDomain(col("h"), rules).as("native"),
+        Links.registeredDomainExpr(col("h"), rules).as("ref"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // !zz: psLen = 0, regLen = 1 -> every host keeps its last label;
+    // native and reference must agree (the 0-vs-unset sentinel edge)
+    for ((h, (n, ref)) <- got) {
+      assert(n === ref, s"host $h")
+      assert(n === "zz", s"host $h")
+    }
+  }
+
   test("native PslDomain is row-identical to the composed reference chain") {
     val rules = Psl.Default.get
     val hosts = Seq(
