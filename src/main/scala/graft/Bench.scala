@@ -205,6 +205,15 @@ object Bench {
     // the cheapest cross-round adjudication signal for a family whose
     // per-run spread is structural (checkpointed streams can't warm).
     val toRemeasure = (outliers ++ results.keys.filter(DrainFamily)).distinct
+    // The remeasure phase runs LAST, i.e. at the tail of ~an hour of
+    // sustained load — without a cool-down its "quiet" numbers came
+    // out ABOVE the run medians (r16, measured: q135 22.4 med /
+    // 31.5 "quiet"). 30 s is the standing quiet-re-measure rule.
+    if (toRemeasure.nonEmpty) {
+      val cool = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN", "30").toInt
+      System.err.println(s"[bench] cooling down ${cool}s before re-measures")
+      Thread.sleep(cool * 1000L)
+    }
     val remeasured = toRemeasure.flatMap { n =>
       val st = results(n)
       if (DrainFamily(n))
