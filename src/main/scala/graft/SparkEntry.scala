@@ -2198,21 +2198,26 @@ object SparkEntry {
         .orderBy(col("url"))
     },
 
-    // Registered-domain extraction under the vendored PSL (r16): one
-    // row per doc mapping a constructed host through the full
-    // publicsuffix.org algorithm — ICANN 2-level (co.uk), private
-    // registry tenants (a.github.io stays a.github.io, never
-    // github.io), wildcard (*.ck), the wildcard's exception
-    // (!www.ck — deep.www.ck resolves to www.ck), a 4-label exact
-    // rule (pvt.k12.ma.us), a deep wildcard (*.compute.amazonaws.com
-    // — the regdom keeps FIVE labels), the implicit "*" rule for an
-    // unlisted TLD, case/port folding, and an IPv4 literal. The twin
-    // re-derives every arm from the %9 arithmetic, so a precedence
-    // bug (exception vs wildcard, longest-match), a label-count bug
-    // or a snapshot-parse bug changes an arm and breaks the hash.
+    // Registered-domain extraction under the vendored PSL (r16; full
+    // publicsuffix.org snapshot since r17): one row per doc mapping a
+    // constructed host through the full publicsuffix.org algorithm —
+    // ICANN 2-level (co.uk), private registry tenants (a.github.io
+    // stays a.github.io, never github.io), wildcard (*.ck), the
+    // wildcard's exception (!www.ck — deep.www.ck resolves to
+    // www.ck), a 4-label exact rule (pvt.k12.ma.us), a deep wildcard
+    // (*.compute.amazonaws.com — the regdom keeps FIVE labels), a
+    // 2012-round bare gTLD (.fancy — listed only in the FULL
+    // snapshot), case/port folding, an IPv4 literal, a registry the
+    // old curated subset LACKED (co.mw — under the subset it
+    // over-grouped to the bare 'co.mw'; the full list keeps the
+    // publication, r17), and the implicit "*" rule on an RFC 2606
+    // reserved TLD (.example — never in any PSL). The twin re-derives
+    // every arm from the %11 arithmetic, so a precedence bug
+    // (exception vs wildcard, longest-match), a label-count bug or a
+    // snapshot-parse bug changes an arm and breaks the hash.
     "q151_registered_domain" -> { (s, dir) =>
       val k = (col("doc_id") % 40).cast(StringType)
-      val m = col("doc_id") % 9
+      val m = col("doc_id") % 11
       val host = when(m === 0, concat(lit("www.s"), k, lit(".co.uk")))
         .when(m === 1, concat(lit("a.s"), k, lit(".github.io")))
         .when(m === 2, concat(lit("x.s"), k, lit(".ck")))
@@ -2221,6 +2226,8 @@ object SparkEntry {
         .when(m === 5, concat(lit("vm.s"), k, lit(".compute.amazonaws.com")))
         .when(m === 6, concat(lit("cdn.s"), k, lit(".fancy")))
         .when(m === 7, concat(lit("S"), k, lit(".GITHUB.IO:443")))
+        .when(m === 8, concat(lit("news.s"), k, lit(".co.mw")))
+        .when(m === 9, concat(lit("cdn.s"), k, lit(".example")))
         .otherwise(concat(lit("10.0."), (col("doc_id") % 200).cast(StringType),
           lit(".7:80")))
       Tables(s, dir, "documents").select(col("doc_id"),
@@ -4894,7 +4901,9 @@ object SparkEntry {
         |from g order by class_id""".stripMargin,
 
     // stopword-floor twin (r16): the body keeps iff length AND
-    // stopword-fraction clear their floors; headline rides the body
+    // stopword-fraction clear their floors; headline rides the body.
+    // Tokens lowercase before the probe (r17 ADVICE mirror — the
+    // Spark side lowercases so sentence-initial 'The'/'In' count).
     "q157_content_stopword" ->
       """with d as (select doc_id,
         |    trim(regexp_replace(text, '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) as dtext
@@ -4902,7 +4911,7 @@ object SparkEntry {
         |g as (select doc_id, dtext,
         |    length(dtext) >= 70 and
         |    cast(len(list_filter(string_split(dtext, ' '),
-        |      w -> w in ('the','a','an','and','or','of','to','in','is','it','on','for','with'))) as double)
+        |      w -> lower(w) in ('the','a','an','and','or','of','to','in','is','it','on','for','with'))) as double)
         |      >= 0.05 * cast(len(string_split(dtext, ' ')) as double) as good
         |  from d)
         |select doc_id,
@@ -4988,12 +4997,12 @@ object SparkEntry {
         |  cast(case when good then 3 else 0 end as bigint) as n_kept
         |from g order by doc_id""".stripMargin,
 
-    // registered-domain twin (r16): every PSL arm re-derived from
-    // the %9 arithmetic (the q147 device) — the Spark side runs the
-    // real algorithm over the vendored snapshot, the twin states the
-    // expected outputs
+    // registered-domain twin (r16; %11 since the r17 full-snapshot
+    // arms): every PSL arm re-derived from the arithmetic (the q147
+    // device) — the Spark side runs the real algorithm over the
+    // vendored snapshot, the twin states the expected outputs
     "q151_registered_domain" ->
-      """with d as (select doc_id, doc_id % 40 as k, doc_id % 9 as m from documents)
+      """with d as (select doc_id, doc_id % 40 as k, doc_id % 11 as m from documents)
         |select doc_id,
         |  case m
         |    when 0 then 's' || k || '.co.uk'
@@ -5004,6 +5013,8 @@ object SparkEntry {
         |    when 5 then 'vm.s' || k || '.compute.amazonaws.com'
         |    when 6 then 's' || k || '.fancy'
         |    when 7 then 's' || k || '.github.io'
+        |    when 8 then 's' || k || '.co.mw'
+        |    when 9 then 's' || k || '.example'
         |    else '10.0.' || (doc_id % 200) || '.7' end as registered_domain
         |from d order by doc_id""".stripMargin,
 

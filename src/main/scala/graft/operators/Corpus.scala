@@ -763,12 +763,17 @@ object Corpus {
         p => length(p.getField("t")) > 0))
       .withColumn("_gl", transform(col("_pairs"), p => {
         // stopword floor (opt-in): block text is already trimmed and
-        // single-space collapsed, so a plain space split is exact
+        // single-space collapsed, so a plain space split is exact.
+        // Tokens lowercase before the probe (r17, ADVICE): jusText
+        // counts 'The'/'In'/'And' as stopwords too — a case-sensitive
+        // probe under-counts sentence-initial function words on real
+        // prose. The lists are lowercase by convention.
         def sfOk(t: Column): Column =
           if (minStopwordFrac <= 0.0) lit(true)
           else {
             val toks = split(t, " ")
-            size(filter(toks, w => w.isin(stopwords: _*))).cast(DoubleType) >=
+            size(filter(toks, w => lower(w).isin(stopwords: _*)))
+              .cast(DoubleType) >=
               lit(minStopwordFrac) * size(toks).cast(DoubleType)
           }
         val long = length(p.getField("t")) >= minTextChars

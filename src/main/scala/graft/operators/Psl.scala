@@ -91,11 +91,20 @@ object Psl {
       val line = raw.trim.takeWhile(!_.isWhitespace)
       if (line.nonEmpty && !line.startsWith("//")) {
         val rule = line.toLowerCase
-        require(!rule.drop(2).contains("*"),
-          s"PSL rule '$rule': wildcards are only defined at the leftmost label")
-        if (rule.startsWith("!")) add(exc, rule.drop(1))
-        else if (rule.startsWith("*.")) add(wild, rule.drop(2))
-        else if (rule != "*") add(exact, rule)
+        if (rule != "*") {
+          // Classify first, then require the remaining BODY is star-free:
+          // the grammar allows `*` only as the whole leftmost label, so
+          // after stripping one `!` or one `*.` prefix any surviving `*`
+          // (`!*.ck`, `*ck`, `a.*.b`) is a misparse and must refuse
+          // loudly — a literal-`*` set entry would silently never match.
+          val (bucket, body) =
+            if (rule.startsWith("!")) (exc, rule.drop(1))
+            else if (rule.startsWith("*.")) (wild, rule.drop(2))
+            else (exact, rule)
+          require(!body.contains("*"),
+            s"PSL rule '$rule': wildcards are only defined at the leftmost label")
+          add(bucket, body)
+        }
       }
     }
     Rules(exact.toMap, wild.toMap, exc.toMap)

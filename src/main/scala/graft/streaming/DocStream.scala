@@ -312,18 +312,40 @@ object DocStream {
       .option("path", warcDir)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load()
-    def pagesOf(frame: DataFrame): DataFrame =
-      graft.sources.WarcSource.crawlTextOf(frame,
+    def pagesOf(frame: DataFrame): DataFrame = {
+      val pages = graft.sources.WarcSource.crawlTextOf(frame,
           dropNoindex = dropNoindex, mainContent = mainContent)
         .select(xxhash64(col("target_uri")).as("doc_id"),
           col("target_uri"), col("text"))
+      // mainContent's `text` is the block-classifier chain (4
+      // page-wide regexes + per-block regex HOFs) — an expensive
+      // output column MUST cross an aggregate barrier before any
+      // filter consumes it (the r16 q155 rule: applyGate's quality
+      // score references `text` several times and pushdown
+      // substitutes aliases regardless of cost — measured 6.6 s
+      // collapsed vs 1.27 s barrier'd on the batch twin). doc_id is
+      // the unique key, so first() is exact; this runs inside
+      // foreachBatch/preBatch where the frame is concrete, never on
+      // the unshaped stream (a streaming groupBy would refuse).
+      if (!mainContent) pages
+      else pages.groupBy(col("doc_id"))
+        .agg(first(col("target_uri")).as("target_uri"),
+          first(col("text")).as("text"))
+        .select(col("doc_id"), col("target_uri"), col("text"))
+    }
     robotsRulesDir match {
       case None =>
-        curateNearDupStream(spark, applyGate(pagesOf(raw), gate),
+        // shape inside preBatch (not on the streaming frame): the
+        // mainContent barrier is an aggregation, and a pure
+        // projection lands identically either way
+        val pre = (batch: DataFrame, _: Long) =>
+          applyGate(pagesOf(batch), gate)
+        curateNearDupStream(spark, raw,
           corpusDir, indexDir, checkpointDir,
           minJaccard, pollInterval, reliableCheckpointDir, indexBands, indexRanges,
           compactEvery, compactTargetFiles,
-          corpusCompactEvery, corpusCompactTargetFiles)
+          corpusCompactEvery, corpusCompactTargetFiles,
+          preBatch = pre)
       case Some(rulesDir) =>
         import graft.operators.Robots
         val pre = (batch: DataFrame, _: Long) => {

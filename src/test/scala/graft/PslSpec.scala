@@ -108,6 +108,38 @@ class PslSpec extends SparkSpec {
     assert(r.wildcard(3).contains("compute.amazonaws.com"))
   }
 
+  test("the snapshot is the FULL publicsuffix.org list (r17): thousands of rules, subset-absent registries resolve") {
+    val r = Psl.Default.get
+    // the full 2023-02-09 snapshot parses to ~9.5k rules before IDN
+    // dual-form expansion; the old curated subset had ~700 — a floor
+    // of 5000 catches any regression back to a partial file
+    assert(r.nRules > 5000, s"nRules=${r.nRules}: not the full PSL")
+    // registries the curated subset LACKED: under the subset these
+    // fell to the implicit * rule and over-grouped into the bare TLD
+    assert(r.exact(2).contains("co.mw"))
+    assert(r.exact(2).contains("gov.bf"))
+    assert(r.exact(2).contains("edu.krd"))
+    assert(r.exact(1).contains("aero"))
+    val got = regOf(Seq("news.paper.co.mw", "x.ministry.gov.bf"))
+    assert(got("news.paper.co.mw") === "paper.co.mw")
+    assert(got("x.ministry.gov.bf") === "ministry.gov.bf")
+    // IDN rules arrive in unicode and must probe in punycode too:
+    // ．рф is in the list as unicode; xn--p1ai is its punycode form
+    assert(r.exact(1).contains("xn--p1ai"))
+    // one-time parse+compile cost stays start-up-noise sized even on
+    // the full file (measured ~100-300 ms; asserted loosely so a
+    // pathological regression — quadratic set rebuilds, per-rule
+    // regex — fails the suite rather than taxing every executor)
+    val t0 = System.nanoTime()
+    val fresh = Psl.load().get
+    val parseMs = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime()
+    fresh.compiled
+    val compileMs = (System.nanoTime() - t1) / 1e6
+    info(f"full-PSL parse ${parseMs}%.0f ms, compile ${compileMs}%.0f ms")
+    assert(parseMs < 5000 && compileMs < 5000)
+  }
+
   test("registeredDomain: the PSL algorithm end-to-end on the snapshot") {
     val got = regOf(Seq(
       // plain gTLD
