@@ -1436,6 +1436,16 @@ object SparkEntry {
       // body — counted in n_no_body, never in n_decode_null, and
       // never a page (the absent-vs-corrupt distinction under the hash)
       val nbB = e3 && col("doc_id") % 29 === 0
+      val e4 = e3 && col("doc_id") % 29 =!= 0
+      // zstd arm (r17): a supported coding since zstd-jni rode in —
+      // counted in n_enc_zstd and decoded all the way to a page
+      val zsB = e4 && col("doc_id") % 37 === 0
+      val e5 = e4 && col("doc_id") % 37 =!= 0
+      // brotli arm (r17): a DECLARED coding the chain refuses — the
+      // body bytes are irrelevant (the refusal is on the label);
+      // counted in n_unsupported_encoding AND n_decode_null, never a
+      // page (the loss is visible, not silent)
+      val brB = e5 && col("doc_id") % 41 === 0
       val metaB = e3 && col("doc_id") % 3 === 1 && col("doc_id") % 2 === 1
       val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
         .when(col("doc_id") % 11 === 0, lit("text/html; charset=klingon"))
@@ -1443,6 +1453,10 @@ object SparkEntry {
         .when(col("doc_id") % 19 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 23 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 31 === 0, lit("text/html; charset=UTF-8"))
+        // the r17 coding arms declare their charset so provenance
+        // stays a clean three-way split on the %3 rows below
+        .when(col("doc_id") % 37 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 41 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 1, lit("text/plain"))
         .otherwise(lit("text/html; charset=shift_jis"))
@@ -1458,6 +1472,8 @@ object SparkEntry {
         .when(badB, concat(lit("ZZ\r\n").cast(BinaryType),
           col("text").cast(BinaryType)))
         .when(nbB, lit("").cast(BinaryType))
+        .when(zsB, graft.functions.HttpBody.zstdBytes(col("text").cast(BinaryType)))
+        .when(brB, col("text").cast(BinaryType))
         .otherwise(bodyText.cast(BinaryType))
       val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
         .when(col("doc_id") % 5 === 1, lit("500 Oops"))
@@ -1465,7 +1481,10 @@ object SparkEntry {
       val envelope = concat(
         concat(lit("HTTP/1.1 "), status,
           lit("\r\nContent-Type: "), ctype,
-          when(gzB, lit("\r\nContent-Encoding: gzip")).otherwise(lit("")),
+          when(gzB, lit("\r\nContent-Encoding: gzip"))
+            .when(zsB, lit("\r\nContent-Encoding: zstd"))
+            .when(brB, lit("\r\nContent-Encoding: br"))
+            .otherwise(lit("")),
           when(chB || badB, lit("\r\nTransfer-Encoding: chunked"))
             .otherwise(lit("")),
           lit("\r\nContent-Length: "), octet_length(bodyBytes).cast(StringType),
@@ -4244,12 +4263,14 @@ object SparkEntry {
         |select doc_id, n_words, mean_word_len from k
         |order by doc_id""".stripMargin,
 
-    // crawl-health twin (r14; bodyless arm r15): every counter
-    // re-derived from the fixture's branch arithmetic + the sink's
-    // md5-prefix shard rule (TarShards.shardOf). eligible = 2xx
-    // non-png; decoded = eligible minus the corrupt-chunked and
-    // bodyless arms; charset provenance splits the
-    // text/plain rows by the meta-injection parity; the unknown
+    // crawl-health twin (r14; bodyless arm r15; zstd + unsupported-
+    // coding arms r17): every counter re-derived from the fixture's
+    // branch arithmetic + the sink's md5-prefix shard rule
+    // (TarShards.shardOf). eligible = 2xx non-png; decoded = eligible
+    // minus the corrupt-chunked, bodyless and refused-coding (br)
+    // arms; zstd rows inflate to pages; charset provenance splits the
+    // text/plain rows by the meta-injection parity (the r17 coding
+    // arms declare UTF-8, so they leave the plain split); the unknown
     // charset (klingon) rows are the charset-nulls, everything else
     // decoded becomes a page
     "q127_crawl_health" ->
@@ -4264,14 +4285,18 @@ object SparkEntry {
         |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 <> 0
         |      and doc_id % 29 = 0) as nbb,
         |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 <> 0
-        |      and doc_id % 3 = 1) as plain1,
+        |      and doc_id % 29 <> 0 and doc_id % 37 = 0) as zsb,
+        |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 <> 0
+        |      and doc_id % 29 <> 0 and doc_id % 37 <> 0 and doc_id % 41 = 0) as brb,
+        |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 <> 0
+        |      and doc_id % 37 <> 0 and doc_id % 41 <> 0 and doc_id % 3 = 1) as plain1,
         |    (doc_id % 5 <> 0 and doc_id % 5 <> 1) as ok2,
         |    (doc_id % 5 = 0) as s4, (doc_id % 5 = 1) as s5,
         |    (doc_id % 7 = 0) as png, (doc_id % 11 = 0) as kling
         |  from d),
-        |g as (select shard, doc_id, gzb, chb, badb, nbb, kling, plain1, ok2, s4, s5,
+        |g as (select shard, doc_id, gzb, chb, badb, nbb, zsb, brb, kling, plain1, ok2, s4, s5,
         |    (ok2 and not png) as elig,
-        |    (ok2 and not png and not badb and not nbb) as dec
+        |    (ok2 and not png and not badb and not nbb and not brb) as dec
         |  from f)
         |select shard,
         |  cast(count(*) as bigint) as n_records,
@@ -4286,10 +4311,11 @@ object SparkEntry {
         |  cast(sum(case when elig then 1 else 0 end) as bigint) as n_eligible,
         |  cast(sum(case when elig and gzb then 1 else 0 end) as bigint) as n_enc_gzip,
         |  cast(0 as bigint) as n_enc_deflate,
-        |  cast(0 as bigint) as n_enc_other,
+        |  cast(sum(case when elig and zsb then 1 else 0 end) as bigint) as n_enc_zstd,
+        |  cast(sum(case when elig and brb then 1 else 0 end) as bigint) as n_unsupported_encoding,
         |  cast(sum(case when elig and (chb or badb) then 1 else 0 end) as bigint) as n_chunked,
         |  cast(sum(case when elig and nbb then 1 else 0 end) as bigint) as n_no_body,
-        |  cast(sum(case when elig and badb then 1 else 0 end) as bigint) as n_decode_null,
+        |  cast(sum(case when elig and (badb or brb) then 1 else 0 end) as bigint) as n_decode_null,
         |  cast(sum(case when dec and not plain1 then 1 else 0 end) as bigint) as n_cs_declared,
         |  cast(sum(case when dec and plain1 and doc_id % 2 = 1 then 1 else 0 end) as bigint) as n_cs_sniffed,
         |  cast(sum(case when dec and plain1 and doc_id % 2 = 0 then 1 else 0 end) as bigint) as n_cs_defaulted,

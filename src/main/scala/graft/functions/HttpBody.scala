@@ -19,10 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `deflate` → RFC 1950 zlib inflate, falling back to raw RFC 1951
   *    (the tolerant-reader norm: real servers send both under the
   *    same label — browsers sniff exactly this way);
-  *  - anything else (`br`, `zstd`, `compress`, chunked leftovers) or
+  *  - `zstd` (r17, RFC 8878) → zstd-jni inflate (the library Spark
+  *    already ships for shuffle/parquet codecs — no new dependency);
+  *  - anything else (`br`, `compress`, chunked leftovers) or
   *    CORRUPT bytes → NULL, loudly — one broken page must not kill a
   *    100 TB scan, and silently passing compressed bytes downstream
-  *    is the mojibake failure the charset layer just closed.
+  *    is the mojibake failure the charset layer just closed. `br`
+  *    stays a refusal: decoding brotli needs a vendored pure-JVM
+  *    decoder this build can't fetch — the loss is COUNTED instead
+  *    ([[graft.operators.Corpus.crawlHealth]]'s
+  *    `n_unsupported_encoding`, r17), never silent.
   *
   * Output is capped at [[HttpBodyRuntime.MaxDecodedBytes]] — a
   * gzip bomb in a crawl must not OOM an executor; over-cap bodies
@@ -71,6 +77,12 @@ object HttpBodyRuntime {
               new java.io.ByteArrayInputStream(body), new java.util.zip.Inflater(true), 8192))
             catch { case _: java.io.IOException => null }
         }
+      case "zstd" =>
+        // zstd-jni throws RuntimeException (ZstdException) on corrupt
+        // frames, not just IOException — both map to the loud null
+        try inflateStream(new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(body)))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
       case _ => null
     }
   }
@@ -164,6 +176,13 @@ object HttpBodyRuntime {
     gz.write(data); gz.close()
     out.toByteArray
   }
+
+  /** Forward zstd (fixtures/sinks; deterministic for a fixed level +
+    * library version, the [[gzip]] contract). */
+  def zstd(data: Array[Byte]): Array[Byte] = {
+    if (data == null) return null
+    com.github.luben.zstd.Zstd.compress(data, 3)
+  }
 }
 
 case class HttpBodyDecode(left: Expression, right: Expression)
@@ -254,6 +273,23 @@ case class HttpTransferDecode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class ZstdBytes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"zstd_bytes expects binary, got $t")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "zstd_bytes"
+  override protected def nullSafeEval(data: Any): Any =
+    HttpBodyRuntime.zstd(data.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d =>
+      s"${ev.value} = graft.functions.HttpBodyRuntime.zstd($d);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class GzipBytes(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -288,4 +324,7 @@ object HttpBody {
   /** Gzip `data` as one member (fixtures/sinks; per-JVM-deterministic). */
   def gzipBytes(data: Column): Column =
     ColumnBridge.column(GzipBytes(ColumnBridge.expression(data)))
+  /** Zstd-compress `data` as one frame (fixtures/sinks; r17). */
+  def zstdBytes(data: Column): Column =
+    ColumnBridge.column(ZstdBytes(ColumnBridge.expression(data)))
 }

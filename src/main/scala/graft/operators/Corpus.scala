@@ -1225,9 +1225,13 @@ object Corpus {
     *    ONLY those rows (the chain never decodes chaff, and neither
     *    does the profile — the aggregate costs what one curation
     *    pass over the segment costs, minus the curation);
-    *  - codings: `n_enc_gzip` / `n_enc_deflate` / `n_enc_other`
-    *    (a declared coding the decode layer refuses — br, zstd, …),
-    *    `n_chunked` (chunked Transfer-Encoding framing);
+    *  - codings: `n_enc_gzip` / `n_enc_deflate` / `n_enc_zstd` (the
+    *    codings the decode layer inflates — zstd since r17) and
+    *    `n_unsupported_encoding` (a DECLARED coding the layer
+    *    refuses — br, compress, unknown; these rows will land in
+    *    `n_decode_null`, and this counter says WHY — the r16
+    *    verdict's "make the loss visible, not silent"); `n_chunked`
+    *    (chunked Transfer-Encoding framing);
     *  - `n_no_body`: eligible rows with NO body at all (bodyless
     *    2xx — a NULL from a foreign loader or the zero-length body
     *    the envelope split yields); counted apart from decode
@@ -1298,8 +1302,10 @@ object Corpus {
       n(eligible).as("n_eligible"),
       n(eligible && enc.isin("gzip", "x-gzip")).as("n_enc_gzip"),
       n(eligible && enc === "deflate").as("n_enc_deflate"),
-      n(eligible && enc.isNotNull && !enc.isin("gzip", "x-gzip", "deflate", "identity"))
-        .as("n_enc_other"),
+      n(eligible && enc === "zstd").as("n_enc_zstd"),
+      n(eligible && enc.isNotNull &&
+          !enc.isin("gzip", "x-gzip", "deflate", "zstd", "identity"))
+        .as("n_unsupported_encoding"),
       n(eligible && te.contains("chunked")).as("n_chunked"),
       // absent vs corrupt (r15, the r14 verdict's "wrong #1"): a
       // bodyless eligible response is not a decode failure — keep it

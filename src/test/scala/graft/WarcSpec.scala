@@ -524,7 +524,7 @@ class WarcSpec extends SparkSpec {
     assert(e2.getMessage != null)
   }
 
-  test("responseText r13: Content-Encoding gzip/deflate bodies inflate; corrupt/unknown NULL loudly") {
+  test("responseText r13: Content-Encoding gzip/deflate/zstd bodies inflate; corrupt/unknown NULL loudly") {
     val dir = freshDir()
     def envelope(ct: String, enc: Option[String], body: Array[Byte]): Array[Byte] =
       (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
@@ -565,6 +565,11 @@ class WarcSpec extends SparkSpec {
       record("http://x/corrupt", envelope("text/html", Some("gzip"),
         Array[Byte](0x1f, 0x0b, 1, 2, 3))) ++
       record("http://x/br", envelope("text/html", Some("br"), page.getBytes("UTF-8"))) ++
+      // zstd: supported since r17 (zstd-jni rides Spark's classpath)
+      record("http://x/zstd", envelope("text/html; charset=UTF-8", Some("zstd"),
+        com.github.luben.zstd.Zstd.compress(page.getBytes("UTF-8"), 3))) ++
+      record("http://x/zstdbad", envelope("text/html", Some("zstd"),
+        Array[Byte](1, 2, 3, 4))) ++
       record("http://x/plain", envelope("text/plain", None, page.getBytes("UTF-8")))
     val out = new java.util.zip.GZIPOutputStream(
       new java.io.FileOutputStream(new java.io.File(dir, "cc4.warc.gz")))
@@ -584,6 +589,8 @@ class WarcSpec extends SparkSpec {
     assert(rows("http://x/gzsjis") === Some("日本語のページ"))
     assert(rows("http://x/corrupt") === None) // broken member, scan survives
     assert(rows("http://x/br") === None) // undecodable coding -> loud null
+    assert(rows("http://x/zstd") === Some(page)) // zstd inflates (r17)
+    assert(rows("http://x/zstdbad") === None) // corrupt zstd frame -> loud null
     assert(rows("http://x/plain") === Some(page)) // identity unchanged
   }
 
