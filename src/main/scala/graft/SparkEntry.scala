@@ -2329,6 +2329,64 @@ object SparkEntry {
         .orderBy(col("class_id"))
     },
 
+    // Per-language stopword floor under the gate (r17, the r16
+    // verdict's #4): a 6-arm multilingual page matrix — en/de/fr/es/
+    // ru prose bodies plus an unknown-language arm — through
+    // extractContentByLang with a 0.25 floor. Every body clears ITS
+    // OWN language's function-word table (fractions 0.5–0.7 by
+    // construction); the keyword-spam block scores 0 under every
+    // table and dies for the five known languages (long blocks are
+    // never rescued) but SURVIVES the unknown-language arm (no table
+    // ⇒ floor disabled ⇒ length/density alone — the never-false-
+    // reject contract), dragging the short footer back in with it
+    // (rescue is short-blocks-only, one hop). A dispatch bug (wrong
+    // table for a row — the row-4 device in MainContentSpec), a
+    // broken null fallback, or a lowercasing regression moves a
+    // survivor set and breaks the hash. Twin = the q151 device:
+    // independent expected outputs stated from the arm arithmetic.
+    "q159_multilang_floor" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val m = col("doc_id") % 6
+      val lang = when(m === 0, lit("en")).when(m === 1, lit("de"))
+        .when(m === 2, lit("fr")).when(m === 3, lit("es"))
+        .when(m === 4, lit("ru")).otherwise(lit("zz"))
+      val enS = "the cat and the dog were in the house with a ball " +
+        "and it was not far from the garden"
+      val deS = "der hund und die katze sind in dem haus mit einem " +
+        "ball und es war nicht weit von dem garten"
+      val frS = "le chien et le chat sont dans la maison avec un " +
+        "ballon et il ne est pas loin du jardin"
+      val esS = "el perro y el gato son en la casa con una pelota y " +
+        "no es lejos del jardín como siempre"
+      val ruS = "и собака и " +
+        "кошка были " +
+        "в доме с " +
+        "мячом и это " +
+        "было не " +
+        "далеко от " +
+        "сада но они " +
+        "были там"
+      val body = when(m === 1, lit(deS)).when(m === 2, lit(frS))
+        .when(m === 3, lit(esS)).when(m === 4, lit(ruS))
+        .otherwise(lit(enS))
+      val spam = "buy cheap widgets gadgets doohickeys trinkets " +
+        "gizmos contraptions implements apparatus equipment hardware"
+      val page = concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/h\">Home</a> " +
+          "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>"),
+        lit("<h1>Story "), id, lit(" headline</h1><p>"), body,
+        lit("</p><p>" + spam + "</p><div>copyright site "), id,
+        lit("</div></body></html>"))
+      Corpus.extractContentByLang(
+          Tables(s, dir, "documents").select(col("doc_id"),
+            lang.as("lang"), page.as("html")),
+          "html", "lang", minStopwordFrac = 0.25)
+        .select(col("doc_id"), col("lang"), col("content"),
+          col("n_blocks").cast(LongType).as("n_blocks"),
+          col("n_kept").cast(LongType).as("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // Stopword-floor content extraction under the gate (r16): the
     // jusText prose discriminator — the body paragraph keeps iff the
     // collapsed doc text clears BOTH the 70-char floor AND a 0.05
@@ -4925,6 +4983,34 @@ object SparkEntry {
         |select cast(2 * key as bigint) as class_id, cast(n_docs as bigint) as n_docs,
         |  cast(case when key % 3 = 2 then 1 else vars end as bigint) as n_raw_variants
         |from g order by class_id""".stripMargin,
+
+    // multilingual-floor twin (r17, the q151 device): independent
+    // expected outputs per %6 arm — each language's prose clears its
+    // own table (fractions 0.5-0.7 by construction, floor 0.25), the
+    // spam block dies under every table and survives only the
+    // unknown-language arm (floor disabled), dragging the short
+    // footer in with it
+    "q159_multilang_floor" ->
+      """with d as (select doc_id, doc_id % 6 as m from documents),
+        |a as (select doc_id, m,
+        |  case m when 0 then 'en' when 1 then 'de' when 2 then 'fr'
+        |    when 3 then 'es' when 4 then 'ru' else 'zz' end as lang,
+        |  case when m = 1 then 'der hund und die katze sind in dem haus mit einem ball und es war nicht weit von dem garten'
+        |    when m = 2 then 'le chien et le chat sont dans la maison avec un ballon et il ne est pas loin du jardin'
+        |    when m = 3 then 'el perro y el gato son en la casa con una pelota y no es lejos del jardín como siempre'
+        |    when m = 4 then 'и собака и кошка были в доме с мячом и это было не далеко от сада но они были там'
+        |    else 'the cat and the dog were in the house with a ball and it was not far from the garden'
+        |    end as body
+        |  from d)
+        |select doc_id, lang,
+        |  'Story ' || doc_id || ' headline' || chr(10) || body ||
+        |    case when m = 5 then chr(10) ||
+        |      'buy cheap widgets gadgets doohickeys trinkets gizmos contraptions implements apparatus equipment hardware'
+        |      || chr(10) || 'copyright site ' || doc_id
+        |    else '' end as content,
+        |  cast(5 as bigint) as n_blocks,
+        |  cast(case when m = 5 then 4 else 2 end as bigint) as n_kept
+        |from a order by doc_id""".stripMargin,
 
     // stopword-floor twin (r16): the body keeps iff length AND
     // stopword-fraction clear their floors; headline rides the body.

@@ -63,6 +63,87 @@ object Text {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with")
 
+  /** Per-language function-word tables for the multilingual stopword
+    * floor (r17, the r16 verdict's #4): curated high-frequency
+    * function-word subsets of the public stopword lists (the
+    * stopwords-iso / NLTK families) for the languages the trained
+    * [[graft.operators.LangId]] serves most. ~20 words per language
+    * is plenty for a FLOOR (the jusText discriminator asks "does this
+    * block contain function words at all", not "which ones") — real
+    * prose in any of these languages clears a 0.2–0.3 fraction with
+    * room, keyword spam scores 0 under every list. Space-delimited
+    * scripts only: zh/ja/th need segmentation before a token-fraction
+    * floor means anything, so they are deliberately absent — an
+    * absent language DISABLES the floor for its rows (see
+    * [[graft.operators.Corpus.extractContentByLang]]), which never
+    * false-rejects. Lists are lowercase; probes lowercase tokens. */
+  val StopwordLists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "on", "for", "with", "as", "at", "by", "from", "was",
+      "were", "not", "that", "this", "be", "are"),
+    "de" -> Seq("der", "die", "das", "und", "oder", "ein", "eine",
+      "einem", "einer", "dem", "den", "des", "ist", "sind", "war",
+      "mit", "für", "auf", "in", "zu", "von", "nicht", "als", "auch",
+      "bei", "es"),
+    "fr" -> Seq("le", "la", "les", "un", "une", "des", "et", "ou",
+      "de", "du", "dans", "est", "sont", "était", "pour", "avec",
+      "sur", "au", "aux", "que", "qui", "ne", "pas", "par", "ce",
+      "cette", "il", "elle"),
+    "es" -> Seq("el", "la", "los", "las", "un", "una", "unos", "unas",
+      "y", "o", "de", "del", "en", "es", "son", "era", "para", "con",
+      "por", "que", "no", "se", "su", "al", "lo", "como", "más",
+      "pero"),
+    "pt" -> Seq("o", "a", "os", "as", "um", "uma", "uns", "umas", "e",
+      "ou", "de", "do", "da", "em", "é", "são", "para", "com", "por",
+      "que", "não", "se", "seu", "ao", "como", "mais"),
+    "it" -> Seq("il", "lo", "la", "i", "gli", "le", "un", "una", "e",
+      "o", "di", "del", "della", "in", "è", "sono", "per", "con",
+      "su", "che", "non", "si", "al", "come", "più", "da"),
+    "nl" -> Seq("de", "het", "een", "en", "of", "van", "in", "is",
+      "zijn", "was", "voor", "met", "op", "aan", "dat", "niet", "te",
+      "ook", "als", "bij", "naar", "door"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av",
+      "för", "med", "den", "till", "i", "inte", "har", "de", "om",
+      "ett", "men", "var"),
+    "da" -> Seq("og", "i", "det", "at", "en", "den", "til", "er",
+      "som", "på", "de", "med", "han", "af", "for", "ikke", "der",
+      "var", "et"),
+    "no" -> Seq("og", "i", "det", "at", "en", "den", "til", "er",
+      "som", "på", "de", "med", "av", "for", "ikke", "der", "var",
+      "han", "om", "et"),
+    "fi" -> Seq("ja", "on", "ei", "se", "että", "hän", "oli", "ovat",
+      "mutta", "kun", "niin", "kuin", "myös", "jos", "tai", "sitä",
+      "joka", "mikä"),
+    "pl" -> Seq("i", "w", "na", "z", "do", "że", "się", "nie", "jest",
+      "są", "był", "to", "po", "o", "jak", "za", "od", "ale", "dla",
+      "przez", "co"),
+    "cs" -> Seq("a", "v", "na", "se", "je", "že", "s", "z", "do",
+      "to", "byl", "jsou", "o", "jako", "ale", "po", "za", "od",
+      "pro", "když"),
+    "ro" -> Seq("și", "în", "de", "la", "cu", "pe", "un", "o", "este",
+      "sunt", "că", "nu", "se", "din", "pentru", "a", "mai", "care",
+      "dar"),
+    "hu" -> Seq("a", "az", "és", "hogy", "nem", "is", "egy", "van",
+      "volt", "de", "el", "ki", "meg", "mint", "már", "csak", "ha",
+      "vagy"),
+    "tr" -> Seq("ve", "bir", "bu", "da", "de", "için", "ile",
+      "olarak", "en", "çok", "daha", "ama", "gibi", "ne", "o", "ki",
+      "var"),
+    "id" -> Seq("yang", "dan", "di", "ke", "dari", "untuk", "pada",
+      "dengan", "ini", "itu", "adalah", "tidak", "atau", "juga",
+      "akan", "sudah", "bisa", "ada"),
+    "vi" -> Seq("và", "của", "là", "có", "trong", "cho", "không",
+      "được", "một", "những", "với", "này", "để", "đã", "khi",
+      "người"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "с", "как",
+      "это", "был", "она", "они", "к", "у", "же", "за", "от", "по",
+      "но", "а", "для", "мы", "вы"),
+    "uk" -> Seq("і", "в", "не", "на", "що", "я", "з", "до", "як",
+      "це", "був", "вона", "вони", "у", "за", "від", "по", "але",
+      "для"),
+    "bg" -> Seq("и", "в", "не", "на", "че", "той", "с", "как", "това",
+      "е", "са", "за", "от", "по", "но", "а", "до", "се"))
+
   def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column =
     markerCount(c, stopwords).cast(DoubleType) /
       greatest(tokenCount(c), lit(1)).cast(DoubleType)

@@ -736,7 +736,58 @@ object Corpus {
       minTextChars: Int = 70, maxLinkDensity: Double = 0.2,
       outCol: String = "content",
       minStopwordFrac: Double = 0.0,
-      stopwords: Seq[String] = graft.functions.Text.EnglishStopwords): DataFrame = {
+      stopwords: Seq[String] = graft.functions.Text.EnglishStopwords): DataFrame =
+    extractContentImpl(df, htmlCol, minTextChars, maxLinkDensity, outCol,
+      minStopwordFrac, w => lower(w).isin(stopwords: _*), identity, Nil)
+
+  /** [[extractContent]] with a PER-LANGUAGE stopword floor (r17, the
+    * r16 verdict's #4): on a multilingual crawl a single English list
+    * rejects non-English prose wholesale — real German/Russian/…
+    * paragraphs contain none of `the/and/of` and die on the floor
+    * exactly like keyword spam. Here each row's `langCol` (the
+    * [[graft.operators.LangId]] / [[graft.functions.Text.withLangId]]
+    * output, or any ISO-639-1 column) selects its own function-word
+    * table from `stopwordsByLang`
+    * ([[graft.functions.Text.StopwordLists]] by default); a language
+    * with NO table (absent, null, or a script the token floor can't
+    * serve — zh/ja) DISABLES the floor for that row rather than
+    * false-rejecting its prose (every token counts as a stopword, so
+    * the fraction is 1 and the length/density gates alone decide —
+    * the exact pre-floor behavior).
+    *
+    * Scale shape unchanged — still a pure projection. The language →
+    * list map compiles to ONE map literal; the row's list is staged
+    * as a named column (`_swl`, multi-referenced so CollapseProject
+    * cannot inline the map lookup into the per-token lambda — the
+    * q23/r11 discipline), and the per-token probe is an
+    * `array_contains` over that bound column (lambdas touch only
+    * bound variables and row-level attributes). */
+  def extractContentByLang(df: DataFrame, htmlCol: String,
+      langCol: String,
+      minTextChars: Int = 70, maxLinkDensity: Double = 0.2,
+      outCol: String = "content",
+      minStopwordFrac: Double = 0.0,
+      stopwordsByLang: Map[String, Seq[String]] =
+        graft.functions.Text.StopwordLists): DataFrame = {
+    val swMap = map(stopwordsByLang.toSeq.sortBy(_._1).flatMap {
+      case (l, ws) => Seq(lit(l), array(ws.map(lit(_)): _*))
+    }: _*)
+    val stage = (d: DataFrame) =>
+      d.withColumn("_swl", element_at(swMap, lower(col(langCol))))
+    // null list ⇒ every token probes true ⇒ fraction 1 ⇒ floor off
+    val probe = (w: Column) =>
+      col("_swl").isNull || array_contains(col("_swl"), lower(w))
+    extractContentImpl(df, htmlCol, minTextChars, maxLinkDensity, outCol,
+      minStopwordFrac, probe, stage, Seq("_swl"))
+  }
+
+  private def extractContentImpl(df: DataFrame, htmlCol: String,
+      minTextChars: Int, maxLinkDensity: Double,
+      outCol: String,
+      minStopwordFrac: Double,
+      stopwordProbe: Column => Column,
+      stage: DataFrame => DataFrame,
+      extraDrop: Seq[String]): DataFrame = {
     val blockRe = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead" +
       "|tbody|tfoot|tr|td|th|blockquote|pre|article|section|header|footer" +
       "|nav|aside|main|figure|figcaption|form|fieldset|hr|br|noscript" +
@@ -751,7 +802,7 @@ object Corpus {
     val maxLd = lit(maxLinkDensity)
     def ldOk(t: Column, a: Column): Column =
       a.cast(DoubleType) <= maxLd * length(t).cast(DoubleType)
-    df
+    stage(df)
       .withColumn("_blocks", split(src, blockRe))
       .withColumn("_texts", transform(col("_blocks"), b => blockText(b)))
       .withColumn("_alens", transform(col("_blocks"), b =>
@@ -764,15 +815,14 @@ object Corpus {
       .withColumn("_gl", transform(col("_pairs"), p => {
         // stopword floor (opt-in): block text is already trimmed and
         // single-space collapsed, so a plain space split is exact.
-        // Tokens lowercase before the probe (r17, ADVICE): jusText
-        // counts 'The'/'In'/'And' as stopwords too — a case-sensitive
-        // probe under-counts sentence-initial function words on real
-        // prose. The lists are lowercase by convention.
+        // The probe lowercases tokens (r17, ADVICE): jusText counts
+        // 'The'/'In'/'And' as stopwords too — a case-sensitive probe
+        // under-counts sentence-initial function words on real prose.
         def sfOk(t: Column): Column =
           if (minStopwordFrac <= 0.0) lit(true)
           else {
             val toks = split(t, " ")
-            size(filter(toks, w => lower(w).isin(stopwords: _*)))
+            size(filter(toks, w => stopwordProbe(w)))
               .cast(DoubleType) >=
               lit(minStopwordFrac) * size(toks).cast(DoubleType)
           }
@@ -809,7 +859,8 @@ object Corpus {
         when(col(htmlCol).isNull, lit(null).cast(IntegerType))
           .otherwise(size(filter(col("_tk"),
             x => coalesce(x.getField("k"), lit(false))))))
-      .drop("_blocks", "_texts", "_alens", "_pairs", "_gl", "_g", "_keep", "_tk")
+      .drop(Seq("_blocks", "_texts", "_alens", "_pairs", "_gl", "_g",
+        "_keep", "_tk") ++ extraDrop: _*)
   }
 
   // ---- domain-level curation (FineWeb/RefinedWeb shape) ------------

@@ -82,6 +82,41 @@ class MainContentSpec extends SparkSpec {
     assert(run(0.1) === s"Section heading\n$Long1")
   }
 
+  test("extractContentByLang (r17): each row's language picks its list; unknown language disables the floor") {
+    val spam = "buy cheap widgets gadgets doohickeys trinkets gizmos " +
+      "contraptions implements apparatus equipment hardware"
+    val deProse = "der hund und die katze sind in dem haus mit einem " +
+      "ball und es war nicht weit von dem garten"
+    val ruProse = "и собака и кошка были в доме с мячом и это было не " +
+      "далеко от сада но они были там"
+    def page(body: String) =
+      s"<body><h2>Kopf</h2><p>$body</p><p>$spam</p></body>"
+    val df = Seq(
+      (1L, "de", page(deProse)),
+      (2L, "ru", page(ruProse)),
+      (3L, "zz", page(deProse)), // no list -> floor off
+      (4L, "de", page(ruProse))) // wrong-language prose dies like spam
+      .toDF("id", "lang", "html")
+    val got = Corpus.extractContentByLang(df, "html", "lang",
+        minStopwordFrac = 0.25)
+      .orderBy("id").select("content", "n_kept").collect()
+    // de prose clears its own floor; spam has 0 stopwords under any
+    // list and is long (never rescued); the short heading rides the
+    // good body
+    assert(got(0).getString(0) === s"Kopf\n$deProse")
+    assert(got(0).getInt(1) === 2)
+    // ru prose clears the RUSSIAN list (under the English/German list
+    // it would score 0 — row 4 proves that)
+    assert(got(1).getString(0) === s"Kopf\n$ruProse")
+    // unknown language: floor disabled, spam survives on length alone
+    assert(got(2).getString(0) === s"Kopf\n$deProse\n$spam")
+    assert(got(2).getInt(1) === 3)
+    // russian prose under the German list: no function words counted,
+    // body dies, heading loses its neighbour and dies too
+    assert(got(3).getString(0) === "")
+    assert(got(3).getInt(1) === 0)
+  }
+
   test("crawlTextOf(mainContent = true): chrome-free text off a raw crawl frame; default keeps WET parity") {
     def rec(uri: String, body: String) =
       ("response", uri, 200, "text/html; charset=utf-8",
