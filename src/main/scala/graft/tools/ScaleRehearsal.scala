@@ -316,6 +316,58 @@ object ScaleRehearsal {
         bands = 8))
     }
 
+    // r17: the web layer at 10× (the r16 verdict's #5) — pages
+    // synthesized from the docs frame with the q152 chrome shape plus
+    // three anchors each. Host ids are doc_id/50, so the HOST GRAPH
+    // grows with the corpus (amplified id bands land in fresh host
+    // ranges) while per-host density stays scale-invariant: 50 pages
+    // per host, 3 links per page, bounded per-host frontier windows —
+    // the same density-preserving discipline as the text salting.
+    def webPages(df: DataFrame): DataFrame = {
+      def hostOf(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), floor(c / 50L).cast(LongType).cast("string"),
+          lit(".example"))
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/nav\">Home</a> " +
+          "<a href=\"/about\">About</a></div><h1>Doc "), id,
+        lit("</h1><p>"), col("text"),
+        lit("</p><ul><li><a href=\"http://"), hostOf(col("doc_id") * 31L + 7L),
+        lit("/p"), id,
+        lit("\">first</a></li><li><a href=\"http://"),
+        hostOf(col("doc_id") * 17L + 3L), lit("/q"), id,
+        lit("\">second</a></li><li><a href=\"../rel/"), id,
+        lit("\">third</a></li></ul><div>copyright</div></body></html>"))
+      df.select(
+        concat(lit("http://"), hostOf(col("doc_id")), lit("/a/b/p"), id)
+          .as("page_url"),
+        page.as("html"))
+    }
+    def extractPath(df: DataFrame): Unit =
+      noop(Corpus.extractContent(webPages(df), "html"))
+    def linkRankPath(df: DataFrame): Unit = {
+      val links = graft.operators.Links.outlinks(webPages(df), "page_url", "html")
+      val hg = graft.operators.Links.hostGraph(links).filter(!col("internal"))
+      noop(graft.operators.Links.pageRank(hg, "src_host", "dst_host",
+        iterations = 3, weightCol = Some("n_links")))
+    }
+    def frontierPath(df: DataFrame): Unit = {
+      val links = graft.operators.Links.outlinks(webPages(df), "page_url", "html")
+      // production schedules from a STORED frontier (tools/PlanCrawl
+      // pins the decoded frame for the same reason): unpinned, the
+      // outlinks resolution tree substitutes into the distinct's
+      // fused filter stage and melts janino past 64 KB (measured here
+      // — the CLAUDE.md outlinks-consumer contract). The pin is part
+      // of the timed run, as the frontier write would be.
+      val urls = links.select(col("url")).distinct().localCheckpoint(true)
+      val delays = urls
+        .select(graft.operators.Robots.hostOf(col("url")).as("host")).distinct()
+        .withColumn("crawl_delay",
+          ((pmod(xxhash64(col("host")), lit(5L)) + 1L).cast("double")) / 2.0)
+      noop(graft.operators.Frontier.schedule(urls, "url", delays,
+        nWorkers = 64, maxPerHost = 1000L))
+    }
+
     val paths: Seq[(String, DataFrame => Unit)] = Seq(
       "near_dup" -> (df => noop(nearDupPairs(df))),
       "dup_clusters" -> (df => noop(clusters(df))),
@@ -331,6 +383,9 @@ object ScaleRehearsal {
       "incremental_media_dedup" -> (df => incMediaDedup(df)),
       "ccnet_buckets_approx" -> (df => ccnetApprox(df)),
       "incremental_embedding_dedup" -> (df => incEmbDedup(df)),
+      "extract_content" -> (df => extractPath(df)),
+      "link_graph_rank" -> (df => linkRankPath(df)),
+      "frontier_schedule" -> (df => frontierPath(df)),
       "incremental_dedup_probe" -> (df => incrementalProbeOnly(df, banded = false)),
       "incremental_dedup_banded_probe" -> (df => incrementalProbeOnly(df, banded = true)),
       "incremental_media_dedup_probe" -> (df => incMediaProbeOnly(df, banded = false)),
