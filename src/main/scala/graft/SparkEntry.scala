@@ -2387,6 +2387,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // C4 bad-words page gate under the hash (r17): Raffel 2020's
+    // other page rule — any page containing a word from the block
+    // list dies wholesale, matched at WORD BOUNDARIES (case-folded,
+    // punctuation-tolerant). Arms: %3 docs carry a blocked token
+    // ("Shit," — case + trailing comma must still match) on an
+    // otherwise-keepable line (the LINE survives its own rules, the
+    // PAGE dies — gate vs line-rule independence); %5==1 docs carry
+    // "dickens"/"shitake" — superstrings of list words that must NOT
+    // match (the substring-gate false positive this arm exists to
+    // catch); the short unpunctuated line fails the line rules
+    // everywhere. Twin restates the outcome from the arm arithmetic.
+    "q160_c4_badwords" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val l1 = concat(lit("the first line of document "), id,
+        lit(" has plenty of words."))
+      val l2 = when(col("doc_id") % 5 === 1,
+          lit("the dickens classic shitake story is surely long enough."))
+        .otherwise(
+          lit("another perfectly normal sentence follows right here today."))
+      val l3 = lit("short line")
+      val l4 = lit("this page also mentions Shit, somewhere else.")
+      val text = when(col("doc_id") % 3 === 0, concat_ws("\n", l1, l2, l3, l4))
+        .otherwise(concat_ws("\n", l1, l2, l3))
+      Corpus.c4Clean(
+          Tables(s, dir, "documents").select(col("doc_id"), text.as("text")),
+          "doc_id", "text", minLines = 2,
+          blockWords = graft.functions.Text.BadWordsEnglish)
+        .select(col("doc_id"), col("kept"),
+          col("n_lines").cast(LongType).as("n_lines"),
+          col("n_kept").cast(LongType).as("n_kept"),
+          col("text_clean"))
+        .orderBy(col("doc_id"))
+    },
+
     // Stopword-floor content extraction under the gate (r16): the
     // jusText prose discriminator — the body paragraph keeps iff the
     // collapsed doc text clears BOTH the 70-char floor AND a 0.05
@@ -5011,6 +5045,24 @@ object SparkEntry {
         |  cast(5 as bigint) as n_blocks,
         |  cast(case when m = 5 then 4 else 2 end as bigint) as n_kept
         |from a order by doc_id""".stripMargin,
+
+    // c4-badwords twin (r17): outcomes restated from the %3/%5 arm
+    // arithmetic — the %3 page is blocked by the word gate (its extra
+    // line passes the LINE rules, hence n_kept 3 with kept=false),
+    // the %5==1 superstring arm ("dickens"/"shitake") must survive
+    "q160_c4_badwords" ->
+      """with d as (select doc_id, doc_id % 3 = 0 as blocked,
+        |    doc_id % 5 = 1 as v from documents)
+        |select doc_id, not blocked as kept,
+        |  cast(case when blocked then 4 else 3 end as bigint) as n_lines,
+        |  cast(case when blocked then 3 else 2 end as bigint) as n_kept,
+        |  case when blocked then null
+        |    else 'the first line of document ' || doc_id || ' has plenty of words.'
+        |      || chr(10) ||
+        |      case when v then 'the dickens classic shitake story is surely long enough.'
+        |        else 'another perfectly normal sentence follows right here today.' end
+        |    end as text_clean
+        |from d order by doc_id""".stripMargin,
 
     // stopword-floor twin (r16): the body keeps iff length AND
     // stopword-fraction clear their floors; headline rides the body.

@@ -144,6 +144,18 @@ object Text {
     "bg" -> Seq("и", "в", "не", "на", "че", "той", "с", "как", "това",
       "е", "са", "за", "от", "по", "но", "а", "до", "се"))
 
+  /** English bad-words gate list for [[graft.operators.Corpus.c4Clean]]'s
+    * `blockWords` arm (r17) — a curated subset of the public LDNOOBW
+    * list C4 (Raffel 2020 §2.2) filters with; production swaps in the
+    * full list (it is corpus policy, and the gate takes any Seq).
+    * Word-boundary semantics live in the gate, not here. */
+  val BadWordsEnglish: Seq[String] = Seq(
+    "shit", "fuck", "fucking", "fucker", "cunt", "bitch", "asshole",
+    "bastard", "dick", "cock", "pussy", "whore", "slut", "nigger",
+    "faggot", "blowjob", "handjob", "cumshot", "dildo", "porn",
+    "porno", "pornography", "xxx", "hentai", "milf", "bukkake",
+    "gangbang", "deepthroat")
+
   def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column =
     markerCount(c, stopwords).cast(DoubleType) /
       greatest(tokenCount(c), lit(1)).cast(DoubleType)

@@ -1413,24 +1413,41 @@ object Corpus {
     * — composable, deliberately not re-done here; the bad-words list
     * is the caller's (pass its phrases in `blockPhrases`).
     *
+    * `blockWords` (r17) is C4's other page gate — the "bad words"
+    * list (Raffel 2020 drops any page containing a word from the
+    * public LDNOOBW list): matched at WORD BOUNDARIES, never as
+    * substrings ("associate" must not die for containing "ass" — the
+    * substring form `blockPhrases` would false-positive corpus-wide),
+    * case-folded, punctuation-tolerant (tokens split on runs of
+    * non-alphanumerics, so "Word," matches "word").
+    * [[graft.functions.Text.BadWordsEnglish]] is the vendorable
+    * default-shaped subset; the gate is off (`Nil`) unless the caller
+    * opts in, because the right list is corpus-policy.
+    *
     * Output: `(idCol, kept, n_lines, n_kept, text_clean)` — one row
     * per input page (never a silent drop), `text_clean` null for
     * rejected pages. Shape: one Generate (line explode), line rules
     * on the generated attribute (never inside a lambda — the
     * HOF-staging contract), one groupBy(id) reassembly; doc-level
     * block flags are cheap `contains` checks computed once per page
-    * and carried through the aggregate. */
+    * and carried through the aggregate (the word gate is one
+    * split+exists over the page, also once). */
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
       minLineWords: Int = 5, minLines: Int = 3,
       blockPhrases: Seq[String] = Seq("lorem ipsum"),
-      blockChars: Seq[String] = Seq("{")): DataFrame = {
+      blockChars: Seq[String] = Seq("{"),
+      blockWords: Seq[String] = Nil): DataFrame = {
     // null text normalizes to "" up front — otherwise the contains
     // checks go three-valued and `kept` leaks null instead of false
     val safeText = coalesce(col(textCol), lit(""))
     val lowered = lower(safeText)
+    val wordBlocked =
+      if (blockWords.isEmpty) lit(false)
+      else exists(split(lowered, "[^a-z0-9]+"),
+        w => w.isin(blockWords.map(_.toLowerCase(java.util.Locale.ROOT)): _*))
     val blocked = (blockPhrases.map(p => lowered.contains(p.toLowerCase)) ++
       blockChars.map(c => safeText.contains(c)))
-      .foldLeft(lit(false))(_ || _)
+      .foldLeft(lit(false))(_ || _) || wordBlocked
     val lines = df
       .select(col(idCol), blocked.as("_blocked"),
         posexplode(split(safeText, "\n")).as(Seq("_ln", "_l0")))

@@ -32,10 +32,12 @@ object ProfileCrawl {
       val t = health.selectExpr("sum(n_records) as records",
         "sum(n_eligible) as eligible", "sum(n_no_body) as no_body",
         "sum(n_decode_null) as decode_null",
-        "sum(n_charset_null) as charset_null", "sum(n_pages) as pages").first()
+        "sum(n_charset_null) as charset_null", "sum(n_pages) as pages",
+        "sum(n_unsupported_encoding) as unsupported_encoding").first()
       def v(i: Int) = if (t.isNullAt(i)) 0L else t.getLong(i)
       s"records=${v(0)} eligible=${v(1)} no_body=${v(2)} " +
-        s"decode_null=${v(3)} charset_null=${v(4)} pages=${v(5)}"
+        s"decode_null=${v(3)} charset_null=${v(4)} pages=${v(5)} " +
+        s"unsupported_encoding=${v(6)}"
     }
     if (args.length == 1) {
       val health = Corpus.crawlHealth(spark, args(0))

@@ -757,6 +757,28 @@ class CorpusSpec extends SparkSpec {
     assert(got(5L)._1 === false)                // null text: one empty line, kept=false
   }
 
+  test("c4Clean blockWords: word-boundary bad-words gate, case/punct folded, superstrings survive (r17)") {
+    import spark.implicits._
+    val docs = Seq(
+      // blocked word, capitalized + trailing comma: the page dies
+      // even though the LINE passes its own rules
+      (1L, "Good first sentence with five words.\nThis line mentions Shit, somewhere else today."),
+      // superstrings of list words at word boundaries must NOT match
+      (2L, "The dickens classic shitake story is long.\nAnother good long sentence right here!"),
+      // same text, gate off: nothing blocked
+      (3L, "This line mentions Shit, somewhere else today.\nAnother good long sentence right here!"))
+      .toDF("doc_id", "text")
+    def run(words: Seq[String]) =
+      graft.operators.Corpus.c4Clean(docs, "doc_id", "text",
+          minLineWords = 5, minLines = 2, blockWords = words)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val gated = run(graft.functions.Text.BadWordsEnglish)
+    assert(gated(1L) === false) // word gate fires through case + punctuation
+    assert(gated(2L) === true)  // dickens/shitake are not dick/shit
+    val off = run(Nil)
+    assert(off(1L) === true && off(3L) === true) // default: gate off
+  }
+
   test("hostProfile: status classes, unparsed envelopes, non-responses excluded (r15)") {
     import spark.implicits._
     val rows = Seq[(String, String, Option[Int], Long)](
