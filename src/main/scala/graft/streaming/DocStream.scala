@@ -334,10 +334,27 @@ object DocStream {
         .select(col("doc_id"), col("target_uri"), col("text"))
     }
     robotsRulesDir match {
+      case None if !mainContent =>
+        // Shape ON THE STREAMING FRAME, not in preBatch — measured
+        // load-bearing (r17): moving this arm's shaping into preBatch
+        // tripled q126's drain (16.5 → 46.5 s quiet A/B at 32
+        // threads). Mechanism: the micro-batch hand-off wraps the
+        // streaming plan's COMPUTED output, so the decode chain
+        // compiles into the batch lineage once; shaped in preBatch
+        // instead, the chain is a live Project tree that the gate's
+        // multi-reference filter re-inlines per reference (the r11
+        // substitution hazard) on every consumer of the batch.
+        curateNearDupStream(spark, applyGate(pagesOf(raw), gate),
+          corpusDir, indexDir, checkpointDir,
+          minJaccard, pollInterval, reliableCheckpointDir, indexBands, indexRanges,
+          compactEvery, compactTargetFiles,
+          corpusCompactEvery, corpusCompactTargetFiles)
       case None =>
-        // shape inside preBatch (not on the streaming frame): the
-        // mainContent barrier is an aggregation, and a pure
-        // projection lands identically either way
+        // mainContent: the extraction barrier is an AGGREGATION — a
+        // streaming groupBy would refuse at start(), so this arm must
+        // shape inside preBatch; the barrier itself then shields the
+        // gate from the block-classifier chain (the ADVICE fix), and
+        // the barrier's aggregate output is what the gate references.
         val pre = (batch: DataFrame, _: Long) =>
           applyGate(pagesOf(batch), gate)
         curateNearDupStream(spark, raw,
