@@ -2421,6 +2421,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Temperature-weighted mixing under the gate (r17): four strata
+    // of deliberately uneven sizes (web 3/7, wiki 2/7, code 1/7,
+    // books 1/7 of the corpus) through alpha=0.5 at a 200-doc budget
+    // — sqrt weighting upsamples the small strata relative to
+    // proportional (the operator's reason to exist; the twin's floor
+    // arithmetic re-derives the exact per-stratum targets, and the
+    // md5 ranking pins WHICH documents are kept, not just how many).
+    // alpha=0.5 routes through IEEE sqrt and the fixture's targets
+    // sit far from floor boundaries (….62/.95/.85 at both SFs), so
+    // the double arithmetic is engine-safe under the hash.
+    "q161_temperature_mix" -> { (s, dir) =>
+      val m = col("doc_id") % 7
+      val stratum = when(m < 3, lit("web")).when(m < 5, lit("wiki"))
+        .when(m === 5, lit("code")).otherwise(lit("books"))
+      Corpus.temperatureMix(
+          Tables(s, dir, "documents").select(col("doc_id"), stratum.as("stratum")),
+          "stratum", "doc_id", totalBudget = 200L, alpha = 0.5,
+          seed = "v1", family = "md5")
+        .select(col("doc_id"), col("stratum"))
+        .orderBy(col("doc_id"))
+    },
+
     // Stopword-floor content extraction under the gate (r16): the
     // jusText prose discriminator — the body paragraph keeps iff the
     // collapsed doc text clears BOTH the 70-char floor AND a 0.05
@@ -5063,6 +5085,26 @@ object SparkEntry {
         |        else 'another perfectly normal sentence follows right here today.' end
         |    end as text_clean
         |from d order by doc_id""".stripMargin,
+
+    // temperature-mix twin (r17): identical weight/floor arithmetic
+    // (sqrt is IEEE-correctly-rounded, so the doubles agree
+    // bit-for-bit) and the same md5('v1:'||id) per-stratum ranking —
+    // a weighting, flooring, ranking or family bug moves a kept id
+    "q161_temperature_mix" ->
+      """with d as (select doc_id,
+        |    case when doc_id % 7 < 3 then 'web' when doc_id % 7 < 5 then 'wiki'
+        |      when doc_id % 7 = 5 then 'code' else 'books' end as stratum
+        |  from documents),
+        |n as (select stratum, count(*) as n from d group by stratum),
+        |w as (select stratum, n, sqrt(cast(n as double)) as w from n),
+        |s as (select sum(w) as sw from w),
+        |k as (select stratum, least(n, cast(floor(200.0 * w / sw) as bigint)) as k
+        |  from w, s),
+        |r as (select doc_id, stratum,
+        |    row_number() over (partition by stratum
+        |      order by md5('v1:' || doc_id), doc_id) as rn from d)
+        |select r.doc_id, r.stratum from r join k using (stratum)
+        |where rn <= k.k order by r.doc_id""".stripMargin,
 
     // stopword-floor twin (r16): the body keeps iff length AND
     // stopword-fraction clear their floors; headline rides the body.

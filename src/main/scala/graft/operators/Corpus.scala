@@ -549,6 +549,69 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Temperature-weighted data mixing (r17) — the standard
+    * multilingual/multi-source LM recipe (the XLM-R / mT5 family):
+    * stratum `l` gets a share of the token/document budget
+    * proportional to `n_l^alpha`, `alpha ∈ (0, 1]` — `alpha = 1` is
+    * proportional (the raw mixture), smaller alpha UPSAMPLES
+    * low-resource strata relative to their size (the reason the knob
+    * exists). [[mixSystematic]] takes the rates as given; this
+    * computes them from the observed stratum sizes and selects
+    * deterministically.
+    *
+    * Selection: per-stratum target `k_l = min(n_l,
+    * floor(budget · w_l / Σw))`, members ranked by a seeded hash of
+    * the id (the [[shuffleShards]] determinism device — byte-identical
+    * re-runs, no RNG) and the top `k_l` kept. Floors leave slack
+    * (Σ k_l ≤ budget by up to one row per stratum) — documented, not
+    * redistributed: redistribution rules are corpus policy and the
+    * caller can rerun with a bumped budget.
+    *
+    * Engine-reproducibility: `alpha = 0.5` routes through `sqrt`
+    * (IEEE-correctly-rounded — bit-identical across engines) and
+    * `alpha = 1` through identity; any other alpha goes through
+    * `pow`, which libms only promise within 1 ulp — fine for
+    * production mixing, but an oracle-replayed gate should stick to
+    * 0.5/1. Hash families: xxh64 production, md5 when an oracle must
+    * replay the ranking (the repo-wide discipline).
+    *
+    * Scale shape: one count aggregate (map-side combinable), a 1×1
+    * broadcast for Σw (the dangling-mass device), a broadcast join of
+    * the per-stratum targets, and ONE window per stratum ordered by
+    * the hash — the [[mixSystematic]] shuffle shape. A pathologically
+    * skewed stratum makes that window a single big sort; at that
+    * scale derive `k_l/n_l` rates from this function's target table
+    * and apply [[hashSample]] per stratum instead (zero shuffle,
+    * approximate counts). */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+      totalBudget: Long, alpha: Double = 0.5, seed: String = "v1",
+      family: String = "xxh64"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    def wOf(n: Column): Column =
+      if (alpha == 0.5) sqrt(n.cast(DoubleType))
+      else if (alpha == 1.0) n.cast(DoubleType)
+      else pow(n.cast(DoubleType), lit(alpha))
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", wOf(col("_n")))
+    val sw = counts.agg(sum(col("_w")).as("_sw"))
+    val targets = counts.crossJoin(broadcast(sw))
+      .withColumn("_k", least(col("_n"),
+        floor(lit(totalBudget.toDouble) * col("_w") / col("_sw")).cast(LongType)))
+      .select(col(strataCol), col("_k"))
+    val ord: Seq[Column] = family match {
+      case "md5" => Seq(
+        md5(concat(lit(seed), lit(":"), col(idCol).cast(StringType))),
+        col(idCol))
+      case _ => Seq(xxhash64(lit(seed), col(idCol)), col(idCol))
+    }
+    df.withColumn("_rn",
+        row_number().over(Window.partitionBy(col(strataCol)).orderBy(ord: _*)))
+      .join(broadcast(targets), Seq(strataCol))
+      .filter(col("_rn") <= col("_k"))
+      .drop("_rn", "_k")
+  }
+
   /** Per-document token n-gram occurrence counts
     * `(id, n_tokens, gram, cnt)` over the normalized text.
     * Normalize→tokenize→shingle staged as named columns (the HOF

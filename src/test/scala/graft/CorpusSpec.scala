@@ -779,6 +779,34 @@ class CorpusSpec extends SparkSpec {
     assert(off(1L) === true && off(3L) === true) // default: gate off
   }
 
+  test("temperatureMix: alpha upsamples small strata, budget floors hold, re-runs byte-identical (r17)") {
+    import spark.implicits._
+    // 400 "big" docs vs 25 "small": proportional (alpha=1) at budget
+    // 100 gives small ~5; sqrt weighting gives small 100·5/25 = 20
+    val df = ((0L until 400L).map(i => (i, "big")) ++
+      (1000L until 1025L).map(i => (i, "small"))).toDF("id", "stratum")
+    def kOf(alpha: Double) =
+      graft.operators.Corpus.temperatureMix(df, "stratum", "id", 100L, alpha)
+        .groupBy("stratum").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prop = kOf(1.0)
+    val sqr = kOf(0.5)
+    assert(prop("big") === 94L && prop("small") === 5L) // floor(100*400/425), floor(100*25/425)
+    assert(sqr("small") === 20L && sqr("big") === 80L)  // sqrt(400)=20, sqrt(25)=5
+    assert(sqr.values.sum <= 100L && prop.values.sum <= 100L)
+    // a stratum smaller than its target is capped at its size
+    val capped = graft.operators.Corpus.temperatureMix(df, "stratum", "id", 2000L, 0.5)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("small") === 25L)
+    // determinism: identical kept set across runs, for both families
+    def ids(family: String) =
+      graft.operators.Corpus.temperatureMix(df, "stratum", "id", 100L, 0.5,
+        family = family).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids("xxh64") === ids("xxh64"))
+    assert(ids("md5") === ids("md5"))
+  }
+
   test("hostProfile: status classes, unparsed envelopes, non-responses excluded (r15)") {
     import spark.implicits._
     val rows = Seq[(String, String, Option[Int], Long)](
