@@ -49,24 +49,39 @@ import org.apache.spark.sql.SparkSession
   * every individual run (warmup and timed) to stderr for convergence
   * diagnosis; SPARK_GRAFT_BENCH_SPREAD_MAX (default 2.5) sets the
   * max/min ratio beyond which a query is auto-re-measured alone in a
-  * quiet JVM after the main pass (recorded under "remeasured",
-  * totals untouched). `value` = sum of per-query medians; `wall` =
-  * actual wall-clock including child startup.
+  * quiet JVM after the main pass (recorded under "remeasured" as a
+  * per-query LIST of medians, totals untouched);
+  * SPARK_GRAFT_BENCH_DRAIN_SAMPLES (default 2) sets how many spaced
+  * quiet re-measures each drain gets, SPARK_GRAFT_BENCH_REMEASURE_GAP
+  * (default 10 s) the spacing. `value` = sum of per-query medians;
+  * `wall` = actual wall-clock including child startup.
   *
-  * == Wall-budget governor + incremental artifact (r17) ==
+  * == Wall-budget governor + incremental artifact (r17, reordered r18) ==
   * r16's full pass grew past the driver's window and, because the
   * artifact was written once at the very end, the timeout lost every
   * already-measured family. Now (a) the artifact is REWRITTEN after
-  * every family (`"partial":true` until the final emit), so a killed
-  * run keeps everything measured so far; (b)
-  * SPARK_GRAFT_BENCH_BUDGET_MIN (minutes, default 40) bounds the
-  * pass — once the projection overruns it, remaining families run 1
+  * every family (`"partial":true` until the final emit, atomically —
+  * temp sibling + ATOMIC_MOVE — so every observable state is a
+  * complete JSON document), so a killed run keeps everything measured
+  * so far; (b) SPARK_GRAFT_BENCH_BUDGET_MIN (minutes, default 55 ≈
+  * the measured full-suite wall) bounds the pass in TWO ordered
+  * degradations — ADJUDICATION BEFORE MEASUREMENT (r18, the r17
+  * driver run degraded 120/160 queries to single-sample medians
+  * while still spending its tail on re-measures): first the quiet
+  * re-measure phase is dropped (`"remeasure_skipped":true` — it
+  * re-checks numbers, it doesn't produce them), and only if the
+  * projection STILL overruns do remaining families degrade to 1
   * timed run (listed under `"degraded"`; warmups stay adaptive so
-  * the single run is still a warm-plateau number) and a pass ending
-  * past budget skips the quiet re-measure phase
-  * (`"remeasure_skipped":true`); (c) a SPARK_GRAFT_BENCH_ONLY run
-  * defaults its output to BENCH_ONLY.json so an A/B singleton can
-  * never overwrite the round's full-run BENCH_LOCAL.json. */
+  * the single run is still a warm-plateau number; a child-failure
+  * in-process fallback honors the same 1-run degrade); (c) a
+  * SPARK_GRAFT_BENCH_ONLY run defaults its output to BENCH_ONLY.json
+  * so an A/B singleton can never overwrite the round's full-run
+  * BENCH_LOCAL.json; (d) the LAST stdout line is a <=200-byte
+  * summary object (total/n/degraded-count + the artifact path) —
+  * the full per-query line precedes it, but any bounded stdout-tail
+  * capture always gets a complete, parseable final line (r18, the
+  * r17 verdict's top ask: two rounds of driver artifacts carried
+  * `parsed: null` because the ~8 KB line outran the tail buffer). */
 object Bench {
 
   /** The I/O-round-trip family: these queries measure real file-system
@@ -105,12 +120,14 @@ object Bench {
     * (a warmed drain would measure a different thing than the gate
     * gates), so the artifact marks them the way `io_family` marks
     * host-disk sensitivity: each drain runs in its OWN singleton
-    * child JVM in the main pass, and additionally gets one automatic
-    * quiet re-measure after the pass (carried in `remeasured` beside
-    * the full-run median) so a cross-round comparison always has a
-    * quiet number to cite without a manual noise hunt. q128 is noisy
-    * for a different reason (md5 oracle family) and is already marked
-    * under `langid_family`. */
+    * child JVM in the main pass, and additionally gets
+    * SPARK_GRAFT_BENCH_DRAIN_SAMPLES (default 2) SPACED quiet
+    * re-measures after the pass (r18 — the r17 verdict's q129 band
+    * ran 29→52 s across single same-code quiet runs, so ONE quiet
+    * number per round was unfalsifiable; `remeasured` now carries a
+    * LIST per query and a cross-round claim cites the band, not a
+    * point). q128 is noisy for a different reason (md5 oracle
+    * family) and is already marked under `langid_family`. */
   val DrainFamily: Set[String] = Set(
     "q124_crawl_drain", "q126_raw_crawl_drain", "q129_embedding_drain",
     "q130_media_drain", "q135_robots_drain")
@@ -199,28 +216,49 @@ object Bench {
         try java.nio.file.Files.deleteIfExists(out) catch { case _: Throwable => }
       }
     }
-    // Wall-budget governor (r17, the r16 verdict's top ask): r16's
-    // full pass grew to ~57 min and blew the driver's window with the
-    // artifact unwritten. The budget (minutes, default 40 ≈ the r15
-    // pass that fit) governs in two degradations, never by dropping a
-    // query: once the projection (average family wall × families
-    // left) overruns it, remaining families run ONE timed run instead
-    // of SPARK_GRAFT_BENCH_RUNS (adaptive warmups keep the number
-    // honest; affected queries are listed under "degraded" in the
-    // artifact); and a pass that ends past budget skips the
-    // re-measure phase (medians are untouched either way).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "40")
+    // Wall-budget governor (r17, reordered r18 — the r17 verdict's
+    // ask #2): r16's full pass grew to ~57 min and blew the driver's
+    // window with the artifact unwritten, and r17's driver run then
+    // degraded 120/160 queries to single-sample medians while still
+    // paying for the quiet re-measure tail. The budget (minutes,
+    // default 55 ≈ the measured full-suite wall) now governs in two
+    // ORDERED degradations, never by dropping a query:
+    //   1. ADJUDICATION FIRST: once elapsed + projected main pass +
+    //      the projected re-measure phase overruns, the re-measure
+    //      phase is dropped (it re-checks medians, it doesn't
+    //      produce them) — `"remeasure_skipped":true`;
+    //   2. only if the main pass ALONE still overruns do remaining
+    //      families degrade to ONE timed run (adaptive warmups keep
+    //      the single number a warm-plateau one; affected queries
+    //      are listed under "degraded").
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "55")
       .toDouble * 60.0
+    val drainSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRAIN_SAMPLES", "2")
+      .toInt.max(1)
+    val cooldownSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN", "30").toInt
     val out = defaultOut
     val results = scala.collection.mutable.LinkedHashMap[String, QStat]()
     val degraded = scala.collection.mutable.ListBuffer[String]()
     var degrade = false
+    var skipRemeasure = false
     var famDone = 0
+    // Projected cost of the re-measure phase: cooldown + one quiet
+    // child per drain sample (measured median + ~20 s JVM startup
+    // once known; 45 s as the pre-measurement estimate).
+    def projectedRemeasure: Double = cooldownSec +
+      drainNames.map(n => results.get(n).map(_.median + 20.0).getOrElse(45.0))
+        .sum * drainSamples
     for (fam <- families) {
       val elapsed = (System.nanoTime() - t0) / 1e9
-      if (!degrade && famDone > 0) {
+      if (famDone > 0) {
         val projected = elapsed / famDone * (families.size - famDone)
-        if (elapsed + projected > budgetSec) {
+        if (!skipRemeasure && elapsed + projected + projectedRemeasure > budgetSec) {
+          skipRemeasure = true
+          System.err.println(f"[bench] wall budget: ${elapsed}%.0f s elapsed + " +
+            f"${projected}%.0f s main + ${projectedRemeasure}%.0f s re-measure " +
+            f"> ${budgetSec}%.0f s — dropping the quiet re-measure phase first")
+        }
+        if (!degrade && elapsed + projected > budgetSec) {
           degrade = true
           System.err.println(f"[bench] wall budget: ${elapsed}%.0f s elapsed + " +
             f"${projected}%.0f s projected > ${budgetSec}%.0f s — " +
@@ -236,7 +274,13 @@ object Bench {
         case Some(m) => fam.foreach(n => m.get(n).foreach(results(n) = _))
         case None =>
           System.err.println(s"[bench] child failed twice for ${fam.mkString(",")}; measuring in-process")
-          results ++= measureInProcess(fam, spark.orElse { spark = Some(buildSession()); spark })
+          // The fallback honors the active degrade (r18, the r17
+          // advisor: it used to read the parent's BENCH_RUNS env, so
+          // a "degraded" family could silently get 3 timed runs and
+          // the artifact misstated how it was measured)
+          results ++= measureInProcess(fam,
+            spark.orElse { spark = Some(buildSession()); spark },
+            runsOverride = if (degrade) Some(1) else None)
       }
       if (degrade) degraded ++= fam
       famDone += 1
@@ -267,41 +311,52 @@ object Bench {
     // the cheapest cross-round adjudication signal for a family whose
     // per-run spread is structural (checkpointed streams can't warm).
     val toRemeasure0 = (outliers ++ results.keys.filter(DrainFamily)).distinct
-    // Governor part 2: a pass already past its wall budget skips the
-    // re-measure phase entirely (the medians above are untouched; the
-    // skip is recorded in the artifact so a reader knows the quiet
-    // numbers are absent by policy, not by crash).
+    // Governor ordering (r18): the re-measure phase is the FIRST
+    // thing budget pressure drops — either the mid-pass projection
+    // already decided so (skipRemeasure), or the pass ends past
+    // budget anyway. Medians are untouched either way; the skip is
+    // recorded in the artifact so a reader knows the quiet numbers
+    // are absent by policy, not by crash.
     val pastBudget = (System.nanoTime() - t0) / 1e9 > budgetSec
-    if (pastBudget && toRemeasure0.nonEmpty)
-      System.err.println(s"[bench] wall budget exceeded; skipping " +
+    val skipNow = skipRemeasure || pastBudget
+    if (skipNow && toRemeasure0.nonEmpty)
+      System.err.println(s"[bench] wall budget: skipping " +
         s"${toRemeasure0.size} quiet re-measures")
-    val toRemeasure = if (pastBudget) Seq.empty[String] else toRemeasure0
+    val toRemeasure = if (skipNow) Seq.empty[String] else toRemeasure0
     // The remeasure phase runs LAST, i.e. at the tail of ~an hour of
     // sustained load — without a cool-down its "quiet" numbers came
     // out ABOVE the run medians (r16, measured: q135 22.4 med /
     // 31.5 "quiet"). 30 s is the standing quiet-re-measure rule.
     if (toRemeasure.nonEmpty) {
-      val cool = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN", "30").toInt
-      System.err.println(s"[bench] cooling down ${cool}s before re-measures")
-      Thread.sleep(cool * 1000L)
+      System.err.println(s"[bench] cooling down ${cooldownSec}s before re-measures")
+      Thread.sleep(cooldownSec * 1000L)
     }
-    val remeasured = toRemeasure.flatMap { n =>
+    // Drains get SPACED multi-sample quiet re-measures (r18, the r17
+    // verdict's #3: q129's single quiet numbers spanned 29→52 s
+    // across same-code runs — one point per round made the band
+    // invisible); spread outliers keep a single adjudication sample.
+    val gapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_REMEASURE_GAP", "10").toInt
+    val remeasured: Seq[(String, Seq[Double])] = toRemeasure.map { n =>
       val st = results(n)
+      val samples = if (DrainFamily(n)) drainSamples else 1
       if (DrainFamily(n))
-        System.err.println(s"[bench] drain-family $n; quiet single-query re-measure")
+        System.err.println(s"[bench] drain-family $n; $samples spaced quiet re-measures")
       else
         System.err.println(f"[bench] spread outlier $n (max/min ${st.max / st.min}%.2f " +
           f"> $spreadMax); quiet single-query re-measure")
-      runChild(Seq(n)).flatMap(_.get(n)) match {
-        case Some(st2) => Some(n -> st2.median)
-        case None =>
-          System.err.println(s"[bench] re-measure child failed for $n; recording -1")
-          Some(n -> -1.0)
+      n -> (1 to samples).map { k =>
+        if (k > 1) Thread.sleep(gapSec * 1000L)
+        runChild(Seq(n)).flatMap(_.get(n)) match {
+          case Some(st2) => st2.median
+          case None =>
+            System.err.println(s"[bench] re-measure child failed for $n; recording -1")
+            -1.0
+        }
       }
     }
     emit(results.toSeq, out, startNanos = t0, quiet = false,
       remeasured = remeasured, degraded = degraded.toSeq,
-      remeasureSkipped = pastBudget && toRemeasure0.nonEmpty)
+      remeasureSkipped = skipNow && toRemeasure0.nonEmpty)
   }
 
   /** Extract the per-query stats from a child's full-record JSON via
@@ -373,9 +428,11 @@ object Bench {
     * timed region) the session cache is dropped and a GC hinted so a
     * query's median doesn't pay its predecessor's allocation debt. */
   private def measureInProcess(names: Seq[String],
-      existing: Option[SparkSession]): Seq[(String, QStat)] = {
+      existing: Option[SparkSession],
+      runsOverride: Option[Int] = None): Seq[(String, QStat)] = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = runsOverride.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = existing.getOrElse(buildSession())
     val warmMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_MAX", "6").toInt.max(1)
     val warmBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_BUDGET", "12").toDouble
@@ -424,7 +481,7 @@ object Bench {
 
   private def emit(results: Seq[(String, QStat)], out: String,
       startNanos: Long, quiet: Boolean,
-      remeasured: Seq[(String, Double)] = Nil,
+      remeasured: Seq[(String, Seq[Double])] = Nil,
       partial: Boolean = false,
       degraded: Seq[String] = Nil,
       remeasureSkipped: Boolean = false): Unit = {
@@ -448,12 +505,16 @@ object Bench {
         ",\"max\":" + v.max + ",\"warm\":" + v.warmups + "}"
     }.mkString("{", ",", "}")
     val ioFam = IoFamily.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // flat name→median map of the automatic quiet re-measures of
-    // spread outliers (−1 = re-measure child failed); empty when no
-    // query tripped the rule — "ships with zero un-adjudicated
-    // spread outliers" is checkable from the artifact alone
-    val remeas = remeasured.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // name→[medians] map of the automatic quiet re-measures (−1 = a
+    // re-measure child failed): spread outliers carry 1 sample,
+    // drains carry SPARK_GRAFT_BENCH_DRAIN_SAMPLES spaced ones (r18
+    // — a LIST so the variance band is in the artifact, not in
+    // prose); empty when no query tripped the rule — "ships with
+    // zero un-adjudicated spread outliers" is checkable from the
+    // artifact alone
+    val remeas = remeasured.map { case (k, vs) =>
+      s"\"" + k + "\":" + vs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val langidFam = LangidFamily.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -470,9 +531,20 @@ object Bench {
       s""""io_family":$ioFam,""" +
       s""""langid_family":$langidFam,"drain_family":$drainFam,"spread":$spread,""" +
       s""""remeasured":$remeas}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (jsonFull + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
+    // Atomic rewrite (r18, the r17 advisor): the incremental
+    // per-family rewrites made an in-place Files.write racy — a kill
+    // landing mid-write left a truncated artifact the strict parser
+    // would then refuse. Temp sibling + ATOMIC_MOVE keeps every
+    // observable state a complete JSON document.
+    try {
+      val target = java.nio.file.Paths.get(out)
+      val dir = Option(target.getParent).getOrElse(java.nio.file.Paths.get("."))
+      val tmp = java.nio.file.Files.createTempFile(dir, ".bench_emit", ".json")
+      java.nio.file.Files.write(tmp, (jsonFull + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     if (quiet) return // children: the file is the contract, stdout is discarded
     // Stdout gets a COMPACT line sized to fit the tail window: query
     // names abbreviated to their unique qNN prefix, seconds rounded to
@@ -492,5 +564,13 @@ object Bench {
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,""" +
       s""""sf":"$sfDir","runs":$runs,"wall":${r3(wall)},"io_family":$ioShort,""" +
       s""""langid_family":$langidShort,"drain_family":$drainShort,"file":"$out"}""")
+    // LAST stdout line = a <=200-byte summary (r18, the r17 verdict's
+    // top ask): the compact per-query line above is ~2.4 KB at 160
+    // queries and a bounded stdout-tail capture clips its HEAD, so
+    // two rounds of driver artifacts parsed to null. This line always
+    // fits whole inside any tail window; the full per-query record
+    // lives in the file it points at.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
+      s""""degraded":${degraded.size},"wall":${r3(wall)},"file":"$out"}""")
   }
 }

@@ -1482,7 +1482,9 @@ object Corpus {
     * substrings ("associate" must not die for containing "ass" — the
     * substring form `blockPhrases` would false-positive corpus-wide),
     * case-folded, punctuation-tolerant (tokens split on runs of
-    * non-alphanumerics, so "Word," matches "word").
+    * non-letters/digits in the UNICODE sense, so "Word," matches
+    * "word" but an accented superstring like "shité" stays one
+    * token and survives).
     * [[graft.functions.Text.BadWordsEnglish]] is the vendorable
     * default-shaped subset; the gate is off (`Nil`) unless the caller
     * opts in, because the right list is corpus-policy.
@@ -1504,9 +1506,16 @@ object Corpus {
     // checks go three-valued and `kept` leaks null instead of false
     val safeText = coalesce(col(textCol), lit(""))
     val lowered = lower(safeText)
+    // Word boundaries are UNICODE letter/digit boundaries (r18, the
+    // r17 advisor): the ASCII-only class [^a-z0-9]+ made every
+    // non-ASCII letter a separator, so "shité" tokenized to "shit"
+    // and died — a superstring false positive of exactly the kind
+    // the word-boundary contract promises to avoid, and likely on
+    // any multilingual crawl. \p{L}\p{N} keeps accented superstrings
+    // whole; list words themselves are matched lowercased.
     val wordBlocked =
       if (blockWords.isEmpty) lit(false)
-      else exists(split(lowered, "[^a-z0-9]+"),
+      else exists(split(lowered, "[^\\p{L}\\p{N}]+"),
         w => w.isin(blockWords.map(_.toLowerCase(java.util.Locale.ROOT)): _*))
     val blocked = (blockPhrases.map(p => lowered.contains(p.toLowerCase)) ++
       blockChars.map(c => safeText.contains(c)))

@@ -74,8 +74,12 @@ private[graft] object StrictJson {
               case 'u' =>
                 if (i + 4 >= n) fail("truncated \\u escape")
                 val hex = s.substring(i + 1, i + 5)
-                try sb.append(Integer.parseInt(hex, 16).toChar)
-                catch { case _: NumberFormatException => fail(s"bad \\u escape '$hex'") }
+                // Integer.parseInt accepts a leading sign, so '\u+12f'
+                // would parse silently — require 4 literal hex digits
+                // (r18, the r17 advisor's refuse-loudly gap)
+                if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                  fail(s"bad \\u escape '$hex'")
+                sb.append(Integer.parseInt(hex, 16).toChar)
                 i += 5
               case c => fail(s"unknown escape '\\$c'")
             }

@@ -86,4 +86,12 @@ class BenchParseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](StrictJson.parse("""[1,2"""))
     intercept[IllegalArgumentException](StrictJson.parse("""{"a":01x}"""))
   }
+
+  test("\\u escapes require 4 literal hex digits — signed forms refuse (r18)") {
+    assert(StrictJson.parse("\"\\u0041\"") === StrictJson.JStr("A"))
+    // Integer.parseInt would accept these silently
+    intercept[IllegalArgumentException](StrictJson.parse("\"\\u+12f\""))
+    intercept[IllegalArgumentException](StrictJson.parse("\"\\u-001\""))
+    intercept[IllegalArgumentException](StrictJson.parse("\"\\u00g1\""))
+  }
 }

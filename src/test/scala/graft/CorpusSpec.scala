@@ -766,7 +766,11 @@ class CorpusSpec extends SparkSpec {
       // superstrings of list words at word boundaries must NOT match
       (2L, "The dickens classic shitake story is long.\nAnother good long sentence right here!"),
       // same text, gate off: nothing blocked
-      (3L, "This line mentions Shit, somewhere else today.\nAnother good long sentence right here!"))
+      (3L, "This line mentions Shit, somewhere else today.\nAnother good long sentence right here!"),
+      // ACCENTED superstrings (r18, the r17 advisor): a non-ASCII
+      // letter must NOT act as a word boundary — "shité" is one
+      // token, not "shit"+"é", so the page survives
+      (4L, "The shité weather kept everyone happily indoors.\nAnother good long sentence right here!"))
       .toDF("doc_id", "text")
     def run(words: Seq[String]) =
       graft.operators.Corpus.c4Clean(docs, "doc_id", "text",
@@ -775,6 +779,7 @@ class CorpusSpec extends SparkSpec {
     val gated = run(graft.functions.Text.BadWordsEnglish)
     assert(gated(1L) === false) // word gate fires through case + punctuation
     assert(gated(2L) === true)  // dickens/shitake are not dick/shit
+    assert(gated(4L) === true)  // shité is not shit: unicode boundaries
     val off = run(Nil)
     assert(off(1L) === true && off(3L) === true) // default: gate off
   }
