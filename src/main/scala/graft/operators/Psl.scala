@@ -15,8 +15,10 @@ package graft.operators
   * public suffix plus one label.
   *
   * A vendored snapshot ships at `graft/public_suffix_list.dat`
-  * (curated subset, format-complete — see that file's header);
-  * production deploys drop the current full PSL at the same resource
+  * (the full 2023-02-09 distribution — see that file's header; its
+  * date is parsed into [[Rules.snapshotDate]] and [[Default]] warns
+  * on stderr once it ages past [[StaleAfterMonths]]); production
+  * deploys drop the current full PSL at the same resource
   * path and every rule kind parses. When the resource is absent
   * entirely, [[Links.registeredDomain]] falls back to the
   * [[Links.DefaultMultiSuffixes]] two-level table (the pre-PSL
@@ -40,7 +42,8 @@ object Psl {
   final case class Rules(
       exact: Map[Int, Set[String]],
       wildcard: Map[Int, Set[String]],
-      exceptions: Map[Int, Set[String]]) {
+      exceptions: Map[Int, Set[String]],
+      snapshotDate: Option[java.time.LocalDate] = None) {
     /** Longest public-suffix length (in labels) any rule can assert. */
     val maxMatch: Int =
       (exact.keys ++ wildcard.keys.map(_ + 1) ++ Seq(1)).max
@@ -87,8 +90,21 @@ object Psl {
           .mkString(".")
         if (ascii == s) Nil else Seq(ascii)
       } catch { case _: IllegalArgumentException => Nil })
+    var snapDate: Option[java.time.LocalDate] = None
     for (raw <- lines) {
       val line = raw.trim.takeWhile(!_.isWhitespace)
+      // Snapshot-date marker (r18, the r17 verdict's staleness ask):
+      // scan header comments for a date so the rule set knows how old
+      // its data is. Two shapes: our vendored header's "snapshot
+      // dated YYYY-MM-DD" and a distribution "VERSION: YYYY-MM-DD…"
+      // comment. An upstream master file carries neither — the date
+      // stays None and [[Default]] warns that staleness is UNKNOWN.
+      if (snapDate.isEmpty && raw.trim.startsWith("//")) {
+        val m = SnapshotDateRe.findFirstMatchIn(raw)
+        m.foreach(d => snapDate =
+          try Some(java.time.LocalDate.parse(d.group(1)))
+          catch { case _: java.time.format.DateTimeParseException => None })
+      }
       if (line.nonEmpty && !line.startsWith("//")) {
         val rule = line.toLowerCase
         if (rule != "*") {
@@ -107,8 +123,19 @@ object Psl {
         }
       }
     }
-    Rules(exact.toMap, wild.toMap, exc.toMap)
+    Rules(exact.toMap, wild.toMap, exc.toMap, snapDate)
   }
+
+  private val SnapshotDateRe =
+    """(?:snapshot dated|VERSION:)\s*(\d{4}-\d{2}-\d{2})""".r
+
+  /** Age past which [[Default]] warns the snapshot needs a refresh.
+    * The PSL gains registry suffixes continuously; past this age new
+    * suffixes fall to the implicit `*` rule and curation mis-groups
+    * those domains (q97/q134/q147-class operators). 18 months is the
+    * PSL maintainers' own "refresh at least yearly" guidance plus
+    * slack for release lag. */
+  val StaleAfterMonths: Long = 18
 
   /** Load a PSL resource from the classpath; None when absent. */
   def load(resource: String = "/graft/public_suffix_list.dat"): Option[Rules] =
@@ -117,6 +144,29 @@ object Psl {
       try parse(src.getLines()) finally src.close()
     }
 
-  /** The vendored snapshot, parsed once per JVM. */
-  lazy val Default: Option[Rules] = load()
+  /** The vendored snapshot, parsed once per JVM. Aging is LOUD (r18):
+    * a snapshot older than [[StaleAfterMonths]] — or one whose date
+    * can't be read at all — logs a one-line stderr warning naming the
+    * refresh step (drop the current publicsuffix.org file at the
+    * resource path and update PslSpec's pinned date), so the data
+    * can't silently age the way the 2023 snapshot did for 3 years. */
+  lazy val Default: Option[Rules] = {
+    val r = load()
+    r.foreach { rules =>
+      rules.snapshotDate match {
+        case Some(d) =>
+          val age = java.time.temporal.ChronoUnit.MONTHS
+            .between(d, java.time.LocalDate.now())
+          if (age >= StaleAfterMonths)
+            System.err.println(s"[psl] vendored snapshot dated $d is " +
+              s"$age months old — refresh: drop the current " +
+              "publicsuffix.org public_suffix_list.dat at " +
+              "graft/public_suffix_list.dat and update PslSpec's pinned date")
+        case None =>
+          System.err.println("[psl] snapshot carries no date marker — " +
+            "staleness unknown; add a '// VERSION: YYYY-MM-DD' header line")
+      }
+    }
+    r
+  }
 }

@@ -108,6 +108,22 @@ class PslSpec extends SparkSpec {
     assert(r.wildcard(3).contains("compute.amazonaws.com"))
   }
 
+  test("snapshot-date marker is parsed and pinned (r18): refreshing the file must update this pin") {
+    // the staleness instrument: Rules.snapshotDate comes from the
+    // vendored header; Psl.Default warns on stderr past
+    // StaleAfterMonths. Pinning the exact date here makes any data
+    // refresh LOUD — the new file's date won't match until this
+    // assertion (and the header scan it exercises) is updated too.
+    val r = Psl.Default.get
+    assert(r.snapshotDate === Some(java.time.LocalDate.of(2023, 2, 9)))
+    // both marker shapes parse; a dateless file yields None
+    assert(Psl.parse(Iterator("// VERSION: 2026-01-31", "co.zz"))
+      .snapshotDate === Some(java.time.LocalDate.of(2026, 1, 31)))
+    assert(Psl.parse(Iterator("// distribution snapshot dated 2024-06-01", "co.zz"))
+      .snapshotDate === Some(java.time.LocalDate.of(2024, 6, 1)))
+    assert(Psl.parse(Iterator("co.zz")).snapshotDate === None)
+  }
+
   test("the snapshot is the FULL publicsuffix.org list (r17): thousands of rules, subset-absent registries resolve") {
     val r = Psl.Default.get
     // the full 2023-02-09 snapshot parses to ~9.5k rules before IDN
