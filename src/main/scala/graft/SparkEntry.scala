@@ -2443,6 +2443,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Non-Latin-script stopword floors + the per-language floor
+    // override (r18, the r17 verdict's #5): six arms over the q159
+    // page template. ar/hi/el/he bodies are function-word-dense RTL/
+    // Devanagari/Greek/Hebrew prose (fractions 0.41–0.68, far above
+    // the 0.25 global floor); the kk body sits at exactly 4/18 =
+    // 0.222 — UNDER the 0.25 global floor (Kazakh agglutination is
+    // real: case/tense morphemes attach to content words) but over
+    // its floorByLang("kk" -> 0.15) override, so the arm keeps iff
+    // the per-language floor actually reaches the gate; the ja arm
+    // has NO stopword table (unsegmented script — structural
+    // exclusion), which disables the floor for the row and the spam
+    // paragraph rides through on length alone, exactly q159's zz
+    // arm. Twin restates outcomes from the arm arithmetic.
+    "q162_script_floor" -> { (s, dir) =>
+      val id = col("doc_id").cast(StringType)
+      val m = col("doc_id") % 6
+      val lang = when(m === 0, lit("ar")).when(m === 1, lit("hi"))
+        .when(m === 2, lit("el")).when(m === 3, lit("he"))
+        .when(m === 4, lit("kk")).otherwise(lit("ja"))
+      val arS = "كان البيت في الحديقة قبل المساء وكان الأطفال هناك مع الكلب ولم يكن هذا بعيدا عن النهر"
+      val hiS = "घर में एक कुत्ता था और वह बगीचा के पास था पर यह नदी से बहुत दूर नहीं था"
+      val elS = "και το σπίτι ήταν στον κήπο με ένα σκυλί και δεν ήταν μακριά από το ποτάμι αλλά ήταν πολύ ωραία"
+      val heS = "הבית היה על יד הגן עם כלב קטן וזה לא היה רחוק מן הנהר אבל זה היה טוב מאוד היום"
+      val kkS = "үй бақшада тұрады және ит ауланы күзетеді бірақ өзен алыс емес балалар таңертең мектепке барады олар кешке қайтады"
+      val jaS = "今日は天気がとても良いので私たちは公園へ行きますそして子供たちは午後の間ずっと庭で遊んでいます明日は雨が降るかもしれませんが今日はとても楽しい一日になります"
+      val body = when(m === 0, lit(arS)).when(m === 1, lit(hiS))
+        .when(m === 2, lit(elS)).when(m === 3, lit(heS))
+        .when(m === 4, lit(kkS)).otherwise(lit(jaS))
+      val spam = "buy cheap widgets gadgets doohickeys trinkets " +
+        "gizmos contraptions implements apparatus equipment hardware"
+      val page = concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/h\">Home</a> " +
+          "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>"),
+        lit("<h1>Story "), id, lit(" headline</h1><p>"), body,
+        lit("</p><p>" + spam + "</p><div>copyright site "), id,
+        lit("</div></body></html>"))
+      Corpus.extractContentByLang(
+          Tables(s, dir, "documents").select(col("doc_id"),
+            lang.as("lang"), page.as("html")),
+          "html", "lang", minStopwordFrac = 0.25,
+          floorByLang = Map("kk" -> 0.15))
+        .select(col("doc_id"), col("lang"), col("content"),
+          col("n_blocks").cast(LongType).as("n_blocks"),
+          col("n_kept").cast(LongType).as("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // Stopword-floor content extraction under the gate (r16): the
     // jusText prose discriminator — the body paragraph keeps iff the
     // collapsed doc text clears BOTH the 70-char floor AND a 0.05
@@ -5105,6 +5152,35 @@ object SparkEntry {
         |      order by md5('v1:' || doc_id), doc_id) as rn from d)
         |select r.doc_id, r.stratum from r join k using (stratum)
         |where rn <= k.k order by r.doc_id""".stripMargin,
+
+    // script-floor twin (r18): outcomes restated from the %6 arm
+    // arithmetic — covered scripts keep headline+body (n_kept 2),
+    // the kk arm keeps ONLY because the per-language 0.15 floor
+    // override reaches the gate (4/18 = 0.222 < the 0.25 global),
+    // and the table-less ja arm disables the floor so the spam +
+    // copyright blocks ride through (n_kept 4, q159's zz shape)
+    "q162_script_floor" ->
+      ("""with d as (select doc_id, doc_id % 6 as m from documents),
+        |a as (select doc_id, m,
+        |  case m when 0 then 'ar' when 1 then 'hi' when 2 then 'el'
+        |    when 3 then 'he' when 4 then 'kk' else 'ja' end as lang,
+        |  case when m = 0 then 'كان البيت في الحديقة قبل المساء وكان الأطفال هناك مع الكلب ولم يكن هذا بعيدا عن النهر'
+        |    when m = 1 then 'घर में एक कुत्ता था और वह बगीचा के पास था पर यह नदी से बहुत दूर नहीं था'
+        |    when m = 2 then 'και το σπίτι ήταν στον κήπο με ένα σκυλί και δεν ήταν μακριά από το ποτάμι αλλά ήταν πολύ ωραία'
+        |    when m = 3 then 'הבית היה על יד הגן עם כלב קטן וזה לא היה רחוק מן הנהר אבל זה היה טוב מאוד היום'
+        |    when m = 4 then 'үй бақшада тұрады және ит ауланы күзетеді бірақ өзен алыс емес балалар таңертең мектепке барады олар кешке қайтады'
+        |    else '今日は天気がとても良いので私たちは公園へ行きますそして子供たちは午後の間ずっと庭で遊んでいます明日は雨が降るかもしれませんが今日はとても楽しい一日になります'
+        |    end as body
+        |  from d)
+        |select doc_id, lang,
+        |  'Story ' || doc_id || ' headline' || chr(10) || body ||
+        |    case when m = 5 then chr(10) ||
+        |      'buy cheap widgets gadgets doohickeys trinkets gizmos contraptions implements apparatus equipment hardware'
+        |      || chr(10) || 'copyright site ' || doc_id
+        |    else '' end as content,
+        |  cast(5 as bigint) as n_blocks,
+        |  cast(case when m = 5 then 4 else 2 end as bigint) as n_kept
+        |from a order by doc_id""").stripMargin,
 
     // stopword-floor twin (r16): the body keeps iff length AND
     // stopword-fraction clear their floors; headline rides the body.

@@ -801,7 +801,7 @@ object Corpus {
       minStopwordFrac: Double = 0.0,
       stopwords: Seq[String] = graft.functions.Text.EnglishStopwords): DataFrame =
     extractContentImpl(df, htmlCol, minTextChars, maxLinkDensity, outCol,
-      minStopwordFrac, w => lower(w).isin(stopwords: _*), identity, Nil)
+      minStopwordFrac, w => lower(w).isin(stopwords: _*), identity, Nil, None)
 
   /** [[extractContent]] with a PER-LANGUAGE stopword floor (r17, the
     * r16 verdict's #4): on a multilingual crawl a single English list
@@ -831,17 +831,36 @@ object Corpus {
       outCol: String = "content",
       minStopwordFrac: Double = 0.0,
       stopwordsByLang: Map[String, Seq[String]] =
-        graft.functions.Text.StopwordLists): DataFrame = {
+        graft.functions.Text.StopwordLists,
+      floorByLang: Map[String, Double] = Map.empty): DataFrame = {
     val swMap = map(stopwordsByLang.toSeq.sortBy(_._1).flatMap {
       case (l, ws) => Seq(lit(l), array(ws.map(lit(_)): _*))
     }: _*)
+    // Per-language floor override (r18): function-word hit-rates on
+    // real prose vary ~3x by morphology (analytic en 0.3+ vs
+    // agglutinative kn ~0.10 — case suffixes attach to content
+    // words), so one scalar floor cannot serve a multilingual crawl:
+    // 0.25 false-rejects Kannada prose, 0.10 under-protects English.
+    // A row's floor = floorByLang(lang) when present, else
+    // minStopwordFrac. Staged as `_swf` beside `_swl` (same
+    // discipline); the lookup is one element_at over a small map
+    // literal, evaluated once per row.
+    val floorMap =
+      if (floorByLang.isEmpty) lit(null).cast("map<string,double>")
+      else map(floorByLang.toSeq.sortBy(_._1).flatMap {
+        case (l, f) => Seq(lit(l), lit(f))
+      }: _*)
     val stage = (d: DataFrame) =>
       d.withColumn("_swl", element_at(swMap, lower(col(langCol))))
+        .withColumn("_swf", coalesce(
+          element_at(floorMap, lower(col(langCol))),
+          lit(minStopwordFrac)))
     // null list ⇒ every token probes true ⇒ fraction 1 ⇒ floor off
     val probe = (w: Column) =>
       col("_swl").isNull || array_contains(col("_swl"), lower(w))
     extractContentImpl(df, htmlCol, minTextChars, maxLinkDensity, outCol,
-      minStopwordFrac, probe, stage, Seq("_swl"))
+      minStopwordFrac, probe, stage, Seq("_swl", "_swf"),
+      Some(col("_swf")))
   }
 
   private def extractContentImpl(df: DataFrame, htmlCol: String,
@@ -850,7 +869,10 @@ object Corpus {
       minStopwordFrac: Double,
       stopwordProbe: Column => Column,
       stage: DataFrame => DataFrame,
-      extraDrop: Seq[String]): DataFrame = {
+      extraDrop: Seq[String],
+      floorCol: Option[Column]): DataFrame = {
+    val floorOn = minStopwordFrac > 0.0 || floorCol.isDefined
+    val floorExpr = floorCol.getOrElse(lit(minStopwordFrac))
     val blockRe = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead" +
       "|tbody|tfoot|tr|td|th|blockquote|pre|article|section|header|footer" +
       "|nav|aside|main|figure|figcaption|form|fieldset|hr|br|noscript" +
@@ -882,17 +904,17 @@ object Corpus {
         // 'The'/'In'/'And' as stopwords too — a case-sensitive probe
         // under-counts sentence-initial function words on real prose.
         def sfOk(t: Column): Column =
-          if (minStopwordFrac <= 0.0) lit(true)
+          if (!floorOn) lit(true)
           else {
             val toks = split(t, " ")
             size(filter(toks, w => stopwordProbe(w)))
               .cast(DoubleType) >=
-              lit(minStopwordFrac) * size(toks).cast(DoubleType)
+              floorExpr * size(toks).cast(DoubleType)
           }
         val long = length(p.getField("t")) >= minTextChars
         val ld = ldOk(p.getField("t"), p.getField("a"))
         val g =
-          if (minStopwordFrac <= 0.0) long && ld
+          if (!floorOn) long && ld
           else long && ld && sfOk(p.getField("t"))
         // rescue is SHORT blocks only: a long block that failed its
         // own gates must not ride back in on a good neighbour

@@ -117,6 +117,31 @@ class MainContentSpec extends SparkSpec {
     assert(got(3).getInt(1) === 0)
   }
 
+  test("floorByLang (r18): a per-language floor override reaches the gate; other rows keep the scalar") {
+    // Kazakh prose at exactly 4/18 = 0.222 list hits — under the
+    // 0.25 global floor (agglutination attaches the function
+    // morphemes), over a 0.15 kk override; the en row must still be
+    // judged by the scalar (its spam-like body has 0 stopwords)
+    val kkProse = "үй бақшада тұрады және ит ауланы күзетеді бірақ " +
+      "өзен алыс емес балалар таңертең мектепке барады олар кешке қайтады"
+    val spam = "buy cheap widgets gadgets doohickeys trinkets gizmos " +
+      "contraptions implements apparatus equipment hardware"
+    def page(body: String) = s"<body><h2>Kopf</h2><p>$body</p></body>"
+    val df = Seq(
+      (1L, "kk", page(kkProse)),
+      (2L, "en", page(spam)))
+      .toDF("id", "lang", "html")
+    def run(floors: Map[String, Double]) =
+      Corpus.extractContentByLang(df, "html", "lang",
+          minStopwordFrac = 0.25, floorByLang = floors)
+        .orderBy("id").select("content").collect().map(_.getString(0))
+    // without the override the kk body dies on the scalar floor
+    assert(run(Map.empty) === Array("", ""))
+    val got = run(Map("kk" -> 0.15))
+    assert(got(0) === s"Kopf\n$kkProse") // override keeps real prose
+    assert(got(1) === "")                // en row still on the scalar
+  }
+
   test("crawlTextOf(mainContent = true): chrome-free text off a raw crawl frame; default keeps WET parity") {
     def rec(uri: String, body: String) =
       ("response", uri, 200, "text/html; charset=utf-8",
