@@ -1441,11 +1441,15 @@ object SparkEntry {
       // counted in n_enc_zstd and decoded all the way to a page
       val zsB = e4 && col("doc_id") % 37 === 0
       val e5 = e4 && col("doc_id") % 37 =!= 0
-      // brotli arm (r17): a DECLARED coding the chain refuses — the
-      // body bytes are irrelevant (the refusal is on the label);
-      // counted in n_unsupported_encoding AND n_decode_null, never a
-      // page (the loss is visible, not silent)
+      // brotli arm (r17 refusal → r18 DECODE): since the vendored
+      // RFC 7932 decoder rode in, br bodies inflate all the way to
+      // pages and count under their own n_enc_br
       val brB = e5 && col("doc_id") % 41 === 0
+      val e6 = e5 && col("doc_id") % 41 =!= 0
+      // unsupported-coding arm (r18): `compress` keeps the refusal
+      // path exercised now that br decodes — counted in
+      // n_unsupported_encoding AND n_decode_null, never a page
+      val cpB = e6 && col("doc_id") % 43 === 0
       val metaB = e3 && col("doc_id") % 3 === 1 && col("doc_id") % 2 === 1
       val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
         .when(col("doc_id") % 11 === 0, lit("text/html; charset=klingon"))
@@ -1457,6 +1461,7 @@ object SparkEntry {
         // stays a clean three-way split on the %3 rows below
         .when(col("doc_id") % 37 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 41 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 43 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 1, lit("text/plain"))
         .otherwise(lit("text/html; charset=shift_jis"))
@@ -1473,7 +1478,8 @@ object SparkEntry {
           col("text").cast(BinaryType)))
         .when(nbB, lit("").cast(BinaryType))
         .when(zsB, graft.functions.HttpBody.zstdBytes(col("text").cast(BinaryType)))
-        .when(brB, col("text").cast(BinaryType))
+        .when(brB, graft.functions.HttpBody.brotliBytes(col("text").cast(BinaryType)))
+        .when(cpB, col("text").cast(BinaryType))
         .otherwise(bodyText.cast(BinaryType))
       val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
         .when(col("doc_id") % 5 === 1, lit("500 Oops"))
@@ -1484,6 +1490,7 @@ object SparkEntry {
           when(gzB, lit("\r\nContent-Encoding: gzip"))
             .when(zsB, lit("\r\nContent-Encoding: zstd"))
             .when(brB, lit("\r\nContent-Encoding: br"))
+            .when(cpB, lit("\r\nContent-Encoding: compress"))
             .otherwise(lit("")),
           when(chB || badB, lit("\r\nTransfer-Encoding: chunked"))
             .otherwise(lit("")),
@@ -3358,6 +3365,10 @@ object SparkEntry {
       val e3 = e2 && col("doc_id") % 29 =!= 0
       val badChBranch = e3 && col("doc_id") % 31 === 0
       val e4 = e3 && col("doc_id") % 31 =!= 0
+      // br arm (r18): Content-Encoding brotli decodes through the
+      // vendored RFC 7932 decoder — round-trip identity under the
+      // hash, exactly the gzip arm's contract
+      val brBranch = e4 && col("doc_id") % 37 === 0
       val ctype = when(col("doc_id") % 7 === 0, lit("image/png"))
         .when(col("doc_id") % 11 === 0, lit("text/html; charset=klingon"))
         .when(col("doc_id") % 13 === 0, lit("application/xhtml+xml; charset=GBK"))
@@ -3365,6 +3376,7 @@ object SparkEntry {
         .when(col("doc_id") % 23 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 29 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 31 === 0, lit("text/html; charset=UTF-8"))
+        .when(col("doc_id") % 37 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 0, lit("text/html; charset=UTF-8"))
         .when(col("doc_id") % 3 === 1, lit("text/plain"))
         .otherwise(lit("text/html; charset=shift_jis"))
@@ -3383,6 +3395,8 @@ object SparkEntry {
         .when(chgzBranch, chunkFrame(gzText, "X-Trailer: 1\r\n"))
         .when(badChBranch, concat(lit("ZZ\r\n").cast(BinaryType),
           col("text").cast(BinaryType)))
+        .when(brBranch,
+          graft.functions.HttpBody.brotliBytes(col("text").cast(BinaryType)))
         .otherwise(bodyText.cast(BinaryType))
       val status = when(col("doc_id") % 5 === 0, lit("404 Not Found"))
         .otherwise(lit("200 OK"))
@@ -3391,6 +3405,7 @@ object SparkEntry {
           lit("HTTP/1.1 "), status,
           lit("\r\nContent-Type: "), ctype,
           when(gzBranch || chgzBranch, lit("\r\nContent-Encoding: gzip"))
+            .when(brBranch, lit("\r\nContent-Encoding: br"))
             .otherwise(lit("")),
           when(chBranch || chgzBranch || badChBranch,
             lit("\r\nTransfer-Encoding: chunked")).otherwise(lit("")),
@@ -4424,16 +4439,17 @@ object SparkEntry {
         |select doc_id, n_words, mean_word_len from k
         |order by doc_id""".stripMargin,
 
-    // crawl-health twin (r14; bodyless arm r15; zstd + unsupported-
-    // coding arms r17): every counter re-derived from the fixture's
-    // branch arithmetic + the sink's md5-prefix shard rule
-    // (TarShards.shardOf). eligible = 2xx non-png; decoded = eligible
-    // minus the corrupt-chunked, bodyless and refused-coding (br)
-    // arms; zstd rows inflate to pages; charset provenance splits the
-    // text/plain rows by the meta-injection parity (the r17 coding
-    // arms declare UTF-8, so they leave the plain split); the unknown
-    // charset (klingon) rows are the charset-nulls, everything else
-    // decoded becomes a page
+    // crawl-health twin (r14; bodyless arm r15; coding arms r17;
+    // br decode + compress refusal r18): every counter re-derived
+    // from the fixture's branch arithmetic + the sink's md5-prefix
+    // shard rule (TarShards.shardOf). eligible = 2xx non-png;
+    // decoded = eligible minus the corrupt-chunked, bodyless and
+    // refused-coding (compress) arms; zstd AND br rows inflate to
+    // pages (br via the vendored RFC 7932 decoder); charset
+    // provenance splits the text/plain rows by the meta-injection
+    // parity (the coding arms declare UTF-8, so they leave the plain
+    // split); the unknown charset (klingon) rows are the
+    // charset-nulls, everything else decoded becomes a page
     "q127_crawl_health" ->
       """with d as (select doc_id,
         |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 8 as shard,
@@ -4450,14 +4466,18 @@ object SparkEntry {
         |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 <> 0
         |      and doc_id % 29 <> 0 and doc_id % 37 <> 0 and doc_id % 41 = 0) as brb,
         |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 <> 0
-        |      and doc_id % 37 <> 0 and doc_id % 41 <> 0 and doc_id % 3 = 1) as plain1,
+        |      and doc_id % 29 <> 0 and doc_id % 37 <> 0 and doc_id % 41 <> 0
+        |      and doc_id % 43 = 0) as cpb,
+        |    (e0 and doc_id % 19 <> 0 and doc_id % 23 <> 0 and doc_id % 31 <> 0
+        |      and doc_id % 37 <> 0 and doc_id % 41 <> 0 and doc_id % 43 <> 0
+        |      and doc_id % 3 = 1) as plain1,
         |    (doc_id % 5 <> 0 and doc_id % 5 <> 1) as ok2,
         |    (doc_id % 5 = 0) as s4, (doc_id % 5 = 1) as s5,
         |    (doc_id % 7 = 0) as png, (doc_id % 11 = 0) as kling
         |  from d),
-        |g as (select shard, doc_id, gzb, chb, badb, nbb, zsb, brb, kling, plain1, ok2, s4, s5,
+        |g as (select shard, doc_id, gzb, chb, badb, nbb, zsb, brb, cpb, kling, plain1, ok2, s4, s5,
         |    (ok2 and not png) as elig,
-        |    (ok2 and not png and not badb and not nbb and not brb) as dec
+        |    (ok2 and not png and not badb and not nbb and not cpb) as dec
         |  from f)
         |select shard,
         |  cast(count(*) as bigint) as n_records,
@@ -4473,10 +4493,11 @@ object SparkEntry {
         |  cast(sum(case when elig and gzb then 1 else 0 end) as bigint) as n_enc_gzip,
         |  cast(0 as bigint) as n_enc_deflate,
         |  cast(sum(case when elig and zsb then 1 else 0 end) as bigint) as n_enc_zstd,
-        |  cast(sum(case when elig and brb then 1 else 0 end) as bigint) as n_unsupported_encoding,
+        |  cast(sum(case when elig and brb then 1 else 0 end) as bigint) as n_enc_br,
+        |  cast(sum(case when elig and cpb then 1 else 0 end) as bigint) as n_unsupported_encoding,
         |  cast(sum(case when elig and (chb or badb) then 1 else 0 end) as bigint) as n_chunked,
         |  cast(sum(case when elig and nbb then 1 else 0 end) as bigint) as n_no_body,
-        |  cast(sum(case when elig and (badb or brb) then 1 else 0 end) as bigint) as n_decode_null,
+        |  cast(sum(case when elig and (badb or cpb) then 1 else 0 end) as bigint) as n_decode_null,
         |  cast(sum(case when dec and not plain1 then 1 else 0 end) as bigint) as n_cs_declared,
         |  cast(sum(case when dec and plain1 and doc_id % 2 = 1 then 1 else 0 end) as bigint) as n_cs_sniffed,
         |  cast(sum(case when dec and plain1 and doc_id % 2 = 0 then 1 else 0 end) as bigint) as n_cs_defaulted,
@@ -6727,6 +6748,7 @@ object SparkEntry {
         |       when doc_id % 23 = 0 then 'text/html; charset=UTF-8'
         |       when doc_id % 29 = 0 then 'text/html; charset=UTF-8'
         |       when doc_id % 31 = 0 then 'text/html; charset=UTF-8'
+        |       when doc_id % 37 = 0 then 'text/html; charset=UTF-8'
         |       when doc_id % 3 = 0 then 'text/html; charset=UTF-8'
         |       when doc_id % 3 = 1 then 'text/plain'
         |       else 'text/html; charset=shift_jis' end as http_content_type,
@@ -6736,6 +6758,7 @@ object SparkEntry {
         |       when doc_id % 23 = 0 then text
         |       when doc_id % 29 = 0 then text
         |       when doc_id % 31 = 0 then null
+        |       when doc_id % 37 = 0 then text
         |       when doc_id % 3 = 1 then '<meta charset="windows-1250">' || text
         |       else text end as html
         |from documents

@@ -21,14 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    same label — browsers sniff exactly this way);
   *  - `zstd` (r17, RFC 8878) → zstd-jni inflate (the library Spark
   *    already ships for shuffle/parquet codecs — no new dependency);
-  *  - anything else (`br`, `compress`, chunked leftovers) or
-  *    CORRUPT bytes → NULL, loudly — one broken page must not kill a
-  *    100 TB scan, and silently passing compressed bytes downstream
-  *    is the mojibake failure the charset layer just closed. `br`
-  *    stays a refusal: decoding brotli needs a vendored pure-JVM
-  *    decoder this build can't fetch — the loss is COUNTED instead
+  *  - `br` (r18, RFC 7932) → the vendored pure-JVM [[Brotli]]
+  *    decoder (conformance-gated against the reference encoder;
+  *    closes the r17 counted-refusal — `br` is a meaningful slice of
+  *    real crawl responses);
+  *  - anything else (`compress`, chunked leftovers) or CORRUPT
+  *    bytes → NULL, loudly — one broken page must not kill a 100 TB
+  *    scan, and silently passing compressed bytes downstream is the
+  *    mojibake failure the charset layer closed; the loss is COUNTED
   *    ([[graft.operators.Corpus.crawlHealth]]'s
-  *    `n_unsupported_encoding`, r17), never silent.
+  *    `n_unsupported_encoding`), never silent.
   *
   * Output is capped at [[HttpBodyRuntime.MaxDecodedBytes]] — a
   * gzip bomb in a crawl must not OOM an executor; over-cap bodies
@@ -83,6 +85,11 @@ object HttpBodyRuntime {
         try inflateStream(new com.github.luben.zstd.ZstdInputStream(
           new java.io.ByteArrayInputStream(body)))
         catch { case _: java.io.IOException | _: RuntimeException => null }
+      case "br" =>
+        // RFC 7932 via the vendored pure-JVM decoder (r18 — the r17
+        // counted-refusal is now a decode; see graft.functions.Brotli)
+        try Brotli.decompress(body, MaxDecodedBytes)
+        catch { case _: java.util.zip.DataFormatException => null }
       case _ => null
     }
   }
@@ -182,6 +189,14 @@ object HttpBodyRuntime {
   def zstd(data: Array[Byte]): Array[Byte] = {
     if (data == null) return null
     com.github.luben.zstd.Zstd.compress(data, 3)
+  }
+
+  /** Forward brotli (fixtures/sinks; r18): STORE-mode RFC 7932
+    * framing — byte-deterministic with no library variance at all
+    * (pure function of the input; see [[Brotli.compressStored]]). */
+  def brotli(data: Array[Byte]): Array[Byte] = {
+    if (data == null) return null
+    Brotli.compressStored(data)
   }
 }
 
@@ -290,6 +305,23 @@ case class ZstdBytes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class BrotliBytes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"brotli_bytes expects binary, got $t")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "brotli_bytes"
+  override protected def nullSafeEval(data: Any): Any =
+    HttpBodyRuntime.brotli(data.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d =>
+      s"${ev.value} = graft.functions.HttpBodyRuntime.brotli($d);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class GzipBytes(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -327,4 +359,7 @@ object HttpBody {
   /** Zstd-compress `data` as one frame (fixtures/sinks; r17). */
   def zstdBytes(data: Column): Column =
     ColumnBridge.column(ZstdBytes(ColumnBridge.expression(data)))
+  /** Brotli-wrap `data` (STORE-mode RFC 7932; fixtures/sinks, r18). */
+  def brotliBytes(data: Column): Column =
+    ColumnBridge.column(BrotliBytes(ColumnBridge.expression(data)))
 }

@@ -1439,8 +1439,11 @@ object Corpus {
       n(eligible && enc.isin("gzip", "x-gzip")).as("n_enc_gzip"),
       n(eligible && enc === "deflate").as("n_enc_deflate"),
       n(eligible && enc === "zstd").as("n_enc_zstd"),
+      // br decodes since r18 (the vendored RFC 7932 decoder) — it
+      // moved out of the unsupported set into its own counter
+      n(eligible && enc === "br").as("n_enc_br"),
       n(eligible && enc.isNotNull &&
-          !enc.isin("gzip", "x-gzip", "deflate", "zstd", "identity"))
+          !enc.isin("gzip", "x-gzip", "deflate", "zstd", "br", "identity"))
         .as("n_unsupported_encoding"),
       n(eligible && te.contains("chunked")).as("n_chunked"),
       // absent vs corrupt (r15, the r14 verdict's "wrong #1"): a

@@ -684,17 +684,26 @@ class CorpusSpec extends SparkSpec {
       row(1L, "<p>hello</p>".getBytes("UTF-8"), null),
       row(2L, Array.emptyByteArray, null),
       row(3L, null, null),
-      row(4L, "not gzip at all".getBytes("UTF-8"), "gzip")
+      row(4L, "not gzip at all".getBytes("UTF-8"), "gzip"),
+      // r18: br decodes (vendored RFC 7932) — its own counter, a page
+      row(5L, graft.functions.Brotli.compressStored(
+        "<p>brotli page</p>".getBytes("UTF-8")), "br"),
+      // corrupt br = decode failure, counted like the corrupt gzip
+      row(6L, Array[Byte](0x6b, -1, -1), "br"),
+      // compress keeps the refusal path exercised
+      row(7L, "raw".getBytes("UTF-8"), "compress")
     ).toDF("id", "shard", "warc_type", "http_status", "http_content_type",
       "http_content_encoding", "http_transfer_encoding", "body")
     val h = Corpus.crawlHealthOf(df).collect()(0)
     def n(c: String) = h.getLong(h.fieldIndex(c))
-    assert(n("n_records") === 4L)
-    assert(n("n_eligible") === 4L)
+    assert(n("n_records") === 7L)
+    assert(n("n_eligible") === 7L)
     assert(n("n_no_body") === 2L)      // empty + null bodies
-    assert(n("n_decode_null") === 1L)  // only the corrupt gzip
-    assert(n("n_pages") === 1L)        // only the real page
-    assert(n("n_cs_declared") === 1L)  // provenance rides decoded rows only
+    assert(n("n_enc_br") === 2L)       // both br-declared rows
+    assert(n("n_unsupported_encoding") === 1L) // compress only — br decodes now
+    assert(n("n_decode_null") === 3L)  // corrupt gzip + corrupt br + compress
+    assert(n("n_pages") === 2L)        // the real page + the br page
+    assert(n("n_cs_declared") === 2L)  // provenance rides decoded rows only
   }
 
   test("removeBoilerplate: domain-frequent lines drop everywhere, small domains exempt, empties kept") {
