@@ -252,18 +252,18 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       if (famDone > 0) {
         val projected = elapsed / famDone * (families.size - famDone)
-        if (!skipRemeasure && elapsed + projected + projectedRemeasure > budgetSec) {
-          skipRemeasure = true
+        val (skip2, deg2) = governorStep(elapsed, projected,
+          projectedRemeasure, budgetSec, skipRemeasure, degrade)
+        if (skip2 && !skipRemeasure)
           System.err.println(f"[bench] wall budget: ${elapsed}%.0f s elapsed + " +
             f"${projected}%.0f s main + ${projectedRemeasure}%.0f s re-measure " +
             f"> ${budgetSec}%.0f s — dropping the quiet re-measure phase first")
-        }
-        if (!degrade && elapsed + projected > budgetSec) {
-          degrade = true
+        if (deg2 && !degrade)
           System.err.println(f"[bench] wall budget: ${elapsed}%.0f s elapsed + " +
             f"${projected}%.0f s projected > ${budgetSec}%.0f s — " +
             "remaining families degrade to 1 timed run")
-        }
+        skipRemeasure = skip2
+        degrade = deg2
       }
       val extra = if (degrade) Map("SPARK_GRAFT_BENCH_RUNS" -> "1") else Map.empty[String, String]
       val parsed = runChild(fam, extra).orElse {
@@ -357,6 +357,24 @@ object Bench {
     emit(results.toSeq, out, startNanos = t0, quiet = false,
       remeasured = remeasured, degraded = degraded.toSeq,
       remeasureSkipped = skipNow && toRemeasure0.nonEmpty)
+  }
+
+  /** Pure budget-governor decision (r18, the r17 verdict's #2 —
+    * unit-tested so the ORDERING is a contract, not an accident):
+    * degradations trigger in order, adjudication before measurement.
+    * The re-measure phase drops once the whole run (main pass + its
+    * own cost) projects past budget; families degrade to 1 timed run
+    * only once the MAIN PASS ALONE projects past budget. Both latch
+    * (never un-trigger), and degrade being active implies the
+    * re-measure phase is already dropped (the main pass overrunning
+    * is a superset condition). */
+  private[graft] def governorStep(elapsed: Double, projectedMain: Double,
+      projectedRemeasure: Double, budgetSec: Double,
+      skipRemeasure: Boolean, degrade: Boolean): (Boolean, Boolean) = {
+    val skip = skipRemeasure ||
+      elapsed + projectedMain + projectedRemeasure > budgetSec
+    val deg = degrade || elapsed + projectedMain > budgetSec
+    (skip || deg, deg) // degrade implies adjudication already dropped
   }
 
   /** Extract the per-query stats from a child's full-record JSON via

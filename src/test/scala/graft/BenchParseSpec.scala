@@ -87,6 +87,27 @@ class BenchParseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](StrictJson.parse("""{"a":01x}"""))
   }
 
+  test("budget governor order (r18): adjudication drops before measurement degrades; both latch") {
+    def step(elapsed: Double, main: Double, rem: Double, budget: Double,
+        s: Boolean = false, d: Boolean = false) =
+      Bench.governorStep(elapsed, main, rem, budget, s, d)
+    // comfortably under budget: nothing triggers
+    assert(step(600, 600, 300, 3600) === ((false, false)))
+    // the re-measure phase tips the projection: skip it, keep runs=3
+    assert(step(1500, 1500, 700, 3600) === ((true, false)))
+    // the main pass alone overruns: both (degrade implies skip)
+    assert(step(2000, 1700, 0, 3600) === ((true, true)))
+    // never a degrade without the skip, for ANY inputs
+    for (e <- Seq(0.0, 1000.0, 4000.0); m <- Seq(0.0, 2000.0); r <- Seq(0.0, 500.0)) {
+      val (skip, deg) = step(e, m, r, 3600)
+      assert(!deg || skip, s"degrade without skip at ($e, $m, $r)")
+    }
+    // both states latch: once true, they stay true under calm inputs
+    assert(step(10, 10, 10, 3600, s = true) === ((true, false)))
+    assert(step(10, 10, 10, 3600, s = true, d = true) === ((true, true)))
+    assert(step(10, 10, 10, 3600, d = true) === ((true, true)))
+  }
+
   test("\\u escapes require 4 literal hex digits — signed forms refuse (r18)") {
     assert(StrictJson.parse("\"\\u0041\"") === StrictJson.JStr("A"))
     // Integer.parseInt would accept these silently
