@@ -71,6 +71,26 @@ class BrotliSpec extends AnyFunSuite {
       Brotli.decompress(big, maxOut = 1024))
   }
 
+  test("bit-flip fuzz: every mutant either decodes or throws DataFormatException — nothing else escapes") {
+    // a component that reads 100 TB of untrusted crawl bytes must
+    // fail only through its contract (HttpBody maps that to a
+    // counted null); an AIOOBE/NegativeArraySize/hang would kill the
+    // task instead. Deterministic seed; 4000 mutants run in <1 s
+    // (a 20k-mutant exploratory run was also clean).
+    val seeds = Seq("dictwords.q11.br", "prose.q5.br", "html.q11.br",
+      "repeat.q2.br", "multi.q9.br", "one.q0.br").map(res)
+    val rnd = new java.util.Random(20260817L)
+    for (_ <- 1 to 4000) {
+      val b = seeds(rnd.nextInt(seeds.length)).clone()
+      for (_ <- 1 to 1 + rnd.nextInt(8)) {
+        val i = rnd.nextInt(b.length)
+        b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try { Brotli.decompress(b, maxOut = 4 << 20); () }
+      catch { case _: java.util.zip.DataFormatException => () }
+    }
+  }
+
   test("compressStored emits valid RFC 7932 streams (foreign-validated; round-trips here)") {
     // libbrotlidec accepted these framings byte-exactly during
     // development (empty / 1 byte / text / 70 KB multi-nibble); the
