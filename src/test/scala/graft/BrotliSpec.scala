@@ -71,6 +71,26 @@ class BrotliSpec extends AnyFunSuite {
       Brotli.decompress(big, maxOut = 1024))
   }
 
+  test("metadata meta-blocks are skipped (hand-crafted, foreign-validated stream)") {
+    // the reference encoder never emits a metadata block, so the
+    // conformance corpus can't cover this path; this stream was
+    // crafted by hand (wbits16 | metadata block skipping 46 junk
+    // bytes | uncompressed payload block | empty last block) and
+    // libbrotlidec decodes it to the same payload
+    val hex = "ac13deadbeef206a756e6b20746865206465636f646572206d75737420736b6970" +
+      "20656e746972656c796001086d6574616461746120626c6f636b732061726520736b69" +
+      "707065642c207061796c6f616420737572766976657303"
+    val br = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(new String(Brotli.decompress(br), "UTF-8") ===
+      "metadata blocks are skipped, payload survives")
+    // reserved metadata bit set -> refuse
+    val reserved = br.clone(); reserved(0) = (reserved(0) | 0x10).toByte
+    intercept[java.util.zip.DataFormatException](Brotli.decompress(reserved))
+    // metadata block marked ISLAST -> refuse
+    val asLast = br.clone(); asLast(0) = (asLast(0) | 0x02).toByte
+    intercept[java.util.zip.DataFormatException](Brotli.decompress(asLast))
+  }
+
   test("bit-flip fuzz: every mutant either decodes or throws DataFormatException — nothing else escapes") {
     // a component that reads 100 TB of untrusted crawl bytes must
     // fail only through its contract (HttpBody maps that to a
