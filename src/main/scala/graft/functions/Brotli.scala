@@ -422,10 +422,11 @@ object Brotli {
       if (len + n > maxOut) throw new DataFormatException(
         s"brotli: output exceeds cap $maxOut")
       if (len + n > buf.length) {
-        var cap = buf.length
+        // grow in long space (doubling past 2^30 would wrap Int);
+        // min(cap, maxOut) >= len + n because the cap check passed
+        var cap = buf.length.toLong
         while (cap < len + n) cap <<= 1
-        buf = java.util.Arrays.copyOf(buf, math.min(cap.toLong, maxOut.toLong).toInt
-          max (len + n))
+        buf = java.util.Arrays.copyOf(buf, math.min(cap, maxOut.toLong).toInt)
       }
     }
     def put(b: Byte): Unit = { ensure(1); buf(len) = b; len += 1 }
