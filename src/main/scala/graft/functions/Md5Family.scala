@@ -45,9 +45,27 @@ object Md5Family {
   }
 
   /** Row-level md5 prefix of a string column (the DuckDB twin is
-    * `('0x' || substr(md5(c), 1, 15))::bigint`). */
-  def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    * `('0x' || substr(md5(c), 1, 15))::bigint`). Native expression
+    * (r18): value-identical to the composed
+    * `conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)` it
+    * replaces — that chain rendered 32 hex chars, substring'd them,
+    * had `conv` RENDER the decimal as another string and `cast`
+    * reparse it, per value; [[Md5PrefixLong]] assembles the digest
+    * bytes directly. The md5Prefix60-parity test pins equality. */
+  def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Md5PrefixLong(ColumnBridge.expression(c), 15))
+  }
+
+  /** First 8 md5 hex chars as a Long — the `bucket` derivation of
+    * [[graft.operators.QualityClassifier]] / [[graft.operators.LangId]]
+    * (DuckDB twin `('0x' || substr(md5(c), 1, 8))::bigint`), native
+    * for the same reason as [[md5Hash60]]. Always non-negative
+    * (32 bits), so `%` and `pmod` agree downstream. */
+  def md5Hash32(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Md5PrefixLong(ColumnBridge.expression(c), 8))
+  }
 
   /** [[md5Hash60]] reduced into the affine family's domain [0, P). */
   def md5HashP(c: Column): Column = md5Hash60(c) % P

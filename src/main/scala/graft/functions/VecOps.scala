@@ -62,6 +62,110 @@ object VecRuntime {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** First `nibbles` md5 hex chars of a byte slice as a Long —
+    * bit-identical to `conv(substring(md5(c), 1, nibbles), 16, 10)
+    * .cast(LongType)` without the hex render → substring → string
+    * conv → decimal reparse round trip that chain pays per value
+    * (md5 emits a 32-char hex UTF8String, conv RENDERS the decimal
+    * as another string, cast parses it back). Full bytes first, then
+    * the odd trailing nibble is the byte's HIGH half (hex renders
+    * MSB-first). */
+  def md5PrefixBytes(bytes: Array[Byte], off: Int, len: Int, nibbles: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    val full = nibbles / 2
+    var x = 0L
+    var j = 0
+    while (j < full) { x = (x << 8) | (d(j) & 0xffL); j += 1 }
+    if ((nibbles & 1) == 1) x = (x << 4) | ((d(full) & 0xffL) >> 4)
+    x
+  }
+
+  /** [[md5PrefixBytes]] over a whole UTF8String (the
+    * [[graft.functions.Md5PrefixLong]] expression's runtime). */
+  def md5Prefix(s: org.apache.spark.unsafe.types.UTF8String, nibbles: Int): Long = {
+    val b = s.getBytes
+    md5PrefixBytes(b, 0, b.length, nibbles)
+  }
+
+  /** Char-n-gram hash buckets of a (pre-normalized) string in ONE
+    * pass — bit-identical to the composed
+    * `explode(flatten(array(ns.map(k => charNgramsFromNormalized(n, k)))))`
+    * → `bucketOf(gram, dim, family)` pipeline of
+    * [[graft.operators.LangId.features]], minus three per-gram costs
+    * that pipeline pays: (a) the `transform(sequence(…), i =>
+    * n.substr(i, k))` HOF is CodegenFallback — interpreted lambda
+    * dispatch per position — and each `substr(i, k)` re-scans the
+    * UTF-8 bytes from the string's head to find char i, O(len²) per
+    * document per order; (b) each gram materializes as its own
+    * UTF8String; (c) the md5 family's bucket then pays the
+    * hex/substring/conv/cast string round trip ([[md5PrefixBytes]]).
+    * Here the code-point start offsets are computed once (one linear
+    * walk — grams are CHAR n-grams, so multibyte scripts slice on
+    * char boundaries exactly like `substr`), and each gram hashes
+    * straight off the shared byte array.
+    *
+    * Bucket values per family (the [[graft.operators.LangId.bucketOf]]
+    * contract, asserted gram-for-gram by LangIdSpec's parity test):
+    *   md5   → `conv(substring(md5(g),1,8),16,10)::long % dim`
+    *           (first 4 digest bytes as an unsigned 32-bit int —
+    *           non-negative, so `%` and `pmod` agree)
+    *   xxh64 → `pmod(xxhash64(g), dim)` (seed 42 over the gram's
+    *           UTF-8 bytes; hash may be negative, so pmod wraps)
+    * Gram order is the flatten order (all order-ns(0) grams by
+    * position, then ns(1), …) — downstream is a count aggregation,
+    * but keeping the order makes the parity spec exact. Empty input
+    * (or every order longer than the text) → empty array, matching
+    * the composed form's empty flatten. */
+  def gramBuckets(s: org.apache.spark.unsafe.types.UTF8String, ns: Array[Int],
+      dim: Long, isMd5: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val nChars = s.numChars()
+    // code-point start offsets; starts(nChars) = end sentinel
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    var i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = nb
+    var total = 0
+    var t = 0
+    while (t < ns.length) {
+      val g = nChars - ns(t) + 1
+      if (g > 0) total += g
+      t += 1
+    }
+    val out = new Array[Long](total)
+    var w = 0
+    t = 0
+    while (t < ns.length) {
+      val k = ns(t)
+      val last = nChars - k
+      var p = 0
+      while (p <= last) {
+        val off = starts(p)
+        val len = starts(p + k) - off
+        out(w) =
+          if (isMd5) md5PrefixBytes(bytes, off, len, 8) % dim
+          else {
+            val h = XXH64.hashUTF8String(
+              org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, off, len), 42L)
+            val r = h % dim
+            if (r < 0) r + dim else r
+          }
+        w += 1
+        p += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct md5-60 shingle-hash set in one pass — bit-identical to
     * the composed `array_distinct(transform(sh, md5Hash60))` it
     * replaces in [[graft.operators.Dedup.containmentPairs]]'s md5
@@ -328,6 +432,77 @@ case class Md5ShingleSet(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.VecRuntime.md5Set60($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The [[VecRuntime.md5Prefix]] kernel as an expression: first
+  * `nibbles` md5 hex chars of a string as a Long — the native form of
+  * `conv(substring(md5(c), 1, nibbles), 16, 10).cast(LongType)`
+  * ([[Md5Family.md5Hash60]] / [[Md5Family.md5Hash32]] route here).
+  * Value-identical (the DedupSimilaritySpec parity test pins it), so
+  * every DuckDB oracle twin keeps re-deriving the same number; null
+  * in → null out (md5(NULL) is NULL through the composed chain). */
+case class Md5PrefixLong(child: Expression, nibbles: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  require(nibbles >= 1 && nibbles <= 15, s"nibbles must be 1..15, got $nibbles")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix_long expects string, got $dt")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix_long"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecRuntime.md5Prefix(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecRuntime.md5Prefix($a, $nibbles);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The [[VecRuntime.gramBuckets]] kernel as an expression — the
+  * one-pass char-n-gram → hash-bucket pipeline of
+  * [[graft.operators.LangId.features]] (semantics contract on the
+  * runtime method). `ns` rides as a reference object. */
+case class GramBuckets(child: Expression, ns: Seq[Int], dim: Long, family: String)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram orders $ns")
+  require(dim > 0, s"dim must be positive, got $dim")
+  require(family == "md5" || family == "xxh64",
+    s"gram_buckets hash family '$family' (md5|xxh64)")
+
+  private def isMd5 = family == "md5"
+  private lazy val nsArr: Array[Int] = ns.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"gram_buckets expects string, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_buckets"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecRuntime.gramBuckets(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], nsArr, dim, isMd5)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("gramBucketNs", nsArr, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecRuntime.gramBuckets($a, $nsRef, ${dim}L, $isMd5);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1123,8 +1123,8 @@ object Corpus {
   def dsirResample(weights: DataFrame, idCol: String, k: Int,
       seed: Long = 0L): DataFrame = {
     require(k >= 1)
-    val u = (conv(substring(md5(concat(lit(seed.toString), lit(":"),
-        col(idCol).cast(org.apache.spark.sql.types.StringType))), 1, 8), 16, 10)
+    val u = (graft.functions.Md5Family.md5Hash32(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast(org.apache.spark.sql.types.StringType)))
       .cast(DoubleType) + 0.5) / 4294967296.0
     weights.withColumn("gumbel_key", col("log_weight") - log(-log(u)))
       .orderBy(col("gumbel_key").desc, col(idCol).asc)

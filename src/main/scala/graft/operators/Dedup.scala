@@ -1191,8 +1191,8 @@ object Dedup {
     * m — independent-ish hashes by salt, engine-portable. */
   def bloomPositions(key: Column, mBits: Long, k: Int): Column =
     array((0 until k).map(i =>
-      pmod(conv(substring(md5(concat(lit(s"$i:"), key.cast(StringType))), 1, 15), 16, 10)
-        .cast(LongType), lit(mBits))): _*)
+      pmod(graft.functions.Md5Family.md5Hash60(
+        concat(lit(s"$i:"), key.cast(StringType))), lit(mBits))): _*)
 
   /** Build the filter: `(word, bits)` — word = pos/32, bits = OR of
     * `1 << (pos%32)` (combinable `bit_or`); only touched words emit

@@ -64,9 +64,11 @@ object LangId {
     trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** Hash bucket of a char-n-gram column (md5-prefix, portable —
-    * the ORACLE family: both engines compute it identically). */
+    * the ORACLE family: both engines compute it identically; the
+    * DuckDB twin stays `('0x' || substr(md5(g),1,8))::bigint % dim`,
+    * the Spark side rides the native digest-prefix expression). */
   def bucket(gram: Column, dim: Int): Column =
-    conv(substring(md5(gram), 1, 8), 16, 10).cast(LongType) % dim
+    graft.functions.Md5Family.md5Hash32(gram) % dim
 
   /** Family-dispatched bucket (r13): `xxh64` is the PRODUCTION
     * default — one 64-bit hash per gram instead of a full md5
@@ -88,17 +90,26 @@ object LangId {
     * single-spaces them by construction). */
   val DefaultNs: Seq[Int] = Seq(1, 2, 3)
 
-  /** Hashed char-n-gram features `(id, bucket, cnt)`. Staged
-    * normalize → gram → bucket across projections (the
-    * [[Dedup.shinglesFromTokens]] HOF contract: the lambda sees an
-    * attribute reference, never the normalization tree). */
+  /** Hashed char-n-gram features `(id, bucket, cnt)` via the ONE-PASS
+    * native kernel [[graft.functions.GramBuckets]] (r18): the
+    * previous composed pipeline — explode(flatten(array(ns.map(k =>
+    * charNgramsFromNormalized(_n, k))))) then [[bucketOf]] per
+    * exploded gram — paid an interpreted `transform` lambda dispatch
+    * per position, an O(len²) substr re-scan per document per order,
+    * one UTF8String per gram, and (md5 family) the
+    * hex/substring/conv/cast round trip per gram. The kernel walks
+    * the code-point offsets once and hashes each gram straight off
+    * the shared byte array — bucket-for-bucket identical for BOTH
+    * families (LangIdSpec's gram-parity test pins it against the
+    * composed form), so trained models, q123/q128 hashes and every
+    * persisted-model marker stay byte-identical. */
   def features(df: DataFrame, idCol: String, textCol: String, dim: Int,
       ns: Seq[Int] = DefaultNs, family: String = "xxh64"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram orders $ns")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     df.select(col(idCol).as("id"), langNormalized(col(textCol)).as("_n"))
-      .select(col("id"), explode(flatten(array(
-        ns.map(k => Text.charNgramsFromNormalized(col("_n"), k)): _*))).as("_g"))
-      .select(col("id"), bucketOf(col("_g"), dim, family).as("bucket"))
+      .select(col("id"), explode(ColumnBridge.column(graft.functions.GramBuckets(
+        ColumnBridge.expression(col("_n")), ns, dim.toLong, family))).as("bucket"))
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 

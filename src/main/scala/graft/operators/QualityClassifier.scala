@@ -40,9 +40,11 @@ import org.apache.spark.sql.types._
 object QualityClassifier {
 
   /** Hash bucket of a token column: md5-prefix integer mod `dim`
-    * (engine-portable by construction — see object scaladoc). */
+    * (engine-portable by construction — see object scaladoc; the
+    * Spark side rides the native digest-prefix expression, the twin
+    * stays `('0x' || substr(md5(t),1,8))::bigint % dim`). */
   def bucket(tok: Column, dim: Int): Column =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType) % dim
+    graft.functions.Md5Family.md5Hash32(tok) % dim
 
   /** Hashed bag-of-words features `(id, bucket, cnt)`. */
   def features(df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =

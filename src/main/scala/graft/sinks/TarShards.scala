@@ -59,7 +59,7 @@ object TarShards {
     * md5 identically (xxhash64 is Spark-private — the q23-class
     * rows-only trap), so q102's twin re-derives every assignment. */
   def shardOf(key: org.apache.spark.sql.Column, nShards: Int): org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10).cast(LongType),
+    pmod(graft.functions.Md5Family.md5Hash32(key.cast(StringType)),
       lit(nShards.toLong)).cast(IntegerType)
 
   /** Exact tar size of a member list: Σ(header + padded payload) +

@@ -538,6 +538,17 @@ object DocStream {
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
+    // Lagging-index repair probe only until this INSTANCE has
+    // committed a batch (r18): batch N+1 only runs after batch N's
+    // body committed both writes (a foreachBatch exception kills the
+    // query), so the crash window the probe repairs can only predate
+    // the instance — a restart is a new instance and probes again.
+    // The probe is a full ids-scan of index + corpus plus an
+    // anti-join PER BATCH; this makes it once per stream lifetime.
+    // Assumes the stream owns its dirs mid-flight (the standing
+    // contract — a concurrent manual CompactIndex preserves content
+    // and serializes under the DirLock, so it never unindexes docs).
+    @volatile var committedOnce = false
     in.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -606,7 +617,7 @@ object DocStream {
         // about to append to — pin it first (write-invalidation
         // hazard, see the pinned-decision comment below).
         var nRepair = 0L
-        if (corpusExists && indexExists) {
+        if (corpusExists && indexExists && !committedOnce) {
           val unindexedIds = pin(
             spark.read.parquet(corpusDir).select(col("doc_id"))
               .join(Dedup.minhashIndexFlat(spark, indexDir)
@@ -694,6 +705,7 @@ object DocStream {
             compactEvery, compactTargetFiles, "neardup", "index")
           maybeCompact(spark, corpusDir, batchId,
             corpusCompactEvery, corpusCompactTargetFiles, "neardup", "corpus")
+          committedOnce = true // this instance's state pair is consistent
         } finally {
           // RDD-level: Dataset.unpersist is a no-op for checkpoint
           // pins (graft.Pins scaladoc) — with it, every batch leaked
@@ -761,6 +773,9 @@ object DocStream {
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
+    // repair probe only until this instance commits a batch (r18 —
+    // the curateNearDupStream rationale, verbatim)
+    @volatile var committedOnce = false
     in.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -784,7 +799,7 @@ object DocStream {
         val indexExists = markerExists()
         // lagging-index repair BEFORE the decision (ids only; vectors
         // fetched just for the normally-zero unindexed ids)
-        if (corpusExists && indexExists) {
+        if (corpusExists && indexExists && !committedOnce) {
           val unindexedIds = corpusVecs.select(col("doc_id"))
             .join(Similarity.cosineIndexFlat(spark, indexDir)
               .select(col("id").as("doc_id")).distinct(),
@@ -854,6 +869,7 @@ object DocStream {
             compactEvery, compactTargetFiles, "embdedup", "index")
           maybeCompact(spark, corpusDir, batchId,
             corpusCompactEvery, corpusCompactTargetFiles, "embdedup", "corpus")
+          committedOnce = true // this instance's state pair is consistent
         } finally graft.Pins.release(pinned)
         ()
       }
@@ -966,6 +982,9 @@ object DocStream {
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
+    // repair probe only until this instance commits a batch (r18 —
+    // the curateNearDupStream rationale, verbatim)
+    @volatile var committedOnce = false
     in.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -1001,7 +1020,7 @@ object DocStream {
           val indexExists = markerExists()
           // lagging-index repair BEFORE the decision (ids only; the
           // signature column rides in the corpus, no re-decode)
-          if (corpusExists && indexExists) {
+          if (corpusExists && indexExists && !committedOnce) {
             val unindexed = spark.read.parquet(corpusDir)
               .select(col("doc_id").as("id"), col("sh"))
               .join(Dedup.hammingIndexFlat(spark, indexDir)
@@ -1066,6 +1085,7 @@ object DocStream {
               compactEvery, compactTargetFiles, "mediadedup", "index")
             maybeCompact(spark, corpusDir, batchId,
               corpusCompactEvery, corpusCompactTargetFiles, "mediadedup", "corpus")
+            committedOnce = true // this instance's state pair is consistent
           } finally graft.Pins.release(pinned)
         } finally graft.Pins.release(hashed)
         ()
@@ -1130,6 +1150,9 @@ object DocStream {
     val trigger = pollInterval
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
+    // repair probe only until this instance commits a batch (r18 —
+    // the curateNearDupStream rationale, verbatim)
+    @volatile var committedOnce = false
     in.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -1165,7 +1188,7 @@ object DocStream {
           val indexExists = markerExists()
           // lagging-index repair BEFORE the decision (signature rows
           // ride the corpus, no re-decode)
-          if (corpusExists && indexExists) {
+          if (corpusExists && indexExists && !committedOnce) {
             val unindexed = corpusSigRows
               .join(Dedup.hammingIndexFlat(spark, indexDir)
                 .select(col("id")).distinct(), Seq("id"), "left_anti")
@@ -1231,6 +1254,7 @@ object DocStream {
             maybeCompact(spark, corpusDir, batchId,
               corpusCompactEvery, corpusCompactTargetFiles,
               s"mediadedup:$kind", "corpus")
+            committedOnce = true // this instance's state pair is consistent
           } finally graft.Pins.release(pinned)
         } finally graft.Pins.release(sigs)
         ()

@@ -342,6 +342,27 @@ class DedupSimilaritySpec extends SparkSpec {
       .select($"s", Md5Family.md5Hash60($"s").as("h")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     samples.foreach(s => assert(fromSpark(s) === Md5Family.md5Prefix60(s), s))
+    // the native Md5PrefixLong expression (r18) IS the composed
+    // conv(substring(md5…)) chain it replaced, value-for-value — the
+    // contract that keeps every DuckDB twin re-deriving the same
+    // number; fuzz includes multibyte + supplementary-plane chars and
+    // both widths (15 = md5Hash60, 8 = md5Hash32)
+    val fuzz = samples ++ Seq("é", "ß日本𝄞語", "0", " x", "a" * 300,
+      "graft:lsh:v1:t:1:2", "  nbsp", "안녕하세요 세계")
+    val parity = fuzz.toDF("s").select($"s",
+        Md5Family.md5Hash60($"s").as("n60"),
+        conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("c60"),
+        Md5Family.md5Hash32($"s").as("n32"),
+        conv(substring(md5($"s"), 1, 8), 16, 10).cast("long").as("c32"))
+      .collect()
+    parity.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"md5Hash60 mismatch on '${r.getString(0)}'")
+      assert(r.getLong(3) === r.getLong(4), s"md5Hash32 mismatch on '${r.getString(0)}'")
+    }
+    // null in → null out, like the composed chain
+    val nullRow = Seq[Option[String]](None).toDF("s")
+      .select(Md5Family.md5Hash60($"s"), Md5Family.md5Hash32($"s")).head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
     // md5-family minhash finds the planted near-dup and estimates
     // high jaccard for it; unrelated docs stay out
     val docs = Seq(

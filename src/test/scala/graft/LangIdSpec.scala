@@ -194,4 +194,37 @@ class LangIdSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(marker(1L) === "de")
   }
+
+  test("native gram-bucket kernel is gram-for-gram the composed pipeline, both families") {
+    // the r18 GramBuckets kernel replaced explode(flatten(charNgrams))
+    // → bucketOf in LangId.features; this pins bucket-sequence
+    // equality (order included) against the composed form over real
+    // multibyte fixture prose — 55 scripts, so char-boundary slicing
+    // is exercised on every UTF-8 width — plus edge shapes
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = 1 << 15
+    val ns = LangId.DefaultNs
+    val texts = fixtures.map(_._2).take(220) ++
+      Seq("", "a", "ab", "é", "𝄞", "𝄞a𝄞", "  spaced out  ", "ß日本𝄞語")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"), LangId.langNormalized(col("t")).as("_n"))
+    for (family <- Seq("md5", "xxh64")) {
+      val rows = df.select(col("id"),
+          ColumnBridge.column(graft.functions.GramBuckets(
+            ColumnBridge.expression(col("_n")), ns, dim.toLong, family)).as("native"),
+          transform(flatten(array(
+            ns.map(k => Text.charNgramsFromNormalized(col("_n"), k)): _*)),
+            // the PRE-r18 composed chains, spelled out (bucketOf now
+            // routes md5 through the same native kernel — using it
+            // here would make the md5 arm a tautology)
+            g => if (family == "md5")
+              conv(substring(md5(g), 1, 8), 16, 10).cast("long") % dim
+            else pmod(xxhash64(g), lit(dim.toLong))).as("composed"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"$family bucket sequence diverged for id=${r.getLong(0)}")
+      }
+    }
+  }
 }
