@@ -245,6 +245,47 @@ object VecRuntime {
     new GenericArrayData(mins)
   }
 
+  /** 60-bit md5-family SimHash of a token array in one pass —
+    * bit-identical to the relational form it replaces in
+    * [[graft.operators.Dedup.simhashDfMd5]] (explode tokens →
+    * md5Hash60 per token → 60 per-bit ±1 vote sums → sign-pack):
+    * votes are order-independent integer adds, so accumulating them
+    * in a local array per row IS the 60-column HashAggregate, minus
+    * the |tokens|× row explosion and the per-doc groupBy exchange.
+    * Per token h = md5-prefix-60; bit j votes +1 iff (h >> j) & 1
+    * (h is 60-bit non-negative, so arithmetic and logical shifts
+    * agree); sign-pack sig |= 1<<j when the vote sum is positive —
+    * exactly `when(sum > 0, 1<<j).otherwise(0)` OR-reduced. A null
+    * token element votes −1 on every bit (the relational form's
+    * `when(null === 1).otherwise(-1)` arm), which h = 0 reproduces.
+    * The DuckDB twin stays the relational spelling — values equal. */
+  def simhashMd560(arr: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) 0L
+        else {
+          val b = arr.getUTF8String(i).getBytes
+          md5PrefixBytes(b, 0, b.length, 15)
+        }
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
   /** `size(array_intersect(a, b))` for long arrays without
     * materializing the intersection array: distinct-common count,
     * with array_intersect's exact semantics (result is distinct;
@@ -558,6 +599,31 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.VecRuntime.simhash64($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The [[VecRuntime.simhashMd560]] kernel as an expression — the
+  * md5 (oracle-portable) SimHash family's one-pass form. */
+case class SimHashMd560(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash_md5_60 expects array<string>, got $dt")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5_60"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecRuntime.simhashMd560(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecRuntime.simhashMd560($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -860,30 +860,31 @@ object Dedup {
 
   /** The md5 ("portable") SimHash family: 60 bits (15 md5 hex chars
     * — the [[graft.functions.Md5Family]] width cap), token hash =
-    * md5_60(token), per-bit ±1 votes, sign-pack. Computed
-    * RELATIONALLY (explode tokens → 60 combinable vote sums → pack)
-    * rather than through the native [[graft.functions.SimHash64]]
-    * kernel: the kernel's xxhash64 is engine-private, and the vote
-    * sums are integer adds — order-independent, so a DuckDB twin
-    * reproduces the signature exactly. Zero-token docs drop out
-    * (same contract as [[simhashDf]]). Production callers keep the
-    * 64-bit xxh64 kernel; the families are incompatible. */
+    * md5_60(token), per-bit ±1 votes, sign-pack. md5 (not xxhash64)
+    * because both engines compute it identically and the vote sums
+    * are order-independent integer adds, so a DuckDB twin reproduces
+    * the signature exactly from the relational spelling. Zero-token
+    * docs drop out (same contract as [[simhashDf]]). Production
+    * callers keep the 64-bit xxh64 kernel; the families are
+    * incompatible. */
   def simhashDfMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = 60
-    val votes = df
-      .select(col(idCol).as("id"),
-        explode(Text.tokens(Text.normalized(col(textCol)))).as("_t"))
-      .select(col("id"), graft.functions.Md5Family.md5Hash60(col("_t")).as("_h"))
-      .groupBy(col("id"))
-      .agg(
-        sum(when(col("_h").bitwiseAND(1L) === 1L, 1).otherwise(-1)).as("_v0"),
-        (1 until w).map(j =>
-          sum(when(shiftright(col("_h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-            .as(s"_v$j")): _*)
-    votes.select(col("id"),
-      (0 until w).map(j =>
-        when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+    // One native expression per row (r18 — the simhashDf treatment
+    // applied to the md5 family): the previous relational spelling —
+    // explode tokens → md5Hash60 per token → 60 per-bit ±1 sum
+    // columns → sign-pack — was bit-identical but paid a |tokens|×
+    // row explosion, a per-doc groupBy exchange and a 60-aggregate
+    // buffer per group for what is per-row arithmetic (votes are
+    // order-independent integer adds — [[graft.functions.VecRuntime
+    // .simhashMd560]] carries the exact algebra; the parity spec
+    // pins signature equality against the relational form). The
+    // DuckDB twin keeps the relational spelling — values equal.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.select(col(idCol).as("id"),
+        Text.tokens(Text.normalized(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("id"),
+        ColumnBridge.column(graft.functions.SimHashMd560(
+          ColumnBridge.expression(col("_toks")))).as("sh"))
   }
 
   /** Hamming distance between two SimHash values. */
@@ -946,14 +947,31 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     require(width % bands == 0, s"bands must divide the $width-bit width")
     val bits = width / bands
-    val banded = sigs.select(col("id"), col("sh"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
-        .as(Seq("band", "chunk")))
+    // The banded table is staged behind ONE (band, chunk) exchange
+    // that the bucket census and both self-join sides replay via
+    // ReuseExchange (r18 — the nearDuplicates/containmentPairs
+    // sharing pattern applied here: the pre-r18 plan re-evaluated
+    // the whole upstream signature pipeline — scan, normalize,
+    // tokenize/decode, simhash — on FOUR branches, census twice plus
+    // both join sides). Two details keep the branches' subtrees
+    // byte-identical so the reuse actually fires: the explicit
+    // null-rejecting filter is BAKED in (the joins would push
+    // isnotnull(chunk)/isnotnull(sh) into their own branch's subtree
+    // otherwise — outcome-identical, a null signature could never
+    // join anyway), and the census counts col("id"), not lit(1), so
+    // column pruning cannot narrow its branch's scan (the
+    // containmentPairs lesson, verbatim).
+    val banded = sigs
+      .filter(col("sh").isNotNull)
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
+          .as(Seq("band", "chunk")))
+      .repartition(col("band"), col("chunk"))
     // bucket-size guard, shape-identical to the minhash path: keep only
     // buckets that can pair (≥2) and aren't degenerate (≤maxBucket)
     val keepBuckets = banded.groupBy(col("band"), col("chunk"))
-      .agg(count(lit(1)).as("_n"))
+      .agg(count(col("id")).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
       .select(col("band"), col("chunk"))
     val pruned = banded.join(keepBuckets, Seq("band", "chunk"))
@@ -990,12 +1008,19 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     require(width % bands == 0, s"bands must divide the $width-bit width")
     val bits = width / bands
-    val banded = sigs.select(col("id"), col("f"), col("sh"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
-        .as(Seq("band", "chunk")))
+    // staged behind ONE (f, band, chunk) exchange shared by census
+    // and both join sides — the frameless kernel's r18 treatment;
+    // same byte-identical-subtree discipline (baked null filter,
+    // census counts col("id"))
+    val banded = sigs
+      .filter(col("sh").isNotNull && col("f").isNotNull)
+      .select(col("id"), col("f"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
+          .as(Seq("band", "chunk")))
+      .repartition(col("f"), col("band"), col("chunk"))
     val keepBuckets = banded.groupBy(col("f"), col("band"), col("chunk"))
-      .agg(count(lit(1)).as("_n"))
+      .agg(count(col("id")).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
       .select(col("f"), col("band"), col("chunk"))
     val pruned = banded.join(keepBuckets, Seq("f", "band", "chunk"))

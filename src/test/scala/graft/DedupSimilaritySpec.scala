@@ -363,6 +363,29 @@ class DedupSimilaritySpec extends SparkSpec {
     val nullRow = Seq[Option[String]](None).toDF("s")
       .select(Md5Family.md5Hash60($"s"), Md5Family.md5Hash32($"s")).head()
     assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+    // the native md5-60 simhash kernel (r18) IS the relational
+    // explode → 60 vote sums → sign-pack spelling, bit-for-bit —
+    // the form the DuckDB twin still computes
+    val shDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a"), (3L, "a a a b"), (4L, "日本語 テキスト 混在 here 123"),
+      (5L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp")
+    ).toDF("doc_id", "text")
+    val nativeSh = Dedup.simhashDfMd5(shDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relToks = shDocs.select($"doc_id".as("id"),
+        explode(Text.tokens(Text.normalized($"text"))).as("_t"))
+      .select($"id", Md5Family.md5Hash60($"_t").as("_h"))
+      .groupBy($"id")
+      .agg(sum(when($"_h".bitwiseAND(1L) === 1L, 1).otherwise(-1)).as("_v0"),
+        (1 until 60).map(j =>
+          sum(when(shiftright($"_h", j).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+            .as(s"_v$j")): _*)
+      .select($"id", (0 until 60).map(j =>
+          when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nativeSh === relToks, "native md5-60 simhash diverged from the relational form")
     // md5-family minhash finds the planted near-dup and estimates
     // high jaccard for it; unrelated docs stay out
     val docs = Seq(
