@@ -124,13 +124,19 @@ object VecRuntime {
     val bytes = s.getBytes
     val nb = bytes.length
     val nChars = s.numChars()
-    // code-point start offsets; starts(nChars) = end sentinel
+    // Char start offsets via the SAME stepping numChars()/substr use
+    // (numBytesForFirstByte per lead byte) — a continuation-bit scan
+    // can disagree with it on MALFORMED UTF-8 (e.g. a 2-byte lead
+    // followed by ASCII) and overflow the array; this loop yields
+    // exactly nChars starts by construction, and gram byte-slices
+    // match substr's on any input, well-formed or not.
     val starts = new Array[Int](nChars + 1)
     var c = 0
     var i = 0
-    while (i < nb) {
-      if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
-      i += 1
+    while (i < nb && c < nChars) {
+      starts(c) = i
+      c += 1
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
     }
     starts(nChars) = nb
     var total = 0
