@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench-gate legibility (r19, three rounds of driver `parsed: null`):
+// the driver tails stdout of `sbt -batch "runMain graft.Bench"` and
+// parses the LAST line as JSON. Two sbt decorations broke that:
+// (a) the default LoggedOutput strategy prefixes every forked-app
+//     line with `[info] ` — StdoutOutput passes app output through
+//     unprefixed;
+// (b) sbt's `[success] Total time: …` epilogue printed AFTER the app
+//     exits, so the literal last line was never the summary —
+//     showSuccess := false removes it (exit codes are untouched;
+//     failures still print `[error]` and fail the command).
+// Bench itself ends with sys.exit(0) right after its <=200-byte
+// summary println, so nothing in the app can trail it either.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -148,6 +148,16 @@ object Bench {
       val results = measureInProcess(selectedNames(), None)
       emit(results, defaultOut, startNanos = procStart, quiet = isChild)
     }
+    // Terminate the JVM explicitly so the summary println above is the
+    // LAST thing on stdout (r19, the r18 verdict's top ask — three
+    // rounds of driver artifacts carried `parsed: null` because sbt's
+    // own `[success] Total time …` epilogue trailed the summary line
+    // and a literal-last-line parser read THAT). Paired with
+    // `Bench / run / outputStrategy := StdoutOutput` +
+    // `showSuccess := false` in build.sbt (forked app output
+    // unprefixed, no sbt epilogue); the exit also guarantees no
+    // lingering non-daemon Spark thread can print after the summary.
+    if (!isChild) sys.exit(0)
   }
 
   private val procStart = System.nanoTime()
