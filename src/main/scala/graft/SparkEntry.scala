@@ -1057,9 +1057,22 @@ object SparkEntry {
     "q58_tfidf_topterms" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val n = docs.count()
+      // df as a COUNT WINDOW over one term-keyed exchange (r19, the
+      // r18 "not yet #1"): the scan+explode+tf-agg subtree used to
+      // appear on BOTH branches of the tf⋈dfreq join, and a shared
+      // repartition alone cannot fix it — column pruning elides the
+      // tf (and id) columns from the dfreq branch, so the two
+      // exchange subtrees never canonicalize together. A window
+      // partitioned by term rides the SAME exchange output: one scan,
+      // one Generate, no join. df = count(*) per term over the tf
+      // table — value-identical to the groupBy census (the DuckDB
+      // twin keeps the join spelling; counts are equal by
+      // definition), and the score expression tree is unchanged.
       val tf = Corpus.termFrequencies(docs, "doc_id", "text")
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(dfreq, Seq("term"))
+        .repartition(col("term"))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(
+          Window.partitionBy(col("term"))))
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
           (col("tf").cast(DoubleType) *
             (lit(n).cast(DoubleType) / col("df").cast(DoubleType))).as("score"))

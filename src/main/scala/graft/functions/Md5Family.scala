@@ -67,6 +67,17 @@ object Md5Family {
     ColumnBridge.column(Md5PrefixLong(ColumnBridge.expression(c), 8))
   }
 
+  /** Full 16-byte md5 digest of a string column ([[Md5Bin]]) — the
+    * binary bijection of `md5(c)` for INTERNAL group/join keys (r19):
+    * identical partitioning/grouping to the hex form at half the key
+    * bytes and no hex render per value. Never use where the value
+    * reaches results or a persisted artifact — those contracts are
+    * phrased on the hex rendering. */
+  def md5BinKey(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Md5Bin(ColumnBridge.expression(c)))
+  }
+
   /** [[md5Hash60]] reduced into the affine family's domain [0, P). */
   def md5HashP(c: Column): Column = md5Hash60(c) % P
 

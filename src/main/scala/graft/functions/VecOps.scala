@@ -90,6 +90,21 @@ object VecRuntime {
     md5PrefixBytes(b, 0, b.length, nibbles)
   }
 
+  /** Full 16-byte md5 digest of a UTF8String (the
+    * [[graft.functions.Md5Bin]] expression's runtime): bit-identical
+    * information to `md5(c)` / `unhex(md5(c))` — the digest IS the
+    * hex string's preimage, byte-for-byte — without rendering 32 hex
+    * chars per value. Used where the digest is an INTERNAL
+    * group/join key that never reaches results (the
+    * [[graft.operators.Dedup.duplicatedSpans]] gram census), so the
+    * hex form's only effect was 2.5× wider shuffle keys. */
+  def md5Bin(s: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(s.getBytes)
+    md.digest()
+  }
+
   /** Char-n-gram hash buckets of a (pre-normalized) string in ONE
     * pass — bit-identical to the composed
     * `explode(flatten(array(ns.map(k => charNgramsFromNormalized(n, k)))))`
@@ -139,11 +154,26 @@ object VecRuntime {
       i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
     }
     starts(nChars) = nb
+    // Loud bound (r19, the r18 advisor): totals accumulate in Int, so
+    // a pathological multi-GB single document (orders × nChars past
+    // 2^31) would otherwise surface as NegativeArraySizeException —
+    // the composed form it replaced also failed at that scale (a 6e9
+    // element flatten), this just names the cause. Math.addExact
+    // throws ArithmeticException("integer overflow"), wrapped with
+    // the per-document bound so the failing row's shape is in the
+    // message.
     var total = 0
     var t = 0
     while (t < ns.length) {
       val g = nChars - ns(t) + 1
-      if (g > 0) total += g
+      if (g > 0) {
+        try total = Math.addExact(total, g)
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"gram_buckets: document too large ($nChars chars across " +
+              s"${ns.length} n-gram orders exceeds 2^31 grams)")
+        }
+      }
       t += 1
     }
     val out = new Array[Long](total)
@@ -479,6 +509,38 @@ case class Md5ShingleSet(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.VecRuntime.md5Set60($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The [[VecRuntime.md5Bin]] kernel as an expression: the full
+  * 16-byte md5 DIGEST of a string — a bijection of `md5(c)` (the hex
+  * string renders exactly these bytes), so grouping or joining on it
+  * partitions rows identically to grouping on the hex form while
+  * shuffling 16 payload bytes per key instead of 32 hex chars, with
+  * no hex render per value. For INTERNAL keys only (never
+  * output-visible, never persisted): an oracle twin keyed on
+  * `md5(g)` groups identically by bijectivity, so twins are
+  * untouched. Null in → null out. */
+case class Md5Bin(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{BinaryType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"md5_bin expects string, got $dt")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "md5_bin"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecRuntime.md5Bin(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecRuntime.md5Bin($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -850,12 +850,23 @@ object Dedup {
     * unchanged). */
   def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.KnownNotNull
+    // KnownNotNull (r19): the size(_toks) > 0 filter already rejects
+    // every row whose token array is null, and the kernel never
+    // returns null for a non-null array — but the _toks ATTRIBUTE
+    // stays declared-nullable, so downstream isnotnull(sh) guards
+    // (e.g. the one hammingCandidates bakes in for branch
+    // canonicalization) would otherwise substitute the WHOLE
+    // tokenize+simhash derivation into a pushed Filter and evaluate
+    // it twice per row in one stage (the r11 substitution hazard,
+    // r18 verdict wrong #3). Declaring the output non-nullable lets
+    // Catalyst constant-fold those guards away instead.
     df.select(col(idCol).as("id"),
         Text.tokens(Text.normalized(col(textCol))).as("_toks"))
       .filter(size(col("_toks")) > 0)
       .select(col("id"),
-        ColumnBridge.column(graft.functions.SimHash64(
-          ColumnBridge.expression(col("_toks")))).as("sh"))
+        ColumnBridge.column(KnownNotNull(graft.functions.SimHash64(
+          ColumnBridge.expression(col("_toks"))))).as("sh"))
   }
 
   /** The md5 ("portable") SimHash family: 60 bits (15 md5 hex chars
@@ -879,12 +890,17 @@ object Dedup {
     // pins signature equality against the relational form). The
     // DuckDB twin keeps the relational spelling — values equal.
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.KnownNotNull
+    // KnownNotNull: same non-nullable-output declaration as
+    // [[simhashDf]] (the size filter rejects null arrays; the kernel
+    // is total on non-null input) — downstream isnotnull(sh) guards
+    // constant-fold instead of re-inlining the derivation per row.
     df.select(col(idCol).as("id"),
         Text.tokens(Text.normalized(col(textCol))).as("_toks"))
       .filter(size(col("_toks")) > 0)
       .select(col("id"),
-        ColumnBridge.column(graft.functions.SimHashMd560(
-          ColumnBridge.expression(col("_toks")))).as("sh"))
+        ColumnBridge.column(KnownNotNull(graft.functions.SimHashMd560(
+          ColumnBridge.expression(col("_toks"))))).as("sh"))
   }
 
   /** Hamming distance between two SimHash values. */
@@ -912,11 +928,10 @@ object Dedup {
     *                  fingerprint carries no discriminating signal —
     *                  are unaffected). `maxBucket = Int.MaxValue`
     *                  restores exact pigeonhole completeness at the n²
-    *                  skew risk. The groupBy-count is map-side
-    *                  combinable and joins back on the same
-    *                  (band, chunk) key the pair join shuffles on, so
-    *                  the guard adds no extra exchange of the banded
-    *                  table.
+    *                  skew risk. The guard is a count WINDOW over the
+    *                  banded table's one (band, chunk) exchange (r19),
+    *                  so it adds no extra exchange and no extra plan
+    *                  branch.
     */
   def simhashCandidates(
       df: DataFrame,
@@ -948,35 +963,48 @@ object Dedup {
     require(width % bands == 0, s"bands must divide the $width-bit width")
     val bits = width / bands
     // The banded table is staged behind ONE (band, chunk) exchange
-    // that the bucket census and both self-join sides replay via
-    // ReuseExchange (r18 — the nearDuplicates/containmentPairs
-    // sharing pattern applied here: the pre-r18 plan re-evaluated
-    // the whole upstream signature pipeline — scan, normalize,
-    // tokenize/decode, simhash — on FOUR branches, census twice plus
-    // both join sides). Two details keep the branches' subtrees
-    // byte-identical so the reuse actually fires: the explicit
-    // null-rejecting filter is BAKED in (the joins would push
-    // isnotnull(chunk)/isnotnull(sh) into their own branch's subtree
-    // otherwise — outcome-identical, a null signature could never
-    // join anyway), and the census counts col("id"), not lit(1), so
-    // column pruning cannot narrow its branch's scan (the
-    // containmentPairs lesson, verbatim).
+    // that both self-join sides replay via ReuseExchange (r18 — the
+    // nearDuplicates/containmentPairs sharing pattern: the pre-r18
+    // plan re-evaluated the whole upstream signature pipeline —
+    // scan, normalize, tokenize/decode, simhash — on FOUR branches).
+    // The null-rejecting filters are BAKED into the shared subtree so
+    // the joins cannot push isnotnull(chunk)/isnotnull(sh)/
+    // isnotnull(id) into their own branches and fork it
+    // (outcome-identical: a null signature never equi-joins, a null
+    // id never survives `id_a < id_b`, and the r18 census already
+    // skipped null ids via count(col("id"))); on pipelines whose
+    // signature column is declared non-nullable ([[simhashDf]]'s
+    // KnownNotNull) the sh guard constant-folds away instead of
+    // re-inlining the derivation tree per row (the r11 substitution
+    // hazard, r18 verdict wrong #3).
     val banded = sigs
-      .filter(col("sh").isNotNull)
+      .filter(col("sh").isNotNull && col("id").isNotNull)
       .select(col("id"), col("sh"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
           .as(Seq("band", "chunk")))
       .repartition(col("band"), col("chunk"))
-    // bucket-size guard, shape-identical to the minhash path: keep only
-    // buckets that can pair (≥2) and aren't degenerate (≤maxBucket)
-    val keepBuckets = banded.groupBy(col("band"), col("chunk"))
-      .agg(count(col("id")).as("_n"))
+    // bucket-size guard as a WINDOW over the one exchange (r19 —
+    // finishing r18's branch canonicalization for real): the
+    // aggregate-census + semi-join form kept a THIRD banded branch
+    // whose exchange subtree column pruning narrowed (the census
+    // never needs sh), so census vs join-side map stages could never
+    // canonicalize together and the upstream signature pipeline
+    // still ran twice. A count window partitioned by the bucket key
+    // rides the SAME exchange output — no census branch exists at
+    // all, the two self-join branches are byte-identical (one map
+    // stage at runtime), and the window's partition sort leaves both
+    // sides (band, chunk)-sorted, which the pair SMJ reuses. Counts
+    // are identical to the census: the baked null filters already
+    // exclude every row the old count(col("id")) skipped. Same
+    // pigeonhole + maxBucket contract.
+    val counted = banded
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("chunk"))))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
-      .select(col("band"), col("chunk"))
-    val pruned = banded.join(keepBuckets, Seq("band", "chunk"))
-    val l = pruned.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = pruned.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val l = counted.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = counted.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       // dedup multi-band collisions on the raw pair (sh is functionally
@@ -1010,23 +1038,28 @@ object Dedup {
     val bits = width / bands
     // staged behind ONE (f, band, chunk) exchange shared by census
     // and both join sides — the frameless kernel's r18 treatment;
-    // same byte-identical-subtree discipline (baked null filter,
-    // census counts col("id"))
+    // same byte-identical-subtree discipline (baked null filters —
+    // incl. id, r19, see [[hammingCandidates]] — census counts
+    // col("id"))
     val banded = sigs
-      .filter(col("sh").isNotNull && col("f").isNotNull)
+      .filter(col("sh").isNotNull && col("f").isNotNull &&
+        col("id").isNotNull)
       .select(col("id"), col("f"), col("sh"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sh"), b * bits).bitwiseAND((1L << bits) - 1)): _*))
           .as(Seq("band", "chunk")))
       .repartition(col("f"), col("band"), col("chunk"))
-    val keepBuckets = banded.groupBy(col("f"), col("band"), col("chunk"))
-      .agg(count(col("id")).as("_n"))
+    // window bucket guard over the one exchange — see
+    // [[hammingCandidates]] (r19): no census branch, byte-identical
+    // self-join branches, the window sort pre-sorts the SMJ keys
+    val counted = banded
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("f"), col("band"), col("chunk"))))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
-      .select(col("f"), col("band"), col("chunk"))
-    val pruned = banded.join(keepBuckets, Seq("f", "band", "chunk"))
-    val l = pruned.select(col("f"), col("band"), col("chunk"),
+    val l = counted.select(col("f"), col("band"), col("chunk"),
       col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = pruned.select(col("f"), col("band"), col("chunk"),
+    val r = counted.select(col("f"), col("band"), col("chunk"),
       col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("f", "band", "chunk"))
       .filter(col("id_a") < col("id_b"))
@@ -1094,18 +1127,35 @@ object Dedup {
       w: Int, minCount: Long = 2L): DataFrame = {
     require(w >= 1, s"w must be >= 1, got $w")
     import org.apache.spark.sql.expressions.Window
+    // _k is the 16-byte md5 DIGEST, not the 32-char hex rendering
+    // (r19): the key is INTERNAL — censused, joined, never output —
+    // and the digest is a bijection of the hex form, so groups,
+    // counts and the ≥ minCount verdicts are identical while the
+    // shuffle key drops from 32 chars to 16 bytes and no hex string
+    // is rendered per gram. The oracle twin keeps keying on md5(g) —
+    // bijectivity makes its groups the same.
     val grams = df
       .select(col(idCol).as("id"), Text.normalized(col(textCol)).as("_n"))
       .select(col("id"), Text.tokens(col("_n")).as("_toks"))
       .select(col("id"), size(col("_toks")).as("n_tokens"),
         posexplode(shinglesFromTokens(col("_toks"), w)).as(Seq("pos", "gram")))
-      .select(col("id"), col("n_tokens"), col("pos"), md5(col("gram")).as("_k"))
-    val census = grams.groupBy(col("_k"))
-      .agg(count(lit(1)).as("_gc"))
+      .select(col("id"), col("n_tokens"), col("pos"),
+        graft.functions.Md5Family.md5BinKey(col("gram")).as("_k"))
+    // census as a COUNT WINDOW over the grams' one _k exchange (r19):
+    // the groupBy census + re-join form evaluated the whole
+    // scan→normalize→tokenize→shingle→hash subtree on BOTH branches
+    // (Catalyst shares nothing across DataFrame branches, and column
+    // pruning narrows the census branch so even a staged exchange
+    // cannot canonicalize them together). The window count per _k is
+    // the group count, and ≥ minCount keeps exactly the rows the
+    // join kept (grams are concat_ws output → _k is non-nullable, so
+    // there is no null-key row for join-vs-window semantics to
+    // disagree on).
+    val dup = grams
+      .withColumn("_gc", count(lit(1)).over(Window.partitionBy(col("_k"))))
       .filter(col("_gc") >= minCount)
-      .select(col("_k"))
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    grams.join(census, Seq("_k"))
+    dup
       .withColumn("_prev", lag(col("pos"), 1).over(win))
       .withColumn("_cov", when(col("_prev").isNull, lit(w))
         .otherwise(least(lit(w), col("pos") - col("_prev"))))
@@ -1149,18 +1199,31 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       w: Int, minCount: Long = 2L, outCol: String = "text_despanned"): DataFrame = {
     require(w >= 1, s"w must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
     val toks = df
       .select(col(idCol).as("_did"), Text.normalized(col(textCol)).as("_n"))
       .filter(col("_n").isNotNull)
       .select(col("_did"), Text.tokens(col("_n")).as("_toks"))
+    // digest key, not hex — same internal-key bijection argument as
+    // [[duplicatedSpans]] (r19); the min(struct) first-occurrence
+    // winner is per-group and groups are unchanged
     val grams = toks
       .select(col("_did"), posexplode(shinglesFromTokens(col("_toks"), w)).as(Seq("_pos", "_gram")))
-      .select(col("_did"), col("_pos"), md5(col("_gram")).as("_k"))
-    val census = grams.groupBy(col("_k"))
-      .agg(count(lit(1)).as("_gc"), min(struct(col("_did"), col("_pos"))).as("_w1"))
+      .select(col("_did"), col("_pos"),
+        graft.functions.Md5Family.md5BinKey(col("_gram")).as("_k"))
+    // census + first-occurrence winner as WINDOWS over the grams' one
+    // _k exchange (r19 — the [[duplicatedSpans]] treatment): the
+    // groupBy census + re-join form evaluated the gram subtree on
+    // both branches; both window functions share one Window operator
+    // (same partition spec), and _k is non-nullable (concat_ws
+    // output), so join-kept rows ≡ window-kept rows exactly. The
+    // min(struct) winner is the same combinable expression, per
+    // window partition instead of per group.
+    val winK = Window.partitionBy(col("_k"))
+    val covered = grams
+      .withColumn("_gc", count(lit(1)).over(winK))
+      .withColumn("_w1", min(struct(col("_did"), col("_pos"))).over(winK))
       .filter(col("_gc") >= minCount)
-      .select(col("_k"), col("_w1"))
-    val covered = grams.join(census, Seq("_k"))
       .filter(!(col("_w1._did") === col("_did") && col("_w1._pos") === col("_pos")))
       .select(col("_did"), explode(sequence(col("_pos"), col("_pos") + lit(w - 1))).as("_cp"))
       .distinct()

@@ -253,15 +253,27 @@ object Similarity {
     // id-exchange without an extra shuffle
     val sigs = vecs.select(col("id"), signature(col("vec"), planes).as("sig"))
       .groupBy(col("id")).agg(first(col("sig")).as("sig"))
+    // bucket census as a COUNT WINDOW over one explicit (band, chunk)
+    // exchange (r19 — the Dedup.hammingCandidates treatment): the
+    // groupBy census + semi-join form put the signature subtree (64
+    // dot products per vector + the aggregate barrier) on THREE
+    // branches above the shared id exchange (census + both join
+    // sides) — the id exchange shares the vector SCAN but not the
+    // signature computation. Staged behind its own bucket-keyed
+    // exchange, both join sides replay one map stage and the census
+    // rides the window; the window's partition sort pre-sorts the
+    // pair join's keys. Identical row survival (window count = group
+    // count over the same rows).
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
         .as(Seq("band", "chunk")))
-    val keep = banded.groupBy(col("band"), col("chunk"))
-      .agg(count(lit(1)).as("_n"))
+      .repartition(col("band"), col("chunk"))
+    val pruned = banded
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("chunk"))))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
-      .select(col("band"), col("chunk"))
-    val pruned = banded.join(keep, Seq("band", "chunk"))
     val carry = maxSigHamming.isDefined
     def side(suffix: String) = pruned.select(
       Seq(col("band"), col("chunk"), col("id").as(s"id_$suffix")) ++
@@ -438,6 +450,15 @@ object Similarity {
       case None =>
         bandedOf(spark.read.parquet(indexPath))
     }
+    // NOTE (r19): the batch kernel's window-census treatment was
+    // tried here too (tagged union + one (band, chunk) exchange +
+    // count window) and measured SLOWER on q122's composite
+    // 2-batch plan (old 4.14 s → windowed 4.85 s same-session quiet
+    // A/B) — the census/any-side duplication it removes is
+    // batch-bounded here (the pblock collect already prunes the
+    // index read to touched blocks), while the added
+    // exchange+sort+window stages multiply across the per-batch
+    // incremental calls. Reverted; the measurement is the record.
     val allBanded = idxBanded.unionByName(newBanded)
     val keep = allBanded.groupBy(col("band"), col("chunk"))
       .agg(count(lit(1)).as("_n"))
