@@ -49,11 +49,12 @@ import org.apache.spark.sql.types._
   *
   * Scale shape: features are one explode + combinable count keyed by
   * (id, bucket); serving is feats ⋈ broadcast(weights) (model is
-  * nnz-bounded ≤ dim·L rows), two more combinable aggregations keyed
-  * by id, and a doc×L broadcast nested loop for the score table
-  * (L ≈ dozens of languages — bounded by construction). Training
-  * collects only (lang,bucket) counts — ≤ dim·L rows, the
-  * PQ-codebook collect class.
+  * nnz-bounded ≤ dim·L rows) plus two more combinable HASH
+  * aggregations on narrow keys — since r19 no doc×L score table
+  * exists at all: hit languages argmax through a packed-decimal min,
+  * floor-only languages through a per-doc literal-array argmax (see
+  * [[classifyQuantized]]). Training collects only (lang,bucket)
+  * counts — ≤ dim·L rows, the PQ-codebook collect class.
   */
 object LangId {
 
@@ -208,31 +209,143 @@ object LangId {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
   }
 
-  /** Per-doc argmax over [[scoreQuantized]]:
-    * `(id, lang, score_q, n_grams, n_hit)` — `lang` is the best
-    * language, ties broken toward the LEXICOGRAPHICALLY SMALLEST code
-    * (deterministic, like the [[Text.LangMarkers]]-order tie-break),
-    * overridden to `"und"` when NO gram of the doc hit ANY language's
-    * weight table (zero evidence — the marker argmax's
+  /** Per-doc argmax: `(id, lang, score_q, n_grams, n_hit)` — `lang`
+    * is the best language, ties broken toward the LEXICOGRAPHICALLY
+    * SMALLEST code (deterministic, like the [[Text.LangMarkers]]-order
+    * tie-break), overridden to `"und"` when NO gram of the doc hit
+    * ANY language's weight table (zero evidence — the marker argmax's
     * nothing-scores rule). `score_q`/`n_hit` stay the best
     * candidate's (an `und` row documents what the floor-only argmax
-    * would have said). Relational argmax (`min` over a struct), never
-    * a k-way expression tree — the janino lesson at
-    * [[Similarity.pqScoredSubs]]. */
+    * would have said).
+    *
+    * == r19 shape (row-for-row identical to the r13–r18 form) ==
+    * The original materialized the doc×L score table
+    * ([[scoreQuantized]]'s broadcast nested loop) and argmax'd it
+    * with `min(struct(-score, lang, n_hit))` — a STRUCT aggregate,
+    * which HashAggregate cannot buffer, so the plan carried two
+    * SortAggregates and shuffled L rows per document. Serving now
+    * splits the candidate set instead:
+    *
+    *   - HIT candidates (languages with ≥1 matched bucket) are
+    *     aggregated per doc with a `min` over ONE Decimal(38,0)
+    *     packing `(−score)·10¹⁴ + langIdx·10¹⁰ + n_hit` — strictly
+    *     monotone in the struct order (langIdx is the rank of the
+    *     code in UTF-8-binary sorted order, exactly the string
+    *     tie-break; (−score, idx) is unique per doc so n_hit never
+    *     decides), and decimals are HashAggregate-mutable. Bounds:
+    *     |score| ≤ n_grams·(|floor|+max dw) < 2³³·2³⁷ < 10²¹ and
+    *     10²¹·10¹⁴ < 10³⁸ (decimal never wraps; the score itself is
+    *     computed in LONG first, so any long-wrap matches the
+    *     original expression tree bit-for-bit); n_hit ≤ n_grams
+    *     < 10¹⁰; langIdx ≤ 9999 (guarded).
+    *   - FLOOR-ONLY candidates (score = prior + n_grams·floor) never
+    *     need L rows: their argmax is `array_min` over an L-element
+    *     LITERAL array evaluated per doc — same long algebra, same
+    *     (−score, idx) struct order.
+    *   - The winner is `least` of the two packed forms. Adding
+    *     floor-only candidates of HIT languages to the pool changes
+    *     nothing: dw > 0 ⇒ hit_sum > 0 ⇒ the hit form of the same
+    *     language packs strictly smaller, so a floor-only shadow can
+    *     never equal the minimum.
+    *   - No hit row at all ⇔ every n_hit is 0 ⇔ the original
+    *     `max(n_hit) = 0` und rule.
+    *
+    * Plan effect: the doc×L BroadcastNestedLoopJoin, both
+    * SortAggregates and the (id, lang)-keyed SortMergeJoin are gone;
+    * every aggregate hash-buffers on narrow keys (the hit path
+    * groups by the INT lang index, not the code string); the gram
+    * aggregate keeps the exact features() shape, and n_grams joins
+    * in at the small (id, lang-idx) grain off one staged id
+    * exchange. LangIdSpec's classify-parity test pins row identity
+    * against the original spelling over the 55-script fixture +
+    * edge shapes for both families. */
   def classifyQuantized(df: DataFrame, idCol: String, textCol: String,
       langTable: DataFrame, weights: DataFrame, dim: Int,
-      ns: Seq[Int] = DefaultNs, family: String = "xxh64"): DataFrame =
-    scoreQuantized(df, idCol, textCol, langTable, weights, dim, ns, family)
-      .groupBy(col("id"))
-      .agg(min(struct((-col("score_q")).as("_neg"), col("lang").as("_l"),
-          col("n_hit").as("_h"))).as("_best"),
-        max(col("n_hit")).as("_any"),
-        first(col("n_grams")).as("n_grams"))
+      ns: Seq[Int] = DefaultNs, family: String = "xxh64"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.unsafe.types.UTF8String
+    // model-bounded (≤ L rows, the codebook-collect class); sorted in
+    // UTF-8 binary order = Spark's string comparison order, so the
+    // index order IS the lexicographic tie-break (codes are ASCII in
+    // practice, where this equals String order too)
+    val langsArr = langTable.select(col("lang"), col("q_prior"), col("q_floor"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortWith((a, b) =>
+        UTF8String.fromString(a._1).compareTo(UTF8String.fromString(b._1)) < 0)
+    val outCols = Seq(col("id"), lit("und").as("lang"), lit(0L).as("score_q"),
+      lit(0L).as("n_grams"), lit(0L).as("n_hit"))
+    if (langsArr.isEmpty)
+      // empty model ⇒ the old doc×L cross join produced zero rows
+      return df.select(col(idCol).as("id")).select(outCols: _*).filter(lit(false))
+    require(langsArr.length <= 9999,
+      s"classifyQuantized packs the language index into 4 decimal digits; " +
+        s"got ${langsArr.length} languages")
+    val idxDf = df.sparkSession.createDataFrame(
+      langsArr.zipWithIndex.toSeq.map { case ((l, p, f), i) => (l, p, f, i) })
+      .toDF("lang", "q_prior", "q_floor", "_lidx")
+    // collisions within one language sum — same contract as q100;
+    // the broadcast rows carry the per-language constants and the
+    // packed index instead of the code string
+    val wb = broadcast(weights
+      .groupBy(col("lang"), col("bucket")).agg(sum(col("qdw")).as("qdw"))
+      .join(idxDf, Seq("lang"))
+      .select(col("bucket"), col("qdw"), col("_lidx"),
+        col("q_prior"), col("q_floor")))
+    // the gram pass stays EXACTLY the features() shape — n_grams must
+    // not ride the (id, bucket) aggregate (it would widen the one big
+    // shuffle of the plan by a long per gram-bucket row; measured
+    // +0.8 s at sf0.1); it attaches at the tiny (id, lang) grain below
+    val feat = df
+      .select(col(idCol).as("id"), langNormalized(col(textCol)).as("_n"))
+      .select(col("id"), explode(ColumnBridge.column(graft.functions.GramBuckets(
+        ColumnBridge.expression(col("_n")), ns, dim.toLong, family))).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val d38 = DecimalType(38, 0)
+    val B1 = lit(100000000000000L) // 10^14
+    val B2 = lit(10000000000L)     // 10^10
+    def packed(negScore: Column, idx: Column, nHit: Column): Column =
+      negScore.cast(d38) * B1 + (idx.cast(LongType) * B2 + nHit).cast(d38)
+    // (id, n_grams), staged behind one id exchange that BOTH its
+    // consumers (the hit-candidate scoring join and the final left
+    // join) replay — text is scanned and normalized twice in total,
+    // exactly like the pre-r19 form (score side + doc side)
+    val base = df
+      .select(col(idCol).as("id"), langNormalized(col(textCol)).as("_n"))
+      .select(col("id"), coalesce(nGramsOf(col("_n"), ns), lit(0L)).as("n_grams"))
+      .repartition(col("id"))
+    val hitAgg = feat
+      .join(wb, Seq("bucket"))
+      .groupBy(col("id"), col("_lidx"))
+      .agg(sum(col("qdw") * col("cnt")).as("hit_sum"), sum(col("cnt")).as("n_hit"),
+        first(col("q_prior")).as("q_prior"), first(col("q_floor")).as("q_floor"))
+      .join(base, Seq("id"))
       .select(col("id"),
-        when(col("_any") === 0L, lit("und")).otherwise(col("_best._l")).as("lang"),
-        (-col("_best._neg")).as("score_q"),
-        col("n_grams"),
-        col("_best._h").as("n_hit"))
+        packed(-(col("q_prior") + col("n_grams") * col("q_floor") + col("hit_sum")),
+          col("_lidx"), col("n_hit")).as("_pk"))
+      .groupBy(col("id")).agg(min(col("_pk")).as("_hp"))
+    // floor-only argmax per doc over the L-element literal array —
+    // the lambda touches only the bound struct fields and the staged
+    // n_grams attribute (multi-referenced, so it stays a column)
+    val langLits = array(langsArr.zipWithIndex.map { case ((_, p, f), i) =>
+      struct(lit(p).as("p"), lit(f).as("f"), lit(i).as("i")) }: _*)
+    val env = array_min(transform(langLits,
+      s => struct((-(s.getField("p") + col("n_grams") * s.getField("f"))).as("_neg"),
+        s.getField("i").as("_i"))))
+    val langNames = array(langsArr.map(x => lit(x._1)): _*)
+    val withBest = base.join(hitAgg, Seq("id"), "left")
+      .withColumn("_env", env)
+      .withColumn("_ep", packed(col("_env._neg"), col("_env._i"), lit(0L)))
+      .withColumn("_bp",
+        when(col("_hp").isNull, col("_ep")).otherwise(least(col("_hp"), col("_ep"))))
+      .withColumn("_rem", pmod(col("_bp"), B1.cast(d38)))
+    withBest.select(col("id"),
+      when(col("_hp").isNull, lit("und")).otherwise(element_at(langNames,
+        (col("_rem") / B2.cast(DecimalType(11, 0))).cast(IntegerType) + 1)).as("lang"),
+      (-((col("_bp") - col("_rem")) / B1.cast(DecimalType(15, 0)))
+        .cast(LongType)).as("score_q"),
+      col("n_grams"),
+      pmod(col("_rem"), B2.cast(d38)).cast(LongType).as("n_hit"))
+  }
 
   /** Persist a quantized model as a parquet artifact (the
     * Unigram/Bpe artifact convention): one `langs` table

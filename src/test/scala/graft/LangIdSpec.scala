@@ -195,6 +195,55 @@ class LangIdSpec extends SparkSpec {
     assert(marker(1L) === "de")
   }
 
+  test("packed classify argmax is row-for-row the struct-min spelling, both families") {
+    // r19: classifyQuantized replaced the doc×L score table +
+    // min(struct(-score, lang, n_hit)) SortAggregate with a
+    // packed-decimal hit argmax + literal-array floor-only argmax.
+    // This pins ROW IDENTITY (all five output columns) against the
+    // original spelling — which still exists as scoreQuantized + the
+    // struct-min groupBy, reconstructed verbatim here — over the
+    // 55-script fixture plus edge shapes (empty, whitespace-only,
+    // und-forcing, single char, supplementary plane), both families.
+    val texts = fixtures.map(_._2).take(220) ++
+      Seq("", "   \t ", "a", "é𝄞", "zzzz qqqq xxxx", "the weather is nice")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val md5q = LangId.quantize(LangId.train(
+      corpus.filter(!_._4).toDF("id", "lang", "text", "held"),
+      "id", "text", "lang", family = "md5"))
+    for (q <- Seq(quantized, md5q)) {
+      val langTable = q.langs.toDF("lang", "q_prior", "q_floor")
+      val weights = q.weights.toDF("lang", "bucket", "qdw")
+      val neu = LangId.classifyQuantized(docs, "id", "text",
+        langTable, weights, q.dim, q.ns, q.family)
+      assert(neu.columns.toSeq ===
+        Seq("id", "lang", "score_q", "n_grams", "n_hit"))
+      assert(neu.schema("score_q").dataType.typeName === "long")
+      assert(neu.schema("n_hit").dataType.typeName === "long")
+      val ref = LangId.scoreQuantized(docs, "id", "text",
+          langTable, weights, q.dim, q.ns, q.family)
+        .groupBy(col("id"))
+        .agg(min(struct((-col("score_q")).as("_neg"), col("lang").as("_l"),
+            col("n_hit").as("_h"))).as("_best"),
+          max(col("n_hit")).as("_any"),
+          first(col("n_grams")).as("n_grams"))
+        .select(col("id"),
+          when(col("_any") === 0L, lit("und")).otherwise(col("_best._l")).as("lang"),
+          (-col("_best._neg")).as("score_q"),
+          col("n_grams"),
+          col("_best._h").as("n_hit"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val (a, b) = (rows(neu), rows(ref))
+      assert(a === b, s"${q.family}: packed classify diverged from struct-min")
+    }
+    // empty model: the old doc×L cross join produced zero rows
+    val emptyLangs = Seq.empty[(String, Long, Long)].toDF("lang", "q_prior", "q_floor")
+    val emptyW = Seq.empty[(String, Long, Long)].toDF("lang", "bucket", "qdw")
+    assert(LangId.classifyQuantized(docs, "id", "text", emptyLangs, emptyW,
+      quantized.dim, quantized.ns, quantized.family).count() === 0L)
+  }
+
   test("native gram-bucket kernel is gram-for-gram the composed pipeline, both families") {
     // the r18 GramBuckets kernel replaced explode(flatten(charNgrams))
     // → bucketOf in LangId.features; this pins bucket-sequence
